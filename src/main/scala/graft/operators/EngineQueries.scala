@@ -1,0 +1,350 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational engine core (SURVEY.md §2.A).
+  *
+  * TPC-H-shaped analytics queries proving scan/filter/join/agg/window
+  * semantics at scale. Scale notes per query inline: dims are
+  * broadcast, aggregations are partial (map-side combine comes free
+  * with groupBy on declarative plans), top-k never does a global sort
+  * (TakeOrderedAndProject or per-group window after hash repartition).
+  *
+  * Every query sorts by a unique key and rounds float aggregates (2dp
+  * for money sums, 4dp for averages) so the DuckDB oracle hash-match
+  * is robust to accumulation-order differences.
+  */
+object EngineQueries {
+
+  /** TPC-H Q1 shape: scan + filter + groupBy agg. Pure map-side
+    * partial agg on 6 columns; scan should prune to ReadSchema of 7
+    * columns and push the shipdate filter. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Selective filter + narrow projection: the point is pushdown.
+    * PushedFilters must show p_size + p_brand; ReadSchema only 4 cols. */
+  def q2FilterPushdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .filter($"p_size" >= 10 && $"p_size" <= 15 && $"p_brand" === "Brand#12")
+      .select($"p_partkey", $"p_name", $"p_size", round($"p_retailprice", 2).as("p_retailprice"))
+      .orderBy($"p_partkey")
+  }
+
+  /** TPC-H Q3 shape: 3-way join + agg + top-10. customer is the small
+    * side (1.5k rows/SF) -> broadcast; orders⋈lineitem shuffles on
+    * orderkey only. Global top-k via orderBy.limit =
+    * TakeOrderedAndProject (no full sort at scale). */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" > lit("1997-01-01").cast("timestamp"))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: star join. region/nation/supplier/customer are
+    * dims -> broadcast; only orders⋈lineitem is a shuffle join. */
+  def q5StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val asia = Tables.region(spark, dir).filter($"r_name" === "ASIA")
+    val nat = Tables.nation(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(asia), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** TPC-H Q6 shape: scan-heavy conditional agg, fully pushed filters,
+    * single-row result — the whole query is one codegen stage. */
+  def q6ScanAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+              $"l_shipdate" < lit("1998-01-01").cast("timestamp") &&
+              $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+      .agg(round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"),
+           count(lit(1)).as("n"))
+  }
+
+  /** Window functions: top-3 orders per customer by price. Tie-broken
+    * by o_orderkey so row_number is deterministic. One shuffle on
+    * o_custkey; no global sort until the final (small) output. */
+  def q7Window(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey", round($"o_totalprice", 2).as("price"),
+              row_number().over(w).as("rnk"),
+              round(lag($"o_totalprice", 1).over(w), 2).as("prev_price"))
+      .filter($"rnk" <= 3)
+      .orderBy($"o_custkey", $"rnk")
+  }
+
+  /** Multi-level agg via ROLLUP on (priority, status). */
+  def q8Rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .rollup($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("total"))
+      .orderBy($"o_orderpriority".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+  }
+
+  /** Semi + anti join: customers with at least one order but none in
+    * status 'F'. Both sides shuffle on custkey; at scale the orders
+    * side is pre-aggregated by the semi/anti join itself. */
+  def q9SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    cust
+      .join(ord, $"c_custkey" === $"o_custkey", "left_semi")
+      .join(ord.filter($"o_orderstatus" === "F"),
+            $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** Top-k per group: 5 priciest parts per brand. Window after a
+    * single hash repartition on p_brand — the building block reused by
+    * the ANN operators. */
+  def q10TopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc, $"p_partkey")
+    Tables.part(spark, dir)
+      .select($"p_brand", $"p_partkey", round($"p_retailprice", 2).as("price"),
+              row_number().over(w).as("rnk"))
+      .filter($"rnk" <= 5)
+      .orderBy($"p_brand", $"rnk")
+  }
+
+  /** Exact distinct counts (the approx_count_distinct twin lives in
+    * the bench path; oracle covers the exact side). */
+  def q11Distinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .agg(countDistinct($"o_custkey").as("distinct_cust"),
+           countDistinct($"o_orderpriority").as("distinct_prio"),
+           count(lit(1)).as("total"))
+  }
+
+  /** Sessionization: 30-min-gap sessions per user via lag + windowed
+    * sum. One shuffle on user_id; at 100 TB this is the canonical
+    * "sessionize clickstream" shape (or mapGroupsWithState when
+    * streaming — see graft.streaming). */
+  def q12EventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id",
+              lag($"ts", 1).over(w).as("prev_ts"))
+      .select($"user_id",
+              when($"prev_ts".isNull ||
+                   unix_micros($"ts") - unix_micros($"prev_ts") > 1800000000L, 1)
+                .otherwise(0).as("new_session"))
+      .groupBy($"user_id")
+      .agg(sum($"new_session").as("sessions"), count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  /** Event funnel view->click->purchase per user (min-timestamp
+    * ordering), plus converted flag. Single shuffle on user_id. */
+  def q13EventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "view", $"ts")).as("first_view"),
+        min(when($"event_type" === "click", $"ts")).as("first_click"),
+        min(when($"event_type" === "purchase", $"ts")).as("first_purchase"))
+      .select($"user_id",
+        ($"first_view".isNotNull && $"first_click".isNotNull &&
+         $"first_purchase".isNotNull &&
+         $"first_view" < $"first_click" && $"first_click" < $"first_purchase")
+          .cast("int").as("converted"))
+      .orderBy($"user_id")
+  }
+
+  /** JSON extraction from events.props (semi-structured column) +
+    * agg. get_json_object is codegen'd; no UDF. */
+  def q14JsonProps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type",
+              get_json_object($"props", "$.k").cast("long").as("k"),
+              $"value")
+      .groupBy($"event_type")
+      .agg(sum($"k").as("sum_k"), round(avg($"k"), 4).as("avg_k"),
+           round(sum($"value"), 4).as("sum_value"), count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg _,
+    "q2_filter_pushdown" -> q2FilterPushdown _,
+    "q3_join_agg" -> q3JoinAgg _,
+    "q5_star_join" -> q5StarJoin _,
+    "q6_scan_agg" -> q6ScanAgg _,
+    "q7_window" -> q7Window _,
+    "q8_rollup" -> q8Rollup _,
+    "q9_semi_anti" -> q9SemiAnti _,
+    "q10_topk_per_group" -> q10TopkPerGroup _,
+    "q11_distinct" -> q11Distinct _,
+    "q12_events_sessionize" -> q12EventsSessionize _,
+    "q13_events_funnel" -> q13EventsFunnel _,
+    "q14_json_props" -> q14JsonProps _)
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_pushdown" ->
+      """SELECT p_partkey, p_name, p_size, round(p_retailprice,2) AS p_retailprice
+        |FROM part
+        |WHERE p_size BETWEEN 10 AND 15 AND p_brand = 'Brand#12'
+        |ORDER BY p_partkey""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_star_join" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q6_scan_agg" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue, count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q7_window" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS price, rnk,
+        |       round(prev_price_raw,2) AS prev_price
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |   row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+        |   lag(o_totalprice,1) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS prev_price_raw
+        |  FROM orders)
+        |WHERE rnk <= 3
+        |ORDER BY o_custkey, rnk""".stripMargin,
+    "q8_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+        |       round(sum(o_totalprice),2) AS total
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "q9_semi_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q10_topk_per_group" ->
+      """SELECT p_brand, p_partkey, round(p_retailprice,2) AS price, rnk
+        |FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |   row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rnk
+        |  FROM part)
+        |WHERE rnk <= 5
+        |ORDER BY p_brand, rnk""".stripMargin,
+    "q11_distinct" ->
+      """SELECT count(DISTINCT o_custkey) AS distinct_cust,
+        |       count(DISTINCT o_orderpriority) AS distinct_prio,
+        |       count(*) AS total
+        |FROM orders""".stripMargin,
+    "q12_events_sessionize" ->
+      """WITH lagged AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu,
+        |   lag(CAST(ts AS TIMESTAMP),1) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+        |  FROM events)
+        |SELECT user_id,
+        | sum(CASE WHEN prev_ts IS NULL
+        |          OR date_diff('microsecond', prev_ts, tsu) > 1800000000
+        |          THEN 1 ELSE 0 END) AS sessions,
+        | count(*) AS n_events
+        |FROM lagged
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "q13_events_funnel" ->
+      """SELECT user_id,
+        | CASE WHEN first_view IS NOT NULL AND first_click IS NOT NULL
+        |       AND first_purchase IS NOT NULL
+        |       AND first_view < first_click AND first_click < first_purchase
+        |      THEN 1 ELSE 0 END AS converted
+        |FROM (
+        |  SELECT user_id,
+        |   min(CASE WHEN event_type='view' THEN CAST(ts AS TIMESTAMP) END) AS first_view,
+        |   min(CASE WHEN event_type='click' THEN CAST(ts AS TIMESTAMP) END) AS first_click,
+        |   min(CASE WHEN event_type='purchase' THEN CAST(ts AS TIMESTAMP) END) AS first_purchase
+        |  FROM events GROUP BY user_id)
+        |ORDER BY user_id""".stripMargin,
+    "q14_json_props" ->
+      """SELECT event_type,
+        | sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+        | round(avg(CAST(props->>'$.k' AS BIGINT)),4) AS avg_k,
+        | round(sum(value),4) AS sum_value,
+        | count(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.EngineQueries
+
+class EngineQueriesSpec extends SparkSpec {
+
+  test("every engine query runs and returns rows at sf0.001") {
+    EngineQueries.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("q1 aggregates are grouped by (returnflag, linestatus)") {
+    val rows = EngineQueries.q1Agg(spark, sfDir).collect()
+    assert(rows.length <= 6) // 3 flags x 2 statuses max
+    val flags = rows.map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(flags.distinct.length == flags.length)
+  }
+
+  test("q7 window emits at most 3 rows per customer, ranked") {
+    val rows = EngineQueries.q7Window(spark, sfDir).collect()
+    val perCust = rows.groupBy(_.getLong(0))
+    assert(perCust.values.forall(_.length <= 3))
+    perCust.values.foreach { rs =>
+      val ranks = rs.map(_.getInt(3)).sorted.toSeq
+      assert(ranks == (1 to rs.length))
+    }
+  }
+
+  test("q9 semi/anti: no selected customer has an F-status order") {
+    import spark.implicits._
+    val selected = EngineQueries.q9SemiAnti(spark, sfDir)
+      .select($"c_custkey").as[Long].collect().toSet
+    val withF = Tables.orders(spark, sfDir)
+      .filter($"o_orderstatus" === "F")
+      .select($"o_custkey").distinct().as[Long].collect().toSet
+    assert(selected.intersect(withF).isEmpty)
+  }
+
+  test("q12 sessions are between 1 and event count per user") {
+    val rows = EngineQueries.q12EventsSessionize(spark, sfDir).collect()
+    rows.foreach { r =>
+      val sessions = r.getLong(1); val n = r.getLong(2)
+      assert(sessions >= 1 && sessions <= n)
+    }
+  }
+
+  test("broadcast hints survive to the physical plan in q5") {
+    val plan = EngineQueries.q5StarJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins for dims")
+  }
+}
