@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators (SURVEY.md §2.F) over the `documents`
+  * table — the per-document scoring passes a training-data pipeline
+  * runs before filtering/dedup.
+  *
+  * All four are single-scan, shuffle-free, and built from codegen'd
+  * built-ins (regexp_count, aggregate, higher-order lambdas) — no
+  * UDFs, so they stay inside whole-stage codegen and scale linearly
+  * with input splits. Reference behavior being re-expressed: qurio
+  * stores per-chunk `language` metadata and filters low-value chunks
+  * (apps/backend/internal/text/chunker.go:40-97 IsNoiseChunk).
+  */
+object TextAnalysis {
+
+  /** Shared stopword profiles; both the Spark expressions and the
+    * DuckDB oracle SQL are generated from these so they can't drift. */
+  // NOTE: these are spliced into Spark SQL string literals via expr(),
+  // which consume one escaping level — hence \\\\b in source => \\b in
+  // the literal => \b reaching the regex engine.
+  private val profiles: Seq[(String, String)] = Seq(
+    "en" -> "\\\\b(the|and|of|to|in)\\\\b",
+    "de" -> "\\\\b(der|die|das|und|ist)\\\\b",
+    "es" -> "\\\\b(el|la|los|las|que)\\\\b",
+    "fr" -> "\\\\b(le|les|et|est|une)\\\\b")
+  private val cjkPattern = "[\\\\x{4e00}-\\\\x{9fff}]"
+  private val stopwordsEn = "\\\\b(the|a|an|and|or|of|to|in|is|it)\\\\b"
+
+  /** n-gram/stopword-profile language ID. Score = stopword hits per
+    * profile; CJK chars trump; ties broken by fixed profile order. */
+  def t1LangId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = Tables.documents(spark, dir)
+      .select(($"doc_id" +: $"lang" +:
+        profiles.map { case (l, p) =>
+          expr(s"cast(regexp_count(lower(text), '$p') as bigint)").as(s"s_$l")
+        }) :+ expr(s"cast(regexp_count(text, '$cjkPattern') as bigint)").as("s_zh"): _*)
+    val best = profiles.map(_._1).foldRight(lit("unknown")) { case (l, els) =>
+      when(col(s"s_$l") > 0 &&
+        profiles.map(_._1).filter(_ != l)
+          .map(o => col(s"s_$l") >= col(s"s_$o"))
+          .reduce(_ && _) &&
+        // fixed priority: an earlier profile that ties wins
+        profiles.map(_._1).takeWhile(_ != l)
+          .map(o => col(s"s_$l") > col(s"s_$o"))
+          .foldLeft(lit(true))(_ && _),
+        lit(l)).otherwise(els)
+    }
+    scored
+      .withColumn("predicted", when($"s_zh" > 0, lit("zh")).otherwise(best))
+      .orderBy($"doc_id")
+  }
+
+  /** Quality scoring: length/punctuation/stopword-ratio blend. */
+  def t2QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        length($"text").cast("long").as("len_chars"),
+        expr("cast(regexp_count(text, '\\\\S+') as bigint)").as("n_tok"),
+        expr("cast(regexp_count(text, '[.,;:!?]') as bigint)").as("n_punct"),
+        expr(s"cast(regexp_count(lower(text), '$stopwordsEn') as bigint)").as("n_stop"))
+      .select($"doc_id", $"len_chars", $"n_tok", $"n_punct", $"n_stop",
+        round(
+          lit(0.4) * least($"n_tok".cast("double") / 100.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - $"n_punct".cast("double") / greatest($"n_tok", lit(1))) +
+          lit(0.3) * ($"n_stop".cast("double") / greatest($"n_tok", lit(1))),
+          6).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens
+    * (letter runs / digit runs / single punctuation). */
+  def t3TokenCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        expr("cast(regexp_count(text, '\\\\S+') as bigint)").as("ws_tokens"),
+        expr("cast(regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]') as bigint)").as("bpe_tokens"),
+        length($"text").cast("long").as("n_chars_calc"))
+      .orderBy($"doc_id")
+  }
+
+  /** Polynomial rolling-hash fingerprint (h = h*31 + code mod 1e9+7)
+    * over the whole document — order-sensitive, unlike a bag hash.
+    * At 100 TB you'd reach for xxhash64(text) (one codegen'd call);
+    * the polynomial form is the oracle-checkable building block the
+    * MinHash/SimHash operators share. */
+  def t4Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        when(length($"text") === 0, 0L).otherwise(
+          expr("aggregate(sequence(1, length(text)), cast(0 as bigint), " +
+               "(h, i) -> (h*31 + ascii(substring(text, i, 1))) % 1000000007)"))
+          .as("fp_poly"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_lang_id" -> t1LangId _,
+    "t2_quality_score" -> t2QualityScore _,
+    "t3_token_count" -> t3TokenCount _,
+    "t4_fingerprint" -> t4Fingerprint _)
+
+  val oracles: Map[String, String] = {
+    val profileCols = profiles
+      .map { case (l, p) => s" len(regexp_extract_all(lower(text), '${p.replace("\\\\", "\\")}')) AS s_$l," }
+      .mkString("\n")
+    // same fixed-priority argmax as the Spark side
+    val bestChain = profiles.map(_._1).zipWithIndex.map { case (l, i) =>
+      val geLater = profiles.map(_._1).filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      val gtEarlier = profiles.map(_._1).take(i).map(o => s"s_$l > s_$o")
+      val cond = (Seq(s"s_$l > 0", geLater) ++ gtEarlier).mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString("\n      ")
+    Map(
+      "t1_lang_id" ->
+        s"""SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
+           | CASE WHEN s_zh > 0 THEN 'zh'
+           |      $bestChain
+           |      ELSE 'unknown' END AS predicted
+           |FROM (
+           |  SELECT doc_id, lang,
+           |$profileCols
+           |   len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS s_zh
+           |  FROM documents)
+           |ORDER BY doc_id""".stripMargin,
+      "t2_quality_score" ->
+        """SELECT doc_id, len_chars, n_tok, n_punct, n_stop,
+          | round(0.4 * least(CAST(n_tok AS DOUBLE)/100.0, 1.0)
+          |     + 0.3 * (1.0 - CAST(n_punct AS DOUBLE)/greatest(n_tok, 1))
+          |     + 0.3 * (CAST(n_stop AS DOUBLE)/greatest(n_tok, 1)), 6) AS quality
+          |FROM (
+          |  SELECT doc_id, length(text) AS len_chars,
+          |   len(regexp_extract_all(text, '\S+')) AS n_tok,
+          |   len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+          |   len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS n_stop
+          |  FROM documents)
+          |ORDER BY doc_id""".stripMargin,
+      "t3_token_count" ->
+        """SELECT doc_id,
+          | len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+          | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens,
+          | length(text) AS n_chars_calc
+          |FROM documents
+          |ORDER BY doc_id""".stripMargin,
+      "t4_fingerprint" ->
+        """SELECT doc_id,
+          | CASE WHEN length(text) = 0 THEN 0
+          |      ELSE list_reduce(
+          |        list_prepend(CAST(0 AS BIGINT),
+          |          list_transform(generate_series(1, length(text)),
+          |            i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+          |        (h, c) -> (h*31 + c) % 1000000007)
+          | END AS fp_poly
+          |FROM documents
+          |ORDER BY doc_id""".stripMargin)
+  }
+}
