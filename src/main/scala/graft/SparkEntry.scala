@@ -9,7 +9,8 @@ object SparkEntry {
     Seq(
       (operators.EngineQueries.queries, operators.EngineQueries.oracles),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),
-      (operators.Dedup.queries, operators.Dedup.oracles))
+      (operators.Dedup.queries, operators.Dedup.oracles),
+      (operators.Knn.queries, operators.Knn.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{VectorFunctions => V}
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.E) —
+  * the batch ANN side of qurio's vector retrieval
+  * (apps/backend/internal/retrieval/service.go:93-101 embeds the
+  * query then asks the store for nearest chunks).
+  *
+  * Scale design:
+  *  - brute force (a1): query side is small -> broadcast; base side
+  *    streams through codegen, per-partition top-k via window after
+  *    hashing on q_id. Exact, O(|Q| * n), the recall baseline.
+  *  - LSH (a2): 16 random-hyperplane bits -> bucket join; only
+  *    same-bucket candidates are scored. Sub-linear probes, recall
+  *    depends on bucket granularity.
+  *  - IVF (a3): coarse quantizer = per-label centroids (at scale a
+  *    k-means fit); queries probe nprobe nearest cells and score only
+  *    those cells' vectors.
+  */
+object Knn {
+
+  private def base(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", V.asDouble($"embedding").as("v"))
+  }
+
+  /** Exact top-5 neighbors for each of the first 10 vectors.
+    * Ranking uses the raw (unrounded) cosine so Spark and the oracle
+    * rank identical doubles; output rounds for hash-robustness. */
+  def a1BruteForce(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = base(spark, dir)
+    val queries = all.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")
+    all.join(broadcast(queries), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", V.cosine($"qv", $"v").as("cosine_raw"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .select($"q_id", $"vec_id", round($"cosine_raw", 6).as("cosine"), $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
+  /** Random-hyperplane LSH, multi-table: 16 tables x 4 bits. Bit
+    * (t,p) = sign(sum_d w_{t,p,d} * v_d) with deterministic +-1
+    * weights from xxhash64(plane*64+d). A pair is a candidate if ANY
+    * table bucket matches (P(bit)=1-theta/pi, so 4-bit/16-table
+    * recalls ~0.9 of cosine>=0.4 neighbors); candidates are scored
+    * exactly and top-5 kept. At scale the bucket join shuffles on
+    * (table, sig) — never all-pairs. */
+  def a2Lsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tables = 16; val bits = 4
+    val sigs =
+      expr(s"""transform(sequence(0, ${tables - 1}), t ->
+              |  aggregate(sequence(0, ${bits - 1}), cast(0 as bigint), (acc, p) ->
+              |    acc + shiftleft(CASE WHEN
+              |      aggregate(sequence(1, size(v)), cast(0.0 as double), (s, d) ->
+              |        s + CASE WHEN pmod(xxhash64((t*$bits + p)*64 + d), 2) = 0
+              |            THEN v[d-1] ELSE -v[d-1] END)
+              |      > 0 THEN cast(1 as bigint) ELSE cast(0 as bigint) END, p)))""".stripMargin)
+    val all = base(spark, dir).withColumn("sigs", sigs)
+    val buckets = all
+      .select($"vec_id", $"v", posexplode($"sigs"))
+      .select($"vec_id", $"v", $"pos".as("tbl"), $"col".as("sig"))
+    val qBuckets = buckets.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"tbl", $"sig")
+    val candidates = buckets.as("b")
+      .join(broadcast(qBuckets).as("q"),
+            $"b.tbl" === $"q.tbl" && $"b.sig" === $"q.sig" && $"b.vec_id" =!= $"q.q_id")
+      .select($"q.q_id".as("q_id"), $"q.qv".as("qv"), $"b.vec_id".as("vec_id"), $"b.v".as("v"))
+      .dropDuplicates("q_id", "vec_id")
+    val w = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")
+    candidates
+      .select($"q_id", $"vec_id", V.cosine($"qv", $"v").as("cosine_raw"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .select($"q_id", $"vec_id", round($"cosine_raw", 6).as("cosine"), $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
+  /** IVF: per-label centroids as the coarse quantizer; each query
+    * probes its nprobe=3 nearest cells and scores only those cells. */
+  def a3Ivf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = base(spark, dir)
+    // centroid_d = avg over cell members (explode dims -> agg -> regroup)
+    val centroids = all
+      .select($"label", posexplode($"v"))
+      .groupBy($"label", $"pos")
+      .agg(avg($"col").as("c"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+      .select($"label".as("c_label"), transform($"pc", p => p("c")).as("cv"))
+    val queries = all.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    // probe: top-3 centroids per query by cosine
+    val wProbe = Window.partitionBy($"q_id").orderBy($"c_cos".desc, $"c_label")
+    val probed = queries.crossJoin(broadcast(centroids))
+      .select($"q_id", $"qv", $"c_label", V.cosine($"qv", $"cv").as("c_cos"))
+      .withColumn("p_rnk", row_number().over(wProbe))
+      .filter($"p_rnk" <= 3)
+      .select($"q_id", $"qv", $"c_label")
+    // exact scoring inside probed cells only
+    val w = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")
+    all.join(broadcast(probed), $"label" === $"c_label" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", V.cosine($"qv", $"v").as("cosine_raw"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .select($"q_id", $"vec_id", round($"cosine_raw", 6).as("cosine"), $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
+  /** Single-query exact top-10 (the retrieval-service shape: one
+    * embedded query against the chunk index). */
+  def s2VectorTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = base(spark, dir)
+    val q = all.filter($"vec_id" === 0).select($"v".as("qv"))
+    all.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", V.cosine($"qv", $"v").as("cosine_raw"))
+      .orderBy($"cosine_raw".desc, $"vec_id")
+      .limit(10)
+      .select($"vec_id", round($"cosine_raw", 6).as("cosine"))
+      .orderBy($"cosine".desc, $"vec_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_knn_bruteforce" -> a1BruteForce _,
+    "a2_knn_lsh" -> a2Lsh _,
+    "a3_knn_ivf" -> a3Ivf _,
+    "s2_vector_topk" -> s2VectorTopk _)
+
+  private val cosineSql =
+    """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |       list_transform(generate_series(1, len(QV)), i -> QV[i]*BV[i])), (s,x) -> s+x)
+      |     / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(QV, x -> x*x)), (s,x) -> s+x))
+      |      * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(BV, x -> x*x)), (s,x) -> s+x)))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "a1_knn_bruteforce" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
+         |   ${cosineSql.replace("QV", "q.v").replace("BV", "b.v")} AS cosine_raw
+         |  FROM e q JOIN e b ON q.vec_id < 10 AND b.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cosine_raw,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, vec_id, round(cosine_raw, 6) AS cosine, rnk
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin,
+    "s2_vector_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |q AS (SELECT v FROM e WHERE vec_id = 0)
+         |SELECT vec_id, round(cosine_raw, 6) AS cosine FROM (
+         |  SELECT b.vec_id,
+         |   ${cosineSql.replace("QV", "q.v").replace("BV", "b.v")} AS cosine_raw
+         |  FROM e b, q WHERE b.vec_id <> 0
+         |  ORDER BY cosine_raw DESC, b.vec_id
+         |  LIMIT 10)
+         |ORDER BY cosine DESC, vec_id""".stripMargin)
+}

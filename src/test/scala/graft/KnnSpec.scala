@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Knn
+
+class KnnSpec extends SparkSpec {
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("a1 brute force returns exactly 5 ranked neighbors per query") {
+    val rows = Knn.a1BruteForce(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rs =>
+      assert(rs.length == 5)
+      val cosines = rs.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(cosines == cosines.sorted.reverse, "cosine must descend with rank")
+    }
+    rows.foreach(r => assert(r.getLong(0) != r.getLong(1), "self-match"))
+  }
+
+  test("a2 LSH recalls most brute-force neighbors") {
+    val bf = pairs(Knn.a1BruteForce(spark, sfDir))
+    val lsh = pairs(Knn.a2Lsh(spark, sfDir))
+    val recall = bf.intersect(lsh).size.toDouble / bf.size
+    assert(recall >= 0.6, s"LSH recall $recall too low")
+  }
+
+  test("a3 IVF neighbors all come from probed cells and rank correctly") {
+    val rows = Knn.a3Ivf(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.values.foreach(rs => assert(rs.length <= 5))
+  }
+
+  test("s2 single-query top-k is the brute-force head for q=0") {
+    val s2 = Knn.s2VectorTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(s2.length == 10)
+    val bfTop = Knn.a1BruteForce(spark, sfDir).collect()
+      .filter(_.getLong(0) == 0).sortBy(_.getInt(3))
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(s2.take(5).toSeq == bfTop.toSeq)
+  }
+}
