@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Qurio data-plane operators (SURVEY.md §2.B): ingestion ->
+  * chunking -> contextual embedding input -> chunk-store views.
+  *
+  * The chunk store schema mirrors DocumentChunk
+  * (apps/backend/internal/vector/schema.go:26-70): content, sourceId,
+  * chunkIndex, type, language, title, url — here derived from the
+  * `documents` table (source plays sourceId/url, doc_id plays the
+  * page ordering).
+  */
+object ChunkQueries {
+
+  final case class DocChunk(doc_id: Long, chunk_index: Int, content: String,
+                            chunk_type: String, language: String)
+
+  /** c1: CleanMarkdownNoise as a column op (chunker.go:27-38). */
+  def c1CleanMarkdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        md5(regexp_replace(
+          regexp_replace($"text", lit("(?mi)^\\[edit[^\\]]*\\]\\([^\\)]+\\)[ \\t]*$"), lit("")),
+          lit("(?mi)^#{1,3}[ \\t]+(?:table of )?contents?[ \\t]*\\n(?:[ \\t]*[-*][ \\t]*\\[.*?\\]\\(#.*?\\)[ \\t]*\\n)*"), lit("")))
+          .as("cleaned_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** c2: the structural chunker as a typed Dataset flatMap — one pass
+    * per document, no shuffle; scales with input splits. */
+  def c2ChunkMarkdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .flatMap { case (docId, text) =>
+        Chunker.chunkMarkdown(text, maxTokens = 32, overlap = 0).zipWithIndex.map {
+          case (c, i) => DocChunk(docId, i, c.content, c.chunkType, c.language)
+        }
+      }
+      .toDF()
+      .select($"doc_id", $"chunk_index", md5($"content").as("content_md5"),
+              $"chunk_type", $"language", length($"content").cast("long").as("n_chars"))
+      .orderBy($"doc_id", $"chunk_index")
+  }
+
+  /** c3: IsNoiseChunk (chunker.go:43-97) as a DataFrame filter over
+    * the chunked corpus; keeps embed-worthy chunks. */
+  def c3NoiseFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .flatMap { case (docId, text) =>
+        Chunker.chunkMarkdown(text, maxTokens = 32, overlap = 0).zipWithIndex.collect {
+          case (c, i) if !Chunker.isNoiseChunk(c.content) =>
+            DocChunk(docId, i, c.content, c.chunkType, c.language)
+        }
+      }
+      .toDF()
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("kept_chunks"))
+      .orderBy($"doc_id")
+  }
+
+  /** c4: contextual embed-input construction
+    * (apps/backend/internal/worker/embedder_consumer.go:44-60):
+    * "Documentation: <sourceName>\nTitle: <title>\nSection: <path>
+    * \n---\n<content>". */
+  def c4ContextualString(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        md5(concat(
+          lit("Documentation: "), $"source",
+          lit("\nTitle: doc-"), $"doc_id",
+          lit("\nSection: "), $"lang",
+          lit("\n---\n"), $"text")).as("ctx_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** c5: deterministic stub embedder — hashed bag-of-tokens projected
+    * to 64 dims, L2-normalized. Stands in for the external embedding
+    * API (gemini adapter) with pure codegen'd expressions; the
+    * Spark-side shape (schema, vector width, normalization) is real. */
+  def c5EmbedChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dims = 64
+    val counts =
+      expr(s"""transform(sequence(0, ${dims - 1}), b ->
+              |  aggregate(tok, cast(0.0 as double), (s, t) ->
+              |    s + CASE WHEN pmod(xxhash64(t), $dims) = b THEN 1.0 ELSE 0.0 END))""".stripMargin)
+    Tables.documents(spark, dir)
+      .select($"doc_id", expr("regexp_extract_all(lower(text), '\\\\S+', 0)").as("tok"))
+      .filter(size($"tok") > 0)
+      .withColumn("raw", counts)
+      .withColumn("nrm", sqrt(aggregate(transform($"raw", x => x * x), lit(0.0), (s, x) => s + x)))
+      .select($"doc_id",
+              transform($"raw", x => round(x / $"nrm", 6)).as("embedding"))
+      .orderBy($"doc_id")
+  }
+
+  /** c6: GetChunksByURL (store.go:311-335): all chunks of one page,
+    * ordered by chunkIndex — filter + sort, pushdown-friendly. */
+  def c6ChunksByUrl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"source" === "src3")
+      .select($"doc_id", $"source", md5($"text").as("content_md5"), $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  /** c7: corpus stats (features/stats/handler.go:40-76): sources /
+    * documents / vectors counts in one row. */
+  def c7CorpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .agg(countDistinct(col("source")).as("sources"),
+           count(lit(1)).as("documents"))
+    val vecs = Tables.embeddings(spark, dir).agg(count(lit(1)).as("vectors"))
+    docs.crossJoin(vecs)
+  }
+
+  /** c8: DeleteChunksBySourceID (store.go:93-103) as the surviving
+    * view — anti-join against the deleted sources. */
+  def c8DeleteBySource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val deleted = Seq("src0", "src1").toDF("del_source")
+    Tables.documents(spark, dir)
+      .join(broadcast(deleted), $"source" === $"del_source", "left_anti")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"source")
+  }
+
+  /** c9: crawl-frontier link discovery (worker/link_discovery.go):
+    * same-host + http(s) + fragment-strip + regex exclusions + dedup
+    * + depth+1. Links are synthesized deterministically from events
+    * so the op is oracle-checkable. */
+  def c9LinkDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val depth = 1
+    val links = Tables.events(spark, dir)
+      .select(concat(
+        lit("https://host"), pmod($"user_id", lit(3)),
+        lit(".example.com/page/"), pmod($"event_id", lit(50)),
+        when(pmod($"event_id", lit(7)) === 0, lit("#frag")).otherwise(lit(""))).as("link"))
+    links
+      .select(regexp_replace($"link", lit("#.*$"), lit("")).as("url"))
+      .filter(regexp_extract($"url", "^(https?)://([^/]+)", 2) === "host0.example.com")
+      .filter(!$"url".rlike("/page/1[0-9]$"))
+      .distinct()
+      .select($"url", lit(depth + 1).cast("long").as("depth"))
+      .orderBy($"url")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c1_clean_markdown" -> c1CleanMarkdown _,
+    "c2_chunk_markdown" -> c2ChunkMarkdown _,
+    "c3_noise_filter" -> c3NoiseFilter _,
+    "c4_contextual_string" -> c4ContextualString _,
+    "c5_embed_chunks" -> c5EmbedChunks _,
+    "c6_chunks_by_url" -> c6ChunksByUrl _,
+    "c7_corpus_stats" -> c7CorpusStats _,
+    "c8_delete_by_source" -> c8DeleteBySource _,
+    "c9_link_discovery" -> c9LinkDiscovery _)
+
+  val oracles: Map[String, String] = Map(
+    "c1_clean_markdown" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(regexp_replace(text,
+        |   '(?mi)^\[edit[^\]]*\]\([^\)]+\)[ \t]*$', '', 'g'),
+        |   '(?mi)^#{1,3}[ \t]+(?:table of )?contents?[ \t]*\n(?:[ \t]*[-*][ \t]*\[.*?\]\(#.*?\)[ \t]*\n)*', '', 'g')) AS cleaned_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "c4_contextual_string" ->
+      """SELECT doc_id,
+        | md5('Documentation: ' || source || chr(10) || 'Title: doc-' || doc_id
+        |   || chr(10) || 'Section: ' || lang || chr(10) || '---' || chr(10) || text) AS ctx_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "c6_chunks_by_url" ->
+      """SELECT doc_id, source, md5(text) AS content_md5, n_chars
+        |FROM documents
+        |WHERE source = 'src3'
+        |ORDER BY doc_id""".stripMargin,
+    "c7_corpus_stats" ->
+      """SELECT (SELECT count(DISTINCT source) FROM documents) AS sources,
+        |       (SELECT count(*) FROM documents) AS documents,
+        |       (SELECT count(*) FROM embeddings) AS vectors""".stripMargin,
+    "c8_delete_by_source" ->
+      """SELECT source, count(*) AS n_docs
+        |FROM documents
+        |WHERE source NOT IN ('src0', 'src1')
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+    "c9_link_discovery" ->
+      """WITH links AS (
+        |  SELECT 'https://host' || (user_id % 3) || '.example.com/page/' || (event_id % 50)
+        |     || CASE WHEN event_id % 7 = 0 THEN '#frag' ELSE '' END AS link
+        |  FROM events)
+        |SELECT DISTINCT regexp_replace(link, '#.*$', '') AS url, CAST(2 AS BIGINT) AS depth
+        |FROM links
+        |WHERE regexp_extract(regexp_replace(link, '#.*$', ''), '^(https?)://([^/]+)', 2) = 'host0.example.com'
+        |  AND NOT regexp_matches(regexp_replace(link, '#.*$', ''), '/page/1[0-9]$')
+        |ORDER BY url""".stripMargin)
+}
