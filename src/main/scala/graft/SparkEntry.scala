@@ -11,7 +11,8 @@ object SparkEntry {
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),
       (operators.Dedup.queries, operators.Dedup.oracles),
       (operators.Knn.queries, operators.Knn.oracles),
-      (operators.ChunkQueries.queries, operators.ChunkQueries.oracles))
+      (operators.ChunkQueries.queries, operators.ChunkQueries.oracles),
+      (operators.HybridSearch.queries, operators.HybridSearch.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{VectorFunctions => V}
+
+/** Hybrid retrieval (SURVEY.md §2.C) — the batch re-expression of
+  * qurio's search path (apps/backend/internal/retrieval/service.go:56
+  * Search: embed query -> hybrid(alpha, limit, filters) -> rerank;
+  * Weaviate side: adapter/weaviate/store.go:105).
+  *
+  * Scale design: BM25 is the inverted-index shape — explode tokens,
+  * shuffle once on token for tf/df, broadcast the tiny idf table back.
+  * The vector leg broadcasts one query vector. Fusion and rerank
+  * operate on the top-k candidate set only.
+  */
+object HybridSearch {
+
+  val QueryTerms: Seq[String] = Seq("spark", "join", "filter")
+  private val K1 = 1.2
+  private val B = 0.75
+
+  private def docTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source",
+              expr("regexp_extract_all(lower(text), '\\\\S+', 0)").as("tok"))
+      .withColumn("dl", size($"tok").cast("double"))
+  }
+
+  /** BM25 scores for the fixed query terms; top-10 docs.
+    * tf/df computed via the token shuffle; idf + corpus stats come
+    * back as broadcasts. */
+  def s1KeywordBm25(spark: SparkSession, dir: String): DataFrame =
+    bm25(spark, dir).orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), col("score"))
+
+  private def bm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = docTokens(spark, dir)
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+                         avg($"dl").as("avgdl"))
+    val terms = QueryTerms.toDF("term")
+    // tf: one shuffle keyed on (doc_id, token), pre-filtered to query terms
+    val tf = docs
+      .select($"doc_id", $"dl", explode($"tok").as("token"))
+      .join(broadcast(terms), $"token" === $"term")
+      .groupBy($"doc_id", $"dl", $"term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) + ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)))
+      .withColumn("w",
+        $"idf" * ($"tf" * (K1 + 1.0)) /
+          ($"tf" + lit(K1) * (lit(1.0 - B) + lit(B) * $"dl" / $"avgdl")))
+      .groupBy($"doc_id")
+      .agg(round(sum($"w"), 6).as("score"))
+  }
+
+  import org.apache.spark.sql.Column
+
+  /** s5: metadata-filtered keyword search (store.go:133-150 equality
+    * filters ANDed): lang='en' docs ranked by 'spark' term frequency.
+    * Integer math end to end — fully oracle-stable. */
+  def s5FilteredSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docTokens(spark, dir)
+      .filter($"lang" === "en")
+      .select($"doc_id", $"source",
+        size(filter($"tok", (t: Column) => t === "spark")).cast("long").as("tf_spark"))
+      .filter($"tf_spark" > 0)
+      .orderBy($"tf_spark".desc, $"doc_id")
+      .limit(20)
+  }
+
+  /** s3: alpha-weighted relative-score fusion (Weaviate's
+    * relativeScoreFusion): min-max normalize each leg over its own
+    * candidate list, blend with alpha=0.5, top-10. The vector leg
+    * embeds the query string with the same stub embedder as c5. */
+  def s3HybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val alpha = 0.5
+    val kw = bm25(spark, dir).orderBy($"score".desc, $"doc_id").limit(50)
+      .select($"doc_id", $"score".as("kw_score"))
+
+    val dims = 64
+    val queryTok = array(QueryTerms.map(lit): _*)
+    val qvec = spark.range(1)
+      .select(queryTok.as("tok"))
+      .select(expr(s"""transform(sequence(0, ${dims - 1}), b ->
+        |  aggregate(tok, cast(0.0 as double), (s, t) ->
+        |    s + CASE WHEN pmod(xxhash64(t), $dims) = b THEN 1.0 ELSE 0.0 END))""".stripMargin)
+        .as("qraw"))
+      .select(transform($"qraw",
+        x => x / sqrt(aggregate(transform($"qraw", y => y * y), lit(0.0), (s, y) => s + y)))
+        .as("qv"))
+    val vec = ChunkQueries.c5EmbedChunks(spark, dir)
+      .crossJoin(broadcast(qvec))
+      .select($"doc_id", V.cosine($"embedding", $"qv").as("v_score"))
+      .orderBy($"v_score".desc, $"doc_id").limit(50)
+
+    val cands = kw.join(vec, Seq("doc_id"), "full_outer")
+      .na.fill(0.0, Seq("kw_score", "v_score"))
+    val bounds = cands.agg(
+      min($"kw_score").as("kmin"), max($"kw_score").as("kmax"),
+      min($"v_score").as("vmin"), max($"v_score").as("vmax"))
+    cands.crossJoin(broadcast(bounds))
+      .select($"doc_id",
+        round(
+          lit(alpha) * when($"vmax" === $"vmin", 0.5)
+            .otherwise(($"v_score" - $"vmin") / ($"vmax" - $"vmin")) +
+          lit(1 - alpha) * when($"kmax" === $"kmin", 0.5)
+            .otherwise(($"kw_score" - $"kmin") / ($"kmax" - $"kmin")), 6).as("hybrid_score"))
+      .orderBy($"hybrid_score".desc, $"doc_id")
+      .limit(10)
+  }
+
+  /** s4: deterministic rerank stage over the hybrid candidates — a
+    * token-overlap "cross-encoder" stand-in (the reference calls
+    * Jina/Cohere: adapter/reranker/client.go; any local scorer slots
+    * into the same shape). */
+  def s4Rerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cands = s3HybridSearch(spark, dir)
+    val queryTok = array_distinct(array(QueryTerms.map(lit): _*))
+    val rr = cands
+      .join(docTokens(spark, dir), "doc_id")
+      .select($"doc_id", $"hybrid_score",
+        round(size(array_intersect(array_distinct($"tok"), queryTok)).cast("double") /
+              size(array_union(array_distinct($"tok"), queryTok)), 6).as("rerank_score"))
+    rr.select($"doc_id", $"rerank_score", $"hybrid_score",
+              row_number().over(
+                Window.orderBy($"rerank_score".desc, $"hybrid_score".desc, $"doc_id"))
+                .cast("long").as("final_rank"))
+      .orderBy($"final_rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_keyword_bm25" -> s1KeywordBm25 _,
+    "s3_hybrid_search" -> s3HybridSearch _,
+    "s4_rerank" -> s4Rerank _,
+    "s5_filtered_search" -> s5FilteredSearch _)
+
+  val oracles: Map[String, String] = Map(
+    "s1_keyword_bm25" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tok,
+        |         CAST(len(regexp_extract_all(lower(text), '\S+')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM docs),
+        |terms AS (SELECT unnest(['spark','join','filter']) AS term),
+        |tf AS (
+        |  SELECT doc_id, dl, token AS term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(tok) AS token FROM docs)
+        |  WHERE token IN (SELECT term FROM terms)
+        |  GROUP BY doc_id, dl, token),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term)
+        |SELECT doc_id, score FROM (
+        |  SELECT tf.doc_id,
+        |    round(sum(
+        |      ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |      * (tf.tf * (1.2 + 1.0))
+        |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))), 6) AS score
+        |  FROM tf JOIN df USING (term), stats
+        |  GROUP BY tf.doc_id)
+        |ORDER BY score DESC, doc_id
+        |LIMIT 10""".stripMargin,
+    "s5_filtered_search" ->
+      """SELECT doc_id, source, tf_spark FROM (
+        |  SELECT doc_id, source,
+        |   len(list_filter(regexp_extract_all(lower(text), '\S+'), t -> t = 'spark')) AS tf_spark
+        |  FROM documents
+        |  WHERE lang = 'en')
+        |WHERE tf_spark > 0
+        |ORDER BY tf_spark DESC, doc_id
+        |LIMIT 20""".stripMargin)
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.HybridSearch
+
+class HybridSearchSpec extends SparkSpec {
+
+  test("s1 BM25 scores rank docs containing the query terms") {
+    import spark.implicits._
+    val rows = HybridSearch.s1KeywordBm25(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+    assert(scores.forall(_ > 0))
+    // top doc really contains at least one query term
+    val topId = rows.head.getLong(0)
+    val text = Tables.documents(spark, sfDir)
+      .filter($"doc_id" === topId).select($"text").as[String].head()
+    assert(HybridSearch.QueryTerms.exists(text.toLowerCase.contains))
+  }
+
+  test("s3 hybrid fusion stays within [0,1] and returns top-10") {
+    val rows = HybridSearch.s3HybridSearch(spark, sfDir).collect()
+    assert(rows.length == 10)
+    rows.foreach(r => assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+  }
+
+  test("s4 rerank is a permutation of the hybrid candidates") {
+    val hybrid = HybridSearch.s3HybridSearch(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val reranked = HybridSearch.s4Rerank(spark, sfDir).collect()
+    assert(reranked.map(_.getLong(0)).toSet == hybrid)
+    assert(reranked.map(_.getLong(3)).toSeq == (1L to hybrid.size))
+  }
+
+  test("s5 filtered search only returns lang=en docs with the term") {
+    import spark.implicits._
+    val rows = HybridSearch.s5FilteredSearch(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ids = rows.map(_.getLong(0)).toSet
+    val enIds = Tables.documents(spark, sfDir)
+      .filter($"lang" === "en").select($"doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(enIds))
+    rows.foreach(r => assert(r.getLong(2) > 0))
+  }
+}
