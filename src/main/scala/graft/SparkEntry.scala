@@ -12,7 +12,9 @@ object SparkEntry {
       (operators.Dedup.queries, operators.Dedup.oracles),
       (operators.Knn.queries, operators.Knn.oracles),
       (operators.ChunkQueries.queries, operators.ChunkQueries.oracles),
-      (operators.HybridSearch.queries, operators.HybridSearch.oracles))
+      (operators.HybridSearch.queries, operators.HybridSearch.oracles),
+      (operators.Multimodal.queries, operators.Multimodal.oracles),
+      (streaming.EventStream.queries, streaming.EventStream.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,51 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStream
+
+class StreamingSpec extends SparkSpec {
+
+  final case class Ev(ts: Timestamp, event_type: String, value: Double)
+
+  private def t(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  test("windowed agg over a memory stream matches batch semantics") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[Ev]
+    stream.addData(
+      Ev(t("10:05"), "click", 1.0), Ev(t("10:20"), "click", 2.0),
+      Ev(t("10:45"), "view", 3.0), Ev(t("11:10"), "click", 4.0))
+
+    val query = EventStream.windowedAgg(stream.toDF())
+      .writeStream.format("memory").queryName("st1_mem")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      query.processAllAvailable()
+      val rows = spark.table("st1_mem")
+        .orderBy($"window_start", $"event_type").collect()
+      assert(rows.length == 3)
+      val clicks10 = rows.find(r =>
+        r.getTimestamp(0) == t("10:00") && r.getString(1) == "click").get
+      assert(clicks10.getLong(2) == 2 && clicks10.getDouble(3) == 3.0)
+
+      // late-but-within-watermark data folds into the open window
+      stream.addData(Ev(t("11:05"), "view", 5.0))
+      query.processAllAvailable()
+      val updated = spark.table("st1_mem").collect()
+      assert(updated.length == 4)
+    } finally query.stop()
+  }
+
+  test("batch mirror equals streaming definition on the events table") {
+    val batch = EventStream.st1WindowAgg(spark, sfDir).collect()
+    assert(batch.nonEmpty)
+    // every hour bucket is epoch-aligned
+    batch.foreach(r => assert(r.getTimestamp(0).getTime % 3600000L == 0))
+  }
+}
