@@ -28,10 +28,19 @@ object VectorFunctions {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; 0 for zero-norm inputs (instead of NaN) so
-    * downstream filters behave under ANSI mode. */
+    * downstream filters behave under ANSI mode. Generic (casts
+    * elementwise); prefer [[cosineD]] on hot paths. */
   def cosine(a: Column, b: Column): Column = {
     val ad = asDouble(a); val bd = asDouble(b)
     val denom = norm(ad) * norm(bd)
     when(denom === 0.0, lit(0.0)).otherwise(dot(ad, bd) / denom)
   }
+
+  /** Native-kernel cosine for array<double> inputs: a single
+    * codegen'd loop (graft.plans.CosineSim) with the same
+    * left-to-right fold order as [[cosine]] and the DuckDB oracle —
+    * bit-identical results, ~interpreter-free. Requires
+    * GraftFunctions.ensureRegistered (Tables does this). */
+  def cosineD(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
 }

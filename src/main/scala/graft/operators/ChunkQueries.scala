@@ -90,10 +90,7 @@ object ChunkQueries {
   def c5EmbedChunks(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val dims = 64
-    val counts =
-      expr(s"""transform(sequence(0, ${dims - 1}), b ->
-              |  aggregate(tok, cast(0.0 as double), (s, t) ->
-              |    s + CASE WHEN pmod(xxhash64(t), $dims) = b THEN 1.0 ELSE 0.0 END))""".stripMargin)
+    val counts = expr(s"hashed_bow(tok, $dims)")
     Tables.documents(spark, dir)
       .select($"doc_id", expr("regexp_extract_all(lower(text), '\\\\S+', 0)").as("tok"))
       .filter(size($"tok") > 0)

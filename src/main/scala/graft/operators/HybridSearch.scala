@@ -100,7 +100,7 @@ object HybridSearch {
         .as("qv"))
     val vec = ChunkQueries.c5EmbedChunks(spark, dir)
       .crossJoin(broadcast(qvec))
-      .select($"doc_id", V.cosine($"embedding", $"qv").as("v_score"))
+      .select($"doc_id", V.cosineD($"embedding", $"qv").as("v_score"))
       .orderBy($"v_score".desc, $"doc_id").limit(50)
 
     val cands = kw.join(vec, Seq("doc_id"), "full_outer")

@@ -40,7 +40,7 @@ object Knn {
       .select($"vec_id".as("q_id"), $"v".as("qv"))
     val w = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")
     all.join(broadcast(queries), $"vec_id" =!= $"q_id")
-      .select($"q_id", $"vec_id", V.cosine($"qv", $"v").as("cosine_raw"))
+      .select($"q_id", $"vec_id", V.cosineD($"qv", $"v").as("cosine_raw"))
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= 5)
       .select($"q_id", $"vec_id", round($"cosine_raw", 6).as("cosine"), $"rnk")
@@ -57,14 +57,7 @@ object Knn {
   def a2Lsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tables = 16; val bits = 4
-    val sigs =
-      expr(s"""transform(sequence(0, ${tables - 1}), t ->
-              |  aggregate(sequence(0, ${bits - 1}), cast(0 as bigint), (acc, p) ->
-              |    acc + shiftleft(CASE WHEN
-              |      aggregate(sequence(1, size(v)), cast(0.0 as double), (s, d) ->
-              |        s + CASE WHEN pmod(xxhash64((t*$bits + p)*64 + d), 2) = 0
-              |            THEN v[d-1] ELSE -v[d-1] END)
-              |      > 0 THEN cast(1 as bigint) ELSE cast(0 as bigint) END, p)))""".stripMargin)
+    val sigs = expr(s"hyperplane_sig(v, $tables, $bits)")
     val all = base(spark, dir).withColumn("sigs", sigs)
     val buckets = all
       .select($"vec_id", $"v", posexplode($"sigs"))
@@ -78,7 +71,7 @@ object Knn {
       .dropDuplicates("q_id", "vec_id")
     val w = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")
     candidates
-      .select($"q_id", $"vec_id", V.cosine($"qv", $"v").as("cosine_raw"))
+      .select($"q_id", $"vec_id", V.cosineD($"qv", $"v").as("cosine_raw"))
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= 5)
       .select($"q_id", $"vec_id", round($"cosine_raw", 6).as("cosine"), $"rnk")
@@ -103,14 +96,14 @@ object Knn {
     // probe: top-3 centroids per query by cosine
     val wProbe = Window.partitionBy($"q_id").orderBy($"c_cos".desc, $"c_label")
     val probed = queries.crossJoin(broadcast(centroids))
-      .select($"q_id", $"qv", $"c_label", V.cosine($"qv", $"cv").as("c_cos"))
+      .select($"q_id", $"qv", $"c_label", V.cosineD($"qv", $"cv").as("c_cos"))
       .withColumn("p_rnk", row_number().over(wProbe))
       .filter($"p_rnk" <= 3)
       .select($"q_id", $"qv", $"c_label")
     // exact scoring inside probed cells only
     val w = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")
     all.join(broadcast(probed), $"label" === $"c_label" && $"vec_id" =!= $"q_id")
-      .select($"q_id", $"vec_id", V.cosine($"qv", $"v").as("cosine_raw"))
+      .select($"q_id", $"vec_id", V.cosineD($"qv", $"v").as("cosine_raw"))
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= 5)
       .select($"q_id", $"vec_id", round($"cosine_raw", 6).as("cosine"), $"rnk")
@@ -125,7 +118,7 @@ object Knn {
     val q = all.filter($"vec_id" === 0).select($"v".as("qv"))
     all.filter($"vec_id" =!= 0)
       .crossJoin(broadcast(q))
-      .select($"vec_id", V.cosine($"qv", $"v").as("cosine_raw"))
+      .select($"vec_id", V.cosineD($"qv", $"v").as("cosine_raw"))
       .orderBy($"cosine_raw".desc, $"vec_id")
       .limit(10)
       .select($"vec_id", round($"cosine_raw", 6).as("cosine"))

@@ -1,0 +1,344 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.HashFunctions
+
+/** Native Catalyst expressions for the sketch/vector hot kernels.
+  *
+  * Spark's higher-order functions (transform/aggregate lambdas) are
+  * evaluated interpretively — fine for composition, but a 128-perm
+  * minhash over shingle arrays walks the expression tree ~40k times
+  * per document. These expressions generate tight Java loops via
+  * doGenCode (with an equivalent interpreted eval), keeping the whole
+  * stage inside codegen. Semantics are bit-identical to the
+  * higher-order formulations they replace (same constants, same fold
+  * order), so results are unchanged.
+  */
+object Kernels {
+  val P: Long = HashFunctions.MersennePrime
+  val NumPerms = 128
+  val (permA, permB) = HashFunctions.permConstants(NumPerms)
+}
+
+/** MinHash signature: array<bigint> shingle hashes -> array<bigint>
+  * of NumPerms permutation minima. h_i = (a_i * (h mod p) + b_i) mod
+  * p with a_i < 2^31 so products never overflow a long. */
+case class MinHashSig(child: Expression)
+    extends UnaryExpression {
+  import Kernels._
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = new Array[Long](NumPerms)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      val hm = java.lang.Math.floorMod(arr.getLong(i), P)
+      var j = 0
+      while (j < NumPerms) {
+        val v = java.lang.Math.floorMod(permA(j) * hm + permB(j), P)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("permA", permA, "long[]")
+    val bRef = ctx.addReferenceObj("permB", permB, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val hm = ctx.freshName("hm"); val v = ctx.freshName("v")
+      s"""
+         |long[] $sig = new long[$NumPerms];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  long $hm = java.lang.Math.floorMod($c.getLong($i), ${P}L);
+         |  for (int $j = 0; $j < $NumPerms; $j++) {
+         |    long $v = java.lang.Math.floorMod($aRef[$j] * $hm + $bRef[$j], ${P}L);
+         |    if ($v < $sig[$j]) $sig[$j] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over an array<bigint> of token hashes: per-bit
+  * +-1 votes, sign becomes the bit. Matches the HOF formulation
+  * ((h >> b) & 1 votes). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i"); val b = ctx.freshName("b")
+      val h = ctx.freshName("h"); val out = ctx.freshName("out")
+      s"""
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  long $h = $c.getLong($i);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($votes[$b] > 0) $out |= (1L << $b);
+         |}
+         |${ev.value} = $out;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane LSH signatures: array<double> vector ->
+  * array<bigint> of `tables` bucket signatures (`bits` bits each).
+  * Weight(plane q, dim d) = +-1 from parity of xxhash64(q*64 + d)
+  * (seed 42) — identical to the HOF formulation. */
+case class HyperplaneSig(child: Expression, tables: Int, bits: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    val sigs = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var p = 0
+      while (p < bits) {
+        val q = t * bits + p
+        var s = 0.0
+        var d = 1
+        while (d <= dim) {
+          val w = java.lang.Math.floorMod(XXH64.hashLong(q.toLong * 64 + d, 42L), 2L)
+          val x = arr.getDouble(d - 1)
+          s += (if (w == 0L) x else -x)
+          d += 1
+        }
+        if (s > 0) sig += (1L << p)
+        p += 1
+      }
+      sigs(t) = sig
+      t += 1
+    }
+    new GenericArrayData(sigs)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val sigs = ctx.freshName("sigs")
+      val t = ctx.freshName("t"); val p = ctx.freshName("p")
+      val d = ctx.freshName("d"); val s = ctx.freshName("s")
+      val sig = ctx.freshName("sig"); val w = ctx.freshName("w")
+      val dim = ctx.freshName("dim")
+      val xxh = classOf[XXH64].getName
+      s"""
+         |int $dim = $c.numElements();
+         |long[] $sigs = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $sig = 0L;
+         |  for (int $p = 0; $p < $bits; $p++) {
+         |    double $s = 0.0;
+         |    for (int $d = 1; $d <= $dim; $d++) {
+         |      long $w = java.lang.Math.floorMod(
+         |        $xxh.hashLong((long)(($t * $bits + $p)) * 64 + $d, 42L), 2L);
+         |      $s += ($w == 0L) ? $c.getDouble($d - 1) : -$c.getDouble($d - 1);
+         |    }
+         |    if ($s > 0) $sig += (1L << $p);
+         |  }
+         |  $sigs[$t] = $sig;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sigs);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
+/** Sequential-fold cosine similarity over two array<double> columns.
+  * Fold order matches VectorFunctions.cosine (and the DuckDB oracle):
+  * dot and norms accumulate left-to-right, so results are
+  * bit-identical to the HOF formulation. Zero-norm -> 0.0. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val x = ctx.freshName("x")
+      val y = ctx.freshName("y"); val denom = ctx.freshName("denom")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.getDouble($i);
+         |  double $y = $b.getDouble($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Hashed bag-of-words embedding: array<string> tokens ->
+  * array<double> of `dims` bucket counts (bucket = xxhash64(token)
+  * mod dims, seed 42 — identical to the HOF/c5 formulation).
+  * Normalization stays a DataFrame op. */
+case class HashedBow(child: Expression, dims: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "hashed_bow"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val v = new Array[Double](dims)
+    var i = 0
+    while (i < arr.numElements()) {
+      val s = arr.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      v(java.lang.Math.floorMod(h, dims.toLong).toInt) += 1.0
+      i += 1
+    }
+    new GenericArrayData(v)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val v = ctx.freshName("v"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val h = ctx.freshName("h")
+      val xxh = classOf[XXH64].getName
+      val utf8 = classOf[UTF8String].getName
+      s"""
+         |double[] $v = new double[$dims];
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  $utf8 $s = $c.getUTF8String($i);
+         |  long $h = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |  $v[(int) java.lang.Math.floorMod($h, ${dims}L)] += 1.0;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($v);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HashedBow =
+    copy(child = newChild)
+}
+
+/** Jaccard similarity of two pre-sorted, distinct array<string>
+  * columns via a single merge walk — set semantics identical to
+  * size(array_intersect)/size(array_union) (and the DuckDB oracle's
+  * list_intersect/list_distinct(list_concat) counts), without
+  * materializing either set. */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sorted"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter"); val c = ctx.freshName("c")
+      val union = ctx.freshName("union")
+      s"""
+         |int $na = $a.numElements(); int $nb = $b.numElements();
+         |int $i = 0, $j = 0, $inter = 0;
+         |while ($i < $na && $j < $nb) {
+         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { $inter++; $i++; $j++; }
+         |  else if ($c < 0) $i++;
+         |  else $j++;
+         |}
+         |int $union = $na + $nb - $inter;
+         |${ev.value} = ($union == 0) ? 0.0 : ((double) $inter) / $union;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSorted =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,0 +1,75 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration of graft's native expressions as SQL functions.
+  *
+  * Two entry points:
+  *  - `GraftSparkExtensions` for `spark.sql.extensions=` config
+  *    (the library-user path via SparkSessionExtensions);
+  *  - `ensureRegistered(spark)` for programmatic use — idempotent,
+  *    called by the operators that need the kernels so any session
+  *    (driver-created included) can run them.
+  */
+object GraftFunctions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[Kernels.type].getName, null, name, usage, "")
+
+  private val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("minhash_sig", "minhash_sig(hashes) - 128-perm MinHash signature",
+      (args: Seq[Expression]) => MinHashSig(args.head)),
+    ("graft_simhash64", "graft_simhash64(hashes) - 64-bit SimHash",
+      (args: Seq[Expression]) => SimHash64(args.head)),
+    ("hyperplane_sig", "hyperplane_sig(vec, tables, bits) - hyperplane LSH signatures",
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "hyperplane_sig(vec, tables, bits)")
+        HyperplaneSig(args.head,
+          args(1).eval().asInstanceOf[Number].intValue(),
+          args(2).eval().asInstanceOf[Number].intValue())
+      }),
+    ("cosine_sim", "cosine_sim(a, b) - sequential-fold cosine similarity",
+      (args: Seq[Expression]) => CosineSim(args.head, args(1))),
+    ("jaccard_sorted", "jaccard_sorted(a, b) - jaccard of sorted distinct string arrays",
+      (args: Seq[Expression]) => JaccardSorted(args.head, args(1))),
+    ("hashed_bow", "hashed_bow(tokens, dims) - hashed bag-of-words vector",
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "hashed_bow(tokens, dims)")
+        HashedBow(args.head, args(1).eval().asInstanceOf[Number].intValue())
+      }))
+
+  /** Idempotent per-session registration. */
+  def ensureRegistered(spark: SparkSession): Unit = synchronized {
+    val registry = spark.sessionState.functionRegistry
+    functions.foreach { case (name, usage, builder) =>
+      val ident = FunctionIdentifier(name)
+      if (!registry.functionExists(ident)) {
+        registry.registerFunction(ident, info(name, usage), builder)
+      }
+    }
+  }
+}
+
+/** `--conf spark.sql.extensions=graft.plans.GraftSparkExtensions` */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    Seq[(String, Seq[Expression] => Expression)](
+      ("minhash_sig", args => MinHashSig(args.head)),
+      ("graft_simhash64", args => SimHash64(args.head)),
+      ("cosine_sim", args => CosineSim(args.head, args(1))),
+      ("jaccard_sorted", args => JaccardSorted(args.head, args(1))),
+      ("hyperplane_sig", args => HyperplaneSig(args.head,
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue())),
+      ("hashed_bow", args => HashedBow(args.head,
+        args(1).eval().asInstanceOf[Number].intValue()))
+    ).foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[Kernels.type].getName, null, name),
+        builder))
+    }
+  }
+}
