@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ChunkQueries, Chunker, Dedup, HybridSearch, Knn}
+
+/** Public library facade — the Spark-native equivalent of qurio's
+  * service surface, so a reference user can run every operation they
+  * run today as batch DataFrame jobs:
+  *
+  *  - retrieval.Service.Search (embed -> hybrid(alpha, limit,
+  *    filters) -> rerank)        -> [[search]]
+  *  - Store.GetChunksByURL       -> [[chunksByUrl]]
+  *  - Store.CountChunks(+BySource)/stats handler -> [[stats]]
+  *  - Store.DeleteChunksBySourceID -> [[deleteBySource]]
+  *  - ingestion (chunk + embed)  -> [[chunkDocuments]] / [[embedChunks]]
+  *  - plus the training-data ops the reference lacks: [[dedupExact]],
+  *    [[dedupNearMinHash]], [[knn]].
+  *
+  * The corpus is any DataFrame with (doc_id bigint, text string) and
+  * optional metadata columns; all operators are declarative plans, so
+  * Catalyst pushdown/broadcast/AQE apply unchanged on a real cluster.
+  */
+final class GraftEngine(spark: SparkSession, corpus: DataFrame) {
+  import spark.implicits._
+
+  graft.plans.GraftFunctions.ensureRegistered(spark)
+
+  private val dims = 64
+
+  /** Tokenized view used by the keyword leg. */
+  private def tokenized: DataFrame =
+    corpus.select(col("*"),
+        expr("regexp_extract_all(lower(text), '\\\\S+', 0)").as("tok"))
+      .withColumn("dl", size($"tok").cast("double"))
+
+  /** Structural chunking (markdown-aware; see operators.Chunker). */
+  def chunkDocuments(maxTokens: Int = 256, overlap: Int = 0): DataFrame = {
+    import ChunkQueries.DocChunk
+    corpus.select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        Chunker.chunkMarkdown(text, maxTokens, overlap).zipWithIndex.map {
+          case (c, i) => DocChunk(id, i, c.content, c.chunkType, c.language)
+        }
+      }
+      .toDF()
+  }
+
+  /** Deterministic hashed-BoW embeddings (stub for the external
+    * embedder; same shape/normalization as a real one). */
+  def embedChunks(): DataFrame =
+    tokenized
+      .filter(size($"tok") > 0)
+      .withColumn("raw", expr(s"hashed_bow(tok, $dims)"))
+      .withColumn("nrm", sqrt(aggregate(transform($"raw", x => x * x), lit(0.0), (s, x) => s + x)))
+      .select($"doc_id", transform($"raw", x => x / $"nrm").as("embedding"))
+
+  /** Hybrid search: BM25 keyword leg + hashed-BoW vector leg with
+    * alpha-weighted relative-score fusion and ANDed metadata
+    * equality filters — the Search(ctx, query, opts) shape. */
+  def search(query: String, alpha: Double = 0.5, limit: Int = 10,
+             filters: Map[String, String] = Map.empty): DataFrame = {
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val filtered = filters.foldLeft(tokenized) { case (df, (k, v)) =>
+      df.filter(col(k) === v)
+    }
+    val emb = filtered
+      .filter(size($"tok") > 0)
+      .withColumn("raw", expr(s"hashed_bow(tok, $dims)"))
+      .withColumn("nrm", sqrt(aggregate(transform($"raw", x => x * x), lit(0.0), (s, x) => s + x)))
+      .select($"doc_id", transform($"raw", x => x / $"nrm").as("embedding"))
+    HybridSearch.hybrid(spark, filtered, emb, terms, alpha, limit)
+  }
+
+  /** Search + deterministic rerank (the reranker-configured path). */
+  def searchReranked(query: String, alpha: Double = 0.5,
+                     limit: Int = 10): DataFrame = {
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val queryTok = array_distinct(array(terms.map(lit): _*))
+    search(query, alpha, limit)
+      .join(tokenized.select($"doc_id", $"tok"), "doc_id")
+      .select($"doc_id", $"hybrid_score",
+        (size(array_intersect(array_distinct($"tok"), queryTok)).cast("double") /
+         size(array_union(array_distinct($"tok"), queryTok))).as("rerank_score"))
+      .orderBy($"rerank_score".desc, $"hybrid_score".desc, $"doc_id")
+  }
+
+  /** All rows of one page/url, in chunk order (GetChunksByURL). */
+  def chunksByUrl(urlCol: String, url: String, orderCol: String = "doc_id"): DataFrame =
+    corpus.filter(col(urlCol) === url).orderBy(col(orderCol))
+
+  /** Corpus stats: sources/documents counts (stats handler). */
+  def stats(sourceCol: String = "source"): DataFrame =
+    corpus.agg(countDistinct(col(sourceCol)).as("sources"),
+               count(lit(1)).as("documents"))
+
+  /** Surviving view after deleting sources (DeleteChunksBySourceID). */
+  def deleteBySource(sourceCol: String, sources: Seq[String]): DataFrame =
+    corpus.join(broadcast(sources.toDF("del_source")),
+                col(sourceCol) === $"del_source", "left_anti")
+
+  /** Exact dedup: one keeper per distinct text. */
+  def dedupExact(): DataFrame =
+    corpus.groupBy($"text")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("copies"))
+
+  /** MinHash-LSH near-dup pairs at the given jaccard threshold. */
+  def dedupNearMinHash(threshold: Double = 0.3): DataFrame = {
+    val withBands = tokenized
+      .filter(size($"tok") >= 3)
+      .select($"doc_id",
+        array_sort(graft.functions.HashFunctions.shingles($"tok", 3)).as("sh"))
+      .select($"doc_id", $"sh",
+        expr("minhash_sig(transform(sh, s -> xxhash64(s)))").as("mh"))
+      .select($"doc_id", $"sh",
+        posexplode(graft.functions.HashFunctions.bandHashes($"mh", 64, 2)))
+      .select($"doc_id", $"sh", $"pos".as("band_idx"), $"col".as("band_hash"))
+      .persist()
+    withBands.as("x")
+      .join(withBands.as("y"),
+            $"x.band_idx" === $"y.band_idx" && $"x.band_hash" === $"y.band_hash" &&
+            $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"),
+              $"x.sh".as("sha"), $"y.sh".as("shb"))
+      .dropDuplicates("a_id", "b_id")
+      .select($"a_id", $"b_id",
+              call_function("jaccard_sorted", $"sha", $"shb").as("jaccard"))
+      .filter($"jaccard" >= threshold)
+  }
+
+  /** Exact top-k nearest neighbors of `queryVec` (array<double>). */
+  def knn(embeddings: DataFrame, queryVec: Seq[Double], k: Int = 10): DataFrame = {
+    val qv: Column = array(queryVec.map(lit(_)): _*)
+    embeddings
+      .select($"doc_id", call_function("cosine_sim",
+        transform(col("embedding"), _.cast("double")), qv).as("cosine"))
+      .orderBy($"cosine".desc, $"doc_id")
+      .limit(k)
+  }
+}

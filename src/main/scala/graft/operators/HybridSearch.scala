@@ -38,12 +38,15 @@ object HybridSearch {
       .limit(10)
       .select(col("doc_id"), col("score"))
 
-  private def bm25(spark: SparkSession, dir: String): DataFrame = {
+  private def bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25Scores(spark, docTokens(spark, dir), QueryTerms)
+
+  /** BM25 over any DF with (doc_id, tok array<string>, dl double). */
+  def bm25Scores(spark: SparkSession, docs: DataFrame, queryTerms: Seq[String]): DataFrame = {
     import spark.implicits._
-    val docs = docTokens(spark, dir)
     val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
                          avg($"dl").as("avgdl"))
-    val terms = QueryTerms.toDF("term")
+    val terms = queryTerms.toDF("term")
     // tf: one shuffle keyed on (doc_id, token), pre-filtered to query terms
     val tf = docs
       .select($"doc_id", $"dl", explode($"tok").as("token"))
@@ -81,14 +84,23 @@ object HybridSearch {
     * relativeScoreFusion): min-max normalize each leg over its own
     * candidate list, blend with alpha=0.5, top-10. The vector leg
     * embeds the query string with the same stub embedder as c5. */
-  def s3HybridSearch(spark: SparkSession, dir: String): DataFrame = {
+  def s3HybridSearch(spark: SparkSession, dir: String): DataFrame =
+    hybrid(spark, docTokens(spark, dir),
+           ChunkQueries.c5EmbedChunks(spark, dir),
+           QueryTerms, alpha = 0.5, limit = 10)
+
+  /** Parameterized hybrid search over any tokenized corpus +
+    * embedding table (doc_id, embedding array<double>). */
+  def hybrid(spark: SparkSession, docs: DataFrame, embeddings: DataFrame,
+             queryTerms: Seq[String], alpha: Double, limit: Int,
+             candidates: Int = 50): DataFrame = {
     import spark.implicits._
-    val alpha = 0.5
-    val kw = bm25(spark, dir).orderBy($"score".desc, $"doc_id").limit(50)
+    val kw = bm25Scores(spark, docs, queryTerms)
+      .orderBy($"score".desc, $"doc_id").limit(candidates)
       .select($"doc_id", $"score".as("kw_score"))
 
     val dims = 64
-    val queryTok = array(QueryTerms.map(lit): _*)
+    val queryTok = array(queryTerms.map(lit): _*)
     val qvec = spark.range(1)
       .select(queryTok.as("tok"))
       .select(expr(s"""transform(sequence(0, ${dims - 1}), b ->
@@ -98,10 +110,10 @@ object HybridSearch {
       .select(transform($"qraw",
         x => x / sqrt(aggregate(transform($"qraw", y => y * y), lit(0.0), (s, y) => s + y)))
         .as("qv"))
-    val vec = ChunkQueries.c5EmbedChunks(spark, dir)
+    val vec = embeddings
       .crossJoin(broadcast(qvec))
       .select($"doc_id", V.cosineD($"embedding", $"qv").as("v_score"))
-      .orderBy($"v_score".desc, $"doc_id").limit(50)
+      .orderBy($"v_score".desc, $"doc_id").limit(candidates)
 
     val cands = kw.join(vec, Seq("doc_id"), "full_outer")
       .na.fill(0.0, Seq("kw_score", "v_score"))
@@ -116,7 +128,7 @@ object HybridSearch {
           lit(1 - alpha) * when($"kmax" === $"kmin", 0.5)
             .otherwise(($"kw_score" - $"kmin") / ($"kmax" - $"kmin")), 6).as("hybrid_score"))
       .orderBy($"hybrid_score".desc, $"doc_id")
-      .limit(10)
+      .limit(limit)
   }
 
   /** s4: deterministic rerank stage over the hybrid candidates — a
