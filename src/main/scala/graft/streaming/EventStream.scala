@@ -31,6 +31,36 @@ object EventStream {
               $"n_events", $"sum_value")
   }
 
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessionState(count: Long, lastMillis: Long)
+  final case class UserSessions(user_id: Long, sessions: Long)
+
+  /** Stateful sessionization via mapGroupsWithState: 30-min-gap
+    * session counting with per-user state that survives across
+    * streaming triggers (KeyValueGroupedDataset custom state — the
+    * streaming twin of the batch window/lag query q12). In batch mode
+    * each group is processed once with empty initial state, so the
+    * result equals q12's — asserted in StreamingSpec. */
+  def sessionizeStateful(events: org.apache.spark.sql.Dataset[SessionEvent],
+                         gapMinutes: Int = 30)
+      : org.apache.spark.sql.Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          var (count, last) = state.getOption
+            .map(s => (s.count, s.lastMillis)).getOrElse((0L, Long.MinValue))
+          evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            if (last == Long.MinValue || t - last > gapMinutes * 60000L) count += 1
+            last = t
+          }
+          state.update(SessionState(count, last))
+          UserSessions(uid, count)
+      }
+  }
+
   /** Batch mirror of the streaming aggregation (driver-checked). */
   def st1WindowAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

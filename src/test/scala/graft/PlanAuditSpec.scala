@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.{Dedup, EngineQueries, HybridSearch, Knn}
+
+/** Plan-shape audits: these assert the *physical plan* properties the
+  * 100 TB design depends on, so a regression that silently turns a
+  * broadcast into a shuffle or un-pushes a filter fails CI, not a
+  * cluster run. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q2: filters reach the parquet scan, schema pruned") {
+    val p = plan(EngineQueries.q2FilterPushdown(spark, sfDir))
+    assert(p.contains("PushedFilters:"), "expected parquet pushdown section")
+    assert(p.contains("GreaterThanOrEqual(p_size,10") ||
+           p.contains("p_size"), s"p_size filter not pushed:\n$p")
+    assert(!p.contains("p_type"), "projection should prune unused columns")
+  }
+
+  test("q1: scan reads only the 7 needed lineitem columns") {
+    val p = plan(EngineQueries.q1Agg(spark, sfDir))
+    assert(p.contains("l_returnflag") && !p.contains("l_partkey"),
+      "ReadSchema should exclude unused join keys")
+  }
+
+  test("q3/q5: dimension joins broadcast, no cartesian products") {
+    Seq(EngineQueries.q3JoinAgg(spark, sfDir),
+        EngineQueries.q5StarJoin(spark, sfDir)).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+      assert(!p.contains("CartesianProduct"), "no cartesian join allowed")
+    }
+  }
+
+  test("q3: global top-k compiles to TakeOrderedAndProject, not full sort") {
+    val p = plan(EngineQueries.q3JoinAgg(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("d2/d4: candidate joins are hash joins on block keys (no nested loop)") {
+    Seq(Dedup.d2MinhashLsh(spark, sfDir), Dedup.d4NgramJaccard(spark, sfDir))
+      .foreach { df =>
+        val p = plan(df)
+        assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("HashJoin"),
+          "blocked joins must be equi hash joins")
+        assert(!p.contains("CartesianProduct"))
+      }
+  }
+
+  test("native kernels appear in the dedup/knn plans") {
+    assert(plan(Dedup.d2MinhashLsh(spark, sfDir)).contains("minhash_sig"))
+    assert(plan(Dedup.d3Simhash(spark, sfDir)).contains("graft_simhash64"))
+    assert(plan(Knn.a2Lsh(spark, sfDir)).contains("hyperplane_sig"))
+    assert(plan(Knn.a1BruteForce(spark, sfDir)).contains("cosine_sim"))
+  }
+
+  test("bm25: idf/stats come back as broadcasts") {
+    val p = plan(HybridSearch.s1KeywordBm25(spark, sfDir))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "idf and corpus stats should broadcast, not shuffle")
+  }
+}

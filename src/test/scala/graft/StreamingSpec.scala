@@ -42,6 +42,42 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stateful sessionizer keeps per-user state across triggers") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import graft.streaming.EventStream.SessionEvent
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[SessionEvent]
+    val query = EventStream.sessionizeStateful(stream.toDS())
+      .writeStream.format("memory").queryName("sess_mem")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1: two events 10 min apart -> one session
+      stream.addData(SessionEvent(7L, t("10:00")), SessionEvent(7L, t("10:10")))
+      query.processAllAvailable()
+      // batch 2: event 80 min later -> state remembers lastTs, 2nd session
+      stream.addData(SessionEvent(7L, t("11:30")))
+      query.processAllAvailable()
+      val last = spark.table("sess_mem").collect().last
+      assert(last.getLong(0) == 7L && last.getLong(1) == 2L)
+    } finally query.stop()
+  }
+
+  test("stateful sessionizer in batch mode equals the window/lag query q12") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import graft.streaming.EventStream.SessionEvent
+    val stateful = EventStream.sessionizeStateful(
+        Tables.events(spark, sfDir)
+          .selectExpr("user_id", "ts").as[SessionEvent])
+      .collect().map(u => u.user_id -> u.sessions).toMap
+    val windowed = graft.operators.EngineQueries
+      .q12EventsSessionize(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stateful == windowed)
+  }
+
   test("batch mirror equals streaming definition on the events table") {
     val batch = EventStream.st1WindowAgg(spark, sfDir).collect()
     assert(batch.nonEmpty)
