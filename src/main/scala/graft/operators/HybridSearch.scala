@@ -48,11 +48,14 @@ object HybridSearch {
                          avg($"dl").as("avgdl"))
     val terms = queryTerms.toDF("term")
     // tf: one shuffle keyed on (doc_id, token), pre-filtered to query terms
+    // persist: tf feeds both the df() agg and the score join — without
+    // it the token explode+shuffle runs twice
     val tf = docs
       .select($"doc_id", $"dl", explode($"tok").as("token"))
       .join(broadcast(terms), $"token" === $"term")
       .groupBy($"doc_id", $"dl", $"term")
       .agg(count(lit(1)).cast("double").as("tf"))
+      .persist()
     val df = tf.groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
     tf.join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
@@ -115,8 +118,11 @@ object HybridSearch {
       .select($"doc_id", V.cosineD($"embedding", $"qv").as("v_score"))
       .orderBy($"v_score".desc, $"doc_id").limit(candidates)
 
+    // persist: cands feeds both the min/max bounds agg and the fused
+    // projection — the whole kw+vec candidate pipeline would rerun
     val cands = kw.join(vec, Seq("doc_id"), "full_outer")
       .na.fill(0.0, Seq("kw_score", "v_score"))
+      .persist()
     val bounds = cands.agg(
       min($"kw_score").as("kmin"), max($"kw_score").as("kmax"),
       min($"v_score").as("vmin"), max($"v_score").as("vmax"))

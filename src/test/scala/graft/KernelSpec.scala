@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{HashFunctions => H, VectorFunctions => V}
+
+/** Parity proofs: each native codegen kernel must produce exactly
+  * the values of the composable higher-order-function formulation it
+  * replaced (same constants, same fold order). The HOF versions in
+  * functions/ stay as the executable specification. */
+class KernelSpec extends SparkSpec {
+
+  test("minhash_sig kernel == HOF minhashSignature") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).limit(50)
+      .select($"doc_id", expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
+      .filter(size($"w") >= 3)
+      .select($"doc_id", array_sort(H.shingles($"w", 3)).as("sh"))
+      .withColumn("hs", transform($"sh", s => xxhash64(s)))
+    val rows = docs.select(
+        expr("minhash_sig(hs)").as("kernel"),
+        H.minhashSignature($"hs", 128).as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("graft_simhash64 kernel == HOF simhash64Expr") {
+    import spark.implicits._
+    val rows = Tables.documents(spark, sfDir).limit(50)
+      .select(expr("regexp_extract_all(lower(text), '\\\\S+', 0)").as("tok"))
+      .filter(size($"tok") > 0)
+      .withColumn("th", transform($"tok", t => xxhash64(t)))
+      .select(expr("graft_simhash64(th)").as("kernel"),
+              H.simhash64Expr("th").as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("cosine_sim kernel == HOF cosine (bit-identical doubles)") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir).limit(50)
+      .select(V.asDouble($"embedding").as("v"))
+    val rows = e.as("a").crossJoin(e.as("b")).limit(500)
+      .select(V.cosineD($"a.v", $"b.v").as("kernel"),
+              V.cosine($"a.v", $"b.v").as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("jaccard_sorted kernel == set intersect/union sizes") {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir).limit(30)
+      .select($"doc_id", expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
+      .filter(size($"w") >= 3)
+      .select($"doc_id", array_sort(H.shingles($"w", 3)).as("sh"))
+    val rows = d.as("a").crossJoin(d.as("b")).limit(400)
+      .select(call_function("jaccard_sorted", $"a.sh", $"b.sh").as("kernel"),
+              (size(array_intersect($"a.sh", $"b.sh")).cast("double") /
+               size(array_union($"a.sh", $"b.sh"))).as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("hashed_bow kernel == HOF bucket-count formulation") {
+    import spark.implicits._
+    val rows = Tables.documents(spark, sfDir).limit(50)
+      .select(expr("regexp_extract_all(lower(text), '\\\\S+', 0)").as("tok"))
+      .select(expr("hashed_bow(tok, 64)").as("kernel"),
+        expr("""transform(sequence(0, 63), b ->
+                aggregate(tok, cast(0.0 as double), (s, t) ->
+                  s + CASE WHEN pmod(xxhash64(t), 64) = b THEN 1.0 ELSE 0.0 END))""")
+          .as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[Double](0) == r.getSeq[Double](1)))
+  }
+}
