@@ -100,6 +100,16 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame) {
     corpus.join(broadcast(sources.toDF("del_source")),
                 col(sourceCol) === $"del_source", "left_anti")
 
+  /** Surviving view after deleting one page of one source
+    * (DeleteChunksByURL: sourceId AND url equality). */
+  def deleteByUrl(sourceCol: String, urlCol: String,
+                  sourceId: String, url: String): DataFrame =
+    corpus.filter(!(col(sourceCol) === sourceId && col(urlCol) === url))
+
+  /** Per-source chunk counts (CountChunksBySource). */
+  def countBySource(sourceCol: String = "source"): DataFrame =
+    corpus.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_chunks"))
+
   /** Exact dedup: one keeper per distinct text. */
   def dedupExact(): DataFrame =
     corpus.groupBy($"text")

@@ -39,6 +39,10 @@ class GraftEngineSpec extends SparkSpec {
     val remaining = engine.deleteBySource("source", Seq("src0")).count()
     assert(remaining < total)
     assert(engine.dedupExact().count() <= total)
+    val afterUrl = engine.deleteByUrl("source", "lang", "src0", "en").count()
+    assert(afterUrl < total && afterUrl > remaining)
+    assert(engine.countBySource("source").count() ==
+      Tables.documents(spark, sfDir).select("source").distinct().count())
   }
 
   test("dedupNearMinHash finds the planted near-dups via the facade") {
