@@ -117,7 +117,7 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame) {
 
   /** MinHash-LSH near-dup pairs at the given jaccard threshold. */
   def dedupNearMinHash(threshold: Double = 0.3): DataFrame = {
-    val withBands = tokenized
+    val withBands = Caches.persist(tokenized
       .filter(size($"tok") >= 3)
       .select($"doc_id",
         array_sort(graft.functions.HashFunctions.shingles($"tok", 3)).as("sh"))
@@ -125,8 +125,7 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame) {
         expr("minhash_sig(transform(sh, s -> xxhash64(s)))").as("mh"))
       .select($"doc_id", $"sh",
         posexplode(graft.functions.HashFunctions.bandHashes($"mh", 64, 2)))
-      .select($"doc_id", $"sh", $"pos".as("band_idx"), $"col".as("band_hash"))
-      .persist()
+      .select($"doc_id", $"sh", $"pos".as("band_idx"), $"col".as("band_hash")))
     withBands.as("x")
       .join(withBands.as("y"),
             $"x.band_idx" === $"y.band_idx" && $"x.band_hash" === $"y.band_hash" &&
@@ -138,6 +137,13 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame) {
               call_function("jaccard_sorted", $"sha", $"shb").as("jaccard"))
       .filter($"jaccard" >= threshold)
   }
+
+  /** Release every cached block the engine's plans have pinned
+    * (diamond-reuse persists inside search/dedup). Call after the
+    * consuming action completes — e.g. once per request in a batch
+    * serving loop — so repeated searches don't accumulate cached
+    * candidate sets for the session lifetime. */
+  def releaseCaches(): Unit = Caches.releaseAll()
 
   /** Exact top-k nearest neighbors of `queryVec` (array<double>). */
   def knn(embeddings: DataFrame, queryVec: Seq[Double], k: Int = 10): DataFrame = {

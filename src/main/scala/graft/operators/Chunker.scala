@@ -28,7 +28,7 @@ object Chunker {
   private val tocRe: Regex =
     "(?mi)^#{1,3}\\s+(?:table of )?contents?\\s*\\n(?:\\s*[-*]\\s*\\[.*?\\]\\(#.*?\\)\\s*\\n)*".r
   private val fenceRe: Regex =
-    "(?s)```([a-zA-Z0-9_]+)?[\\t ]*\\n(.*?)\\n[\\s]*```".r
+    "(?s)```([a-zA-Z0-9_]+)?\\s*\\n(.*?)\\n\\s*```".r
   private val installRe: Regex =
     "(?i)^\\s*(npm|pnpm|yarn|pip|cargo|brew|apt|go)\\s+(install|add|get|i)\\b.*".r
   private val linkLineRe: Regex = "^\\s*[-*]?\\s*\\[.*?\\]\\(.*?\\)\\s*$".r

@@ -109,16 +109,16 @@ object Dedup {
     * oracle can verify; d2 is the higher-recall multi-band variant. */
   def d4NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // persist: the shingle pipeline (regexp + transform + sort) would
-    // otherwise be recomputed on both join sides AND inside the join
-    // null-check filters Catalyst pushes below the projections
-    val blocks = shingleSets(spark, dir)
+    // persist (tracked in graft.Caches, released post-action): the
+    // shingle pipeline (regexp + transform + sort) would otherwise be
+    // recomputed on both join sides AND inside the join null-check
+    // filters Catalyst pushes below the projections
+    val blocks = graft.Caches.persist(shingleSets(spark, dir)
       .select($"doc_id", $"sh",
               explode(array(
                 struct(lit(0).as("bidx"), array_min($"sh").as("bkey")),
                 struct(lit(1).as("bidx"), array_max($"sh").as("bkey")))).as("b"))
-      .select($"doc_id", $"sh", $"b.bidx".as("bidx"), $"b.bkey".as("bkey"))
-      .persist()
+      .select($"doc_id", $"sh", $"b.bidx".as("bidx"), $"b.bkey".as("bkey")))
     blocks.as("a")
       .join(blocks.as("b"),
             $"a.bidx" === $"b.bidx" && $"a.bkey" === $"b.bkey" &&

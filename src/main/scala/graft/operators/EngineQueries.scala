@@ -318,9 +318,9 @@ object EngineQueries {
         |   lag(CAST(ts AS TIMESTAMP),1) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
         |  FROM events)
         |SELECT user_id,
-        | sum(CASE WHEN prev_ts IS NULL
+        | CAST(sum(CASE WHEN prev_ts IS NULL
         |          OR date_diff('microsecond', prev_ts, tsu) > 1800000000
-        |          THEN 1 ELSE 0 END) AS sessions,
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS sessions,
         | count(*) AS n_events
         |FROM lagged
         |GROUP BY user_id
@@ -340,7 +340,7 @@ object EngineQueries {
         |ORDER BY user_id""".stripMargin,
     "q14_json_props" ->
       """SELECT event_type,
-        | sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+        | CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
         | round(avg(CAST(props->>'$.k' AS BIGINT)),4) AS avg_k,
         | round(sum(value),4) AS sum_value,
         | count(*) AS n

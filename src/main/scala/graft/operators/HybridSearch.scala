@@ -47,15 +47,17 @@ object HybridSearch {
     val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
                          avg($"dl").as("avgdl"))
     val terms = queryTerms.toDF("term")
-    // tf: one shuffle keyed on (doc_id, token), pre-filtered to query terms
-    // persist: tf feeds both the df() agg and the score join — without
-    // it the token explode+shuffle runs twice
-    val tf = docs
+    // tf: one shuffle keyed on (doc_id, token), pre-filtered to query terms.
+    // tf feeds both the df() agg and the score join — a genuine diamond;
+    // persisted via Caches (released by the facade/Bench/Verify after the
+    // action) so the token explode+shuffle doesn't run twice. A window
+    // over term would avoid the cache but funnels every posting of a
+    // term into one partition — unbounded skew at corpus scale.
+    val tf = graft.Caches.persist(docs
       .select($"doc_id", $"dl", explode($"tok").as("token"))
       .join(broadcast(terms), $"token" === $"term")
       .groupBy($"doc_id", $"dl", $"term")
-      .agg(count(lit(1)).cast("double").as("tf"))
-      .persist()
+      .agg(count(lit(1)).cast("double").as("tf")))
     val df = tf.groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
     tf.join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
@@ -118,21 +120,28 @@ object HybridSearch {
       .select($"doc_id", V.cosineD($"embedding", $"qv").as("v_score"))
       .orderBy($"v_score".desc, $"doc_id").limit(candidates)
 
-    // persist: cands feeds both the min/max bounds agg and the fused
-    // projection — the whole kw+vec candidate pipeline would rerun
-    val cands = kw.join(vec, Seq("doc_id"), "full_outer")
-      .na.fill(0.0, Seq("kw_score", "v_score"))
-      .persist()
-    val bounds = cands.agg(
-      min($"kw_score").as("kmin"), max($"kw_score").as("kmax"),
-      min($"v_score").as("vmin"), max($"v_score").as("vmax"))
-    cands.crossJoin(broadcast(bounds))
+    // relativeScoreFusion (Weaviate HybridSearcher): each leg is
+    // min-max normalized over ITS OWN candidate list; a doc absent
+    // from a leg contributes 0 for that leg. Bounds come from window
+    // min/max AFTER the full-outer join — window aggregates skip
+    // nulls, so min(kw_score) over all rows IS the kw leg's own min
+    // (vec-only rows have kw_score null). The window runs over the
+    // ≤2*candidates joined rows in one partition — bounded by
+    // construction, so no persist, no second pass, no skew risk.
+    val wAll = Window.partitionBy()
+    def normalized(score: Column, lo: Column, hi: Column): Column =
+      when(score.isNull, 0.0)
+        .when(hi === lo, 0.5)
+        .otherwise((score - lo) / (hi - lo))
+    kw.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("kmin", min($"kw_score").over(wAll))
+      .withColumn("kmax", max($"kw_score").over(wAll))
+      .withColumn("vmin", min($"v_score").over(wAll))
+      .withColumn("vmax", max($"v_score").over(wAll))
       .select($"doc_id",
         round(
-          lit(alpha) * when($"vmax" === $"vmin", 0.5)
-            .otherwise(($"v_score" - $"vmin") / ($"vmax" - $"vmin")) +
-          lit(1 - alpha) * when($"kmax" === $"kmin", 0.5)
-            .otherwise(($"kw_score" - $"kmin") / ($"kmax" - $"kmin")), 6).as("hybrid_score"))
+          lit(alpha) * normalized($"v_score", $"vmin", $"vmax") +
+          lit(1 - alpha) * normalized($"kw_score", $"kmin", $"kmax"), 6).as("hybrid_score"))
       .orderBy($"hybrid_score".desc, $"doc_id")
       .limit(limit)
   }

@@ -34,6 +34,20 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def toHex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(i * 2) = HexChars(b >>> 4)
+      out(i * 2 + 1) = HexChars(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   /** m2: deterministic fake frame-sampler. Batched per-partition
     * iteration (the mapInPandas analog): every 64-byte stride yields
     * one "frame" whose bytes are hashed in place of a real decode. */
@@ -51,10 +65,9 @@ object Multimodal {
           Iterator.range(0, math.max(1, payload.length / stride)).map { i =>
             val from = i * stride
             val until = math.min(payload.length, from + stride)
-            val frame = java.util.Arrays.copyOfRange(payload, from, until)
-            val hex = digest.digest(frame).map("%02x".format(_)).mkString
             digest.reset()
-            Frame(docId, i, hex, until - from)
+            digest.update(payload, from, until - from)
+            Frame(docId, i, toHex(digest.digest()), until - from)
           }
         }
       }

@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -7,6 +8,27 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.HashFunctions
+
+/** Analysis-time input type checks for the kernels. Spark 4 hides
+  * ExpectsInputTypes.inputTypes from external packages, so each kernel
+  * overrides checkInputDataTypes via this helper instead — misuse
+  * (e.g. cosine_sim over array<float>, whose 4-byte slots
+  * ArrayData.getDouble would silently misread) fails at analysis time
+  * rather than returning garbage. */
+private[plans] object KernelTypes {
+  def requireArrays(pretty: String, elem: DataType,
+                    args: Expression*): TypeCheckResult = {
+    args.zipWithIndex.collectFirst {
+      case (e, i) if !(e.dataType match {
+        case ArrayType(et, _) => et == elem
+        case _ => false
+      }) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$pretty argument ${i + 1} requires array<${elem.simpleString}>, " +
+            s"got ${e.dataType.simpleString}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+}
 
 /** Native Catalyst expressions for the sketch/vector hot kernels.
   *
@@ -34,6 +56,8 @@ case class MinHashSig(child: Expression)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypes.requireArrays(prettyName, LongType, child)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -87,6 +111,8 @@ case class SimHash64(child: Expression)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash64"
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypes.requireArrays(prettyName, LongType, child)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -141,6 +167,8 @@ case class HyperplaneSig(child: Expression, tables: Int, bits: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hyperplane_sig"
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypes.requireArrays(prettyName, DoubleType, child)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -210,10 +238,15 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypes.requireArrays(prettyName, DoubleType, left, right)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"cosine_sim: vector lengths differ (${a.numElements()} vs ${b.numElements()})")
+    val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -232,7 +265,11 @@ case class CosineSim(left: Expression, right: Expression)
       val nb = ctx.freshName("nb"); val x = ctx.freshName("x")
       val y = ctx.freshName("y"); val denom = ctx.freshName("denom")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "cosine_sim: vector lengths differ (" + $a.numElements() + " vs " + $b.numElements() + ")");
+         |}
+         |int $n = $a.numElements();
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $x = $a.getDouble($i);
@@ -258,6 +295,8 @@ case class HashedBow(child: Expression, dims: Int)
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "hashed_bow"
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypes.requireArrays(prettyName, StringType, child)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -303,6 +342,8 @@ case class JaccardSorted(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sorted"
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypes.requireArrays(prettyName, StringType, left, right)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
