@@ -26,6 +26,7 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame) {
   import spark.implicits._
 
   graft.plans.GraftFunctions.ensureRegistered(spark)
+  graft.plans.GraftPlanner.ensureInjected(spark)
 
   private val dims = 64
 

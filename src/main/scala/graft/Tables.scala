@@ -16,9 +16,10 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     // every operator reads through here, so this is the one choke
-    // point that guarantees graft's native kernels exist in whatever
-    // session the driver hands us
+    // point that guarantees graft's native kernels and planner rules
+    // exist in whatever session the driver hands us
     graft.plans.GraftFunctions.ensureRegistered(spark)
+    graft.plans.GraftPlanner.ensureInjected(spark)
     spark.read.parquet(s"$dir/$name.parquet")
   }
 

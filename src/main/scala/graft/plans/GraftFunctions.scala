@@ -71,5 +71,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[Kernels.type].getName, null, name),
         builder))
     }
+    ext.injectOptimizerRule(_ => RewriteWindowTopK)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }
