@@ -66,11 +66,11 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame) {
     val filtered = filters.foldLeft(tokenized) { case (df, (k, v)) =>
       df.filter(col(k) === v)
     }
+    // raw hashed-BoW — cosine_sim in the vector leg normalizes both
+    // sides, so the explicit L2 scaling would be recomputed work
     val emb = filtered
       .filter(size($"tok") > 0)
-      .withColumn("raw", expr(s"hashed_bow(tok, $dims)"))
-      .withColumn("nrm", sqrt(aggregate(transform($"raw", x => x * x), lit(0.0), (s, x) => s + x)))
-      .select($"doc_id", transform($"raw", x => x / $"nrm").as("embedding"))
+      .select($"doc_id", expr(s"hashed_bow(tok, $dims)").as("embedding"))
     HybridSearch.hybrid(spark, filtered, emb, terms, alpha, limit)
   }
 

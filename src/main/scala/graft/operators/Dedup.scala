@@ -53,9 +53,12 @@ object Dedup {
     * verify stage. */
   def d2MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sig = shingleSets(spark, dir)
+    // persist (tracked; released post-action): the shingle+signature
+    // pipeline feeds the band explode AND both sides of the verify
+    // join — without it the regexp+minhash work runs three times
+    val sig = graft.Caches.persist(shingleSets(spark, dir)
       .select($"doc_id", $"sh",
-              expr("minhash_sig(transform(sh, s -> xxhash64(s)))").as("mh"))
+              expr("minhash_sig(transform(sh, s -> xxhash64(s)))").as("mh")))
     val bands = sig
       .select($"doc_id",
               posexplode(H.bandHashes($"mh", bands = 64, rowsPerBand = 2)))
@@ -87,9 +90,12 @@ object Dedup {
       .filter(size($"tok") > 0)
       .withColumn("th", transform($"tok", t => xxhash64(t)))
       .select($"doc_id", expr("graft_simhash64(th)").as("simhash"))
-    val chunks = sim
+    // persist (tracked; released post-action): chunks sits on both
+    // sides of the blocking self-join — the tokenize+simhash pipeline
+    // would otherwise run twice
+    val chunks = graft.Caches.persist(sim
       .select($"doc_id", $"simhash", explode(H.simhashChunks($"simhash", 8)).as("c"))
-      .select($"doc_id", $"simhash", $"c.chunk_idx", $"c.chunk_val")
+      .select($"doc_id", $"simhash", $"c.chunk_idx", $"c.chunk_val"))
     chunks.as("x")
       .join(chunks.as("y"),
             $"x.chunk_idx" === $"y.chunk_idx" && $"x.chunk_val" === $"y.chunk_val" &&

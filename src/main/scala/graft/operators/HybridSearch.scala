@@ -88,11 +88,17 @@ object HybridSearch {
   /** s3: alpha-weighted relative-score fusion (Weaviate's
     * relativeScoreFusion): min-max normalize each leg over its own
     * candidate list, blend with alpha=0.5, top-10. The vector leg
-    * embeds the query string with the same stub embedder as c5. */
-  def s3HybridSearch(spark: SparkSession, dir: String): DataFrame =
-    hybrid(spark, docTokens(spark, dir),
-           ChunkQueries.c5EmbedChunks(spark, dir),
-           QueryTerms, alpha = 0.5, limit = 10)
+    * embeds with the same hashed-BoW scheme as c5 but skips the
+    * explicit L2 normalization — cosine is scale-invariant, so
+    * cosine_sim(raw, q) ≡ cosine_sim(raw/‖raw‖, q/‖q‖) and the
+    * per-doc sqrt/divide higher-order functions drop out entirely.
+    * Tokenization is shared with the keyword leg (one regexp plan,
+    * not two). */
+  def s3HybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docTokens(spark, dir)
+    val emb = docs.select(col("doc_id"), expr("hashed_bow(tok, 64)").as("embedding"))
+    hybrid(spark, docs, emb, QueryTerms, alpha = 0.5, limit = 10)
+  }
 
   /** Parameterized hybrid search over any tokenized corpus +
     * embedding table (doc_id, embedding array<double>). */
@@ -104,17 +110,12 @@ object HybridSearch {
       .orderBy($"score".desc, $"doc_id").limit(candidates)
       .select($"doc_id", $"score".as("kw_score"))
 
-    val dims = 64
+    // raw hashed-BoW query vector; cosine_sim normalizes both sides,
+    // so neither the query nor the doc vectors need explicit L2 scaling
     val queryTok = array(queryTerms.map(lit): _*)
     val qvec = spark.range(1)
       .select(queryTok.as("tok"))
-      .select(expr(s"""transform(sequence(0, ${dims - 1}), b ->
-        |  aggregate(tok, cast(0.0 as double), (s, t) ->
-        |    s + CASE WHEN pmod(xxhash64(t), $dims) = b THEN 1.0 ELSE 0.0 END))""".stripMargin)
-        .as("qraw"))
-      .select(transform($"qraw",
-        x => x / sqrt(aggregate(transform($"qraw", y => y * y), lit(0.0), (s, y) => s + y)))
-        .as("qv"))
+      .select(expr("hashed_bow(tok, 64)").as("qv"))
     val vec = embeddings
       .crossJoin(broadcast(qvec))
       .select($"doc_id", V.cosineD($"embedding", $"qv").as("v_score"))

@@ -82,7 +82,10 @@ object Knn {
     * probes its nprobe=3 nearest cells and scores only those cells. */
   def a3Ivf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val all = base(spark, dir)
+    // persist (tracked; released post-action): the cast-to-double
+    // embedding view feeds the centroid build, the query probe, and
+    // the cell-scoring join
+    val all = graft.Caches.persist(base(spark, dir))
     // centroid_d = avg over cell members (explode dims -> agg -> regroup)
     val centroids = all
       .select($"label", posexplode($"v"))
