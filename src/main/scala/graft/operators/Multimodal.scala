@@ -34,23 +34,30 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
-  private val HexChars = "0123456789abcdef".toCharArray
-
-  private def toHex(bytes: Array[Byte]): String = {
-    val out = new Array[Char](bytes.length * 2)
-    var i = 0
-    while (i < bytes.length) {
+  private def toHex(bytes: Array[Byte], from: Int, until: Int,
+                    chars: Array[Char]): String = {
+    val out = new Array[Char]((until - from) * 2)
+    var i = from
+    while (i < until) {
       val b = bytes(i) & 0xff
-      out(i * 2) = HexChars(b >>> 4)
-      out(i * 2 + 1) = HexChars(b & 0xf)
+      out((i - from) * 2) = chars(b >>> 4)
+      out((i - from) * 2 + 1) = chars(b & 0xf)
       i += 1
     }
     new String(out)
   }
 
+  private val HexUpper = "0123456789ABCDEF".toCharArray
+  private val HexLower = "0123456789abcdef".toCharArray
+
   /** m2: deterministic fake frame-sampler. Batched per-partition
     * iteration (the mapInPandas analog): every 64-byte stride yields
-    * one "frame" whose bytes are hashed in place of a real decode. */
+    * one "frame", fingerprinted as md5 over the frame's uppercase hex
+    * encoding — byte-exact yet expressible in ANSI SQL (DuckDB can
+    * slice hex text but not blobs), so the whole op is oracle-checked
+    * rather than rows-only. Trailing sub-stride bytes fold into the
+    * final frame's byte count only when they fill a full stride;
+    * a short payload yields one truncated frame. */
   def m2FrameSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val stride = 64
@@ -65,9 +72,10 @@ object Multimodal {
           Iterator.range(0, math.max(1, payload.length / stride)).map { i =>
             val from = i * stride
             val until = math.min(payload.length, from + stride)
+            val hexFrame = toHex(payload, from, until, HexUpper)
             digest.reset()
-            digest.update(payload, from, until - from)
-            Frame(docId, i, toHex(digest.digest()), until - from)
+            val d = digest.digest(hexFrame.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            Frame(docId, i, toHex(d, 0, d.length, HexLower), until - from)
           }
         }
       }
@@ -80,6 +88,16 @@ object Multimodal {
     "m2_frame_sample" -> m2FrameSample _)
 
   val oracles: Map[String, String] = Map(
+    "m2_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |  md5(substring(hx, i*128 + 1, 128)) AS frame_md5,
+        |  CAST(least(n, (i+1)*64) - i*64 AS INTEGER) AS frame_bytes
+        |FROM f, LATERAL unnest(generate_series(0, CAST(greatest(1, n // 64) AS BIGINT) - 1)) AS t(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "m1_binary_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

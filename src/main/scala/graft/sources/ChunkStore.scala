@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Lakehouse persistence for the chunk corpus — the batch
+  * re-expression of qurio's chunk store (reference:
+  * apps/backend/internal/adapter/weaviate/store.go keeps chunks in a
+  * Weaviate class keyed by sourceId/url; here the same access paths
+  * become physical layout decisions the optimizer exploits).
+  *
+  * Layout rules for 100 TB:
+  *  - partition directories on the delete/filter key (`source`):
+  *    DeleteChunksBySourceID becomes a directory drop; per-source
+  *    scans read only their partition (PartitionFilters, zero I/O on
+  *    other sources).
+  *  - bucket + sort the join key (`doc_id`): chunk⋈embedding and
+  *    chunk⋈chunk joins between co-bucketed tables plan with no
+  *    Exchange and no Sort — at 100 TB that removes the biggest
+  *    shuffle in the pipeline. Bucket counts must match across
+  *    co-joined tables.
+  */
+object ChunkStore {
+
+  /** Write partitioned by the delete/filter key. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCol: String = "source"): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Register a bucketed, per-bucket-sorted table (external at `path`)
+    * so equi-joins on `key` between tables with the same bucketing
+    * need no shuffle. Spark's FileSourceScanExec reports the bucketing
+    * as outputPartitioning = HashPartitioning(key, buckets), which
+    * satisfies the join's ClusteredDistribution requirement. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    buckets: Int = 32, key: String = "doc_id"): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Drop one source partition — DeleteChunksBySourceID as a metadata
+    * operation (no rewrite of surviving data). Returns the surviving
+    * view for verification. */
+  def deleteSourcePartition(spark: SparkSession, path: String,
+                            partitionCol: String, value: String): DataFrame = {
+    val dir = new java.io.File(s"$path/$partitionCol=$value")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    if (dir.exists()) rm(dir)
+    spark.read.parquet(path)
+  }
+}

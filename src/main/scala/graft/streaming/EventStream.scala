@@ -61,6 +61,18 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup — the streaming twin of d1_dedup_exact for
+    * a continuously-ingested corpus: keep the first occurrence of each
+    * content fingerprint, with the watermark bounding the seen-keys
+    * state (duplicates arriving later than the watermark horizon pass
+    * through — the deliberate state/recall trade every streaming dedup
+    * makes; the batch d1 pass mops up on the lakehouse side). */
+  def dedupStream(docs: DataFrame, idCol: String = "fingerprint",
+                  watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Batch mirror of the streaming aggregation (driver-checked). */
   def st1WindowAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.ChunkStore
+
+/** Physical-layout guarantees of the chunk store: partition pruning,
+  * metadata deletes, and exchange-free co-bucketed joins — the layout
+  * decisions the 100 TB design rests on. */
+class ChunkStoreSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val tmp = Files.createTempDirectory("graft-store").toString
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("partitioned store: per-source reads prune to one partition") {
+    val path = s"$tmp/part"
+    ChunkStore.writePartitioned(Tables.documents(spark, sfDir), path)
+    val one = ChunkStore.read(spark, path).filter($"source" === "src3")
+    val p = plan(one)
+    assert(p.contains("PartitionFilters") && p.contains("src3"),
+      s"source filter must prune partitions:\n$p")
+    assert(one.count() ===
+      Tables.documents(spark, sfDir).filter($"source" === "src3").count())
+  }
+
+  test("delete-by-source is a partition drop; survivors unaffected") {
+    val path = s"$tmp/del"
+    val docs = Tables.documents(spark, sfDir)
+    ChunkStore.writePartitioned(docs, path)
+    val survivors = ChunkStore.deleteSourcePartition(spark, path, "source", "src1")
+    assert(survivors.filter($"source" === "src1").count() === 0)
+    assert(survivors.count() === docs.filter($"source" =!= "src1").count())
+  }
+
+  test("co-bucketed join on doc_id plans with no exchange") {
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"source", $"n_chars")
+    val emb = Tables.documents(spark, sfDir)
+      .select($"doc_id", length($"text").as("len"))
+    ChunkStore.writeBucketed(docs, "graft_chunks_b", s"$tmp/chunks_b", buckets = 4)
+    ChunkStore.writeBucketed(emb, "graft_embs_b", s"$tmp/embs_b", buckets = 4)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_chunks_b")
+        .join(spark.table("graft_embs_b"), "doc_id")
+      val p = plan(joined)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a non-broadcast join:\n$p")
+      assert(!p.contains("Exchange"),
+        s"co-bucketed join must not shuffle:\n$p")
+      assert(joined.count() === docs.count())
+
+      // bucket pruning: equality on the bucket key reads one bucket
+      // (autoBucketedScan turns bucketed reads off for join-free scans
+      // by default — disable it to observe the pruning)
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      try {
+        val pruned = plan(spark.table("graft_chunks_b").filter($"doc_id" === 42L))
+        assert(pruned.contains("SelectedBucketsCount: 1 out of 4"),
+          s"expected bucket pruning:\n$pruned")
+      } finally
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}

@@ -64,6 +64,33 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  final case class Doc(ts: Timestamp, fingerprint: String, text: String)
+
+  test("streaming dedup keeps first occurrence across triggers, bounded by watermark") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[Doc]
+    val query = EventStream.dedupStream(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_mem")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(
+        Doc(t("10:00"), "fpA", "first"), Doc(t("10:01"), "fpA", "dup-same-batch"),
+        Doc(t("10:02"), "fpB", "other"))
+      query.processAllAvailable()
+      // duplicate arriving in a LATER trigger, still inside the
+      // watermark horizon -> dropped by the seen-keys state
+      stream.addData(Doc(t("10:03"), "fpA", "dup-next-batch"))
+      query.processAllAvailable()
+      val rows = spark.table("dedup_mem").collect()
+      assert(rows.map(_.getAs[String]("fingerprint")).sorted.toSeq == Seq("fpA", "fpB"))
+      assert(rows.find(_.getAs[String]("fingerprint") == "fpA").get
+        .getAs[String]("text") == "first")
+    } finally query.stop()
+  }
+
   test("stateful sessionizer in batch mode equals the window/lag query q12") {
     val sparkSession = spark
     import sparkSession.implicits._
