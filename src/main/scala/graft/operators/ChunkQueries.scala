@@ -171,6 +171,40 @@ object ChunkQueries {
       .orderBy($"url")
   }
 
+  /** c10: multi-depth crawl frontier (worker/link_discovery.go loops
+    * pages into the queue with depth+1 up to maxDepth) as iterative
+    * BFS over DataFrames: each level joins the frontier against the
+    * (persisted) edge list and anti-joins the visited set, so a page
+    * reached by several paths keeps its first-discovery depth and
+    * cycles terminate. The edge graph is synthesized deterministically
+    * from events (each page links to two others), so a DuckDB
+    * recursive CTE can verify the reachability + min-depth result.
+    * At scale: maxDepth bounded driver loop; per level one shuffle on
+    * the join key and one anti-join — the standard distributed-BFS
+    * shape. */
+  def c10CrawlBfs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val maxDepth = 4
+    // two deterministic out-links per page id: (7p+3) mod 50, (3p+1) mod 50
+    val edges = graft.Caches.persist(Tables.events(spark, dir)
+      .select(pmod($"event_id", lit(50)).cast("long").as("src"))
+      .distinct()
+      .select($"src", explode(array(
+        pmod($"src" * 7 + 3, lit(50)),
+        pmod($"src" * 3 + 1, lit(50)))).as("dst")))
+    var visited = Seq((0L, 0L)).toDF("url", "depth")
+    var frontier = visited.select($"url")
+    for (d <- 1 to maxDepth) {
+      frontier = frontier
+        .join(edges, $"url" === $"src")
+        .select($"dst".as("url")).distinct()
+        .join(visited.select($"url"), Seq("url"), "left_anti")
+      visited = visited.union(
+        frontier.select($"url", lit(d.toLong).as("depth")))
+    }
+    visited.orderBy($"url")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_clean_markdown" -> c1CleanMarkdown _,
     "c2_chunk_markdown" -> c2ChunkMarkdown _,
@@ -180,7 +214,8 @@ object ChunkQueries {
     "c6_chunks_by_url" -> c6ChunksByUrl _,
     "c7_corpus_stats" -> c7CorpusStats _,
     "c8_delete_by_source" -> c8DeleteBySource _,
-    "c9_link_discovery" -> c9LinkDiscovery _)
+    "c9_link_discovery" -> c9LinkDiscovery _,
+    "c10_crawl_bfs" -> c10CrawlBfs _)
 
   val oracles: Map[String, String] = Map(
     "c1_clean_markdown" ->
@@ -220,5 +255,18 @@ object ChunkQueries {
         |FROM links
         |WHERE regexp_extract(regexp_replace(link, '#.*$', ''), '^(https?)://([^/]+)', 2) = 'host0.example.com'
         |  AND NOT regexp_matches(regexp_replace(link, '#.*$', ''), '/page/1[0-9]$')
+        |ORDER BY url""".stripMargin,
+    "c10_crawl_bfs" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT src, CAST(unnest([(src*7+3) % 50, (src*3+1) % 50]) AS BIGINT) AS dst
+        |  FROM (SELECT DISTINCT CAST(event_id % 50 AS BIGINT) AS src FROM events)),
+        |reach(url, depth) AS (
+        |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT e.dst, r.depth + 1
+        |  FROM reach r JOIN edges e ON e.src = r.url
+        |  WHERE r.depth < 4)
+        |SELECT url, CAST(min(depth) AS BIGINT) AS depth
+        |FROM reach GROUP BY url
         |ORDER BY url""".stripMargin)
 }

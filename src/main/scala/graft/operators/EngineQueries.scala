@@ -214,7 +214,27 @@ object EngineQueries {
       .orderBy($"event_type")
   }
 
+  /** Exact interpolated percentiles per group (the distribution-shape
+    * query every pipeline-health dashboard needs). Spark's percentile
+    * and DuckDB's quantile_cont share the same linear-interpolation
+    * definition, so this stays oracle-checkable; scalar columns per
+    * quantile keep the output array-free. At scale: one shuffle on
+    * the group key; exact percentile holds per-group sorted buffers —
+    * swap to approx_percentile when groups grow past memory. */
+  def q15Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q15_percentiles" -> q15Percentiles _,
     "q1_agg" -> q1Agg _,
     "q2_filter_pushdown" -> q2FilterPushdown _,
     "q3_join_agg" -> q3JoinAgg _,
@@ -338,6 +358,15 @@ object EngineQueries {
         |   min(CASE WHEN event_type='purchase' THEN CAST(ts AS TIMESTAMP) END) AS first_purchase
         |  FROM events GROUP BY user_id)
         |ORDER BY user_id""".stripMargin,
+    "q15_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        | count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q14_json_props" ->
       """SELECT event_type,
         | CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
