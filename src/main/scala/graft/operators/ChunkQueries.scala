@@ -195,10 +195,19 @@ object ChunkQueries {
     var visited = Seq((0L, 0L)).toDF("url", "depth")
     var frontier = visited.select($"url")
     for (d <- 1 to maxDepth) {
-      frontier = frontier
-        .join(edges, $"url" === $"src")
+      // persist each level: frontier(d) feeds BOTH visited (union
+      // branch) and frontier(d+1) (join + anti-join) — without the
+      // cache the lazy union tree re-evaluates every earlier level
+      // once per later level (exponential plan blowup, the classic
+      // iterative-DataFrame trap)
+      // this demo graph is 50 nodes, so edges and the visited set
+      // broadcast (AQE would reach the same choice from runtime
+      // stats); at web scale both grow past broadcast and the same
+      // plan degrades gracefully to shuffle hash joins
+      frontier = graft.Caches.persist(frontier
+        .join(broadcast(edges), $"url" === $"src")
         .select($"dst".as("url")).distinct()
-        .join(visited.select($"url"), Seq("url"), "left_anti")
+        .join(broadcast(visited.select($"url")), Seq("url"), "left_anti"))
       visited = visited.union(
         frontier.select($"url", lit(d.toLong).as("depth")))
     }
