@@ -71,7 +71,7 @@ object Chunker {
     case _                                           => TypeCode
   }
 
-  private def detectChunkType(content: String): String = {
+  private[graft] def detectChunkType(content: String): String = {
     val lower = content.toLowerCase
     if (lower.contains("swagger") || lower.contains("openapi")) TypeApi
     else if (lower.contains("endpoint") && lower.contains("method") &&
@@ -108,7 +108,7 @@ object Chunker {
 
   /** Prose splitting: sections by header, then paragraphs, then
     * lines, then words as a last resort. */
-  private def chunkProse(text: String, maxTokens: Int, overlap: Int): Seq[Chunk] = {
+  private[graft] def chunkProse(text: String, maxTokens: Int, overlap: Int): Seq[Chunk] = {
     if (text.isEmpty) return Nil
     val maxChars = maxTokens * 4
 
@@ -167,7 +167,7 @@ object Chunker {
   }
 
   /** Split an over-budget code block by lines, re-fencing each part. */
-  private def chunkCode(content: String, lang: String, cType: String,
+  private[graft] def chunkCode(content: String, lang: String, cType: String,
                         maxTokens: Int): Seq[Chunk] = {
     val maxChars = maxTokens * 4
     val chunks = ArrayBuffer.empty[Chunk]
