@@ -139,6 +139,15 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame) {
       .filter($"jaccard" >= threshold)
   }
 
+  /** Crawl-frontier expansion (worker.DiscoverLinks): normalize +
+    * filter discovered links against the crawl host, excluding
+    * patterns, up to maxDepth. */
+  def discoverLinks(links: org.apache.spark.sql.Dataset[String], sourceId: String,
+                    host: String, currentDepth: Int, maxDepth: Int,
+                    exclusions: Seq[String] = Nil): DataFrame =
+    graft.operators.LinkDiscovery.discover(
+      links, sourceId, host, currentDepth, maxDepth, exclusions)
+
   /** Release every cached block the engine's plans have pinned
     * (diamond-reuse persists inside search/dedup). Call after the
     * consuming action completes — e.g. once per request in a batch
