@@ -22,7 +22,15 @@ import graft.operators.{ChunkQueries, Chunker, Dedup, HybridSearch, Knn}
   * optional metadata columns; all operators are declarative plans, so
   * Catalyst pushdown/broadcast/AQE apply unchanged on a real cluster.
   */
-final class GraftEngine(spark: SparkSession, corpus: DataFrame) {
+object GraftEngine {
+  /** The settings-service defaults (settings/service.go: search_alpha
+    * 0.5, search_top_k 10) — per-call opts override, like
+    * retrieval.Service.Search's resolve step. */
+  final case class Settings(searchAlpha: Double = 0.5, searchTopK: Int = 10)
+}
+
+final class GraftEngine(spark: SparkSession, corpus: DataFrame,
+                        settings: GraftEngine.Settings = GraftEngine.Settings()) {
   import spark.implicits._
 
   graft.plans.GraftFunctions.ensureRegistered(spark)
@@ -60,7 +68,8 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame) {
   /** Hybrid search: BM25 keyword leg + hashed-BoW vector leg with
     * alpha-weighted relative-score fusion and ANDed metadata
     * equality filters — the Search(ctx, query, opts) shape. */
-  def search(query: String, alpha: Double = 0.5, limit: Int = 10,
+  def search(query: String, alpha: Double = settings.searchAlpha,
+             limit: Int = settings.searchTopK,
              filters: Map[String, String] = Map.empty): DataFrame = {
     val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
     val filtered = filters.foldLeft(tokenized) { case (df, (k, v)) =>
@@ -75,8 +84,8 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame) {
   }
 
   /** Search + deterministic rerank (the reranker-configured path). */
-  def searchReranked(query: String, alpha: Double = 0.5,
-                     limit: Int = 10): DataFrame = {
+  def searchReranked(query: String, alpha: Double = settings.searchAlpha,
+                     limit: Int = settings.searchTopK): DataFrame = {
     val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
     val queryTok = array_distinct(array(terms.map(lit): _*))
     search(query, alpha, limit)

@@ -67,6 +67,25 @@ object ChunkQueries {
       .orderBy($"doc_id")
   }
 
+  import org.apache.spark.sql.Column
+
+  /** Contextual embed-input column — the exact reconstruction from
+    * embedder_consumer.go:44-60: "Documentation/Title/Section" header,
+    * optional "Author:"/"Created:" lines (omitted when empty, like the
+    * reference's != "" guards), then "---" and the chunk content. */
+  def contextualString(sourceName: Column, title: Column, section: Column,
+                       content: Column,
+                       author: Column = lit(""), created: Column = lit("")): Column =
+    concat(
+      lit("Documentation: "), sourceName,
+      lit("\nTitle: "), title,
+      lit("\nSection: "), section,
+      when(author.isNotNull && author =!= "", concat(lit("\nAuthor: "), author))
+        .otherwise(lit("")),
+      when(created.isNotNull && created =!= "", concat(lit("\nCreated: "), created))
+        .otherwise(lit("")),
+      lit("\n---\n"), content)
+
   /** c4: contextual embed-input construction
     * (apps/backend/internal/worker/embedder_consumer.go:44-60):
     * "Documentation: <sourceName>\nTitle: <title>\nSection: <path>
@@ -75,11 +94,8 @@ object ChunkQueries {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select($"doc_id",
-        md5(concat(
-          lit("Documentation: "), $"source",
-          lit("\nTitle: doc-"), $"doc_id",
-          lit("\nSection: "), $"lang",
-          lit("\n---\n"), $"text")).as("ctx_md5"))
+        md5(contextualString($"source", concat(lit("doc-"), $"doc_id"),
+                             $"lang", $"text")).as("ctx_md5"))
       .orderBy($"doc_id")
   }
 

@@ -62,6 +62,39 @@ class GraftEngineSpec extends SparkSpec {
     assert(cos.head <= 1.000001)
   }
 
+  test("settings defaults resolve like the reference's settings service") {
+    // reference defaults: search_alpha 0.5, search_top_k 10
+    assert(engine.search("spark join filter").count() == 10)
+    // engine-level settings act as the new defaults; per-call args override
+    val tuned = new GraftEngine(spark, Tables.documents(spark, sfDir),
+      GraftEngine.Settings(searchAlpha = 0.7, searchTopK = 3))
+    assert(tuned.search("spark join filter").count() == 3)
+    assert(tuned.search("spark join filter", limit = 6).count() == 6)
+  }
+
+  test("contextualString matches embedder_consumer's exact format") {
+    import org.apache.spark.sql.functions.lit
+    import graft.operators.ChunkQueries.contextualString
+    def render(author: String, created: String): String =
+      spark.range(1).select(contextualString(
+        lit("Vue Docs"), lit("Reactivity"), lit("Guide > Basics"),
+        lit("Reactive state is declared with ref()."),
+        lit(author), lit(created)).as("s"))
+        .head().getString(0)
+    assert(render("", "") ==
+      "Documentation: Vue Docs\nTitle: Reactivity\nSection: Guide > Basics" +
+      "\n---\nReactive state is declared with ref().")
+    assert(render("Evan", "") ==
+      "Documentation: Vue Docs\nTitle: Reactivity\nSection: Guide > Basics" +
+      "\nAuthor: Evan\n---\nReactive state is declared with ref().")
+    assert(render("", "2024-01-01") ==
+      "Documentation: Vue Docs\nTitle: Reactivity\nSection: Guide > Basics" +
+      "\nCreated: 2024-01-01\n---\nReactive state is declared with ref().")
+    assert(render("Evan", "2024-01-01") ==
+      "Documentation: Vue Docs\nTitle: Reactivity\nSection: Guide > Basics" +
+      "\nAuthor: Evan\nCreated: 2024-01-01\n---\nReactive state is declared with ref().")
+  }
+
   test("chunkDocuments exposes the structural chunker") {
     val chunks = engine.chunkDocuments(maxTokens = 32)
     assert(chunks.count() > 0)
