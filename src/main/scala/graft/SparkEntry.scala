@@ -16,9 +16,13 @@ object SparkEntry {
       (operators.Multimodal.queries, operators.Multimodal.oracles),
       (streaming.EventStream.queries, streaming.EventStream.oracles))
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. Hybrid BM25+vector search is the reference's core
+    * capability, so it is the smoke-checked pipeline: tokenize →
+    * columnwise BM25 leg + hashed-BoW cosine leg → relative-score
+    * fusion → top-k. */
   def entry(spark: SparkSession): DataFrame =
-    operators.EngineQueries.q1Agg(spark, "/root/testdata/sf0.001")
+    operators.HybridSearch.s3HybridSearch(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -41,32 +41,45 @@ object HybridSearch {
   private def bm25(spark: SparkSession, dir: String): DataFrame =
     bm25Scores(spark, docTokens(spark, dir), QueryTerms)
 
-  /** BM25 over any DF with (doc_id, tok array<string>, dl double). */
+  /** BM25 over any DF with (doc_id, tok array<string>, dl double).
+    *
+    * Query-serving shape: the term set is small (a user query), so tf
+    * per term is a columnwise `size(filter(tok, = term))` — one narrow
+    * pass per document, NO token explode, NO (doc, token) shuffle.
+    * Corpus stats (n_docs, avgdl, df per term) reduce to a single-row
+    * agg broadcast back; a term absent from a doc contributes 0 to the
+    * score by construction (tf=0 zeroes the numerator), and docs
+    * matching no term are filtered exactly as the inverted-index
+    * formulation's inner join would. The tiny (doc_id, dl, tf…) base
+    * feeds both the stats agg and the scoring pass — persisted via the
+    * tracked registry so the tokenizer runs once.
+    *
+    * The explode-into-(token → postings) shuffle remains the right
+    * shape for INDEX BUILD over ad-hoc terms; for a fixed query it
+    * would move every token of the corpus to score three of them. */
   def bm25Scores(spark: SparkSession, docs: DataFrame, queryTerms: Seq[String]): DataFrame = {
     import spark.implicits._
-    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
-                         avg($"dl").as("avgdl"))
-    val terms = queryTerms.toDF("term")
-    // tf: one shuffle keyed on (doc_id, token), pre-filtered to query terms.
-    // tf feeds both the df() agg and the score join — a genuine diamond;
-    // persisted via Caches (released by the facade/Bench/Verify after the
-    // action) so the token explode+shuffle doesn't run twice. A window
-    // over term would avoid the cache but funnels every posting of a
-    // term into one partition — unbounded skew at corpus scale.
-    val tf = graft.Caches.persist(docs
-      .select($"doc_id", $"dl", explode($"tok").as("token"))
-      .join(broadcast(terms), $"token" === $"term")
-      .groupBy($"doc_id", $"dl", $"term")
-      .agg(count(lit(1)).cast("double").as("tf")))
-    val df = tf.groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
-    tf.join(broadcast(df), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf", log(lit(1.0) + ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)))
-      .withColumn("w",
-        $"idf" * ($"tf" * (K1 + 1.0)) /
-          ($"tf" + lit(K1) * (lit(1.0 - B) + lit(B) * $"dl" / $"avgdl")))
-      .groupBy($"doc_id")
-      .agg(round(sum($"w"), 6).as("score"))
+    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      size(filter($"tok", tok => tok === lit(t))).cast("double").as(s"tf_$i")
+    }
+    val base = graft.Caches.persist(
+      docs.select(($"doc_id" +: $"dl" +: tfCols): _*)
+        .filter(queryTerms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _)))
+    // n_docs/avgdl must cover the WHOLE corpus (including no-match
+    // docs), so they aggregate `docs`; df aggregates the matching base
+    val corpus = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+                          avg($"dl").as("corpus_avgdl"))
+    val dfAggs = queryTerms.indices.map(i =>
+      sum(when(col(s"tf_$i") > 0, 1.0).otherwise(0.0)).as(s"df_$i"))
+    val stats = base.agg(dfAggs.head, dfAggs.tail: _*).crossJoin(corpus)
+    val w = queryTerms.indices.map { i =>
+      val tf = col(s"tf_$i"); val df = col(s"df_$i")
+      val idf = log(lit(1.0) + ($"n_docs" - df + 0.5) / (df + 0.5))
+      idf * (tf * (K1 + 1.0)) /
+        (tf + lit(K1) * (lit(1.0 - B) + lit(B) * $"dl" / $"corpus_avgdl"))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select($"doc_id", round(w, 6).as("score"))
   }
 
   import org.apache.spark.sql.Column
