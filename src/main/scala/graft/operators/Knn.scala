@@ -113,6 +113,78 @@ object Knn {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** Lloyd's k-means over an embedding DataFrame (vec_id, v) — the
+    * IVF coarse-quantizer BUILD step a3's label shortcut stands in
+    * for. Spherical variant: assignment by cosine (scale-invariant,
+    * so mean centroids need no re-normalization). Deterministic init
+    * (first k vectors by id). Centroids are collected to the driver
+    * each iteration and re-broadcast as literals — k·dims doubles,
+    * the same loop shape MLlib uses — which keeps the per-iteration
+    * lineage flat (no exponential lazy-plan growth) and assignment a
+    * ZERO-join map: scores against the centroid array literal via the
+    * cosine kernel, argmax in-row. One shuffle per iteration (the
+    * per-dimension centroid average). */
+  def kmeansFit(vectors: DataFrame, k: Int, iters: Int): Seq[Seq[Double]] = {
+    import vectors.sparkSession.implicits._
+    var cents: Seq[Seq[Double]] = vectors.orderBy($"vec_id").limit(k)
+      .select($"v").as[Seq[Double]].collect().toSeq
+    for (_ <- 1 to iters) {
+      val assigned = assign(vectors, cents)
+      cents = assigned
+        .select($"cid", posexplode($"v"))
+        .groupBy($"cid", $"pos")
+        .agg(avg($"col").as("c"))
+        .groupBy($"cid")
+        .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+        .select($"cid", transform($"pc", p => p("c")).as("cv"))
+        .orderBy($"cid")
+        .select($"cv").as[Seq[Double]].collect().toSeq
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment against literal centroids: adds a
+    * `cid` column, no join, no shuffle. */
+  private def assign(vectors: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
+    import vectors.sparkSession.implicits._
+    val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
+    vectors
+      .withColumn("__scores", transform(centArr, c => V.cosineD($"v", c)))
+      .withColumn("cid",
+        (array_position($"__scores", array_max($"__scores")) - 1).cast("int"))
+      .drop("__scores")
+  }
+
+  /** a4: IVF with a real k-means coarse quantizer (k=8 cells, 3 Lloyd
+    * iterations), nprobe=2, exact rerank inside probed cells. The
+    * cluster build is the index-construction phase; the probe+rerank
+    * is the serving phase — at scale the assignment DataFrame is the
+    * persisted index, partitioned by cid. */
+  def a4IvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = graft.Caches.persist(base(spark, dir))
+    val cents = kmeansFit(all, k = 8, iters = 3)
+    val cells = assign(all, cents)
+    val queries = cells.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    // probe: top-2 centroids per query against the centroid literals
+    val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val probed = queries
+      .withColumn("__scores", transform(centArr, c => V.cosineD($"qv", c)))
+      .withColumn("probe", slice(reverse(array_sort(zip_with($"__scores",
+        sequence(lit(0), lit(cents.length - 1)),
+        (s, i) => struct(s.as("s"), i.as("i"))))), 1, 2))
+      .select($"q_id", $"qv", explode($"probe.i").as("cid"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")
+    cells.join(broadcast(probed), Seq("cid"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", V.cosineD($"qv", $"v").as("cosine_raw"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .select($"q_id", $"vec_id", round($"cosine_raw", 6).as("cosine"), $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
   /** Single-query exact top-10 (the retrieval-service shape: one
     * embedded query against the chunk index). */
   def s2VectorTopk(spark: SparkSession, dir: String): DataFrame = {
@@ -132,6 +204,7 @@ object Knn {
     "a1_knn_bruteforce" -> a1BruteForce _,
     "a2_knn_lsh" -> a2Lsh _,
     "a3_knn_ivf" -> a3Ivf _,
+    "a4_knn_ivf_kmeans" -> a4IvfKmeans _,
     "s2_vector_topk" -> s2VectorTopk _)
 
   private val cosineSql =

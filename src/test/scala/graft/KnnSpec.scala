@@ -33,6 +33,29 @@ class KnnSpec extends SparkSpec {
     byQ.values.foreach(rs => assert(rs.length <= 5))
   }
 
+  test("a4 k-means IVF: valid shape and decent recall vs brute force") {
+    val rows = Knn.a4IvfKmeans(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rs =>
+      assert(rs.length <= 5)
+      val cosines = rs.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(cosines == cosines.sorted.reverse)
+    }
+    val bf = pairs(Knn.a1BruteForce(spark, sfDir))
+    val recall = bf.intersect(pairs(Knn.a4IvfKmeans(spark, sfDir))).size.toDouble / bf.size
+    assert(recall >= 0.4, s"IVF nprobe=2/8 recall $recall too low")
+  }
+
+  test("k-means centroids: deterministic count and dimensionality") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+    val cents = Knn.kmeansFit(vecs, k = 4, iters = 2)
+    assert(cents.length <= 4 && cents.nonEmpty)
+    assert(cents.forall(_.length == cents.head.length))
+  }
+
   test("s2 single-query top-k is the brute-force head for q=0") {
     val s2 = Knn.s2VectorTopk(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))

@@ -91,6 +91,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("ingest stream chunks, embeds, and appends to the partitioned store") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.IngestStream
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val stream = MemoryStream[(Long, String, String)]
+    val query = IngestStream.ingest(
+      stream.toDF().toDF("doc_id", "source", "text"), dir)
+    try {
+      stream.addData((1L, "srcA",
+        "# Guide\n\nThis paragraph explains the full ingestion pipeline in detail."))
+      query.processAllAvailable()
+      val afterOne = spark.read.parquet(s"$dir/chunks")
+      val n1 = afterOne.count()
+      assert(n1 > 0)
+      assert(afterOne.columns.contains("embedding"))
+      assert(afterOne.select($"embedding").as[Seq[Double]].head().length == 64)
+
+      stream.addData((2L, "srcB",
+        "Another document arrives later and must append, not overwrite.\n\n" +
+        "```scala\nval x = 1\n```"))
+      query.processAllAvailable()
+      val after2 = spark.read.parquet(s"$dir/chunks")
+      assert(after2.count() > n1)
+      // partition-by-source layout holds → per-source reads prune
+      assert(new java.io.File(s"$dir/chunks/source=srcA").isDirectory)
+      assert(new java.io.File(s"$dir/chunks/source=srcB").isDirectory)
+      assert(after2.filter($"source" === "srcB").count() > 0)
+    } finally query.stop()
+  }
+
   test("stateful sessionizer in batch mode equals the window/lag query q12") {
     val sparkSession = spark
     import sparkSession.implicits._
