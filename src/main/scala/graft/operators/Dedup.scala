@@ -21,10 +21,11 @@ object Dedup {
     * they can't participate in shingle-based dedup). */
   private def shingleSets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // one regexp pass: token count = size of the extracted array
+    // (regexp_count would re-scan the full text a second time)
     Tables.documents(spark, dir)
-      .select($"doc_id", expr("regexp_count(text, '\\\\S+')").as("n_tok"),
-              expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
-      .filter($"n_tok" >= 3)
+      .select($"doc_id", expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
+      .filter(size($"w") >= 3)
       .select($"doc_id", array_sort(H.shingles($"w", 3)).as("sh"))
   }
 

@@ -61,4 +61,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
       "idf and corpus stats should broadcast, not shuffle")
   }
+
+  test("bm25 query serving: columnwise tf — no token explode, no wide shuffle") {
+    val p = plan(HybridSearch.s1KeywordBm25(spark, sfDir))
+    assert(!p.contains("Generate explode"),
+      s"query scoring must not explode the corpus tokens:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"only the 1-row stats agg and the top-k may exchange:\n$p")
+  }
 }
