@@ -230,7 +230,38 @@ object ChunkQueries {
     visited.orderBy($"url")
   }
 
+  /** c11: sitemap parsing (ingestion-worker handlers/sitemap.py:
+    * _parse_sitemap_xml + _extract_urls_from_urlset) — extract
+    * <loc> URLs from sitemap XML documents, keeping only the crawl
+    * domain, dedup'd. The sitemap corpus is synthesized
+    * deterministically from events (10 pages per sitemap, build order
+    * pinned by event_id) so DuckDB can verify: at scale the xml
+    * column arrives from the fetch tier and the same extract/filter
+    * plan applies unchanged. */
+  def c11SitemapParse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pieces = Tables.events(spark, dir)
+      .select(expr("event_id div 10").as("sm_id"), $"event_id",
+        concat(lit("<url><loc>https://host"), pmod($"user_id", lit(3)),
+               lit(".example.com/page/"), pmod($"event_id", lit(50)),
+               lit("</loc></url>")).as("piece"))
+    val sitemaps = pieces
+      .groupBy($"sm_id")
+      .agg(concat(lit("<urlset>"),
+        concat_ws("", transform(
+          array_sort(collect_list(struct($"event_id", $"piece"))),
+          p => p("piece"))),
+        lit("</urlset>")).as("xml"))
+    sitemaps
+      .select($"sm_id",
+        explode(expr("regexp_extract_all(xml, '<loc>\\\\s*(.*?)\\\\s*</loc>', 1)")).as("loc"))
+      .filter(regexp_extract($"loc", "^https?://([^/]+)", 1) === "host0.example.com")
+      .distinct()
+      .orderBy($"sm_id", $"loc")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c11_sitemap_parse" -> c11SitemapParse _,
     "c1_clean_markdown" -> c1CleanMarkdown _,
     "c2_chunk_markdown" -> c2ChunkMarkdown _,
     "c3_noise_filter" -> c3NoiseFilter _,
@@ -281,6 +312,23 @@ object ChunkQueries {
         |WHERE regexp_extract(regexp_replace(link, '#.*$', ''), '^(https?)://([^/]+)', 2) = 'host0.example.com'
         |  AND NOT regexp_matches(regexp_replace(link, '#.*$', ''), '/page/1[0-9]$')
         |ORDER BY url""".stripMargin,
+    "c11_sitemap_parse" ->
+      """WITH pieces AS (
+        |  SELECT event_id // 10 AS sm_id, event_id,
+        |    '<url><loc>https://host' || (user_id % 3) || '.example.com/page/'
+        |      || (event_id % 50) || '</loc></url>' AS piece
+        |  FROM events),
+        |sitemaps AS (
+        |  SELECT sm_id,
+        |    '<urlset>' || string_agg(piece, '' ORDER BY event_id) || '</urlset>' AS xml
+        |  FROM pieces GROUP BY sm_id),
+        |locs AS (
+        |  SELECT sm_id, unnest(regexp_extract_all(xml, '<loc>\s*(.*?)\s*</loc>', 1)) AS loc
+        |  FROM sitemaps)
+        |SELECT DISTINCT sm_id, loc
+        |FROM locs
+        |WHERE regexp_extract(loc, '^https?://([^/]+)', 1) = 'host0.example.com'
+        |ORDER BY sm_id, loc""".stripMargin,
     "c10_crawl_bfs" ->
       """WITH RECURSIVE edges AS (
         |  SELECT src, CAST(unnest([(src*7+3) % 50, (src*3+1) % 50]) AS BIGINT) AS dst
