@@ -30,11 +30,21 @@ object HashFunctions {
   }
 
   /** Word n-gram shingles from a token array column (1-based
-    * element_at; guarded by the sequence bound). */
+    * element_at; guarded by the sequence bound), duplicates kept —
+    * dedup on the cheaper downstream representation when possible. */
+  def shinglesAll(words: Column, n: Int): Column =
+    transform(sequence(lit(0), size(words) - n), i =>
+      concat_ws(" ", (0 until n).map(k => element_at(words, i + k + 1)): _*))
+
+  /** Distinct word n-gram shingles. */
   def shingles(words: Column, n: Int): Column =
-    array_distinct(
-      transform(sequence(lit(0), size(words) - n), i =>
-        concat_ws(" ", (0 until n).map(k => element_at(words, i + k + 1)): _*)))
+    array_distinct(shinglesAll(words, n))
+
+  /** Sorted distinct xxhash64 of the shingles — the hashed-set form
+    * for minhash and merge-walk jaccard (distinct on 8-byte longs,
+    * not strings). */
+  def hashedShingles(words: Column, n: Int): Column =
+    array_sort(array_distinct(transform(shinglesAll(words, n), s => xxhash64(s))))
 
   /** MinHash signature (`numPerms` longs in [0, p)) from a column of
     * shingle hashes. O(numPerms * |shingles|) inside codegen. */

@@ -54,12 +54,18 @@ object Dedup {
     * verify stage. */
   def d2MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // The whole pipeline runs on HASHED shingle sets (sorted distinct
+    // xxhash64 longs): minhash consumes the same hash values it always
+    // did, and the verify jaccard merge-walks 8-byte longs instead of
+    // shingle strings — lighter to sort, cache, shuffle, and compare.
     // persist (tracked; released post-action): the shingle+signature
     // pipeline feeds the band explode AND both sides of the verify
     // join — without it the regexp+minhash work runs three times
-    val sig = graft.Caches.persist(shingleSets(spark, dir)
-      .select($"doc_id", $"sh",
-              expr("minhash_sig(transform(sh, s -> xxhash64(s)))").as("mh")))
+    val sig = graft.Caches.persist(Tables.documents(spark, dir)
+      .select($"doc_id", expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
+      .filter(size($"w") >= 3)
+      .select($"doc_id", H.hashedShingles($"w", 3).as("hs"))
+      .select($"doc_id", $"hs", expr("minhash_sig(hs)").as("mh")))
     val bands = sig
       .select($"doc_id",
               posexplode(H.bandHashes($"mh", bands = 64, rowsPerBand = 2)))
@@ -70,11 +76,12 @@ object Dedup {
             $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"))
       .distinct()
-    val sets = sig.select($"doc_id", $"sh")
+    val sets = sig.select($"doc_id", $"hs")
     candidates
       .join(sets.as("sa"), $"a_id" === $"sa.doc_id")
       .join(sets.as("sb"), $"b_id" === $"sb.doc_id")
-      .select($"a_id", $"b_id", round(jaccard($"sa.sh", $"sb.sh"), 6).as("jaccard"))
+      .select($"a_id", $"b_id",
+        round(call_function("jaccard_sorted_long", $"sa.hs", $"sb.hs"), 6).as("jaccard"))
       .filter($"jaccard" >= 0.3)
       .orderBy($"a_id", $"b_id")
   }

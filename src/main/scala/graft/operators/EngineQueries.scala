@@ -233,7 +233,21 @@ object EngineQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** Full CUBE over two dimensions (rollup's lattice completion —
+    * q8 covers ROLLUP; CUBE adds the cross-dimension subtotals).
+    * Same shuffle shape: one exchange on the expanded grouping keys
+    * with map-side partial aggregation. */
+  def q16Cube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .cube($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum($"o_totalprice"), 2).as("total"))
+      .orderBy($"o_orderpriority".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_cube" -> q16Cube _,
     "q15_percentiles" -> q15Percentiles _,
     "q1_agg" -> q1Agg _,
     "q2_filter_pushdown" -> q2FilterPushdown _,
@@ -358,6 +372,12 @@ object EngineQueries {
         |   min(CASE WHEN event_type='purchase' THEN CAST(ts AS TIMESTAMP) END) AS first_purchase
         |  FROM events GROUP BY user_id)
         |ORDER BY user_id""".stripMargin,
+    "q16_cube" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+        |       round(sum(o_totalprice),2) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
     "q15_percentiles" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,

@@ -332,6 +332,57 @@ case class HashedBow(child: Expression, dims: Int)
     copy(child = newChild)
 }
 
+/** Jaccard similarity of two pre-sorted, distinct array<bigint>
+  * columns (hashed shingle sets) via a single merge walk — the
+  * long-keyed twin of [[JaccardSorted]]: identical set semantics,
+  * 8-byte compares instead of string compares. */
+case class JaccardSortedLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sorted_long"
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypes.requireArrays(prettyName, LongType, left, right)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter"); val x = ctx.freshName("x")
+      val y = ctx.freshName("y"); val union = ctx.freshName("union")
+      s"""
+         |int $na = $a.numElements(); int $nb = $b.numElements();
+         |int $i = 0, $j = 0, $inter = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $a.getLong($i); long $y = $b.getLong($j);
+         |  if ($x == $y) { $inter++; $i++; $j++; }
+         |  else if ($x < $y) $i++;
+         |  else $j++;
+         |}
+         |int $union = $na + $nb - $inter;
+         |${ev.value} = ($union == 0) ? 0.0 : ((double) $inter) / $union;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSortedLong =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Jaccard similarity of two pre-sorted, distinct array<string>
   * columns via a single merge walk — set semantics identical to
   * size(array_intersect)/size(array_union) (and the DuckDB oracle's

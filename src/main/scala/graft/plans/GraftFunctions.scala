@@ -35,6 +35,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => CosineSim(args.head, args(1))),
     ("jaccard_sorted", "jaccard_sorted(a, b) - jaccard of sorted distinct string arrays",
       (args: Seq[Expression]) => JaccardSorted(args.head, args(1))),
+    ("jaccard_sorted_long", "jaccard_sorted_long(a, b) - jaccard of sorted distinct bigint arrays",
+      (args: Seq[Expression]) => JaccardSortedLong(args.head, args(1))),
     ("hashed_bow", "hashed_bow(tokens, dims) - hashed bag-of-words vector",
       (args: Seq[Expression]) => {
         require(args.length == 2, "hashed_bow(tokens, dims)")
@@ -61,6 +63,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       ("graft_simhash64", args => SimHash64(args.head)),
       ("cosine_sim", args => CosineSim(args.head, args(1))),
       ("jaccard_sorted", args => JaccardSorted(args.head, args(1))),
+      ("jaccard_sorted_long", args => JaccardSortedLong(args.head, args(1))),
       ("hyperplane_sig", args => HyperplaneSig(args.head,
         args(1).eval().asInstanceOf[Number].intValue(),
         args(2).eval().asInstanceOf[Number].intValue())),
