@@ -233,6 +233,25 @@ object EngineQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** TPC-H Q4 shape: priority counts for a date window of orders
+    * having at least one late-shipped line — a correlated EXISTS
+    * whose extra inequality rides inside the semi join condition, so
+    * the probe side short-circuits on first match and no lineitem
+    * columns survive the join. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01") &&
+              $"o_orderdate" < lit("1996-04-01"))
+    o.join(Tables.lineitem(spark, dir),
+        $"l_orderkey" === $"o_orderkey" &&
+        $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** Full CUBE over two dimensions (rollup's lattice completion —
     * q8 covers ROLLUP; CUBE adds the cross-dimension subtotals).
     * Same shuffle shape: one exchange on the expanded grouping keys
@@ -247,6 +266,7 @@ object EngineQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_order_priority" -> q4OrderPriority _,
     "q16_cube" -> q16Cube _,
     "q15_percentiles" -> q15Percentiles _,
     "q1_agg" -> q1Agg _,
@@ -372,6 +392,16 @@ object EngineQueries {
         |   min(CASE WHEN event_type='purchase' THEN CAST(ts AS TIMESTAMP) END) AS first_purchase
         |  FROM events GROUP BY user_id)
         |ORDER BY user_id""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q16_cube" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
         |       round(sum(o_totalprice),2) AS total

@@ -47,6 +47,34 @@ object IngestStream {
       .drop("tok", "ctx")
   }
 
+  /** Idempotent re-ingestion — the reference's page-update path
+    * (DeleteChunksByURL then re-insert; store.go:93-103) against the
+    * plain-parquet chunk store: survivors of the touched source
+    * partitions are read, the re-ingested doc_ids' old chunks are
+    * anti-joined away, the fresh chunks appended, and ONLY those
+    * partitions rewritten via dynamic partition overwrite — untouched
+    * sources are never read or written. localCheckpoint truncates
+    * lineage so the store path can be overwritten while it is also
+    * the read source (on Delta/Iceberg this whole method is a MERGE;
+    * the partition math is identical). */
+  def reingest(docs: DataFrame, storePath: String, maxTokens: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    val chunksPath = s"$storePath/chunks"
+    val incoming = chunkAndEmbed(docs, maxTokens)
+    val merged =
+      if (new java.io.File(chunksPath).exists()) {
+        val survivors = spark.read.parquet(chunksPath)
+          .join(incoming.select("source").distinct(), Seq("source"), "left_semi")
+          .join(incoming.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+        incoming.unionByName(survivors.select(incoming.columns.map(col): _*))
+      } else incoming
+    merged.localCheckpoint(true)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("source")
+      .parquet(chunksPath)
+  }
+
   /** Start the ingestion stream into `storePath` (chunks under
     * /chunks partitioned by source, offsets under /_checkpoints). */
   def ingest(docs: DataFrame, storePath: String, maxTokens: Int = 64): StreamingQuery = {

@@ -124,6 +124,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("reingest replaces a doc's chunks, leaves other docs and partitions alone") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import graft.streaming.IngestStream
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-reingest").toString
+    val v1 = Seq(
+      (1L, "srcA", "# One\n\nOriginal version of document one with enough words."),
+      (2L, "srcA", "# Two\n\nA sibling document in the same source partition."),
+      (3L, "srcC", "# Three\n\nA document in an untouched partition.")
+    ).toDF("doc_id", "source", "text")
+    IngestStream.reingest(v1, dir)
+    val before = spark.read.parquet(s"$dir/chunks")
+    val doc3Before = before.filter($"doc_id" === 3L).collect().map(_.toString).sorted.toSeq
+    assert(before.select($"doc_id").distinct().count() == 3)
+
+    // v2 of doc 1 only — doc 2 (same partition) and doc 3 must survive
+    IngestStream.reingest(Seq(
+      (1L, "srcA", "# One v2\n\nCompletely rewritten content for document one.")
+    ).toDF("doc_id", "source", "text"), dir)
+    val after = spark.read.parquet(s"$dir/chunks")
+    assert(after.select($"doc_id").distinct().count() == 3)
+    val doc1 = after.filter($"doc_id" === 1L).select($"content").as[String].collect()
+    assert(doc1.exists(_.contains("rewritten")), "doc 1 must carry v2 content")
+    assert(!doc1.exists(_.contains("Original")), "doc 1 v1 chunks must be gone")
+    assert(after.filter($"doc_id" === 2L).count() > 0, "sibling doc survives")
+    val doc3After = after.filter($"doc_id" === 3L).collect().map(_.toString).sorted.toSeq
+    assert(doc3After == doc3Before, "untouched partition must be byte-identical")
+  }
+
   test("stateful sessionizer in batch mode equals the window/lag query q12") {
     val sparkSession = spark
     import sparkSession.implicits._
