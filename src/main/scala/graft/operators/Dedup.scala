@@ -124,23 +124,28 @@ object Dedup {
   def d4NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // persist (tracked in graft.Caches, released post-action): the
-    // shingle pipeline (regexp + transform + sort) would otherwise be
-    // recomputed on both join sides AND inside the join null-check
-    // filters Catalyst pushes below the projections
-    val blocks = graft.Caches.persist(shingleSets(spark, dir)
-      .select($"doc_id", $"sh",
+    // shingle pipeline (regexp + transform + sort) feeds the block
+    // explode AND both verify-join sides — cached once; the candidate
+    // self-join and its dedup carry ONLY ids and block keys, so the
+    // wide shuffles never move shingle arrays (those re-enter via the
+    // cached-set join after the pair set is already distinct)
+    val sets = graft.Caches.persist(shingleSets(spark, dir))
+    val blocks = sets
+      .select($"doc_id",
               explode(array(
                 struct(lit(0).as("bidx"), array_min($"sh").as("bkey")),
                 struct(lit(1).as("bidx"), array_max($"sh").as("bkey")))).as("b"))
-      .select($"doc_id", $"sh", $"b.bidx".as("bidx"), $"b.bkey".as("bkey")))
-    blocks.as("a")
+      .select($"doc_id", $"b.bidx".as("bidx"), $"b.bkey".as("bkey"))
+    val candidates = blocks.as("a")
       .join(blocks.as("b"),
             $"a.bidx" === $"b.bidx" && $"a.bkey" === $"b.bkey" &&
             $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
-              $"a.sh".as("sha"), $"b.sh".as("shb"))
-      .dropDuplicates("a_id", "b_id")
-      .select($"a_id", $"b_id", round(jaccard($"sha", $"shb"), 6).as("jaccard"))
+      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+      .distinct()
+    candidates
+      .join(sets.as("sa"), $"a_id" === $"sa.doc_id")
+      .join(sets.as("sb"), $"b_id" === $"sb.doc_id")
+      .select($"a_id", $"b_id", round(jaccard($"sa.sh", $"sb.sh"), 6).as("jaccard"))
       .filter($"jaccard" >= 0.3)
       .orderBy($"a_id", $"b_id")
   }
