@@ -120,9 +120,11 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
   def countBySource(sourceCol: String = "source"): DataFrame =
     corpus.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_chunks"))
 
-  /** Exact dedup: one keeper per distinct text. */
+  /** Exact dedup: one keeper per distinct content fingerprint (the
+    * exchange moves digests, not documents). */
   def dedupExact(): DataFrame =
-    corpus.groupBy($"text")
+    corpus.select(md5($"text").as("text_md5"), $"doc_id")
+      .groupBy($"text_md5")
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("copies"))
 
   /** MinHash-LSH near-dup pairs at the given jaccard threshold. */

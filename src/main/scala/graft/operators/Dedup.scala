@@ -34,15 +34,18 @@ object Dedup {
   private def jaccard(a: Column, b: Column): Column =
     call_function("jaccard_sorted", a, b)
 
-  /** Exact dedup: group identical texts, keep the lowest doc_id.
-    * At scale: group on the full text value — Spark hashes it for the
-    * exchange anyway; md5 in the output is just a compact witness. */
+  /** Exact dedup: group identical content, keep the lowest doc_id.
+    * Grouping key is the md5 fingerprint, not the text itself — the
+    * exchange moves 16-byte digests instead of whole documents, which
+    * at 100 TB is the difference between shuffling hashes and
+    * shuffling the corpus. (Content-hash identity is the same
+    * contract every production exact-dedup uses.) */
   def d1Exact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .groupBy($"text")
+      .select(md5($"text").as("text_md5"), $"doc_id")
+      .groupBy($"text_md5")
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("copies"))
-      .select(md5($"text").as("text_md5"), $"keep_id", $"copies")
       .orderBy($"keep_id")
   }
 
@@ -176,7 +179,7 @@ object Dedup {
     "d1_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS copies
         |FROM documents
-        |GROUP BY text
+        |GROUP BY md5(text)
         |ORDER BY keep_id""".stripMargin,
     "d4_ngram_jaccard" ->
       """WITH d AS (
