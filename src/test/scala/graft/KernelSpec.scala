@@ -47,6 +47,46 @@ class KernelSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("kernels reject wrong input types at analysis time") {
+    import spark.implicits._
+    // array<float> would be silently misread by getDouble — must fail
+    // when the plan is analyzed, not return garbage
+    val floats = Tables.embeddings(spark, sfDir)
+      .select($"embedding".as("f"))
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      floats.select(expr("cosine_sim(f, f)")).schema
+    }
+    assert(err.getMessage.contains("cosine_sim"))
+    val err2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(1).select(expr("minhash_sig(array('a','b'))")).schema
+    }
+    assert(err2.getMessage.contains("minhash_sig"))
+  }
+
+  test("cosine_sim rejects mismatched vector lengths at runtime") {
+    val e = intercept[Exception] {
+      spark.range(1).selectExpr(
+        "cosine_sim(array(1.0d, 2.0d), array(1.0d, 2.0d, 3.0d))").collect()
+    }
+    assert(e.getMessage.contains("lengths differ") ||
+           Option(e.getCause).exists(_.getMessage.contains("lengths differ")))
+  }
+
+  test("jaccard_sorted_long kernel == set intersect/union sizes on hashes") {
+    import spark.implicits._
+    val rows = Tables.documents(spark, sfDir).limit(50)
+      .select(expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
+      .filter(size($"w") >= 3)
+      .select(H.hashedShingles($"w", 3).as("hs"))
+    val paired = rows.as("a").crossJoin(rows.as("b")).limit(300)
+      .select(
+        expr("jaccard_sorted_long(a.hs, b.hs)").as("kernel"),
+        (size(array_intersect($"a.hs", $"b.hs")).cast("double") /
+         size(array_union($"a.hs", $"b.hs"))).as("setops"))
+      .collect()
+    paired.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
   test("jaccard_sorted kernel == set intersect/union sizes") {
     import spark.implicits._
     val d = Tables.documents(spark, sfDir).limit(30)
