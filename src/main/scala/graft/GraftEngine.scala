@@ -150,6 +150,41 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
       .filter($"jaccard" >= threshold)
   }
 
+  /** One-call training-data preparation — the standard pre-training
+    * corpus pipeline over this engine's operators, in dependency
+    * order:
+    *   1. language ID + quality scoring (single narrow pass),
+    *   2. quality floor + optional language allowlist,
+    *   3. exact dedup: first occurrence per content digest (a
+    *      row_number window the TopKPerKey rewrite turns into a
+    *      heap — the exchange carries 16-byte digests),
+    *   4. MinHash-LSH near-dedup: of every pair ≥ `nearDupThreshold`
+    *      the higher doc_id is dropped (greedy lowest-id keeper).
+    * Returns the surviving corpus with lang_id/quality attached. Each
+    * stage is a declarative plan, so the whole pipeline is one
+    * Catalyst-optimized job graph, not four materialized passes. */
+  def prepareCorpus(minQuality: Double = 0.0,
+                    langs: Option[Set[String]] = None,
+                    nearDupThreshold: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.TextAnalysis
+    val scored = corpus
+      .withColumn("lang_id", TextAnalysis.langId($"text"))
+      .withColumn("quality", TextAnalysis.quality($"text"))
+      .filter($"quality" >= minQuality)
+    val langFiltered = langs.fold(scored)(ls =>
+      scored.filter($"lang_id".isin(ls.toSeq: _*)))
+    val exactKept = langFiltered
+      .withColumn("__md5", md5($"text"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy($"__md5").orderBy($"doc_id")))
+      .filter($"__rn" === 1)
+      .drop("__md5", "__rn")
+    val nearDupLosers = dedupNearMinHash(nearDupThreshold)
+      .select($"b_id".as("doc_id")).distinct()
+    exactKept.join(broadcast(nearDupLosers), Seq("doc_id"), "left_anti")
+  }
+
   /** Crawl-frontier expansion (worker.DiscoverLinks): normalize +
     * filter discovered links against the crawl host, excluding
     * patterns, up to maxDepth. */

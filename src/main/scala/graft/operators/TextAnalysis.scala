@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -29,6 +29,40 @@ object TextAnalysis {
     "fr" -> "\\\\b(le|les|et|est|une)\\\\b")
   private val cjkPattern = "[\\\\x{4e00}-\\\\x{9fff}]"
   private val stopwordsEn = "\\\\b(the|a|an|and|or|of|to|in|is|it)\\\\b"
+
+  /** regexp_count via the function API: `pattern` strings in this
+    * file are written for expr() splicing (one extra escaping level),
+    * so unescape before handing them to the regex engine directly. */
+  private def rc(c: Column, pattern: String): Column =
+    regexp_count(c, lit(pattern.replace("\\\\", "\\"))).cast("long")
+
+  /** Language-ID as a single column over any text column — the same
+    * fixed-priority argmax t1 materializes with intermediate score
+    * columns. */
+  def langId(text: Column): Column = {
+    val scores = profiles.map { case (l, p) => l -> rc(lower(text), p) }
+    val zh = rc(text, cjkPattern)
+    val best = scores.foldRight(lit("unknown")) { case ((l, s), els) =>
+      val laterGe = scores.filter(_._1 != l).map { case (_, o) => s >= o }
+        .reduce(_ && _)
+      val earlierGt = scores.takeWhile(_._1 != l).map { case (_, o) => s > o }
+        .foldLeft(lit(true))(_ && _)
+      when(s > 0 && laterGe && earlierGt, lit(l)).otherwise(els)
+    }
+    when(zh > 0, lit("zh")).otherwise(best)
+  }
+
+  /** Quality score as a single column — t2's blend of token count,
+    * punctuation ratio, and stopword ratio. */
+  def quality(text: Column): Column = {
+    val nTok = rc(text, "\\\\S+")
+    val nPunct = rc(text, "[.,;:!?]")
+    val nStop = rc(lower(text), stopwordsEn)
+    round(
+      lit(0.4) * least(nTok.cast("double") / 100.0, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - nPunct.cast("double") / greatest(nTok, lit(1))) +
+      lit(0.3) * (nStop.cast("double") / greatest(nTok, lit(1))), 6)
+  }
 
   /** n-gram/stopword-profile language ID. Score = stopword hits per
     * profile; CJK chars trump; ties broken by fixed profile order. */

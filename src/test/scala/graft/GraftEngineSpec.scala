@@ -95,6 +95,40 @@ class GraftEngineSpec extends SparkSpec {
       "\nAuthor: Evan\nCreated: 2024-01-01\n---\nReactive state is declared with ref().")
   }
 
+  test("prepareCorpus: quality floor, exact + near dedup, lang columns") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.md5
+    val full = Tables.documents(spark, sfDir)
+    val prepared = engine.prepareCorpus(minQuality = 0.2, nearDupThreshold = 0.3)
+    val rows = prepared.count()
+    assert(rows > 0 && rows < full.count(), "pipeline must drop something")
+    assert(prepared.columns.contains("lang_id") && prepared.columns.contains("quality"))
+    // no exact duplicates survive
+    assert(prepared.select(md5($"text")).distinct().count() == rows)
+    // every surviving doc meets the floor
+    assert(prepared.filter($"quality" < 0.2).count() == 0)
+    // near-dup losers (higher id of each pair) are gone
+    val losers = engine.dedupNearMinHash(0.3)
+      .select($"b_id").as[Long].collect().toSet
+    engine.releaseCaches()
+    val kept = prepared.select($"doc_id").as[Long].collect().toSet
+    assert(kept.intersect(losers).isEmpty)
+  }
+
+  test("langId/quality column functions agree with the t1/t2 queries") {
+    import spark.implicits._
+    import graft.operators.{TextAnalysis => T}
+    val viaCol = Tables.documents(spark, sfDir)
+      .select($"doc_id", T.langId($"text").as("p"), T.quality($"text").as("q"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val t1 = T.t1LangId(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted")).toMap
+    val t2 = T.t2QualityScore(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    t1.foreach { case (id, p) => assert(viaCol(id)._1 == p, s"langId mismatch doc $id") }
+    t2.foreach { case (id, q) => assert(viaCol(id)._2 == q, s"quality mismatch doc $id") }
+  }
+
   test("chunkDocuments exposes the structural chunker") {
     val chunks = engine.chunkDocuments(maxTokens = 32)
     assert(chunks.count() > 0)
