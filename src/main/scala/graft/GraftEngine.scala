@@ -36,6 +36,9 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
   graft.plans.GraftFunctions.ensureRegistered(spark)
   graft.plans.GraftPlanner.ensureInjected(spark)
 
+  require(Seq("doc_id", "text").forall(corpus.columns.contains),
+    s"GraftEngine corpus needs (doc_id, text) columns; got [${corpus.columns.mkString(", ")}]")
+
   private val dims = 64
 
   /** Tokenized view used by the keyword leg. */

@@ -42,6 +42,33 @@ object ChunkStore {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Compact a partitioned store in place: streaming foreachBatch
+    * appends leave one small file per (epoch, partition, task), and
+    * scan parallelism degrades into file-listing overhead. Rewrites
+    * each partition's data into `filesPerPartition` files via a
+    * partition-local repartition (no cross-partition shuffle of the
+    * sort keys — the partition column is constant per output dir).
+    * localCheckpoint breaks lineage so the path can be overwritten
+    * while being read. On Delta/Iceberg this is OPTIMIZE/rewrite. */
+  def compact(spark: SparkSession, path: String,
+              partitionCol: String = "source",
+              filesPerPartition: Int = 1): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, struct, xxhash64}
+    val df = spark.read.parquet(path)
+    // cluster rows of one directory-partition together: hashing on the
+    // partition column alone yields exactly one file per directory;
+    // a deterministic row-hash salt widens that to N files
+    val clustered =
+      if (filesPerPartition <= 1) df.repartition(col(partitionCol))
+      else df.repartition(col(partitionCol),
+        pmod(xxhash64(struct(df.columns.map(col): _*)), lit(filesPerPartition)))
+    clustered
+      .localCheckpoint(true)
+      .write.mode("overwrite")
+      .partitionBy(partitionCol)
+      .parquet(path)
+  }
+
   /** Drop one source partition — DeleteChunksBySourceID as a metadata
     * operation (no rewrite of surviving data). Returns the surviving
     * view for verification. */

@@ -38,6 +38,27 @@ class ChunkStoreSpec extends SparkSpec {
     assert(survivors.count() === docs.filter($"source" =!= "src1").count())
   }
 
+  test("compact collapses append-fragmented partitions to one file each") {
+    val path = s"$tmp/compact"
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"source", $"n_chars")
+    // two appends -> several files per partition dir
+    docs.write.mode("append").partitionBy("source").parquet(path)
+    docs.withColumn("doc_id", $"doc_id" + 10000L)
+      .write.mode("append").partitionBy("source").parquet(path)
+    def filesIn(dir: String): Int =
+      new java.io.File(dir).listFiles((_, n) => n.endsWith(".parquet")).length
+    val aDir = new java.io.File(path).listFiles((f, n) => n.startsWith("source="))
+      .head.getAbsolutePath
+    assert(filesIn(aDir) > 1, "appends must fragment before compaction")
+    val before = spark.read.parquet(path).count()
+
+    ChunkStore.compact(spark, path)
+    new java.io.File(path).listFiles((_, n) => n.startsWith("source=")).foreach { d =>
+      assert(filesIn(d.getAbsolutePath) == 1, s"expected 1 file in $d")
+    }
+    assert(spark.read.parquet(path).count() === before, "compaction must not lose rows")
+  }
+
   test("co-bucketed join on doc_id plans with no exchange") {
     val docs = Tables.documents(spark, sfDir).select($"doc_id", $"source", $"n_chars")
     val emb = Tables.documents(spark, sfDir)
