@@ -61,12 +61,21 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
 
   /** Deterministic hashed-BoW embeddings (stub for the external
     * embedder; same shape/normalization as a real one). */
-  def embedChunks(): DataFrame =
+  def embedChunks(): DataFrame = {
+    // explode + ordered-frame window, not transform-lambda norms:
+    // CollapseProject would inline the norm (and poly_bow) into a
+    // per-element lambda, re-hashing every token `dims` times
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     tokenized
       .filter(size($"tok") > 0)
-      .withColumn("raw", expr(s"hashed_bow(tok, $dims)"))
-      .withColumn("nrm", sqrt(aggregate(transform($"raw", x => x * x), lit(0.0), (s, x) => s + x)))
-      .select($"doc_id", transform($"raw", x => x / $"nrm").as("embedding"))
+      .select($"doc_id", posexplode(expr(s"poly_bow(tok, $dims)")))
+      .withColumn("nrm", sqrt(sum($"col" * $"col").over(w)))
+      .groupBy($"doc_id")
+      .agg(array_sort(collect_list(struct($"pos", ($"col" / $"nrm").as("val")))).as("pv"))
+      .select($"doc_id", transform($"pv", p => p("val")).as("embedding"))
+  }
 
   /** Hybrid search: BM25 keyword leg + hashed-BoW vector leg with
     * alpha-weighted relative-score fusion and ANDed metadata
@@ -78,11 +87,11 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
     val filtered = filters.foldLeft(tokenized) { case (df, (k, v)) =>
       df.filter(col(k) === v)
     }
-    // raw hashed-BoW — cosine_sim in the vector leg normalizes both
-    // sides, so the explicit L2 scaling would be recomputed work
+    // raw poly-BoW (matches hybrid()'s query vector hash) — cosine_sim
+    // normalizes both sides, so explicit L2 scaling would be wasted work
     val emb = filtered
       .filter(size($"tok") > 0)
-      .select($"doc_id", expr(s"hashed_bow(tok, $dims)").as("embedding"))
+      .select($"doc_id", expr(s"poly_bow(tok, $dims)").as("embedding"))
     HybridSearch.hybrid(spark, filtered, emb, terms, alpha, limit)
   }
 

@@ -99,39 +99,49 @@ object ChunkQueries {
       .orderBy($"doc_id")
   }
 
-  /** Deterministic stub embedder — hashed bag-of-tokens projected
-    * to 64 dims, L2-normalized. Stands in for the external embedding
-    * API (gemini adapter) with pure codegen'd expressions; the
-    * Spark-side shape (schema, vector width, normalization) is real.
+  /** Deterministic stub embedder — polynomial-hash bag-of-tokens
+    * projected to 64 dims, L2-normalized. Stands in for the external
+    * embedding API (gemini adapter) with a pure codegen'd kernel
+    * (poly_bow) whose hash DuckDB can reproduce with ANSI SQL, so
+    * the embedding itself is oracle-checked value by value.
     * Returns (doc_id, embedding array<double>). */
-  def c5EmbedChunks(spark: SparkSession, dir: String): DataFrame = {
+  /** Embedding coordinates (doc_id, pos, val) — entirely
+    * codegen+window, no higher-order functions. The naive
+    * `transform(raw, x -> x / sqrt(aggregate(...)))` formulation is a
+    * trap: CollapseProject inlines the norm (and the poly_bow feeding
+    * it) INTO the per-element lambda, re-hashing every token 64 times
+    * per document. Here poly_bow runs once per doc inside the
+    * generate, and the L2 norm is an ordered-frame window sum — the
+    * accumulation order is pos 0..63, bit-identical to the sequential
+    * fold the DuckDB oracle computes. */
+  private def embedVals(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val dims = 64
-    val counts = expr(s"hashed_bow(tok, $dims)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     Tables.documents(spark, dir)
       .select($"doc_id", expr("regexp_extract_all(lower(text), '\\\\S+', 0)").as("tok"))
       .filter(size($"tok") > 0)
-      .withColumn("raw", counts)
-      .withColumn("nrm", sqrt(aggregate(transform($"raw", x => x * x), lit(0.0), (s, x) => s + x)))
-      .select($"doc_id",
-              transform($"raw", x => round(x / $"nrm", 6)).as("embedding"))
+      .select($"doc_id", posexplode(expr("poly_bow(tok, 64)")))
+      .withColumn("nrm", sqrt(sum($"col" * $"col").over(w)))
+      .select($"doc_id", $"pos", round($"col" / $"nrm", 6).as("val"))
+  }
+
+  def c5EmbedChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    embedVals(spark, dir)
+      .groupBy($"doc_id")
+      .agg(array_sort(collect_list(struct($"pos", $"val"))).as("pv"))
+      .select($"doc_id", transform($"pv", p => p("val")).as("embedding"))
       .orderBy($"doc_id")
   }
 
-  /** c5 gate view: the driver's pandas-side compare sorts every output
-    * column, and a raw array column is unhashable there — so the
-    * `queries` entry exposes scalar witnesses of the same vectors:
-    * dimension count, L2 norm (≈1 by construction), the embedding's
-    * md5 over its json form, and the vector sum. The array itself
-    * stays available to library users via [[c5EmbedChunks]]. */
+  /** c5 gate view: one row per (doc, dimension) — arrays don't
+    * survive the driver's pandas-side sort, and the exploded form
+    * lets the oracle hash-match every embedding coordinate. */
   def c5EmbedChunksGate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    c5EmbedChunks(spark, dir)
-      .select($"doc_id",
-        size($"embedding").cast("long").as("dims"),
-        md5(to_json($"embedding")).as("emb_md5"),
-        round(aggregate($"embedding", lit(0.0), (s, x) => s + x), 6).as("emb_sum"))
-      .orderBy($"doc_id")
+    embedVals(spark, dir).orderBy($"doc_id", $"pos")
   }
 
   /** c6: GetChunksByURL (store.go:311-335): all chunks of one page,
@@ -312,6 +322,28 @@ object ChunkQueries {
         |WHERE regexp_extract(regexp_replace(link, '#.*$', ''), '^(https?)://([^/]+)', 2) = 'host0.example.com'
         |  AND NOT regexp_matches(regexp_replace(link, '#.*$', ''), '/page/1[0-9]$')
         |ORDER BY url""".stripMargin,
+    "c5_embed_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tok FROM documents),
+        |h AS (
+        |  SELECT doc_id, list_transform(tok, t ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, length(t)),
+        |        i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+        |      (a, c) -> (a*31 + c) % 1000000007)) AS hs
+        |  FROM d WHERE len(tok) > 0),
+        |r AS (
+        |  SELECT doc_id, list_transform(generate_series(0, 63), b ->
+        |    CAST(len(list_filter(hs, x -> x % 64 = b)) AS DOUBLE)) AS raw
+        |  FROM h),
+        |n AS (
+        |  SELECT doc_id, raw,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(raw, x -> x*x)), (s, x) -> s+x)) AS nrm
+        |  FROM r)
+        |SELECT doc_id, CAST(b - 1 AS INTEGER) AS pos, round(raw[b]/nrm, 6) AS val
+        |FROM n, LATERAL unnest(generate_series(1, 64)) AS t(b)
+        |ORDER BY doc_id, pos""".stripMargin,
     "c11_sitemap_parse" ->
       """WITH pieces AS (
         |  SELECT event_id // 10 AS sm_id, event_id,

@@ -109,7 +109,7 @@ object HybridSearch {
     * not two). */
   def s3HybridSearch(spark: SparkSession, dir: String): DataFrame = {
     val docs = docTokens(spark, dir)
-    val emb = docs.select(col("doc_id"), expr("hashed_bow(tok, 64)").as("embedding"))
+    val emb = docs.select(col("doc_id"), expr("poly_bow(tok, 64)").as("embedding"))
     hybrid(spark, docs, emb, QueryTerms, alpha = 0.5, limit = 10)
   }
 
@@ -123,12 +123,13 @@ object HybridSearch {
       .orderBy($"score".desc, $"doc_id").limit(candidates)
       .select($"doc_id", $"score".as("kw_score"))
 
-    // raw hashed-BoW query vector; cosine_sim normalizes both sides,
-    // so neither the query nor the doc vectors need explicit L2 scaling
+    // raw poly-BoW query vector (the SQL-reproducible hash — the whole
+    // hybrid pipeline stays oracle-checkable); cosine_sim normalizes
+    // both sides, so neither vector needs explicit L2 scaling
     val queryTok = array(queryTerms.map(lit): _*)
     val qvec = spark.range(1)
       .select(queryTok.as("tok"))
-      .select(expr("hashed_bow(tok, 64)").as("qv"))
+      .select(expr("poly_bow(tok, 64)").as("qv"))
     val vec = embeddings
       .crossJoin(broadcast(qvec))
       .select($"doc_id", V.cosineD($"embedding", $"qv").as("v_score"))
@@ -186,7 +187,29 @@ object HybridSearch {
     "s4_rerank" -> s4Rerank _,
     "s5_filtered_search" -> s5FilteredSearch _)
 
-  val oracles: Map[String, String] = Map(
+  /** s3's full-pipeline SQL, shared with s4's oracle (which reranks
+    * over exactly this result set). */
+  private lazy val s3Sql: String = oraclesBase("s3_hybrid_search")
+
+  val oracles: Map[String, String] = oraclesBase +
+    ("s4_rerank" ->
+      s"""WITH s3res AS (
+         |$s3Sql
+         |),
+         |toks AS (
+         |  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '\\S+')) AS dtok
+         |  FROM documents),
+         |rr AS (
+         |  SELECT s3res.doc_id, s3res.hybrid_score,
+         |    round(CAST(len(list_intersect(dtok, ['spark','join','filter'])) AS DOUBLE)
+         |        / len(list_distinct(list_concat(dtok, ['spark','join','filter']))), 6) AS rerank_score
+         |  FROM s3res JOIN toks ON s3res.doc_id = toks.doc_id)
+         |SELECT doc_id, rerank_score, hybrid_score,
+         |  CAST(row_number() OVER (ORDER BY rerank_score DESC, hybrid_score DESC, doc_id) AS BIGINT) AS final_rank
+         |FROM rr
+         |ORDER BY final_rank""".stripMargin)
+
+  private lazy val oraclesBase: Map[String, String] = Map(
     "s1_keyword_bm25" ->
       """WITH docs AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tok,
@@ -209,6 +232,76 @@ object HybridSearch {
         |  FROM tf JOIN df USING (term), stats
         |  GROUP BY tf.doc_id)
         |ORDER BY score DESC, doc_id
+        |LIMIT 10""".stripMargin,
+    "s3_hybrid_search" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tok,
+        |         CAST(len(regexp_extract_all(lower(text), '\S+')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM docs),
+        |terms AS (SELECT unnest(['spark','join','filter']) AS term),
+        |tf AS (
+        |  SELECT doc_id, dl, token AS term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(tok) AS token FROM docs)
+        |  WHERE token IN (SELECT term FROM terms)
+        |  GROUP BY doc_id, dl, token),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        |kw AS (
+        |  SELECT doc_id, score AS kw_score FROM (
+        |    SELECT tf.doc_id,
+        |      round(sum(
+        |        ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |        * (tf.tf * (1.2 + 1.0))
+        |        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))), 6) AS score
+        |    FROM tf JOIN df USING (term), stats
+        |    GROUP BY tf.doc_id)
+        |  ORDER BY score DESC, doc_id
+        |  LIMIT 50),
+        |pb AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 63), b -> CAST(len(list_filter(
+        |      list_transform(tok, t ->
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(generate_series(1, length(t)),
+        |            i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+        |          (a, c) -> (a*31 + c) % 1000000007)),
+        |      x -> x % 64 = b)) AS DOUBLE)) AS v
+        |  FROM docs WHERE len(tok) > 0),
+        |qv AS (
+        |  SELECT list_transform(generate_series(0, 63), b -> CAST(len(list_filter(
+        |    list_transform(['spark','join','filter'], t ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(generate_series(1, length(t)),
+        |          i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+        |        (a, c) -> (a*31 + c) % 1000000007)),
+        |    x -> x % 64 = b)) AS DOUBLE)) AS v),
+        |vec AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(pb.v)), i -> pb.v[i]*qv.v[i])), (s,x) -> s+x)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |         list_transform(pb.v, x -> x*x)), (s,x) -> s+x))
+        |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |         list_transform(qv.v, x -> x*x)), (s,x) -> s+x))) AS v_score
+        |  FROM pb, qv
+        |  ORDER BY v_score DESC, doc_id
+        |  LIMIT 50),
+        |cand AS (
+        |  SELECT coalesce(kw.doc_id, vec.doc_id) AS doc_id, kw_score, v_score
+        |  FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id),
+        |bounds AS (
+        |  SELECT min(kw_score) AS kmin, max(kw_score) AS kmax,
+        |         min(v_score) AS vmin, max(v_score) AS vmax
+        |  FROM cand)
+        |SELECT doc_id,
+        |  round(0.5 * CASE WHEN v_score IS NULL THEN 0.0
+        |              WHEN vmax = vmin THEN 0.5
+        |              ELSE (v_score - vmin) / (vmax - vmin) END
+        |      + 0.5 * CASE WHEN kw_score IS NULL THEN 0.0
+        |              WHEN kmax = kmin THEN 0.5
+        |              ELSE (kw_score - kmin) / (kmax - kmin) END, 6) AS hybrid_score
+        |FROM cand, bounds
+        |ORDER BY hybrid_score DESC, doc_id
         |LIMIT 10""".stripMargin,
     "s5_filtered_search" ->
       """SELECT doc_id, source, tf_spark FROM (

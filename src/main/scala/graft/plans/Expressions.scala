@@ -332,6 +332,62 @@ case class HashedBow(child: Expression, dims: Int)
     copy(child = newChild)
 }
 
+/** Polynomial-hash bag-of-words: array<string> tokens ->
+  * array<double> of `dims` bucket counts, bucket = (fold of
+  * h*31 + codepoint mod 1e9+7) mod dims. Unlike [[HashedBow]]
+  * (xxhash64), the hash is ANSI-SQL-expressible — DuckDB reproduces
+  * it with ascii(substring(...)) folds — so embeddings built from it
+  * are oracle-checkable end to end. Code points are walked as UTF-16
+  * units (== code points for the BMP; the corpus' scripts are BMP). */
+case class PolyBow(child: Expression, dims: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "poly_bow"
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypes.requireArrays(prettyName, StringType, child)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val v = new Array[Double](dims)
+    var i = 0
+    while (i < arr.numElements()) {
+      val s = arr.getUTF8String(i).toString
+      var h = 0L
+      var j = 0
+      while (j < s.length) {
+        h = (h * 31 + s.charAt(j)) % 1000000007L
+        j += 1
+      }
+      v((h % dims).toInt) += 1.0
+      i += 1
+    }
+    new GenericArrayData(v)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val v = ctx.freshName("v"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val h = ctx.freshName("h")
+      val j = ctx.freshName("j")
+      s"""
+         |double[] $v = new double[$dims];
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  String $s = $c.getUTF8String($i).toString();
+         |  long $h = 0L;
+         |  for (int $j = 0; $j < $s.length(); $j++) {
+         |    $h = ($h * 31 + $s.charAt($j)) % 1000000007L;
+         |  }
+         |  $v[(int) ($h % $dims)] += 1.0;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($v);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyBow =
+    copy(child = newChild)
+}
+
 /** Jaccard similarity of two pre-sorted, distinct array<bigint>
   * columns (hashed shingle sets) via a single merge walk — the
   * long-keyed twin of [[JaccardSorted]]: identical set semantics,

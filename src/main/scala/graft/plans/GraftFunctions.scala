@@ -41,6 +41,11 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "hashed_bow(tokens, dims)")
         HashedBow(args.head, args(1).eval().asInstanceOf[Number].intValue())
+      }),
+    ("poly_bow", "poly_bow(tokens, dims) - SQL-reproducible polynomial-hash bag-of-words",
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "poly_bow(tokens, dims)")
+        PolyBow(args.head, args(1).eval().asInstanceOf[Number].intValue())
       }))
 
   /** Idempotent per-session registration. */
@@ -68,6 +73,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         args(1).eval().asInstanceOf[Number].intValue(),
         args(2).eval().asInstanceOf[Number].intValue())),
       ("hashed_bow", args => HashedBow(args.head,
+        args(1).eval().asInstanceOf[Number].intValue())),
+      ("poly_bow", args => PolyBow(args.head,
         args(1).eval().asInstanceOf[Number].intValue()))
     ).foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),

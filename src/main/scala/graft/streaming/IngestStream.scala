@@ -43,7 +43,7 @@ object IngestStream {
         $"source", concat(lit("doc-"), $"doc_id"), $"chunk_type", $"content"))
       .withColumn("tok", expr("regexp_extract_all(lower(ctx), '\\\\S+', 0)"))
       .filter(size($"tok") > 0)
-      .withColumn("embedding", expr(s"hashed_bow(tok, $dims)"))
+      .withColumn("embedding", expr(s"poly_bow(tok, $dims)"))
       .drop("tok", "ctx")
   }
 
