@@ -56,7 +56,7 @@ object Knn {
     * (table, sig) — never all-pairs. */
   def a2Lsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tables = 16; val bits = 4
+    val tables = 24; val bits = 4
     val sigs = expr(s"hyperplane_sig(v, $tables, $bits)")
     val all = base(spark, dir).withColumn("sigs", sigs)
     val buckets = all
@@ -216,6 +216,42 @@ object Knn {
       |          list_transform(BV, x -> x*x)), (s,x) -> s+x)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "a2_knn_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |sigs AS (
+         |  SELECT vec_id, list_transform(generate_series(0, 23), t ->
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(generate_series(0, 3), p ->
+         |        CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |            list_transform(generate_series(1, len(v)), d ->
+         |              CASE WHEN ((((t*4+p)*64 + d) * 2654435761) // 65536) % 2 = 0
+         |                   THEN v[d] ELSE -v[d] END)),
+         |            (s, x) -> s + x) > 0
+         |        THEN CAST(1 << p AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+         |      (a, b) -> a + b)) AS sg
+         |  FROM e),
+         |buckets AS (
+         |  SELECT vec_id, CAST(g.i - 1 AS INTEGER) AS tbl, sg[g.i] AS sig
+         |  FROM sigs, LATERAL unnest(generate_series(1, 24)) AS g(i)),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, b.vec_id AS vec_id
+         |  FROM buckets q JOIN buckets b ON q.tbl = b.tbl AND q.sig = b.sig
+         |  WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id),
+         |scored AS (
+         |  SELECT c.q_id, c.vec_id,
+         |    ${cosineSql.replace("QV", "eq.v").replace("BV", "eb.v")} AS cosine_raw
+         |  FROM cand c
+         |  JOIN e eq ON eq.vec_id = c.q_id
+         |  JOIN e eb ON eb.vec_id = c.vec_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cosine_raw,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, vec_id, round(cosine_raw, 6) AS cosine, rnk
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin,
     "a1_knn_bruteforce" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

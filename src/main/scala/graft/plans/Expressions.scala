@@ -160,8 +160,10 @@ case class SimHash64(child: Expression)
 
 /** Random-hyperplane LSH signatures: array<double> vector ->
   * array<bigint> of `tables` bucket signatures (`bits` bits each).
-  * Weight(plane q, dim d) = +-1 from parity of xxhash64(q*64 + d)
-  * (seed 42) — identical to the HOF formulation. */
+  * Weight(plane q, dim d) = +-1 from bit 16 of (q*64+d) * 2654435761
+  * (Knuth's multiplicative hash) — deterministic, well-mixed, and
+  * ANSI-SQL-reproducible (integer divide + mod), so the whole LSH
+  * bucket pipeline is oracle-checkable. */
 case class HyperplaneSig(child: Expression, tables: Int, bits: Int)
     extends UnaryExpression {
 
@@ -183,7 +185,7 @@ case class HyperplaneSig(child: Expression, tables: Int, bits: Int)
         var s = 0.0
         var d = 1
         while (d <= dim) {
-          val w = java.lang.Math.floorMod(XXH64.hashLong(q.toLong * 64 + d, 42L), 2L)
+          val w = (((q.toLong * 64 + d) * 2654435761L) >> 16) & 1L
           val x = arr.getDouble(d - 1)
           s += (if (w == 0L) x else -x)
           d += 1
@@ -204,7 +206,6 @@ case class HyperplaneSig(child: Expression, tables: Int, bits: Int)
       val d = ctx.freshName("d"); val s = ctx.freshName("s")
       val sig = ctx.freshName("sig"); val w = ctx.freshName("w")
       val dim = ctx.freshName("dim")
-      val xxh = classOf[XXH64].getName
       s"""
          |int $dim = $c.numElements();
          |long[] $sigs = new long[$tables];
@@ -213,8 +214,7 @@ case class HyperplaneSig(child: Expression, tables: Int, bits: Int)
          |  for (int $p = 0; $p < $bits; $p++) {
          |    double $s = 0.0;
          |    for (int $d = 1; $d <= $dim; $d++) {
-         |      long $w = java.lang.Math.floorMod(
-         |        $xxh.hashLong((long)(($t * $bits + $p)) * 64 + $d, 42L), 2L);
+         |      long $w = ((((long)($t * $bits + $p)) * 64 + $d) * 2654435761L >> 16) & 1L;
          |      $s += ($w == 0L) ? $c.getDouble($d - 1) : -$c.getDouble($d - 1);
          |    }
          |    if ($s > 0) $sig += (1L << $p);
