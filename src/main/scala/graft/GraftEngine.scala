@@ -139,26 +139,27 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
       .groupBy($"text_md5")
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("copies"))
 
-  /** MinHash-LSH near-dup pairs at the given jaccard threshold. */
+  /** MinHash-LSH near-dup pairs at the given jaccard threshold —
+    * hashed shingle sets end to end (the d2 shape: sketches and the
+    * verify merge-walk both work on 8-byte longs). */
   def dedupNearMinHash(threshold: Double = 0.3): DataFrame = {
     val withBands = Caches.persist(tokenized
       .filter(size($"tok") >= 3)
       .select($"doc_id",
-        array_sort(graft.functions.HashFunctions.shingles($"tok", 3)).as("sh"))
-      .select($"doc_id", $"sh",
-        expr("minhash_sig(transform(sh, s -> xxhash64(s)))").as("mh"))
-      .select($"doc_id", $"sh",
+        graft.functions.HashFunctions.hashedShingles($"tok", 3).as("hs"))
+      .select($"doc_id", $"hs", expr("minhash_sig(hs)").as("mh"))
+      .select($"doc_id", $"hs",
         posexplode(graft.functions.HashFunctions.bandHashes($"mh", 64, 2)))
-      .select($"doc_id", $"sh", $"pos".as("band_idx"), $"col".as("band_hash")))
+      .select($"doc_id", $"hs", $"pos".as("band_idx"), $"col".as("band_hash")))
     withBands.as("x")
       .join(withBands.as("y"),
             $"x.band_idx" === $"y.band_idx" && $"x.band_hash" === $"y.band_hash" &&
             $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"),
-              $"x.sh".as("sha"), $"y.sh".as("shb"))
+              $"x.hs".as("ha"), $"y.hs".as("hb"))
       .dropDuplicates("a_id", "b_id")
       .select($"a_id", $"b_id",
-              call_function("jaccard_sorted", $"sha", $"shb").as("jaccard"))
+              call_function("jaccard_sorted_long", $"ha", $"hb").as("jaccard"))
       .filter($"jaccard" >= threshold)
   }
 

@@ -40,11 +40,14 @@ object HashFunctions {
   def shingles(words: Column, n: Int): Column =
     array_distinct(shinglesAll(words, n))
 
-  /** Sorted distinct xxhash64 of the shingles — the hashed-set form
-    * for minhash and merge-walk jaccard (distinct on 8-byte longs,
-    * not strings). */
+  /** Sorted distinct polynomial hashes of the shingles — the
+    * hashed-set form for minhash and merge-walk jaccard (distinct on
+    * 8-byte longs, not strings). The poly hash (h*31+codepoint mod
+    * 1e9+7, the codegen poly_hash_all kernel) is ANSI-SQL
+    * reproducible, so sketches built on it stay oracle-checkable. */
   def hashedShingles(words: Column, n: Int): Column =
-    array_sort(array_distinct(transform(shinglesAll(words, n), s => xxhash64(s))))
+    array_sort(array_distinct(
+      call_function("poly_hash_all", shinglesAll(words, n))))
 
   /** MinHash signature (`numPerms` longs in [0, p)) from a column of
     * shingle hashes. O(numPerms * |shingles|) inside codegen. */
@@ -59,10 +62,17 @@ object HashFunctions {
   }
 
   /** LSH band hashes: split a signature into `bands` bands of
-    * `rowsPerBand` and hash each band. Join key = (band_idx, hash). */
-  def bandHashes(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    * `rowsPerBand` and hash each band with a polynomial fold seeded
+    * by the band index (SQL-reproducible, unlike xxhash64 over the
+    * slice). Join key = (band_idx, hash); ~1e9 buckets per band. */
+  def bandHashes(signature: Column, bands: Int, rowsPerBand: Int): Column = {
+    val m = 1000000007L
     transform(sequence(lit(0), lit(bands - 1)), bnd =>
-      xxhash64(bnd, slice(signature, bnd * rowsPerBand + 1, lit(rowsPerBand))))
+      aggregate(
+        slice(signature, bnd * rowsPerBand + 1, lit(rowsPerBand)),
+        bnd.cast("long"),
+        (h, v) => (h * 31 + v % m) % m))
+  }
 
   /** 64-bit SimHash over a token-hash array: per bit, sum +-1 votes
     * across token hashes; sign becomes the bit. Disjoint-bit adds

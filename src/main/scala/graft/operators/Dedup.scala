@@ -175,7 +175,51 @@ object Dedup {
     "d4_ngram_jaccard" -> d4NgramJaccard _,
     "d5_dedup_embedding" -> d5EmbeddingCosine _)
 
+  /** d2's full DuckDB replay: poly-hashed shingle sets, the 128-perm
+    * minhash with the SAME (a,b) constants the kernel uses (spliced
+    * as literals), the band fold, the bucket self-join, and the
+    * hashed-set jaccard verify. */
+  private lazy val d2Sql: String = {
+    val (pa, pb) = H.permConstants(128)
+    val aList = pa.mkString("[", ", ", "]")
+    val bList = pb.mkString("[", ", ", "]")
+    s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+       |d AS (
+       |  SELECT doc_id, list_sort(list_distinct(list_transform(
+       |    list_transform(generate_series(1, len(w)-2),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+       |    t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(1, length(t)),
+       |        i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+       |      (a, c) -> (a*31 + c) % 1000000007)))) AS hs
+       |  FROM w WHERE len(w) >= 3),
+       |sig AS (
+       |  SELECT doc_id, list_transform(generate_series(1, 128), p ->
+       |    list_reduce(list_prepend(CAST(9223372036854775807 AS BIGINT),
+       |      list_transform(hs, h -> (($aList)[p] * (h % 2147483647) + ($bList)[p]) % 2147483647)),
+       |      (m, x) -> least(m, x))) AS mh
+       |  FROM d),
+       |bands AS (
+       |  SELECT doc_id, b.i - 1 AS band_idx,
+       |    (((CAST(b.i - 1 AS BIGINT) * 31 + mh[2*b.i - 1] % 1000000007) % 1000000007) * 31
+       |      + mh[2*b.i] % 1000000007) % 1000000007 AS band_hash
+       |  FROM sig, LATERAL unnest(generate_series(1, 64)) AS b(i)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM bands x JOIN bands y
+       |    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+       |   AND x.doc_id < y.doc_id)
+       |SELECT a_id, b_id, jaccard FROM (
+       |  SELECT a_id, b_id,
+       |    round(CAST(len(list_intersect(da.hs, db.hs)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(da.hs, db.hs))), 6) AS jaccard
+       |  FROM cand JOIN d da ON da.doc_id = a_id JOIN d db ON db.doc_id = b_id)
+       |WHERE jaccard >= 0.3
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "d2_dedup_minhash_lsh" -> d2Sql,
     "d1_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS copies
         |FROM documents

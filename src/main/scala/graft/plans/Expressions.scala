@@ -388,6 +388,59 @@ case class PolyBow(child: Expression, dims: Int)
     copy(child = newChild)
 }
 
+/** Element-wise polynomial hash: array<string> -> array<bigint>,
+  * h(s) = fold of h*31 + codepoint mod 1e9+7 — the scalar twin of
+  * [[PolyBow]], used where downstream set logic (minhash, jaccard)
+  * wants the hash VALUES and the oracle must reproduce them. */
+case class PolyHashArr(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "poly_hash_all"
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypes.requireArrays(prettyName, StringType, child)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](arr.numElements())
+    var i = 0
+    while (i < arr.numElements()) {
+      val s = arr.getUTF8String(i).toString
+      var h = 0L
+      var j = 0
+      while (j < s.length) {
+        h = (h * 31 + s.charAt(j)) % 1000000007L
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val h = ctx.freshName("h")
+      val j = ctx.freshName("j")
+      s"""
+         |long[] $out = new long[$c.numElements()];
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  String $s = $c.getUTF8String($i).toString();
+         |  long $h = 0L;
+         |  for (int $j = 0; $j < $s.length(); $j++) {
+         |    $h = ($h * 31 + $s.charAt($j)) % 1000000007L;
+         |  }
+         |  $out[$i] = $h;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHashArr =
+    copy(child = newChild)
+}
+
 /** Jaccard similarity of two pre-sorted, distinct array<bigint>
   * columns (hashed shingle sets) via a single merge walk — the
   * long-keyed twin of [[JaccardSorted]]: identical set semantics,

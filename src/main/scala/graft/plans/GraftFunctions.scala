@@ -46,7 +46,9 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "poly_bow(tokens, dims)")
         PolyBow(args.head, args(1).eval().asInstanceOf[Number].intValue())
-      }))
+      }),
+    ("poly_hash_all", "poly_hash_all(strings) - element-wise SQL-reproducible polynomial hash",
+      (args: Seq[Expression]) => PolyHashArr(args.head)))
 
   /** Idempotent per-session registration. */
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
@@ -75,7 +77,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       ("hashed_bow", args => HashedBow(args.head,
         args(1).eval().asInstanceOf[Number].intValue())),
       ("poly_bow", args => PolyBow(args.head,
-        args(1).eval().asInstanceOf[Number].intValue()))
+        args(1).eval().asInstanceOf[Number].intValue())),
+      ("poly_hash_all", args => PolyHashArr(args.head))
     ).foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[Kernels.type].getName, null, name),
