@@ -89,23 +89,31 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
 
-  /** SimHash near-dup pairs: 64-bit token-level simhash, 8x8-bit
-    * chunk blocking (pigeonhole: hamming <= 7 always shares a chunk),
-    * verified by bit_count(xor) <= 5 (the 25 planted near-dup pairs
-    * sit at hamming 0-5; vocab-overlap noise starts at 2 but floods
-    * from 6 up). */
+  /** SimHash near-dup pairs: 60-bit token-level simhash (token hash =
+    * two independent SQL-reproducible poly hashes packed 30+30 bits),
+    * 6x10-bit chunk blocking (pigeonhole: hamming <= 5 always shares
+    * a chunk), verified by bit_count(xor) <= 5. The hash family being
+    * ANSI-SQL-expressible lets DuckDB replay the whole sketch. */
   def d3Simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sim = Tables.documents(spark, dir)
       .select($"doc_id", expr("regexp_extract_all(lower(text), '\\\\S+', 0)").as("tok"))
       .filter(size($"tok") > 0)
-      .withColumn("th", transform($"tok", t => xxhash64(t)))
+      // 60-bit token hash: two independent poly hashes, each
+      // scrambled by multiplicative wrap-around (h * 2654435761 mod
+      // 2^30 — short tokens' raw poly values are magnitude-bounded,
+      // so without the wrap their top bits are all zero and the
+      // simhash bit votes correlate), packed 30+30
+      .withColumn("th", zip_with(
+        expr("poly_hash_all(tok, 31)"), expr("poly_hash_all(tok, 37)"),
+        (a, b) => (a * 2654435761L % 1073741824L) * 1073741824L +
+                  (b * 2654435761L % 1073741824L)))
       .select($"doc_id", expr("graft_simhash64(th)").as("simhash"))
     // persist (tracked; released post-action): chunks sits on both
     // sides of the blocking self-join — the tokenize+simhash pipeline
     // would otherwise run twice
     val chunks = graft.Caches.persist(sim
-      .select($"doc_id", $"simhash", explode(H.simhashChunks($"simhash", 8)).as("c"))
+      .select($"doc_id", $"simhash", explode(H.simhashChunks($"simhash", 6)).as("c"))
       .select($"doc_id", $"simhash", $"c.chunk_idx", $"c.chunk_val"))
     chunks.as("x")
       .join(chunks.as("y"),
@@ -218,8 +226,52 @@ object Dedup {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** d3's DuckDB replay: 60-bit packed poly token hashes, the
+    * bit-vote simhash, 6x10-bit chunk blocking, hamming verify. */
+  private lazy val d3Sql: String = {
+    def fold(m: Int) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(generate_series(1, length(t)),
+         |          i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+         |        (a, c) -> (a*$m + c) % 1000000007)""".stripMargin
+    s"""WITH tk AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS tok
+       |  FROM documents
+       |  WHERE len(regexp_extract_all(lower(text), '\\S+')) > 0),
+       |th AS (
+       |  SELECT doc_id, list_transform(tok, t ->
+       |      ((${fold(31)} * 2654435761) % 1073741824) * 1073741824
+       |    + ((${fold(37)} * 2654435761) % 1073741824)) AS th
+       |  FROM tk),
+       |sim AS (
+       |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(generate_series(0, 59), b ->
+       |      CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(th, h -> CASE WHEN (h >> b) & 1 = 1
+       |                                     THEN CAST(1 AS BIGINT)
+       |                                     ELSE CAST(-1 AS BIGINT) END)),
+       |        (s, v) -> s + v) > 0
+       |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
+       |    (s, v) -> s + v) AS simhash
+       |  FROM th),
+       |chunks AS (
+       |  SELECT doc_id, simhash, c.i - 1 AS chunk_idx,
+       |         (simhash >> ((c.i - 1) * 10)) & 1023 AS chunk_val
+       |  FROM sim, LATERAL unnest(generate_series(1, 6)) AS c(i)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+       |    CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+       |  FROM chunks x JOIN chunks y
+       |    ON x.chunk_idx = y.chunk_idx AND x.chunk_val = y.chunk_val
+       |   AND x.doc_id < y.doc_id)
+       |SELECT a_id, b_id, hamming FROM cand
+       |WHERE hamming <= 5
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "d2_dedup_minhash_lsh" -> d2Sql,
+    "d3_dedup_simhash" -> d3Sql,
     "d1_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS copies
         |FROM documents

@@ -389,10 +389,11 @@ case class PolyBow(child: Expression, dims: Int)
 }
 
 /** Element-wise polynomial hash: array<string> -> array<bigint>,
-  * h(s) = fold of h*31 + codepoint mod 1e9+7 — the scalar twin of
-  * [[PolyBow]], used where downstream set logic (minhash, jaccard)
-  * wants the hash VALUES and the oracle must reproduce them. */
-case class PolyHashArr(child: Expression)
+  * h(s) = fold of h*mult + codepoint mod 1e9+7 — the scalar twin of
+  * [[PolyBow]], used where downstream set logic (minhash, jaccard,
+  * simhash) wants the hash VALUES and the oracle must reproduce
+  * them. Distinct multipliers give independent hash families. */
+case class PolyHashArr(child: Expression, mult: Long = 31L)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -409,7 +410,7 @@ case class PolyHashArr(child: Expression)
       var h = 0L
       var j = 0
       while (j < s.length) {
-        h = (h * 31 + s.charAt(j)) % 1000000007L
+        h = (h * mult + s.charAt(j)) % 1000000007L
         j += 1
       }
       out(i) = h
@@ -429,7 +430,7 @@ case class PolyHashArr(child: Expression)
          |  String $s = $c.getUTF8String($i).toString();
          |  long $h = 0L;
          |  for (int $j = 0; $j < $s.length(); $j++) {
-         |    $h = ($h * 31 + $s.charAt($j)) % 1000000007L;
+         |    $h = ($h * ${mult}L + $s.charAt($j)) % 1000000007L;
          |  }
          |  $out[$i] = $h;
          |}

@@ -47,8 +47,11 @@ object GraftFunctions {
         require(args.length == 2, "poly_bow(tokens, dims)")
         PolyBow(args.head, args(1).eval().asInstanceOf[Number].intValue())
       }),
-    ("poly_hash_all", "poly_hash_all(strings) - element-wise SQL-reproducible polynomial hash",
-      (args: Seq[Expression]) => PolyHashArr(args.head)))
+    ("poly_hash_all", "poly_hash_all(strings[, mult]) - element-wise SQL-reproducible polynomial hash",
+      (args: Seq[Expression]) =>
+        if (args.length >= 2)
+          PolyHashArr(args.head, args(1).eval().asInstanceOf[Number].longValue())
+        else PolyHashArr(args.head)))
 
   /** Idempotent per-session registration. */
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
@@ -78,7 +81,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         args(1).eval().asInstanceOf[Number].intValue())),
       ("poly_bow", args => PolyBow(args.head,
         args(1).eval().asInstanceOf[Number].intValue())),
-      ("poly_hash_all", args => PolyHashArr(args.head))
+      ("poly_hash_all", args =>
+        if (args.length >= 2)
+          PolyHashArr(args.head, args(1).eval().asInstanceOf[Number].longValue())
+        else PolyHashArr(args.head))
     ).foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[Kernels.type].getName, null, name),
