@@ -14,6 +14,7 @@ object SparkEntry {
       (operators.ChunkQueries.queries, operators.ChunkQueries.oracles),
       (operators.HybridSearch.queries, operators.HybridSearch.oracles),
       (operators.Multimodal.queries, operators.Multimodal.oracles),
+      (operators.Pipeline.queries, operators.Pipeline.oracles),
       (streaming.EventStream.queries, streaming.EventStream.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

@@ -187,7 +187,7 @@ object Dedup {
     * minhash with the SAME (a,b) constants the kernel uses (spliced
     * as literals), the band fold, the bucket self-join, and the
     * hashed-set jaccard verify. */
-  private lazy val d2Sql: String = {
+  private[operators] lazy val d2Sql: String = {
     val (pa, pb) = H.permConstants(128)
     val aList = pa.mkString("[", ", ", "]")
     val bList = pb.mkString("[", ", ", "]")

@@ -141,17 +141,38 @@ object TextAnalysis {
     "t3_token_count" -> t3TokenCount _,
     "t4_fingerprint" -> t4Fingerprint _)
 
-  val oracles: Map[String, String] = {
-    val profileCols = profiles
-      .map { case (l, p) => s" len(regexp_extract_all(lower(text), '${p.replace("\\\\", "\\")}')) AS s_$l," }
-      .mkString("\n")
-    // same fixed-priority argmax as the Spark side
-    val bestChain = profiles.map(_._1).zipWithIndex.map { case (l, i) =>
+  /** SQL fragments shared by the t1/t2 oracles and the end-to-end
+    * pipeline oracle (p1): per-profile score columns, the
+    * fixed-priority argmax CASE arms, and the quality formula. */
+  private[operators] lazy val profileColsSql: String = profiles
+    .map { case (l, p) => s" len(regexp_extract_all(lower(text), '${p.replace("\\\\", "\\")}')) AS s_$l," }
+    .mkString("\n")
+
+  private[operators] lazy val zhColSql: String =
+    s"len(regexp_extract_all(text, '${cjkPattern.replace("\\\\", "\\")}')) AS s_zh"
+
+  private[operators] lazy val qualityColsSql: String =
+    s""" len(regexp_extract_all(text, '\\S+')) AS n_tok,
+       | len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+       | len(regexp_extract_all(lower(text), '${stopwordsEn.replace("\\\\", "\\")}')) AS n_stop""".stripMargin
+
+  // same fixed-priority argmax as the Spark side
+  private[operators] lazy val bestChainSql: String =
+    profiles.map(_._1).zipWithIndex.map { case (l, i) =>
       val geLater = profiles.map(_._1).filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
       val gtEarlier = profiles.map(_._1).take(i).map(o => s"s_$l > s_$o")
       val cond = (Seq(s"s_$l > 0", geLater) ++ gtEarlier).mkString(" AND ")
       s"WHEN $cond THEN '$l'"
     }.mkString("\n      ")
+
+  private[operators] val qualityExprSql: String =
+    """round(0.4 * least(CAST(n_tok AS DOUBLE)/100.0, 1.0)
+      |     + 0.3 * (1.0 - CAST(n_punct AS DOUBLE)/greatest(n_tok, 1))
+      |     + 0.3 * (CAST(n_stop AS DOUBLE)/greatest(n_tok, 1)), 6)""".stripMargin
+
+  val oracles: Map[String, String] = {
+    val profileCols = profileColsSql
+    val bestChain = bestChainSql
     Map(
       "t1_lang_id" ->
         s"""SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
