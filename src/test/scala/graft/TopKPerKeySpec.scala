@@ -113,6 +113,32 @@ class TopKPerKeySpec extends SparkSpec {
     }
   }
 
+  test("null group keys and null order values match the window operator") {
+    withTopK {
+      val data = spark.range(200).select(
+        when(col("id") % 5 === 0, lit(null)).otherwise(col("id") % 7).as("grp"),
+        when(col("id") % 11 === 0, lit(null)).otherwise(col("id") * 37 % 101).as("score"),
+        col("id"))
+      val w = Window.partitionBy($"grp").orderBy($"score".desc_nulls_last, $"id")
+      val topk = data.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 3)
+        .orderBy($"grp".asc_nulls_first, $"rnk")
+      assert(physical(topk).contains("FinalTopK"), "rewrite must fire on nullable keys")
+
+      val s2 = spark.newSession()
+      import org.apache.spark.sql.{functions => F}
+      val ref = s2.range(200).select(
+          F.when(F.col("id") % 5 === 0, F.lit(null)).otherwise(F.col("id") % 7).as("grp"),
+          F.when(F.col("id") % 11 === 0, F.lit(null)).otherwise(F.col("id") * 37 % 101).as("score"),
+          F.col("id"))
+        .withColumn("rnk", F.row_number().over(
+          Window.partitionBy(F.col("grp")).orderBy(F.col("score").desc_nulls_last, F.col("id"))))
+        .filter(F.col("rnk") <= 3)
+        .orderBy(F.col("grp").asc_nulls_first, F.col("rnk"))
+      assert(physical(ref).contains("Window"))
+      assert(topk.collect().toSeq.map(_.toSeq) === ref.collect().toSeq.map(_.toSeq))
+    }
+  }
+
   test("partial stage prunes shuffle input to <= k rows per key per partition") {
     withTopK {
       val w = Window.partitionBy($"grp").orderBy($"score".desc, $"id")
