@@ -193,9 +193,12 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
         Window.partitionBy($"__md5").orderBy($"doc_id")))
       .filter($"__rn" === 1)
       .drop("__md5", "__rn")
+    // no broadcast hint: the loser set scales with the duplicate rate
+    // (corpus-sized in the worst case) — AQE picks broadcast at
+    // runtime when the set turns out small
     val nearDupLosers = dedupNearMinHash(nearDupThreshold)
       .select($"b_id".as("doc_id")).distinct()
-    exactKept.join(broadcast(nearDupLosers), Seq("doc_id"), "left_anti")
+    exactKept.join(nearDupLosers, Seq("doc_id"), "left_anti")
   }
 
   /** Crawl-frontier expansion (worker.DiscoverLinks): normalize +

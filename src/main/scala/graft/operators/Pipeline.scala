@@ -27,9 +27,11 @@ object Pipeline {
       .withColumn("__rn", row_number().over(
         Window.partitionBy($"__md5").orderBy($"doc_id")))
       .filter($"__rn" === 1)
+    // no broadcast hint: the loser set scales with the duplicate
+    // rate — AQE broadcasts at runtime when it is actually small
     val losers = Dedup.d2MinhashLsh(spark, dir)
       .select($"b_id".as("doc_id")).distinct()
-    exactKept.join(broadcast(losers), Seq("doc_id"), "left_anti")
+    exactKept.join(losers, Seq("doc_id"), "left_anti")
       .select($"doc_id", $"lang_id", $"quality")
       .orderBy($"doc_id")
   }
