@@ -226,14 +226,15 @@ object ChunkQueries {
       // cache the lazy union tree re-evaluates every earlier level
       // once per later level (exponential plan blowup, the classic
       // iterative-DataFrame trap)
-      // this demo graph is 50 nodes, so edges and the visited set
-      // broadcast (AQE would reach the same choice from runtime
-      // stats); at web scale both grow past broadcast and the same
-      // plan degrades gracefully to shuffle hash joins
+      // no broadcast hints: `visited` grows every level, and a hint
+      // is a hard override — at web scale a forced broadcast of the
+      // visited set OOMs the driver. AQE broadcasts from runtime
+      // stats while the sets are small and degrades to shuffle hash
+      // joins once they aren't.
       frontier = graft.Caches.persist(frontier
-        .join(broadcast(edges), $"url" === $"src")
+        .join(edges, $"url" === $"src")
         .select($"dst".as("url")).distinct()
-        .join(broadcast(visited.select($"url")), Seq("url"), "left_anti"))
+        .join(visited.select($"url"), Seq("url"), "left_anti"))
       visited = visited.union(
         frontier.select($"url", lit(d.toLong).as("depth")))
     }

@@ -78,6 +78,27 @@ object Knn {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** Per-dimension centroid means with a DETERMINISTIC accumulation
+    * order: explode dims, then an ordered-frame window sum over
+    * members sorted by vec_id. A plain groupBy+avg folds in partition
+    * arrival order (nondeterministic doubles across runs/engines);
+    * the ordered frame makes the sum a strict left fold the DuckDB
+    * oracle reproduces with list_reduce(list(val ORDER BY vec_id)) —
+    * same trick as c5's L2 norm. One shuffle either way. */
+  private def orderedCentroids(exploded: DataFrame, key: String): DataFrame = {
+    import exploded.sparkSession.implicits._
+    val wSum = Window.partitionBy(col(key), $"pos").orderBy($"vec_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wFirst = Window.partitionBy(col(key), $"pos").orderBy($"vec_id")
+    exploded
+      .withColumn("c", sum($"col").over(wSum) / count(lit(1)).over(wSum))
+      .withColumn("rn", row_number().over(wFirst))
+      .filter($"rn" === 1)
+      .groupBy(col(key))
+      .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+      .select(col(key), transform($"pc", p => p("c")).as("cv"))
+  }
+
   /** IVF: per-label centroids as the coarse quantizer; each query
     * probes its nprobe=3 nearest cells and scores only those cells. */
   def a3Ivf(spark: SparkSession, dir: String): DataFrame = {
@@ -86,14 +107,9 @@ object Knn {
     // embedding view feeds the centroid build, the query probe, and
     // the cell-scoring join
     val all = graft.Caches.persist(base(spark, dir))
-    // centroid_d = avg over cell members (explode dims -> agg -> regroup)
-    val centroids = all
-      .select($"label", posexplode($"v"))
-      .groupBy($"label", $"pos")
-      .agg(avg($"col").as("c"))
-      .groupBy($"label")
-      .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
-      .select($"label".as("c_label"), transform($"pc", p => p("c")).as("cv"))
+    val centroids = orderedCentroids(
+        all.select($"vec_id", $"label", posexplode($"v")), "label")
+      .select($"label".as("c_label"), $"cv")
     val queries = all.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"v".as("qv"))
     // probe: top-3 centroids per query by cosine
@@ -130,13 +146,8 @@ object Knn {
       .select($"v").as[Seq[Double]].collect().toSeq
     for (_ <- 1 to iters) {
       val assigned = assign(vectors, cents)
-      cents = assigned
-        .select($"cid", posexplode($"v"))
-        .groupBy($"cid", $"pos")
-        .agg(avg($"col").as("c"))
-        .groupBy($"cid")
-        .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
-        .select($"cid", transform($"pc", p => p("c")).as("cv"))
+      cents = orderedCentroids(
+          assigned.select($"vec_id", $"cid", posexplode($"v")), "cid")
         .orderBy($"cid")
         .select($"cv").as[Seq[Double]].collect().toSeq
     }
@@ -215,7 +226,106 @@ object Knn {
       |      * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
       |          list_transform(BV, x -> x*x)), (s,x) -> s+x)))""".stripMargin
 
+  private def cos(a: String, b: String): String =
+    cosineSql.replace("QV", a).replace("BV", b)
+
+  /** One unrolled Lloyd iteration as CTE stages: score vs c{i-1},
+    * argmax-assign (ties -> lowest cid, matching array_position on
+    * the first max), ordered-fold centroid update (matching the
+    * Spark side's ordered-frame window mean bit for bit). */
+  private def kmIterSql(i: Int): String =
+    s"""s$i AS (
+       |  SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} AS cs
+       |  FROM e CROSS JOIN c${i - 1} c),
+       |a$i AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+       |    FROM s$i) WHERE rn = 1),
+       |c$i AS (
+       |  SELECT cid, list(c ORDER BY pos) AS cv FROM (
+       |    SELECT a.cid, d.pos,
+       |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d.val ORDER BY d.vec_id)),
+       |        (s, x) -> s + x) / count(*) AS c
+       |    FROM a$i a JOIN dims d ON d.vec_id = a.vec_id GROUP BY a.cid, d.pos)
+       |  GROUP BY cid)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "a3_knn_ivf" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |dims AS (
+         |  SELECT vec_id, label, g.i - 1 AS pos, v[g.i] AS val
+         |  FROM e, LATERAL unnest(generate_series(1, 64)) AS g(i)),
+         |cent AS (
+         |  SELECT label, list(c ORDER BY pos) AS cv FROM (
+         |    SELECT label, pos,
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(val ORDER BY vec_id)),
+         |        (s, x) -> s + x) / count(*) AS c
+         |    FROM dims GROUP BY label, pos)
+         |  GROUP BY label),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |pscore AS (
+         |  SELECT q.q_id, q.qv, c.label, ${cos("q.qv", "c.cv")} AS c_cos
+         |  FROM q CROSS JOIN cent c),
+         |probe AS (
+         |  SELECT q_id, qv, label FROM (
+         |    SELECT q_id, qv, label,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY c_cos DESC, label) AS p_rnk
+         |    FROM pscore) WHERE p_rnk <= 3),
+         |scored AS (
+         |  SELECT p.q_id, b.vec_id, ${cos("p.qv", "b.v")} AS cosine_raw
+         |  FROM probe p JOIN e b ON b.label = p.label AND b.vec_id <> p.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cosine_raw,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, vec_id, round(cosine_raw, 6) AS cosine, rnk
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin,
+    "a4_knn_ivf_kmeans" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |dims AS (
+         |  SELECT vec_id, g.i - 1 AS pos, v[g.i] AS val
+         |  FROM e, LATERAL unnest(generate_series(1, 64)) AS g(i)),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+         |${kmIterSql(1)},
+         |${kmIterSql(2)},
+         |${kmIterSql(3)},
+         |sf AS (
+         |  SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} AS cs
+         |  FROM e CROSS JOIN c3 c),
+         |cells AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+         |    FROM sf) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |pscore AS (
+         |  SELECT q.q_id, q.qv, c.cid, ${cos("q.qv", "c.cv")} AS cs
+         |  FROM q CROSS JOIN c3 c),
+         |probe AS (
+         |  SELECT q_id, qv, cid FROM (
+         |    SELECT q_id, qv, cid,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, cid DESC) AS p_rnk
+         |    FROM pscore) WHERE p_rnk <= 2),
+         |scored AS (
+         |  SELECT p.q_id, ce.vec_id, ${cos("p.qv", "b.v")} AS cosine_raw
+         |  FROM probe p
+         |  JOIN cells ce ON ce.cid = p.cid AND ce.vec_id <> p.q_id
+         |  JOIN e b ON b.vec_id = ce.vec_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cosine_raw,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, vec_id, round(cosine_raw, 6) AS cosine, rnk
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin,
     "a2_knn_lsh" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
