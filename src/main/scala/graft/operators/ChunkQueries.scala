@@ -30,12 +30,54 @@ object ChunkQueries {
       .orderBy($"doc_id")
   }
 
+  /** Chunker-lite corpus: markdown synthesized deterministically from
+    * `documents` columns so that every chunk boundary is exactly
+    * predictable — three variants (by doc_id mod 3) mixing prose,
+    * python/yaml/bash fences, a swagger-keyword prose (api type), and
+    * a sub-noise-floor tail ("Thanks.") that the noise filter must
+    * drop. All prose sections and fence bodies sit under
+    * maxChars = maxTokens*4 = 128, so the paragraph/line/word packing
+    * never triggers and the expected chunks are SQL-constructible
+    * string concats. c2/c3 run the REAL imperative chunker over this
+    * corpus and hash-match the DuckDB-built expectation; general
+    * chunker behavior (packing, over-budget fences, every noise rule)
+    * stays covered by ChunkerReferenceParitySpec's ported
+    * chunker_test.go cases. */
+  private def chunkLiteCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = pmod($"doc_id", lit(3))
+    val id = $"doc_id".cast("string")
+    val proseA = when(v === 2,
+        concat(lit("This swagger endpoint spec for document D"), id,
+               lit(" describes the public api surface and methods.")))
+      .otherwise(
+        concat(lit("Overview of document D"), id, lit(" from "), $"source",
+               lit(" explaining the ingestion design in plain words.")))
+    val code = when(v === 0,
+        concat(lit("def handler_"), id, lit("(x):\n    return x + "),
+               pmod($"doc_id", lit(10)).cast("string")))
+      .when(v === 1,
+        concat(lit("name: doc-"), id, lit("\nreplicas: "),
+               pmod($"doc_id", lit(5)).cast("string")))
+      .otherwise(concat(lit("echo build-"), id))
+    val lang = when(v === 0, lit("python")).when(v === 1, lit("yaml"))
+      .otherwise(lit("bash"))
+    val proseB = concat(lit("Closing remarks for document D"), id,
+      lit(" with enough words to pass the noise floor easily."))
+    val text = concat(proseA, lit("\n\n```"), lang, lit("\n"), code, lit("\n```"),
+      when(v === 0, concat(lit("\n\n"), proseB))
+        .when(v === 1, lit("\n"))
+        .otherwise(lit("\n\nThanks.")))
+    Tables.documents(spark, dir).select($"doc_id", text.as("text"))
+  }
+
   /** c2: the structural chunker as a typed Dataset flatMap — one pass
-    * per document, no shuffle; scales with input splits. */
+    * per document, no shuffle; scales with input splits. Runs over
+    * the chunker-lite corpus so the driver's DuckDB oracle can
+    * hash-match every chunk (index, md5, type, language, length). */
   def c2ChunkMarkdown(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select($"doc_id", $"text")
+    chunkLiteCorpus(spark, dir)
       .as[(Long, String)]
       .flatMap { case (docId, text) =>
         Chunker.chunkMarkdown(text, maxTokens = 32, overlap = 0).zipWithIndex.map {
@@ -49,11 +91,12 @@ object ChunkQueries {
   }
 
   /** c3: IsNoiseChunk (chunker.go:43-97) as a DataFrame filter over
-    * the chunked corpus; keeps embed-worthy chunks. */
+    * the chunked corpus; keeps embed-worthy chunks. The variant-2
+    * docs carry a sub-floor "Thanks." tail, so the per-doc kept
+    * count proves the filter fired (3/2/2 chunks by variant). */
   def c3NoiseFilter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select($"doc_id", $"text")
+    chunkLiteCorpus(spark, dir)
       .as[(Long, String)]
       .flatMap { case (docId, text) =>
         Chunker.chunkMarkdown(text, maxTokens = 32, overlap = 0).zipWithIndex.collect {
@@ -285,6 +328,39 @@ object ChunkQueries {
     "c10_crawl_bfs" -> c10CrawlBfs _)
 
   val oracles: Map[String, String] = Map(
+    "c2_chunk_markdown" ->
+      """WITH parts AS (
+        |  SELECT doc_id, doc_id % 3 AS v,
+        |    CASE WHEN doc_id % 3 = 2
+        |      THEN 'This swagger endpoint spec for document D' || doc_id || ' describes the public api surface and methods.'
+        |      ELSE 'Overview of document D' || doc_id || ' from ' || source || ' explaining the ingestion design in plain words.'
+        |    END AS prose_a,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN 'def handler_' || doc_id || '(x):' || chr(10) || '    return x + ' || (doc_id % 10)
+        |      WHEN 1 THEN 'name: doc-' || doc_id || chr(10) || 'replicas: ' || (doc_id % 5)
+        |      ELSE 'echo build-' || doc_id END AS code,
+        |    CASE doc_id % 3 WHEN 0 THEN 'python' WHEN 1 THEN 'yaml' ELSE 'bash' END AS lang,
+        |    'Closing remarks for document D' || doc_id || ' with enough words to pass the noise floor easily.' AS prose_b
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, 0 AS chunk_index, prose_a AS content,
+        |    CASE WHEN v = 2 THEN 'api' ELSE 'prose' END AS chunk_type, '' AS language
+        |  FROM parts
+        |  UNION ALL
+        |  SELECT doc_id, 1, '```' || lang || chr(10) || code || chr(10) || '```',
+        |    CASE v WHEN 0 THEN 'code' WHEN 1 THEN 'config' ELSE 'cmd' END, lang
+        |  FROM parts
+        |  UNION ALL
+        |  SELECT doc_id, 2, prose_b, 'prose', '' FROM parts WHERE v = 0)
+        |SELECT doc_id, CAST(chunk_index AS INTEGER) AS chunk_index, md5(content) AS content_md5,
+        |  chunk_type, language, CAST(length(content) AS BIGINT) AS n_chars
+        |FROM chunks
+        |ORDER BY doc_id, chunk_index""".stripMargin,
+    "c3_noise_filter" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS BIGINT) AS kept_chunks
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "c1_clean_markdown" ->
       """SELECT doc_id,
         | md5(regexp_replace(regexp_replace(text,
