@@ -1,9 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{HashFunctions => H, VectorFunctions => V}
+import graft.functions.{HashFunctions => H, JoinUtils, VectorFunctions => V}
 
 /** Deduplication operators (SURVEY.md §2.D) over `documents` /
   * `embeddings` — the core of any 100 TB training-data pipeline.
@@ -19,11 +20,11 @@ object Dedup {
 
   /** doc_id + distinct 3-word shingles (docs with < 3 tokens drop out:
     * they can't participate in shingle-based dedup). */
-  private def shingleSets(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  private[graft] def shingleSets(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     // one regexp pass: token count = size of the extracted array
     // (regexp_count would re-scan the full text a second time)
-    Tables.documents(spark, dir)
+    docs
       .select($"doc_id", expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
       .filter(size($"w") >= 3)
       .select($"doc_id", array_sort(H.shingles($"w", 3)).as("sh"))
@@ -126,39 +127,76 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
 
-  /** Verified n-gram Jaccard pairs >= 0.3 with 1-perm minhash
-    * blocking: candidates share their lexicographic min OR max
-    * shingle (P(miss) ~ (1-j)^2, <1% at j>=0.9). Never a global
-    * self-join — the equi-join shuffles on the blocking shingle, so
-    * cost tracks bucket sizes, not n^2. Kept SQL-expressible so the
-    * oracle can verify; d2 is the higher-recall multi-band variant. */
-  def d4NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    // persist (tracked in graft.Caches, released post-action): the
-    // shingle pipeline (regexp + transform + sort) feeds the block
-    // explode AND both verify-join sides — cached once; the candidate
-    // self-join and its dedup carry ONLY ids and block keys, so the
-    // wide shuffles never move shingle arrays (those re-enter via the
-    // cached-set join after the pair set is already distinct)
-    val sets = graft.Caches.persist(shingleSets(spark, dir))
+  /** Default d4 block-size cap: a shingle shared by more documents
+    * than this is boilerplate ("the end of the", license headers) —
+    * it carries no near-dup signal, and its bucket's self-join is
+    * quadratic. Dropping oversized buckets is the standard blocking
+    * cap every production record-linkage system applies. */
+  val MaxBlock = 64
+
+  /** Candidate pairs for [[ngramJaccardPairs]]: 1-perm minhash
+    * blocking (lexicographic min OR max shingle), with buckets larger
+    * than maxBlock dropped BEFORE the self-join — the mega-bucket
+    * skew class never reaches the quadratic stage. Exposed for the
+    * skew spec. */
+  private[graft] def ngramCandidates(sets: DataFrame, maxBlock: Int): DataFrame = {
+    import sets.sparkSession.implicits._
     val blocks = sets
       .select($"doc_id",
               explode(array(
                 struct(lit(0).as("bidx"), array_min($"sh").as("bkey")),
                 struct(lit(1).as("bidx"), array_max($"sh").as("bkey")))).as("b"))
       .select($"doc_id", $"b.bidx".as("bidx"), $"b.bkey".as("bkey"))
-    val candidates = blocks.as("a")
-      .join(blocks.as("b"),
+    // bucket sizes via a window count on the block key: the count is
+    // linear even for a mega-bucket (one sorted partition), and the
+    // oversized bucket is discarded before any pairing
+    val wB = Window.partitionBy($"bidx", $"bkey")
+    val kept = blocks
+      .withColumn("bcnt", count(lit(1)).over(wB))
+      .filter($"bcnt" <= maxBlock)
+      .drop("bcnt")
+    kept.as("a")
+      .join(kept.as("b"),
             $"a.bidx" === $"b.bidx" && $"a.bkey" === $"b.bkey" &&
             $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
       .distinct()
-    candidates
-      .join(sets.as("sa"), $"a_id" === $"sa.doc_id")
-      .join(sets.as("sb"), $"b_id" === $"sb.doc_id")
-      .select($"a_id", $"b_id", round(jaccard($"sa.sh", $"sb.sh"), 6).as("jaccard"))
+  }
+
+  /** Verified n-gram Jaccard pairs >= 0.3 over any (doc_id, text)
+    * corpus, with 1-perm minhash blocking: candidates share their
+    * lexicographic min OR max shingle (P(miss) ~ (1-j)^2, <1% at
+    * j>=0.9). Never a global self-join; buckets over maxBlock are
+    * dropped (see [[MaxBlock]]) so cost tracks capped bucket sizes,
+    * not n^2. The shingle-set fetch joins run through
+    * JoinUtils.saltedJoin: near-dup clusters make the same doc_id
+    * appear in up to 2*(maxBlock-1) candidate pairs, and the salt
+    * spreads those hot ids across reducers (row-identical to the
+    * plain join). Kept SQL-expressible so the oracle can verify —
+    * including the cap; d2 is the higher-recall multi-band variant. */
+  def ngramJaccardPairs(docs: DataFrame, maxBlock: Int = MaxBlock): DataFrame = {
+    import docs.sparkSession.implicits._
+    // persist (tracked in graft.Caches, released post-action): the
+    // shingle pipeline (regexp + transform + sort) feeds the block
+    // explode AND both verify-join sides — cached once; the candidate
+    // self-join and its dedup carry ONLY ids and block keys, so the
+    // wide shuffles never move shingle arrays (those re-enter via the
+    // cached-set join after the pair set is already distinct)
+    val sets = graft.Caches.persist(shingleSets(docs))
+    val candidates = ngramCandidates(sets, maxBlock)
+    val withA = JoinUtils.saltedJoin(candidates,
+      sets.select($"doc_id".as("a_id"), $"sh".as("sha")), "a_id", salt = 8)
+    val withB = JoinUtils.saltedJoin(withA,
+      sets.select($"doc_id".as("b_id"), $"sh".as("shb")), "b_id", salt = 8)
+    withB
+      .select($"a_id", $"b_id", round(jaccard($"sha", $"shb"), 6).as("jaccard"))
       .filter($"jaccard" >= 0.3)
       .orderBy($"a_id", $"b_id")
+  }
+
+  def d4NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ngramJaccardPairs(Tables.documents(spark, dir).select($"doc_id", $"text"))
   }
 
   /** Embedding-cosine near-dup pairs >= 0.4, blocked by cluster
@@ -278,24 +316,31 @@ object Dedup {
         |GROUP BY md5(text)
         |ORDER BY keep_id""".stripMargin,
     "d4_ngram_jaccard" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT doc_id, sh, list_min(sh) AS lo, list_max(sh) AS hi FROM (
         |    SELECT doc_id,
         |     list_distinct(list_transform(generate_series(1, len(w)-2),
         |       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-        |    FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents)
+        |    FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents)
         |    WHERE len(w) >= 3)),
+        |blocks AS (
+        |  SELECT doc_id, 0 AS bidx, lo AS bkey FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 1 AS bidx, hi AS bkey FROM d),
+        |kept AS (
+        |  SELECT doc_id, bidx, bkey FROM (
+        |    SELECT doc_id, bidx, bkey,
+        |      count(*) OVER (PARTITION BY bidx, bkey) AS bcnt
+        |    FROM blocks) WHERE bcnt <= $MaxBlock),
         |cand AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS sha, b.sh AS shb
-        |  FROM d a JOIN d b ON a.lo = b.lo AND a.doc_id < b.doc_id
-        |  UNION
-        |  SELECT a.doc_id, b.doc_id, a.sh, b.sh
-        |  FROM d a JOIN d b ON a.hi = b.hi AND a.doc_id < b.doc_id)
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM kept a JOIN kept b
+        |    ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
         |SELECT a_id, b_id, jaccard FROM (
         |  SELECT a_id, b_id,
-        |   round(CAST(len(list_intersect(sha, shb)) AS DOUBLE)
-        |       / len(list_distinct(list_concat(sha, shb))), 6) AS jaccard
-        |  FROM (SELECT DISTINCT a_id, b_id, sha, shb FROM cand))
+        |   round(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+        |       / len(list_distinct(list_concat(da.sh, db.sh))), 6) AS jaccard
+        |  FROM cand JOIN d da ON da.doc_id = a_id JOIN d db ON db.doc_id = b_id)
         |WHERE jaccard >= 0.3
         |ORDER BY a_id, b_id""".stripMargin,
     "d5_dedup_embedding" ->

@@ -33,6 +33,37 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall $recall, missed ${strong -- sim}")
   }
 
+  test("d4 block cap kills the quadratic mega-bucket") {
+    import spark.implicits._
+    // pathological corpus: every doc opens with the same boilerplate
+    // shingle ("aaa aaa aaa" is each doc's lexicographic min), so the
+    // uncapped lo-bucket would emit C(300,2) candidate pairs
+    val docs = (0 until 300)
+      .map(i => (i.toLong, s"aaa aaa aaa doc$i word$i tail$i"))
+      .toDF("doc_id", "text")
+    val sets = Dedup.shingleSets(docs)
+    assert(Dedup.ngramCandidates(sets, 1000).count() == 300L * 299 / 2)
+    assert(Dedup.ngramCandidates(sets, Dedup.MaxBlock).count() == 0)
+  }
+
+  test("d4 still finds true near-dups under the cap, via the salted fetch") {
+    import spark.implicits._
+    val near1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val near2 = "alpha beta gamma delta epsilon zeta eta iota"
+    val docs = ((0 until 300)
+      .map(i => (i.toLong, s"aaa aaa aaa doc$i word$i tail$i")) ++
+      Seq((1000L, near1), (1001L, near2))).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1000L, 1001L)))
+    assert(math.abs(pairs.head.getDouble(2) - 5.0 / 7.0) < 1e-4)
+  }
+
+  test("d4 plan routes the shingle-set fetch through the salted join") {
+    val plan = operators.Dedup.d4NgramJaccard(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), "expected salted join keys in the d4 plan")
+  }
+
   test("d5 embedding pairs are symmetric-free and above threshold") {
     val rows = Dedup.d5EmbeddingCosine(spark, sfDir).collect()
     rows.foreach { r =>
