@@ -314,7 +314,92 @@ object ChunkQueries {
       .orderBy($"sm_id", $"loc")
   }
 
+  /** c12: sitemap-INDEX resolution (ingestion-worker
+    * handlers/sitemap.py:226-306 _resolve_sitemap): a fetched sitemap
+    * whose root is <sitemapindex> yields sub-sitemap <loc>s resolved
+    * recursively at depth+1; depth > MAX_SITEMAP_INDEX_DEPTH (3,
+    * sitemap.py:22) is cut; <urlset> roots yield page URLs filtered
+    * to the crawl domain; the final set is dedup'd. Here the fetch
+    * tier is a synthesized (url, xml) corpus: root index -> ~70
+    * second-level indexes -> ~3.4k urlset sitemaps (10 pages each),
+    * PLUS an over-depth chain whose depth-4 urlset holds a trap page
+    * (must be cut) and an orphan urlset referenced by nothing (must
+    * never be scanned). Traversal is the same bounded frontier loop
+    * as c10: per depth one equi-join frontier->corpus and one
+    * extract — at web scale the corpus is the fetched-sitemap table
+    * and each level is one shuffle on url. */
+  def c12SitemapIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val maxDepth = 3
+    val host = "https://host0.example.com"
+    val pieces = Tables.events(spark, dir)
+      .select(expr("event_id div 10").as("sm_id"), $"event_id",
+        concat(lit("<url><loc>https://host"), pmod($"user_id", lit(3)),
+               lit(".example.com/page/"), pmod($"event_id", lit(50)),
+               lit("</loc></url>")).as("piece"))
+    val subs = pieces
+      .groupBy($"sm_id")
+      .agg(concat(lit("<urlset>"),
+        concat_ws("", transform(
+          array_sort(collect_list(struct($"event_id", $"piece"))),
+          p => p("piece"))),
+        lit("</urlset>")).as("xml"))
+      .select(concat(lit(s"$host/sitemap/"), $"sm_id", lit(".xml")).as("url"), $"xml")
+    val smIds = pieces.select($"sm_id").distinct()
+    val idxDocs = smIds
+      .groupBy(expr("sm_id div 50").as("idx_id"))
+      .agg(concat(lit("<sitemapindex>"),
+        concat_ws("", transform(array_sort(collect_list($"sm_id")),
+          s => concat(lit(s"<sitemap><loc>$host/sitemap/"), s,
+                      lit(".xml</loc></sitemap>")))),
+        lit("</sitemapindex>")).as("xml"))
+      .select(concat(lit(s"$host/index/"), $"idx_id", lit(".xml")).as("url"), $"xml")
+    val rootDoc = smIds
+      .select(expr("sm_id div 50").as("idx_id")).distinct()
+      .agg(concat(lit("<sitemapindex>"),
+        concat_ws("", transform(array_sort(collect_list($"idx_id")),
+          i => concat(lit(s"<sitemap><loc>$host/index/"), i,
+                      lit(".xml</loc></sitemap>")))),
+        lit(s"<sitemap><loc>$host/chain/1.xml</loc></sitemap>"),
+        lit("</sitemapindex>")).as("xml"))
+      .select(lit(s"$host/sitemap.xml").as("url"), $"xml")
+    val extraDocs = Seq(
+      (s"$host/chain/1.xml",
+       s"<sitemapindex><sitemap><loc>$host/chain/2.xml</loc></sitemap></sitemapindex>"),
+      (s"$host/chain/2.xml",
+       s"<sitemapindex><sitemap><loc>$host/chain/3.xml</loc></sitemap></sitemapindex>"),
+      (s"$host/chain/3.xml",
+       s"<sitemapindex><sitemap><loc>$host/chain/4.xml</loc></sitemap></sitemapindex>"),
+      (s"$host/chain/4.xml",
+       s"<urlset><url><loc>$host/page/trap</loc></url></urlset>"),
+      (s"$host/orphan.xml",
+       s"<urlset><url><loc>$host/page/orphan</loc></url></urlset>"))
+      .toDF("url", "xml")
+    val docs = graft.Caches.persist(
+      subs.union(idxDocs).union(rootDoc).union(extraDocs))
+    var frontier = Seq(s"$host/sitemap.xml").toDF("url")
+    var pages = Seq.empty[String].toDF("url")
+    for (_ <- 0 to maxDepth) {
+      // per-level persist, same reason as c10: each level feeds both
+      // the page union and the next frontier
+      val resolved = graft.Caches.persist(frontier
+        .join(docs, Seq("url"))
+        .select($"xml".startsWith("<sitemapindex>").as("is_idx"),
+          explode(expr("regexp_extract_all(xml, '<loc>\\\\s*(.*?)\\\\s*</loc>', 1)")).as("loc")))
+      pages = pages.union(resolved.filter(!$"is_idx").select($"loc".as("url")))
+      // depth-(d+1) frontier: sub-sitemaps named by index docs; the
+      // loop bound cuts anything enqueued past maxDepth, exactly the
+      // reference's depth > MAX check
+      frontier = resolved.filter($"is_idx").select($"loc".as("url")).distinct()
+    }
+    pages
+      .filter(regexp_extract($"url", "^https?://([^/]+)", 1) === "host0.example.com")
+      .distinct()
+      .orderBy($"url")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c12_sitemap_index" -> c12SitemapIndex _,
     "c11_sitemap_parse" -> c11SitemapParse _,
     "c1_clean_markdown" -> c1CleanMarkdown _,
     "c2_chunk_markdown" -> c2ChunkMarkdown _,
@@ -438,6 +523,41 @@ object ChunkQueries {
         |FROM locs
         |WHERE regexp_extract(loc, '^https?://([^/]+)', 1) = 'host0.example.com'
         |ORDER BY sm_id, loc""".stripMargin,
+    "c12_sitemap_index" ->
+      """WITH pieces AS (
+        |  SELECT event_id // 10 AS sm_id, event_id,
+        |    '<url><loc>https://host' || (user_id % 3) || '.example.com/page/'
+        |      || (event_id % 50) || '</loc></url>' AS piece
+        |  FROM events),
+        |subs AS (
+        |  SELECT 'https://host0.example.com/sitemap/' || sm_id || '.xml' AS url,
+        |    '<urlset>' || string_agg(piece, '' ORDER BY event_id) || '</urlset>' AS xml
+        |  FROM pieces GROUP BY sm_id),
+        |idx AS (
+        |  SELECT 'https://host0.example.com/index/' || (sm_id // 50) || '.xml' AS url,
+        |    '<sitemapindex>' || string_agg(
+        |      '<sitemap><loc>https://host0.example.com/sitemap/' || sm_id || '.xml</loc></sitemap>',
+        |      '' ORDER BY sm_id) || '</sitemapindex>' AS xml
+        |  FROM (SELECT DISTINCT sm_id FROM pieces) GROUP BY sm_id // 50),
+        |root AS (
+        |  SELECT '<sitemapindex>' || string_agg(
+        |      '<sitemap><loc>https://host0.example.com/index/' || idx_id || '.xml</loc></sitemap>',
+        |      '' ORDER BY idx_id)
+        |    || '<sitemap><loc>https://host0.example.com/chain/1.xml</loc></sitemap>'
+        |    || '</sitemapindex>' AS xml
+        |  FROM (SELECT DISTINCT sm_id // 50 AS idx_id FROM pieces)),
+        |d1 AS (
+        |  SELECT unnest(regexp_extract_all(xml, '<loc>\s*(.*?)\s*</loc>', 1)) AS url
+        |  FROM root),
+        |d2 AS (
+        |  SELECT unnest(regexp_extract_all(i.xml, '<loc>\s*(.*?)\s*</loc>', 1)) AS url
+        |  FROM d1 JOIN idx i USING (url)),
+        |d3 AS (
+        |  SELECT unnest(regexp_extract_all(s.xml, '<loc>\s*(.*?)\s*</loc>', 1)) AS loc
+        |  FROM d2 JOIN subs s USING (url))
+        |SELECT DISTINCT loc AS url FROM d3
+        |WHERE regexp_extract(loc, '^https?://([^/]+)', 1) = 'host0.example.com'
+        |ORDER BY url""".stripMargin,
     "c10_crawl_bfs" ->
       """WITH RECURSIVE edges AS (
         |  SELECT src, CAST(unnest([(src*7+3) % 50, (src*3+1) % 50]) AS BIGINT) AS dst
