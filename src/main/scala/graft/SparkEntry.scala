@@ -12,6 +12,7 @@ object SparkEntry {
       (operators.Dedup.queries, operators.Dedup.oracles),
       (operators.Knn.queries, operators.Knn.oracles),
       (operators.ChunkQueries.queries, operators.ChunkQueries.oracles),
+      (operators.FileIngest.queries, operators.FileIngest.oracles),
       (operators.HybridSearch.queries, operators.HybridSearch.oracles),
       (operators.Multimodal.queries, operators.Multimodal.oracles),
       (operators.Pipeline.queries, operators.Pipeline.oracles),

@@ -43,7 +43,7 @@ object ChunkQueries {
     * chunker behavior (packing, over-budget fences, every noise rule)
     * stays covered by ChunkerReferenceParitySpec's ported
     * chunker_test.go cases. */
-  private def chunkLiteCorpus(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def chunkLiteCorpus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val v = pmod($"doc_id", lit(3))
     val id = $"doc_id".cast("string")
@@ -412,31 +412,36 @@ object ChunkQueries {
     "c9_link_discovery" -> c9LinkDiscovery _,
     "c10_crawl_bfs" -> c10CrawlBfs _)
 
+  /** Shared chunker-lite expectation CTEs (parts + chunks), reused by
+    * the c2 and f1 oracles so the corpora can't drift apart. */
+  private[operators] val chunkLiteSql: String =
+    """parts AS (
+      |  SELECT doc_id, doc_id % 3 AS v,
+      |    CASE WHEN doc_id % 3 = 2
+      |      THEN 'This swagger endpoint spec for document D' || doc_id || ' describes the public api surface and methods.'
+      |      ELSE 'Overview of document D' || doc_id || ' from ' || source || ' explaining the ingestion design in plain words.'
+      |    END AS prose_a,
+      |    CASE doc_id % 3
+      |      WHEN 0 THEN 'def handler_' || doc_id || '(x):' || chr(10) || '    return x + ' || (doc_id % 10)
+      |      WHEN 1 THEN 'name: doc-' || doc_id || chr(10) || 'replicas: ' || (doc_id % 5)
+      |      ELSE 'echo build-' || doc_id END AS code,
+      |    CASE doc_id % 3 WHEN 0 THEN 'python' WHEN 1 THEN 'yaml' ELSE 'bash' END AS lang,
+      |    'Closing remarks for document D' || doc_id || ' with enough words to pass the noise floor easily.' AS prose_b
+      |  FROM documents),
+      |chunks AS (
+      |  SELECT doc_id, 0 AS chunk_index, prose_a AS content,
+      |    CASE WHEN v = 2 THEN 'api' ELSE 'prose' END AS chunk_type, '' AS language
+      |  FROM parts
+      |  UNION ALL
+      |  SELECT doc_id, 1, '```' || lang || chr(10) || code || chr(10) || '```',
+      |    CASE v WHEN 0 THEN 'code' WHEN 1 THEN 'config' ELSE 'cmd' END, lang
+      |  FROM parts
+      |  UNION ALL
+      |  SELECT doc_id, 2, prose_b, 'prose', '' FROM parts WHERE v = 0)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "c2_chunk_markdown" ->
-      """WITH parts AS (
-        |  SELECT doc_id, doc_id % 3 AS v,
-        |    CASE WHEN doc_id % 3 = 2
-        |      THEN 'This swagger endpoint spec for document D' || doc_id || ' describes the public api surface and methods.'
-        |      ELSE 'Overview of document D' || doc_id || ' from ' || source || ' explaining the ingestion design in plain words.'
-        |    END AS prose_a,
-        |    CASE doc_id % 3
-        |      WHEN 0 THEN 'def handler_' || doc_id || '(x):' || chr(10) || '    return x + ' || (doc_id % 10)
-        |      WHEN 1 THEN 'name: doc-' || doc_id || chr(10) || 'replicas: ' || (doc_id % 5)
-        |      ELSE 'echo build-' || doc_id END AS code,
-        |    CASE doc_id % 3 WHEN 0 THEN 'python' WHEN 1 THEN 'yaml' ELSE 'bash' END AS lang,
-        |    'Closing remarks for document D' || doc_id || ' with enough words to pass the noise floor easily.' AS prose_b
-        |  FROM documents),
-        |chunks AS (
-        |  SELECT doc_id, 0 AS chunk_index, prose_a AS content,
-        |    CASE WHEN v = 2 THEN 'api' ELSE 'prose' END AS chunk_type, '' AS language
-        |  FROM parts
-        |  UNION ALL
-        |  SELECT doc_id, 1, '```' || lang || chr(10) || code || chr(10) || '```',
-        |    CASE v WHEN 0 THEN 'code' WHEN 1 THEN 'config' ELSE 'cmd' END, lang
-        |  FROM parts
-        |  UNION ALL
-        |  SELECT doc_id, 2, prose_b, 'prose', '' FROM parts WHERE v = 0)
+      s"""WITH $chunkLiteSql
         |SELECT doc_id, CAST(chunk_index AS INTEGER) AS chunk_index, md5(content) AS content_md5,
         |  chunk_type, language, CAST(length(content) AS BIGINT) AS n_chars
         |FROM chunks

@@ -1,0 +1,119 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Binary-file ingestion seam (SURVEY.md §2.B) — the reference's
+  * converter-pool file path
+  * (apps/ingestion-worker/handlers/file.py:26-60 init_worker +
+  * extract, exceptions.py error classes): an opaque
+  * (payload binary, mime, filename) blob goes through a
+  * per-task-initialized converter into markdown text + title
+  * metadata (title strategy: metadata > filename > fallback,
+  * file.py:66-90), gets classified into the reference's error
+  * classes (ERR_ENCRYPTED / ERR_EMPTY), and the extracted text feeds
+  * the SAME structural chunker as crawled pages.
+  *
+  * The converter itself (docling in the reference) needs PDF/OCR
+  * libraries this container doesn't have, so the decode is a
+  * deterministic stub (UTF-8 decode of the payload). Everything
+  * around it — the binary column, the per-partition converter
+  * lifecycle, the error taxonomy, the text->chunker handoff, the
+  * output schema — is the real seam a docling/tika binding drops
+  * into, and the whole stage is oracle-checked because the payloads
+  * are the chunker-lite corpus bytes.
+  */
+object FileIngest {
+
+  final case class Extracted(doc_id: Long, status: String, title: String,
+                             text: String)
+
+  final case class FileChunk(doc_id: Long, status: String, chunk_index: Int,
+                             content: String, chunk_type: String, title: String)
+
+  /** Synthesized binary-file table (doc_id, payload, mime, filename):
+    * payloads are the chunker-lite markdown bytes standing in for
+    * converted PDF bodies. doc_id mod 5 == 4 rows carry an
+    * "encrypted" mime (converter must reject without decoding);
+    * doc_id mod 7 == 3 rows (not already encrypted) have an empty
+    * payload (ERR_EMPTY). */
+  def fileCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ChunkQueries.chunkLiteCorpus(spark, dir)
+      .select($"doc_id",
+        when(pmod($"doc_id", lit(7)) === 3, lit("").cast("binary"))
+          .otherwise($"text".cast("binary")).as("payload"),
+        when(pmod($"doc_id", lit(5)) === 4, lit("application/x-encrypted"))
+          .otherwise(lit("application/pdf")).as("mime"),
+        concat(lit("file_"), $"doc_id".cast("string"), lit(".pdf")).as("filename"))
+  }
+
+  /** The converter stage: one converter instance per task (the
+    * init_worker analog — amortized init, process-level isolation on
+    * a real cluster), batched per-partition iteration. Returns one
+    * row per file with its status, title, and extracted markdown. */
+  def extractText(files: DataFrame): Dataset[Extracted] = {
+    import files.sparkSession.implicits._
+    files.select("doc_id", "payload", "mime", "filename")
+      .as[(Long, Array[Byte], String, String)]
+      .mapPartitions { batch =>
+        // converter init would go here, once per task, like m2's digest
+        batch.map { case (docId, payload, mime, filename) =>
+          val title = filename.replaceAll("\\.[^.]*$", "")
+          if (mime == "application/x-encrypted")
+            Extracted(docId, "error_encrypted", title, "")
+          else if (payload.isEmpty)
+            Extracted(docId, "error_empty", title, "")
+          else
+            Extracted(docId, "ok", title, new String(payload, UTF_8))
+        }
+      }
+  }
+
+  /** f1: the full blob -> converter -> chunker pipeline stage. Error
+    * files surface as single rows (chunk_index -1, empty md5) so the
+    * error taxonomy is part of the verified result; ok files emit
+    * their real chunker output. */
+  def f1FileIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extractText(fileCorpus(spark, dir))
+      .flatMap { e =>
+        if (e.status != "ok")
+          Seq(FileChunk(e.doc_id, e.status, -1, "", "", e.title))
+        else
+          Chunker.chunkMarkdown(e.text, maxTokens = 32, overlap = 0).zipWithIndex
+            .map { case (c, i) =>
+              FileChunk(e.doc_id, "ok", i, c.content, c.chunkType, e.title) }
+      }
+      .toDF()
+      .select($"doc_id", $"status", $"chunk_index",
+        when($"status" === "ok", md5($"content")).otherwise(lit("")).as("content_md5"),
+        $"chunk_type", $"title")
+      .orderBy($"doc_id", $"chunk_index")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f1_file_ingest" -> f1FileIngest _)
+
+  val oracles: Map[String, String] = Map(
+    "f1_file_ingest" ->
+      s"""WITH ${ChunkQueries.chunkLiteSql},
+        |ok AS (
+        |  SELECT doc_id, 'ok' AS status, chunk_index, md5(content) AS content_md5,
+        |    chunk_type, 'file_' || doc_id AS title
+        |  FROM chunks
+        |  WHERE doc_id % 5 <> 4 AND doc_id % 7 <> 3),
+        |err AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 4 THEN 'error_encrypted' ELSE 'error_empty' END AS status,
+        |    -1 AS chunk_index, '' AS content_md5, '' AS chunk_type,
+        |    'file_' || doc_id AS title
+        |  FROM documents
+        |  WHERE doc_id % 5 = 4 OR doc_id % 7 = 3)
+        |SELECT doc_id, status, CAST(chunk_index AS INTEGER) AS chunk_index,
+        |  content_md5, chunk_type, title
+        |FROM (SELECT * FROM ok UNION ALL SELECT * FROM err)
+        |ORDER BY doc_id, chunk_index""".stripMargin)
+}
