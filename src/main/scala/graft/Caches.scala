@@ -18,6 +18,7 @@ import scala.collection.mutable
   */
 object Caches {
   private val tracked = mutable.ListBuffer.empty[DataFrame]
+  private val sharedScans = mutable.LinkedHashMap.empty[String, DataFrame]
 
   /** Persist `df` (MEMORY_AND_DISK) and track the handle. */
   def persist(df: DataFrame): DataFrame = synchronized {
@@ -25,12 +26,30 @@ object Caches {
     df.persist()
   }
 
-  /** Unpersist every tracked handle. Call after the consuming action
-    * (count/write/collect) has completed — unpersisting earlier would
-    * just force recompute. */
+  /** Persist-once SHARED scan: a pipeline-level materialized
+    * intermediate several operators read (e.g. the hashed-shingle
+    * scan under d2/d4/p1) — the corpus-prep analog of a real
+    * deployment computing document signatures once and running every
+    * dedup pass against them. Keyed by name+dir; built and persisted
+    * on first request, returned as-is after. Survives [[releaseAll]]
+    * (which scopes per-query diamonds); dropped by
+    * [[releaseShared]]. */
+  def shared(key: String)(build: => DataFrame): DataFrame = synchronized {
+    sharedScans.getOrElseUpdate(key, build.persist())
+  }
+
+  /** Unpersist every tracked per-query handle. Call after the
+    * consuming action (count/write/collect) has completed —
+    * unpersisting earlier would just force recompute. */
   def releaseAll(): Unit = synchronized {
     tracked.foreach(_.unpersist(false))
     tracked.clear()
+  }
+
+  /** Unpersist the shared scans (process shutdown / corpus switch). */
+  def releaseShared(): Unit = synchronized {
+    sharedScans.values.foreach(_.unpersist(false))
+    sharedScans.clear()
   }
 
   /** Number of currently tracked handles (for specs). */

@@ -18,22 +18,44 @@ import graft.functions.{HashFunctions => H, JoinUtils, VectorFunctions => V}
   */
 object Dedup {
 
-  /** doc_id + distinct 3-word shingles (docs with < 3 tokens drop out:
-    * they can't participate in shingle-based dedup). */
-  private[graft] def shingleSets(docs: DataFrame): DataFrame = {
+  /** doc_id + sorted distinct poly-hashed 3-word shingles (docs with
+    * < 3 tokens drop out: they can't participate in shingle-based
+    * dedup). The hashed-set form is what every downstream stage
+    * consumes: minhash eats the hash values directly, jaccard
+    * merge-walks 8-byte longs instead of shingle strings, and the
+    * 1-perm blocking min/max are uniform hash order statistics
+    * instead of skewed lexicographic ones. */
+  private[graft] def hashedShingleSetsOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     // one regexp pass: token count = size of the extracted array
     // (regexp_count would re-scan the full text a second time)
     docs
       .select($"doc_id", expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
       .filter(size($"w") >= 3)
-      .select($"doc_id", array_sort(H.shingles($"w", 3)).as("sh"))
+      .select($"doc_id", H.hashedShingles($"w", 3).as("hs"))
   }
 
-  // shingle arrays are sorted+distinct, so the merge-walk kernel is
-  // exact set jaccard (identical to intersect/union sizes)
+  /** SHARED hashed-shingle scan over the `documents` table — the
+    * materialized intermediate d2, d4, and p1 all read. Persisted
+    * once per (dir) via Caches.shared: in a corpus-prep run the
+    * signature scan is computed once, not once per dedup pass. */
+  def hashedShingleSets(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.shared(s"shingles:$dir") {
+      hashedShingleSetsOf(Tables.documents(spark, dir))
+    }
+
+  /** SHARED minhash signatures on top of [[hashedShingleSets]]:
+    * (doc_id, hs, mh). The 128-perm sketch kernel is the dominant
+    * dedup compute — shared between d2 and p1's embedded near-dedup. */
+  def minhashSigs(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.shared(s"mhsig:$dir") {
+      hashedShingleSets(spark, dir).withColumn("mh", expr("minhash_sig(hs)"))
+    }
+
+  // shingle-hash arrays are sorted+distinct, so the merge-walk kernel
+  // is exact set jaccard (identical to intersect/union sizes)
   private def jaccard(a: Column, b: Column): Column =
-    call_function("jaccard_sorted", a, b)
+    call_function("jaccard_sorted_long", a, b)
 
   /** Exact dedup: group identical content, keep the lowest doc_id.
     * Grouping key is the md5 fingerprint, not the text itself — the
@@ -58,18 +80,10 @@ object Dedup {
     * verify stage. */
   def d2MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // The whole pipeline runs on HASHED shingle sets (sorted distinct
-    // xxhash64 longs): minhash consumes the same hash values it always
-    // did, and the verify jaccard merge-walks 8-byte longs instead of
-    // shingle strings — lighter to sort, cache, shuffle, and compare.
-    // persist (tracked; released post-action): the shingle+signature
-    // pipeline feeds the band explode AND both sides of the verify
-    // join — without it the regexp+minhash work runs three times
-    val sig = graft.Caches.persist(Tables.documents(spark, dir)
-      .select($"doc_id", expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
-      .filter(size($"w") >= 3)
-      .select($"doc_id", H.hashedShingles($"w", 3).as("hs"))
-      .select($"doc_id", $"hs", expr("minhash_sig(hs)").as("mh")))
+    // The shared scan already holds the hashed shingle sets + 128-perm
+    // signatures (persisted once; the band explode and both verify
+    // sides all read the same cached blocks)
+    val sig = minhashSigs(spark, dir)
     val bands = sig
       .select($"doc_id",
               posexplode(H.bandHashes($"mh", bands = 64, rowsPerBand = 2)))
@@ -135,17 +149,20 @@ object Dedup {
   val MaxBlock = 64
 
   /** Candidate pairs for [[ngramJaccardPairs]]: 1-perm minhash
-    * blocking (lexicographic min OR max shingle), with buckets larger
-    * than maxBlock dropped BEFORE the self-join — the mega-bucket
-    * skew class never reaches the quadratic stage. Exposed for the
-    * skew spec. */
+    * blocking — candidates share the min OR max shingle HASH
+    * (uniform order statistics of the poly hash; P(miss) ~ (1-j)^2,
+    * <1% at j>=0.9) — with buckets larger than maxBlock dropped
+    * BEFORE the self-join, so the mega-bucket skew class never
+    * reaches the quadratic stage. Exposed for the skew spec. */
   private[graft] def ngramCandidates(sets: DataFrame, maxBlock: Int): DataFrame = {
     import sets.sparkSession.implicits._
+    // hs is sorted ascending, so the 1-perm minhash block keys are
+    // its first and last elements — no extra array scan
     val blocks = sets
       .select($"doc_id",
               explode(array(
-                struct(lit(0).as("bidx"), array_min($"sh").as("bkey")),
-                struct(lit(1).as("bidx"), array_max($"sh").as("bkey")))).as("b"))
+                struct(lit(0).as("bidx"), element_at($"hs", 1).as("bkey")),
+                struct(lit(1).as("bidx"), element_at($"hs", -1).as("bkey")))).as("b"))
       .select($"doc_id", $"b.bidx".as("bidx"), $"b.bkey".as("bkey"))
     // bucket sizes via a window count on the block key: the count is
     // linear even for a mega-bucket (one sorted partition), and the
@@ -163,10 +180,8 @@ object Dedup {
       .distinct()
   }
 
-  /** Verified n-gram Jaccard pairs >= 0.3 over any (doc_id, text)
-    * corpus, with 1-perm minhash blocking: candidates share their
-    * lexicographic min OR max shingle (P(miss) ~ (1-j)^2, <1% at
-    * j>=0.9). Never a global self-join; buckets over maxBlock are
+  /** Verified n-gram Jaccard pairs >= 0.3 with capped 1-perm minhash
+    * blocking: never a global self-join; buckets over maxBlock are
     * dropped (see [[MaxBlock]]) so cost tracks capped bucket sizes,
     * not n^2. The shingle-set fetch joins run through
     * JoinUtils.saltedJoin: near-dup clusters make the same doc_id
@@ -174,30 +189,27 @@ object Dedup {
     * spreads those hot ids across reducers (row-identical to the
     * plain join). Kept SQL-expressible so the oracle can verify —
     * including the cap; d2 is the higher-recall multi-band variant. */
-  def ngramJaccardPairs(docs: DataFrame, maxBlock: Int = MaxBlock): DataFrame = {
-    import docs.sparkSession.implicits._
-    // persist (tracked in graft.Caches, released post-action): the
-    // shingle pipeline (regexp + transform + sort) feeds the block
-    // explode AND both verify-join sides — cached once; the candidate
-    // self-join and its dedup carry ONLY ids and block keys, so the
-    // wide shuffles never move shingle arrays (those re-enter via the
-    // cached-set join after the pair set is already distinct)
-    val sets = graft.Caches.persist(shingleSets(docs))
+  private def ngramJaccardFrom(sets: DataFrame, maxBlock: Int): DataFrame = {
+    import sets.sparkSession.implicits._
     val candidates = ngramCandidates(sets, maxBlock)
     val withA = JoinUtils.saltedJoin(candidates,
-      sets.select($"doc_id".as("a_id"), $"sh".as("sha")), "a_id", salt = 8)
+      sets.select($"doc_id".as("a_id"), $"hs".as("sha")), "a_id", salt = 8)
     val withB = JoinUtils.saltedJoin(withA,
-      sets.select($"doc_id".as("b_id"), $"sh".as("shb")), "b_id", salt = 8)
+      sets.select($"doc_id".as("b_id"), $"hs".as("shb")), "b_id", salt = 8)
     withB
       .select($"a_id", $"b_id", round(jaccard($"sha", $"shb"), 6).as("jaccard"))
       .filter($"jaccard" >= 0.3)
       .orderBy($"a_id", $"b_id")
   }
 
-  def d4NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    ngramJaccardPairs(Tables.documents(spark, dir).select($"doc_id", $"text"))
-  }
+  /** Same pipeline over an arbitrary (doc_id, text) corpus — the
+    * shingle scan is persisted per-query (tracked, released
+    * post-action) since there is no shared table to pin it to. */
+  def ngramJaccardPairs(docs: DataFrame, maxBlock: Int = MaxBlock): DataFrame =
+    ngramJaccardFrom(graft.Caches.persist(hashedShingleSetsOf(docs)), maxBlock)
+
+  def d4NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardFrom(hashedShingleSets(spark, dir), MaxBlock)
 
   /** Embedding-cosine near-dup pairs >= 0.4, blocked by cluster
     * label (the IVF-style pre-partition: at scale the label comes
@@ -221,6 +233,22 @@ object Dedup {
     "d4_ngram_jaccard" -> d4NgramJaccard _,
     "d5_dedup_embedding" -> d5EmbeddingCosine _)
 
+  /** Shared oracle CTEs (w + d): tokenized docs -> sorted distinct
+    * poly-hashed 3-gram shingle sets — the SQL twin of
+    * [[hashedShingleSets]], reused by the d2 and d4 oracles so the
+    * two replays can't drift apart. */
+  private val hashedSetSql: String =
+    """w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+      |d AS (
+      |  SELECT doc_id, list_sort(list_distinct(list_transform(
+      |    list_transform(generate_series(1, len(w)-2),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+      |    t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, length(t)),
+      |        i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+      |      (a, c) -> (a*31 + c) % 1000000007)))) AS hs
+      |  FROM w WHERE len(w) >= 3)""".stripMargin
+
   /** d2's full DuckDB replay: poly-hashed shingle sets, the 128-perm
     * minhash with the SAME (a,b) constants the kernel uses (spliced
     * as literals), the band fold, the bucket self-join, and the
@@ -229,16 +257,7 @@ object Dedup {
     val (pa, pb) = H.permConstants(128)
     val aList = pa.mkString("[", ", ", "]")
     val bList = pb.mkString("[", ", ", "]")
-    s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
-       |d AS (
-       |  SELECT doc_id, list_sort(list_distinct(list_transform(
-       |    list_transform(generate_series(1, len(w)-2),
-       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
-       |    t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |      list_transform(generate_series(1, length(t)),
-       |        i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
-       |      (a, c) -> (a*31 + c) % 1000000007)))) AS hs
-       |  FROM w WHERE len(w) >= 3),
+    s"""WITH $hashedSetSql,
        |sig AS (
        |  SELECT doc_id, list_transform(generate_series(1, 128), p ->
        |    list_reduce(list_prepend(CAST(9223372036854775807 AS BIGINT),
@@ -316,17 +335,11 @@ object Dedup {
         |GROUP BY md5(text)
         |ORDER BY keep_id""".stripMargin,
     "d4_ngram_jaccard" ->
-      s"""WITH d AS (
-        |  SELECT doc_id, sh, list_min(sh) AS lo, list_max(sh) AS hi FROM (
-        |    SELECT doc_id,
-        |     list_distinct(list_transform(generate_series(1, len(w)-2),
-        |       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-        |    FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents)
-        |    WHERE len(w) >= 3)),
+      s"""WITH $hashedSetSql,
         |blocks AS (
-        |  SELECT doc_id, 0 AS bidx, lo AS bkey FROM d
+        |  SELECT doc_id, 0 AS bidx, hs[1] AS bkey FROM d
         |  UNION ALL
-        |  SELECT doc_id, 1 AS bidx, hi AS bkey FROM d),
+        |  SELECT doc_id, 1 AS bidx, hs[len(hs)] AS bkey FROM d),
         |kept AS (
         |  SELECT doc_id, bidx, bkey FROM (
         |    SELECT doc_id, bidx, bkey,
@@ -338,8 +351,8 @@ object Dedup {
         |    ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
         |SELECT a_id, b_id, jaccard FROM (
         |  SELECT a_id, b_id,
-        |   round(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
-        |       / len(list_distinct(list_concat(da.sh, db.sh))), 6) AS jaccard
+        |   round(CAST(len(list_intersect(da.hs, db.hs)) AS DOUBLE)
+        |       / len(list_distinct(list_concat(da.hs, db.hs))), 6) AS jaccard
         |  FROM cand JOIN d da ON da.doc_id = a_id JOIN d db ON db.doc_id = b_id)
         |WHERE jaccard >= 0.3
         |ORDER BY a_id, b_id""".stripMargin,

