@@ -35,7 +35,10 @@ object Tables {
     * Integer `div` (not `/`) — ns epoch values exceed double's exact
     * 2^53 range. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // read-time conf, so it cannot be scoped tighter than the session;
+    // guard to avoid re-mutating shared-session conf on every read
+    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     apply(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }

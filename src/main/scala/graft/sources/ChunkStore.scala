@@ -70,16 +70,17 @@ object ChunkStore {
   }
 
   /** Drop one source partition — DeleteChunksBySourceID as a metadata
-    * operation (no rewrite of surviving data). Returns the surviving
-    * view for verification. */
+    * operation (no rewrite of surviving data). Goes through the
+    * Hadoop FileSystem API, so the same call works on local disk,
+    * HDFS, or an object store via its Hadoop connector; on
+    * Delta/Iceberg this becomes a partition-predicate DELETE with
+    * snapshot isolation. Returns the surviving view for
+    * verification. */
   def deleteSourcePartition(spark: SparkSession, path: String,
                             partitionCol: String, value: String): DataFrame = {
-    val dir = new java.io.File(s"$path/$partitionCol=$value")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
-    if (dir.exists()) rm(dir)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/$partitionCol=$value")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(dir)) fs.delete(dir, true): Unit
     spark.read.parquet(path)
   }
 }
