@@ -201,6 +201,14 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
     exactKept.join(nearDupLosers, Seq("doc_id"), "left_anti")
   }
 
+  /** Binary-file ingestion (the converter-pool file path): opaque
+    * (doc_id, payload binary, mime, filename) blobs -> per-task
+    * converter (decode stubbed) -> ERR_ENCRYPTED/ERR_EMPTY taxonomy
+    * -> structural chunking of the extracted markdown. One row per
+    * chunk, plus one row per rejected file (status != 'ok'). */
+  def ingestFiles(files: DataFrame, maxTokens: Int = 256): DataFrame =
+    graft.operators.FileIngest.ingest(files, maxTokens)
+
   /** Crawl-frontier expansion (worker.DiscoverLinks): normalize +
     * filter discovered links against the crawl host, excluding
     * patterns, up to maxDepth. */

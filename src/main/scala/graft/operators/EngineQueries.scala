@@ -265,9 +265,26 @@ object EngineQueries {
       .orderBy($"o_orderpriority".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
   }
 
+  /** Explicit GROUPING SETS — the general lattice q8 (ROLLUP) and
+    * q16 (CUBE) specialize: per-priority and per-status subtotals
+    * plus the grand total in ONE pass. Plans as a single Expand +
+    * one keyed exchange with map-side partial aggregation — never a
+    * union of repeated scans. */
+  def q17GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq($"o_orderpriority"), Seq($"o_orderstatus"), Seq()),
+        $"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum($"o_totalprice"), 2).as("total"))
+      .orderBy($"o_orderpriority".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q4_order_priority" -> q4OrderPriority _,
     "q16_cube" -> q16Cube _,
+    "q17_grouping_sets" -> q17GroupingSets _,
     "q15_percentiles" -> q15Percentiles _,
     "q1_agg" -> q1Agg _,
     "q2_filter_pushdown" -> q2FilterPushdown _,
@@ -284,6 +301,12 @@ object EngineQueries {
     "q14_json_props" -> q14JsonProps _)
 
   val oracles: Map[String, String] = Map(
+    "q17_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        | count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

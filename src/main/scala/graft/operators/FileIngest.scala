@@ -72,22 +72,29 @@ object FileIngest {
       }
   }
 
-  /** f1: the full blob -> converter -> chunker pipeline stage. Error
-    * files surface as single rows (chunk_index -1, empty md5) so the
-    * error taxonomy is part of the verified result; ok files emit
-    * their real chunker output. */
-  def f1FileIngest(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    extractText(fileCorpus(spark, dir))
+  /** The full blob -> converter -> chunker pipeline stage over any
+    * (doc_id, payload, mime, filename) DataFrame. Error files surface
+    * as single rows (chunk_index -1) so the error taxonomy is part of
+    * the result; ok files emit their real chunker output. */
+  def ingest(files: DataFrame, maxTokens: Int = 256): DataFrame = {
+    import files.sparkSession.implicits._
+    extractText(files)
       .flatMap { e =>
         if (e.status != "ok")
           Seq(FileChunk(e.doc_id, e.status, -1, "", "", e.title))
         else
-          Chunker.chunkMarkdown(e.text, maxTokens = 32, overlap = 0).zipWithIndex
+          Chunker.chunkMarkdown(e.text, maxTokens, overlap = 0).zipWithIndex
             .map { case (c, i) =>
               FileChunk(e.doc_id, "ok", i, c.content, c.chunkType, e.title) }
       }
       .toDF()
+  }
+
+  /** f1: [[ingest]] over the synthesized corpus, fingerprinted for
+    * the driver's oracle compare. */
+  def f1FileIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ingest(fileCorpus(spark, dir), maxTokens = 32)
       .select($"doc_id", $"status", $"chunk_index",
         when($"status" === "ok", md5($"content")).otherwise(lit("")).as("content_md5"),
         $"chunk_type", $"title")

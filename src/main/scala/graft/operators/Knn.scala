@@ -54,9 +54,21 @@ object Knn {
     * recalls ~0.9 of cosine>=0.4 neighbors); candidates are scored
     * exactly and top-5 kept. At scale the bucket join shuffles on
     * (table, sig) — never all-pairs. */
-  def a2Lsh(spark: SparkSession, dir: String): DataFrame = {
+  def a2Lsh(spark: SparkSession, dir: String): DataFrame =
+    lshKnn(spark, dir, tables = 24, bits = 4, k = 5)
+
+  /** Recall-tunable hyperplane LSH: `tables` independent hash tables
+    * of `bits` bits each. Per-bit match probability is 1 - theta/pi,
+    * so recall for a neighbor at angle theta is
+    * 1 - (1 - (1-theta/pi)^bits)^tables — more tables buys recall
+    * (more candidates, more shuffle volume), more bits buys
+    * precision (smaller buckets). The serving knobs of every
+    * production ANN index, exposed as plain parameters; the bucket
+    * join shuffles on (table, sig) and never goes all-pairs at any
+    * setting. */
+  def lshKnn(spark: SparkSession, dir: String, tables: Int, bits: Int,
+             k: Int): DataFrame = {
     import spark.implicits._
-    val tables = 24; val bits = 4
     val sigs = expr(s"hyperplane_sig(v, $tables, $bits)")
     val all = base(spark, dir).withColumn("sigs", sigs)
     val buckets = all
@@ -73,7 +85,7 @@ object Knn {
     candidates
       .select($"q_id", $"vec_id", V.cosineD($"qv", $"v").as("cosine_raw"))
       .withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= 5)
+      .filter($"rnk" <= k)
       .select($"q_id", $"vec_id", round($"cosine_raw", 6).as("cosine"), $"rnk")
       .orderBy($"q_id", $"rnk")
   }

@@ -75,6 +75,21 @@ object IngestStream {
       .parquet(chunksPath)
   }
 
+  /** Streaming MERGE-style upsert ingestion: every micro-batch runs
+    * the [[reingest]] merge — chunks of re-arriving doc_ids are
+    * replaced, siblings and untouched source partitions survive —
+    * instead of a blind append. This is the foreachBatch MERGE
+    * pattern for page-UPDATE streams (the reference's re-crawl path),
+    * where [[ingest]] is the append-only first-crawl path.
+    * Exactly-once per epoch: offsets are checkpointed and the
+    * dynamic-partition overwrite is idempotent on replay. */
+  def upsert(docs: DataFrame, storePath: String, maxTokens: Int = 64): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", s"$storePath/_checkpoints")
+      .foreachBatch((batch: DataFrame, _: Long) =>
+        reingest(batch, storePath, maxTokens))
+      .start()
+
   /** Start the ingestion stream into `storePath` (chunks under
     * /chunks partitioned by source, offsets under /_checkpoints). */
   def ingest(docs: DataFrame, storePath: String, maxTokens: Int = 64): StreamingQuery = {

@@ -135,4 +135,19 @@ class GraftEngineSpec extends SparkSpec {
     assert(chunks.columns.toSet ==
       Set("doc_id", "chunk_index", "content", "chunk_type", "language"))
   }
+
+  test("ingestFiles runs the converter seam: error taxonomy + chunks") {
+    import spark.implicits._
+    val files = Seq(
+      (1L, "# Doc\n\nA real markdown body with plenty of words to chunk."
+        .getBytes("UTF-8"), "application/pdf", "report.pdf"),
+      (2L, Array.emptyByteArray, "application/pdf", "empty.pdf"),
+      (3L, "secret".getBytes("UTF-8"), "application/x-encrypted", "locked.pdf")
+    ).toDF("doc_id", "payload", "mime", "filename")
+    val out = engine.ingestFiles(files, maxTokens = 32).collect()
+    assert(out.filter(_.getString(1) == "ok").map(_.getLong(0)).toSet == Set(1L))
+    assert(out.find(_.getLong(0) == 2L).get.getString(1) == "error_empty")
+    assert(out.find(_.getLong(0) == 3L).get.getString(1) == "error_encrypted")
+    assert(out.find(_.getLong(0) == 1L).get.getString(5) == "report")
+  }
 }

@@ -26,6 +26,18 @@ class KnnSpec extends SparkSpec {
     assert(recall >= 0.6, s"LSH recall $recall too low")
   }
 
+  test("LSH recall is tunable: more tables strictly widens the candidate net") {
+    val bf = pairs(Knn.a1BruteForce(spark, sfDir))
+    def recall(tables: Int): Double = {
+      val got = pairs(Knn.lshKnn(spark, sfDir, tables, bits = 4, k = 5))
+      bf.intersect(got).size.toDouble / bf.size
+    }
+    val lo = recall(2)
+    val hi = recall(24)
+    assert(hi >= lo, s"recall must not drop with more tables ($lo -> $hi)")
+    assert(hi >= 0.6, s"24-table recall $hi too low")
+  }
+
   test("a3 IVF neighbors all come from probed cells and rank correctly") {
     val rows = Knn.a3Ivf(spark, sfDir).collect()
     val byQ = rows.groupBy(_.getLong(0))

@@ -154,6 +154,33 @@ class StreamingSpec extends SparkSpec {
     assert(doc3After == doc3Before, "untouched partition must be byte-identical")
   }
 
+  test("streaming upsert replaces re-arriving docs per epoch (MERGE pattern)") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.IngestStream
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val stream = MemoryStream[(Long, String, String)]
+    val query = IngestStream.upsert(
+      stream.toDF().toDF("doc_id", "source", "text"), dir)
+    try {
+      stream.addData(
+        (1L, "srcA", "# One\n\nOriginal version of document one with enough words."),
+        (2L, "srcA", "# Two\n\nA sibling document in the same source partition."))
+      query.processAllAvailable()
+      stream.addData(
+        (1L, "srcA", "# One v2\n\nCompletely rewritten content for document one."))
+      query.processAllAvailable()
+      val chunks = spark.read.parquet(s"$dir/chunks")
+      assert(chunks.select($"doc_id").distinct().count() == 2)
+      val doc1 = chunks.filter($"doc_id" === 1L).select($"content").as[String].collect()
+      assert(doc1.exists(_.contains("rewritten")), "doc 1 must carry v2 content")
+      assert(!doc1.exists(_.contains("Original")), "doc 1 v1 chunks must be replaced")
+      assert(chunks.filter($"doc_id" === 2L).count() > 0, "sibling doc survives")
+    } finally query.stop()
+  }
+
   test("stateful sessionizer in batch mode equals the window/lag query q12") {
     val sparkSession = spark
     import sparkSession.implicits._
