@@ -281,7 +281,77 @@ object EngineQueries {
       .orderBy($"o_orderpriority".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
   }
 
+  /** AS-OF join — the time-series lookup Spark has no native operator
+    * for (DuckDB/kdb/QuestDB ship it built-in): for each probe row,
+    * the latest event at or before its timestamp, per key. Plan: tag
+    * both sides, union, ONE shuffle on the key, and a running
+    * `last(ignoreNulls)` over (time, tag) — events sort before
+    * probes at equal timestamps, giving inclusive <= semantics. This
+    * is the standard distributed as-of: no per-row binary search, no
+    * inequality join (which Spark would plan as a broadcast nested
+    * loop), cost = one exchange + one per-key sort, identical shape
+    * at 100 TB. Events are pre-aggregated to one row per (key, ts)
+    * so tie-breaks are deterministic on both engines. */
+  def q18AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // probe side: one lookup per order, mapped into the events
+    // stream's key/time domain (o_custkey -> user, orderkey -> hour)
+    val probes = Tables.orders(spark, dir).select(
+      $"o_orderkey",
+      pmod($"o_custkey", lit(150)).as("user_id"),
+      expr("timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, cast(o_orderkey % 720 as int), 0, 0)").as("t"))
+    val ev = Tables.events(spark, dir)
+      .groupBy($"user_id", $"ts".as("t"))
+      .agg(max($"event_id").as("event_id"))
+    val tagged = ev
+      .select($"user_id", $"t", lit(0).as("tag"), $"event_id",
+              lit(null).cast("long").as("o_orderkey"))
+      .unionByName(probes
+        .select($"user_id", $"t", lit(1).as("tag"),
+                lit(null).cast("long").as("event_id"), $"o_orderkey"))
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_event_id", last($"event_id", ignoreNulls = true).over(w))
+      .filter($"tag" === 1 && $"last_event_id".isNotNull)
+      .select($"o_orderkey", $"user_id", $"last_event_id")
+      .orderBy($"o_orderkey")
+  }
+
+  /** Binned RANGE join — interval containment between two large
+    * tables. The naive `e.ts BETWEEN r.start AND r.end` join has no
+    * equi-key, so Spark plans a broadcast-nested-loop (O(n*m), OOM
+    * at scale). Binning fixes it: each range explodes into the day
+    * bins it covers (bounded fanout = range length / bin width),
+    * events map to their day bin, and the join becomes an EQUI-join
+    * on (key, bin) — one hash shuffle — with the exact range
+    * predicate re-applied as a cheap post-filter. The standard
+    * interval-join strategy in every streaming/temporal engine. */
+  def q19RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ranges = Tables.orders(spark, dir).select(
+        $"o_orderkey",
+        pmod($"o_custkey", lit(150)).as("user_id"),
+        expr("timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, cast(o_orderkey % 27 as int), 0, 0, 0)").as("r_start"),
+        (lit(1) + pmod($"o_orderkey", lit(3))).cast("int").as("d_days"))
+      .withColumn("r_end", expr("r_start + make_interval(0, 0, 0, d_days, 0, 0, 0)"))
+    val binned = ranges
+      .select($"o_orderkey", $"user_id", $"r_start", $"r_end",
+              explode(expr("sequence(0, d_days - 1)")).as("off"))
+      .withColumn("bin", expr("date_add(cast(r_start as date), off)"))
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"ts", to_date($"ts").as("bin"))
+    binned.join(ev, Seq("user_id", "bin"))
+      .filter($"ts" >= $"r_start" && $"ts" < $"r_end")
+      .groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_asof_join" -> q18AsofJoin _,
+    "q19_range_join" -> q19RangeJoin _,
     "q4_order_priority" -> q4OrderPriority _,
     "q16_cube" -> q16Cube _,
     "q17_grouping_sets" -> q17GroupingSets _,
@@ -301,6 +371,32 @@ object EngineQueries {
     "q14_json_props" -> q14JsonProps _)
 
   val oracles: Map[String, String] = Map(
+    "q18_asof_join" ->
+      """WITH probes AS (
+        |  SELECT o_orderkey, o_custkey % 150 AS user_id,
+        |    TIMESTAMP '2024-01-01 00:00:00' + (o_orderkey % 720) * INTERVAL 1 HOUR AS t
+        |  FROM orders),
+        |ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, max(event_id) AS event_id
+        |  FROM events GROUP BY user_id, CAST(ts AS TIMESTAMP))
+        |SELECT p.o_orderkey, p.user_id, e.event_id AS last_event_id
+        |FROM probes p ASOF JOIN ev e
+        |  ON e.user_id = p.user_id AND e.t <= p.t
+        |ORDER BY p.o_orderkey""".stripMargin,
+    "q19_range_join" ->
+      """WITH ranges AS (
+        |  SELECT o_orderkey, o_custkey % 150 AS user_id,
+        |    TIMESTAMP '2024-01-01 00:00:00' + (o_orderkey % 27) * INTERVAL 1 DAY AS r_start,
+        |    TIMESTAMP '2024-01-01 00:00:00'
+        |      + (o_orderkey % 27 + 1 + o_orderkey % 3) * INTERVAL 1 DAY AS r_end
+        |  FROM orders)
+        |SELECT r.o_orderkey, count(*) AS n_events
+        |FROM ranges r JOIN events e
+        |  ON e.user_id = r.user_id
+        | AND CAST(e.ts AS TIMESTAMP) >= r.r_start
+        | AND CAST(e.ts AS TIMESTAMP) < r.r_end
+        |GROUP BY r.o_orderkey
+        |ORDER BY r.o_orderkey""".stripMargin,
     "q17_grouping_sets" ->
       """SELECT o_orderpriority, o_orderstatus,
         | count(*) AS n_orders, round(sum(o_totalprice), 2) AS total

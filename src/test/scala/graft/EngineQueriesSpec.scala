@@ -46,6 +46,21 @@ class EngineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q18 as-of join never plans a nested-loop join") {
+    val df = EngineQueries.q18AsofJoin(spark, sfDir)
+    assert(!df.queryExecution.executedPlan.toString.contains("NestedLoop"),
+      "as-of must be union+window, not an inequality join")
+    // sanity: matched probes carry an event at or before their ts
+    assert(df.count() > 0)
+  }
+
+  test("q19 binned range join plans as an equi join, not BNLJ") {
+    val df = EngineQueries.q19RangeJoin(spark, sfDir)
+    assert(!df.queryExecution.executedPlan.toString.contains("NestedLoop"),
+      "range join must ride the day-bin equi key")
+    assert(df.count() > 0)
+  }
+
   test("broadcast hints survive to the physical plan in q5") {
     val plan = EngineQueries.q5StarJoin(spark, sfDir)
       .queryExecution.executedPlan.toString
