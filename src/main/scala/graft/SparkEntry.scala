@@ -16,6 +16,7 @@ object SparkEntry {
       (operators.HybridSearch.queries, operators.HybridSearch.oracles),
       (operators.Multimodal.queries, operators.Multimodal.oracles),
       (operators.Pipeline.queries, operators.Pipeline.oracles),
+      (operators.Curation.queries, operators.Curation.oracles),
       (streaming.EventStream.queries, streaming.EventStream.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

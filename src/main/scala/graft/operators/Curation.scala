@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{HashFunctions => H}
+
+/** Corpus curation operators a large-scale training-data pipeline
+  * needs beyond dedup (SURVEY.md §2.D): benchmark decontamination and
+  * leakage-safe split assignment.
+  *
+  * Both are pure hash pipelines over the same tokenize scan the dedup
+  * family uses, with every hash ANSI-SQL-reproducible so the driver's
+  * DuckDB oracle verifies them end to end.
+  */
+object Curation {
+
+  /** N-gram size for decontamination: 8-token spans, the common
+    * contamination-detection window (long enough that chance
+    * collisions are negligible, short enough to catch partial
+    * inclusion of a benchmark item). */
+  val ContamNgram = 8
+
+  /** p2: benchmark DECONTAMINATION — flag training documents that
+    * share any hashed 8-gram with the evaluation set. The eval set
+    * here is the deterministic slice doc_id % 97 == 5 (standing in
+    * for a held-out benchmark); at scale it is whatever benchmark
+    * table the pipeline loads. Candidate generation is an EQUI-join
+    * on the n-gram hash — cost tracks shared-shingle frequency,
+    * never |train| x |eval| — and only ids cross the shuffle.
+    * Output: contaminated training doc ids with the count of
+    * distinct shared 8-grams (evidence for audit). */
+  def p2Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val isEval = pmod($"doc_id", lit(97)) === 5
+    decontaminate(docs.filter(!isEval), docs.filter(isEval))
+  }
+
+  /** Parameterized decontamination over arbitrary (doc_id, text)
+    * train and eval DataFrames. */
+  def decontaminate(train: DataFrame, eval: DataFrame,
+                    ngram: Int = ContamNgram): DataFrame = {
+    import train.sparkSession.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(train.sparkSession)
+    def grams(docs: DataFrame): DataFrame = docs
+      .select($"doc_id", expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
+      .filter(size($"w") >= ngram)
+      .select($"doc_id", explode(H.hashedShingles($"w", ngram)).as("g"))
+    grams(train)
+      .join(grams(eval).select($"g").distinct(), Seq("g"), "left_semi")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"g").as("shared_ngrams"))
+      .orderBy($"doc_id")
+  }
+
+  /** p3: leakage-safe deterministic train/val/test SPLIT — the split
+    * key is a polynomial hash of the CONTENT (not the id), so exact
+    * duplicates always land in the same split (no train/test
+    * leakage through copies), assignment is stable across reruns and
+    * cluster layouts, and the same SQL replays in the oracle.
+    * 80/10/10 by hash bucket; a narrow map-only pass, no shuffle
+    * beyond the output ordering. */
+  def p3TrainSplit(spark: SparkSession, dir: String): DataFrame =
+    splitOf(Tables.documents(spark, dir))
+
+  /** Parameterized split assignment over any (doc_id, text) corpus. */
+  def splitOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs
+      .select($"doc_id",
+        (element_at(call_function("poly_hash_all", array($"text")), 1) % 100).as("bucket"))
+      .select($"doc_id",
+        when($"bucket" < 80, lit("train"))
+          .when($"bucket" < 90, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p2_decontaminate" -> p2Decontaminate _,
+    "p3_train_split" -> p3TrainSplit _)
+
+  private val polyFoldSql =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, length(t)),
+      |        i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+      |      (a, c) -> (a*31 + c) % 1000000007)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "p2_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    list_transform(generate_series(1, len(w) - ${ContamNgram - 1}),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |        || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]),
+        |    t -> $polyFoldSql))) AS g
+        |  FROM w WHERE len(w) >= $ContamNgram),
+        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 5)
+        |SELECT doc_id, count(DISTINCT g.g) AS shared_ngrams
+        |FROM g JOIN ev USING (g)
+        |WHERE doc_id % 97 <> 5
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "p3_train_split" ->
+      s"""WITH h AS (SELECT doc_id, text AS t FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, ($polyFoldSql) % 100 AS b FROM h)
+        |ORDER BY doc_id""".stripMargin)
+}

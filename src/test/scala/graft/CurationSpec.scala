@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.Curation
+
+class CurationSpec extends SparkSpec {
+
+  test("p3 split is total, deterministic, and duplicate-safe") {
+    import spark.implicits._
+    val docs = ((0 until 200).map(i => (i.toLong, s"unique document number $i with body text")) ++
+      // exact duplicates of doc 0 under different ids — must co-split
+      Seq((900L, "unique document number 0 with body text"),
+          (901L, "unique document number 0 with body text"))).toDF("doc_id", "text")
+    val s = Curation.splitOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s.size == 202)
+    assert(Set(s(0L), s(900L), s(901L)).size == 1, "copies must share a split")
+    assert(s.values.toSet.subsetOf(Set("train", "val", "test")))
+    // roughly 80/10/10: train strictly dominates on 200+ docs
+    val frac = s.values.count(_ == "train").toDouble / s.size
+    assert(frac > 0.6 && frac < 0.95, s"train fraction $frac out of range")
+    // rerun -> identical assignment (content-hash, not rand/monotonic id)
+    val s2 = Curation.splitOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s == s2)
+  }
+
+  test("p2 decontamination flags exactly the docs sharing an 8-gram with eval") {
+    import spark.implicits._
+    val evalDoc = "the quick brown fox jumps over the lazy dog tonight"
+    val train = Seq(
+      // contains the eval doc's opening 8-gram verbatim
+      (1L, "prefix words then the quick brown fox jumps over the lazy suffix"),
+      // shares vocabulary but no 8-token span
+      (2L, "the quick brown cat sleeps under the lazy dog tonight"),
+      (3L, "completely unrelated content about spark physical planning")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, evalDoc)).toDF("doc_id", "text")
+    val flagged = Curation.decontaminate(train, eval).collect()
+    assert(flagged.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(flagged.head.getLong(1) == 1L, "one shared 8-gram expected")
+  }
+}
