@@ -73,6 +73,30 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Watermarked stream-stream INTERVAL join — click attribution:
+    * each click pairs with every view by the same user at most
+    * `windowMinutes` before it. Both sides carry watermarks and the
+    * join condition carries the time bound, which is exactly what
+    * lets Structured Streaming expire buffered rows instead of
+    * holding both streams forever — the canonical bounded-state
+    * stream-stream join. On batch inputs the watermark is a no-op
+    * and the same definition is the batch attribution query
+    * (st2_interval_join), keeping the lambda/kappa pair consistent.
+    * The join keys on user_id (one hash exchange per side); the time
+    * predicate is a post-filter, never a nested-loop join. */
+  def attributeClicks(views: DataFrame, clicks: DataFrame,
+                      windowMinutes: Int = 10): DataFrame = {
+    val v = views.select(col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", s"$windowMinutes minutes")
+    val c = clicks.select(col("user_id").as("c_user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", s"$windowMinutes minutes")
+    v.join(c,
+        col("user_id") === col("c_user_id") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") < col("view_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("view_ts"), col("click_ts"))
+  }
+
   /** Batch mirror of the streaming aggregation (driver-checked). */
   def st1WindowAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -80,8 +104,22 @@ object EventStream {
       .orderBy($"window_start", $"event_type")
   }
 
+  /** Batch mirror of the interval join (driver-checked): attributed
+    * (view, click) pair counts per user. */
+  def st2IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    attributeClicks(
+        ev.filter($"event_type" === "view"),
+        ev.filter($"event_type" === "click"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_attributed"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "st1_window_agg" -> st1WindowAgg _)
+    "st1_window_agg" -> st1WindowAgg _,
+    "st2_interval_join" -> st2IntervalJoin _)
 
   val oracles: Map[String, String] = Map(
     "st1_window_agg" ->
@@ -89,5 +127,19 @@ object EventStream {
         | event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM events
         |GROUP BY 1, 2
-        |ORDER BY window_start, event_type""".stripMargin)
+        |ORDER BY window_start, event_type""".stripMargin,
+    "st2_interval_join" ->
+      """WITH v AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT v.user_id, count(*) AS n_attributed
+        |FROM v JOIN c
+        |  ON c.user_id = v.user_id
+        | AND c.click_ts >= v.view_ts
+        | AND c.click_ts < v.view_ts + INTERVAL 10 MINUTE
+        |GROUP BY v.user_id
+        |ORDER BY v.user_id""".stripMargin)
 }

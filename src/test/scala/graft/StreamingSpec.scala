@@ -154,6 +154,32 @@ class StreamingSpec extends SparkSpec {
     assert(doc3After == doc3Before, "untouched partition must be byte-identical")
   }
 
+  final case class UEv(user_id: Long, ts: Timestamp)
+
+  test("stream-stream interval join attributes clicks within the window only") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val views = MemoryStream[UEv]
+    val clicks = MemoryStream[UEv]
+    val query = EventStream.attributeClicks(views.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("attr_mem")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      views.addData(UEv(1L, t("10:00")), UEv(2L, t("10:00")))
+      clicks.addData(
+        UEv(1L, t("10:05")),  // within 10 min of user 1's view -> attributed
+        UEv(1L, t("10:30")),  // outside the window -> dropped
+        UEv(3L, t("10:02"))) // no view for user 3 -> dropped
+      query.processAllAvailable()
+      val rows = spark.table("attr_mem").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getLong(0) == 1L)
+      assert(rows.head.getTimestamp(2) == t("10:05"))
+    } finally query.stop()
+  }
+
   test("streaming upsert replaces re-arriving docs per epoch (MERGE pattern)") {
     val sparkSession = spark
     import sparkSession.implicits._
