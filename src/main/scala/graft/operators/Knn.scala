@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -208,6 +208,65 @@ object Knn {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** a5: int8 SCALAR-QUANTIZED scan + exact rerank — the
+    * memory-compression serving path every production vector store
+    * offers (FAISS SQ8, Lucene/Weaviate scalar quantization): store
+    * 1 byte per dimension instead of 4/8, scan the quantized
+    * vectors with an INTEGER dot product (exact arithmetic, no
+    * float-order issues), keep a refine set, and rerank it against
+    * the full-precision vectors. At 100 TB of embeddings the 4-8x
+    * footprint cut is the difference between an in-memory index and
+    * spilling; the refine step restores exact ranking. Per-dim
+    * min/max scales come from an order-insensitive agg (exact for
+    * doubles), and quantization uses floor(x+0.5) so the oracle
+    * replays it bit for bit. */
+  def a5KnnSq8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val refine = 20
+    val all = base(spark, dir)
+    // per-dimension [lo, hi] over the corpus, as two 64-long arrays
+    val scales = all
+      .select(posexplode($"v"))
+      .groupBy($"pos")
+      .agg(min($"col").as("lo"), max($"col").as("hi"))
+      .agg(array_sort(collect_list(struct($"pos", $"lo", $"hi"))).as("plh"))
+      .select(transform($"plh", p => p("lo")).as("los"),
+              transform($"plh", p => p("hi")).as("his"))
+    def quantize(v: Column): Column =
+      transform(sequence(lit(1), lit(64)), i =>
+        when(element_at($"his", i) === element_at($"los", i), lit(0))
+          .otherwise(floor((element_at(v, i) - element_at($"los", i)) /
+            (element_at($"his", i) - element_at($"los", i)) * 255.0 + 0.5)
+            .cast("int")))
+    // scoring runs on the DEQUANTIZED values (lo + q/255*(hi-lo)) —
+    // the symmetric-distance computation FAISS SQ8 does: a raw
+    // integer dot of offset-scaled codes does NOT order like cosine.
+    // Exact arithmetic on exact ints/extrema, so the oracle replays
+    // the doubles bit for bit.
+    def dequantize(q: Column): Column =
+      transform(sequence(lit(1), lit(64)), i =>
+        element_at($"los", i) + element_at(q, i).cast("double") / 255.0 *
+          (element_at($"his", i) - element_at($"los", i)))
+    val quant = graft.Caches.persist(
+      all.crossJoin(broadcast(scales))
+        .withColumn("qv", quantize($"v"))
+        .select($"vec_id", $"v", $"qv", dequantize($"qv").as("dq")))
+    val queries = quant.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"dq".as("dqq"), $"v".as("qfull"))
+    val wQ = Window.partitionBy($"q_id").orderBy($"qcos".desc, $"vec_id")
+    val cand = quant.join(broadcast(queries), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", $"qfull", $"v", V.cosineD($"dqq", $"dq").as("qcos"))
+      .withColumn("qrnk", row_number().over(wQ))
+      .filter($"qrnk" <= refine)
+    val w = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")
+    cand
+      .select($"q_id", $"vec_id", V.cosineD($"qfull", $"v").as("cosine_raw"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .select($"q_id", $"vec_id", round($"cosine_raw", 6).as("cosine"), $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
   /** Single-query exact top-10 (the retrieval-service shape: one
     * embedded query against the chunk index). */
   def s2VectorTopk(spark: SparkSession, dir: String): DataFrame = {
@@ -228,6 +287,7 @@ object Knn {
     "a2_knn_lsh" -> a2Lsh _,
     "a3_knn_ivf" -> a3Ivf _,
     "a4_knn_ivf_kmeans" -> a4IvfKmeans _,
+    "a5_knn_sq8" -> a5KnnSq8 _,
     "s2_vector_topk" -> s2VectorTopk _)
 
   private val cosineSql =
@@ -263,6 +323,45 @@ object Knn {
        |  GROUP BY cid)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "a5_knn_sq8" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |dims AS (
+         |  SELECT g.i AS pos, min(v[g.i]) AS lo, max(v[g.i]) AS hi
+         |  FROM e, LATERAL unnest(generate_series(1, 64)) AS g(i)
+         |  GROUP BY g.i),
+         |sc AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his
+         |       FROM dims),
+         |q8 AS (
+         |  SELECT vec_id, v, list_transform(generate_series(1, 64), i ->
+         |    CASE WHEN sc.his[i] = sc.los[i] THEN 0
+         |      ELSE CAST(floor((v[i] - sc.los[i]) / (sc.his[i] - sc.los[i]) * 255.0 + 0.5) AS INTEGER)
+         |    END) AS qv
+         |  FROM e, sc),
+         |dq AS (
+         |  SELECT vec_id, v, list_transform(generate_series(1, 64), i ->
+         |    sc.los[i] + CAST(qv[i] AS DOUBLE) / 255.0 * (sc.his[i] - sc.los[i])) AS dq
+         |  FROM q8, sc),
+         |qs AS (SELECT vec_id AS q_id, dq AS dqq, v AS qfull FROM dq WHERE vec_id < 10),
+         |cd AS (
+         |  SELECT qs.q_id, b.vec_id, qs.qfull, b.v,
+         |    ${cos("qs.dqq", "b.dq")} AS qcos
+         |  FROM qs JOIN dq b ON b.vec_id <> qs.q_id),
+         |cand AS (
+         |  SELECT q_id, vec_id, qfull, v FROM (
+         |    SELECT q_id, vec_id, qfull, v,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, vec_id) AS qrnk
+         |    FROM cd) WHERE qrnk <= 20),
+         |scored AS (
+         |  SELECT q_id, vec_id, ${cos("qfull", "v")} AS cosine_raw FROM cand),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cosine_raw,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, vec_id, round(cosine_raw, 6) AS cosine, rnk
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin,
     "a3_knn_ivf" ->
       s"""WITH e AS (
          |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

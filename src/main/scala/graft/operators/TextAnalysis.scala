@@ -139,7 +139,32 @@ object TextAnalysis {
     "t1_lang_id" -> t1LangId _,
     "t2_quality_score" -> t2QualityScore _,
     "t3_token_count" -> t3TokenCount _,
-    "t4_fingerprint" -> t4Fingerprint _)
+    "t4_fingerprint" -> t4Fingerprint _,
+    "t5_corpus_mix" -> t5CorpusMix _)
+
+  /** t5: corpus-mixture statistics — the per-(source, lang) inputs a
+    * training-data mixing step samples from: document and token
+    * counts, mean quality, and each cell's token share of the corpus
+    * (the natural proportional sampling weight). One scan + one keyed
+    * agg; the global token total joins back as a broadcast scalar,
+    * not a partition-less window. */
+  def t5CorpusMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = graft.Caches.persist(Tables.documents(spark, dir)
+      .select($"source",
+        langId($"text").as("lang_id"),
+        quality($"text").as("quality"),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_tok"))
+      .groupBy($"source", $"lang_id")
+      .agg(count(lit(1)).as("docs"),
+           sum($"n_tok").as("tokens"),
+           round(avg($"quality"), 4).as("mean_quality")))
+    val total = cells.agg(sum($"tokens").as("total_tokens"))
+    cells.crossJoin(broadcast(total))
+      .select($"source", $"lang_id", $"docs", $"tokens", $"mean_quality",
+        round($"tokens" / $"total_tokens", 6).as("mix_weight"))
+      .orderBy($"source", $"lang_id")
+  }
 
   /** SQL fragments shared by the t1/t2 oracles and the end-to-end
     * pipeline oracle (p1): per-profile score columns, the
@@ -204,6 +229,31 @@ object TextAnalysis {
           | length(text) AS n_chars_calc
           |FROM documents
           |ORDER BY doc_id""".stripMargin,
+      "t5_corpus_mix" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, source, text,
+           |$profileCols
+           |   ${zhColSql},
+           |$qualityColsSql
+           |  FROM documents),
+           |scored AS (
+           |  SELECT source,
+           |    CASE WHEN s_zh > 0 THEN 'zh'
+           |      $bestChain
+           |      ELSE 'unknown' END AS lang_id,
+           |    $qualityExprSql AS quality,
+           |    CAST(n_tok AS BIGINT) AS n_tok
+           |  FROM base),
+           |cells AS (
+           |  SELECT source, lang_id, count(*) AS docs,
+           |    CAST(sum(n_tok) AS BIGINT) AS tokens,
+           |    round(avg(quality), 4) AS mean_quality
+           |  FROM scored GROUP BY source, lang_id)
+           |SELECT source, lang_id, docs, tokens, mean_quality,
+           |  round(CAST(tokens AS DOUBLE)
+           |    / (SELECT CAST(sum(tokens) AS DOUBLE) FROM cells), 6) AS mix_weight
+           |FROM cells
+           |ORDER BY source, lang_id""".stripMargin,
       "t4_fingerprint" ->
         """SELECT doc_id,
           | CASE WHEN length(text) = 0 THEN 0

@@ -59,6 +59,13 @@ class KnnSpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF nprobe=2/8 recall $recall too low")
   }
 
+  test("a5 SQ8 refine+rerank recovers nearly all brute-force neighbors") {
+    val bf = pairs(Knn.a1BruteForce(spark, sfDir))
+    val sq = pairs(Knn.a5KnnSq8(spark, sfDir))
+    val recall = bf.intersect(sq).size.toDouble / bf.size
+    assert(recall >= 0.9, s"SQ8 recall $recall too low for refine=20")
+  }
+
   test("k-means centroids: deterministic count and dimensionality") {
     import spark.implicits._
     val vecs = Tables.embeddings(spark, sfDir)
