@@ -377,24 +377,7 @@ object ChunkQueries {
       .toDF("url", "xml")
     val docs = graft.Caches.persist(
       subs.union(idxDocs).union(rootDoc).union(extraDocs))
-    var frontier = Seq(s"$host/sitemap.xml").toDF("url")
-    var pages = Seq.empty[String].toDF("url")
-    for (_ <- 0 to maxDepth) {
-      // per-level persist, same reason as c10: each level feeds both
-      // the page union and the next frontier
-      val resolved = graft.Caches.persist(frontier
-        .join(docs, Seq("url"))
-        .select($"xml".startsWith("<sitemapindex>").as("is_idx"),
-          explode(expr("regexp_extract_all(xml, '<loc>\\\\s*(.*?)\\\\s*</loc>', 1)")).as("loc")))
-      pages = pages.union(resolved.filter(!$"is_idx").select($"loc".as("url")))
-      // depth-(d+1) frontier: sub-sitemaps named by index docs; the
-      // loop bound cuts anything enqueued past maxDepth, exactly the
-      // reference's depth > MAX check
-      frontier = resolved.filter($"is_idx").select($"loc".as("url")).distinct()
-    }
-    pages
-      .filter(regexp_extract($"url", "^https?://([^/]+)", 1) === "host0.example.com")
-      .distinct()
+    Sitemap.resolve(docs, s"$host/sitemap.xml", "host0.example.com", maxDepth)
       .orderBy($"url")
   }
 
