@@ -30,6 +30,37 @@ object FileIngest {
   final case class Extracted(doc_id: Long, status: String, title: String,
                              text: String)
 
+  /** What the converter (docling) reports about a document — every
+    * field optional, mirroring the reference's defensive unwrapping. */
+  final case class ConverterDoc(title: Option[String] = None,
+                                authors: Seq[String] = Nil,
+                                creationDate: Option[String] = None,
+                                language: Option[String] = None,
+                                numPages: Option[Int] = None,
+                                originFilename: Option[String] = None)
+
+  final case class FileMeta(title: String, author: Option[String],
+                            createdAt: Option[String], pages: Int,
+                            language: String)
+
+  /** Standardized file metadata (file.py:66-140
+    * extract_metadata_from_doc): title strategy metadata-title >
+    * origin-filename > path basename; authors joined ", "; language
+    * defaults "en"; page count num_pages > converted-page count > 0.
+    * FileIngestSpec replicates the reference's
+    * test_metadata_extraction.py table against this. */
+  def fileMetadata(doc: Option[ConverterDoc], resultPages: Int,
+                   filePath: String): FileMeta = {
+    val title = doc.flatMap(_.title).filter(_.nonEmpty)
+      .orElse(doc.flatMap(_.originFilename).filter(_.nonEmpty))
+      .getOrElse(filePath.substring(filePath.lastIndexOf('/') + 1))
+    val author = doc.map(_.authors).filter(_.nonEmpty).map(_.mkString(", "))
+    val createdAt = doc.flatMap(_.creationDate).filter(_.nonEmpty)
+    val language = doc.flatMap(_.language).filter(_.nonEmpty).getOrElse("en")
+    val pages = doc.flatMap(_.numPages).filter(_ != 0).getOrElse(resultPages)
+    FileMeta(title, author, createdAt, pages, language)
+  }
+
   final case class FileChunk(doc_id: Long, status: String, chunk_index: Int,
                              content: String, chunk_type: String, title: String)
 
@@ -61,7 +92,9 @@ object FileIngest {
       .mapPartitions { batch =>
         // converter init would go here, once per task, like m2's digest
         batch.map { case (docId, payload, mime, filename) =>
-          val title = filename.replaceAll("\\.[^.]*$", "")
+          // the stub converter reports no metadata, so the reference
+          // title strategy falls through to the path basename
+          val title = fileMetadata(None, 0, filename).title
           if (mime == "application/x-encrypted")
             Extracted(docId, "error_encrypted", title, "")
           else if (payload.isEmpty)
@@ -109,14 +142,14 @@ object FileIngest {
       s"""WITH ${ChunkQueries.chunkLiteSql},
         |ok AS (
         |  SELECT doc_id, 'ok' AS status, chunk_index, md5(content) AS content_md5,
-        |    chunk_type, 'file_' || doc_id AS title
+        |    chunk_type, 'file_' || doc_id || '.pdf' AS title
         |  FROM chunks
         |  WHERE doc_id % 5 <> 4 AND doc_id % 7 <> 3),
         |err AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 5 = 4 THEN 'error_encrypted' ELSE 'error_empty' END AS status,
         |    -1 AS chunk_index, '' AS content_md5, '' AS chunk_type,
-        |    'file_' || doc_id AS title
+        |    'file_' || doc_id || '.pdf' AS title
         |  FROM documents
         |  WHERE doc_id % 5 = 4 OR doc_id % 7 = 3)
         |SELECT doc_id, status, CAST(chunk_index AS INTEGER) AS chunk_index,

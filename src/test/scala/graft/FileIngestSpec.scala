@@ -13,8 +13,32 @@ class FileIngestSpec extends SparkSpec {
     assert((enc ++ emp).forall(r => r.getInt(2) == -1 && r.getString(3).isEmpty))
     val ok = rows.filter(_.getString(1) == "ok")
     assert(ok.nonEmpty && ok.forall(_.getInt(2) >= 0))
-    // title strategy: filename minus extension
-    assert(rows.forall(r => r.getString(5) == s"file_${r.getLong(0)}"))
+    // title strategy: no converter metadata -> path basename
+    assert(rows.forall(r => r.getString(5) == s"file_${r.getLong(0)}.pdf"))
+  }
+
+  test("file metadata strategy matches the reference extraction table") {
+    import FileIngest.{ConverterDoc, fileMetadata}
+    // metadata present wins everything
+    val m1 = fileMetadata(Some(ConverterDoc(
+      title = Some("Doc Title"), authors = Seq("Alice"),
+      creationDate = Some("2023-01-01"), language = Some("fr"),
+      numPages = Some(5))), resultPages = 0, filePath = "/tmp/test.pdf")
+    assert(m1 == FileIngest.FileMeta("Doc Title", Some("Alice"),
+      Some("2023-01-01"), 5, "fr"))
+    // metadata missing -> origin filename + converted page count
+    val m2 = fileMetadata(Some(ConverterDoc(
+      originFilename = Some("origin.pdf"))), resultPages = 3,
+      filePath = "/tmp/fallback.pdf")
+    assert(m2 == FileIngest.FileMeta("origin.pdf", None, None, 3, "en"))
+    // nothing at all -> path basename, zero pages, default language
+    val m3 = fileMetadata(None, resultPages = 0, filePath = "/path/to/base.pdf")
+    assert(m3 == FileIngest.FileMeta("base.pdf", None, None, 0, "en"))
+    // author list joins with ", "
+    val m4 = fileMetadata(Some(ConverterDoc(
+      title = Some("T"), authors = Seq("Alice", "Bob"), language = Some("en"),
+      numPages = Some(1))), resultPages = 0, filePath = "f.pdf")
+    assert(m4 == FileIngest.FileMeta("T", Some("Alice, Bob"), None, 1, "en"))
   }
 
   test("extracted file text flows into the ingestion store seam") {

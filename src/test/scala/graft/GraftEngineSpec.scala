@@ -148,6 +148,6 @@ class GraftEngineSpec extends SparkSpec {
     assert(out.filter(_.getString(1) == "ok").map(_.getLong(0)).toSet == Set(1L))
     assert(out.find(_.getLong(0) == 2L).get.getString(1) == "error_empty")
     assert(out.find(_.getLong(0) == 3L).get.getString(1) == "error_encrypted")
-    assert(out.find(_.getLong(0) == 1L).get.getString(5) == "report")
+    assert(out.find(_.getLong(0) == 1L).get.getString(5) == "report.pdf")
   }
 }
