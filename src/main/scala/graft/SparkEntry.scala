@@ -13,6 +13,7 @@ object SparkEntry {
       (operators.Knn.queries, operators.Knn.oracles),
       (operators.ChunkQueries.queries, operators.ChunkQueries.oracles),
       (operators.FileIngest.queries, operators.FileIngest.oracles),
+      (operators.WebMeta.queries, operators.WebMeta.oracles),
       (operators.HybridSearch.queries, operators.HybridSearch.oracles),
       (operators.Multimodal.queries, operators.Multimodal.oracles),
       (operators.Pipeline.queries, operators.Pipeline.oracles),
