@@ -201,6 +201,16 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
     exactKept.join(nearDupLosers, Seq("doc_id"), "left_anti")
   }
 
+  /** Benchmark decontamination: corpus docs sharing any hashed
+    * 8-gram with `evalSet` (doc_id, text), with evidence counts. */
+  def decontaminate(evalSet: DataFrame): DataFrame =
+    graft.operators.Curation.decontaminate(corpus.select($"doc_id", $"text"), evalSet)
+
+  /** Leakage-safe deterministic train/val/test assignment (content
+    * hash — exact copies co-split, stable across reruns). */
+  def assignSplits(): DataFrame =
+    graft.operators.Curation.splitOf(corpus.select($"doc_id", $"text"))
+
   /** Binary-file ingestion (the converter-pool file path): opaque
     * (doc_id, payload binary, mime, filename) blobs -> per-task
     * converter (decode stubbed) -> ERR_ENCRYPTED/ERR_EMPTY taxonomy

@@ -332,11 +332,13 @@ object ChunkQueries {
     import spark.implicits._
     val maxDepth = 3
     val host = "https://host0.example.com"
-    val pieces = Tables.events(spark, dir)
+    // persist (tracked): pieces feeds the urlset build AND the sm_id
+    // rollups (index + root) — one events scan instead of three
+    val pieces = graft.Caches.persist(Tables.events(spark, dir)
       .select(expr("event_id div 10").as("sm_id"), $"event_id",
         concat(lit("<url><loc>https://host"), pmod($"user_id", lit(3)),
                lit(".example.com/page/"), pmod($"event_id", lit(50)),
-               lit("</loc></url>")).as("piece"))
+               lit("</loc></url>")).as("piece")))
     val subs = pieces
       .groupBy($"sm_id")
       .agg(concat(lit("<urlset>"),
