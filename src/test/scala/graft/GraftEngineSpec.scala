@@ -136,6 +136,19 @@ class GraftEngineSpec extends SparkSpec {
       Set("doc_id", "chunk_index", "content", "chunk_type", "language"))
   }
 
+  test("curation facade: decontaminate flags overlap, assignSplits is total") {
+    import spark.implicits._
+    val n = Tables.documents(spark, sfDir).count()
+    val splits = engine.assignSplits().collect()
+    assert(splits.length == n)
+    assert(splits.map(_.getString(1)).toSet.subsetOf(Set("train", "val", "test")))
+    // an eval set copied verbatim from the corpus must flag its twin
+    val evalSet = Tables.documents(spark, sfDir)
+      .filter($"doc_id" === 0).select(($"doc_id" + 10000).as("doc_id"), $"text")
+    val flagged = engine.decontaminate(evalSet).collect().map(_.getLong(0))
+    assert(flagged.contains(0L), "doc 0 shares every 8-gram with its eval copy")
+  }
+
   test("ingestFiles runs the converter seam: error taxonomy + chunks") {
     import spark.implicits._
     val files = Seq(
