@@ -78,9 +78,31 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** p4: budgeted per-source SAMPLING — keep at most k documents per
+    * source, chosen by deterministic content-hash order: stable
+    * across reruns and cluster layouts (no rand()), unbiased w.r.t.
+    * ingestion order, and exact copies get identical keys so
+    * re-crawled duplicates can't double-dip a budget. The per-group
+    * head rides the TopKPerKey heap rewrite (no per-source sort);
+    * one shuffle on source. The per-source quota step every corpus
+    * mixing plan needs between t5's weights and the final sample. */
+  def p4SamplePerSource(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        element_at(call_function("poly_hash_all", array($"text")), 1).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+      .select($"source", $"rn", $"doc_id")
+      .orderBy($"source", $"rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p2_decontaminate" -> p2Decontaminate _,
-    "p3_train_split" -> p3TrainSplit _)
+    "p3_train_split" -> p3TrainSplit _,
+    "p4_sample_per_source" -> ((s, d) => p4SamplePerSource(s, d)))
 
   private val polyFoldSql =
     """list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -104,6 +126,17 @@ object Curation {
         |WHERE doc_id % 97 <> 5
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    "p4_sample_per_source" ->
+      s"""WITH h AS (SELECT doc_id, source, text AS t FROM documents),
+        |keyed AS (
+        |  SELECT doc_id, source, ($polyFoldSql) AS hk FROM h),
+        |ranked AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn
+        |  FROM keyed)
+        |SELECT source, rn, doc_id FROM ranked
+        |WHERE rn <= 20
+        |ORDER BY source, rn""".stripMargin,
     "p3_train_split" ->
       s"""WITH h AS (SELECT doc_id, text AS t FROM documents)
         |SELECT doc_id,

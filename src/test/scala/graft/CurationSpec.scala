@@ -24,6 +24,20 @@ class CurationSpec extends SparkSpec {
     assert(s == s2)
   }
 
+  test("p4 per-source sampling caps the budget and rides the TopK heap") {
+    val df = operators.Curation.p4SamplePerSource(spark, sfDir, k = 3)
+    val rows = df.collect()
+    val bySource = rows.groupBy(_.getString(0))
+    assert(bySource.nonEmpty)
+    bySource.values.foreach(rs => assert(rs.length <= 3))
+    // deterministic: a rerun yields the identical sample
+    val again = operators.Curation.p4SamplePerSource(spark, sfDir, k = 3).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // the row_number filter is rewritten to the heap-based top-k
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopK"), s"expected TopKPerKey rewrite in plan")
+  }
+
   test("p2 decontamination flags exactly the docs sharing an 8-gram with eval") {
     import spark.implicits._
     val evalDoc = "the quick brown fox jumps over the lazy dog tonight"
