@@ -30,12 +30,18 @@ object Caches {
     * intermediate several operators read (e.g. the hashed-shingle
     * scan under d2/d4/p1) — the corpus-prep analog of a real
     * deployment computing document signatures once and running every
-    * dedup pass against them. Keyed by name+dir; built and persisted
-    * on first request, returned as-is after. Survives [[releaseAll]]
-    * (which scopes per-query diamonds); dropped by
-    * [[releaseShared]]. */
-  def shared(key: String)(build: => DataFrame): DataFrame = synchronized {
-    sharedScans.getOrElseUpdate(key, build.persist())
+    * dedup pass against them. Keyed by session+name+dir (a cached
+    * DataFrame is bound to the SparkSession that built it, so a
+    * second or restarted session in the same JVM rebuilds its own
+    * scan instead of inheriting a handle on a foreign/stopped one);
+    * built and persisted on first request, returned as-is after.
+    * Survives [[releaseAll]] (which scopes per-query diamonds);
+    * dropped by [[releaseShared]]. */
+  def shared(spark: org.apache.spark.sql.SparkSession, key: String)
+            (build: => DataFrame): DataFrame = synchronized {
+    // identity hash = one namespace per live SparkSession object
+    // (sessionUUID is private[sql] in Spark 4)
+    sharedScans.getOrElseUpdate(s"${System.identityHashCode(spark)}:$key", build.persist())
   }
 
   /** Unpersist every tracked per-query handle. Call after the
@@ -46,9 +52,11 @@ object Caches {
     tracked.clear()
   }
 
-  /** Unpersist the shared scans (process shutdown / corpus switch). */
+  /** Unpersist the shared scans (process shutdown / corpus switch).
+    * Scans owned by an already-stopped session are dropped silently. */
   def releaseShared(): Unit = synchronized {
-    sharedScans.values.foreach(_.unpersist(false))
+    sharedScans.values.foreach(df =>
+      scala.util.Try(df.unpersist(false)))
     sharedScans.clear()
   }
 

@@ -139,29 +139,23 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
       .groupBy($"text_md5")
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("copies"))
 
-  /** MinHash-LSH near-dup pairs at the given jaccard threshold —
-    * hashed shingle sets end to end (the d2 shape: sketches and the
-    * verify merge-walk both work on 8-byte longs). */
-  def dedupNearMinHash(threshold: Double = 0.3): DataFrame = {
-    val withBands = Caches.persist(tokenized
+  /** MinHash signatures (doc_id, hs, mh) of a (doc_id, tok) frame —
+    * persisted (tracked): the band explode and both verify sides of
+    * the LSH pair join all read it. */
+  private def minhashSigsOf(docs: DataFrame): DataFrame =
+    Caches.persist(docs
       .filter(size($"tok") >= 3)
       .select($"doc_id",
         graft.functions.HashFunctions.hashedShingles($"tok", 3).as("hs"))
-      .select($"doc_id", $"hs", expr("minhash_sig(hs)").as("mh"))
-      .select($"doc_id", $"hs",
-        posexplode(graft.functions.HashFunctions.bandHashes($"mh", 64, 2)))
-      .select($"doc_id", $"hs", $"pos".as("band_idx"), $"col".as("band_hash")))
-    withBands.as("x")
-      .join(withBands.as("y"),
-            $"x.band_idx" === $"y.band_idx" && $"x.band_hash" === $"y.band_hash" &&
-            $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"),
-              $"x.hs".as("ha"), $"y.hs".as("hb"))
-      .dropDuplicates("a_id", "b_id")
-      .select($"a_id", $"b_id",
-              call_function("jaccard_sorted_long", $"ha", $"hb").as("jaccard"))
-      .filter($"jaccard" >= threshold)
-  }
+      .select($"doc_id", $"hs", expr("minhash_sig(hs)").as("mh")))
+
+  /** MinHash-LSH near-dup pairs at the given jaccard threshold —
+    * hashed shingle sets end to end (the d2 shape: sketches and the
+    * verify merge-walk both work on 8-byte longs; band buckets capped
+    * at Dedup.MaxBandBucket so boilerplate clusters never make the
+    * bucket self-join quadratic). */
+  def dedupNearMinHash(threshold: Double = 0.3): DataFrame =
+    Dedup.minhashLshPairsOf(minhashSigsOf(tokenized), threshold = threshold)
 
   /** One-call training-data preparation — the standard pre-training
     * corpus pipeline over this engine's operators, in dependency
@@ -187,16 +181,31 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
       .filter($"quality" >= minQuality)
     val langFiltered = langs.fold(scored)(ls =>
       scored.filter($"lang_id".isin(ls.toSeq: _*)))
-    val exactKept = langFiltered
+    // persisted (tracked; engine.releaseCaches() frees it): the
+    // survivor set feeds BOTH the near-dedup sketch and the final
+    // anti-join
+    val exactKept = Caches.persist(langFiltered
       .withColumn("__md5", md5($"text"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy($"__md5").orderBy($"doc_id")))
       .filter($"__rn" === 1)
-      .drop("__md5", "__rn")
+      .drop("__md5", "__rn"))
+    // Near-dedup sees only the EXACT-DEDUP SURVIVORS — each distinct
+    // text once. Running LSH on the raw corpus would put every
+    // byte-identical copy of a boilerplate page into the same band
+    // buckets (O(copies^2) candidates); chaining off exactKept makes
+    // the near-dup stage scale with distinct content. The kept set is
+    // unchanged on an unfiltered corpus (every raw pair maps to a
+    // survivor pair with the keeper id lower); under quality/lang
+    // filters the sketch now sees only eligible docs, so similarity
+    // to already-rejected garbage no longer drops survivors.
+    val survivorsTok = exactKept.select($"doc_id",
+      expr("regexp_extract_all(lower(text), '\\\\S+', 0)").as("tok"))
     // no broadcast hint: the loser set scales with the duplicate rate
     // (corpus-sized in the worst case) — AQE picks broadcast at
     // runtime when the set turns out small
-    val nearDupLosers = dedupNearMinHash(nearDupThreshold)
+    val nearDupLosers = graft.operators.Dedup
+      .minhashLshPairsOf(minhashSigsOf(survivorsTok), threshold = nearDupThreshold)
       .select($"b_id".as("doc_id")).distinct()
     exactKept.join(nearDupLosers, Seq("doc_id"), "left_anti")
   }

@@ -40,7 +40,7 @@ object Dedup {
     * once per (dir) via Caches.shared: in a corpus-prep run the
     * signature scan is computed once, not once per dedup pass. */
   def hashedShingleSets(spark: SparkSession, dir: String): DataFrame =
-    graft.Caches.shared(s"shingles:$dir") {
+    graft.Caches.shared(spark, s"shingles:$dir") {
       hashedShingleSetsOf(Tables.documents(spark, dir))
     }
 
@@ -48,7 +48,7 @@ object Dedup {
     * (doc_id, hs, mh). The 128-perm sketch kernel is the dominant
     * dedup compute — shared between d2 and p1's embedded near-dedup. */
   def minhashSigs(spark: SparkSession, dir: String): DataFrame =
-    graft.Caches.shared(s"mhsig:$dir") {
+    graft.Caches.shared(spark, s"mhsig:$dir") {
       hashedShingleSets(spark, dir).withColumn("mh", expr("minhash_sig(hs)"))
     }
 
@@ -72,36 +72,71 @@ object Dedup {
       .orderBy($"keep_id")
   }
 
-  /** MinHash + LSH near-dup pairs.
-    * shingle -> xxhash64 -> 128-perm signature -> 64 bands x 2 rows
-    * -> bucket join on (band, hash) -> verify Jaccard >= 0.3.
-    * b=64/r=2 puts the S-curve threshold at (1/64)^(1/2) ~ 0.125, so
-    * recall at j >= 0.3 is ~0.998+; false candidates are killed by the
-    * verify stage. */
-  def d2MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    // The shared scan already holds the hashed shingle sets + 128-perm
-    // signatures (persisted once; the band explode and both verify
-    // sides all read the same cached blocks)
-    val sig = minhashSigs(spark, dir)
+  /** Band-bucket cap for the LSH self-join — the d2 analog of
+    * [[MaxBlock]]: a (band_idx, band_hash) bucket shared by more
+    * documents than this is a boilerplate cluster (at 100 TB:
+    * thousands of near-identical template pages), and its self-join
+    * is quadratic in the cluster size. Buckets over the cap are
+    * dropped BEFORE pairing; recall for ordinary near-dups is
+    * untouched because a true near-dup pair collides in ~many of the
+    * 64 bands and only the degenerate mega-buckets are cut. The cap
+    * is mirrored in the d2 oracle SQL. */
+  val MaxBandBucket = 64
+
+  /** LSH band-bucket candidate pairs over a (doc_id, mh) signature
+    * frame: band explode -> windowed bucket count -> drop buckets >
+    * maxBucket -> equi-self-join. The window count is linear even for
+    * a mega-bucket (one sorted partition), so the degenerate case
+    * never reaches the quadratic stage. Exposed for the skew spec. */
+  private[graft] def lshCandidates(sig: DataFrame, maxBucket: Int): DataFrame = {
+    import sig.sparkSession.implicits._
     val bands = sig
       .select($"doc_id",
               posexplode(H.bandHashes($"mh", bands = 64, rowsPerBand = 2)))
       .select($"doc_id", $"pos".as("band_idx"), $"col".as("band_hash"))
-    val candidates = bands.as("x")
-      .join(bands.as("y"),
+    val wB = Window.partitionBy($"band_idx", $"band_hash")
+    val kept = bands
+      .withColumn("bcnt", count(lit(1)).over(wB))
+      .filter($"bcnt" <= maxBucket)
+      .drop("bcnt")
+    kept.as("x")
+      .join(kept.as("y"),
             $"x.band_idx" === $"y.band_idx" && $"x.band_hash" === $"y.band_hash" &&
             $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"))
       .distinct()
+  }
+
+  /** Verified MinHash-LSH near-dup pairs over any (doc_id, hs, mh)
+    * signature frame — the reusable core d2 and p1 share (p1 feeds it
+    * the exact-dedup SURVIVORS' signatures, so duplicate-heavy corpora
+    * never reach the band join with their copies). Unordered: callers
+    * sort or aggregate as needed. */
+  private[graft] def minhashLshPairsOf(sig: DataFrame,
+                                       maxBucket: Int = MaxBandBucket,
+                                       threshold: Double = 0.3): DataFrame = {
+    import sig.sparkSession.implicits._
+    val candidates = lshCandidates(sig, maxBucket)
     val sets = sig.select($"doc_id", $"hs")
     candidates
       .join(sets.as("sa"), $"a_id" === $"sa.doc_id")
       .join(sets.as("sb"), $"b_id" === $"sb.doc_id")
       .select($"a_id", $"b_id",
         round(call_function("jaccard_sorted_long", $"sa.hs", $"sb.hs"), 6).as("jaccard"))
-      .filter($"jaccard" >= 0.3)
-      .orderBy($"a_id", $"b_id")
+      .filter($"jaccard" >= threshold)
+  }
+
+  /** MinHash + LSH near-dup pairs.
+    * shingle -> xxhash64 -> 128-perm signature -> 64 bands x 2 rows
+    * -> capped bucket join on (band, hash) -> verify Jaccard >= 0.3.
+    * b=64/r=2 puts the S-curve threshold at (1/64)^(1/2) ~ 0.125, so
+    * recall at j >= 0.3 is ~0.998+; false candidates are killed by the
+    * verify stage. The shared scan already holds the hashed shingle
+    * sets + 128-perm signatures (persisted once; the band explode and
+    * both verify sides all read the same cached blocks). */
+  def d2MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    minhashLshPairsOf(minhashSigs(spark, dir)).orderBy($"a_id", $"b_id")
   }
 
   /** SimHash near-dup pairs: 60-bit token-level simhash (token hash =
@@ -211,18 +246,42 @@ object Dedup {
   def d4NgramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardFrom(hashedShingleSets(spark, dir), MaxBlock)
 
+  /** Label-cell cap for d5's within-cell self-join: a cell larger
+    * than this means the coarse quantizer is too coarse for the data
+    * (the IVF answer is to grow k / re-quantize, not to run the
+    * quadratic comparison anyway). Dropped cells are the same
+    * degenerate class as d4's mega-buckets; the cap is mirrored in
+    * the oracle. Generous: legitimate IVF cells are O(n/k)-sized and
+    * far below it at any sane k. */
+  val MaxCell = 1024
+
+  /** Within-label all-pairs cosine over a (vec_id, label, v) frame,
+    * cells larger than maxCell dropped before the self-join (the
+    * windowed count is linear even on a hot cell). Exposed for the
+    * skew spec. */
+  private[graft] def embeddingCosinePairsOf(e: DataFrame, tau: Double,
+                                            maxCell: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    val wC = Window.partitionBy($"label")
+    val kept = e
+      .withColumn("ccnt", count(lit(1)).over(wC))
+      .filter($"ccnt" <= maxCell)
+      .drop("ccnt")
+    kept.as("a").join(kept.as("b"), $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"),
+              round(V.cosineD($"a.v", $"b.v"), 6).as("cosine"))
+      .filter($"cosine" >= tau)
+  }
+
   /** Embedding-cosine near-dup pairs >= 0.4, blocked by cluster
     * label (the IVF-style pre-partition: at scale the label comes
     * from a2/a3's coarse quantizer, keeping the pairwise work inside
-    * cells). */
+    * cells), hot cells capped at [[MaxCell]]. */
   def d5EmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
       .select($"vec_id", $"label", V.asDouble($"embedding").as("v"))
-    e.as("a").join(e.as("b"), $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"),
-              round(V.cosineD($"a.v", $"b.v"), 6).as("cosine"))
-      .filter($"cosine" >= 0.4)
+    embeddingCosinePairsOf(e, tau = 0.4, maxCell = MaxCell)
       .orderBy($"a_id", $"b_id")
   }
 
@@ -234,11 +293,11 @@ object Dedup {
     "d5_dedup_embedding" -> d5EmbeddingCosine _)
 
   /** Shared oracle CTEs (w + d): tokenized docs -> sorted distinct
-    * poly-hashed 3-gram shingle sets — the SQL twin of
-    * [[hashedShingleSets]], reused by the d2 and d4 oracles so the
-    * two replays can't drift apart. */
-  private val hashedSetSql: String =
-    """w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+    * poly-hashed 3-gram shingle sets over any (doc_id, text) relation
+    * — the SQL twin of [[hashedShingleSetsOf]], reused by the d2, d4,
+    * and p1 oracles so the replays can't drift apart. */
+  private[operators] def hashedSetSqlOver(rel: String): String =
+    s"""w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM $rel),
       |d AS (
       |  SELECT doc_id, list_sort(list_distinct(list_transform(
       |    list_transform(generate_series(1, len(w)-2),
@@ -249,15 +308,19 @@ object Dedup {
       |      (a, c) -> (a*31 + c) % 1000000007)))) AS hs
       |  FROM w WHERE len(w) >= 3)""".stripMargin
 
-  /** d2's full DuckDB replay: poly-hashed shingle sets, the 128-perm
+  private val hashedSetSql: String = hashedSetSqlOver("documents")
+
+  /** The full DuckDB replay of [[minhashLshPairsOf]] over any
+    * (doc_id, text) relation: poly-hashed shingle sets, the 128-perm
     * minhash with the SAME (a,b) constants the kernel uses (spliced
-    * as literals), the band fold, the bucket self-join, and the
-    * hashed-set jaccard verify. */
-  private[operators] lazy val d2Sql: String = {
+    * as literals), the band fold, the [[MaxBandBucket]] cap, the
+    * bucket self-join, and the hashed-set jaccard verify. p1 splices
+    * this over its exact-dedup survivor CTE. */
+  private[operators] def d2SqlOver(rel: String): String = {
     val (pa, pb) = H.permConstants(128)
     val aList = pa.mkString("[", ", ", "]")
     val bList = pb.mkString("[", ", ", "]")
-    s"""WITH $hashedSetSql,
+    s"""WITH ${hashedSetSqlOver(rel)},
        |sig AS (
        |  SELECT doc_id, list_transform(generate_series(1, 128), p ->
        |    list_reduce(list_prepend(CAST(9223372036854775807 AS BIGINT),
@@ -269,9 +332,14 @@ object Dedup {
        |    (((CAST(b.i - 1 AS BIGINT) * 31 + mh[2*b.i - 1] % 1000000007) % 1000000007) * 31
        |      + mh[2*b.i] % 1000000007) % 1000000007 AS band_hash
        |  FROM sig, LATERAL unnest(generate_series(1, 64)) AS b(i)),
+       |keptb AS (
+       |  SELECT doc_id, band_idx, band_hash FROM (
+       |    SELECT doc_id, band_idx, band_hash,
+       |      count(*) OVER (PARTITION BY band_idx, band_hash) AS bcnt
+       |    FROM bands) WHERE bcnt <= $MaxBandBucket),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-       |  FROM bands x JOIN bands y
+       |  FROM keptb x JOIN keptb y
        |    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
        |   AND x.doc_id < y.doc_id)
        |SELECT a_id, b_id, jaccard FROM (
@@ -282,6 +350,8 @@ object Dedup {
        |WHERE jaccard >= 0.3
        |ORDER BY a_id, b_id""".stripMargin
   }
+
+  private[operators] lazy val d2Sql: String = d2SqlOver("documents")
 
   /** d3's DuckDB replay: 60-bit packed poly token hashes, the
     * bit-vote simhash, 6x10-bit chunk blocking, hamming verify. */
@@ -357,10 +427,15 @@ object Dedup {
         |WHERE jaccard >= 0.3
         |ORDER BY a_id, b_id""".stripMargin,
     "d5_dedup_embedding" ->
-      """WITH e AS (
+      s"""WITH e0 AS (
         |  SELECT vec_id, label,
         |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings)
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, label, v FROM (
+        |    SELECT vec_id, label, v,
+        |      count(*) OVER (PARTITION BY label) AS ccnt
+        |    FROM e0) WHERE ccnt <= $MaxCell)
         |SELECT a_id, b_id, cosine FROM (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |   round(

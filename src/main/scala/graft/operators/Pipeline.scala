@@ -22,14 +22,27 @@ object Pipeline {
       .withColumn("lang_id", TextAnalysis.langId($"text"))
       .withColumn("quality", TextAnalysis.quality($"text"))
       .filter($"quality" >= 0.2)
-    val exactKept = scored
+    // persisted (tracked): the survivor set feeds BOTH the signature
+    // semi-join and the final anti-join — three narrow columns, not
+    // the corpus
+    val exactKept = graft.Caches.persist(scored
       .withColumn("__md5", md5($"text"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy($"__md5").orderBy($"doc_id")))
       .filter($"__rn" === 1)
-    // no broadcast hint: the loser set scales with the duplicate
+      .select($"doc_id", $"lang_id", $"quality"))
+    // Near-dedup runs on the EXACT-DEDUP SURVIVORS, not the raw
+    // corpus: a duplicate-heavy crawl (the 100 TB normal case) would
+    // otherwise put every byte-identical copy into the same LSH band
+    // buckets and the band self-join would emit O(copies^2) candidate
+    // pairs before a single survivor dropped. The shared signature
+    // scan is semi-joined down to survivors BEFORE any band explodes;
+    // docs the exact pass already collapsed never reach the sketch.
+    val sig = Dedup.minhashSigs(spark, dir)
+      .join(exactKept.select($"doc_id"), Seq("doc_id"), "left_semi")
+    // no broadcast hint: the loser set scales with the near-dup
     // rate — AQE broadcasts at runtime when it is actually small
-    val losers = Dedup.d2MinhashLsh(spark, dir)
+    val losers = Dedup.minhashLshPairsOf(sig)
       .select($"b_id".as("doc_id")).distinct()
     exactKept.join(losers, Seq("doc_id"), "left_anti")
       .select($"doc_id", $"lang_id", $"quality")
@@ -56,14 +69,14 @@ object Pipeline {
          |  FROM base),
          |flt AS (SELECT * FROM scored WHERE quality >= 0.2),
          |exact AS (
-         |  SELECT doc_id, lang_id, quality FROM (
-         |    SELECT doc_id, lang_id, quality,
+         |  SELECT doc_id, text, lang_id, quality FROM (
+         |    SELECT doc_id, text, lang_id, quality,
          |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
          |    FROM flt)
          |  WHERE rn = 1),
          |losers AS (
          |  SELECT DISTINCT b_id FROM (
-         |${Dedup.d2Sql}
+         |${Dedup.d2SqlOver("exact")}
          |  ))
          |SELECT doc_id, lang_id, quality
          |FROM exact

@@ -76,4 +76,50 @@ class DedupSpec extends SparkSpec {
       assert(r.getDouble(2) >= 0.4)
     }
   }
+
+  test("d2 band-bucket cap kills the quadratic boilerplate cluster") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    // pathological corpus: 300 byte-identical pages — identical
+    // signatures collide in ALL 64 bands, so uncapped LSH would emit
+    // C(300,2) candidate pairs (× 64 band collisions pre-distinct)
+    val docs = (0 until 300)
+      .map(i => (i.toLong, "the same boilerplate page body everywhere"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.hashedShingleSetsOf(docs)
+      .withColumn("mh", expr("minhash_sig(hs)"))
+    assert(Dedup.lshCandidates(sig, 1000).count() == 300L * 299 / 2)
+    assert(Dedup.lshCandidates(sig, Dedup.MaxBandBucket).count() == 0)
+  }
+
+  test("d5 label-cell cap bounds the hot quantizer cell") {
+    import spark.implicits._
+    // one degenerate 400-vector cell + one legitimate 2-vector cell
+    val hot = (0 until 400).map(i => (i.toLong, 0L, Seq(1.0, 0.0)))
+    val ok = Seq((1000L, 1L, Seq(0.6, 0.8)), (1001L, 1L, Seq(0.6, 0.8)))
+    val e = (hot ++ ok).toDF("vec_id", "label", "v")
+    // uncapped: the hot cell alone is C(400,2) pairs
+    assert(Dedup.embeddingCosinePairsOf(e, 0.4, maxCell = 1000).count() ==
+      400L * 399 / 2 + 1)
+    // capped: hot cell dropped BEFORE the self-join, small cell kept
+    assert(Dedup.embeddingCosinePairsOf(e, 0.4, maxCell = 100).count() == 1)
+  }
+
+  test("prepareCorpus chains near-dedup off exact survivors (1k-copy corpus)") {
+    import spark.implicits._
+    // 1000 byte-identical docs + one planted near-dup pair: the LSH
+    // stage must see each distinct text once (the exact pass already
+    // collapsed the copies), so the band join runs over 3 docs, not
+    // 1002 — and the kept set is the exact keeper + the pair's keeper
+    val boiler = (0 until 1000).map(i =>
+      (i.toLong, "the same boilerplate page body repeated verbatim across the crawl"))
+    val docs = (boiler ++ Seq(
+      (5000L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (5001L, "alpha beta gamma delta epsilon zeta eta kappa")))
+      .toDF("doc_id", "text")
+    val eng = new GraftEngine(spark, docs)
+    val kept = eng.prepareCorpus().select("doc_id").as[Long].collect().sorted.toSeq
+    eng.releaseCaches()
+    assert(kept == Seq(0L, 5000L))
+  }
 }
