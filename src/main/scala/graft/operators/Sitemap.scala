@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sitemap resolution over a fetched-sitemap table — the DataFrame
@@ -25,29 +25,60 @@ import org.apache.spark.sql.functions._
   */
 object Sitemap {
 
+  /** Root-element kind, anchored to the FIRST element after an
+    * optional XML prolog — the column twin of ElementTree's
+    * root.tag check (sitemap.py:277). A mere substring test would
+    * misroute a urlset whose loc text contains the literal
+    * '<sitemapindex'. Supported prefix subset: whitespace + one
+    * `<?...?>` prolog (the reference's parser also accepts comments;
+    * fetched sitemaps in the wild lead with the prolog or the root). */
+  private[operators] def rootKind(xml: Column): Column = {
+    val tag = regexp_extract(xml,
+      "^\\s*(?:<\\?[^>]*\\?>)?\\s*<(urlset|sitemapindex)[\\s>]", 1)
+    when(tag === "sitemapindex", lit("idx"))
+      .when(tag === "urlset", lit("urlset"))
+      .otherwise(lit("other"))
+  }
+
+  /** Minimal XML entity decode for extracted `<loc>` text — the
+    * predefined five ElementTree decodes (sitemap.py parses real XML,
+    * so a loc written '&amp;' arrives as '&'). '&amp;' is decoded
+    * LAST so '&amp;lt;' round-trips to '&lt;' like a real parser. */
+  private[operators] def decodeEntities(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      c, lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")), lit("&apos;"), lit("'")),
+      lit("&amp;"), lit("&"))
+
   /** Resolve `rootUrl` against `docs` (url, xml). One equi-join on
     * url per depth level — at web scale `docs` is the fetch tier's
-    * output table and each level is one shuffle. */
+    * output table and each level is one shuffle. The loop exits as
+    * soon as the frontier drains (a shallow site pays for its real
+    * depth, not maxDepth; the emptiness probe reads the already-
+    * persisted level, so it costs one cheap action, while a dead
+    * level would cost a join + persist + scheduling round-trip). */
   def resolve(docs: DataFrame, rootUrl: String, baseDomain: String,
               maxDepth: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     var frontier = Seq(rootUrl).toDF("url")
     var pages = Seq.empty[String].toDF("url")
-    for (_ <- 0 to maxDepth) {
-      // per-level persist: each level feeds both the page union and
-      // the next frontier (see c10's iterative-plan note)
+    var depth = 0
+    var drained = false
+    while (depth <= maxDepth && !drained) {
+      // per-level persist: each level feeds the page union, the next
+      // frontier, and the drain probe (see c10's iterative-plan note)
       val resolved = graft.Caches.persist(frontier
         .join(docs, Seq("url"))
-        .select(
-          when(instr($"xml", "<sitemapindex") > 0, lit("idx"))
-            .when(instr($"xml", "<urlset") > 0, lit("urlset"))
-            .otherwise(lit("other")).as("kind"),
-          explode(expr("regexp_extract_all(xml, '<loc>\\\\s*(.*?)\\\\s*</loc>', 1)")).as("loc")))
+        .select(rootKind($"xml").as("kind"),
+          decodeEntities(explode(
+            expr("regexp_extract_all(xml, '<loc>\\\\s*(.*?)\\\\s*</loc>', 1)"))).as("loc")))
       pages = pages.union(resolved.filter($"kind" === "urlset").select($"loc".as("url")))
       // anything enqueued past maxDepth dies with the loop bound —
       // exactly the reference's depth > MAX check
       frontier = resolved.filter($"kind" === "idx").select($"loc".as("url")).distinct()
+      drained = resolved.filter($"kind" === "idx").isEmpty
+      depth += 1
     }
     pages
       .filter(regexp_extract($"url", "^https?://([^/]+)", 1) === baseDomain)
