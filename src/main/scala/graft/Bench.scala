@@ -39,10 +39,18 @@ object Bench {
     // ±20% with background load; the min of two runs reports the
     // steady-state cost. Caches are released between runs so each
     // attempt pays its own diamond-reuse materialization.
+    // a crashing query must NOT masquerade as a fast one: its error is
+    // recorded per-query in the JSON (`errors` key, present only when
+    // non-empty) and the timing still reflects the wall time spent
+    val errors = scala.collection.mutable.Map.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val dts = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         Caches.releaseAll()
         dt
@@ -51,8 +59,12 @@ object Bench {
     } + ("_shared_shingle_scan" -> sharedDt)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => s"\"$k\":\"$v\"" }
+        .mkString(",\"errors\":{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -263,7 +263,9 @@ object ChunkQueries {
         pmod($"src" * 3 + 1, lit(50)))).as("dst")))
     var visited = Seq((0L, 0L)).toDF("url", "depth")
     var frontier = visited.select($"url")
-    for (d <- 1 to maxDepth) {
+    var d = 1
+    var drained = false
+    while (d <= maxDepth && !drained) {
       // persist each level: frontier(d) feeds BOTH visited (union
       // branch) and frontier(d+1) (join + anti-join) — without the
       // cache the lazy union tree re-evaluates every earlier level
@@ -280,6 +282,12 @@ object ChunkQueries {
         .join(visited.select($"url"), Seq("url"), "left_anti"))
       visited = visited.union(
         frontier.select($"url", lit(d.toLong).as("depth")))
+      // drain probe on the just-persisted frontier: one cheap action,
+      // vs a dead level's join + anti-join + persist + scheduling
+      // round-trip (a graph shallower than maxDepth pays for its real
+      // diameter only — same early-exit as Sitemap.resolve)
+      drained = frontier.isEmpty
+      d += 1
     }
     visited.orderBy($"url")
   }

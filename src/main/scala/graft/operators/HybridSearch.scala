@@ -22,11 +22,20 @@ object HybridSearch {
   private val K1 = 1.2
   private val B = 0.75
 
+  /** Weaviate `word`-class tokenization (the class the reference's
+    * chunk schema uses): lowercase, keep alphanumeric runs, split on
+    * everything else (adapter/weaviate/store.go:105-110) — so
+    * punctuation-adjacent terms ("spark," / "(join") score the same
+    * as their bare forms, matching the top-10 lists a migrating qurio
+    * user compares against. \p{L}\p{N} (not [a-z0-9]) so non-ASCII
+    * words survive like Weaviate's unicode-aware tokenizer. */
+  private[operators] val WordTokenPattern = "[\\p{L}\\p{N}]+"
+
   private def docTokens(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select($"doc_id", $"lang", $"source",
-              expr("regexp_extract_all(lower(text), '\\\\S+', 0)").as("tok"))
+              regexp_extract_all(lower($"text"), lit(WordTokenPattern), lit(0)).as("tok"))
       .withColumn("dl", size($"tok").cast("double"))
   }
 
@@ -212,8 +221,8 @@ object HybridSearch {
   private lazy val oraclesBase: Map[String, String] = Map(
     "s1_keyword_bm25" ->
       """WITH docs AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tok,
-        |         CAST(len(regexp_extract_all(lower(text), '\S+')) AS DOUBLE) AS dl
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS tok,
+        |         CAST(len(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS DOUBLE) AS dl
         |  FROM documents),
         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM docs),
         |terms AS (SELECT unnest(['spark','join','filter']) AS term),
@@ -235,8 +244,8 @@ object HybridSearch {
         |LIMIT 10""".stripMargin,
     "s3_hybrid_search" ->
       """WITH docs AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tok,
-        |         CAST(len(regexp_extract_all(lower(text), '\S+')) AS DOUBLE) AS dl
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS tok,
+        |         CAST(len(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS DOUBLE) AS dl
         |  FROM documents),
         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM docs),
         |terms AS (SELECT unnest(['spark','join','filter']) AS term),
@@ -306,7 +315,7 @@ object HybridSearch {
     "s5_filtered_search" ->
       """SELECT doc_id, source, tf_spark FROM (
         |  SELECT doc_id, source,
-        |   len(list_filter(regexp_extract_all(lower(text), '\S+'), t -> t = 'spark')) AS tf_spark
+        |   len(list_filter(regexp_extract_all(lower(text), '[\p{L}\p{N}]+'), t -> t = 'spark')) AS tf_spark
         |  FROM documents
         |  WHERE lang = 'en')
         |WHERE tf_spark > 0

@@ -158,10 +158,15 @@ object Knn {
       .select($"v").as[Seq[Double]].collect().toSeq
     for (_ <- 1 to iters) {
       val assigned = assign(vectors, cents)
-      cents = orderedCentroids(
+      // collect (cid, cv) PAIRS, not a positional list: if a cluster
+      // empties during an iteration its slot keeps the previous
+      // centroid instead of silently compacting ids — cid semantics
+      // stay stable across iterations (and vs the oracle's
+      // label-preserving CTE replay)
+      val updated = orderedCentroids(
           assigned.select($"vec_id", $"cid", posexplode($"v")), "cid")
-        .orderBy($"cid")
-        .select($"cv").as[Seq[Double]].collect().toSeq
+        .select($"cid".cast("int"), $"cv").as[(Int, Seq[Double])].collect().toMap
+      cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
     }
     cents
   }

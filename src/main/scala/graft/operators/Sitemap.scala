@@ -71,8 +71,11 @@ object Sitemap {
       val resolved = graft.Caches.persist(frontier
         .join(docs, Seq("url"))
         .select(rootKind($"xml").as("kind"),
-          decodeEntities(explode(
-            expr("regexp_extract_all(xml, '<loc>\\\\s*(.*?)\\\\s*</loc>', 1)"))).as("loc")))
+          // generator must sit at the top level of its projection;
+          // the entity decode happens in the next select
+          explode(expr(
+            "regexp_extract_all(xml, '<loc>\\\\s*(.*?)\\\\s*</loc>', 1)")).as("rawloc"))
+        .select($"kind", decodeEntities($"rawloc").as("loc")))
       pages = pages.union(resolved.filter($"kind" === "urlset").select($"loc".as("url")))
       // anything enqueued past maxDepth dies with the loop bound —
       // exactly the reference's depth > MAX check

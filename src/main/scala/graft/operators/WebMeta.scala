@@ -33,15 +33,43 @@ object WebMeta {
       filter(split(regexp_replace(url, "^https?://[^/]+", ""), "/"),
              s => s =!= ""))
 
-  /** Resolve a markdown href against the page URL (the urljoin
-    * cases the manifest path needs): absolute stays, root-relative
-    * joins scheme+host, relative joins the page directory. */
+  /** Resolve a markdown href against the page URL — the urljoin
+    * cases real crawls hit (web.py:161 urljoin): absolute stays,
+    * protocol-relative '//host/path' takes the page's scheme only,
+    * root-relative joins scheme+host, relative joins the page
+    * directory (a path-less page URL behaves as if it ended in '/'),
+    * and '.'/'..' segments in the joined path are collapsed.
+    * Supported subset: http(s) URLs without query/fragment — the
+    * manifest link shapes; mailto:/data:/etc. fall through the
+    * relative branch and then fail the sameHost filter. */
   def resolveUrl(pageUrl: Column, link: Column): Column = {
+    val scheme = regexp_extract(pageUrl, "^(https?)://", 1)
     val base = regexp_extract(pageUrl, "^(https?://[^/]+)", 1)
-    val dir = regexp_replace(pageUrl, "[^/]*$", "")
-    when(link.rlike("^https?://"), link)
+    val dir = when(pageUrl.rlike("^https?://[^/]*$"), concat(pageUrl, lit("/")))
+      .otherwise(regexp_replace(pageUrl, "[^/]*$", ""))
+    val joined = when(link.rlike("^https?://"), link)
+      .when(link.startsWith("//"), concat(scheme, lit(":"), link))
       .when(link.startsWith("/"), concat(base, link))
       .otherwise(concat(dir, link))
+    normalizeDotSegments(joined)
+  }
+
+  /** RFC 3986 §5.2.4 dot-segment removal over the path of an
+    * absolute http(s) URL, as codegen column expressions: '.'
+    * segments collapse in one regex pass; '..' segments collapse via
+    * a fixed 8-pass unroll (one parent level per pass — deeper
+    * traversal chains than 8 stay partially normalized, documented
+    * bound). Excess leading '..' clamps at the root like urljoin;
+    * trailing '.'/'..' keep the directory slash like the RFC. */
+  private[operators] def normalizeDotSegments(url: Column): Column = {
+    val head = regexp_extract(url, "^(https?://[^/]+)", 1)
+    var path = regexp_replace(url, "^https?://[^/]+", "")
+    path = regexp_replace(path, "(/\\.\\.|/\\.)$", "$1/")
+    path = regexp_replace(path, "/\\.(?=/)", "")
+    for (_ <- 1 to 8)
+      path = regexp_replace(path,
+        "^/\\.\\.(?=/)|/(?!\\.\\.(?:/|$))[^/]+/\\.\\.(?=/)", "")
+    concat(head, path)
   }
 
   /** Same-registrable-host check against the page's own host. */

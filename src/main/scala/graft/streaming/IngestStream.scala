@@ -61,8 +61,16 @@ object IngestStream {
     val spark = docs.sparkSession
     val chunksPath = s"$storePath/chunks"
     val incoming = chunkAndEmbed(docs, maxTokens)
+    // Hadoop FileSystem existence probe (NOT java.io.File): the store
+    // path may be HDFS/S3, where a local-FS check always says "absent"
+    // and the first micro-batch would overwrite instead of merging —
+    // same API ChunkStore.deleteSourcePartition uses
+    val storeFsPath = new org.apache.hadoop.fs.Path(chunksPath)
+    val storeExists = storeFsPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(storeFsPath)
     val merged =
-      if (new java.io.File(chunksPath).exists()) {
+      if (storeExists) {
         val survivors = spark.read.parquet(chunksPath)
           .join(incoming.select("source").distinct(), Seq("source"), "left_semi")
           .join(incoming.select("doc_id").distinct(), Seq("doc_id"), "left_anti")

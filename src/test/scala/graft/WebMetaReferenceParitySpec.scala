@@ -47,4 +47,31 @@ class WebMetaReferenceParitySpec extends SparkSpec {
     val (_, _, links) = meta("[a](/top)", "http://e.com/deep/page")
     assert(links == Seq("http://e.com/top"))
   }
+
+  // urljoin parity cases beyond the reference table (web.py:161
+  // urljoin semantics — R3 ADVICE item)
+  private def resolve(page: String, link: String): String = {
+    import spark.implicits._
+    Seq((page, link)).toDF("page", "link")
+      .select(WebMeta.resolveUrl($"page", $"link")).head().getString(0)
+  }
+
+  test("protocol-relative links take the page scheme only") {
+    assert(resolve("https://e.com/a/b", "//cdn.e.com/x") == "https://cdn.e.com/x")
+    assert(resolve("http://e.com/a", "//e.com/y") == "http://e.com/y")
+  }
+
+  test("path-less page URL behaves as ending in '/'") {
+    assert(resolve("https://e.com", "docs") == "https://e.com/docs")
+  }
+
+  test("dot segments collapse like urljoin") {
+    assert(resolve("https://e.com/a/b/c", "./x") == "https://e.com/a/b/x")
+    assert(resolve("https://e.com/a/b/c", "../x") == "https://e.com/a/x")
+    assert(resolve("https://e.com/a/b/c/d", "../../x") == "https://e.com/a/x")
+    assert(resolve("https://e.com/a/b", "../../../x") == "https://e.com/x")
+    assert(resolve("https://e.com/a/b/", ".") == "https://e.com/a/b/")
+    assert(resolve("https://e.com/a/b/c", "..") == "https://e.com/a/")
+    assert(resolve("https://e.com/a/", "x/./y/../z") == "https://e.com/a/x/z")
+  }
 }
