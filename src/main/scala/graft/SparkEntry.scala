@@ -9,6 +9,7 @@ object SparkEntry {
     Seq(
       (operators.EngineQueries.queries, operators.EngineQueries.oracles),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),
+      (operators.CorpusFilters.queries, operators.CorpusFilters.oracles),
       (operators.Dedup.queries, operators.Dedup.oracles),
       (operators.Knn.queries, operators.Knn.oracles),
       (operators.ChunkQueries.queries, operators.ChunkQueries.oracles),

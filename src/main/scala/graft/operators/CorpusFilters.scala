@@ -1,0 +1,246 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-cleaning filters (SURVEY.md §2.F extension) — the
+  * document-level cleaning passes every published LLM pretraining
+  * pipeline runs between crawl and dedup, re-expressed as single-scan
+  * codegen column plans over a synthesized page corpus:
+  *
+  *  - t6: C4-style line/document rules (Raffel et al. 2020, §2.2 —
+  *    keep lines ending in terminal punctuation with ≥5 words; drop
+  *    pages with <3 sentences, "lorem ipsum", or curly braces);
+  *  - t7: Gopher repetition signals (Rae et al. 2021, A1.1 —
+  *    duplicate-line fraction, duplicate-line character fraction,
+  *    top-word coverage) with flag thresholds;
+  *  - t8: PII redaction (email / NANP phone / IPv4 regex scrub with
+  *    typed sentinels + per-class counts).
+  *
+  * The raw `documents` table is single-line word-soup, so — like
+  * c11's sitemap corpus — a deterministic multi-line "web page" is
+  * synthesized per document (boilerplate menu line, conditional
+  * duplicate-subscribe lines, conditional contact/PII line,
+  * conditional lorem-ipsum and code lines, the document text as the
+  * body tail), and DuckDB rebuilds the identical pages for the
+  * oracle compare.
+  *
+  * Scale design: every operator here is one narrow projection — no
+  * shuffle, no UDF, whole-stage codegen end to end; per-document
+  * work is bounded by page size (t7's line-dup and top-word passes
+  * are O(lines² + tokens·distinct) WITHIN a row — for pathological
+  * multi-MB documents you'd explode lines to a keyed agg instead;
+  * crawl pages are KBs). At 100 TB these run as map-only passes over
+  * parquet splits, composing with d1-d5/p1 downstream.
+  */
+object CorpusFilters {
+
+  // PII patterns — written to mean the same thing in java.util.regex
+  // (Spark) and RE2 (DuckDB): ASCII classes, \b word boundaries, no
+  // backrefs/lookarounds.
+  private[operators] val EmailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private[operators] val PhonePat = """\b\d{3}[-.]\d{3}[-.]\d{4}\b"""
+  private[operators] val IpPat = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+
+  /** C4 line-keep rule: ends in terminal punctuation AND ≥5 words. */
+  private val LineEndPat = "[.!?\"]$"
+
+  /** The synthesized page for one document — the Spark twin of
+    * [[pagesSql]]; every conditional line keys on doc_id so DuckDB
+    * rebuilds byte-identical pages. */
+  private def pageCol(docId: Column, text: Column): Column = {
+    val id = docId.cast("string")
+    concat_ws("\n",
+      concat(lit("Intro line for document "), id,
+             lit(" explains the topic clearly.")),
+      lit("Menu Home About"),
+      when(pmod(docId, lit(3)) === 0, lit("Subscribe to our newsletter today!"))
+        .otherwise(lit("A perfectly fine sentence appears right here.")),
+      when(pmod(docId, lit(3)) === 0, lit("Subscribe to our newsletter today!"))
+        .otherwise(concat(lit("Another unique body sentence for doc "), id, lit("."))),
+      when(pmod(docId, lit(4)) === 0,
+          concat(lit("Contact user"), id,
+                 lit("@example.com or 555-123-4567 from 10.0.0."),
+                 pmod(docId, lit(256)).cast("string"), lit(" today.")))
+        .otherwise(lit("No contact details in this line, sadly.")),
+      when(pmod(docId, lit(17)) === 0, lit("lorem ipsum dolor sit amet."))
+        .otherwise(lit("Closing remarks conclude the document nicely.")),
+      when(pmod(docId, lit(13)) === 5, lit("if (x) { return y; }"))
+        .otherwise(lit("Trailing short line")),
+      concat(substring(text, 1, 120), lit(" ends here.")))
+  }
+
+  private[operators] def pages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", pageCol($"doc_id", $"text").as("page"))
+  }
+
+  /** The DuckDB twin of [[pageCol]], as a `pages(doc_id, page)` CTE. */
+  private[operators] val pagesSql: String =
+    """pages AS (
+      |  SELECT doc_id,
+      |    'Intro line for document ' || doc_id || ' explains the topic clearly.'
+      |    || chr(10) || 'Menu Home About'
+      |    || chr(10) || CASE WHEN doc_id % 3 = 0 THEN 'Subscribe to our newsletter today!'
+      |                       ELSE 'A perfectly fine sentence appears right here.' END
+      |    || chr(10) || CASE WHEN doc_id % 3 = 0 THEN 'Subscribe to our newsletter today!'
+      |                       ELSE 'Another unique body sentence for doc ' || doc_id || '.' END
+      |    || chr(10) || CASE WHEN doc_id % 4 = 0
+      |                       THEN 'Contact user' || doc_id || '@example.com or 555-123-4567 from 10.0.0.' || (doc_id % 256) || ' today.'
+      |                       ELSE 'No contact details in this line, sadly.' END
+      |    || chr(10) || CASE WHEN doc_id % 17 = 0 THEN 'lorem ipsum dolor sit amet.'
+      |                       ELSE 'Closing remarks conclude the document nicely.' END
+      |    || chr(10) || CASE WHEN doc_id % 13 = 5 THEN 'if (x) { return y; }'
+      |                       ELSE 'Trailing short line' END
+      |    || chr(10) || substring(text, 1, 120) || ' ends here.' AS page
+      |  FROM documents)""".stripMargin
+
+  /** t6: C4-style cleaning. Line rule: keep lines ending in terminal
+    * punctuation with ≥5 whitespace tokens; document rule: drop pages
+    * with <3 sentence marks in the cleaned text, a "lorem ipsum"
+    * occurrence, or a curly brace. Emits the rule inputs plus the
+    * cleaned text's md5 so the oracle checks the actual line edit. */
+  def t6C4Filter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pages(spark, dir)
+      .select($"doc_id", $"page",
+        filter(split($"page", "\n"), l =>
+          l.rlike(LineEndPat) &&
+            size(regexp_extract_all(l, lit("""\S+"""), lit(0))) >= 5)
+          .as("kept_lines"))
+      .select($"doc_id",
+        size(split($"page", "\n")).cast("long").as("n_lines"),
+        size($"kept_lines").cast("long").as("n_kept"),
+        size(regexp_extract_all(concat_ws("\n", $"kept_lines"),
+          lit("[.!?]"), lit(0))).cast("long").as("n_sentences"),
+        lower($"page").contains("lorem ipsum").as("has_lorem"),
+        $"page".contains("{").as("has_brace"),
+        md5(concat_ws("\n", $"kept_lines")).as("cleaned_md5"))
+      .withColumn("doc_kept",
+        $"n_sentences" >= 3 && !$"has_lorem" && !$"has_brace")
+      .orderBy($"doc_id")
+  }
+
+  /** t7: Gopher repetition signals. All three fractions are computed
+    * within the row (page-bounded), rounded to 6dp, and compared to
+    * the flag thresholds on the rounded values so Spark and DuckDB
+    * agree bit for bit. */
+  def t7GopherRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val chars = (arr: Column) =>
+      aggregate(arr, lit(0L), (a, l) => a + length(l))
+    pages(spark, dir)
+      .select($"doc_id",
+        split($"page", "\n").as("lines"),
+        regexp_extract_all(lower($"page"), lit("[a-z0-9]+"), lit(0)).as("tok"))
+      .select($"doc_id",
+        size($"lines").cast("long").as("n_lines"),
+        round((size($"lines") - size(array_distinct($"lines")))
+          .cast("double") / size($"lines"), 6).as("dup_line_frac"),
+        round(chars(filter($"lines", l =>
+            size(filter($"lines", x => x === l)) > 1)).cast("double")
+          / chars($"lines"), 6).as("dup_char_frac"),
+        round(array_max(transform(array_distinct($"tok"), d =>
+            size(filter($"tok", t => t === d)))).cast("double")
+          / size($"tok"), 6).as("top_word_frac"))
+      .withColumn("flagged",
+        $"dup_line_frac" > 0.1 || $"top_word_frac" > 0.08)
+      .orderBy($"doc_id")
+  }
+
+  /** t8: PII redaction — count and scrub emails, NANP phone numbers,
+    * and IPv4 addresses with typed sentinels. Email is replaced
+    * first so its dotted domain can't collide with the IPv4 pass;
+    * the sentinels themselves contain no digits, so replacement
+    * order can't manufacture new matches. */
+  def t8PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pages(spark, dir)
+      .select($"doc_id",
+        size(regexp_extract_all($"page", lit(EmailPat), lit(0)))
+          .cast("long").as("n_email"),
+        size(regexp_extract_all($"page", lit(PhonePat), lit(0)))
+          .cast("long").as("n_phone"),
+        size(regexp_extract_all($"page", lit(IpPat), lit(0)))
+          .cast("long").as("n_ip"),
+        md5(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace($"page", lit(EmailPat), lit("<EMAIL>")),
+              lit(PhonePat), lit("<PHONE>")),
+            lit(IpPat), lit("<IP>"))).as("redacted_md5"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t6_c4_filter" -> t6C4Filter _,
+    "t7_gopher_repetition" -> t7GopherRepetition _,
+    "t8_pii_redact" -> t8PiiRedact _)
+
+  // NOTE: pagesSql is already margin-stripped — concatenate, never
+  // interpolate it into another stripMargin literal (the second
+  // stripMargin pass would eat one pipe of every leading '||').
+  val oracles: Map[String, String] = Map(
+    "t6_c4_filter" ->
+      (s"WITH $pagesSql,\n" +
+      s"""kept AS (
+         |  SELECT doc_id, page,
+         |    list_filter(string_split(page, chr(10)), l ->
+         |      regexp_matches(l, '[.!?"]$$')
+         |      AND len(regexp_extract_all(l, '\\S+')) >= 5) AS kept_lines
+         |  FROM pages),
+         |cols AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(page, chr(10))) AS BIGINT) AS n_lines,
+         |    CAST(len(kept_lines) AS BIGINT) AS n_kept,
+         |    CAST(len(regexp_extract_all(
+         |      array_to_string(kept_lines, chr(10)), '[.!?]')) AS BIGINT) AS n_sentences,
+         |    contains(lower(page), 'lorem ipsum') AS has_lorem,
+         |    contains(page, '{') AS has_brace,
+         |    md5(array_to_string(kept_lines, chr(10))) AS cleaned_md5
+         |  FROM kept)
+         |SELECT doc_id, n_lines, n_kept, n_sentences, has_lorem, has_brace,
+         |  cleaned_md5,
+         |  (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace) AS doc_kept
+         |FROM cols
+         |ORDER BY doc_id""".stripMargin),
+    "t7_gopher_repetition" ->
+      (s"WITH $pagesSql,\n" +
+      s"""base AS (
+         |  SELECT doc_id,
+         |    string_split(page, chr(10)) AS lines,
+         |    regexp_extract_all(lower(page), '[a-z0-9]+') AS tok
+         |  FROM pages),
+         |fracs AS (
+         |  SELECT doc_id,
+         |    CAST(len(lines) AS BIGINT) AS n_lines,
+         |    round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+         |      / len(lines), 6) AS dup_line_frac,
+         |    round(CAST(coalesce(list_sum(list_transform(
+         |        list_filter(lines, l -> len(list_filter(lines, x -> x = l)) > 1),
+         |        l -> length(l))), 0) AS DOUBLE)
+         |      / CAST(list_sum(list_transform(lines, l -> length(l))) AS DOUBLE),
+         |      6) AS dup_char_frac,
+         |    round(CAST(list_max(list_transform(list_distinct(tok),
+         |        d -> len(list_filter(tok, t -> t = d)))) AS DOUBLE)
+         |      / len(tok), 6) AS top_word_frac
+         |  FROM base)
+         |SELECT doc_id, n_lines, dup_line_frac, dup_char_frac, top_word_frac,
+         |  (dup_line_frac > 0.1 OR top_word_frac > 0.08) AS flagged
+         |FROM fracs
+         |ORDER BY doc_id""".stripMargin),
+    "t8_pii_redact" ->
+      (s"WITH $pagesSql\n" +
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(page, '$EmailPat')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(page, '$PhonePat')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(page, '$IpPat')) AS BIGINT) AS n_ip,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(page,
+         |    '$EmailPat', '<EMAIL>', 'g'),
+         |    '$PhonePat', '<PHONE>', 'g'),
+         |    '$IpPat', '<IP>', 'g')) AS redacted_md5
+         |FROM pages
+         |ORDER BY doc_id""".stripMargin))
+}

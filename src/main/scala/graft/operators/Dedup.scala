@@ -285,12 +285,45 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** d6: CCNet-style cross-document line (paragraph) dedup — the
+    * boilerplate-removal pass (Wenzek et al. 2020 §3.1: hash every
+    * paragraph, keep the first occurrence corpus-wide, drop the
+    * rest) that removes shared template lines ("Subscribe to our
+    * newsletter") every page carries. Over the synthesized page
+    * corpus: explode lines with their in-document index, keep each
+    * distinct line's first (doc_id, line_idx) occurrence via one
+    * windowed rank over the line key, reassemble the surviving
+    * document in original line order.
+    *
+    * Scale shape: two shuffles — one on the line key (the dedup
+    * exchange; at 100 TB you'd key on xxhash64(line) so the exchange
+    * moves 8-byte hashes + payload only for winners, and the window
+    * is a per-key top-1, never a global sort), one on doc_id for the
+    * reassembly agg. Both map-side combinable; no self-joins, no
+    * quadratic cells. */
+  def d6LineDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lines = CorpusFilters.pages(spark, dir)
+      .select($"doc_id", posexplode(split($"page", "\n")).as(Seq("line_idx", "line")))
+    val w = Window.partitionBy($"line").orderBy($"doc_id", $"line_idx")
+    lines
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws("\n",
+          transform(array_sort(collect_list(struct($"line_idx", $"line"))),
+            s => s("line")))).as("kept_md5"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> d1Exact _,
     "d2_dedup_minhash_lsh" -> d2MinhashLsh _,
     "d3_dedup_simhash" -> d3Simhash _,
     "d4_ngram_jaccard" -> d4NgramJaccard _,
-    "d5_dedup_embedding" -> d5EmbeddingCosine _)
+    "d5_dedup_embedding" -> d5EmbeddingCosine _,
+    "d6_line_dedup" -> d6LineDedup _)
 
   /** Shared oracle CTEs (w + d): tokenized docs -> sorted distinct
     * poly-hashed 3-gram shingle sets over any (doc_id, text) relation
@@ -447,5 +480,22 @@ object Dedup {
         |          list_transform(b.v, x -> x*x)), (s,x) -> s+x))), 6) AS cosine
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE cosine >= 0.4
-        |ORDER BY a_id, b_id""".stripMargin)
+        |ORDER BY a_id, b_id""".stripMargin,
+    "d6_line_dedup" ->
+      (s"WITH ${CorpusFilters.pagesSql},\n" +
+      s"""lines AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(0, len(string_split(page, chr(10))) - 1)) AS line_idx,
+         |    unnest(string_split(page, chr(10))) AS line
+         |  FROM pages),
+         |kept AS (
+         |  SELECT doc_id, line_idx, line FROM (
+         |    SELECT doc_id, line_idx, line,
+         |      row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+         |    FROM lines) WHERE rn = 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |  md5(string_agg(line, chr(10) ORDER BY line_idx)) AS kept_md5
+         |FROM kept
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin))
 }
