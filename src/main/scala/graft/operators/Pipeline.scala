@@ -49,8 +49,69 @@ object Pipeline {
       .orderBy($"doc_id")
   }
 
+  /** Connected components over an undirected (a_id, b_id) pair set
+    * via iterative min-label propagation: every vertex starts
+    * labeled with its own id; each round a vertex takes the min of
+    * its label and its neighbors' labels; at the fixpoint each
+    * component carries its minimum id. Convergence is detected by
+    * the label SUM (strictly decreasing until the fixpoint — one
+    * scalar agg per round, no change-count join), with a safety
+    * bound of `maxIter`.
+    *
+    * Scale shape: per round one equi-join on src + one keyed min agg
+    * (map-side combinable) — the textbook distributed-CC loop;
+    * rounds = component diameter. Near-dup graphs are
+    * boilerplate-cluster shaped (stars/cliques, diameter ~2-3);
+    * a corpus with adversarially long chains would want the
+    * large-star/small-star variant (same join primitive, fewer
+    * rounds). Labels persist per round via the tracked registry. */
+  private[graft] def connectedComponents(pairs: DataFrame,
+                                         maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val p = graft.Caches.persist(pairs.select($"a_id", $"b_id"))
+    val edges = graft.Caches.persist(
+      p.select($"a_id".as("src"), $"b_id".as("dst"))
+        .union(p.select($"b_id".as("src"), $"a_id".as("dst"))))
+    var labels = graft.Caches.persist(
+      edges.select($"src".as("id")).distinct().withColumn("lbl", $"id"))
+    var prevSum = Long.MaxValue
+    var curSum = labels.agg(sum($"lbl")).as[Long].head()
+    var iter = 0
+    while (curSum < prevSum && iter < maxIter) {
+      val cand = edges.join(labels, $"src" === $"id")
+        .groupBy($"dst").agg(min($"lbl").as("nlbl"))
+      labels = graft.Caches.persist(
+        labels.join(cand, $"id" === $"dst", "left")
+          .select($"id", least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl")))
+      prevSum = curSum
+      curSum = labels.agg(sum($"lbl")).as[Long].head()
+      iter += 1
+    }
+    labels
+  }
+
+  /** p5: near-dup CLUSTERS, not pairs — the keep-one-per-cluster
+    * semantics a real dedup pass needs (p1's drop-the-higher-id
+    * heuristic over-keeps on transitive chains a-b, b-c where (a,c)
+    * never pairs). Components over the verified MinHash-LSH pairs;
+    * output one row per clustered doc with its component
+    * representative (min id), component size, and whether it is the
+    * survivor. */
+  def p5DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val labels = connectedComponents(
+      Dedup.minhashLshPairsOf(Dedup.minhashSigs(spark, dir)))
+    val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select($"id".as("doc_id"), $"lbl".as("cluster_rep"),
+        $"cluster_size", ($"id" === $"lbl").as("is_rep"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p1_prepare_corpus" -> p1PrepareCorpus _)
+    "p1_prepare_corpus" -> p1PrepareCorpus _,
+    "p5_dedup_clusters" -> p5DedupClusters _)
 
   val oracles: Map[String, String] = Map(
     "p1_prepare_corpus" ->
@@ -81,5 +142,31 @@ object Pipeline {
          |SELECT doc_id, lang_id, quality
          |FROM exact
          |WHERE doc_id NOT IN (SELECT b_id FROM losers)
+         |ORDER BY doc_id""".stripMargin,
+    // the recursive CTE computes, for every vertex, the set of ids
+    // that can reach it; min over that set IS the component minimum —
+    // the declarative twin of the label-propagation fixpoint
+    "p5_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a_id, b_id FROM (
+         |${Dedup.d2Sql}
+         |  )),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT b_id, a_id FROM pairs),
+         |verts AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+         |comp AS (SELECT id, min(r) AS cluster_rep FROM reach GROUP BY id),
+         |sizes AS (
+         |  SELECT cluster_rep, count(*) AS cluster_size
+         |  FROM comp GROUP BY cluster_rep)
+         |SELECT comp.id AS doc_id, comp.cluster_rep,
+         |  CAST(sizes.cluster_size AS BIGINT) AS cluster_size,
+         |  (comp.id = comp.cluster_rep) AS is_rep
+         |FROM comp JOIN sizes USING (cluster_rep)
          |ORDER BY doc_id""".stripMargin)
 }

@@ -122,4 +122,28 @@ class DedupSpec extends SparkSpec {
     eng.releaseCaches()
     assert(kept == Seq(0L, 5000L))
   }
+
+  test("p5 connected components closes transitive chains and rings") {
+    import spark.implicits._
+    // chain 1-2-3-4, ring 10-11-12-10, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+                    (10L, 12L), (20L, 21L)).toDF("a_id", "b_id")
+    val labels = graft.operators.Pipeline.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L))
+    assert(Seq(20L, 21L).forall(labels(_) == 20L))
+  }
+
+  test("p5 cluster output marks exactly one representative per cluster") {
+    import spark.implicits._
+    val out = graft.operators.Pipeline.p5DedupClusters(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val byRep = out.groupBy(_.getLong(1))
+    byRep.foreach { case (rep, rows) =>
+      assert(rows.count(_.getBoolean(3)) == 1, s"cluster $rep reps")
+      assert(rows.forall(_.getLong(2) == rows.length), s"cluster $rep size")
+      assert(rows.map(_.getLong(0)).min == rep, s"cluster $rep min")
+    }
+  }
 }
