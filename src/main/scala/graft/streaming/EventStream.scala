@@ -97,6 +97,39 @@ object EventStream {
       .select(col("user_id"), col("view_ts"), col("click_ts"))
   }
 
+  /** Session-window aggregation via the NATIVE `session_window`
+    * function — dynamic gap-merged windows whose state the streaming
+    * engine maintains and merges itself (the built-in alternative to
+    * [[sessionizeStateful]]'s hand-rolled mapGroupsWithState; prefer
+    * this when per-session aggregates are all you need, the custom
+    * state when session logic goes beyond gap-merge). Same shared
+    * batch/stream definition as [[windowedAgg]]: the watermark is a
+    * no-op on batch inputs and bounds session state on streams.
+    * Merge rule: an event extends a session while its ts <= previous
+    * ts + gap (windows that merely TOUCH at the boundary merge);
+    * session_end = last ts + gap. Shuffle keys on
+    * (user_id); partial session merge happens map-side. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy($"user_id", session_window($"ts", gap))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum($"value"), 4).as("sum_value"))
+      .select($"user_id",
+              $"session_window.start".as("session_start"),
+              $"session_window.end".as("session_end"),
+              $"n_events", $"sum_value")
+  }
+
+  /** Batch mirror of the native session-window agg (driver-checked;
+    * the oracle is the classic gaps-and-islands rewrite). */
+  def st3SessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sessionWindowAgg(Tables.events(spark, dir))
+      .orderBy($"user_id", $"session_start")
+  }
+
   /** Batch mirror of the streaming aggregation (driver-checked). */
   def st1WindowAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -119,7 +152,8 @@ object EventStream {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_window_agg" -> st1WindowAgg _,
-    "st2_interval_join" -> st2IntervalJoin _)
+    "st2_interval_join" -> st2IntervalJoin _,
+    "st3_session_window" -> st3SessionWindow _)
 
   val oracles: Map[String, String] = Map(
     "st1_window_agg" ->
@@ -141,5 +175,31 @@ object EventStream {
         | AND c.click_ts >= v.view_ts
         | AND c.click_ts < v.view_ts + INTERVAL 10 MINUTE
         |GROUP BY v.user_id
-        |ORDER BY v.user_id""".stripMargin)
+        |ORDER BY v.user_id""".stripMargin,
+    // gaps-and-islands: a session break is a gap STRICTLY > 30 min
+    // (Spark merges windows that touch at the boundary);
+    // session_end = last ts + gap
+    "st3_session_window" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM ev),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id,
+        |  min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value
+        |FROM sess
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin)
 }

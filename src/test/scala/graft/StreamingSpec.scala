@@ -42,6 +42,45 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("native session_window merges gap-overlapping events (batch + stream)") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // batch semantics: 10:00+10:20 merge (gap < 30m); a boundary
+    // touch (10:50 = 10:20+30m) also merges — only a STRICTLY larger
+    // gap (10:51) starts a new session
+    val batch = Seq(
+      SwEv(1L, t("10:00"), 1.0), SwEv(1L, t("10:20"), 2.0),
+      SwEv(1L, t("10:51"), 4.0), SwEv(2L, t("10:05"), 8.0)).toDF()
+    val rows = EventStream.sessionWindowAgg(batch)
+      .orderBy($"user_id", $"session_start").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getTimestamp(1) == t("10:00") &&
+           rows(0).getTimestamp(2) == t("10:50") &&
+           rows(0).getLong(3) == 2 && rows(0).getDouble(4) == 3.0)
+    assert(rows(1).getTimestamp(1) == t("10:51") && rows(1).getLong(3) == 1)
+    assert(rows(2).getLong(0) == 2L && rows(2).getLong(3) == 1)
+
+    // streaming: the engine merges session state across triggers
+    val stream = MemoryStream[SwEv]
+    // session-window streams support Append (watermark-finalized) and
+    // Complete; Complete lets us observe the merged open session
+    val query = EventStream.sessionWindowAgg(stream.toDF())
+      .writeStream.format("memory").queryName("sw_mem")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      stream.addData(SwEv(1L, t("10:00"), 1.0))
+      query.processAllAvailable()
+      stream.addData(SwEv(1L, t("10:20"), 2.0))
+      query.processAllAvailable()
+      // the complete-mode table carries the merged 2-event session
+      val merged = spark.table("sw_mem")
+        .filter($"user_id" === 1L).orderBy($"n_events".desc).collect().head
+      assert(merged.getLong(3) == 2 && merged.getTimestamp(2) == t("10:50"))
+    } finally query.stop()
+  }
+
   test("stateful sessionizer keeps per-user state across triggers") {
     val sparkSession = spark
     import sparkSession.implicits._
@@ -228,3 +267,7 @@ class StreamingSpec extends SparkSpec {
     batch.foreach(r => assert(r.getTimestamp(0).getTime % 3600000L == 0))
   }
 }
+
+/** Top-level (not nested in the spec) so the batch toDF() encoder
+  * resolves without an outer-scope registration. */
+final case class SwEv(user_id: Long, ts: java.sql.Timestamp, value: Double)
