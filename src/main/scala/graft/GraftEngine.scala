@@ -157,6 +157,16 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
   def dedupNearMinHash(threshold: Double = 0.3): DataFrame =
     Dedup.minhashLshPairsOf(minhashSigsOf(tokenized), threshold = threshold)
 
+  /** Near-dup CLUSTERS over [[dedupNearMinHash]]'s verified pairs:
+    * distributed connected components (min-label propagation), one
+    * row per clustered doc with (id, lbl=component representative).
+    * Keep-one-per-cluster = keep rows where id == lbl plus every
+    * unclustered doc — transitively correct where the pairwise
+    * lowest-id drop over-keeps on chains. */
+  def dedupClusters(threshold: Double = 0.3): DataFrame =
+    graft.operators.Pipeline.connectedComponents(
+      dedupNearMinHash(threshold).select($"a_id", $"b_id"))
+
   /** One-call training-data preparation — the standard pre-training
     * corpus pipeline over this engine's operators, in dependency
     * order:
@@ -208,6 +218,42 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
       .minhashLshPairsOf(minhashSigsOf(survivorsTok), threshold = nearDupThreshold)
       .select($"b_id".as("doc_id")).distinct()
     exactKept.join(nearDupLosers, Seq("doc_id"), "left_anti")
+  }
+
+  /** C4-style cleaning rule INPUTS for each corpus doc (line-rule
+    * survivors, sentence count, lorem/brace flags, keep verdict) —
+    * the t6 pass over this engine's own corpus text. */
+  def corpusFilterC4(): DataFrame = {
+    val kept = filter(split($"text", "\n"), l =>
+      l.rlike("[.!?\"]$") &&
+        size(regexp_extract_all(l, lit("""\S+"""), lit(0))) >= 5)
+    corpus.select($"doc_id",
+        size(split($"text", "\n")).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"),
+        size(regexp_extract_all(concat_ws("\n", kept), lit("[.!?]"), lit(0)))
+          .cast("long").as("n_sentences"),
+        lower($"text").contains("lorem ipsum").as("has_lorem"),
+        $"text".contains("{").as("has_brace"),
+        concat_ws("\n", kept).as("cleaned"))
+      .withColumn("doc_kept",
+        $"n_sentences" >= 3 && !$"has_lorem" && !$"has_brace")
+  }
+
+  /** PII scrub of the corpus text (email / NANP phone / IPv4 →
+    * typed sentinels) with per-class counts — the t8 pass. */
+  def redactPii(): DataFrame = {
+    import graft.operators.CorpusFilters.{EmailPat, IpPat, PhonePat}
+    corpus.withColumn("n_email",
+        size(regexp_extract_all($"text", lit(EmailPat), lit(0))).cast("long"))
+      .withColumn("n_phone",
+        size(regexp_extract_all($"text", lit(PhonePat), lit(0))).cast("long"))
+      .withColumn("n_ip",
+        size(regexp_extract_all($"text", lit(IpPat), lit(0))).cast("long"))
+      .withColumn("text",
+        regexp_replace(regexp_replace(regexp_replace($"text",
+          lit(EmailPat), lit("<EMAIL>")),
+          lit(PhonePat), lit("<PHONE>")),
+          lit(IpPat), lit("<IP>")))
   }
 
   /** Benchmark decontamination: corpus docs sharing any hashed

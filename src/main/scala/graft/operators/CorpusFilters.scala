@@ -39,9 +39,9 @@ object CorpusFilters {
   // PII patterns — written to mean the same thing in java.util.regex
   // (Spark) and RE2 (DuckDB): ASCII classes, \b word boundaries, no
   // backrefs/lookarounds.
-  private[operators] val EmailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
-  private[operators] val PhonePat = """\b\d{3}[-.]\d{3}[-.]\d{4}\b"""
-  private[operators] val IpPat = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  private[graft] val EmailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private[graft] val PhonePat = """\b\d{3}[-.]\d{3}[-.]\d{4}\b"""
+  private[graft] val IpPat = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
 
   /** C4 line-keep rule: ends in terminal punctuation AND ≥5 words. */
   private val LineEndPat = "[.!?\"]$"

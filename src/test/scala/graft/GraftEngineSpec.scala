@@ -163,4 +163,26 @@ class GraftEngineSpec extends SparkSpec {
     assert(out.find(_.getLong(0) == 3L).get.getString(1) == "error_encrypted")
     assert(out.find(_.getLong(0) == 1L).get.getString(5) == "report.pdf")
   }
+
+  test("dedupClusters closes transitive chains through the facade") {
+    import spark.implicits._
+    val labels = engine.dedupClusters().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every clustered doc labels to the component minimum
+    assert(labels.nonEmpty)
+    labels.foreach { case (id, lbl) => assert(lbl <= id) }
+    // representatives label to themselves
+    assert(labels.values.toSet.forall(rep => labels(rep) == rep))
+  }
+
+  test("corpusFilterC4 and redactPii run over the engine corpus") {
+    import spark.implicits._
+    val c4 = engine.corpusFilterC4()
+    assert(c4.count() > 0)
+    assert(c4.columns.contains("doc_kept"))
+    val red = engine.redactPii()
+    // corpus word-soup has no PII; redaction is a no-op that keeps rows
+    assert(red.count() > 0)
+    assert(red.filter($"n_email" > 0 || $"n_phone" > 0 || $"n_ip" > 0).count() == 0)
+  }
 }
