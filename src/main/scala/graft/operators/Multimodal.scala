@@ -83,11 +83,83 @@ object Multimodal {
       .orderBy($"doc_id", $"frame_idx")
   }
 
+  /** m3: REAL image-header parsing — PNG signature check + IHDR
+    * width/height/bit-depth/color-type decoded from the payload's
+    * first 26 bytes with binary column math (substring on binary →
+    * hex → conv base-16), no image library involved. This is the
+    * metadata tier production pipelines actually run over 100 TB of
+    * images: header fields for the catalog come from a header parse
+    * on the scan path, full pixel decode stays behind the
+    * mapInPandas seam (m2). The corpus synthesizes well-formed
+    * signature+IHDR prefixes (dimensions keyed on doc_id, document
+    * bytes as the fake compressed stream); synth and parse are
+    * independent expression trees, and the oracle recomputes the
+    * expected metadata from first principles. */
+  def m3ImageMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = (lit(16) + pmod($"doc_id", lit(64))).cast("long")
+    val h = (lit(16) + pmod($"doc_id" * 7, lit(64))).cast("long")
+    val colorType = when(pmod($"doc_id", lit(3)) === 0, 2L).otherwise(6L)
+    val hexPrefix = concat(
+      lit("89504E470D0A1A0A"), // PNG signature
+      lit("0000000D"),         // IHDR chunk length = 13
+      lit("49484452"),         // "IHDR"
+      lpad(hex(w), 8, "0"),
+      lpad(hex(h), 8, "0"),
+      lit("08"),               // bit depth
+      lpad(hex(colorType), 2, "0"),
+      lit("000000"),           // compression, filter, interlace
+      lit("DEADBEEF"))         // stand-in CRC
+    val blobs = Tables.documents(spark, dir)
+      .select($"doc_id",
+        unhex(concat(hexPrefix, hex($"text".cast("binary")))).as("payload"))
+    parseImageHeader(blobs).orderBy($"doc_id")
+  }
+
+  /** The header parser over any (doc_id, payload binary) frame —
+    * byte offsets per the PNG spec (signature 0-7, IHDR data at 16:
+    * width BE32, height BE32, bit depth, color type). */
+  def parseImageHeader(blobs: DataFrame): DataFrame = {
+    import blobs.sparkSession.implicits._
+    val isPng = hex(substring($"payload", 1, 8)) === "89504E470D0A1A0A"
+    // every field is gated on the signature: a non-PNG payload yields
+    // nulls instead of garbage ints (whose product would overflow
+    // the est_raw_bytes multiply under ANSI mode)
+    def be(pos: Int, len: Int) =
+      when(isPng, conv(hex(substring($"payload", pos, len)), 16, 10).cast("long"))
+    blobs.select($"doc_id",
+        isPng.as("is_png"),
+        be(17, 4).as("width"),
+        be(21, 4).as("height"),
+        be(25, 1).as("bit_depth"),
+        be(26, 1).as("color_type"))
+      .withColumn("channels",
+        when($"color_type" === 2, 3L).when($"color_type" === 6, 4L)
+          .when($"color_type" === 4, 2L)
+          .when($"color_type".isNotNull, 1L))
+      .withColumn("est_raw_bytes",
+        ($"width" * $"height" * $"channels" * $"bit_depth" / 8).cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> m1BinaryMeta _,
-    "m2_frame_sample" -> m2FrameSample _)
+    "m2_frame_sample" -> m2FrameSample _,
+    "m3_image_meta" -> m3ImageMeta _)
 
   val oracles: Map[String, String] = Map(
+    // first-principles recompute of the synthesized header fields —
+    // the oracle checks the parse inverted the synth exactly
+    "m3_image_meta" ->
+      """SELECT doc_id, true AS is_png,
+        |  CAST(16 + doc_id % 64 AS BIGINT) AS width,
+        |  CAST(16 + (doc_id * 7) % 64 AS BIGINT) AS height,
+        |  CAST(8 AS BIGINT) AS bit_depth,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 6 END AS BIGINT) AS color_type,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 4 END AS BIGINT) AS channels,
+        |  CAST((16 + doc_id % 64) * (16 + (doc_id * 7) % 64)
+        |       * (CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 4 END) AS BIGINT) AS est_raw_bytes
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "m2_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id, hex(encode(text)) AS hx,
