@@ -99,10 +99,46 @@ object Curation {
       .orderBy($"source", $"rn")
   }
 
+  /** p6: mixture-REBALANCING sampler — the pass that turns t5's
+    * mixture stats into an actual corpus. Target = uniform token
+    * share per source (the parameterized general case broadcasts any
+    * target-weight table): each source's acceptance rate is
+    * min(1, target_tokens / source_tokens), and a document is kept
+    * iff its content-hash uniform draw u falls under its source's
+    * rate. Deterministic end to end — the draw is the polynomial
+    * content hash scaled to [0,1), so no rand(), reruns are stable,
+    * and exact copies draw identically (they can't launder a
+    * duplicate through resampling). Cost shape: one scan + one tiny
+    * per-source agg whose rates broadcast back; the keep decision is
+    * a map-side comparison, so at 100 TB this is scan-bound with no
+    * second shuffle. */
+  def p6MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_tok"),
+        (pmod(element_at(call_function("poly_hash_all", array($"text")), 1),
+              lit(1000000L)).cast("double") / 1000000.0).as("u"))
+    val bySource = docs.groupBy($"source").agg(sum($"n_tok").as("source_tokens"))
+    val totals = bySource.agg(
+      sum($"source_tokens").cast("double").as("total_tokens"),
+      count(lit(1)).cast("double").as("n_sources"))
+    val rates = bySource.crossJoin(broadcast(totals))
+      .select($"source",
+        least(lit(1.0), $"total_tokens" / $"n_sources" / $"source_tokens").as("rate"))
+    docs.join(broadcast(rates), "source")
+      .select($"doc_id", $"source", $"n_tok",
+        round($"u", 6).as("u"), round($"rate", 6).as("rate"),
+        ($"u" < $"rate").as("kept"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p2_decontaminate" -> p2Decontaminate _,
     "p3_train_split" -> p3TrainSplit _,
-    "p4_sample_per_source" -> ((s, d) => p4SamplePerSource(s, d)))
+    "p4_sample_per_source" -> ((s, d) => p4SamplePerSource(s, d)),
+    "p6_mixture_sample" -> p6MixtureSample _)
 
   private val polyFoldSql =
     """list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -142,5 +178,28 @@ object Curation {
         |SELECT doc_id,
         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
         |FROM (SELECT doc_id, ($polyFoldSql) % 100 AS b FROM h)
+        |ORDER BY doc_id""".stripMargin,
+    "p6_mixture_sample" ->
+      s"""WITH h AS (SELECT doc_id, source, text AS t FROM documents),
+        |d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(t, '\\S+')) AS BIGINT) AS n_tok,
+        |    CAST(($polyFoldSql) % 1000000 AS DOUBLE) / 1000000.0 AS u
+        |  FROM h),
+        |bysrc AS (
+        |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS source_tokens
+        |  FROM d GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(source_tokens) AS DOUBLE) AS total_tokens,
+        |         CAST(count(*) AS DOUBLE) AS n_sources
+        |  FROM bysrc),
+        |rates AS (
+        |  SELECT source,
+        |    least(1.0, total_tokens / n_sources / source_tokens) AS rate
+        |  FROM bysrc, tot)
+        |SELECT doc_id, d.source, n_tok,
+        |  round(u, 6) AS u, round(rate, 6) AS rate,
+        |  (u < rate) AS kept
+        |FROM d JOIN rates ON d.source = rates.source
         |ORDER BY doc_id""".stripMargin)
 }

@@ -53,4 +53,22 @@ class CurationSpec extends SparkSpec {
     assert(flagged.map(_.getLong(0)).toSeq == Seq(1L))
     assert(flagged.head.getLong(1) == 1L, "one shared 8-gram expected")
   }
+
+  test("p6 mixture sampler equalizes token share via per-source rates") {
+    import spark.implicits._
+    val rows = graft.operators.Curation.p6MixtureSample(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_.getString(1))
+    // rates are per-source constants in (0, 1]
+    bySource.foreach { case (src, rs) =>
+      val rates = rs.map(_.getDouble(4)).distinct
+      assert(rates.length == 1, s"$src rate not constant")
+      assert(rates.head > 0 && rates.head <= 1.0)
+    }
+    // under-represented sources (rate = 1) keep everything
+    rows.filter(_.getDouble(4) == 1.0).foreach(r => assert(r.getBoolean(5)))
+    // the kept decision matches u < rate on every row
+    rows.foreach(r => assert(r.getBoolean(5) == (r.getDouble(3) < r.getDouble(4))
+      || math.abs(r.getDouble(3) - r.getDouble(4)) < 1e-6))
+  }
 }
