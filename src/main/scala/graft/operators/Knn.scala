@@ -287,12 +287,74 @@ object Knn {
       .orderBy($"cosine".desc, $"vec_id")
   }
 
+  /** a6: PRODUCT-QUANTIZED ANN (FAISS PQ / ADC) — the other
+    * production memory-compression path next to a5's SQ8: split the
+    * 64-dim space into m=8 subspaces of 8 dims, give each subspace a
+    * k=16-entry codebook, store each vector as 8 four-bit codes
+    * (4 bytes/vector vs 512 — the compression that keeps a 100 TB
+    * embedding corpus memory-resident), scan with asymmetric
+    * distance computation (query stays full-precision; per-doc
+    * distance = sum of query-to-assigned-centroid subdistances), and
+    * rerank the top-20 refine set against the full vectors.
+    *
+    * Codebooks here are SAMPLED (subvectors of the 16 lowest-id
+    * vectors) rather than Lloyd-fit — deterministic and fully
+    * replayable in SQL; a4 already demonstrates the iterative Lloyd
+    * build, and swapping its centroids in is the production step.
+    * Encode/ADC are pure codegen column math: argmin by
+    * array_position(dists, array_min(dists)) so ties break on the
+    * first (lowest) code in BOTH engines. */
+  def a6KnnPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = 8; val sub = 8; val k = 16
+    val all = graft.Caches.persist(base(spark, dir))
+    // codebook: k·dims doubles collected once (like a4's centroids)
+    val seeds: Seq[Seq[Double]] = all.orderBy($"vec_id").limit(k)
+      .select($"v").as[Seq[Double]].collect().toSeq
+    // one shared codebook literal (16×64 doubles) as a SINGLE
+    // Literal node (typedLit, not 1024 nested lit()s) — element_at
+    // references share it, so the expression tree stays codegen-sized
+    val seedMat = typedLit(seeds)
+    def sqDist(vec: Column, s: Column, j: Column): Column =
+      (0 until sub).map { d =>
+        val x = element_at(vec, (s * sub + d + 1).cast("int"))
+        val c = element_at(element_at(seedMat, (j + 1).cast("int")),
+                           (s * sub + d + 1).cast("int"))
+        (x - c) * (x - c)
+      }.reduce(_ + _)
+    // encode: code[s] = argmin_j ||v_sub(s) - seed_j_sub(s)||²
+    val coded = all.withColumn("code",
+      transform(sequence(lit(0), lit(m - 1)), s => {
+        val dists = transform(sequence(lit(0), lit(k - 1)), j => sqDist($"v", s, j))
+        (array_position(dists, array_min(dists)) - 1).cast("int")
+      }))
+    val queries0 = coded.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    // ADC: approx = Σ_s ||q_sub(s) - centroid(code[s])_sub(s)||²
+    val approx = coded.crossJoin(broadcast(queries0))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("adist",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, s) => acc + sqDist($"qv", s, element_at($"code", (s + 1).cast("int")))))
+    val wA = Window.partitionBy($"q_id").orderBy($"adist", $"vec_id")
+    val w = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")
+    approx
+      .withColumn("qrnk", row_number().over(wA))
+      .filter($"qrnk" <= 20)
+      .select($"q_id", $"vec_id", V.cosineD($"qv", $"v").as("cosine_raw"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .select($"q_id", $"vec_id", round($"cosine_raw", 6).as("cosine"), $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_knn_bruteforce" -> a1BruteForce _,
     "a2_knn_lsh" -> a2Lsh _,
     "a3_knn_ivf" -> a3Ivf _,
     "a4_knn_ivf_kmeans" -> a4IvfKmeans _,
     "a5_knn_sq8" -> a5KnnSq8 _,
+    "a6_knn_pq" -> a6KnnPq _,
     "s2_vector_topk" -> s2VectorTopk _)
 
   private val cosineSql =
@@ -327,7 +389,56 @@ object Knn {
        |    FROM a$i a JOIN dims d ON d.vec_id = a.vec_id GROUP BY a.cid, d.pos)
        |  GROUP BY cid)""".stripMargin
 
+  /** Squared L2 between subspace `sp` (0-based) slices of two 64-dim
+    * SQL lists — the PQ subdistance; multiplication (not pow) and a
+    * 0.0-seeded left fold match the Spark expression bit for bit. */
+  private def pqSqDist(vec: String, sp: String, cvec: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(generate_series(1, 8), d ->
+       |        ($vec[$sp*8+d] - $cvec[$sp*8+d]) * ($vec[$sp*8+d] - $cvec[$sp*8+d]))),
+       |      (a, x) -> a + x)""".stripMargin
+
+  private lazy val a6Sql: String = {
+    val encDist = pqSqDist("v", "sp", "sv.sv[j+1]")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |sv AS (SELECT list(v ORDER BY vec_id) AS sv
+       |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+       |coded AS (
+       |  SELECT vec_id, v,
+       |    list_transform(generate_series(0, 7), sp ->
+       |      list_position(
+       |        list_transform(generate_series(0, 15), j -> $encDist),
+       |        list_min(list_transform(generate_series(0, 15), j -> $encDist)))
+       |      - 1) AS code
+       |  FROM e, sv),
+       |qs AS (SELECT vec_id AS q_id, v AS qv FROM coded WHERE vec_id < 10),
+       |adc AS (
+       |  SELECT qs.q_id, b.vec_id, qs.qv, b.v,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(generate_series(0, 7), sp ->
+       |        ${pqSqDist("qs.qv", "sp", "sv.sv[b.code[sp+1]+1]")})),
+       |      (a, x) -> a + x) AS adist
+       |  FROM qs JOIN coded b ON b.vec_id <> qs.q_id, sv),
+       |cand AS (
+       |  SELECT q_id, vec_id, qv, v FROM (
+       |    SELECT q_id, vec_id, qv, v,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS qrnk
+       |    FROM adc) WHERE qrnk <= 20),
+       |scored AS (
+       |  SELECT q_id, vec_id, ${cos("qv", "v")} AS cosine_raw FROM cand),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cosine_raw,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT q_id, vec_id, round(cosine_raw, 6) AS cosine, rnk
+       |FROM ranked WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "a6_knn_pq" -> a6Sql,
     "a5_knn_sq8" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -84,4 +84,26 @@ class KnnSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getDouble(2)))
     assert(s2.take(5).toSeq == bfTop.toSeq)
   }
+
+  test("a6 PQ ADC returns 5 ranked neighbors per query with decent recall") {
+    import spark.implicits._
+    val pq = graft.operators.Knn.a6KnnPq(spark, sfDir).collect()
+    val exact = graft.operators.Knn.a1BruteForce(spark, sfDir).collect()
+    val qids = pq.map(_.getLong(0)).distinct
+    assert(qids.length == 10)
+    qids.foreach { q =>
+      val mine = pq.filter(_.getLong(0) == q)
+      assert(mine.map(_.getInt(3)).toSeq == (1 to 5))
+      val cosines = mine.map(_.getDouble(2)).toSeq
+      assert(cosines == cosines.sorted.reverse)
+    }
+    // refine-set recall vs brute force: at least half of the exact
+    // top-5 survives the 4-byte-code approximation on average
+    val hits = qids.map { q =>
+      val mine = pq.filter(_.getLong(0) == q).map(_.getLong(1)).toSet
+      val gold = exact.filter(_.getLong(0) == q).map(_.getLong(1)).toSet
+      mine.intersect(gold).size
+    }.sum
+    assert(hits >= qids.length * 5 / 2, s"recall too low: $hits/50")
+  }
 }
