@@ -349,7 +349,33 @@ object EngineQueries {
       .orderBy($"o_orderkey")
   }
 
+  /** q20: correlated scalar subquery, decorrelated — "orders above
+    * the customer's own average order value" (the TPC-H Q17/Q20
+    * inner-query shape). SQL writes `o_totalprice > (SELECT avg(...)
+    * WHERE o2.o_custkey = o.o_custkey)`; the Spark-first plan is the
+    * decorrelation every optimizer targets: ONE window aggregate
+    * over the o_custkey partition, no self-join, no per-row
+    * subquery — one hash exchange total. Output rounds money to 2dp;
+    * the filter compares raw doubles in both engines. */
+  def q20Correlated(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey")
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        avg($"o_totalprice").over(w).as("cust_avg"))
+      .filter($"o_totalprice" > $"cust_avg")
+      // cust_avg itself is NOT emitted: a repeating-decimal average
+      // can land on a .xx5 rounding boundary where Spark and DuckDB
+      // disagree by an ulp — the filter uses the raw double, the
+      // output keeps only exactly-representable columns
+      .select($"o_custkey", $"o_orderkey",
+        round($"o_totalprice", 2).as("o_totalprice"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_correlated" -> q20Correlated _,
     "q18_asof_join" -> q18AsofJoin _,
     "q19_range_join" -> q19RangeJoin _,
     "q4_order_priority" -> q4OrderPriority _,
@@ -371,6 +397,17 @@ object EngineQueries {
     "q14_json_props" -> q14JsonProps _)
 
   val oracles: Map[String, String] = Map(
+    // the correlated form on purpose — DuckDB decorrelates it the
+    // same way Spark's window formulation does by construction
+    "q20_correlated" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(o_totalprice, 2) AS o_totalprice
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+        |  FROM orders)
+        |WHERE o_totalprice > cust_avg
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q18_asof_join" ->
       """WITH probes AS (
         |  SELECT o_orderkey, o_custkey % 150 AS user_id,
