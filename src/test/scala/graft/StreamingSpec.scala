@@ -81,6 +81,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("session_window append mode finalizes sessions past the watermark") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[SwEv]
+    val query = EventStream.sessionWindowAgg(stream.toDF())
+      .writeStream.format("memory").queryName("swa_mem")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(SwEv(1L, t("10:00"), 1.0))
+      query.processAllAvailable()
+      // advance the event-time watermark well past 10:00+gap+watermark
+      stream.addData(SwEv(1L, t("12:00"), 2.0))
+      query.processAllAvailable()
+      stream.addData(SwEv(1L, t("13:00"), 3.0))
+      query.processAllAvailable()
+      // the 10:00 session is finalized and emitted exactly once
+      val emitted = spark.table("swa_mem")
+        .filter($"session_start" === t("10:00")).collect()
+      assert(emitted.length == 1)
+      assert(emitted.head.getLong(3) == 1 &&
+             emitted.head.getTimestamp(2) == t("10:30"))
+    } finally query.stop()
+  }
+
   test("stateful sessionizer keeps per-user state across triggers") {
     val sparkSession = spark
     import sparkSession.implicits._
