@@ -174,10 +174,63 @@ object CorpusFilters {
       .orderBy($"doc_id")
   }
 
+  /** Gopher quality-rule stopword set (Rae et al. 2021, A1.1: a page
+    * must contain at least two of these to pass the "stop word"
+    * filter). Shared between the Spark plan and the oracle SQL. */
+  private[graft] val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** t9: the full GOPHER QUALITY rule set (Rae et al. 2021, A1.1) —
+    * the document-level filters t7's repetition signals sit next to
+    * in the published pipeline:
+    *
+    *  - word count within [50, 100k];
+    *  - mean word length within [3, 10];
+    *  - symbol-to-word ratio (# or ellipsis) ≤ 0.1;
+    *  - ≤10% of lines start with a bullet, ≤30% end with an ellipsis;
+    *  - ≥80% of words contain an alphabetic character;
+    *  - at least 2 of the 8 "stop words" present.
+    *
+    * Every signal is emitted alongside the verdict so downstream
+    * sampling can re-threshold without a rescan. Single-scan,
+    * shuffle-free, whole-stage codegen; fractions round to 6dp on
+    * both sides so the flags compare on identical doubles. */
+  def t9GopherQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stopHits = GopherStops.map(s =>
+      when(lower($"page").rlike("\\b" + s + "\\b"), 1).otherwise(0))
+      .reduce(_ + _)
+    pages(spark, dir)
+      .select($"doc_id", $"page",
+        split($"page", "\n").as("lines"),
+        regexp_extract_all($"page", lit("""\S+"""), lit(0)).as("words"))
+      .select($"doc_id",
+        size($"words").cast("long").as("n_words"),
+        round(aggregate($"words", lit(0L), (a, w) => a + length(w))
+          .cast("double") / size($"words"), 6).as("mean_word_len"),
+        round(size(regexp_extract_all($"page", lit("""#|\.\.\."""), lit(0)))
+          .cast("double") / size($"words"), 6).as("symbol_ratio"),
+        round(size(filter($"lines", l => l.rlike("""^\s*[-*•]""")))
+          .cast("double") / size($"lines"), 6).as("bullet_line_frac"),
+        round(size(filter($"lines", l => l.rlike("""\.\.\.$""")))
+          .cast("double") / size($"lines"), 6).as("ellipsis_line_frac"),
+        round(size(filter($"words", w => w.rlike("[A-Za-z]")))
+          .cast("double") / size($"words"), 6).as("alpha_word_frac"),
+        stopHits.cast("long").as("n_stop_present"))
+      .withColumn("quality_kept",
+        $"n_words" >= 50 && $"n_words" <= 100000 &&
+        $"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0 &&
+        $"symbol_ratio" <= 0.1 &&
+        $"bullet_line_frac" <= 0.1 && $"ellipsis_line_frac" <= 0.3 &&
+        $"alpha_word_frac" >= 0.8 && $"n_stop_present" >= 2)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t6_c4_filter" -> t6C4Filter _,
     "t7_gopher_repetition" -> t7GopherRepetition _,
-    "t8_pii_redact" -> t8PiiRedact _)
+    "t8_pii_redact" -> t8PiiRedact _,
+    "t9_gopher_quality" -> t9GopherQuality _)
 
   // NOTE: pagesSql is already margin-stripped — concatenate, never
   // interpolate it into another stripMargin literal (the second
@@ -231,6 +284,41 @@ object CorpusFilters {
          |  (dup_line_frac > 0.1 OR top_word_frac > 0.08) AS flagged
          |FROM fracs
          |ORDER BY doc_id""".stripMargin),
+    "t9_gopher_quality" -> {
+      val stopSql = GopherStops
+        .map(s => s"(CASE WHEN regexp_matches(lower(page), '\\b$s\\b') THEN 1 ELSE 0 END)")
+        .mkString("\n      + ")
+      s"WITH $pagesSql,\n" +
+      s"""base AS (
+         |  SELECT doc_id, page,
+         |    string_split(page, chr(10)) AS lines,
+         |    regexp_extract_all(page, '\\S+') AS words
+         |  FROM pages),
+         |sig AS (
+         |  SELECT doc_id,
+         |    CAST(len(words) AS BIGINT) AS n_words,
+         |    round(CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+         |      / len(words), 6) AS mean_word_len,
+         |    round(CAST(len(regexp_extract_all(page, '#|\\.\\.\\.')) AS DOUBLE)
+         |      / len(words), 6) AS symbol_ratio,
+         |    round(CAST(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
+         |      / len(lines), 6) AS bullet_line_frac,
+         |    round(CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$$'))) AS DOUBLE)
+         |      / len(lines), 6) AS ellipsis_line_frac,
+         |    round(CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+         |      / len(words), 6) AS alpha_word_frac,
+         |    CAST($stopSql AS BIGINT) AS n_stop_present
+         |  FROM base)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+         |  ellipsis_line_frac, alpha_word_frac, n_stop_present,
+         |  (n_words >= 50 AND n_words <= 100000
+         |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |   AND symbol_ratio <= 0.1
+         |   AND bullet_line_frac <= 0.1 AND ellipsis_line_frac <= 0.3
+         |   AND alpha_word_frac >= 0.8 AND n_stop_present >= 2) AS quality_kept
+         |FROM sig
+         |ORDER BY doc_id""".stripMargin
+    },
     "t8_pii_redact" ->
       (s"WITH $pagesSql\n" +
       s"""SELECT doc_id,

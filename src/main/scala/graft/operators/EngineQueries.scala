@@ -374,8 +374,68 @@ object EngineQueries {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** q21: TPC-H Q21 shape ("suppliers who kept orders waiting")
+    * adapted to this schema — sole-blame suppliers: R-flagged line
+    * items of finished orders where the order involved MULTIPLE
+    * suppliers but no OTHER supplier has an R line. SQL states it as
+    * a correlated EXISTS + NOT EXISTS pair over lineitem (the oracle
+    * keeps that form); the Spark-first plan DECORRELATES both into
+    * ONE per-order aggregate — distinct suppliers, distinct
+    * R-flagged suppliers — joined back on l_orderkey. Two scans of
+    * the filtered fact, one exchange each on l_orderkey, supplier
+    * dim broadcast; never a per-row subquery or a triple lineitem
+    * self-join. */
+  def q21SoleBlame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fOrders = Tables.orders(spark, dir)
+      .filter($"o_orderstatus" === "F").select($"o_orderkey")
+    // persisted (tracked): the F-order line items feed both the
+    // per-order supplier stats and the blamed-line scan
+    val li = graft.Caches.persist(
+      Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_suppkey", $"l_returnflag")
+        .join(fOrders, $"l_orderkey" === $"o_orderkey", "left_semi"))
+    val ordStats = li.groupBy($"l_orderkey")
+      .agg(countDistinct($"l_suppkey").as("n_supp"),
+           countDistinct(when($"l_returnflag" === "R", $"l_suppkey")).as("n_supp_r"))
+    li.filter($"l_returnflag" === "R")
+      .join(ordStats.filter($"n_supp" > 1 && $"n_supp_r" === 1), Seq("l_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(100)
+  }
+
+  /** q22: TPC-H Q22 shape — wealthy customers gone quiet: account
+    * balance above the global positive average AND no order since
+    * the cutoff, aggregated per nation. The global average is ONE
+    * scalar broadcast back (never a partition-less window); "no
+    * recent order" is a LEFT ANTI join against the recent orders'
+    * distinct customer keys; nation is a broadcast dim. */
+  def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+    val avgBal = cust.filter($"c_acctbal" > 0.0)
+      .agg(avg($"c_acctbal").as("avg_bal"))
+    val recent = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("2001-01-01").cast("timestamp"))
+      .select($"o_custkey").distinct()
+    cust.crossJoin(broadcast(avgBal))
+      // raw-double comparison on both sides; avg_bal itself is never
+      // emitted (see q20's rounding-boundary note)
+      .filter($"c_acctbal" > $"avg_bal")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_cust"), round(sum($"c_acctbal"), 2).as("total_bal"))
+      .orderBy($"n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_correlated" -> q20Correlated _,
+    "q21_sole_blame" -> q21SoleBlame _,
+    "q22_idle_customers" -> q22IdleCustomers _,
     "q18_asof_join" -> q18AsofJoin _,
     "q19_range_join" -> q19RangeJoin _,
     "q4_order_priority" -> q4OrderPriority _,
@@ -397,6 +457,38 @@ object EngineQueries {
     "q14_json_props" -> q14JsonProps _)
 
   val oracles: Map[String, String] = Map(
+    // deliberately the CORRELATED form: the oracle proves the Spark
+    // plan's per-order aggregate decorrelation is equivalent to the
+    // textbook EXISTS / NOT EXISTS statement
+    "q21_sole_blame" ->
+      """WITH f AS (
+        |  SELECT l.l_orderkey, l.l_suppkey, l.l_returnflag
+        |  FROM lineitem l JOIN orders o
+        |    ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F')
+        |SELECT s.s_name, count(*) AS numwait
+        |FROM f l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (
+        |    SELECT 1 FROM f l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM f l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+    "q22_idle_customers" ->
+      """SELECT n.n_name, count(*) AS n_cust,
+        |  round(sum(c.c_acctbal), 2) AS total_bal
+        |FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin,
     // the correlated form on purpose — DuckDB decorrelates it the
     // same way Spark's window formulation does by construction
     "q20_correlated" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -141,12 +141,112 @@ object Multimodal {
         ($"width" * $"height" * $"channels" * $"bit_depth" / 8).cast("long"))
   }
 
+  /** Little-endian integer synthesis: `v` as `bytes` LE bytes in hex
+    * (the WAV header's wire format). */
+  private def leHex(v: Column, bytes: Int): Column =
+    concat((0 until bytes).map(i =>
+      lpad(hex(shiftright(v, 8 * i).bitwiseAND(lit(255L))), 2, "0")): _*)
+
+  /** m4: REAL audio-header parsing — the RIFF/WAVE twin of m3's PNG
+    * IHDR tier: signature checks ("RIFF", "WAVE", "fmt ", "data") +
+    * little-endian field decode (channels, sample rate, byte rate,
+    * block align, bits/sample, data size) straight off the binary
+    * column, no audio library. The catalog-metadata pass an audio
+    * pipeline runs over 100 TB of clips before any sample decode
+    * (decode itself stays behind the m2 mapInPandas seam). The
+    * corpus synthesizes canonical 44-byte headers (format fields
+    * keyed on doc_id, document bytes as the fake sample stream);
+    * synth builds bytes little-endian with shift/mask math, the
+    * parser re-reads them per-byte with independent expressions, and
+    * the oracle recomputes expected fields from first principles. */
+  def m4AudioMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val channels = (lit(1L) + pmod($"doc_id", lit(2))).cast("long")
+    val rate = (lit(8000L) * (lit(1L) + pmod($"doc_id", lit(3)))).cast("long")
+    val bits = when(pmod($"doc_id", lit(5)) === 0, 8L).otherwise(16L)
+    // division is exact (channels*bits is a multiple of 8); the cast
+    // restores long for the shift/mask LE synthesis
+    val blockAlign = (channels * bits / lit(8L)).cast("long")
+    val byteRate = rate * blockAlign
+    val dataSize = octet_length($"text".cast("binary")).cast("long")
+    val hexHeader = concat(
+      lit("52494646"),              // "RIFF"
+      leHex(lit(36L) + dataSize, 4),
+      lit("57415645"),              // "WAVE"
+      lit("666D7420"),              // "fmt "
+      lit("10000000"),              // fmt chunk size = 16 (PCM)
+      lit("0100"),                  // audio format = 1 (PCM)
+      leHex(channels, 2),
+      leHex(rate, 4),
+      leHex(byteRate, 4),
+      leHex(blockAlign, 2),
+      leHex(bits, 2),
+      lit("64617461"),              // "data"
+      leHex(dataSize, 4))
+    val blobs = Tables.documents(spark, dir)
+      .select($"doc_id",
+        unhex(concat(hexHeader, hex($"text".cast("binary")))).as("payload"))
+    parseAudioHeader(blobs).orderBy($"doc_id")
+  }
+
+  /** The header parser over any (doc_id, payload binary) frame —
+    * canonical-WAV byte offsets (RIFF 0-3, WAVE 8-11, "fmt " 12-15,
+    * format fields LE at 20-35, "data"+size at 36-43). Like m3,
+    * every field gates on the signature so non-WAV payloads yield
+    * typed nulls, never garbage. */
+  def parseAudioHeader(blobs: DataFrame): DataFrame = {
+    import blobs.sparkSession.implicits._
+    val isWav = hex(substring($"payload", 1, 4)) === "52494646" &&
+      hex(substring($"payload", 9, 8)) === "57415645666D7420" &&
+      hex(substring($"payload", 37, 4)) === "64617461"
+    // little-endian decode: per-byte reads combined positionally
+    // (substring-on-binary keeps each byte exact; no byte-order swap
+    // primitive exists for binary columns)
+    def le(pos: Int, len: Int): Column =
+      when(isWav, (0 until len).map(i =>
+        conv(hex(substring($"payload", pos + i, 1)), 16, 10).cast("long") *
+          lit(1L << (8 * i))).reduce(_ + _))
+    blobs.select($"doc_id",
+        isWav.as("is_wav"),
+        le(21, 2).as("audio_format"),
+        le(23, 2).as("n_channels"),
+        le(25, 4).as("sample_rate"),
+        le(29, 4).as("byte_rate"),
+        le(33, 2).as("block_align"),
+        le(35, 2).as("bits_per_sample"),
+        le(41, 4).as("data_bytes"))
+      .withColumn("est_duration_us",
+        floor($"data_bytes" * lit(1000000.0) / $"byte_rate").cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> m1BinaryMeta _,
     "m2_frame_sample" -> m2FrameSample _,
-    "m3_image_meta" -> m3ImageMeta _)
+    "m3_image_meta" -> m3ImageMeta _,
+    "m4_audio_meta" -> m4AudioMeta _)
 
   val oracles: Map[String, String] = Map(
+    // first-principles recompute of the synthesized WAV fields — the
+    // oracle checks the LE parse inverted the LE synth exactly
+    "m4_audio_meta" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+        |    CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+        |    CAST(CASE WHEN doc_id % 5 = 0 THEN 8 ELSE 16 END AS BIGINT) AS bits_per_sample,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS data_bytes
+        |  FROM documents)
+        |SELECT doc_id, true AS is_wav,
+        |  CAST(1 AS BIGINT) AS audio_format,
+        |  n_channels, sample_rate,
+        |  sample_rate * (n_channels * bits_per_sample // 8) AS byte_rate,
+        |  n_channels * bits_per_sample // 8 AS block_align,
+        |  bits_per_sample, data_bytes,
+        |  CAST(floor(data_bytes * 1000000.0
+        |    / (sample_rate * (n_channels * bits_per_sample // 8))) AS BIGINT)
+        |    AS est_duration_us
+        |FROM f
+        |ORDER BY doc_id""".stripMargin,
     // first-principles recompute of the synthesized header fields —
     // the oracle checks the parse inverted the synth exactly
     "m3_image_meta" ->

@@ -50,45 +50,101 @@ object Pipeline {
   }
 
   /** Connected components over an undirected (a_id, b_id) pair set
-    * via iterative min-label propagation: every vertex starts
-    * labeled with its own id; each round a vertex takes the min of
-    * its label and its neighbors' labels; at the fixpoint each
-    * component carries its minimum id. Convergence is detected by
-    * the label SUM (strictly decreasing until the fixpoint — one
-    * scalar agg per round, no change-count join), with a safety
+    * via the ALTERNATING STAR algorithm (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond" — the algorithm
+    * behind GraphFrames/GraphX CC): edges are kept oriented
+    * large→small; each round a LARGE-STAR step hangs every
+    * strictly-larger neighbor of a node onto the minimum of its
+    * neighborhood, then a SMALL-STAR step collapses each node's
+    * smaller neighbors (and itself) onto that minimum. The edge set
+    * contracts toward stars whose centers are the component minima;
+    * star graphs are fixpoints of both steps, so convergence is
+    * detected by an edge-set signature (count + hash sum — one
+    * scalar agg per round, no set-difference join), with a safety
     * bound of `maxIter`.
     *
-    * Scale shape: per round one equi-join on src + one keyed min agg
-    * (map-side combinable) — the textbook distributed-CC loop;
-    * rounds = component diameter. Near-dup graphs are
-    * boilerplate-cluster shaped (stars/cliques, diameter ~2-3);
-    * a corpus with adversarially long chains would want the
-    * large-star/small-star variant (same join primitive, fewer
-    * rounds). Labels persist per round via the tracked registry. */
+    * Scale shape: per round two windowed neighborhood-min passes +
+    * a distinct — each a single keyed exchange, no joins at all.
+    * Rounds are O(log² n) even for adversarially long chains (the
+    * spec drives a 256-node path through in ~6 rounds), where plain
+    * min-label propagation needs diameter rounds; on the
+    * boilerplate-cluster graphs near-dup dedup produces
+    * (stars/cliques) it settles in 2-3 rounds. The edge set SHRINKS
+    * as components contract (label propagation re-scans the full
+    * edge list every round).
+    *
+    * Each round's edge frame is materialized with an EAGER
+    * localCheckpoint, not a plain persist: every round references
+    * the previous frame several times, so without lineage
+    * TRUNCATION the logical plan grows ~4× per round and the plan
+    * string alone OOMs the driver by round ~8 (a persist caches
+    * execution but keeps the full logical tree). This is the same
+    * checkpoint-interval discipline GraphFrames' CC applies; a
+    * cluster deployment that needs executor-loss recovery would set
+    * a reliable checkpoint dir and use checkpoint() instead.
+    * Checkpoint blocks are freed by the ContextCleaner once the
+    * loop's frames go out of scope. */
   private[graft] def connectedComponents(pairs: DataFrame,
-                                         maxIter: Int = 50): DataFrame = {
+                                         maxIter: Int = 50): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of rounds the alternating
+    * loop ran — exposed so the convergence-rate spec can assert the
+    * O(log) behavior on a long path. */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val p = graft.Caches.persist(pairs.select($"a_id", $"b_id"))
-    val edges = graft.Caches.persist(
-      p.select($"a_id".as("src"), $"b_id".as("dst"))
-        .union(p.select($"b_id".as("src"), $"a_id".as("dst"))))
-    var labels = graft.Caches.persist(
-      edges.select($"src".as("id")).distinct().withColumn("lbl", $"id"))
-    var prevSum = Long.MaxValue
-    var curSum = labels.agg(sum($"lbl")).as[Long].head()
-    var iter = 0
-    while (curSum < prevSum && iter < maxIter) {
-      val cand = edges.join(labels, $"src" === $"id")
-        .groupBy($"dst").agg(min($"lbl").as("nlbl"))
-      labels = graft.Caches.persist(
-        labels.join(cand, $"id" === $"dst", "left")
-          .select($"id", least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl")))
-      prevSum = curSum
-      curSum = labels.agg(sum($"lbl")).as[Long].head()
-      iter += 1
+    var edges = pairs
+      .select(greatest($"a_id", $"b_id").as("src"),
+              least($"a_id", $"b_id").as("dst"))
+      .filter($"src" =!= $"dst").distinct()
+      .localCheckpoint()
+    // set signature: (row count, XOR of row hashes) — edges are
+    // distinct, so equal signatures mean the round was a no-op and
+    // the star fixpoint is reached. XOR is order-insensitive and
+    // can't overflow (a SUM of 64-bit hashes trips ANSI-mode
+    // overflow checks).
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64($"src", $"dst"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    labels
+    var sig = signature(edges)
+    var rounds = 0
+    var converged = false
+    val wU = Window.partitionBy($"src")
+    while (!converged && rounds < maxIter) {
+      // LARGE-STAR: symmetrize, then for every node u attach each
+      // strictly-larger neighbor v to m = min(N(u) ∪ {u}). Every
+      // emitted edge has v > u ≥ m, so the output stays oriented
+      // large→small.
+      val bi = edges.union(edges.select($"dst".as("src"), $"src".as("dst")))
+      val ls = bi
+        .withColumn("m", least(min($"dst").over(wU), $"src"))
+        .filter($"dst" > $"src")
+        .select($"dst".as("src"), $"m".as("dst"))
+        .distinct()
+      // SMALL-STAR: input is oriented src > dst, so N(u) here is the
+      // smaller neighbors; attach them (and u itself) to m = min(N(u)).
+      val withMin = ls.withColumn("m", min($"dst").over(wU))
+      val next = withMin.filter($"dst" =!= $"m")
+        .select($"dst".as("src"), $"m".as("dst"))
+        .union(withMin.select($"src", $"m".as("dst")))
+        .distinct()
+        .localCheckpoint()
+      val nsig = signature(next)
+      converged = nsig == sig
+      sig = nsig
+      edges = next
+      rounds += 1
+    }
+    // at the fixpoint edges form stars: src → its component minimum;
+    // the groupBy-min guards the maxIter-cut case where a node could
+    // still carry edges to two candidate minima
+    val labels = edges.select($"src".as("id"), $"dst".as("lbl"))
+      .union(edges.select($"dst".as("id"), $"dst".as("lbl")))
+      .groupBy($"id").agg(min($"lbl").as("lbl"))
+    (labels, rounds)
   }
 
   /** p5: near-dup CLUSTERS, not pairs — the keep-one-per-cluster

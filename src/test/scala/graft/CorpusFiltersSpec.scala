@@ -50,6 +50,35 @@ class CorpusFiltersSpec extends SparkSpec {
     }
   }
 
+  test("t9 Gopher quality signals are sane and the verdict composes them") {
+    import spark.implicits._
+    val rows = CorpusFilters.t9GopherQuality(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val nWords = r.getLong(1)
+      val meanLen = r.getDouble(2)
+      val alphaFrac = r.getDouble(6)
+      val nStop = r.getLong(7)
+      assert(nWords > 0, s"doc $id")
+      assert(meanLen > 1 && meanLen < 20, s"doc $id mean_word_len=$meanLen")
+      assert(r.getDouble(4) == 0.0, s"doc $id: no bullet lines in the corpus")
+      assert(alphaFrac > 0.5 && alphaFrac <= 1.0, s"doc $id alpha=$alphaFrac")
+      // every page contains at least 'the' (intro line); only the
+      // duplicate-subscribe docs add 'to' — the signal that ends up
+      // deciding the verdict on this corpus
+      assert(nStop >= 1, s"doc $id stop hits=$nStop")
+      // verdict re-derivable from the emitted signals
+      val expect = nWords >= 50 && nWords <= 100000 &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        r.getDouble(3) <= 0.1 && r.getDouble(4) <= 0.1 &&
+        r.getDouble(5) <= 0.3 && alphaFrac >= 0.8 && nStop >= 2
+      assert(r.getBoolean(8) == expect, s"doc $id verdict")
+    }
+    // both verdicts occur: short docs fail the 50-word floor
+    assert(rows.exists(_.getBoolean(8)) && rows.exists(!_.getBoolean(8)))
+  }
+
   test("t8 PII: contact docs have one of each class, redaction removes them") {
     import spark.implicits._
     val out = CorpusFilters.t8PiiRedact(spark, sfDir)

@@ -135,6 +135,46 @@ class DedupSpec extends SparkSpec {
     assert(Seq(20L, 21L).forall(labels(_) == 20L))
   }
 
+  test("p5 star contraction converges in O(log) rounds on a long path") {
+    import spark.implicits._
+    // a 256-node path is the adversarial case for min-label
+    // propagation (diameter rounds = 255); the alternating
+    // large-star/small-star contraction closes it in O(log² n)
+    val pairs = (0L until 255L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val (labelsDf, rounds) =
+      graft.operators.Pipeline.connectedComponentsWithRounds(pairs)
+    val labels = labelsDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 256)
+    assert(labels.values.forall(_ == 0L), "every node labels to the path min")
+    assert(rounds <= 12, s"expected logarithmic convergence, took $rounds rounds")
+  }
+
+  test("p5 star contraction matches union-find on a pseudo-random graph") {
+    import spark.implicits._
+    // deterministic scrambled edge set: multiple components, cycles,
+    // cross links — compared against a driver-side union-find
+    val n = 120
+    val raw = (0 until 300).map { i =>
+      val a = (i * 7919 + 13) % n
+      val b = (a + 1 + (i * 104729) % 40) % n
+      (a.toLong, b.toLong)
+    }.filter { case (a, b) => a != b }
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    raw.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = raw.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(v => v -> find(v.toInt).toLong).toMap
+    val got = graft.operators.Pipeline
+      .connectedComponents(raw.toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // union-find parents compress to the same minimum per component
+    // because unions always hang the larger root under the smaller
+    assert(got == expected)
+  }
+
   test("p5 cluster output marks exactly one representative per cluster") {
     import spark.implicits._
     val out = graft.operators.Pipeline.p5DedupClusters(spark, sfDir).collect()

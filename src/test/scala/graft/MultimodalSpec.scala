@@ -26,4 +26,46 @@ class MultimodalSpec extends SparkSpec {
     val row = Multimodal.parseImageHeader(junk).collect().head
     assert(!row.getBoolean(1))
   }
+
+  test("m4 parser decodes a ByteBuffer-built canonical WAV header") {
+    import spark.implicits._
+    // header built with java.nio LITTLE_ENDIAN — fully independent of
+    // the operator's hex/shift synthesis path
+    val data = "0123456789abcdef".getBytes("UTF-8")
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1)
+      .putShort(2)            // channels
+      .putInt(44100)          // sample rate
+      .putInt(44100 * 4)      // byte rate
+      .putShort(4)            // block align
+      .putShort(16)           // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(data.length)
+      .put(data)
+    val df = Seq((7L, bb.array())).toDF("doc_id", "payload")
+    val r = Multimodal.parseAudioHeader(df).collect().head
+    assert(r.getBoolean(1), "is_wav")
+    assert(r.getLong(2) == 1L, "audio_format")
+    assert(r.getLong(3) == 2L, "channels")
+    assert(r.getLong(4) == 44100L, "rate")
+    assert(r.getLong(5) == 176400L, "byte rate")
+    assert(r.getLong(6) == 4L, "block align")
+    assert(r.getLong(7) == 16L, "bits")
+    assert(r.getLong(8) == data.length.toLong, "data size")
+    // 16 bytes at 176400 B/s = 90.7 µs, floored
+    assert(r.getLong(9) == (data.length * 1000000L) / 176400L, "duration")
+  }
+
+  test("m4 parser yields typed nulls on non-WAV payloads") {
+    import spark.implicits._
+    val junk = Seq((1L, "RIFFnope definitely not audio"))
+      .toDF("doc_id", "s")
+      .select($"doc_id", $"s".cast("binary").as("payload"))
+    val row = Multimodal.parseAudioHeader(junk).collect().head
+    assert(!row.getBoolean(1))
+    assert(row.isNullAt(4), "sample_rate null-gated")
+    assert(row.isNullAt(9), "duration null-gated")
+  }
 }
