@@ -348,6 +348,94 @@ object Knn {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** Squared L2 between two equal-length double arrays as a seeded
+    * left fold — ((0.0+d₁)+d₂)+… so the oracle's list_reduce replays
+    * the accumulation bit for bit. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)), lit(0.0), _ + _)
+
+  /** Per-subspace Lloyd's k-means for a PQ codebook — the production
+    * BUILD step a6's sampled codebooks stand in for (FAISS trains
+    * each sub-quantizer with k-means exactly like this). ALL m
+    * subspaces train in ONE distributed pass per iteration: the
+    * subvector frame explodes (vec_id, sp, 8-dim slice), assignment
+    * is a zero-join map against the codebook literal (argmin of the
+    * seeded-fold L2, ties to the lowest code), and the centroid
+    * update is one keyed exchange on the composite (sp, cid) key
+    * through the same ordered-frame mean a3/a4 use — so the whole
+    * loop replays in SQL. Per iteration the driver collects
+    * m·k·sub = 1024 doubles (the MLlib loop shape); empty codewords
+    * keep their previous centroid so code semantics stay stable.
+    * Returns books[sp][cid] = 8-dim centroid. */
+  def pqFit(vectors: DataFrame, m: Int, sub: Int, k: Int,
+            iters: Int): Seq[Seq[Seq[Double]]] = {
+    import vectors.sparkSession.implicits._
+    val init: Seq[Seq[Double]] = vectors.orderBy($"vec_id").limit(k)
+      .select($"v").as[Seq[Double]].collect().toSeq
+    var books: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(s => init.map(v => v.slice(s * sub, s * sub + sub)))
+    val sv = vectors
+      .select($"vec_id", explode(sequence(lit(0), lit(m - 1))).as("sp"), $"v")
+      .select($"vec_id", $"sp", slice($"v", $"sp" * sub + 1, lit(sub)).as("sv"))
+    for (_ <- 1 to iters) {
+      val bookMat = typedLit(books)
+      val dists = transform(sequence(lit(0), lit(k - 1)), j =>
+        l2sq($"sv", element_at(element_at(bookMat, $"sp" + 1), j + 1)))
+      val assigned = sv
+        .withColumn("cid", (array_position(dists, array_min(dists)) - 1).cast("int"))
+        .withColumn("gkey", $"sp" * k + $"cid")
+      val updated = orderedCentroids(
+          assigned.select($"vec_id", $"gkey", posexplode($"sv")), "gkey")
+        .select($"gkey".cast("int"), $"cv").as[(Int, Seq[Double])].collect().toMap
+      books = (0 until m).map(s =>
+        (0 until k).map(j => updated.getOrElse(s * k + j, books(s)(j))))
+    }
+    books
+  }
+
+  /** a7: PQ/ADC serving (a6's scan shape) over LLOYD-FIT codebooks —
+    * the full production PQ pipeline: per-subspace k-means build
+    * (2 iterations, [[pqFit]]), encode against the trained books,
+    * asymmetric-distance scan, top-20 refine, exact rerank. The
+    * ENTIRE pipeline — both Lloyd iterations per subspace, the
+    * final encode, ADC, rerank — is unrolled as DuckDB CTE stages
+    * and hash-verified, the PQ twin of a4's k-means artifact. */
+  def a7KnnPqKmeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = 8; val sub = 8; val k = 16
+    val all = graft.Caches.persist(base(spark, dir))
+    val books = pqFit(all, m, sub, k, iters = 2)
+    val bookMat = typedLit(books)
+    def subSlice(v: Column, s: Column): Column = slice(v, s * sub + 1, lit(sub))
+    // encode: code[s] = argmin_j ||v_sub(s) - books(s)(j)||², ties to
+    // the lowest code in both engines (array_position on first min)
+    val coded = all.withColumn("code",
+      transform(sequence(lit(0), lit(m - 1)), s => {
+        val dists = transform(sequence(lit(0), lit(k - 1)), j =>
+          l2sq(subSlice($"v", s), element_at(element_at(bookMat, s + 1), j + 1)))
+        (array_position(dists, array_min(dists)) - 1).cast("int")
+      }))
+    val queries0 = coded.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val approx = coded.crossJoin(broadcast(queries0))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("adist",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, s) => acc + l2sq(subSlice($"qv", s),
+            element_at(element_at(bookMat, s + 1),
+                       element_at($"code", s + 1) + 1))))
+    val wA = Window.partitionBy($"q_id").orderBy($"adist", $"vec_id")
+    val w = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")
+    approx
+      .withColumn("qrnk", row_number().over(wA))
+      .filter($"qrnk" <= 20)
+      .select($"q_id", $"vec_id", V.cosineD($"qv", $"v").as("cosine_raw"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .select($"q_id", $"vec_id", round($"cosine_raw", 6).as("cosine"), $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_knn_bruteforce" -> a1BruteForce _,
     "a2_knn_lsh" -> a2Lsh _,
@@ -355,6 +443,7 @@ object Knn {
     "a4_knn_ivf_kmeans" -> a4IvfKmeans _,
     "a5_knn_sq8" -> a5KnnSq8 _,
     "a6_knn_pq" -> a6KnnPq _,
+    "a7_knn_pq_kmeans" -> a7KnnPqKmeans _,
     "s2_vector_topk" -> s2VectorTopk _)
 
   private val cosineSql =
@@ -398,6 +487,99 @@ object Knn {
        |        ($vec[$sp*8+d] - $cvec[$sp*8+d]) * ($vec[$sp*8+d] - $cvec[$sp*8+d]))),
        |      (a, x) -> a + x)""".stripMargin
 
+  /** One unrolled per-subspace PQ Lloyd iteration as CTE stages:
+    * seeded-fold L2 scoring of every (vector, subspace) slice against
+    * cb{i-1}, argmin assignment (ties → lowest cid, matching
+    * array_position on the first min), ordered-fold centroid means
+    * per (sp, cid, dim), and empty codewords keeping their previous
+    * centroid (LEFT JOIN + coalesce — the Spark side's getOrElse). */
+  private def pqIterSql(i: Int): String =
+    s"""${pqAssignSql(i)},
+       |pu$i AS (
+       |  SELECT sp, cid, list(c ORDER BY pos) AS cv FROM (
+       |    SELECT a.sp, a.cid, g.d AS pos,
+       |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list(b.sv[g.d] ORDER BY a.vec_id)), (acc, x) -> acc + x)
+       |        / count(*) AS c
+       |    FROM pa$i a JOIN sub0 b ON b.vec_id = a.vec_id AND b.sp = a.sp,
+       |         LATERAL unnest(generate_series(1, 8)) AS g(d)
+       |    GROUP BY a.sp, a.cid, g.d)
+       |  GROUP BY sp, cid),
+       |cb$i AS (
+       |  SELECT p.sp, p.cid, coalesce(u.cv, p.cv) AS cv
+       |  FROM cb${i - 1} p LEFT JOIN pu$i u ON u.sp = p.sp AND u.cid = p.cid)""".stripMargin
+
+  /** Assignment-only stage (pd$i scoring + pa$i argmin vs cb${i-1}) —
+    * the final encode reuses it against the last codebook. */
+  private def pqAssignSql(i: Int): String =
+    s"""pd$i AS (
+       |  SELECT b.vec_id, b.sp, c.cid,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(generate_series(1, 8), d ->
+       |        (b.sv[d] - c.cv[d]) * (b.sv[d] - c.cv[d]))),
+       |      (acc, x) -> acc + x) AS dist
+       |  FROM sub0 b JOIN cb${i - 1} c ON c.sp = b.sp),
+       |pa$i AS (
+       |  SELECT vec_id, sp, cid FROM (
+       |    SELECT vec_id, sp, cid,
+       |      row_number() OVER (PARTITION BY vec_id, sp ORDER BY dist, cid) AS rn
+       |    FROM pd$i) WHERE rn = 1)""".stripMargin
+
+  private lazy val a7Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |sub0 AS (
+       |  SELECT vec_id, s.sp,
+       |    list_transform(generate_series(1, 8), d -> v[s.sp*8+d]) AS sv
+       |  FROM e, LATERAL unnest(generate_series(0, 7)) AS s(sp)),
+       |seeds AS (
+       |  SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+       |cb0 AS (
+       |  SELECT s.sp, seeds.cid,
+       |    list_transform(generate_series(1, 8), d -> seeds.v[s.sp*8+d]) AS cv
+       |  FROM seeds, LATERAL unnest(generate_series(0, 7)) AS s(sp)),
+       |${pqIterSql(1)},
+       |${pqIterSql(2)},
+       |${pqAssignSql(3)},
+       |qs AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+       |qsub AS (
+       |  SELECT q_id, s.sp,
+       |    list_transform(generate_series(1, 8), d -> qv[s.sp*8+d]) AS qsv
+       |  FROM qs, LATERAL unnest(generate_series(0, 7)) AS s(sp)),
+       |adcp AS (
+       |  SELECT q.q_id, b.vec_id, q.sp,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(generate_series(1, 8), d ->
+       |        (q.qsv[d] - c.cv[d]) * (q.qsv[d] - c.cv[d]))),
+       |      (acc, x) -> acc + x) AS dist
+       |  FROM qsub q
+       |  JOIN pa3 b ON b.sp = q.sp AND b.vec_id <> q.q_id
+       |  JOIN cb2 c ON c.sp = b.sp AND c.cid = b.cid),
+       |adc AS (
+       |  SELECT q_id, vec_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(dist ORDER BY sp)),
+       |      (acc, x) -> acc + x) AS adist
+       |  FROM adcp GROUP BY q_id, vec_id),
+       |cand AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS qrnk
+       |    FROM adc) WHERE qrnk <= 20),
+       |scored AS (
+       |  SELECT c.q_id, c.vec_id, ${cos("eq.v", "eb.v")} AS cosine_raw
+       |  FROM cand c
+       |  JOIN e eq ON eq.vec_id = c.q_id
+       |  JOIN e eb ON eb.vec_id = c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cosine_raw,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT q_id, vec_id, round(cosine_raw, 6) AS cosine, rnk
+       |FROM ranked WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin
+
   private lazy val a6Sql: String = {
     val encDist = pqSqDist("v", "sp", "sv.sv[j+1]")
     s"""WITH e AS (
@@ -439,6 +621,7 @@ object Knn {
 
   val oracles: Map[String, String] = Map(
     "a6_knn_pq" -> a6Sql,
+    "a7_knn_pq_kmeans" -> a7Sql,
     "a5_knn_sq8" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

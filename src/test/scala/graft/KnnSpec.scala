@@ -106,4 +106,32 @@ class KnnSpec extends SparkSpec {
     }.sum
     assert(hits >= qids.length * 5 / 2, s"recall too low: $hits/50")
   }
+
+  test("a7 pqFit books: full shape, slot stability, and trained recall") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+    val books = Knn.pqFit(vecs, m = 8, sub = 8, k = 16, iters = 2)
+    assert(books.length == 8, "one codebook per subspace")
+    books.foreach { cb =>
+      assert(cb.length == 16, "k codewords survive (empty slots keep previous)")
+      cb.foreach(c => assert(c.length == 8, "subspace dimensionality"))
+    }
+    val pq = Knn.a7KnnPqKmeans(spark, sfDir).collect()
+    val exact = Knn.a1BruteForce(spark, sfDir).collect()
+    val qids = pq.map(_.getLong(0)).distinct
+    assert(qids.length == 10)
+    qids.foreach { q =>
+      val mine = pq.filter(_.getLong(0) == q)
+      assert(mine.map(_.getInt(3)).toSeq == (1 to 5))
+    }
+    // Lloyd-fit codebooks must do at least as well as a6's bar: the
+    // trained quantizer can only tighten the sampled one's cells
+    val hits = qids.map { q =>
+      val mine = pq.filter(_.getLong(0) == q).map(_.getLong(1)).toSet
+      val gold = exact.filter(_.getLong(0) == q).map(_.getLong(1)).toSet
+      mine.intersect(gold).size
+    }.sum
+    assert(hits >= qids.length * 5 / 2, s"recall too low: $hits/50")
+  }
 }
