@@ -61,6 +61,52 @@ object EventStream {
       }
   }
 
+  final case class FunnelEvent(user_id: Long, event_type: String,
+                               ts: java.sql.Timestamp)
+  final case class FunnelState(v: Long, c: Long, p: Long)
+  final case class FunnelVerdict(user_id: Long, converted: Int)
+
+  /** Stateful funnel detection via flatMapGroupsWithState — the
+    * streaming twin of the batch funnel query q13: per user, keep the
+    * earliest view/click/purchase timestamps as custom state and emit
+    * the user's current verdict (converted iff first view < first
+    * click < first purchase) every trigger. Unlike a windowed agg,
+    * the verdict can FLIP when an earlier event arrives in a later
+    * trigger (a click that predates the stored view un-converts the
+    * ordering) — exactly the re-emission semantics Update-mode
+    * flatMapGroupsWithState exists for. In batch mode each group is
+    * processed once with empty initial state, so the result equals
+    * q13's — that equivalence is the st4 driver check, and
+    * StreamingSpec drives the cross-trigger state path. */
+  def funnelStateful(events: org.apache.spark.sql.Dataset[FunnelEvent])
+      : org.apache.spark.sql.Dataset[FunnelVerdict] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val None_ = Long.MaxValue
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelVerdict](
+          OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(None_, None_, None_))
+          evs.foreach { e =>
+            // microsecond precision: getTime truncates to millis, and
+            // the events table carries µs — a same-millisecond pair
+            // would order differently than the batch comparison
+            val t = e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
+            e.event_type match {
+              case "view"     => if (t < s.v) s = s.copy(v = t)
+              case "click"    => if (t < s.c) s = s.copy(c = t)
+              case "purchase" => if (t < s.p) s = s.copy(p = t)
+              case _          => ()
+            }
+          }
+          state.update(s)
+          val converted =
+            s.v != None_ && s.c != None_ && s.p != None_ && s.v < s.c && s.c < s.p
+          Iterator.single(FunnelVerdict(uid, if (converted) 1 else 0))
+      }
+  }
+
   /** Streaming exact dedup — the streaming twin of d1_dedup_exact for
     * a continuously-ingested corpus: keep the first occurrence of each
     * content fingerprint, with the watermark bounding the seen-keys
@@ -150,12 +196,28 @@ object EventStream {
       .orderBy($"user_id")
   }
 
+  /** Batch mirror of the stateful funnel (driver-checked against the
+    * q13 oracle — the equivalence IS the check). */
+  def st4FunnelStateful(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    funnelStateful(
+        Tables.events(spark, dir)
+          .select($"user_id", $"event_type", $"ts").as[FunnelEvent])
+      .toDF()
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_window_agg" -> st1WindowAgg _,
     "st2_interval_join" -> st2IntervalJoin _,
-    "st3_session_window" -> st3SessionWindow _)
+    "st3_session_window" -> st3SessionWindow _,
+    "st4_funnel_stateful" -> st4FunnelStateful _)
 
   val oracles: Map[String, String] = Map(
+    // the stateful op must land exactly where the declarative batch
+    // funnel lands — q13's oracle, verbatim
+    "st4_funnel_stateful" ->
+      graft.operators.EngineQueries.oracles("q13_events_funnel"),
     "st1_window_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
         | event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value

@@ -129,6 +129,52 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stateful funnel re-emits a flipped verdict when history rewrites") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import graft.streaming.EventStream.FunnelEvent
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[FunnelEvent]
+    val query = EventStream.funnelStateful(stream.toDS())
+      .writeStream.format("memory").queryName("funnel_mem")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // trigger 1: ordered view -> click -> purchase => converted
+      stream.addData(
+        FunnelEvent(1L, "view", t("10:00")),
+        FunnelEvent(1L, "click", t("10:05")),
+        FunnelEvent(1L, "purchase", t("10:10")),
+        FunnelEvent(2L, "view", t("10:00")),
+        FunnelEvent(2L, "purchase", t("10:20")))
+      query.processAllAvailable()
+      val after1 = spark.table("funnel_mem").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(after1(1L) == 1, "ordered funnel converts")
+      assert(after1(2L) == 0, "missing click stage")
+      // trigger 2: user 1's history rewrites — an EARLIER purchase
+      // breaks click < purchase; user 2 gains the missing click
+      stream.addData(
+        FunnelEvent(1L, "purchase", t("10:01")),
+        FunnelEvent(2L, "click", t("10:10")))
+      query.processAllAvailable()
+      val after2 = spark.table("funnel_mem").collect()
+        .groupBy(_.getLong(0)).map { case (u, rs) => u -> rs.last.getInt(1) }
+      assert(after2(1L) == 0, "verdict must flip off on rewritten history")
+      assert(after2(2L) == 1, "state must join stages across triggers")
+    } finally query.stop()
+  }
+
+  test("stateful funnel in batch mode equals the declarative q13") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val st4 = EventStream.st4FunnelStateful(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val q13 = graft.operators.EngineQueries.q13EventsFunnel(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(st4 == q13)
+  }
+
   final case class Doc(ts: Timestamp, fingerprint: String, text: String)
 
   test("streaming dedup keeps first occurrence across triggers, bounded by watermark") {
