@@ -317,13 +317,45 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** d7: SEMANTIC dedup, SemDeDup-shape (Abbas et al. 2023): cluster
+    * the embedding space with a TRAINED k-means quantizer (a4's
+    * spherical Lloyd build — at 100 TB this is the same index-build
+    * pass the IVF serving path already pays for), compare pairs only
+    * WITHIN a cluster, and keep the lowest id of every cosine ≥ τ
+    * pair. Unlike d5 (which trusts a pre-assigned label column), the
+    * blocking structure here is learned from the data — the
+    * clustering IS the candidate-generation step, so the pairwise
+    * work tracks cell sizes, never n². Emits one verdict row per
+    * vector (cell, kept flag) — the per-document drop list a corpus
+    * prep pass consumes directly. The oracle replays the ENTIRE
+    * 3-iteration Lloyd loop (a4's CTE stages), the cell assignment,
+    * the within-cell pair scan, and the keep rule. */
+  def d7SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tau = 0.4
+    val all = graft.Caches.persist(
+      Tables.embeddings(spark, dir)
+        .select($"vec_id", V.asDouble($"embedding").as("v")))
+    val cents = Knn.kmeansFit(all, k = 8, iters = 3)
+    val cells = Knn.assign(all, cents)
+      .select($"vec_id", $"cid".as("label"), $"v")
+    val losers = embeddingCosinePairsOf(cells, tau = tau, maxCell = MaxCell)
+      .select($"b_id".as("vec_id")).distinct()
+    cells.join(losers, Seq("vec_id"), "left_anti").withColumn("is_kept", lit(true))
+      .unionByName(
+        cells.join(losers, Seq("vec_id"), "left_semi").withColumn("is_kept", lit(false)))
+      .select($"vec_id", $"label".cast("long").as("cid"), $"is_kept")
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> d1Exact _,
     "d2_dedup_minhash_lsh" -> d2MinhashLsh _,
     "d3_dedup_simhash" -> d3Simhash _,
     "d4_ngram_jaccard" -> d4NgramJaccard _,
     "d5_dedup_embedding" -> d5EmbeddingCosine _,
-    "d6_line_dedup" -> d6LineDedup _)
+    "d6_line_dedup" -> d6LineDedup _,
+    "d7_semdedup" -> d7SemDedup _)
 
   /** Shared oracle CTEs (w + d): tokenized docs -> sorted distinct
     * poly-hashed 3-gram shingle sets over any (doc_id, text) relation
@@ -481,6 +513,33 @@ object Dedup {
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE cosine >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
+    // the full Lloyd build (Knn.kmeansCellsSql = a4's CTE prefix)
+    // feeds the within-cell pair scan and the keep-lowest-id rule
+    "d7_semdedup" ->
+      (s"WITH ${Knn.kmeansCellsSql},\n" +
+      s"""cellv AS (
+         |  SELECT c.vec_id, c.cid, e.v
+         |  FROM cells c JOIN e ON e.vec_id = c.vec_id),
+         |capped AS (
+         |  SELECT vec_id, cid, v FROM (
+         |    SELECT vec_id, cid, v,
+         |      count(*) OVER (PARTITION BY cid) AS ccnt
+         |    FROM cellv) WHERE ccnt <= $MaxCell),
+         |prs AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |   round(
+         |     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |       list_transform(generate_series(1, len(a.v)), i -> a.v[i]*b.v[i])), (s,x) -> s+x)
+         |     / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |          list_transform(a.v, x -> x*x)), (s,x) -> s+x))
+         |      * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |          list_transform(b.v, x -> x*x)), (s,x) -> s+x))), 6) AS cosine
+         |  FROM capped a JOIN capped b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |losers AS (SELECT DISTINCT b_id FROM prs WHERE cosine >= 0.4)
+         |SELECT vec_id, cid,
+         |  (vec_id NOT IN (SELECT b_id FROM losers)) AS is_kept
+         |FROM cellv
+         |ORDER BY vec_id""".stripMargin),
     "d6_line_dedup" ->
       (s"WITH ${CorpusFilters.pagesSql},\n" +
       s"""lines AS (

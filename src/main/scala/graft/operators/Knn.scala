@@ -172,8 +172,9 @@ object Knn {
   }
 
   /** Nearest-centroid assignment against literal centroids: adds a
-    * `cid` column, no join, no shuffle. */
-  private def assign(vectors: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
+    * `cid` column, no join, no shuffle. Shared with d7's semantic
+    * dedup, whose blocking structure is this same trained quantizer. */
+  private[graft] def assign(vectors: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
     import vectors.sparkSession.implicits._
     val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
     vectors
@@ -478,6 +479,33 @@ object Knn {
        |    FROM a$i a JOIN dims d ON d.vec_id = a.vec_id GROUP BY a.cid, d.pos)
        |  GROUP BY cid)""".stripMargin
 
+  /** The full 3-iteration spherical-Lloyd clustering as shareable CTE
+    * stages (e → dims → c0 → three [[kmIterSql]] rounds → final
+    * assignment `cells(vec_id, cid)`) — the SQL replay of
+    * [[kmeansFit]]+[[assign]] with k=8. a4's oracle serves from it;
+    * d7's semantic dedup blocks by it. */
+  private[graft] lazy val kmeansCellsSql: String =
+    s"""e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |dims AS (
+       |  SELECT vec_id, g.i - 1 AS pos, v[g.i] AS val
+       |  FROM e, LATERAL unnest(generate_series(1, 64)) AS g(i)),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+       |${kmIterSql(1)},
+       |${kmIterSql(2)},
+       |${kmIterSql(3)},
+       |sf AS (
+       |  SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} AS cs
+       |  FROM e CROSS JOIN c3 c),
+       |cells AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+       |    FROM sf) WHERE rn = 1)""".stripMargin
+
   /** Squared L2 between subspace `sp` (0-based) slices of two 64-dim
     * SQL lists — the PQ subdistance; multiplication (not pow) and a
     * 0.0-seeded left fold match the Spark expression bit for bit. */
@@ -695,26 +723,7 @@ object Knn {
          |FROM ranked WHERE rnk <= 5
          |ORDER BY q_id, rnk""".stripMargin,
     "a4_knn_ivf_kmeans" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |dims AS (
-         |  SELECT vec_id, g.i - 1 AS pos, v[g.i] AS val
-         |  FROM e, LATERAL unnest(generate_series(1, 64)) AS g(i)),
-         |c0 AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
-         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
-         |${kmIterSql(1)},
-         |${kmIterSql(2)},
-         |${kmIterSql(3)},
-         |sf AS (
-         |  SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} AS cs
-         |  FROM e CROSS JOIN c3 c),
-         |cells AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
-         |    FROM sf) WHERE rn = 1),
+      s"""WITH $kmeansCellsSql,
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
          |pscore AS (
          |  SELECT q.q_id, q.qv, c.cid, ${cos("q.qv", "c.cv")} AS cs

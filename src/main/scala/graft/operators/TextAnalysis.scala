@@ -135,12 +135,56 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t10: unigram log-perplexity quality proxy — the model-based
+    * quality tier of published pipelines (CCNet's KenLM filter),
+    * re-expressed with a corpus-internal unigram LM so it needs no
+    * external model: vocabulary counts in one keyed agg,
+    * Laplace-smoothed token surprisal -ln((c+1)/(T+V)), per-document
+    * MEAN surprisal (low = templated/common text, high = rare/noisy).
+    *
+    * Determinism discipline: per-token surprisal rounds to 6dp
+    * BEFORE the fold (ln may differ by an ulp across engines;
+    * rounding makes the summands bit-identical), and the document
+    * sum runs in token order via the ordered-frame window — the same
+    * replayable-fold trick c5/a3 use. Scale shape: tokenize scan →
+    * one agg keyed on the token → join back on the token (AQE
+    * broadcasts the Zipf-compact vocab when it fits; at 100 TB you'd
+    * key both sides on xxhash64(token) so the exchange moves 8-byte
+    * keys) → one keyed window on doc_id. */
+  def t10UnigramLogppl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // persisted (tracked): the token explode feeds both the vocab agg
+    // and the scoring join
+    val tok = graft.Caches.persist(Tables.documents(spark, dir)
+      .select($"doc_id",
+        posexplode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .as(Seq("pos", "w"))))
+    val vocab = tok.groupBy($"w").agg(count(lit(1)).as("c"))
+    val tot = vocab.agg(sum($"c").cast("double").as("t"),
+                        count(lit(1)).cast("double").as("v"))
+    val scored = tok.join(vocab, "w").crossJoin(broadcast(tot))
+      .select($"doc_id", $"pos",
+        round(-log(($"c" + lit(1)).cast("double") / ($"t" + $"v")), 6).as("nll"))
+    val wSum = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wFirst = Window.partitionBy($"doc_id").orderBy($"pos")
+    scored
+      .withColumn("s", sum($"nll").over(wSum))
+      .withColumn("n", count(lit(1)).over(wSum))
+      .withColumn("rn", row_number().over(wFirst))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"n".as("n_tok"), round($"s" / $"n", 4).as("mean_nll"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> t1LangId _,
     "t2_quality_score" -> t2QualityScore _,
     "t3_token_count" -> t3TokenCount _,
     "t4_fingerprint" -> t4Fingerprint _,
-    "t5_corpus_mix" -> t5CorpusMix _)
+    "t5_corpus_mix" -> t5CorpusMix _,
+    "t10_unigram_logppl" -> t10UnigramLogppl _)
 
   /** t5: corpus-mixture statistics — the per-(source, lang) inputs a
     * training-data mixing step samples from: document and token
@@ -254,6 +298,26 @@ object TextAnalysis {
            |    / (SELECT CAST(sum(tokens) AS DOUBLE) FROM cells), 6) AS mix_weight
            |FROM cells
            |ORDER BY source, lang_id""".stripMargin,
+      "t10_unigram_logppl" ->
+        """WITH tk AS (
+          |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tks
+          |  FROM documents),
+          |tok AS (
+          |  SELECT doc_id, g.i - 1 AS pos, tks[g.i] AS w
+          |  FROM tk, LATERAL unnest(generate_series(1, len(tks))) AS g(i)),
+          |vocab AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+          |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t, CAST(count(*) AS DOUBLE) AS v
+          |        FROM vocab),
+          |scored AS (
+          |  SELECT tok.doc_id, tok.pos,
+          |    round(-ln(CAST(vocab.c + 1 AS DOUBLE) / (tot.t + tot.v)), 6) AS nll
+          |  FROM tok JOIN vocab ON vocab.w = tok.w, tot)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+          |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |      list(nll ORDER BY pos)), (a, x) -> a + x) / count(*), 4) AS mean_nll
+          |FROM scored
+          |GROUP BY doc_id
+          |ORDER BY doc_id""".stripMargin,
       "t4_fingerprint" ->
         """SELECT doc_id,
           | CASE WHEN length(text) = 0 THEN 0

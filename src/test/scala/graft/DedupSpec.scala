@@ -135,6 +135,16 @@ class DedupSpec extends SparkSpec {
     assert(Seq(20L, 21L).forall(labels(_) == 20L))
   }
 
+  test("d7 semantic dedup emits one verdict per vector, drops only pair b-sides") {
+    val out = graft.operators.Dedup.d7SemDedup(spark, sfDir).collect()
+    val total = Tables.embeddings(spark, sfDir).count()
+    assert(out.length == total, "one verdict row per vector")
+    val dropped = out.filter(!_.getBoolean(2)).map(_.getLong(0))
+    assert(dropped.length < out.length, "quantizer cells must not drop everything")
+    // the lowest vec_id can never be a pair's b-side
+    assert(!dropped.contains(out.map(_.getLong(0)).min))
+  }
+
   test("p5 star contraction converges in O(log) rounds on a long path") {
     import spark.implicits._
     // a 256-node path is the adversarial case for min-label
