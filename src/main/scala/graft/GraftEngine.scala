@@ -158,11 +158,13 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
     Dedup.minhashLshPairsOf(minhashSigsOf(tokenized), threshold = threshold)
 
   /** Near-dup CLUSTERS over [[dedupNearMinHash]]'s verified pairs:
-    * distributed connected components (min-label propagation), one
-    * row per clustered doc with (id, lbl=component representative).
-    * Keep-one-per-cluster = keep rows where id == lbl plus every
-    * unclustered doc — transitively correct where the pairwise
-    * lowest-id drop over-keeps on chains. */
+    * distributed connected components (alternating large-star/
+    * small-star contraction — O(log² n) rounds even on chain-shaped
+    * duplicate graphs), one row per clustered doc with (id,
+    * lbl=component representative). Keep-one-per-cluster = keep rows
+    * where id == lbl plus every unclustered doc — transitively
+    * correct where the pairwise lowest-id drop over-keeps on
+    * chains. */
   def dedupClusters(threshold: Double = 0.3): DataFrame =
     graft.operators.Pipeline.connectedComponents(
       dedupNearMinHash(threshold).select($"a_id", $"b_id"))
@@ -237,6 +239,38 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
         concat_ws("\n", kept).as("cleaned"))
       .withColumn("doc_kept",
         $"n_sentences" >= 3 && !$"has_lorem" && !$"has_brace")
+  }
+
+  /** Gopher quality-rule signals for each corpus doc (word-count
+    * bounds, mean word length, symbol/bullet/ellipsis ratios,
+    * alphabetic-word fraction, stop-word presence) + composed
+    * verdict — the t9 pass over this engine's own corpus text. */
+  def gopherQuality(): DataFrame = {
+    import graft.operators.CorpusFilters.GopherStops
+    val words = regexp_extract_all($"text", lit("""\S+"""), lit(0))
+    val lines = split($"text", "\n")
+    val stopHits = GopherStops.map(s =>
+      when(lower($"text").rlike("\\b" + s + "\\b"), 1).otherwise(0))
+      .reduce(_ + _)
+    corpus.select($"doc_id",
+        size(words).cast("long").as("n_words"),
+        round(aggregate(words, lit(0L), (a, w) => a + length(w))
+          .cast("double") / size(words), 6).as("mean_word_len"),
+        round(size(regexp_extract_all($"text", lit("""#|\.\.\."""), lit(0)))
+          .cast("double") / size(words), 6).as("symbol_ratio"),
+        round(size(filter(lines, l => l.rlike("""^\s*[-*•]""")))
+          .cast("double") / size(lines), 6).as("bullet_line_frac"),
+        round(size(filter(lines, l => l.rlike("""\.\.\.$""")))
+          .cast("double") / size(lines), 6).as("ellipsis_line_frac"),
+        round(size(filter(words, w => w.rlike("[A-Za-z]")))
+          .cast("double") / size(words), 6).as("alpha_word_frac"),
+        stopHits.cast("long").as("n_stop_present"))
+      .withColumn("quality_kept",
+        $"n_words" >= 50 && $"n_words" <= 100000 &&
+        $"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0 &&
+        $"symbol_ratio" <= 0.1 &&
+        $"bullet_line_frac" <= 0.1 && $"ellipsis_line_frac" <= 0.3 &&
+        $"alpha_word_frac" >= 0.8 && $"n_stop_present" >= 2)
   }
 
   /** PII scrub of the corpus text (email / NANP phone / IPv4 →

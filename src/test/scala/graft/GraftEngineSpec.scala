@@ -185,4 +185,18 @@ class GraftEngineSpec extends SparkSpec {
     assert(red.count() > 0)
     assert(red.filter($"n_email" > 0 || $"n_phone" > 0 || $"n_ip" > 0).count() == 0)
   }
+
+  test("gopherQuality emits every signal and a composable verdict") {
+    import spark.implicits._
+    val gq = engine.gopherQuality()
+    val rows = gq.collect()
+    assert(rows.nonEmpty)
+    Seq("n_words", "mean_word_len", "symbol_ratio", "bullet_line_frac",
+        "ellipsis_line_frac", "alpha_word_frac", "n_stop_present",
+        "quality_kept").foreach(c => assert(gq.columns.contains(c), c))
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0, "n_words")
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0, "alpha frac")
+    }
+  }
 }
