@@ -49,6 +49,20 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("q21: decorrelated EXISTS pair plans as hash joins, supplier broadcast") {
+    val p = plan(EngineQueries.q21SoleBlame(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), "supplier dim must broadcast")
+    assert(!p.contains("CartesianProduct"), "decorrelation must avoid cross joins")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "EXISTS/NOT EXISTS must become equi joins, not nested loops")
+  }
+
+  test("q22: never-ordered test is an anti join, no cartesian blowup") {
+    val p = plan(EngineQueries.q22IdleCustomers(spark, sfDir))
+    assert(p.contains("LeftAnti"), s"expected anti join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("native kernels appear in the dedup/knn plans") {
     assert(plan(Dedup.d2MinhashLsh(spark, sfDir)).contains("minhash_sig"))
     assert(plan(Dedup.d3Simhash(spark, sfDir)).contains("graft_simhash64"))
