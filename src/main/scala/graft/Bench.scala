@@ -3,6 +3,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional trailing query names restrict the run (controlled
+    // re-measurement of a single line item in the exact harness);
+    // the driver invokes with no args = full set
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     // default to every core (the target box runs local[32]); override
     // via SPARK_GRAFT_CPUS for controlled experiments
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -21,7 +27,7 @@ object Bench {
     // target SF. Falls back to the target dir if sf0.001 is absent.
     val warmDir0 = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
     val warmDir = if (new java.io.File(warmDir0).isDirectory) warmDir0 else sfDir
-    SparkEntry.queries.values.foreach { fn =>
+    selected.values.foreach { fn =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
     Caches.releaseAll()
@@ -46,7 +52,7 @@ object Bench {
     // recorded per-query in the JSON (`errors` key, present only when
     // non-empty) and the timing still reflects the wall time spent
     val errors = scala.collection.mutable.Map.empty[String, String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val dts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {

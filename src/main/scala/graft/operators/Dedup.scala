@@ -336,7 +336,13 @@ object Dedup {
     val all = graft.Caches.persist(
       Tables.embeddings(spark, dir)
         .select($"vec_id", V.asDouble($"embedding").as("v")))
-    val cents = Knn.kmeansFit(all, k = 8, iters = 3)
+    // k=64, finer than a4's k=8 serving quantizer: the pairwise stage
+    // is quadratic in cell size, so SemDeDup wants many small cells
+    // (cells ~n/k; at n=5000, k=8 meant ~600-vector cells and a
+    // ~1.5M-pair self-join shuffling full vectors — k=64 cuts the
+    // pair count ~8×, and at 100 TB k grows with n to hold cell size
+    // roughly constant)
+    val cents = Knn.kmeansFit(all, k = 64, iters = 3)
     val cells = Knn.assign(all, cents)
       .select($"vec_id", $"cid".as("label"), $"v")
     val losers = embeddingCosinePairsOf(cells, tau = tau, maxCell = MaxCell)
@@ -513,10 +519,10 @@ object Dedup {
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE cosine >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
-    // the full Lloyd build (Knn.kmeansCellsSql = a4's CTE prefix)
+    // the full Lloyd build (a4's CTE prefix at d7's finer k=64)
     // feeds the within-cell pair scan and the keep-lowest-id rule
     "d7_semdedup" ->
-      (s"WITH ${Knn.kmeansCellsSql},\n" +
+      (s"WITH ${Knn.kmeansCellsSqlFor(64)},\n" +
       s"""cellv AS (
          |  SELECT c.vec_id, c.cid, e.v
          |  FROM cells c JOIN e ON e.vec_id = c.vec_id),

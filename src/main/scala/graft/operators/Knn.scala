@@ -482,9 +482,11 @@ object Knn {
   /** The full 3-iteration spherical-Lloyd clustering as shareable CTE
     * stages (e → dims → c0 → three [[kmIterSql]] rounds → final
     * assignment `cells(vec_id, cid)`) — the SQL replay of
-    * [[kmeansFit]]+[[assign]] with k=8. a4's oracle serves from it;
-    * d7's semantic dedup blocks by it. */
-  private[graft] lazy val kmeansCellsSql: String =
+    * [[kmeansFit]]+[[assign]] for the given k. a4's oracle serves
+    * from k=8; d7's semantic dedup blocks by a finer k=64 quantizer
+    * (SemDeDup wants small cells — the pairwise stage is quadratic
+    * in cell size). */
+  private[graft] def kmeansCellsSqlFor(k: Int): String =
     s"""e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
@@ -493,7 +495,7 @@ object Knn {
        |  FROM e, LATERAL unnest(generate_series(1, 64)) AS g(i)),
        |c0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
-       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
        |${kmIterSql(1)},
        |${kmIterSql(2)},
        |${kmIterSql(3)},
@@ -505,6 +507,8 @@ object Knn {
        |    SELECT vec_id, cid,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
        |    FROM sf) WHERE rn = 1)""".stripMargin
+
+  private[graft] lazy val kmeansCellsSql: String = kmeansCellsSqlFor(8)
 
   /** Squared L2 between subspace `sp` (0-based) slices of two 64-dim
     * SQL lists — the PQ subdistance; multiplication (not pow) and a
