@@ -432,7 +432,35 @@ object EngineQueries {
       .orderBy($"n_name")
   }
 
+  /** q23: TPC-H Q18 shape — large-volume orders: orders whose total
+    * line quantity exceeds 300, with customer detail. SQL states it
+    * as an IN over a grouped-HAVING subquery plus a second outer
+    * aggregate (the oracle keeps that form); the Spark-first plan
+    * computes the per-order quantity aggregate ONCE — shuffle on
+    * l_orderkey, map-side partial sums — filters the survivors, and
+    * joins them to orders with the customer dim broadcast. The
+    * HAVING subquery and the output column collapse into the same
+    * aggregate, so lineitem is scanned once, not twice. Quantities
+    * are whole numbers, so the sums are FP-exact and the >300
+    * boundary is engine-stable. */
+  def q23LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity").as("sum_qty"))
+      .filter($"sum_qty" > 300.0)
+    Tables.orders(spark, dir)
+      .join(big, $"o_orderkey" === $"l_orderkey")
+      .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+        round($"o_totalprice", 2).as("o_totalprice"),
+        round($"sum_qty", 2).as("sum_qty"))
+      .orderBy($"o_totalprice".desc, $"o_orderdate", $"o_orderkey")
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_large_orders" -> q23LargeOrders _,
     "q20_correlated" -> q20Correlated _,
     "q21_sole_blame" -> q21SoleBlame _,
     "q22_idle_customers" -> q22IdleCustomers _,
@@ -457,6 +485,22 @@ object EngineQueries {
     "q14_json_props" -> q14JsonProps _)
 
   val oracles: Map[String, String] = Map(
+    // deliberately the textbook Q18 statement — IN over a
+    // grouped-HAVING subquery plus a separate outer aggregate — to
+    // prove the Spark plan's single-aggregate reuse is equivalent
+    "q23_large_orders" ->
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |  round(o.o_totalprice, 2) AS o_totalprice,
+        |  round(sum(l.l_quantity), 2) AS sum_qty
+        |FROM customer c, orders o, lineitem l
+        |WHERE o.o_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem
+        |    GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        |  AND c.c_custkey = o.o_custkey
+        |  AND o.o_orderkey = l.l_orderkey
+        |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        |ORDER BY round(o.o_totalprice, 2) DESC, o.o_orderdate, o.o_orderkey
+        |LIMIT 100""".stripMargin,
     // deliberately the CORRELATED form: the oracle proves the Spark
     // plan's per-order aggregate decorrelation is equivalent to the
     // textbook EXISTS / NOT EXISTS statement

@@ -170,6 +170,54 @@ object HybridSearch {
       .limit(limit)
   }
 
+  /** s6: alpha-weighted RANKED fusion — Weaviate's `rankedFusion`
+    * algorithm, the classic reciprocal-rank fusion (Cormack et al.
+    * 2009) and the OTHER hybrid fusion a qurio deployment can select
+    * server-side next to s3's relativeScoreFusion (store.go:105
+    * builds the hybrid query; the fusion algorithm is a Weaviate
+    * schema/query setting). Each leg ranks its own top-`candidates`
+    * list; a doc's fused score is Σ weight/(60 + rank) with the
+    * vector leg weighted alpha and the keyword leg 1-alpha, absent
+    * legs contributing 0. Rank arithmetic is integer-exact, so the
+    * oracle replays it digit for digit — no float-normalization
+    * sensitivity like relative-score fusion.
+    *
+    * Scale shape: identical to s3 — both legs end in
+    * TakeOrderedAndProject over their candidate lists, the rank
+    * window runs over ≤candidates rows, and the fusion join touches
+    * ≤2*candidates rows. */
+  def s6RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val alpha = 0.5
+    val candidates = 50
+    val docs = docTokens(spark, dir)
+    val kw = bm25Scores(spark, docs, QueryTerms)
+      .orderBy($"score".desc, $"doc_id").limit(candidates)
+      .withColumn("kw_rank",
+        row_number().over(Window.orderBy($"score".desc, $"doc_id")).cast("long"))
+      .select($"doc_id", $"kw_rank")
+    val queryTok = array(QueryTerms.map(lit): _*)
+    val qvec = spark.range(1)
+      .select(queryTok.as("tok"))
+      .select(expr("poly_bow(tok, 64)").as("qv"))
+    val vec = docs.select($"doc_id", expr("poly_bow(tok, 64)").as("embedding"))
+      .crossJoin(broadcast(qvec))
+      .select($"doc_id", V.cosineD($"embedding", $"qv").as("v_score"))
+      .orderBy($"v_score".desc, $"doc_id").limit(candidates)
+      .withColumn("v_rank",
+        row_number().over(Window.orderBy($"v_score".desc, $"doc_id")).cast("long"))
+      .select($"doc_id", $"v_rank")
+    kw.join(vec, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        round(
+          when($"v_rank".isNull, 0.0)
+            .otherwise(lit(alpha) / (lit(60.0) + $"v_rank")) +
+          when($"kw_rank".isNull, 0.0)
+            .otherwise(lit(1 - alpha) / (lit(60.0) + $"kw_rank")), 6).as("rrf_score"))
+      .orderBy($"rrf_score".desc, $"doc_id")
+      .limit(10)
+  }
+
   /** s4: deterministic rerank stage over the hybrid candidates — a
     * token-overlap "cross-encoder" stand-in (the reference calls
     * Jina/Cohere: adapter/reranker/client.go; any local scorer slots
@@ -194,7 +242,8 @@ object HybridSearch {
     "s1_keyword_bm25" -> s1KeywordBm25 _,
     "s3_hybrid_search" -> s3HybridSearch _,
     "s4_rerank" -> s4Rerank _,
-    "s5_filtered_search" -> s5FilteredSearch _)
+    "s5_filtered_search" -> s5FilteredSearch _,
+    "s6_rrf_fusion" -> s6RrfFusion _)
 
   /** s3's full-pipeline SQL, shared with s4's oracle (which reranks
     * over exactly this result set). */
@@ -206,7 +255,7 @@ object HybridSearch {
          |$s3Sql
          |),
          |toks AS (
-         |  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '\\S+')) AS dtok
+         |  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS dtok
          |  FROM documents),
          |rr AS (
          |  SELECT s3res.doc_id, s3res.hybrid_score,
@@ -311,6 +360,70 @@ object HybridSearch {
         |              ELSE (kw_score - kmin) / (kmax - kmin) END, 6) AS hybrid_score
         |FROM cand, bounds
         |ORDER BY hybrid_score DESC, doc_id
+        |LIMIT 10""".stripMargin,
+    "s6_rrf_fusion" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS tok,
+        |         CAST(len(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM docs),
+        |terms AS (SELECT unnest(['spark','join','filter']) AS term),
+        |tf AS (
+        |  SELECT doc_id, dl, token AS term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(tok) AS token FROM docs)
+        |  WHERE token IN (SELECT term FROM terms)
+        |  GROUP BY doc_id, dl, token),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        |kw AS (
+        |  SELECT doc_id, kw_rank FROM (
+        |    SELECT doc_id,
+        |      CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS kw_rank
+        |    FROM (
+        |      SELECT tf.doc_id,
+        |        round(sum(
+        |          ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |          * (tf.tf * (1.2 + 1.0))
+        |          / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))), 6) AS score
+        |      FROM tf JOIN df USING (term), stats
+        |      GROUP BY tf.doc_id))
+        |  WHERE kw_rank <= 50),
+        |pb AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 63), b -> CAST(len(list_filter(
+        |      list_transform(tok, t ->
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(generate_series(1, length(t)),
+        |            i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+        |          (a, c) -> (a*31 + c) % 1000000007)),
+        |      x -> x % 64 = b)) AS DOUBLE)) AS v
+        |  FROM docs WHERE len(tok) > 0),
+        |qv AS (
+        |  SELECT list_transform(generate_series(0, 63), b -> CAST(len(list_filter(
+        |    list_transform(['spark','join','filter'], t ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(generate_series(1, length(t)),
+        |          i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+        |        (a, c) -> (a*31 + c) % 1000000007)),
+        |    x -> x % 64 = b)) AS DOUBLE)) AS v),
+        |vec AS (
+        |  SELECT doc_id, v_rank FROM (
+        |    SELECT doc_id,
+        |      CAST(row_number() OVER (ORDER BY v_score DESC, doc_id) AS BIGINT) AS v_rank
+        |    FROM (
+        |      SELECT doc_id,
+        |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(generate_series(1, len(pb.v)), i -> pb.v[i]*qv.v[i])), (s,x) -> s+x)
+        |        / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |             list_transform(pb.v, x -> x*x)), (s,x) -> s+x))
+        |         * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |             list_transform(qv.v, x -> x*x)), (s,x) -> s+x))) AS v_score
+        |      FROM pb, qv))
+        |  WHERE v_rank <= 50)
+        |SELECT coalesce(kw.doc_id, vec.doc_id) AS doc_id,
+        |  round(CASE WHEN v_rank IS NULL THEN 0.0 ELSE 0.5 / (60.0 + v_rank) END
+        |      + CASE WHEN kw_rank IS NULL THEN 0.0 ELSE 0.5 / (60.0 + kw_rank) END, 6) AS rrf_score
+        |FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id
+        |ORDER BY rrf_score DESC, doc_id
         |LIMIT 10""".stripMargin,
     "s5_filtered_search" ->
       """SELECT doc_id, source, tf_spark FROM (

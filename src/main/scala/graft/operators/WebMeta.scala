@@ -107,10 +107,97 @@ object WebMeta {
       .orderBy($"doc_id")
   }
 
+  /** The reference's crawl-failure classifier as a codegen CASE
+    * chain (handlers/web.py:86-119 _classify_crawl_error): match
+    * order is semantic — timeouts first, DNS, the connection-error
+    * family, robots/blocked/forbidden, and UNKNOWN DEFAULTS TO
+    * TIMEOUT so unrecognized failures stay retryable rather than
+    * being dropped (the reference's explicit safety default). */
+  def classifyCrawlError(msg: Column): Column = {
+    val u = upper(msg)
+    val refused = Seq("ERR_CONNECTION_REFUSED", "ERR_CONNECTION_RESET",
+      "ERR_CONNECTION_CLOSED", "ECONNREFUSED", "ECONNRESET")
+    when(u.contains("TIMED_OUT") || u.contains("TIMEOUT"), "ERR_CRAWL_TIMEOUT")
+      .when(u.contains("ERR_NAME_NOT_RESOLVED") || u.contains("DNS"), "ERR_CRAWL_DNS")
+      .when(refused.map(k => u.contains(k)).reduce(_ || _), "ERR_CRAWL_REFUSED")
+      .when(u.contains("ROBOTS") || u.contains("BLOCKED") || u.contains("FORBIDDEN"),
+            "ERR_CRAWL_BLOCKED")
+      .otherwise("ERR_CRAWL_TIMEOUT")
+  }
+
+  /** Transient codes eligible for automatic retry
+    * (exceptions.py:20 TRANSIENT_ERRORS) — everything but BLOCKED,
+    * which is permanent (robots.txt does not change on retry). */
+  val TransientErrors: Seq[String] =
+    Seq("ERR_CRAWL_TIMEOUT", "ERR_CRAWL_DNS", "ERR_CRAWL_REFUSED")
+
+  /** The real Playwright/Chromium failure strings the upstream test
+    * suite classifies (test_web_handlers.py:170-563), cycled per doc. */
+  private val ErrorTemplates: Seq[String] = Seq(
+    "Failed on navigating ACS-GOTO: Page.goto: net::ERR_TIMED_OUT at https://example.com",
+    "Page.goto: net::ERR_NAME_NOT_RESOLVED at https://example.com",
+    "Page.goto: net::ERR_CONNECTION_REFUSED at https://example.com",
+    "Page.goto: net::ERR_CONNECTION_RESET at https://example.com",
+    "Page.goto: net::ERR_CONNECTION_CLOSED at https://example.com",
+    "blocked by robots.txt",
+    "403 Forbidden",
+    "some unknown error")
+
+  /** c14: crawl-failure triage over a synthesized failed-fetch log —
+    * classify every failure into the reference taxonomy and flag
+    * retry eligibility; the retry/drop split is the decision a crawl
+    * scheduler runs over millions of failed fetches per day. One
+    * narrow map pass, no shuffle until the final presentation sort. */
+  def c14CrawlErrors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val msgArr = array(ErrorTemplates.map(lit): _*)
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        element_at(msgArr, (pmod($"doc_id", lit(8)) + 1).cast("int")).as("err_msg"))
+      .withColumn("err_code", classifyCrawlError($"err_msg"))
+      .withColumn("retryable", $"err_code".isin(TransientErrors: _*))
+      .select($"doc_id", $"err_code", $"retryable")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "c13_web_meta" -> c13WebMeta _)
+    "c13_web_meta" -> c13WebMeta _,
+    "c14_crawl_errors" -> c14CrawlErrors _)
 
   val oracles: Map[String, String] = Map(
+    "c14_crawl_errors" ->
+      """WITH msgs AS (
+        |  SELECT doc_id,
+        |    (['Failed on navigating ACS-GOTO: Page.goto: net::ERR_TIMED_OUT at https://example.com',
+        |      'Page.goto: net::ERR_NAME_NOT_RESOLVED at https://example.com',
+        |      'Page.goto: net::ERR_CONNECTION_REFUSED at https://example.com',
+        |      'Page.goto: net::ERR_CONNECTION_RESET at https://example.com',
+        |      'Page.goto: net::ERR_CONNECTION_CLOSED at https://example.com',
+        |      'blocked by robots.txt',
+        |      '403 Forbidden',
+        |      'some unknown error'])[(doc_id % 8) + 1] AS err_msg
+        |  FROM documents),
+        |cls AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN contains(upper(err_msg), 'TIMED_OUT')
+        |        OR contains(upper(err_msg), 'TIMEOUT') THEN 'ERR_CRAWL_TIMEOUT'
+        |      WHEN contains(upper(err_msg), 'ERR_NAME_NOT_RESOLVED')
+        |        OR contains(upper(err_msg), 'DNS') THEN 'ERR_CRAWL_DNS'
+        |      WHEN contains(upper(err_msg), 'ERR_CONNECTION_REFUSED')
+        |        OR contains(upper(err_msg), 'ERR_CONNECTION_RESET')
+        |        OR contains(upper(err_msg), 'ERR_CONNECTION_CLOSED')
+        |        OR contains(upper(err_msg), 'ECONNREFUSED')
+        |        OR contains(upper(err_msg), 'ECONNRESET') THEN 'ERR_CRAWL_REFUSED'
+        |      WHEN contains(upper(err_msg), 'ROBOTS')
+        |        OR contains(upper(err_msg), 'BLOCKED')
+        |        OR contains(upper(err_msg), 'FORBIDDEN') THEN 'ERR_CRAWL_BLOCKED'
+        |      ELSE 'ERR_CRAWL_TIMEOUT' END AS err_code
+        |  FROM msgs)
+        |SELECT doc_id, err_code,
+        |  err_code IN ('ERR_CRAWL_TIMEOUT', 'ERR_CRAWL_DNS', 'ERR_CRAWL_REFUSED') AS retryable
+        |FROM cls
+        |ORDER BY doc_id""".stripMargin,
     "c13_web_meta" ->
       """WITH pages AS (
         |  SELECT doc_id,

@@ -168,6 +168,39 @@ object EventStream {
               $"n_events", $"sum_value")
   }
 
+  /** STREAM-STATIC enrichment join — the remaining core Structured
+    * Streaming join mode next to [[attributeClicks]]'s stream-stream
+    * interval join: a streaming event feed joined to a static
+    * dimension table (the classic clickstream × customer-dim
+    * enrichment). The static side is hinted broadcast — no state, no
+    * watermark bookkeeping on the dimension, each micro-batch hash-maps
+    * against the same in-memory relation (on a cluster: one broadcast
+    * per executor, re-broadcast only when the dim is reloaded). The
+    * windowed agg downstream keys its shuffle on
+    * (window, c_mktsegment) with map-side partial aggregation; the
+    * watermark bounds the window state exactly as in [[windowedAgg]].
+    * Batch/stream share the definition (watermark is a batch no-op). */
+  def enrichedSegmentAgg(events: DataFrame, customers: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(customers.select($"c_custkey", $"c_mktsegment")),
+            $"user_id" === $"c_custkey")
+      .groupBy(window($"ts", "1 hour"), $"c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+           round(sum($"value"), 4).as("sum_value"))
+      .select($"window.start".as("window_start"), $"c_mktsegment",
+              $"n_events", $"sum_value")
+  }
+
+  /** Batch mirror of the stream-static enrichment (driver-checked). */
+  def st5EnrichedAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    enrichedSegmentAgg(Tables.events(spark, dir),
+                       graft.Tables.customer(spark, dir))
+      .orderBy($"window_start", $"c_mktsegment")
+  }
+
   /** Batch mirror of the native session-window agg (driver-checked;
     * the oracle is the classic gaps-and-islands rewrite). */
   def st3SessionWindow(spark: SparkSession, dir: String): DataFrame = {
@@ -211,7 +244,8 @@ object EventStream {
     "st1_window_agg" -> st1WindowAgg _,
     "st2_interval_join" -> st2IntervalJoin _,
     "st3_session_window" -> st3SessionWindow _,
-    "st4_funnel_stateful" -> st4FunnelStateful _)
+    "st4_funnel_stateful" -> st4FunnelStateful _,
+    "st5_enriched_agg" -> st5EnrichedAgg _)
 
   val oracles: Map[String, String] = Map(
     // the stateful op must land exactly where the declarative batch
@@ -224,6 +258,12 @@ object EventStream {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
+    "st5_enriched_agg" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        | c_mktsegment, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2
+        |ORDER BY window_start, c_mktsegment""".stripMargin,
     "st2_interval_join" ->
       """WITH v AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts

@@ -46,6 +46,20 @@ class EngineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q23 keeps only orders whose line quantities sum above 300") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.sum
+    val rows = EngineQueries.q23LargeOrders(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(5) > 300.0))
+    // every qualifying order appears exactly once
+    val expected = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey").agg(sum($"l_quantity").as("s"))
+      .filter($"s" > 300.0).count()
+    assert(rows.length == math.min(expected, 100))
+    assert(rows.map(_.getLong(2)).distinct.length == rows.length)
+  }
+
   test("q18 as-of join never plans a nested-loop join") {
     val df = EngineQueries.q18AsofJoin(spark, sfDir)
     assert(!df.queryExecution.executedPlan.toString.contains("NestedLoop"),

@@ -32,6 +32,22 @@ class HybridSearchSpec extends SparkSpec {
     assert(reranked.map(_.getLong(3)).toSeq == (1L to hybrid.size))
   }
 
+  test("s6 RRF scores are bounded by the best-possible two-leg sum") {
+    val rows = HybridSearch.s6RrfFusion(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+    // max possible: rank 1 in both legs = 0.5/61 + 0.5/61
+    assert(scores.forall(s => s > 0.0 && s <= 1.0 / 61.0 + 1e-9))
+    // a doc ranked #1 by BOTH legs would hit the bound; every score is
+    // a sum of at most two reciprocal-rank terms, so the top-10 set
+    // must overlap the relative-score fusion's candidate pool
+    val s3Ids = HybridSearch.s3HybridSearch(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val s6Ids = rows.map(_.getLong(0)).toSet
+    assert((s3Ids intersect s6Ids).nonEmpty)
+  }
+
   test("s5 filtered search only returns lang=en docs with the term") {
     import spark.implicits._
     val rows = HybridSearch.s5FilteredSearch(spark, sfDir).collect()

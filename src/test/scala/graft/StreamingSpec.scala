@@ -42,6 +42,43 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the dim table") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val customers = Seq(
+      (1L, "BUILDING"), (2L, "MACHINERY"), (3L, "BUILDING"))
+      .toDF("c_custkey", "c_mktsegment")
+    val stream = MemoryStream[SegEv]
+    val query = EventStream.enrichedSegmentAgg(stream.toDF(), customers)
+      .writeStream.format("memory").queryName("st5_mem")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      stream.addData(SegEv(t("10:05"), 1L, 1.0), SegEv(t("10:10"), 2L, 2.0))
+      query.processAllAvailable()
+      // second micro-batch joins against the SAME static relation;
+      // user 9 has no dim row and is dropped by the inner join
+      stream.addData(SegEv(t("10:20"), 3L, 4.0), SegEv(t("10:25"), 9L, 8.0))
+      query.processAllAvailable()
+      val rows = spark.table("st5_mem")
+        .orderBy($"c_mktsegment").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getString(1) == "BUILDING" &&
+             rows(0).getLong(2) == 2 && rows(0).getDouble(3) == 5.0)
+      assert(rows(1).getString(1) == "MACHINERY" && rows(1).getLong(2) == 1)
+    } finally query.stop()
+
+    // batch mirror equals the plain join+agg on the same input
+    val batchEvents = Seq(
+      SegEv(t("10:05"), 1L, 1.0), SegEv(t("10:10"), 2L, 2.0),
+      SegEv(t("10:20"), 3L, 4.0), SegEv(t("10:25"), 9L, 8.0)).toDF()
+    val batch = EventStream.enrichedSegmentAgg(batchEvents, customers)
+      .orderBy($"c_mktsegment").collect()
+    assert(batch.map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSeq ==
+      Seq(("BUILDING", 2L, 5.0), ("MACHINERY", 1L, 2.0)))
+  }
+
   test("native session_window merges gap-overlapping events (batch + stream)") {
     val sparkSession = spark
     import sparkSession.implicits._
@@ -343,3 +380,4 @@ class StreamingSpec extends SparkSpec {
 /** Top-level (not nested in the spec) so the batch toDF() encoder
   * resolves without an outer-scope registration. */
 final case class SwEv(user_id: Long, ts: java.sql.Timestamp, value: Double)
+final case class SegEv(ts: java.sql.Timestamp, user_id: Long, value: Double)

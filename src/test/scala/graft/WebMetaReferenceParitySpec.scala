@@ -65,6 +65,34 @@ class WebMetaReferenceParitySpec extends SparkSpec {
     assert(resolve("https://e.com", "docs") == "https://e.com/docs")
   }
 
+  // the upstream classifier test table, replicated verbatim
+  // (test_web_handlers.py:170-214, 546-563 + the classifier's match
+  // order in handlers/web.py:86-119)
+  test("crawl errors classify exactly like _classify_crawl_error") {
+    import spark.implicits._
+    val cases = Seq(
+      ("Failed on navigating ACS-GOTO: Page.goto: net::ERR_TIMED_OUT at https://example.com",
+       "ERR_CRAWL_TIMEOUT"),
+      ("Page.goto: net::ERR_NAME_NOT_RESOLVED at https://example.com", "ERR_CRAWL_DNS"),
+      ("Page.goto: net::ERR_CONNECTION_REFUSED at https://example.com", "ERR_CRAWL_REFUSED"),
+      ("Page.goto: net::ERR_CONNECTION_RESET at https://example.com", "ERR_CRAWL_REFUSED"),
+      ("Page.goto: net::ERR_CONNECTION_CLOSED at https://example.com", "ERR_CRAWL_REFUSED"),
+      ("blocked by robots.txt", "ERR_CRAWL_BLOCKED"),
+      ("403 Forbidden", "ERR_CRAWL_BLOCKED"),
+      // unknown errors default to transient (timeout) for safety
+      ("some unknown error", "ERR_CRAWL_TIMEOUT"),
+      // match order: a timed-out CONNECTION error is a timeout first
+      ("net::ERR_TIMED_OUT after ERR_CONNECTION_RESET", "ERR_CRAWL_TIMEOUT"))
+    val got = cases.toDF("msg", "want")
+      .select($"want", WebMeta.classifyCrawlError($"msg").as("got"))
+      .collect()
+    got.foreach(r => assert(r.getString(1) == r.getString(0),
+      s"got ${r.getString(1)}, want ${r.getString(0)}"))
+    // retryability mirrors TRANSIENT_ERRORS (exceptions.py:20)
+    assert(WebMeta.TransientErrors.toSet ==
+      Set("ERR_CRAWL_TIMEOUT", "ERR_CRAWL_DNS", "ERR_CRAWL_REFUSED"))
+  }
+
   test("dot segments collapse like urljoin") {
     assert(resolve("https://e.com/a/b/c", "./x") == "https://e.com/a/b/x")
     assert(resolve("https://e.com/a/b/c", "../x") == "https://e.com/a/x")
