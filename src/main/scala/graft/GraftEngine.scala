@@ -78,11 +78,18 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
   }
 
   /** Hybrid search: BM25 keyword leg + hashed-BoW vector leg with
-    * alpha-weighted relative-score fusion and ANDed metadata
-    * equality filters — the Search(ctx, query, opts) shape. */
+    * ANDed metadata equality filters — the Search(ctx, query, opts)
+    * shape. `fusion` selects between Weaviate's two fusion
+    * algorithms: "relative" (relativeScoreFusion, min-max-normalized
+    * scores — the Weaviate ≥1.24 default) and "ranked" (rankedFusion
+    * = reciprocal-rank fusion, Σ w/(60+rank)) — the server-side
+    * setting a qurio deployment can flip without touching clients. */
   def search(query: String, alpha: Double = settings.searchAlpha,
              limit: Int = settings.searchTopK,
-             filters: Map[String, String] = Map.empty): DataFrame = {
+             filters: Map[String, String] = Map.empty,
+             fusion: String = "relative"): DataFrame = {
+    require(fusion == "relative" || fusion == "ranked",
+      s"fusion must be 'relative' or 'ranked', got '$fusion'")
     val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
     val filtered = filters.foldLeft(tokenized) { case (df, (k, v)) =>
       df.filter(col(k) === v)
@@ -92,7 +99,10 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
     val emb = filtered
       .filter(size($"tok") > 0)
       .select($"doc_id", expr(s"poly_bow(tok, $dims)").as("embedding"))
-    HybridSearch.hybrid(spark, filtered, emb, terms, alpha, limit)
+    if (fusion == "ranked")
+      HybridSearch.rrf(spark, filtered, emb, terms, alpha, limit)
+    else
+      HybridSearch.hybrid(spark, filtered, emb, terms, alpha, limit)
   }
 
   /** Search + deterministic rerank (the reranker-configured path). */

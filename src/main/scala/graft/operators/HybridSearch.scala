@@ -187,20 +187,28 @@ object HybridSearch {
     * window runs over ≤candidates rows, and the fusion join touches
     * ≤2*candidates rows. */
   def s6RrfFusion(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val alpha = 0.5
-    val candidates = 50
     val docs = docTokens(spark, dir)
-    val kw = bm25Scores(spark, docs, QueryTerms)
+    val emb = docs.select(col("doc_id"), expr("poly_bow(tok, 64)").as("embedding"))
+    rrf(spark, docs, emb, QueryTerms, alpha = 0.5, limit = 10)
+  }
+
+  /** Parameterized reciprocal-rank fusion over any tokenized corpus +
+    * embedding table — the rankedFusion twin of [[hybrid]], sharing
+    * its leg shapes. */
+  def rrf(spark: SparkSession, docs: DataFrame, embeddings: DataFrame,
+          queryTerms: Seq[String], alpha: Double, limit: Int,
+          candidates: Int = 50): DataFrame = {
+    import spark.implicits._
+    val kw = bm25Scores(spark, docs, queryTerms)
       .orderBy($"score".desc, $"doc_id").limit(candidates)
       .withColumn("kw_rank",
         row_number().over(Window.orderBy($"score".desc, $"doc_id")).cast("long"))
       .select($"doc_id", $"kw_rank")
-    val queryTok = array(QueryTerms.map(lit): _*)
+    val queryTok = array(queryTerms.map(lit): _*)
     val qvec = spark.range(1)
       .select(queryTok.as("tok"))
       .select(expr("poly_bow(tok, 64)").as("qv"))
-    val vec = docs.select($"doc_id", expr("poly_bow(tok, 64)").as("embedding"))
+    val vec = embeddings
       .crossJoin(broadcast(qvec))
       .select($"doc_id", V.cosineD($"embedding", $"qv").as("v_score"))
       .orderBy($"v_score".desc, $"doc_id").limit(candidates)
@@ -215,7 +223,7 @@ object HybridSearch {
           when($"kw_rank".isNull, 0.0)
             .otherwise(lit(1 - alpha) / (lit(60.0) + $"kw_rank")), 6).as("rrf_score"))
       .orderBy($"rrf_score".desc, $"doc_id")
-      .limit(10)
+      .limit(limit)
   }
 
   /** s4: deterministic rerank stage over the hybrid candidates — a

@@ -17,6 +17,20 @@ class GraftEngineSpec extends SparkSpec {
     assert(filteredHits.subsetOf(enIds))
   }
 
+  test("fusion='ranked' selects reciprocal-rank fusion, same serving shape") {
+    val rrf = engine.search("spark join filter", limit = 5, fusion = "ranked")
+      .collect()
+    assert(rrf.length == 5)
+    // reciprocal-rank scores are bounded by the both-legs-rank-1 sum
+    val scores = rrf.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+    assert(scores.forall(s => s > 0.0 && s <= 1.0 / 61.0 + 1e-9))
+    // s6 is this facade path over the stock corpus tokenization
+    intercept[IllegalArgumentException] {
+      engine.search("spark", fusion = "bogus")
+    }
+  }
+
   test("searchReranked returns rerank ordering over the same candidates") {
     val rr = engine.searchReranked("spark join", limit = 5).collect()
     assert(rr.length == 5)
