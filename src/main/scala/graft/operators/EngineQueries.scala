@@ -459,7 +459,33 @@ object EngineQueries {
       .limit(100)
   }
 
+  /** q24: rolling 7-day revenue per customer — a RANGE-frame window
+    * (every frame bound is an event-time offset, not a row count;
+    * the frame a rows-frame can NOT express when order counts per
+    * day vary). Spark's rangeBetween needs a numeric ordering
+    * column, so the frame rides epoch seconds with a ±7-day offset —
+    * exactly how an event-time sliding aggregate deploys at scale:
+    * one hash exchange on o_custkey, one sort per partition, frames
+    * evaluated by two moving pointers (no per-row rescan). Peers
+    * with the same timestamp share a frame in both engines by RANGE
+    * semantics. */
+  def q24RollingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"ts")
+      .rangeBetween(-7L * 86400, 0)
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice",
+        unix_timestamp($"o_orderdate").as("ts"))
+      .withColumn("rev_7d", round(sum($"o_totalprice").over(w), 2))
+      .select($"o_custkey", $"o_orderkey",
+        round($"o_totalprice", 2).as("o_totalprice"), $"rev_7d")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_rolling_revenue" -> q24RollingRevenue _,
     "q23_large_orders" -> q23LargeOrders _,
     "q20_correlated" -> q20Correlated _,
     "q21_sole_blame" -> q21SoleBlame _,
@@ -485,6 +511,13 @@ object EngineQueries {
     "q14_json_props" -> q14JsonProps _)
 
   val oracles: Map[String, String] = Map(
+    "q24_rolling_revenue" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+        |  round(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW), 2) AS rev_7d
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     // deliberately the textbook Q18 statement — IN over a
     // grouped-HAVING subquery plus a separate outer aggregate — to
     // prove the Spark plan's single-aggregate reuse is equivalent

@@ -60,6 +60,17 @@ class EngineQueriesSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).distinct.length == rows.length)
   }
 
+  test("q24 rolling 7-day revenue includes the order's own price") {
+    val rows = EngineQueries.q24RollingRevenue(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // the frame always contains the current row, so rev_7d >= own price
+    rows.foreach(r => assert(r.getDouble(3) >= r.getDouble(2) - 0.01))
+    // a customer's first-ever order has rev_7d equal to its own price
+    val byCust = rows.groupBy(_.getLong(0))
+    assert(byCust.values.exists(rs =>
+      rs.exists(r => math.abs(r.getDouble(3) - r.getDouble(2)) < 0.01)))
+  }
+
   test("q18 as-of join never plans a nested-loop join") {
     val df = EngineQueries.q18AsofJoin(spark, sfDir)
     assert(!df.queryExecution.executedPlan.toString.contains("NestedLoop"),

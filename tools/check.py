@@ -9,6 +9,7 @@ oracle SQL from <outDir>/oracle_sql.json in DuckDB against the raw
 tables, sorts columns by name, and compares row counts + values.
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -23,7 +24,12 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails = 0
+checked = 0
 for name, sql in sorted(oracle.items()):
+    # a targeted Verify run dumps a subset; silently skip the rest
+    if not os.path.isdir(f"{out}/{name}"):
+        continue
+    checked += 1
     try:
         spark_df = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df()
         duck_df = con.sql(sql).df()
@@ -61,5 +67,7 @@ for name, sql in sorted(oracle.items()):
         print(f"ERROR {name}: {e}")
         fails += 1
 
-print(f"\n{len(oracle) - fails}/{len(oracle)} oracle queries match")
+skipped = len(oracle) - checked
+tail = f" ({skipped} not dumped, skipped)" if skipped else ""
+print(f"\n{checked - fails}/{checked} oracle queries match{tail}")
 sys.exit(1 if fails else 0)
