@@ -63,6 +63,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q23: one lineitem aggregate, dims broadcast, top-k not full sort") {
+    val p = plan(EngineQueries.q23LargeOrders(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), "orders/customer sides must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+    assert(p.contains("TakeOrderedAndProject"), "LIMIT must ride top-k")
+    // single-scan: the HAVING aggregate is reused, lineitem scanned once
+    assert(p.split("lineitem.parquet").length - 1 == 1,
+      "lineitem must be scanned exactly once")
+  }
+
+  test("q24: range-frame window costs one keyed exchange + one sort") {
+    val p = plan(EngineQueries.q24RollingRevenue(spark, sfDir))
+    assert(p.contains("Window"), "expected window operator")
+    // exchanges: one hash (o_custkey) + one range (presentation sort)
+    assert(p.split("Exchange").length - 1 <= 4,
+      s"unexpected extra exchanges:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("st5: stream-static dim join broadcasts, agg is two-phase") {
+    val p = plan(graft.streaming.EventStream.st5EnrichedAgg(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), "customer dim must broadcast")
+    assert(p.split("HashAggregate").length - 1 >= 2,
+      "partial + final aggregation expected")
+  }
+
   test("native kernels appear in the dedup/knn plans") {
     assert(plan(Dedup.d2MinhashLsh(spark, sfDir)).contains("minhash_sig"))
     assert(plan(Dedup.d3Simhash(spark, sfDir)).contains("graft_simhash64"))
