@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -484,7 +484,55 @@ object EngineQueries {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** q25: distinct-count SKETCH — HyperLogLog (Flajolet et al. 2007)
+    * with m=256 registers, built from md5 nibbles so the WHOLE sketch
+    * replays in DuckDB: register = first 2 hex nibbles (8 bits), rho =
+    * leading-zero count of the next 52 bits + 1, register merge =
+    * max(rho) (the HLL union — the same merge that combines per-
+    * partition sketches on a cluster), estimate = αm·m²/Σ2^-Mj with
+    * the small-range ln correction. THIS is how distinct-counting
+    * survives 100 TB: the shuffle carries 256 ints instead of every
+    * distinct key, partial maxes combine map-side, and sketches from
+    * different days/partitions union losslessly. Exact distinct rides
+    * alongside so the artifact shows the observed error (~1.04/√m ≈
+    * 6.5% standard error). Every arithmetic step (the α constant
+    * included) is written as the same IEEE op sequence in both
+    * engines; 2^-Mj terms fold in register order. */
+  def q25HllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = 256
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey")
+    def nibAt(i: Int): Column =
+      expr(s"instr('0123456789abcdef', substring(h, $i, 1))") - 1
+    val withH = li.withColumn("h", md5($"l_orderkey".cast("string")))
+    val reg = (nibAt(1) * 16 + nibAt(2)).cast("int")
+    val nibs = array((3 to 15).map(nibAt): _*)
+    val firstNz = array_position(transform(nibs, n => n > 0), true)
+    val nz = element_at(nibs, greatest(firstNz, lit(1L)).cast("int"))
+    val clz4 = when(nz === 1, 3).when(nz <= 3, 2).when(nz <= 7, 1).otherwise(0)
+    val rho = when(firstNz === 0, lit(53))
+      .otherwise(((firstNz - 1) * 4 + clz4 + 1).cast("int"))
+    val regs = withH.select(reg.as("register"), rho.as("rho"))
+      .groupBy($"register").agg(max($"rho").as("mj"))
+    val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+      lit(65536.0)
+    val sketch = regs
+      .agg(array_sort(collect_list(struct($"register", $"mj"))).as("rm"),
+           count(lit(1)).cast("double").as("present"))
+      .select(aggregate(transform($"rm", p => pow(lit(2.0), -p("mj"))),
+                        lit(0.0), _ + _).as("inv_present"),
+              (lit(256.0) - $"present").as("zeros"))
+      .select((alphaM2 / ($"inv_present" + $"zeros")).as("e_raw"), $"zeros")
+      .select(when($"e_raw" <= lit(2.5 * 256) && $"zeros" > 0,
+                   lit(256.0) * log(lit(256.0) / $"zeros"))
+                .otherwise($"e_raw").as("e"))
+    sketch.crossJoin(li.agg(countDistinct($"l_orderkey").as("exact_distinct")))
+      .select(round($"e", 4).as("approx_distinct"), $"exact_distinct",
+        round(abs($"e" / $"exact_distinct" - 1.0) * 100.0, 2).as("err_pct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_hll_distinct" -> q25HllDistinct _,
     "q24_rolling_revenue" -> q24RollingRevenue _,
     "q23_large_orders" -> q23LargeOrders _,
     "q20_correlated" -> q20Correlated _,
@@ -511,6 +559,53 @@ object EngineQueries {
     "q14_json_props" -> q14JsonProps _)
 
   val oracles: Map[String, String] = Map(
+    // the same sketch, nibble for nibble: md5 register/rho extraction,
+    // max-merge, ordered 2^-Mj fold, identical α op sequence
+    "q25_hll_distinct" ->
+      """WITH hashed AS (
+        |  SELECT md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem),
+        |rr AS (
+        |  SELECT
+        |    (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |      + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) AS register,
+        |    coalesce(list_position(
+        |      list_transform(generate_series(3, 15),
+        |        i -> instr('0123456789abcdef', substr(h, i, 1)) - 1 > 0),
+        |      true), 0) AS fnz,
+        |    list_transform(generate_series(3, 15),
+        |      i -> instr('0123456789abcdef', substr(h, i, 1)) - 1) AS nibs
+        |  FROM hashed),
+        |rho AS (
+        |  SELECT register,
+        |    CASE WHEN fnz = 0 THEN 53
+        |      ELSE (fnz - 1) * 4
+        |        + CASE WHEN nibs[fnz] = 1 THEN 3
+        |               WHEN nibs[fnz] <= 3 THEN 2
+        |               WHEN nibs[fnz] <= 7 THEN 1
+        |               ELSE 0 END + 1 END AS rho
+        |  FROM rr),
+        |regs AS (SELECT register, max(rho) AS mj FROM rho GROUP BY register),
+        |sk AS (
+        |  SELECT
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(power(2.0, -mj) ORDER BY register)), (a, x) -> a + x)
+        |      AS inv_present,
+        |    256.0 - CAST(count(*) AS DOUBLE) AS zeros
+        |  FROM regs),
+        |est AS (
+        |  SELECT zeros,
+        |    0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+        |      / (inv_present + zeros) AS e_raw
+        |  FROM sk),
+        |fin AS (
+        |  SELECT CASE WHEN e_raw <= 640.0 AND zeros > 0
+        |              THEN 256.0 * ln(256.0 / zeros)
+        |              ELSE e_raw END AS e
+        |  FROM est),
+        |exact AS (SELECT count(DISTINCT l_orderkey) AS exact_distinct FROM lineitem)
+        |SELECT round(e, 4) AS approx_distinct, exact_distinct,
+        |  round(abs(e / exact_distinct - 1.0) * 100.0, 2) AS err_pct
+        |FROM fin, exact""".stripMargin,
     "q24_rolling_revenue" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
         |  round(sum(o_totalprice) OVER (

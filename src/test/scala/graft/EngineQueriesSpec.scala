@@ -71,6 +71,15 @@ class EngineQueriesSpec extends SparkSpec {
       rs.exists(r => math.abs(r.getDouble(3) - r.getDouble(2)) < 0.01)))
   }
 
+  test("q25 HLL estimate lands within 3 standard errors of exact") {
+    val r = EngineQueries.q25HllDistinct(spark, sfDir).collect().head
+    val est = r.getDouble(0); val exact = r.getLong(1)
+    assert(exact > 0 && est > 0)
+    // m=256 -> standard error 1.04/16 = 6.5%; 3σ bound ≈ 19.5%
+    assert(math.abs(est / exact - 1.0) < 0.195,
+      s"estimate $est too far from exact $exact")
+  }
+
   test("q18 as-of join never plans a nested-loop join") {
     val df = EngineQueries.q18AsofJoin(spark, sfDir)
     assert(!df.queryExecution.executedPlan.toString.contains("NestedLoop"),
