@@ -239,6 +239,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("checkpointed ingest survives a restart exactly-once") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import graft.streaming.IngestStream
+
+    val base = java.nio.file.Files.createTempDirectory("graft-recover").toString
+    val srcDir = s"$base/incoming"; val store = s"$base/store"
+    def addFile(id: Long, text: String): Unit =
+      Seq((id, "srcA", text)).toDF("doc_id", "source", "text")
+        .write.mode("append").parquet(srcDir)
+
+    addFile(1L, "# One\n\nFirst document body with enough words to chunk.")
+    val schema = spark.read.parquet(srcDir).schema
+    def start() = IngestStream.ingest(
+      spark.readStream.schema(schema).parquet(srcDir), store)
+
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    val afterA = spark.read.parquet(s"$store/chunks")
+      .filter($"doc_id" === 1L).count()
+    assert(afterA > 0)
+
+    // a file landing while the query is DOWN is picked up on restart
+    // from the checkpointed offsets — and the already-committed epoch
+    // is NOT reprocessed (no duplicate appends for doc 1)
+    addFile(2L, "# Two\n\nSecond document body, also long enough to chunk.")
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val store2 = spark.read.parquet(s"$store/chunks")
+    assert(store2.filter($"doc_id" === 1L).count() == afterA,
+      "restart must not re-append doc 1's chunks")
+    assert(store2.filter($"doc_id" === 2L).count() > 0,
+      "catch-up file must be processed after restart")
+  }
+
   test("ingest stream chunks, embeds, and appends to the partitioned store") {
     val sparkSession = spark
     import sparkSession.implicits._
