@@ -354,7 +354,58 @@ object Dedup {
       .orderBy($"vec_id")
   }
 
+  /** d8: INCREMENTAL near-dedup — today's batch against the standing
+    * corpus, the shape a 100 TB pipeline actually runs nightly: the
+    * historical signature STORE is already sketched (computed once,
+    * kept alongside the corpus), only the incoming slice is
+    * re-sketched, and the band join probes incoming × (store ∪
+    * earlier-incoming) — NEVER store × store, whose pairs were
+    * settled when the store was built. Here the split is the id
+    * midpoint (store = doc_id < max/2, incoming = the rest), so
+    * "earlier" is simply the smaller doc_id and the probe-side
+    * filter `y.doc_id >= cut` is the entire asymmetry. Output: one
+    * row per incoming loser with its best prior match (highest
+    * jaccard, ties to the lowest prior id). Bucket caps and the
+    * verify threshold are d2's. */
+  def d8IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = minhashSigs(spark, dir)
+    val cut = Tables.documents(spark, dir)
+      .agg(expr("max(doc_id) div 2").as("cut"))
+    val withCut = sig.crossJoin(broadcast(cut))
+    val bands = withCut
+      .select($"doc_id", $"cut",
+              posexplode(H.bandHashes($"mh", bands = 64, rowsPerBand = 2)))
+      .select($"doc_id", $"cut", $"pos".as("band_idx"), $"col".as("band_hash"))
+    val wB = Window.partitionBy($"band_idx", $"band_hash")
+    val kept = bands
+      .withColumn("bcnt", count(lit(1)).over(wB))
+      .filter($"bcnt" <= MaxBandBucket)
+      .drop("bcnt")
+    val probe = kept.filter($"doc_id" >= $"cut")
+    val cands = kept.as("x")
+      .join(probe.as("y"),
+            $"x.band_idx" === $"y.band_idx" && $"x.band_hash" === $"y.band_hash" &&
+            $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("dup_of"), $"y.doc_id".as("new_id"))
+      .distinct()
+    val sets = sig.select($"doc_id", $"hs")
+    val verified = cands
+      .join(sets.as("sa"), $"dup_of" === $"sa.doc_id")
+      .join(sets.as("sb"), $"new_id" === $"sb.doc_id")
+      .select($"new_id".as("doc_id"), $"dup_of",
+        round(call_function("jaccard_sorted_long", $"sa.hs", $"sb.hs"), 6).as("jaccard"))
+      .filter($"jaccard" >= 0.3)
+    val wBest = Window.partitionBy($"doc_id").orderBy($"jaccard".desc, $"dup_of")
+    verified
+      .withColumn("rn", row_number().over(wBest))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"dup_of", $"jaccard")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d8_incremental_dedup" -> d8IncrementalDedup _,
     "d1_dedup_exact" -> d1Exact _,
     "d2_dedup_minhash_lsh" -> d2MinhashLsh _,
     "d3_dedup_simhash" -> d3Simhash _,
@@ -387,11 +438,14 @@ object Dedup {
     * as literals), the band fold, the [[MaxBandBucket]] cap, the
     * bucket self-join, and the hashed-set jaccard verify. p1 splices
     * this over its exact-dedup survivor CTE. */
-  private[operators] def d2SqlOver(rel: String): String = {
+  /** Shared LSH oracle CTEs up through `keptb` (capped band buckets)
+    * over any (doc_id, text) relation — the common prefix of the d2
+    * and d8 replays. */
+  private def lshKeptSqlOver(rel: String): String = {
     val (pa, pb) = H.permConstants(128)
     val aList = pa.mkString("[", ", ", "]")
     val bList = pb.mkString("[", ", ", "]")
-    s"""WITH ${hashedSetSqlOver(rel)},
+    s"""${hashedSetSqlOver(rel)},
        |sig AS (
        |  SELECT doc_id, list_transform(generate_series(1, 128), p ->
        |    list_reduce(list_prepend(CAST(9223372036854775807 AS BIGINT),
@@ -407,7 +461,11 @@ object Dedup {
        |  SELECT doc_id, band_idx, band_hash FROM (
        |    SELECT doc_id, band_idx, band_hash,
        |      count(*) OVER (PARTITION BY band_idx, band_hash) AS bcnt
-       |    FROM bands) WHERE bcnt <= $MaxBandBucket),
+       |    FROM bands) WHERE bcnt <= $MaxBandBucket)""".stripMargin
+  }
+
+  private[operators] def d2SqlOver(rel: String): String =
+    s"""WITH ${lshKeptSqlOver(rel)},
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
        |  FROM keptb x JOIN keptb y
@@ -420,9 +478,32 @@ object Dedup {
        |  FROM cand JOIN d da ON da.doc_id = a_id JOIN d db ON db.doc_id = b_id)
        |WHERE jaccard >= 0.3
        |ORDER BY a_id, b_id""".stripMargin
-  }
 
   private[operators] lazy val d2Sql: String = d2SqlOver("documents")
+
+  /** d8's replay: d2's capped-band prefix, the id-midpoint cut, the
+    * probe-side asymmetry (y.doc_id >= cut), and the best-prior-match
+    * window. */
+  private lazy val d8Sql: String =
+    s"""WITH ${lshKeptSqlOver("documents")},
+       |cut AS (SELECT max(doc_id) // 2 AS cut FROM documents),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS dup_of, y.doc_id AS new_id
+       |  FROM keptb x JOIN keptb y
+       |    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+       |   AND x.doc_id < y.doc_id, cut
+       |  WHERE y.doc_id >= cut.cut),
+       |ver AS (
+       |  SELECT new_id AS doc_id, dup_of,
+       |    round(CAST(len(list_intersect(da.hs, db.hs)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(da.hs, db.hs))), 6) AS jaccard
+       |  FROM cand JOIN d da ON da.doc_id = dup_of JOIN d db ON db.doc_id = new_id)
+       |SELECT doc_id, dup_of, jaccard FROM (
+       |  SELECT doc_id, dup_of, jaccard,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, dup_of) AS rn
+       |  FROM ver WHERE jaccard >= 0.3)
+       |WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
 
   /** d3's DuckDB replay: 60-bit packed poly token hashes, the
     * bit-vote simhash, 6x10-bit chunk blocking, hamming verify. */
@@ -469,6 +550,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "d2_dedup_minhash_lsh" -> d2Sql,
+    "d8_incremental_dedup" -> d8Sql,
     "d3_dedup_simhash" -> d3Sql,
     "d1_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS copies

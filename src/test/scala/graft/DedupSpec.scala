@@ -21,6 +21,26 @@ class DedupSpec extends SparkSpec {
     assert(blocked.subsetOf(lsh), s"d4 found pairs d2 missed: ${blocked -- lsh}")
   }
 
+  test("d8 incremental losers are exactly d2's pairs with a new-side loser") {
+    import org.apache.spark.sql.functions.expr
+    val cut = Tables.documents(spark, sfDir)
+      .agg(expr("max(doc_id) div 2")).head().getLong(0)
+    val d8 = Dedup.d8IncrementalDedup(spark, sfDir).collect()
+    // every loser is from the incoming slice, every match is older
+    d8.foreach { r =>
+      assert(r.getLong(0) >= cut, "losers must be incoming docs")
+      assert(r.getLong(1) < r.getLong(0), "best match must be a prior doc")
+    }
+    assert(d8.map(_.getLong(0)).distinct.length == d8.length,
+      "one best-match row per loser")
+    // the incremental probe finds the same new-side losers the full
+    // d2 pass does (store×store pairs are the only ones skipped)
+    val d2Losers = Dedup.d2MinhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._2 >= cut).map(_._2).toSet
+    assert(d8.map(_.getLong(0)).toSet == d2Losers)
+  }
+
   test("d3 simhash recalls most high-jaccard near-dups") {
     val rows = Dedup.d3Simhash(spark, sfDir).collect()
     rows.foreach(r => assert(r.getInt(2) <= 5, "pair above hamming threshold"))
