@@ -95,6 +95,10 @@ object Dedup {
               posexplode(H.bandHashes($"mh", bands = 64, rowsPerBand = 2)))
       .select($"doc_id", $"pos".as("band_idx"), $"col".as("band_hash"))
     val wB = Window.partitionBy($"band_idx", $"band_hash")
+    // NOT persisted, measured: both join sides reference this subtree,
+    // but its exchange is byte-identical on both, so runtime exchange
+    // reuse serves side two from side one's shuffle files — an explicit
+    // persist re-measured SLOWER (adds materialization, saves nothing)
     val kept = bands
       .withColumn("bcnt", count(lit(1)).over(wB))
       .filter($"bcnt" <= maxBucket)
