@@ -531,7 +531,37 @@ object EngineQueries {
         round(abs($"e" / $"exact_distinct" - 1.0) * 100.0, 2).as("err_pct"))
   }
 
+  /** q26: Pareto cut — the smallest prefix of customers (by revenue,
+    * descending) that covers 80% of total revenue. Composes the two
+    * window modes the engine serves: a per-customer aggregate, a
+    * CUMULATIVE rows-frame sum over the revenue-descending order, and
+    * the grand total as one scalar broadcast (never a partition-less
+    * window over the full frame). The boundary customer (the one that
+    * crosses 80%) is included — `cum - rev < 0.8 * total`. Cumulative
+    * share is recomputed from exact 2dp-rounded parts in the output;
+    * Per-customer revenue is rounded to 2dp BEFORE any ordering or
+    * accumulation, so both engines fold bit-identical values in the
+    * same sorted sequence — every downstream double is then
+    * engine-identical by construction, not by rounding luck. */
+  def q26ParetoCut(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice"), 2).as("rev"))
+    val total = rev.agg(sum($"rev").as("total_rev"))
+    val w = Window.orderBy($"rev".desc, $"o_custkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.crossJoin(broadcast(total))
+      .withColumn("cum", sum($"rev").over(w))
+      .filter($"cum" - $"rev" < lit(0.8) * $"total_rev")
+      .select($"o_custkey", $"rev",
+        round($"cum" / $"total_rev" * 100.0, 4).as("cum_share_pct"))
+      .orderBy($"cum_share_pct", $"o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_pareto_cut" -> q26ParetoCut _,
     "q25_hll_distinct" -> q25HllDistinct _,
     "q24_rolling_revenue" -> q24RollingRevenue _,
     "q23_large_orders" -> q23LargeOrders _,
@@ -559,6 +589,21 @@ object EngineQueries {
     "q14_json_props" -> q14JsonProps _)
 
   val oracles: Map[String, String] = Map(
+    "q26_pareto_cut" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY o_custkey),
+        |total AS (SELECT sum(rev) AS total_rev FROM rev),
+        |cum AS (
+        |  SELECT o_custkey, rev,
+        |    sum(rev) OVER (ORDER BY rev DESC, o_custkey
+        |                   ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM rev)
+        |SELECT o_custkey, rev,
+        |  round(cum / total_rev * 100.0, 4) AS cum_share_pct
+        |FROM cum, total
+        |WHERE cum - rev < 0.8 * total_rev
+        |ORDER BY cum_share_pct, o_custkey""".stripMargin,
     // the same sketch, nibble for nibble: md5 register/rho extraction,
     // max-merge, ordered 2^-Mj fold, identical α op sequence
     "q25_hll_distinct" ->

@@ -80,6 +80,22 @@ class EngineQueriesSpec extends SparkSpec {
       s"estimate $est too far from exact $exact")
   }
 
+  test("q26 Pareto prefix is revenue-sorted and crosses 80% exactly once") {
+    val rows = EngineQueries.q26ParetoCut(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getDouble(1)).toSeq
+    assert(revs == revs.sorted.reverse, "prefix must be revenue-descending")
+    val shares = rows.map(_.getDouble(2)).toSeq
+    assert(shares == shares.sorted, "cumulative share must be monotone")
+    // only the boundary row may cross 80%
+    assert(shares.dropRight(1).forall(_ < 80.0))
+    assert(shares.last >= 80.0 - 1e-9 || {
+      // degenerate tiny corpus: every customer needed
+      val total = Tables.orders(spark, sfDir).select("o_custkey").distinct().count()
+      rows.length == total
+    })
+  }
+
   test("q18 as-of join never plans a nested-loop join") {
     val df = EngineQueries.q18AsofJoin(spark, sfDir)
     assert(!df.queryExecution.executedPlan.toString.contains("NestedLoop"),
