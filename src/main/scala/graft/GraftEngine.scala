@@ -167,6 +167,26 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
   def dedupNearMinHash(threshold: Double = 0.3): DataFrame =
     Dedup.minhashLshPairsOf(minhashSigsOf(tokenized), threshold = threshold)
 
+  /** Incremental near-dedup — a new batch against this corpus'
+    * standing signatures (the d8 shape as a service call): only the
+    * batch is sketched fresh here (a deployment keeps the corpus
+    * signatures materialized alongside the corpus), and the band
+    * join probes batch × (corpus ∪ earlier-batch) — never
+    * corpus × corpus, whose pairs were settled when the corpus was
+    * built. Returns (doc_id, dup_of, jaccard): one best prior match
+    * per batch loser. Batch doc_ids must be disjoint from the
+    * corpus'. Sketching matches the d8 driver query (raw-text
+    * shingles), not the lowercased keyword tokenization. */
+  def dedupIncremental(newDocs: DataFrame, threshold: Double = 0.3): DataFrame = {
+    require(Seq("doc_id", "text").forall(newDocs.columns.contains),
+      "dedupIncremental batch needs (doc_id, text) columns")
+    Dedup.incrementalLosersOf(
+        Caches.persist(Dedup.sigOf(corpus.select($"doc_id", $"text"))),
+        Dedup.sigOf(newDocs.select(col("doc_id"), col("text"))),
+        threshold = threshold)
+      .orderBy($"doc_id")
+  }
+
   /** Near-dup CLUSTERS over [[dedupNearMinHash]]'s verified pairs:
     * distributed connected components (alternating large-star/
     * small-star contraction — O(log² n) rounds even on chain-shaped

@@ -377,35 +377,63 @@ object Dedup {
     val cut = Tables.documents(spark, dir)
       .agg(expr("max(doc_id) div 2").as("cut"))
     val withCut = sig.crossJoin(broadcast(cut))
-    val bands = withCut
-      .select($"doc_id", $"cut",
+    incrementalLosersOf(
+        withCut.filter($"doc_id" < $"cut").select($"doc_id", $"hs", $"mh"),
+        withCut.filter($"doc_id" >= $"cut").select($"doc_id", $"hs", $"mh"))
+      .orderBy($"doc_id")
+  }
+
+  /** The reusable incremental core d8 and the GraftEngine facade
+    * share: band join = incoming × (store ∪ earlier-incoming), never
+    * store × store. "Earlier" among incoming docs is the smaller
+    * doc_id; a store doc is prior to every incoming doc by
+    * definition. The bucket cap is computed over the UNION (a
+    * boilerplate bucket is quadratic however it is split across
+    * store and batch). Returns one row per incoming loser with its
+    * best prior match (highest jaccard, ties to the lowest prior
+    * id); unordered — callers sort. Assumes disjoint id spaces. */
+  private[graft] def incrementalLosersOf(storeSig: DataFrame, incSig: DataFrame,
+                                         maxBucket: Int = MaxBandBucket,
+                                         threshold: Double = 0.3): DataFrame = {
+    import storeSig.sparkSession.implicits._
+    val tagged = storeSig.select($"doc_id", $"hs", $"mh", lit(false).as("is_new"))
+      .unionByName(incSig.select($"doc_id", $"hs", $"mh", lit(true).as("is_new")))
+    val bands = tagged
+      .select($"doc_id", $"is_new",
               posexplode(H.bandHashes($"mh", bands = 64, rowsPerBand = 2)))
-      .select($"doc_id", $"cut", $"pos".as("band_idx"), $"col".as("band_hash"))
+      .select($"doc_id", $"is_new", $"pos".as("band_idx"), $"col".as("band_hash"))
     val wB = Window.partitionBy($"band_idx", $"band_hash")
     val kept = bands
       .withColumn("bcnt", count(lit(1)).over(wB))
-      .filter($"bcnt" <= MaxBandBucket)
+      .filter($"bcnt" <= maxBucket)
       .drop("bcnt")
-    val probe = kept.filter($"doc_id" >= $"cut")
+    val probe = kept.filter($"is_new")
     val cands = kept.as("x")
       .join(probe.as("y"),
             $"x.band_idx" === $"y.band_idx" && $"x.band_hash" === $"y.band_hash" &&
-            $"x.doc_id" < $"y.doc_id")
+            (!$"x.is_new" || $"x.doc_id" < $"y.doc_id"))
       .select($"x.doc_id".as("dup_of"), $"y.doc_id".as("new_id"))
       .distinct()
-    val sets = sig.select($"doc_id", $"hs")
+    val sets = tagged.select($"doc_id", $"hs")
     val verified = cands
       .join(sets.as("sa"), $"dup_of" === $"sa.doc_id")
       .join(sets.as("sb"), $"new_id" === $"sb.doc_id")
       .select($"new_id".as("doc_id"), $"dup_of",
         round(call_function("jaccard_sorted_long", $"sa.hs", $"sb.hs"), 6).as("jaccard"))
-      .filter($"jaccard" >= 0.3)
+      .filter($"jaccard" >= threshold)
     val wBest = Window.partitionBy($"doc_id").orderBy($"jaccard".desc, $"dup_of")
     verified
       .withColumn("rn", row_number().over(wBest))
       .filter($"rn" === 1)
       .select($"doc_id", $"dup_of", $"jaccard")
-      .orderBy($"doc_id")
+  }
+
+  /** Sketch any (doc_id, text) frame into the (doc_id, hs, mh)
+    * signature form the dedup family consumes — the store/batch
+    * sketch builder behind [[incrementalLosersOf]]. */
+  private[graft] def sigOf(docs: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
+    hashedShingleSetsOf(docs).withColumn("mh", expr("minhash_sig(hs)"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -59,6 +59,23 @@ class GraftEngineSpec extends SparkSpec {
       Tables.documents(spark, sfDir).select("source").distinct().count())
   }
 
+  test("dedupIncremental flags batch docs that near-match the corpus") {
+    import spark.implicits._
+    val baseText = Tables.documents(spark, sfDir)
+      .filter($"doc_id" === 0L).select($"text").as[String].head()
+    val batch = Seq(
+      (100000L, baseText + " one extra trailing token"),
+      (100001L, "an entirely novel document about something unrelated " +
+        "with plenty of its own words that shingle to a disjoint set"))
+      .toDF("doc_id", "text")
+    val losers = engine.dedupIncremental(batch).collect()
+    assert(losers.map(_.getLong(0)).toSet == Set(100000L),
+      "only the near-copy may be flagged")
+    assert(losers.head.getLong(1) == 0L ||
+           losers.head.getDouble(2) >= 0.3,
+      "best match must be a real high-jaccard prior")
+  }
+
   test("dedupNearMinHash finds the planted near-dups via the facade") {
     val pairs = engine.dedupNearMinHash(0.3).count()
     assert(pairs > 0)
