@@ -42,6 +42,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("append-mode windowed agg drops events arriving beyond the watermark") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[Ev]
+    val query = EventStream.windowedAgg(stream.toDF())
+      .writeStream.format("memory").queryName("st1_late_mem")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(Ev(t("10:05"), "click", 1.0))
+      query.processAllAvailable()
+      // advance event time far enough that the watermark
+      // (max event time - 10 min) passes the 10:00 window's end
+      stream.addData(Ev(t("12:00"), "click", 2.0))
+      query.processAllAvailable()
+      val finalized = spark.table("st1_late_mem")
+        .filter($"window_start" === t("10:00")).collect()
+      assert(finalized.length == 1 && finalized.head.getLong(2) == 1,
+        "10:00 window must finalize once the watermark passes")
+
+      // an event for the finalized window is now BEYOND the
+      // watermark: the engine drops it — the emitted result is
+      // immutable (the state/recall trade append mode makes)
+      stream.addData(Ev(t("10:30"), "click", 8.0))
+      query.processAllAvailable()
+      stream.addData(Ev(t("12:30"), "view", 1.0))
+      query.processAllAvailable()
+      val after = spark.table("st1_late_mem")
+        .filter($"window_start" === t("10:00")).collect()
+      assert(after.length == 1 && after.head.getLong(2) == 1,
+        "a beyond-watermark event must not reopen or re-emit the window")
+    } finally query.stop()
+  }
+
   test("stream-static enrichment joins each micro-batch against the dim table") {
     val sparkSession = spark
     import sparkSession.implicits._
