@@ -178,7 +178,42 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t11: language-ID CONFIDENCE — the margin every production
+    * lang-ID ships next to its label (fastText's probability, CLD3's
+    * is_reliable): best-profile hits vs the runner-up, normalized to
+    * (best-second)/(best+second). A zh call can come back
+    * low-confidence (the CJK trump rule fires on a single char even
+    * when Latin profiles score higher) — that honesty is the point:
+    * downstream filters drop low-confidence rows rather than trust
+    * the argmax. Integer hit counts and one exact division — fully
+    * engine-stable. Same single-scan shape as t1. */
+  def t11LangConfidence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val langs = profiles.map(_._1) :+ "zh"
+    def score(l: String): Column = col(s"s_$l")
+    val base = t1LangId(spark, dir)
+    val bestScore = langs.foldLeft(lit(0L)) { (els, l) =>
+      when($"predicted" === l, score(l)).otherwise(els)
+    }
+    val secondScore = langs.foldLeft(
+        greatest(langs.map(score): _*)) { (els, l) =>
+      when($"predicted" === l,
+           greatest(langs.filter(_ != l).map(score): _*)).otherwise(els)
+    }
+    base
+      .withColumn("best_score", bestScore)
+      .withColumn("second_score", secondScore)
+      .withColumn("confidence",
+        round(($"best_score" - $"second_score").cast("double") /
+              greatest($"best_score" + $"second_score", lit(1L)), 6))
+      .withColumn("is_reliable", $"confidence" >= 0.2 && $"best_score" >= 3)
+      .select($"doc_id", $"predicted", $"best_score", $"second_score",
+              $"confidence", $"is_reliable")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_lang_confidence" -> t11LangConfidence _,
     "t1_lang_id" -> t1LangId _,
     "t2_quality_score" -> t2QualityScore _,
     "t3_token_count" -> t3TokenCount _,
@@ -242,7 +277,39 @@ object TextAnalysis {
   val oracles: Map[String, String] = {
     val profileCols = profileColsSql
     val bestChain = bestChainSql
+    val langs = profiles.map(_._1) :+ "zh"
+    val bestScoreSql = langs
+      .map(l => s"WHEN predicted = '$l' THEN s_$l").mkString("\n      ")
+    val secondScoreSql = langs
+      .map(l => s"WHEN predicted = '$l' THEN greatest(${langs.filter(_ != l).map("s_" + _).mkString(", ")})")
+      .mkString("\n      ")
+    val allGreatest = s"greatest(${langs.map("s_" + _).mkString(", ")})"
     Map(
+      "t11_lang_confidence" ->
+        s"""WITH scored AS (
+           |  SELECT doc_id,
+           |$profileCols
+           |   ${zhColSql}
+           |  FROM documents),
+           |labeled AS (
+           |  SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
+           |    CASE WHEN s_zh > 0 THEN 'zh'
+           |      $bestChain
+           |      ELSE 'unknown' END AS predicted
+           |  FROM scored),
+           |m AS (
+           |  SELECT doc_id, predicted,
+           |    CAST(CASE $bestScoreSql ELSE 0 END AS BIGINT) AS best_score,
+           |    CAST(CASE $secondScoreSql ELSE $allGreatest END AS BIGINT) AS second_score
+           |  FROM labeled)
+           |SELECT doc_id, predicted, best_score, second_score,
+           |  round(CAST(best_score - second_score AS DOUBLE)
+           |      / greatest(best_score + second_score, 1), 6) AS confidence,
+           |  (round(CAST(best_score - second_score AS DOUBLE)
+           |      / greatest(best_score + second_score, 1), 6) >= 0.2
+           |   AND best_score >= 3) AS is_reliable
+           |FROM m
+           |ORDER BY doc_id""".stripMargin,
       "t1_lang_id" ->
         s"""SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
            | CASE WHEN s_zh > 0 THEN 'zh'
