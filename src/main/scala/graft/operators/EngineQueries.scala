@@ -498,13 +498,17 @@ object EngineQueries {
     * 6.5% standard error). Every arithmetic step (the α constant
     * included) is written as the same IEEE op sequence in both
     * engines; 2^-Mj terms fold in register order. */
-  def q25HllDistinct(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val m = 256
-    val li = Tables.lineitem(spark, dir).select($"l_orderkey")
+  /** The HLL register build over any single-column key frame: md5 the
+    * key, first 2 hex nibbles pick the register, rho = leading-zero
+    * bits of the next 52 + 1, merge = max(rho) per register. Exposed
+    * so the mergeability spec can prove sketch(A∪B) ==
+    * merge(sketch(A), sketch(B)) — the property that lets partial
+    * sketches union across partitions/days at 100 TB. */
+  private[graft] def hllRegistersOf(keys: DataFrame): DataFrame = {
+    import keys.sparkSession.implicits._
     def nibAt(i: Int): Column =
       expr(s"instr('0123456789abcdef', substring(h, $i, 1))") - 1
-    val withH = li.withColumn("h", md5($"l_orderkey".cast("string")))
+    val withH = keys.toDF("k").withColumn("h", md5($"k".cast("string")))
     val reg = (nibAt(1) * 16 + nibAt(2)).cast("int")
     val nibs = array((3 to 15).map(nibAt): _*)
     val firstNz = array_position(transform(nibs, n => n > 0), true)
@@ -512,8 +516,14 @@ object EngineQueries {
     val clz4 = when(nz === 1, 3).when(nz <= 3, 2).when(nz <= 7, 1).otherwise(0)
     val rho = when(firstNz === 0, lit(53))
       .otherwise(((firstNz - 1) * 4 + clz4 + 1).cast("int"))
-    val regs = withH.select(reg.as("register"), rho.as("rho"))
+    withH.select(reg.as("register"), rho.as("rho"))
       .groupBy($"register").agg(max($"rho").as("mj"))
+  }
+
+  def q25HllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey")
+    val regs = hllRegistersOf(li)
     val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
       lit(65536.0)
     val sketch = regs

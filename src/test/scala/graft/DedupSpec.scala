@@ -97,6 +97,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental core: union-wide cap kills a boilerplate batch too") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    // 40 boilerplate copies in the store, 260 more arriving in the
+    // batch: every copy collides in all 64 bands, so the capped
+    // bucket must be measured across store ∪ batch — capping per side
+    // would let the 40×260 cross pairs through
+    def sigOf(ids: Range) = Dedup.hashedShingleSetsOf(
+        ids.map(i => (i.toLong, "the same boilerplate page body everywhere"))
+          .toDF("doc_id", "text"))
+      .withColumn("mh", expr("minhash_sig(hs)"))
+    val store = sigOf(0 until 40)
+    val batch = sigOf(1000 until 1260)
+    assert(Dedup.incrementalLosersOf(store, batch).count() == 0,
+      "mega-bucket must be dropped before any probe pair is emitted")
+    // sanity: a small honest batch IS matched against the store
+    val ok = Dedup.incrementalLosersOf(store, sigOf(2000 until 2002))
+    assert(ok.count() == 2, "true near-dups of the store must be flagged")
+  }
+
   test("d2 band-bucket cap kills the quadratic boilerplate cluster") {
     import spark.implicits._
     import org.apache.spark.sql.functions.expr

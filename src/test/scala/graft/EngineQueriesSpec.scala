@@ -96,6 +96,23 @@ class EngineQueriesSpec extends SparkSpec {
     })
   }
 
+  test("q25 sketches merge losslessly: sketch(A∪B) == max-merge of halves") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.max
+    val keys = Tables.lineitem(spark, sfDir).select($"l_orderkey")
+    def regMap(df: org.apache.spark.sql.DataFrame) =
+      EngineQueries.hllRegistersOf(df).collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val whole = regMap(keys)
+    val a = EngineQueries.hllRegistersOf(keys.filter($"l_orderkey" % 2 === 0))
+    val b = EngineQueries.hllRegistersOf(keys.filter($"l_orderkey" % 2 =!= 0))
+    val merged = a.unionByName(b)
+      .groupBy($"register").agg(max($"mj").as("mj")).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(merged == whole,
+      "register-wise max of partial sketches must equal the whole-corpus sketch")
+  }
+
   test("q18 as-of join never plans a nested-loop join") {
     val df = EngineQueries.q18AsofJoin(spark, sfDir)
     assert(!df.queryExecution.executedPlan.toString.contains("NestedLoop"),
