@@ -219,13 +219,86 @@ object Multimodal {
         floor($"data_bytes" * lit(1000000.0) / $"byte_rate").cast("long"))
   }
 
+  /** m5: GIF logical-screen-descriptor parsing — the third header
+    * format of the catalog tier (PNG is big-endian, WAV is
+    * little-endian, GIF mixes an ASCII version tag with LE16 fields
+    * AND a packed bitfield — the three wire layouts a binary catalog
+    * pass meets). Signature "GIF87a"/"GIF89a", width/height LE16 at
+    * bytes 7-10, then the packed byte: global-color-table flag (bit
+    * 7), color resolution (bits 4-6), GCT size (bits 0-2) →
+    * palette = 2^(size+1) entries × 3 bytes when the flag is set.
+    * Bitfield decode is div/mod column math off one byte read. */
+  def m5GifMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = (lit(16) + pmod($"doc_id", lit(1024))).cast("long")
+    val h = (lit(16) + pmod($"doc_id" * 11, lit(1024))).cast("long")
+    val gctFlag = pmod($"doc_id", lit(4)) =!= 0     // 3 of 4 have a GCT
+    val gctSize = pmod($"doc_id", lit(8)).cast("long") // 0-7 -> 2..256 entries
+    val version = when(pmod($"doc_id", lit(2)) === 0, "39").otherwise("37")
+    val packed = when(gctFlag, lit(128L) + lit(7L * 16) + gctSize)
+      .otherwise(lit(7L * 16))
+    val hexHeader = concat(
+      lit("474946"), lit("38"), version, lit("61"),   // "GIF87a"/"GIF89a"
+      leHex(w, 2), leHex(h, 2),
+      lpad(hex(packed), 2, "0"),
+      lit("00"),                                      // background index
+      lit("00"))                                      // aspect ratio
+    val blobs = Tables.documents(spark, dir)
+      .select($"doc_id",
+        unhex(concat(hexHeader, hex($"text".cast("binary")))).as("payload"))
+    parseGifHeader(blobs).orderBy($"doc_id")
+  }
+
+  /** The GIF header parser over any (doc_id, payload binary) frame —
+    * signature-gated like m3/m4, LE16 dimension decode, packed-byte
+    * bitfield split via div/mod. */
+  def parseGifHeader(blobs: DataFrame): DataFrame = {
+    import blobs.sparkSession.implicits._
+    val sig = hex(substring($"payload", 1, 6))
+    val isGif = sig === "474946383761" || sig === "474946383961"
+    def byteAt(pos: Int): Column =
+      conv(hex(substring($"payload", pos, 1)), 16, 10).cast("long")
+    def le16(pos: Int): Column =
+      when(isGif, byteAt(pos) + byteAt(pos + 1) * 256L)
+    val packed = when(isGif, byteAt(11))
+    blobs.select($"doc_id",
+        isGif.as("is_gif"),
+        when(isGif, when(sig === "474946383961", "89a").otherwise("87a")).as("version"),
+        le16(7).as("width"),
+        le16(9).as("height"),
+        (packed / lit(128L)).cast("long").as("has_gct"),
+        (pmod(packed, lit(128L)) / lit(16L)).cast("long").as("color_res"),
+        pmod(packed, lit(8L)).as("gct_size"))
+      .withColumn("palette_bytes",
+        when($"has_gct" === 1L,
+             expr("cast(shiftleft(1L, cast(gct_size + 1 as int)) as bigint)") * 3L)
+          .when($"has_gct" === 0L, 0L))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> m1BinaryMeta _,
     "m2_frame_sample" -> m2FrameSample _,
     "m3_image_meta" -> m3ImageMeta _,
-    "m4_audio_meta" -> m4AudioMeta _)
+    "m4_audio_meta" -> m4AudioMeta _,
+    "m5_gif_meta" -> m5GifMeta _)
 
   val oracles: Map[String, String] = Map(
+    // first-principles recompute of the synthesized GIF fields — the
+    // oracle checks the bitfield/LE parse inverted the synth exactly
+    "m5_gif_meta" ->
+      """SELECT doc_id, true AS is_gif,
+        |  CASE WHEN doc_id % 2 = 0 THEN '89a' ELSE '87a' END AS version,
+        |  CAST(16 + doc_id % 1024 AS BIGINT) AS width,
+        |  CAST(16 + (doc_id * 11) % 1024 AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0 END AS BIGINT) AS has_gct,
+        |  CAST(7 AS BIGINT) AS color_res,
+        |  CAST(CASE WHEN doc_id % 4 <> 0 THEN doc_id % 8 ELSE 0 END AS BIGINT) AS gct_size,
+        |  CAST(CASE WHEN doc_id % 4 <> 0
+        |            THEN 3 * (1 << CAST(doc_id % 8 + 1 AS INTEGER))
+        |            ELSE 0 END AS BIGINT) AS palette_bytes
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     // first-principles recompute of the synthesized WAV fields — the
     // oracle checks the LE parse inverted the LE synth exactly
     "m4_audio_meta" ->

@@ -58,6 +58,33 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getLong(9) == (data.length * 1000000L) / 176400L, "duration")
   }
 
+  test("m5 parser decodes a ByteBuffer-built canonical GIF header") {
+    import spark.implicits._
+    // header built with java.nio LITTLE_ENDIAN — independent of the
+    // operator's hex/shift synthesis path
+    val bb = java.nio.ByteBuffer.allocate(13)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GIF89a".getBytes("US-ASCII"))
+      .putShort(640.toShort)            // width LE16
+      .putShort(480.toShort)            // height LE16
+      // packed: GCT flag + color resolution 7 + GCT size 5 (64 entries)
+      .put((128 + 7 * 16 + 5).toByte)
+      .put(0.toByte).put(0.toByte)
+    val df = Seq((3L, bb.array())).toDF("doc_id", "payload")
+    val r = Multimodal.parseGifHeader(df).collect().head
+    assert(r.getBoolean(1), "is_gif")
+    assert(r.getString(2) == "89a")
+    assert(r.getLong(3) == 640L && r.getLong(4) == 480L)
+    assert(r.getLong(5) == 1L && r.getLong(6) == 7L && r.getLong(7) == 5L)
+    assert(r.getLong(8) == 64L * 3, "palette = 2^(5+1) entries x 3 bytes")
+
+    // non-GIF payload -> typed nulls, never garbage
+    val junk = Seq((4L, "notagif-at-all!".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val n = Multimodal.parseGifHeader(junk).collect().head
+    assert(!n.getBoolean(1) && n.isNullAt(3) && n.isNullAt(8))
+  }
+
   test("m4 parser yields typed nulls on non-WAV payloads") {
     import spark.implicits._
     val junk = Seq((1L, "RIFFnope definitely not audio"))
