@@ -201,6 +201,34 @@ object EventStream {
       .orderBy($"window_start", $"c_mktsegment")
   }
 
+  /** SLIDING-window aggregation — the overlapping-window mode next to
+    * [[windowedAgg]]'s tumbling and [[sessionWindowAgg]]'s gap-merged
+    * windows: 1-hour windows sliding every 15 minutes, so each event
+    * contributes to exactly 4 windows (the trailing-hour dashboard
+    * read every monitoring stack serves). The engine expands each row
+    * to its covering windows BEFORE the shuffle, so the exchange keys
+    * on (window, event_type) with map-side partial aggregation — 4×
+    * row fan-out, same single-exchange shape. Watermark bounds the
+    * open-window state on streams; batch/stream share the
+    * definition. */
+  def slidingAgg(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+           round(sum($"value"), 4).as("sum_value"))
+      .select($"window.start".as("window_start"), $"event_type",
+              $"n_events", $"sum_value")
+  }
+
+  /** Batch mirror of the sliding-window agg (driver-checked). */
+  def st6SlidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    slidingAgg(Tables.events(spark, dir))
+      .orderBy($"window_start", $"event_type")
+  }
+
   /** Batch mirror of the native session-window agg (driver-checked;
     * the oracle is the classic gaps-and-islands rewrite). */
   def st3SessionWindow(spark: SparkSession, dir: String): DataFrame = {
@@ -245,7 +273,8 @@ object EventStream {
     "st2_interval_join" -> st2IntervalJoin _,
     "st3_session_window" -> st3SessionWindow _,
     "st4_funnel_stateful" -> st4FunnelStateful _,
-    "st5_enriched_agg" -> st5EnrichedAgg _)
+    "st5_enriched_agg" -> st5EnrichedAgg _,
+    "st6_sliding_window" -> st6SlidingWindow _)
 
   val oracles: Map[String, String] = Map(
     // the stateful op must land exactly where the declarative batch
@@ -256,6 +285,18 @@ object EventStream {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
         | event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
+    // each event expands to its 4 covering windows (15-min grid is
+    // hour-aligned in both engines, so the bucket origins agree)
+    "st6_sliding_window" ->
+      """SELECT start AS window_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM (
+        |  SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+        |           - t.i * INTERVAL '15 minutes' AS start,
+        |         event_type, value
+        |  FROM events, LATERAL unnest(generate_series(0, 3)) AS t(i))
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
     "st5_enriched_agg" ->

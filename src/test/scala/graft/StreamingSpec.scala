@@ -42,6 +42,26 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sliding windows: one event contributes to exactly 4 windows") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[Ev]
+    val query = EventStream.slidingAgg(stream.toDF())
+      .writeStream.format("memory").queryName("st6_mem")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      stream.addData(Ev(t("10:20"), "click", 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("st6_mem").orderBy($"window_start").collect()
+      assert(rows.length == 4, "1h window / 15m slide covers each event 4×")
+      assert(rows.map(_.getTimestamp(0)).toSeq == Seq(
+        t("09:30"), t("09:45"), t("10:00"), t("10:15")))
+      assert(rows.forall(r => r.getLong(2) == 1 && r.getDouble(3) == 1.0))
+    } finally query.stop()
+  }
+
   test("append-mode windowed agg drops events arriving beyond the watermark") {
     val sparkSession = spark
     import sparkSession.implicits._
