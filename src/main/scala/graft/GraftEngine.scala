@@ -122,6 +122,16 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
   def chunksByUrl(urlCol: String, url: String, orderCol: String = "doc_id"): DataFrame =
     corpus.filter(col(urlCol) === url).orderBy(col(orderCol))
 
+  /** Approximate distinct count of any corpus column via the m=256
+    * HyperLogLog sketch (q25's machinery) — ~6.5% standard error,
+    * constant memory: the stats-endpoint answer that stays cheap when
+    * the corpus is 100 TB (the shuffle carries 256 ints, and partial
+    * sketches union across partitions losslessly). */
+  def approxDistinct(column: String): Double =
+    operators.EngineQueries.hllEstimateOf(
+        operators.EngineQueries.hllRegistersOf(corpus.select(col(column))))
+      .head().getDouble(0)
+
   /** Corpus stats: sources/documents counts (stats handler). */
   def stats(sourceCol: String = "source"): DataFrame =
     corpus.agg(countDistinct(col(sourceCol)).as("sources"),

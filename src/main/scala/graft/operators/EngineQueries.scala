@@ -520,13 +520,14 @@ object EngineQueries {
       .groupBy($"register").agg(max($"rho").as("mj"))
   }
 
-  def q25HllDistinct(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val li = Tables.lineitem(spark, dir).select($"l_orderkey")
-    val regs = hllRegistersOf(li)
+  /** The αm bias-corrected estimate over a (register, mj) frame —
+    * one row, column `e`. Shared by q25 and the facade's
+    * approxDistinct. */
+  private[graft] def hllEstimateOf(regs: DataFrame): DataFrame = {
+    import regs.sparkSession.implicits._
     val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
       lit(65536.0)
-    val sketch = regs
+    regs
       .agg(array_sort(collect_list(struct($"register", $"mj"))).as("rm"),
            count(lit(1)).cast("double").as("present"))
       .select(aggregate(transform($"rm", p => pow(lit(2.0), -p("mj"))),
@@ -536,6 +537,12 @@ object EngineQueries {
       .select(when($"e_raw" <= lit(2.5 * 256) && $"zeros" > 0,
                    lit(256.0) * log(lit(256.0) / $"zeros"))
                 .otherwise($"e_raw").as("e"))
+  }
+
+  def q25HllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey")
+    val sketch = hllEstimateOf(hllRegistersOf(li))
     sketch.crossJoin(li.agg(countDistinct($"l_orderkey").as("exact_distinct")))
       .select(round($"e", 4).as("approx_distinct"), $"exact_distinct",
         round(abs($"e" / $"exact_distinct" - 1.0) * 100.0, 2).as("err_pct"))

@@ -46,6 +46,14 @@ class GraftEngineSpec extends SparkSpec {
     assert(ids == ids.sorted)
   }
 
+  test("approxDistinct lands within 3 standard errors of the exact count") {
+    val exact = Tables.documents(spark, sfDir)
+      .select("doc_id").distinct().count()
+    val est = engine.approxDistinct("doc_id")
+    assert(math.abs(est / exact - 1.0) < 0.195,
+      s"estimate $est too far from exact $exact")
+  }
+
   test("stats / deleteBySource / dedupExact agree with the corpus") {
     val total = Tables.documents(spark, sfDir).count()
     val st = engine.stats().head()
