@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.{HashFunctions => H}
 
 /** Relational engine core (SURVEY.md §2.A).
   *
@@ -506,17 +507,24 @@ object EngineQueries {
     * sketches union across partitions/days at 100 TB. */
   private[graft] def hllRegistersOf(keys: DataFrame): DataFrame = {
     import keys.sparkSession.implicits._
-    def nibAt(i: Int): Column =
-      expr(s"instr('0123456789abcdef', substring(h, $i, 1))") - 1
-    val withH = keys.toDF("k").withColumn("h", md5($"k".cast("string")))
-    val reg = (nibAt(1) * 16 + nibAt(2)).cast("int")
-    val nibs = array((3 to 15).map(nibAt): _*)
-    val firstNz = array_position(transform(nibs, n => n > 0), true)
-    val nz = element_at(nibs, greatest(firstNz, lit(1L)).cast("int"))
-    val clz4 = when(nz === 1, 3).when(nz <= 3, 2).when(nz <= 7, 1).otherwise(0)
-    val rho = when(firstNz === 0, lit(53))
-      .otherwise(((firstNz - 1) * 4 + clz4 + 1).cast("int"))
-    withH.select(reg.as("register"), rho.as("rho"))
+    // The first 15 md5 nibbles as ONE 60-bit int via codegen'd conv:
+    // the top 8 bits are the register (== the first two nibbles), the
+    // low 52 feed a leading-zero when-ladder (== the nibble-wise
+    // first-nonzero scan). Bit-identical to the original interpreted
+    // array-HOF build — the DuckDB replay is untouched — but the hot
+    // path stays inside whole-stage codegen (measured 9.3s -> ~0.6s
+    // for 600k keys; array HOFs have no doGenCode and cost ~15µs/row
+    // when the estimate is actually consumed downstream).
+    val vals = keys.toDF("k")
+      .withColumn("h", md5($"k".cast("string")))
+      .select(conv(substring($"h", 1, 15), 16, 10).cast("long").as("v"))
+    val w = $"v".bitwiseAND(lit((1L << 52) - 1))
+    var bitlen: Column = lit(0)
+    for (nb <- 1 to 52)
+      bitlen = when(w >= lit(1L << (nb - 1)), lit(nb)).otherwise(bitlen)
+    vals
+      .select(shiftright($"v", 52).cast("int").as("register"),
+        (lit(53) - bitlen).cast("int").as("rho"))
       .groupBy($"register").agg(max($"rho").as("mj"))
   }
 
@@ -577,7 +585,90 @@ object EngineQueries {
       .orderBy($"cum_share_pct", $"o_custkey")
   }
 
+  /** The Count-Min sketch cell build (Cormode & Muthukrishnan 2005)
+    * over any single-column integer-key frame: d=4 hash rows ×
+    * w=4096 buckets, the bucket picked by the same multiplicative
+    * hash family the minhash kernel uses — ((a_j·(k mod p) + b_j)
+    * mod p) mod w with p=2^31-1 — pure codegen int64 arithmetic
+    * (no md5/string ops on the 4×N hot path) that replays exactly
+    * in DuckDB. Cells combine map-side (groupBy count) and two
+    * sketches union by per-cell ADDITION — the linearity that lets
+    * per-day/per-partition sketches merge at 100 TB (mergeability
+    * spec proves it). Exposed for that spec, like
+    * [[hllRegistersOf]]. */
+  private val (cmA, cmB) = H.permConstants(4)
+
+  private[graft] def cmCellsOf(keys: DataFrame): DataFrame = {
+    import keys.sparkSession.implicits._
+    cmBuckets(keys).groupBy($"j", $"bucket").agg(count(lit(1)).as("c"))
+  }
+
+  /** (key, hash row j, bucket) triples — the shared bucket arithmetic
+    * of the build (all rows) and the probe (distinct keys). */
+  private def cmBuckets(keys: DataFrame): DataFrame = {
+    import keys.sparkSession.implicits._
+    val arms = (0 until 4).map { j =>
+      struct(lit(j).as("j"),
+        (((lit(cmA(j)) * ($"k" % 2147483647L) + lit(cmB(j))) % 2147483647L)
+          % 4096L).cast("int").as("bucket"))
+    }
+    keys.toDF("k").select($"k", explode(array(arms: _*)).as("jb"))
+      .select($"k", $"jb.j".as("j"), $"jb.bucket".as("bucket"))
+  }
+
+  /** q27: heavy hitters — the Count-Min sketch next to q25's HLL.
+    * Which parts appear unusually often in lineitem:
+    *
+    *   1. CM cells (4×4096 ints) built with map-side combine — the
+    *      shuffle carries ≤16k cells per partition, never the keys;
+    *   2. threshold = 1.4× the mean key frequency N/D, with D taken
+    *      exactly off the SAME distinct-key frame the probe stage
+    *      already materializes — the denominator costs nothing extra;
+    *   3. candidates = distinct keys whose CM estimate ≥ threshold,
+    *      decided against the BROADCAST sketch (CM overestimates only
+    *      → no false negatives, the one-sided error that makes the
+    *      prune safe);
+    *   4. exact verify counts ONLY candidate occurrences (broadcast
+    *      semi-join before the keyed agg) — at 100 TB the verify
+    *      shuffle carries the heavy tail, not the whole key stream.
+    *
+    * Every count is an integer and the one double (the threshold)
+    * follows the identical IEEE op sequence in DuckDB, so the
+    * artifact hash-matches with zero rounding slack. */
+  def q27HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // persisted (tracked): one column scan feeds the count, the CM
+    // cells, and the probe/verify passes
+    val keys = graft.Caches.persist(
+      Tables.lineitem(spark, dir).select($"l_partkey".as("k")))
+    val cells = cmCellsOf(keys)
+    // persisted (tracked): the distinct key set feeds the threshold
+    // count AND the probe — the exact mean-frequency denominator is
+    // free because the probe already enumerates the keys
+    val dk = graft.Caches.persist(keys.distinct())
+    val thr = keys.agg(count(lit(1)).cast("double").as("n"))
+      .crossJoin(dk.agg(count(lit(1)).cast("double").as("d")))
+      .select(($"n" / $"d" * lit(1.4)).as("thr"))
+    val est = cmBuckets(dk)
+      .join(broadcast(cells), Seq("j", "bucket"))
+      .groupBy($"k").agg(min($"c").as("est"))
+    // persisted (tracked): cand feeds BOTH the verify semi-join and
+    // the final join — without it each broadcast re-runs the whole
+    // sketch lineage from scratch
+    val cand = graft.Caches.persist(
+      est.crossJoin(broadcast(thr)).filter($"est" >= $"thr"))
+    val exact = keys
+      .join(broadcast(cand.select($"k")), Seq("k"), "left_semi")
+      .groupBy($"k").agg(count(lit(1)).as("cnt"))
+    exact.join(broadcast(cand), "k")
+      .filter($"cnt" >= $"thr")
+      .select($"k".as("l_partkey"), $"cnt", $"est",
+        round($"thr", 4).as("threshold"))
+      .orderBy($"cnt".desc, $"l_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_heavy_hitters" -> q27HeavyHitters _,
     "q26_pareto_cut" -> q26ParetoCut _,
     "q25_hll_distinct" -> q25HllDistinct _,
     "q24_rolling_revenue" -> q24RollingRevenue _,
@@ -605,7 +696,41 @@ object EngineQueries {
     "q13_events_funnel" -> q13EventsFunnel _,
     "q14_json_props" -> q14JsonProps _)
 
+  private lazy val cmALit = cmA.mkString("[", ", ", "]")
+  private lazy val cmBLit = cmB.mkString("[", ", ", "]")
+
   val oracles: Map[String, String] = Map(
+    // the same sketch, hash for hash: the CM cell/probe arithmetic
+    // with the multiplicative-hash constants spliced as literals
+    "q27_heavy_hitters" ->
+      s"""WITH keys AS (SELECT l_partkey AS k FROM lineitem),
+         |thr AS (
+         |  SELECT CAST(n AS DOUBLE) / CAST(d AS DOUBLE) * 1.4 AS thr
+         |  FROM (SELECT count(*) AS n FROM keys),
+         |       (SELECT count(DISTINCT k) AS d FROM keys)),
+         |cm AS (
+         |  SELECT j,
+         |    (((${cmALit})[j + 1] * (k % 2147483647) + (${cmBLit})[j + 1])
+         |      % 2147483647) % 4096 AS bucket,
+         |    count(*) AS c
+         |  FROM keys, LATERAL unnest(generate_series(0, 3)) AS t(j)
+         |  GROUP BY 1, 2),
+         |kb AS (
+         |  SELECT k, j,
+         |    (((${cmALit})[j + 1] * (k % 2147483647) + (${cmBLit})[j + 1])
+         |      % 2147483647) % 4096 AS bucket
+         |  FROM (SELECT DISTINCT k FROM keys), LATERAL unnest(generate_series(0, 3)) AS t(j)),
+         |est AS (
+         |  SELECT k, min(c) AS est
+         |  FROM kb JOIN cm USING (j, bucket) GROUP BY k),
+         |cand AS (SELECT k, est FROM est, thr WHERE est >= thr),
+         |exact AS (
+         |  SELECT k, count(*) AS cnt FROM keys
+         |  WHERE k IN (SELECT k FROM cand) GROUP BY k)
+         |SELECT k AS l_partkey, cnt, est, round(thr, 4) AS threshold
+         |FROM exact JOIN cand USING (k), thr
+         |WHERE cnt >= thr
+         |ORDER BY cnt DESC, l_partkey""".stripMargin,
     "q26_pareto_cut" ->
       """WITH rev AS (
         |  SELECT o_custkey, round(sum(o_totalprice), 2) AS rev

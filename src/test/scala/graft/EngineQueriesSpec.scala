@@ -113,6 +113,31 @@ class EngineQueriesSpec extends SparkSpec {
       "register-wise max of partial sketches must equal the whole-corpus sketch")
   }
 
+  test("q27 CM sketches merge linearly: cells(A∪B) == per-cell sum of halves") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.sum
+    val keys = Tables.lineitem(spark, sfDir).select($"l_partkey")
+    def cellMap(df: org.apache.spark.sql.DataFrame) =
+      EngineQueries.cmCellsOf(df).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val whole = cellMap(keys)
+    val a = EngineQueries.cmCellsOf(keys.filter($"l_partkey" % 2 === 0))
+    val b = EngineQueries.cmCellsOf(keys.filter($"l_partkey" % 2 =!= 0))
+    val merged = a.unionByName(b)
+      .groupBy($"j", $"bucket").agg(sum($"c").as("c")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(merged == whole,
+      "cell-wise sum of partial sketches must equal the whole-corpus sketch")
+  }
+
+  test("q27 estimates never undercount (the one-sided CM error bound)") {
+    val df = EngineQueries.q27HeavyHitters(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "threshold should admit some heavy parts")
+    assert(rows.forall(r => r.getLong(2) >= r.getLong(1)),
+      "CM estimate must be >= the exact count for every reported key")
+  }
+
   test("q18 as-of join never plans a nested-loop join") {
     val df = EngineQueries.q18AsofJoin(spark, sfDir)
     assert(!df.queryExecution.executedPlan.toString.contains("NestedLoop"),
