@@ -292,6 +292,78 @@ object ChunkQueries {
     visited.orderBy($"url")
   }
 
+  /** Fixed-point scale for [[pageRankOf]]: ranks live as int64 in
+    * units of 1e-12. */
+  private[graft] val PrScale = 1000000000000L
+
+  /** PageRank core over any (src, dst) edge frame — the authority
+    * score a crawl scheduler feeds back into frontier prioritization
+    * (the companion pass to c10's reachability BFS).
+    *
+    * FIXED-POINT arithmetic: ranks are int64 in units of 1e-12 and
+    * every update is integer multiply + integer `div`, so the result
+    * is bit-exact in any engine and ANY aggregation order — plain
+    * `sum` end to end. The float formulation needs per-key ordered
+    * folds for cross-engine determinism (the t10/a4 trick), and a
+    * hot page's in-degree turns a per-key collect into a skew bomb
+    * at 100 TB; integer addition is associative, so this version
+    * keeps the partial-aggregated shuffle. Damping 0.85 is ×85
+    * div 100; dangling mass is redistributed uniformly each step;
+    * floor division leaks <(|E|+|V|+1) units of 1e-12 mass per
+    * iteration — deterministic, and bounded far below the 8dp the
+    * output rounds to.
+    *
+    * Per iteration: one shuffle keying ranks to edge sources and one
+    * partial-aggregated shuffle on dst — the standard distributed
+    * PageRank shape — with the rank frame persisted per level (c10's
+    * lineage rule). The node count is the only driver scalar (one
+    * count on the persisted node set, the same class of action as
+    * c10's drain probe). */
+  def pageRankOf(edges0: DataFrame, iters: Int = 3): DataFrame = {
+    import edges0.sparkSession.implicits._
+    val edges = graft.Caches.persist(edges0)
+    val nodes = graft.Caches.persist(
+      edges.select($"src".as("url"))
+        .union(edges.select($"dst".as("url"))).distinct())
+    val n = nodes.count()
+    val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("odeg"))
+    var ranks = nodes.select($"url", lit(PrScale / n).as("r"))
+    for (_ <- 1 to iters) {
+      val linked = ranks.join(outdeg, ranks("url") === outdeg("src"), "left")
+      val dangling = linked.filter($"odeg".isNull)
+        .agg(coalesce(sum($"r"), lit(0L)).as("dm"))
+      val contribs = linked.filter($"odeg".isNotNull)
+        .join(edges, "src")
+        .select($"dst".as("url"), expr("(r * 85) div (odeg * 100)").as("c"))
+        .groupBy($"url").agg(sum($"c").as("cin"))
+      ranks = graft.Caches.persist(nodes
+        .join(contribs, Seq("url"), "left")
+        .crossJoin(broadcast(dangling))
+        .select($"url",
+          (lit(15L * PrScale / (100L * n)) + coalesce($"cin", lit(0L))
+            + expr(s"(dm * 85) div (100 * ${n}L)")).as("r")))
+    }
+    ranks.select($"url", $"r".as("rank_e12"),
+        round($"r".cast("double") / 1e12, 8).as("rank"))
+      .orderBy($"rank_e12".desc, $"url")
+  }
+
+  /** c15: PageRank over the crawl link graph — same deterministic
+    * edge synthesis as c10, 3 power iterations, dangling mass
+    * redistributed. The DuckDB oracle unrolls all three iterations
+    * as CTE stages over identical integer arithmetic, so the int64
+    * rank artifact hash-matches with zero rounding slack. */
+  def c15PageRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = Tables.events(spark, dir)
+      .select(pmod($"event_id", lit(50)).cast("long").as("src"))
+      .distinct()
+      .select($"src", explode(array(
+        pmod($"src" * 7 + 3, lit(50)),
+        pmod($"src" * 3 + 1, lit(50)))).as("dst"))
+    pageRankOf(edges, 3)
+  }
+
   /** c11: sitemap parsing (ingestion-worker handlers/sitemap.py:
     * _parse_sitemap_xml + _extract_urls_from_urlset) — extract
     * <loc> URLs from sitemap XML documents, keeping only the crawl
@@ -403,7 +475,31 @@ object ChunkQueries {
     "c7_corpus_stats" -> c7CorpusStats _,
     "c8_delete_by_source" -> c8DeleteBySource _,
     "c9_link_discovery" -> c9LinkDiscovery _,
-    "c10_crawl_bfs" -> c10CrawlBfs _)
+    "c10_crawl_bfs" -> c10CrawlBfs _,
+    "c15_pagerank" -> c15PageRank _)
+
+  /** One unrolled PageRank iteration as DuckDB CTEs — the same
+    * integer update [[pageRankOf]] runs, stage for stage. */
+  private def prIterSql(i: Int): String =
+    s"""c$i AS (
+       |  SELECT e.dst AS url, sum((p.r * 85) // (o.odeg * 100)) AS cin
+       |  FROM r${i - 1} p
+       |  JOIN outdeg o ON p.url = o.src
+       |  JOIN edges e ON e.src = p.url
+       |  GROUP BY e.dst),
+       |d$i AS (
+       |  SELECT coalesce(sum(p.r), 0) AS dm
+       |  FROM r${i - 1} p LEFT JOIN outdeg o ON p.url = o.src
+       |  WHERE o.odeg IS NULL),
+       |r$i AS (
+       |  SELECT nodes.url,
+       |    (15 * 1000000000000) // (100 * nn.n)
+       |      + coalesce(c.cin, 0)
+       |      + (d.dm * 85) // (100 * nn.n) AS r
+       |  FROM nodes
+       |  CROSS JOIN nn
+       |  CROSS JOIN d$i d
+       |  LEFT JOIN c$i c ON c.url = nodes.url)""".stripMargin
 
   /** Shared chunker-lite expectation CTEs (parts + chunks), reused by
     * the c2 and f1 oracles so the corpora can't drift apart. */
@@ -556,6 +652,23 @@ object ChunkQueries {
         |SELECT DISTINCT loc AS url FROM d3
         |WHERE regexp_extract(loc, '^https?://([^/]+)', 1) = 'host0.example.com'
         |ORDER BY url""".stripMargin,
+    // the same fixed-point update, stage for stage: int64 ranks,
+    // ×85 // 100 damping, dangling redistribution, 3 unrolled rounds
+    "c15_pagerank" ->
+      s"""WITH edges AS (
+         |  SELECT src, CAST(unnest([(src*7+3) % 50, (src*3+1) % 50]) AS BIGINT) AS dst
+         |  FROM (SELECT DISTINCT CAST(event_id % 50 AS BIGINT) AS src FROM events)),
+         |nodes AS (
+         |  SELECT DISTINCT url
+         |  FROM (SELECT src AS url FROM edges UNION ALL SELECT dst FROM edges)),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |outdeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+         |r0 AS (SELECT url, 1000000000000 // nn.n AS r FROM nodes, nn),
+         |${(1 to 3).map(prIterSql).mkString(",\n")}
+         |SELECT url, r AS rank_e12,
+         |  round(CAST(r AS DOUBLE) / 1e12, 8) AS rank
+         |FROM r3
+         |ORDER BY rank_e12 DESC, url""".stripMargin,
     "c10_crawl_bfs" ->
       """WITH RECURSIVE edges AS (
         |  SELECT src, CAST(unnest([(src*7+3) % 50, (src*3+1) % 50]) AS BIGINT) AS dst

@@ -667,7 +667,157 @@ object EngineQueries {
       .orderBy($"cnt".desc, $"l_partkey")
   }
 
+  /** Bloom-filter hash family: k=3 multiplicative arms over m=8192
+    * bits (≈1.2 bits/key/arm at the sf build-side cardinality; the
+    * 100 TB deployment sizes m off the build-side count the same
+    * way Spark's own runtime filter does). Same int64 arithmetic as
+    * the CM sketch — replays exactly in DuckDB. */
+  private val (bfA, bfB) = H.permConstants(3)
+
+  private def bloomPos(k: Column, j: Int): Column =
+    ((lit(bfA(j)) * (k % 2147483647L) + lit(bfB(j))) % 2147483647L) % 8192L
+
+  /** q28: Bloom-pruned join — the explicit form of the runtime row-
+    * level filter (Spark's `runtime.bloomFilter`): build a Bloom
+    * sketch of the dimension keys that survive the region filter,
+    * prune the fact scan BEFORE any join shuffle, then verify
+    * exactly. At 100 TB the win is that the probe-side filter is a
+    * map-side codegen predicate against a BROADCAST bit set — the
+    * join shuffle carries only true matches plus the measured
+    * false-positive tail, never the full fact table. The artifact
+    * exposes the sketch's accounting (probe/pass/true counts + FP
+    * rate), so the oracle must replay the bit arithmetic arm for
+    * arm — a pass-through join result would let a wrong sketch hide
+    * behind the exact verify. Membership = three chained left-semi
+    * joins on the distinct bit-position set (≤8192 rows, broadcast);
+    * Bloom semantics (all k arms present), no row-id bookkeeping. */
+  def q28BloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // persisted (tracked): the build keys feed the bit set AND the
+    // exact verify
+    val buildKeys = graft.Caches.persist(
+      Tables.supplier(spark, dir)
+        .join(Tables.nation(spark, dir), $"s_nationkey" === $"n_nationkey")
+        .join(Tables.region(spark, dir).filter($"r_name" === "EUROPE"),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"s_suppkey"))
+    val bits = graft.Caches.persist(buildKeys
+      .select(explode(array(
+        (0 until 3).map(j => bloomPos($"s_suppkey", j)): _*)).as("pos"))
+      .distinct())
+    val li = Tables.lineitem(spark, dir).select($"l_suppkey", $"l_extendedprice")
+    var passed = li
+    for (j <- 0 until 3)
+      passed = passed.join(broadcast(bits.withColumnRenamed("pos", "p")),
+        bloomPos($"l_suppkey", j) === $"p", "left_semi")
+    val nProbe = li.agg(count(lit(1)).as("n_probe"))
+    val nPass = passed.agg(count(lit(1)).as("n_pass"))
+    val trueSide = li
+      .join(broadcast(buildKeys), $"l_suppkey" === $"s_suppkey", "left_semi")
+      .agg(count(lit(1)).as("n_true"),
+        round(sum($"l_extendedprice"), 2).as("matched_revenue"))
+    nProbe.crossJoin(nPass).crossJoin(trueSide)
+      .select($"n_probe", $"n_pass", $"n_true", $"matched_revenue",
+        when($"n_probe" === $"n_true", lit(0.0))
+          .otherwise(round(($"n_pass" - $"n_true").cast("double")
+            / ($"n_probe" - $"n_true") * 100.0, 4)).as("fp_pct"))
+  }
+
+  /** Per-row discounted volume in INTEGER CENTS: price and discount
+    * are 2dp-exact, so cents×basis-points is exact int64 and the
+    * sub-cent truncates by integer `div` — every accumulation is
+    * then associative integer addition, bit-equal in any engine and
+    * ANY order (c15's fixed-point rule; a per-row 2dp float round
+    * still drifts a cent when thousands of parts sum in different
+    * orders). */
+  private def volCents: Column =
+    expr("""(cast(round(l_extendedprice * 100.0, 0) as bigint)
+           | * (100 - cast(round(l_discount * 100.0, 0) as bigint)))
+           | div 100""".stripMargin)
+
+  /** q29: TPC-H Q8 shape — a supplier nation's market share inside
+    * one region's market, by year. Five-way star join where BOTH
+    * ends of the fact table resolve through the same dimension
+    * (nation twice, disambiguated by projection rename, never a
+    * self-join hint): customer side gates the market (region
+    * filter), supplier side labels the competitor. All four dims
+    * broadcast under AQE; the only shuffle is the o_year groupBy.
+    * The share is a conditional-sum ratio computed inside one
+    * aggregate pass — no second scan, no join of two aggregates. */
+  def q29MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val custNation = Tables.nation(spark, dir)
+      .select($"n_nationkey".as("cn_key"), $"n_regionkey".as("cn_region"))
+    val suppNation = Tables.nation(spark, dir)
+      .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(custNation, $"c_nationkey" === $"cn_key")
+      .join(Tables.region(spark, dir).filter($"r_name" === "ASIA"),
+        $"cn_region" === $"r_regionkey")
+      .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
+      .join(suppNation, $"s_nationkey" === $"sn_key")
+      .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+      .agg(
+        round(sum(when($"supp_nation" === "NATION_2", volCents)
+          .otherwise(lit(0L))).cast("double")
+          / sum(volCents).cast("double") * 100.0, 4).as("mkt_share_pct"),
+        round(sum(volCents).cast("double") / 100.0, 2).as("total_volume"))
+      .orderBy($"o_year")
+  }
+
+  /** q30: TPC-H Q14 shape — promo revenue share as a monthly time
+    * series. lineitem joins the part dim (broadcast) and aggregates
+    * by ship month; the promo/total ratio is a conditional sum in
+    * the same pass. The canonical "campaign effectiveness" scan: at
+    * 100 TB it is one fact-table pass, one broadcast, one
+    * partial-aggregated shuffle on ~hundreds of month keys. */
+  def q30PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), $"l_partkey" === $"p_partkey")
+      .groupBy(date_trunc("month", $"l_shipdate").as("ship_month"))
+      .agg(
+        round(sum(when($"p_type" === "PROMO", volCents).otherwise(lit(0L)))
+          .cast("double") / sum(volCents).cast("double") * 100.0, 4)
+          .as("promo_pct"),
+        round(sum(volCents).cast("double") / 100.0, 2).as("total_volume"))
+      .orderBy($"ship_month")
+  }
+
+  /** q31: TPC-H Q7 shape — bilateral shipping volume between two
+    * nations by year: supplier in one, customer in the other, both
+    * directions kept as separate groups. The OR-of-two-directions
+    * predicate lands AFTER the nation joins as a codegen filter on
+    * two broadcast-resolved labels — never a UNION of two
+    * fact-table scans. */
+  def q31VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val custNation = Tables.nation(spark, dir)
+      .select($"n_nationkey".as("cn_key"), $"n_name".as("cust_nation"))
+    val suppNation = Tables.nation(spark, dir)
+      .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(custNation, $"c_nationkey" === $"cn_key")
+      .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
+      .join(suppNation, $"s_nationkey" === $"sn_key")
+      .filter(($"supp_nation" === "NATION_3" && $"cust_nation" === "NATION_8")
+        || ($"supp_nation" === "NATION_8" && $"cust_nation" === "NATION_3"))
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").cast("long").as("l_year"))
+      .agg(round(sum(volCents).cast("double") / 100.0, 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_volume_shipping" -> q31VolumeShipping _,
+    "q30_promo_share" -> q30PromoShare _,
+    "q29_market_share" -> q29MarketShare _,
+    "q28_bloom_join" -> q28BloomJoin _,
     "q27_heavy_hitters" -> q27HeavyHitters _,
     "q26_pareto_cut" -> q26ParetoCut _,
     "q25_hll_distinct" -> q25HllDistinct _,
@@ -699,7 +849,89 @@ object EngineQueries {
   private lazy val cmALit = cmA.mkString("[", ", ", "]")
   private lazy val cmBLit = cmB.mkString("[", ", ", "]")
 
+  private def bloomPosSql(k: String, j: Int): String =
+    s"(((${bfA(j)} * ($k % 2147483647) + ${bfB(j)}) % 2147483647) % 8192)"
+
   val oracles: Map[String, String] = Map(
+    // integer-cent volume in all three ratio queries: cents×bp is
+    // exact int64, sums are order-independent, the one double ratio
+    // is computed from identical longs in both engines
+    "q29_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  round(CAST(sum(CASE WHEN sn.n_name = 'NATION_2' THEN vc ELSE 0 END)
+        |             AS DOUBLE)
+        |        / CAST(sum(vc) AS DOUBLE) * 100.0, 4) AS mkt_share_pct,
+        |  round(CAST(sum(vc) AS DOUBLE) / 100.0, 2) AS total_volume
+        |FROM (SELECT l_orderkey, l_suppkey,
+        |        (CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+        |         * (100 - CAST(round(l_discount * 100.0, 0) AS BIGINT))) // 100
+        |          AS vc
+        |      FROM lineitem) l
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q30_promo_share" ->
+      """SELECT date_trunc('month', l_shipdate) AS ship_month,
+        |  round(CAST(sum(CASE WHEN p_type = 'PROMO' THEN vc ELSE 0 END)
+        |             AS DOUBLE)
+        |        / CAST(sum(vc) AS DOUBLE) * 100.0, 4) AS promo_pct,
+        |  round(CAST(sum(vc) AS DOUBLE) / 100.0, 2) AS total_volume
+        |FROM (SELECT l_partkey, l_shipdate,
+        |        (CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+        |         * (100 - CAST(round(l_discount * 100.0, 0) AS BIGINT))) // 100
+        |          AS vc
+        |      FROM lineitem) l
+        |JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q31_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  round(CAST(sum((CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100.0, 0) AS BIGINT))) // 100)
+        |    AS DOUBLE) / 100.0, 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_8')
+        |   OR (sn.n_name = 'NATION_8' AND cn.n_name = 'NATION_3')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // the Bloom sketch replayed arm for arm: same bit positions, same
+    // all-k membership rule, same FP accounting
+    "q28_bloom_join" ->
+      s"""WITH bk AS (
+         |  SELECT s_suppkey FROM supplier
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'EUROPE'),
+         |bits AS (
+         |  SELECT DISTINCT ${bloomPosSql("s_suppkey", 0)} AS pos FROM bk
+         |  UNION SELECT DISTINCT ${bloomPosSql("s_suppkey", 1)} FROM bk
+         |  UNION SELECT DISTINCT ${bloomPosSql("s_suppkey", 2)} FROM bk),
+         |probe AS (SELECT l_suppkey, l_extendedprice FROM lineitem),
+         |pass AS (
+         |  SELECT count(*) AS n_pass FROM probe
+         |  WHERE ${bloomPosSql("l_suppkey", 0)} IN (SELECT pos FROM bits)
+         |    AND ${bloomPosSql("l_suppkey", 1)} IN (SELECT pos FROM bits)
+         |    AND ${bloomPosSql("l_suppkey", 2)} IN (SELECT pos FROM bits)),
+         |tm AS (
+         |  SELECT count(*) AS n_true,
+         |    round(sum(l_extendedprice), 2) AS matched_revenue
+         |  FROM probe WHERE l_suppkey IN (SELECT s_suppkey FROM bk)),
+         |np AS (SELECT count(*) AS n_probe FROM probe)
+         |SELECT n_probe, n_pass, n_true, matched_revenue,
+         |  CASE WHEN n_probe = n_true THEN 0.0
+         |       ELSE round(CAST(n_pass - n_true AS DOUBLE)
+         |                  / (n_probe - n_true) * 100.0, 4) END AS fp_pct
+         |FROM np, pass, tm""".stripMargin,
     // the same sketch, hash for hash: the CM cell/probe arithmetic
     // with the multiplicative-hash constants spliced as literals
     "q27_heavy_hitters" ->

@@ -276,14 +276,118 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** m6: JPEG SOF0 metadata via a MARKER WALK — unlike m3/m4/m5's
+    * fixed-offset headers, JPEG's frame header sits after a variable
+    * number of variable-length segments (APP0/COM/APP1/...), so the
+    * parser must hop marker to marker reading each segment's BE16
+    * length. The walk is unrolled to a fixed hop budget (4 here; a
+    * production cap is a config) — each hop is a pure codegen
+    * expression over dynamic `substr` offsets, CaseWhen-gated so a
+    * row stops evaluating hops once its SOF0 is found, and every
+    * byte read is bounds-guarded (a truncated payload yields nulls,
+    * never an ANSI error). The corpus synthesizes JFIF streams whose
+    * COM/APP1 presence AND lengths vary by doc_id, so offsets differ
+    * row to row and a fixed-offset cheat cannot pass the oracle. */
+  def m6JpegMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = (lit(120) + pmod($"doc_id" * 13, lit(1943))).cast("long")
+    val w = (lit(160) + pmod($"doc_id" * 7, lit(2000))).cast("long")
+    // segment lengths INCLUDE their own 2 length bytes (JPEG wire rule)
+    val comLen = (lit(7) + pmod($"doc_id", lit(11))).cast("long")
+    val app1Len = (lit(8) + pmod($"doc_id", lit(5))).cast("long")
+    val app0 = concat(lit("FFE00010"),
+      lit("4A46494600"), lit("0101"), lit("00"),
+      lit("0048"), lit("0048"), lit("00"), lit("00"))
+    val com = when(pmod($"doc_id", lit(3)) === 0,
+      concat(lit("FFFE"), lpad(hex(comLen), 4, "0"),
+        repeat(lit("63"), (comLen - 2).cast("int"))))
+      .otherwise(lit(""))
+    val app1 = when(pmod($"doc_id", lit(2)) === 0,
+      concat(lit("FFE1"), lpad(hex(app1Len), 4, "0"),
+        lit("457869660000"), repeat(lit("65"), (app1Len - 8).cast("int"))))
+      .otherwise(lit(""))
+    val sof0 = concat(lit("FFC0"), lit("0011"), lit("08"),
+      lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
+      lit("03"), lit("012200021101031101"))
+    val blobs = Tables.documents(spark, dir)
+      .select($"doc_id",
+        unhex(concat(lit("FFD8"), app0, com, app1, sof0,
+          hex($"text".cast("binary")))).as("payload"))
+    parseJpegHeader(blobs).orderBy($"doc_id")
+  }
+
+  /** The JPEG header parser over any (doc_id, payload binary) frame.
+    * Walks up to `maxHops` marker segments from the byte after SOI,
+    * looking for SOF0 (0xFFC0); emits the hop count, the SOF byte
+    * offset, and the frame fields. */
+  def parseJpegHeader(blobs: DataFrame, maxHops: Int = 4): DataFrame = {
+    import blobs.sparkSession.implicits._
+    val payloadLen = octet_length($"payload").cast("long")
+    // bounds-guarded byte read (1-based offset): null past the end
+    def byteAt(off: Column): Column =
+      when(off + 1 <= payloadLen,
+        conv(hex($"payload".substr(off.cast("int"), lit(1))), 16, 10)
+          .cast("long"))
+    def be16(off: Column): Column = byteAt(off) * 256L + byteAt(off + 1)
+    val isJpeg = hex(substring($"payload", 1, 2)) === "FFD8"
+    // unrolled walk: offset of hop i's marker byte (1-based, at 0xFF)
+    val hops = List.iterate(lit(3L): Column, maxHops) { off =>
+      off + 2L + be16(off + 2L)
+    }
+    def isSofAt(off: Column): Column =
+      byteAt(off) === 255L && byteAt(off + 1) === 192L
+    val sofOff = hops.zipWithIndex.foldRight(lit(null).cast("long")) {
+      case ((off, _), rest) => when(isSofAt(off), off).otherwise(rest)
+    }
+    val nSegs = hops.zipWithIndex.foldRight(lit(null).cast("long")) {
+      case ((off, i), rest) => when(isSofAt(off), i.toLong).otherwise(rest)
+    }
+    blobs.select($"doc_id",
+        isJpeg.as("is_jpeg"),
+        when(isJpeg, nSegs).as("n_segments"),
+        when(isJpeg, sofOff).as("sof_pos"),
+        when(isJpeg, byteAt(sofOff + 4L)).as("precision"),
+        when(isJpeg, be16(sofOff + 5L)).as("height"),
+        when(isJpeg, be16(sofOff + 7L)).as("width"),
+        when(isJpeg, byteAt(sofOff + 9L)).as("n_components"))
+      .withColumn("est_raw_bytes",
+        ($"height" * $"width" * $"n_components").cast("long"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> m1BinaryMeta _,
     "m2_frame_sample" -> m2FrameSample _,
     "m3_image_meta" -> m3ImageMeta _,
     "m4_audio_meta" -> m4AudioMeta _,
-    "m5_gif_meta" -> m5GifMeta _)
+    "m5_gif_meta" -> m5GifMeta _,
+    "m6_jpeg_meta" -> m6JpegMeta _)
 
   val oracles: Map[String, String] = Map(
+    // first-principles recompute of the marker-walk result: segment
+    // count and SOF offset rebuilt from the synth's presence rules
+    // and lengths — a fixed-offset parse cannot reproduce sof_pos
+    "m6_jpeg_meta" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 7 + doc_id % 11 ELSE 0 END AS com_len,
+        |    CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 5 ELSE 0 END AS app1_len,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_opt
+        |  FROM documents)
+        |SELECT doc_id, true AS is_jpeg,
+        |  CAST(1 + n_opt AS BIGINT) AS n_segments,
+        |  CAST(3 + 18 + (CASE WHEN com_len > 0 THEN com_len + 2 ELSE 0 END)
+        |       + (CASE WHEN app1_len > 0 THEN app1_len + 2 ELSE 0 END)
+        |    AS BIGINT) AS sof_pos,
+        |  CAST(8 AS BIGINT) AS precision,
+        |  CAST(120 + (doc_id * 13) % 1943 AS BIGINT) AS height,
+        |  CAST(160 + (doc_id * 7) % 2000 AS BIGINT) AS width,
+        |  CAST(3 AS BIGINT) AS n_components,
+        |  CAST((120 + (doc_id * 13) % 1943)
+        |       * (160 + (doc_id * 7) % 2000) * 3 AS BIGINT) AS est_raw_bytes
+        |FROM f
+        |ORDER BY doc_id""".stripMargin,
     // first-principles recompute of the synthesized GIF fields — the
     // oracle checks the bitfield/LE parse inverted the synth exactly
     "m5_gif_meta" ->

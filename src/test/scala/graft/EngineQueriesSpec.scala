@@ -158,4 +158,13 @@ class EngineQueriesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins for dims")
   }
+
+  test("q28 Bloom prune is one-sided: no false negatives, bounded pass set") {
+    val r = EngineQueries.q28BloomJoin(spark, sfDir).collect().head
+    val (nProbe, nPass, nTrue) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nTrue <= nPass, "Bloom may overestimate, never underestimate")
+    assert(nPass <= nProbe)
+    assert(nTrue > 0, "EUROPE suppliers must match some lineitems")
+    Caches.releaseAll()
+  }
 }

@@ -95,4 +95,49 @@ class MultimodalSpec extends SparkSpec {
     assert(row.isNullAt(4), "sample_rate null-gated")
     assert(row.isNullAt(9), "duration null-gated")
   }
+
+  test("m6 marker walk finds SOF0 behind a ByteBuffer-built segment chain") {
+    import spark.implicits._
+    // JPEG assembled with java.nio BIG_ENDIAN — independent of the
+    // operator's hex-string synthesis. Layout: SOI, APP0(JFIF, 16),
+    // COM(9), SOF0 (8-bit, 480x640, 3 components).
+    val bb = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putShort(0xFFD8.toShort)                        // SOI
+    bb.putShort(0xFFE0.toShort).putShort(16)
+      .put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+      .putShort(0x0101.toShort).put(0.toByte)
+      .putShort(72).putShort(72).put(0.toByte).put(0.toByte)
+    bb.putShort(0xFFFE.toShort).putShort(9)
+      .put("comment".getBytes("US-ASCII"))             // COM, len 2+7
+    bb.putShort(0xFFC0.toShort).putShort(17).put(8.toByte)
+      .putShort(480).putShort(640).put(3.toByte)
+      .put(Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    val df = Seq((9L, bb.array())).toDF("doc_id", "payload")
+    val r = Multimodal.parseJpegHeader(df).collect().head
+    assert(r.getBoolean(1), "is_jpeg")
+    assert(r.getLong(2) == 2L, "APP0 + COM before SOF")
+    assert(r.getLong(3) == 3L + 18L + 11L, "sof_pos")
+    assert(r.getLong(4) == 8L, "precision")
+    assert(r.getLong(5) == 480L, "height")
+    assert(r.getLong(6) == 640L, "width")
+    assert(r.getLong(7) == 3L, "n_components")
+    assert(r.getLong(8) == 480L * 640L * 3L, "est_raw_bytes")
+  }
+
+  test("m6 parser yields typed nulls on truncated and non-JPEG payloads") {
+    import spark.implicits._
+    // truncated: SOI + APP0 marker but the stream ends mid-segment —
+    // every bounds-guarded read past the end must null out, not raise
+    val trunc = Seq((1L, Array[Byte](0xFF.toByte, 0xD8.toByte,
+      0xFF.toByte, 0xE0.toByte, 0, 16)))
+      .toDF("doc_id", "payload")
+    val t = Multimodal.parseJpegHeader(trunc).collect().head
+    assert(t.getBoolean(1), "SOI present")
+    assert(t.isNullAt(3) && t.isNullAt(5), "no SOF found -> nulls")
+    val junk = Seq((2L, "plain text, no jpeg here".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val j = Multimodal.parseJpegHeader(junk).collect().head
+    assert(!j.getBoolean(1) && j.isNullAt(5) && j.isNullAt(8))
+  }
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ChunkQueries
+
+/** Fixed-point PageRank (c15): hand-computed integer updates on tiny
+  * graphs, dangling-mass redistribution, and the mass-conservation
+  * bound that the floor-division leak stays within its documented
+  * budget. */
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two-node cycle is the stationary point, bit-exact") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val out = ChunkQueries.pageRankOf(edges, 3).collect()
+    // r0 = 5e11 each; contrib = (5e11*85) div 100 = 4.25e11;
+    // base = 15e12 div 200 = 7.5e10; r1 = 5e11 again — stable.
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 500000000000L), (2L, 500000000000L)))
+    Caches.releaseAll()
+  }
+
+  test("dangling node redistributes its mass uniformly (2 iterations, exact)") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val out = ChunkQueries.pageRankOf(edges, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // iter1: r1(1) = 7.5e10 + (5e11*85 div 200) = 287500000000
+    //        r1(2) = 7.5e10 + 4.25e11 + 2.125e11 = 712500000000
+    // iter2: r2(1) = 7.5e10 + (712500000000*85 div 200) = 377812500000
+    //        r2(2) = 7.5e10 + (287500000000*85 div 100)
+    //                + 302812500000 = 622187500000
+    assert(out === Map(1L -> 377812500000L, 2L -> 622187500000L))
+    Caches.releaseAll()
+  }
+
+  test("mass is conserved within the floor-division leak bound") {
+    // star + chain + dangling tail: heterogeneous degrees
+    val edges = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (2L, 3L), (3L, 0L),
+      (3L, 4L)).toDF("src", "dst")
+    val iters = 3
+    val out = ChunkQueries.pageRankOf(edges, iters)
+    val total = out.agg(sum($"rank_e12")).as[Long].head()
+    val leakBound = (7 + 5 + 1).toLong * iters // (|E|+|V|+1) per iter
+    assert(total <= ChunkQueries.PrScale)
+    assert(total > ChunkQueries.PrScale - leakBound)
+    // the hub (3 in-edges incl. the chain's tail) outranks the leaf
+    val ranks = out.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ranks(3L) > ranks(4L))
+    Caches.releaseAll()
+  }
+}
