@@ -334,6 +334,26 @@ object Dedup {
     * prep pass consumes directly. The oracle replays the ENTIRE
     * 3-iteration Lloyd loop (a4's CTE stages), the cell assignment,
     * the within-cell pair scan, and the keep rule. */
+  /** The session's trained SemDeDup quantizer (k=64 — finer than
+    * a4's serving quantizer, see d7's cell-size note): memoized per
+    * (session, corpus) via [[graft.TrainedModels]]. */
+  private[graft] def semCentroids(spark: SparkSession, dir: String,
+                                  all: DataFrame): Seq[Seq[Double]] =
+    graft.TrainedModels.memo(spark, s"kmeans:$dir:k=64:it=3") {
+      Knn.kmeansFit(all, k = 64, iters = 3)
+    }
+
+  /** Index-build pass for the dedup family's trained quantizer
+    * (Bench's `_model_training` line, next to Knn's). */
+  def trainSemModels(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    val all = graft.Caches.persist(
+      Tables.embeddings(spark, dir)
+        .select($"vec_id", V.asDouble($"embedding").as("v")))
+    semCentroids(spark, dir, all)
+    graft.Caches.releaseAll()
+  }
+
   def d7SemDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tau = 0.4
@@ -346,7 +366,7 @@ object Dedup {
     // ~1.5M-pair self-join shuffling full vectors — k=64 cuts the
     // pair count ~8×, and at 100 TB k grows with n to hold cell size
     // roughly constant)
-    val cents = Knn.kmeansFit(all, k = 64, iters = 3)
+    val cents = semCentroids(spark, dir, all)
     val cells = Knn.assign(all, cents)
       .select($"vec_id", $"cid".as("label"), $"v")
     val losers = embeddingCosinePairsOf(cells, tau = tau, maxCell = MaxCell)
