@@ -212,7 +212,42 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t12: readability scoring — Flesch reading ease and
+    * Flesch-Kincaid grade with the standard regex approximations
+    * (sentences = terminal-punctuation runs, words = whitespace
+    * tokens, syllables = vowel-group runs in the lowercased text,
+    * the floor(1) guards of every published implementation). A
+    * training-data curation pass uses the grade band the same way it
+    * uses t2's quality score: filter or stratify by difficulty.
+    * Map-only single scan, all codegen built-ins; the three counts
+    * are int64 and the two scores are derived from identical longs
+    * in both engines, so 4dp rounding closes the artifact. */
+  def t12Readability(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nSent = greatest(
+      size(regexp_extract_all($"text", lit("[.!?]+"), lit(0))), lit(1))
+      .cast("long")
+    val nWord = greatest(
+      size(regexp_extract_all($"text", lit("\\S+"), lit(0))), lit(1))
+      .cast("long")
+    val nSyl = size(
+      regexp_extract_all(lower($"text"), lit("[aeiouy]+"), lit(0)))
+      .cast("long")
+    Tables.documents(spark, dir)
+      .select($"doc_id", nSent.as("n_sentences"), nWord.as("n_words"),
+        nSyl.as("n_syllables"))
+      .withColumn("wps", $"n_words".cast("double") / $"n_sentences")
+      .withColumn("spw", $"n_syllables".cast("double") / $"n_words")
+      .select($"doc_id", $"n_sentences", $"n_words", $"n_syllables",
+        round(lit(206.835) - lit(1.015) * $"wps" - lit(84.6) * $"spw", 4)
+          .as("flesch_ease"),
+        round(lit(0.39) * $"wps" + lit(11.8) * $"spw" - lit(15.59), 4)
+          .as("fk_grade"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_readability" -> t12Readability _,
     "t11_lang_confidence" -> t11LangConfidence _,
     "t1_lang_id" -> t1LangId _,
     "t2_quality_score" -> t2QualityScore _,
@@ -285,6 +320,25 @@ object TextAnalysis {
       .mkString("\n      ")
     val allGreatest = s"greatest(${langs.map("s_" + _).mkString(", ")})"
     Map(
+      "t12_readability" ->
+        """WITH c AS (
+          |  SELECT doc_id,
+          |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+          |    greatest(len(regexp_extract_all(text, '\S+')), 1) AS n_words,
+          |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CAST(n_sentences AS BIGINT) AS n_sentences,
+          |  CAST(n_words AS BIGINT) AS n_words,
+          |  CAST(n_syllables AS BIGINT) AS n_syllables,
+          |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+          |        - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+          |    AS flesch_ease,
+          |  round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+          |        + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 4)
+          |    AS fk_grade
+          |FROM c
+          |ORDER BY doc_id""".stripMargin,
       "t11_lang_confidence" ->
         s"""WITH scored AS (
            |  SELECT doc_id,

@@ -143,6 +143,30 @@ object EventStream {
       .select(col("user_id"), col("view_ts"), col("click_ts"))
   }
 
+  /** Watermarked stream-stream LEFT OUTER interval join —
+    * attribution with explicit NON-conversion: every view emits,
+    * paired row-per-click when clicks arrive, null-padded once the
+    * engine can PROVE no click can match anymore (both watermarks
+    * past view_ts + window, i.e. state expiry). The null rows are
+    * late by construction — outer results wait for expiry, the price
+    * of correctness on unbounded streams. On batch inputs the same
+    * definition emits them immediately (st7's driver-checked batch
+    * mirror), keeping the lambda/kappa pair consistent. Same state
+    * bound and join shape as [[attributeClicks]]. */
+  def attributeClicksOuter(views: DataFrame, clicks: DataFrame,
+                           windowMinutes: Int = 10): DataFrame = {
+    val v = views.select(col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", s"$windowMinutes minutes")
+    val c = clicks.select(col("user_id").as("c_user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", s"$windowMinutes minutes")
+    v.join(c,
+        col("user_id") === col("c_user_id") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") < col("view_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+        "left_outer")
+      .select(col("user_id"), col("view_ts"), col("click_ts"))
+  }
+
   /** Session-window aggregation via the NATIVE `session_window`
     * function — dynamic gap-merged windows whose state the streaming
     * engine maintains and merges itself (the built-in alternative to
@@ -257,6 +281,22 @@ object EventStream {
       .orderBy($"user_id")
   }
 
+  /** Batch mirror of the LEFT OUTER interval join (driver-checked):
+    * per-user conversion accounting — attributed pairs AND
+    * unconverted views, the funnel-denominator row the inner join
+    * (st2) structurally cannot produce. */
+  def st7OuterAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    attributeClicksOuter(
+        ev.filter($"event_type" === "view"),
+        ev.filter($"event_type" === "click"))
+      .groupBy($"user_id")
+      .agg(count($"click_ts").as("n_attributed"),
+        count(when($"click_ts".isNull, lit(1))).as("n_unconverted"))
+      .orderBy($"user_id")
+  }
+
   /** Batch mirror of the stateful funnel (driver-checked against the
     * q13 oracle — the equivalence IS the check). */
   def st4FunnelStateful(spark: SparkSession, dir: String): DataFrame = {
@@ -274,9 +314,27 @@ object EventStream {
     "st3_session_window" -> st3SessionWindow _,
     "st4_funnel_stateful" -> st4FunnelStateful _,
     "st5_enriched_agg" -> st5EnrichedAgg _,
-    "st6_sliding_window" -> st6SlidingWindow _)
+    "st6_sliding_window" -> st6SlidingWindow _,
+    "st7_outer_attribution" -> st7OuterAttribution _)
 
   val oracles: Map[String, String] = Map(
+    // LEFT OUTER attribution: count(click_ts) skips the null pads,
+    // count of null click_ts rows = unconverted views
+    "st7_outer_attribution" ->
+      """WITH v AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT user_id AS c_user_id, CAST(ts AS TIMESTAMP) AS click_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT v.user_id, count(click_ts) AS n_attributed,
+        |  count(CASE WHEN click_ts IS NULL THEN 1 END) AS n_unconverted
+        |FROM v LEFT JOIN c
+        |  ON c.c_user_id = v.user_id
+        | AND c.click_ts >= v.view_ts
+        | AND c.click_ts < v.view_ts + INTERVAL 10 MINUTE
+        |GROUP BY v.user_id
+        |ORDER BY v.user_id""".stripMargin,
     // the stateful op must land exactly where the declarative batch
     // funnel lands — q13's oracle, verbatim
     "st4_funnel_stateful" ->

@@ -418,6 +418,40 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("outer interval join null-pads unconverted views only after state expiry") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val views = MemoryStream[UEv]
+    val clicks = MemoryStream[UEv]
+    val query = EventStream.attributeClicksOuter(views.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("attr_outer_mem")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      views.addData(UEv(1L, t("10:00")), UEv(2L, t("10:00")))
+      clicks.addData(UEv(1L, t("10:05")))
+      query.processAllAvailable()
+      // matched pair emits immediately; user 2's view must NOT be
+      // null-padded yet — a matching click could still arrive
+      val early = spark.table("attr_outer_mem").collect()
+      assert(early.map(_.getLong(0)).toSet == Set(1L))
+      // advance BOTH watermarks past 10:10 (join watermark = min of
+      // the two sides) so user 2's buffered view provably expires
+      views.addData(UEv(9L, t("11:00")))
+      clicks.addData(UEv(9L, t("11:00")))
+      query.processAllAvailable()
+      views.addData(UEv(9L, t("11:30")))
+      clicks.addData(UEv(9L, t("11:30")))
+      query.processAllAvailable()
+      val rows = spark.table("attr_outer_mem").collect()
+      val u2 = rows.filter(_.getLong(0) == 2L)
+      assert(u2.length == 1, "expired view emits exactly once")
+      assert(u2.head.isNullAt(2), "non-conversion is null-padded")
+      assert(u2.head.getTimestamp(1) == t("10:00"))
+    } finally query.stop()
+  }
+
   test("streaming upsert replaces re-arriving docs per epoch (MERGE pattern)") {
     val sparkSession = spark
     import sparkSession.implicits._
