@@ -373,4 +373,54 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
       .orderBy($"cosine".desc, $"doc_id")
       .limit(k)
   }
+
+  /** Fixed-point PageRank over a (src, dst) link-graph frame — the
+    * crawl-scheduler authority score (c15; bit-exact integer ranks,
+    * see operators.ChunkQueries.pageRankOf). */
+  def pageRank(edges: DataFrame, iters: Int = 3): DataFrame =
+    graft.operators.ChunkQueries.pageRankOf(edges, iters)
+
+  /** Flesch/FK readability per corpus document (t12's scoring over
+    * this engine's corpus): doc_id, counts, flesch_ease, fk_grade. */
+  def readability(): DataFrame = {
+    val nSent = greatest(
+      size(expr("regexp_extract_all(text, '[.!?]+', 0)")), lit(1))
+      .cast("long")
+    val nWord = greatest(
+      size(expr("regexp_extract_all(text, '\\\\S+', 0)")), lit(1))
+      .cast("long")
+    val nSyl = size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+      .cast("long")
+    corpus.select($"doc_id", nSent.as("n_sentences"), nWord.as("n_words"),
+        nSyl.as("n_syllables"))
+      .withColumn("wps", $"n_words".cast("double") / $"n_sentences")
+      .withColumn("spw", $"n_syllables".cast("double") / $"n_words")
+      .select($"doc_id", $"n_sentences", $"n_words", $"n_syllables",
+        round(lit(206.835) - lit(1.015) * $"wps" - lit(84.6) * $"spw", 4)
+          .as("flesch_ease"),
+        round(lit(0.39) * $"wps" + lit(11.8) * $"spw" - lit(15.59), 4)
+          .as("fk_grade"))
+  }
+
+  /** Lay the corpus out as fixed-length training sequences (p7's
+    * concat-and-chunk packing, keyed per source shard). Requires a
+    * `source` column. */
+  def packSequences(maxLen: Int = 1024): DataFrame = {
+    require(corpus.columns.contains("source"),
+      "packSequences needs a source column (one pack stream per shard)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+    corpus
+      .select($"doc_id", $"source",
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
+          .as("n_tokens"),
+        element_at(call_function("poly_hash_all", array($"text")), 1).as("h"))
+      .withColumn("start_off", sum($"n_tokens").over(w) - $"n_tokens")
+      .select($"source", $"doc_id", $"n_tokens", $"start_off",
+        expr(s"start_off div $maxLen").as("seq_id"),
+        pmod($"start_off", lit(maxLen.toLong)).as("seq_pos"),
+        ($"n_tokens" > 0 &&
+          expr(s"(start_off div $maxLen) != ((start_off + n_tokens - 1) div $maxLen)"))
+          .as("crosses_seq"))
+  }
 }

@@ -134,11 +134,49 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** p7: sequence PACKING — the concat-and-chunk layout pass that
+    * turns a curated corpus into fixed-length training sequences
+    * (GPT-style packing): documents are laid out in deterministic
+    * content-hash order, token offsets accumulate, and every
+    * maxLen-token span becomes one training sequence. Emits each
+    * document's placement — sequence id, in-sequence position, and
+    * whether it straddles a boundary (the rows an attention-mask
+    * builder consumes).
+    *
+    * Packing is PER SOURCE SHARD: the running offset is a keyed
+    * window cumsum, so the layout parallelizes one pack stream per
+    * shard — never a single global ordered cumsum (a total order
+    * over 100 TB is the canonical scale bottleneck; real pipelines
+    * pack per input shard exactly this way). Layout order
+    * (content hash, doc_id) is stable across reruns and cluster
+    * layouts, and byte-equal copies land adjacently per shard. */
+  def p7PackSequences(spark: SparkSession, dir: String,
+                      maxLen: Int = 1024): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val w = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
+          .as("n_tokens"),
+        element_at(call_function("poly_hash_all", array($"text")), 1).as("h"))
+      .withColumn("start_off", sum($"n_tokens").over(w) - $"n_tokens")
+      .select($"source", $"doc_id", $"n_tokens", $"start_off",
+        expr(s"start_off div $maxLen").as("seq_id"),
+        pmod($"start_off", lit(maxLen.toLong)).as("seq_pos"),
+        ($"n_tokens" > 0 &&
+          expr(s"(start_off div $maxLen) != ((start_off + n_tokens - 1) div $maxLen)"))
+          .as("crosses_seq"))
+      .orderBy($"source", $"start_off", $"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p2_decontaminate" -> p2Decontaminate _,
     "p3_train_split" -> p3TrainSplit _,
     "p4_sample_per_source" -> ((s, d) => p4SamplePerSource(s, d)),
-    "p6_mixture_sample" -> p6MixtureSample _)
+    "p6_mixture_sample" -> p6MixtureSample _,
+    "p7_pack_sequences" -> ((s, d) => p7PackSequences(s, d)))
 
   private val polyFoldSql =
     """list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -147,6 +185,29 @@ object Curation {
       |      (a, c) -> (a*31 + c) % 1000000007)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical layout: same hash order, same keyed cumsum, same
+    // integer div/mod placement
+    "p7_pack_sequences" ->
+      s"""WITH h AS (SELECT doc_id, source, text AS t FROM documents),
+         |d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(t, '\\S+')) AS BIGINT) AS n_tokens,
+         |    ($polyFoldSql) AS h
+         |  FROM h),
+         |o AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |                        ROWS UNBOUNDED PRECEDING) - n_tokens
+         |      AS start_off
+         |  FROM d)
+         |SELECT source, doc_id, n_tokens, start_off,
+         |  start_off // 1024 AS seq_id,
+         |  start_off % 1024 AS seq_pos,
+         |  (n_tokens > 0 AND
+         |   (start_off // 1024) <> ((start_off + n_tokens - 1) // 1024))
+         |    AS crosses_seq
+         |FROM o
+         |ORDER BY source, start_off, doc_id""".stripMargin,
     "p2_decontaminate" ->
       s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
         |g AS (

@@ -71,4 +71,26 @@ class CurationSpec extends SparkSpec {
     rows.foreach(r => assert(r.getBoolean(5) == (r.getDouble(3) < r.getDouble(4))
       || math.abs(r.getDouble(3) - r.getDouble(4)) < 1e-6))
   }
+
+  test("p7 lays out each source shard contiguously with exact boundary flags") {
+    val maxLen = 64L
+    val rows = Curation.p7PackSequences(spark, sfDir, maxLen = maxLen.toInt)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val laid = rs.sortBy(_.getLong(3))
+      var expect = 0L
+      laid.foreach { r =>
+        val (nTok, start, seqId, seqPos, crosses) =
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getBoolean(6))
+        assert(start == expect, s"$src gap/overlap at doc ${r.getLong(1)}")
+        expect += nTok
+        assert(seqId == start / maxLen && seqPos == start % maxLen)
+        val spans = nTok > 0 &&
+          start / maxLen != (start + nTok - 1) / maxLen
+        assert(crosses == spans)
+      }
+    }
+  }
 }

@@ -238,4 +238,23 @@ class GraftEngineSpec extends SparkSpec {
       assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0, "alpha frac")
     }
   }
+
+  test("facade delegates: pageRank, readability, packSequences") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val ranks = engine.pageRank(
+      Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")).collect()
+    assert(ranks.map(_.getLong(1)).toSet === Set(500000000000L))
+    Caches.releaseAll()
+
+    val read = engine.readability()
+    assert(read.columns.toSeq ===
+      Seq("doc_id", "n_sentences", "n_words", "n_syllables",
+        "flesch_ease", "fk_grade"))
+    assert(read.count() > 0)
+
+    val packed = engine.packSequences(maxLen = 32)
+    assert(packed.filter($"seq_pos" >= 32 || $"seq_pos" < 0).isEmpty)
+    assert(packed.count() > 0)
+  }
 }
