@@ -813,7 +813,30 @@ object EngineQueries {
       .orderBy($"supp_nation", $"cust_nation", $"l_year")
   }
 
+  /** q32: TPC-H Q15 shape — top supplier(s) by quarterly revenue:
+    * aggregate a date-sliced fact scan per supplier, take the max as
+    * one broadcast scalar, keep every supplier hitting it (ties
+    * preserved, as in Q15's view formulation). Integer-cent volume
+    * end to end — the max comparison is long vs long, so the
+    * tie edge case is exact, not float-blurred. Scan → one keyed
+    * agg → broadcast scalar filter → dim join for the name. */
+  def q32TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= "1997-01-01" && $"l_shipdate" < "1997-04-01")
+      .groupBy($"l_suppkey")
+      .agg(sum(volCents).as("total_cents"))
+    val top = rev.agg(max($"total_cents").as("max_cents"))
+    rev.crossJoin(broadcast(top))
+      .filter($"total_cents" === $"max_cents")
+      .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name",
+        round($"total_cents".cast("double") / 100.0, 2).as("total_revenue"))
+      .orderBy($"s_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_top_supplier" -> q32TopSupplier _,
     "q31_volume_shipping" -> q31VolumeShipping _,
     "q30_promo_share" -> q30PromoShare _,
     "q29_market_share" -> q29MarketShare _,
@@ -853,6 +876,20 @@ object EngineQueries {
     s"(((${bfA(j)} * ($k % 2147483647) + ${bfB(j)}) % 2147483647) % 8192)"
 
   val oracles: Map[String, String] = Map(
+    "q32_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum((CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+        |         * (100 - CAST(round(l_discount * 100.0, 0) AS BIGINT))) // 100)
+        |      AS total_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |  round(CAST(total_cents AS DOUBLE) / 100.0, 2) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_cents = (SELECT max(total_cents) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
     // integer-cent volume in all three ratio queries: cents×bp is
     // exact int64, sums are order-independent, the one double ratio
     // is computed from identical longs in both engines

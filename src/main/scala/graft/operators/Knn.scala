@@ -223,16 +223,24 @@ object Knn {
     // train-once/serve-many: the coarse quantizer is the session's
     // index-build artifact, shared by every query on this corpus
     val cents = ivfCentroids(spark, dir, all)
-    val cells = assign(all, cents)
+    ivfServe(assign(all, cents), cents, nprobe = 2)
+  }
+
+  /** The IVF serving phase over any assigned cell index: probe the
+    * top-`nprobe` centroids per query against the centroid literals,
+    * exact-rerank inside the probed cells. Shared by a4 (k=8) and
+    * a8 (the k=64 quantizer d7 trains). */
+  private def ivfServe(cells: DataFrame, cents: Seq[Seq[Double]],
+                       nprobe: Int): DataFrame = {
+    import cells.sparkSession.implicits._
     val queries = cells.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"v".as("qv"))
-    // probe: top-2 centroids per query against the centroid literals
     val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
     val probed = queries
       .withColumn("__scores", transform(centArr, c => V.cosineD($"qv", c)))
       .withColumn("probe", slice(reverse(array_sort(zip_with($"__scores",
         sequence(lit(0), lit(cents.length - 1)),
-        (s, i) => struct(s.as("s"), i.as("i"))))), 1, 2))
+        (s, i) => struct(s.as("s"), i.as("i"))))), 1, nprobe))
       .select($"q_id", $"qv", explode($"probe.i").as("cid"))
     val w = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")
     cells.join(broadcast(probed), Seq("cid"))
@@ -242,6 +250,25 @@ object Knn {
       .filter($"rnk" <= 5)
       .select($"q_id", $"vec_id", round($"cosine_raw", 6).as("cosine"), $"rnk")
       .orderBy($"q_id", $"rnk")
+  }
+
+  /** a8: IVF serving over the SHARED k=64 quantizer — the IVF/
+    * SemDeDup hybrid: the dedup pass (d7) and this ANN path run
+    * against ONE trained quantizer ([[graft.TrainedModels]] keyed
+    * `kmeans:<dir>:k=64`), so a corpus pays its index-build once and
+    * both the curation side and the serving side reuse it. Finer
+    * cells than a4 (each probe touches ~n/64 vectors), so nprobe=4
+    * keeps candidate coverage while scanning ~8× fewer rows per
+    * probe — the cell-count/nprobe trade every IVF deployment
+    * tunes. */
+  def a8KnnIvfShared(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = graft.Caches.persist(
+      Tables.embeddings(spark, dir)
+        .select($"vec_id", V.asDouble($"embedding").as("v")))
+    val cents = Dedup.semCentroids(spark, dir, all)
+    ivfServe(Knn.assign(all, cents)
+        .select($"vec_id", $"cid", $"v"), cents, nprobe = 4)
   }
 
   /** a5: int8 SCALAR-QUANTIZED scan + exact rerank — the
@@ -472,6 +499,7 @@ object Knn {
     "a2_knn_lsh" -> a2Lsh _,
     "a3_knn_ivf" -> a3Ivf _,
     "a4_knn_ivf_kmeans" -> a4IvfKmeans _,
+    "a8_knn_ivf64" -> a8KnnIvfShared _,
     "a5_knn_sq8" -> a5KnnSq8 _,
     "a6_knn_pq" -> a6KnnPq _,
     "a7_knn_pq_kmeans" -> a7KnnPqKmeans _,
@@ -749,6 +777,31 @@ object Knn {
          |scored AS (
          |  SELECT p.q_id, b.vec_id, ${cos("p.qv", "b.v")} AS cosine_raw
          |  FROM probe p JOIN e b ON b.label = p.label AND b.vec_id <> p.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cosine_raw,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, vec_id, round(cosine_raw, 6) AS cosine, rnk
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin,
+    // the k=64 Lloyd build is d7's oracle prefix, verbatim — one
+    // trained quantizer, two consumers, in SQL exactly as in Spark
+    "a8_knn_ivf64" ->
+      s"""WITH ${kmeansCellsSqlFor(64)},
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |pscore AS (
+         |  SELECT q.q_id, q.qv, c.cid, ${cos("q.qv", "c.cv")} AS cs
+         |  FROM q CROSS JOIN c3 c),
+         |probe AS (
+         |  SELECT q_id, qv, cid FROM (
+         |    SELECT q_id, qv, cid,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, cid DESC) AS p_rnk
+         |    FROM pscore) WHERE p_rnk <= 4),
+         |scored AS (
+         |  SELECT p.q_id, ce.vec_id, ${cos("p.qv", "b.v")} AS cosine_raw
+         |  FROM probe p
+         |  JOIN cells ce ON ce.cid = p.cid AND ce.vec_id <> p.q_id
+         |  JOIN e b ON b.vec_id = ce.vec_id),
          |ranked AS (
          |  SELECT q_id, vec_id, cosine_raw,
          |    row_number() OVER (PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id) AS rnk

@@ -355,15 +355,100 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** m7: MP4/ISO-BMFF top-level BOX WALK — the video-container tier:
+    * unlike JPEG's marker+BE16 chain (m6), BMFF is a sequence of
+    * size-prefixed boxes (BE32 size INCLUDING the 8-byte header,
+    * 4-char ASCII type), so the walk hops by declared size and reads
+    * the type at each stop. The catalog fields a video pipeline
+    * extracts before any codec work: container validity (leading
+    * `ftyp`), major brand, box count, `moov` offset, `mdat` payload
+    * bytes. The corpus synthesizes containers whose brand count and
+    * optional `free` box vary by doc_id (variable offsets, like m6),
+    * with the document bytes as the mdat payload. Bounds-guarded
+    * unrolled walk; a truncated stream yields nulls. */
+  def m7Mp4Meta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nBrands = (lit(1) + pmod($"doc_id", lit(3))).cast("long")
+    val ftypSize = lit(16L) + nBrands * 4L
+    val freeSize = (lit(8) + pmod($"doc_id", lit(16))).cast("long")
+    val ftyp = concat(lpad(hex(ftypSize), 8, "0"), lit("66747970"),
+      lit("69736F6D"), lit("00000000"),
+      repeat(lit("69736F6D"), nBrands.cast("int")))
+    val free = when(pmod($"doc_id", lit(2)) === 0,
+      concat(lpad(hex(freeSize), 8, "0"), lit("66726565"),
+        repeat(lit("00"), (freeSize - 8L).cast("int"))))
+      .otherwise(lit(""))
+    val moov = concat(lit("00000008"), lit("6D6F6F76"))
+    val mdat = concat(
+      lpad(hex(lit(8L) + octet_length($"text".cast("binary"))), 8, "0"),
+      lit("6D646174"), hex($"text".cast("binary")))
+    val blobs = Tables.documents(spark, dir)
+      .select($"doc_id", unhex(concat(ftyp, free, moov, mdat)).as("payload"))
+    parseMp4Boxes(blobs).orderBy($"doc_id")
+  }
+
+  /** The BMFF box walker over any (doc_id, payload binary) frame:
+    * up to `maxBoxes` size-prefixed hops from offset 1. */
+  def parseMp4Boxes(blobs: DataFrame, maxBoxes: Int = 4): DataFrame = {
+    import blobs.sparkSession.implicits._
+    val payloadLen = octet_length($"payload").cast("long")
+    def byteAt(off: Column): Column =
+      when(off + 1 <= payloadLen,
+        conv(hex($"payload".substr(off.cast("int"), lit(1))), 16, 10)
+          .cast("long"))
+    def be32(off: Column): Column =
+      ((byteAt(off) * 256L + byteAt(off + 1)) * 256L
+        + byteAt(off + 2)) * 256L + byteAt(off + 3)
+    // a box is well-formed if its 8-byte header fits and its declared
+    // size covers at least that header
+    def valid(off: Column): Column =
+      (off + 8L <= payloadLen + 1L) && (be32(off) >= 8L)
+    def boxType(off: Column): Column =
+      when(valid(off), decode($"payload".substr((off + 4L).cast("int"),
+        lit(4)), "US-ASCII"))
+    val hops = List.iterate(lit(1L): Column, maxBoxes)(off => off + be32(off))
+    def firstAt(tpe: String, out: Column => Column): Column =
+      hops.foldRight(lit(null).cast("long")) { (off, rest) =>
+        when(boxType(off) === tpe, out(off)).otherwise(rest)
+      }
+    val isMp4 = boxType(lit(1L)) === "ftyp"
+    blobs.select($"doc_id",
+        isMp4.as("is_mp4"),
+        when(isMp4, decode($"payload".substr(9, 4), "US-ASCII"))
+          .as("major_brand"),
+        when(isMp4, hops.map(o => when(valid(o), 1L).otherwise(0L))
+          .reduce(_ + _)).as("n_boxes"),
+        when(isMp4, firstAt("moov", identity)).as("moov_pos"),
+        when(isMp4, firstAt("mdat", o => be32(o) - 8L)).as("mdat_bytes"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> m1BinaryMeta _,
     "m2_frame_sample" -> m2FrameSample _,
     "m3_image_meta" -> m3ImageMeta _,
     "m4_audio_meta" -> m4AudioMeta _,
     "m5_gif_meta" -> m5GifMeta _,
-    "m6_jpeg_meta" -> m6JpegMeta _)
+    "m6_jpeg_meta" -> m6JpegMeta _,
+    "m7_mp4_meta" -> m7Mp4Meta _)
 
   val oracles: Map[String, String] = Map(
+    // first-principles recompute of the box walk: moov offset and box
+    // count rebuilt from the synth's variable ftyp/free sizes
+    "m7_mp4_meta" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    16 + 4 * (1 + doc_id % 3) AS ftyp_size,
+        |    CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 16 ELSE 0 END AS free_size,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS data_bytes
+        |  FROM documents)
+        |SELECT doc_id, true AS is_mp4, 'isom' AS major_brand,
+        |  CAST(3 + (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_boxes,
+        |  CAST(1 + ftyp_size + free_size AS BIGINT) AS moov_pos,
+        |  data_bytes AS mdat_bytes
+        |FROM f
+        |ORDER BY doc_id""".stripMargin,
     // first-principles recompute of the marker-walk result: segment
     // count and SOF offset rebuilt from the synth's presence rules
     // and lengths — a fixed-offset parse cannot reproduce sof_pos
