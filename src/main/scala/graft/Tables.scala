@@ -30,17 +30,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark rejects; read
-    * it as raw nanos and truncate to Spark's native µs precision.
-    * Integer `div` (not `/`) — ns epoch values exceed double's exact
-    * 2^53 range. */
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some data
+    * generations and TIMESTAMP(MICROS) in others; normalize both to
+    * Spark's native TimestampType so downstream operators see one
+    * type. NANOS would be rejected by the vectorized reader, so it is
+    * read as raw nanos (`nanosAsLong`) and truncated with integer
+    * `div` (ns epoch values exceed double's exact 2^53 range). MICROS
+    * arrives as TIMESTAMP_NTZ; the session timezone is pinned to UTC
+    * so the cast to TimestampType is value-identical. */
   def events(s: SparkSession, d: String): DataFrame = {
     // read-time conf, so it cannot be scoped tighter than the session;
     // guard to avoid re-mutating shared-session conf on every read
     if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = apply(s, d, "events")
+    val ts = raw.schema("ts").dataType match {
+      case LongType         => expr("timestamp_micros(ts div 1000)")
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case _                => col("ts")
+    }
+    raw.withColumn("ts", ts)
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -665,7 +665,9 @@ object ChunkQueries {
          |outdeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
          |r0 AS (SELECT url, 1000000000000 // nn.n AS r FROM nodes, nn),
          |${(1 to 3).map(prIterSql).mkString(",\n")}
-         |SELECT url, r AS rank_e12,
+         |-- CAST: the iterated sum() widens r to HUGEINT, which pandas
+         |-- turns into float64 and the driver hash then diverges
+         |SELECT url, CAST(r AS BIGINT) AS rank_e12,
          |  round(CAST(r AS DOUBLE) / 1e12, 8) AS rank
          |FROM r3
          |ORDER BY rank_e12 DESC, url""".stripMargin,

@@ -196,13 +196,15 @@ object Curation {
          |  FROM h),
          |o AS (
          |  SELECT doc_id, source, n_tokens,
-         |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
-         |                        ROWS UNBOUNDED PRECEDING) - n_tokens
-         |      AS start_off
+         |    -- CAST: DuckDB sum(BIGINT) is HUGEINT, which pandas widens
+         |    -- to float64 and the driver hash then sees 512.0 vs 512
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |                             ROWS UNBOUNDED PRECEDING) - n_tokens
+         |         AS BIGINT) AS start_off
          |  FROM d)
          |SELECT source, doc_id, n_tokens, start_off,
-         |  start_off // 1024 AS seq_id,
-         |  start_off % 1024 AS seq_pos,
+         |  CAST(start_off // 1024 AS BIGINT) AS seq_id,
+         |  CAST(start_off % 1024 AS BIGINT) AS seq_pos,
          |  (n_tokens > 0 AND
          |   (start_off // 1024) <> ((start_off + n_tokens - 1) // 1024))
          |    AS crosses_seq

@@ -44,6 +44,19 @@ for name, sql in sorted(oracle.items()):
             print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}")
             fails += 1
             continue
+        # dtype divergence (e.g. DuckDB HUGEINT -> pandas float64 vs
+        # Spark int64) hashes as 512.0 vs 512 on the driver even when
+        # the values compare equal here — treat float-vs-int as FAIL
+        dtfail = None
+        for c in spark_df.columns:
+            ka, kb = spark_df[c].dtype.kind, duck_df[c].dtype.kind
+            if ka != kb and {ka, kb} <= {"i", "u", "f"} and "f" in (ka, kb):
+                dtfail = (c, spark_df[c].dtype, duck_df[c].dtype)
+                break
+        if dtfail:
+            print(f"FAIL {name}: dtype col {dtfail[0]} spark={dtfail[1]} duck={dtfail[2]} (driver hash diverges)")
+            fails += 1
+            continue
         # order-insensitive value compare (sort rows by all columns)
         a = spark_df.sort_values(by=list(spark_df.columns)).reset_index(drop=True)
         b = duck_df.sort_values(by=list(duck_df.columns)).reset_index(drop=True)
