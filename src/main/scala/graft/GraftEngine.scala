@@ -423,4 +423,22 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
           expr(s"(start_off div $maxLen) != ((start_off + n_tokens - 1) div $maxLen)"))
           .as("crosses_seq"))
   }
+
+  /** Pack documents whole into fixed-capacity bins (p8's next-fit
+    * layout — SFT/instruction data where a split document is a
+    * corrupted example). Requires a `source` column; oversize
+    * documents sit alone in their bin. */
+  def packBins(cap: Long = 1024L): DataFrame = {
+    require(corpus.columns.contains("source"),
+      "packBins needs a source column (one pack stream per shard)")
+    val docs = corpus
+      .select($"doc_id", $"source",
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
+          .as("n_tokens"),
+        element_at(call_function("poly_hash_all", array($"text")), 1).as("h"))
+    graft.operators.Packing
+      .packNextFit(docs, Seq("source"), Seq("h", "doc_id"), "n_tokens", cap)
+      .select($"source", $"doc_id", $"n_tokens",
+        $"bin_id", $"bin_off", $"oversize")
+  }
 }

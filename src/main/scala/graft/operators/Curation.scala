@@ -171,12 +171,45 @@ object Curation {
       .orderBy($"source", $"start_off", $"doc_id")
   }
 
+  /** p8: sequence packing WITHOUT document splitting — the greedy
+    * next-fit layout real pipelines use when examples must stay
+    * whole (SFT/instruction data, where a split document is a
+    * corrupted example; p7's concat-and-chunk is the pretraining
+    * layout where straddling is fine). Same deterministic per-source
+    * stream as p7 — (content hash, doc_id) order — but a document
+    * that would straddle the cap closes the bin and opens the next
+    * one; oversize documents sit alone in their bin for a downstream
+    * truncate-or-drop policy to handle.
+    *
+    * Rides [[Packing.packNextFit]]: one exchange on source + an
+    * in-partition sort + a sequential per-group pass — the running
+    * (bin, fill) reset is not window-expressible, so the kernel is
+    * the documented legitimate `mapPartitions`. The oracle replays
+    * the same greedy recurrence as a DuckDB recursive CTE stepping
+    * rank-by-rank within each source. */
+  def p8PackBins(spark: SparkSession, dir: String,
+                 cap: Long = 1024L): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
+          .as("n_tokens"),
+        element_at(call_function("poly_hash_all", array($"text")), 1).as("h"))
+    Packing.packNextFit(docs, Seq("source"), Seq("h", "doc_id"),
+        "n_tokens", cap)
+      .select($"source", $"doc_id", $"n_tokens",
+        $"bin_id", $"bin_off", $"oversize")
+      .orderBy($"source", $"bin_id", $"bin_off", $"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p2_decontaminate" -> p2Decontaminate _,
     "p3_train_split" -> p3TrainSplit _,
     "p4_sample_per_source" -> ((s, d) => p4SamplePerSource(s, d)),
     "p6_mixture_sample" -> p6MixtureSample _,
-    "p7_pack_sequences" -> ((s, d) => p7PackSequences(s, d)))
+    "p7_pack_sequences" -> ((s, d) => p7PackSequences(s, d)),
+    "p8_pack_bins" -> ((s, d) => p8PackBins(s, d)))
 
   private val polyFoldSql =
     """list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -210,6 +243,40 @@ object Curation {
          |    AS crosses_seq
          |FROM o
          |ORDER BY source, start_off, doc_id""".stripMargin,
+    // the same greedy next-fit recurrence, stepped rank-by-rank per
+    // source: an item that no longer fits closes the bin
+    "p8_pack_bins" ->
+      s"""WITH RECURSIVE h AS (SELECT doc_id, source, text AS t FROM documents),
+         |d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(t, '\\S+')) AS BIGINT) AS n_tokens,
+         |    ($polyFoldSql) AS h
+         |  FROM h),
+         |o AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+         |         AS BIGINT) AS rn
+         |  FROM d),
+         |packed AS (
+         |  SELECT source, doc_id, n_tokens, rn,
+         |    CAST(0 AS BIGINT) AS bin_id, CAST(0 AS BIGINT) AS bin_off,
+         |    n_tokens AS fill
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.source, o.doc_id, o.n_tokens, o.rn,
+         |    CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > 1024
+         |         THEN p.bin_id + 1 ELSE p.bin_id END,
+         |    CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > 1024
+         |         THEN CAST(0 AS BIGINT) ELSE p.fill END,
+         |    CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > 1024
+         |         THEN o.n_tokens ELSE p.fill + o.n_tokens END
+         |  FROM packed p JOIN o ON o.source = p.source AND o.rn = p.rn + 1)
+         |SELECT source, doc_id, n_tokens,
+         |  CAST(bin_id AS BIGINT) AS bin_id,
+         |  CAST(bin_off AS BIGINT) AS bin_off,
+         |  (n_tokens > 1024) AS oversize
+         |FROM packed
+         |ORDER BY source, bin_id, bin_off, doc_id""".stripMargin,
     "p2_decontaminate" ->
       s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
         |g AS (

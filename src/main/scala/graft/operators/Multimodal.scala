@@ -309,10 +309,13 @@ object Multimodal {
     val sof0 = concat(lit("FFC0"), lit("0011"), lit("08"),
       lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
       lit("03"), lit("012200021101031101"))
+    // entropy-coded body: a text PREFIX stands in for the scan data —
+    // the parser only walks header segments, so synthesizing (and
+    // hexing) megabytes of body per row would be pure bench tax
     val blobs = Tables.documents(spark, dir)
       .select($"doc_id",
         unhex(concat(lit("FFD8"), app0, com, app1, sof0,
-          hex($"text".cast("binary")))).as("payload"))
+          hex(substring($"text", 1, 64).cast("binary")))).as("payload"))
     parseJpegHeader(blobs).orderBy($"doc_id")
   }
 
@@ -322,34 +325,48 @@ object Multimodal {
     * offset, and the frame fields. */
   def parseJpegHeader(blobs: DataFrame, maxHops: Int = 4): DataFrame = {
     import blobs.sparkSession.implicits._
-    val payloadLen = octet_length($"payload").cast("long")
-    // bounds-guarded byte read (1-based offset): null past the end
+    graft.plans.GraftFunctions.ensureRegistered(blobs.sparkSession)
+    // bounds-guarded byte read (1-based offset): null past the end.
+    // byte_at is the codegen kernel — the substr->hex->conv route
+    // costs two string allocs + a base-16 parse per byte
     def byteAt(off: Column): Column =
-      when(off + 1 <= payloadLen,
-        conv(hex($"payload".substr(off.cast("int"), lit(1))), 16, 10)
-          .cast("long"))
+      when(off + 1 <= $"_len", call_function("byte_at", $"payload", off))
     def be16(off: Column): Column = byteAt(off) * 256L + byteAt(off + 1)
-    val isJpeg = hex(substring($"payload", 1, 2)) === "FFD8"
-    // unrolled walk: offset of hop i's marker byte (1-based, at 0xFF)
-    val hops = List.iterate(lit(3L): Column, maxHops) { off =>
-      off + 2L + be16(off + 2L)
-    }
+    // Each hop offset is MATERIALIZED as a column so deeper hops
+    // reference an attribute, not a re-embedded copy of every prior
+    // hop's subtree. The naive List.iterate formulation grows the
+    // tree exponentially in maxHops (hop4's offset re-evaluates
+    // hop3's per byte read, which re-evaluates hop2's, ...), blowing
+    // past the codegen method-size limit and dropping the stage to
+    // interpreted eval — measured ~2.4 ms/row at sf0.1 vs ~µs for
+    // this shape. CollapseProject keeps the layering: a non-trivial
+    // alias consumed more than once is not inlined back.
+    var walked = blobs
+      .withColumn("_len", octet_length($"payload").cast("long"))
+      .withColumn("_off1", lit(3L))
+    for (i <- 1 until maxHops)
+      walked = walked.withColumn(s"_off${i + 1}",
+        col(s"_off$i") + 2L + be16(col(s"_off$i") + 2L))
+    val offs = (1 to maxHops).map(i => col(s"_off$i")).toList
     def isSofAt(off: Column): Column =
       byteAt(off) === 255L && byteAt(off + 1) === 192L
-    val sofOff = hops.zipWithIndex.foldRight(lit(null).cast("long")) {
+    val sofOff = offs.zipWithIndex.foldRight(lit(null).cast("long")) {
       case ((off, _), rest) => when(isSofAt(off), off).otherwise(rest)
     }
-    val nSegs = hops.zipWithIndex.foldRight(lit(null).cast("long")) {
+    val nSegs = offs.zipWithIndex.foldRight(lit(null).cast("long")) {
       case ((off, i), rest) => when(isSofAt(off), i.toLong).otherwise(rest)
     }
-    blobs.select($"doc_id",
+    val isJpeg = hex(substring($"payload", 1, 2)) === "FFD8"
+    walked
+      .withColumn("_sof", sofOff)
+      .select($"doc_id",
         isJpeg.as("is_jpeg"),
         when(isJpeg, nSegs).as("n_segments"),
-        when(isJpeg, sofOff).as("sof_pos"),
-        when(isJpeg, byteAt(sofOff + 4L)).as("precision"),
-        when(isJpeg, be16(sofOff + 5L)).as("height"),
-        when(isJpeg, be16(sofOff + 7L)).as("width"),
-        when(isJpeg, byteAt(sofOff + 9L)).as("n_components"))
+        when(isJpeg, $"_sof").as("sof_pos"),
+        when(isJpeg, byteAt($"_sof" + 4L)).as("precision"),
+        when(isJpeg, be16($"_sof" + 5L)).as("height"),
+        when(isJpeg, be16($"_sof" + 7L)).as("width"),
+        when(isJpeg, byteAt($"_sof" + 9L)).as("n_components"))
       .withColumn("est_raw_bytes",
         ($"height" * $"width" * $"n_components").cast("long"))
       .orderBy($"doc_id")
@@ -379,9 +396,12 @@ object Multimodal {
         repeat(lit("00"), (freeSize - 8L).cast("int"))))
       .otherwise(lit(""))
     val moov = concat(lit("00000008"), lit("6D6F6F76"))
+    // declared mdat size covers the FULL document; the carried body is
+    // a prefix (the walker reads box headers only, and the hop past
+    // mdat lands beyond payload end either way — same n_boxes)
     val mdat = concat(
       lpad(hex(lit(8L) + octet_length($"text".cast("binary"))), 8, "0"),
-      lit("6D646174"), hex($"text".cast("binary")))
+      lit("6D646174"), hex(substring($"text", 1, 64).cast("binary")))
     val blobs = Tables.documents(spark, dir)
       .select($"doc_id", unhex(concat(ftyp, free, moov, mdat)).as("payload"))
     parseMp4Boxes(blobs).orderBy($"doc_id")
@@ -391,35 +411,47 @@ object Multimodal {
     * up to `maxBoxes` size-prefixed hops from offset 1. */
   def parseMp4Boxes(blobs: DataFrame, maxBoxes: Int = 4): DataFrame = {
     import blobs.sparkSession.implicits._
-    val payloadLen = octet_length($"payload").cast("long")
+    graft.plans.GraftFunctions.ensureRegistered(blobs.sparkSession)
+    // codegen byte read + per-hop materialized offsets — see
+    // parseJpegHeader's notes (same exponential-tree hazard)
     def byteAt(off: Column): Column =
-      when(off + 1 <= payloadLen,
-        conv(hex($"payload".substr(off.cast("int"), lit(1))), 16, 10)
-          .cast("long"))
+      when(off + 1 <= $"_len", call_function("byte_at", $"payload", off))
     def be32(off: Column): Column =
       ((byteAt(off) * 256L + byteAt(off + 1)) * 256L
         + byteAt(off + 2)) * 256L + byteAt(off + 3)
+    var walked = blobs
+      .withColumn("_len", octet_length($"payload").cast("long"))
+      .withColumn("_off1", lit(1L))
+    for (i <- 1 to maxBoxes) {
+      // each box's declared size is read once and reused by the next
+      // hop's offset, the validity test, and mdat's payload length
+      walked = walked.withColumn(s"_size$i", be32(col(s"_off$i")))
+      if (i < maxBoxes)
+        walked = walked.withColumn(s"_off${i + 1}",
+          col(s"_off$i") + col(s"_size$i"))
+    }
+    val boxes = (1 to maxBoxes)
+      .map(i => (col(s"_off$i"), col(s"_size$i"))).toList
     // a box is well-formed if its 8-byte header fits and its declared
     // size covers at least that header
-    def valid(off: Column): Column =
-      (off + 8L <= payloadLen + 1L) && (be32(off) >= 8L)
-    def boxType(off: Column): Column =
-      when(valid(off), decode($"payload".substr((off + 4L).cast("int"),
+    def valid(off: Column, size: Column): Column =
+      (off + 8L <= $"_len" + 1L) && (size >= 8L)
+    def boxType(off: Column, size: Column): Column =
+      when(valid(off, size), decode($"payload".substr((off + 4L).cast("int"),
         lit(4)), "US-ASCII"))
-    val hops = List.iterate(lit(1L): Column, maxBoxes)(off => off + be32(off))
-    def firstAt(tpe: String, out: Column => Column): Column =
-      hops.foldRight(lit(null).cast("long")) { (off, rest) =>
-        when(boxType(off) === tpe, out(off)).otherwise(rest)
+    def firstAt(tpe: String, out: (Column, Column) => Column): Column =
+      boxes.foldRight(lit(null).cast("long")) { case ((off, size), rest) =>
+        when(boxType(off, size) === tpe, out(off, size)).otherwise(rest)
       }
-    val isMp4 = boxType(lit(1L)) === "ftyp"
-    blobs.select($"doc_id",
+    val isMp4 = boxType(col("_off1"), col("_size1")) === "ftyp"
+    walked.select($"doc_id",
         isMp4.as("is_mp4"),
         when(isMp4, decode($"payload".substr(9, 4), "US-ASCII"))
           .as("major_brand"),
-        when(isMp4, hops.map(o => when(valid(o), 1L).otherwise(0L))
-          .reduce(_ + _)).as("n_boxes"),
-        when(isMp4, firstAt("moov", identity)).as("moov_pos"),
-        when(isMp4, firstAt("mdat", o => be32(o) - 8L)).as("mdat_bytes"))
+        when(isMp4, boxes.map { case (o, s) =>
+          when(valid(o, s), 1L).otherwise(0L) }.reduce(_ + _)).as("n_boxes"),
+        when(isMp4, firstAt("moov", (o, _) => o)).as("moov_pos"),
+        when(isMp4, firstAt("mdat", (_, s) => s - 8L)).as("mdat_bytes"))
       .orderBy($"doc_id")
   }
 

@@ -544,3 +544,43 @@ case class JaccardSorted(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): JaccardSorted =
     copy(left = newLeft, right = newRight)
 }
+
+/** Bounds-safe byte read from a binary column: byte_at(payload, pos)
+  * with 1-based pos -> unsigned byte value as bigint, -1 past either
+  * end. The binary-header parsers (Multimodal m3-m7) hop marker to
+  * marker with DYNAMIC offsets; the built-in route for one such read
+  * is substr(binary)->hex->conv — two string allocations and a
+  * base-16 parse per byte, and the unrolled walks re-evaluate each
+  * hop's offset subtree at every deeper hop, multiplying that churn.
+  * This kernel makes the per-byte cost one array index, so even the
+  * duplicated subtrees are cheap integer math inside codegen. */
+case class ByteAt(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "byte_at"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"byte_at requires (binary, bigint), got (${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val bytes = l.asInstanceOf[Array[Byte]]
+    val pos = r.asInstanceOf[Long]
+    if (pos < 1L || pos > bytes.length) -1L
+    else (bytes(pos.toInt - 1) & 0xff).toLong
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, p) =>
+      s"""
+         |${ev.value} = ($p < 1L || $p > $b.length)
+         |  ? -1L : (long) ($b[(int) $p - 1] & 0xff);
+         |""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ByteAt =
+    copy(left = newLeft, right = newRight)
+}

@@ -51,7 +51,9 @@ object GraftFunctions {
       (args: Seq[Expression]) =>
         if (args.length >= 2)
           PolyHashArr(args.head, args(1).eval().asInstanceOf[Number].longValue())
-        else PolyHashArr(args.head)))
+        else PolyHashArr(args.head)),
+    ("byte_at", "byte_at(binary, pos) - 1-based unsigned byte read, -1 out of range",
+      (args: Seq[Expression]) => ByteAt(args.head, args(1))))
 
   /** Idempotent per-session registration. */
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
@@ -84,7 +86,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       ("poly_hash_all", args =>
         if (args.length >= 2)
           PolyHashArr(args.head, args(1).eval().asInstanceOf[Number].longValue())
-        else PolyHashArr(args.head))
+        else PolyHashArr(args.head)),
+      ("byte_at", args => ByteAt(args.head, args(1)))
     ).foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[Kernels.type].getName, null, name),

@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction PLANNING over a partitioned store — the
+  * metadata pass that decides which files merge into which output
+  * file before [[ChunkStore.compact]] (or an OPTIMIZE job) rewrites
+  * bytes. Streaming foreachBatch appends leave one file per (epoch,
+  * partition, task); at 100 TB the rewrite itself is the expensive
+  * step, so the plan must come from the listing alone — never from
+  * reading data — and group files to a byte target (one parquet
+  * rowgroup-friendly output file each).
+  *
+  * The grouping is [[graft.operators.Packing.packNextFit]] keyed on
+  * the partition directory and ordered by path: deterministic,
+  * parallel across partitions, one exchange over the LISTING (a
+  * metadata-sized table even when the store is 100 TB). On
+  * Delta/Iceberg the listing comes from the manifest instead of the
+  * FileSystem walk; the planning pass is identical.
+  */
+object Compaction {
+
+  /** File listing of a partitioned parquet store as a DataFrame:
+    * (partition, path, bytes). Partition = the first-level
+    * `key=value` directory (ChunkStore.writePartitioned layout);
+    * files at the root list under partition "". Driver-side walk —
+    * the listing is metadata, and object-store listings at real
+    * scale page through the same API. */
+  def listFiles(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(rootPath, true)
+    val rows = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next())
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+        && !f.getPath.getName.startsWith("."))
+      .map { f =>
+        val rel = rootPath.toUri.relativize(f.getPath.toUri).getPath
+        val part = rel.split('/').dropRight(1).find(_.contains("="))
+          .getOrElse("")
+        (part, rel, f.getLen)
+      }
+      .toSeq
+    rows.toDF("partition", "path", "bytes")
+  }
+
+  /** Assign every file to an output group: next-fit to `targetBytes`
+    * per group within its partition, in path order. Output adds
+    * `bin_id` (output-file ordinal within the partition), `bin_off`
+    * (byte offset the file's data starts at in its group) and
+    * `oversize` (file already beyond the target — left alone, a
+    * rewrite would only burn I/O). */
+  def planFiles(files: DataFrame, targetBytes: Long): DataFrame =
+    graft.operators.Packing.packNextFit(
+      files, Seq("partition"), Seq("path"), "bytes", targetBytes)
+
+  /** One row per planned output file: file count and total bytes —
+    * the summary an OPTIMIZE scheduler budgets tasks from. */
+  def planSummary(files: DataFrame, targetBytes: Long): DataFrame =
+    planFiles(files, targetBytes)
+      .groupBy(col("partition"), col("bin_id"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("total_bytes"))
+      .orderBy(col("partition"), col("bin_id"))
+}
