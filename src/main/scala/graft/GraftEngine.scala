@@ -105,6 +105,31 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
       HybridSearch.hybrid(spark, filtered, emb, terms, alpha, limit)
   }
 
+  /** Session query log — the reference wires a QueryLogger into
+    * retrieval.Service and defers a Log after every successful
+    * Search (service.go:62-70); [[runSearch]] is the materializing
+    * call that feeds it here. Always on: the ring is bounded and an
+    * entry is a few hundred bytes. */
+  val queryLog = new QueryLog()
+
+  /** Serve one search to completion: materialize the top-k (a
+    * serving result is k small rows — collecting them IS the
+    * request/response boundary, not a driver-side compute loop), log
+    * (query, num_results, duration, correlation_id) like the
+    * reference's deferred QueryLogger call, return the rows. A
+    * failed search logs nothing — same as the reference's err==nil
+    * gate. */
+  def runSearch(query: String, alpha: Double = settings.searchAlpha,
+                limit: Int = settings.searchTopK,
+                filters: Map[String, String] = Map.empty,
+                correlationId: String = ""): Seq[org.apache.spark.sql.Row] = {
+    val t0 = System.nanoTime()
+    val rows = search(query, alpha, limit, filters).collect().toSeq
+    queryLog.log(QueryLog.entry(query, rows.length,
+      System.nanoTime() - t0, correlationId))
+    rows
+  }
+
   /** Search + deterministic rerank (the reranker-configured path). */
   def searchReranked(query: String, alpha: Double = settings.searchAlpha,
                      limit: Int = settings.searchTopK): DataFrame = {
