@@ -365,35 +365,29 @@ object Knn {
   def a6KnnPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val m = 8; val sub = 8; val k = 16
+    graft.plans.GraftFunctions.ensureRegistered(spark)
     val all = graft.Caches.persist(base(spark, dir))
     // codebook: k·dims doubles collected once (like a4's centroids)
     val seeds: Seq[Seq[Double]] = all.orderBy($"vec_id").limit(k)
       .select($"v").as[Seq[Double]].collect().toSeq
-    // one shared codebook literal (16×64 doubles) as a SINGLE
-    // Literal node (typedLit, not 1024 nested lit()s) — element_at
-    // references share it, so the expression tree stays codegen-sized
-    val seedMat = typedLit(seeds)
-    def sqDist(vec: Column, s: Column, j: Column): Column =
-      (0 until sub).map { d =>
-        val x = element_at(vec, (s * sub + d + 1).cast("int"))
-        val c = element_at(element_at(seedMat, (j + 1).cast("int")),
-                           (s * sub + d + 1).cast("int"))
-        (x - c) * (x - c)
-      }.reduce(_ + _)
-    // encode: code[s] = argmin_j ||v_sub(s) - seed_j_sub(s)||²
+    // per-subspace layout for the pq_encode/pq_adc codegen kernels
+    // (books(s)(j) = seed j's slice for subspace s) — the HOF
+    // formulation this replaces walked ~m·k·sub element_at lambdas
+    // per row interpreted; arithmetic (left-to-right (x-c)² folds,
+    // first-min argmin) is bit-identical, oracle untouched
+    val books: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      seeds.map(_.slice(s * sub, (s + 1) * sub))
+    }
+    val bookMat = typedLit(books)
     val coded = all.withColumn("code",
-      transform(sequence(lit(0), lit(m - 1)), s => {
-        val dists = transform(sequence(lit(0), lit(k - 1)), j => sqDist($"v", s, j))
-        (array_position(dists, array_min(dists)) - 1).cast("int")
-      }))
+      call_function("pq_encode", $"v", bookMat))
     val queries0 = coded.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"v".as("qv"))
     // ADC: approx = Σ_s ||q_sub(s) - centroid(code[s])_sub(s)||²
     val approx = coded.crossJoin(broadcast(queries0))
       .filter($"vec_id" =!= $"q_id")
       .withColumn("adist",
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-          (acc, s) => acc + sqDist($"qv", s, element_at($"code", (s + 1).cast("int")))))
+        call_function("pq_adc", $"qv", $"code", bookMat))
     val wA = Window.partitionBy($"q_id").orderBy($"adist", $"vec_id")
     val w = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")
     approx
@@ -461,27 +455,22 @@ object Knn {
   def a7KnnPqKmeans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val m = 8; val sub = 8; val k = 16
+    graft.plans.GraftFunctions.ensureRegistered(spark)
     val all = graft.Caches.persist(base(spark, dir))
     val books = pqBooks(spark, dir, all)
     val bookMat = typedLit(books)
-    def subSlice(v: Column, s: Column): Column = slice(v, s * sub + 1, lit(sub))
     // encode: code[s] = argmin_j ||v_sub(s) - books(s)(j)||², ties to
-    // the lowest code in both engines (array_position on first min)
+    // the lowest code in both engines (first-min argmin); same
+    // codegen kernels as a6 — the l2sq HOF chain they replace kept
+    // the trained-codebook serve pass interpreted
     val coded = all.withColumn("code",
-      transform(sequence(lit(0), lit(m - 1)), s => {
-        val dists = transform(sequence(lit(0), lit(k - 1)), j =>
-          l2sq(subSlice($"v", s), element_at(element_at(bookMat, s + 1), j + 1)))
-        (array_position(dists, array_min(dists)) - 1).cast("int")
-      }))
+      call_function("pq_encode", $"v", bookMat))
     val queries0 = coded.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"v".as("qv"))
     val approx = coded.crossJoin(broadcast(queries0))
       .filter($"vec_id" =!= $"q_id")
       .withColumn("adist",
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-          (acc, s) => acc + l2sq(subSlice($"qv", s),
-            element_at(element_at(bookMat, s + 1),
-                       element_at($"code", s + 1) + 1))))
+        call_function("pq_adc", $"qv", $"code", bookMat))
     val wA = Window.partitionBy($"q_id").orderBy($"adist", $"vec_id")
     val w = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")
     approx

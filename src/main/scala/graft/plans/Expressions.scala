@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -583,4 +583,181 @@ case class ByteAt(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ByteAt =
     copy(left = newLeft, right = newRight)
+}
+
+/** Shared helpers for the PQ kernels: materialize a foldable
+  * array<array<array<double>>> literal (per-subspace codebooks,
+  * layout books(s)(j)(d)) into a JVM table once per expression
+  * instance. */
+private[plans] object PqTable {
+  def fromLiteral(books: Expression): Array[Array[Array[Double]]] = {
+    require(books.foldable, "PQ codebooks must be a literal")
+    val sArr = books.eval().asInstanceOf[ArrayData]
+    Array.tabulate(sArr.numElements()) { s =>
+      val jArr = sArr.getArray(s)
+      Array.tabulate(jArr.numElements())(j => jArr.getArray(j).toDoubleArray())
+    }
+  }
+  def check(pretty: String, vecOk: Boolean, books: Expression): TypeCheckResult =
+    if (!vecOk)
+      TypeCheckResult.TypeCheckFailure(s"$pretty: vector args must be array<double>")
+    else if (!books.foldable || !(books.dataType match {
+      case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _) => true
+      case _ => false
+    }))
+      TypeCheckResult.TypeCheckFailure(
+        s"$pretty: codebooks must be a foldable array<array<array<double>>>")
+    else TypeCheckResult.TypeCheckSuccess
+}
+
+/** Product-quantization ENCODE: vector -> array<int> of per-subspace
+  * nearest-codeword ids (code(s) = argmin_j ||v_sub(s) - books(s)(j)||²,
+  * first minimum on ties — array_position semantics). Bit-identical
+  * fold order to the HOF formulation it replaces (left-to-right
+  * (x-c)² accumulation per codeword), which evaluated ~m·k·sub
+  * element_at lambdas per row INTERPRETED — the PQ build pass was
+  * the slowest ANN bench line before this kernel. */
+case class PqEncode(vec: Expression, books: Expression)
+    extends BinaryExpression {
+  override def left: Expression = vec
+  override def right: Expression = books
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+  override def checkInputDataTypes(): TypeCheckResult =
+    PqTable.check(prettyName, vec.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }, books)
+
+  @transient private lazy val table = PqTable.fromLiteral(books)
+
+  override def nullSafeEval(v: Any, ignored: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val m = table.length
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val cb = table(s); val sub = cb(0).length
+      var best = 0; var bestD = Double.MaxValue; var first = true
+      var j = 0
+      while (j < cb.length) {
+        var acc = 0.0; var d = 0
+        while (d < sub) {
+          val diff = arr.getDouble(s * sub + d) - cb(j)(d)
+          acc += diff * diff
+          d += 1
+        }
+        if (first || acc < bestD) { bestD = acc; best = j; first = false }
+        j += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tbl = ctx.addReferenceObj("pqBooks", table, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (v, _) => {
+      val m = ctx.freshName("m"); val s = ctx.freshName("s")
+      val j = ctx.freshName("j"); val d = ctx.freshName("d")
+      val cb = ctx.freshName("cb"); val sub = ctx.freshName("sub")
+      val acc = ctx.freshName("acc"); val diff = ctx.freshName("diff")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val out = ctx.freshName("out")
+      s"""
+         |int $m = $tbl.length;
+         |int[] $out = new int[$m];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  double[][] $cb = $tbl[$s];
+         |  int $sub = $cb[0].length;
+         |  int $best = 0; double $bestD = Double.MAX_VALUE; boolean first_$s = true;
+         |  for (int $j = 0; $j < $cb.length; $j++) {
+         |    double $acc = 0.0;
+         |    for (int $d = 0; $d < $sub; $d++) {
+         |      double $diff = $v.getDouble($s * $sub + $d) - $cb[$j][$d];
+         |      $acc += $diff * $diff;
+         |    }
+         |    if (first_$s || $acc < $bestD) { $bestD = $acc; $best = $j; first_$s = false; }
+         |  }
+         |  $out[$s] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncode =
+    copy(vec = newLeft, books = newRight)
+}
+
+/** Asymmetric-distance computation for PQ serving: approximate
+  * squared L2 between a raw query vector and a CODED base vector —
+  * Σ_s ||q_sub(s) - books(s)(code(s))||², accumulated subspace by
+  * subspace from a 0.0 seed exactly like the aggregate() HOF chain
+  * it replaces, so ADC rankings (and the driver's hash check) are
+  * unchanged. */
+case class PqAdc(qv: Expression, code: Expression, books: Expression)
+    extends TernaryExpression {
+  override def first: Expression = qv
+  override def second: Expression = code
+  override def third: Expression = books
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+  override def checkInputDataTypes(): TypeCheckResult =
+    PqTable.check(prettyName, (qv.dataType, code.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) => true
+      case _ => false
+    }, books)
+
+  @transient private lazy val table = PqTable.fromLiteral(books)
+
+  override def nullSafeEval(q: Any, c: Any, ignored: Any): Any = {
+    val qa = q.asInstanceOf[ArrayData]
+    val ca = c.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var s = 0
+    while (s < table.length) {
+      val cw = table(s)(ca.getInt(s)); val sub = cw.length
+      var sacc = 0.0; var d = 0
+      while (d < sub) {
+        val diff = qa.getDouble(s * sub + d) - cw(d)
+        sacc += diff * diff
+        d += 1
+      }
+      acc += sacc
+      s += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tbl = ctx.addReferenceObj("pqBooks", table, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (q, c, _) => {
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      val cw = ctx.freshName("cw"); val sub = ctx.freshName("sub")
+      val acc = ctx.freshName("acc"); val sacc = ctx.freshName("sacc")
+      val diff = ctx.freshName("diff")
+      s"""
+         |double $acc = 0.0;
+         |for (int $s = 0; $s < $tbl.length; $s++) {
+         |  double[] $cw = $tbl[$s][$c.getInt($s)];
+         |  int $sub = $cw.length;
+         |  double $sacc = 0.0;
+         |  for (int $d = 0; $d < $sub; $d++) {
+         |    double $diff = $q.getDouble($s * $sub + $d) - $cw[$d];
+         |    $sacc += $diff * $diff;
+         |  }
+         |  $acc += $sacc;
+         |}
+         |${ev.value} = $acc;
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): PqAdc =
+    copy(qv = newFirst, code = newSecond, books = newThird)
 }

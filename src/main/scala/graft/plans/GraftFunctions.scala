@@ -53,7 +53,11 @@ object GraftFunctions {
           PolyHashArr(args.head, args(1).eval().asInstanceOf[Number].longValue())
         else PolyHashArr(args.head)),
     ("byte_at", "byte_at(binary, pos) - 1-based unsigned byte read, -1 out of range",
-      (args: Seq[Expression]) => ByteAt(args.head, args(1))))
+      (args: Seq[Expression]) => ByteAt(args.head, args(1))),
+    ("pq_encode", "pq_encode(vec, books) - per-subspace PQ codes (argmin, first-min ties)",
+      (args: Seq[Expression]) => PqEncode(args.head, args(1))),
+    ("pq_adc", "pq_adc(qv, code, books) - PQ asymmetric squared-L2 distance",
+      (args: Seq[Expression]) => PqAdc(args.head, args(1), args(2))))
 
   /** Idempotent per-session registration. */
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
@@ -87,7 +91,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         if (args.length >= 2)
           PolyHashArr(args.head, args(1).eval().asInstanceOf[Number].longValue())
         else PolyHashArr(args.head)),
-      ("byte_at", args => ByteAt(args.head, args(1)))
+      ("byte_at", args => ByteAt(args.head, args(1))),
+      ("pq_encode", args => PqEncode(args.head, args(1))),
+      ("pq_adc", args => PqAdc(args.head, args(1), args(2)))
     ).foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[Kernels.type].getName, null, name),

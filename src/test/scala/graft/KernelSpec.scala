@@ -113,4 +113,50 @@ class KernelSpec extends SparkSpec {
       .collect()
     rows.foreach(r => assert(r.getSeq[Double](0) == r.getSeq[Double](1)))
   }
+
+  test("pq_encode/pq_adc kernels == HOF argmin-encode and aggregate-ADC") {
+    import spark.implicits._
+    val m = 4; val sub = 4; val k = 5
+    val vecs = Tables.embeddings(spark, sfDir).limit(40)
+      .select($"vec_id", slice($"embedding", 1, m * sub).cast("array<double>").as("v"))
+    val seeds = vecs.orderBy($"vec_id").limit(k)
+      .select($"v").as[Seq[Double]].collect().toSeq
+    val books = (0 until m).map(s => seeds.map(_.slice(s * sub, (s + 1) * sub)))
+    val bookMat = typedLit(books)
+    def l2sqH(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)), lit(0.0), _ + _)
+    def subSlice(v: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column) =
+      slice(v, s * sub + 1, lit(sub))
+    val rows = vecs
+      .withColumn("code", call_function("pq_encode", $"v", bookMat))
+      .withColumn("code_hof",
+        transform(sequence(lit(0), lit(m - 1)), s => {
+          val dists = transform(sequence(lit(0), lit(k - 1)), j =>
+            l2sqH(subSlice($"v", s), element_at(element_at(bookMat, s + 1), j + 1)))
+          (array_position(dists, array_min(dists)) - 1).cast("int")
+        }))
+      .withColumn("adc", call_function("pq_adc", $"v", $"code", bookMat))
+      .withColumn("adc_hof",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, s) => acc + l2sqH(subSlice($"v", s),
+            element_at(element_at(bookMat, s + 1),
+                       element_at($"code", s + 1) + 1))))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](r.fieldIndex("code")) ==
+             r.getSeq[Int](r.fieldIndex("code_hof")))
+      assert(r.getDouble(r.fieldIndex("adc")) ==
+             r.getDouble(r.fieldIndex("adc_hof")))
+    }
+  }
+
+  test("pq_encode breaks distance ties toward the lowest code") {
+    import spark.implicits._
+    // two identical codewords: argmin must pick the FIRST (code 0)
+    val books = Seq(Seq(Seq(1.0, 2.0), Seq(1.0, 2.0), Seq(9.0, 9.0)))
+    val r = Seq(Tuple1(Seq(1.0, 2.0))).toDF("v")
+      .select(call_function("pq_encode", $"v", typedLit(books)).as("c"))
+      .collect().head.getSeq[Int](0)
+    assert(r == Seq(0))
+  }
 }
