@@ -176,12 +176,14 @@ object Knn {
     * dedup, whose blocking structure is this same trained quantizer. */
   private[graft] def assign(vectors: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
     import vectors.sparkSession.implicits._
-    val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
-    vectors
-      .withColumn("__scores", transform(centArr, c => V.cosineD($"v", c)))
-      .withColumn("cid",
-        (array_position($"__scores", array_max($"__scores")) - 1).cast("int"))
-      .drop("__scores")
+    graft.plans.GraftFunctions.ensureRegistered(vectors.sparkSession)
+    // nearest_centroid = one codegen loop over the centroid matrix
+    // (per-centroid cosine with CosineSim's exact fold, first-max
+    // argmax like array_position-on-array_max) — the transform()
+    // HOF it replaces ran k interpreted cosine calls per row per
+    // Lloyd iteration, the bulk of the _model_training bench line
+    vectors.withColumn("cid",
+      call_function("nearest_centroid", $"v", typedLit(cents)))
   }
 
   /** The session's trained IVF coarse quantizer (a4): memoized per
@@ -400,12 +402,6 @@ object Knn {
       .orderBy($"q_id", $"rnk")
   }
 
-  /** Squared L2 between two equal-length double arrays as a seeded
-    * left fold — ((0.0+d₁)+d₂)+… so the oracle's list_reduce replays
-    * the accumulation bit for bit. */
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)), lit(0.0), _ + _)
-
   /** Per-subspace Lloyd's k-means for a PQ codebook — the production
     * BUILD step a6's sampled codebooks stand in for (FAISS trains
     * each sub-quantizer with k-means exactly like this). ALL m
@@ -426,15 +422,20 @@ object Knn {
       .select($"v").as[Seq[Double]].collect().toSeq
     var books: Seq[Seq[Seq[Double]]] =
       (0 until m).map(s => init.map(v => v.slice(s * sub, s * sub + sub)))
-    val sv = vectors
-      .select($"vec_id", explode(sequence(lit(0), lit(m - 1))).as("sp"), $"v")
-      .select($"vec_id", $"sp", slice($"v", $"sp" * sub + 1, lit(sub)).as("sv"))
+    graft.plans.GraftFunctions.ensureRegistered(vectors.sparkSession)
     for (_ <- 1 to iters) {
       val bookMat = typedLit(books)
-      val dists = transform(sequence(lit(0), lit(k - 1)), j =>
-        l2sq($"sv", element_at(element_at(bookMat, $"sp" + 1), j + 1)))
-      val assigned = sv
-        .withColumn("cid", (array_position(dists, array_min(dists)) - 1).cast("int"))
+      // pq_encode assigns ALL m subspaces in one codegen pass (same
+      // first-min argmin over the same (x-c)² folds the per-subspace
+      // l2sq transform computed interpreted); the explode then just
+      // fans the codes out to (sp, sv, cid) rows for the update agg
+      val assigned = vectors
+        .withColumn("code", call_function("pq_encode", $"v", bookMat))
+        .select($"vec_id", explode(sequence(lit(0), lit(m - 1))).as("sp"),
+          $"v", $"code")
+        .select($"vec_id", $"sp",
+          slice($"v", $"sp" * sub + 1, lit(sub)).as("sv"),
+          element_at($"code", $"sp" + 1).as("cid"))
         .withColumn("gkey", $"sp" * k + $"cid")
       val updated = orderedCentroids(
           assigned.select($"vec_id", $"gkey", posexplode($"sv")), "gkey")

@@ -761,3 +761,95 @@ case class PqAdc(qv: Expression, code: Expression, books: Expression)
       newThird: Expression): PqAdc =
     copy(qv = newFirst, code = newSecond, books = newThird)
 }
+
+/** Nearest-centroid assignment: argmax of cosine similarity against
+  * a foldable array<array<double>> centroid matrix, first maximum on
+  * ties (array_position-on-array_max semantics, NaN ordered
+  * greatest like Spark's ordering). Per-centroid cosine replicates
+  * [[CosineSim]]'s single-pass dot/na/nb fold bit for bit, so the
+  * k-means oracles' CTE replays are unchanged — the transform()
+  * lambda this replaces evaluated k interpreted cosine calls per
+  * row per Lloyd iteration. */
+case class NearestCentroid(vec: Expression, cents: Expression)
+    extends BinaryExpression {
+  override def left: Expression = vec
+  override def right: Expression = cents
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!(vec.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: vector must be array<double>")
+    else if (!cents.foldable || !(cents.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    }))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: centroids must be a foldable array<array<double>>")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val table: Array[Array[Double]] = {
+    val ad = cents.eval().asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(j => ad.getArray(j).toDoubleArray())
+  }
+
+  override def nullSafeEval(v: Any, ignored: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    var best = 0; var bestS = 0.0; var first = true
+    var j = 0
+    while (j < table.length) {
+      val c = table(j); val n = c.length
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = arr.getDouble(i); val y = c(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      val s = if (denom == 0.0) 0.0 else dot / denom
+      if (first || java.lang.Double.compare(s, bestS) > 0) {
+        bestS = s; best = j; first = false
+      }
+      j += 1
+    }
+    best
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tbl = ctx.addReferenceObj("centroids", table, "double[][]")
+    nullSafeCodeGen(ctx, ev, (v, _) => {
+      val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val c = ctx.freshName("c"); val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom"); val s = ctx.freshName("s")
+      val best = ctx.freshName("best"); val bestS = ctx.freshName("bestS")
+      val firstV = ctx.freshName("first")
+      s"""
+         |int $best = 0; double $bestS = 0.0; boolean $firstV = true;
+         |for (int $j = 0; $j < $tbl.length; $j++) {
+         |  double[] $c = $tbl[$j];
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $c.length; $i++) {
+         |    double $x = $v.getDouble($i); double $y = $c[$i];
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  double $s = ($denom == 0.0) ? 0.0 : $dot / $denom;
+         |  if ($firstV || java.lang.Double.compare($s, $bestS) > 0) {
+         |    $bestS = $s; $best = $j; $firstV = false;
+         |  }
+         |}
+         |${ev.value} = $best;
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCentroid =
+    copy(vec = newLeft, cents = newRight)
+}

@@ -57,7 +57,9 @@ object GraftFunctions {
     ("pq_encode", "pq_encode(vec, books) - per-subspace PQ codes (argmin, first-min ties)",
       (args: Seq[Expression]) => PqEncode(args.head, args(1))),
     ("pq_adc", "pq_adc(qv, code, books) - PQ asymmetric squared-L2 distance",
-      (args: Seq[Expression]) => PqAdc(args.head, args(1), args(2))))
+      (args: Seq[Expression]) => PqAdc(args.head, args(1), args(2))),
+    ("nearest_centroid", "nearest_centroid(vec, cents) - argmax-cosine centroid id (first-max ties)",
+      (args: Seq[Expression]) => NearestCentroid(args.head, args(1))))
 
   /** Idempotent per-session registration. */
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
@@ -93,7 +95,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         else PolyHashArr(args.head)),
       ("byte_at", args => ByteAt(args.head, args(1))),
       ("pq_encode", args => PqEncode(args.head, args(1))),
-      ("pq_adc", args => PqAdc(args.head, args(1), args(2)))
+      ("pq_adc", args => PqAdc(args.head, args(1), args(2))),
+      ("nearest_centroid", args => NearestCentroid(args.head, args(1)))
     ).foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[Kernels.type].getName, null, name),
