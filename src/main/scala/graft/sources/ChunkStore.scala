@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
 
 /** Lakehouse persistence for the chunk corpus — the batch
   * re-expression of qurio's chunk store (reference:
@@ -20,6 +21,67 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    co-joined tables.
   */
 object ChunkStore {
+
+  /** The canonical DocumentChunk schema — property for property the
+    * class the reference ensures in Weaviate (vector/schema.go:25-70
+    * EnsureSchema: content, sourceId, sourceName, chunkIndex, title,
+    * url, type, language, author, createdAt, pageCount), with the
+    * embedding as a column instead of a vectorizer slot. */
+  val DocumentChunkSchema: StructType = StructType(Seq(
+    StructField("content", StringType),
+    StructField("sourceId", StringType),
+    StructField("sourceName", StringType),
+    StructField("chunkIndex", IntegerType),
+    StructField("title", StringType),
+    StructField("url", StringType),
+    StructField("type", StringType),
+    StructField("language", StringType),
+    StructField("author", StringType),
+    StructField("createdAt", TimestampType),
+    StructField("pageCount", IntegerType),
+    StructField("embedding", ArrayType(DoubleType))))
+
+  /** EnsureSchema (vector/schema.go:18-102) re-expressed for the
+    * lakehouse: create the store with the canonical schema when
+    * absent; when present, surface any canonical columns the stored
+    * files predate. Parquet has no in-place ALTER — evolution is a
+    * READ-time property ([[readCanonical]] aligns old files to the
+    * full schema), so "AddProperty" here records nothing and rewrites
+    * nothing, exactly the metadata-only semantics a Delta/Iceberg
+    * ALTER TABLE ADD COLUMN has. Returns the canonical columns that
+    * were missing from the stored schema (empty = already current).
+    * Idempotent like the reference. */
+  def ensureSchema(spark: SparkSession, path: String): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          DocumentChunkSchema)
+        .write.mode("overwrite").parquet(path)
+      Seq.empty
+    } else {
+      val existing = spark.read.parquet(path).schema.fieldNames.toSet
+      DocumentChunkSchema.fieldNames.toSeq.filterNot(existing)
+    }
+  }
+
+  /** Read the store aligned to the canonical schema: canonical
+    * columns the stored files lack come back as typed nulls (the
+    * evolved-read view EnsureSchema's AddProperty provides in
+    * Weaviate); extra stored columns are preserved after the
+    * canonical set. */
+  def readCanonical(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = spark.read.parquet(path)
+    val have = df.schema.fieldNames.toSet
+    val canonical = DocumentChunkSchema.fields.map { f =>
+      if (have(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    val extras = df.schema.fieldNames
+      .filterNot(DocumentChunkSchema.fieldNames.contains).map(col)
+    df.select(canonical ++ extras: _*)
+  }
 
   /** Write partitioned by the delete/filter key. */
   def writePartitioned(df: DataFrame, path: String,

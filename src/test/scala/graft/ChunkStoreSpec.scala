@@ -90,4 +90,46 @@ class ChunkStoreSpec extends SparkSpec {
         spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("ensureSchema creates the canonical DocumentChunk store when absent") {
+    val path = s"$tmp/schema-new"
+    val missing = ChunkStore.ensureSchema(spark, path)
+    assert(missing.isEmpty)
+    val df = ChunkStore.read(spark, path)
+    assert(df.schema === ChunkStore.DocumentChunkSchema)
+    assert(df.count() === 0)
+    // idempotent like the reference EnsureSchema
+    assert(ChunkStore.ensureSchema(spark, path).isEmpty)
+  }
+
+  test("ensureSchema surfaces canonical columns old files predate; readCanonical aligns") {
+    import spark.implicits._
+    val path = s"$tmp/schema-old"
+    // a store written before author/pageCount/embedding existed
+    Seq(("hello world", "src-1", 0, "t"))
+      .toDF("content", "sourceId", "chunkIndex", "title")
+      .write.mode("overwrite").parquet(path)
+    val missing = ChunkStore.ensureSchema(spark, path)
+    assert(missing.contains("author") && missing.contains("pageCount")
+      && missing.contains("embedding"))
+    assert(!missing.contains("content"))
+    val aligned = ChunkStore.readCanonical(spark, path)
+    assert(aligned.columns.take(ChunkStore.DocumentChunkSchema.length).toSeq ===
+      ChunkStore.DocumentChunkSchema.fieldNames.toSeq)
+    val row = aligned.collect().head
+    assert(row.getAs[String]("content") === "hello world")
+    assert(row.isNullAt(row.fieldIndex("author")))
+    assert(row.isNullAt(row.fieldIndex("pageCount")))
+  }
+
+  test("readCanonical keeps extra stored columns after the canonical set") {
+    import spark.implicits._
+    val path = s"$tmp/schema-extra"
+    Seq(("c", "s", "custom-value"))
+      .toDF("content", "sourceId", "my_extra")
+      .write.mode("overwrite").parquet(path)
+    val aligned = ChunkStore.readCanonical(spark, path)
+    assert(aligned.columns.last === "my_extra")
+    assert(aligned.select("my_extra").collect().head.getString(0) === "custom-value")
+  }
 }
