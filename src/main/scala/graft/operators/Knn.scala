@@ -90,6 +90,49 @@ object Knn {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** a9: ALL-PAIRS kNN-graph build — every vector gets its top-k
+    * neighbors (the batch op behind semantic clustering, SemDeDup
+    * cell seeding, and link-prediction features), where a1-a8 serve
+    * a small query set. Candidate generation is the hyperplane-LSH
+    * bucket self-join — never N² — with THREE scale guards:
+    * (1) the join carries ids only (vectors fetched by two hash
+    * joins after dedup — carrying v through an 8-table bucket join
+    * would multiply vector bytes by table count in the shuffle);
+    * (2) buckets beyond `bucketCap` are dropped BEFORE the self-join
+    * (the d4 mega-bucket guard, mirrored in the oracle so both
+    * engines skip the same buckets); (3) top-k rides the raw-cosine
+    * window the TopKPerKey rewrite turns into partial heaps. */
+  def a9KnnJoin(spark: SparkSession, dir: String, tables: Int = 8,
+                bits: Int = 6, k: Int = 3, bucketCap: Int = 256): DataFrame = {
+    import spark.implicits._
+    val all = graft.Caches.persist(base(spark, dir)
+      .withColumn("sigs", expr(s"hyperplane_sig(v, $tables, $bits)")))
+    val buckets = all
+      .select($"vec_id", posexplode($"sigs"))
+      .select($"vec_id", $"pos".as("tbl"), $"col".as("sig"))
+    val wB = Window.partitionBy($"tbl", $"sig")
+    val capped = buckets
+      .withColumn("bcnt", count(lit(1)).over(wB))
+      .filter($"bcnt" <= bucketCap)
+      .select($"vec_id", $"tbl", $"sig")
+    val cand = capped.as("a")
+      .join(capped.as("b"),
+        $"a.tbl" === $"b.tbl" && $"a.sig" === $"b.sig" &&
+          $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("q_id"), $"b.vec_id".as("vec_id"))
+      .dropDuplicates("q_id", "vec_id")
+    val vecs = all.select($"vec_id", $"v")
+    val w = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")
+    cand
+      .join(vecs.select($"vec_id".as("q_id"), $"v".as("qv")), "q_id")
+      .join(vecs, "vec_id")
+      .select($"q_id", $"vec_id", V.cosineD($"qv", $"v").as("cosine_raw"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"q_id", $"vec_id", round($"cosine_raw", 6).as("cosine"), $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
   /** Per-dimension centroid means with a DETERMINISTIC accumulation
     * order: explode dims, then an ordered-frame window sum over
     * members sorted by vec_id. A plain groupBy+avg folds in partition
@@ -493,6 +536,7 @@ object Knn {
     "a5_knn_sq8" -> a5KnnSq8 _,
     "a6_knn_pq" -> a6KnnPq _,
     "a7_knn_pq_kmeans" -> a7KnnPqKmeans _,
+    "a9_knn_join" -> ((s, d) => a9KnnJoin(s, d)),
     "s2_vector_topk" -> s2VectorTopk _)
 
   private val cosineSql =
@@ -821,6 +865,49 @@ object Knn {
          |  FROM scored)
          |SELECT q_id, vec_id, round(cosine_raw, 6) AS cosine, rnk
          |FROM ranked WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin,
+    // a2's signature replay with tables=8/bits=6, every vector as a
+    // query, and the bucket cap applied before the self-join exactly
+    // as the Spark windowed count does
+    "a9_knn_join" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |sigs AS (
+         |  SELECT vec_id, list_transform(generate_series(0, 7), t ->
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(generate_series(0, 5), p ->
+         |        CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |            list_transform(generate_series(1, len(v)), d ->
+         |              CASE WHEN ((((t*6+p)*64 + d) * 2654435761) // 65536) % 2 = 0
+         |                   THEN v[d] ELSE -v[d] END)),
+         |            (s, x) -> s + x) > 0
+         |        THEN CAST(1 << p AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+         |      (a, b) -> a + b)) AS sg
+         |  FROM e),
+         |buckets AS (
+         |  SELECT vec_id, CAST(g.i - 1 AS INTEGER) AS tbl, sg[g.i] AS sig
+         |  FROM sigs, LATERAL unnest(generate_series(1, 8)) AS g(i)),
+         |bcnt AS (SELECT tbl, sig, count(*) AS c FROM buckets GROUP BY tbl, sig),
+         |capped AS (
+         |  SELECT b.vec_id, b.tbl, b.sig
+         |  FROM buckets b JOIN bcnt USING (tbl, sig) WHERE bcnt.c <= 256),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS vec_id
+         |  FROM capped a JOIN capped b
+         |    ON a.tbl = b.tbl AND a.sig = b.sig AND b.vec_id <> a.vec_id),
+         |scored AS (
+         |  SELECT c.q_id, c.vec_id,
+         |    ${cosineSql.replace("QV", "eq.v").replace("BV", "eb.v")} AS cosine_raw
+         |  FROM cand c
+         |  JOIN e eq ON eq.vec_id = c.q_id
+         |  JOIN e eb ON eb.vec_id = c.vec_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cosine_raw,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, vec_id, round(cosine_raw, 6) AS cosine, rnk
+         |FROM ranked WHERE rnk <= 3
          |ORDER BY q_id, rnk""".stripMargin,
     "a2_knn_lsh" ->
       s"""WITH e AS (
