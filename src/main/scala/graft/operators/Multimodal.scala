@@ -455,6 +455,104 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** m8: TAR (POSIX ustar) ENTRY WALK — the ARCHIVE tier of the
+    * container family: document dumps arrive as tarballs, and the
+    * ingestion catalog pass lists entries (names, sizes, count)
+    * without unpacking — headers only, like m7's box walk. A ustar
+    * stream is 512-byte header blocks with NUL-padded ASCII names,
+    * OCTAL-ASCII sizes, and data padded to the next 512 boundary, so
+    * the walk hops by 512 + ceil(size/512)*512 and gates each stop
+    * on the "ustar" magic at offset +257. Same materialized-hop
+    * design as m6/m7. The corpus synthesizes 1-2 entries per doc
+    * (text-prefix payload + an optional metadata member, presence
+    * varying by doc_id) with a two-block zero EOF marker; the oracle
+    * recomputes names/sizes/offsets from the synth rules. */
+  def m8TarMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // one ustar header as hex: name (100B), mode/uid/gid zeros,
+    // size as 11 octal digits + NUL, mtime zeros, checksum spaces
+    // (parser does not verify — a catalog pass trusts the magic),
+    // type '0', magic "ustar\0" + version "00", zero tail to 512
+    def headerHex(name: Column, size: Column): Column = concat(
+      rpad(hex(name), 200, "0"),                       // name, NUL-pad
+      repeat(lit("00"), 24),                           // mode+uid+gid
+      hex(lpad(conv(size, 10, 8), 11, "0")), lit("00"), // size octal+NUL
+      hex(lit("00000000000")), lit("00"),              // mtime zeros+NUL
+      repeat(lit("20"), 8),                            // chksum spaces
+      hex(lit("0")),                                   // typeflag '0'
+      repeat(lit("00"), 100),                          // linkname
+      lit("757374617200"), lit("3030"),                // "ustar\0" "00"
+      repeat(lit("00"), 247))                          // tail to 512
+    def padded(contentHex: Column, size: Column): Column = concat(
+      contentHex,
+      repeat(lit("00"),
+        pmod(lit(512) - pmod(size, lit(512)), lit(512)).cast("int")))
+    val body1 = substring($"text", 1, 64).cast("binary")
+    val sz1 = octet_length(body1).cast("long")
+    val name1 = concat(lit("doc_"), $"doc_id", lit(".txt"))
+    val meta = concat(lit("{\"id\":"), $"doc_id", lit("}")).cast("binary")
+    val sz2 = octet_length(meta).cast("long")
+    val name2 = concat(lit("meta/"), $"doc_id", lit(".json"))
+    val entry2 = when(pmod($"doc_id", lit(2)) === 0,
+      concat(headerHex(name2, sz2), padded(hex(meta), sz2)))
+      .otherwise(lit(""))
+    val blobs = Tables.documents(spark, dir)
+      .select($"doc_id", unhex(concat(
+        headerHex(name1, sz1), padded(hex(body1), sz1),
+        entry2,
+        repeat(lit("00"), 1024))).as("payload"))      // EOF: 2 zero blocks
+    parseTarEntries(blobs).orderBy($"doc_id")
+  }
+
+  /** The ustar walker over any (doc_id, payload binary) frame: up to
+    * `maxEntries` header hops; emits entry count, first/second names
+    * and sizes, and total member bytes. Truncated or non-tar
+    * payloads yield false/nulls, never an error. */
+  def parseTarEntries(blobs: DataFrame, maxEntries: Int = 3): DataFrame = {
+    import blobs.sparkSession.implicits._
+    def asciiAt(off: Column, len: Int): Column =
+      when(off + len - 1 <= $"_len",
+        decode($"payload".substr(off.cast("int"), lit(len)), "US-ASCII"))
+    // NUL-padded name -> text before the first NUL
+    def nameAt(off: Column): Column =
+      substring_index(asciiAt(off, 100), "\u0000", 1)
+    // 12-byte octal-ASCII size field (NUL/space terminated)
+    def sizeAt(off: Column): Column =
+      conv(regexp_extract(asciiAt(off + 124L, 12), "^[0-7]+", 0), 8, 10)
+        .cast("long")
+    def magicAt(off: Column): Column =
+      asciiAt(off + 257L, 5) === "ustar"
+    var walked = blobs
+      .withColumn("_len", octet_length($"payload").cast("long"))
+      .withColumn("_off1", lit(1L))
+    for (i <- 1 to maxEntries) {
+      walked = walked
+        .withColumn(s"_ok$i", coalesce(magicAt(col(s"_off$i")), lit(false)))
+        .withColumn(s"_sz$i",
+          when(col(s"_ok$i"), sizeAt(col(s"_off$i"))))
+        .withColumn(s"_name$i",
+          when(col(s"_ok$i"), nameAt(col(s"_off$i"))))
+      if (i < maxEntries)
+        // data is padded to the next 512 boundary after the header
+        walked = walked.withColumn(s"_off${i + 1}",
+          col(s"_off$i") + 512L +
+            expr(s"((_sz$i + 511) div 512) * 512"))
+    }
+    val oks = (1 to maxEntries).map(i => col(s"_ok$i"))
+    val isTar = col("_ok1")
+    walked.select($"doc_id",
+        isTar.as("is_tar"),
+        when(isTar, oks.map(_.cast("long")).reduce(_ + _)).as("n_entries"),
+        when(isTar, col("_name1")).as("name_1"),
+        when(isTar, col("_sz1")).as("bytes_1"),
+        when(isTar && col("_ok2"), col("_name2")).as("name_2"),
+        when(isTar && col("_ok2"), col("_sz2")).as("bytes_2"),
+        when(isTar, (1 to maxEntries)
+          .map(i => coalesce(col(s"_sz$i"), lit(0L))).reduce(_ + _))
+          .as("total_member_bytes"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> m1BinaryMeta _,
     "m2_frame_sample" -> m2FrameSample _,
@@ -462,9 +560,28 @@ object Multimodal {
     "m4_audio_meta" -> m4AudioMeta _,
     "m5_gif_meta" -> m5GifMeta _,
     "m6_jpeg_meta" -> m6JpegMeta _,
-    "m7_mp4_meta" -> m7Mp4Meta _)
+    "m7_mp4_meta" -> m7Mp4Meta _,
+    "m8_tar_meta" -> m8TarMeta _)
 
   val oracles: Map[String, String] = Map(
+    // first-principles recompute of the entry walk: names straight
+    // from the synth rules, sizes as byte lengths of the members
+    "m8_tar_meta" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(substring(text, 1, 64))) AS BIGINT) AS sz1,
+        |    CAST(octet_length(encode('{"id":' || doc_id || '}')) AS BIGINT) AS sz2,
+        |    (doc_id % 2 = 0) AS has_meta
+        |  FROM documents)
+        |SELECT doc_id, true AS is_tar,
+        |  CAST(CASE WHEN has_meta THEN 2 ELSE 1 END AS BIGINT) AS n_entries,
+        |  'doc_' || doc_id || '.txt' AS name_1,
+        |  sz1 AS bytes_1,
+        |  CASE WHEN has_meta THEN 'meta/' || doc_id || '.json' END AS name_2,
+        |  CASE WHEN has_meta THEN sz2 END AS bytes_2,
+        |  sz1 + CASE WHEN has_meta THEN sz2 ELSE 0 END AS total_member_bytes
+        |FROM f
+        |ORDER BY doc_id""".stripMargin,
     // first-principles recompute of the box walk: moov offset and box
     // count rebuilt from the synth's variable ftyp/free sizes
     "m7_mp4_meta" ->

@@ -140,4 +140,47 @@ class MultimodalSpec extends SparkSpec {
     val j = Multimodal.parseJpegHeader(junk).collect().head
     assert(!j.getBoolean(1) && j.isNullAt(5) && j.isNullAt(8))
   }
+
+  test("m8 parser reads a java-built ustar stream (independent of hex synthesis)") {
+    import spark.implicits._
+    def header(name: String, size: Long): Array[Byte] = {
+      val h = new Array[Byte](512)
+      val n = name.getBytes("US-ASCII"); System.arraycopy(n, 0, h, 0, n.length)
+      val oct = ("%011o".format(size) + "\u0000").getBytes("US-ASCII")
+      System.arraycopy(oct, 0, h, 124, oct.length)
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)   // checksum spaces
+      h(156) = '0'.toByte
+      val magic = "ustar\u000000".getBytes("US-ASCII") // magic+version
+      System.arraycopy(magic, 0, h, 257, magic.length)
+      h
+    }
+    def padTo512(b: Array[Byte]): Array[Byte] =
+      java.util.Arrays.copyOf(b, ((b.length + 511) / 512) * 512)
+    val fileA = "hello tar".getBytes("US-ASCII")
+    val fileB = ("x" * 700).getBytes("US-ASCII")       // spans 2 data blocks
+    val tar = header("a.txt", fileA.length) ++ padTo512(fileA) ++
+      header("dir/b.bin", fileB.length) ++ padTo512(fileB) ++
+      new Array[Byte](1024)                            // EOF marker
+    val df = Seq((7L, tar)).toDF("doc_id", "payload")
+    val r = Multimodal.parseTarEntries(df).collect().head
+    assert(r.getBoolean(1), "is_tar")
+    assert(r.getLong(2) === 2L, "n_entries")
+    assert(r.getString(3) === "a.txt")
+    assert(r.getLong(4) === fileA.length.toLong)
+    assert(r.getString(5) === "dir/b.bin")
+    assert(r.getLong(6) === fileB.length.toLong)
+    assert(r.getLong(7) === (fileA.length + fileB.length).toLong)
+  }
+
+  test("m8 parser yields typed nulls on truncated and non-tar payloads") {
+    import spark.implicits._
+    val junk = Seq((1L, "not a tar stream".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val j = Multimodal.parseTarEntries(junk).collect().head
+    assert(!j.getBoolean(1) && j.isNullAt(2) && j.isNullAt(3))
+    // header cut off before the magic offset
+    val trunc = Seq((2L, new Array[Byte](200))).toDF("doc_id", "payload")
+    val t = Multimodal.parseTarEntries(trunc).collect().head
+    assert(!t.getBoolean(1) && t.isNullAt(7))
+  }
 }
