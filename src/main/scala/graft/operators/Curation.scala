@@ -203,13 +203,48 @@ object Curation {
       .orderBy($"source", $"bin_id", $"bin_off", $"doc_id")
   }
 
+  /** p9: CURRICULUM staging — every document assigned a quality
+    * decile (stage 1 = lowest, 10 = highest), the ordering signal a
+    * curriculum-training loader consumes (feed high stages first, or
+    * anneal across stages). Deliberately NOT a global ntile: a total
+    * order over 100 TB is the canonical scale bottleneck. Instead
+    * one aggregate computes the 9 decile boundaries (exact
+    * interpolated percentile — the q15-verified Spark/DuckDB-equal
+    * kernel; swap approx_percentile at real scale), broadcasts them,
+    * and assignment is a map-only boundary count per row. Quality is
+    * t2's scoring arithmetic verbatim. */
+  def p9Curriculum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = Tables.documents(spark, dir)
+      .select($"doc_id",
+        expr("cast(regexp_count(text, '\\\\S+') as bigint)").as("n_tok"),
+        expr("cast(regexp_count(text, '[.,;:!?]') as bigint)").as("n_punct"),
+        expr(s"cast(regexp_count(lower(text), '${TextAnalysis.stopwordsEn}') as bigint)")
+          .as("n_stop"))
+      .select($"doc_id",
+        round(
+          lit(0.4) * least($"n_tok".cast("double") / 100.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - $"n_punct".cast("double") / greatest($"n_tok", lit(1))) +
+          lit(0.3) * ($"n_stop".cast("double") / greatest($"n_tok", lit(1))),
+          6).as("quality"))
+    val bounds = scored.agg(
+      expr("percentile(quality, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("bounds"))
+    scored.crossJoin(broadcast(bounds))
+      .select($"doc_id", $"quality",
+        (lit(1) + size(filter($"bounds", b => $"quality" > b))).cast("long")
+          .as("stage"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p2_decontaminate" -> p2Decontaminate _,
     "p3_train_split" -> p3TrainSplit _,
     "p4_sample_per_source" -> ((s, d) => p4SamplePerSource(s, d)),
     "p6_mixture_sample" -> p6MixtureSample _,
     "p7_pack_sequences" -> ((s, d) => p7PackSequences(s, d)),
-    "p8_pack_bins" -> ((s, d) => p8PackBins(s, d)))
+    "p8_pack_bins" -> ((s, d) => p8PackBins(s, d)),
+    "p9_curriculum" -> p9Curriculum _)
 
   private val polyFoldSql =
     """list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -277,6 +312,22 @@ object Curation {
          |  (n_tokens > 1024) AS oversize
          |FROM packed
          |ORDER BY source, bin_id, bin_off, doc_id""".stripMargin,
+    // t2's quality arithmetic + quantile_cont boundaries (the
+    // q15-verified percentile kernel) + the same boundary count
+    "p9_curriculum" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, ${TextAnalysis.qualityExprSql.replace("\n", " ")} AS quality
+         |  FROM (SELECT doc_id, ${TextAnalysis.qualityColsSql.replace("\n", " ")}
+         |        FROM documents)),
+         |b AS (
+         |  SELECT quantile_cont(quality,
+         |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bounds
+         |  FROM q)
+         |SELECT doc_id, quality,
+         |  CAST(1 + len(list_filter(b.bounds, x -> q.quality > x)) AS BIGINT)
+         |    AS stage
+         |FROM q, b
+         |ORDER BY doc_id""".stripMargin,
     "p2_decontaminate" ->
       s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
         |g AS (

@@ -28,7 +28,7 @@ object TextAnalysis {
     "es" -> "\\\\b(el|la|los|las|que)\\\\b",
     "fr" -> "\\\\b(le|les|et|est|une)\\\\b")
   private val cjkPattern = "[\\\\x{4e00}-\\\\x{9fff}]"
-  private val stopwordsEn = "\\\\b(the|a|an|and|or|of|to|in|is|it)\\\\b"
+  private[operators] val stopwordsEn = "\\\\b(the|a|an|and|or|of|to|in|is|it)\\\\b"
 
   /** regexp_count via the function API: `pattern` strings in this
     * file are written for expr() splicing (one extra escaping level),
