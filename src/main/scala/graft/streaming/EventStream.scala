@@ -308,7 +308,44 @@ object EventStream {
       .orderBy($"user_id")
   }
 
+  /** Windowed event-type counts feeding a TRENDING top-k: the
+    * engine maintains the incrementally-updatable part (watermarked
+    * windowed counts — same state shape as [[windowedAgg]]); the
+    * RANKING happens in the sink each trigger ([[rankTrending]] in
+    * foreachBatch), because a rank is not incrementally maintainable
+    * under updates — the standard split in production trending
+    * pipelines (aggregate in the engine, rank at serve time). */
+  def trendingCounts(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"window.start".as("window_start"), $"event_type", $"n_events")
+  }
+
+  /** Per-window top-k over a counts frame (sink-side each trigger on
+    * streams; the same call IS the batch query). Rides the
+    * TopKPerKey window rewrite. */
+  def rankTrending(counts: DataFrame, k: Int = 3): DataFrame = {
+    import counts.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"window_start")
+      .orderBy($"n_events".desc, $"event_type")
+    counts
+      .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"rnk" <= k)
+  }
+
+  /** Batch mirror of the trending pipeline (driver-checked). */
+  def st8Trending(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    rankTrending(trendingCounts(Tables.events(spark, dir)))
+      .orderBy($"window_start", $"rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st8_trending" -> st8Trending _,
     "st1_window_agg" -> st1WindowAgg _,
     "st2_interval_join" -> st2IntervalJoin _,
     "st3_session_window" -> st3SessionWindow _,
@@ -345,6 +382,19 @@ object EventStream {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
+    // st1's counts + the sink-side rank
+    "st8_trending" ->
+      """WITH counts AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |    event_type, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT window_start, event_type, n_events, rnk FROM (
+        |  SELECT window_start, event_type, n_events,
+        |    CAST(row_number() OVER (PARTITION BY window_start
+        |      ORDER BY n_events DESC, event_type) AS INTEGER) AS rnk
+        |  FROM counts)
+        |WHERE rnk <= 3
+        |ORDER BY window_start, rnk""".stripMargin,
     // each event expands to its 4 covering windows (15-min grid is
     // hour-aligned in both engines, so the bucket origins agree)
     "st6_sliding_window" ->

@@ -499,6 +499,45 @@ class StreamingSpec extends SparkSpec {
     // every hour bucket is epoch-aligned
     batch.foreach(r => assert(r.getTimestamp(0).getTime % 3600000L == 0))
   }
+
+  test("trending: engine keeps windowed counts, sink ranks top-k per trigger") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[Ev]
+    stream.addData(
+      Ev(t("10:05"), "click", 1.0), Ev(t("10:10"), "click", 1.0),
+      Ev(t("10:15"), "view", 1.0), Ev(t("10:20"), "view", 1.0),
+      Ev(t("10:25"), "view", 1.0), Ev(t("10:30"), "purchase", 1.0),
+      Ev(t("10:35"), "scroll", 1.0))
+
+    // aggregate in the engine; rank in the sink each trigger — the
+    // foreachBatch body is EventStream.rankTrending, the same call
+    // the st8 batch mirror makes
+    var lastTop: Seq[(String, Long, Int)] = Seq.empty
+    val query = EventStream.trendingCounts(stream.toDF())
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        lastTop = EventStream.rankTrending(batch, k = 3)
+          .orderBy(org.apache.spark.sql.functions.col("window_start"),
+                   org.apache.spark.sql.functions.col("rnk"))
+          .collect().toSeq
+          .map(r => (r.getString(1), r.getLong(2), r.getInt(3)))
+      }
+      .start()
+    try {
+      query.processAllAvailable()
+      assert(lastTop === Seq(("view", 3L, 1), ("click", 2L, 2), ("purchase", 1L, 3)))
+
+      // a second trigger shifts the ranking: clicks overtake views
+      stream.addData(Ev(t("10:40"), "click", 1.0), Ev(t("10:45"), "click", 1.0))
+      query.processAllAvailable()
+      assert(lastTop === Seq(("click", 4L, 1), ("view", 3L, 2), ("purchase", 1L, 3)))
+    } finally query.stop()
+  }
+
 }
 
 /** Top-level (not nested in the spec) so the batch toDF() encoder
