@@ -190,10 +190,73 @@ object FileIngest {
       .orderBy($"doc_id", $"chunk_index")
   }
 
+  /** Magic-byte MIME sniffing over any binary payload column — the
+    * converter-ROUTING step ahead of f1's extract (the reference
+    * trusts a client-supplied mime; a 100 TB dump can't — headers
+    * are the only trustworthy signal). Match order mirrors magic
+    * specificity: container signatures first (PNG 8-byte, GIF
+    * 6-byte), then 4-byte (RIFF/WAVE pair, ZIP PK\\x03\\x04, "%PDF-"),
+    * then ustar at offset 258, then JPEG's 2-byte SOI last so a
+    * longer signature never loses to a prefix collision. Pure
+    * codegen CASE over hex prefixes. */
+  def sniffMime(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def pfx(from: Int, bytes: Int) = hex(substring(payload, from, bytes))
+    when(pfx(1, 8) === "89504E470D0A1A0A", "image/png")
+      .when(pfx(1, 6) === "474946383761" || pfx(1, 6) === "474946383961", "image/gif")
+      .when(pfx(1, 4) === "52494646" && pfx(9, 4) === "57415645", "audio/wav")
+      .when(pfx(1, 4) === "504B0304", "application/zip")
+      .when(pfx(1, 5) === "255044462D", "application/pdf")
+      .when(pfx(258, 5) === "7573746172", "application/x-tar")
+      .when(pfx(1, 2) === "FFD8", "image/jpeg")
+      .otherwise("application/octet-stream")
+  }
+
+  /** f2: type-sniff routing over a synthesized mixed dump — each doc
+    * wrapped in one of 8 container signatures keyed on doc_id, the
+    * parser recovers the type from bytes alone; oracle recomputes
+    * the expected route from the synth rule. */
+  def f2TypeSniff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val body = hex(substring($"text", 1, 64).cast("binary"))
+    val wrapped = when(pmod($"doc_id", lit(8)) === 0,
+        concat(lit("89504E470D0A1A0A"), body))
+      .when(pmod($"doc_id", lit(8)) === 1, concat(lit("474946383961"), body))
+      .when(pmod($"doc_id", lit(8)) === 2,
+        concat(lit("52494646"), lit("00000000"), lit("57415645"), body))
+      .when(pmod($"doc_id", lit(8)) === 3, concat(lit("504B0304"), body))
+      .when(pmod($"doc_id", lit(8)) === 4, concat(lit("255044462D"), body))
+      .when(pmod($"doc_id", lit(8)) === 5,
+        concat(repeat(lit("00"), 257), lit("7573746172"), body))
+      .when(pmod($"doc_id", lit(8)) === 6, concat(lit("FFD8FFE0"), body))
+      // leading space: no magic starts with 0x20, so the "plain"
+      // arm can never collide with a document that happens to begin
+      // with a signature string
+      .otherwise(concat(lit("20"), body))
+    graft.Tables.documents(spark, dir)
+      .select($"doc_id", unhex(wrapped).as("payload"))
+      .select($"doc_id", sniffMime($"payload").as("mime"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "f1_file_ingest" -> f1FileIngest _)
+    "f1_file_ingest" -> f1FileIngest _,
+    "f2_type_sniff" -> f2TypeSniff _)
 
   val oracles: Map[String, String] = Map(
+    "f2_type_sniff" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 8
+        |    WHEN 0 THEN 'image/png'
+        |    WHEN 1 THEN 'image/gif'
+        |    WHEN 2 THEN 'audio/wav'
+        |    WHEN 3 THEN 'application/zip'
+        |    WHEN 4 THEN 'application/pdf'
+        |    WHEN 5 THEN 'application/x-tar'
+        |    WHEN 6 THEN 'image/jpeg'
+        |    ELSE 'application/octet-stream'
+        |  END AS mime
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "f1_file_ingest" ->
       s"""WITH ${ChunkQueries.chunkLiteSql},
         |ok AS (
