@@ -449,6 +449,24 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
           .as("crosses_seq"))
   }
 
+  /** Quality-decile curriculum staging over the corpus (p9): one
+    * percentile aggregate broadcast as 9 boundaries, map-only
+    * assignment — no global sort. */
+  def curriculum(): DataFrame =
+    graft.operators.Curation.curriculumOf(corpus)
+
+  /** All-pairs kNN graph over an embeddings frame (a9): every vector
+    * gets its top-k neighbors via the capped LSH bucket join. */
+  def knnJoin(embeddings: DataFrame, k: Int = 3): DataFrame =
+    Knn.knnJoinOf(embeddings, k = k)
+
+  /** Magic-byte MIME routing over a binary-file frame (f2) — adds a
+    * `mime` column sniffed from payload signatures. */
+  def sniffTypes(files: DataFrame,
+                 payloadCol: String = "payload"): DataFrame =
+    files.withColumn("mime",
+      graft.operators.FileIngest.sniffMime(col(payloadCol)))
+
   /** Pack documents whole into fixed-capacity bins (p8's next-fit
     * layout — SFT/instruction data where a split document is a
     * corrupted example). Requires a `source` column; oversize

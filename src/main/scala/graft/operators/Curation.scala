@@ -213,9 +213,14 @@ object Curation {
     * kernel; swap approx_percentile at real scale), broadcasts them,
     * and assignment is a map-only boundary count per row. Quality is
     * t2's scoring arithmetic verbatim. */
-  def p9Curriculum(spark: SparkSession, dir: String): DataFrame = {
+  def p9Curriculum(spark: SparkSession, dir: String): DataFrame =
+    curriculumOf(Tables.documents(spark, dir))
+
+  /** The p9 core over any (doc_id, text) frame. */
+  def curriculumOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val scored = Tables.documents(spark, dir)
+    val scored = docs
       .select($"doc_id",
         expr("cast(regexp_count(text, '\\\\S+') as bigint)").as("n_tok"),
         expr("cast(regexp_count(text, '[.,;:!?]') as bigint)").as("n_punct"),

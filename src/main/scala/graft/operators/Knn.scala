@@ -103,9 +103,16 @@ object Knn {
     * engines skip the same buckets); (3) top-k rides the raw-cosine
     * window the TopKPerKey rewrite turns into partial heaps. */
   def a9KnnJoin(spark: SparkSession, dir: String, tables: Int = 8,
-                bits: Int = 6, k: Int = 3, bucketCap: Int = 256): DataFrame = {
+                bits: Int = 6, k: Int = 3, bucketCap: Int = 256): DataFrame =
+    knnJoinOf(base(spark, dir), tables, bits, k, bucketCap)
+
+  /** The a9 core over any (vec_id, v array<double>) frame. */
+  def knnJoinOf(vectors: DataFrame, tables: Int = 8, bits: Int = 6,
+                k: Int = 3, bucketCap: Int = 256): DataFrame = {
+    val spark = vectors.sparkSession
     import spark.implicits._
-    val all = graft.Caches.persist(base(spark, dir)
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val all = graft.Caches.persist(vectors
       .withColumn("sigs", expr(s"hyperplane_sig(v, $tables, $bits)")))
     val buckets = all
       .select($"vec_id", posexplode($"sigs"))

@@ -257,4 +257,28 @@ class GraftEngineSpec extends SparkSpec {
     assert(packed.filter($"seq_pos" >= 32 || $"seq_pos" < 0).isEmpty)
     assert(packed.count() > 0)
   }
+
+  test("facade delegates: curriculum, knnJoin, sniffTypes") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val cur = engine.curriculum()
+    assert(cur.columns.toSeq === Seq("doc_id", "quality", "stage"))
+    val stages = cur.select($"stage").distinct().collect().map(_.getLong(0))
+    assert(stages.forall(s => s >= 1 && s <= 10))
+    assert(stages.length > 1, "deciles should spread across stages")
+
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+    val g = engine.knnJoin(emb, k = 2)
+    assert(g.columns.toSeq === Seq("q_id", "vec_id", "cosine", "rnk"))
+    assert(g.filter($"rnk" > 2).isEmpty)
+    assert(g.filter($"q_id" === $"vec_id").isEmpty, "no self-neighbors")
+    Caches.releaseAll()
+
+    val files = Seq((1L, Array[Byte]('%', 'P', 'D', 'F', '-', 'x')))
+      .toDF("doc_id", "payload")
+    val sniffed = engine.sniffTypes(files).collect().head
+    assert(sniffed.getAs[String]("mime") === "application/pdf")
+  }
+
 }
