@@ -109,4 +109,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"),
       s"only the 1-row stats agg and the top-k may exchange:\n$p")
   }
+
+  test("a9: kNN-graph bucket join is an equi hash join, never cartesian") {
+    val p = plan(Knn.a9KnnJoin(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), s"a9 went all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"a9 has a BNLJ:\n$p")
+    Caches.releaseAll()
+  }
+
+  test("p8: pack layout is one keyed exchange + in-partition sort + mapPartitions") {
+    val p = plan(graft.operators.Curation.p8PackBins(spark, sfDir))
+    assert(p.contains("MapPartitions"), "next-fit kernel missing")
+    // exactly one REPARTITION_BY_COL exchange feeds the kernel (the
+    // final presentation sort adds its own range exchange)
+    assert("REPARTITION_BY_COL".r.findAllIn(p).size === 1, s"wrong exchanges:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("m6/m7: header walks use the byte_at kernel over LAYERED hop columns") {
+    // (AQE hides WholeStageCodegen nodes until execution, so assert
+    // the structural properties that keep the stage codegen-sized:
+    // per-hop offsets survive as project aliases — CollapseProject
+    // must NOT re-inline them into an exponential tree — and every
+    // byte read is the kernel, not the substr->hex->conv string path)
+    Seq(graft.operators.Multimodal.m6JpegMeta(spark, sfDir),
+        graft.operators.Multimodal.m7Mp4Meta(spark, sfDir)).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("byte_at("), s"byte kernel missing:\n${p.take(1500)}")
+      assert(p.contains("AS _off2"), s"hop columns were inlined:\n${p.take(1500)}")
+      assert(!p.contains("conv(hex(substring(payload"),
+        "slow substr->hex->conv byte path resurfaced")
+    }
+  }
 }
