@@ -835,7 +835,58 @@ object EngineQueries {
       .orderBy($"s_suppkey")
   }
 
+  /** q33: TPC-H Q17 shape — revenue that would be lost by refusing
+    * small orders: lineitems of one brand's parts whose quantity is
+    * under 20% of that part's own average. The correlated scalar
+    * subquery (avg per part, re-evaluated per row in the textbook
+    * form) is decorrelated to ONE aggregate over the brand's
+    * lineitems joined back — and the brand filter prunes via a
+    * broadcast semi shape BEFORE either aggregate touches the fact
+    * table, so the per-part avg is computed only for the ~1/25 of
+    * parts that can matter. Integer-cent revenue (volCents rule). */
+  def q33SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val brandParts = Tables.part(spark, dir)
+      .filter($"p_brand" === "Brand#23").select($"p_partkey")
+    val brandItems = graft.Caches.persist(
+      Tables.lineitem(spark, dir)
+        .join(broadcast(brandParts), $"l_partkey" === $"p_partkey")
+        .select($"l_partkey", $"l_quantity",
+          expr("cast(round(l_extendedprice * 100.0, 0) as bigint)")
+            .as("price_cents")))
+    val cuts = brandItems.groupBy($"l_partkey")
+      .agg((avg($"l_quantity") * 0.2).as("qty_cut"))
+    brandItems.join(cuts, "l_partkey")
+      .filter($"l_quantity" < $"qty_cut")
+      .agg(round(sum($"price_cents").cast("double") / 100.0 / 7.0, 2)
+        .as("avg_yearly"))
+  }
+
+  /** q34: TPC-H Q19 shape — revenue under an OR-of-ANDs predicate
+    * spanning both join sides (three brand/size/quantity bands). The
+    * single-side conjuncts (p_size bounds, quantity bounds, brand
+    * IN-list) are what Catalyst's constraint extraction pushes to
+    * each scan, so the join probes only band-eligible rows; the
+    * cross-side disjunction evaluates post-join as one codegen
+    * filter. The canonical "complex promo eligibility" scan. */
+  def q34Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), $"l_partkey" === $"p_partkey")
+      .filter(
+        ($"p_brand" === "Brand#12" && $"p_size".between(1, 5) &&
+          $"l_quantity".between(1, 11)) ||
+        ($"p_brand" === "Brand#23" && $"p_size".between(1, 10) &&
+          $"l_quantity".between(10, 20)) ||
+        ($"p_brand" === "Brand#34" && $"p_size".between(1, 15) &&
+          $"l_quantity".between(20, 30)))
+      .agg(coalesce(sum(volCents), lit(0L)).as("rev_cents"))
+      .select(round($"rev_cents".cast("double") / 100.0, 2).as("revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_disjunctive" -> q34Disjunctive _,
+    "q33_small_qty" -> q33SmallQty _,
     "q32_top_supplier" -> q32TopSupplier _,
     "q31_volume_shipping" -> q31VolumeShipping _,
     "q30_promo_share" -> q30PromoShare _,
@@ -876,6 +927,27 @@ object EngineQueries {
     s"(((${bfA(j)} * ($k % 2147483647) + ${bfB(j)}) % 2147483647) % 8192)"
 
   val oracles: Map[String, String] = Map(
+    // the textbook correlated form — proves the decorrelation
+    "q33_small_qty" ->
+      """SELECT round(CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT))
+        |       AS DOUBLE) / 100.0 / 7.0, 2) AS avg_yearly
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#23'
+        |  AND l.l_quantity < (
+        |    SELECT 0.2 * avg(l2.l_quantity)
+        |    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)""".stripMargin,
+    "q34_disjunctive" ->
+      """SELECT round(CAST(coalesce(sum(
+        |    (CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+        |     * (100 - CAST(round(l_discount * 100.0, 0) AS BIGINT))) // 100),
+        |    0) AS DOUBLE) / 100.0, 2) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q32_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,
