@@ -15,6 +15,7 @@ object SparkEntry {
       (operators.ChunkQueries.queries, operators.ChunkQueries.oracles),
       (operators.FileIngest.queries, operators.FileIngest.oracles),
       (operators.WebMeta.queries, operators.WebMeta.oracles),
+      (operators.Robots.queries, operators.Robots.oracles),
       (operators.HybridSearch.queries, operators.HybridSearch.oracles),
       (operators.Multimodal.queries, operators.Multimodal.oracles),
       (operators.Pipeline.queries, operators.Pipeline.oracles),

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** robots.txt parsing + frontier evaluation — the crawl-permission
+  * pre-filter the reference delegates to its crawler library
+  * (handlers/web.py:277 `check_robots_txt=True`); a distributed
+  * crawler can't fetch-and-check per URL, it evaluates the WHOLE
+  * frontier against parsed per-host rule tables in one join.
+  *
+  * Semantics: the RFC 9309 core — rules grouped under User-agent
+  * lines, longest-matching path prefix wins, Allow beats Disallow on
+  * equal length, no match = allowed. (Wildcard `*`/`$` patterns are
+  * an extension; prefix rules are the RFC's required baseline and
+  * what this evaluator implements.)
+  *
+  * Scale shape: parse is a per-host line explode with a running
+  * "current group" window (one keyed exchange); evaluation is an
+  * equi-join on host — never URL×rule — with the longest-match pick
+  * as a per-URL window over the few matching rules.
+  */
+object Robots {
+
+  /** Parse robots.txt bodies: (host, robots_txt) -> one row per
+    * (host, agent, rule, path). Group attribution is the RFC's:
+    * a rule line belongs to the most recent User-agent line above
+    * it; consecutive User-agent lines share the following rules
+    * (each UA line starts/extends a group — re-expressed here as
+    * rules attaching to EVERY agent of the current group via the
+    * group-id join). */
+  def parseRobots(robots: DataFrame): DataFrame = {
+    import robots.sparkSession.implicits._
+    val lines = robots
+      .select($"host", posexplode(split($"robots_txt", "\n")))
+      .select($"host", $"pos".as("line_no"),
+        trim(lower($"col")).as("line"))
+      .filter($"line" =!= "" && !$"line".startsWith("#"))
+    val tagged = lines.select($"host", $"line_no",
+      regexp_extract($"line", "^(user-agent|allow|disallow)\\s*:\\s*(.*)$", 1)
+        .as("key"),
+      trim(regexp_extract($"line", "^(user-agent|allow|disallow)\\s*:\\s*(.*)$", 2))
+        .as("value"))
+      .filter($"key" =!= "")
+    // group id = number of user-agent lines at or above this line
+    // that START a group (a UA line not directly preceded by another
+    // UA line starts a new group)
+    val w = Window.partitionBy($"host").orderBy($"line_no")
+    val grouped = tagged
+      .withColumn("is_ua", ($"key" === "user-agent").cast("int"))
+      .withColumn("prev_ua", coalesce(lag($"is_ua", 1).over(w), lit(0)))
+      .withColumn("starts_group",
+        ($"is_ua" === 1 && $"prev_ua" === 0).cast("int"))
+      .withColumn("grp", sum($"starts_group").over(w))
+    val agents = grouped.filter($"is_ua" === 1)
+      .select($"host", $"grp", $"value".as("agent"))
+    val rules = grouped.filter($"is_ua" === 0 && $"value" =!= "")
+      .select($"host", $"grp", $"key".as("rule"), $"value".as("path"))
+    agents.join(rules, Seq("host", "grp"))
+      .select($"host", $"agent", $"rule", $"path")
+  }
+
+  /** Evaluate a URL frontier against parsed rules for one agent:
+    * adds (allowed, matched_rule, matched_path). Longest matching
+    * prefix wins; allow beats disallow at equal length; no matching
+    * rule (or no rules for the host) = allowed. */
+  def evaluate(frontier: DataFrame, rules: DataFrame,
+               agent: String = "*"): DataFrame = {
+    import frontier.sparkSession.implicits._
+    val urls = frontier.select($"url",
+      regexp_extract($"url", "^https?://([^/]+)", 1).as("host"),
+      coalesce(nullif(regexp_extract($"url", "^https?://[^/]+(/.*)$", 1),
+        lit("")), lit("/")).as("url_path"))
+    val agentRules = rules
+      .filter($"agent" === agent)
+      .select($"host".as("r_host"), $"rule", $"path")
+    // prefix test INSIDE the join condition: a host whose rules all
+    // miss must keep its null row (= allowed), not vanish
+    val matches = urls.join(agentRules,
+      $"host" === $"r_host" && $"url_path".startsWith($"path"), "left")
+    // allow beats disallow on equal length: 'allow' < 'disallow' asc
+    val w = Window.partitionBy($"url")
+      .orderBy(length($"path").desc, $"rule".asc)
+    matches
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"url",
+        coalesce($"rule" =!= "disallow", lit(true)).as("allowed"),
+        $"rule".as("matched_rule"), $"path".as("matched_path"))
+  }
+
+  /** c16: the crawl-permission pass over c9's link frontier —
+    * per-host robots.txt bodies are synthesized (host0 disallows a
+    * /page/1 prefix but re-allows /page/12 — the longest-match +
+    * allow-beats-disallow case; host1 disallows everything; host2
+    * has no rules beyond an unrelated agent group), parsed, and the
+    * frontier evaluated for agent "*". */
+  def c16Robots(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val robots = Seq(
+      ("host0.example.com",
+        "# host0 policy\nUser-agent: *\nDisallow: /page/1\nAllow: /page/12\n" +
+          "\nUser-agent: badbot\nDisallow: /"),
+      ("host1.example.com", "User-agent: *\nDisallow: /"),
+      ("host2.example.com", "User-agent: badbot\nDisallow: /private"))
+      .toDF("host", "robots_txt")
+    val frontier = Tables.events(spark, dir)
+      .select(concat(
+        lit("https://host"), pmod($"user_id", lit(3)),
+        lit(".example.com/page/"), pmod($"event_id", lit(50))).as("url"))
+      .distinct()
+    evaluate(frontier, parseRobots(robots))
+      .orderBy($"url")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c16_robots" -> c16Robots _)
+
+  val oracles: Map[String, String] = Map(
+    // same rule literals, same longest-match window, same defaults
+    "c16_robots" ->
+      """WITH rules AS (
+        |  SELECT * FROM (VALUES
+        |    ('host0.example.com', 'disallow', '/page/1'),
+        |    ('host0.example.com', 'allow', '/page/12'),
+        |    ('host1.example.com', 'disallow', '/'))
+        |    AS t(host, rule, path)),
+        |frontier AS (
+        |  SELECT DISTINCT 'https://host' || (user_id % 3)
+        |    || '.example.com/page/' || (event_id % 50) AS url
+        |  FROM events),
+        |urls AS (
+        |  SELECT url,
+        |    regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+        |    coalesce(nullif(regexp_extract(url, '^https?://[^/]+(/.*)$', 1), ''),
+        |             '/') AS url_path
+        |  FROM frontier),
+        |matches AS (
+        |  SELECT u.url, r.rule, r.path
+        |  FROM urls u LEFT JOIN rules r
+        |    ON u.host = r.host AND starts_with(u.url_path, r.path)),
+        |ranked AS (
+        |  SELECT url, rule, path,
+        |    row_number() OVER (PARTITION BY url
+        |      ORDER BY length(path) DESC, rule ASC) AS rn
+        |  FROM matches)
+        |SELECT url,
+        |  coalesce(rule <> 'disallow', true) AS allowed,
+        |  rule AS matched_rule, path AS matched_path
+        |FROM ranked WHERE rn = 1
+        |ORDER BY url""".stripMargin)
+}
