@@ -456,7 +456,38 @@ object Dedup {
     hashedShingleSetsOf(docs).withColumn("mh", expr("minhash_sig(hs)"))
   }
 
+  /** d9: sketch-QUALITY accounting for the MinHash estimator — the
+    * d2 candidate set scored BOTH ways: estimated Jaccard from
+    * 128-perm signature agreement (matches/128, the similarity the
+    * sketch would report without ever touching shingle sets) and the
+    * exact verify value, with the absolute error per pair. The q25
+    * pattern (sketch + exact + observed error in one artifact)
+    * applied to the dedup family: it quantifies what d2's verify
+    * stage buys, and at 100 TB it is the estimator-calibration job
+    * run on a sample before trusting sketch-only thresholds. The
+    * estimate is k/128 (exact binary rational), so both engines
+    * compute bit-equal doubles. */
+  def d9JaccardEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = minhashSigs(spark, dir)
+    val cand = lshCandidates(sig, MaxBandBucket)
+    val sets = sig.select($"doc_id", $"hs", $"mh")
+    cand
+      .join(sets.select($"doc_id".as("a_id"), $"hs".as("a_hs"), $"mh".as("a_mh")), "a_id")
+      .join(sets.select($"doc_id".as("b_id"), $"hs".as("b_hs"), $"mh".as("b_mh")), "b_id")
+      .select($"a_id", $"b_id",
+        (expr("aggregate(zip_with(a_mh, b_mh, (x, y) -> IF(x = y, 1, 0)), 0, (s, v) -> s + v)")
+          .cast("double") / 128.0).as("est_raw"),
+        call_function("jaccard_sorted_long", $"a_hs", $"b_hs").as("exact_raw"))
+      .select($"a_id", $"b_id",
+        round($"est_raw", 6).as("est_jaccard"),
+        round($"exact_raw", 6).as("jaccard"),
+        round(abs($"est_raw" - $"exact_raw"), 6).as("abs_err"))
+      .orderBy($"a_id", $"b_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d9_jaccard_estimate" -> d9JaccardEstimate _,
     "d8_incremental_dedup" -> d8IncrementalDedup _,
     "d1_dedup_exact" -> d1Exact _,
     "d2_dedup_minhash_lsh" -> d2MinhashLsh _,
@@ -603,6 +634,35 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "d2_dedup_minhash_lsh" -> d2Sql,
     "d8_incremental_dedup" -> d8Sql,
+    // d2's capped-band candidates, scored by signature agreement AND
+    // the exact set Jaccard; est = k/128 is an exact binary rational
+    "d9_jaccard_estimate" ->
+      s"""WITH ${lshKeptSqlOver("documents")},
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM keptb x JOIN keptb y
+         |    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+         |   AND x.doc_id < y.doc_id),
+         |scored AS (
+         |  SELECT a_id, b_id,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(generate_series(1, 128), i ->
+         |        CASE WHEN sa.mh[i] = sb.mh[i] THEN CAST(1 AS BIGINT)
+         |             ELSE CAST(0 AS BIGINT) END)),
+         |      (s, v) -> s + v) AS DOUBLE) / 128.0 AS est_raw,
+         |    CAST(len(list_intersect(da.hs, db.hs)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(da.hs, db.hs))) AS exact_raw
+         |  FROM cand
+         |  JOIN sig sa ON sa.doc_id = a_id
+         |  JOIN sig sb ON sb.doc_id = b_id
+         |  JOIN d da ON da.doc_id = a_id
+         |  JOIN d db ON db.doc_id = b_id)
+         |SELECT a_id, b_id,
+         |  round(est_raw, 6) AS est_jaccard,
+         |  round(exact_raw, 6) AS jaccard,
+         |  round(abs(est_raw - exact_raw), 6) AS abs_err
+         |FROM scored
+         |ORDER BY a_id, b_id""".stripMargin,
     "d3_dedup_simhash" -> d3Sql,
     "d1_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS copies
