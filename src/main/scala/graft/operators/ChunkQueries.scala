@@ -480,6 +480,21 @@ object ChunkQueries {
 
   /** One unrolled PageRank iteration as DuckDB CTEs — the same
     * integer update [[pageRankOf]] runs, stage for stage. */
+  /** The full c15 fixed-point PageRank as WITH-body CTEs ending at
+    * `r3` — shared with c17's frontier-priority oracle so the two
+    * rank computations can't drift. */
+  private[operators] lazy val pageRankCtesSql: String =
+    s"""edges AS (
+       |  SELECT src, CAST(unnest([(src*7+3) % 50, (src*3+1) % 50]) AS BIGINT) AS dst
+       |  FROM (SELECT DISTINCT CAST(event_id % 50 AS BIGINT) AS src FROM events)),
+       |nodes AS (
+       |  SELECT DISTINCT url
+       |  FROM (SELECT src AS url FROM edges UNION ALL SELECT dst FROM edges)),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |outdeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+       |r0 AS (SELECT url, 1000000000000 // nn.n AS r FROM nodes, nn),
+       |${(1 to 3).map(prIterSql).mkString(",\n")}""".stripMargin
+
   private def prIterSql(i: Int): String =
     s"""c$i AS (
        |  SELECT e.dst AS url, sum((p.r * 85) // (o.odeg * 100)) AS cin
@@ -655,16 +670,7 @@ object ChunkQueries {
     // the same fixed-point update, stage for stage: int64 ranks,
     // ×85 // 100 damping, dangling redistribution, 3 unrolled rounds
     "c15_pagerank" ->
-      s"""WITH edges AS (
-         |  SELECT src, CAST(unnest([(src*7+3) % 50, (src*3+1) % 50]) AS BIGINT) AS dst
-         |  FROM (SELECT DISTINCT CAST(event_id % 50 AS BIGINT) AS src FROM events)),
-         |nodes AS (
-         |  SELECT DISTINCT url
-         |  FROM (SELECT src AS url FROM edges UNION ALL SELECT dst FROM edges)),
-         |nn AS (SELECT count(*) AS n FROM nodes),
-         |outdeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
-         |r0 AS (SELECT url, 1000000000000 // nn.n AS r FROM nodes, nn),
-         |${(1 to 3).map(prIterSql).mkString(",\n")}
+      s"""WITH $pageRankCtesSql
          |-- CAST: the iterated sum() widens r to HUGEINT, which pandas
          |-- turns into float64 and the driver hash then diverges
          |SELECT url, CAST(r AS BIGINT) AS rank_e12,

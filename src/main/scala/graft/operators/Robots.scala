@@ -92,6 +92,18 @@ object Robots {
         $"rule".as("matched_rule"), $"path".as("matched_path"))
   }
 
+  /** The synthesized per-host robots.txt corpus c16 and c17 share. */
+  private[operators] def robotsCorpus(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("host0.example.com",
+        "# host0 policy\nUser-agent: *\nDisallow: /page/1\nAllow: /page/12\n" +
+          "\nUser-agent: badbot\nDisallow: /"),
+      ("host1.example.com", "User-agent: *\nDisallow: /"),
+      ("host2.example.com", "User-agent: badbot\nDisallow: /private"))
+      .toDF("host", "robots_txt")
+  }
+
   /** c16: the crawl-permission pass over c9's link frontier —
     * per-host robots.txt bodies are synthesized (host0 disallows a
     * /page/1 prefix but re-allows /page/12 — the longest-match +
@@ -100,26 +112,95 @@ object Robots {
     * frontier evaluated for agent "*". */
   def c16Robots(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val robots = Seq(
-      ("host0.example.com",
-        "# host0 policy\nUser-agent: *\nDisallow: /page/1\nAllow: /page/12\n" +
-          "\nUser-agent: badbot\nDisallow: /"),
-      ("host1.example.com", "User-agent: *\nDisallow: /"),
-      ("host2.example.com", "User-agent: badbot\nDisallow: /private"))
-      .toDF("host", "robots_txt")
     val frontier = Tables.events(spark, dir)
       .select(concat(
         lit("https://host"), pmod($"user_id", lit(3)),
         lit(".example.com/page/"), pmod($"event_id", lit(50))).as("url"))
       .distinct()
-    evaluate(frontier, parseRobots(robots))
+    evaluate(frontier, parseRobots(robotsCorpus(spark)))
       .orderBy($"url")
   }
 
+  /** c17: frontier SCHEDULING — the query a crawl scheduler actually
+    * runs each cycle, composing three verified pieces: c15's
+    * fixed-point PageRank (importance), c16's robots evaluation
+    * (permission), and the link frontier. Disallowed URLs drop;
+    * surviving URLs rank into PER-HOST politeness queues (crawlers
+    * fetch per-host serially — a GLOBAL priority order would both
+    * violate politeness and be the classic total-order bottleneck;
+    * the per-host window keys the only exchange). */
+  def c17FrontierPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frontier = Tables.events(spark, dir)
+      .select(
+        concat(lit("https://host"), pmod($"user_id", lit(3)),
+          lit(".example.com/page/"), pmod($"event_id", lit(50))).as("url"),
+        concat(lit("host"), pmod($"user_id", lit(3)),
+          lit(".example.com")).as("host"),
+        pmod($"event_id", lit(50)).cast("long").as("page_id"))
+      .distinct()
+    val perms = evaluate(frontier.select($"url"), parseRobots(robotsCorpus(spark)))
+      .select($"url", $"allowed")
+    val ranks = ChunkQueries.c15PageRank(spark, dir)
+      .select($"url".as("page_id"), $"rank_e12")
+    val w = Window.partitionBy($"host")
+      .orderBy($"rank_e12".desc, $"url")
+    frontier
+      .join(perms, "url")
+      .filter($"allowed")
+      .join(ranks, "page_id")
+      .select($"host", $"url", $"rank_e12",
+        row_number().over(w).as("host_rank"))
+      .orderBy($"host", $"host_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "c16_robots" -> c16Robots _)
+    "c16_robots" -> c16Robots _,
+    "c17_frontier_priority" -> c17FrontierPriority _)
 
   val oracles: Map[String, String] = Map(
+    // c15's rank CTEs + c16's permission CTEs + the per-host queue
+    "c17_frontier_priority" ->
+      s"""WITH ${ChunkQueries.pageRankCtesSql},
+        |rules AS (
+        |  SELECT * FROM (VALUES
+        |    ('host0.example.com', 'disallow', '/page/1'),
+        |    ('host0.example.com', 'allow', '/page/12'),
+        |    ('host1.example.com', 'disallow', '/'))
+        |    AS t(host, rule, path)),
+        |frontier AS (
+        |  SELECT DISTINCT
+        |    'https://host' || (user_id % 3) || '.example.com/page/'
+        |      || (event_id % 50) AS url,
+        |    'host' || (user_id % 3) || '.example.com' AS host,
+        |    CAST(event_id % 50 AS BIGINT) AS page_id
+        |  FROM events),
+        |urls AS (
+        |  SELECT url,
+        |    regexp_extract(url, '^https?://([^/]+)', 1) AS uhost,
+        |    coalesce(nullif(regexp_extract(url, '^https?://[^/]+(/.*)$$', 1), ''),
+        |             '/') AS url_path
+        |  FROM frontier),
+        |matches AS (
+        |  SELECT u.url, r.rule, r.path
+        |  FROM urls u LEFT JOIN rules r
+        |    ON u.uhost = r.host AND starts_with(u.url_path, r.path)),
+        |perm AS (
+        |  SELECT url, coalesce(rule <> 'disallow', true) AS allowed
+        |  FROM (
+        |    SELECT url, rule,
+        |      row_number() OVER (PARTITION BY url
+        |        ORDER BY length(path) DESC, rule ASC) AS rn
+        |    FROM matches)
+        |  WHERE rn = 1)
+        |SELECT f.host, f.url, CAST(r3.r AS BIGINT) AS rank_e12,
+        |  CAST(row_number() OVER (PARTITION BY f.host
+        |    ORDER BY r3.r DESC, f.url) AS INTEGER) AS host_rank
+        |FROM frontier f
+        |JOIN perm p ON p.url = f.url
+        |JOIN r3 ON r3.url = f.page_id
+        |WHERE p.allowed
+        |ORDER BY host, host_rank""".stripMargin,
     // same rule literals, same longest-match window, same defaults
     "c16_robots" ->
       """WITH rules AS (
