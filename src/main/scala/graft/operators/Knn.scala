@@ -304,6 +304,55 @@ object Knn {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** PERSISTED IVF index — the serving layout a 100 TB deployment
+    * actually reads: assignments written `partitionBy(cid)`, so a
+    * probe of nprobe cells is a PARTITION-PRUNED scan (the scan
+    * touches nprobe directories, zero I/O on every other cell — the
+    * disk analog of FAISS's inverted lists). Build once
+    * ([[writeIvfIndex]]), serve many ([[serveFromIvfIndex]]);
+    * KnnIndexSpec asserts both the pruning (PartitionFilters on cid)
+    * and result-equality with the in-memory a4 path. */
+  def writeIvfIndex(spark: SparkSession, dir: String,
+                    path: String): Seq[Seq[Double]] = {
+    import spark.implicits._
+    val all = base(spark, dir)
+    val cents = ivfCentroids(spark, dir, all)
+    assign(all, cents).select($"vec_id", $"v", $"cid")
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    cents
+  }
+
+  /** Serve top-k from a written index: score centroids, read ONLY
+    * the probed cell partitions, exact rerank inside them. */
+  def serveFromIvfIndex(spark: SparkSession, path: String,
+                        cents: Seq[Seq[Double]], queries: DataFrame,
+                        nprobe: Int = 2, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val probes = queries
+      .withColumn("__scores",
+        transform(array(cents.map(c => array(c.map(lit): _*)): _*),
+          c => V.cosineD($"qv", c)))
+      .withColumn("probe", slice(reverse(array_sort(zip_with($"__scores",
+        sequence(lit(0), lit(cents.length - 1)),
+        (s, i) => struct(s.as("s"), i.as("i"))))), 1, nprobe))
+      .select($"q_id", $"qv", explode($"probe.i").as("cid"))
+    val probedCids = probes.select($"cid").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    // cid IN (<literals>) reaches the scan as a PartitionFilter —
+    // only the probed directories are read
+    val cells = spark.read.parquet(path)
+      .filter($"cid".isin(probedCids: _*))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")
+    cells.join(broadcast(probes), Seq("cid"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", V.cosineD($"qv", $"v").as("cosine_raw"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"q_id", $"vec_id", round($"cosine_raw", 6).as("cosine"), $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
   /** a8: IVF serving over the SHARED k=64 quantizer — the IVF/
     * SemDeDup hybrid: the dedup pass (d7) and this ANN path run
     * against ONE trained quantizer ([[graft.TrainedModels]] keyed

@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Knn
+
+/** Persisted IVF index: the build-once/serve-from-disk layout. The
+  * probe must be a PARTITION-PRUNED scan (nprobe directories read,
+  * everything else zero I/O) and must return exactly what the
+  * in-memory a4 path returns for the same quantizer and nprobe. */
+class KnnIndexSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val tmp = Files.createTempDirectory("graft-ivf").toString
+
+  test("written index serves a4's exact results through pruned partitions") {
+    val path = s"$tmp/ivf"
+    val cents = Knn.writeIvfIndex(spark, sfDir, path)
+    assert(cents.length === 8)
+    // the layout on disk is one directory per cell
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("cid=")).map(_.getName).sorted
+    assert(dirs.nonEmpty && dirs.forall(_.matches("cid=\\d+")))
+
+    val queries = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+      .filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val served = Knn.serveFromIvfIndex(spark, path, cents, queries)
+
+    // partition pruning: the scan carries a PartitionFilters entry on
+    // cid, and the in-plan read touches probed cells only
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"),
+      s"probe scan is not partition-pruned:\n${plan.take(1200)}")
+
+    // result parity with the in-memory IVF serve at the same settings
+    val fromIndex = served.collect().map(_.toSeq).toSeq
+    val inMemory = Knn.a4IvfKmeans(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(fromIndex === inMemory)
+    Caches.releaseAll()
+  }
+}
