@@ -242,7 +242,31 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** p10: EPOCH UPSAMPLING — the data-recipe pass that shows
+    * high-quality data to the model more than once (the multi-epoch
+    * source weighting of published pretraining mixes): documents in
+    * the top quality deciles get extra epochs (stage >= 9 -> 3,
+    * >= 6 -> 2, else 1), each repeat emitted as its own row with an
+    * epoch ordinal and a repeat-distinct content hash (so downstream
+    * packing/shuffling treats epochs as distinct examples, exactly
+    * how repeated data is laid out in practice). Map-only on top of
+    * p9's broadcast-boundary staging: the fan-out is a deterministic
+    * explode, no shuffle beyond p9's one aggregate. */
+  def p10EpochUpsample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    p9Curriculum(spark, dir)
+      .withColumn("n_epochs",
+        when($"stage" >= 9, 3L).when($"stage" >= 6, 2L).otherwise(1L))
+      .select($"doc_id", $"stage", $"n_epochs",
+        explode(sequence(lit(1L), $"n_epochs")).as("epoch"))
+      .withColumn("epoch_key",
+        pmod($"doc_id" * 1000003L + $"epoch" * 7919L, lit(1000000007L)))
+      .orderBy($"doc_id", $"epoch")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p10_epoch_upsample" -> p10EpochUpsample _,
     "p2_decontaminate" -> p2Decontaminate _,
     "p3_train_split" -> p3TrainSplit _,
     "p4_sample_per_source" -> ((s, d) => p4SamplePerSource(s, d)),
@@ -317,6 +341,31 @@ object Curation {
          |  (n_tokens > 1024) AS oversize
          |FROM packed
          |ORDER BY source, bin_id, bin_off, doc_id""".stripMargin,
+    // p9's staging + the same epoch ladder and deterministic repeat key
+    "p10_epoch_upsample" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, ${TextAnalysis.qualityExprSql.replace("\n", " ")} AS quality
+         |  FROM (SELECT doc_id, ${TextAnalysis.qualityColsSql.replace("\n", " ")}
+         |        FROM documents)),
+         |b AS (
+         |  SELECT quantile_cont(quality,
+         |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bounds
+         |  FROM q),
+         |staged AS (
+         |  SELECT doc_id,
+         |    CAST(1 + len(list_filter(b.bounds, x -> q.quality > x)) AS BIGINT)
+         |      AS stage
+         |  FROM q, b),
+         |ep AS (
+         |  SELECT doc_id, stage,
+         |    CAST(CASE WHEN stage >= 9 THEN 3
+         |              WHEN stage >= 6 THEN 2 ELSE 1 END AS BIGINT) AS n_epochs
+         |  FROM staged)
+         |SELECT doc_id, stage, n_epochs, CAST(e.i AS BIGINT) AS epoch,
+         |  CAST((doc_id * 1000003 + e.i * 7919) % 1000000007 AS BIGINT)
+         |    AS epoch_key
+         |FROM ep, LATERAL unnest(generate_series(1, n_epochs)) AS e(i)
+         |ORDER BY doc_id, epoch""".stripMargin,
     // t2's quality arithmetic + quantile_cont boundaries (the
     // q15-verified percentile kernel) + the same boundary count
     "p9_curriculum" ->
