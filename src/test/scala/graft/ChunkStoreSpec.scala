@@ -132,4 +132,19 @@ class ChunkStoreSpec extends SparkSpec {
     assert(aligned.columns.last === "my_extra")
     assert(aligned.select("my_extra").collect().head.getString(0) === "custom-value")
   }
+
+  test("settings store: save/load round trip; absent table = defaults") {
+    import graft.sources.SettingsStore
+    val path = s"$tmp/settings"
+    // absent -> compiled defaults (the service.go fallback)
+    assert(SettingsStore.load(spark, path) === GraftEngine.Settings())
+    SettingsStore.save(spark, path,
+      GraftEngine.Settings(searchAlpha = 0.7, searchTopK = 25), "cohere")
+    val loaded = SettingsStore.load(spark, path)
+    assert(loaded === GraftEngine.Settings(0.7, 25))
+    assert(SettingsStore.rerankProvider(spark, path) === "cohere")
+    // an engine constructed from loaded settings serves those defaults
+    val eng = new GraftEngine(spark, Tables.documents(spark, sfDir), loaded)
+    assert(eng.runSearch("data").length <= 25)
+  }
 }
