@@ -126,6 +126,46 @@ object ModelAdapters {
     }(Encoders.row(schema))
   }
 
+  /** The reference reranker's EXACT contract (retrieval/service.go:40
+    * Reranker interface): given (query, passages) return a
+    * PERMUTATION of indices, best first — the Cohere/Jina-style
+    * rerank-API response shape — as opposed to [[Reranker]]'s
+    * per-passage scores. */
+  trait IndexReranker extends Serializable {
+    def open(): Unit = ()
+    def rerank(query: String, passages: Seq[String]): Seq[Int]
+    def close(): Unit = ()
+  }
+
+  /** Apply an index reranker's response the way service.go:125-132
+    * does: the result has exactly `indices.length` slots, each slot i
+    * holding docs(indices(i)); an out-of-range index leaves its slot
+    * EMPTY (the reference writes a zero-value struct there — safe
+    * from panic, asserted in its RerankerEdgeCases test — here the
+    * slot is None so a caller can't mistake it for a real hit).
+    * Reranking is skipped entirely when docs is empty (the reference
+    * never calls the reranker then). */
+  def applyRerankIndices[T](docs: Seq[T], indices: Seq[Int]): Seq[Option[T]] =
+    indices.map(i => if (i >= 0 && i < docs.length) Some(docs(i)) else None)
+
+  /** The served-search rerank step: collect-side (a serving result
+    * is k small rows), reranker called once per query, skipped on
+    * empty results like the reference. */
+  def rerankServed(query: String, docs: Seq[org.apache.spark.sql.Row],
+                   textIdx: Int, reranker: IndexReranker)
+      : Seq[Option[org.apache.spark.sql.Row]] = {
+    if (docs.isEmpty) Seq.empty
+    else {
+      reranker.open()
+      try {
+        val idx = reranker.rerank(query, docs.map { r =>
+          if (r.isNullAt(textIdx)) "" else r.getString(textIdx)
+        })
+        applyRerankIndices(docs, idx)
+      } finally reranker.close()
+    }
+  }
+
   /** Run `open` now and `close` after `body`'s iterator is fully
     * consumed (mapPartitions iterators are lazy — an eager close
     * would tear the client down before the first batch). */

@@ -85,4 +85,41 @@ class ModelAdaptersSpec extends SparkSpec {
     // encrypted files still surface through the error taxonomy
     assert(out.filter($"status" === "error_encrypted").count() > 0)
   }
+
+  test("index reranker applies permutations with the reference's edge semantics") {
+    import graft.functions.ModelAdapters
+    // happy path: [1, 0] swaps two docs (service_test.go "Success with Reranker")
+    assert(ModelAdapters.applyRerankIndices(Seq("A", "B"), Seq(1, 0)) ===
+      Seq(Some("B"), Some("A")))
+    // out-of-bounds index leaves an EMPTY slot, in-range ones apply
+    // (service_test.go RerankerEdgeCases "Index Out Of Bounds":
+    // indices [5, 0] over 2 docs -> [zero-value, docs(0)])
+    assert(ModelAdapters.applyRerankIndices(Seq("A", "B"), Seq(5, 0)) ===
+      Seq(None, Some("A")))
+    // empty docs: reranker must not run (RerankerEdgeCases "Empty Docs")
+    object ExplodingReranker extends ModelAdapters.IndexReranker {
+      def rerank(q: String, p: Seq[String]): Seq[Int] =
+        throw new IllegalStateException("reranker called on empty docs")
+    }
+    assert(ModelAdapters.rerankServed("q", Seq.empty, 0, ExplodingReranker)
+      === Seq.empty)
+  }
+
+  test("rerankServed round-trips rows through an index reranker once") {
+    import graft.functions.ModelAdapters
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val rows = Seq(("short", 1L), ("a much longer passage", 2L))
+      .toDF("text", "id").collect().toSeq
+    var calls = 0
+    object ByLength extends ModelAdapters.IndexReranker {
+      def rerank(q: String, p: Seq[String]): Seq[Int] = {
+        calls += 1
+        p.indices.sortBy(i => -p(i).length)
+      }
+    }
+    val out = ModelAdapters.rerankServed("q", rows, 0, ByLength)
+    assert(calls === 1)
+    assert(out.flatten.map(_.getLong(1)) === Seq(2L, 1L))
+  }
 }
