@@ -92,4 +92,21 @@ object LinkDiscovery {
       .toDF()
     if (currentDepth >= maxDepth) result.limit(0) else result
   }
+
+  /** Discovery from a specific PARENT page, applying the reference's
+    * manifest rule (result_consumer.go:206-213): a parent whose URL
+    * ends in "llms.txt" gets a +1 depth allowance — manifests listed
+    * at maxDepth may still enqueue their children one level deeper,
+    * and those children (depth > maxDepth) discover nothing further,
+    * exactly the one-extra-level semantics the upstream
+    * LLMsTxt_ExtendedDepth test pins. */
+  def discoverFrom(parentUrl: String, links: Dataset[String],
+                   sourceId: String, host: String, currentDepth: Int,
+                   maxDepth: Int,
+                   exclusions: Seq[String] = Nil): DataFrame = {
+    val effectiveMaxDepth =
+      if (parentUrl.length > 8 && parentUrl.endsWith("llms.txt")) maxDepth + 1
+      else maxDepth
+    discover(links, sourceId, host, currentDepth, effectiveMaxDepth, exclusions)
+  }
 }

@@ -92,4 +92,26 @@ class LinkDiscoveryParitySpec extends SparkSpec {
     val got = run(Seq("https://example.com/foo%20bar"))
     assert(urls(got) == Set("https://example.com/foo%20bar"))
   }
+
+  test("llms.txt manifests get a +1 depth allowance (ExtendedDepth parity)") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val links = Seq("http://example.com/doc.md").toDS()
+    // result_consumer_test.go LLMsTxt_ExtendedDepth: depth 2 == max
+    // depth 2 -> a normal page discovers nothing...
+    val normal = LinkDiscovery.discoverFrom("http://example.com/page",
+      links, "src1", "example.com", currentDepth = 2, maxDepth = 2)
+    assert(normal.count() === 0)
+    // ...but an llms.txt manifest still enqueues children at depth 3
+    val manifest = LinkDiscovery.discoverFrom("http://example.com/llms.txt",
+      links, "src1", "example.com", currentDepth = 2, maxDepth = 2)
+    val rows = manifest.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("url") === "http://example.com/doc.md")
+    assert(rows.head.getAs[Int]("depth") === 3)
+    // and the manifest's children (depth 3 > maxDepth) stop the crawl
+    val grandchild = LinkDiscovery.discoverFrom("http://example.com/doc.md",
+      links, "src1", "example.com", currentDepth = 3, maxDepth = 2)
+    assert(grandchild.count() === 0)
+  }
 }
