@@ -23,6 +23,47 @@ import graft.operators.{ChunkQueries, Chunker}
   */
 object IngestStream {
 
+  /** The queue task-payload schema (result_consumer.go's
+    * ResultPayload: source_id, url, content, links, depth). */
+  val TaskSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("source_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("links",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)),
+      org.apache.spark.sql.types.StructField("depth",
+        org.apache.spark.sql.types.LongType)))
+
+  /** POISON-PILL tolerant message decode — the consumers' rule that a
+    * malformed payload must never wedge the queue
+    * (result_consumer.go HandleMessage returns nil on unmarshal
+    * failure so NSQ won't requeue forever; its PoisonPill and
+    * MissingRequiredFields tests pin it). Streaming twist: one bad
+    * row must not kill the QUERY — so the decode never throws,
+    * it ROUTES: `reason` is null for well-formed tasks,
+    * "malformed_json" / "missing_required_fields" otherwise, and the
+    * caller splits ok-rows from the dead-letter frame per batch. */
+  def decodeTasks(raw: DataFrame, col: String = "value"): DataFrame = {
+    import raw.sparkSession.implicits._
+    // PERMISSIVE from_json half-parses bad payloads into all-null
+    // structs; the corrupt-record column is what actually separates
+    // "unparseable" from "parsed but incomplete"
+    val withCorrupt = TaskSchema.add("_corrupt",
+      org.apache.spark.sql.types.StringType)
+    raw
+      .withColumn("task", from_json(org.apache.spark.sql.functions.col(col),
+        withCorrupt, Map("columnNameOfCorruptRecord" -> "_corrupt")))
+      .withColumn("reason",
+        when($"task".isNull || $"task._corrupt".isNotNull, "malformed_json")
+          .when($"task.source_id".isNull || $"task.url".isNull,
+            "missing_required_fields"))
+  }
+
   /** Chunk + contextualize + embed a (doc_id, source, text) frame —
     * shared by the streaming query and batch backfills (same lambda/
     * kappa pairing as EventStream.windowedAgg). */

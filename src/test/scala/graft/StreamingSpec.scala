@@ -538,6 +538,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+
+  test("poison-pill payloads route to the dead letter, never kill the query") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.IngestStream
+
+    val stream = MemoryStream[String]
+    stream.addData(
+      """{"source_id":"s1","url":"http://a/x","content":"ok","links":[],"depth":1}""",
+      "{not json at all",                                    // PoisonPill
+      """{"content":"no ids here"}""",                       // MissingRequiredFields
+      """{"source_id":"s1","url":"http://a/y","content":"ok2","links":["http://a/z"],"depth":2}""")
+
+    var ok = 0L; var dead: Seq[String] = Seq.empty
+    val query = IngestStream.decodeTasks(stream.toDF())
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        ok += batch.filter(org.apache.spark.sql.functions.col("reason").isNull).count()
+        dead = dead ++ batch
+          .filter(org.apache.spark.sql.functions.col("reason").isNotNull)
+          .select("reason").collect().map(_.getString(0))
+      }
+      .start()
+    try {
+      query.processAllAvailable()
+      assert(ok === 2L, "both well-formed tasks decode")
+      assert(dead.sorted === Seq("malformed_json", "missing_required_fields"))
+      // the query survives the poison rows and keeps consuming
+      stream.addData("""{"source_id":"s2","url":"http://b/1","content":"c","links":[],"depth":0}""")
+      query.processAllAvailable()
+      assert(ok === 3L)
+    } finally query.stop()
+  }
+
 }
 
 /** Top-level (not nested in the spec) so the batch toDF() encoder
