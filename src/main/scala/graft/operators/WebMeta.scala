@@ -160,11 +160,73 @@ object WebMeta {
       .orderBy($"doc_id")
   }
 
+  /** Generic body-hash CHANGE DETECTION over (key, body_hash) frames
+    * — the CDC classify every incremental crawl runs before its
+    * expensive stages: full outer join of the fresh fetch batch
+    * against the stored per-page hashes (UpdateBodyHash's table,
+    * result_consumer.go:196-198) → unchanged / changed / new /
+    * deleted. Only changed ∪ new proceed to chunk+embed; at 100 TB
+    * that skip IS the pipeline's economics. One equi-join on the
+    * page key, no content moves — hashes only. */
+  def changeDetect(fresh: DataFrame, stored: DataFrame): DataFrame = {
+    import fresh.sparkSession.implicits._
+    fresh.select($"page_key", $"body_hash".as("new_hash"))
+      .join(stored.select($"page_key", $"body_hash".as("old_hash")),
+        Seq("page_key"), "full_outer")
+      .select($"page_key",
+        when($"new_hash".isNull, "deleted")
+          .when($"old_hash".isNull, "new")
+          .when($"new_hash" === $"old_hash", "unchanged")
+          .otherwise("changed").as("change"),
+        ($"new_hash".isNotNull &&
+          ($"old_hash".isNull || $"new_hash" =!= $"old_hash"))
+          .as("needs_processing"))
+  }
+
+  /** c18: change detection over a synthesized crawl state — stored
+    * hashes agree for doc_id%4==0, are stale for %4==1, absent for
+    * %4==2 (new page), and %4==3 exists only in the store (page gone
+    * from the fresh crawl). */
+  def c18ChangeDetect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", md5($"text").as("body_hash"))
+    val fresh = docs.filter(pmod($"doc_id", lit(4)) =!= 3)
+      .select(concat(lit("page-"), $"doc_id").as("page_key"), $"body_hash")
+    val stored = docs.filter(pmod($"doc_id", lit(4)) =!= 2)
+      .select(concat(lit("page-"), $"doc_id").as("page_key"),
+        when(pmod($"doc_id", lit(4)) === 1, md5(concat($"body_hash", lit("old"))))
+          .otherwise($"body_hash").as("body_hash"))
+    changeDetect(fresh, stored).orderBy($"page_key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c13_web_meta" -> c13WebMeta _,
-    "c14_crawl_errors" -> c14CrawlErrors _)
+    "c14_crawl_errors" -> c14CrawlErrors _,
+    "c18_change_detect" -> c18ChangeDetect _)
 
   val oracles: Map[String, String] = Map(
+    "c18_change_detect" ->
+      """WITH docs AS (
+        |  SELECT doc_id, md5(text) AS body_hash FROM documents),
+        |fresh AS (
+        |  SELECT 'page-' || doc_id AS page_key, body_hash AS new_hash
+        |  FROM docs WHERE doc_id % 4 <> 3),
+        |stored AS (
+        |  SELECT 'page-' || doc_id AS page_key,
+        |    CASE WHEN doc_id % 4 = 1 THEN md5(body_hash || 'old')
+        |         ELSE body_hash END AS old_hash
+        |  FROM docs WHERE doc_id % 4 <> 2)
+        |SELECT coalesce(f.page_key, s.page_key) AS page_key,
+        |  CASE WHEN f.new_hash IS NULL THEN 'deleted'
+        |       WHEN s.old_hash IS NULL THEN 'new'
+        |       WHEN f.new_hash = s.old_hash THEN 'unchanged'
+        |       ELSE 'changed' END AS change,
+        |  (f.new_hash IS NOT NULL AND
+        |   (s.old_hash IS NULL OR f.new_hash <> s.old_hash))
+        |    AS needs_processing
+        |FROM fresh f FULL OUTER JOIN stored s ON f.page_key = s.page_key
+        |ORDER BY page_key""".stripMargin,
     "c14_crawl_errors" ->
       """WITH msgs AS (
         |  SELECT doc_id,
