@@ -200,12 +200,56 @@ object WebMeta {
     changeDetect(fresh, stored).orderBy($"page_key")
   }
 
+  /** c19: crawl PROGRESS rollup — the coordinator's source-completion
+    * check (result_consumer.go step 6: CountPendingPages == 0 →
+    * UpdateSourceStatus completed) over the whole page-status table
+    * at once: per source, page counts by status and the completion
+    * verdict. One keyed aggregate with map-side partial counts —
+    * the dashboard/coordinator query, not a per-source point read.
+    * Statuses are synthesized deterministically (pending only on a
+    * sparse slice that spares source 0, so at least one source
+    * completes). */
+  def c19CrawlProgress(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pages = Tables.events(spark, dir)
+      .select(concat(lit("src"), pmod($"user_id", lit(5))).as("source_id"),
+        concat(lit("page-"), $"event_id").as("page_key"),
+        when(pmod($"event_id", lit(7)) === 3 && pmod($"user_id", lit(5)) =!= 0,
+          "pending")
+          .when(pmod($"event_id", lit(11)) === 5, "failed")
+          .otherwise("completed").as("status"))
+    pages.groupBy($"source_id")
+      .agg(count(lit(1)).as("n_pages"),
+        count(when($"status" === "pending", lit(1))).as("n_pending"),
+        count(when($"status" === "completed", lit(1))).as("n_completed"),
+        count(when($"status" === "failed", lit(1))).as("n_failed"))
+      .withColumn("is_complete", $"n_pending" === 0L)
+      .orderBy($"source_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c13_web_meta" -> c13WebMeta _,
     "c14_crawl_errors" -> c14CrawlErrors _,
-    "c18_change_detect" -> c18ChangeDetect _)
+    "c18_change_detect" -> c18ChangeDetect _,
+    "c19_crawl_progress" -> c19CrawlProgress _)
 
   val oracles: Map[String, String] = Map(
+    "c19_crawl_progress" ->
+      """WITH pages AS (
+        |  SELECT 'src' || (user_id % 5) AS source_id,
+        |    CASE WHEN event_id % 7 = 3 AND user_id % 5 <> 0 THEN 'pending'
+        |         WHEN event_id % 11 = 5 THEN 'failed'
+        |         ELSE 'completed' END AS status
+        |  FROM events)
+        |SELECT source_id,
+        |  count(*) AS n_pages,
+        |  count(CASE WHEN status = 'pending' THEN 1 END) AS n_pending,
+        |  count(CASE WHEN status = 'completed' THEN 1 END) AS n_completed,
+        |  count(CASE WHEN status = 'failed' THEN 1 END) AS n_failed,
+        |  (count(CASE WHEN status = 'pending' THEN 1 END) = 0) AS is_complete
+        |FROM pages
+        |GROUP BY source_id
+        |ORDER BY source_id""".stripMargin,
     "c18_change_detect" ->
       """WITH docs AS (
         |  SELECT doc_id, md5(text) AS body_hash FROM documents),
