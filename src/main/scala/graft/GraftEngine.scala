@@ -449,6 +449,19 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
           .as("crosses_seq"))
   }
 
+  /** Incremental-crawl change detection (c18's CDC classify): fresh
+    * (page_key, body_hash) batch vs the stored hash table →
+    * unchanged/changed/new/deleted + needs_processing. */
+  def detectChanges(fresh: DataFrame, stored: DataFrame): DataFrame =
+    graft.operators.WebMeta.changeDetect(fresh, stored)
+
+  /** robots.txt frontier evaluation (c16): parse per-host robots
+    * bodies, evaluate every frontier URL in one host-keyed join. */
+  def evaluateRobots(frontier: DataFrame, robots: DataFrame,
+                     agent: String = "*"): DataFrame =
+    graft.operators.Robots.evaluate(frontier,
+      graft.operators.Robots.parseRobots(robots), agent)
+
   /** Quality-decile curriculum staging over the corpus (p9): one
     * percentile aggregate broadcast as 9 boundaries, map-only
     * assignment — no global sort. */

@@ -281,4 +281,27 @@ class GraftEngineSpec extends SparkSpec {
     assert(sniffed.getAs[String]("mime") === "application/pdf")
   }
 
+
+  test("facade delegates: detectChanges, evaluateRobots") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val fresh = Seq(("p1", "h1"), ("p2", "h2-new"), ("p4", "h4"))
+      .toDF("page_key", "body_hash")
+    val stored = Seq(("p1", "h1"), ("p2", "h2-old"), ("p3", "h3"))
+      .toDF("page_key", "body_hash")
+    val changes = engine.detectChanges(fresh, stored)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(changes === Map(
+      "p1" -> ("unchanged", false), "p2" -> ("changed", true),
+      "p3" -> ("deleted", false), "p4" -> ("new", true)))
+
+    val robots = Seq(("x.com", "User-agent: *\nDisallow: /no"))
+      .toDF("host", "robots_txt")
+    val frontier = Seq("https://x.com/no/page", "https://x.com/yes").toDF("url")
+    val perms = engine.evaluateRobots(frontier, robots)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(perms === Map("https://x.com/no/page" -> false,
+      "https://x.com/yes" -> true))
+  }
+
 }
