@@ -154,9 +154,63 @@ object Robots {
       .orderBy($"host", $"host_rank")
   }
 
+  /** URL canonicalization — the crawl-side dedup key: fragments
+    * never reach the server (drop), scheme+host are case-insensitive
+    * (lowercase), default ports are redundant (:443 on https, :80 on
+    * http), a bare trailing slash is the same resource, and query
+    * parameter ORDER is almost always non-semantic (sort params —
+    * the one lossy choice, the standard crawler trade, documented).
+    * Pure string expressions → codegen, no UDF. */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(url, "^[^:]+://([^/?#]+)", 1))
+    val host = regexp_replace(hostport, ":\\d+$", "")
+    val port = regexp_extract(hostport, ":(\\d+)$", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "https" && port === "443") &&
+      !(scheme === "http" && port === "80")
+    val rawPath = regexp_extract(url, "^[^:]+://[^/?#]+([^?#]*)", 1)
+    val path = when(rawPath === "" || rawPath === "/", "")
+      .otherwise(regexp_replace(rawPath, "/$", ""))
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val sortedQuery = when(query === "", "")
+      .otherwise(concat(lit("?"),
+        array_join(array_sort(split(query, "&")), "&")))
+    concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path, sortedQuery)
+  }
+
+  /** d10: canonical-URL dedup over a synthesized crawl log whose
+    * URLs vary in case, fragment, default port, trailing slash, and
+    * parameter order by deterministic doc_id rules — one group per
+    * canonical resource, first (minimum) raw URL kept, duplicate
+    * count exposed. */
+  def d10UrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.events(spark, dir)
+    val raw = base.select(
+      concat(
+        when(pmod($"event_id", lit(5)) === 0, "HTTPS://").otherwise("https://"),
+        when(pmod($"event_id", lit(3)) === 0, "Host").otherwise("host"),
+        pmod($"user_id", lit(3)), lit(".example.com"),
+        when(pmod($"event_id", lit(7)) === 0, ":443").otherwise(""),
+        lit("/page/"), pmod($"event_id", lit(50)),
+        when(pmod($"event_id", lit(4)) === 0, "/").otherwise(""),
+        when(pmod($"event_id", lit(2)) === 0, "?b=2&a=1").otherwise("?a=1&b=2"),
+        when(pmod($"event_id", lit(6)) === 0, "#frag").otherwise(""))
+        .as("url"))
+    raw
+      .withColumn("canonical", canonicalUrl($"url"))
+      .groupBy($"canonical")
+      .agg(min($"url").as("kept_url"), count(lit(1)).as("n_variants"))
+      .orderBy($"canonical")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c16_robots" -> c16Robots _,
-    "c17_frontier_priority" -> c17FrontierPriority _)
+    "c17_frontier_priority" -> c17FrontierPriority _,
+    "d10_url_dedup" -> d10UrlDedup _)
 
   val oracles: Map[String, String] = Map(
     // c15's rank CTEs + c16's permission CTEs + the per-host queue
@@ -201,6 +255,46 @@ object Robots {
         |JOIN r3 ON r3.url = f.page_id
         |WHERE p.allowed
         |ORDER BY host, host_rank""".stripMargin,
+    // same normalization arms: lowercase scheme/host, default-port
+    // drop, fragment drop, trailing-slash strip, sorted params
+    "d10_url_dedup" ->
+      """WITH raw AS (
+        |  SELECT (CASE WHEN event_id % 5 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+        |    || (CASE WHEN event_id % 3 = 0 THEN 'Host' ELSE 'host' END)
+        |    || (user_id % 3) || '.example.com'
+        |    || (CASE WHEN event_id % 7 = 0 THEN ':443' ELSE '' END)
+        |    || '/page/' || (event_id % 50)
+        |    || (CASE WHEN event_id % 4 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN event_id % 2 = 0 THEN '?b=2&a=1' ELSE '?a=1&b=2' END)
+        |    || (CASE WHEN event_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM events),
+        |c AS (
+        |  SELECT url,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(url, '^[^:]+://([^/?#]+)', 1)) AS hostport,
+        |    regexp_extract(url, '^[^:]+://[^/?#]+([^?#]*)', 1) AS rawpath,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS q
+        |  FROM raw),
+        |n AS (
+        |  SELECT url, scheme,
+        |    regexp_replace(hostport, ':\d+$', '') AS host,
+        |    regexp_extract(hostport, ':(\d+)$', 1) AS port,
+        |    CASE WHEN rawpath = '' OR rawpath = '/' THEN ''
+        |         ELSE regexp_replace(rawpath, '/$', '') END AS path,
+        |    CASE WHEN q = '' THEN ''
+        |         ELSE '?' || array_to_string(list_sort(string_split(q, '&')), '&')
+        |    END AS sq
+        |  FROM c)
+        |SELECT canonical, min(url) AS kept_url, count(*) AS n_variants
+        |FROM (
+        |  SELECT url, scheme || '://' || host
+        |    || (CASE WHEN port <> '' AND NOT (scheme = 'https' AND port = '443')
+        |              AND NOT (scheme = 'http' AND port = '80')
+        |         THEN ':' || port ELSE '' END)
+        |    || path || sq AS canonical
+        |  FROM n)
+        |GROUP BY canonical
+        |ORDER BY canonical""".stripMargin,
     // same rule literals, same longest-match window, same defaults
     "c16_robots" ->
       """WITH rules AS (
