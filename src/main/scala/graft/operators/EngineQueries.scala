@@ -884,7 +884,126 @@ object EngineQueries {
       .select(round($"rev_cents".cast("double") / 100.0, 2).as("revenue"))
   }
 
+  /** q35: TPC-H Q13 shape — customer order-count distribution: how
+    * many customers placed 0, 1, 2, … qualifying orders (urgent
+    * orders excluded as the stand-in for Q13's comment filter). SQL
+    * states it as a LEFT OUTER join then a double aggregate; the
+    * Spark-first plan aggregates orders per custkey FIRST (map-side
+    * partial counts — the shuffle carries one row per customer, not
+    * one per order) and left-joins customer to the counts, keeping
+    * zero-order customers via coalesce. The second aggregate groups
+    * on the tiny count domain. */
+  def q35OrderCountDist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cnts = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" =!= "1-URGENT")
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+    Tables.customer(spark, dir)
+      .select($"c_custkey")
+      .join(cnts, $"c_custkey" === $"o_custkey", "left")
+      .select(coalesce($"n_orders", lit(0L)).as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  /** q36: TPC-H Q16 shape — supplier diversity per part class:
+    * distinct suppliers shipping each (brand, size) combination in a
+    * size IN-list, excluding one brand and excluding suppliers on a
+    * denylist (negative account balance stands in for Q16's
+    * complaints subquery). The NOT IN is a LEFT ANTI join against
+    * the tiny denylist (broadcast — s_suppkey is never null so anti
+    * ≡ NOT IN); the part dim is broadcast with brand/size predicates
+    * pushed into its scan; the only exchange is the
+    * countDistinct's. */
+  def q36SupplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sizes = Seq(1, 5, 9, 13, 17, 21, 25, 29)
+    val deny = Tables.supplier(spark, dir)
+      .filter($"s_acctbal" < 0.0).select($"s_suppkey")
+    Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_suppkey")
+      .join(deny, $"l_suppkey" === $"s_suppkey", "left_anti")
+      .join(broadcast(Tables.part(spark, dir)
+          .filter($"p_brand" =!= "Brand#5" && $"p_size".isin(sizes: _*))
+          .select($"p_partkey", $"p_brand", $"p_size")),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_size")
+  }
+
+  /** q37: TPC-H Q2 shape — cheapest supplier per part: for parts in
+    * a size band, the supplier(s) whose best observed unit price (min
+    * line extendedprice, exact cents) equals the part's global
+    * minimum. SQL states the per-part minimum as a correlated scalar
+    * subquery (the oracle keeps that form); the Spark-first plan
+    * decorrelates it into ONE pass: repartition the fact by
+    * l_partkey, per-(part, supplier) min — the composite-key
+    * aggregate reuses the partkey partitioning (HashPartitioning on
+    * partkey already clusters every (part, supplier) pair) — then a
+    * min window over the SAME partitioning, so the whole
+    * agg+window+filter chain runs on one exchange. The size-band
+    * part dim broadcasts and prunes the fact before any shuffle. */
+  def q37MinCost(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val parts = Tables.part(spark, dir)
+      .filter($"p_size".between(10, 15))
+      .select($"p_partkey", $"p_name")
+    val costs = Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_suppkey",
+        expr("cast(round(l_extendedprice * 100.0, 0) as bigint)").as("price_cents"))
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .repartition($"l_partkey")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(min($"price_cents").as("cost_cents"), first($"p_name").as("p_name"))
+    costs
+      .withColumn("best_cents", min($"cost_cents")
+        .over(Window.partitionBy($"l_partkey")))
+      .filter($"cost_cents" === $"best_cents")
+      .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
+      .select($"l_partkey".as("p_partkey"), $"p_name", $"s_name", $"n_name",
+        round($"cost_cents".cast("double") / 100.0, 2).as("cost"))
+      .orderBy($"p_partkey", $"s_name")
+      .limit(100)
+  }
+
+  /** q38: TPC-H Q10 shape — returned-item revenue report: the top 20
+    * customers by revenue lost to R-flagged returns in one quarter.
+    * Fact filtered on returnflag before the join; orders gate the
+    * quarter; customer + nation broadcast; revenue accumulated in
+    * exact integer cents (volCents) so the top-20 cut is
+    * engine-stable; global top-k via TakeOrderedAndProject, never a
+    * full sort. */
+  def q38ReturnedTop(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ords = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1998-01-01").cast("timestamp") &&
+              $"o_orderdate" < lit("1998-04-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey")
+    Tables.lineitem(spark, dir)
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey", volCents.as("vc"))
+      .join(ords, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(sum($"vc").as("rev_cents"))
+      .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name", $"n_name",
+        round($"c_acctbal", 2).as("c_acctbal"),
+        round($"rev_cents".cast("double") / 100.0, 2).as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_order_count_dist" -> q35OrderCountDist _,
+    "q36_supplier_cnt" -> q36SupplierCnt _,
+    "q37_min_cost" -> q37MinCost _,
+    "q38_returned_top" -> q38ReturnedTop _,
     "q34_disjunctive" -> q34Disjunctive _,
     "q33_small_qty" -> q33SmallQty _,
     "q32_top_supplier" -> q32TopSupplier _,
@@ -927,6 +1046,61 @@ object EngineQueries {
     s"(((${bfA(j)} * ($k % 2147483647) + ${bfB(j)}) % 2147483647) % 8192)"
 
   val oracles: Map[String, String] = Map(
+    // the textbook outer-join double-aggregate form — proves the
+    // aggregate-before-join rewrite
+    "q35_order_count_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) cc
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // the textbook NOT IN form — proves the anti-join rewrite
+    "q36_supplier_cnt" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#5'
+        |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+    // the textbook correlated-scalar-min form — proves the one-pass
+    // window decorrelation
+    "q37_min_cost" ->
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)) AS cost_cents
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_size BETWEEN 10 AND 15
+        |  GROUP BY 1, 2)
+        |SELECT c.l_partkey AS p_partkey, p_name, s_name, n_name,
+        |  round(CAST(cost_cents AS DOUBLE) / 100.0, 2) AS cost
+        |FROM cost c
+        |JOIN part ON p_partkey = c.l_partkey
+        |JOIN supplier ON s_suppkey = c.l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE cost_cents = (
+        |  SELECT min(cost_cents) FROM cost c2
+        |  WHERE c2.l_partkey = c.l_partkey)
+        |ORDER BY p_partkey, s_name
+        |LIMIT 100""".stripMargin,
+    "q38_returned_top" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(c_acctbal, 2) AS c_acctbal,
+        |  round(CAST(sum((CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100.0, 0) AS BIGINT))) // 100)
+        |    AS DOUBLE) / 100.0, 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= '1998-01-01' AND o_orderdate < '1998-04-01'
+        |GROUP BY c_custkey, c_name, n_name, c_acctbal
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
     // the textbook correlated form — proves the decorrelation
     "q33_small_qty" ->
       """SELECT round(CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT))
