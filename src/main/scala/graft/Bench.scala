@@ -80,14 +80,28 @@ object Bench {
       name -> dts.min
     } + ("_shared_shingle_scan" -> sharedDt) +
       ("_model_training" -> modelDt)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3dp (ms precision) keeps the line compact: the round harness
+    // retains only a ~2000-char stdout TAIL, truncating the FRONT of
+    // a long line — so "queries" comes first and the summary fields
+    // (metric/value/unit/sf) sit at the END where truncation can't
+    // reach them. Full-precision JSON is also written to
+    // BENCH_LOCAL.json so the artifact survives any tail cut.
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => s"\"$k\":\"$v\"" }
         .mkString(",\"errors\":{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"queries":$qs$errJson,"n_queries":${results.size},"sf":"$sfDir","metric":"total","unit":"sec","value":${r3(total)}}"""
+    try {
+      val w = new java.io.PrintWriter("BENCH_LOCAL.json")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

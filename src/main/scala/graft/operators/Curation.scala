@@ -265,7 +265,37 @@ object Curation {
       .orderBy($"doc_id", $"epoch")
   }
 
+  /** p11: deterministic GLOBAL SHUFFLE — the epoch-shuffle every
+    * training run needs, computed WITHOUT a total order (a global
+    * row_number over 100 TB is the canonical single-partition driver
+    * bottleneck). Shard = content hash mod nShards — so the only
+    * exchange is a keyed one and every shard shuffles independently —
+    * and the position within a shard orders by the hash's HIGH bits
+    * (hv div nShards: independent of the shard-selecting low bits,
+    * so within-shard order is itself pseudo-random). Reading shards
+    * 0..n-1 in positional order replays one fixed permutation:
+    * rerun-stable, layout-independent, and exact copies land
+    * adjacent (same hash), which is exactly how copies behave under
+    * any content-keyed shuffle. */
+  def p11GlobalShuffle(spark: SparkSession, dir: String, nShards: Int = 64): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val w = Window.partitionBy($"shard")
+      .orderBy($"sub", $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        element_at(call_function("poly_hash_all", array($"text")), 1).as("hv"))
+      .select($"doc_id",
+        ($"hv" % nShards).as("shard"),
+        expr(s"hv div $nShards").as("sub"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select($"doc_id", $"shard", $"pos")
+      .orderBy($"shard", $"pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p11_global_shuffle" -> ((s, d) => p11GlobalShuffle(s, d)),
     "p10_epoch_upsample" -> p10EpochUpsample _,
     "p2_decontaminate" -> p2Decontaminate _,
     "p3_train_split" -> p3TrainSplit _,
@@ -282,6 +312,15 @@ object Curation {
       |      (a, c) -> (a*31 + c) % 1000000007)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same hash, same shard/sub split, same within-shard order
+    "p11_global_shuffle" ->
+      s"""WITH h AS (SELECT doc_id, text AS t FROM documents),
+         |x AS (SELECT doc_id, ($polyFoldSql) AS hv FROM h)
+         |SELECT doc_id, hv % 64 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY hv % 64
+         |    ORDER BY hv // 64, doc_id) AS BIGINT) AS pos
+         |FROM x
+         |ORDER BY shard, pos""".stripMargin,
     // identical layout: same hash order, same keyed cumsum, same
     // integer div/mod placement
     "p7_pack_sequences" ->

@@ -246,7 +246,44 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t13: KEYWORD EXTRACTION by tf-idf — top-5 terms per document
+    * (the per-doc tag/topic signal a curation UI and a BM25 index
+    * both read). One tokenize scan feeds BOTH the per-(doc, term)
+    * counts and the document-frequency table (tracked persist — the
+    * diamond the optimizer would otherwise scan twice); idf is a
+    * vocab-sized broadcast join exactly like s1's BM25 idf table;
+    * idf rounded 6dp BEFORE the multiply so both engines rank
+    * identical doubles (t10's pre-rounded-surprisal rule); top-5 per
+    * doc rides the TopKPerKey heap rewrite, never a per-doc sort. */
+  def t13KeywordTfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tf = graft.Caches.persist(
+      Tables.documents(spark, dir)
+        .select($"doc_id", explode(
+          regexp_extract_all(lower($"text"),
+            lit(HybridSearch.WordTokenPattern), lit(0))).as("term"))
+        .groupBy($"doc_id", $"term")
+        .agg(count(lit(1)).as("tf")))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).cast("double").as("n_docs"))
+    val idf = tf.groupBy($"term")
+      .agg(count(lit(1)).cast("double").as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select($"term",
+        round(log(($"n_docs" + 1.0) / ($"df" + 1.0)) + 1.0, 6).as("idf"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"tfidf".desc, $"term")
+    tf.join(broadcast(idf), Seq("term"))
+      .select($"doc_id", $"term",
+        round($"tf" * $"idf", 6).as("tfidf"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"doc_id", $"rank".cast("long").as("rank"), $"term", $"tfidf")
+      .orderBy($"doc_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_keyword_tfidf" -> t13KeywordTfidf _,
     "t12_readability" -> t12Readability _,
     "t11_lang_confidence" -> t11LangConfidence _,
     "t1_lang_id" -> t1LangId _,
@@ -320,6 +357,33 @@ object TextAnalysis {
       .mkString("\n      ")
     val allGreatest = s"greatest(${langs.map("s_" + _).mkString(", ")})"
     Map(
+      // same tokenizer, same smoothed idf (pre-rounded 6dp), same
+      // rank tie-break
+      "t13_keyword_tfidf" ->
+        """WITH docs AS (
+          |  SELECT doc_id,
+          |    regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS tok
+          |  FROM documents),
+          |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM docs),
+          |tf AS (
+          |  SELECT doc_id, token AS term, CAST(count(*) AS BIGINT) AS tf
+          |  FROM (SELECT doc_id, unnest(tok) AS token FROM docs)
+          |  GROUP BY 1, 2),
+          |idf AS (
+          |  SELECT term,
+          |    round(ln((n_docs + 1.0) / (CAST(count(*) AS DOUBLE) + 1.0)) + 1.0, 6) AS idf
+          |  FROM tf, n GROUP BY term, n_docs),
+          |sc AS (
+          |  SELECT doc_id, term, round(tf * idf, 6) AS tfidf
+          |  FROM tf JOIN idf USING (term)),
+          |rk AS (
+          |  SELECT doc_id, term, tfidf,
+          |    CAST(row_number() OVER (PARTITION BY doc_id
+          |      ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+          |  FROM sc)
+          |SELECT doc_id, rank, term, tfidf FROM rk
+          |WHERE rank <= 5
+          |ORDER BY doc_id, rank""".stripMargin,
       "t12_readability" ->
         """WITH c AS (
           |  SELECT doc_id,
