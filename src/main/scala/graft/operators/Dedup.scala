@@ -529,12 +529,18 @@ object Dedup {
     val aList = pa.mkString("[", ", ", "]")
     val bList = pb.mkString("[", ", ", "]")
     s"""${hashedSetSqlOver(rel)},
+       |sigm AS (
+       |  -- set-based minhash: explode shingles x 128 perms into a
+       |  -- vectorized min aggregate (the nested list_reduce fold this
+       |  -- replaces evaluated 128*|hs| interpreted lambdas per doc —
+       |  -- ~300s at sf0.01; this form runs in seconds, same values)
+       |  SELECT e.doc_id, p.p AS p,
+       |    min((($aList)[p.p] * (e.h % 2147483647) + ($bList)[p.p]) % 2147483647) AS m
+       |  FROM (SELECT doc_id, unnest(hs) AS h FROM d) e,
+       |       LATERAL unnest(generate_series(1, 128)) AS p(p)
+       |  GROUP BY e.doc_id, p.p),
        |sig AS (
-       |  SELECT doc_id, list_transform(generate_series(1, 128), p ->
-       |    list_reduce(list_prepend(CAST(9223372036854775807 AS BIGINT),
-       |      list_transform(hs, h -> (($aList)[p] * (h % 2147483647) + ($bList)[p]) % 2147483647)),
-       |      (m, x) -> least(m, x))) AS mh
-       |  FROM d),
+       |  SELECT doc_id, list(m ORDER BY p) AS mh FROM sigm GROUP BY doc_id),
        |bands AS (
        |  SELECT doc_id, b.i - 1 AS band_idx,
        |    (((CAST(b.i - 1 AS BIGINT) * 31 + mh[2*b.i - 1] % 1000000007) % 1000000007) * 31
