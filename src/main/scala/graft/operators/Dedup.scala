@@ -495,7 +495,56 @@ object Dedup {
     "d4_ngram_jaccard" -> d4NgramJaccard _,
     "d5_dedup_embedding" -> d5EmbeddingCosine _,
     "d6_line_dedup" -> d6LineDedup _,
-    "d7_semdedup" -> d7SemDedup _)
+    "d7_semdedup" -> d7SemDedup _,
+    "d11_containment" -> d11Containment _)
+
+  /** Posting-list cap for d11's inverted index — the hot-shingle
+    * analog of [[MaxBandBucket]]: a shingle shared by more docs than
+    * this is boilerplate and its postings would fan the probe join
+    * out quadratically; mirrored in the oracle. */
+  val MaxPosting = 64
+
+  /** d11: CONTAINMENT near-dup — asymmetric Jaccard |A∩B| / |A|, the
+    * relation symmetric Jaccard (d2/d4) structurally CANNOT see: a
+    * short document quoted whole inside a long one has tiny Jaccard
+    * (the union is the long doc) but containment ≈ 1. This is the
+    * quote/subset/boilerplate-extraction detector a crawl corpus
+    * needs next to its near-dup pass. Candidates come from a
+    * smallest-hash inverted index: each doc PROBES with its two
+    * smallest shingle hashes (hs is sorted, so that's a slice, not a
+    * sort — and a contained doc's smallest shingles are, with high
+    * probability, somewhere in its container), while the posting
+    * side indexes every shingle, capped at [[MaxPosting]] per key so
+    * a boilerplate shingle never fans out quadratically. The probe
+    * shuffle carries 2 keys per doc; verification fetches the two
+    * hashed sets by equi-join and checks the exact containment —
+    * never an all-pairs pass. */
+  def d11Containment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = hashedShingleSets(spark, dir)
+    val probe = d.select($"doc_id".as("a_id"), explode(slice($"hs", 1, 2)).as("h"))
+    val wP = Window.partitionBy($"h")
+    val kept = d.select($"doc_id".as("b_id"), explode($"hs").as("h"))
+      .withColumn("pcnt", count(lit(1)).over(wP))
+      .filter($"pcnt" <= MaxPosting)
+      .drop("pcnt")
+    val cand = probe.join(kept, Seq("h"))
+      .filter($"a_id" =!= $"b_id")
+      .select($"a_id", $"b_id").distinct()
+    val setsA = d.select($"doc_id".as("a_id"), $"hs".as("ha"))
+    val setsB = d.select($"doc_id".as("b_id"), $"hs".as("hb"))
+    cand.join(setsA, Seq("a_id")).join(setsB, Seq("b_id"))
+      .select($"a_id", $"b_id",
+        (size(array_intersect($"ha", $"hb")).cast("double") / size($"ha"))
+          .as("cont_raw"),
+        (size(array_intersect($"ha", $"hb")).cast("double")
+          / size(array_union($"ha", $"hb"))).as("jac_raw"))
+      .filter($"cont_raw" >= 0.8)
+      .select($"a_id".as("contained_id"), $"b_id".as("container_id"),
+        round($"cont_raw", 6).as("containment"),
+        round($"jac_raw", 6).as("jaccard"))
+      .orderBy($"contained_id", $"container_id")
+  }
 
   /** Shared oracle CTEs (w + d): tokenized docs -> sorted distinct
     * poly-hashed 3-gram shingle sets over any (doc_id, text) relation
@@ -669,6 +718,31 @@ object Dedup {
          |  round(abs(est_raw - exact_raw), 6) AS abs_err
          |FROM scored
          |ORDER BY a_id, b_id""".stripMargin,
+    // same smallest-hash probe, same capped postings, same exact
+    // containment verify
+    "d11_containment" ->
+      s"""WITH $hashedSetSql,
+         |probe AS (SELECT doc_id AS a_id, unnest(hs[1:2]) AS h FROM d),
+         |post AS (SELECT doc_id AS b_id, unnest(hs) AS h FROM d),
+         |kept AS (
+         |  SELECT b_id, h FROM (
+         |    SELECT b_id, h, count(*) OVER (PARTITION BY h) AS pcnt
+         |    FROM post) WHERE pcnt <= $MaxPosting),
+         |cand AS (
+         |  SELECT DISTINCT a_id, b_id FROM probe JOIN kept USING (h)
+         |  WHERE a_id <> b_id),
+         |ver AS (
+         |  SELECT a_id, b_id,
+         |    CAST(len(list_intersect(da.hs, db.hs)) AS DOUBLE)
+         |      / len(da.hs) AS cont_raw,
+         |    CAST(len(list_intersect(da.hs, db.hs)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(da.hs, db.hs))) AS jac_raw
+         |  FROM cand JOIN d da ON da.doc_id = a_id
+         |  JOIN d db ON db.doc_id = b_id)
+         |SELECT a_id AS contained_id, b_id AS container_id,
+         |  round(cont_raw, 6) AS containment, round(jac_raw, 6) AS jaccard
+         |FROM ver WHERE cont_raw >= 0.8
+         |ORDER BY contained_id, container_id""".stripMargin,
     "d3_dedup_simhash" -> d3Sql,
     "d1_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS copies

@@ -90,6 +90,41 @@ object Knn {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** a10: MULTI-PROBE hyperplane LSH — the memory-side of the
+    * recall/cost dial: a2 buys recall with MORE TABLES (each table
+    * is another full copy of the bucket index — at 100 TB, index
+    * bytes scale linearly with tables), multi-probe buys it by
+    * PROBING MORE BUCKETS of ONE table. A missed neighbor usually
+    * differs in exactly one hyperplane bit (per-bit disagreement
+    * probability theta/pi is small for near vectors), so the query
+    * probes its exact bucket plus every 1-bit flip — bits+1 probes —
+    * and the single index stays resident. Probe fan-out rides the
+    * tiny broadcast query side; the data side is scanned once with
+    * one signature per vector. Exact cosine rerank on the candidate
+    * union, top-k on the TopKPerKey window. */
+  def a10MultiprobeLsh(spark: SparkSession, dir: String, bits: Int = 8,
+                       k: Int = 5): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val all = base(spark, dir)
+      .withColumn("sig", element_at(expr(s"hyperplane_sig(v, 1, $bits)"), 1))
+    val flips = Seq($"sig") ++
+      (0 until bits).map(j => $"sig".bitwiseXOR(lit(1L << j)))
+    val qProbes = all.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"),
+        explode(array(flips: _*)).as("psig"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")
+    all.select($"vec_id", $"v", $"sig")
+      .join(broadcast(qProbes),
+        $"sig" === $"psig" && $"vec_id" =!= $"q_id")
+      .dropDuplicates("q_id", "vec_id")
+      .select($"q_id", $"vec_id", V.cosineD($"qv", $"v").as("cosine_raw"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"q_id", $"vec_id", round($"cosine_raw", 6).as("cosine"), $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
   /** a9: ALL-PAIRS kNN-graph build — every vector gets its top-k
     * neighbors (the batch op behind semantic clustering, SemDeDup
     * cell seeding, and link-prediction features), where a1-a8 serve
@@ -593,6 +628,7 @@ object Knn {
     "a6_knn_pq" -> a6KnnPq _,
     "a7_knn_pq_kmeans" -> a7KnnPqKmeans _,
     "a9_knn_join" -> ((s, d) => a9KnnJoin(s, d)),
+    "a10_knn_multiprobe" -> ((s, d) => a10MultiprobeLsh(s, d)),
     "s2_vector_topk" -> s2VectorTopk _)
 
   private val cosineSql =
@@ -988,6 +1024,45 @@ object Knn {
          |  SELECT DISTINCT q.vec_id AS q_id, b.vec_id AS vec_id
          |  FROM buckets q JOIN buckets b ON q.tbl = b.tbl AND q.sig = b.sig
          |  WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id),
+         |scored AS (
+         |  SELECT c.q_id, c.vec_id,
+         |    ${cosineSql.replace("QV", "eq.v").replace("BV", "eb.v")} AS cosine_raw
+         |  FROM cand c
+         |  JOIN e eq ON eq.vec_id = c.q_id
+         |  JOIN e eb ON eb.vec_id = c.vec_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cosine_raw,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, vec_id, round(cosine_raw, 6) AS cosine, rnk
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin,
+    // one 8-bit table, t = 0 in the shared plane family; probes =
+    // exact signature + every 1-bit flip (xor), same rerank as a2
+    "a10_knn_multiprobe" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |sigs AS (
+         |  SELECT vec_id, v,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(generate_series(0, 7), p ->
+         |        CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |            list_transform(generate_series(1, len(v)), d ->
+         |              CASE WHEN ((((p*64 + d) * 2654435761) // 65536) % 2) = 0
+         |                   THEN v[d] ELSE -v[d] END)),
+         |            (s, x) -> s + x) > 0
+         |        THEN CAST(1 << p AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+         |      (a, b) -> a + b) AS sig
+         |  FROM e),
+         |probes AS (
+         |  SELECT vec_id AS q_id, xor(sig, CAST(f.b AS BIGINT)) AS psig
+         |  FROM sigs, LATERAL unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS f(b)
+         |  WHERE vec_id < 10),
+         |cand AS (
+         |  SELECT DISTINCT p.q_id, s.vec_id
+         |  FROM probes p JOIN sigs s ON s.sig = p.psig
+         |  WHERE s.vec_id <> p.q_id),
          |scored AS (
          |  SELECT c.q_id, c.vec_id,
          |    ${cosineSql.replace("QV", "eq.v").replace("BV", "eb.v")} AS cosine_raw
