@@ -480,6 +480,23 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
     files.withColumn("mime",
       graft.operators.FileIngest.sniffMime(col(payloadCol)))
 
+  /** Top-k tf-idf keywords per corpus document (t13): one tokenize
+    * scan, broadcast idf join, per-doc heap top-k. */
+  def keywords(k: Int = 5): DataFrame =
+    graft.operators.TextAnalysis.keywordsOf(corpus, k)
+
+  /** Deterministic epoch shuffle of the corpus (p11): content-hash
+    * shards + within-shard hash order — one fixed pseudo-random
+    * permutation with no global row_number. */
+  def globalShuffle(nShards: Int = 64): DataFrame =
+    graft.operators.Curation.globalShuffleOf(corpus, nShards)
+
+  /** Containment (asymmetric-Jaccard) near-dup pairs over the corpus
+    * (d11): quote/subset detection symmetric Jaccard can't see. */
+  def dedupContainment(tau: Double = 0.8): DataFrame =
+    graft.operators.Dedup.containmentOf(
+      graft.operators.Dedup.hashedShingleSetsOf(corpus), tau)
+
   /** Pack documents whole into fixed-capacity bins (p8's next-fit
     * layout — SFT/instruction data where a split document is a
     * corrupted example). Requires a `source` column; oversize

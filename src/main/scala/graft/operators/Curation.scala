@@ -277,13 +277,17 @@ object Curation {
     * rerun-stable, layout-independent, and exact copies land
     * adjacent (same hash), which is exactly how copies behave under
     * any content-keyed shuffle. */
-  def p11GlobalShuffle(spark: SparkSession, dir: String, nShards: Int = 64): DataFrame = {
-    import spark.implicits._
+  def p11GlobalShuffle(spark: SparkSession, dir: String, nShards: Int = 64): DataFrame =
+    globalShuffleOf(Tables.documents(spark, dir), nShards)
+
+  /** The p11 core over any (doc_id, text) corpus. */
+  def globalShuffleOf(docs: DataFrame, nShards: Int = 64): DataFrame = {
+    import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    graft.plans.GraftFunctions.ensureRegistered(spark)
+    graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
     val w = Window.partitionBy($"shard")
       .orderBy($"sub", $"doc_id")
-    Tables.documents(spark, dir)
+    docs
       .select($"doc_id",
         element_at(call_function("poly_hash_all", array($"text")), 1).as("hv"))
       .select($"doc_id",

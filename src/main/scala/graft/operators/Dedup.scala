@@ -519,14 +519,20 @@ object Dedup {
     * shuffle carries 2 keys per doc; verification fetches the two
     * hashed sets by equi-join and checks the exact containment —
     * never an all-pairs pass. */
-  def d11Containment(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val d = hashedShingleSets(spark, dir)
+  def d11Containment(spark: SparkSession, dir: String): DataFrame =
+    containmentOf(hashedShingleSets(spark, dir))
+
+  /** The d11 core over any (doc_id, hs sorted-distinct hashed
+    * shingle set) frame — [[hashedShingleSetsOf]] produces the
+    * input shape from a raw (doc_id, text) corpus. */
+  def containmentOf(d: DataFrame, tau: Double = 0.8,
+                    cap: Int = MaxPosting): DataFrame = {
+    import d.sparkSession.implicits._
     val probe = d.select($"doc_id".as("a_id"), explode(slice($"hs", 1, 2)).as("h"))
     val wP = Window.partitionBy($"h")
     val kept = d.select($"doc_id".as("b_id"), explode($"hs").as("h"))
       .withColumn("pcnt", count(lit(1)).over(wP))
-      .filter($"pcnt" <= MaxPosting)
+      .filter($"pcnt" <= cap)
       .drop("pcnt")
     val cand = probe.join(kept, Seq("h"))
       .filter($"a_id" =!= $"b_id")
@@ -539,7 +545,7 @@ object Dedup {
           .as("cont_raw"),
         (size(array_intersect($"ha", $"hb")).cast("double")
           / size(array_union($"ha", $"hb"))).as("jac_raw"))
-      .filter($"cont_raw" >= 0.8)
+      .filter($"cont_raw" >= tau)
       .select($"a_id".as("contained_id"), $"b_id".as("container_id"),
         round($"cont_raw", 6).as("containment"),
         round($"jac_raw", 6).as("jaccard"))

@@ -255,17 +255,21 @@ object TextAnalysis {
     * idf rounded 6dp BEFORE the multiply so both engines rank
     * identical doubles (t10's pre-rounded-surprisal rule); top-5 per
     * doc rides the TopKPerKey heap rewrite, never a per-doc sort. */
-  def t13KeywordTfidf(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  def t13KeywordTfidf(spark: SparkSession, dir: String): DataFrame =
+    keywordsOf(Tables.documents(spark, dir))
+
+  /** The t13 core over any (doc_id, text) corpus. */
+  def keywordsOf(docs: DataFrame, k: Int = 5): DataFrame = {
+    import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     val tf = graft.Caches.persist(
-      Tables.documents(spark, dir)
+      docs
         .select($"doc_id", explode(
           regexp_extract_all(lower($"text"),
             lit(HybridSearch.WordTokenPattern), lit(0))).as("term"))
         .groupBy($"doc_id", $"term")
         .agg(count(lit(1)).as("tf")))
-    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).cast("double").as("n_docs"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val idf = tf.groupBy($"term")
       .agg(count(lit(1)).cast("double").as("df"))
       .crossJoin(broadcast(nDocs))

@@ -93,4 +93,30 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  test("p11 global shuffle is a layout-stable permutation with dense shards") {
+    import spark.implicits._
+    val docs = (0 until 200)
+      .map(i => (i.toLong, s"document body number ${i % 97} variant ${i / 7}"))
+      .toDF("doc_id", "text")
+    val out = Curation.globalShuffleOf(docs, nShards = 8).collect()
+    // a permutation: every doc placed exactly once
+    assert(out.map(_.getLong(0)).sorted.toSeq == (0L until 200L))
+    // dense positions 1..count inside every shard
+    out.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.length))
+    }
+    // layout-independent: a different physical partitioning yields
+    // the byte-identical permutation
+    val re = Curation.globalShuffleOf(docs.repartition(13), nShards = 8)
+      .collect()
+    assert(re.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq ==
+      out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq)
+    // content-keyed: exact copies land in the same shard
+    val copies = Seq((1L, "same text"), (2L, "same text"), (3L, "other words here"))
+      .toDF("doc_id", "text")
+    val sh = Curation.globalShuffleOf(copies, nShards = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+  }
 }

@@ -225,6 +225,42 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("d11 containment flags a quoted subset that symmetric jaccard misses") {
+    import spark.implicits._
+    val small = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val big = small + " " + (100 to 260).map(i => s"pad$i").mkString(" ")
+    val other = (300 to 340).map(i => s"zzz$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, small), (3L, other)).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .containmentOf(graft.operators.Dedup.hashedShingleSetsOf(docs))
+      .collect()
+    // the small doc is contained in the big one — and ONLY in that
+    // direction (big-in-small containment is far below tau)
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L)
+    assert(r.getDouble(2) == 1.0) // every shingle of small is in big
+    assert(r.getDouble(3) < 0.3)  // symmetric jaccard would never flag it
+  }
+
+  test("d11 posting cap drops boilerplate shingle keys before the join") {
+    import spark.implicits._
+    // 40 docs sharing one boilerplate prefix: with cap=8 the shared
+    // shingles' postings are dropped, so no candidate explosion; the
+    // planted true subset pair still surfaces through its rare probes
+    val boiler = (1 to 10).map(i => s"same$i").mkString(" ")
+    val herd = (0 until 40).map(i => (i.toLong, boiler))
+    val small = (1 to 12).map(i => s"rare$i").mkString(" ")
+    val big = small + " " + (1 to 50).map(i => s"fill$i").mkString(" ")
+    val docs = (herd ++ Seq((100L, small), (101L, big))).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .containmentOf(graft.operators.Dedup.hashedShingleSetsOf(docs), cap = 8)
+      .collect()
+    // herd pairs (containment 1.0 among copies) are cut by the cap;
+    // only the rare-probe subset pair survives
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((100L, 101L)))
+  }
+
   test("p5 cluster output marks exactly one representative per cluster") {
     import spark.implicits._
     val out = graft.operators.Pipeline.p5DedupClusters(spark, sfDir).collect()

@@ -134,4 +134,27 @@ class KnnSpec extends SparkSpec {
     }.sum
     assert(hits >= qids.length * 5 / 2, s"recall too low: $hits/50")
   }
+
+  test("a10 multi-probe beats exact-bucket recall on one table") {
+    // 4 bits at this tiny SF: 16 buckets over ~100 vectors keeps
+    // buckets populated (the sf0.01 oracle runs the 8-bit default)
+    val mp = Knn.a10MultiprobeLsh(spark, sfDir, bits = 4).collect()
+    val exact = Knn.a1BruteForce(spark, sfDir).collect()
+    // shape: ranks are contiguous from 1 per query
+    mp.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to rows.length))
+    }
+    // recall vs brute force: the 1-bit-flip probes must recover a
+    // solid share of the true top-5 with only ONE resident table
+    val recall = mp.count { r =>
+      exact.exists(e => e.getLong(0) == r.getLong(0) && e.getLong(1) == r.getLong(1))
+    }
+    assert(recall >= 20, s"multiprobe recall too low: $recall/50")
+    // every returned cosine equals the brute-force cosine for that pair
+    mp.foreach { r =>
+      val gold = exact.find(e =>
+        e.getLong(0) == r.getLong(0) && e.getLong(1) == r.getLong(1))
+      gold.foreach(g => assert(g.getDouble(2) == r.getDouble(2)))
+    }
+  }
 }

@@ -21,4 +21,23 @@ class TextAnalysisSpec extends SparkSpec {
     val flags = rows.map(_.getBoolean(5)).toSet
     assert(flags == Set(true, false) || rows.length < 10)
   }
+
+  test("t13 ranks rare high-tf terms above corpus-wide ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple apple common common"),
+      (2L, "banana banana common common"),
+      (3L, "cherry cherry common common")).toDF("doc_id", "text")
+    val rows = graft.operators.TextAnalysis.keywordsOf(docs, k = 2).collect()
+    // rank-1 keyword of each doc is its own rare term, not the
+    // corpus-wide filler ('common' appears in every doc -> idf floor)
+    val top = rows.filter(_.getLong(1) == 1L)
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(top == Map(1L -> "apple", 2L -> "banana", 3L -> "cherry"))
+    // scores are monotone in rank within a doc
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }
