@@ -553,7 +553,128 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** m9: ZIP CENTRAL-DIRECTORY WALK — the archive tier's second wire
+    * format (m8's tar is sequential headers; ZIP is the INDEXED
+    * layout: the authoritative entry list lives in a central
+    * directory whose position is published by the End-Of-Central-
+    * Directory record at the END of the file). The catalog pass
+    * reads exactly what a real unzipper reads: EOCD signature at the
+    * tail → entry count + directory offset (LE fields) → hop the
+    * 46-byte-plus-name directory entries. No decompression, no local
+    * headers touched — listing a 10 GB zip costs the directory
+    * bytes. Synth: 1-2 STORED members per doc (names/sizes varying
+    * by doc_id); oracle recomputes every field from the synth rules;
+    * MultimodalSpec cross-checks the parser against a REAL
+    * java.util.zip-written archive. */
+  def m9ZipMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def le16hex(v: Column): Column = concat(
+      lpad(hex(v.bitwiseAND(lit(255L))), 2, "0"),
+      lpad(hex(shiftright(v, 8).bitwiseAND(lit(255L))), 2, "0"))
+    def le32hex(v: Column): Column = concat(
+      le16hex(v.bitwiseAND(lit(65535L))), le16hex(shiftright(v, 16)))
+    val name1 = concat(lit("doc_"), $"doc_id".cast("string"), lit(".txt"))
+    val body1 = substring($"text", 1, 64).cast("binary")
+    val sz1 = octet_length(body1).cast("long")
+    val n1 = octet_length(name1.cast("binary")).cast("long")
+    val name2 = concat(lit("meta/"), $"doc_id".cast("string"), lit(".json"))
+    val body2 = concat(lit("{\"id\":"), $"doc_id".cast("string"), lit("}"))
+      .cast("binary")
+    val sz2 = octet_length(body2).cast("long")
+    val n2 = octet_length(name2.cast("binary")).cast("long")
+    val has2 = pmod($"doc_id", lit(2)) === 0
+    // local file header (30B + name) + stored data
+    def localHex(name: Column, dataHex: Column, sz: Column, nlen: Column) =
+      concat(lit("504B0304"), lit("1400"), repeat(lit("0000"), 4),
+        lit("00000000"),                      // crc (catalog pass ignores)
+        le32hex(sz), le32hex(sz),             // comp = uncomp (stored)
+        le16hex(nlen), lit("0000"),
+        hex(name.cast("binary")), dataHex)
+    // central-directory entry (46B + name)
+    def cdHex(name: Column, sz: Column, nlen: Column, loff: Column) =
+      concat(lit("504B0102"), lit("1400"), lit("1400"), repeat(lit("0000"), 4),
+        lit("00000000"),
+        le32hex(sz), le32hex(sz),
+        le16hex(nlen), lit("0000"), lit("0000"),
+        lit("0000"), lit("0000"), lit("00000000"),
+        le32hex(loff), hex(name.cast("binary")))
+    val loff2 = lit(30L) + n1 + sz1
+    val cdOff = loff2 + when(has2, lit(30L) + n2 + sz2).otherwise(0L)
+    val cdSize = lit(46L) + n1 + when(has2, lit(46L) + n2).otherwise(0L)
+    val nEnt = when(has2, 2L).otherwise(1L)
+    val eocd = concat(lit("504B0506"), lit("0000"), lit("0000"),
+      le16hex(nEnt), le16hex(nEnt), le32hex(cdSize), le32hex(cdOff),
+      lit("0000"))
+    val blobs = Tables.documents(spark, dir)
+      .select($"doc_id", unhex(concat(
+        localHex(name1, hex(body1), sz1, n1),
+        when(has2, localHex(name2, hex(body2), sz2, n2)).otherwise(lit("")),
+        cdHex(name1, sz1, n1, lit(0L)),
+        when(has2, cdHex(name2, sz2, n2, loff2)).otherwise(lit("")),
+        eocd)).as("payload"))
+    parseZipEntries(blobs).orderBy($"doc_id")
+  }
+
+  /** The ZIP directory walker over any (doc_id, payload binary)
+    * frame: EOCD tail record (no archive comment) → central
+    * directory hops. Reads uncompressed sizes and names from the
+    * directory only — works on any method (stored or deflated)
+    * because the directory carries the declared sizes. */
+  def parseZipEntries(blobs: DataFrame, maxEntries: Int = 3): DataFrame = {
+    import blobs.sparkSession.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(blobs.sparkSession)
+    def byteAt(off: Column): Column =
+      when(off >= 1L && off <= $"_len", call_function("byte_at", $"payload", off))
+    def le16(off: Column): Column = byteAt(off) + byteAt(off + 1L) * 256L
+    def le32(off: Column): Column =
+      ((byteAt(off + 3L) * 256L + byteAt(off + 2L)) * 256L
+        + byteAt(off + 1L)) * 256L + byteAt(off)
+    var walked = blobs
+      .withColumn("_len", octet_length($"payload").cast("long"))
+      .withColumn("_eocd", $"_len" - 21L)
+      .withColumn("_iszip",
+        coalesce(byteAt(lit(1L)) === 80 && byteAt(lit(2L)) === 75 &&
+          byteAt(lit(3L)) === 3 && byteAt(lit(4L)) === 4 &&
+          byteAt($"_eocd") === 80 && byteAt($"_eocd" + 1L) === 75 &&
+          byteAt($"_eocd" + 2L) === 5 && byteAt($"_eocd" + 3L) === 6,
+          lit(false)))
+      .withColumn("_nent", when($"_iszip", le16($"_eocd" + 10L)))
+      .withColumn("_cdoff", when($"_iszip", le32($"_eocd" + 16L)))
+      .withColumn("_ce1", $"_cdoff" + 1L)
+    for (i <- 1 to maxEntries) {
+      val ce = col(s"_ce$i")
+      walked = walked
+        .withColumn(s"_ok$i", coalesce(
+          byteAt(ce) === 80 && byteAt(ce + 1L) === 75 &&
+            byteAt(ce + 2L) === 1 && byteAt(ce + 3L) === 2 &&
+            ce + 45L <= $"_len", lit(false)))
+        .withColumn(s"_sz$i", when(col(s"_ok$i"), le32(ce + 24L)))
+        .withColumn(s"_nlen$i", when(col(s"_ok$i"), le16(ce + 28L)))
+        .withColumn(s"_name$i", when(col(s"_ok$i"),
+          decode($"payload".substr((ce + 46L).cast("int"),
+            col(s"_nlen$i").cast("int")), "US-ASCII")))
+      if (i < maxEntries)
+        // next entry hops over name + extra + comment
+        walked = walked.withColumn(s"_ce${i + 1}",
+          ce + 46L + col(s"_nlen$i") + le16(ce + 30L) + le16(ce + 32L))
+    }
+    val isZip = col("_iszip")
+    walked.select($"doc_id",
+        isZip.as("is_zip"),
+        when(isZip, $"_nent").as("n_entries"),
+        when(isZip, $"_cdoff").as("cd_off"),
+        when(isZip, col("_name1")).as("name_1"),
+        when(isZip, col("_sz1")).as("bytes_1"),
+        when(isZip && col("_ok2"), col("_name2")).as("name_2"),
+        when(isZip && col("_ok2"), col("_sz2")).as("bytes_2"),
+        when(isZip, (1 to maxEntries)
+          .map(i => coalesce(col(s"_sz$i"), lit(0L))).reduce(_ + _))
+          .as("total_member_bytes"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m9_zip_meta" -> m9ZipMeta _,
     "m1_binary_meta" -> m1BinaryMeta _,
     "m2_frame_sample" -> m2FrameSample _,
     "m3_image_meta" -> m3ImageMeta _,
@@ -564,6 +685,28 @@ object Multimodal {
     "m8_tar_meta" -> m8TarMeta _)
 
   val oracles: Map[String, String] = Map(
+    // first-principles recompute of the directory layout: offsets
+    // and sizes rebuilt from the synth's header arithmetic
+    "m9_zip_meta" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(substring(text, 1, 64))) AS BIGINT) AS sz1,
+        |    CAST(octet_length(encode('doc_' || doc_id || '.txt')) AS BIGINT) AS n1,
+        |    CAST(octet_length(encode('{"id":' || doc_id || '}')) AS BIGINT) AS sz2,
+        |    CAST(octet_length(encode('meta/' || doc_id || '.json')) AS BIGINT) AS n2,
+        |    (doc_id % 2 = 0) AS has_meta
+        |  FROM documents)
+        |SELECT doc_id, true AS is_zip,
+        |  CAST(CASE WHEN has_meta THEN 2 ELSE 1 END AS BIGINT) AS n_entries,
+        |  30 + n1 + sz1
+        |    + CASE WHEN has_meta THEN 30 + n2 + sz2 ELSE 0 END AS cd_off,
+        |  'doc_' || doc_id || '.txt' AS name_1,
+        |  sz1 AS bytes_1,
+        |  CASE WHEN has_meta THEN 'meta/' || doc_id || '.json' END AS name_2,
+        |  CASE WHEN has_meta THEN sz2 END AS bytes_2,
+        |  sz1 + CASE WHEN has_meta THEN sz2 ELSE 0 END AS total_member_bytes
+        |FROM f
+        |ORDER BY doc_id""".stripMargin,
     // first-principles recompute of the entry walk: names straight
     // from the synth rules, sizes as byte lengths of the members
     "m8_tar_meta" ->

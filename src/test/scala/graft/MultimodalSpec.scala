@@ -183,4 +183,37 @@ class MultimodalSpec extends SparkSpec {
     val t = Multimodal.parseTarEntries(trunc).collect().head
     assert(!t.getBoolean(1) && t.isNullAt(7))
   }
+
+  test("m9 parser lists a REAL java.util.zip-written archive") {
+    import spark.implicits._
+    // archive produced by the JDK's own writer (deflated entries,
+    // data descriptors, real CRCs) — fully independent of the synth
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    val payloadA = ("alpha " * 40).getBytes("UTF-8")
+    val payloadB = "tiny".getBytes("UTF-8")
+    zos.putNextEntry(new java.util.zip.ZipEntry("first/file.txt"))
+    zos.write(payloadA); zos.closeEntry()
+    zos.putNextEntry(new java.util.zip.ZipEntry("second.json"))
+    zos.write(payloadB); zos.closeEntry()
+    zos.close()
+    val df = Seq((1L, bos.toByteArray)).toDF("doc_id", "payload")
+    val r = Multimodal.parseZipEntries(df).collect().head
+    assert(r.getBoolean(1), "is_zip")
+    assert(r.getLong(2) == 2, "n_entries from EOCD")
+    assert(r.getString(4) == "first/file.txt")
+    assert(r.getLong(5) == payloadA.length, "uncompressed size from CD")
+    assert(r.getString(6) == "second.json")
+    assert(r.getLong(7) == payloadB.length)
+    assert(r.getLong(8) == payloadA.length + payloadB.length)
+
+    // junk and truncated payloads flag, never throw
+    val junk = Seq((2L, "PK but not really a zip".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val j = Multimodal.parseZipEntries(junk).collect().head
+    assert(!j.getBoolean(1) && j.isNullAt(2))
+    val empty = Seq((3L, new Array[Byte](5))).toDF("doc_id", "payload")
+    val e = Multimodal.parseZipEntries(empty).collect().head
+    assert(!e.getBoolean(1))
+  }
 }
