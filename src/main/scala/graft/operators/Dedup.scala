@@ -486,7 +486,43 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** d12: b-BIT MINWISE HASHING (Li & König 2010) — the signature-
+    * STORE footprint cut: d2/d9 keep 128 64-bit minima = 1 KB per
+    * document; storing only the low b=2 bits of each minimum packs
+    * the same 128 permutations into 32 bytes — 32× smaller, which at
+    * 100 TB is the difference between a sketch store that fits in
+    * cluster memory and one that doesn't. Two UNRELATED minima still
+    * agree on their low 2 bits with probability ~1/4, so raw
+    * agreement is biased up; the estimator removes the collision
+    * floor: est = (agree − 1/4) / (3/4), clamped at 0. Emitted next
+    * to the exact Jaccard with per-pair error — the d9 calibration
+    * pattern for the compressed sketch, run before trusting 2-bit
+    * thresholds fleet-wide. Candidates are d2's capped-band pairs;
+    * only the tiny verified-candidate set ever unpacks both
+    * signatures. */
+  def d12BbitMinhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = minhashSigs(spark, dir)
+    val cand = lshCandidates(sig, MaxBandBucket)
+    val sets = sig.select($"doc_id", $"hs", $"mh")
+    val est = greatest(
+      ($"agree2" - lit(0.25)) / lit(0.75), lit(0.0))
+    cand
+      .join(sets.select($"doc_id".as("a_id"), $"hs".as("a_hs"), $"mh".as("a_mh")), "a_id")
+      .join(sets.select($"doc_id".as("b_id"), $"hs".as("b_hs"), $"mh".as("b_mh")), "b_id")
+      .select($"a_id", $"b_id",
+        (expr("aggregate(zip_with(a_mh, b_mh, (x, y) -> IF(x % 4 = y % 4, 1, 0)), 0, (s, v) -> s + v)")
+          .cast("double") / 128.0).as("agree2"),
+        call_function("jaccard_sorted_long", $"a_hs", $"b_hs").as("exact_raw"))
+      .select($"a_id", $"b_id",
+        round(est, 6).as("est_b2"),
+        round($"exact_raw", 6).as("jaccard"),
+        round(abs(est - $"exact_raw"), 6).as("abs_err"))
+      .orderBy($"a_id", $"b_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d12_bbit_minhash" -> d12BbitMinhash _,
     "d9_jaccard_estimate" -> d9JaccardEstimate _,
     "d8_incremental_dedup" -> d8IncrementalDedup _,
     "d1_dedup_exact" -> d1Exact _,
@@ -749,6 +785,36 @@ object Dedup {
          |  round(cont_raw, 6) AS containment, round(jac_raw, 6) AS jaccard
          |FROM ver WHERE cont_raw >= 0.8
          |ORDER BY contained_id, container_id""".stripMargin,
+    // same capped-band candidates, same low-2-bit agreement, same
+    // collision-floor correction
+    "d12_bbit_minhash" ->
+      s"""WITH ${lshKeptSqlOver("documents")},
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM keptb x JOIN keptb y
+         |    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+         |   AND x.doc_id < y.doc_id),
+         |scored AS (
+         |  SELECT a_id, b_id,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(generate_series(1, 128), i ->
+         |        CASE WHEN sa.mh[i] % 4 = sb.mh[i] % 4 THEN CAST(1 AS BIGINT)
+         |             ELSE CAST(0 AS BIGINT) END)),
+         |      (s, v) -> s + v) AS DOUBLE) / 128.0 AS agree2,
+         |    CAST(len(list_intersect(da.hs, db.hs)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(da.hs, db.hs))) AS exact_raw
+         |  FROM cand
+         |  JOIN sig sa ON sa.doc_id = a_id
+         |  JOIN sig sb ON sb.doc_id = b_id
+         |  JOIN d da ON da.doc_id = a_id
+         |  JOIN d db ON db.doc_id = b_id)
+         |SELECT a_id, b_id,
+         |  round(greatest((agree2 - 0.25) / 0.75, 0.0), 6) AS est_b2,
+         |  round(exact_raw, 6) AS jaccard,
+         |  round(abs(greatest((agree2 - 0.25) / 0.75, 0.0) - exact_raw), 6)
+         |    AS abs_err
+         |FROM scored
+         |ORDER BY a_id, b_id""".stripMargin,
     "d3_dedup_simhash" -> d3Sql,
     "d1_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS copies

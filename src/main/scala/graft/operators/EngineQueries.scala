@@ -999,7 +999,72 @@ object EngineQueries {
       .limit(20)
   }
 
+  /** q39: TPC-H Q9 shape — nation profit by year: for parts in a
+    * name class, profit = revenue minus a cost proxy (10% of retail,
+    * the schema's stand-in for ps_supplycost), grouped by the
+    * SUPPLIER's nation and order year. The one genuine fact-fact
+    * join (lineitem ⋈ orders for the year) shuffles on l_orderkey;
+    * part (name-filtered), supplier, and nation all broadcast. All
+    * money stays integer cents until the final round — the
+    * sum-order-independence rule every ratio query here follows. */
+  def q39NationProfit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = Tables.part(spark, dir)
+      .filter($"p_name".contains("red"))
+      .select($"p_partkey",
+        expr("cast(round(p_retailprice * 100.0, 0) as bigint) div 10")
+          .as("unit_cost_cents"))
+    val amount = Tables.lineitem(spark, dir)
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"l_suppkey",
+        (volCents - $"unit_cost_cents" * $"l_quantity".cast("long"))
+          .as("amount_cents"))
+    amount
+      .join(Tables.orders(spark, dir).select($"o_orderkey", year($"o_orderdate").cast("long").as("o_year")),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", $"o_year")
+      .agg(round(sum($"amount_cents").cast("double") / 100.0, 2).as("profit"))
+      .orderBy($"n_name", $"o_year".desc)
+  }
+
+  /** q40: TPC-H Q20 shape — excess suppliers: suppliers who shipped
+    * MORE than 1.5× the per-part average of a promo part during one
+    * year. SQL nests a correlated per-part average inside an IN
+    * subquery (the oracle keeps that form); the Spark-first plan is
+    * one (part, supplier) aggregate — promo part keys broadcast-semi
+    * pruning the fact scan first — with the per-part average as a
+    * window over the SAME partitioning, then a distinct-supplier
+    * semi join into the broadcast supplier/nation dims. Whole-number
+    * quantities keep the 1.5× boundary FP-exact. */
+  def q40ExcessSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val promo = Tables.part(spark, dir)
+      .filter($"p_type" === "PROMO").select($"p_partkey")
+    val qty = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1998-01-01").cast("timestamp") &&
+              $"l_shipdate" < lit("1999-01-01").cast("timestamp"))
+      .join(broadcast(promo), $"l_partkey" === $"p_partkey")
+      .repartition($"l_partkey")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum($"l_quantity").cast("long").as("qty"))
+    val excess = qty
+      .withColumn("part_avg", avg($"qty")
+        .over(Window.partitionBy($"l_partkey")))
+      .filter($"qty" > $"part_avg" * 1.5)
+      .select($"l_suppkey").distinct()
+    Tables.supplier(spark, dir)
+      .join(excess, $"s_suppkey" === $"l_suppkey", "left_semi")
+      .join(broadcast(Tables.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name", $"n_name")
+      .orderBy($"s_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_nation_profit" -> q39NationProfit _,
+    "q40_excess_supplier" -> q40ExcessSupplier _,
     "q35_order_count_dist" -> q35OrderCountDist _,
     "q36_supplier_cnt" -> q36SupplierCnt _,
     "q37_min_cost" -> q37MinCost _,
@@ -1046,6 +1111,39 @@ object EngineQueries {
     s"(((${bfA(j)} * ($k % 2147483647) + ${bfB(j)}) % 2147483647) % 8192)"
 
   val oracles: Map[String, String] = Map(
+    "q39_nation_profit" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  round(CAST(sum(
+        |    (CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+        |     * (100 - CAST(round(l_discount * 100.0, 0) AS BIGINT))) // 100
+        |    - (CAST(round(p_retailprice * 100.0, 0) AS BIGINT) // 10)
+        |      * CAST(l_quantity AS BIGINT)
+        |  ) AS DOUBLE) / 100.0, 2) AS profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2
+        |ORDER BY n_name, o_year DESC""".stripMargin,
+    // the textbook correlated-IN form — proves the one-aggregate
+    // window decorrelation
+    "q40_excess_supplier" ->
+      """WITH q AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_type = 'PROMO'
+        |    AND l_shipdate >= '1998-01-01' AND l_shipdate < '1999-01-01'
+        |  GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON n_nationkey = s_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM q q1
+        |  WHERE qty > 1.5 * (
+        |    SELECT avg(qty) FROM q q2 WHERE q2.l_partkey = q1.l_partkey))
+        |ORDER BY s_suppkey""".stripMargin,
     // the textbook outer-join double-aggregate form — proves the
     // aggregate-before-join rewrite
     "q35_order_count_dist" ->

@@ -20,10 +20,16 @@ object EventStream {
 
   /** Tumbling 1-hour window counts/sums per event_type, 10-minute
     * watermark for late data. */
-  def windowedAgg(events: DataFrame): DataFrame = {
+  def windowedAgg(events: DataFrame): DataFrame =
+    hourlyAgg(events.withWatermark("ts", "10 minutes"))
+
+  /** The tumbling-hour aggregate WITHOUT its own watermark — so a
+    * chain that already declared one (st9's dedup stage) can reuse
+    * the aggregate body: a stream may define its watermark only
+    * once. */
+  private def hourlyAgg(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
     events
-      .withWatermark("ts", "10 minutes")
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n_events"),
            round(sum($"value"), 4).as("sum_value"))
@@ -344,7 +350,38 @@ object EventStream {
       .orderBy($"window_start", $"rnk")
   }
 
+  /** CHAINED stateful operators — streaming dedup FEEDING a windowed
+    * aggregate: the exactly-once-metrics-over-an-at-least-once-bus
+    * pattern (every queue consumer sees redeliveries; the metrics
+    * must not double count). Two stateful stages in one query:
+    * dropDuplicatesWithinWatermark bounds the seen-ids state, the
+    * downstream agg keeps its own windowed state — the multi-
+    * stateful-operator chain Structured Streaming supports under
+    * event-time + append mode. */
+  def dedupThenAgg(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    hourlyAgg(
+      events.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id"))
+  }
+
+  /** st9 batch mirror (driver-checked): a deterministic at-least-once
+    * replay — every 10th event delivered TWICE — collapsed by the
+    * dedup stage. The gate is semantic: the chain must land exactly
+    * where clean-input st1 lands (the oracle IS st1's SQL), proving
+    * the dedup stage removed precisely the redeliveries. Batch mode
+    * uses dropDuplicates on the same key (the watermark variant is
+    * streaming-only state bounding, not a semantics change). */
+  def st9DedupAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val replayed = ev.union(ev.filter(pmod($"event_id", lit(10)) === 0))
+    windowedAgg(replayed.dropDuplicates("event_id"))
+      .orderBy($"window_start", $"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st9_dedup_agg" -> st9DedupAgg _,
     "st8_trending" -> st8Trending _,
     "st1_window_agg" -> st1WindowAgg _,
     "st2_interval_join" -> st2IntervalJoin _,
@@ -353,6 +390,13 @@ object EventStream {
     "st5_enriched_agg" -> st5EnrichedAgg _,
     "st6_sliding_window" -> st6SlidingWindow _,
     "st7_outer_attribution" -> st7OuterAttribution _)
+
+  private val st1Sql =
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      | event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // LEFT OUTER attribution: count(click_ts) skips the null pads,
@@ -376,12 +420,10 @@ object EventStream {
     // funnel lands — q13's oracle, verbatim
     "st4_funnel_stateful" ->
       graft.operators.EngineQueries.oracles("q13_events_funnel"),
-    "st1_window_agg" ->
-      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
-        | event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
-        |FROM events
-        |GROUP BY 1, 2
-        |ORDER BY window_start, event_type""".stripMargin,
+    "st1_window_agg" -> st1Sql,
+    // replay + dedup collapses to the clean input: st1's oracle,
+    // verbatim — the chain is correct iff nothing double counts
+    "st9_dedup_agg" -> st1Sql,
     // st1's counts + the sink-side rank
     "st8_trending" ->
       """WITH counts AS (

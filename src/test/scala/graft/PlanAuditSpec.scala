@@ -126,6 +126,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q37: agg + min window share ONE hash exchange on l_partkey") {
+    val p = plan(EngineQueries.q37MinCost(spark, sfDir))
+    assert(p.contains("Window"), "expected min window")
+    assert(p.contains("BroadcastHashJoin"), "part/supplier/nation dims broadcast")
+    assert(!p.contains("CartesianProduct"))
+    // hashpartitioning exchanges: the explicit repartition(l_partkey)
+    // must serve BOTH the composite-key aggregate and the window —
+    // no second hash exchange between them (top-k adds no hash
+    // exchange; the presentation orderBy rides TakeOrdered)
+    val hashEx = "hashpartitioning".r.findAllIn(p.toLowerCase).size
+    assert(hashEx <= 1, s"agg/window must reuse one exchange, saw $hashEx:\n$p")
+  }
+
+  test("q35: orders aggregate BEFORE the customer join, count rows not orders") {
+    val p = plan(EngineQueries.q35OrderCountDist(spark, sfDir))
+    assert(!p.contains("CartesianProduct"))
+    // the rewrite's signature: orders.parquet feeds a HashAggregate
+    // below the join (aggregate-then-join), so the join input is one
+    // row per customer. A plan that joined raw orders first would
+    // put the first HashAggregate above the join.
+    val scanIdx = p.indexOf("orders.parquet")
+    val joinIdx = p.indexOf("SortMergeJoin")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(scanIdx >= 0 && aggIdx >= 0, s"plan shape unexpected:\n$p")
+    if (joinIdx >= 0)
+      assert(aggIdx < joinIdx || p.contains("BroadcastHashJoin"),
+        s"orders must aggregate before the join:\n$p")
+  }
+
   test("m6/m7: header walks use the byte_at kernel over LAYERED hop columns") {
     // (AQE hides WholeStageCodegen nodes until execution, so assert
     // the structural properties that keep the stage codegen-sized:

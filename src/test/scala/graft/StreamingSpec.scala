@@ -268,6 +268,8 @@ class StreamingSpec extends SparkSpec {
   }
 
   final case class Doc(ts: Timestamp, fingerprint: String, text: String)
+  final case class DedupEv(event_id: Long, ts: Timestamp,
+                           event_type: String, value: Double)
 
   test("streaming dedup keeps first occurrence across triggers, bounded by watermark") {
     val sparkSession = spark
@@ -291,6 +293,40 @@ class StreamingSpec extends SparkSpec {
       assert(rows.map(_.getAs[String]("fingerprint")).sorted.toSeq == Seq("fpA", "fpB"))
       assert(rows.find(_.getAs[String]("fingerprint") == "fpA").get
         .getAs[String]("text") == "first")
+    } finally query.stop()
+  }
+
+  test("chained dedup->agg never double counts redelivered events") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[DedupEv]
+    val query = EventStream.dedupThenAgg(stream.toDF())
+      .writeStream.format("memory").queryName("st9_mem")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(
+        DedupEv(1L, t("10:05"), "click", 1.0),
+        DedupEv(2L, t("10:20"), "click", 2.0),
+        DedupEv(3L, t("10:40"), "view", 3.0))
+      query.processAllAvailable()
+      // the bus redelivers event 2 in a later trigger, plus one new
+      // event — the dedup state must absorb the replay
+      stream.addData(
+        DedupEv(2L, t("10:20"), "click", 2.0),
+        DedupEv(4L, t("10:50"), "click", 4.0))
+      query.processAllAvailable()
+      // advance the watermark past 10:00+1h+10min so the hour window
+      // finalizes and append mode emits it
+      stream.addData(DedupEv(99L, t("11:30"), "view", 0.0))
+      query.processAllAvailable()
+      val rows = spark.table("st9_mem").collect()
+      val clicks = rows.find(r => r.getString(1) == "click").get
+      // 3 distinct clicks (1, 2, 4) — the replay of 2 counted ONCE
+      assert(clicks.getLong(2) == 3 && clicks.getDouble(3) == 7.0)
+      val views = rows.find(r => r.getString(1) == "view").get
+      assert(views.getLong(2) == 1 && views.getDouble(3) == 3.0)
     } finally query.stop()
   }
 
