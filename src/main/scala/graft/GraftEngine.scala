@@ -462,6 +462,12 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
     graft.operators.Robots.evaluate(frontier,
       graft.operators.Robots.parseRobots(robots), agent)
 
+  /** Terminal-address resolution over a (src, dst) redirect-edge
+    * frame (c20): pointer jumping — O(log chain) rounds — with
+    * redirect loops flagged unresolved. */
+  def resolveRedirects(edges: DataFrame, rounds: Int = 3): DataFrame =
+    graft.operators.ChunkQueries.resolveRedirects(edges, rounds)
+
   /** Quality-decile curriculum staging over the corpus (p9): one
     * percentile aggregate broadcast as 9 boundaries, map-only
     * assignment — no global sort. */

@@ -476,7 +476,66 @@ object ChunkQueries {
     "c8_delete_by_source" -> c8DeleteBySource _,
     "c9_link_discovery" -> c9LinkDiscovery _,
     "c10_crawl_bfs" -> c10CrawlBfs _,
-    "c15_pagerank" -> c15PageRank _)
+    "c15_pagerank" -> c15PageRank _,
+    "c20_redirect_resolve" -> c20RedirectResolve _)
+
+  /** POINTER-JUMPING redirect resolution over any (src, dst)
+    * redirect-edge frame (each URL redirects to at most one target —
+    * a functional graph). Every crawl accumulates redirect chains
+    * (moved pages, http→https hops, URL shorteners) and the store
+    * wants each URL's TERMINAL address. The naive walk joins once
+    * per hop — a length-L chain costs L rounds; pointer jumping
+    * squares the pointer each round (p ← p(p), hops add), so round k
+    * resolves chains of length 2^k: O(log L) keyed shuffles, the
+    * difference between 3 rounds and 30 at crawl scale. Terminals
+    * are fixed points (p = self, h = 0) so resolved chains stop
+    * accumulating exactly at their true hop count; nodes whose
+    * pointer never lands on a terminal within the round budget are
+    * REDIRECT LOOPS, flagged unresolved rather than walked forever.
+    * Per-round localCheckpoint truncates the doubling lineage (p5's
+    * rule). */
+  def resolveRedirects(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    import edges.sparkSession.implicits._
+    val nodes = edges.select($"src".as("url"))
+      .union(edges.select($"dst".as("url"))).distinct()
+    var cur = nodes
+      .join(edges, $"url" === $"src", "left")
+      .select($"url", coalesce($"dst", $"url").as("p"),
+        when($"dst".isNotNull, 1L).otherwise(0L).as("h"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val m = cur.select($"url".as("u2"), $"p".as("p2"), $"h".as("h2"))
+      cur = cur.join(m, $"p" === $"u2")
+        .select($"url", $"p2".as("p"), ($"h" + $"h2").as("h"))
+        .localCheckpoint()
+    }
+    val terminals = nodes
+      .join(edges.select($"src").distinct(), $"url" === $"src", "left_anti")
+      .select($"url".as("t"))
+    cur.join(terminals, $"p" === $"t", "left")
+      .select($"url",
+        when($"t".isNotNull, $"p").as("terminal_url"),
+        when($"t".isNotNull, $"h").as("hops"),
+        $"t".isNotNull.as("resolved"))
+      .orderBy($"url")
+  }
+
+  /** c20: redirect resolution over a deterministic synthesized
+    * redirect graph — down-chains of up to 7 hops ending at
+    * multiples of 8, plus a planted 3-cycle that must come back
+    * flagged unresolved; the oracle walks the same chains with a
+    * recursive CTE. */
+  def c20RedirectResolve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val chain = Tables.events(spark, dir)
+      .select(pmod($"event_id", lit(200)).cast("long").as("u"))
+      .distinct()
+      .filter(pmod($"u", lit(8)) =!= 0)
+      .select($"u".as("src"), ($"u" - 1L).as("dst"))
+    val cycle = Seq((201L, 202L), (202L, 203L), (203L, 201L))
+      .toDF("src", "dst")
+    resolveRedirects(chain.union(cycle), rounds = 3)
+  }
 
   /** One unrolled PageRank iteration as DuckDB CTEs — the same
     * integer update [[pageRankOf]] runs, stage for stage. */
@@ -544,6 +603,41 @@ object ChunkQueries {
       |  SELECT doc_id, 2, prose_b, 'prose', '' FROM parts WHERE v = 0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the same chains walked one hop per recursion step; terminal =
+    // no outgoing edge; loop nodes never reach one inside the bound
+    "c20_redirect_resolve" ->
+      """WITH RECURSIVE
+        |us AS (SELECT DISTINCT CAST(event_id % 200 AS BIGINT) AS u FROM events),
+        |edges AS (
+        |  SELECT u AS src, u - 1 AS dst FROM us WHERE u % 8 <> 0
+        |  UNION ALL
+        |  SELECT CAST(201 AS BIGINT), CAST(202 AS BIGINT)
+        |  UNION ALL
+        |  SELECT CAST(202 AS BIGINT), CAST(203 AS BIGINT)
+        |  UNION ALL
+        |  SELECT CAST(203 AS BIGINT), CAST(201 AS BIGINT)),
+        |nodes AS (
+        |  -- explicit DISTINCT: under WITH RECURSIVE DuckDB gives a
+        |  -- bare UNION recursive-union semantics and skips the dedup
+        |  SELECT DISTINCT url FROM (
+        |    SELECT src AS url FROM edges
+        |    UNION ALL SELECT dst FROM edges)),
+        |w(url, cur, hops) AS (
+        |  SELECT url, url, CAST(0 AS BIGINT) FROM nodes
+        |  UNION ALL
+        |  SELECT w.url, e.dst, w.hops + 1
+        |  FROM w JOIN edges e ON e.src = w.cur
+        |  WHERE w.hops < 8),
+        |term AS (
+        |  SELECT url FROM nodes
+        |  WHERE url NOT IN (SELECT src FROM edges)),
+        |res AS (
+        |  SELECT url, cur AS terminal_url, hops FROM w
+        |  WHERE cur IN (SELECT url FROM term))
+        |SELECT n.url, r.terminal_url, r.hops,
+        |  r.url IS NOT NULL AS resolved
+        |FROM nodes n LEFT JOIN res r ON r.url = n.url
+        |ORDER BY n.url""".stripMargin,
     "c2_chunk_markdown" ->
       s"""WITH $chunkLiteSql
         |SELECT doc_id, CAST(chunk_index AS INTEGER) AS chunk_index, md5(content) AS content_md5,

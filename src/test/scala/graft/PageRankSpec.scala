@@ -49,4 +49,22 @@ class PageRankSpec extends SparkSpec {
     assert(ranks(3L) > ranks(4L))
     Caches.releaseAll()
   }
+
+  test("c20 pointer jumping resolves a length-8 chain in 3 rounds, flags loops") {
+    import spark.implicits._
+    // chain 0->1->...->8 (terminal 8, longest chain = 8 hops = 2^3)
+    // plus a 2-cycle that must come back unresolved
+    val edges = ((0L until 8L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 100L))).toDF("src", "dst")
+    val out = ChunkQueries.resolveRedirects(edges, rounds = 3)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2))),
+          r.getBoolean(3))).toMap
+    // every chain node lands on terminal 8 with its EXACT distance
+    (0L to 8L).foreach { u =>
+      assert(out(u) == (Some((8L, 8L - u)), true), s"url $u: ${out(u)}")
+    }
+    // loop members: unresolved, no terminal, no hop count
+    Seq(100L, 101L).foreach { u => assert(out(u) == (None, false)) }
+  }
 }
