@@ -286,7 +286,40 @@ object TextAnalysis {
       .orderBy($"doc_id", $"rank")
   }
 
+  /** t14: CHARACTER-CLASS ENTROPY — the gibberish/encoded-blob
+    * detector of the quality tier: natural prose mixes lowercase,
+    * space, and punctuation into ~0.7-1.3 bits of 6-class entropy,
+    * while single-class blobs (repeated chars, unbroken base64 or
+    * minified runs) collapse toward 0. Shannon entropy over SIX character classes
+    * (lower/upper/digit/space/punct/other) instead of the raw
+    * alphabet: the counts are six codegen regexp passes in ONE scan —
+    * no per-char explode, no shuffle — and the six -p·log2(p) terms
+    * are summed in a FIXED written order so both engines fold
+    * identical doubles (the t10 determinism rule, applied to a
+    * 6-term sum). The low-entropy flag compares the ROUNDED value,
+    * keeping the threshold engine-stable. */
+  def t14CharEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def cnt(pat: String): Column =
+      size(regexp_extract_all($"text", lit(pat), lit(0))).cast("double")
+    val total = greatest(length($"text"), lit(1)).cast("double")
+    def term(c: Column): Column =
+      when(c > 0.0, -(c / total) * log2(c / total)).otherwise(lit(0.0))
+    val lo = cnt("[a-z]"); val up = cnt("[A-Z]"); val di = cnt("[0-9]")
+    val sp = cnt("\\s"); val pu = cnt("[.,;:!?]")
+    val ot = total - lo - up - di - sp - pu
+    val entropy = round(
+      term(lo) + term(up) + term(di) + term(sp) + term(pu) + term(ot), 6)
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        length($"text").cast("long").as("n_chars"),
+        entropy.as("entropy_bits"))
+      .withColumn("is_low_entropy", $"entropy_bits" < 0.65)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_char_entropy" -> t14CharEntropy _,
     "t13_keyword_tfidf" -> t13KeywordTfidf _,
     "t12_readability" -> t12Readability _,
     "t11_lang_confidence" -> t11LangConfidence _,
@@ -361,6 +394,35 @@ object TextAnalysis {
       .mkString("\n      ")
     val allGreatest = s"greatest(${langs.map("s_" + _).mkString(", ")})"
     Map(
+      // same six class counts, same fixed-order -p·log2(p) sum
+      "t14_char_entropy" ->
+        """WITH c AS (
+          |  SELECT doc_id,
+          |    CAST(length(text) AS BIGINT) AS n_chars,
+          |    CAST(greatest(length(text), 1) AS DOUBLE) AS total,
+          |    CAST(len(regexp_extract_all(text, '[a-z]')) AS DOUBLE) AS lo,
+          |    CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS up,
+          |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS di,
+          |    CAST(len(regexp_extract_all(text, '\s')) AS DOUBLE) AS sp,
+          |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS pu
+          |  FROM documents),
+          |e AS (
+          |  SELECT doc_id, n_chars,
+          |    round(
+          |      (CASE WHEN lo > 0 THEN -(lo/total)*log2(lo/total) ELSE 0 END)
+          |    + (CASE WHEN up > 0 THEN -(up/total)*log2(up/total) ELSE 0 END)
+          |    + (CASE WHEN di > 0 THEN -(di/total)*log2(di/total) ELSE 0 END)
+          |    + (CASE WHEN sp > 0 THEN -(sp/total)*log2(sp/total) ELSE 0 END)
+          |    + (CASE WHEN pu > 0 THEN -(pu/total)*log2(pu/total) ELSE 0 END)
+          |    + (CASE WHEN total - lo - up - di - sp - pu > 0
+          |         THEN -((total-lo-up-di-sp-pu)/total)
+          |              *log2((total-lo-up-di-sp-pu)/total) ELSE 0 END), 6)
+          |      AS entropy_bits
+          |  FROM c)
+          |SELECT doc_id, n_chars, entropy_bits,
+          |  entropy_bits < 0.65 AS is_low_entropy
+          |FROM e
+          |ORDER BY doc_id""".stripMargin,
       // same tokenizer, same smoothed idf (pre-rounded 6dp), same
       // rank tie-break
       "t13_keyword_tfidf" ->

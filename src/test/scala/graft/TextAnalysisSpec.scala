@@ -22,6 +22,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(flags == Set(true, false) || rows.length < 10)
   }
 
+  test("t14 entropy separates prose from uniform-character blobs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The quick brown fox, jumping over 3 lazy dogs; quite nice!"),
+      (2L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+      (3L, "")).toDF("doc_id", "text")
+    // reuse the driver query's expression tree over a planted corpus
+    val tmp = java.nio.file.Files.createTempDirectory("t14").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = graft.operators.TextAnalysis.t14CharEntropy(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    val (nProse, eProse, flagProse) = rows(1L)
+    assert(eProse > 0.65 && !flagProse, s"prose entropy: $eProse")
+    // a single-class blob has ZERO class entropy -> flagged
+    assert(rows(2L) == ((40L, 0.0, true)))
+    // empty text: zero chars, zero entropy, flagged, no NaN
+    assert(rows(3L) == ((0L, 0.0, true)))
+  }
+
   test("t13 ranks rare high-tf terms above corpus-wide ones") {
     import spark.implicits._
     val docs = Seq(
