@@ -1062,7 +1062,56 @@ object EngineQueries {
       .orderBy($"s_suppkey")
   }
 
+  /** q41: HISTOGRAM QUANTILE SKETCH — the fourth member of the
+    * sketch family (q25 HLL = cardinality, q27 CMS = frequency, q28
+    * Bloom = membership; this = quantiles): exact percentiles need
+    * every group's values in one place (q15's sort), which at 100 TB
+    * is the shuffle you refuse; a 128-bin equi-width histogram is
+    * MERGEABLE state — per-partition maps combine by cell addition,
+    * the shuffle carries 128 longs per group. Two broadcast-scalar
+    * passes (min/max, then binned counts), cumulative window over
+    * the 128-row-per-group histogram, estimate = upper edge of the
+    * first bin whose cumulative count covers the target rank.
+    * Emitted NEXT TO the exact q15 kernel with per-quantile error —
+    * the q25/q27/d9 sketch-accounting pattern: measure the sketch
+    * against truth before trusting it fleet-wide. */
+  def q41QuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_extendedprice")
+    val ranges = li.groupBy($"l_returnflag")
+      .agg(min($"l_extendedprice").as("lo"), max($"l_extendedprice").as("hi"),
+           count(lit(1)).as("n"))
+    val binned = li.join(broadcast(ranges), Seq("l_returnflag"))
+      .select($"l_returnflag", $"n",
+        least(floor(($"l_extendedprice" - $"lo") / (($"hi" - $"lo") / 128.0)),
+          lit(127.0)).cast("long").as("bin"))
+      .groupBy($"l_returnflag", $"n", $"bin")
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"l_returnflag").orderBy($"bin")
+    val cum = binned.withColumn("cum", sum($"c").over(w))
+    val est = cum
+      .join(broadcast(ranges.select($"l_returnflag", $"lo", $"hi")), Seq("l_returnflag"))
+      .groupBy($"l_returnflag", $"lo", $"hi")
+      .agg(min(when($"cum" >= lit(0.5) * $"n", $"bin")).as("b50"),
+           min(when($"cum" >= lit(0.9) * $"n", $"bin")).as("b90"))
+      .select($"l_returnflag",
+        round($"lo" + ($"b50" + 1L) * (($"hi" - $"lo") / 128.0), 4).as("est_p50"),
+        round($"lo" + ($"b90" + 1L) * (($"hi" - $"lo") / 128.0), 4).as("est_p90"))
+    val exact = li.groupBy($"l_returnflag")
+      .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"),
+           round(expr("percentile(l_extendedprice, 0.9)"), 4).as("exact_p90"))
+    est.join(exact, Seq("l_returnflag"))
+      .select($"l_returnflag", $"est_p50", $"exact_p50",
+        round(abs($"est_p50" - $"exact_p50"), 4).as("err_p50"),
+        $"est_p90", $"exact_p90",
+        round(abs($"est_p90" - $"exact_p90"), 4).as("err_p90"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_quantile_sketch" -> q41QuantileSketch _,
     "q39_nation_profit" -> q39NationProfit _,
     "q40_excess_supplier" -> q40ExcessSupplier _,
     "q35_order_count_dist" -> q35OrderCountDist _,
@@ -1111,6 +1160,45 @@ object EngineQueries {
     s"(((${bfA(j)} * ($k % 2147483647) + ${bfB(j)}) % 2147483647) % 8192)"
 
   val oracles: Map[String, String] = Map(
+    // the whole sketch replayed: same bins, same cumulative ranks,
+    // same upper-edge estimate, exact via the q15-proven kernel
+    "q41_quantile_sketch" ->
+      """WITH li AS (SELECT l_returnflag, l_extendedprice FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, min(l_extendedprice) AS lo,
+        |    max(l_extendedprice) AS hi, count(*) AS n
+        |  FROM li GROUP BY 1),
+        |b AS (
+        |  SELECT li.l_returnflag, n,
+        |    CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 128.0)),
+        |      127.0) AS BIGINT) AS bin
+        |  FROM li JOIN r USING (l_returnflag)),
+        |h AS (SELECT l_returnflag, n, bin, count(*) AS c FROM b GROUP BY 1, 2, 3),
+        |cumt AS (
+        |  SELECT l_returnflag, n, bin,
+        |    CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin) AS BIGINT) AS cum
+        |  FROM h),
+        |e AS (
+        |  SELECT l_returnflag,
+        |    min(CASE WHEN cum >= 0.5 * n THEN bin END) AS b50,
+        |    min(CASE WHEN cum >= 0.9 * n THEN bin END) AS b90
+        |  FROM cumt GROUP BY 1),
+        |est AS (
+        |  SELECT e.l_returnflag,
+        |    round(lo + (b50 + 1) * ((hi - lo) / 128.0), 4) AS est_p50,
+        |    round(lo + (b90 + 1) * ((hi - lo) / 128.0), 4) AS est_p90
+        |  FROM e JOIN r USING (l_returnflag)),
+        |ex AS (
+        |  SELECT l_returnflag,
+        |    round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+        |    round(quantile_cont(l_extendedprice, 0.9), 4) AS exact_p90
+        |  FROM li GROUP BY 1)
+        |SELECT l_returnflag, est_p50, exact_p50,
+        |  round(abs(est_p50 - exact_p50), 4) AS err_p50,
+        |  est_p90, exact_p90,
+        |  round(abs(est_p90 - exact_p90), 4) AS err_p90
+        |FROM est JOIN ex USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
     "q39_nation_profit" ->
       """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
         |  round(CAST(sum(
