@@ -1110,7 +1110,37 @@ object EngineQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** The 32-bit Morton (Z-order) key of two 16-bit coordinates: bit
+    * i of x lands at position 2i, bit i of y at 2i+1. The terms are
+    * bit-disjoint so integer ADDITION equals OR — every step is a
+    * codegen shift/mask, and the same fold replays in ANSI SQL. */
+  private[graft] def mortonKey(x: Column, y: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** q42: Z-ORDER layout key — the multi-dimensional clustering a
+    * lakehouse table needs when queries filter on EITHER of two
+    * columns: a sort by (partkey) clusters partkey ranges but
+    * scatters suppkey; sorting by the Morton interleave clusters
+    * BOTH, so per-file min/max stats prune either predicate (the
+    * OPTIMIZE ZORDER BY of Delta/Iceberg, as an engine primitive).
+    * The key is pure codegen bit math — a map-only pass — and the
+    * global order here is a top-k (TakeOrdered), not a full sort;
+    * the write path would range-partition by zkey instead. */
+  def q42ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+        mortonKey(pmod($"l_partkey", lit(65536L)),
+                  pmod($"l_suppkey", lit(65536L))).as("zkey"))
+      .orderBy($"zkey", $"l_orderkey", $"l_linenumber")
+      .limit(200)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_zorder_layout" -> q42ZorderLayout _,
     "q41_quantile_sketch" -> q41QuantileSketch _,
     "q39_nation_profit" -> q39NationProfit _,
     "q40_excess_supplier" -> q40ExcessSupplier _,
@@ -1160,6 +1190,18 @@ object EngineQueries {
     s"(((${bfA(j)} * ($k % 2147483647) + ${bfB(j)}) % 2147483647) % 8192)"
 
   val oracles: Map[String, String] = Map(
+    // the same interleave as a generate_series fold (terms are
+    // bit-disjoint, so the sum is the OR)
+    "q42_zorder_layout" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(generate_series(0, 15), i ->
+        |      ((((l_partkey % 65536) >> i) & 1) << (2*i))
+        |      + ((((l_suppkey % 65536) >> i) & 1) << (2*i + 1)))),
+        |    (a, b) -> a + b) AS BIGINT) AS zkey
+        |FROM lineitem
+        |ORDER BY zkey, l_orderkey, l_linenumber
+        |LIMIT 200""".stripMargin,
     // the whole sketch replayed: same bins, same cumulative ranks,
     // same upper-edge estimate, exact via the q15-proven kernel
     "q41_quantile_sketch" ->

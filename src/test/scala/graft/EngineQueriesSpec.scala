@@ -159,6 +159,28 @@ class EngineQueriesSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins for dims")
   }
 
+  test("q42 Morton key matches a bit-twiddling reference and orders quadrants") {
+    import spark.implicits._
+    def ref(x: Long, y: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 16)
+        z += (((x >> i) & 1L) << (2 * i)) + (((y >> i) & 1L) << (2 * i + 1))
+      z
+    }
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 255L), (256L, 0L),
+      (512L, 512L), (65535L, 65535L), (12345L, 54321L))
+    val got = pts.toDF("x", "y")
+      .select($"x", $"y", EngineQueries.mortonKey($"x", $"y").as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) == ref(x, y), s"morton($x,$y)")
+    }
+    // the z-order locality property: every point of the low quadrant
+    // (both coords < 256) sorts before any point with both >= 512
+    assert(got((255L, 255L)) < got((512L, 512L)))
+    assert(got((65535L, 65535L)) == (1L << 32) - 1)
+  }
+
   test("q28 Bloom prune is one-sided: no false negatives, bounded pass set") {
     val r = EngineQueries.q28BloomJoin(spark, sfDir).collect().head
     val (nProbe, nPass, nTrue) = (r.getLong(0), r.getLong(1), r.getLong(2))
