@@ -1139,7 +1139,40 @@ object EngineQueries {
       .limit(200)
   }
 
+  /** q43: EVENT-RATE ANOMALY detection — the monitoring query every
+    * ingestion/crawl pipeline runs over its own event bus: per
+    * (event_type, hour) counts, each hour judged against its own
+    * TRAILING-24h baseline. The baseline frame is a RANGE window on
+    * epoch seconds (q24's event-time frame — trailing 86400s through
+    * 3600s ago, so the current hour never smooths its own spike, and
+    * empty hours correctly shrink the window rather than sliding
+    * over phantom rows). Integer counts make the baseline average
+    * exactly determined (long sum / long count), so the 3× spike
+    * boundary is engine-stable without rounding tricks; the warm-up
+    * guard (≥ 12 baseline hours) keeps cold starts from flagging.
+    * One keyed agg + one keyed window — nothing global. */
+  def q43RateAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.events(spark, dir)
+      .select($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .groupBy($"event_type", $"hour")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("m", unix_timestamp($"hour"))
+    val w = Window.partitionBy($"event_type").orderBy($"m")
+      .rangeBetween(-86400L, -3600L)
+    counts
+      .withColumn("base_avg", avg($"n").over(w))
+      .withColumn("base_n", count($"n").over(w))
+      .select($"event_type", $"hour", $"n",
+        round(coalesce($"base_avg", lit(0.0)), 4).as("trailing_avg"),
+        $"base_n".as("baseline_hours"),
+        ($"base_n" >= 12L && $"n" > $"base_avg" * 3.0).as("is_spike"))
+      .orderBy($"event_type", $"hour")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_rate_anomaly" -> q43RateAnomaly _,
     "q42_zorder_layout" -> q42ZorderLayout _,
     "q41_quantile_sketch" -> q41QuantileSketch _,
     "q39_nation_profit" -> q39NationProfit _,
@@ -1190,6 +1223,28 @@ object EngineQueries {
     s"(((${bfA(j)} * ($k % 2147483647) + ${bfB(j)}) % 2147483647) % 8192)"
 
   val oracles: Map[String, String] = Map(
+    // same per-minute counts, same trailing event-time RANGE frame,
+    // same exactly-determined integer-average baseline
+    "q43_rate_anomaly" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS m
+        |  FROM events GROUP BY 1, 2),
+        |wdw AS (
+        |  SELECT event_type, hour, n,
+        |    avg(n) OVER (PARTITION BY event_type ORDER BY m
+        |      RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING) AS base_avg,
+        |    CAST(count(n) OVER (PARTITION BY event_type ORDER BY m
+        |      RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING) AS BIGINT) AS base_n
+        |  FROM c)
+        |SELECT event_type, hour, n,
+        |  round(coalesce(base_avg, 0.0), 4) AS trailing_avg,
+        |  base_n AS baseline_hours,
+        |  (base_n >= 12 AND n > base_avg * 3.0) AS is_spike
+        |FROM wdw
+        |ORDER BY event_type, hour""".stripMargin,
     // the same interleave as a generate_series fold (terms are
     // bit-disjoint, so the sum is the OR)
     "q42_zorder_layout" ->

@@ -165,8 +165,35 @@ object Pipeline {
       .orderBy($"doc_id")
   }
 
+  /** p12: keep-BEST-per-cluster — the keeper policy production
+    * pipelines actually want: p5 keeps each near-dup cluster's
+    * LOWEST-ID member (deterministic but arbitrary); this ranks the
+    * members by t2's quality score and keeps the best copy — a
+    * re-crawled page's cleanest version survives, not its oldest.
+    * Same component labels (alternating-star contraction), one extra
+    * broadcast-friendly quality column and one per-cluster window
+    * (clusters are tiny, the window exchange keys on the label);
+    * rounded-quality ordering + id tie-break keeps the pick
+    * engine-stable. */
+  def p12ClusterKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val labels = connectedComponents(
+      Dedup.minhashLshPairsOf(Dedup.minhashSigs(spark, dir)))
+    val quality = Tables.documents(spark, dir)
+      .select($"doc_id", TextAnalysis.quality($"text").as("quality"))
+    val w = Window.partitionBy($"cluster_rep")
+      .orderBy($"quality".desc, $"doc_id")
+    labels
+      .join(quality, labels("id") === quality("doc_id"))
+      .select($"doc_id", $"lbl".as("cluster_rep"), $"quality")
+      .withColumn("keep", row_number().over(w) === 1)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_prepare_corpus" -> p1PrepareCorpus _,
+    "p12_cluster_keep_best" -> p12ClusterKeepBest _,
     "p5_dedup_clusters" -> p5DedupClusters _)
 
   val oracles: Map[String, String] = Map(
@@ -202,6 +229,33 @@ object Pipeline {
     // the recursive CTE computes, for every vertex, the set of ids
     // that can reach it; min over that set IS the component minimum —
     // the declarative twin of the label-propagation fixpoint
+    // p5's component CTEs + t2's quality formula + the per-cluster
+    // best-pick window
+    "p12_cluster_keep_best" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a_id, b_id FROM (
+         |${Dedup.d2Sql}
+         |  )),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT b_id, a_id FROM pairs),
+         |verts AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+         |comp AS (SELECT id, min(r) AS cluster_rep FROM reach GROUP BY id),
+         |qbase AS (
+         |  SELECT doc_id,
+         |${TextAnalysis.qualityColsSql}
+         |  FROM documents),
+         |q AS (SELECT doc_id, ${TextAnalysis.qualityExprSql} AS quality FROM qbase)
+         |SELECT comp.id AS doc_id, comp.cluster_rep, q.quality,
+         |  (row_number() OVER (PARTITION BY cluster_rep
+         |     ORDER BY quality DESC, comp.id) = 1) AS keep
+         |FROM comp JOIN q ON q.doc_id = comp.id
+         |ORDER BY doc_id""".stripMargin,
     "p5_dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS (
          |  SELECT a_id, b_id FROM (
