@@ -105,6 +105,12 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
       HybridSearch.hybrid(spark, filtered, emb, terms, alpha, limit)
   }
 
+  /** Exact-phrase search (s7): the two terms must appear ADJACENT;
+    * survivors ranked by corpus-wide BM25 over the phrase terms. */
+  def searchPhrase(first: String, second: String,
+                   limit: Int = settings.searchTopK): DataFrame =
+    graft.operators.HybridSearch.phraseSearchOf(tokenized, first, second, limit)
+
   /** Session query log — the reference wires a QueryLogger into
     * retrieval.Service and defers a Log after every successful
     * Search (service.go:62-70); [[runSearch]] is the materializing

@@ -251,7 +251,38 @@ object HybridSearch {
     "s3_hybrid_search" -> s3HybridSearch _,
     "s4_rerank" -> s4Rerank _,
     "s5_filtered_search" -> s5FilteredSearch _,
-    "s6_rrf_fusion" -> s6RrfFusion _)
+    "s6_rrf_fusion" -> s6RrfFusion _,
+    "s7_phrase_search" -> s7PhraseSearch _)
+
+  /** s7: exact-PHRASE search — the query mode bag-of-words BM25
+    * cannot express: "hash join" must appear as ADJACENT tokens, not
+    * two scattered matches. The adjacency test is a per-row codegen
+    * HOF over the token array (exists(tok[i]=t1 ∧ tok[i+1]=t2)) —
+    * one narrow scan, no positional index and no (doc, pos) shuffle;
+    * an index-build variant would precompute (term, doc, pos)
+    * postings, which is exactly the explode this serving path
+    * avoids. Ranking: the phrase survivors semi-join the standard
+    * full-corpus BM25 scores for the phrase's terms (corpus-wide
+    * idf/avgdl — scoring against the whole collection, filtering by
+    * the phrase). */
+  def s7PhraseSearch(spark: SparkSession, dir: String): DataFrame =
+    phraseSearchOf(docTokens(spark, dir), "hash", "join", 20)
+
+  /** The s7 core over any (doc_id, tok array<string>, dl) frame. */
+  def phraseSearchOf(docs: DataFrame, t1: String, t2: String,
+                     k: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val hasPhrase = exists(
+      transform(sequence(lit(1), size($"tok") - 1),
+        i => element_at($"tok", i) === t1 &&
+          element_at($"tok", i + 1) === t2),
+      (x: Column) => x)
+    val phraseDocs = docs.filter(size($"tok") >= 2).filter(hasPhrase)
+    bm25Scores(docs.sparkSession, docs, Seq(t1, t2))
+      .join(phraseDocs.select($"doc_id"), Seq("doc_id"), "left_semi")
+      .orderBy($"score".desc, $"doc_id")
+      .limit(k)
+  }
 
   /** s3's full-pipeline SQL, shared with s4's oracle (which reranks
     * over exactly this result set). */
@@ -276,6 +307,37 @@ object HybridSearch {
          |ORDER BY final_rank""".stripMargin)
 
   private lazy val oraclesBase: Map[String, String] = Map(
+    // same adjacency HOF, same full-corpus BM25 restricted to the
+    // phrase survivors
+    "s7_phrase_search" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS tok,
+        |         CAST(len(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |phrase AS (
+        |  SELECT doc_id FROM docs
+        |  WHERE len(tok) >= 2 AND len(list_filter(
+        |    generate_series(1, len(tok) - 1),
+        |    i -> tok[i] = 'hash' AND tok[i + 1] = 'join')) > 0),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM docs),
+        |terms AS (SELECT unnest(['hash', 'join']) AS term),
+        |tf AS (
+        |  SELECT doc_id, dl, token AS term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(tok) AS token FROM docs)
+        |  WHERE token IN (SELECT term FROM terms)
+        |  GROUP BY doc_id, dl, token),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term)
+        |SELECT doc_id, score FROM (
+        |  SELECT tf.doc_id,
+        |    round(sum(
+        |      ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |      * (tf.tf * (1.2 + 1.0))
+        |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))), 6) AS score
+        |  FROM tf JOIN df USING (term), stats
+        |  WHERE tf.doc_id IN (SELECT doc_id FROM phrase)
+        |  GROUP BY tf.doc_id)
+        |ORDER BY score DESC, doc_id
+        |LIMIT 20""".stripMargin,
     "s1_keyword_bm25" ->
       """WITH docs AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS tok,
