@@ -125,6 +125,67 @@ object Knn {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** a11: IVF+PQ with RESIDUAL encoding — the FAISS IndexIVFPQ
+    * composition, and the layout real billion-vector deployments
+    * run: the coarse quantizer (the session's TRAINED k=8 IVF
+    * centroids — train once, serve everywhere) splits the corpus
+    * into cells, and PQ encodes each vector's RESIDUAL v − c(cell)
+    * rather than v itself. Residuals matter: within a cell the
+    * vectors share the centroid's direction, so the residual cloud
+    * is tighter than the raw cloud and the same 4-byte code carries
+    * more precision. Serving: probe nprobe=2 cells (broadcast
+    * centroid scores), subtract the PROBED cell's centroid from the
+    * query (ADC must compare residuals against residuals of the
+    * same cell), asymmetric-distance scan of only the probed cells'
+    * codes, exact rerank of the top-20. Codebooks are sampled
+    * residual seeds (a6's build; a7's pqFit is the trained
+    * upgrade); encode and ADC run as the pq_encode/pq_adc codegen
+    * kernels; the whole chain — Lloyd loop, residuals, encode, ADC,
+    * rerank — unrolls in the DuckDB oracle. */
+  def a11IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = 8; val sub = 8; val kb = 16; val nprobe = 2
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val all = graft.Caches.persist(base(spark, dir))
+    val cents = ivfCentroids(spark, dir, all)
+    val centMat = typedLit(cents)
+    val withRes = assign(all, cents)
+      .withColumn("r", zip_with($"v", element_at(centMat, $"cid" + 1),
+        (a, b) => a - b))
+    val seeds: Seq[Seq[Double]] = withRes.orderBy($"vec_id").limit(kb)
+      .select($"r").as[Seq[Double]].collect().toSeq
+    val books: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      seeds.map(_.slice(s * sub, (s + 1) * sub))
+    }
+    val bookMat = typedLit(books)
+    val coded = withRes.withColumn("code",
+      call_function("pq_encode", $"r", bookMat))
+    // probe: nprobe best cells per query by centroid cosine (same
+    // reverse-sort tie-break as ivfServe / the a4 oracle)
+    val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val probed = all.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+      .withColumn("__scores", transform(centArr, c => V.cosineD($"qv", c)))
+      .withColumn("probe", slice(reverse(array_sort(zip_with($"__scores",
+        sequence(lit(0), lit(cents.length - 1)),
+        (s, i) => struct(s.as("s"), i.as("i"))))), 1, nprobe))
+      .select($"q_id", $"qv", explode($"probe.i").as("cid"))
+      .withColumn("rq", zip_with($"qv", element_at(centMat, $"cid" + 1),
+        (a, b) => a - b))
+    val wA = Window.partitionBy($"q_id").orderBy($"adist", $"vec_id")
+    val w = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")
+    coded.join(broadcast(probed), Seq("cid"))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("adist", call_function("pq_adc", $"rq", $"code", bookMat))
+      .withColumn("qrnk", row_number().over(wA))
+      .filter($"qrnk" <= 20)
+      .select($"q_id", $"vec_id", V.cosineD($"qv", $"v").as("cosine_raw"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .select($"q_id", $"vec_id", round($"cosine_raw", 6).as("cosine"), $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
   /** a9: ALL-PAIRS kNN-graph build — every vector gets its top-k
     * neighbors (the batch op behind semantic clustering, SemDeDup
     * cell seeding, and link-prediction features), where a1-a8 serve
@@ -629,6 +690,7 @@ object Knn {
     "a7_knn_pq_kmeans" -> a7KnnPqKmeans _,
     "a9_knn_join" -> ((s, d) => a9KnnJoin(s, d)),
     "a10_knn_multiprobe" -> ((s, d) => a10MultiprobeLsh(s, d)),
+    "a11_ivf_pq" -> a11IvfPq _,
     "s2_vector_topk" -> s2VectorTopk _)
 
   private val cosineSql =
@@ -796,6 +858,63 @@ object Knn {
        |FROM ranked WHERE rnk <= 5
        |ORDER BY q_id, rnk""".stripMargin
 
+  /** a11's full replay: k=8 Lloyd loop → residuals vs the assigned
+    * centroid → sampled residual codebooks → encode → probe-2 →
+    * residual ADC within the probed cells → exact rerank. */
+  private lazy val a11Sql: String = {
+    val encDist = pqSqDist("r", "sp", "sv.sv[j+1]")
+    s"""WITH ${kmeansCellsSqlFor(8)},
+       |cmat AS (SELECT list(cv ORDER BY cid) AS cm FROM c3),
+       |res AS (
+       |  SELECT e.vec_id, e.v, cells.cid,
+       |    list_transform(generate_series(1, 64), d -> e.v[d] - cm[cid + 1][d]) AS r
+       |  FROM e JOIN cells ON cells.vec_id = e.vec_id, cmat),
+       |sv AS (SELECT list(r ORDER BY vec_id) AS sv
+       |       FROM (SELECT vec_id, r FROM res ORDER BY vec_id LIMIT 16)),
+       |coded AS (
+       |  SELECT vec_id, v, cid, r,
+       |    list_transform(generate_series(0, 7), sp ->
+       |      list_position(
+       |        list_transform(generate_series(0, 15), j -> $encDist),
+       |        list_min(list_transform(generate_series(0, 15), j -> $encDist)))
+       |      - 1) AS code
+       |  FROM res, sv),
+       |qs AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+       |pscore AS (
+       |  SELECT qs.q_id, qs.qv, c.cid, ${cos("qs.qv", "c.cv")} AS cs
+       |  FROM qs CROSS JOIN c3 c),
+       |probe AS (
+       |  SELECT q_id, qv, cid FROM (
+       |    SELECT q_id, qv, cid,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, cid DESC) AS p_rnk
+       |    FROM pscore) WHERE p_rnk <= 2),
+       |qres AS (
+       |  SELECT q_id, qv, probe.cid,
+       |    list_transform(generate_series(1, 64), d -> qv[d] - cm[cid + 1][d]) AS rq
+       |  FROM probe, cmat),
+       |adc AS (
+       |  SELECT q.q_id, b.vec_id, q.qv, b.v,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(generate_series(0, 7), sp ->
+       |        ${pqSqDist("q.rq", "sp", "sv.sv[b.code[sp+1]+1]")})),
+       |      (a, x) -> a + x) AS adist
+       |  FROM qres q JOIN coded b ON b.cid = q.cid AND b.vec_id <> q.q_id, sv),
+       |cand AS (
+       |  SELECT q_id, vec_id, qv, v FROM (
+       |    SELECT q_id, vec_id, qv, v,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS qrnk
+       |    FROM adc) WHERE qrnk <= 20),
+       |scored AS (
+       |  SELECT q_id, vec_id, ${cos("qv", "v")} AS cosine_raw FROM cand),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cosine_raw,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT q_id, vec_id, round(cosine_raw, 6) AS cosine, rnk
+       |FROM ranked WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
   private lazy val a6Sql: String = {
     val encDist = pqSqDist("v", "sp", "sv.sv[j+1]")
     s"""WITH e AS (
@@ -837,6 +956,7 @@ object Knn {
 
   val oracles: Map[String, String] = Map(
     "a6_knn_pq" -> a6Sql,
+    "a11_ivf_pq" -> a11Sql,
     "a7_knn_pq_kmeans" -> a7Sql,
     "a5_knn_sq8" ->
       s"""WITH e AS (

@@ -135,6 +135,24 @@ class KnnSpec extends SparkSpec {
     assert(hits >= qids.length * 5 / 2, s"recall too low: $hits/50")
   }
 
+  test("a11 IVF+PQ residual index keeps ranked shape and real recall") {
+    val pq = Knn.a11IvfPq(spark, sfDir).collect()
+    val exact = Knn.a1BruteForce(spark, sfDir).collect()
+    val qids = pq.map(_.getLong(0)).distinct
+    assert(qids.length == 10)
+    qids.foreach { q =>
+      val mine = pq.filter(_.getLong(0) == q)
+      assert(mine.map(_.getInt(3)).toSeq == (1 to mine.length))
+    }
+    // probed-cell + residual-ADC candidates must still recover a
+    // solid share of the true neighbors
+    val hits = pq.count { r =>
+      exact.exists(e => e.getLong(0) == r.getLong(0) && e.getLong(1) == r.getLong(1))
+    }
+    assert(hits >= 20, s"IVF+PQ recall too low: $hits/50")
+    Caches.releaseAll()
+  }
+
   test("a10 multi-probe beats exact-bucket recall on one table") {
     // 4 bits at this tiny SF: 16 buckets over ~100 vectors keeps
     // buckets populated (the sf0.01 oracle runs the 8-bit default)
