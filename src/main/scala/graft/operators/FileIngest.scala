@@ -2,7 +2,7 @@ package graft.operators
 
 import java.nio.charset.StandardCharsets.UTF_8
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Binary-file ingestion seam (SURVEY.md §2.B) — the reference's
@@ -238,11 +238,97 @@ object FileIngest {
       .orderBy($"doc_id")
   }
 
+  /** The f3 detector over any (doc_id, payload binary) frame: BOM
+    * identification (UTF-8 / UTF-16LE / UTF-16BE byte-order marks)
+    * plus content statistics over the first 64 post-BOM bytes — the
+    * hex string split into byte pairs, counting 0x00 bytes (UTF-16's
+    * signature for ASCII-range text) and high bytes (≥ 0x80,
+    * multi-byte UTF-8 / legacy encodings). The guess rule routes:
+    * >30% zero bytes → utf16-like, no high bytes → ascii, else
+    * utf8-like. */
+  def detectEncoding(blobs: DataFrame): DataFrame = {
+    import blobs.sparkSession.implicits._
+    def b(i: Int): Column = call_function("byte_at", $"payload", lit(i.toLong))
+    val bom = when(b(1) === 0xEF && b(2) === 0xBB && b(3) === 0xBF, "utf8-bom")
+      .when(b(1) === 0xFF && b(2) === 0xFE, "utf16le-bom")
+      .when(b(1) === 0xFE && b(2) === 0xFF, "utf16be-bom")
+      .otherwise("none")
+    val off = when(bom === "utf8-bom", 4)
+      .when(bom === "none", 1).otherwise(3)
+    val pairs = regexp_extract_all(
+      hex(expr("substring(payload, _off, 64)")), lit(".."), lit(0))
+    blobs
+      .withColumn("_bom", bom)
+      .withColumn("_off", off)
+      .withColumn("_pairs", pairs)
+      .select($"doc_id",
+        $"_bom".as("bom"),
+        octet_length($"payload").cast("long").as("n_bytes"),
+        size(filter($"_pairs", p => p === "00")).cast("long").as("zero_pairs"),
+        size(filter($"_pairs", p => substring(p, 1, 1).rlike("[89A-F]")))
+          .cast("long").as("high_pairs"),
+        size($"_pairs").as("_np"))
+      .withColumn("guess",
+        when($"_np" === 0, lit("empty"))
+          .when($"zero_pairs".cast("double") /
+            greatest($"_np", lit(1)) > 0.3, "utf16-like")
+          .when($"high_pairs" === 0L, "ascii")
+          .otherwise("utf8-like"))
+      .drop("_np")
+      .orderBy($"doc_id")
+  }
+
+  /** f3: text-ENCODING sniffing — the routing step between f2's
+    * container detection and any text extraction: a 100 TB dump
+    * mixes UTF-8, BOM'd UTF-16 exports, and legacy single-byte
+    * files, and decoding with the wrong charset silently corrupts
+    * the corpus. Synth: per-doc ASCII bodies (length varying by
+    * doc_id) wrapped as UTF-8-BOM / UTF-16LE / UTF-16BE / bare; the
+    * oracle recomputes every statistic from the synth rules. */
+  def f3EncodingSniff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bodyHex = hex(expr(
+      "cast(rpad(cast(doc_id as string), cast(20 + doc_id % 12 as int), 'x') as binary)"))
+    val prs = regexp_extract_all(bodyHex, lit(".."), lit(0))
+    val leHex = concat(lit("FFFE"),
+      array_join(transform(prs, p => concat(p, lit("00"))), ""))
+    val beHex = concat(lit("FEFF"),
+      array_join(transform(prs, p => concat(lit("00"), p)), ""))
+    val wrapped = when(pmod($"doc_id", lit(4)) === 0, concat(lit("EFBBBF"), bodyHex))
+      .when(pmod($"doc_id", lit(4)) === 1, leHex)
+      .when(pmod($"doc_id", lit(4)) === 2, beHex)
+      .otherwise(bodyHex)
+    detectEncoding(
+      graft.Tables.documents(spark, dir)
+        .select($"doc_id", unhex(wrapped).as("payload")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f3_encoding_sniff" -> f3EncodingSniff _,
     "f1_file_ingest" -> f1FileIngest _,
     "f2_type_sniff" -> f2TypeSniff _)
 
   val oracles: Map[String, String] = Map(
+    // first-principles recompute from the synth rules: BOM class and
+    // byte statistics all derive from doc_id
+    "f3_encoding_sniff" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(20 + doc_id % 12 AS BIGINT) AS l
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN 'utf8-bom' WHEN 1 THEN 'utf16le-bom'
+        |    WHEN 2 THEN 'utf16be-bom' ELSE 'none' END AS bom,
+        |  CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN 3 + l WHEN 1 THEN 2 + 2*l
+        |    WHEN 2 THEN 2 + 2*l ELSE l END AS n_bytes,
+        |  CASE WHEN doc_id % 4 IN (1, 2) THEN l ELSE CAST(0 AS BIGINT) END
+        |    AS zero_pairs,
+        |  CAST(0 AS BIGINT) AS high_pairs,
+        |  CASE WHEN doc_id % 4 IN (1, 2) THEN 'utf16-like' ELSE 'ascii' END
+        |    AS guess
+        |FROM f
+        |ORDER BY doc_id""".stripMargin,
     "f2_type_sniff" ->
       """SELECT doc_id,
         |  CASE doc_id % 8

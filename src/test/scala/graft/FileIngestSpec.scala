@@ -58,4 +58,25 @@ class FileIngestSpec extends SparkSpec {
     IngestStream.reingest(docs, store)
     assert(spark.read.parquet(s"$store/chunks").count() == n)
   }
+
+  test("f3 detector classifies REAL JDK-encoded byte streams") {
+    import spark.implicits._
+    // bytes produced by the JDK's own encoders — independent of the
+    // driver query's hex synthesis
+    def bom(b: Int*) = b.map(_.toByte).toArray
+    val text = "hello graft 42"
+    val cases = Seq(
+      (1L, bom(0xEF, 0xBB, 0xBF) ++ text.getBytes("UTF-8"), "utf8-bom", "ascii"),
+      (2L, text.getBytes("UTF-16"), "utf16be-bom", "utf16-like"), // JDK UTF-16 = BE BOM
+      (3L, bom(0xFF, 0xFE) ++ text.getBytes("UTF-16LE"), "utf16le-bom", "utf16-like"),
+      (4L, text.getBytes("UTF-8"), "none", "ascii"),
+      (5L, ("café " * 8).getBytes("UTF-8"), "none", "utf8-like"),
+      (6L, Array.empty[Byte], "none", "empty"))
+    val out = graft.operators.FileIngest
+      .detectEncoding(cases.map(c => (c._1, c._2)).toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(5))).toMap
+    cases.foreach { case (id, _, wantBom, wantGuess) =>
+      assert(out(id) == ((wantBom, wantGuess)), s"case $id: ${out(id)}")
+    }
+  }
 }
