@@ -1171,7 +1171,35 @@ object EngineQueries {
       .orderBy($"event_type", $"hour")
   }
 
+  /** q44: distribution-rank report — the remaining window-function
+    * family next to q7's rank/lag, q24/q43's RANGE frames, and
+    * q26's rows-frame cumsum: ntile deciles, percent_rank, and
+    * cume_dist per return-flag partition. ntile assigns by ROW
+    * POSITION, so the window ordering carries unique tie-break keys
+    * (price, orderkey, linenumber) — without them, equal prices
+    * land in different buckets per engine and per run. One keyed
+    * exchange + one sort; the brand filter broadcasts and prunes
+    * the fact scan first. */
+  def q44RankReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"price_cents", $"l_orderkey", $"l_linenumber")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+          .filter($"p_brand" === "Brand#11").select($"p_partkey")),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
+        expr("cast(round(l_extendedprice * 100.0, 0) as bigint)").as("price_cents"))
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"price_cents",
+        ntile(10).over(w).cast("long").as("decile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy($"l_returnflag", $"price_cents", $"l_orderkey", $"l_linenumber")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_rank_report" -> q44RankReport _,
     "q43_rate_anomaly" -> q43RateAnomaly _,
     "q42_zorder_layout" -> q42ZorderLayout _,
     "q41_quantile_sketch" -> q41QuantileSketch _,
@@ -1223,6 +1251,20 @@ object EngineQueries {
     s"(((${bfA(j)} * ($k % 2147483647) + ${bfB(j)}) % 2147483647) % 8192)"
 
   val oracles: Map[String, String] = Map(
+    // same unique-keyed window order, so ntile buckets are
+    // position-deterministic in both engines
+    "q44_rank_report" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber,
+        |  CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) AS price_cents,
+        |  CAST(ntile(10) OVER w AS BIGINT) AS decile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#11'
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |  ORDER BY CAST(round(l_extendedprice * 100.0, 0) AS BIGINT),
+        |           l_orderkey, l_linenumber)
+        |ORDER BY l_returnflag, price_cents, l_orderkey, l_linenumber""".stripMargin,
     // same per-minute counts, same trailing event-time RANGE frame,
     // same exactly-determined integer-average baseline
     "q43_rate_anomaly" ->
