@@ -468,6 +468,12 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
     graft.operators.Robots.evaluate(frontier,
       graft.operators.Robots.parseRobots(robots), agent)
 
+  /** Event-rate anomaly detection over any (event_type, ts) frame
+    * (q43): hourly counts vs their trailing-24h baseline, spikes
+    * flagged — the pipeline's own operational monitoring. */
+  def rateAnomaly(events: DataFrame, spikeFactor: Double = 3.0): DataFrame =
+    graft.operators.EngineQueries.rateAnomalyOf(events, spikeFactor)
+
   /** Terminal-address resolution over a (src, dst) redirect-edge
     * frame (c20): pointer jumping — O(log chain) rounds — with
     * redirect loops flagged unresolved. */

@@ -1151,10 +1151,15 @@ object EngineQueries {
     * boundary is engine-stable without rounding tricks; the warm-up
     * guard (≥ 12 baseline hours) keeps cold starts from flagging.
     * One keyed agg + one keyed window — nothing global. */
-  def q43RateAnomaly(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  def q43RateAnomaly(spark: SparkSession, dir: String): DataFrame =
+    rateAnomalyOf(Tables.events(spark, dir))
+
+  /** The q43 core over any (event_type, ts) event frame. */
+  def rateAnomalyOf(events: DataFrame, spikeFactor: Double = 3.0,
+                    minBaseline: Int = 12): DataFrame = {
+    import events.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val counts = Tables.events(spark, dir)
+    val counts = events
       .select($"event_type", date_trunc("hour", $"ts").as("hour"))
       .groupBy($"event_type", $"hour")
       .agg(count(lit(1)).as("n"))
@@ -1167,7 +1172,8 @@ object EngineQueries {
       .select($"event_type", $"hour", $"n",
         round(coalesce($"base_avg", lit(0.0)), 4).as("trailing_avg"),
         $"base_n".as("baseline_hours"),
-        ($"base_n" >= 12L && $"n" > $"base_avg" * 3.0).as("is_spike"))
+        ($"base_n" >= minBaseline.toLong &&
+          $"n" > $"base_avg" * spikeFactor).as("is_spike"))
       .orderBy($"event_type", $"hour")
   }
 

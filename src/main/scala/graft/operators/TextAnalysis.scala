@@ -281,7 +281,7 @@ object TextAnalysis {
       .select($"doc_id", $"term",
         round($"tf" * $"idf", 6).as("tfidf"))
       .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 5)
+      .filter($"rank" <= k)
       .select($"doc_id", $"rank".cast("long").as("rank"), $"term", $"tfidf")
       .orderBy($"doc_id", $"rank")
   }

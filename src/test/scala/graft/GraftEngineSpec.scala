@@ -304,4 +304,40 @@ class GraftEngineSpec extends SparkSpec {
       "https://x.com/yes" -> true))
   }
 
+  test("round-5 facade delegates run end to end over the corpus") {
+    import spark.implicits._
+    val e = engine
+    // keywords: 5 ranked terms per doc, ranks dense from 1
+    val kw = e.keywords(k = 3).limit(50).collect()
+    assert(kw.nonEmpty && kw.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 3))
+    // globalShuffle: a permutation of the corpus
+    val sh = e.globalShuffle(nShards = 4).collect()
+    assert(sh.map(_.getLong(0)).distinct.length == sh.length)
+    // containment: runs and respects tau (no row below threshold)
+    val ct = e.dedupContainment(tau = 0.9).collect()
+    assert(ct.forall(_.getDouble(2) >= 0.9))
+    // redirect resolution through the facade
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val rr = e.resolveRedirects(edges).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(rr == Map(1L -> true, 2L -> true, 3L -> true))
+    // phrase search: every hit really contains the adjacent pair
+    val ph = e.searchPhrase("hash", "join", limit = 5).collect()
+    assert(ph.length <= 5)
+    // rate anomaly over a synthetic spike
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val evs = (0 until 30).flatMap { h =>
+      val base = Seq.tabulate(2)(i =>
+        ("ping", new java.sql.Timestamp(ts0.getTime + h * 3600000L + i * 1000)))
+      if (h == 29)
+        base ++ Seq.tabulate(20)(i =>
+          ("ping", new java.sql.Timestamp(ts0.getTime + h * 3600000L + 60000 + i * 1000)))
+      else base
+    }.toDF("event_type", "ts")
+    val an = e.rateAnomaly(evs).collect()
+    val spikes = an.filter(_.getBoolean(5)).map(_.getTimestamp(1))
+    assert(spikes.length == 1 &&
+      spikes.head.getTime == ts0.getTime + 29 * 3600000L)
+    Caches.releaseAll()
+  }
 }
