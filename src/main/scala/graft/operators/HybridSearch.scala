@@ -265,19 +265,32 @@ object HybridSearch {
     * full-corpus BM25 scores for the phrase's terms (corpus-wide
     * idf/avgdl — scoring against the whole collection, filtering by
     * the phrase). */
-  def s7PhraseSearch(spark: SparkSession, dir: String): DataFrame =
-    phraseSearchOf(docTokens(spark, dir), "hash", "join", 20)
+  def s7PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"text",
+        regexp_extract_all(lower($"text"), lit(WordTokenPattern), lit(0)).as("tok"))
+      .withColumn("dl", size($"tok").cast("double"))
+    phraseSearchOf(docs, "hash", "join", 20)
+  }
 
-  /** The s7 core over any (doc_id, tok array<string>, dl) frame. */
+  /** The s7 core over any (doc_id, text, tok array<string>, dl)
+    * frame. The adjacency test compiles to ONE codegen regex over
+    * the raw text — "t1 as a complete token, then only non-token
+    * chars, then t2" is exactly "adjacent in the token stream"
+    * (tokens are maximal \p{L}\p{N} runs), and the single regex
+    * pass replaces a per-element interpreted lambda over the token
+    * array (4.4s → ~1s at sf0.1). The oracle keeps the token-array
+    * formulation as the semantic spec; hash-equality of the two
+    * forms is the gate. */
   def phraseSearchOf(docs: DataFrame, t1: String, t2: String,
                      k: Int): DataFrame = {
     import docs.sparkSession.implicits._
-    val hasPhrase = exists(
-      transform(sequence(lit(1), size($"tok") - 1),
-        i => element_at($"tok", i) === t1 &&
-          element_at($"tok", i + 1) === t2),
-      (x: Column) => x)
-    val phraseDocs = docs.filter(size($"tok") >= 2).filter(hasPhrase)
+    val q1 = java.util.regex.Pattern.quote(t1.toLowerCase)
+    val q2 = java.util.regex.Pattern.quote(t2.toLowerCase)
+    val phraseRe =
+      s"(^|[^\\p{L}\\p{N}])$q1[^\\p{L}\\p{N}]+$q2($$|[^\\p{L}\\p{N}])"
+    val phraseDocs = docs.filter(lower($"text").rlike(phraseRe))
     bm25Scores(docs.sparkSession, docs, Seq(t1, t2))
       .join(phraseDocs.select($"doc_id"), Seq("doc_id"), "left_semi")
       .orderBy($"score".desc, $"doc_id")
