@@ -521,7 +521,43 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** d13: cross-document duplicated-SPAN detection — the window-
+    * granular form of the ExactSubstr pass (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * document-level dedup (d1/d2) keeps one copy of a page but
+    * cannot see a paragraph quoted across otherwise-distinct pages;
+    * span-level detection can. Every 32-token window is poly-hashed
+    * POSITIONALLY (the full suffix-array machinery reduces to
+    * window hashing at fixed granularity — the standard distributed
+    * approximation); a window hash appearing in >1 document marks a
+    * duplicated span. Output per doc: window/dup-window counts and
+    * the duplicated fraction — the signal a span-removal pass cuts
+    * on. Scale shape: two map-side-combinable shuffles (window hash
+    * → distinct-doc count; doc → fraction) — NEVER a pairwise
+    * comparison, and the shuffle carries 8-byte hashes, not spans.
+    * The flag compares the ROUNDED fraction (boundary-stable). */
+  def d13WindowDedup(spark: SparkSession, dir: String, w: Int = 32): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
+      .filter(size($"w") >= w)
+    val wins = graft.Caches.persist(
+      toks.select($"doc_id",
+        explode(call_function("poly_hash_all", H.shinglesAll($"w", w))).as("h")))
+    val hf = wins.select($"doc_id", $"h").distinct()
+      .groupBy($"h").agg(count(lit(1)).as("ndocs"))
+    wins.join(hf, Seq("h"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when($"ndocs" > 1, 1L).otherwise(0L)).as("dup_windows"))
+      .select($"doc_id", $"n_windows", $"dup_windows",
+        round($"dup_windows".cast("double") / $"n_windows", 6).as("dup_fraction"))
+      .withColumn("is_duplicated", $"dup_fraction" >= 0.5)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_window_dedup" -> ((s, d) => d13WindowDedup(s, d)),
     "d12_bbit_minhash" -> d12BbitMinhash _,
     "d9_jaccard_estimate" -> d9JaccardEstimate _,
     "d8_incremental_dedup" -> d8IncrementalDedup _,
@@ -785,6 +821,35 @@ object Dedup {
          |  round(cont_raw, 6) AS containment, round(jac_raw, 6) AS jaccard
          |FROM ver WHERE cont_raw >= 0.8
          |ORDER BY contained_id, container_id""".stripMargin,
+    // same positional 32-token window hashes, same distinct-doc
+    // counts, same rounded-fraction flag
+    "d13_window_dedup" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+        |ws AS (
+        |  SELECT doc_id, array_to_string(w[g.i:g.i+31], ' ') AS t
+        |  FROM w, LATERAL unnest(generate_series(1, len(w) - 31)) AS g(i)
+        |  WHERE len(w) >= 32),
+        |wins AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, length(t)),
+        |        j -> CAST(ascii(substring(t, j, 1)) AS BIGINT))),
+        |      (a, c) -> (a*31 + c) % 1000000007) AS h
+        |  FROM ws),
+        |hf AS (
+        |  SELECT h, count(DISTINCT doc_id) AS ndocs FROM wins GROUP BY h),
+        |per AS (
+        |  SELECT wins.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_windows,
+        |    CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS dup_windows
+        |  FROM wins JOIN hf USING (h) GROUP BY wins.doc_id)
+        |SELECT doc_id, n_windows, dup_windows,
+        |  round(CAST(dup_windows AS DOUBLE) / n_windows, 6) AS dup_fraction,
+        |  round(CAST(dup_windows AS DOUBLE) / n_windows, 6) >= 0.5
+        |    AS is_duplicated
+        |FROM per
+        |ORDER BY doc_id""".stripMargin,
     // same capped-band candidates, same low-2-bit agreement, same
     // collision-floor correction
     "d12_bbit_minhash" ->
