@@ -477,7 +477,8 @@ object ChunkQueries {
     "c9_link_discovery" -> c9LinkDiscovery _,
     "c10_crawl_bfs" -> c10CrawlBfs _,
     "c15_pagerank" -> c15PageRank _,
-    "c20_redirect_resolve" -> c20RedirectResolve _)
+    "c20_redirect_resolve" -> c20RedirectResolve _,
+    "c22_trap_detect" -> c22TrapDetect _)
 
   /** POINTER-JUMPING redirect resolution over any (src, dst)
     * redirect-edge frame (each URL redirects to at most one target —
@@ -518,6 +519,45 @@ object ChunkQueries {
         when($"t".isNotNull, $"h").as("hops"),
         $"t".isNotNull.as("resolved"))
       .orderBy($"url")
+  }
+
+  /** Crawler-TRAP detection over any (url) frame: infinite URL
+    * spaces (calendars, session ids, faceted search) are the classic
+    * crawler failure — the frontier balloons inside one host while
+    * real coverage stalls. The detector collapses every URL to its
+    * digit-template (runs of digits → N) and flags hosts whose
+    * distinct-URL count is a large multiple of their distinct-
+    * template count: thousands of URLs over a handful of templates
+    * is a generator, not content. One scan + one keyed aggregate;
+    * both distinct counts are per-host (no global distinct). */
+  def detectTraps(urls: DataFrame, ratioCap: Double = 100.0): DataFrame = {
+    import urls.sparkSession.implicits._
+    urls
+      .select($"url",
+        regexp_extract($"url", "^https?://([^/]+)", 1).as("host"),
+        regexp_replace($"url", "[0-9]+", "N").as("template"))
+      .groupBy($"host")
+      .agg(countDistinct($"url").as("n_urls"),
+           countDistinct($"template").as("n_templates"))
+      .select($"host", $"n_urls", $"n_templates",
+        round($"n_urls".cast("double") / $"n_templates", 4).as("urls_per_template"))
+      .withColumn("is_trap", $"urls_per_template" > ratioCap)
+      .orderBy($"host")
+  }
+
+  /** c22: trap detection over a deterministic synthesized crawl log:
+    * one host is a calendar-style generator (every event mints a new
+    * URL under one template), the others serve bounded catalogs; the
+    * oracle replays the template collapse. */
+  def c22TrapDetect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urls = Tables.events(spark, dir)
+      .select(when(pmod($"event_id", lit(4)) === 0,
+          concat(lit("https://h0.example/cal/"), $"event_id".cast("string")))
+        .otherwise(concat(lit("https://h"), pmod($"event_id", lit(4)).cast("string"),
+          lit(".example/page/"), pmod($"user_id", lit(20)).cast("string")))
+        .as("url"))
+    detectTraps(urls)
   }
 
   /** c20: redirect resolution over a deterministic synthesized
@@ -603,6 +643,29 @@ object ChunkQueries {
       |  SELECT doc_id, 2, prose_b, 'prose', '' FROM parts WHERE v = 0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same synth, same digit-template collapse, same per-host ratio
+    "c22_trap_detect" ->
+      """WITH u AS (
+        |  SELECT CASE WHEN event_id % 4 = 0
+        |    THEN 'https://h0.example/cal/' || event_id
+        |    ELSE 'https://h' || (event_id % 4) || '.example/page/' || (user_id % 20)
+        |    END AS url
+        |  FROM events),
+        |t AS (
+        |  SELECT url,
+        |    regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+        |    regexp_replace(url, '[0-9]+', 'N', 'g') AS template
+        |  FROM u),
+        |agg AS (
+        |  SELECT host,
+        |    CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+        |    CAST(count(DISTINCT template) AS BIGINT) AS n_templates
+        |  FROM t GROUP BY host)
+        |SELECT host, n_urls, n_templates,
+        |  round(CAST(n_urls AS DOUBLE) / n_templates, 4) AS urls_per_template,
+        |  round(CAST(n_urls AS DOUBLE) / n_templates, 4) > 100.0 AS is_trap
+        |FROM agg
+        |ORDER BY host""".stripMargin,
     // the same chains walked one hop per recursion step; terminal =
     // no outgoing edge; loop nodes never reach one inside the bound
     "c20_redirect_resolve" ->

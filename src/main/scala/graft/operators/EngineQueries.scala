@@ -1204,7 +1204,42 @@ object EngineQueries {
       .orderBy($"l_returnflag", $"price_cents", $"l_orderkey", $"l_linenumber")
   }
 
+  /** q45: REFERENTIAL-INTEGRITY audit — the data-quality pass every
+    * warehouse runs before trusting joins: for each foreign-key
+    * edge, child rows vs rows with a matching parent vs orphans.
+    * Each edge is one LEFT SEMI (matched) and the orphan count is
+    * the complement — the parent key sets broadcast, the fact is
+    * scanned once per edge with only the key column read. A healthy
+    * synthetic corpus reports zero orphans; the exact matched counts
+    * are what the hash gate pins. */
+  def q45IntegrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def edge(name: String, child: DataFrame, key: Column,
+             parent: DataFrame, pkey: Column): DataFrame = {
+      val keys = child.select(key.as("k"))
+      val matched = keys.join(broadcast(parent.select(pkey.as("p"))),
+        $"k" === $"p", "left_semi")
+      keys.agg(count(lit(1)).as("n_child"))
+        .crossJoin(matched.agg(count(lit(1)).as("n_matched")))
+        .select(lit(name).as("relation"), $"n_child", $"n_matched",
+          ($"n_child" - $"n_matched").as("n_orphans"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    edge("lineitem->orders", li, $"l_orderkey",
+        Tables.orders(spark, dir), $"o_orderkey")
+      .unionAll(edge("lineitem->part", li, $"l_partkey",
+        Tables.part(spark, dir), $"p_partkey"))
+      .unionAll(edge("lineitem->supplier", li, $"l_suppkey",
+        Tables.supplier(spark, dir), $"s_suppkey"))
+      .unionAll(edge("orders->customer", Tables.orders(spark, dir), $"o_custkey",
+        Tables.customer(spark, dir), $"c_custkey"))
+      .unionAll(edge("customer->nation", Tables.customer(spark, dir), $"c_nationkey",
+        Tables.nation(spark, dir), $"n_nationkey"))
+      .orderBy($"relation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_integrity_audit" -> q45IntegrityAudit _,
     "q44_rank_report" -> q44RankReport _,
     "q43_rate_anomaly" -> q43RateAnomaly _,
     "q42_zorder_layout" -> q42ZorderLayout _,
@@ -1257,6 +1292,47 @@ object EngineQueries {
     s"(((${bfA(j)} * ($k % 2147483647) + ${bfB(j)}) % 2147483647) % 8192)"
 
   val oracles: Map[String, String] = Map(
+    "q45_integrity_audit" ->
+      """SELECT 'lineitem->orders' AS relation,
+        |  (SELECT count(*) FROM lineitem) AS n_child,
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_orderkey IN (SELECT o_orderkey FROM orders)) AS n_matched,
+        |  (SELECT count(*) FROM lineitem)
+        |  - (SELECT count(*) FROM lineitem
+        |     WHERE l_orderkey IN (SELECT o_orderkey FROM orders)) AS n_orphans
+        |UNION ALL
+        |SELECT 'lineitem->part',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_partkey IN (SELECT p_partkey FROM part)),
+        |  (SELECT count(*) FROM lineitem)
+        |  - (SELECT count(*) FROM lineitem
+        |     WHERE l_partkey IN (SELECT p_partkey FROM part))
+        |UNION ALL
+        |SELECT 'lineitem->supplier',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_suppkey IN (SELECT s_suppkey FROM supplier)),
+        |  (SELECT count(*) FROM lineitem)
+        |  - (SELECT count(*) FROM lineitem
+        |     WHERE l_suppkey IN (SELECT s_suppkey FROM supplier))
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_custkey IN (SELECT c_custkey FROM customer)),
+        |  (SELECT count(*) FROM orders)
+        |  - (SELECT count(*) FROM orders
+        |     WHERE o_custkey IN (SELECT c_custkey FROM customer))
+        |UNION ALL
+        |SELECT 'customer->nation',
+        |  (SELECT count(*) FROM customer),
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_nationkey IN (SELECT n_nationkey FROM nation)),
+        |  (SELECT count(*) FROM customer)
+        |  - (SELECT count(*) FROM customer
+        |     WHERE c_nationkey IN (SELECT n_nationkey FROM nation))
+        |ORDER BY relation""".stripMargin,
     // same unique-keyed window order, so ntile buckets are
     // position-deterministic in both engines
     "q44_rank_report" ->
