@@ -380,6 +380,43 @@ object EventStream {
       .orderBy($"window_start", $"event_type")
   }
 
+  /** Streaming RATE-ANOMALY monitoring — the operational query a
+    * pipeline runs over its own bus, split the st8 way: the ENGINE
+    * maintains the incrementally-updatable watermarked hourly
+    * counts; the trailing-baseline judgment runs at the SINK each
+    * trigger (a RANGE-frame window over the counts is not
+    * incrementally maintainable under updates — same reason st8
+    * ranks in the sink). Batch mirror `q43_rate_anomaly` (the judge
+    * is literally q43's core applied to the materialized counts). */
+  def hourlyCounts(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("hour"), $"event_type", $"n")
+  }
+
+  /** The sink-side judge: q43's trailing-24h baseline over a counts
+    * frame (hour, event_type, n). */
+  def judgeAnomalies(counts: DataFrame, spikeFactor: Double = 3.0,
+                     minBaseline: Int = 12): DataFrame = {
+    import counts.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"event_type").orderBy($"m")
+      .rangeBetween(-86400L, -3600L)
+    counts
+      .withColumn("m", unix_timestamp($"hour"))
+      .withColumn("base_avg", avg($"n").over(w))
+      .withColumn("base_n", count($"n").over(w))
+      .select($"event_type", $"hour", $"n",
+        round(coalesce($"base_avg", lit(0.0)), 4).as("trailing_avg"),
+        $"base_n".as("baseline_hours"),
+        ($"base_n" >= minBaseline.toLong &&
+          $"n" > $"base_avg" * spikeFactor).as("is_spike"))
+      .orderBy($"event_type", $"hour")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st9_dedup_agg" -> st9DedupAgg _,
     "st8_trending" -> st8Trending _,

@@ -330,6 +330,38 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming anomaly monitor: engine counts, sink judges, spike flips") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def at(day: Int, hour: Int) = Timestamp.valueOf(
+      f"2024-01-${day}%02d $hour%02d:00:00")
+    val stream = MemoryStream[Ev]
+    val query = EventStream.hourlyCounts(stream.toDF())
+      .writeStream.format("memory").queryName("st10_mem")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // 26 quiet hours: 2 events each
+      stream.addData((0 until 26).flatMap { h =>
+        val (d, hh) = (1 + h / 24, h % 24)
+        Seq(Ev(at(d, hh), "ping", 1.0), Ev(at(d, hh), "ping", 1.0))
+      })
+      query.processAllAvailable()
+      val calm = EventStream.judgeAnomalies(spark.table("st10_mem"))
+        .collect()
+      assert(calm.forall(!_.getBoolean(5)), "no spike in the calm window")
+      // the next trigger delivers a 12-event burst in hour 26
+      stream.addData(Seq.fill(12)(Ev(at(2, 2), "ping", 1.0)))
+      query.processAllAvailable()
+      val judged = EventStream.judgeAnomalies(spark.table("st10_mem"))
+        .collect()
+      val spikes = judged.filter(_.getBoolean(5))
+      assert(spikes.length == 1 && spikes.head.getTimestamp(1) == at(2, 2),
+        s"expected one spike at day2 02:00, got ${spikes.toSeq}")
+    } finally query.stop()
+  }
+
   test("checkpointed ingest survives a restart exactly-once") {
     val sparkSession = spark
     import sparkSession.implicits._
