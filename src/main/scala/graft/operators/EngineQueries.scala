@@ -1238,7 +1238,51 @@ object EngineQueries {
       .orderBy($"relation")
   }
 
+  /** q46: CONVERSION-LATENCY cohort report — the composite the
+    * funnel (q13), enrichment (st5), and percentile (q15) pieces
+    * exist for: per customer segment, how long converting users take
+    * from first view to first purchase. One keyed aggregate computes
+    * each user's first-view/first-purchase timestamps (conditional
+    * min — no self-join, no ordered scan), converting users filter
+    * map-side, the customer dim broadcasts, and the per-segment
+    * percentiles are DISCRETE rank-selects (the latency at rank
+    * ceil(q·n) of the sorted group) with the target rank computed in
+    * INTEGER arithmetic ((n·9+9) div 10 ≡ ceil(0.9n)) — integer in,
+    * integer out, engine-stable by construction. Both float forms
+    * failed here first: interpolated percentiles blend repeating
+    * decimals whose final rounding digit sits on an ulp boundary,
+    * and even ceil(n*0.9) splits engines (a DECIMAL-typed 0.9 is
+    * exact where a double 0.9 is not). One keyed
+    * window (segment) carries both quantiles. */
+  def q46ConversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val firsts = Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(min(when($"event_type" === "view", $"ts")).as("first_view"),
+           min(when($"event_type" === "purchase", $"ts")).as("first_purchase"))
+      .filter($"first_view".isNotNull && $"first_purchase".isNotNull &&
+              $"first_purchase" >= $"first_view")
+      .select($"user_id",
+        (unix_timestamp($"first_purchase") - unix_timestamp($"first_view"))
+          .as("latency_s"))
+    val wOrd = Window.partitionBy($"c_mktsegment")
+      .orderBy($"latency_s", $"user_id")
+    val wAll = Window.partitionBy($"c_mktsegment")
+    firsts
+      .join(broadcast(Tables.customer(spark, dir)), $"user_id" === $"c_custkey")
+      .select($"c_mktsegment", $"latency_s", $"user_id")
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_converted"),
+           max(when($"rn" <= expr("(n + 1) div 2"), $"latency_s")).as("p50_latency_s"),
+           max(when($"rn" <= expr("(n * 9 + 9) div 10"), $"latency_s")).as("p90_latency_s"))
+      .orderBy($"c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_conversion_latency" -> q46ConversionLatency _,
     "q45_integrity_audit" -> q45IntegrityAudit _,
     "q44_rank_report" -> q44RankReport _,
     "q43_rate_anomaly" -> q43RateAnomaly _,
@@ -1292,6 +1336,39 @@ object EngineQueries {
     s"(((${bfA(j)} * ($k % 2147483647) + ${bfB(j)}) % 2147483647) % 8192)"
 
   val oracles: Map[String, String] = Map(
+    // same conditional-min firsts, same integer-second latencies,
+    // same discrete rank-select quantiles
+    "q46_conversion_latency" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view'
+        |        THEN CAST(ts AS TIMESTAMP) END) AS first_view,
+        |    min(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(ts AS TIMESTAMP) END) AS first_purchase
+        |  FROM events GROUP BY user_id),
+        |conv AS (
+        |  -- per-timestamp floor BEFORE subtracting: Spark's
+        |  -- unix_timestamp truncates each instant to seconds, and the
+        |  -- events carry microseconds
+        |  SELECT user_id,
+        |    CAST(floor(epoch(first_purchase)) AS BIGINT)
+        |      - CAST(floor(epoch(first_view)) AS BIGINT) AS latency_s
+        |  FROM f
+        |  WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        |    AND first_purchase >= first_view),
+        |ranked AS (
+        |  SELECT c_mktsegment, latency_s,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY latency_s, user_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n
+        |  FROM conv JOIN customer ON user_id = c_custkey)
+        |SELECT c_mktsegment,
+        |  count(*) AS n_converted,
+        |  max(CASE WHEN rn <= (n + 1) // 2 THEN latency_s END) AS p50_latency_s,
+        |  max(CASE WHEN rn <= (n * 9 + 9) // 10 THEN latency_s END) AS p90_latency_s
+        |FROM ranked
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "q45_integrity_audit" ->
       """SELECT 'lineitem->orders' AS relation,
         |  (SELECT count(*) FROM lineitem) AS n_child,
