@@ -521,6 +521,36 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** LSH TUNING: choose (bands, rowsPerBand) for a target Jaccard
+    * threshold — the knob-setting a 100 TB deployment does BEFORE
+    * launching a fleet-wide dedup (re-sketching a corpus because the
+    * S-curve was mis-centred is the expensive mistake). Candidate
+    * probability for similarity s under (b bands × r rows) is
+    * p(s) = 1 − (1 − s^r)^b; the error of a configuration is the
+    * false-positive mass below the threshold plus the false-negative
+    * mass above it (uniform integration — the standard MMDS
+    * criterion). Exhaustive over the divisor pairs of `perms`; used
+    * with d9/d12's measured calibration, not instead of it. */
+  def optimalBands(threshold: Double, perms: Int = 128): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0, s"threshold: $threshold")
+    val pairs = (1 to perms).filter(perms % _ == 0).map(b => (b, perms / b))
+    pairs.minBy { case (b, r) => sCurveError(threshold, b, r) }
+  }
+
+  /** The integrated S-curve error of one (bands, rows) setting. */
+  private[graft] def sCurveError(threshold: Double, b: Int, r: Int): Double = {
+    val n = 1000
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val s = (i + 0.5) / n
+      val p = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+      acc += (if (s < threshold) p else 1.0 - p) / n
+      i += 1
+    }
+    acc
+  }
+
   /** d13: cross-document duplicated-SPAN detection — the window-
     * granular form of the ExactSubstr pass (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"):

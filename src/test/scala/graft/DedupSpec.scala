@@ -225,6 +225,29 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("optimalBands minimizes the S-curve error and tracks the threshold") {
+    import graft.operators.Dedup
+    // the returned pair is the exhaustive argmin over divisor pairs
+    for (t <- Seq(0.2, 0.3, 0.5, 0.8)) {
+      val (b, r) = Dedup.optimalBands(t, 128)
+      assert(b * r == 128)
+      val best = Dedup.sCurveError(t, b, r)
+      (1 to 128).filter(128 % _ == 0).foreach { b2 =>
+        assert(best <= Dedup.sCurveError(t, b2, 128 / b2) + 1e-12)
+      }
+    }
+    // higher thresholds want MORE rows per band (a steeper, later
+    // S-curve): rows is monotone nondecreasing in the threshold
+    val rows = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
+      .map(t => Dedup.optimalBands(t, 128)._2)
+    assert(rows.zip(rows.tail).forall { case (a, c) => a <= c }, rows.toString)
+    // the S-curve midpoint (1/b)^(1/r) of the chosen setting lands
+    // near the requested threshold
+    val (b3, r3) = Dedup.optimalBands(0.3, 128)
+    val mid = math.pow(1.0 / b3, 1.0 / r3)
+    assert(math.abs(mid - 0.3) < 0.15, s"midpoint $mid for b=$b3 r=$r3")
+  }
+
   test("d11 containment flags a quoted subset that symmetric jaccard misses") {
     import spark.implicits._
     val small = (1 to 12).map(i => s"tok$i").mkString(" ")
