@@ -318,7 +318,38 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t15: per-source DATASET CARD — the datasheet rollup (Gebru et
+    * al.'s "Datasheets for Datasets" as a query) a corpus publishes
+    * next to its bytes: per source, document/token counts, mean
+    * quality, English share, and the exact-duplicate rate (1 −
+    * distinct digests / docs). ONE scan computes every per-doc
+    * signal (lang id, quality, tokens, md5) and one keyed aggregate
+    * folds them — countDistinct on 16-byte digests is the only
+    * distinct state, per source. The summary any ingestion run
+    * prints before anyone trains on the data. */
+  def t15DatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"source",
+        langId($"text").as("lang_id"),
+        quality($"text").as("quality"),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_tok"),
+        md5($"text").as("digest"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"n_tok").as("n_tokens"),
+           round(avg($"quality"), 4).as("mean_quality"),
+           round(avg(when($"lang_id" === "en", 1.0).otherwise(0.0)), 4)
+             .as("en_share"),
+           countDistinct($"digest").as("n_distinct"))
+      .select($"source", $"n_docs", $"n_tokens", $"mean_quality", $"en_share",
+        round(lit(1.0) - $"n_distinct".cast("double") / $"n_docs", 4)
+          .as("dup_rate"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_dataset_card" -> t15DatasetCard _,
     "t14_char_entropy" -> t14CharEntropy _,
     "t13_keyword_tfidf" -> t13KeywordTfidf _,
     "t12_readability" -> t12Readability _,
@@ -524,6 +555,34 @@ object TextAnalysis {
           | length(text) AS n_chars_calc
           |FROM documents
           |ORDER BY doc_id""".stripMargin,
+      // same one-scan signals, same per-source fold
+      "t15_dataset_card" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, source, text,
+           |$profileCols
+           |   ${zhColSql},
+           |$qualityColsSql
+           |  FROM documents),
+           |scored AS (
+           |  SELECT source,
+           |    CASE WHEN s_zh > 0 THEN 'zh'
+           |      $bestChain
+           |      ELSE 'unknown' END AS lang_id,
+           |    $qualityExprSql AS quality,
+           |    CAST(n_tok AS BIGINT) AS n_tok,
+           |    md5(text) AS digest
+           |  FROM base)
+           |SELECT source,
+           |  count(*) AS n_docs,
+           |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           |  round(avg(quality), 4) AS mean_quality,
+           |  round(avg(CASE WHEN lang_id = 'en' THEN 1.0 ELSE 0.0 END), 4)
+           |    AS en_share,
+           |  round(1.0 - CAST(count(DISTINCT digest) AS DOUBLE) / count(*), 4)
+           |    AS dup_rate
+           |FROM scored
+           |GROUP BY source
+           |ORDER BY source""".stripMargin,
       "t5_corpus_mix" ->
         s"""WITH base AS (
            |  SELECT doc_id, source, text,
