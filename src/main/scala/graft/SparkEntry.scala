@@ -10,6 +10,7 @@ object SparkEntry {
       (operators.EngineQueries.queries, operators.EngineQueries.oracles),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),
       (operators.CorpusFilters.queries, operators.CorpusFilters.oracles),
+      (operators.QualityModel.queries, operators.QualityModel.oracles),
       (operators.Dedup.queries, operators.Dedup.oracles),
       (operators.Knn.queries, operators.Knn.oracles),
       (operators.ChunkQueries.queries, operators.ChunkQueries.oracles),
