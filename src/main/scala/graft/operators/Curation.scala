@@ -298,7 +298,73 @@ object Curation {
       .orderBy($"shard", $"pos")
   }
 
+  /** Hash buckets for p13's importance-weight features. */
+  val DsirBuckets = 64
+
+  /** p13: DSIR importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling") — score every
+    * document by how target-like its hashed-unigram distribution is:
+    * weight(d) = Σ_j c_dj · (ln p_target[j] − ln p_raw[j]) with
+    * add-one smoothing over B=64 token-hash buckets. Target here is
+    * the English slice (standing in for the high-quality seed corpus
+    * a production run supplies); raw is the whole corpus. kept =
+    * weight > 0 (more target-like than raw-like), the deterministic
+    * selection rule (published DSIR adds Gumbel noise for sampling
+    * without replacement; a seeded variant slots in the same place).
+    *
+    * Scale shape: ONE codegen scan builds each doc's bucket-count
+    * array in-row (no token explode crosses a shuffle); bucket
+    * totals are a 64-row positional aggregate (map-side partial);
+    * the 64 pre-rounded log-ratios collect to the driver and
+    * re-broadcast as a literal — the kmeansFit loop shape — so
+    * scoring is a zero-join, map-only fold. The only floats are the
+    * 64 λ values (rounded to 9dp before any multiplication — the t10
+    * pre-rounded-surprisal rule, since ln is not correctly-rounded)
+    * and the per-doc fold, which runs in fixed bucket order with
+    * IEEE-exact ops, so the oracle replays it bit for bit. */
+  def p13Dsir(spark: SparkSession, dir: String): DataFrame =
+    dsirOf(Tables.documents(spark, dir), col("lang") === "en")
+
+  /** The p13 core: importance weights for `docs` against the target
+    * slice selected by `isTarget`. */
+  def dsirOf(docs: DataFrame, isTarget: org.apache.spark.sql.Column): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val B = DsirBuckets
+    val counted = graft.Caches.persist(docs
+      .select($"doc_id", isTarget.as("is_target"),
+        transform(sequence(lit(0), lit(B - 1)), j =>
+          size(filter(
+            call_function("poly_hash_all",
+              expr("regexp_extract_all(lower(text), '\\\\S+', 0)")),
+            h => pmod(h, lit(B)) === j)).cast("long")).as("c")))
+    // bucket totals: positional sums over target and raw (64 rows)
+    val totals = counted
+      .select($"is_target", posexplode($"c"))
+      .groupBy($"pos")
+      .agg(sum(when($"is_target", $"col").otherwise(0L)).as("ct"),
+           sum($"col").as("cr"))
+      .orderBy($"pos")
+      .as[(Int, Long, Long)].collect()
+    val grandT = totals.map(_._2).sum.toDouble
+    val grandR = totals.map(_._3).sum.toDouble
+    def r9(v: Double): Double =
+      BigDecimal.valueOf(v).setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lambda: Seq[Double] = totals.map { case (_, ct, cr) =>
+      r9(math.log((ct + 1.0) / (grandT + B)) - math.log((cr + 1.0) / (grandR + B)))
+    }.toSeq
+    counted
+      .select($"doc_id", $"is_target",
+        round(aggregate(sequence(lit(1), lit(B)), lit(0.0), (acc, j) =>
+          acc + element_at($"c", j).cast("double") *
+                element_at(typedLit(lambda), j)), 6).as("weight"))
+      .withColumn("kept", $"weight" > 0.0)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p13_dsir" -> p13Dsir _,
     "p11_global_shuffle" -> ((s, d) => p11GlobalShuffle(s, d)),
     "p10_epoch_upsample" -> p10EpochUpsample _,
     "p2_decontaminate" -> p2Decontaminate _,
@@ -316,6 +382,46 @@ object Curation {
       |      (a, c) -> (a*31 + c) % 1000000007)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same buckets, same add-one smoothing, same 9dp-pre-rounded
+    // log-ratios, same fixed-bucket-order fold
+    "p13_dsir" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, (lang = 'en') AS is_target,
+         |    list_transform(regexp_extract_all(lower(text), '\\S+'),
+         |      t -> $polyFoldSql) AS hs
+         |  FROM documents),
+         |tkx AS (SELECT doc_id, unnest(hs) % $DsirBuckets AS j FROM tk),
+         |cnt AS (SELECT doc_id, j, count(*) AS c FROM tkx GROUP BY doc_id, j),
+         |grid AS (
+         |  SELECT tk.doc_id, tk.is_target, g.j
+         |  FROM tk, LATERAL unnest(generate_series(0, ${DsirBuckets - 1})) AS g(j)),
+         |dense AS (
+         |  SELECT grid.doc_id, grid.is_target, grid.j,
+         |    CAST(coalesce(cnt.c, 0) AS BIGINT) AS c
+         |  FROM grid LEFT JOIN cnt
+         |    ON grid.doc_id = cnt.doc_id AND grid.j = cnt.j),
+         |tot AS (
+         |  SELECT j,
+         |    CAST(sum(CASE WHEN is_target THEN c ELSE 0 END) AS BIGINT) AS ct,
+         |    CAST(sum(c) AS BIGINT) AS cr
+         |  FROM dense GROUP BY j),
+         |grand AS (
+         |  SELECT CAST(sum(ct) AS DOUBLE) AS gt,
+         |         CAST(sum(cr) AS DOUBLE) AS gr FROM tot),
+         |lamj AS (
+         |  SELECT j,
+         |    round(ln((ct + 1.0)/(gt + $DsirBuckets.0))
+         |        - ln((cr + 1.0)/(gr + $DsirBuckets.0)), 9) AS l
+         |  FROM tot, grand),
+         |w AS (
+         |  SELECT doc_id, any_value(is_target) AS is_target,
+         |    round(list_reduce(list_prepend(0.0,
+         |      list(CAST(c AS DOUBLE) * l ORDER BY j)), (a, b) -> a + b), 6)
+         |      AS weight
+         |  FROM dense JOIN lamj USING (j)
+         |  GROUP BY doc_id)
+         |SELECT doc_id, is_target, weight, (weight > 0.0) AS kept
+         |FROM w ORDER BY doc_id""".stripMargin,
     // same hash, same shard/sub split, same within-shard order
     "p11_global_shuffle" ->
       s"""WITH h AS (SELECT doc_id, text AS t FROM documents),

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Curation
+import org.apache.spark.sql.functions.col
 
 class CurationSpec extends SparkSpec {
 
@@ -118,5 +119,32 @@ class CurationSpec extends SparkSpec {
     val sh = Curation.globalShuffleOf(copies, nShards = 8).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(1L) == sh(2L))
+  }
+
+  test("p13 DSIR weights rank target-vocabulary docs above off-target docs") {
+    import spark.implicits._
+    // target slice (is_target) speaks vocab A; the raw remainder
+    // speaks vocab B; two held-out probes (not in the target slice)
+    // speak pure A and pure B respectively
+    val vocabA = "alpha beta gamma delta epsilon zeta"
+    val vocabB = "zork quux fnord blarg wibble grue"
+    val docs = (
+      (0 until 20).map(i => (i.toLong, s"$vocabA $i", true)) ++
+      (20 until 40).map(i => (i.toLong, s"$vocabB $i", false)) ++
+      Seq((100L, vocabA, false), (101L, vocabB, false))
+    ).toDF("doc_id", "text", "tgt")
+    val out = Curation.dsirOf(docs, col("tgt"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    // pure-A probe scores positive (kept), pure-B probe negative
+    assert(out(100L)._1 > 0 && out(100L)._2)
+    assert(out(101L)._1 < 0 && !out(101L)._2)
+    // every target doc outweighs every vocab-B doc
+    val minTgt = (0L until 20L).map(out(_)._1).min
+    val maxOff = (20L until 40L).map(out(_)._1).max
+    assert(minTgt > maxOff)
+    // determinism across physical layouts
+    val re = Curation.dsirOf(docs.repartition(7), col("tgt"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(re == out)
   }
 }
