@@ -1281,7 +1281,33 @@ object EngineQueries {
       .orderBy($"c_mktsegment")
   }
 
+  /** q47: SCD2 dimension build — turn a change log into
+    * slowly-changing-dimension TYPE-2 history rows: per entity, each
+    * run of an unchanged attribute becomes one versioned interval
+    * [valid_from, valid_to), open-ended (is_current) on the latest.
+    * The standard warehouse backfill every CDC feed (c18's change
+    * detection) lands into. Change collapse is a keyed lag-filter,
+    * interval close a keyed lead — both windows share the one
+    * user_id exchange and its sort (no second shuffle), so at 100 TB
+    * the cost is exactly one keyed exchange of the change log.
+    * Deterministic: the window order (ts, event_id) is unique. */
+  def q47Scd2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("attr"))
+      .withColumn("prev_attr", lag($"attr", 1).over(w))
+      .filter($"prev_attr".isNull || $"attr" =!= $"prev_attr")
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead($"ts", 1).over(w))
+      .select($"user_id", $"version", $"attr", $"ts".as("valid_from"),
+        $"valid_to", $"valid_to".isNull.as("is_current"))
+      .orderBy($"user_id", $"version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_scd2" -> q47Scd2 _,
     "q46_conversion_latency" -> q46ConversionLatency _,
     "q45_integrity_audit" -> q45IntegrityAudit _,
     "q44_rank_report" -> q44RankReport _,
@@ -1336,6 +1362,23 @@ object EngineQueries {
     s"(((${bfA(j)} * ($k % 2147483647) + ${bfB(j)}) % 2147483647) % 8192)"
 
   val oracles: Map[String, String] = Map(
+    // same unique window order, same lag-collapse, same lead-close
+    "q47_scd2" ->
+      """WITH ch AS (
+        |  SELECT user_id, ts, event_id, attr FROM (
+        |    SELECT user_id, ts, event_id, event_type AS attr,
+        |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |        AS prev_attr
+        |    FROM events)
+        |  WHERE prev_attr IS NULL OR attr <> prev_attr)
+        |SELECT user_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  attr, ts AS valid_from,
+        |  lead(ts) OVER w AS valid_to,
+        |  (lead(ts) OVER w IS NULL) AS is_current
+        |FROM ch
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
     // same conditional-min firsts, same integer-second latencies,
     // same discrete rank-select quantiles
     "q46_conversion_latency" ->

@@ -189,4 +189,24 @@ class EngineQueriesSpec extends SparkSpec {
     assert(nTrue > 0, "EUROPE suppliers must match some lineitems")
     Caches.releaseAll()
   }
+
+  test("q47 SCD2 intervals tile each entity's history exactly") {
+    val rows = EngineQueries.q47Scd2(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, hist) =>
+      val ordered = hist.sortBy(_.getLong(1))
+      // versions are dense from 1
+      assert(ordered.map(_.getLong(1)).toSeq == (1L to ordered.length))
+      // exactly one open (current) interval, and it is the last
+      assert(ordered.count(_.getBoolean(5)) == 1 && ordered.last.getBoolean(5))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          // contiguous: each interval closes where the next opens
+          assert(a.getTimestamp(4) == b.getTimestamp(3))
+          // collapsed: consecutive versions differ in the attribute
+          assert(a.getString(2) != b.getString(2))
+        case _ =>
+      }
+    }
+  }
 }
