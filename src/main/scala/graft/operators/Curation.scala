@@ -298,6 +298,35 @@ object Curation {
       .orderBy($"shard", $"pos")
   }
 
+  /** p14: packing-efficiency REPORT — the audit a pipeline runs after
+    * p8's no-split packing to decide whether the cap/layout is
+    * wasting budget: per source, bin count, document count, oversize
+    * bins, total tokens, wasted capacity in closed non-oversize bins,
+    * and the overall fill rate. Two keyed aggregates on top of the
+    * p8 layout (per-bin, then per-source) — the packing pass itself
+    * dominates; the report adds no extra scan of the corpus. Only
+    * integer outputs plus one single-division rounded ratio, so the
+    * oracle (p8's recursive-CTE replay + the same two aggregates)
+    * hash-matches exactly. */
+  def p14PackReport(spark: SparkSession, dir: String,
+                    cap: Long = 1024L): DataFrame = {
+    import spark.implicits._
+    p8PackBins(spark, dir, cap)
+      .groupBy($"source", $"bin_id")
+      .agg(sum($"n_tokens").as("fill"), count(lit(1)).as("docs"),
+           max($"oversize").as("over"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_bins"),
+           sum($"docs").as("n_docs"),
+           sum(when($"over", 1L).otherwise(0L)).as("n_oversize_bins"),
+           sum($"fill").as("total_tokens"),
+           sum(when(!$"over", lit(cap) - $"fill").otherwise(0L)).as("waste_tokens"))
+      .withColumn("fill_rate",
+        round($"total_tokens".cast("double") /
+              ($"n_bins" * lit(cap)).cast("double"), 6))
+      .orderBy($"source")
+  }
+
   /** Hash buckets for p13's importance-weight features. */
   val DsirBuckets = 64
 
@@ -364,6 +393,7 @@ object Curation {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p14_pack_report" -> ((s, d) => p14PackReport(s, d)),
     "p13_dsir" -> p13Dsir _,
     "p11_global_shuffle" -> ((s, d) => p11GlobalShuffle(s, d)),
     "p10_epoch_upsample" -> p10EpochUpsample _,
@@ -380,6 +410,36 @@ object Curation {
       |      list_transform(generate_series(1, length(t)),
       |        i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
       |      (a, c) -> (a*31 + c) % 1000000007)""".stripMargin
+
+  /** p8's bin layout as a reusable CTE prefix (`WITH RECURSIVE ...
+    * packed`): the greedy next-fit recurrence stepped rank-by-rank
+    * per source. Composed by the p8 and p14 oracles. */
+  private lazy val packBinsCteSql =
+    s"""WITH RECURSIVE h AS (SELECT doc_id, source, text AS t FROM documents),
+       |d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_extract_all(t, '\\S+')) AS BIGINT) AS n_tokens,
+       |    ($polyFoldSql) AS h
+       |  FROM h),
+       |o AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+       |         AS BIGINT) AS rn
+       |  FROM d),
+       |packed AS (
+       |  SELECT source, doc_id, n_tokens, rn,
+       |    CAST(0 AS BIGINT) AS bin_id, CAST(0 AS BIGINT) AS bin_off,
+       |    n_tokens AS fill
+       |  FROM o WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.source, o.doc_id, o.n_tokens, o.rn,
+       |    CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > 1024
+       |         THEN p.bin_id + 1 ELSE p.bin_id END,
+       |    CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > 1024
+       |         THEN CAST(0 AS BIGINT) ELSE p.fill END,
+       |    CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > 1024
+       |         THEN o.n_tokens ELSE p.fill + o.n_tokens END
+       |  FROM packed p JOIN o ON o.source = p.source AND o.rn = p.rn + 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // same buckets, same add-one smoothing, same 9dp-pre-rounded
@@ -456,34 +516,29 @@ object Curation {
          |    AS crosses_seq
          |FROM o
          |ORDER BY source, start_off, doc_id""".stripMargin,
+    // the same two aggregates over p8's recursive-CTE bin replay
+    "p14_pack_report" ->
+      s"""$packBinsCteSql,
+         |bins AS (
+         |  SELECT source, bin_id,
+         |    CAST(sum(n_tokens) AS BIGINT) AS fill,
+         |    CAST(count(*) AS BIGINT) AS docs,
+         |    max(n_tokens > 1024) AS ovr
+         |  FROM packed GROUP BY source, bin_id)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_bins,
+         |  CAST(sum(docs) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN ovr THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize_bins,
+         |  CAST(sum(fill) AS BIGINT) AS total_tokens,
+         |  CAST(sum(CASE WHEN NOT ovr THEN 1024 - fill ELSE 0 END) AS BIGINT)
+         |    AS waste_tokens,
+         |  round(CAST(sum(fill) AS DOUBLE) / CAST(count(*) * 1024 AS DOUBLE), 6)
+         |    AS fill_rate
+         |FROM bins GROUP BY source ORDER BY source""".stripMargin,
     // the same greedy next-fit recurrence, stepped rank-by-rank per
     // source: an item that no longer fits closes the bin
     "p8_pack_bins" ->
-      s"""WITH RECURSIVE h AS (SELECT doc_id, source, text AS t FROM documents),
-         |d AS (
-         |  SELECT doc_id, source,
-         |    CAST(len(regexp_extract_all(t, '\\S+')) AS BIGINT) AS n_tokens,
-         |    ($polyFoldSql) AS h
-         |  FROM h),
-         |o AS (
-         |  SELECT doc_id, source, n_tokens,
-         |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
-         |         AS BIGINT) AS rn
-         |  FROM d),
-         |packed AS (
-         |  SELECT source, doc_id, n_tokens, rn,
-         |    CAST(0 AS BIGINT) AS bin_id, CAST(0 AS BIGINT) AS bin_off,
-         |    n_tokens AS fill
-         |  FROM o WHERE rn = 1
-         |  UNION ALL
-         |  SELECT o.source, o.doc_id, o.n_tokens, o.rn,
-         |    CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > 1024
-         |         THEN p.bin_id + 1 ELSE p.bin_id END,
-         |    CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > 1024
-         |         THEN CAST(0 AS BIGINT) ELSE p.fill END,
-         |    CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > 1024
-         |         THEN o.n_tokens ELSE p.fill + o.n_tokens END
-         |  FROM packed p JOIN o ON o.source = p.source AND o.rn = p.rn + 1)
+      s"""$packBinsCteSql
          |SELECT source, doc_id, n_tokens,
          |  CAST(bin_id AS BIGINT) AS bin_id,
          |  CAST(bin_off AS BIGINT) AS bin_off,

@@ -133,4 +133,29 @@ class PackingSpec extends SparkSpec {
     val viaQuery = Curation.p8PackBins(spark, sfDir, 1024L).collect().toSeq
     assert(viaFacade === viaQuery)
   }
+
+  test("p14 pack report is consistent with the p8 layout it audits") {
+    val packed = Curation.p8PackBins(spark, sfDir, 1024L).collect()
+    val report = Curation.p14PackReport(spark, sfDir, 1024L).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+         r.getDouble(6))).toMap
+    val bySource = packed.groupBy(_.getString(0))
+    assert(report.keySet == bySource.keySet)
+    bySource.foreach { case (src, rows) =>
+      val (nBins, nDocs, nOver, total, waste, rate) = report(src)
+      assert(nBins == rows.map(_.getLong(3)).distinct.length)
+      assert(nDocs == rows.length)
+      assert(nOver == rows.count(_.getBoolean(5)))
+      assert(total == rows.map(_.getLong(2)).sum)
+      // waste only counts closed non-oversize bins, each under cap
+      val binWaste = rows.groupBy(_.getLong(3)).values.collect {
+        case bin if !bin.exists(_.getBoolean(5)) =>
+          1024L - bin.map(_.getLong(2)).sum
+      }
+      assert(binWaste.forall(w => w >= 0 && w < 1024))
+      assert(waste == binWaste.sum)
+      assert(rate > 0.0 && math.abs(rate - total.toDouble / (nBins * 1024L)) < 1e-6)
+    }
+  }
 }
