@@ -673,7 +673,114 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** m10: TIFF/EXIF-style IFD walk — the one container family whose
+    * byte order is DECLARED IN THE FILE ("II" little-endian vs "MM"
+    * big-endian), so the parser must pick its decoder per row. The
+    * synth emits a minimal spec-conformant TIFF per document — II for
+    * even ids, MM for odd (both orders exercised in one corpus),
+    * header (order, magic 42, IFD offset), one IFD with 3-4
+    * tag-sorted entries (ImageWidth/ImageLength as LONG, Compression
+    * as SHORT, Orientation as SHORT on every third doc — variable
+    * entry count drives the walk), SHORT values left-justified in
+    * the 4-byte slot per spec. The parse is a bounded-slot codegen
+    * byte walk (no UDF): endian selected by a flag column, each tag
+    * extracted with a coalesce over slots. Oracle recomputes expected
+    * fields from the synth rules (first principles, no SQL byte
+    * parsing) — so a parser that mis-walks either byte order
+    * hash-mismatches. */
+  def m10TiffMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val le = pmod($"doc_id", lit(2)) === 0
+    val width = lit(16L) + pmod($"doc_id", lit(240))
+    val height = lit(16L) + pmod($"doc_id", lit(180))
+    val orient = lit(1L) + pmod($"doc_id", lit(8))
+    val hasOrient = pmod($"doc_id", lit(3)) === 0
+    val nEntries = when(hasOrient, 4L).otherwise(3L)
+    def h8(v: Column): Column = lpad(hex(v.bitwiseAND(lit(255L))), 2, "0")
+    def build(little: Boolean): Column = {
+      def u16(v: Column): Column =
+        if (little) concat(h8(v), h8(shiftright(v, 8)))
+        else concat(h8(shiftright(v, 8)), h8(v))
+      def u32(v: Column): Column =
+        if (little) concat(u16(v.bitwiseAND(lit(65535L))), u16(shiftright(v, 16)))
+        else concat(u16(shiftright(v, 16)), u16(v.bitwiseAND(lit(65535L))))
+      def entry(tag: Long, typ: Long, valueHex: Column): Column =
+        concat(u16(lit(tag)), u16(lit(typ)), u32(lit(1L)), valueHex)
+      concat(
+        lit(if (little) "4949" else "4D4D"),
+        u16(lit(42L)),
+        u32(lit(8L)),
+        u16(nEntries),
+        entry(256L, 4L, u32(width)),
+        entry(257L, 4L, u32(height)),
+        entry(259L, 3L, concat(u16(lit(1L)), lit("0000"))),
+        when(hasOrient, entry(274L, 3L, concat(u16(orient), lit("0000"))))
+          .otherwise(lit("")),
+        u32(lit(0L)))
+    }
+    val blobs = Tables.documents(spark, dir)
+      .select($"doc_id",
+        unhex(when(le, build(little = true)).otherwise(build(little = false)))
+          .as("payload"))
+    parseTiff(blobs).orderBy($"doc_id")
+  }
+
+  /** The endian-aware IFD parser over any (doc_id, payload binary)
+    * frame: bounded-slot walk (maxEntries), all codegen byte
+    * arithmetic. */
+  def parseTiff(blobs: DataFrame, maxEntries: Int = 6): DataFrame = {
+    import blobs.sparkSession.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(blobs.sparkSession)
+    def byteAt(off: Column): Column =
+      when(off >= 1L && off <= $"_len", call_function("byte_at", $"payload", off))
+    def le16(off: Column): Column = byteAt(off) + byteAt(off + 1L) * 256L
+    def be16(off: Column): Column = byteAt(off) * 256L + byteAt(off + 1L)
+    def le32(off: Column): Column =
+      ((byteAt(off + 3L) * 256L + byteAt(off + 2L)) * 256L
+        + byteAt(off + 1L)) * 256L + byteAt(off)
+    def be32(off: Column): Column =
+      ((byteAt(off) * 256L + byteAt(off + 1L)) * 256L
+        + byteAt(off + 2L)) * 256L + byteAt(off + 3L)
+    def u16(off: Column): Column = when($"_le", le16(off)).otherwise(be16(off))
+    def u32(off: Column): Column = when($"_le", le32(off)).otherwise(be32(off))
+    var walked = blobs
+      .withColumn("_len", octet_length($"payload").cast("long"))
+      .withColumn("_le",
+        coalesce(byteAt(lit(1L)) === 0x49L && byteAt(lit(2L)) === 0x49L,
+          lit(false)))
+      .withColumn("_be",
+        coalesce(byteAt(lit(1L)) === 0x4DL && byteAt(lit(2L)) === 0x4DL,
+          lit(false)))
+      .withColumn("_istiff", coalesce(
+        ($"_le" || $"_be") && u16(lit(3L)) === 42L &&
+          u32(lit(5L)) + 2L <= $"_len", lit(false)))
+      .withColumn("_ifd", when($"_istiff", u32(lit(5L)) + 1L))
+      .withColumn("_n", when($"_istiff", u16($"_ifd")))
+    for (i <- 0 until maxEntries) {
+      val off = $"_ifd" + lit(2L) + lit(i * 12L)
+      val inIfd = $"_istiff" && lit(i.toLong) < $"_n" && off + 11L <= $"_len"
+      walked = walked
+        .withColumn(s"_tag$i", when(inIfd, u16(off)))
+        .withColumn(s"_val$i", when(inIfd,
+          // SHORT (3) is left-justified in the 4-byte slot; LONG (4)
+          // fills it
+          when(u16(off + 2L) === 3L, u16(off + 8L)).otherwise(u32(off + 8L))))
+    }
+    def tagValue(tag: Long): Column = coalesce(
+      (0 until maxEntries).map(i =>
+        when(col(s"_tag$i") === tag, col(s"_val$i"))): _*)
+    walked.select($"doc_id",
+        $"_istiff".as("is_tiff"),
+        when($"_istiff", when($"_le", "II").otherwise("MM")).as("byte_order"),
+        when($"_istiff", $"_n").as("n_entries"),
+        tagValue(256L).as("width"),
+        tagValue(257L).as("height"),
+        tagValue(259L).as("compression"),
+        tagValue(274L).as("orientation"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m10_tiff_meta" -> m10TiffMeta _,
     "m9_zip_meta" -> m9ZipMeta _,
     "m1_binary_meta" -> m1BinaryMeta _,
     "m2_frame_sample" -> m2FrameSample _,
@@ -685,6 +792,19 @@ object Multimodal {
     "m8_tar_meta" -> m8TarMeta _)
 
   val oracles: Map[String, String] = Map(
+    // first-principles recompute from the synth rules — byte order,
+    // entry count, and tag values straight from the id arithmetic
+    "m10_tiff_meta" ->
+      """SELECT doc_id, true AS is_tiff,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END AS BIGINT) AS n_entries,
+        |  CAST(16 + doc_id % 240 AS BIGINT) AS width,
+        |  CAST(16 + doc_id % 180 AS BIGINT) AS height,
+        |  CAST(1 AS BIGINT) AS compression,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 8 END AS BIGINT)
+        |    AS orientation
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     // first-principles recompute of the directory layout: offsets
     // and sizes rebuilt from the synth's header arithmetic
     "m9_zip_meta" ->

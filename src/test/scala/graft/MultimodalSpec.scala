@@ -216,4 +216,69 @@ class MultimodalSpec extends SparkSpec {
     val e = Multimodal.parseZipEntries(empty).collect().head
     assert(!e.getBoolean(1))
   }
+
+  test("m10 TIFF walk agrees with an independent ByteBuffer reference parser") {
+    import spark.implicits._
+    import java.nio.{ByteBuffer, ByteOrder}
+    // reference IFD parser built on java.nio's endian machinery —
+    // structurally independent of the operator's column arithmetic
+    def refParse(b: Array[Byte]): (String, Int, Map[Int, Long]) = {
+      val order = new String(b.take(2), "US-ASCII")
+      val bb = ByteBuffer.wrap(b).order(
+        if (order == "II") ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+      assert((bb.getShort(2) & 0xffff) == 42)
+      val ifd = bb.getInt(4)
+      val n = bb.getShort(ifd) & 0xffff
+      val tags = (0 until n).map { i =>
+        val off = ifd + 2 + i * 12
+        val tag = bb.getShort(off) & 0xffff
+        val typ = bb.getShort(off + 2) & 0xffff
+        val v = if (typ == 3) (bb.getShort(off + 8) & 0xffff).toLong
+                else bb.getInt(off + 8).toLong
+        tag -> v
+      }.toMap
+      (order, n, tags)
+    }
+    val parsed = Multimodal.m10TiffMeta(spark, sfDir).collect()
+    // rebuild each payload with java.nio (synth depends only on
+    // doc_id), reference-parse it, and compare to the operator row
+    def buildRef(id: Long): Array[Byte] = {
+      val little = id % 2 == 0
+      val bb = ByteBuffer.allocate(128).order(
+        if (little) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+      bb.put(if (little) "II".getBytes else "MM".getBytes)
+      bb.putShort(42.toShort)
+      bb.putInt(8)
+      val hasOrient = id % 3 == 0
+      bb.putShort(if (hasOrient) 4.toShort else 3.toShort)
+      def entry(tag: Int, typ: Int, value: Long): Unit = {
+        bb.putShort(tag.toShort); bb.putShort(typ.toShort); bb.putInt(1)
+        if (typ == 3) { bb.putShort(value.toShort); bb.putShort(0) }
+        else bb.putInt(value.toInt)
+      }
+      entry(256, 4, 16 + id % 240)
+      entry(257, 4, 16 + id % 180)
+      entry(259, 3, 1)
+      if (hasOrient) entry(274, 3, 1 + id % 8)
+      bb.putInt(0)
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    val rowsById = parsed.map(r => r.getLong(0) -> r).toMap
+    rowsById.keys.toSeq.sorted.take(50).foreach { id =>
+      val (order, n, tags) = refParse(buildRef(id))
+      val r = rowsById(id)
+      assert(r.getBoolean(1))
+      assert(r.getString(2) == order)
+      assert(r.getLong(3) == n)
+      assert(r.getLong(4) == tags(256))
+      assert(r.getLong(5) == tags(257))
+      assert(r.getLong(6) == tags(259))
+      if (tags.contains(274)) assert(r.getLong(7) == tags(274))
+      else assert(r.isNullAt(7))
+    }
+    // non-TIFF payload degrades to nulls, not errors
+    val junk = Seq((9L, "not a tiff at all".getBytes)).toDF("doc_id", "payload")
+    val j = Multimodal.parseTiff(junk).collect().head
+    assert(!j.getBoolean(1) && j.isNullAt(2) && j.isNullAt(4))
+  }
 }
