@@ -131,6 +131,49 @@ object ChunkStore {
       .parquet(path)
   }
 
+  /** Z-ORDER clustered write — the OPTIMIZE ZORDER BY of the
+    * lakehouse engines, for the store's two-predicate scans (e.g.
+    * doc_id ranges × chunkIndex, or createdAt × source hash): each
+    * row's two cluster columns are scaled to 16-bit cells and
+    * interleaved into a Morton key (q42's codegen kernel); a RANGE
+    * repartition on that key then makes every output file a
+    * contiguous z-range, so per-file min/max stats stay tight on
+    * BOTH dimensions at once and either predicate prunes files —
+    * a single-column sort gives tight stats on one dimension and
+    * useless stats on the other.
+    *
+    * Cell scaling here is linear over the observed [min, max] (one
+    * cheap aggregate, broadcast as literals — fine for the
+    * roughly-uniform keys a store's ids and timestamps are);
+    * production layouts on heavily skewed columns swap in sampled
+    * quantile boundaries at the same seam. Cost shape: one scan for
+    * the bounds, one range exchange (the same price as any sorted
+    * write), no extra pass. */
+  def writeZordered(df: DataFrame, path: String,
+                    colA: String, colB: String,
+                    targetFiles: Int = 16): Unit = {
+    import org.apache.spark.sql.functions.{col, floor, lit, when}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val Array(loA, hiA, loB, hiB) = df.agg(
+        org.apache.spark.sql.functions.min(col(colA)).cast("double"),
+        org.apache.spark.sql.functions.max(col(colA)).cast("double"),
+        org.apache.spark.sql.functions.min(col(colB)).cast("double"),
+        org.apache.spark.sql.functions.max(col(colB)).cast("double"))
+      .head.toSeq.map(v => v.asInstanceOf[Double]).toArray
+    def cell(c: String, lo: Double, hi: Double) =
+      if (hi <= lo) lit(0L)
+      else floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * 65535.0)
+        .cast("long")
+    val z = graft.operators.EngineQueries.mortonKey(
+      cell(colA, loA, hiA), cell(colB, loB, hiB))
+    df.withColumn("_z", z)
+      .repartitionByRange(targetFiles, $"_z")
+      .sortWithinPartitions($"_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Drop one source partition — DeleteChunksBySourceID as a metadata
     * operation (no rewrite of surviving data). Goes through the
     * Hadoop FileSystem API, so the same call works on local disk,

@@ -147,4 +147,38 @@ class ChunkStoreSpec extends SparkSpec {
     val eng = new GraftEngine(spark, Tables.documents(spark, sfDir), loaded)
     assert(eng.runSearch("data").length <= 25)
   }
+
+  test("z-ordered write keeps per-file ranges tight on BOTH dimensions") {
+    val zPath = Files.createTempDirectory("graft-z").toString + "/li"
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey")
+    ChunkStore.writeZordered(li, zPath, "l_partkey", "l_suppkey",
+      targetFiles = 8)
+    def spread(df: org.apache.spark.sql.DataFrame, c: String): Double = {
+      val perFile = df
+        .withColumn("f", input_file_name())
+        .groupBy($"f")
+        .agg((max(col(c)) - min(col(c))).cast("double").as("w"))
+        .agg(avg($"w")).head.getDouble(0)
+      val global = df.agg((max(col(c)) - min(col(c))).cast("double"))
+        .head.getDouble(0)
+      perFile / global
+    }
+    val z = spark.read.parquet(zPath)
+    assert(z.count() == li.count())
+    // both dimensions cluster: average per-file width well under the
+    // global width (a single-column sort would leave the OTHER
+    // column's per-file width ~ the full range)
+    val sa = spread(z, "l_partkey")
+    val sb = spread(z, "l_suppkey")
+    assert(sa < 0.6, s"l_partkey per-file spread $sa")
+    assert(sb < 0.6, s"l_suppkey per-file spread $sb")
+    // baseline: the same data written unclustered has ~full-range
+    // files on both dimensions
+    val basePath = Files.createTempDirectory("graft-z0").toString + "/li"
+    li.repartition(8).write.mode("overwrite").parquet(basePath)
+    val base = spark.read.parquet(basePath)
+    assert(spread(base, "l_partkey") > 0.9)
+    assert(spread(base, "l_suppkey") > 0.9)
+  }
 }
