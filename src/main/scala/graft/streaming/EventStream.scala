@@ -343,6 +343,89 @@ object EventStream {
       .filter($"rnk" <= k)
   }
 
+  /** CMS hash family for the sketch-trending state (same
+    * multiplicative family as q27's batch sketch; deterministic
+    * constants, so streaming cells and the oracle replay agree). */
+  private val (csA, csB) = graft.functions.HashFunctions.permConstants(4)
+  private[graft] val SketchDepth = 4
+  private[graft] val SketchWidth = 4096L
+
+  /** st10: windowed COUNT-MIN SKETCH state — trending with state
+    * bounded by the sketch, not the key cardinality. st8's exact
+    * counts keep one state row per (window, key): correct, but a
+    * high-cardinality key (url, user) makes streaming state grow
+    * with the corpus. The CMS is the standard fix: each event
+    * increments d=4 hashed cells, the engine maintains only
+    * (window, j, bucket) counts — at most d·w rows per window no
+    * matter how many distinct keys — and the sketch is LINEAR, so
+    * partial (map-side) aggregation and cross-shard merges are plain
+    * addition. Order-independent by construction (sums), hence
+    * exactly reproducible under any arrival order — unlike
+    * SpaceSaving-style eviction sketches whose state depends on
+    * arrival history. Estimates read the cells at serve time
+    * ([[probeSketch]] in foreachBatch, the st8 engine/sink split):
+    * est(key) = min_j cells[j][h_j(key)], an overestimate by at most
+    * the collision mass. */
+  def sketchCells(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(events.sparkSession)
+    events
+      .select($"ts",
+        element_at(call_function("poly_hash_all", array($"event_type")), 1)
+          .as("k"))
+      .select($"ts", $"k",
+        explode(sequence(lit(0), lit(SketchDepth - 1))).as("j"))
+      .withColumn("bucket",
+        ((element_at(typedLit(csA.toSeq), $"j" + 1) * ($"k" % 2147483647L)
+          + element_at(typedLit(csB.toSeq), $"j" + 1)) % 2147483647L)
+          % SketchWidth)
+      .groupBy(window($"ts", "1 hour"), $"j", $"bucket")
+      .agg(count(lit(1)).as("c"))
+      .select($"window.start".as("window_start"), $"j", $"bucket", $"c")
+  }
+
+  /** The watermarked streaming form of [[sketchCells]]. */
+  def sketchCellsStream(events: DataFrame): DataFrame =
+    sketchCells(events.withWatermark("ts", "10 minutes"))
+
+  /** Probe the sketch for a set of (window_start, event_type) keys:
+    * est = min over the key's d cells. Serve-time pass (foreachBatch
+    * on streams; the same call IS the batch probe). */
+  def probeSketch(cells: DataFrame, keys: DataFrame): DataFrame = {
+    import cells.sparkSession.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(cells.sparkSession)
+    keys
+      .withColumn("k",
+        element_at(call_function("poly_hash_all", array($"event_type")), 1))
+      .withColumn("j", explode(sequence(lit(0), lit(SketchDepth - 1))))
+      .withColumn("bucket",
+        ((element_at(typedLit(csA.toSeq), $"j" + 1) * ($"k" % 2147483647L)
+          + element_at(typedLit(csB.toSeq), $"j" + 1)) % 2147483647L)
+          % SketchWidth)
+      .join(cells, Seq("window_start", "j", "bucket"))
+      .groupBy($"window_start", $"event_type")
+      .agg(min($"c").as("est"))
+  }
+
+  /** Batch mirror (driver-checked): cells + probe + the exact count
+    * alongside, so the CMS guarantee (est >= exact, gap = collision
+    * mass) is part of the verified result. */
+  def st10SketchTrending(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Caches.persist(
+      Tables.events(spark, dir).select($"ts", $"event_type"))
+    val cells = sketchCells(ev)
+    val exact = ev
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_exact"))
+      .select($"window.start".as("window_start"), $"event_type", $"n_exact")
+    probeSketch(cells, exact.select($"window_start", $"event_type"))
+      .join(exact, Seq("window_start", "event_type"))
+      .select($"window_start", $"event_type", $"n_exact", $"est",
+        ($"est" - $"n_exact").as("overcount"))
+      .orderBy($"window_start", $"event_type")
+  }
+
   /** Batch mirror of the trending pipeline (driver-checked). */
   def st8Trending(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -419,6 +502,7 @@ object EventStream {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st9_dedup_agg" -> st9DedupAgg _,
+    "st10_sketch_trending" -> st10SketchTrending _,
     "st8_trending" -> st8Trending _,
     "st1_window_agg" -> st1WindowAgg _,
     "st2_interval_join" -> st2IntervalJoin _,
@@ -461,6 +545,49 @@ object EventStream {
     // replay + dedup collapses to the clean input: st1's oracle,
     // verbatim — the chain is correct iff nothing double counts
     "st9_dedup_agg" -> st1Sql,
+    // same poly key hash, same multiplicative cell family, same
+    // min-over-depth probe — integers end to end
+    "st10_sketch_trending" -> {
+      val aL = csA.mkString("[", ", ", "]")
+      val bL = csB.mkString("[", ", ", "]")
+      val polyFoldSql =
+        """list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(generate_series(1, length(t)),
+          |        i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+          |      (a, c) -> (a*31 + c) % 1000000007)""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+         |    event_type, event_type AS t
+         |  FROM events),
+         |ev AS (
+         |  SELECT window_start, event_type, ($polyFoldSql) AS k FROM e0),
+         |cx AS (
+         |  SELECT window_start, j.j AS j,
+         |    (($aL[j.j+1]*(k % 2147483647) + $bL[j.j+1]) % 2147483647)
+         |      % $SketchWidth AS bucket
+         |  FROM ev, LATERAL unnest(generate_series(0, ${SketchDepth - 1})) AS j(j)),
+         |cells AS (
+         |  SELECT window_start, j, bucket, CAST(count(*) AS BIGINT) AS c
+         |  FROM cx GROUP BY window_start, j, bucket),
+         |exact AS (
+         |  SELECT window_start, event_type,
+         |    CAST(count(*) AS BIGINT) AS n_exact, any_value(k) AS k
+         |  FROM ev GROUP BY window_start, event_type),
+         |probes AS (
+         |  SELECT e.window_start, e.event_type, e.n_exact, j.j AS j,
+         |    (($aL[j.j+1]*(e.k % 2147483647) + $bL[j.j+1]) % 2147483647)
+         |      % $SketchWidth AS bucket
+         |  FROM exact e, LATERAL unnest(generate_series(0, ${SketchDepth - 1})) AS j(j)),
+         |est AS (
+         |  SELECT p.window_start, p.event_type, any_value(p.n_exact) AS n_exact,
+         |    CAST(min(c.c) AS BIGINT) AS est
+         |  FROM probes p JOIN cells c USING (window_start, j, bucket)
+         |  GROUP BY p.window_start, p.event_type)
+         |SELECT window_start, event_type, n_exact, est,
+         |  (est - n_exact) AS overcount
+         |FROM est
+         |ORDER BY window_start, event_type""".stripMargin
+    },
     // st1's counts + the sink-side rank
     "st8_trending" ->
       """WITH counts AS (

@@ -641,6 +641,58 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("st10 sketch cells: stream == batch, state bounded, sketch linear") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val evs = (0 until 400).map { i =>
+      Ev(t(f"10:${i % 60}%02d"), s"key_${i % 37}", 1.0)
+    }
+    val stream = MemoryStream[Ev]
+    stream.addData(evs.take(200): _*)
+
+    val query = EventStream.sketchCellsStream(stream.toDF())
+      .writeStream.format("memory").queryName("st10_mem")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      query.processAllAvailable()
+      stream.addData(evs.drop(200): _*)
+      query.processAllAvailable()
+      val streamCells = spark.table("st10_mem")
+        .orderBy($"window_start", $"j", $"bucket").collect()
+      def batchDF(xs: Seq[Ev]) = xs.map(e => (e.ts, e.event_type, e.value))
+        .toDF("ts", "event_type", "value")
+      val batchCells = EventStream.sketchCells(batchDF(evs))
+        .orderBy($"window_start", $"j", $"bucket").collect()
+      // arrival order/batching cannot change a linear sketch
+      assert(streamCells.map(_.toSeq).toSeq == batchCells.map(_.toSeq).toSeq)
+      // state bound: rows <= depth * distinct-buckets-touched, and
+      // never more than depth * width however many keys arrive
+      assert(streamCells.length <= EventStream.SketchDepth * 37)
+      // linearity: cells of two halves ADD to the cells of the whole
+      val half1 = EventStream.sketchCells(batchDF(evs.take(200)))
+      val half2 = EventStream.sketchCells(batchDF(evs.drop(200)))
+      val merged = half1.unionAll(half2)
+        .groupBy($"window_start", $"j", $"bucket")
+        .agg(org.apache.spark.sql.functions.sum($"c").as("c"))
+        .orderBy($"window_start", $"j", $"bucket").collect()
+      assert(merged.map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq ==
+        batchCells.map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq)
+      // probe: estimates dominate exact counts (CMS guarantee)
+      val exact = batchDF(evs).groupBy(
+          org.apache.spark.sql.functions.window($"ts", "1 hour"), $"event_type")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .select($"window.start".as("window_start"), $"event_type", $"n")
+      val est = EventStream.probeSketch(EventStream.sketchCells(batchDF(evs)),
+          exact.select($"window_start", $"event_type"))
+        .join(exact, Seq("window_start", "event_type")).collect()
+      assert(est.nonEmpty)
+      est.foreach(r => assert(r.getLong(2) >= r.getLong(3)))
+    } finally query.stop()
+  }
+
 }
 
 /** Top-level (not nested in the spec) so the batch toDF() encoder
