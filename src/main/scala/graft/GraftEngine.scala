@@ -515,6 +515,37 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
     graft.operators.Dedup.containmentOf(
       graft.operators.Dedup.hashedShingleSetsOf(corpus), tau)
 
+  /** Trained quality filter over the corpus (t16): logistic
+    * regression on hashed BoW, self-trained against the above-median
+    * heuristic label; returns per-doc score + verdict. */
+  def qualityFilter(): DataFrame =
+    graft.operators.QualityModel.scoreOf(corpus)
+
+  /** DSIR importance weights for the corpus against a caller-chosen
+    * target slice (p13): kept = more target-like than raw-like. */
+  def dsirWeights(isTarget: org.apache.spark.sql.Column): DataFrame =
+    graft.operators.Curation.dsirOf(corpus, isTarget)
+
+  /** Packing-efficiency audit of [[packBins]]'s layout (p14). */
+  def packReport(cap: Long = 1024L): DataFrame =
+    graft.operators.Curation.packReportOf(packBins(cap), cap)
+
+  /** SCD2 history build from a (user_id, ts, event_id, attr) change
+    * log (q47). */
+  def scd2(changeLog: DataFrame): DataFrame =
+    graft.operators.EngineQueries.scd2Of(changeLog)
+
+  /** Sketch-state trending estimates over an event frame (st10):
+    * CMS cells + min-probe for each observed (window, key). */
+  def sketchTrending(events: DataFrame): DataFrame = {
+    val cells = graft.streaming.EventStream.sketchCells(events)
+    val keys = events
+      .select(org.apache.spark.sql.functions.window($"ts", "1 hour")("start")
+          .as("window_start"), $"event_type")
+      .distinct()
+    graft.streaming.EventStream.probeSketch(cells, keys)
+  }
+
   /** Pack documents whole into fixed-capacity bins (p8's next-fit
     * layout — SFT/instruction data where a split document is a
     * corrupted example). Requires a `source` column; oversize

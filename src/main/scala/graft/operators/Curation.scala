@@ -309,9 +309,14 @@ object Curation {
     * oracle (p8's recursive-CTE replay + the same two aggregates)
     * hash-matches exactly. */
   def p14PackReport(spark: SparkSession, dir: String,
-                    cap: Long = 1024L): DataFrame = {
-    import spark.implicits._
-    p8PackBins(spark, dir, cap)
+                    cap: Long = 1024L): DataFrame =
+    packReportOf(p8PackBins(spark, dir, cap), cap)
+
+  /** The p14 core over any packed frame with (source, bin_id,
+    * n_tokens, oversize) columns. */
+  def packReportOf(packed: DataFrame, cap: Long): DataFrame = {
+    import packed.sparkSession.implicits._
+    packed
       .groupBy($"source", $"bin_id")
       .agg(sum($"n_tokens").as("fill"), count(lit(1)).as("docs"),
            max($"oversize").as("over"))

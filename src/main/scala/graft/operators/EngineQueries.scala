@@ -1293,10 +1293,17 @@ object EngineQueries {
     * Deterministic: the window order (ts, event_id) is unique. */
   def q47Scd2(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    scd2Of(Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("attr")))
+  }
+
+  /** The q47 core over any change log with (user_id, ts, event_id,
+    * attr) columns — the facade seam a CDC feed lands into. */
+  def scd2Of(log: DataFrame): DataFrame = {
+    import log.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    Tables.events(spark, dir)
-      .select($"user_id", $"ts", $"event_id", $"event_type".as("attr"))
+    log
       .withColumn("prev_attr", lag($"attr", 1).over(w))
       .filter($"prev_attr".isNull || $"attr" =!= $"prev_attr")
       .withColumn("version", row_number().over(w).cast("long"))

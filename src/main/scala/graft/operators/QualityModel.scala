@@ -123,22 +123,37 @@ object QualityModel {
     w
   }
 
-  /** t16: train the classifier on the corpus, then score every
-    * document with the trained weights — emits the label it was
-    * trained against, the model score, and the model's verdict.
-    * Train = 3 exchanges; score = map-only against weight literals. */
-  def t16QualityLr(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val feats = graft.Caches.persist(features(Tables.documents(spark, dir)))
-    val w = graft.TrainedModels.memo(spark, s"lr_quality:$dir:f=$NumFeatures:it=$Iterations") {
-      lrFit(feats)
-    }
+  /** Score a (doc_id, text) corpus with weights `w` (map-only
+    * against the weight literal). */
+  private def score(feats: DataFrame, w: Seq[Double]): DataFrame = {
+    import feats.sparkSession.implicits._
     feats
       .select($"doc_id", $"y".cast("bigint").as("label"),
         round(fastSigmoid(dotOrdered($"x", typedLit(w), NumFeatures + 1)), 6)
           .as("score"))
       .withColumn("pred", ($"score" >= 0.5).cast("boolean"))
       .orderBy($"doc_id")
+  }
+
+  /** Train-and-score over any (doc_id, text) corpus — the facade
+    * core. */
+  def scoreOf(docs: DataFrame): DataFrame = {
+    val feats = graft.Caches.persist(features(docs))
+    score(feats, lrFit(feats))
+  }
+
+  /** t16: train the classifier on the corpus, then score every
+    * document with the trained weights — emits the label it was
+    * trained against, the model score, and the model's verdict.
+    * Train = 3 exchanges; score = map-only against weight literals;
+    * weights memoized per (session, corpus) like the other trained
+    * models. */
+  def t16QualityLr(spark: SparkSession, dir: String): DataFrame = {
+    val feats = graft.Caches.persist(features(Tables.documents(spark, dir)))
+    val w = graft.TrainedModels.memo(spark, s"lr_quality:$dir:f=$NumFeatures:it=$Iterations") {
+      lrFit(feats)
+    }
+    score(feats, w)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

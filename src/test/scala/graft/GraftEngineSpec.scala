@@ -340,4 +340,40 @@ class GraftEngineSpec extends SparkSpec {
       spikes.head.getTime == ts0.getTime + 29 * 3600000L)
     Caches.releaseAll()
   }
+
+  test("round-6 facade delegates equal their driver queries") {
+    import org.apache.spark.sql.functions.col
+    val e = new GraftEngine(spark, Tables.documents(spark, sfDir))
+    // qualityFilter ≡ t16 (same corpus, untrained-memo path)
+    val viaFacade = e.qualityFilter().collect().toSeq
+    val viaQuery = graft.operators.QualityModel
+      .t16QualityLr(spark, sfDir).collect().toSeq
+    assert(viaFacade == viaQuery)
+    // dsirWeights ≡ p13 with the same target slice
+    val df = e.dsirWeights(col("lang") === "en").collect().toSeq
+    val dq = graft.operators.Curation.p13Dsir(spark, sfDir).collect().toSeq
+    assert(df == dq)
+    // packReport ≡ p14
+    val pf = e.packReport(1024L).collect().toSeq
+    val pq = graft.operators.Curation.p14PackReport(spark, sfDir).collect().toSeq
+    assert(pf == pq)
+    // scd2 ≡ q47 on the events change log
+    import spark.implicits._
+    val log = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("attr"))
+    assert(e.scd2(log).collect().toSeq ==
+      graft.operators.EngineQueries.q47Scd2(spark, sfDir).collect().toSeq)
+    // sketchTrending estimates dominate exact windowed counts
+    val ev = Tables.events(spark, sfDir).select($"ts", $"event_type")
+    val est = e.sketchTrending(ev)
+    val exact = ev.groupBy(
+        org.apache.spark.sql.functions.window($"ts", "1 hour"), $"event_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .select($"window.start".as("window_start"), $"event_type", $"n")
+    val joined = est.join(exact, Seq("window_start", "event_type")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(r.getLong(2) >= r.getLong(3)))
+    Caches.releaseAll()
+  }
 }
