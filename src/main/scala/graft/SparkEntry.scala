@@ -11,6 +11,7 @@ object SparkEntry {
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),
       (operators.CorpusFilters.queries, operators.CorpusFilters.oracles),
       (operators.QualityModel.queries, operators.QualityModel.oracles),
+      (operators.BpeTrainer.queries, operators.BpeTrainer.oracles),
       (operators.Dedup.queries, operators.Dedup.oracles),
       (operators.Knn.queries, operators.Knn.oracles),
       (operators.ChunkQueries.queries, operators.ChunkQueries.oracles),

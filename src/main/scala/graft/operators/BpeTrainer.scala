@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Distributed BPE tokenizer TRAINING (Sennrich et al. 2016) — the
+  * learn-the-merges pass every tokenizer build runs over a corpus
+  * before any token counting is meaningful. Reference scope: qurio
+  * counts tokens heuristically; a production corpus pipeline trains
+  * its own subword vocabulary on the corpus it curates.
+  *
+  * Shape: the corpus collapses to a WORD-FREQUENCY table first (one
+  * groupBy — the table is vocabulary-sized, not corpus-sized, which
+  * is what makes BPE training tractable at 100 TB), then each merge
+  * round is one pair-count aggregate + one map-side merge
+  * application; driver traffic is ONE (pair, count) row per round —
+  * the kmeansFit loop shape.
+  *
+  * Determinism trick that makes the whole loop oracle-able: a word's
+  * symbol sequence is represented as a string of space-BLOCKED
+  * symbols — each symbol carries its own leading and trailing space
+  * (" h  e  l  l  o "), so applying merge (L, R) is the plain string
+  * replace of " L  R " with " LR ": both engines' replace scans
+  * left-to-right non-overlapping, and because the following symbol
+  * keeps its own leading space, consecutive merges chain exactly
+  * like canonical BPE (" a  a  a  a " -> " aa  aa ", not the
+  * boundary-starved " aa a a " a single-space encoding yields). Counts are integers; the best
+  * pair ties break lexicographically. No floats anywhere.
+  */
+object BpeTrainer {
+
+  /** Merge rounds for the driver query (production runs thousands;
+    * the loop shape is identical and each round is one aggregate). */
+  val Rounds = 3
+
+  private def pairsOf(state: DataFrame): DataFrame = {
+    import state.sparkSession.implicits._
+    state
+      .select($"freq", split(trim($"st"), "  ").as("syms"))
+      .select($"freq", explode(
+        // sequence(1, 0) counts DOWN in Spark: guard single-symbol
+        // words with an empty pair list instead
+        when(size($"syms") >= 2,
+          transform(sequence(lit(1), size($"syms") - 1), i =>
+            struct(element_at($"syms", i).as("l"),
+                   element_at($"syms", i + 1).as("r"))))
+          .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("p"))
+      .groupBy($"p.l".as("l"), $"p.r".as("r"))
+      .agg(sum($"freq").as("cnt"))
+  }
+
+  /** Train `rounds` merges over any (doc_id, text) corpus; returns
+    * one row per round: the merge learned, its pair count, and the
+    * corpus token count after applying it (the compression
+    * trajectory). */
+  def trainOf(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = graft.Caches.persist(docs
+      .select(explode(expr("regexp_extract_all(lower(text), '\\\\S+', 0)"))
+        .as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("freq")))
+    // initial state: one symbol per character, sentinel spaces at
+    // both ends (substring with a column start index needs the SQL
+    // lambda form)
+    var state = words.select($"word", $"freq",
+      concat(lit(" "),
+        array_join(
+          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+          "  "),
+        lit(" ")).as("st"))
+    val results = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, Long)]()
+    for (round <- 1 to rounds) {
+      val Array(l, r, cnt) = pairsOf(state)
+        .orderBy($"cnt".desc, $"l", $"r").limit(1)
+        .collect().head.toSeq.toArray
+      state = state.withColumn("st",
+        call_function("replace", $"st",
+          lit(s" ${l.toString}  ${r.toString} "), lit(s" ${l.toString}${r.toString} ")))
+      // persist each round's state: the next round's pair count and
+      // the token stat both read it, and lineage stays flat
+      state = graft.Caches.persist(state)
+      val totalTokens = state
+        .select(sum($"freq" * size(split(trim($"st"), "  "))).as("t"))
+        .head.getLong(0)
+      results += ((round, l.toString, r.toString,
+        cnt.asInstanceOf[Long], totalTokens))
+    }
+    results.toSeq
+      .toDF("round", "left", "right", "pair_count", "total_tokens")
+      .orderBy($"round")
+  }
+
+  /** t17: the driver query over the documents table. */
+  def t17BpeTrain(spark: SparkSession, dir: String): DataFrame =
+    trainOf(Tables.documents(spark, dir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_bpe_train" -> t17BpeTrain _)
+
+  /** One merge round as CTEs: p<i> counts pairs of w<i-1>, b<i>
+    * picks the argmax (count desc, pair lexicographic), w<i> applies
+    * the merge with the same sentinel-space replace. */
+  private def roundSql(i: Int): String =
+    s"""p$i AS (
+       |  SELECT syms[g.g] AS l, syms[g.g + 1] AS r,
+       |    CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT freq, string_split(trim(st), '  ') AS syms FROM w${i - 1}),
+       |    LATERAL unnest(generate_series(1, len(syms) - 1)) AS g(g)
+       |  GROUP BY l, r),
+       |b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+       |w$i AS (
+       |  SELECT word, freq,
+       |    replace(st, ' ' || b$i.l || '  ' || b$i.r || ' ',
+       |                ' ' || b$i.l || b$i.r || ' ') AS st
+       |  FROM w${i - 1}, b$i),
+       |t$i AS (
+       |  SELECT CAST(sum(freq * len(string_split(trim(st), '  '))) AS BIGINT)
+       |    AS total FROM w$i)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "t17_bpe_train" -> {
+      val rounds = (1 to Rounds).map(roundSql).mkString(",\n")
+      val unions = (1 to Rounds).map(i =>
+        s"""SELECT $i AS round, b$i.l AS "left", b$i.r AS "right",
+           |  b$i.cnt AS pair_count, t$i.total AS total_tokens
+           |FROM b$i, t$i""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH words AS (
+         |  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+         |        FROM documents)
+         |  GROUP BY w),
+         |w0 AS (
+         |  SELECT word, freq,
+         |    ' ' || array_to_string(
+         |      list_transform(generate_series(1, length(word)),
+         |        i -> substring(word, i, 1)), '  ') || ' ' AS st
+         |  FROM words),
+         |$rounds
+         |$unions
+         |ORDER BY round""".stripMargin
+    })
+}
