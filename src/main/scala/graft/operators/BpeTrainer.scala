@@ -50,11 +50,19 @@ object BpeTrainer {
       .agg(sum($"freq").as("cnt"))
   }
 
-  /** Train `rounds` merges over any (doc_id, text) corpus; returns
-    * one row per round: the merge learned, its pair count, and the
-    * corpus token count after applying it (the compression
-    * trajectory). */
-  def trainOf(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
+  /** The initial character-symbol state for a `word` column. */
+  private def initState(word: Column): Column =
+    concat(lit(" "),
+      array_join(
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+        "  "),
+      lit(" "))
+
+  /** Fit `rounds` merges over any (doc_id, text) corpus. Returns the
+    * per-round (left, right, pair_count, total_tokens_after) — the
+    * merge table plus the compression trajectory. */
+  def fitMerges(docs: DataFrame, rounds: Int = Rounds)
+      : Seq[(String, String, Long, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val words = graft.Caches.persist(docs
@@ -64,14 +72,9 @@ object BpeTrainer {
     // initial state: one symbol per character, sentinel spaces at
     // both ends (substring with a column start index needs the SQL
     // lambda form)
-    var state = words.select($"word", $"freq",
-      concat(lit(" "),
-        array_join(
-          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
-          "  "),
-        lit(" ")).as("st"))
-    val results = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, Long)]()
-    for (round <- 1 to rounds) {
+    var state = words.select($"word", $"freq", initState($"word").as("st"))
+    val results = scala.collection.mutable.ArrayBuffer[(String, String, Long, Long)]()
+    for (_ <- 1 to rounds) {
       val Array(l, r, cnt) = pairsOf(state)
         .orderBy($"cnt".desc, $"l", $"r").limit(1)
         .collect().head.toSeq.toArray
@@ -84,20 +87,72 @@ object BpeTrainer {
       val totalTokens = state
         .select(sum($"freq" * size(split(trim($"st"), "  "))).as("t"))
         .head.getLong(0)
-      results += ((round, l.toString, r.toString,
-        cnt.asInstanceOf[Long], totalTokens))
+      results += ((l.toString, r.toString, cnt.asInstanceOf[Long], totalTokens))
     }
     results.toSeq
+  }
+
+  /** Train `rounds` merges; one row per round (the t17 view of
+    * [[fitMerges]]). */
+  def trainOf(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
+    import docs.sparkSession.implicits._
+    fitMerges(docs, rounds).zipWithIndex
+      .map { case ((l, r, cnt, tot), i) => (i + 1, l, r, cnt, tot) }
       .toDF("round", "left", "right", "pair_count", "total_tokens")
       .orderBy($"round")
   }
 
+  /** APPLY a trained merge list: tokenize the corpus with the learned
+    * subword vocabulary and report per-document token counts under
+    * whitespace vs BPE. The merges apply to the DISTINCT-word
+    * vocabulary (vocabulary-sized work, then a broadcast join back to
+    * documents — never per-occurrence string surgery), the same
+    * apply-side split every production tokenizer service uses. */
+  def tokenizeOf(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val docWords = docs
+      .select($"doc_id",
+        explode(expr("regexp_extract_all(lower(text), '\\\\S+', 0)")).as("word"))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("n"))
+    val vocab = merges.foldLeft(
+        docWords.select($"word").distinct()
+          .withColumn("st", initState($"word"))) {
+      case (df, (l, r)) =>
+        df.withColumn("st",
+          call_function("replace", $"st", lit(s" $l  $r "), lit(s" $l$r ")))
+    }.select($"word", size(split(trim($"st"), "  ")).cast("long").as("n_sym"))
+    docWords.join(broadcast(vocab), "word")
+      .groupBy($"doc_id")
+      .agg(sum($"n").as("n_ws_tokens"),
+           sum($"n" * $"n_sym").as("n_bpe_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  /** The session's trained merge table (memoized like the other
+    * trained models). */
+  private def merges(spark: SparkSession, dir: String): Seq[(String, String, Long, Long)] =
+    graft.TrainedModels.memo(spark, s"bpe:$dir:r=$Rounds") {
+      fitMerges(Tables.documents(spark, dir))
+    }
+
   /** t17: the driver query over the documents table. */
-  def t17BpeTrain(spark: SparkSession, dir: String): DataFrame =
-    trainOf(Tables.documents(spark, dir))
+  def t17BpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    merges(spark, dir).zipWithIndex
+      .map { case ((l, r, cnt, tot), i) => (i + 1, l, r, cnt, tot) }
+      .toDF("round", "left", "right", "pair_count", "total_tokens")
+      .orderBy($"round")
+  }
+
+  /** t18: tokenize the corpus with the session's trained merges. */
+  def t18BpeTokenize(spark: SparkSession, dir: String): DataFrame =
+    tokenizeOf(Tables.documents(spark, dir),
+      merges(spark, dir).map { case (l, r, _, _) => (l, r) })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "t17_bpe_train" -> t17BpeTrain _)
+    "t17_bpe_train" -> t17BpeTrain _,
+    "t18_bpe_tokenize" -> t18BpeTokenize _)
 
   /** One merge round as CTEs: p<i> counts pairs of w<i-1>, b<i>
     * picks the argmax (count desc, pair lexicographic), w<i> applies
@@ -140,5 +195,35 @@ object BpeTrainer {
          |$rounds
          |$unions
          |ORDER BY round""".stripMargin
+    },
+    // t17's CTE chain to the final state, then the per-doc rollup:
+    // n_bpe = sum over the doc's words of freq * final symbol count
+    "t18_bpe_tokenize" -> {
+      val rounds = (1 to Rounds).map(roundSql).mkString(",\n")
+      s"""WITH words AS (
+         |  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+         |        FROM documents)
+         |  GROUP BY w),
+         |w0 AS (
+         |  SELECT word, freq,
+         |    ' ' || array_to_string(
+         |      list_transform(generate_series(1, length(word)),
+         |        i -> substring(word, i, 1)), '  ') || ' ' AS st
+         |  FROM words),
+         |$rounds,
+         |docw AS (
+         |  SELECT doc_id, w AS word, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT doc_id,
+         |          unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+         |        FROM documents)
+         |  GROUP BY doc_id, w)
+         |SELECT doc_id,
+         |  CAST(sum(n) AS BIGINT) AS n_ws_tokens,
+         |  CAST(sum(n * len(string_split(trim(st), '  '))) AS BIGINT)
+         |    AS n_bpe_tokens
+         |FROM docw JOIN w$Rounds USING (word)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
     })
 }

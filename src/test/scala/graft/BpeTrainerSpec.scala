@@ -55,6 +55,27 @@ class BpeTrainerSpec extends SparkSpec {
     assert(r1.getLong(4) == 2L, "merge leaves exactly 2 'aa' symbols")
   }
 
+  test("t18 apply: more merges never inflate the token count") {
+    val docs = Seq(
+      (1L, "the theme theater then the"),
+      (2L, "there other the them aaaa")).toDF("doc_id", "text")
+    val merges = BpeTrainer.fitMerges(docs, 3).map { case (l, r, _, _) => (l, r) }
+    val none = BpeTrainer.tokenizeOf(docs, Seq.empty).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val full = BpeTrainer.tokenizeOf(docs, merges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(none.keySet == full.keySet)
+    none.foreach { case (id, (ws, chars)) =>
+      val (ws2, bpe) = full(id)
+      assert(ws2 == ws, "whitespace count is merge-independent")
+      // zero merges tokenizes to characters; merges only compress
+      assert(bpe <= chars)
+      // every word is at least one symbol
+      assert(bpe >= ws)
+    }
+    Caches.releaseAll()
+  }
+
   test("training is layout-invariant") {
     val docs = (0 until 120)
       .map(i => (i.toLong, s"alpha beta gamma delta token$i"))
