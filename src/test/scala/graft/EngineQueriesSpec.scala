@@ -190,6 +190,18 @@ class EngineQueriesSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("q48 MAD outliers: every flag exceeds the cut, tails only") {
+    import org.apache.spark.sql.functions.abs
+    val flagged = EngineQueries.q48MadOutliers(spark, sfDir)
+    val rows = flagged.collect()
+    // flags are genuinely extreme and rare relative to the table
+    rows.foreach(r => assert(math.abs(r.getDouble(5)) > 3.5))
+    val total = Tables.lineitem(spark, sfDir).count()
+    assert(rows.length < total / 20,
+      s"${rows.length} of $total flagged — MAD cut should hit tails only")
+    Caches.releaseAll()
+  }
+
   test("q47 SCD2 intervals tile each entity's history exactly") {
     val rows = EngineQueries.q47Scd2(spark, sfDir).collect()
     assert(rows.nonEmpty)
