@@ -1345,7 +1345,43 @@ object EngineQueries {
       .orderBy($"l_returnflag", $"l_linestatus", $"l_orderkey", $"l_linenumber")
   }
 
+  /** q49: PIVOT — the wide cross-tab every BI layer asks of an
+    * engine: revenue by returnflag pivoted across linestatus columns.
+    * The pivot VALUES ARE DECLARED (not discovered): Spark's
+    * two-phase pivot with an explicit value list is a single
+    * groupBy — no extra distinct-scan to find the columns and no
+    * nondeterministic column order; at 100 TB an undeclared pivot
+    * pays a full pre-scan and risks a column explosion. Declared
+    * values also make the oracle a plain conditional aggregation. */
+  def q49Pivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum($"l_extendedprice"), 2))
+      .select($"l_returnflag",
+        coalesce($"F", lit(0.0)).as("rev_f"),
+        coalesce($"O", lit(0.0)).as("rev_o"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** q50: UNPIVOT (melt) — the inverse reshape: the wide per-status
+    * revenue columns stacked back to (flag, status, revenue) rows.
+    * Map-only (each input row emits its column-value pairs; no
+    * shuffle at all beyond q49's), the shape a metrics exporter
+    * needs when a wide table feeds a long-format sink. */
+  def q50Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    q49Pivot(spark, dir)
+      .select($"l_returnflag",
+        explode(map(lit("F"), $"rev_f", lit("O"), $"rev_o"))
+          .as(Seq("status", "revenue")))
+      .orderBy($"l_returnflag", $"status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_unpivot" -> q50Unpivot _,
+    "q49_pivot" -> q49Pivot _,
     "q48_mad_outliers" -> q48MadOutliers _,
     "q47_scd2" -> q47Scd2 _,
     "q46_conversion_latency" -> q46ConversionLatency _,
@@ -1402,6 +1438,27 @@ object EngineQueries {
     s"(((${bfA(j)} * ($k % 2147483647) + ${bfB(j)}) % 2147483647) % 8192)"
 
   val oracles: Map[String, String] = Map(
+    // declared-value pivot = conditional aggregation
+    "q49_pivot" ->
+      """SELECT l_returnflag,
+        |  coalesce(round(sum(CASE WHEN l_linestatus = 'F'
+        |    THEN l_extendedprice END), 2), 0.0) AS rev_f,
+        |  coalesce(round(sum(CASE WHEN l_linestatus = 'O'
+        |    THEN l_extendedprice END), 2), 0.0) AS rev_o
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // the stack of the same two declared columns
+    "q50_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    coalesce(round(sum(CASE WHEN l_linestatus = 'F'
+        |      THEN l_extendedprice END), 2), 0.0) AS rev_f,
+        |    coalesce(round(sum(CASE WHEN l_linestatus = 'O'
+        |      THEN l_extendedprice END), 2), 0.0) AS rev_o
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, s.status, s.revenue FROM wide,
+        |  LATERAL (VALUES ('F', rev_f), ('O', rev_o)) AS s(status, revenue)
+        |ORDER BY l_returnflag, status""".stripMargin,
     // same exact-percentile med/MAD, same modified-z cut
     "q48_mad_outliers" ->
       """WITH med AS (
