@@ -196,34 +196,41 @@ object BpeTrainer {
          |$unions
          |ORDER BY round""".stripMargin
     },
-    // t17's CTE chain to the final state, then the per-doc rollup:
-    // n_bpe = sum over the doc's words of freq * final symbol count
-    "t18_bpe_tokenize" -> {
-      val rounds = (1 to Rounds).map(roundSql).mkString(",\n")
-      s"""WITH words AS (
-         |  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
-         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS w
-         |        FROM documents)
-         |  GROUP BY w),
-         |w0 AS (
-         |  SELECT word, freq,
-         |    ' ' || array_to_string(
-         |      list_transform(generate_series(1, length(word)),
-         |        i -> substring(word, i, 1)), '  ') || ' ' AS st
-         |  FROM words),
-         |$rounds,
-         |docw AS (
-         |  SELECT doc_id, w AS word, CAST(count(*) AS BIGINT) AS n
-         |  FROM (SELECT doc_id,
-         |          unnest(regexp_extract_all(lower(text), '\\S+')) AS w
-         |        FROM documents)
-         |  GROUP BY doc_id, w)
-         |SELECT doc_id,
-         |  CAST(sum(n) AS BIGINT) AS n_ws_tokens,
-         |  CAST(sum(n * len(string_split(trim(st), '  '))) AS BIGINT)
-         |    AS n_bpe_tokens
-         |FROM docw JOIN w$Rounds USING (word)
-         |GROUP BY doc_id
-         |ORDER BY doc_id""".stripMargin
-    })
+    // t17's CTE chain to the final state, then the per-doc rollup
+    "t18_bpe_tokenize" ->
+      s"""WITH $tokenizePrefixSql
+         |SELECT doc_id, n_ws_tokens, n_bpe_tokens
+         |FROM bpe ORDER BY doc_id""".stripMargin)
+
+  /** The t18 tokenization as a reusable CTE prefix ending in
+    * `bpe(doc_id, n_ws_tokens, n_bpe_tokens)` — composed by the t18
+    * and p15 oracles. */
+  private[operators] lazy val tokenizePrefixSql: String = {
+    val rounds = (1 to Rounds).map(roundSql).mkString(",\n")
+    s"""words AS (
+       |  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+       |        FROM documents)
+       |  GROUP BY w),
+       |w0 AS (
+       |  SELECT word, freq,
+       |    ' ' || array_to_string(
+       |      list_transform(generate_series(1, length(word)),
+       |        i -> substring(word, i, 1)), '  ') || ' ' AS st
+       |  FROM words),
+       |$rounds,
+       |docw AS (
+       |  SELECT doc_id, w AS word, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+       |        FROM documents)
+       |  GROUP BY doc_id, w),
+       |bpe AS (
+       |  SELECT doc_id,
+       |    CAST(sum(n) AS BIGINT) AS n_ws_tokens,
+       |    CAST(sum(n * len(string_split(trim(st), '  '))) AS BIGINT)
+       |      AS n_bpe_tokens
+       |  FROM docw JOIN w$Rounds USING (word)
+       |  GROUP BY doc_id)""".stripMargin
+  }
 }

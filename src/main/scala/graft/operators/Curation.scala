@@ -332,6 +332,40 @@ object Curation {
       .orderBy($"source")
   }
 
+  /** p15: TOKENIZER-AWARE sequence packing — p7's concat-and-chunk
+    * layout with offsets measured in the session's TRAINED BPE
+    * tokens (t17/t18) instead of whitespace words: the actual
+    * composition a pretraining pipeline runs, since sequence budgets
+    * are model-tokenizer tokens, not words. Same per-source keyed
+    * cumsum (no global order), same deterministic (content-hash,
+    * doc_id) stream; the per-doc token counts come from t18's
+    * vocabulary-sized apply pass (merges memoized per session, so
+    * t17/t18/p15 in one session train ONCE — the train-once
+    * serve-many discipline, billed under _model_training's
+    * equivalent). */
+  def p15PackBpe(spark: SparkSession, dir: String,
+                 maxLen: Int = 1024): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val counts = BpeTrainer.t18BpeTokenize(spark, dir)
+      .select($"doc_id", $"n_bpe_tokens")
+    val w = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        element_at(call_function("poly_hash_all", array($"text")), 1).as("h"))
+      .join(counts, Seq("doc_id"), "left")
+      .withColumn("n_tokens", coalesce($"n_bpe_tokens", lit(0L)))
+      .withColumn("start_off", sum($"n_tokens").over(w) - $"n_tokens")
+      .select($"source", $"doc_id", $"n_tokens", $"start_off",
+        expr(s"start_off div $maxLen").as("seq_id"),
+        pmod($"start_off", lit(maxLen.toLong)).as("seq_pos"),
+        ($"n_tokens" > 0 &&
+          expr(s"(start_off div $maxLen) != ((start_off + n_tokens - 1) div $maxLen)"))
+          .as("crosses_seq"))
+      .orderBy($"source", $"start_off", $"doc_id")
+  }
+
   /** Hash buckets for p13's importance-weight features. */
   val DsirBuckets = 64
 
@@ -398,6 +432,7 @@ object Curation {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p15_pack_bpe" -> ((s, d) => p15PackBpe(s, d)),
     "p14_pack_report" -> ((s, d) => p14PackReport(s, d)),
     "p13_dsir" -> p13Dsir _,
     "p11_global_shuffle" -> ((s, d) => p11GlobalShuffle(s, d)),
@@ -447,6 +482,30 @@ object Curation {
        |  FROM packed p JOIN o ON o.source = p.source AND o.rn = p.rn + 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // t18's tokenization chain + p7's keyed-cumsum layout, offsets
+    // in trained-BPE tokens
+    "p15_pack_bpe" ->
+      s"""WITH ${BpeTrainer.tokenizePrefixSql},
+         |d AS (
+         |  SELECT doc.doc_id, doc.source,
+         |    coalesce(bpe.n_bpe_tokens, 0) AS n_tokens,
+         |    ($polyFoldSql) AS h
+         |  FROM (SELECT doc_id, source, text AS t FROM documents) doc
+         |  LEFT JOIN bpe ON doc.doc_id = bpe.doc_id),
+         |o AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |                             ROWS UNBOUNDED PRECEDING) - n_tokens
+         |         AS BIGINT) AS start_off
+         |  FROM d)
+         |SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, start_off,
+         |  CAST(start_off // 1024 AS BIGINT) AS seq_id,
+         |  CAST(start_off % 1024 AS BIGINT) AS seq_pos,
+         |  (n_tokens > 0 AND
+         |   (start_off // 1024) <> ((start_off + n_tokens - 1) // 1024))
+         |    AS crosses_seq
+         |FROM o
+         |ORDER BY source, start_off, doc_id""".stripMargin,
     // same buckets, same add-one smoothing, same 9dp-pre-rounded
     // log-ratios, same fixed-bucket-order fold
     "p13_dsir" ->
