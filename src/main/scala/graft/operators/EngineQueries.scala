@@ -1317,32 +1317,31 @@ object EngineQueries {
     * the data-quality screen that survives the outliers it hunts
     * (mean/stddev z-scores are dragged by the very rows they should
     * flag; the median/MAD pair is 50%-breakdown robust). Per
-    * (returnflag, linestatus) stratum: med = median(price),
-    * MAD = median(|price - med|), modified z = 0.6745·(x-med)/MAD
-    * (Iglewicz-Hoaglin), flag |z| > 3.5. Two tiny stratum aggregates
+    * stratum: med = median(x), MAD = median(|x - med|),
+    * modified z = 0.6745·(x-med)/MAD
+    * (Iglewicz-Hoaglin), flag |z| > 3.5 — over the heavy-tailed
+    * events.value metric per event_type stratum. Two tiny stratum
+    * aggregates
     * (the q15-verified exact-percentile kernel) broadcast back;
     * flagging is map-only — at 100 TB this is two scans and zero
     * wide shuffles (swap approx_percentile in at real scale, same
     * plan). */
   def q48MadOutliers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val li = graft.Caches.persist(Tables.lineitem(spark, dir)
-      .select($"l_returnflag", $"l_linestatus", $"l_orderkey",
-        $"l_linenumber", $"l_extendedprice"))
-    val med = li.groupBy($"l_returnflag", $"l_linestatus")
-      .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
-    val mad = li.join(broadcast(med), Seq("l_returnflag", "l_linestatus"))
-      .groupBy($"l_returnflag", $"l_linestatus")
-      .agg(expr("percentile(abs(l_extendedprice - med), 0.5)").as("mad"),
+    val ev = graft.Caches.persist(Tables.events(spark, dir)
+      .select($"event_type", $"event_id", $"value"))
+    val med = ev.groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = ev.join(broadcast(med), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"),
            first($"med").as("med"))
-    li.join(broadcast(mad), Seq("l_returnflag", "l_linestatus"))
-      .withColumn("z",
-        lit(0.6745) * ($"l_extendedprice" - $"med") / $"mad")
+    ev.join(broadcast(mad), Seq("event_type"))
+      .withColumn("z", lit(0.6745) * ($"value" - $"med") / $"mad")
       .filter(abs($"z") > 3.5)
-      .select($"l_returnflag", $"l_linestatus", $"l_orderkey",
-        $"l_linenumber", $"l_extendedprice",
+      .select($"event_type", $"event_id", round($"value", 4).as("value"),
         round($"z", 4).as("robust_z"))
-      .orderBy($"l_returnflag", $"l_linestatus", $"l_orderkey", $"l_linenumber")
+      .orderBy($"event_type", $"event_id")
   }
 
   /** q49: PIVOT — the wide cross-tab every BI layer asks of an
@@ -1462,26 +1461,19 @@ object EngineQueries {
     // same exact-percentile med/MAD, same modified-z cut
     "q48_mad_outliers" ->
       """WITH med AS (
-        |  SELECT l_returnflag, l_linestatus,
-        |    quantile_cont(l_extendedprice, 0.5) AS med
-        |  FROM lineitem GROUP BY l_returnflag, l_linestatus),
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
         |mad AS (
-        |  SELECT l.l_returnflag, l.l_linestatus,
-        |    quantile_cont(abs(l.l_extendedprice - med.med), 0.5) AS mad,
+        |  SELECT e.event_type,
+        |    quantile_cont(abs(e.value - med.med), 0.5) AS mad,
         |    any_value(med.med) AS med
-        |  FROM lineitem l
-        |  JOIN med ON l.l_returnflag = med.l_returnflag
-        |    AND l.l_linestatus = med.l_linestatus
-        |  GROUP BY l.l_returnflag, l.l_linestatus)
-        |SELECT l.l_returnflag, l.l_linestatus, l.l_orderkey, l.l_linenumber,
-        |  l.l_extendedprice,
-        |  round(0.6745 * (l.l_extendedprice - mad.med) / mad.mad, 4)
-        |    AS robust_z
-        |FROM lineitem l
-        |JOIN mad ON l.l_returnflag = mad.l_returnflag
-        |  AND l.l_linestatus = mad.l_linestatus
-        |WHERE abs(0.6745 * (l.l_extendedprice - mad.med) / mad.mad) > 3.5
-        |ORDER BY l.l_returnflag, l.l_linestatus, l.l_orderkey, l.l_linenumber""".stripMargin,
+        |  FROM events e JOIN med USING (event_type)
+        |  GROUP BY e.event_type)
+        |SELECT e.event_type, e.event_id, round(e.value, 4) AS value,
+        |  round(0.6745 * (e.value - mad.med) / mad.mad, 4) AS robust_z
+        |FROM events e JOIN mad USING (event_type)
+        |WHERE abs(0.6745 * (e.value - mad.med) / mad.mad) > 3.5
+        |ORDER BY e.event_type, e.event_id""".stripMargin,
     // same unique window order, same lag-collapse, same lead-close
     "q47_scd2" ->
       """WITH ch AS (
