@@ -348,7 +348,48 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  /** t19: VOCABULARY-GROWTH curve (Heaps' law empirics) — how fast
+    * the distinct-word vocabulary grows as the corpus accumulates,
+    * the sizing input for tokenizer vocab budgets (t17) and
+    * dictionary-backed index planning. Reported by 100 corpus PREFIX
+    * BUCKETS, not per document: the per-row cumulative would be a
+    * global ordered cumsum (the canonical 100 TB total-order
+    * bottleneck); bucketing gives the same curve with a 100-row
+    * window. A word's contribution lands in the bucket of its FIRST
+    * document (min doc_id — one groupBy over the token explode);
+    * everything is integer counts. */
+  def t19VocabGrowth(spark: SparkSession, dir: String,
+                     buckets: Int = 100): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Caches.persist(Tables.documents(spark, dir)
+      .select($"doc_id",
+        expr("regexp_extract_all(lower(text), '\\\\S+', 0)").as("tk")))
+    val maxId = docs.agg(max($"doc_id")).head.getLong(0)
+    def bucketOf(name: String) =
+      expr(s"$name * $buckets div ${maxId + 1}")
+    val newWords = docs
+      .select($"doc_id", explode($"tk").as("word"))
+      .groupBy($"word").agg(min($"doc_id").as("first_doc"))
+      .groupBy(bucketOf("first_doc").as("bucket"))
+      .agg(count(lit(1)).as("new_words"))
+    val toks = docs
+      .select(bucketOf("doc_id").as("bucket"),
+        size($"tk").cast("long").as("n"))
+      .groupBy($"bucket").agg(sum($"n").as("n_tokens"), count(lit(1)).as("n_docs"))
+    val w = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(newWords, Seq("bucket"), "left")
+      .withColumn("new_words", coalesce($"new_words", lit(0L)))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .withColumn("cum_vocab", sum($"new_words").over(w))
+      .select($"bucket", $"n_docs", $"n_tokens", $"new_words",
+        $"cum_tokens", $"cum_vocab")
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_vocab_growth" -> ((s, d) => t19VocabGrowth(s, d)),
     "t15_dataset_card" -> t15DatasetCard _,
     "t14_char_entropy" -> t14CharEntropy _,
     "t13_keyword_tfidf" -> t13KeywordTfidf _,
@@ -425,6 +466,33 @@ object TextAnalysis {
       .mkString("\n      ")
     val allGreatest = s"greatest(${langs.map("s_" + _).mkString(", ")})"
     Map(
+      // same prefix buckets keyed on each word's first document,
+      // integer counts end to end
+      "t19_vocab_growth" ->
+        """WITH docs AS (
+          |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk
+          |  FROM documents),
+          |mx AS (SELECT max(doc_id) + 1 AS m FROM docs),
+          |nw AS (
+          |  SELECT CAST(first_doc * 100 // m AS BIGINT) AS bucket,
+          |    CAST(count(*) AS BIGINT) AS new_words
+          |  FROM (SELECT w, min(doc_id) AS first_doc
+          |        FROM (SELECT doc_id, unnest(tk) AS w FROM docs)
+          |        GROUP BY w), mx
+          |  GROUP BY bucket),
+          |tks AS (
+          |  SELECT CAST(doc_id * 100 // m AS BIGINT) AS bucket,
+          |    CAST(sum(len(tk)) AS BIGINT) AS n_tokens,
+          |    CAST(count(*) AS BIGINT) AS n_docs
+          |  FROM docs, mx GROUP BY bucket)
+          |SELECT t.bucket, n_docs, n_tokens,
+          |  CAST(coalesce(new_words, 0) AS BIGINT) AS new_words,
+          |  CAST(sum(n_tokens) OVER (ORDER BY t.bucket) AS BIGINT)
+          |    AS cum_tokens,
+          |  CAST(sum(coalesce(new_words, 0)) OVER (ORDER BY t.bucket) AS BIGINT)
+          |    AS cum_vocab
+          |FROM tks t LEFT JOIN nw ON t.bucket = nw.bucket
+          |ORDER BY t.bucket""".stripMargin,
       // same six class counts, same fixed-order -p·log2(p) sum
       "t14_char_entropy" ->
         """WITH c AS (

@@ -60,4 +60,23 @@ class TextAnalysisSpec extends SparkSpec {
       assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("t19 vocab growth: cumulative columns consistent, new-word rate decays") {
+    val rows = TextAnalysis.t19VocabGrowth(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    var vocab = 0L; var toks = 0L
+    rows.sortBy(_.getLong(0)).foreach { r =>
+      toks += r.getLong(2); vocab += r.getLong(3)
+      assert(r.getLong(4) == toks && r.getLong(5) == vocab)
+    }
+    // Heaps: the last bucket adds proportionally fewer new words than
+    // the first (repeats dominate as the corpus accumulates)
+    val first = rows.minBy(_.getLong(0))
+    val last = rows.maxBy(_.getLong(0))
+    def rate(r: org.apache.spark.sql.Row) =
+      r.getLong(3).toDouble / math.max(r.getLong(2), 1L)
+    assert(rate(last) < rate(first),
+      s"new-word rate should decay: first=${rate(first)} last=${rate(last)}")
+    Caches.releaseAll()
+  }
 }
