@@ -343,6 +343,50 @@ object EventStream {
       .filter($"rnk" <= k)
   }
 
+  final case class ScdEvent(user_id: Long, ts: java.sql.Timestamp,
+                            event_id: Long, attr: String)
+  final case class ScdState(attr: String, from: java.sql.Timestamp,
+                            version: Long)
+  final case class ScdInterval(user_id: Long, version: Long, attr: String,
+                               valid_from: java.sql.Timestamp,
+                               valid_to: java.sql.Timestamp)
+
+  /** st11: STREAMING SCD2 — q47's history build as a continuously
+    * maintained dimension: a CDC change feed in, closed versioned
+    * intervals out, the open (current) interval living in keyed
+    * state. flatMapGroupsWithState keyed on the entity: per trigger
+    * the group's fresh events apply in (ts, event_id) order; an
+    * attribute change CLOSES the open interval (emitted, append
+    * mode — emitted history is immutable) and opens the next
+    * version. Relies on per-key ordered delivery ACROSS triggers —
+    * exactly what a partitioned log (Kafka/Debezium per-key
+    * ordering) guarantees, the standard CDC contract; cross-trigger
+    * reordering would need retractions no append sink supports.
+    * State per entity is O(1): one open interval. Batch-gated
+    * against q47's closed intervals in StreamingSpec. */
+  def scd2Stream(events: org.apache.spark.sql.Dataset[ScdEvent])
+      : org.apache.spark.sql.Dataset[ScdInterval] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ScdState, ScdInterval](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[ScdEvent], state: GroupState[ScdState]) =>
+          val ordered = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer[ScdInterval]()
+          var st = state.getOption.orNull
+          ordered.foreach { e =>
+            if (st == null) st = ScdState(e.attr, e.ts, 1L)
+            else if (st.attr != e.attr) {
+              out += ScdInterval(uid, st.version, st.attr, st.from, e.ts)
+              st = ScdState(e.attr, e.ts, st.version + 1L)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   /** CMS hash family for the sketch-trending state (same
     * multiplicative family as q27's batch sketch; deterministic
     * constants, so streaming cells and the oracle replay agree). */

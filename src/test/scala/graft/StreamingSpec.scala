@@ -641,6 +641,50 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("st11 streaming SCD2 closes the same intervals q47 builds in batch") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // two users, attribute runs with repeats, split across triggers
+    val evs = Seq(
+      EventStream.ScdEvent(1L, t("10:00"), 1L, "view"),
+      EventStream.ScdEvent(1L, t("10:05"), 2L, "view"),
+      EventStream.ScdEvent(1L, t("10:10"), 3L, "click"),
+      EventStream.ScdEvent(2L, t("10:02"), 4L, "signup"),
+      EventStream.ScdEvent(1L, t("10:20"), 5L, "purchase"),
+      EventStream.ScdEvent(1L, t("10:30"), 6L, "purchase"),
+      EventStream.ScdEvent(2L, t("10:15"), 7L, "click"))
+    val stream = MemoryStream[EventStream.ScdEvent]
+    stream.addData(evs.take(4): _*)
+    val query = EventStream.scd2Stream(stream.toDS())
+      .writeStream.format("memory").queryName("st11_mem")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      query.processAllAvailable()
+      stream.addData(evs.drop(4): _*)
+      query.processAllAvailable()
+      val closed = spark.table("st11_mem")
+        .orderBy($"user_id", $"version").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getTimestamp(3), r.getTimestamp(4)))
+      // batch q47 on the same log: its closed intervals (valid_to
+      // non-null) must match exactly
+      val log = evs.map(e => (e.user_id, e.ts, e.event_id, e.attr))
+        .toDF("user_id", "ts", "event_id", "attr")
+      val batch = graft.operators.EngineQueries.scd2Of(log)
+        .filter(!$"is_current").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getTimestamp(3), r.getTimestamp(4)))
+      assert(closed.toSeq == batch.toSeq)
+      // exactly one open interval per user remains in state (not
+      // emitted): versions of emitted rows are dense from 1
+      closed.groupBy(_._1).foreach { case (_, rows) =>
+        assert(rows.map(_._2).sorted.toSeq == (1L to rows.length))
+      }
+    } finally query.stop()
+  }
+
   test("st10 sketch cells: stream == batch, state bounded, sketch linear") {
     val sparkSession = spark
     import sparkSession.implicits._
