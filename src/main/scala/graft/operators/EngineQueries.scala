@@ -1378,7 +1378,51 @@ object EngineQueries {
       .orderBy($"l_returnflag", $"status")
   }
 
+  /** q51: session PATH analysis — the first-order Markov transition
+    * matrix of event types within sessions (the product-analytics
+    * staple behind "where do users go after X"): per (from, to)
+    * event-type pair, how many adjacent same-session transitions the
+    * corpus contains. Session cut = q12's 30-minute gap. One keyed
+    * window (user) computes both the predecessor and the gap, so the
+    * whole matrix costs one exchange + one small aggregate —
+    * transition matrices at 100 TB are exactly this shape. */
+  def q51SessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .withColumn("gap_us",
+        unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)))
+      .filter($"prev_type".isNotNull && $"gap_us" <= 1800000000L)
+      .groupBy($"prev_type".as("from_type"), $"event_type".as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  /** q52: RETENTION COHORTS — the warehouse staple: users grouped by
+    * first-activity day (their cohort), tracked by how many are
+    * still active N days later. Two keyed aggregates (first-seen per
+    * user, then distinct-user counts per (cohort_day, day_offset));
+    * the first-seen table joins back BROADCAST at this scale and
+    * keyed at 100 TB — either way the matrix is |cohorts|·|offsets|
+    * rows, never user-sized. Integer day arithmetic end to end. */
+  def q52RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Caches.persist(Tables.events(spark, dir)
+      .select($"user_id",
+        expr("unix_micros(ts) div 86400000000").as("day")))
+    val cohort = ev.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    ev.join(broadcast(cohort), "user_id")
+      .groupBy($"cohort_day", ($"day" - $"cohort_day").as("day_offset"))
+      .agg(countDistinct($"user_id").as("active_users"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_retention_cohorts" -> q52RetentionCohorts _,
+    "q51_session_paths" -> q51SessionPaths _,
     "q50_unpivot" -> q50Unpivot _,
     "q49_pivot" -> q49Pivot _,
     "q48_mad_outliers" -> q48MadOutliers _,
@@ -1437,6 +1481,37 @@ object EngineQueries {
     s"(((${bfA(j)} * ($k % 2147483647) + ${bfB(j)}) % 2147483647) % 8192)"
 
   val oracles: Map[String, String] = Map(
+    // same keyed lag window, same 30-minute session cut
+    "q51_session_paths" ->
+      """WITH lagged AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER w AS prev_type,
+        |    date_diff('microsecond',
+        |      lag(CAST(ts AS TIMESTAMP)) OVER w,
+        |      CAST(ts AS TIMESTAMP)) AS gap_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY CAST(ts AS TIMESTAMP), event_id))
+        |SELECT prev_type AS from_type, event_type AS to_type,
+        |  CAST(count(*) AS BIGINT) AS n_transitions
+        |FROM lagged
+        |WHERE prev_type IS NOT NULL AND gap_us <= 1800000000
+        |GROUP BY from_type, to_type
+        |ORDER BY from_type, to_type""".stripMargin,
+    // same integer epoch-day cohorts and offsets
+    "q52_retention_cohorts" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+        |  CAST(ev.day - cohort_day AS BIGINT) AS day_offset,
+        |  CAST(count(DISTINCT ev.user_id) AS BIGINT) AS active_users
+        |FROM ev JOIN cohort USING (user_id)
+        |GROUP BY cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin,
     // declared-value pivot = conditional aggregation
     "q49_pivot" ->
       """SELECT l_returnflag,

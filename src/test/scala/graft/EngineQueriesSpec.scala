@@ -201,6 +201,31 @@ class EngineQueriesSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("q51 transitions conserve the session-event count identity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.sum
+    // within-session adjacent pairs = events - sessions (each session
+    // of length n contributes n-1 transitions)
+    val transitions = EngineQueries.q51SessionPaths(spark, sfDir)
+      .agg(sum($"n_transitions")).head.getLong(0)
+    val sess = EngineQueries.q12EventsSessionize(spark, sfDir)
+      .agg(sum($"sessions"), sum($"n_events")).head
+    assert(transitions == sess.getLong(1) - sess.getLong(0))
+  }
+
+  test("q52 retention: offset-0 counts every cohort user, decays after") {
+    val rows = EngineQueries.q52RetentionCohorts(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getLong(0))
+    byCohort.foreach { case (_, rs) =>
+      val at0 = rs.find(_.getLong(1) == 0L).get.getLong(2)
+      // day 0 is the cohort's maximum (everyone is active on their
+      // first day)
+      assert(rs.forall(_.getLong(2) <= at0))
+    }
+    Caches.releaseAll()
+  }
+
   test("q47 SCD2 intervals tile each entity's history exactly") {
     val rows = EngineQueries.q47Scd2(spark, sfDir).collect()
     assert(rows.nonEmpty)
