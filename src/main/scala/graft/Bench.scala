@@ -53,6 +53,8 @@ object Bench {
     val tM = System.nanoTime()
     operators.Knn.trainServingModels(spark, sfDir)
     operators.Dedup.trainSemModels(spark, sfDir)
+    operators.BpeTrainer.trainTokenizer(spark, sfDir)
+    operators.QualityModel.trainFilter(spark, sfDir)
     val modelDt = (System.nanoTime() - tM) / 1e9
     // best-of-3 per query: this box shows intermittent multi-second
     // CPU-steal windows (observed: the same query 0.2s and 25s in

@@ -129,6 +129,12 @@ object BpeTrainer {
       .orderBy($"doc_id")
   }
 
+  /** Index-build hook for Bench's `_model_training` line: train the
+    * session's tokenizer once so t17/t18/p15 serve from the memo. */
+  def trainTokenizer(spark: SparkSession, dir: String): Unit = {
+    merges(spark, dir); ()
+  }
+
   /** The session's trained merge table (memoized like the other
     * trained models). */
   private def merges(spark: SparkSession, dir: String): Seq[(String, String, Long, Long)] =

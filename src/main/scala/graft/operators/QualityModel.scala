@@ -142,6 +142,15 @@ object QualityModel {
     score(feats, lrFit(feats))
   }
 
+  /** Index-build hook for Bench's `_model_training` line. */
+  def trainFilter(spark: SparkSession, dir: String): Unit = {
+    val feats = graft.Caches.persist(features(Tables.documents(spark, dir)))
+    graft.TrainedModels.memo(spark, s"lr_quality:$dir:f=$NumFeatures:it=$Iterations") {
+      lrFit(feats)
+    }
+    ()
+  }
+
   /** t16: train the classifier on the corpus, then score every
     * document with the trained weights — emits the label it was
     * trained against, the model score, and the model's verdict.
