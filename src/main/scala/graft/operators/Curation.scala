@@ -400,23 +400,26 @@ object Curation {
     import spark.implicits._
     graft.plans.GraftFunctions.ensureRegistered(spark)
     val B = DsirBuckets
+    // bucket counts ride the poly_bow codegen kernel (one pass per
+    // doc) — the 64-filter HOF form it replaces was interpreted per
+    // element and dominated the bench line (4.4s -> ~1s at sf0.1).
+    // Counts are integral doubles (< 2^53), so every sum below is
+    // exact in any accumulation order.
     val counted = graft.Caches.persist(docs
       .select($"doc_id", isTarget.as("is_target"),
-        transform(sequence(lit(0), lit(B - 1)), j =>
-          size(filter(
-            call_function("poly_hash_all",
-              expr("regexp_extract_all(lower(text), '\\\\S+', 0)")),
-            h => pmod(h, lit(B)) === j)).cast("long")).as("c")))
+        call_function("poly_bow",
+          expr("regexp_extract_all(lower(text), '\\\\S+', 0)"),
+          lit(B)).as("c")))
     // bucket totals: positional sums over target and raw (64 rows)
     val totals = counted
       .select($"is_target", posexplode($"c"))
       .groupBy($"pos")
-      .agg(sum(when($"is_target", $"col").otherwise(0L)).as("ct"),
+      .agg(sum(when($"is_target", $"col").otherwise(0.0)).as("ct"),
            sum($"col").as("cr"))
       .orderBy($"pos")
-      .as[(Int, Long, Long)].collect()
-    val grandT = totals.map(_._2).sum.toDouble
-    val grandR = totals.map(_._3).sum.toDouble
+      .as[(Int, Double, Double)].collect()
+    val grandT = totals.map(_._2).sum
+    val grandR = totals.map(_._3).sum
     def r9(v: Double): Double =
       BigDecimal.valueOf(v).setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
     val lambda: Seq[Double] = totals.map { case (_, ct, cr) =>
@@ -425,7 +428,7 @@ object Curation {
     counted
       .select($"doc_id", $"is_target",
         round(aggregate(sequence(lit(1), lit(B)), lit(0.0), (acc, j) =>
-          acc + element_at($"c", j).cast("double") *
+          acc + element_at($"c", j) *
                 element_at(typedLit(lambda), j)), 6).as("weight"))
       .withColumn("kept", $"weight" > 0.0)
       .orderBy($"doc_id")

@@ -85,13 +85,13 @@ object QualityModel {
           lit(0.3) * ($"n_stop".cast("double") / greatest($"n_tok", lit(1))),
           6).as("quality"))
     val med = scored.agg(expr("percentile(quality, 0.5)").as("med"))
+    // bucket counts via the poly_bow codegen kernel (one pass; the
+    // 32-filter HOF form was interpreted per element)
     scored.crossJoin(broadcast(med))
       .select($"doc_id",
         concat(
-          transform(sequence(lit(0), lit(NumFeatures - 1)), j =>
-            size(filter(call_function("poly_hash_all", $"tk"),
-                        h => pmod(h, lit(NumFeatures)) === j)).cast("double") /
-              greatest(size($"tk"), lit(1)).cast("double")),
+          transform(call_function("poly_bow", $"tk", lit(NumFeatures)),
+            c => c / greatest(size($"tk"), lit(1)).cast("double")),
           array(lit(1.0))).as("x"),
         when($"quality" >= $"med", 1.0).otherwise(0.0).as("y"))
   }
