@@ -679,7 +679,36 @@ object Knn {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** a12: ANN RECALL evaluation — "measure, don't guess" for the
+    * approximate family: every serving method's top-5 intersected
+    * with a1's exact top-5, reported as recall@5. The calibration
+    * pass a deployment runs on a sample BEFORE trusting an
+    * approximate index fleet-wide (the same discipline as the
+    * q25/q27/d9/d12 estimate-next-to-exact accounting). Each method
+    * probes the same 10 queries; hit counting is a left-semi join on
+    * (q_id, vec_id) — integers end to end, and the oracle replays
+    * the full pipelines of all four methods as subqueries. */
+  def a12AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = graft.Caches.persist(
+      a1BruteForce(spark, dir).select($"q_id", $"vec_id"))
+    val possible = exact.count()
+    val methods = Seq(
+      ("ivf", a3Ivf(spark, dir)),
+      ("ivf64", a8KnnIvfShared(spark, dir)),
+      ("lsh", a2Lsh(spark, dir)))
+    methods.map { case (name, df) =>
+      val hits = df.select($"q_id", $"vec_id")
+        .join(exact, Seq("q_id", "vec_id"), "left_semi").count()
+      (name, hits, possible)
+    }.toDF("method", "hits", "possible")
+      .withColumn("recall_at_5",
+        round($"hits".cast("double") / $"possible", 4))
+      .orderBy($"method")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a12_ann_recall" -> a12AnnRecall _,
     "a1_knn_bruteforce" -> a1BruteForce _,
     "a2_knn_lsh" -> a2Lsh _,
     "a3_knn_ivf" -> a3Ivf _,
@@ -954,7 +983,34 @@ object Knn {
        |ORDER BY q_id, rnk""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  /** a12's oracle: the exact + three approximate pipelines replayed
+    * VERBATIM as subqueries (same strings the driver verifies for
+    * a1/a2/a3/a8), intersected and counted. */
+  lazy val oracles: Map[String, String] = {
+    def pipe(name: String) = s"(SELECT q_id, vec_id FROM (${baseOracles(name)}))"
+    val methods = Seq("ivf" -> "a3_knn_ivf", "ivf64" -> "a8_knn_ivf64",
+      "lsh" -> "a2_knn_lsh")
+    val hitCtes = methods.map { case (m, q) =>
+      s"""h_$m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS hits FROM ${pipe(q)} x
+         |  JOIN exact USING (q_id, vec_id))""".stripMargin
+    }.mkString(",\n")
+    val unions = methods.map { case (m, _) =>
+      s"SELECT '$m' AS method, hits, possible FROM h_$m, nq"
+    }.mkString("\nUNION ALL\n")
+    baseOracles + ("a12_ann_recall" ->
+      s"""WITH exact AS (
+         |  SELECT q_id, vec_id FROM (${baseOracles("a1_knn_bruteforce")})),
+         |nq AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS possible FROM exact),
+         |$hitCtes
+         |SELECT method, hits, possible,
+         |  round(CAST(hits AS DOUBLE) / possible, 4) AS recall_at_5
+         |FROM ($unions)
+         |ORDER BY method""".stripMargin)
+  }
+
+  private lazy val baseOracles: Map[String, String] = Map(
     "a6_knn_pq" -> a6Sql,
     "a11_ivf_pq" -> a11Sql,
     "a7_knn_pq_kmeans" -> a7Sql,

@@ -175,4 +175,20 @@ class KnnSpec extends SparkSpec {
       gold.foreach(g => assert(g.getDouble(2) == r.getDouble(2)))
     }
   }
+
+  test("a12 recall report: bounded, consistent, and repeat-stable") {
+    val rows = Knn.a12AnnRecall(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("ivf", "ivf64", "lsh"))
+    rows.foreach { r =>
+      val (hits, possible, recall) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(hits >= 0 && hits <= possible)
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(math.abs(recall - hits.toDouble / possible) < 1e-4)
+      // an approximate index that finds nothing is a broken index
+      assert(hits > 0)
+    }
+    val again = Knn.a12AnnRecall(spark, sfDir).collect()
+    assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+    Caches.releaseAll()
+  }
 }
