@@ -88,11 +88,12 @@ object Dedup {
     * maxBucket -> equi-self-join. The window count is linear even for
     * a mega-bucket (one sorted partition), so the degenerate case
     * never reaches the quadratic stage. Exposed for the skew spec. */
-  private[graft] def lshCandidates(sig: DataFrame, maxBucket: Int): DataFrame = {
+  private[graft] def lshCandidates(sig: DataFrame, maxBucket: Int,
+                                   nBands: Int = 64, rowsPerBand: Int = 2): DataFrame = {
     import sig.sparkSession.implicits._
     val bands = sig
       .select($"doc_id",
-              posexplode(H.bandHashes($"mh", bands = 64, rowsPerBand = 2)))
+              posexplode(H.bandHashes($"mh", bands = nBands, rowsPerBand = rowsPerBand)))
       .select($"doc_id", $"pos".as("band_idx"), $"col".as("band_hash"))
     val wB = Window.partitionBy($"band_idx", $"band_hash")
     // NOT persisted, measured: both join sides reference this subtree,
@@ -118,9 +119,11 @@ object Dedup {
     * sort or aggregate as needed. */
   private[graft] def minhashLshPairsOf(sig: DataFrame,
                                        maxBucket: Int = MaxBandBucket,
-                                       threshold: Double = 0.3): DataFrame = {
+                                       threshold: Double = 0.3,
+                                       nBands: Int = 64,
+                                       rowsPerBand: Int = 2): DataFrame = {
     import sig.sparkSession.implicits._
-    val candidates = lshCandidates(sig, maxBucket)
+    val candidates = lshCandidates(sig, maxBucket, nBands, rowsPerBand)
     val sets = sig.select($"doc_id", $"hs")
     candidates
       .join(sets.as("sa"), $"a_id" === $"sa.doc_id")
@@ -141,6 +144,25 @@ object Dedup {
   def d2MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     minhashLshPairsOf(minhashSigs(spark, dir)).orderBy($"a_id", $"b_id")
+  }
+
+  /** d14: TUNED MinHash-LSH — the [[optimalBands]] knob actually
+    * driving a dedup run: for a caller-chosen target Jaccard the
+    * tuner picks the S-curve-optimal (bands, rowsPerBand) split of
+    * the same 128-perm signatures (no re-sketch — the shared scan
+    * serves every layout), and the band join + verify run at that
+    * geometry. d2's fixed 64x2 is the recall-heavy default for
+    * j>=0.3; a run hunting only strong dups (j>=0.5 here) wants
+    * fewer/wider bands — fewer candidate pairs for the same recall
+    * at the target, which at 100 TB is the difference between a
+    * band join that fits and one that doesn't. The tuner is a pure
+    * function, so the oracle replays the exact tuned geometry. */
+  def d14TunedLsh(spark: SparkSession, dir: String,
+                  target: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val (b, r) = optimalBands(target, perms = 128)
+    minhashLshPairsOf(minhashSigs(spark, dir), MaxBandBucket, target, b, r)
+      .orderBy($"a_id", $"b_id")
   }
 
   /** SimHash near-dup pairs: 60-bit token-level simhash (token hash =
@@ -593,6 +615,7 @@ object Dedup {
     "d8_incremental_dedup" -> d8IncrementalDedup _,
     "d1_dedup_exact" -> d1Exact _,
     "d2_dedup_minhash_lsh" -> d2MinhashLsh _,
+    "d14_tuned_lsh" -> ((sp, d) => d14TunedLsh(sp, d)),
     "d3_dedup_simhash" -> d3Simhash _,
     "d4_ngram_jaccard" -> d4NgramJaccard _,
     "d5_dedup_embedding" -> d5EmbeddingCosine _,
@@ -727,6 +750,47 @@ object Dedup {
 
   private[operators] lazy val d2Sql: String = d2SqlOver("documents")
 
+  /** The tuned-geometry LSH replay: same shingle/minhash CTEs, band
+    * fold generalized to (bands, rows) via list_reduce over the
+    * signature slice — the same fold H.bandHashes runs. */
+  private def d14Sql(target: Double): String = {
+    val (b, r) = optimalBands(target, perms = 128)
+    s"""WITH ${hashedSetSqlOver("documents")},
+       |sigm AS (
+       |  SELECT e.doc_id, p.p AS p,
+       |    min(((${H.permConstants(128)._1.mkString("[", ", ", "]")})[p.p] * (e.h % 2147483647)
+       |      + (${H.permConstants(128)._2.mkString("[", ", ", "]")})[p.p]) % 2147483647) AS m
+       |  FROM (SELECT doc_id, unnest(hs) AS h FROM d) e,
+       |       LATERAL unnest(generate_series(1, 128)) AS p(p)
+       |  GROUP BY e.doc_id, p.p),
+       |sig AS (
+       |  SELECT doc_id, list(m ORDER BY p) AS mh FROM sigm GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, b.i - 1 AS band_idx,
+       |    list_reduce(
+       |      list_prepend(CAST(b.i - 1 AS BIGINT),
+       |        mh[((b.i - 1) * $r + 1):(b.i * $r)]),
+       |      (h, v) -> (h * 31 + v % 1000000007) % 1000000007) AS band_hash
+       |  FROM sig, LATERAL unnest(generate_series(1, $b)) AS b(i)),
+       |keptb AS (
+       |  SELECT doc_id, band_idx, band_hash FROM (
+       |    SELECT doc_id, band_idx, band_hash,
+       |      count(*) OVER (PARTITION BY band_idx, band_hash) AS bcnt
+       |    FROM bands) WHERE bcnt <= $MaxBandBucket),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM keptb x JOIN keptb y
+       |    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+       |   AND x.doc_id < y.doc_id)
+       |SELECT a_id, b_id, jaccard FROM (
+       |  SELECT a_id, b_id,
+       |    round(CAST(len(list_intersect(da.hs, db.hs)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(da.hs, db.hs))), 6) AS jaccard
+       |  FROM cand JOIN d da ON da.doc_id = a_id JOIN d db ON db.doc_id = b_id)
+       |WHERE jaccard >= $target
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** d8's replay: d2's capped-band prefix, the id-midpoint cut, the
     * probe-side asymmetry (y.doc_id >= cut), and the best-prior-match
     * window. */
@@ -796,6 +860,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "d2_dedup_minhash_lsh" -> d2Sql,
+    "d14_tuned_lsh" -> d14Sql(0.5),
     "d8_incremental_dedup" -> d8Sql,
     // d2's capped-band candidates, scored by signature agreement AND
     // the exact set Jaccard; est = k/128 is an exact binary rational

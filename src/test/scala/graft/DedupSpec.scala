@@ -295,4 +295,29 @@ class DedupSpec extends SparkSpec {
       assert(rows.map(_.getLong(0)).min == rep, s"cluster $rep min")
     }
   }
+
+  test("d14 tuned LSH finds strong near-dups at the tuned geometry") {
+    // the tuner picks a real split of the 128 perms for j>=0.5
+    val (b, r) = Dedup.optimalBands(0.5, 128)
+    assert(b * r == 128 && b > 1 && r > 1)
+    // wider bands than d2's recall-heavy 64x2: the tuned threshold
+    // (1/b)^(1/r) sits near 0.5, not 0.125
+    val t = math.pow(1.0 / b, 1.0 / r)
+    assert(t > 0.25 && t < 0.75, s"tuned threshold $t (b=$b r=$r)")
+    val pairs = Dedup.d14TunedLsh(spark, sfDir).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { p =>
+      assert(p.getLong(0) < p.getLong(1))
+      assert(p.getDouble(2) >= 0.5)
+    }
+    // strong pairs (j >= 0.9) that d2's verified set contains must
+    // also surface at the tuned geometry (collision prob ~1 there)
+    val strong = Dedup.d2MinhashLsh(spark, sfDir).collect()
+      .filter(_.getDouble(2) >= 0.9)
+      .map(p => (p.getLong(0), p.getLong(1))).toSet
+    val found = pairs.map(p => (p.getLong(0), p.getLong(1))).toSet
+    assert(strong.subsetOf(found),
+      s"missing strong pairs: ${strong -- found}")
+    Caches.releaseAll(); Caches.releaseShared()
+  }
 }
