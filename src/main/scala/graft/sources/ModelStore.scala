@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** Lakehouse persistence for DRIVER-SIDE trained artifacts — the
+  * restart seam [[graft.TrainedModels]]'s session memo lacks: a
+  * production serving deployment trains its models once (LR quality
+  * weights, BPE merge table, k-means centroids — kilobytes each),
+  * persists them next to the data, and every later session LOADS
+  * instead of re-running the training scans. The a8 IVF index
+  * persists its ASSIGNMENTS; this store persists the MODELS that
+  * produced them.
+  *
+  * Layout: one parquet directory per named artifact under the store
+  * root, positional rows (ordinal columns, value) — schema-stable,
+  * mergeable into any catalog, readable by anything. Writes
+  * overwrite atomically per artifact (the parquet committer's
+  * temp-dir rename), loads return None when absent so callers fall
+  * back to training.
+  */
+object ModelStore {
+
+  private def dir(root: String, name: String) = s"$root/model=$name"
+
+  /** Persist a weight/centroid-style vector (pos, value). */
+  def saveVector(spark: SparkSession, root: String, name: String,
+                 v: Seq[Double]): Unit = {
+    import spark.implicits._
+    v.zipWithIndex.map { case (x, i) => (i, x) }
+      .toDF("pos", "value")
+      .coalesce(1).write.mode("overwrite").parquet(dir(root, name))
+  }
+
+  /** Load a vector saved by [[saveVector]]; None when absent. */
+  def loadVector(spark: SparkSession, root: String,
+                 name: String): Option[Seq[Double]] = {
+    import spark.implicits._
+    val d = new org.apache.hadoop.fs.Path(dir(root, name))
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(d)) None
+    else Some(spark.read.parquet(dir(root, name))
+      .orderBy($"pos").select($"value").as[Double].collect().toSeq)
+  }
+
+  /** Persist a centroid matrix (cid, pos, value). */
+  def saveMatrix(spark: SparkSession, root: String, name: String,
+                 m: Seq[Seq[Double]]): Unit = {
+    import spark.implicits._
+    m.zipWithIndex.flatMap { case (row, cid) =>
+      row.zipWithIndex.map { case (x, p) => (cid, p, x) }
+    }.toDF("cid", "pos", "value")
+      .coalesce(1).write.mode("overwrite").parquet(dir(root, name))
+  }
+
+  /** Load a matrix saved by [[saveMatrix]]; None when absent. */
+  def loadMatrix(spark: SparkSession, root: String,
+                 name: String): Option[Seq[Seq[Double]]] = {
+    import spark.implicits._
+    val d = new org.apache.hadoop.fs.Path(dir(root, name))
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(d)) None
+    else Some(spark.read.parquet(dir(root, name))
+      .orderBy($"cid", $"pos").as[(Int, Int, Double)].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq))
+  }
+
+  /** Persist a BPE merge table (rank-ordered pairs). */
+  def saveMerges(spark: SparkSession, root: String, name: String,
+                 merges: Seq[(String, String)]): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(dir(root, name))
+  }
+
+  /** Load a merge table saved by [[saveMerges]]; None when absent. */
+  def loadMerges(spark: SparkSession, root: String,
+                 name: String): Option[Seq[(String, String)]] = {
+    import spark.implicits._
+    val d = new org.apache.hadoop.fs.Path(dir(root, name))
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(d)) None
+    else Some(spark.read.parquet(dir(root, name))
+      .orderBy($"rank").select($"left", $"right")
+      .as[(String, String)].collect().toSeq)
+  }
+
+  /** Load-or-train: the restart discipline in one call — disk hit
+    * loads (no training scan), miss trains via `build` and persists
+    * for the next session. */
+  def vectorOrTrain(spark: SparkSession, root: String, name: String)
+                   (build: => Seq[Double]): Seq[Double] =
+    loadVector(spark, root, name).getOrElse {
+      val v = build; saveVector(spark, root, name, v); v
+    }
+}
