@@ -515,17 +515,27 @@ object EngineQueries {
     // path stays inside whole-stage codegen (measured 9.3s -> ~0.6s
     // for 600k keys; array HOFs have no doGenCode and cost ~15µs/row
     // when the estimate is actually consumed downstream).
-    val vals = keys.toDF("k")
-      .withColumn("h", md5($"k".cast("string")))
-      .select(conv(substring($"h", 1, 15), 16, 10).cast("long").as("v"))
-    val w = $"v".bitwiseAND(lit((1L << 52) - 1))
+    withHllRegRho(keys.toDF("k"), col("k"))
+      .groupBy($"register").agg(max($"rho").as("mj"))
+  }
+
+  /** Append per-row HLL (register, rho) columns for `key` — the
+    * per-event form streaming state (st12) shares with the batch
+    * sketch above. */
+  private[graft] def withHllRegRho(df: DataFrame,
+                                   key: Column): DataFrame = {
+    import df.sparkSession.implicits._
+    val withV = df
+      .withColumn("_h", md5(key.cast("string")))
+      .withColumn("_v", conv(substring($"_h", 1, 15), 16, 10).cast("long"))
+    val w = $"_v".bitwiseAND(lit((1L << 52) - 1))
     var bitlen: Column = lit(0)
     for (nb <- 1 to 52)
       bitlen = when(w >= lit(1L << (nb - 1)), lit(nb)).otherwise(bitlen)
-    vals
-      .select(shiftright($"v", 52).cast("int").as("register"),
-        (lit(53) - bitlen).cast("int").as("rho"))
-      .groupBy($"register").agg(max($"rho").as("mj"))
+    withV
+      .withColumn("register", shiftright($"_v", 52).cast("int"))
+      .withColumn("rho", (lit(53) - bitlen).cast("int"))
+      .drop("_h", "_v")
   }
 
   /** The αm bias-corrected estimate over a (register, mj) frame —

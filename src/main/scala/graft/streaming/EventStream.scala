@@ -470,6 +470,71 @@ object EventStream {
       .orderBy($"window_start", $"event_type")
   }
 
+  /** st12: windowed DISTINCT-USER sketch — HLL registers as
+    * streaming state, the COUNT DISTINCT companion to st10's CMS
+    * counts: exact per-window distinct users keeps one state row per
+    * (window, user) — unbounded in the user base — while the HLL
+    * keeps at most 256 (window, register) rows per window with ~6%
+    * standard error. Like the CMS, the register max is
+    * order-independent and MERGEABLE (max of maxes), so partial
+    * aggregation, shard merges, and any arrival order produce the
+    * identical sketch; estimation happens at serve time
+    * ([[hllWindowEstimates]] in foreachBatch / the batch probe). */
+  def hllCells(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    graft.operators.EngineQueries
+      .withHllRegRho(events.select($"ts", $"user_id"), $"user_id")
+      .groupBy(window($"ts", "1 hour"), $"register")
+      .agg(max($"rho").as("mj"))
+      .select($"window.start".as("window_start"), $"register", $"mj")
+  }
+
+  /** The watermarked streaming form of [[hllCells]]. */
+  def hllCellsStream(events: DataFrame): DataFrame =
+    hllCells(events.withWatermark("ts", "10 minutes"))
+
+  /** Per-window αm bias-corrected estimates over a (window_start,
+    * register, mj) cells frame — q25's estimator keyed by window,
+    * same ordered fold so the oracle replays it. */
+  def hllWindowEstimates(cells: DataFrame): DataFrame = {
+    import cells.sparkSession.implicits._
+    val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+      lit(65536.0)
+    cells
+      .groupBy($"window_start")
+      .agg(array_sort(collect_list(struct($"register", $"mj"))).as("rm"),
+           count(lit(1)).cast("double").as("present"))
+      .select($"window_start",
+        aggregate(transform($"rm", p => pow(lit(2.0), -p("mj"))),
+                  lit(0.0), _ + _).as("inv_present"),
+        (lit(256.0) - $"present").as("zeros"))
+      .select($"window_start",
+        (alphaM2 / ($"inv_present" + $"zeros")).as("e_raw"), $"zeros")
+      .select($"window_start",
+        when($"e_raw" <= lit(2.5 * 256) && $"zeros" > 0,
+             lit(256.0) * log(lit(256.0) / $"zeros"))
+          .otherwise($"e_raw").as("e"))
+  }
+
+  /** Batch mirror (driver-checked): sketch estimate NEXT TO the
+    * exact per-window distinct, with measured error — the same
+    * calibration discipline as q25/q27/a12. */
+  def st12DistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Caches.persist(
+      Tables.events(spark, dir).select($"ts", $"user_id"))
+    val est = hllWindowEstimates(hllCells(ev))
+    val exact = ev
+      .groupBy(window($"ts", "1 hour"))
+      .agg(countDistinct($"user_id").as("exact_users"))
+      .select($"window.start".as("window_start"), $"exact_users")
+    est.join(exact, Seq("window_start"))
+      .select($"window_start", $"exact_users",
+        round($"e", 4).as("approx_users"),
+        round(abs($"e" / $"exact_users" - 1.0) * 100.0, 2).as("err_pct"))
+      .orderBy($"window_start")
+  }
+
   /** Batch mirror of the trending pipeline (driver-checked). */
   def st8Trending(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -546,6 +611,7 @@ object EventStream {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st9_dedup_agg" -> st9DedupAgg _,
+    "st12_distinct_users" -> st12DistinctUsers _,
     "st10_sketch_trending" -> st10SketchTrending _,
     "st8_trending" -> st8Trending _,
     "st1_window_agg" -> st1WindowAgg _,
@@ -589,6 +655,61 @@ object EventStream {
     // replay + dedup collapses to the clean input: st1's oracle,
     // verbatim — the chain is correct iff nothing double counts
     "st9_dedup_agg" -> st1Sql,
+    // q25's nibble-exact register replay keyed per hour window, same
+    // ordered register fold, exact distinct alongside
+    "st12_distinct_users" ->
+      """WITH hashed AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |    user_id, md5(CAST(user_id AS VARCHAR)) AS h
+        |  FROM events),
+        |rr AS (
+        |  SELECT window_start,
+        |    (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |      + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) AS register,
+        |    coalesce(list_position(
+        |      list_transform(generate_series(3, 15),
+        |        i -> instr('0123456789abcdef', substr(h, i, 1)) - 1 > 0),
+        |      true), 0) AS fnz,
+        |    list_transform(generate_series(3, 15),
+        |      i -> instr('0123456789abcdef', substr(h, i, 1)) - 1) AS nibs
+        |  FROM hashed),
+        |rho AS (
+        |  SELECT window_start, register,
+        |    CASE WHEN fnz = 0 THEN 53
+        |      ELSE (fnz - 1) * 4
+        |        + CASE WHEN nibs[fnz] = 1 THEN 3
+        |               WHEN nibs[fnz] <= 3 THEN 2
+        |               WHEN nibs[fnz] <= 7 THEN 1
+        |               ELSE 0 END + 1 END AS rho
+        |  FROM rr),
+        |regs AS (
+        |  SELECT window_start, register, max(rho) AS mj
+        |  FROM rho GROUP BY window_start, register),
+        |sk AS (
+        |  SELECT window_start,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(power(2.0, -mj) ORDER BY register)), (a, x) -> a + x)
+        |      AS inv_present,
+        |    256.0 - CAST(count(*) AS DOUBLE) AS zeros
+        |  FROM regs GROUP BY window_start),
+        |fin AS (
+        |  SELECT window_start,
+        |    CASE WHEN e_raw <= 640.0 AND zeros > 0
+        |         THEN 256.0 * ln(256.0 / zeros)
+        |         ELSE e_raw END AS e
+        |  FROM (
+        |    SELECT window_start, zeros,
+        |      0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+        |        / (inv_present + zeros) AS e_raw
+        |    FROM sk)),
+        |exact AS (
+        |  SELECT window_start, count(DISTINCT user_id) AS exact_users
+        |  FROM hashed GROUP BY window_start)
+        |SELECT f.window_start, exact_users,
+        |  round(e, 4) AS approx_users,
+        |  round(abs(e / exact_users - 1.0) * 100.0, 2) AS err_pct
+        |FROM fin f JOIN exact USING (window_start)
+        |ORDER BY window_start""".stripMargin,
     // same poly key hash, same multiplicative cell family, same
     // min-over-depth probe — integers end to end
     "st10_sketch_trending" -> {

@@ -685,6 +685,49 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("st12 HLL cells: stream == batch, state bounded by registers, mergeable") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val evs = (0 until 500).map { i =>
+      SwEv(i % 113L, t(f"10:${i % 60}%02d"), 1.0)
+    }
+    def batchDF(xs: Seq[SwEv]) = xs.map(e => (e.ts, e.user_id))
+      .toDF("ts", "user_id")
+    val stream = MemoryStream[SwEv]
+    stream.addData(evs.take(250): _*)
+    val query = EventStream.hllCellsStream(
+        stream.toDF().select($"ts", $"user_id"))
+      .writeStream.format("memory").queryName("st12_mem")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      query.processAllAvailable()
+      stream.addData(evs.drop(250): _*)
+      query.processAllAvailable()
+      val streamCells = spark.table("st12_mem")
+        .orderBy($"window_start", $"register").collect().map(_.toSeq).toSeq
+      val batchCells = EventStream.hllCells(batchDF(evs))
+        .orderBy($"window_start", $"register").collect().map(_.toSeq).toSeq
+      assert(streamCells == batchCells)
+      // bounded: at most 256 registers however many users arrive
+      assert(streamCells.length <= 256)
+      // mergeable: per-register max over halves equals the whole
+      val merged = EventStream.hllCells(batchDF(evs.take(250)))
+        .unionAll(EventStream.hllCells(batchDF(evs.drop(250))))
+        .groupBy($"window_start", $"register")
+        .agg(org.apache.spark.sql.functions.max($"mj").as("mj"))
+        .orderBy($"window_start", $"register").collect().map(_.toSeq).toSeq
+      assert(merged == batchCells)
+      // estimate lands near the true 113 distinct users
+      val est = EventStream.hllWindowEstimates(
+        EventStream.hllCells(batchDF(evs))).collect()
+      assert(est.length == 1)
+      val e = est.head.getDouble(1)
+      assert(math.abs(e / 113.0 - 1.0) < 0.25, s"estimate $e vs 113")
+    } finally query.stop()
+  }
+
   test("st10 sketch cells: stream == batch, state bounded, sketch linear") {
     val sparkSession = spark
     import sparkSession.implicits._
