@@ -366,6 +366,40 @@ object Curation {
       .orderBy($"source", $"start_off", $"doc_id")
   }
 
+  /** p16: MIXTURE INTERLEAVE — the deterministic read order that
+    * keeps the source mix STATIONARY through training (p6 decides
+    * which documents; p11 shuffles; this decides the sequence, so
+    * the loader doesn't drift through sources and accidentally run a
+    * curriculum). Stride scheduling: within a shard, source s's r-th
+    * document gets key (2r-1)·10⁶ div w_s (w_s = the source's token
+    * mass — one tiny broadcast aggregate), and the shard reads in
+    * key order — heavier sources stride shorter, so every prefix
+    * holds each source's share ≈ its weight. All integer arithmetic;
+    * per-shard keyed windows only (the p11 rule: no global order);
+    * content-hash ranks make the layout rerun/layout-stable. */
+  def p16MixtureInterleave(spark: SparkSession, dir: String,
+                           nShards: Int = 16): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
+          .as("n_tok"),
+        element_at(call_function("poly_hash_all", array($"text")), 1).as("h"))
+      .select($"doc_id", $"source", $"n_tok",
+        ($"h" % nShards).as("shard"), expr(s"h div $nShards").as("sub"))
+    val weights = docs.groupBy($"source").agg(sum($"n_tok").as("w"))
+    val wRank = Window.partitionBy($"shard", $"source").orderBy($"sub", $"doc_id")
+    val wPos = Window.partitionBy($"shard").orderBy($"key", $"source", $"doc_id")
+    docs.join(broadcast(weights), "source")
+      .withColumn("r", row_number().over(wRank).cast("long"))
+      .withColumn("key", expr("((2 * r - 1) * 1000000) div w"))
+      .withColumn("pos", row_number().over(wPos).cast("long"))
+      .select($"shard", $"pos", $"doc_id", $"source")
+      .orderBy($"shard", $"pos")
+  }
+
   /** Hash buckets for p13's importance-weight features. */
   val DsirBuckets = 64
 
@@ -435,6 +469,7 @@ object Curation {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p16_mixture_interleave" -> ((s, d) => p16MixtureInterleave(s, d)),
     "p15_pack_bpe" -> ((s, d) => p15PackBpe(s, d)),
     "p14_pack_report" -> ((s, d) => p14PackReport(s, d)),
     "p13_dsir" -> p13Dsir _,
@@ -485,6 +520,37 @@ object Curation {
        |  FROM packed p JOIN o ON o.source = p.source AND o.rn = p.rn + 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same hash shard/sub split, same per-source ranks, same integer
+    // stride keys, same within-shard order
+    "p16_mixture_interleave" ->
+      s"""WITH h AS (SELECT doc_id, source, text AS t FROM documents),
+         |d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(t, '\\S+')) AS BIGINT) AS n_tok,
+         |    ($polyFoldSql) AS hv
+         |  FROM h),
+         |sh AS (
+         |  SELECT doc_id, source, n_tok,
+         |    hv % 16 AS shard, hv // 16 AS sub
+         |  FROM d),
+         |wt AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS w
+         |       FROM sh GROUP BY source),
+         |ranked AS (
+         |  SELECT sh.doc_id, sh.source, sh.shard,
+         |    CAST(row_number() OVER (PARTITION BY sh.shard, sh.source
+         |      ORDER BY sh.sub, sh.doc_id) AS BIGINT) AS r,
+         |    wt.w AS w
+         |  FROM sh JOIN wt ON sh.source = wt.source),
+         |keyed AS (
+         |  SELECT doc_id, source, shard,
+         |    ((2 * r - 1) * 1000000) // w AS key
+         |  FROM ranked)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY shard
+         |    ORDER BY key, source, doc_id) AS BIGINT) AS pos,
+         |  doc_id, source
+         |FROM keyed
+         |ORDER BY shard, pos""".stripMargin,
     // t18's tokenization chain + p7's keyed-cumsum layout, offsets
     // in trained-BPE tokens
     "p15_pack_bpe" ->

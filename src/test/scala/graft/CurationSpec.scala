@@ -121,6 +121,30 @@ class CurationSpec extends SparkSpec {
     assert(sh(1L) == sh(2L))
   }
 
+  test("p16 interleave keeps source shares stationary across prefixes") {
+    val rows = Curation.p16MixtureInterleave(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    assert(rows.nonEmpty)
+    val byShard = rows.groupBy(_._1)
+    byShard.values.foreach { shard =>
+      val ordered = shard.sortBy(_._2).map(_._3)
+      // dense positions
+      assert(shard.map(_._2).sorted.toSeq == (1L to shard.length))
+      if (ordered.length >= 40) {
+        // no curriculum drift: each source's share in the first half
+        // tracks its overall share (within a tolerance that a
+        // source-grouped order would blow past)
+        val half = ordered.take(ordered.length / 2)
+        ordered.distinct.foreach { src =>
+          val overall = ordered.count(_ == src).toDouble / ordered.length
+          val early = half.count(_ == src).toDouble / half.length
+          assert(math.abs(early - overall) < 0.15,
+            s"source $src drifts: first-half $early vs overall $overall")
+        }
+      }
+    }
+  }
+
   test("p13 DSIR weights rank target-vocabulary docs above off-target docs") {
     import spark.implicits._
     // target slice (is_target) speaks vocab A; the raw remainder
