@@ -546,6 +546,16 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
     graft.streaming.EventStream.probeSketch(cells, keys)
   }
 
+  /** Train a BPE tokenizer on the corpus (t17): the per-round merge
+    * table with pair counts and the compression trajectory. */
+  def trainTokenizer(rounds: Int = graft.operators.BpeTrainer.Rounds): DataFrame =
+    graft.operators.BpeTrainer.trainOf(corpus, rounds)
+
+  /** Tokenize the corpus with a trained merge list (t18):
+    * whitespace-vs-BPE token counts per document. */
+  def tokenize(merges: Seq[(String, String)]): DataFrame =
+    graft.operators.BpeTrainer.tokenizeOf(corpus, merges)
+
   /** Pack documents whole into fixed-capacity bins (p8's next-fit
     * layout — SFT/instruction data where a split document is a
     * corrupted example). Requires a `source` column; oversize

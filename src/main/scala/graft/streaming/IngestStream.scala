@@ -67,6 +67,37 @@ object IngestStream {
   /** Chunk + contextualize + embed a (doc_id, source, text) frame —
     * shared by the streaming query and batch backfills (same lambda/
     * kappa pairing as EventStream.windowedAgg). */
+  /** st13: TRAINED-MODEL quality gate on the ingest path — the t16
+    * classifier served inline on the stream: each arriving document
+    * scores map-only against the broadcast weight literal (the same
+    * IEEE-exact fast-sigmoid fold the batch scorer runs — a
+    * stateless projection, so it composes with any downstream
+    * stateful stage), and low-scoring documents route to a quarantine
+    * flag instead of silently vanishing (the DLQ discipline
+    * decodeTasks uses for poison payloads). Weights come from a
+    * prior training run (ModelStore.loadVector / TrainedModels) —
+    * train offline, serve online, the standard split. Works
+    * identically on batch frames; StreamingSpec gates stream ≡
+    * batch scoring. */
+  def qualityGate(docs: DataFrame, weights: Seq[Double],
+                  threshold: Double = 0.5): DataFrame = {
+    import docs.sparkSession.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val dim = weights.length
+    val scored = docs
+      .withColumn("_tk", expr("regexp_extract_all(lower(content), '\\\\S+', 0)"))
+      .withColumn("_x", concat(
+        transform(call_function("poly_bow", $"_tk", lit(dim - 1)),
+          c => c / greatest(size($"_tk"), lit(1)).cast("double")),
+        array(lit(1.0))))
+      .withColumn("_z", aggregate(sequence(lit(1), lit(dim)), lit(0.0),
+        (acc, j) => acc + element_at($"_x", j) * element_at(typedLit(weights), j)))
+      .withColumn("quality_score",
+        round(lit(0.5) + lit(0.5) * $"_z" / (lit(1.0) + abs($"_z")), 6))
+      .drop("_tk", "_x", "_z")
+    scored.withColumn("quarantined", $"quality_score" < threshold)
+  }
+
   def chunkAndEmbed(docs: DataFrame, maxTokens: Int = 64, dims: Int = 64): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

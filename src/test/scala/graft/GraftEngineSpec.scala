@@ -363,6 +363,15 @@ class GraftEngineSpec extends SparkSpec {
       .select($"user_id", $"ts", $"event_id", $"event_type".as("attr"))
     assert(e.scd2(log).collect().toSeq ==
       graft.operators.EngineQueries.q47Scd2(spark, sfDir).collect().toSeq)
+    // trainTokenizer/tokenize ≡ the t17/t18 cores on the same corpus
+    val tf = e.trainTokenizer().collect().map(_.toSeq).toSeq
+    val tq = graft.operators.BpeTrainer
+      .trainOf(Tables.documents(spark, sfDir)).collect().map(_.toSeq).toSeq
+    assert(tf == tq)
+    val mg = tf.map(r => (r(1).toString, r(2).toString))
+    assert(e.tokenize(mg).collect().map(_.toSeq).toSeq ==
+      graft.operators.BpeTrainer
+        .tokenizeOf(Tables.documents(spark, sfDir), mg).collect().map(_.toSeq).toSeq)
     // sketchTrending estimates dominate exact windowed counts
     val ev = Tables.events(spark, sfDir).select($"ts", $"event_type")
     val est = e.sketchTrending(ev)

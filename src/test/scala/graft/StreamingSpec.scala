@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
-import graft.streaming.EventStream
+import graft.streaming.{EventStream, IngestStream}
 
 class StreamingSpec extends SparkSpec {
 
@@ -682,6 +682,52 @@ class StreamingSpec extends SparkSpec {
       closed.groupBy(_._1).foreach { case (_, rows) =>
         assert(rows.map(_._2).sorted.toSeq == (1L to rows.length))
       }
+    } finally query.stop()
+  }
+
+  test("st13 quality gate scores the stream exactly like the batch scorer") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // weights trained offline on a separable corpus
+    val train = Seq(
+      (1L, "the quick brown fox and the lazy dog it is a fine day " * 6),
+      (2L, "!!! ;;; ### ??? ,,, ..."),
+      (3L, "a day in the sun and a walk in the park it is good " * 5),
+      (4L, ":: !! ?? ;; %% ^^")).toDF("doc_id", "text")
+    val w = graft.operators.QualityModel.lrFit(
+      graft.operators.QualityModel.features(train))
+
+    val incoming = Seq(
+      ("s1", "http://a/1", "the quick brown fox and the lazy dog it is fine " * 4),
+      ("s1", "http://a/2", "!!! ### ;;; ??? garbage ,,, ::"),
+      ("s2", "http://b/1", "a walk in the park on a fine day it is good " * 4))
+    val stream = MemoryStream[(String, String, String)]
+    stream.addData(incoming: _*)
+    val gated = IngestStream.qualityGate(
+      stream.toDF().toDF("source_id", "url", "content"), w)
+    val query = gated.writeStream.format("memory").queryName("st13_mem")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("st13_mem")
+        .orderBy($"url").collect()
+        .map(r => (r.getAs[String]("url"), r.getAs[Double]("quality_score"),
+          r.getAs[Boolean]("quarantined")))
+      // batch scoring of the same frame is bit-identical
+      val batch = IngestStream.qualityGate(
+          incoming.toDF("source_id", "url", "content"), w)
+        .orderBy($"url").collect()
+        .map(r => (r.getAs[String]("url"), r.getAs[Double]("quality_score"),
+          r.getAs[Boolean]("quarantined")))
+      assert(streamed.toSeq == batch.toSeq)
+      // the junk page is quarantined; the prose pages pass
+      val byUrl = streamed.map(s => s._1 -> s._3).toMap
+      assert(byUrl("http://a/2"))
+      assert(!byUrl("http://a/1") && !byUrl("http://b/1"))
+      // scoring is consistent with the flag
+      streamed.foreach { case (_, score, q) => assert(q == (score < 0.5)) }
     } finally query.stop()
   }
 
