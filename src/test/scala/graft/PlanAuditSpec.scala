@@ -170,4 +170,47 @@ class PlanAuditSpec extends SparkSpec {
         "slow substr->hex->conv byte path resurfaced")
     }
   }
+
+  test("q51/q47: the lag/lead windows share ONE keyed exchange") {
+    Seq(EngineQueries.q51SessionPaths(spark, sfDir),
+        EngineQueries.q47Scd2(spark, sfDir)).foreach { df =>
+      val p = plan(df)
+      // exactly one hashpartitioning on user_id feeds the window
+      // chain; a second would mean the lag and lead stages stopped
+      // sharing their exchange
+      val userExchanges = "hashpartitioning\\(user_id".r
+        .findAllIn(p).length
+      assert(userExchanges == 1, s"expected 1 user_id exchange, got $userExchanges")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("q52: cohort table broadcasts back; no user-keyed sort-merge join") {
+    val p = plan(EngineQueries.q52RetentionCohorts(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"cohort join must broadcast:\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("t16/p13: bucket counting stays on the poly_bow codegen kernel") {
+    Seq(graft.operators.QualityModel.t16QualityLr(spark, sfDir),
+        graft.operators.Curation.p13Dsir(spark, sfDir)).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("poly_bow("),
+        s"poly_bow kernel missing (interpreted HOF filters resurfaced?):\n${p.take(1200)}")
+      TrainedModels.clear()
+      Caches.releaseAll()
+    }
+  }
+
+  test("p16: interleave uses keyed windows only (no global window)") {
+    val df = graft.operators.Curation.p16MixtureInterleave(spark, sfDir)
+    val p = plan(df)
+    // every Window in the plan is partitioned (shard or shard+source)
+    assert(!p.contains("Window [") ||
+           !"Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(p).isDefined,
+      "found an unpartitioned window")
+    assert(p.contains("hashpartitioning(shard"),
+      s"expected shard-keyed exchange:\n${p.take(1200)}")
+    Caches.releaseAll()
+  }
 }
