@@ -388,7 +388,32 @@ object TextAnalysis {
       .orderBy($"bucket")
   }
 
+  /** t20: LEXICAL DIVERSITY — type-token ratio and hapax share per
+    * document, the corpus-linguistics pair that separates varied
+    * prose (high TTR) from templated/repetitive text (low TTR, the
+    * t7-adjacent signal) and probes vocabulary freshness (hapax =
+    * words used exactly once). Counting rides one (doc, word)
+    * aggregate with map-side partial counts — never a per-doc
+    * quadratic HOF scan; ratios are single divisions of exact
+    * integers. */
+  def t20LexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        explode(expr("regexp_extract_all(lower(text), '\\\\S+', 0)")).as("word"))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"),
+           count(lit(1)).as("n_types"),
+           sum(when($"c" === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select($"doc_id", $"n_tokens", $"n_types", $"n_hapax",
+        round($"n_types".cast("double") / $"n_tokens", 6).as("ttr"),
+        round($"n_hapax".cast("double") / $"n_types", 6).as("hapax_share"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_lexical_diversity" -> t20LexicalDiversity _,
     "t19_vocab_growth" -> ((s, d) => t19VocabGrowth(s, d)),
     "t15_dataset_card" -> t15DatasetCard _,
     "t14_char_entropy" -> t14CharEntropy _,
@@ -466,6 +491,23 @@ object TextAnalysis {
       .mkString("\n      ")
     val allGreatest = s"greatest(${langs.map("s_" + _).mkString(", ")})"
     Map(
+      // same (doc, word) counts, same integer ratios
+      "t20_lexical_diversity" ->
+        """WITH c AS (
+          |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+          |  FROM (SELECT doc_id,
+          |          unnest(regexp_extract_all(lower(text), '\S+')) AS w
+          |        FROM documents)
+          |  GROUP BY doc_id, w)
+          |SELECT doc_id,
+          |  CAST(sum(c) AS BIGINT) AS n_tokens,
+          |  CAST(count(*) AS BIGINT) AS n_types,
+          |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+          |  round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr,
+          |  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          |    / count(*), 6) AS hapax_share
+          |FROM c GROUP BY doc_id
+          |ORDER BY doc_id""".stripMargin,
       // same prefix buckets keyed on each word's first document,
       // integer counts end to end
       "t19_vocab_growth" ->

@@ -61,6 +61,33 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("t20 lexical diversity: identities hold, repetition lowers TTR") {
+    import spark.implicits._
+    val rows = TextAnalysis.t20LexicalDiversity(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tok, typ, hap) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(typ <= tok && hap <= typ)
+      assert(math.abs(r.getDouble(4) - typ.toDouble / tok) < 1e-6)
+      assert(math.abs(r.getDouble(5) - hap.toDouble / typ) < 1e-6)
+    }
+    // a repeated-phrase doc scores lower TTR than varied prose
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "spam spam spam spam spam spam spam spam ham ham")).toDF("doc_id", "text")
+    val local = docs
+      .select($"doc_id", org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.expr(
+          "regexp_extract_all(lower(text), '\\\\S+', 0)")).as("word"))
+      .groupBy($"doc_id", $"word").count()
+      .groupBy($"doc_id")
+      .agg(org.apache.spark.sql.functions.sum($"count").as("tok"),
+           org.apache.spark.sql.functions.count(
+             org.apache.spark.sql.functions.lit(1)).as("typ"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2).toDouble / r.getLong(1))).toMap
+    assert(local(1L) > local(2L))
+  }
+
   test("t19 vocab growth: cumulative columns consistent, new-word rate decays") {
     val rows = TextAnalysis.t19VocabGrowth(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 100)
