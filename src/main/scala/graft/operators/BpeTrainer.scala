@@ -12,10 +12,10 @@ import graft.Tables
   *
   * Shape: the corpus collapses to a WORD-FREQUENCY table first (one
   * groupBy — the table is vocabulary-sized, not corpus-sized, which
-  * is what makes BPE training tractable at 100 TB), then each merge
-  * round is one pair-count aggregate + one map-side merge
-  * application; driver traffic is ONE (pair, count) row per round —
-  * the kmeansFit loop shape.
+  * is what makes BPE training tractable at 100 TB), collected ONCE;
+  * the merge loop then runs driver-local with incremental pair-count
+  * bookkeeping, so production merge counts (~30k rounds) cost zero
+  * Spark jobs after the single distributed aggregate.
   *
   * Determinism trick that makes the whole loop oracle-able: a word's
   * symbol sequence is represented as a string of space-BLOCKED
@@ -34,22 +34,6 @@ object BpeTrainer {
     * the loop shape is identical and each round is one aggregate). */
   val Rounds = 3
 
-  private def pairsOf(state: DataFrame): DataFrame = {
-    import state.sparkSession.implicits._
-    state
-      .select($"freq", split(trim($"st"), "  ").as("syms"))
-      .select($"freq", explode(
-        // sequence(1, 0) counts DOWN in Spark: guard single-symbol
-        // words with an empty pair list instead
-        when(size($"syms") >= 2,
-          transform(sequence(lit(1), size($"syms") - 1), i =>
-            struct(element_at($"syms", i).as("l"),
-                   element_at($"syms", i + 1).as("r"))))
-          .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("p"))
-      .groupBy($"p.l".as("l"), $"p.r".as("r"))
-      .agg(sum($"freq").as("cnt"))
-  }
-
   /** The initial character-symbol state for a `word` column. */
   private def initState(word: Column): Column =
     concat(lit(" "),
@@ -60,34 +44,124 @@ object BpeTrainer {
 
   /** Fit `rounds` merges over any (doc_id, text) corpus. Returns the
     * per-round (left, right, pair_count, total_tokens_after) — the
-    * merge table plus the compression trajectory. */
+    * merge table plus the compression trajectory.
+    *
+    * Scale shape: ONE distributed pass funnels the corpus into the
+    * word-frequency table (vocabulary-sized by construction, not
+    * corpus-sized — a 100 TB corpus and a 100 GB corpus produce
+    * tables of the same order), which is collected ONCE; every merge
+    * round after that is driver-local over the collected table. This
+    * is the production tokenizer-trainer shape (subword-nmt and the
+    * HF trainers do exactly this), and it means 30k merge rounds
+    * cost zero Spark jobs instead of two jobs each. */
   def fitMerges(docs: DataFrame, rounds: Int = Rounds)
       : Seq[(String, String, Long, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val words = graft.Caches.persist(docs
+    val words: Array[(String, Long)] = docs
       .select(explode(expr("regexp_extract_all(lower(text), '\\\\S+', 0)"))
         .as("word"))
-      .groupBy($"word").agg(count(lit(1)).as("freq")))
-    // initial state: one symbol per character, sentinel spaces at
-    // both ends (substring with a column start index needs the SQL
-    // lambda form)
-    var state = words.select($"word", $"freq", initState($"word").as("st"))
-    val results = scala.collection.mutable.ArrayBuffer[(String, String, Long, Long)]()
-    for (_ <- 1 to rounds) {
-      val Array(l, r, cnt) = pairsOf(state)
-        .orderBy($"cnt".desc, $"l", $"r").limit(1)
-        .collect().head.toSeq.toArray
-      state = state.withColumn("st",
-        call_function("replace", $"st",
-          lit(s" ${l.toString}  ${r.toString} "), lit(s" ${l.toString}${r.toString} ")))
-      // persist each round's state: the next round's pair count and
-      // the token stat both read it, and lineage stays flat
-      state = graft.Caches.persist(state)
-      val totalTokens = state
-        .select(sum($"freq" * size(split(trim($"st"), "  "))).as("t"))
-        .head.getLong(0)
-      results += ((l.toString, r.toString, cnt.asInstanceOf[Long], totalTokens))
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)].collect()
+    fitMergesLocal(words, rounds)
+  }
+
+  /** UTF-8 byte order — the collation BOTH engines' string ORDER BY
+    * uses (Spark UTF8String and DuckDB compare memcmp-style on UTF-8
+    * bytes), so the driver-local tie-break replays the oracle's. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Canonical BPE merge application: left-to-right, non-overlapping
+    * (the semantics of the sentinel-space string replace the oracle
+    * runs — "aaaa" under merge (a,a) becomes [aa, aa], not [aa, a]). */
+  private def mergePair(s: Array[String], l: String, r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { out += l + r; i += 2 }
+      else { out += s(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Driver-local merge loop with incremental pair-count
+    * maintenance: a global (pair → weighted count) map plus a
+    * (pair → candidate word set) index, so each merge revisits only
+    * the words that contain the merged pair (subword-nmt's
+    * bookkeeping). Thousands of rounds cost O(words touched), not
+    * O(vocabulary) per round. Stops early (returning the merges
+    * found so far) when no adjacent pair remains. */
+  private[graft] def fitMergesLocal(
+      words: Array[(String, Long)], rounds: Int)
+      : Seq[(String, String, Long, Long)] = {
+    import scala.collection.mutable
+    // split by CODE POINT — Spark's and DuckDB's substring both index
+    // code points, so a UTF-16 char split would diverge on astral chars
+    val syms: Array[Array[String]] = words.map { case (w, _) =>
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    }
+    val freqs: Array[Long] = words.map(_._2)
+    var totalTokens = 0L
+    var i = 0
+    while (i < syms.length) { totalTokens += freqs(i) * syms(i).length; i += 1 }
+    val stats = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def addWord(idx: Int, sign: Long): Unit = {
+      val s = syms(idx); val f = freqs(idx) * sign
+      var j = 0
+      while (j + 1 < s.length) {
+        val p = (s(j), s(j + 1))
+        val c = stats.getOrElse(p, 0L) + f
+        if (c == 0L) stats.remove(p) else stats(p) = c
+        if (sign > 0L) where.getOrElseUpdate(p, mutable.HashSet.empty) += idx
+        j += 1
+      }
+    }
+    var k = 0
+    while (k < syms.length) { addWord(k, 1L); k += 1 }
+    val results = mutable.ArrayBuffer.empty[(String, String, Long, Long)]
+    var round = 1
+    while (round <= rounds && stats.nonEmpty) {
+      // argmax by (count desc, left, right) — a full scan of the
+      // pair-type-sized map, exactly the oracle's ORDER BY ... LIMIT 1
+      var best: ((String, String), Long) = null
+      stats.foreach { e =>
+        if (best == null || e._2 > best._2 ||
+            (e._2 == best._2 && (utf8Lt(e._1._1, best._1._1) ||
+              (e._1._1 == best._1._1 && utf8Lt(e._1._2, best._1._2)))))
+          best = e
+      }
+      val ((l, r), cnt) = best
+      // `where` sets are supersets (they keep words that since lost
+      // the pair); the containment re-check below skips stale entries
+      where.remove((l, r)).getOrElse(mutable.HashSet.empty).foreach { idx =>
+        val old = syms(idx)
+        var has = false
+        var j = 0
+        while (!has && j + 1 < old.length) {
+          has = old(j) == l && old(j + 1) == r; j += 1
+        }
+        if (has) {
+          addWord(idx, -1L)
+          val merged = mergePair(old, l, r)
+          totalTokens -= freqs(idx) * (old.length - merged.length)
+          syms(idx) = merged
+          addWord(idx, 1L)
+        }
+      }
+      results += ((l, r, cnt, totalTokens))
+      round += 1
     }
     results.toSeq
   }

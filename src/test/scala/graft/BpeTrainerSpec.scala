@@ -76,6 +76,28 @@ class BpeTrainerSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("early-stops with the merges found so far when no pair remains") {
+    // single-character words have no adjacent pairs at all
+    val bare = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    assert(BpeTrainer.fitMerges(bare, 5).isEmpty)
+    // one mergeable pair, then the vocabulary is fully merged
+    val one = Seq((1L, "ab c ab")).toDF("doc_id", "text")
+    val merges = BpeTrainer.fitMerges(one, 5)
+    assert(merges.map { case (l, r, _, _) => (l, r) } == Seq(("a", "b")))
+  }
+
+  test("driver-local loop matches the sequential reference at production round counts") {
+    // vocabulary large enough that 200 rounds of merges all exist
+    val words = (0 until 300).map { i =>
+      val w = s"prefix${i % 17}stem${i % 29}suffix${i % 7}"
+      (w, (i % 13 + 1).toLong)
+    }.groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).sum }
+    val expect = refBpe(words, 200)
+    val got = BpeTrainer.fitMergesLocal(
+      words.toArray.map { case (w, f) => (w, f) }, 200)
+    assert(got == expect)
+  }
+
   test("training is layout-invariant") {
     val docs = (0 until 120)
       .map(i => (i.toLong, s"alpha beta gamma delta token$i"))
