@@ -162,10 +162,9 @@ object Knn {
       call_function("pq_encode", $"r", bookMat))
     // probe: nprobe best cells per query by centroid cosine (same
     // reverse-sort tie-break as ivfServe / the a4 oracle)
-    val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
     val probed = all.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"v".as("qv"))
-      .withColumn("__scores", transform(centArr, c => V.cosineD($"qv", c)))
+      .withColumn("__scores", centroidScoresCol(spark, $"qv", cents))
       .withColumn("probe", slice(reverse(array_sort(zip_with($"__scores",
         sequence(lit(0), lit(cents.length - 1)),
         (s, i) => struct(s.as("s"), i.as("i"))))), 1, nprobe))
@@ -317,19 +316,65 @@ object Knn {
     cents
   }
 
-  /** Nearest-centroid assignment against literal centroids: adds a
-    * `cid` column, no join, no shuffle. Shared with d7's semantic
-    * dedup, whose blocking structure is this same trained quantizer. */
+  /** Plan-size budget in DOUBLES (k·dims) above which a centroid
+    * matrix travels to executors as a broadcast variable instead of
+    * a plan literal. Small quantizers (a4's k=8, the shared k=64 at
+    * 64 dims = 4096 doubles) stay literal — cheapest, folded once at
+    * codegen. A 100 TB-scale coarse quantizer (k in the tens of
+    * thousands) as a literal blows up analyzed-plan size, plan
+    * serialization, and constant-folding time; above the budget the
+    * plan carries only a broadcast HANDLE and executors pull the
+    * matrix once via torrent blocks. Both paths score with the
+    * identical sequential fold, so results are bit-equal
+    * (PlanAuditSpec asserts the large-k plan carries no literals). */
+  private[graft] val LiteralCentroidBudget = 8192
+
+  private val bcHandles = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, Seq[Seq[Double]]), java.lang.Long]()
+
+  private def bcHandle(spark: SparkSession, cents: Seq[Seq[Double]]): Long =
+    bcHandles.computeIfAbsent((spark, cents),
+      _ => graft.plans.CentroidBroadcasts.register(spark, cents)).longValue()
+
+  private def centroidDoubles(cents: Seq[Seq[Double]]): Int =
+    cents.length * (if (cents.isEmpty) 0 else cents.head.length)
+
+  /** argmax-cosine centroid id for `v` — literal matrix below
+    * [[LiteralCentroidBudget]], broadcast handle above it. */
+  private[graft] def nearestCentroidCol(spark: SparkSession, v: Column,
+                                        cents: Seq[Seq[Double]]): Column = {
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    if (centroidDoubles(cents) <= LiteralCentroidBudget)
+      call_function("nearest_centroid", v, typedLit(cents))
+    else
+      call_function("nearest_centroid_bc", v, lit(bcHandle(spark, cents)))
+  }
+
+  /** Per-centroid cosine scores (array<double>, element j bit-equal
+    * to CosineSim(qv, cents(j))) for the probe side — same
+    * literal-vs-broadcast switch as [[nearestCentroidCol]]. */
+  private[graft] def centroidScoresCol(spark: SparkSession, qv: Column,
+                                       cents: Seq[Seq[Double]]): Column = {
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    if (centroidDoubles(cents) <= LiteralCentroidBudget)
+      transform(array(cents.map(c => array(c.map(lit): _*)): _*),
+        c => V.cosineD(qv, c))
+    else
+      call_function("centroid_scores_bc", qv, lit(bcHandle(spark, cents)))
+  }
+
+  /** Nearest-centroid assignment: adds a `cid` column, no join, no
+    * shuffle. Shared with d7's semantic dedup, whose blocking
+    * structure is this same trained quantizer. */
   private[graft] def assign(vectors: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
     import vectors.sparkSession.implicits._
-    graft.plans.GraftFunctions.ensureRegistered(vectors.sparkSession)
     // nearest_centroid = one codegen loop over the centroid matrix
     // (per-centroid cosine with CosineSim's exact fold, first-max
     // argmax like array_position-on-array_max) — the transform()
     // HOF it replaces ran k interpreted cosine calls per row per
     // Lloyd iteration, the bulk of the _model_training bench line
     vectors.withColumn("cid",
-      call_function("nearest_centroid", $"v", typedLit(cents)))
+      nearestCentroidCol(vectors.sparkSession, $"v", cents))
   }
 
   /** The session's trained IVF coarse quantizer (a4): memoized per
@@ -383,9 +428,9 @@ object Knn {
     import cells.sparkSession.implicits._
     val queries = cells.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"v".as("qv"))
-    val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
     val probed = queries
-      .withColumn("__scores", transform(centArr, c => V.cosineD($"qv", c)))
+      .withColumn("__scores",
+        centroidScoresCol(cells.sparkSession, $"qv", cents))
       .withColumn("probe", slice(reverse(array_sort(zip_with($"__scores",
         sequence(lit(0), lit(cents.length - 1)),
         (s, i) => struct(s.as("s"), i.as("i"))))), 1, nprobe))
@@ -426,9 +471,7 @@ object Knn {
     import spark.implicits._
     graft.plans.GraftFunctions.ensureRegistered(spark)
     val probes = queries
-      .withColumn("__scores",
-        transform(array(cents.map(c => array(c.map(lit): _*)): _*),
-          c => V.cosineD($"qv", c)))
+      .withColumn("__scores", centroidScoresCol(spark, $"qv", cents))
       .withColumn("probe", slice(reverse(array_sort(zip_with($"__scores",
         sequence(lit(0), lit(cents.length - 1)),
         (s, i) => struct(s.as("s"), i.as("i"))))), 1, nprobe))

@@ -853,3 +853,191 @@ case class NearestCentroid(vec: Expression, cents: Expression)
       newLeft: Expression, newRight: Expression): NearestCentroid =
     copy(vec = newLeft, cents = newRight)
 }
+
+/** Driver-side registry of broadcast centroid matrices, keyed by a
+  * small handle the PLAN carries instead of the matrix itself.
+  *
+  * [[NearestCentroid]] embeds the k·dims table as a foldable literal
+  * — the fastest path for small quantizers, but at IVF scale (a
+  * coarse quantizer over 100 TB wants k in the tens of thousands)
+  * k·dims literals blow up analyzed-plan size, plan serialization,
+  * and constant-folding time. Above [[graft.operators.Knn
+  * .LiteralCentroidBudget]] the operators register the matrix here as
+  * a `SparkContext.broadcast` (shipped to executors once via torrent
+  * blocks, NOT once per task in the serialized plan) and the plan
+  * carries only `centroid_kernel(v, <handle>)`. The builder closure
+  * resolves the handle to the Broadcast at expression-construction
+  * time, which runs on the driver. */
+object CentroidBroadcasts {
+  private val reg =
+    new java.util.concurrent.ConcurrentHashMap[
+      Long, org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]]()
+  private val ctr = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Broadcast `cents` and return its plan handle. */
+  def register(spark: org.apache.spark.sql.SparkSession,
+               cents: Seq[Seq[Double]]): Long = {
+    val bc = spark.sparkContext.broadcast(cents.map(_.toArray).toArray)
+    val id = ctr.incrementAndGet()
+    reg.put(id, bc)
+    id
+  }
+
+  def get(id: Long): org.apache.spark.broadcast.Broadcast[Array[Array[Double]]] =
+    Option(reg.get(id)).getOrElse(
+      throw new IllegalArgumentException(s"no broadcast centroids for handle $id"))
+}
+
+/** Shared scoring loop for the broadcast-centroid kernels — the
+  * identical sequential fold as [[CosineSim]]/[[NearestCentroid]],
+  * so literal and broadcast paths are bit-equal. */
+private[plans] trait CentroidBcastLike extends UnaryExpression {
+  def vec: Expression
+  def bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]
+  override def child: Expression = vec
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypes.requireArrays(prettyName, DoubleType, vec)
+
+  // resolved lazily on whichever JVM evaluates — the executor pulls
+  // torrent blocks, the plan carries only the handle
+  @transient protected lazy val table: Array[Array[Double]] = bc.value
+
+  /** Generated-code expression for the table, reading through the
+    * BROADCAST reference (embedding `table` itself via
+    * addReferenceObj would put the matrix right back into the
+    * serialized plan). `Broadcast.value` memoizes after the first
+    * block fetch, so the per-row cost is a field read. */
+  protected def tableRef(ctx: CodegenContext): String = {
+    val bcRef = ctx.addReferenceObj("centroidsBc", bc,
+      "org.apache.spark.broadcast.Broadcast")
+    s"((double[][]) $bcRef.value())"
+  }
+}
+
+/** `nearest_centroid_bc(vec, handle)` — [[NearestCentroid]] with the
+  * centroid matrix read from a broadcast variable. */
+case class NearestCentroidBcast(
+    vec: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]])
+    extends CentroidBcastLike {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid_bc"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    var best = 0; var bestS = 0.0; var first = true
+    var j = 0
+    while (j < table.length) {
+      val c = table(j); val n = c.length
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = arr.getDouble(i); val y = c(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      val s = if (denom == 0.0) 0.0 else dot / denom
+      if (first || java.lang.Double.compare(s, bestS) > 0) {
+        bestS = s; best = j; first = false
+      }
+      j += 1
+    }
+    best
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tbl = ctx.freshName("tbl")
+    nullSafeCodeGen(ctx, ev, v => {
+      val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val c = ctx.freshName("c"); val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom"); val s = ctx.freshName("s")
+      val best = ctx.freshName("best"); val bestS = ctx.freshName("bestS")
+      val firstV = ctx.freshName("first")
+      s"""
+         |double[][] $tbl = ${tableRef(ctx)};
+         |int $best = 0; double $bestS = 0.0; boolean $firstV = true;
+         |for (int $j = 0; $j < $tbl.length; $j++) {
+         |  double[] $c = $tbl[$j];
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $c.length; $i++) {
+         |    double $x = $v.getDouble($i); double $y = $c[$i];
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  double $s = ($denom == 0.0) ? 0.0 : $dot / $denom;
+         |  if ($firstV || java.lang.Double.compare($s, $bestS) > 0) {
+         |    $bestS = $s; $best = $j; $firstV = false;
+         |  }
+         |}
+         |${ev.value} = $best;
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : NearestCentroidBcast = copy(vec = newChild)
+}
+
+/** `centroid_scores_bc(vec, handle)` — per-centroid cosine scores as
+  * array<double>, the broadcast replacement for the probe side's
+  * `transform(<literal matrix>, c -> cosine_sim(v, c))`. Element j
+  * is bit-equal to CosineSim(v, cents[j]). */
+case class CentroidScoresBcast(
+    vec: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]])
+    extends CentroidBcastLike {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "centroid_scores_bc"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val out = new Array[Double](table.length)
+    var j = 0
+    while (j < table.length) {
+      val c = table(j); val n = c.length
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = arr.getDouble(i); val y = c(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      out(j) = if (denom == 0.0) 0.0 else dot / denom
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tbl = ctx.freshName("tbl")
+    nullSafeCodeGen(ctx, ev, v => {
+      val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val c = ctx.freshName("c"); val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom"); val out = ctx.freshName("out")
+      s"""
+         |double[][] $tbl = ${tableRef(ctx)};
+         |double[] $out = new double[$tbl.length];
+         |for (int $j = 0; $j < $tbl.length; $j++) {
+         |  double[] $c = $tbl[$j];
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $c.length; $i++) {
+         |    double $x = $v.getDouble($i); double $y = $c[$i];
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  $out[$j] = ($denom == 0.0) ? 0.0 : $dot / $denom;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : CentroidScoresBcast = copy(vec = newChild)
+}

@@ -59,7 +59,13 @@ object GraftFunctions {
     ("pq_adc", "pq_adc(qv, code, books) - PQ asymmetric squared-L2 distance",
       (args: Seq[Expression]) => PqAdc(args.head, args(1), args(2))),
     ("nearest_centroid", "nearest_centroid(vec, cents) - argmax-cosine centroid id (first-max ties)",
-      (args: Seq[Expression]) => NearestCentroid(args.head, args(1))))
+      (args: Seq[Expression]) => NearestCentroid(args.head, args(1))),
+    ("nearest_centroid_bc", "nearest_centroid_bc(vec, handle) - nearest_centroid against broadcast centroids",
+      (args: Seq[Expression]) => NearestCentroidBcast(args.head,
+        CentroidBroadcasts.get(args(1).eval().asInstanceOf[Number].longValue()))),
+    ("centroid_scores_bc", "centroid_scores_bc(vec, handle) - per-centroid cosine scores against broadcast centroids",
+      (args: Seq[Expression]) => CentroidScoresBcast(args.head,
+        CentroidBroadcasts.get(args(1).eval().asInstanceOf[Number].longValue()))))
 
   /** Idempotent per-session registration. */
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
@@ -96,7 +102,11 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       ("byte_at", args => ByteAt(args.head, args(1))),
       ("pq_encode", args => PqEncode(args.head, args(1))),
       ("pq_adc", args => PqAdc(args.head, args(1), args(2))),
-      ("nearest_centroid", args => NearestCentroid(args.head, args(1)))
+      ("nearest_centroid", args => NearestCentroid(args.head, args(1))),
+      ("nearest_centroid_bc", args => NearestCentroidBcast(args.head,
+        CentroidBroadcasts.get(args(1).eval().asInstanceOf[Number].longValue()))),
+      ("centroid_scores_bc", args => CentroidScoresBcast(args.head,
+        CentroidBroadcasts.get(args(1).eval().asInstanceOf[Number].longValue())))
     ).foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[Kernels.type].getName, null, name),

@@ -202,6 +202,44 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("large-k centroids travel as a broadcast handle, not plan literals") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // k=1024 at 16 dims = 16384 doubles — over LiteralCentroidBudget
+    val k = 1024; val dims = 16
+    val cents: Seq[Seq[Double]] = (0 until k).map(j =>
+      (0 until dims).map(i => math.sin(j * 31 + i).toDouble))
+    // spark.range, not a local Seq — ConvertToLocalRelation would
+    // eagerly fold a LocalRelation and leave no kernel in the plan
+    val vecs = spark.range(0, 200)
+      .select($"id".as("vec_id"),
+        transform(sequence(lit(0), lit(dims - 1)),
+          i => cos($"id" * 17 + i)).as("v"))
+    val assigned = Knn.assign(vecs, cents)
+    val pa = plan(assigned)
+    assert(pa.contains("nearest_centroid_bc"),
+      s"large-k assignment must use the broadcast kernel:\n${pa.take(1200)}")
+    // the plan string must not embed the matrix — a literal path at
+    // this k would print thousands of doubles
+    assert(pa.length < 20000, s"plan size suggests literal centroids: ${pa.length}")
+    val scored = vecs.withColumn("s",
+      Knn.centroidScoresCol(spark, $"v", cents))
+    val ps = plan(scored)
+    assert(ps.contains("centroid_scores_bc"),
+      s"large-k probe scores must use the broadcast kernel:\n${ps.take(1200)}")
+    // bit-equality with the literal kernels (forced below the switch)
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val litAssigned = vecs.withColumn("cid",
+      call_function("nearest_centroid", $"v", typedLit(cents)))
+    assert(assigned.orderBy("vec_id").collect().map(_.getInt(2)).toSeq ==
+           litAssigned.orderBy("vec_id").collect().map(_.getInt(2)).toSeq)
+    val litScores = vecs.withColumn("s",
+      transform(array(cents.map(c => array(c.map(lit): _*)): _*),
+        c => call_function("cosine_sim", $"v", c)))
+    assert(scored.orderBy("vec_id").collect().map(_.getSeq[Double](2)).toSeq ==
+           litScores.orderBy("vec_id").collect().map(_.getSeq[Double](2)).toSeq)
+  }
+
   test("p16: interleave uses keyed windows only (no global window)") {
     val df = graft.operators.Curation.p16MixtureInterleave(spark, sfDir)
     val p = plan(df)
