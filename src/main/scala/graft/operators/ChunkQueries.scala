@@ -503,12 +503,12 @@ object ChunkQueries {
       .join(edges, $"url" === $"src", "left")
       .select($"url", coalesce($"dst", $"url").as("p"),
         when($"dst".isNotNull, 1L).otherwise(0L).as("h"))
-      .localCheckpoint()
+      .transform(graft.Checkpoints.truncate)
     for (_ <- 1 to rounds) {
       val m = cur.select($"url".as("u2"), $"p".as("p2"), $"h".as("h2"))
       cur = cur.join(m, $"p" === $"u2")
         .select($"url", $"p2".as("p"), ($"h" + $"h2").as("h"))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.truncate)
     }
     val terminals = nodes
       .join(edges.select($"src").distinct(), $"url" === $"src", "left_anti")

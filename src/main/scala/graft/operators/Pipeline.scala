@@ -74,16 +74,17 @@ object Pipeline {
     * edge list every round).
     *
     * Each round's edge frame is materialized with an EAGER
-    * localCheckpoint, not a plain persist: every round references
-    * the previous frame several times, so without lineage
-    * TRUNCATION the logical plan grows ~4× per round and the plan
-    * string alone OOMs the driver by round ~8 (a persist caches
-    * execution but keeps the full logical tree). This is the same
-    * checkpoint-interval discipline GraphFrames' CC applies; a
-    * cluster deployment that needs executor-loss recovery would set
-    * a reliable checkpoint dir and use checkpoint() instead.
-    * Checkpoint blocks are freed by the ContextCleaner once the
-    * loop's frames go out of scope. */
+    * lineage-truncating checkpoint ([[graft.Checkpoints.truncate]]),
+    * not a plain persist: every round references the previous frame
+    * several times, so without lineage TRUNCATION the logical plan
+    * grows ~4× per round and the plan string alone OOMs the driver
+    * by round ~8 (a persist caches execution but keeps the full
+    * logical tree). This is the same checkpoint-interval discipline
+    * GraphFrames' CC applies. Set a reliable checkpoint dir
+    * (`SparkContext.setCheckpointDir`) for executor-loss recovery on
+    * a real cluster; without one the rounds use localCheckpoint and
+    * blocks are freed by the ContextCleaner once the loop's frames
+    * go out of scope. */
   private[graft] def connectedComponents(pairs: DataFrame,
                                          maxIter: Int = 50): DataFrame =
     connectedComponentsWithRounds(pairs, maxIter)._1
@@ -99,7 +100,7 @@ object Pipeline {
       .select(greatest($"a_id", $"b_id").as("src"),
               least($"a_id", $"b_id").as("dst"))
       .filter($"src" =!= $"dst").distinct()
-      .localCheckpoint()
+      .transform(graft.Checkpoints.truncate)
     // set signature: (row count, XOR of row hashes) — edges are
     // distinct, so equal signatures mean the round was a no-op and
     // the star fixpoint is reached. XOR is order-insensitive and
@@ -131,7 +132,7 @@ object Pipeline {
         .select($"dst".as("src"), $"m".as("dst"))
         .union(withMin.select($"src", $"m".as("dst")))
         .distinct()
-        .localCheckpoint()
+        .transform(graft.Checkpoints.truncate)
       val nsig = signature(next)
       converged = nsig == sig
       sig = nsig
