@@ -1430,7 +1430,55 @@ object EngineQueries {
       .orderBy($"cohort_day", $"day_offset")
   }
 
+  /** q53: STUCK-JOB SWEEP — the job-lifecycle state machine an
+    * operator runs when a crawl wedges, from the reference's
+    * background sweeper (source/repo.go:183 ResetStuckPages: UPDATE
+    * status='pending', error='timeout_reset' WHERE
+    * status='processing' AND updated_at < cutoff; main.go:118 runs
+    * it on a timer) plus the failed-jobs retry accounting
+    * (job/repo.go:25 `retries`, job/service.go:31 Retry). Jobs are
+    * SYNTHESIZED deterministically from events (no jobs table ships
+    * in the test data): status/attempts derived from event_id,
+    * updated_at from ts. The sweep verdicts in ONE scan:
+    * processing-too-long with attempts remaining → `reset`
+    * (status back to pending, error='timeout_reset', attempts+1 —
+    * the reference's transition verbatim); processing-too-long with
+    * attempts exhausted → `failed` (error='retries_exhausted');
+    * everything else untouched. The cutoff is max(ts) − 1 hour — a
+    * one-row scalar broadcast (q22's pattern), never now(), so both
+    * engines see the same clock. Scale: one scan + one scalar agg;
+    * no shuffle beyond the broadcast. */
+  def q53StuckJobs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val statusNames = array(lit("pending"), lit("processing"),
+      lit("processing"), lit("completed"), lit("failed"))
+    val jobs = Tables.events(spark, dir).select(
+      $"event_id".as("job_id"),
+      $"user_id".as("source_id"),
+      element_at(statusNames, ($"event_id" % 5).cast("int") + 1).as("status"),
+      ($"event_id" % 4).cast("int").as("attempts"),
+      $"ts".as("updated_at"))
+    val cutoff = Tables.events(spark, dir)
+      .agg((max($"ts") - expr("INTERVAL 1 HOUR")).as("cutoff"))
+    jobs.crossJoin(broadcast(cutoff))
+      .withColumn("stuck",
+        $"status" === "processing" && $"updated_at" < $"cutoff")
+      .select($"job_id", $"source_id", $"status", $"attempts",
+        when($"stuck" && $"attempts" < 3, "reset")
+          .when($"stuck", "failed")
+          .otherwise("untouched").as("verdict"),
+        when($"stuck" && $"attempts" < 3, "pending")
+          .when($"stuck", "failed")
+          .otherwise($"status").as("new_status"),
+        when($"stuck" && $"attempts" < 3, $"attempts" + 1)
+          .otherwise($"attempts").cast("int").as("new_attempts"),
+        when($"stuck" && $"attempts" < 3, "timeout_reset")
+          .when($"stuck", "retries_exhausted").as("new_error"))
+      .orderBy($"job_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_stuck_jobs" -> q53StuckJobs _,
     "q52_retention_cohorts" -> q52RetentionCohorts _,
     "q51_session_paths" -> q51SessionPaths _,
     "q50_unpivot" -> q50Unpivot _,
@@ -1491,6 +1539,33 @@ object EngineQueries {
     s"(((${bfA(j)} * ($k % 2147483647) + ${bfB(j)}) % 2147483647) % 8192)"
 
   val oracles: Map[String, String] = Map(
+    // same deterministic job synthesis, same max(ts)-1h cutoff
+    "q53_stuck_jobs" ->
+      """WITH jobs AS (
+        |  SELECT event_id AS job_id, user_id AS source_id,
+        |    (['pending','processing','processing','completed','failed'])
+        |      [CAST(event_id % 5 AS INT) + 1] AS status,
+        |    CAST(event_id % 4 AS INT) AS attempts,
+        |    ts AS updated_at
+        |  FROM events),
+        |c AS (SELECT max(ts) - INTERVAL 1 HOUR AS cutoff FROM events),
+        |swept AS (
+        |  SELECT j.*,
+        |    (status = 'processing' AND updated_at < c.cutoff) AS stuck
+        |  FROM jobs j, c)
+        |SELECT job_id, source_id, status, attempts,
+        |  CASE WHEN stuck AND attempts < 3 THEN 'reset'
+        |       WHEN stuck THEN 'failed'
+        |       ELSE 'untouched' END AS verdict,
+        |  CASE WHEN stuck AND attempts < 3 THEN 'pending'
+        |       WHEN stuck THEN 'failed'
+        |       ELSE status END AS new_status,
+        |  CASE WHEN stuck AND attempts < 3 THEN attempts + 1
+        |       ELSE attempts END AS new_attempts,
+        |  CASE WHEN stuck AND attempts < 3 THEN 'timeout_reset'
+        |       WHEN stuck THEN 'retries_exhausted' END AS new_error
+        |FROM swept
+        |ORDER BY job_id""".stripMargin,
     // same keyed lag window, same 30-minute session cut
     "q51_session_paths" ->
       """WITH lagged AS (

@@ -11,6 +11,41 @@ class EngineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q53 replicates the reference stuck-sweep transition table") {
+    import spark.implicits._
+    // reference semantics (source/repo.go ResetStuckPages +
+    // job retries): processing & past cutoff & attempts<3 → reset to
+    // pending/timeout_reset/attempts+1; processing & past cutoff &
+    // attempts exhausted → failed/retries_exhausted; all else
+    // untouched. event_id encodes status (%5∈{1,2}=processing) and
+    // attempts (%4); the LAST event pins the clock (cutoff=max-1h).
+    val now = java.sql.Timestamp.valueOf("2024-06-01 12:00:00")
+    def at(minAgo: Int) =
+      new java.sql.Timestamp(now.getTime - minAgo * 60000L)
+    val rows = Seq(
+      (1L, at(120)),  // processing, attempts 1, old      → reset
+      (6L, at(120)),  // processing, attempts 2, old      → reset
+      (11L, at(120)), // processing, attempts 3, old      → failed
+      (2L, at(10)),   // processing, attempts 2, recent   → untouched
+      (5L, at(120)),  // pending, old                     → untouched
+      (3L, at(120)),  // completed, old                   → untouched
+      (4L, now))      // failed; pins max(ts)             → untouched
+    val dir = java.nio.file.Files.createTempDirectory("graft-jobs").toString
+    rows.map { case (id, ts) => (id, ts, id, "x", 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EngineQueries.q53StuckJobs(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(4), r.getString(5), r.getInt(6), r.getString(7))).toMap
+    assert(got(1L) == (("reset", "pending", 2, "timeout_reset")))
+    assert(got(6L) == (("reset", "pending", 3, "timeout_reset")))
+    assert(got(11L) == (("failed", "failed", 3, "retries_exhausted")))
+    assert(got(2L) == (("untouched", "processing", 2, null)))
+    assert(got(5L) == (("untouched", "pending", 1, null)))
+    assert(got(3L) == (("untouched", "completed", 3, null)))
+    assert(got(4L) == (("untouched", "failed", 0, null)))
+  }
+
   test("q1 aggregates are grouped by (returnflag, linestatus)") {
     val rows = EngineQueries.q1Agg(spark, sfDir).collect()
     assert(rows.length <= 6) // 3 flags x 2 statuses max
