@@ -153,6 +153,26 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
   def chunksByUrl(urlCol: String, url: String, orderCol: String = "doc_id"): DataFrame =
     corpus.filter(col(urlCol) === url).orderBy(col(orderCol))
 
+  /** One keyset page of a source's chunks (GetChunks(sourceID,
+    * limit, offset), store.go:238) — cursor-style over the in-memory
+    * corpus view; [[graft.sources.ChunkStore.pageChunks]] is the
+    * partition-pruned persisted-store form. Rows strictly after
+    * `after`'s (index, id) in (indexCol, idCol) order; top-n plan,
+    * no global sort. */
+  def pageBySource(sourceCol: String, source: String,
+                   after: Option[(Int, Long)], limit: Int,
+                   indexCol: String = "chunkIndex",
+                   idCol: String = "doc_id"): DataFrame = {
+    val scoped = corpus.filter(col(sourceCol) === source)
+    val page = after match {
+      case Some((ci, id)) => scoped.filter(
+        col(indexCol) > lit(ci) ||
+          (col(indexCol) === lit(ci) && col(idCol) > lit(id)))
+      case None => scoped
+    }
+    page.orderBy(col(indexCol), col(idCol)).limit(limit)
+  }
+
   /** Approximate distinct count of any corpus column via the m=256
     * HyperLogLog sketch (q25's machinery) — ~6.5% standard error,
     * constant memory: the stats-endpoint answer that stays cheap when

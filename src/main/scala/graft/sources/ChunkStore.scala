@@ -174,6 +174,39 @@ object ChunkStore {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Paginated chunk listing — GetChunks(sourceID, limit, offset)
+    * (store.go:238) re-expressed KEYSET-style: the reference pages
+    * with LIMIT/OFFSET, but an offset over a big store is itself an
+    * anti-pattern — page k re-scans and re-sorts offset+limit rows,
+    * so deep pages cost O(k). A keyset cursor (rows strictly after
+    * the last-seen `(chunkIndex, doc_id)`) makes every page the same
+    * cost as page one: the source filter prunes to one partition
+    * directory, the cursor range predicate pushes to the parquet
+    * scan, and the per-page order+limit plans as
+    * TakeOrderedAndProject (per-partition top-n heaps merged on the
+    * driver — no global Sort, no range Exchange).
+    *
+    * `after = None` is the first page; pass the last row's
+    * `(chunkIndex, doc_id)` to fetch the next. Pages tile the full
+    * per-source listing exactly (ChunkStoreSpec proves
+    * page₁ ∪ … ∪ pageₖ == the full ordered listing) because
+    * `(chunkIndex, idCol)` is a unique key per source. */
+  def pageChunks(spark: SparkSession, path: String, source: String,
+                 after: Option[(Int, Long)], limit: Int,
+                 sourceCol: String = "source",
+                 indexCol: String = "chunkIndex",
+                 idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val scoped = spark.read.parquet(path).filter(col(sourceCol) === source)
+    val page = after match {
+      case Some((ci, id)) => scoped.filter(
+        col(indexCol) > lit(ci) ||
+          (col(indexCol) === lit(ci) && col(idCol) > lit(id)))
+      case None => scoped
+    }
+    page.orderBy(col(indexCol), col(idCol)).limit(limit)
+  }
+
   /** Drop one source partition — DeleteChunksBySourceID as a metadata
     * operation (no rewrite of surviving data). Goes through the
     * Hadoop FileSystem API, so the same call works on local disk,

@@ -38,6 +38,47 @@ class ChunkStoreSpec extends SparkSpec {
     assert(survivors.count() === docs.filter($"source" =!= "src1").count())
   }
 
+  test("keyset pages tile the full per-source listing, no global sort") {
+    val path = s"$tmp/pages"
+    // per-source unique (chunkIndex, doc_id): several docs share an
+    // index so the id tie-break must carry pages across index ties
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source",
+        ($"doc_id" % 7).cast("int").as("chunkIndex"), $"n_chars")
+    ChunkStore.writePartitioned(docs, path)
+    val src = "src3"
+    val full = docs.filter($"source" === src)
+      .orderBy($"chunkIndex", $"doc_id")
+      .collect().map(r => (r.getInt(2), r.getLong(0))).toSeq
+    assert(full.size >= 20, "fixture must span several pages")
+    var cursor: Option[(Int, Long)] = None
+    var pages = Vector.empty[Seq[(Int, Long)]]
+    var done = false
+    while (!done) {
+      val page = ChunkStore.pageChunks(spark, path, src, cursor, limit = 7)
+        .collect().map(r =>
+          (r.getAs[Int]("chunkIndex"), r.getAs[Long]("doc_id"))).toSeq
+      if (page.isEmpty) done = true
+      else {
+        pages :+= page
+        cursor = Some(page.last)
+      }
+    }
+    assert(pages.flatten == full, "pages must tile the ordered listing")
+    assert(pages.init.forall(_.size == 7))
+    // plan shape: partition-pruned scan + top-n, no global Sort
+    val p = ChunkStore.pageChunks(spark, path, src, Some((3, 100L)), 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains(src),
+      s"source must prune partitions:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"page must plan as top-n, not sort+limit:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"no global sort exchange allowed:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("chunkIndex"),
+      s"cursor predicate must push to the scan:\n$p")
+  }
+
   test("compact collapses append-fragmented partitions to one file each") {
     val path = s"$tmp/compact"
     val docs = Tables.documents(spark, sfDir).select($"doc_id", $"source", $"n_chars")
