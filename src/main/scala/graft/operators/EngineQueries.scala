@@ -1346,7 +1346,12 @@ object EngineQueries {
       .groupBy($"event_type")
       .agg(expr("percentile(abs(value - med), 0.5)").as("mad"),
            first($"med").as("med"))
-    ev.join(broadcast(mad), Seq("event_type"))
+    // MAD = 0 (≥50% identical values in a stratum) would make every
+    // deviating row ±Infinity (and x == med a 0/0 NaN) and pass the
+    // filter wholesale — such a stratum has no meaningful robust
+    // z-score, so it contributes no outlier rows (guard mirrored in
+    // the oracle)
+    ev.join(broadcast(mad.filter($"mad" > 0.0)), Seq("event_type"))
       .withColumn("z", lit(0.6745) * ($"value" - $"med") / $"mad")
       .filter(abs($"z") > 3.5)
       .select($"event_type", $"event_id", round($"value", 4).as("value"),
@@ -1420,9 +1425,16 @@ object EngineQueries {
     * rows, never user-sized. Integer day arithmetic end to end. */
   def q52RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // FLOOR division, not `div`: Spark's div truncates toward zero
+    // while the oracle's `//` floors, so pre-1970 timestamps
+    // (negative epoch micros) would bucket one day apart. The
+    // explicit %-adjust keeps the arithmetic in exact int64 (a
+    // float floor(a/b) is correct here but this never rounds).
     val ev = graft.Caches.persist(Tables.events(spark, dir)
       .select($"user_id",
-        expr("unix_micros(ts) div 86400000000").as("day")))
+        expr("""unix_micros(ts) div 86400000000
+               | - (case when unix_micros(ts) % 86400000000 < 0
+               |    then 1 else 0 end)""".stripMargin).as("day")))
     val cohort = ev.groupBy($"user_id").agg(min($"day").as("cohort_day"))
     ev.join(broadcast(cohort), "user_id")
       .groupBy($"cohort_day", ($"day" - $"cohort_day").as("day_offset"))
@@ -1632,7 +1644,8 @@ object EngineQueries {
         |SELECT e.event_type, e.event_id, round(e.value, 4) AS value,
         |  round(0.6745 * (e.value - mad.med) / mad.mad, 4) AS robust_z
         |FROM events e JOIN mad USING (event_type)
-        |WHERE abs(0.6745 * (e.value - mad.med) / mad.mad) > 3.5
+        |WHERE mad.mad > 0
+        |  AND abs(0.6745 * (e.value - mad.med) / mad.mad) > 3.5
         |ORDER BY e.event_type, e.event_id""".stripMargin,
     // same unique window order, same lag-collapse, same lead-close
     "q47_scd2" ->

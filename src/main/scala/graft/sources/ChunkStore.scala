@@ -155,12 +155,25 @@ object ChunkStore {
     import org.apache.spark.sql.functions.{col, floor, lit, when}
     val spark = df.sparkSession
     import spark.implicits._
-    val Array(loA, hiA, loB, hiB) = df.agg(
+    val bounds = df.agg(
         org.apache.spark.sql.functions.min(col(colA)).cast("double"),
         org.apache.spark.sql.functions.max(col(colA)).cast("double"),
         org.apache.spark.sql.functions.min(col(colB)).cast("double"),
-        org.apache.spark.sql.functions.max(col(colB)).cast("double"))
-      .head.toSeq.map(v => v.asInstanceOf[Double]).toArray
+        org.apache.spark.sql.functions.max(col(colB)).cast("double"),
+        org.apache.spark.sql.functions.count(
+          when(col(colA).isNull || col(colB).isNull, 1)))
+      .head
+    // fail fast instead of silently unboxing null bounds to 0.0 (an
+    // empty frame) or clustering null-keyed rows arbitrarily: a
+    // z-order layout over nulls has no defined cell, so the caller
+    // must filter or impute before clustering
+    require((0 to 3).forall(!bounds.isNullAt(_)),
+      s"writeZordered: empty input or all-null cluster column ($colA/$colB)")
+    require(bounds.getLong(4) == 0L,
+      s"writeZordered: ${bounds.getLong(4)} rows have null $colA/$colB; " +
+        "null cluster keys have no z-cell — filter or impute first")
+    val Array(loA, hiA, loB, hiB) =
+      (0 to 3).map(bounds.getDouble).toArray
     def cell(c: String, lo: Double, hi: Double) =
       if (hi <= lo) lit(0L)
       else floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * 65535.0)

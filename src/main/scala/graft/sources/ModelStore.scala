@@ -13,22 +13,48 @@ import org.apache.spark.sql.SparkSession
   *
   * Layout: one parquet directory per named artifact under the store
   * root, positional rows (ordinal columns, value) — schema-stable,
-  * mergeable into any catalog, readable by anything. Writes
-  * overwrite atomically per artifact (the parquet committer's
-  * temp-dir rename), loads return None when absent so callers fall
-  * back to training.
+  * mergeable into any catalog, readable by anything. Writes stage
+  * into a temp sibling directory and RENAME into place (Spark's
+  * overwrite mode deletes the target before writing, so a crash
+  * mid-write would lose the previous artifact for the whole write
+  * duration; staging shrinks the exposed window to the final
+  * delete+rename instant, and a crash during the write itself
+  * leaves the previous artifact untouched). Loads return None when
+  * absent so callers fall back to training.
   */
 object ModelStore {
 
   private def dir(root: String, name: String) = s"$root/model=$name"
 
+  /** Stage-then-rename write: `write` produces the artifact in a
+    * temp dir under the root; the previous artifact survives until
+    * the new one is fully committed. */
+  private def writeStaged(spark: SparkSession, root: String, name: String)
+                         (write: String => Unit): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val target = new org.apache.hadoop.fs.Path(dir(root, name))
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$root/.staging-model=$name-${java.util.UUID.randomUUID()}")
+    val fs = target.getFileSystem(conf)
+    write(tmp.toString)
+    try {
+      if (fs.exists(target)) fs.delete(target, true): Unit
+      if (!fs.rename(tmp, target))
+        throw new java.io.IOException(s"rename $tmp -> $target failed")
+    } finally {
+      if (fs.exists(tmp)) fs.delete(tmp, true): Unit
+    }
+  }
+
   /** Persist a weight/centroid-style vector (pos, value). */
   def saveVector(spark: SparkSession, root: String, name: String,
                  v: Seq[Double]): Unit = {
     import spark.implicits._
-    v.zipWithIndex.map { case (x, i) => (i, x) }
-      .toDF("pos", "value")
-      .coalesce(1).write.mode("overwrite").parquet(dir(root, name))
+    writeStaged(spark, root, name) { p =>
+      v.zipWithIndex.map { case (x, i) => (i, x) }
+        .toDF("pos", "value")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    }
   }
 
   /** Load a vector saved by [[saveVector]]; None when absent. */
@@ -46,10 +72,12 @@ object ModelStore {
   def saveMatrix(spark: SparkSession, root: String, name: String,
                  m: Seq[Seq[Double]]): Unit = {
     import spark.implicits._
-    m.zipWithIndex.flatMap { case (row, cid) =>
-      row.zipWithIndex.map { case (x, p) => (cid, p, x) }
-    }.toDF("cid", "pos", "value")
-      .coalesce(1).write.mode("overwrite").parquet(dir(root, name))
+    writeStaged(spark, root, name) { out =>
+      m.zipWithIndex.flatMap { case (row, cid) =>
+        row.zipWithIndex.map { case (x, p) => (cid, p, x) }
+      }.toDF("cid", "pos", "value")
+        .coalesce(1).write.mode("overwrite").parquet(out)
+    }
   }
 
   /** Load a matrix saved by [[saveMatrix]]; None when absent. */
@@ -69,9 +97,11 @@ object ModelStore {
   def saveMerges(spark: SparkSession, root: String, name: String,
                  merges: Seq[(String, String)]): Unit = {
     import spark.implicits._
-    merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
-      .toDF("rank", "left", "right")
-      .coalesce(1).write.mode("overwrite").parquet(dir(root, name))
+    writeStaged(spark, root, name) { p =>
+      merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+        .toDF("rank", "left", "right")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    }
   }
 
   /** Load a merge table saved by [[saveMerges]]; None when absent. */

@@ -79,6 +79,21 @@ class ChunkStoreSpec extends SparkSpec {
       s"cursor predicate must push to the scan:\n$p")
   }
 
+  test("writeZordered fails fast on empty input and null cluster keys") {
+    val path = s"$tmp/zfail"
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val e1 = intercept[IllegalArgumentException] {
+      ChunkStore.writeZordered(empty, path, "a", "b")
+    }
+    assert(e1.getMessage.contains("empty input or all-null"))
+    val withNulls = Seq((Some(1L), Some(2L)), (None, Some(3L)))
+      .toDF("a", "b")
+    val e2 = intercept[IllegalArgumentException] {
+      ChunkStore.writeZordered(withNulls, path, "a", "b")
+    }
+    assert(e2.getMessage.contains("null"))
+  }
+
   test("compact collapses append-fragmented partitions to one file each") {
     val path = s"$tmp/compact"
     val docs = Tables.documents(spark, sfDir).select($"doc_id", $"source", $"n_chars")

@@ -27,6 +27,16 @@ class ModelStoreSpec extends SparkSpec {
     assert(ModelStore.loadVector(spark, root, "lr").contains(Seq(9.0)))
   }
 
+  test("staged saves leave no staging dirs and keep the artifact readable") {
+    val r = Files.createTempDirectory("graft-models-staged").toString
+    ModelStore.saveVector(spark, r, "w", Seq(1.0, 2.0))
+    ModelStore.saveVector(spark, r, "w", Seq(3.0, 4.0))
+    assert(ModelStore.loadVector(spark, r, "w").contains(Seq(3.0, 4.0)))
+    val leftovers = new java.io.File(r).listFiles()
+      .map(_.getName).filter(_.startsWith(".staging"))
+    assert(leftovers.isEmpty, s"staging dirs not cleaned: ${leftovers.toSeq}")
+  }
+
   test("persisted models serve a restarted session without retraining") {
     import spark.implicits._
     val docs = Seq(
