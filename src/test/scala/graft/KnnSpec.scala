@@ -176,9 +176,37 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("a13 OPQ rotation is orthonormal and its recall is not below plain PQ") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val all = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val (layers, books) = Knn.opqModel(spark, sfDir, all)
+    assert(layers.size == 2 && books.size == 8 && books.head.size == 16)
+    // orthonormality: a product of Givens rotations preserves norms
+    val norms = layers.foldLeft(all.withColumn("rv", $"v")) {
+      case (df, (pt, a1, a2)) =>
+        df.withColumn("rv", Knn.rotCol($"rv", pt, a1, a2))
+    }.select(
+      sqrt(aggregate($"v", lit(0.0), (acc, x) => acc + x * x)).as("n0"),
+      sqrt(aggregate($"rv", lit(0.0), (acc, x) => acc + x * x)).as("n1"))
+      .collect()
+    norms.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9,
+      s"rotation must preserve norms: ${r.getDouble(0)} vs ${r.getDouble(1)}"))
+    // equal-bytes comparison: the trained rotation must not lose to
+    // plain PQ (same m=8, k=16 codebooks)
+    val rec = Knn.a12AnnRecall(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(rec("opq") >= rec("pq"),
+      s"OPQ recall ${rec("opq")} fell below plain PQ ${rec("pq")}")
+    TrainedModels.clear()
+    Caches.releaseAll()
+  }
+
   test("a12 recall report: bounded, consistent, and repeat-stable") {
     val rows = Knn.a12AnnRecall(spark, sfDir).collect()
-    assert(rows.map(_.getString(0)).toSeq == Seq("ivf", "ivf64", "lsh"))
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("ivf", "ivf64", "lsh", "opq", "pq"))
     rows.foreach { r =>
       val (hits, possible, recall) = (r.getLong(1), r.getLong(2), r.getDouble(3))
       assert(hits >= 0 && hits <= possible)
