@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 import graft.Tables
 
 /** Structured Streaming over the events stream (SURVEY.md §2.H).
@@ -534,6 +535,55 @@ object EventStream {
         round(abs($"e" / $"exact_users" - 1.0) * 100.0, 2).as("err_pct"))
       .orderBy($"window_start")
   }
+
+  /** PERSISTED sketch-state serving — the restart seam for st10/st12:
+    * the stream appends CLOSED windows' sketch cells (append output
+    * mode: a window emits once, fully aggregated, when the watermark
+    * passes its end) to a parquet store partitioned by window, and
+    * probes serve FROM DISK — so a restarted process answers
+    * estimates for historical windows without recomputing them, and
+    * the checkpointed source offsets mean the restarted stream
+    * processes only new input (SketchStoreSpec asserts both).
+    *
+    * Idempotence: each emitted batch DYNAMIC-OVERWRITES exactly the
+    * window partitions it carries — a replayed epoch rewrites the
+    * same finalized cells instead of appending duplicates. The
+    * partition key is unix_micros(window_start) (a long survives the
+    * dir-name round trip exactly; a timestamp's string form is
+    * lossy), with window_start itself kept as a data column. */
+  private def startCellStream(cells: DataFrame, storePath: String,
+                              kind: String): StreamingQuery =
+    cells.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$storePath/_checkpoints_$kind")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.withColumn("wpart", unix_micros(col("window_start")))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("wpart")
+          .parquet(s"$storePath/$kind")
+      }
+      .start()
+
+  /** Start persisting st10's CMS cells for `events` under
+    * `storePath/cms` (+ checkpoint). */
+  def sketchStoreStart(events: DataFrame, storePath: String): StreamingQuery =
+    startCellStream(sketchCellsStream(events), storePath, "cms")
+
+  /** Start persisting st12's HLL registers under `storePath/hll`. */
+  def hllStoreStart(events: DataFrame, storePath: String): StreamingQuery =
+    startCellStream(hllCellsStream(events), storePath, "hll")
+
+  /** Serve CMS estimates for (window_start, event_type) keys from a
+    * persisted store — no stream, no recompute: the probe reads only
+    * the stored cells. */
+  def serveSketchFrom(spark: SparkSession, storePath: String,
+                      keys: DataFrame): DataFrame =
+    probeSketch(spark.read.parquet(s"$storePath/cms"), keys)
+
+  /** Serve per-window HLL distinct estimates from a persisted store. */
+  def serveHllFrom(spark: SparkSession, storePath: String): DataFrame =
+    hllWindowEstimates(spark.read.parquet(s"$storePath/hll"))
 
   /** Batch mirror of the trending pipeline (driver-checked). */
   def st8Trending(spark: SparkSession, dir: String): DataFrame = {
