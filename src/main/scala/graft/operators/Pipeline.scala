@@ -18,17 +18,19 @@ object Pipeline {
 
   def p1PrepareCorpus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val scored = Tables.documents(spark, dir)
-      .withColumn("lang_id", TextAnalysis.langId($"text"))
-      .withColumn("quality", TextAnalysis.quality($"text"))
+    // lang-ID / quality / digest come from the SHARED scored-documents
+    // scan (TextAnalysis.scoredDocs) — the regex battery runs once per
+    // corpus for t1/t2/t5/t15/p1 together, and p1 never touches the
+    // text bytes itself: the md5 digest needed for exact dedup is
+    // already a cache column.
+    val scored = TextAnalysis.scoredDocs(spark, dir)
       .filter($"quality" >= 0.2)
     // persisted (tracked): the survivor set feeds BOTH the signature
     // semi-join and the final anti-join — three narrow columns, not
     // the corpus
     val exactKept = graft.Caches.persist(scored
-      .withColumn("__md5", md5($"text"))
       .withColumn("__rn", row_number().over(
-        Window.partitionBy($"__md5").orderBy($"doc_id")))
+        Window.partitionBy($"digest").orderBy($"doc_id")))
       .filter($"__rn" === 1)
       .select($"doc_id", $"lang_id", $"quality"))
     // Near-dedup runs on the EXACT-DEDUP SURVIVORS, not the raw

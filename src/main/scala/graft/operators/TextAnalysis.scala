@@ -64,15 +64,10 @@ object TextAnalysis {
       lit(0.3) * (nStop.cast("double") / greatest(nTok, lit(1))), 6)
   }
 
-  /** n-gram/stopword-profile language ID. Score = stopword hits per
-    * profile; CJK chars trump; ties broken by fixed profile order. */
-  def t1LangId(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val scored = Tables.documents(spark, dir)
-      .select(($"doc_id" +: $"lang" +:
-        profiles.map { case (l, p) =>
-          expr(s"cast(regexp_count(lower(text), '$p') as bigint)").as(s"s_$l")
-        }) :+ expr(s"cast(regexp_count(text, '$cjkPattern') as bigint)").as("s_zh"): _*)
+  /** Fixed-priority argmax over materialized s_<lang> score columns —
+    * the one definition t1 and [[scoredDocs]] share (and that
+    * [[langId]] mirrors over inline expressions). */
+  private def bestFromScoreCols: Column = {
     val best = profiles.map(_._1).foldRight(lit("unknown")) { case (l, els) =>
       when(col(s"s_$l") > 0 &&
         profiles.map(_._1).filter(_ != l)
@@ -84,26 +79,59 @@ object TextAnalysis {
           .foldLeft(lit(true))(_ && _),
         lit(l)).otherwise(els)
     }
-    scored
-      .withColumn("predicted", when($"s_zh" > 0, lit("zh")).otherwise(best))
+    when(col("s_zh") > 0, lit("zh")).otherwise(best)
+  }
+
+  /** SHARED scored-documents scan — the regex battery (per-profile
+    * stopword hits, CJK count, token/punct/stopword counts, md5
+    * digest) computed ONCE per (session, corpus) and persisted via
+    * [[graft.Caches.shared]]; t1/t2/t5/t15 and the p1 pipeline all
+    * read from it instead of each re-running the same regexes over
+    * the corpus. The cache holds only the SCORES (~100 bytes/doc),
+    * never `text` — at 100 TB the scored table is ~1000× smaller
+    * than the corpus, so materializing it (here in memory; in
+    * production as a parquet signature table next to the shingle
+    * scan) is the intended deployment shape: score once, run every
+    * downstream filter/mix/card/dedup pass against the scores. */
+  def scoredDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.shared(spark, s"scored_docs:$dir") {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select(($"doc_id" +: $"source" +: $"lang" +:
+          profiles.map { case (l, p) =>
+            expr(s"cast(regexp_count(lower(text), '$p') as bigint)").as(s"s_$l")
+          }) ++ Seq(
+          expr(s"cast(regexp_count(text, '$cjkPattern') as bigint)").as("s_zh"),
+          length($"text").cast("long").as("len_chars"),
+          expr("cast(regexp_count(text, '\\\\S+') as bigint)").as("n_tok"),
+          expr("cast(regexp_count(text, '[.,;:!?]') as bigint)").as("n_punct"),
+          expr(s"cast(regexp_count(lower(text), '$stopwordsEn') as bigint)").as("n_stop"),
+          md5($"text").as("digest")): _*)
+        .withColumn("lang_id", bestFromScoreCols)
+        .withColumn("quality", round(
+          lit(0.4) * least($"n_tok".cast("double") / 100.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - $"n_punct".cast("double") / greatest($"n_tok", lit(1))) +
+          lit(0.3) * ($"n_stop".cast("double") / greatest($"n_tok", lit(1))), 6))
+    }
+
+  /** n-gram/stopword-profile language ID. Score = stopword hits per
+    * profile; CJK chars trump; ties broken by fixed profile order.
+    * Reads the shared [[scoredDocs]] scan. */
+  def t1LangId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    scoredDocs(spark, dir)
+      .select(($"doc_id" +: $"lang" +:
+        profiles.map(p => col(s"s_${p._1}"))) :+ $"s_zh" :+
+        $"lang_id".as("predicted"): _*)
       .orderBy($"doc_id")
   }
 
-  /** Quality scoring: length/punctuation/stopword-ratio blend. */
+  /** Quality scoring: length/punctuation/stopword-ratio blend.
+    * Reads the shared [[scoredDocs]] scan. */
   def t2QualityScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select($"doc_id",
-        length($"text").cast("long").as("len_chars"),
-        expr("cast(regexp_count(text, '\\\\S+') as bigint)").as("n_tok"),
-        expr("cast(regexp_count(text, '[.,;:!?]') as bigint)").as("n_punct"),
-        expr(s"cast(regexp_count(lower(text), '$stopwordsEn') as bigint)").as("n_stop"))
-      .select($"doc_id", $"len_chars", $"n_tok", $"n_punct", $"n_stop",
-        round(
-          lit(0.4) * least($"n_tok".cast("double") / 100.0, lit(1.0)) +
-          lit(0.3) * (lit(1.0) - $"n_punct".cast("double") / greatest($"n_tok", lit(1))) +
-          lit(0.3) * ($"n_stop".cast("double") / greatest($"n_tok", lit(1))),
-          6).as("quality"))
+    scoredDocs(spark, dir)
+      .select($"doc_id", $"len_chars", $"n_tok", $"n_punct", $"n_stop", $"quality")
       .orderBy($"doc_id")
   }
 
@@ -329,12 +357,8 @@ object TextAnalysis {
     * prints before anyone trains on the data. */
   def t15DatasetCard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select($"source",
-        langId($"text").as("lang_id"),
-        quality($"text").as("quality"),
-        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_tok"),
-        md5($"text").as("digest"))
+    scoredDocs(spark, dir)
+      .select($"source", $"lang_id", $"quality", $"n_tok", $"digest")
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
            sum($"n_tok").as("n_tokens"),
@@ -435,11 +459,8 @@ object TextAnalysis {
     * not a partition-less window. */
   def t5CorpusMix(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val cells = graft.Caches.persist(Tables.documents(spark, dir)
-      .select($"source",
-        langId($"text").as("lang_id"),
-        quality($"text").as("quality"),
-        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_tok"))
+    val cells = graft.Caches.persist(scoredDocs(spark, dir)
+      .select($"source", $"lang_id", $"quality", $"n_tok")
       .groupBy($"source", $"lang_id")
       .agg(count(lit(1)).as("docs"),
            sum($"n_tok").as("tokens"),

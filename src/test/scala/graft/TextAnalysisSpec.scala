@@ -106,4 +106,30 @@ class TextAnalysisSpec extends SparkSpec {
       s"new-word rate should decay: first=${rate(first)} last=${rate(last)}")
     Caches.releaseAll()
   }
+
+  test("scoredDocs is a shared persist-once scan; consumers agree with direct scoring") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    Caches.releaseShared()
+    // persist-once: the second request returns the SAME cached frame
+    val first = TextAnalysis.scoredDocs(spark, sfDir)
+    val second = TextAnalysis.scoredDocs(spark, sfDir)
+    assert(first eq second, "second call must hit the shared cache")
+    assert(first.storageLevel.useMemory, "shared scan must be persisted")
+    // cache holds scores, never the corpus bytes
+    assert(!first.columns.contains("text"))
+    // the cached lang_id/quality columns are bit-equal to the inline
+    // single-column expressions (langId/quality) over the raw text
+    val direct = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        TextAnalysis.langId($"text").as("d_lang"),
+        TextAnalysis.quality($"text").as("d_q"),
+        md5($"text").as("d_digest"))
+    val diff = first.join(direct, "doc_id")
+      .filter($"lang_id" =!= $"d_lang" || $"quality" =!= $"d_q" ||
+        $"digest" =!= $"d_digest")
+      .count()
+    assert(diff == 0L, s"$diff rows disagree between cache and direct scoring")
+    Caches.releaseShared()
+  }
 }
