@@ -865,6 +865,54 @@ object Knn {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** a14: BINARY (sign) QUANTIZATION — the coarsest point on the
+    * quantization dial (a5 SQ8 → a6/a7 PQ → this): each 64-dim float
+    * vector collapses to 64 SIGN BITS packed into two 32-bit words,
+    * a 16× reduction over the raw floats (256 B → 16 B), and distance
+    * becomes Hamming = popcount(xor) — the Lucene/FAISS binary-
+    * quantization serving trick. The scan side touches ONLY the
+    * packed words (integer xor + bit_count, whole-stage codegen,
+    * SIMD-friendly); the top-`shortlist` Hamming candidates per query
+    * are then reranked with exact cosine on the original vectors, so
+    * float vectors are read for ≤ shortlist×|Q| rows, never the full
+    * base. At 100 TB the signature column is the only full-scan
+    * input — in production it ships as its own 16×-smaller parquet
+    * column (the ChunkStore signature-table layout), and the
+    * shortlist join is a broadcast of the tiny query side. Hamming
+    * ranking is INTEGER, so shortlist membership is engine-exact
+    * (no float boundary between Spark and the oracle). */
+  def a14KnnBinary(spark: SparkSession, dir: String, k: Int = 5,
+                   shortlist: Int = 32): DataFrame = {
+    import spark.implicits._
+    // bits d+1..d+32 of the sign pattern as one non-negative long:
+    // two words per vector — packing 64 bits into one signed long
+    // would overflow DuckDB's checked BIGINT arithmetic in the oracle
+    def word(off: Int): Column =
+      expr(s"aggregate(sequence(1, 32), cast(0 as bigint), (s, d) -> " +
+           s"s + if(element_at(v, d + $off) > 0d, " +
+           s"shiftleft(cast(1 as bigint), d - 1), cast(0 as bigint)))")
+    val all = base(spark, dir)
+      .withColumn("w0", word(0)).withColumn("w1", word(32))
+    val queries = all.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"),
+        $"w0".as("qw0"), $"w1".as("qw1"))
+    val wH = Window.partitionBy($"q_id").orderBy($"hamming", $"vec_id")
+    val wC = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")
+    all.join(broadcast(queries), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", $"qv", $"v",
+        (bit_count($"qw0".bitwiseXOR($"w0")) +
+         bit_count($"qw1".bitwiseXOR($"w1"))).cast("long").as("hamming"))
+      .withColumn("hrnk", row_number().over(wH))
+      .filter($"hrnk" <= shortlist)
+      .select($"q_id", $"vec_id", $"hamming",
+        V.cosineD($"qv", $"v").as("cosine_raw"))
+      .withColumn("rnk", row_number().over(wC))
+      .filter($"rnk" <= k)
+      .select($"q_id", $"vec_id", $"hamming",
+        round($"cosine_raw", 6).as("cosine"), $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
   /** a12: ANN RECALL evaluation — "measure, don't guess" for the
     * approximate family: every serving method's top-5 intersected
     * with a1's exact top-5, reported as recall@5. The calibration
@@ -886,7 +934,10 @@ object Knn {
       // pq vs opq at EQUAL bytes (4/vector): the rotation must pay
       // for itself in this report or it ships nowhere
       ("pq", a7KnnPqKmeans(spark, dir)),
-      ("opq", a13KnnOpq(spark, dir)))
+      ("opq", a13KnnOpq(spark, dir)),
+      // binary at 16 B/vector: the cheapest index in the panel — the
+      // report shows what recall those bytes buy
+      ("binary", a14KnnBinary(spark, dir)))
     methods.map { case (name, df) =>
       val hits = df.select($"q_id", $"vec_id")
         .join(exact, Seq("q_id", "vec_id"), "left_semi").count()
@@ -911,6 +962,7 @@ object Knn {
     "a10_knn_multiprobe" -> ((s, d) => a10MultiprobeLsh(s, d)),
     "a11_ivf_pq" -> a11IvfPq _,
     "a13_knn_opq" -> a13KnnOpq _,
+    "a14_knn_binary" -> ((s, d) => a14KnnBinary(s, d)),
     "s2_vector_topk" -> s2VectorTopk _)
 
   private val cosineSql =
@@ -1293,7 +1345,7 @@ object Knn {
     def pipe(name: String) = s"(SELECT q_id, vec_id FROM (${baseOracles(name)}))"
     val methods = Seq("ivf" -> "a3_knn_ivf", "ivf64" -> "a8_knn_ivf64",
       "lsh" -> "a2_knn_lsh", "pq" -> "a7_knn_pq_kmeans",
-      "opq" -> "a13_knn_opq")
+      "opq" -> "a13_knn_opq", "binary" -> "a14_knn_binary")
     val hitCtes = methods.map { case (m, q) =>
       s"""h_$m AS (
          |  SELECT CAST(count(*) AS BIGINT) AS hits FROM ${pipe(q)} x
@@ -1557,6 +1609,44 @@ object Knn {
          |SELECT q_id, vec_id, round(cosine_raw, 6) AS cosine, rnk
          |FROM ranked WHERE rnk <= 5
          |ORDER BY q_id, rnk""".stripMargin,
+    "a14_knn_binary" -> {
+      // same two 32-bit sign words as the Spark side, via checked
+      // BIGINT shifts (packing 64 bits into one word would overflow)
+      def wordSql(off: Int) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(generate_series(1, 32),
+           |        d -> CASE WHEN v[d + $off] > 0 THEN CAST(1 AS BIGINT) << (d - 1)
+           |             ELSE CAST(0 AS BIGINT) END)),
+           |      (s, x) -> s + x)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT vec_id, v,
+         |    ${wordSql(0)} AS w0,
+         |    ${wordSql(32)} AS w1
+         |  FROM e),
+         |cand AS (
+         |  SELECT q.vec_id AS q_id, b.vec_id AS vec_id, q.v AS qv, b.v AS bv,
+         |    CAST(bit_count(xor(q.w0, b.w0)) + bit_count(xor(q.w1, b.w1)) AS BIGINT) AS hamming
+         |  FROM p q JOIN p b ON q.vec_id < 10 AND b.vec_id <> q.vec_id),
+         |short AS (
+         |  SELECT q_id, vec_id, qv, bv, hamming FROM (
+         |    SELECT q_id, vec_id, qv, bv, hamming,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS hrnk
+         |    FROM cand) WHERE hrnk <= 32),
+         |scored AS (
+         |  SELECT q_id, vec_id, hamming,
+         |    ${cos("qv", "bv")} AS cosine_raw
+         |  FROM short),
+         |ranked AS (
+         |  SELECT q_id, vec_id, hamming, cosine_raw,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, vec_id, hamming, round(cosine_raw, 6) AS cosine, rnk
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin
+    },
     "a1_knn_bruteforce" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

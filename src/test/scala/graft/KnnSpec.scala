@@ -203,10 +203,35 @@ class KnnSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("a14 binary quantization: exact Hamming ranks, useful recall") {
+    import org.apache.spark.sql.functions._
+    val rows = Knn.a14KnnBinary(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getLong(2)
+      // 64 sign bits -> Hamming in [0, 64]
+      assert(h >= 0 && h <= 64, s"hamming out of range: $h")
+      assert(r.getInt(4) >= 1 && r.getInt(4) <= 5)
+    }
+    // a near-identical vector must land at near-zero Hamming: each
+    // query's best shortlist candidate is far under the 32-bit
+    // random-pair expectation
+    val bestH = rows.groupBy(_.getLong(0)).map(_._2.map(_.getLong(2)).min)
+    assert(bestH.forall(_ <= 24), s"best per-query hamming: $bestH")
+    // sign bits must carry real signal: recall@5 vs exact well above
+    // the ~5/n random-shortlist floor
+    import spark.implicits._
+    val exact = Knn.a1BruteForce(spark, sfDir).select($"q_id", $"vec_id")
+    val hits = Knn.a14KnnBinary(spark, sfDir).select($"q_id", $"vec_id")
+      .join(exact, Seq("q_id", "vec_id"), "left_semi").count()
+    assert(hits.toDouble / 50 >= 0.3, s"binary recall collapsed: $hits/50")
+    Caches.releaseAll()
+  }
+
   test("a12 recall report: bounded, consistent, and repeat-stable") {
     val rows = Knn.a12AnnRecall(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq ==
-      Seq("ivf", "ivf64", "lsh", "opq", "pq"))
+      Seq("binary", "ivf", "ivf64", "lsh", "opq", "pq"))
     rows.foreach { r =>
       val (hits, possible, recall) = (r.getLong(1), r.getLong(2), r.getDouble(3))
       assert(hits >= 0 && hits <= possible)
