@@ -468,7 +468,36 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** p17: QUALITY-WEIGHTED sampling WITHOUT replacement — exactly k
+    * documents, inclusion probability proportional to quality, via
+    * Efraimidis–Spirakis A-ES keys (key = u^(1/w); the global top-k
+    * keys ARE a weighted sample without replacement — "Weighted
+    * random sampling with a reservoir", IPL 2006). The draw u is the
+    * doc's md5 digest (first 48 bits scaled to [0,1)) from the SHARED
+    * scored-documents scan, so the sampler reads scores only — never
+    * the corpus bytes — and is deterministic: reruns, relayouts, and
+    * re-crawled exact copies all draw identically (a duplicate can't
+    * re-roll its way into the sample). Global top-k rides
+    * TakeOrderedAndProject (per-partition heaps merged on the
+    * driver, k rows — never a total-order shuffle), the one safe
+    * "global" pattern at 100 TB. Weight floor 0.01 keeps zero-quality
+    * docs sampleable-but-rare instead of dividing by zero. */
+  def p17WeightedSample(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.scoredDocs(spark, dir)
+      .select($"doc_id", $"source", $"quality",
+        (conv(substring($"digest", 1, 12), 16, 10).cast("long").cast("double") /
+          lit(281474976710656.0)).as("u"))
+      .withColumn("es_key", pow($"u", lit(1.0) / greatest($"quality", lit(0.01))))
+      .orderBy($"es_key".desc, $"doc_id")
+      .limit(k)
+      .select($"doc_id", $"source", $"quality",
+        round($"u", 6).as("u"), round($"es_key", 6).as("es_key"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p17_weighted_sample" -> ((s, d) => p17WeightedSample(s, d)),
     "p16_mixture_interleave" -> ((s, d) => p16MixtureInterleave(s, d)),
     "p15_pack_bpe" -> ((s, d) => p15PackBpe(s, d)),
     "p14_pack_report" -> ((s, d) => p14PackReport(s, d)),
@@ -520,6 +549,27 @@ object Curation {
        |  FROM packed p JOIN o ON o.source = p.source AND o.rn = p.rn + 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same quality weights, same 48-bit digest draw, same A-ES keys
+    "p17_weighted_sample" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, source,
+         |${TextAnalysis.qualityColsSql},
+         |    CAST(('0x' || substring(md5(text), 1, 12)) AS BIGINT)
+         |      / 281474976710656.0 AS u
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, source,
+         |    ${TextAnalysis.qualityExprSql} AS quality, u
+         |  FROM s),
+         |top AS (
+         |  SELECT doc_id, source, quality, u,
+         |    pow(u, 1.0 / greatest(quality, 0.01)) AS es_key
+         |  FROM q
+         |  ORDER BY es_key DESC, doc_id
+         |  LIMIT 100)
+         |SELECT doc_id, source, quality,
+         |  round(u, 6) AS u, round(es_key, 6) AS es_key
+         |FROM top ORDER BY doc_id""".stripMargin,
     // same hash shard/sub split, same per-source ranks, same integer
     // stride keys, same within-shard order
     "p16_mixture_interleave" ->

@@ -171,4 +171,27 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
     assert(re == out)
   }
+
+  test("p17 weighted sample: exact k, quality-biased, heap-based global top-k") {
+    import graft.operators.TextAnalysis
+    val df = Curation.p17WeightedSample(spark, sfDir, k = 100)
+    val rows = df.collect()
+    assert(rows.length == 100)
+    // weighting must bias the sample toward quality: sample mean
+    // strictly above the corpus mean
+    val sampleMean = rows.map(_.getDouble(2)).sum / rows.length
+    val corpusMean = TextAnalysis.scoredDocs(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.avg("quality")).head.getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean")
+    // deterministic across reruns
+    assert(Curation.p17WeightedSample(spark, sfDir, k = 100)
+      .collect().map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+    // global top-k must be the TakeOrderedAndProject heap merge, not
+    // a total-order shuffle
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$physical")
+    Caches.releaseShared()
+  }
 }
