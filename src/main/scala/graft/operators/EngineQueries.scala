@@ -1489,7 +1489,51 @@ object EngineQueries {
       .orderBy($"job_id")
   }
 
+  /** q54: INCREMENTAL AGGREGATE MAINTENANCE — a materialized
+    * per-(priority, year) rollup kept current by MERGING ALGEBRAIC
+    * STATE, never rescanning the base: the pre-cutoff "snapshot" and
+    * the post-cutoff "delta batch" each reduce to (count, sum, min,
+    * max) state rows, and the view is the monoid merge of the two
+    * state tables (counts add, sums add, mins min, maxs max; avg
+    * DERIVES from sum/count — averaging averages is the classic
+    * wrong answer). This is Spark's own partial-aggregation contract
+    * lifted across BATCHES: at 100 TB the nightly delta touches only
+    * delta bytes plus a state table of group cardinality, which is
+    * the only way a standing rollup stays affordable. Money rides
+    * decimal(18,2) through the states — algebraic maintenance needs
+    * an exactly-associative monoid, and float addition isn't one
+    * (the merge order differs from the oracle's single pass by
+    * construction); decimal makes merge order irrelevant, then the
+    * OUTPUT casts back to double. The oracle aggregates the full
+    * table in one pass — equality IS the maintenance-correctness
+    * proof. */
+  def q54IncrementalAgg(spark: SparkSession, dir: String,
+                        cutoff: String = "1996-01-01"): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir).select(
+      $"o_orderpriority", year($"o_orderdate").cast("long").as("o_year"),
+      $"o_totalprice".cast("decimal(18,2)").as("price"), $"o_orderdate")
+    def stateOf(df: DataFrame): DataFrame = df
+      .groupBy($"o_orderpriority", $"o_year")
+      .agg(count(lit(1)).as("cnt"), sum($"price").as("sm"),
+           min($"price").as("mn"), max($"price").as("mx"))
+    val cut = lit(cutoff).cast("timestamp")
+    val baseState = stateOf(orders.filter($"o_orderdate" < cut))
+    val deltaState = stateOf(orders.filter($"o_orderdate" >= cut))
+    baseState.unionByName(deltaState)
+      .groupBy($"o_orderpriority", $"o_year")
+      .agg(sum($"cnt").cast("long").as("n_orders"),
+           sum($"sm").as("sm"), min($"mn").as("mn"), max($"mx").as("mx"))
+      .select($"o_orderpriority", $"o_year", $"n_orders",
+        round($"sm".cast("double"), 2).as("total_price"),
+        round($"sm".cast("double") / $"n_orders", 4).as("avg_price"),
+        $"mn".cast("double").as("min_price"),
+        $"mx".cast("double").as("max_price"))
+      .orderBy($"o_orderpriority", $"o_year")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_incremental_agg" -> ((s, d) => q54IncrementalAgg(s, d)),
     "q53_stuck_jobs" -> q53StuckJobs _,
     "q52_retention_cohorts" -> q52RetentionCohorts _,
     "q51_session_paths" -> q51SessionPaths _,
@@ -1552,6 +1596,19 @@ object EngineQueries {
 
   val oracles: Map[String, String] = Map(
     // same deterministic job synthesis, same max(ts)-1h cutoff
+    // one full-table pass: equality with the Spark side's
+    // base-state + delta-state monoid merge proves the maintenance
+    "q54_incremental_agg" ->
+      """SELECT o_orderpriority,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+        |FROM orders
+        |GROUP BY o_orderpriority, o_year
+        |ORDER BY o_orderpriority, o_year""".stripMargin,
     "q53_stuck_jobs" ->
       """WITH jobs AS (
         |  SELECT event_id AS job_id, user_id AS source_id,

@@ -280,4 +280,18 @@ class EngineQueriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("q54 state merge equals a single-pass aggregate for any cutoff") {
+    // the merged base+delta state must be cutoff-invariant: every
+    // cutoff (including empty-base and empty-delta extremes)
+    // reproduces the same standing view
+    val full = EngineQueries.q54IncrementalAgg(spark, sfDir, "2199-01-01")
+      .collect().map(_.toSeq).toSeq
+    assert(full.nonEmpty)
+    Seq("1900-01-01", "1994-06-17", "1996-01-01").foreach { cut =>
+      val merged = EngineQueries.q54IncrementalAgg(spark, sfDir, cut)
+        .collect().map(_.toSeq).toSeq
+      assert(merged == full, s"cutoff $cut diverged from single-pass view")
+    }
+  }
 }
