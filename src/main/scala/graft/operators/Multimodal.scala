@@ -779,7 +779,65 @@ object Multimodal {
         tagValue(274L).as("orientation"))
   }
 
+  /** m11: PERCEPTUAL near-duplicate pairs over the image payloads —
+    * dHash (difference hash: downsample to a small grayscale grid,
+    * one bit per adjacent-cell comparison; the pHash-family member
+    * every image dedup pipeline starts with) with the DECODE step
+    * stubbed as the m-family's deterministic fake: grid cell =
+    * exact integer sum of the payload's byte codes over its 1/66th
+    * slice (a real decoder's resize+grayscale plugs into exactly
+    * this column). 6 rows × 10 adjacent comparisons = a 60-bit hash
+    * (fits signed ranges in both engines), then d3's pigeonhole
+    * serving shape verbatim: 6 chunks of 10 bits — Hamming ≤ 5
+    * GUARANTEES a shared chunk — bucket join with oversized buckets
+    * dropped before the quadratic stage, exact popcount verify.
+    * Integer end to end, so the oracle replays it bit-for-bit. At
+    * 100 TB: one scan computes 8-byte hashes (16-66× smaller than
+    * payloads), the join shuffles hashes on (chunk_idx, chunk_val)
+    * only, and payload bytes never move. */
+  def m11PerceptualDedup(spark: SparkSession, dir: String,
+                         maxHamming: Int = 5, maxBucket: Int = 64): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cellsExpr = expr(
+      """transform(sequence(0, 65), i ->
+        |  aggregate(
+        |    if(cast(i as bigint) * length(text) div 66 >=
+        |       cast(i + 1 as bigint) * length(text) div 66,
+        |       cast(array() as array<bigint>),
+        |       sequence(cast(i as bigint) * length(text) div 66 + 1,
+        |                cast(i + 1 as bigint) * length(text) div 66)),
+        |    cast(0 as bigint),
+        |    (s, j) -> s + ascii(substring(text, cast(j as int), 1))))""".stripMargin)
+    val phashExpr = expr(
+      """aggregate(sequence(0, 59), cast(0 as bigint), (s, b) ->
+        |  s + if(element_at(cells, cast((b div 10) * 11 + (b % 10) + 1 as int)) >
+        |         element_at(cells, cast((b div 10) * 11 + (b % 10) + 2 as int)),
+        |       shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin)
+    val ph = Tables.documents(spark, dir)
+      .select($"doc_id", cellsExpr.as("cells"))
+      .select($"doc_id", phashExpr.as("phash"))
+    // persist (tracked): the hash scan sits on both sides of the
+    // chunk self-join
+    val chunks = graft.Caches.persist(ph
+      .select($"doc_id", $"phash",
+        explode(graft.functions.HashFunctions.simhashChunks($"phash", 6)).as("c"))
+      .select($"doc_id", $"phash", $"c.chunk_idx", $"c.chunk_val"))
+    val wB = Window.partitionBy($"chunk_idx", $"chunk_val")
+    val kept = chunks.withColumn("bcnt", count(lit(1)).over(wB))
+      .filter($"bcnt" <= maxBucket)
+    kept.as("x").join(kept.as("y"),
+        $"x.chunk_idx" === $"y.chunk_idx" && $"x.chunk_val" === $"y.chunk_val" &&
+        $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"),
+        expr("bit_count(x.phash ^ y.phash)").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= maxHamming)
+      .orderBy($"a_id", $"b_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m11_perceptual_dedup" -> ((s, d) => m11PerceptualDedup(s, d)),
     "m10_tiff_meta" -> m10TiffMeta _,
     "m9_zip_meta" -> m9ZipMeta _,
     "m1_binary_meta" -> m1BinaryMeta _,
@@ -792,6 +850,45 @@ object Multimodal {
     "m8_tar_meta" -> m8TarMeta _)
 
   val oracles: Map[String, String] = Map(
+    // same 66-cell byte-sum grid, same 60-bit dHash, same chunk
+    // banding, bucket cap, and popcount verify as the Spark side
+    "m11_perceptual_dedup" ->
+      """WITH cl AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 65), i ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(generate_series(i * length(text) // 66 + 1,
+        |                                       (i + 1) * length(text) // 66),
+        |          j -> CAST(ascii(substring(text, CAST(j AS INT), 1)) AS BIGINT))),
+        |        (s, x) -> s + x)) AS cells
+        |  FROM documents),
+        |ph AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(0, 59), b ->
+        |        CASE WHEN cells[(b // 10) * 11 + (b % 10) + 1] >
+        |                  cells[(b // 10) * 11 + (b % 10) + 2]
+        |             THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
+        |      (s, x) -> s + x) AS phash
+        |  FROM cl),
+        |chunks AS (
+        |  SELECT doc_id, phash, c.i - 1 AS chunk_idx,
+        |         (phash >> ((c.i - 1) * 10)) & 1023 AS chunk_val
+        |  FROM ph, LATERAL unnest(generate_series(1, 6)) AS c(i)),
+        |kept AS (
+        |  SELECT doc_id, phash, chunk_idx, chunk_val FROM (
+        |    SELECT doc_id, phash, chunk_idx, chunk_val,
+        |      count(*) OVER (PARTITION BY chunk_idx, chunk_val) AS bcnt
+        |    FROM chunks) WHERE bcnt <= 64),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+        |    CAST(bit_count(xor(x.phash, y.phash)) AS INTEGER) AS hamming
+        |  FROM kept x JOIN kept y
+        |    ON x.chunk_idx = y.chunk_idx AND x.chunk_val = y.chunk_val
+        |   AND x.doc_id < y.doc_id)
+        |SELECT a_id, b_id, hamming FROM cand
+        |WHERE hamming <= 5
+        |ORDER BY a_id, b_id""".stripMargin,
     // first-principles recompute from the synth rules — byte order,
     // entry count, and tag values straight from the id arithmetic
     "m10_tiff_meta" ->

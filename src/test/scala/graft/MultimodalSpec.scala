@@ -281,4 +281,27 @@ class MultimodalSpec extends SparkSpec {
     val j = Multimodal.parseTiff(junk).collect().head
     assert(!j.getBoolean(1) && j.isNullAt(2) && j.isNullAt(4))
   }
+
+  test("m11 dHash pairs exact copies at hamming 0, small edits nearby, noise apart") {
+    import spark.implicits._
+    val base = (0 until 400).map(i => ('a' + i % 23).toChar).mkString
+    // 1=2 exact copies; 3 = one byte bumped in one grid cell;
+    // 4 = unrelated noise (different byte distribution per slice)
+    val docs = Seq(
+      (1L, base), (2L, base),
+      (3L, base.updated(100, (base(100) + 1).toChar)),
+      (4L, (0 until 400).map(i => ('z' - (i * 7) % 20).toChar).mkString)
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("m11").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Multimodal.m11PerceptualDedup(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // byte-identical payloads collapse to the same hash
+    assert(pairs((1L, 2L)) == 0)
+    // a one-byte edit flips at most the two bits adjacent to its cell
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) <= 2)
+    // unrelated noise never reaches the <=5 verify
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+    Caches.releaseAll()
+  }
 }
