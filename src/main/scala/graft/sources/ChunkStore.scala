@@ -220,6 +220,83 @@ object ChunkStore {
     page.orderBy(col(indexCol), col(idCol)).limit(limit)
   }
 
+  /** Per-FILE column-statistics MANIFEST — the Iceberg/Delta
+    * data-skipping pattern as an explicit table: one pass over the
+    * store (column-pruned to the stat columns) computes min/max/
+    * null-count per physical file via the `_metadata.file_path`
+    * column, written under `_manifest` (an underscore-prefixed
+    * sibling, which Spark's file discovery treats as metadata and
+    * never reads as data). At 100 TB the manifest is one row per
+    * file — a ~10⁶-row table for a ~10⁹-row store — and planning a
+    * pruned read costs a manifest scan, not a footer fetch per file
+    * (the Iceberg planning model; parquet footer stats alone still
+    * require touching every file's footer on every query). Tight
+    * stats come from the write layout: [[writeZordered]] exists
+    * precisely to make these per-file ranges narrow on two columns
+    * at once. */
+  def writeManifest(spark: SparkSession, path: String,
+                    cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val statAggs = cols.flatMap(c => Seq(
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c")))
+    spark.read.parquet(path)
+      .groupBy(normPath(col("_metadata.file_path")).as("file"))
+      .agg(count(lit(1)).as("rows"), statAggs: _*)
+      .write.mode("overwrite").parquet(s"$path/_manifest")
+    spark.read.parquet(s"$path/_manifest")
+  }
+
+  /** scheme-independent file identity (file:///x vs file:/x) */
+  private def normPath(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.regexp_replace(c, "^[a-z]+:/+", "/")
+
+  /** Manifest-driven file pruning for a range predicate on `c`:
+    * returns (surviving file paths, total file count). A file
+    * survives iff [min_c, max_c] intersects [lo, hi]; all-null files
+    * (null min/max) are pruned because a range predicate never
+    * matches NULL. Fails fast on a STALE manifest (a file on disk
+    * that the manifest doesn't cover would otherwise be silently
+    * dropped from results — the failure mode that makes ad-hoc
+    * skipping indexes dangerous; Iceberg avoids it by making the
+    * manifest the commit log itself). */
+  def pruneFiles(spark: SparkSession, path: String, c: String,
+                 lo: Any, hi: Any): (Seq[String], Int) = {
+    import org.apache.spark.sql.functions._
+    val mf = spark.read.parquet(s"$path/_manifest")
+      .select(col("file"), col(s"min_$c"), col(s"max_$c")).cache()
+    try {
+      val manifestFiles = mf.select("file").collect().map(_.getString(0)).toSet
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val live = fs.listStatus(dir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toUri.getPath).toSet
+      require(live == manifestFiles,
+        s"stale manifest for $path: ${(live -- manifestFiles).size} unindexed / " +
+          s"${(manifestFiles -- live).size} ghost files — rerun writeManifest")
+      val kept = mf
+        .filter(col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo))
+        .select("file").collect().map(_.getString(0)).toSeq
+      (kept, manifestFiles.size)
+    } finally { mf.unpersist(); () }
+  }
+
+  /** Range read planned off the manifest: only surviving files are
+    * opened; the residual predicate still applies (file stats are an
+    * over-approximation). Zero surviving files short-circuits to an
+    * empty frame without touching storage. */
+  def prunedRead(spark: SparkSession, path: String, c: String,
+                 lo: Any, hi: Any): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (kept, _) = pruneFiles(spark, path, c, lo, hi)
+    if (kept.isEmpty)
+      spark.read.parquet(path).filter(lit(false))
+    else
+      spark.read.parquet(kept: _*)
+        .filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+  }
+
   /** Drop one source partition — DeleteChunksBySourceID as a metadata
     * operation (no rewrite of surviving data). Goes through the
     * Hadoop FileSystem API, so the same call works on local disk,

@@ -237,4 +237,39 @@ class ChunkStoreSpec extends SparkSpec {
     assert(spread(base, "l_partkey") > 0.9)
     assert(spread(base, "l_suppkey") > 0.9)
   }
+
+  test("manifest skipping: pruned read is exact, opens a fraction of files, rejects stale") {
+    val zPath = Files.createTempDirectory("graft-mf").toString + "/li"
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey")
+    ChunkStore.writeZordered(li, zPath, "l_partkey", "l_suppkey",
+      targetFiles = 8)
+    val mf = ChunkStore.writeManifest(spark, zPath,
+      Seq("l_partkey", "l_suppkey"))
+    assert(mf.count() == 8)
+    // per-file row counts in the manifest tile the store exactly
+    assert(mf.agg(sum($"rows")).head.getLong(0) == li.count())
+    val (loQ, hiQ) = (1L, 20L)
+    val (kept, total) = ChunkStore.pruneFiles(spark, zPath, "l_partkey", loQ, hiQ)
+    assert(total == 8)
+    // the z-layout must make a narrow range skip most files
+    assert(kept.size < total, s"no pruning: ${kept.size}/$total")
+    // pruning must be EXACT: pruned read == full-scan filter
+    val pruned = ChunkStore.prunedRead(spark, zPath, "l_partkey", loQ, hiQ)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val full = spark.read.parquet(zPath)
+      .filter($"l_partkey" >= loQ && $"l_partkey" <= hiQ)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(pruned.nonEmpty && pruned.toSeq == full.toSeq)
+    // an out-of-range predicate opens zero files but keeps the schema
+    val empty = ChunkStore.prunedRead(spark, zPath, "l_partkey", -100L, -50L)
+    assert(empty.count() == 0 &&
+      empty.columns.toSeq == Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    // a write the manifest didn't see must fail fast, not lose rows
+    li.limit(5).coalesce(1).write.mode("append").parquet(zPath)
+    val err = intercept[IllegalArgumentException] {
+      ChunkStore.pruneFiles(spark, zPath, "l_partkey", loQ, hiQ)
+    }
+    assert(err.getMessage.contains("stale manifest"))
+  }
 }
