@@ -546,6 +546,23 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
   def dsirWeights(isTarget: org.apache.spark.sql.Column): DataFrame =
     graft.operators.Curation.dsirOf(corpus, isTarget)
 
+  /** Quality-weighted sample WITHOUT replacement (p17): exactly k
+    * docs, inclusion ∝ quality, deterministic A-ES keys from the
+    * content digest. Scores computed inline from the corpus. */
+  def weightedSample(k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.functions.md5
+    import corpus.sparkSession.implicits._
+    graft.operators.Curation.weightedSampleScored(
+      corpus.select($"doc_id", $"source",
+        graft.operators.TextAnalysis.quality($"text").as("quality"),
+        md5($"text").as("digest")), k)
+  }
+
+  /** Perceptual (dHash) near-dup pairs over the corpus payloads
+    * (m11): banded Hamming join, exact popcount verify. */
+  def perceptualDedup(maxHamming: Int = 5, maxBucket: Int = 64): DataFrame =
+    graft.operators.Multimodal.perceptualPairsOf(corpus, maxHamming, maxBucket)
+
   /** Packing-efficiency audit of [[packBins]]'s layout (p14). */
   def packReport(cap: Long = 1024L): DataFrame =
     graft.operators.Curation.packReportOf(packBins(cap), cap)

@@ -482,9 +482,16 @@ object Curation {
     * driver, k rows — never a total-order shuffle), the one safe
     * "global" pattern at 100 TB. Weight floor 0.01 keeps zero-quality
     * docs sampleable-but-rare instead of dividing by zero. */
-  def p17WeightedSample(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
-    import spark.implicits._
-    TextAnalysis.scoredDocs(spark, dir)
+  def p17WeightedSample(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    weightedSampleScored(
+      TextAnalysis.scoredDocs(spark, dir).select("doc_id", "source", "quality", "digest"), k)
+
+  /** The A-ES selection over any (doc_id, source, quality, digest)
+    * frame — the GraftEngine facade feeds it scores computed inline
+    * from an arbitrary corpus; p17 feeds it the shared scan. */
+  def weightedSampleScored(scored: DataFrame, k: Int): DataFrame = {
+    import scored.sparkSession.implicits._
+    scored
       .select($"doc_id", $"source", $"quality",
         (conv(substring($"digest", 1, 12), 16, 10).cast("long").cast("double") /
           lit(281474976710656.0)).as("u"))

@@ -796,7 +796,15 @@ object Multimodal {
     * payloads), the join shuffles hashes on (chunk_idx, chunk_val)
     * only, and payload bytes never move. */
   def m11PerceptualDedup(spark: SparkSession, dir: String,
-                         maxHamming: Int = 5, maxBucket: Int = 64): DataFrame = {
+                         maxHamming: Int = 5, maxBucket: Int = 64): DataFrame =
+    perceptualPairsOf(Tables.documents(spark, dir), maxHamming, maxBucket)
+
+  /** The dHash pipeline over any (doc_id, text-as-payload) frame —
+    * the GraftEngine facade's entry point; m11 feeds it the
+    * documents table. */
+  def perceptualPairsOf(docs: DataFrame,
+                        maxHamming: Int = 5, maxBucket: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val cellsExpr = expr(
@@ -814,7 +822,7 @@ object Multimodal {
         |  s + if(element_at(cells, cast((b div 10) * 11 + (b % 10) + 1 as int)) >
         |         element_at(cells, cast((b div 10) * 11 + (b % 10) + 2 as int)),
         |       shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin)
-    val ph = Tables.documents(spark, dir)
+    val ph = docs
       .select($"doc_id", cellsExpr.as("cells"))
       .select($"doc_id", phashExpr.as("phash"))
     // persist (tracked): the hash scan sits on both sides of the

@@ -385,4 +385,17 @@ class GraftEngineSpec extends SparkSpec {
     joined.foreach(r => assert(r.getLong(2) >= r.getLong(3)))
     Caches.releaseAll()
   }
+
+  test("weightedSample / perceptualDedup facades equal their driver queries") {
+    val e = new GraftEngine(spark, Tables.documents(spark, sfDir))
+    // inline-scored facade == shared-scan query, row for row
+    assert(e.weightedSample(50).collect().map(_.toSeq).toSeq ==
+      graft.operators.Curation.p17WeightedSample(spark, sfDir, k = 50)
+        .collect().map(_.toSeq).toSeq)
+    assert(e.perceptualDedup().collect().map(_.toSeq).toSeq ==
+      graft.operators.Multimodal.m11PerceptualDedup(spark, sfDir)
+        .collect().map(_.toSeq).toSeq)
+    Caches.releaseAll()
+    Caches.releaseShared()
+  }
 }
