@@ -246,7 +246,53 @@ object HybridSearch {
       .orderBy($"final_rank")
   }
 
+  /** s8: SEARCH-QUALITY calibration — a12's "measure, don't guess"
+    * discipline applied to the retrieval family: every serving
+    * ranking (BM25, relative-score hybrid, RRF) scored as NDCG@10
+    * against the corpus's own semantic relevance (exact poly-BoW
+    * cosine to the query, clamped at 0 so irrelevant docs add no
+    * gain). The exact-vector ranking rides along at NDCG 1.0 by
+    * construction — the sanity row. This is the offline eval a
+    * deployment runs before picking a fusion algorithm or alpha;
+    * every leg replays in the oracle, so even the eval itself is
+    * hash-checked. Cost shape: one full-corpus cosine scan (the
+    * relevance labels), three candidate pipelines that each end in
+    * TakeOrderedAndProject, DCG folds over ≤k rows. */
+  def s8SearchEval(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val docs = docTokens(spark, dir)
+    val emb = docs.filter(size($"tok") > 0)
+      .select($"doc_id", expr("poly_bow(tok, 64)").as("embedding"))
+    val queryTok = array(QueryTerms.map(lit): _*)
+    val qvec = spark.range(1)
+      .select(queryTok.as("tok"))
+      .select(expr("poly_bow(tok, 64)").as("qv"))
+    // persisted (tracked): the relevance labels join against every
+    // method's list AND define the ideal ranking
+    val rel = graft.Caches.persist(emb.crossJoin(broadcast(qvec))
+      .select($"doc_id", greatest(V.cosineD($"embedding", $"qv"), lit(0.0)).as("rel")))
+    def ranked(df: DataFrame, scoreCol: String): DataFrame =
+      df.select($"doc_id", row_number().over(
+          Window.orderBy(col(scoreCol).desc, $"doc_id")).cast("long").as("rnk"))
+        .filter($"rnk" <= k)
+    val ideal = ranked(rel, "rel")
+    def dcgOf(name: String, r: DataFrame): DataFrame =
+      r.join(rel, Seq("doc_id"), "left")
+        .agg(sum(coalesce($"rel", lit(0.0)) / log2($"rnk" + 1)).as("dcg"))
+        .select(lit(name).as("method"), $"dcg")
+    val idcg = dcgOf("vector_exact", ideal).select($"dcg".as("idcg"))
+    dcgOf("bm25", ranked(bm25(spark, dir), "score"))
+      .union(dcgOf("hybrid", ranked(s3HybridSearch(spark, dir), "hybrid_score")))
+      .union(dcgOf("rrf", ranked(s6RrfFusion(spark, dir), "rrf_score")))
+      .union(dcgOf("vector_exact", ideal))
+      .crossJoin(broadcast(idcg))
+      .select($"method", round($"dcg", 4).as("dcg_at_10"),
+        round($"dcg" / $"idcg", 4).as("ndcg_at_10"))
+      .orderBy($"method")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s8_search_eval" -> ((s, d) => s8SearchEval(s, d)),
     "s1_keyword_bm25" -> s1KeywordBm25 _,
     "s3_hybrid_search" -> s3HybridSearch _,
     "s4_rerank" -> s4Rerank _,
@@ -301,7 +347,75 @@ object HybridSearch {
     * over exactly this result set). */
   private lazy val s3Sql: String = oraclesBase("s3_hybrid_search")
 
+  /** poly-BoW relevance labels + ideal ranking, shared by the s8
+    * oracle: same 64-bucket hashed BoW and cosine as the serving
+    * legs, clamped at 0. */
+  private lazy val s8RelSql: String =
+    """docs8 AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS tok
+      |  FROM documents),
+      |pb8 AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(0, 63), b -> CAST(len(list_filter(
+      |      list_transform(tok, t ->
+      |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(generate_series(1, length(t)),
+      |            i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+      |          (a, c) -> (a*31 + c) % 1000000007)),
+      |      x -> x % 64 = b)) AS DOUBLE)) AS v
+      |  FROM docs8 WHERE len(tok) > 0),
+      |qv8 AS (
+      |  SELECT list_transform(generate_series(0, 63), b -> CAST(len(list_filter(
+      |    list_transform(['spark','join','filter'], t ->
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(generate_series(1, length(t)),
+      |          i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+      |        (a, c) -> (a*31 + c) % 1000000007)),
+      |    x -> x % 64 = b)) AS DOUBLE)) AS v),
+      |rel AS (
+      |  SELECT doc_id, greatest(
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(generate_series(1, len(pb8.v)), i -> pb8.v[i]*qv8.v[i])), (s,x) -> s+x)
+      |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |         list_transform(pb8.v, x -> x*x)), (s,x) -> s+x))
+      |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |         list_transform(qv8.v, x -> x*x)), (s,x) -> s+x))), 0.0) AS rel
+      |  FROM pb8, qv8),
+      |ideal AS (
+      |  SELECT doc_id, rnk FROM (
+      |    SELECT doc_id, CAST(row_number() OVER (ORDER BY rel DESC, doc_id) AS BIGINT) AS rnk
+      |    FROM rel) WHERE rnk <= 10)""".stripMargin
+
+  private def s8RankedSql(sql: String, score: String): String =
+    s"""(SELECT doc_id, rnk FROM (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY $score DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM ($sql)) WHERE rnk <= 10)""".stripMargin
+
   val oracles: Map[String, String] = oraclesBase +
+    ("s8_search_eval" ->
+      s"""WITH $s8RelSql,
+         |m_bm25 AS ${s8RankedSql(oraclesBase("s1_keyword_bm25"), "score")},
+         |m_hybrid AS ${s8RankedSql(oraclesBase("s3_hybrid_search"), "hybrid_score")},
+         |m_rrf AS ${s8RankedSql(oraclesBase("s6_rrf_fusion"), "rrf_score")},
+         |dcg AS (
+         |  SELECT 'bm25' AS method, sum(coalesce(rel, 0.0) / log2(rnk + 1)) AS dcg
+         |  FROM m_bm25 LEFT JOIN rel USING (doc_id)
+         |  UNION ALL
+         |  SELECT 'hybrid', sum(coalesce(rel, 0.0) / log2(rnk + 1))
+         |  FROM m_hybrid LEFT JOIN rel USING (doc_id)
+         |  UNION ALL
+         |  SELECT 'rrf', sum(coalesce(rel, 0.0) / log2(rnk + 1))
+         |  FROM m_rrf LEFT JOIN rel USING (doc_id)
+         |  UNION ALL
+         |  SELECT 'vector_exact', sum(rel / log2(rnk + 1))
+         |  FROM ideal JOIN rel USING (doc_id)),
+         |idcg AS (
+         |  SELECT sum(rel / log2(rnk + 1)) AS idcg
+         |  FROM ideal JOIN rel USING (doc_id))
+         |SELECT method, round(dcg, 4) AS dcg_at_10,
+         |  round(dcg / idcg, 4) AS ndcg_at_10
+         |FROM dcg, idcg
+         |ORDER BY method""".stripMargin) +
     ("s4_rerank" ->
       s"""WITH s3res AS (
          |$s3Sql

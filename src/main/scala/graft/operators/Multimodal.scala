@@ -807,16 +807,12 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val cellsExpr = expr(
-      """transform(sequence(0, 65), i ->
-        |  aggregate(
-        |    if(cast(i as bigint) * length(text) div 66 >=
-        |       cast(i + 1 as bigint) * length(text) div 66,
-        |       cast(array() as array<bigint>),
-        |       sequence(cast(i as bigint) * length(text) div 66 + 1,
-        |                cast(i + 1 as bigint) * length(text) div 66)),
-        |    cast(0 as bigint),
-        |    (s, j) -> s + ascii(substring(text, cast(j as int), 1))))""".stripMargin)
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    // char_cells codegen kernel: one tight pass per row (the
+    // interpreted 66-arm transform/aggregate lambda it replaced put
+    // m11 at 4.4s in the sf0.1 bench; the kernel runs the scan at
+    // poly-hash speed)
+    val cellsExpr = expr("char_cells(text, 66)")
     val phashExpr = expr(
       """aggregate(sequence(0, 59), cast(0 as bigint), (s, b) ->
         |  s + if(element_at(cells, cast((b div 10) * 11 + (b % 10) + 1 as int)) >

@@ -585,6 +585,65 @@ case class ByteAt(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Bucketed character sums: string -> array<bigint> of `cells`
+  * partial sums, cell i summing the char codes of the equal-width
+  * slice [i*len/cells, (i+1)*len/cells) — the downsample grid of the
+  * m11 perceptual hash (Multimodal.scala), which evaluated an
+  * interpreted 66-arm transform/aggregate lambda per row before this
+  * kernel. One tight pass per row; same charAt-vs-ascii(substring)
+  * BMP equivalence as poly_hash_all (the corpus convention every
+  * string kernel in this file shares). */
+case class CharCells(child: Expression, cells: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_cells"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_cells requires string, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length.toLong
+    val out = new Array[Long](cells)
+    var i = 0
+    while (i < cells) {
+      var j = (i * n / cells).toInt
+      val hi = ((i + 1) * n / cells).toInt
+      var acc = 0L
+      while (j < hi) { acc += s.charAt(j); j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s"); val n = ctx.freshName("n")
+      val out = ctx.freshName("out"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val hi = ctx.freshName("hi")
+      val acc = ctx.freshName("acc")
+      s"""
+         |String $s = $c.toString();
+         |long $n = $s.length();
+         |long[] $out = new long[$cells];
+         |for (int $i = 0; $i < $cells; $i++) {
+         |  int $j = (int) (($i * $n) / $cells);
+         |  int $hi = (int) ((($i + 1) * $n) / $cells);
+         |  long $acc = 0L;
+         |  for (; $j < $hi; $j++) { $acc += $s.charAt($j); }
+         |  $out[$i] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharCells =
+    copy(child = newChild)
+}
+
 /** Shared helpers for the PQ kernels: materialize a foldable
   * array<array<array<double>>> literal (per-subspace codebooks,
   * layout books(s)(j)(d)) into a JVM table once per expression

@@ -54,6 +54,9 @@ object GraftFunctions {
         else PolyHashArr(args.head)),
     ("byte_at", "byte_at(binary, pos) - 1-based unsigned byte read, -1 out of range",
       (args: Seq[Expression]) => ByteAt(args.head, args(1))),
+    ("char_cells", "char_cells(text, cells) - bucketed char-code sums over equal-width slices",
+      (args: Seq[Expression]) => CharCells(args.head,
+        args(1).eval().asInstanceOf[Number].intValue())),
     ("pq_encode", "pq_encode(vec, books) - per-subspace PQ codes (argmin, first-min ties)",
       (args: Seq[Expression]) => PqEncode(args.head, args(1))),
     ("pq_adc", "pq_adc(qv, code, books) - PQ asymmetric squared-L2 distance",
@@ -100,6 +103,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
           PolyHashArr(args.head, args(1).eval().asInstanceOf[Number].longValue())
         else PolyHashArr(args.head)),
       ("byte_at", args => ByteAt(args.head, args(1))),
+      ("char_cells", args => CharCells(args.head,
+        args(1).eval().asInstanceOf[Number].intValue())),
       ("pq_encode", args => PqEncode(args.head, args(1))),
       ("pq_adc", args => PqAdc(args.head, args(1), args(2))),
       ("nearest_centroid", args => NearestCentroid(args.head, args(1))),

@@ -58,4 +58,25 @@ class HybridSearchSpec extends SparkSpec {
     assert(ids.subsetOf(enIds))
     rows.foreach(r => assert(r.getLong(2) > 0))
   }
+
+  test("s8 eval: NDCG bounded, exact leg saturates, rankings carry signal") {
+    val rows = HybridSearch.s8SearchEval(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("bm25", "hybrid", "rrf", "vector_exact"))
+    val byM = rows.map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    byM.foreach { case (m, (dcg, ndcg)) =>
+      assert(dcg > 0.0, s"$m retrieved zero relevance")
+      assert(ndcg >= 0.0 && ndcg <= 1.0, s"$m ndcg $ndcg out of range")
+    }
+    // the ideal ranking scores itself perfectly
+    assert(byM("vector_exact")._2 == 1.0)
+    // fused rankings must capture at least as much semantic gain as
+    // chance: both carry the vector leg, so they can't be the worst
+    assert(byM("hybrid")._2 >= byM("bm25")._2 ||
+           byM("rrf")._2 >= byM("bm25")._2)
+    // repeat-stable
+    assert(HybridSearch.s8SearchEval(spark, sfDir).collect().map(_.toSeq).toSeq ==
+      rows.map(_.toSeq).toSeq)
+    Caches.releaseAll()
+  }
 }

@@ -36,6 +36,30 @@ class KernelSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("char_cells kernel == HOF bucket-sum formulation") {
+    import spark.implicits._
+    val hof = expr(
+      """transform(sequence(0, 65), i ->
+        |  aggregate(
+        |    if(cast(i as bigint) * length(text) div 66 >=
+        |       cast(i + 1 as bigint) * length(text) div 66,
+        |       cast(array() as array<bigint>),
+        |       sequence(cast(i as bigint) * length(text) div 66 + 1,
+        |                cast(i + 1 as bigint) * length(text) div 66)),
+        |    cast(0 as bigint),
+        |    (s, j) -> s + ascii(substring(text, cast(j as int), 1))))""".stripMargin)
+    val rows = Tables.documents(spark, sfDir).limit(50)
+      .select(expr("char_cells(text, 66)").as("kernel"), hof.as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // short strings: empty slices contribute zero cells
+    val tiny = Seq("ab", "").toDF("text")
+      .select(expr("char_cells(text, 66)").as("k")).collect()
+    assert(tiny(0).getSeq[Long](0).sum == 'a'.toLong + 'b'.toLong)
+    assert(tiny(1).getSeq[Long](0).forall(_ == 0L))
+  }
+
   test("cosine_sim kernel == HOF cosine (bit-identical doubles)") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir).limit(50)
