@@ -157,10 +157,22 @@ object Pipeline {
     * output one row per clustered doc with its component
     * representative (min id), component size, and whether it is the
     * survivor. */
+  /** SHARED component labels over the corpus's verified MinHash-LSH
+    * pairs — the cluster assignment p5 and p12 both consume, computed
+    * once per (session, corpus) like the shingle scan it builds on: a
+    * real dedup pass labels clusters once and runs every keeper
+    * policy against the labels. Persisted via Caches.shared (the
+    * label table is two bigint columns — corpus-cardinality rows,
+    * tiny relative to the corpus). */
+  def componentLabels(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.shared(spark, s"cc_labels:$dir") {
+      connectedComponents(
+        Dedup.minhashLshPairsOf(Dedup.minhashSigs(spark, dir)))
+    }
+
   def p5DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val labels = connectedComponents(
-      Dedup.minhashLshPairsOf(Dedup.minhashSigs(spark, dir)))
+    val labels = componentLabels(spark, dir)
     val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
       .select($"id".as("doc_id"), $"lbl".as("cluster_rep"),
@@ -181,10 +193,11 @@ object Pipeline {
   def p12ClusterKeepBest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val labels = connectedComponents(
-      Dedup.minhashLshPairsOf(Dedup.minhashSigs(spark, dir)))
-    val quality = Tables.documents(spark, dir)
-      .select($"doc_id", TextAnalysis.quality($"text").as("quality"))
+    val labels = componentLabels(spark, dir)
+    // quality from the shared scored-documents scan (same rounded
+    // formula the facade's inline path computes)
+    val quality = TextAnalysis.scoredDocs(spark, dir)
+      .select($"doc_id", $"quality")
     val w = Window.partitionBy($"cluster_rep")
       .orderBy($"quality".desc, $"doc_id")
     labels
