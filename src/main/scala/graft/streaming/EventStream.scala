@@ -344,6 +344,39 @@ object EventStream {
       .filter($"rnk" <= k)
   }
 
+  final case class OrderEvent(o_orderpriority: String,
+                              o_orderdate: java.sql.Timestamp,
+                              o_totalprice: Double)
+
+  /** st14: STREAMING incremental-aggregate maintenance — q54's
+    * standing per-(priority, year) rollup kept current BY THE ENGINE:
+    * a streaming groupBy holds the (count, sum, min, max) algebraic
+    * state and every micro-batch merges in exactly the monoid step
+    * q54 performs across its base/delta batches — Structured
+    * Streaming's stateful aggregation IS incremental view
+    * maintenance, with the same decimal(18,2) money state so merge
+    * order (micro-batch boundaries) can't perturb a cent. Complete
+    * output mode serves the whole standing view per trigger; state is
+    * group-cardinality-bounded (priorities × years), not
+    * input-bounded. Batch-gated against q54 in StreamingSpec: any
+    * batch split must reproduce the single-pass view row for row. */
+  def incrementalAggStream(orders: DataFrame): DataFrame = {
+    import orders.sparkSession.implicits._
+    orders
+      .select($"o_orderpriority",
+        year($"o_orderdate").cast("long").as("o_year"),
+        $"o_totalprice".cast("decimal(18,2)").as("price"))
+      .groupBy($"o_orderpriority", $"o_year")
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+           sum($"price").as("sm"),
+           min($"price").as("mn"), max($"price").as("mx"))
+      .select($"o_orderpriority", $"o_year", $"n_orders",
+        round($"sm".cast("double"), 2).as("total_price"),
+        round($"sm".cast("double") / $"n_orders", 4).as("avg_price"),
+        $"mn".cast("double").as("min_price"),
+        $"mx".cast("double").as("max_price"))
+  }
+
   final case class ScdEvent(user_id: Long, ts: java.sql.Timestamp,
                             event_id: Long, attr: String)
   final case class ScdState(attr: String, from: java.sql.Timestamp,

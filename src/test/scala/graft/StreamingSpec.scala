@@ -685,6 +685,40 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("st14 streaming rollup equals q54's single-pass view across any batch split") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def o(p: String, d: String, v: Double) =
+      EventStream.OrderEvent(p, java.sql.Timestamp.valueOf(d + " 00:00:00"), v)
+    val evs = Seq(
+      o("1-URGENT", "1995-03-15", 100.10), o("1-URGENT", "1995-07-01", 250.25),
+      o("2-HIGH", "1995-01-02", 10.99), o("1-URGENT", "1996-02-11", 75.50),
+      o("2-HIGH", "1996-06-30", 310.00), o("2-HIGH", "1996-08-21", 5.05),
+      o("3-MEDIUM", "1997-12-31", 999.99))
+    val stream = MemoryStream[EventStream.OrderEvent]
+    stream.addData(evs.take(3): _*)
+    val query = EventStream.incrementalAggStream(stream.toDF())
+      .writeStream.format("memory").queryName("st14_mem")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      query.processAllAvailable()
+      stream.addData(evs.drop(3): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("st14_mem")
+        .orderBy($"o_orderpriority", $"o_year").collect().map(_.toSeq)
+      // q54 over the same orders as a parquet corpus, cutoff NOT at
+      // the micro-batch boundary (the engine's state merge and q54's
+      // snapshot/delta merge split the data differently on purpose)
+      val tmp = java.nio.file.Files.createTempDirectory("st14").toString
+      evs.toDF().write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+      val batch = graft.operators.EngineQueries
+        .q54IncrementalAgg(spark, tmp, "1996-01-01")
+        .collect().map(_.toSeq)
+      assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+    } finally query.stop()
+  }
+
   test("st13 quality gate scores the stream exactly like the batch scorer") {
     val sparkSession = spark
     import sparkSession.implicits._
