@@ -503,7 +503,41 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** p18: TOKEN-BUDGET quota selection — the missing step between
+    * t5's mixture weights and a shippable corpus: a total token
+    * budget splits into per-source quotas (uniform here; any weight
+    * table broadcasts through the same seam), and each source fills
+    * its quota GREEDILY in deterministic content-hash order — the
+    * same stable, re-crawl-proof order p4 samples in — keeping every
+    * doc whose running token cumsum still fits. One scan + a keyed
+    * window cumsum per source (never a global order) + a scalar
+    * quota broadcast: at 100 TB this is the same cost shape as p6's
+    * rate sampler but with EXACT budget semantics instead of
+    * expected-value acceptance — what you want when the training
+    * recipe says "50 B tokens, equal parts per domain" and overage
+    * is not a rounding error you can hand-wave. */
+  def p18TokenBudget(spark: SparkSession, dir: String,
+                     budget: Long = 16000L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_tok"),
+        element_at(call_function("poly_hash_all", array($"text")), 1).as("h"))
+    val quota = docs.agg(countDistinct($"source").as("ns"))
+      .select(expr(s"cast($budget as bigint) div ns").as("quota"))
+    val w = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.crossJoin(broadcast(quota))
+      .withColumn("cum_tok", sum($"n_tok").over(w))
+      .select($"doc_id", $"source", $"n_tok", $"cum_tok", $"quota",
+        ($"cum_tok" <= $"quota").as("kept"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p18_token_budget" -> ((s, d) => p18TokenBudget(s, d)),
     "p17_weighted_sample" -> ((s, d) => p17WeightedSample(s, d)),
     "p16_mixture_interleave" -> ((s, d) => p16MixtureInterleave(s, d)),
     "p15_pack_bpe" -> ((s, d) => p15PackBpe(s, d)),
@@ -556,6 +590,26 @@ object Curation {
        |  FROM packed p JOIN o ON o.source = p.source AND o.rn = p.rn + 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same hash order, same keyed cumsum, same integer quota split
+    "p18_token_budget" ->
+      s"""WITH raw AS (SELECT doc_id, source, text AS t FROM documents),
+         |d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(t, '\\S+')) AS BIGINT) AS n_tok,
+         |    ($polyFoldSql) AS h
+         |  FROM raw),
+         |q AS (
+         |  SELECT CAST(16000 // count(DISTINCT source) AS BIGINT) AS quota
+         |  FROM d),
+         |c AS (
+         |  SELECT doc_id, source, n_tok,
+         |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+         |  FROM d)
+         |SELECT doc_id, source, n_tok, cum_tok, quota,
+         |  (cum_tok <= quota) AS kept
+         |FROM c, q
+         |ORDER BY doc_id""".stripMargin,
     // same quality weights, same 48-bit digest draw, same A-ES keys
     "p17_weighted_sample" ->
       s"""WITH s AS (

@@ -172,6 +172,27 @@ class CurationSpec extends SparkSpec {
     assert(re == out)
   }
 
+  test("p18 token budget: per-source quota respected, greedy prefix, stable") {
+    val rows = Curation.p18TokenBudget(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    val quota = rows.head._5
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      // kept tokens never exceed the quota
+      val keptToks = rs.filter(_._6).map(_._3).sum
+      assert(keptToks <= quota, s"$src kept $keptToks > quota $quota")
+      // greedy prefix: ordered by cumsum, keeps form a prefix
+      val ordered = rs.sortBy(_._4)
+      assert(!ordered.map(_._6).dropWhile(identity).contains(true),
+        s"$src kept set is not a cumsum prefix")
+      // cumsum is consistent with the per-doc token counts
+      assert(ordered.map(_._3).sum == ordered.last._4)
+    }
+    // the budget must actually bind somewhere on the real corpus
+    assert(rows.exists(!_._6) && rows.exists(_._6))
+  }
+
   test("p17 weighted sample: exact k, quality-biased, heap-based global top-k") {
     import graft.operators.TextAnalysis
     val df = Curation.p17WeightedSample(spark, sfDir, k = 100)
