@@ -436,7 +436,54 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t21: CORPUS DRIFT detection — per-source Jensen–Shannon
+    * divergence between two crawl snapshots' token distributions,
+    * the statistical monitor a RECURRING ingestion pipeline runs
+    * before retraining on a fresh crawl ("did src7's content
+    * actually change, or did we just fetch more of it?"). Snapshots
+    * here are the deterministic doc_id-parity halves (the stand-in
+    * for previous/current crawl; any two frames plug into the same
+    * shape). JS is the right divergence for this: symmetric, finite
+    * even when a token exists in only one snapshot (KL is infinite
+    * there — new vocabulary would blow it up, and new vocabulary is
+    * exactly what a fresh crawl brings), bounded by ln 2. Cost
+    * shape: one (source, snapshot, token) keyed count with map-side
+    * partials, per-source totals joined back on the source key, one
+    * keyed sum — no global state, no driver loop; at 100 TB the
+    * aggregate is vocabulary-sized per source, not corpus-sized. */
+  def t21CorpusDrift(spark: SparkSession, dir: String,
+                     threshold: Double = 0.1): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"source", pmod(expr("doc_id div 50"), lit(2)).as("snap"),
+        explode(expr("regexp_extract_all(lower(text), '\\\\S+', 0)")).as("w"))
+    val cells = toks.groupBy($"source", $"w")
+      .agg(sum(when($"snap" === 0, 1L).otherwise(0L)).as("c_old"),
+           sum(when($"snap" === 1, 1L).otherwise(0L)).as("c_new"))
+    val totals = cells.groupBy($"source")
+      .agg(sum($"c_old").as("tok_old"), sum($"c_new").as("tok_new"),
+           sum(when($"c_old" > 0, 1L).otherwise(0L)).as("vocab_old"),
+           sum(when($"c_new" > 0, 1L).otherwise(0L)).as("vocab_new"))
+    val contrib = cells.join(totals, "source")
+      .select($"source",
+        when($"tok_old" > 0, $"c_old".cast("double") / $"tok_old")
+          .otherwise(0.0).as("p"),
+        when($"tok_new" > 0, $"c_new".cast("double") / $"tok_new")
+          .otherwise(0.0).as("q"))
+      .select($"source",
+        (when($"p" > 0, $"p" * log(lit(2.0) * $"p" / ($"p" + $"q"))).otherwise(0.0) +
+         when($"q" > 0, $"q" * log(lit(2.0) * $"q" / ($"p" + $"q"))).otherwise(0.0))
+          .as("term"))
+    contrib.groupBy($"source")
+      .agg(round(lit(0.5) * sum($"term"), 6).as("js_divergence"))
+      .join(totals, "source")
+      .select($"source", $"tok_old", $"tok_new", $"vocab_old", $"vocab_new",
+        $"js_divergence", ($"js_divergence" > threshold).as("drifted"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_corpus_drift" -> ((s, d) => t21CorpusDrift(s, d)),
     "t20_lexical_diversity" -> t20LexicalDiversity _,
     "t19_vocab_growth" -> ((s, d) => t19VocabGrowth(s, d)),
     "t15_dataset_card" -> t15DatasetCard _,
@@ -501,6 +548,38 @@ object TextAnalysis {
       |     + 0.3 * (1.0 - CAST(n_punct AS DOUBLE)/greatest(n_tok, 1))
       |     + 0.3 * (CAST(n_stop AS DOUBLE)/greatest(n_tok, 1)), 6)""".stripMargin
 
+  private val t21Sql: String =
+    """WITH toks AS (
+      |  SELECT source, (doc_id // 50) % 2 AS snap,
+      |    unnest(regexp_extract_all(lower(text), '\S+')) AS w
+      |  FROM documents),
+      |cells AS (
+      |  SELECT source, w,
+      |    CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_old,
+      |    CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_new
+      |  FROM toks GROUP BY source, w),
+      |totals AS (
+      |  SELECT source,
+      |    CAST(sum(c_old) AS BIGINT) AS tok_old,
+      |    CAST(sum(c_new) AS BIGINT) AS tok_new,
+      |    CAST(sum(CASE WHEN c_old > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_old,
+      |    CAST(sum(CASE WHEN c_new > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_new
+      |  FROM cells GROUP BY source),
+      |contrib AS (
+      |  SELECT cells.source,
+      |    CASE WHEN tok_old > 0 THEN CAST(c_old AS DOUBLE) / tok_old ELSE 0.0 END AS p,
+      |    CASE WHEN tok_new > 0 THEN CAST(c_new AS DOUBLE) / tok_new ELSE 0.0 END AS q
+      |  FROM cells JOIN totals ON cells.source = totals.source),
+      |js AS (
+      |  SELECT source, round(0.5 * sum(
+      |    CASE WHEN p > 0 THEN p * ln(2.0 * p / (p + q)) ELSE 0.0 END +
+      |    CASE WHEN q > 0 THEN q * ln(2.0 * q / (p + q)) ELSE 0.0 END), 6) AS js_divergence
+      |  FROM contrib GROUP BY source)
+      |SELECT js.source, tok_old, tok_new, vocab_old, vocab_new,
+      |  js_divergence, (js_divergence > 0.1) AS drifted
+      |FROM js JOIN totals ON js.source = totals.source
+      |ORDER BY js.source""".stripMargin
+
   val oracles: Map[String, String] = {
     val profileCols = profileColsSql
     val bestChain = bestChainSql
@@ -513,6 +592,8 @@ object TextAnalysis {
     val allGreatest = s"greatest(${langs.map("s_" + _).mkString(", ")})"
     Map(
       // same (doc, word) counts, same integer ratios
+      // same parity snapshots, same keyed counts, same JS fold
+      "t21_corpus_drift" -> t21Sql,
       "t20_lexical_diversity" ->
         """WITH c AS (
           |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c

@@ -107,6 +107,23 @@ class TextAnalysisSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("t21 drift: identical waves score ~0, disjoint vocab saturates at ln2") {
+    import spark.implicits._
+    // wave membership = (doc_id div 50) % 2; plant one source whose
+    // waves speak the same language and one whose waves are disjoint
+    val stable = Seq(0L, 50L).map((_, "steady", "alpha beta gamma alpha"))
+    val drifted = Seq((1L, "churn", "delta delta epsilon"),
+                      (51L, "churn", "zeta eta theta iota"))
+    val docs = (stable ++ drifted).toDF("doc_id", "source", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("t21").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = graft.operators.TextAnalysis.t21CorpusDrift(spark, tmp)
+      .collect().map(r => r.getString(0) -> (r.getDouble(5), r.getBoolean(6))).toMap
+    assert(rows("steady")._1 == 0.0 && !rows("steady")._2)
+    // disjoint distributions: JS = ln 2 exactly, flagged
+    assert(math.abs(rows("churn")._1 - math.log(2.0)) < 1e-5 && rows("churn")._2)
+  }
+
   test("scoredDocs is a shared persist-once scan; consumers agree with direct scoring") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
