@@ -207,7 +207,40 @@ object Pipeline {
       .orderBy($"doc_id")
   }
 
+  /** d15: DEDUP-SAVINGS report — the audit a dedup pass prints
+    * before anyone green-lights the deletion: the cluster-size
+    * histogram with exactly what keep-one-per-cluster would drop
+    * (docs, tokens, chars) at each size. Composes the two shared
+    * materializations (component labels + scored-documents scan) —
+    * zero new corpus scans: unclustered docs count as singleton
+    * clusters via a left join, the keeper is the component rep (min
+    * id, p5's policy), and every figure is an exact integer so the
+    * report replays digit-for-digit in the oracle. At 100 TB this is
+    * a label⋈scores join on doc_id plus two keyed aggregates over
+    * cluster-cardinality rows. */
+  def d15DedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val labels = componentLabels(spark, dir)
+    val docs = TextAnalysis.scoredDocs(spark, dir)
+      .select($"doc_id", $"n_tok", $"len_chars")
+    val labeled = docs.join(labels, docs("doc_id") === labels("id"), "left")
+      .select($"doc_id", coalesce($"lbl", $"doc_id").as("rep"),
+        $"n_tok", $"len_chars")
+    labeled.groupBy($"rep")
+      .agg(count(lit(1)).as("cluster_size"),
+           sum($"n_tok").as("toks"), sum($"len_chars").as("chars"),
+           sum(when($"doc_id" === $"rep", $"n_tok").otherwise(0L)).as("kept_toks"),
+           sum(when($"doc_id" === $"rep", $"len_chars").otherwise(0L)).as("kept_chars"))
+      .groupBy($"cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+           sum($"cluster_size" - 1).as("docs_dropped"),
+           sum($"toks" - $"kept_toks").as("toks_dropped"),
+           sum($"chars" - $"kept_chars").as("chars_dropped"))
+      .orderBy($"cluster_size")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_dedup_savings" -> d15DedupSavings _,
     "p1_prepare_corpus" -> p1PrepareCorpus _,
     "p12_cluster_keep_best" -> p12ClusterKeepBest _,
     "p5_dedup_clusters" -> p5DedupClusters _)
@@ -272,6 +305,45 @@ object Pipeline {
          |     ORDER BY quality DESC, comp.id) = 1) AS keep
          |FROM comp JOIN q ON q.doc_id = comp.id
          |ORDER BY doc_id""".stripMargin,
+    // p5's recursive-CTE components + exact integer doc/token/char
+    // accounting per cluster size
+    "d15_dedup_savings" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a_id, b_id FROM (
+         |${Dedup.d2Sql}
+         |  )),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT b_id, a_id FROM pairs),
+         |verts AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+         |comp AS (SELECT id, min(r) AS cluster_rep FROM reach GROUP BY id),
+         |docs AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok,
+         |    CAST(length(text) AS BIGINT) AS len_chars
+         |  FROM documents),
+         |lab AS (
+         |  SELECT docs.doc_id, coalesce(comp.cluster_rep, docs.doc_id) AS rep,
+         |    n_tok, len_chars
+         |  FROM docs LEFT JOIN comp ON comp.id = docs.doc_id),
+         |cl AS (
+         |  SELECT rep, CAST(count(*) AS BIGINT) AS cluster_size,
+         |    CAST(sum(n_tok) AS BIGINT) AS toks,
+         |    CAST(sum(len_chars) AS BIGINT) AS chars,
+         |    CAST(sum(CASE WHEN doc_id = rep THEN n_tok ELSE 0 END) AS BIGINT) AS kept_toks,
+         |    CAST(sum(CASE WHEN doc_id = rep THEN len_chars ELSE 0 END) AS BIGINT) AS kept_chars
+         |  FROM lab GROUP BY rep)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(cluster_size - 1) AS BIGINT) AS docs_dropped,
+         |  CAST(sum(toks - kept_toks) AS BIGINT) AS toks_dropped,
+         |  CAST(sum(chars - kept_chars) AS BIGINT) AS chars_dropped
+         |FROM cl GROUP BY cluster_size
+         |ORDER BY cluster_size""".stripMargin,
     "p5_dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS (
          |  SELECT a_id, b_id FROM (

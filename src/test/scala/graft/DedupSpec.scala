@@ -296,6 +296,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d15 savings report is an exact accounting of p5's clusters") {
+    import spark.implicits._
+    val report = graft.operators.Pipeline.d15DedupSavings(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // all docs are accounted for: Σ size·n_clusters == corpus size
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(report.map { case (sz, (n, _, _)) => sz * n }.sum == nDocs)
+    // droppable docs == p5's non-representative members
+    val p5 = graft.operators.Pipeline.p5DedupClusters(spark, sfDir).collect()
+    val nonReps = p5.count(!_.getBoolean(3)).toLong
+    assert(report.map(_._2._2).sum == nonReps)
+    // p5's size histogram and the report agree cluster for cluster
+    val p5Sizes = p5.groupBy(_.getLong(1)).map(_._2.length.toLong)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    p5Sizes.foreach { case (sz, n) => assert(report(sz)._1 == n, s"size $sz") }
+    // dropping costs tokens whenever a multi-doc cluster exists
+    if (nonReps > 0) assert(report.exists { case (sz, (_, _, t)) => sz > 1 && t > 0 })
+    Caches.releaseAll(); Caches.releaseShared()
+  }
+
   test("d14 tuned LSH finds strong near-dups at the tuned geometry") {
     // the tuner picks a real split of the 128 perms for j>=0.5
     val (b, r) = Dedup.optimalBands(0.5, 128)
