@@ -881,18 +881,20 @@ object Knn {
     * shortlist join is a broadcast of the tiny query side. Hamming
     * ranking is INTEGER, so shortlist membership is engine-exact
     * (no float boundary between Spark and the oracle). */
+  /** Bits d+1..d+32 of v's sign pattern as one non-negative long:
+    * two words per 64-dim vector — packing 64 bits into one signed
+    * long would overflow DuckDB's checked BIGINT arithmetic in the
+    * oracle. Shared by a14 and the a15 cascade. */
+  private def signWord(off: Int): Column =
+    expr(s"aggregate(sequence(1, 32), cast(0 as bigint), (s, d) -> " +
+         s"s + if(element_at(v, d + $off) > 0d, " +
+         s"shiftleft(cast(1 as bigint), d - 1), cast(0 as bigint)))")
+
   def a14KnnBinary(spark: SparkSession, dir: String, k: Int = 5,
                    shortlist: Int = 32): DataFrame = {
     import spark.implicits._
-    // bits d+1..d+32 of the sign pattern as one non-negative long:
-    // two words per vector — packing 64 bits into one signed long
-    // would overflow DuckDB's checked BIGINT arithmetic in the oracle
-    def word(off: Int): Column =
-      expr(s"aggregate(sequence(1, 32), cast(0 as bigint), (s, d) -> " +
-           s"s + if(element_at(v, d + $off) > 0d, " +
-           s"shiftleft(cast(1 as bigint), d - 1), cast(0 as bigint)))")
     val all = base(spark, dir)
-      .withColumn("w0", word(0)).withColumn("w1", word(32))
+      .withColumn("w0", signWord(0)).withColumn("w1", signWord(32))
     val queries = all.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"v".as("qv"),
         $"w0".as("qw0"), $"w1".as("qw1"))
@@ -910,6 +912,71 @@ object Knn {
       .filter($"rnk" <= k)
       .select($"q_id", $"vec_id", $"hamming",
         round($"cosine_raw", 6).as("cosine"), $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
+  /** a15: STAGED RESCORING CASCADE — the production serving funnel
+    * (Lucene BQ rescore / FAISS refine chains): each stage reads a
+    * strictly cheaper representation and only survivors reach the
+    * next — binary sign words (16 B/vector, integer popcount) cut
+    * the corpus to `s1` per query, SQ8 dequantized cosine (64 B)
+    * cuts to `s2`, exact float cosine ranks the final `k`. The
+    * funnel inverts the cost pyramid: at 100 TB the full-precision
+    * vectors are touched for s2·|Q| rows while the scan-side cost is
+    * the 16-byte signature column — a14/a5 are each ONE stage of
+    * this; the cascade is what actually ships. All three stage
+    * ranks (integer Hamming, exact-arithmetic dequantized cosine,
+    * exact cosine) replay in the oracle, so even the funnel's
+    * intermediate cuts are hash-checked. */
+  def a15KnnCascade(spark: SparkSession, dir: String, s1: Int = 64,
+                    s2: Int = 16, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val all = base(spark, dir)
+    // per-dim extrema (a5's scales) broadcast once
+    val scales = all
+      .select(posexplode($"v"))
+      .groupBy($"pos")
+      .agg(min($"col").as("lo"), max($"col").as("hi"))
+      .agg(array_sort(collect_list(struct($"pos", $"lo", $"hi"))).as("plh"))
+      .select(transform($"plh", p => p("lo")).as("los"),
+              transform($"plh", p => p("hi")).as("his"))
+    def quantize(v: Column): Column =
+      transform(sequence(lit(1), lit(64)), i =>
+        when(element_at($"his", i) === element_at($"los", i), lit(0))
+          .otherwise(floor((element_at(v, i) - element_at($"los", i)) /
+            (element_at($"his", i) - element_at($"los", i)) * 255.0 + 0.5)
+            .cast("int")))
+    def dequantize(q: Column): Column =
+      transform(sequence(lit(1), lit(64)), i =>
+        element_at($"los", i) + element_at(q, i).cast("double") / 255.0 *
+          (element_at($"his", i) - element_at($"los", i)))
+    // one pass builds every serving representation (sign words + SQ8
+    // codes); persisted — it sits on both sides of the probe join
+    val quant = graft.Caches.persist(
+      all.crossJoin(broadcast(scales))
+        .withColumn("w0", signWord(0)).withColumn("w1", signWord(32))
+        .withColumn("dq", dequantize(quantize($"v")))
+        .select($"vec_id", $"v", $"dq", $"w0", $"w1"))
+    val queries = quant.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qfull"), $"dq".as("dqq"),
+        $"w0".as("qw0"), $"w1".as("qw1"))
+    val wH = Window.partitionBy($"q_id").orderBy($"hamming", $"vec_id")
+    val wQ = Window.partitionBy($"q_id").orderBy($"qcos".desc, $"vec_id")
+    val wC = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")
+    quant.join(broadcast(queries), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", $"qfull", $"dqq", $"v", $"dq",
+        (bit_count($"qw0".bitwiseXOR($"w0")) +
+         bit_count($"qw1".bitwiseXOR($"w1"))).cast("long").as("hamming"))
+      .withColumn("hrnk", row_number().over(wH))
+      .filter($"hrnk" <= s1)
+      .select($"q_id", $"vec_id", $"qfull", $"v",
+        V.cosineD($"dqq", $"dq").as("qcos"))
+      .withColumn("qrnk", row_number().over(wQ))
+      .filter($"qrnk" <= s2)
+      .select($"q_id", $"vec_id", V.cosineD($"qfull", $"v").as("cosine_raw"))
+      .withColumn("rnk", row_number().over(wC))
+      .filter($"rnk" <= k)
+      .select($"q_id", $"vec_id", round($"cosine_raw", 6).as("cosine"), $"rnk")
       .orderBy($"q_id", $"rnk")
   }
 
@@ -963,6 +1030,7 @@ object Knn {
     "a11_ivf_pq" -> a11IvfPq _,
     "a13_knn_opq" -> a13KnnOpq _,
     "a14_knn_binary" -> ((s, d) => a14KnnBinary(s, d)),
+    "a15_knn_cascade" -> ((s, d) => a15KnnCascade(s, d)),
     "s2_vector_topk" -> s2VectorTopk _)
 
   private val cosineSql =
@@ -1609,6 +1677,64 @@ object Knn {
          |SELECT q_id, vec_id, round(cosine_raw, 6) AS cosine, rnk
          |FROM ranked WHERE rnk <= 5
          |ORDER BY q_id, rnk""".stripMargin,
+    "a15_knn_cascade" -> {
+      def wordSql(off: Int) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(generate_series(1, 32),
+           |        d -> CASE WHEN v[d + $off] > 0 THEN CAST(1 AS BIGINT) << (d - 1)
+           |             ELSE CAST(0 AS BIGINT) END)),
+           |      (s, x) -> s + x)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |dims AS (
+         |  SELECT g.i AS pos, min(v[g.i]) AS lo, max(v[g.i]) AS hi
+         |  FROM e, LATERAL unnest(generate_series(1, 64)) AS g(i)
+         |  GROUP BY g.i),
+         |sc AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his
+         |       FROM dims),
+         |q8 AS (
+         |  SELECT vec_id, v, list_transform(generate_series(1, 64), i ->
+         |    CASE WHEN sc.his[i] = sc.los[i] THEN 0
+         |      ELSE CAST(floor((v[i] - sc.los[i]) / (sc.his[i] - sc.los[i]) * 255.0 + 0.5) AS INTEGER)
+         |    END) AS qv
+         |  FROM e, sc),
+         |rep AS (
+         |  SELECT vec_id, v,
+         |    list_transform(generate_series(1, 64), i ->
+         |      sc.los[i] + CAST(qv[i] AS DOUBLE) / 255.0 * (sc.his[i] - sc.los[i])) AS dq,
+         |    ${wordSql(0)} AS w0,
+         |    ${wordSql(32)} AS w1
+         |  FROM q8, sc),
+         |qs AS (
+         |  SELECT vec_id AS q_id, v AS qfull, dq AS dqq, w0 AS qw0, w1 AS qw1
+         |  FROM rep WHERE vec_id < 10),
+         |h AS (
+         |  SELECT q_id, vec_id, qfull, dqq, v, dq FROM (
+         |    SELECT qs.q_id, b.vec_id, qs.qfull, qs.dqq, b.v, b.dq,
+         |      row_number() OVER (PARTITION BY qs.q_id ORDER BY
+         |        bit_count(xor(qs.qw0, b.w0)) + bit_count(xor(qs.qw1, b.w1)),
+         |        b.vec_id) AS hrnk
+         |    FROM qs JOIN rep b ON b.vec_id <> qs.q_id)
+         |  WHERE hrnk <= 64),
+         |c2 AS (
+         |  SELECT q_id, vec_id, qfull, v FROM (
+         |    SELECT q_id, vec_id, qfull, v,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, vec_id) AS qrnk
+         |    FROM (
+         |      SELECT q_id, vec_id, qfull, v, ${cos("dqq", "dq")} AS qcos
+         |      FROM h))
+         |  WHERE qrnk <= 16),
+         |scored AS (
+         |  SELECT q_id, vec_id, ${cos("qfull", "v")} AS cosine_raw FROM c2),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cosine_raw,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, vec_id, round(cosine_raw, 6) AS cosine, rnk
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin
+    },
     "a14_knn_binary" -> {
       // same two 32-bit sign words as the Spark side, via checked
       // BIGINT shifts (packing 64 bits into one word would overflow)

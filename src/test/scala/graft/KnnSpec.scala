@@ -228,6 +228,26 @@ class KnnSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("a15 cascade: staged cuts keep recall, widening a stage only helps") {
+    import spark.implicits._
+    val rows = Knn.a15KnnCascade(spark, sfDir).collect()
+    assert(rows.length == 50)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to 5)) }
+    val exact = graft.Caches.persist(
+      Knn.a1BruteForce(spark, sfDir).select($"q_id", $"vec_id"))
+    def recall(df: org.apache.spark.sql.DataFrame): Long =
+      df.select($"q_id", $"vec_id")
+        .join(exact, Seq("q_id", "vec_id"), "left_semi").count()
+    val narrow = recall(Knn.a15KnnCascade(spark, sfDir))
+    assert(narrow >= 25, s"cascade recall collapsed: $narrow/50")
+    // a monotone funnel: widening both cuts can only add candidates,
+    // never lose them — recall is non-decreasing in (s1, s2)
+    val wide = recall(Knn.a15KnnCascade(spark, sfDir, s1 = 256, s2 = 64))
+    assert(wide >= narrow, s"widening lost recall: $wide < $narrow")
+    Caches.releaseAll()
+  }
+
   test("a12 recall report: bounded, consistent, and repeat-stable") {
     val rows = Knn.a12AnnRecall(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq ==
