@@ -297,6 +297,77 @@ object ChunkStore {
         .filter(col(c) >= lit(lo) && col(c) <= lit(hi))
   }
 
+  /** VERSIONED store commits — the snapshot-isolation core of a
+    * Delta/Iceberg table reduced to its two moving parts: immutable
+    * version directories (`v=N`, parquet, never rewritten) and one
+    * tiny `_latest` pointer file whose atomic swap IS the commit.
+    * Readers resolve the pointer once and then read an immutable
+    * snapshot: a concurrent commit cannot tear their view (writers
+    * write v=N+1 fully before the pointer moves), failed commits
+    * leave garbage directories but never a torn table, and any
+    * retained version stays time-travel readable. The pointer write
+    * goes through create-temp + atomic rename — the same
+    * staged-artifact discipline ModelStore uses. At 100 TB the
+    * pointer swap is O(1) metadata; versions share nothing here
+    * (full snapshots) — the manifest/compaction machinery above is
+    * where incremental data layout lives. */
+  def commitVersion(df: DataFrame, path: String): Long = {
+    val spark = df.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val next = currentVersion(spark, path).getOrElse(0L) + 1L
+    df.write.mode("errorifexists").parquet(s"$path/v=$next")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_latest.tmp")
+    val ptr = new org.apache.hadoop.fs.Path(s"$path/_latest")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(ptr)) fs.delete(ptr, false): Unit
+    require(fs.rename(tmp, ptr), s"commit pointer swap failed for $path v=$next")
+    next
+  }
+
+  /** The committed version, or None for an empty store. */
+  def currentVersion(spark: SparkSession, path: String): Option[Long] = {
+    val ptr = new org.apache.hadoop.fs.Path(s"$path/_latest")
+    val fs = ptr.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        Some(new String(buf, 0, n, "UTF-8").trim.toLong)
+      } finally in.close()
+    }
+  }
+
+  /** Time-travel read: the exact bytes committed as version `n`. */
+  def readVersion(spark: SparkSession, path: String, n: Long): DataFrame =
+    spark.read.parquet(s"$path/v=$n")
+
+  /** Snapshot-isolated read of the latest commit: the pointer is
+    * resolved ONCE — the returned frame keeps reading version N even
+    * if version N+1 commits while the query runs. */
+  def readLatest(spark: SparkSession, path: String): DataFrame = {
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $path"))
+    readVersion(spark, path, v)
+  }
+
+  /** Retention: drop versions older than `keep` behind the pointer.
+    * Never touches the current version; returns the dropped ids. */
+  def vacuumVersions(spark: SparkSession, path: String, keep: Int = 2): Seq[Long] = {
+    val cur = currentVersion(spark, path).getOrElse(return Nil)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val versions = fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong).sorted
+    val drop = versions.filter(_ <= cur - keep)
+    drop.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$path/v=$v"), true))
+    drop
+  }
+
   /** Drop one source partition — DeleteChunksBySourceID as a metadata
     * operation (no rewrite of surviving data). Goes through the
     * Hadoop FileSystem API, so the same call works on local disk,

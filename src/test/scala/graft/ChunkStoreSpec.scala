@@ -238,6 +238,33 @@ class ChunkStoreSpec extends SparkSpec {
     assert(spread(base, "l_suppkey") > 0.9)
   }
 
+  test("versioned commits: snapshot isolation, time travel, safe vacuum") {
+    val path = Files.createTempDirectory("graft-ver").toString + "/store"
+    val v1data = Seq((1L, "a"), (2L, "b")).toDF("id", "x")
+    val v2data = Seq((1L, "a2"), (3L, "c")).toDF("id", "x")
+    assert(ChunkStore.currentVersion(spark, path).isEmpty)
+    assert(ChunkStore.commitVersion(v1data, path) == 1L)
+    // pin a reader at v1, then commit v2 UNDER it
+    val pinned = ChunkStore.readLatest(spark, path)
+    assert(ChunkStore.commitVersion(v2data, path) == 2L)
+    // the pinned snapshot is untouched by the later commit
+    assert(pinned.orderBy($"id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq(1L -> "a", 2L -> "b"))
+    // a fresh reader sees v2; time travel still serves v1 exactly
+    assert(ChunkStore.readLatest(spark, path).orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq(1L -> "a2", 3L -> "c"))
+    assert(ChunkStore.readVersion(spark, path, 1L).count() == 2)
+    // vacuum keeps the window, never the current version
+    assert(ChunkStore.commitVersion(v1data, path) == 3L)
+    assert(ChunkStore.vacuumVersions(spark, path, keep = 2) == Seq(1L))
+    assert(ChunkStore.readVersion(spark, path, 2L).count() == 2)
+    assert(ChunkStore.currentVersion(spark, path).contains(3L))
+    // version directories are immutable: re-committing the same id fails
+    intercept[Exception] {
+      v1data.write.mode("errorifexists").parquet(s"$path/v=3")
+    }
+  }
+
   test("manifest skipping: pruned read is exact, opens a fraction of files, rejects stale") {
     val zPath = Files.createTempDirectory("graft-mf").toString + "/li"
     val li = Tables.lineitem(spark, sfDir)
