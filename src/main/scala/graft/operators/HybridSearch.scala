@@ -291,7 +291,43 @@ object HybridSearch {
       .orderBy($"method")
   }
 
+  /** s9: PSEUDO-RELEVANCE-FEEDBACK query expansion (RM3 shape, the
+    * classic IR trick a qurio deployment reaches for when recall is
+    * short): run the seed BM25 query, treat its top-`fb` docs as
+    * implicitly relevant, mine their `nExpand` highest tf·idf terms
+    * (corpus idf, so boilerplate can't be "feedback"), and re-run
+    * BM25 with the widened term set. The expansion terms are a
+    * BOUNDED driver collect (nExpand strings — the a12-style report
+    * action, not a data path); both BM25 passes are the shared
+    * columnwise shape (tf columns + broadcast stats, zero wide
+    * shuffles), and term selection ties break on (score, term) so
+    * the whole loop — seed ranking, mined terms, final ranking —
+    * replays deterministically in the oracle. */
+  def s9PrfExpansion(spark: SparkSession, dir: String, nExpand: Int = 3,
+                     fb: Int = 10, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val docs = docTokens(spark, dir)
+    val seedIds = bm25Scores(spark, docs, QueryTerms)
+      .orderBy($"score".desc, $"doc_id").limit(fb).select($"doc_id")
+    val fbTf = docs.join(broadcast(seedIds), "doc_id")
+      .select(explode($"tok").as("term"))
+      .filter(!$"term".isin(QueryTerms: _*))
+      .groupBy($"term").agg(count(lit(1)).as("tf_fb"))
+    val dfCorpus = docs
+      .select($"doc_id", explode(array_distinct($"tok")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val expTerms = fbTf.join(dfCorpus, "term").crossJoin(broadcast(total))
+      .select($"term", ($"tf_fb" * log($"n_docs" / $"df")).as("escore"))
+      .orderBy($"escore".desc, $"term").limit(nExpand)
+      .collect().map(_.getString(0)).toSeq
+    bm25Scores(spark, docs, QueryTerms ++ expTerms)
+      .orderBy($"score".desc, $"doc_id").limit(k)
+      .select($"doc_id", $"score")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s9_prf_expansion" -> ((s, d) => s9PrfExpansion(s, d)),
     "s8_search_eval" -> ((s, d) => s8SearchEval(s, d)),
     "s1_keyword_bm25" -> s1KeywordBm25 _,
     "s3_hybrid_search" -> s3HybridSearch _,
@@ -392,6 +428,64 @@ object HybridSearch {
        |  FROM ($sql)) WHERE rnk <= 10)""".stripMargin
 
   val oracles: Map[String, String] = oraclesBase +
+    ("s9_prf_expansion" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS tok,
+        |         CAST(len(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM docs),
+        |terms0 AS (SELECT unnest(['spark','join','filter']) AS term),
+        |tf0 AS (
+        |  SELECT doc_id, dl, token AS term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(tok) AS token FROM docs)
+        |  WHERE token IN (SELECT term FROM terms0)
+        |  GROUP BY doc_id, dl, token),
+        |df0 AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf0 GROUP BY term),
+        |seed AS (
+        |  SELECT doc_id FROM (
+        |    SELECT tf0.doc_id,
+        |      round(sum(
+        |        ln(1.0 + (stats.n_docs - df0.df + 0.5) / (df0.df + 0.5))
+        |        * (tf0.tf * (1.2 + 1.0))
+        |        / (tf0.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf0.dl / stats.avgdl))), 6) AS score
+        |    FROM tf0 JOIN df0 USING (term), stats
+        |    GROUP BY tf0.doc_id)
+        |  ORDER BY score DESC, doc_id
+        |  LIMIT 10),
+        |fbtf AS (
+        |  SELECT token AS term, CAST(count(*) AS BIGINT) AS tf_fb
+        |  FROM (SELECT unnest(tok) AS token FROM docs
+        |        WHERE doc_id IN (SELECT doc_id FROM seed))
+        |  WHERE token NOT IN ('spark', 'join', 'filter')
+        |  GROUP BY token),
+        |dfall AS (
+        |  SELECT token AS term, CAST(count(*) AS BIGINT) AS df
+        |  FROM (SELECT doc_id, unnest(list_distinct(tok)) AS token FROM docs)
+        |  GROUP BY token),
+        |exp AS (
+        |  SELECT term FROM (
+        |    SELECT fbtf.term, tf_fb * ln(n_docs / df) AS escore
+        |    FROM fbtf JOIN dfall USING (term), stats)
+        |  ORDER BY escore DESC, term
+        |  LIMIT 3),
+        |terms2 AS (
+        |  SELECT term FROM terms0 UNION ALL SELECT term FROM exp),
+        |tf2 AS (
+        |  SELECT doc_id, dl, token AS term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(tok) AS token FROM docs)
+        |  WHERE token IN (SELECT term FROM terms2)
+        |  GROUP BY doc_id, dl, token),
+        |df2 AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf2 GROUP BY term)
+        |SELECT doc_id, score FROM (
+        |  SELECT tf2.doc_id,
+        |    round(sum(
+        |      ln(1.0 + (stats.n_docs - df2.df + 0.5) / (df2.df + 0.5))
+        |      * (tf2.tf * (1.2 + 1.0))
+        |      / (tf2.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf2.dl / stats.avgdl))), 6) AS score
+        |  FROM tf2 JOIN df2 USING (term), stats
+        |  GROUP BY tf2.doc_id)
+        |ORDER BY score DESC, doc_id
+        |LIMIT 10""".stripMargin) +
     ("s8_search_eval" ->
       s"""WITH $s8RelSql,
          |m_bm25 AS ${s8RankedSql(oraclesBase("s1_keyword_bm25"), "score")},

@@ -59,6 +59,25 @@ class HybridSearchSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(2) > 0))
   }
 
+  test("s9 PRF: expansion changes the ranking and stays deterministic") {
+    val expanded = HybridSearch.s9PrfExpansion(spark, sfDir).collect()
+    assert(expanded.length == 10)
+    // feedback must do real work: the widened query re-ranks —
+    // either new docs surface or scores shift vs the seed-only run
+    val seed = HybridSearch.s1KeywordBm25(spark, sfDir).collect()
+    assert(expanded.map(r => (r.getLong(0), r.getDouble(1))).toSeq !=
+      seed.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // nExpand = 0 degrades to exactly the seed ranking
+    val noExp = HybridSearch.s9PrfExpansion(spark, sfDir, nExpand = 0).collect()
+    assert(noExp.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      seed.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // repeat-stable (the driver-collected expansion terms are
+    // deterministically tie-broken)
+    assert(HybridSearch.s9PrfExpansion(spark, sfDir).collect().map(_.toSeq).toSeq ==
+      expanded.map(_.toSeq).toSeq)
+    Caches.releaseAll()
+  }
+
   test("s8 eval: NDCG bounded, exact leg saturates, rankings carry signal") {
     val rows = HybridSearch.s8SearchEval(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq ==
