@@ -105,6 +105,21 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
       HybridSearch.hybrid(spark, filtered, emb, terms, alpha, limit)
   }
 
+  /** PRF-expanded keyword search (s9): the query's top feedback docs
+    * mine expansion terms (tf × corpus idf, deterministic
+    * tie-breaks), and BM25 re-ranks with the widened term set — the
+    * recall lever a deployment pulls when the raw query is too
+    * sparse. `nExpand = 0` degrades to plain BM25. */
+  def searchExpanded(query: String, nExpand: Int = 3,
+                     limit: Int = settings.searchTopK): DataFrame = {
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "searchExpanded needs at least one query term")
+    val exp = HybridSearch.prfExpand(spark, tokenized, terms, nExpand, fb = 10)
+    HybridSearch.bm25Scores(spark, tokenized, terms ++ exp)
+      .orderBy(col("score").desc, col("doc_id")).limit(limit)
+      .select(col("doc_id"), col("score"))
+  }
+
   /** Exact-phrase search (s7): the two terms must appear ADJACENT;
     * survivors ranked by corpus-wide BM25 over the phrase terms. */
   def searchPhrase(first: String, second: String,

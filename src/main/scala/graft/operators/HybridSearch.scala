@@ -307,23 +307,35 @@ object HybridSearch {
                      fb: Int = 10, k: Int = 10): DataFrame = {
     import spark.implicits._
     val docs = docTokens(spark, dir)
-    val seedIds = bm25Scores(spark, docs, QueryTerms)
+    val expTerms = prfExpand(spark, docs, QueryTerms, nExpand, fb)
+    bm25Scores(spark, docs, QueryTerms ++ expTerms)
+      .orderBy($"score".desc, $"doc_id").limit(k)
+      .select($"doc_id", $"score")
+  }
+
+  /** Mine `nExpand` expansion terms from the seed query's top-`fb`
+    * BM25 docs (feedback tf × corpus idf, deterministic (score, term)
+    * tie-break) — the PRF core shared by s9 and
+    * GraftEngine.searchExpanded. Returns a bounded driver-side term
+    * list. */
+  def prfExpand(spark: SparkSession, docs: DataFrame, seedTerms: Seq[String],
+                nExpand: Int, fb: Int): Seq[String] = {
+    import spark.implicits._
+    if (nExpand <= 0) return Nil
+    val seedIds = bm25Scores(spark, docs, seedTerms)
       .orderBy($"score".desc, $"doc_id").limit(fb).select($"doc_id")
     val fbTf = docs.join(broadcast(seedIds), "doc_id")
       .select(explode($"tok").as("term"))
-      .filter(!$"term".isin(QueryTerms: _*))
+      .filter(!$"term".isin(seedTerms: _*))
       .groupBy($"term").agg(count(lit(1)).as("tf_fb"))
     val dfCorpus = docs
       .select($"doc_id", explode(array_distinct($"tok")).as("term"))
       .groupBy($"term").agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-    val expTerms = fbTf.join(dfCorpus, "term").crossJoin(broadcast(total))
+    fbTf.join(dfCorpus, "term").crossJoin(broadcast(total))
       .select($"term", ($"tf_fb" * log($"n_docs" / $"df")).as("escore"))
       .orderBy($"escore".desc, $"term").limit(nExpand)
       .collect().map(_.getString(0)).toSeq
-    bm25Scores(spark, docs, QueryTerms ++ expTerms)
-      .orderBy($"score".desc, $"doc_id").limit(k)
-      .select($"doc_id", $"score")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

