@@ -527,34 +527,13 @@ object Knn {
   def a5KnnSq8(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val refine = 20
-    val all = base(spark, dir)
-    // per-dimension [lo, hi] over the corpus, as two 64-long arrays
-    val scales = all
-      .select(posexplode($"v"))
-      .groupBy($"pos")
-      .agg(min($"col").as("lo"), max($"col").as("hi"))
-      .agg(array_sort(collect_list(struct($"pos", $"lo", $"hi"))).as("plh"))
-      .select(transform($"plh", p => p("lo")).as("los"),
-              transform($"plh", p => p("hi")).as("his"))
-    def quantize(v: Column): Column =
-      transform(sequence(lit(1), lit(64)), i =>
-        when(element_at($"his", i) === element_at($"los", i), lit(0))
-          .otherwise(floor((element_at(v, i) - element_at($"los", i)) /
-            (element_at($"his", i) - element_at($"los", i)) * 255.0 + 0.5)
-            .cast("int")))
     // scoring runs on the DEQUANTIZED values (lo + q/255*(hi-lo)) —
     // the symmetric-distance computation FAISS SQ8 does: a raw
     // integer dot of offset-scaled codes does NOT order like cosine.
     // Exact arithmetic on exact ints/extrema, so the oracle replays
-    // the doubles bit for bit.
-    def dequantize(q: Column): Column =
-      transform(sequence(lit(1), lit(64)), i =>
-        element_at($"los", i) + element_at(q, i).cast("double") / 255.0 *
-          (element_at($"his", i) - element_at($"los", i)))
-    val quant = graft.Caches.persist(
-      all.crossJoin(broadcast(scales))
-        .withColumn("qv", quantize($"v"))
-        .select($"vec_id", $"v", $"qv", dequantize($"qv").as("dq")))
+    // the doubles bit for bit. Codes come from the SHARED per-corpus
+    // index build ([[vectorReps]]).
+    val quant = vectorReps(spark, dir)
     val queries = quant.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"dq".as("dqq"), $"v".as("qfull"))
     val wQ = Window.partitionBy($"q_id").orderBy($"qcos".desc, $"vec_id")
@@ -890,11 +869,45 @@ object Knn {
          s"s + if(element_at(v, d + $off) > 0d, " +
          s"shiftleft(cast(1 as bigint), d - 1), cast(0 as bigint)))")
 
+  /** SHARED quantized serving representations — the per-corpus index
+    * build the quantized family reads: every vector's binary sign
+    * words (a14/a15 stage 1) and SQ8 dequantized values under the
+    * corpus's per-dim extrema (a5 / a15 stage 2), computed once per
+    * (session, corpus) via Caches.shared — the same build-once/
+    * serve-many accounting as the minhash signature scan and the
+    * trained centroid models (Bench bills it as
+    * `_shared_vector_reps`). */
+  def vectorReps(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.shared(spark, s"vec_reps:$dir") {
+      import spark.implicits._
+      val all = base(spark, dir)
+      val scales = all
+        .select(posexplode($"v"))
+        .groupBy($"pos")
+        .agg(min($"col").as("lo"), max($"col").as("hi"))
+        .agg(array_sort(collect_list(struct($"pos", $"lo", $"hi"))).as("plh"))
+        .select(transform($"plh", p => p("lo")).as("los"),
+                transform($"plh", p => p("hi")).as("his"))
+      def quantize(v: Column): Column =
+        transform(sequence(lit(1), lit(64)), i =>
+          when(element_at($"his", i) === element_at($"los", i), lit(0))
+            .otherwise(floor((element_at(v, i) - element_at($"los", i)) /
+              (element_at($"his", i) - element_at($"los", i)) * 255.0 + 0.5)
+              .cast("int")))
+      def dequantize(q: Column): Column =
+        transform(sequence(lit(1), lit(64)), i =>
+          element_at($"los", i) + element_at(q, i).cast("double") / 255.0 *
+            (element_at($"his", i) - element_at($"los", i)))
+      all.crossJoin(broadcast(scales))
+        .withColumn("w0", signWord(0)).withColumn("w1", signWord(32))
+        .withColumn("dq", dequantize(quantize($"v")))
+        .select($"vec_id", $"v", $"dq", $"w0", $"w1")
+    }
+
   def a14KnnBinary(spark: SparkSession, dir: String, k: Int = 5,
                    shortlist: Int = 32): DataFrame = {
     import spark.implicits._
-    val all = base(spark, dir)
-      .withColumn("w0", signWord(0)).withColumn("w1", signWord(32))
+    val all = vectorReps(spark, dir).select($"vec_id", $"v", $"w0", $"w1")
     val queries = all.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"v".as("qv"),
         $"w0".as("qw0"), $"w1".as("qw1"))
@@ -931,32 +944,9 @@ object Knn {
   def a15KnnCascade(spark: SparkSession, dir: String, s1: Int = 64,
                     s2: Int = 16, k: Int = 5): DataFrame = {
     import spark.implicits._
-    val all = base(spark, dir)
-    // per-dim extrema (a5's scales) broadcast once
-    val scales = all
-      .select(posexplode($"v"))
-      .groupBy($"pos")
-      .agg(min($"col").as("lo"), max($"col").as("hi"))
-      .agg(array_sort(collect_list(struct($"pos", $"lo", $"hi"))).as("plh"))
-      .select(transform($"plh", p => p("lo")).as("los"),
-              transform($"plh", p => p("hi")).as("his"))
-    def quantize(v: Column): Column =
-      transform(sequence(lit(1), lit(64)), i =>
-        when(element_at($"his", i) === element_at($"los", i), lit(0))
-          .otherwise(floor((element_at(v, i) - element_at($"los", i)) /
-            (element_at($"his", i) - element_at($"los", i)) * 255.0 + 0.5)
-            .cast("int")))
-    def dequantize(q: Column): Column =
-      transform(sequence(lit(1), lit(64)), i =>
-        element_at($"los", i) + element_at(q, i).cast("double") / 255.0 *
-          (element_at($"his", i) - element_at($"los", i)))
-    // one pass builds every serving representation (sign words + SQ8
-    // codes); persisted — it sits on both sides of the probe join
-    val quant = graft.Caches.persist(
-      all.crossJoin(broadcast(scales))
-        .withColumn("w0", signWord(0)).withColumn("w1", signWord(32))
-        .withColumn("dq", dequantize(quantize($"v")))
-        .select($"vec_id", $"v", $"dq", $"w0", $"w1"))
+    // the serving representations come from the SHARED per-corpus
+    // index build (sign words + SQ8 values) — built once, probed many
+    val quant = vectorReps(spark, dir)
     val queries = quant.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"v".as("qfull"), $"dq".as("dqq"),
         $"w0".as("qw0"), $"w1".as("qw1"))
