@@ -860,15 +860,6 @@ object Knn {
     * shortlist join is a broadcast of the tiny query side. Hamming
     * ranking is INTEGER, so shortlist membership is engine-exact
     * (no float boundary between Spark and the oracle). */
-  /** Bits d+1..d+32 of v's sign pattern as one non-negative long:
-    * two words per 64-dim vector — packing 64 bits into one signed
-    * long would overflow DuckDB's checked BIGINT arithmetic in the
-    * oracle. Shared by a14 and the a15 cascade. */
-  private def signWord(off: Int): Column =
-    expr(s"aggregate(sequence(1, 32), cast(0 as bigint), (s, d) -> " +
-         s"s + if(element_at(v, d + $off) > 0d, " +
-         s"shiftleft(cast(1 as bigint), d - 1), cast(0 as bigint)))")
-
   /** SHARED quantized serving representations — the per-corpus index
     * build the quantized family reads: every vector's binary sign
     * words (a14/a15 stage 1) and SQ8 dequantized values under the
@@ -880,6 +871,7 @@ object Knn {
   def vectorReps(spark: SparkSession, dir: String): DataFrame =
     graft.Caches.shared(spark, s"vec_reps:$dir") {
       import spark.implicits._
+      graft.plans.GraftFunctions.ensureRegistered(spark)
       val all = base(spark, dir)
       val scales = all
         .select(posexplode($"v"))
@@ -888,20 +880,14 @@ object Knn {
         .agg(array_sort(collect_list(struct($"pos", $"lo", $"hi"))).as("plh"))
         .select(transform($"plh", p => p("lo")).as("los"),
                 transform($"plh", p => p("hi")).as("his"))
-      def quantize(v: Column): Column =
-        transform(sequence(lit(1), lit(64)), i =>
-          when(element_at($"his", i) === element_at($"los", i), lit(0))
-            .otherwise(floor((element_at(v, i) - element_at($"los", i)) /
-              (element_at($"his", i) - element_at($"los", i)) * 255.0 + 0.5)
-              .cast("int")))
-      def dequantize(q: Column): Column =
-        transform(sequence(lit(1), lit(64)), i =>
-          element_at($"los", i) + element_at(q, i).cast("double") / 255.0 *
-            (element_at($"his", i) - element_at($"los", i)))
+      // sign_words/sq8_dequant codegen kernels: one tight pass per
+      // row for the whole representation build (the 64-arm HOF
+      // quantize/dequantize chain they replaced ran interpreted)
       all.crossJoin(broadcast(scales))
-        .withColumn("w0", signWord(0)).withColumn("w1", signWord(32))
-        .withColumn("dq", dequantize(quantize($"v")))
-        .select($"vec_id", $"v", $"dq", $"w0", $"w1")
+        .withColumn("ws", expr("sign_words(v)"))
+        .select($"vec_id", $"v",
+          expr("sq8_dequant(v, los, his)").as("dq"),
+          element_at($"ws", 1).as("w0"), element_at($"ws", 2).as("w1"))
     }
 
   def a14KnnBinary(spark: SparkSession, dir: String, k: Int = 5,

@@ -644,6 +644,108 @@ case class CharCells(child: Expression, cells: Int)
     copy(child = newChild)
 }
 
+/** Binary sign words: array<double> -> array<bigint> of two 32-bit
+  * words (bit d of word w set iff v[w*32+d] > 0) — the a14/a15
+  * signature build, one pass instead of two 32-arm aggregate
+  * lambdas. Bit-identical to the HOF formulation (same > 0 test,
+  * same bit order). */
+case class SignWords(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sign_words"
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypes.requireArrays(prettyName, DoubleType, child)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](2)
+    var i = 0
+    val n = math.min(v.numElements(), 64)
+    while (i < n) {
+      if (v.getDouble(i) > 0d) out(i >>> 5) |= 1L << (i & 31)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |long[] $out = new long[2];
+         |int $n = java.lang.Math.min($c.numElements(), 64);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($c.getDouble($i) > 0d) $out[$i >>> 5] |= 1L << ($i & 31);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SignWords =
+    copy(child = newChild)
+}
+
+/** SQ8 round-trip values: (v, los, his) -> array<double> of
+  * dequantized codes, dq[i] = lo + floor((v-lo)/(hi-lo)*255+0.5)/255
+  * *(hi-lo) (0 when hi == lo) — the a5/a15 representation build with
+  * the exact double arithmetic (operation order included) of the HOF
+  * chain it replaces, so oracle replays are unchanged. */
+case class Sq8Dequant(vec: Expression, los: Expression, his: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = vec
+  override def second: Expression = los
+  override def third: Expression = his
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "sq8_dequant"
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypes.requireArrays(prettyName, DoubleType, vec, los, his)
+
+  override def nullSafeEval(v0: Any, l0: Any, h0: Any): Any = {
+    val v = v0.asInstanceOf[ArrayData]
+    val lo = l0.asInstanceOf[ArrayData]
+    val hi = h0.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val l = lo.getDouble(i); val h = hi.getDouble(i)
+      if (h == l) out(i) = l
+      else {
+        val q = math.floor((v.getDouble(i) - l) / (h - l) * 255.0 + 0.5).toInt
+        out(i) = l + q.toDouble / 255.0 * (h - l)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, lo, hi) => {
+      val out = ctx.freshName("out"); val i = ctx.freshName("i")
+      val l = ctx.freshName("l"); val h = ctx.freshName("h")
+      val q = ctx.freshName("q")
+      s"""
+         |double[] $out = new double[$v.numElements()];
+         |for (int $i = 0; $i < $v.numElements(); $i++) {
+         |  double $l = $lo.getDouble($i);
+         |  double $h = $hi.getDouble($i);
+         |  if ($h == $l) { $out[$i] = $l; }
+         |  else {
+         |    int $q = (int) java.lang.Math.floor(($v.getDouble($i) - $l) / ($h - $l) * 255.0 + 0.5);
+         |    $out[$i] = $l + (double) $q / 255.0 * ($h - $l);
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Sq8Dequant =
+    copy(vec = f, los = s, his = t)
+}
+
 /** Shared helpers for the PQ kernels: materialize a foldable
   * array<array<array<double>>> literal (per-subspace codebooks,
   * layout books(s)(j)(d)) into a JVM table once per expression

@@ -57,6 +57,10 @@ object GraftFunctions {
     ("char_cells", "char_cells(text, cells) - bucketed char-code sums over equal-width slices",
       (args: Seq[Expression]) => CharCells(args.head,
         args(1).eval().asInstanceOf[Number].intValue())),
+    ("sign_words", "sign_words(vec) - two 32-bit sign-pattern words of a 64-dim vector",
+      (args: Seq[Expression]) => SignWords(args.head)),
+    ("sq8_dequant", "sq8_dequant(vec, los, his) - SQ8 quantize+dequantize round trip",
+      (args: Seq[Expression]) => Sq8Dequant(args.head, args(1), args(2))),
     ("pq_encode", "pq_encode(vec, books) - per-subspace PQ codes (argmin, first-min ties)",
       (args: Seq[Expression]) => PqEncode(args.head, args(1))),
     ("pq_adc", "pq_adc(qv, code, books) - PQ asymmetric squared-L2 distance",
@@ -105,6 +109,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       ("byte_at", args => ByteAt(args.head, args(1))),
       ("char_cells", args => CharCells(args.head,
         args(1).eval().asInstanceOf[Number].intValue())),
+      ("sign_words", args => SignWords(args.head)),
+      ("sq8_dequant", args => Sq8Dequant(args.head, args(1), args(2))),
       ("pq_encode", args => PqEncode(args.head, args(1))),
       ("pq_adc", args => PqAdc(args.head, args(1), args(2))),
       ("nearest_centroid", args => NearestCentroid(args.head, args(1))),

@@ -60,6 +60,39 @@ class KernelSpec extends SparkSpec {
     assert(tiny(1).getSeq[Long](0).forall(_ == 0L))
   }
 
+  test("sign_words / sq8_dequant kernels == HOF formulations (bit-identical)") {
+    import spark.implicits._
+    import graft.functions.{VectorFunctions => V}
+    val all = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", V.asDouble($"embedding").as("v"))
+    def word(off: Int) = expr(
+      s"aggregate(sequence(1, 32), cast(0 as bigint), (s, d) -> " +
+      s"s + if(element_at(v, d + $off) > 0d, " +
+      s"shiftleft(cast(1 as bigint), d - 1), cast(0 as bigint)))")
+    val wRows = all.select(expr("sign_words(v)").as("k"),
+        word(0).as("h0"), word(32).as("h1")).collect()
+    assert(wRows.nonEmpty)
+    wRows.foreach { r =>
+      assert(r.getSeq[Long](0) == Seq(r.getLong(1), r.getLong(2))) }
+    // SQ8 round trip vs the transform/element_at chain, double for double
+    val scales = all.select(posexplode($"v"))
+      .groupBy($"pos").agg(min($"col").as("lo"), max($"col").as("hi"))
+      .agg(array_sort(collect_list(struct($"pos", $"lo", $"hi"))).as("plh"))
+      .select(transform($"plh", p => p("lo")).as("los"),
+              transform($"plh", p => p("hi")).as("his"))
+    val hofDq = expr(
+      """transform(sequence(1, 64), i ->
+        |  element_at(los, i) +
+        |  cast(if(element_at(his, i) = element_at(los, i), 0,
+        |          cast(floor((element_at(v, i) - element_at(los, i)) /
+        |            (element_at(his, i) - element_at(los, i)) * 255.0 + 0.5) as int))
+        |       as double) / 255.0 *
+        |  (element_at(his, i) - element_at(los, i)))""".stripMargin)
+    val dqRows = all.crossJoin(broadcast(scales))
+      .select(expr("sq8_dequant(v, los, his)").as("k"), hofDq.as("h")).collect()
+    dqRows.foreach(r => assert(r.getSeq[Double](0) == r.getSeq[Double](1)))
+  }
+
   test("cosine_sim kernel == HOF cosine (bit-identical doubles)") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir).limit(50)
