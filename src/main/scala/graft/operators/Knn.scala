@@ -980,7 +980,10 @@ object Knn {
       ("opq", a13KnnOpq(spark, dir)),
       // binary at 16 B/vector: the cheapest index in the panel — the
       // report shows what recall those bytes buy
-      ("binary", a14KnnBinary(spark, dir)))
+      ("binary", a14KnnBinary(spark, dir)),
+      // the staged funnel: what the binary shortlist + SQ8 refine
+      // recover together
+      ("cascade", a15KnnCascade(spark, dir)))
     methods.map { case (name, df) =>
       val hits = df.select($"q_id", $"vec_id")
         .join(exact, Seq("q_id", "vec_id"), "left_semi").count()
@@ -1389,7 +1392,8 @@ object Knn {
     def pipe(name: String) = s"(SELECT q_id, vec_id FROM (${baseOracles(name)}))"
     val methods = Seq("ivf" -> "a3_knn_ivf", "ivf64" -> "a8_knn_ivf64",
       "lsh" -> "a2_knn_lsh", "pq" -> "a7_knn_pq_kmeans",
-      "opq" -> "a13_knn_opq", "binary" -> "a14_knn_binary")
+      "opq" -> "a13_knn_opq", "binary" -> "a14_knn_binary",
+      "cascade" -> "a15_knn_cascade")
     val hitCtes = methods.map { case (m, q) =>
       s"""h_$m AS (
          |  SELECT CAST(count(*) AS BIGINT) AS hits FROM ${pipe(q)} x
