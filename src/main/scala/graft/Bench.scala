@@ -58,6 +58,11 @@ object Bench {
     val tV = System.nanoTime()
     operators.Knn.vectorReps(spark, sfDir).count()
     val vecDt = (System.nanoTime() - tV) / 1e9
+    // And the crawl-graph rank table (c15's fixed point, c17's
+    // scheduling input): ranked once per crawl cycle.
+    val tP = System.nanoTime()
+    operators.ChunkQueries.pageRankShared(spark, sfDir).count()
+    val prDt = (System.nanoTime() - tP) / 1e9
     // Trained serving models (IVF centroids, PQ codebooks, SemDeDup
     // quantizer) are the session's index-build pass: trained ONCE
     // here and billed as their own line item — every a4/a7/d7 rep
@@ -100,6 +105,7 @@ object Bench {
       ("_shared_text_scan" -> textDt) +
       ("_shared_cc_labels" -> ccDt) +
       ("_shared_vector_reps" -> vecDt) +
+      ("_shared_pagerank" -> prDt) +
       ("_model_training" -> modelDt)
     // 3dp (ms precision) keeps the line compact: the round harness
     // retains only a ~2000-char stdout TAIL, truncating the FRONT of

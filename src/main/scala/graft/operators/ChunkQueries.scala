@@ -353,16 +353,26 @@ object ChunkQueries {
     * redistributed. The DuckDB oracle unrolls all three iterations
     * as CTE stages over identical integer arithmetic, so the int64
     * rank artifact hash-matches with zero rounding slack. */
-  def c15PageRank(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val edges = Tables.events(spark, dir)
-      .select(pmod($"event_id", lit(50)).cast("long").as("src"))
-      .distinct()
-      .select($"src", explode(array(
-        pmod($"src" * 7 + 3, lit(50)),
-        pmod($"src" * 3 + 1, lit(50)))).as("dst"))
-    pageRankOf(edges, 3)
-  }
+  def c15PageRank(spark: SparkSession, dir: String): DataFrame =
+    pageRankShared(spark, dir)
+
+  /** SHARED rank table over the crawl link graph — the 3-iteration
+    * fixed point c15 reports and c17's frontier prioritizer joins,
+    * computed once per (session, corpus) like the other corpus-level
+    * builds (Bench bills it as `_shared_pagerank`): a crawler ranks
+    * its graph once per cycle and every scheduling read serves from
+    * the rank table. */
+  def pageRankShared(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.shared(spark, s"pagerank:$dir") {
+      import spark.implicits._
+      val edges = Tables.events(spark, dir)
+        .select(pmod($"event_id", lit(50)).cast("long").as("src"))
+        .distinct()
+        .select($"src", explode(array(
+          pmod($"src" * 7 + 3, lit(50)),
+          pmod($"src" * 3 + 1, lit(50)))).as("dst"))
+      pageRankOf(edges, 3)
+    }
 
   /** c11: sitemap parsing (ingestion-worker handlers/sitemap.py:
     * _parse_sitemap_xml + _extract_urls_from_urlset) — extract
