@@ -166,9 +166,45 @@ object Pipeline {
     * tiny relative to the corpus). */
   def componentLabels(spark: SparkSession, dir: String): DataFrame =
     graft.Caches.shared(spark, s"cc_labels:$dir") {
-      connectedComponents(
+      connectedComponentsAdaptive(
         Dedup.minhashLshPairsOf(Dedup.minhashSigs(spark, dir)))
     }
+
+  /** Size-adaptive components: the VERIFIED near-dup pair graph is
+    * usually tiny relative to the corpus (only actual near-dup
+    * members appear in any edge), and the alternating-star loop pays
+    * ~log² rounds of fixed job overhead regardless of size — so
+    * below `driverLimit` edges the labels come from a driver-local
+    * union-find over the collected pair list (bounded by
+    * construction: the count gates the collect), and only a
+    * genuinely large pair graph (dup-heavy crawl) runs the
+    * distributed contraction. Both paths emit identical labels —
+    * every member mapped to its component's MIN id — which the
+    * equality spec pins on planted graphs. */
+  private[graft] def connectedComponentsAdaptive(
+      pairs: DataFrame, driverLimit: Long = 1000000L): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val p = graft.Caches.persist(pairs.select($"a_id", $"b_id"))
+    if (p.count() > driverLimit) connectedComponents(p)
+    else {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      p.collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labels = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      pairs.sparkSession.createDataFrame(labels).toDF("id", "lbl")
+    }
+  }
 
   def p5DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

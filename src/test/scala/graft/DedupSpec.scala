@@ -296,6 +296,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("adaptive components: driver union-find == distributed star contraction") {
+    import spark.implicits._
+    // path, ring, two cliques, and isolated pair — transitive chains
+    // that punish any shortcut labeling
+    val edges = (
+      (0L until 9L).map(i => (i, i + 1)) ++            // path 0..9
+      Seq((20L, 21L), (21L, 22L), (22L, 20L)) ++       // ring
+      (for (a <- 30L to 33L; b <- (a + 1) to 33L) yield (a, b)) ++
+      Seq((40L, 41L))
+    ).toDF("a_id", "b_id")
+    def labelsOf(limit: Long) = graft.operators.Pipeline
+      .connectedComponentsAdaptive(edges, driverLimit = limit)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val driver = labelsOf(Long.MaxValue)
+    val distributed = labelsOf(-1L)
+    assert(driver == distributed, "paths disagree")
+    // labels are the component minima
+    assert((0L to 9L).forall(driver(_) == 0L))
+    assert(Seq(20L, 21L, 22L).forall(driver(_) == 20L))
+    assert((30L to 33L).forall(driver(_) == 30L))
+    assert(driver(41L) == 40L)
+    Caches.releaseAll()
+  }
+
   test("d15 savings report is an exact accounting of p5's clusters") {
     import spark.implicits._
     val report = graft.operators.Pipeline.d15DedupSavings(spark, sfDir).collect()
