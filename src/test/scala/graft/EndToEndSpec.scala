@@ -58,4 +58,46 @@ class EndToEndSpec extends SparkSpec {
 
     engine.releaseCaches()
   }
+
+  test("curation lifecycle: score -> sample -> budget -> commit -> skip-read") {
+    val dir = sfDir
+    // 1. one shared scoring pass feeds the whole selection chain
+    val scored = graft.operators.TextAnalysis.scoredDocs(spark, dir)
+    val n = scored.count()
+    assert(n > 0)
+
+    // 2. quality-weighted shortlist, then exact token budgeting
+    val sample = graft.operators.Curation.p17WeightedSample(spark, dir, k = 200)
+    assert(sample.count() === 200)
+    val budgeted = graft.operators.Curation.p18TokenBudget(spark, dir)
+    val keep = budgeted.filter($"kept").select($"doc_id")
+    assert(keep.count() > 0 && keep.count() < n)
+
+    // 3. the selected corpus commits as an immutable store version...
+    val store = Files.createTempDirectory("graft-e2e2").toString + "/corpus"
+    val selected = Tables.documents(spark, dir)
+      .join(keep, "doc_id")
+      .select($"doc_id", $"source", length($"text").cast("long").as("n_chars"))
+    val v1 = ChunkStore.commitVersion(selected, store)
+    assert(v1 === 1L)
+
+    // 4. ...gets a skipping manifest, and a narrow range read opens
+    // a subset of files while returning exactly the filtered rows
+    val vPath = s"$store/v=$v1"
+    // re-layout the committed version clustered so file stats are tight
+    ChunkStore.writeZordered(ChunkStore.readVersion(spark, store, v1), vPath + "z",
+      "doc_id", "n_chars", targetFiles = 8)
+    ChunkStore.writeManifest(spark, vPath + "z", Seq("doc_id", "n_chars"))
+    val (files, total) = ChunkStore.pruneFiles(spark, vPath + "z", "doc_id", 0L, 50L)
+    assert(files.size < total, "z-layout must let the manifest skip files")
+    val pruned = ChunkStore.prunedRead(spark, vPath + "z", "doc_id", 0L, 50L)
+    val expected = selected.filter($"doc_id" <= 50L)
+    assert(pruned.count() === expected.count())
+
+    // 5. a second commit doesn't disturb the audited v1 bytes
+    val v2 = ChunkStore.commitVersion(selected.limit(10), store)
+    assert(v2 === 2L)
+    assert(ChunkStore.readVersion(spark, store, v1).count() === selected.count())
+    Caches.releaseAll(); Caches.releaseShared()
+  }
 }
