@@ -303,12 +303,48 @@ object FileIngest {
         .select($"doc_id", unhex(wrapped).as("payload")))
   }
 
+  /** f4: ARCHIVE ingestion — crawl artifacts frequently arrive as
+    * archives, and the ingest plane must expand them into per-entry
+    * documents before chunking: the STORED-zip corpus (m9's real
+    * PK-header synthesis) is walked via the central directory, each
+    * entry's bytes are sliced out at its local-header data offset
+    * and UTF-8 decoded (Multimodal.extractZipEntries — byte_at
+    * kernel + substr, no UDF), and every entry becomes a document
+    * row with its token count. The oracle recomputes entry names and
+    * contents first-principles from the synthesis rules (the m10
+    * convention), so the whole synthesize→walk→slice→decode round
+    * trip is hash-checked. Deflated members are the documented
+    * FileConverter-stub boundary (a real inflater slots in there). */
+  def f4ArchiveIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.extractZipEntries(Multimodal.zipBlobs(spark, dir))
+      .select($"doc_id", $"entry", $"content",
+        size(expr("regexp_extract_all(content, '\\\\S+', 0)")).cast("long")
+          .as("ws_tokens"))
+      .orderBy($"doc_id", $"entry")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f3_encoding_sniff" -> f3EncodingSniff _,
     "f1_file_ingest" -> f1FileIngest _,
-    "f2_type_sniff" -> f2TypeSniff _)
+    "f2_type_sniff" -> f2TypeSniff _,
+    "f4_archive_ingest" -> f4ArchiveIngest _)
 
   val oracles: Map[String, String] = Map(
+    // first-principles recompute of the zip synthesis rules: entry
+    // names/contents straight from the doc, tokens over the content
+    "f4_archive_ingest" ->
+      """SELECT doc_id, entry, content,
+        |  CAST(len(regexp_extract_all(content, '\S+')) AS BIGINT) AS ws_tokens
+        |FROM (
+        |  SELECT doc_id, 'doc_' || doc_id || '.txt' AS entry,
+        |    substring(text, 1, 64) AS content
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'meta/' || doc_id || '.json',
+        |    '{"id":' || doc_id || '}'
+        |  FROM documents WHERE doc_id % 2 = 0)
+        |ORDER BY doc_id, entry""".stripMargin,
     // first-principles recompute from the synth rules: BOM class and
     // byte statistics all derive from doc_id
     "f3_encoding_sniff" ->

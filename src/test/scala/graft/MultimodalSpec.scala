@@ -282,6 +282,35 @@ class MultimodalSpec extends SparkSpec {
     assert(!j.getBoolean(1) && j.isNullAt(2) && j.isNullAt(4))
   }
 
+  test("extractZipEntries slices exact bytes from a REAL STORED archive") {
+    import spark.implicits._
+    // STORED (method 0) entries via the JDK writer: sizes and CRCs
+    // must be pre-declared — the extraction path f4 relies on
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    def put(name: String, data: Array[Byte]): Unit = {
+      val e = new java.util.zip.ZipEntry(name)
+      e.setMethod(java.util.zip.ZipEntry.STORED)
+      e.setSize(data.length); e.setCompressedSize(data.length)
+      val crc = new java.util.zip.CRC32(); crc.update(data)
+      e.setCrc(crc.getValue)
+      zos.putNextEntry(e); zos.write(data); zos.closeEntry()
+    }
+    put("a.txt", "hello stored world".getBytes("UTF-8"))
+    // ASCII names (the walker's declared name charset); non-ASCII
+    // CONTENT must still round-trip through the UTF-8 slice
+    put("b/unicode.txt", "unicode content: déjà vu".getBytes("UTF-8"))
+    zos.close()
+    val df = Seq((1L, bos.toByteArray)).toDF("doc_id", "payload")
+    val rows = Multimodal.extractZipEntries(df)
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(rows("a.txt") == "hello stored world")
+    assert(rows("b/unicode.txt") == "unicode content: déjà vu")
+    // junk payloads yield zero rows, never throw
+    assert(Multimodal.extractZipEntries(
+      Seq((2L, "not a zip".getBytes)).toDF("doc_id", "payload")).count() == 0)
+  }
+
   test("m11 dHash pairs exact copies at hamming 0, small edits nearby, noise apart") {
     import spark.implicits._
     val base = (0 until 400).map(i => ('a' + i % 23).toChar).mkString
