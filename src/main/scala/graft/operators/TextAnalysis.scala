@@ -482,7 +482,36 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  /** t22: TOKENIZER FERTILITY by language — tokens-per-word per
+    * detected language, the standard multilingual-tokenizer bias
+    * report (a tokenizer that spends 2× the tokens on one language
+    * halves that language's effective context and doubles its
+    * serving cost — the number every multilingual training effort
+    * publishes). Word counts and BPE-ish segment counts ride t3's
+    * regex battery; language comes from the shared scored scan —
+    * the scan cost is one already-materialized join, and the
+    * aggregate is language-cardinality rows. */
+  def t22TokenFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .select($"doc_id",
+        expr("cast(regexp_count(text, '\\\\S+') as bigint)").as("ws_tokens"),
+        expr("cast(regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]') as bigint)")
+          .as("bpe_tokens"))
+    scoredDocs(spark, dir).select($"doc_id", $"lang_id")
+      .join(counts, "doc_id")
+      .groupBy($"lang_id")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"ws_tokens").as("ws_tokens"),
+           sum($"bpe_tokens").as("bpe_tokens"))
+      .select($"lang_id", $"n_docs", $"ws_tokens", $"bpe_tokens",
+        round($"bpe_tokens".cast("double") /
+          greatest($"ws_tokens", lit(1L)), 6).as("fertility"))
+      .orderBy($"lang_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_token_fertility" -> t22TokenFertility _,
     "t21_corpus_drift" -> ((s, d) => t21CorpusDrift(s, d)),
     "t20_lexical_diversity" -> t20LexicalDiversity _,
     "t19_vocab_growth" -> ((s, d) => t19VocabGrowth(s, d)),
@@ -592,6 +621,28 @@ object TextAnalysis {
     val allGreatest = s"greatest(${langs.map("s_" + _).mkString(", ")})"
     Map(
       // same (doc, word) counts, same integer ratios
+      // same lang argmax, same regex token counts, same ratio
+      "t22_token_fertility" ->
+        s"""WITH base AS (
+           |  SELECT doc_id,
+           |$profileColsSql
+           |   $zhColSql,
+           |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens,
+           |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+           |  FROM documents),
+           |lng AS (
+           |  SELECT doc_id, ws_tokens, bpe_tokens,
+           |    CASE WHEN s_zh > 0 THEN 'zh'
+           |      $bestChainSql
+           |      ELSE 'unknown' END AS lang_id
+           |  FROM base)
+           |SELECT lang_id, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(ws_tokens) AS BIGINT) AS ws_tokens,
+           |  CAST(sum(bpe_tokens) AS BIGINT) AS bpe_tokens,
+           |  round(CAST(sum(bpe_tokens) AS DOUBLE)
+           |    / greatest(sum(ws_tokens), 1), 6) AS fertility
+           |FROM lng GROUP BY lang_id
+           |ORDER BY lang_id""".stripMargin,
       // same parity snapshots, same keyed counts, same JS fold
       "t21_corpus_drift" -> t21Sql,
       "t20_lexical_diversity" ->

@@ -107,6 +107,26 @@ class TextAnalysisSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("t22 fertility separates punctuation-heavy text from plain words") {
+    import spark.implicits._
+    // en doc: plain words, fertility 1; second doc: hyphens and
+    // camel-punctuation explode into many BPE-ish segments per word
+    val docs = Seq(
+      (1L, "src0", "en", "the cat and the dog walk to the park in peace"),
+      // no profile stopwords anywhere (hyphens are word boundaries,
+      // so "state-of-the-art" would leak "of"/"the" into lang-ID)
+      (2L, "src0", "xx", "ultra-fast mega-cheap gizmo-ware isn't junk-mail, right? yes!!")
+    ).toDF("doc_id", "source", "lang", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("t22").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = graft.operators.TextAnalysis.t22TokenFertility(spark, tmp)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(rows("en") == 1.0, s"plain words must tokenize 1:1, got ${rows("en")}")
+    val other = (rows - "en").values.head
+    assert(other > 1.5, s"punctuated text must inflate fertility, got $other")
+    Caches.releaseShared()
+  }
+
   test("t21 drift: identical waves score ~0, disjoint vocab saturates at ln2") {
     import spark.implicits._
     // wave membership = (doc_id div 50) % 2; plant one source whose
