@@ -275,7 +275,40 @@ object Pipeline {
       .orderBy($"cluster_size")
   }
 
+  /** p19: CLUSTER-ATOMIC train/val/test split — the leakage fix p3
+    * can't express: p3's content-hash key keeps EXACT copies in one
+    * split, but a near-duplicate pair (re-crawled page, light edit)
+    * hashes differently and can straddle train/test — the classic
+    * eval-contamination vector ("Deduplicating Training Data Makes
+    * Language Models Better", Lee et al. 2022, measures exactly this
+    * leak). Here the split key is the CLUSTER's minimum content
+    * hash: every member of a verified near-dup component (shared
+    * labels) lands in the same split, singletons key on their own
+    * hash (≡ p3 for non-duplicated docs), and the key stays
+    * content-derived so re-crawls with fresh ids can't reshuffle
+    * assignments. Same 80/10/10 buckets as p3; one keyed min-agg
+    * over cluster-cardinality rows + a join back on the label. */
+  def p19ClusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val hashed = Tables.documents(spark, dir)
+      .select($"doc_id",
+        element_at(call_function("poly_hash_all", array($"text")), 1).as("h"))
+    val labels = componentLabels(spark, dir)
+    val labeled = hashed.join(labels, hashed("doc_id") === labels("id"), "left")
+      .select($"doc_id", coalesce($"lbl", $"doc_id").as("cluster_rep"), $"h")
+    val clusterKey = labeled.groupBy($"cluster_rep")
+      .agg(min($"h").as("kh"))
+    labeled.join(clusterKey, "cluster_rep")
+      .select($"doc_id", $"cluster_rep",
+        when(pmod($"kh", lit(100)) < 80, lit("train"))
+          .when(pmod($"kh", lit(100)) < 90, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p19_cluster_split" -> p19ClusterSplit _,
     "d15_dedup_savings" -> d15DedupSavings _,
     "p1_prepare_corpus" -> p1PrepareCorpus _,
     "p12_cluster_keep_best" -> p12ClusterKeepBest _,
@@ -341,6 +374,39 @@ object Pipeline {
          |     ORDER BY quality DESC, comp.id) = 1) AS keep
          |FROM comp JOIN q ON q.doc_id = comp.id
          |ORDER BY doc_id""".stripMargin,
+    // p5's components + per-cluster min content hash + p3's buckets
+    "p19_cluster_split" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a_id, b_id FROM (
+         |${Dedup.d2Sql}
+         |  )),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT b_id, a_id FROM pairs),
+         |verts AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+         |comp AS (SELECT id, min(r) AS cluster_rep FROM reach GROUP BY id),
+         |docs AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(generate_series(1, length(text)),
+         |        i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+         |      (a, c) -> (a*31 + c) % 1000000007) AS h
+         |  FROM documents),
+         |lab AS (
+         |  SELECT docs.doc_id, coalesce(comp.cluster_rep, docs.doc_id) AS rep, h
+         |  FROM docs LEFT JOIN comp ON comp.id = docs.doc_id),
+         |ck AS (SELECT rep, min(h) AS kh FROM lab GROUP BY rep)
+         |SELECT lab.doc_id, lab.rep AS cluster_rep,
+         |  CASE WHEN kh % 100 < 80 THEN 'train'
+         |       WHEN kh % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM lab JOIN ck USING (rep)
+         |ORDER BY lab.doc_id""".stripMargin,
     // p5's recursive-CTE components + exact integer doc/token/char
     // accounting per cluster size
     "d15_dedup_savings" ->

@@ -296,6 +296,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("p19 cluster split: near-dup clusters are split-atomic, singletons match p3") {
+    import spark.implicits._
+    val split = graft.operators.Pipeline.p19ClusterSplit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(split.nonEmpty && split.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    // cluster-atomicity: every member of a cluster shares one split
+    split.groupBy(_._2).foreach { case (rep, rows) =>
+      assert(rows.map(_._3).distinct.length == 1, s"cluster $rep straddles splits")
+    }
+    // singleton docs degrade to exactly p3's content-hash assignment
+    val p3 = graft.operators.Curation.p3TrainSplit(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clustered = split.groupBy(_._2).filter(_._2.length > 1)
+      .values.flatten.map(_._1).toSet
+    split.filterNot(r => clustered(r._1)).foreach { case (id, _, s) =>
+      assert(p3(id) == s, s"singleton $id diverged from p3")
+    }
+    // and the leak p3 permits is actually closed here: any multi-doc
+    // cluster where p3 assigns members differently is unified by p19
+    val straddlers = split.groupBy(_._2).filter(_._2.length > 1).values
+      .count(rows => rows.map(r => p3(r._1)).distinct.length > 1)
+    val unified = split.groupBy(_._2).filter(_._2.length > 1).values
+      .forall(rows => rows.map(_._3).distinct.length == 1)
+    assert(unified)
+    info(s"p3 would have straddled $straddlers near-dup clusters")
+    Caches.releaseAll(); Caches.releaseShared()
+  }
+
   test("adaptive components: driver union-find == distributed star contraction") {
     import spark.implicits._
     // path, ring, two cliques, and isolated pair — transitive chains
