@@ -956,6 +956,35 @@ object Knn {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** a16: FILTERED vector search — the metadata-constrained top-k
+    * every vector store ships (Weaviate `where` + nearVector; s5 is
+    * the keyword twin): each query returns its nearest neighbors
+    * AMONG vectors passing a predicate (here: same `label`, the
+    * tenant/collection stand-in). Filter-BEFORE-search, not
+    * post-filter: post-filtering a global top-k under-fills exactly
+    * when the filter is selective (the classic filtered-ANN bug —
+    * k results shrink to however many survivors the unfiltered list
+    * happened to contain). At scale the predicate pushes into the
+    * scan (label-partitioned layouts prune directories — the
+    * writeIvfIndex pattern); candidate cost is the filtered
+    * fraction, and the broadcast query side carries its own label. */
+  def a16KnnFiltered(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val all = base(spark, dir)
+    val queries = all.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"label".as("q_label"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")
+    all.join(broadcast(queries),
+        $"label" === $"q_label" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"q_label", $"vec_id",
+        V.cosineD($"qv", $"v").as("cosine_raw"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"q_id", $"q_label", $"vec_id",
+        round($"cosine_raw", 6).as("cosine"), $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
   /** a12: ANN RECALL evaluation — "measure, don't guess" for the
     * approximate family: every serving method's top-5 intersected
     * with a1's exact top-5, reported as recall@5. The calibration
@@ -1010,6 +1039,7 @@ object Knn {
     "a13_knn_opq" -> a13KnnOpq _,
     "a14_knn_binary" -> ((s, d) => a14KnnBinary(s, d)),
     "a15_knn_cascade" -> ((s, d) => a15KnnCascade(s, d)),
+    "a16_knn_filtered" -> ((s, d) => a16KnnFiltered(s, d)),
     "s2_vector_topk" -> s2VectorTopk _)
 
   private val cosineSql =
@@ -1655,6 +1685,22 @@ object Knn {
          |    row_number() OVER (PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id) AS rnk
          |  FROM scored)
          |SELECT q_id, vec_id, round(cosine_raw, 6) AS cosine, rnk
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin,
+    "a16_knn_filtered" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, q.label AS q_label, b.vec_id AS vec_id,
+         |   ${cosineSql.replace("QV", "q.v").replace("BV", "b.v")} AS cosine_raw
+         |  FROM e q JOIN e b
+         |    ON q.vec_id < 10 AND b.label = q.label AND b.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT q_id, q_label, vec_id, cosine_raw,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, q_label, vec_id, round(cosine_raw, 6) AS cosine, rnk
          |FROM ranked WHERE rnk <= 5
          |ORDER BY q_id, rnk""".stripMargin,
     "a15_knn_cascade" -> {

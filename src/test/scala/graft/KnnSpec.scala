@@ -248,6 +248,29 @@ class KnnSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("a16 filtered search: every hit passes the predicate, filter-first fills k") {
+    import spark.implicits._
+    val rows = Knn.a16KnnFiltered(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val labelOf = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      // predicate holds on every result
+      assert(labelOf(r.getLong(2)) == r.getInt(1),
+        s"hit ${r.getLong(2)} escaped the label filter")
+    }
+    // filter-BEFORE-search fills k whenever the filtered pool allows:
+    // each query returns min(k, pool-1) results, never fewer (the
+    // post-filter under-fill bug this shape avoids)
+    val poolSize = labelOf.values.groupBy(identity).view.mapValues(_.size).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val pool = poolSize(labelOf(q).asInstanceOf[Int]) - 1
+      assert(rs.length == math.min(5, pool),
+        s"query $q returned ${rs.length} of expected ${math.min(5, pool)}")
+    }
+  }
+
   test("a12 recall report: bounded, consistent, and repeat-stable") {
     val rows = Knn.a12AnnRecall(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq ==
