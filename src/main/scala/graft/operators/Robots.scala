@@ -97,10 +97,11 @@ object Robots {
     import spark.implicits._
     Seq(
       ("host0.example.com",
-        "# host0 policy\nUser-agent: *\nDisallow: /page/1\nAllow: /page/12\n" +
-          "\nUser-agent: badbot\nDisallow: /"),
+        "# host0 policy\nUser-agent: *\nCrawl-delay: 2\nDisallow: /page/1\n" +
+          "Allow: /page/12\n\nUser-agent: badbot\nDisallow: /"),
       ("host1.example.com", "User-agent: *\nDisallow: /"),
-      ("host2.example.com", "User-agent: badbot\nDisallow: /private"))
+      ("host2.example.com",
+        "User-agent: badbot\nDisallow: /private\n\nUser-agent: *\nCrawl-delay: 5"))
       .toDF("host", "robots_txt")
   }
 
@@ -207,13 +208,127 @@ object Robots {
       .orderBy($"canonical")
   }
 
+  /** Per-host Crawl-delay for agent `*`, using the same group walk
+    * as [[parseRobots]] (a delay line binds to the agent group above
+    * it); hosts that declare none get `default` seconds. The most
+    * conservative declared value wins if a host repeats the
+    * directive. */
+  def crawlDelays(robots: DataFrame, default: Double = 1.0): DataFrame = {
+    import robots.sparkSession.implicits._
+    val lines = robots
+      .select($"host", posexplode(split($"robots_txt", "\n")))
+      .select($"host", $"pos".as("line_no"), trim(lower($"col")).as("line"))
+      .filter($"line" =!= "" && !$"line".startsWith("#"))
+    val tagged = lines.select($"host", $"line_no",
+      regexp_extract($"line", "^(user-agent|crawl-delay)\\s*:\\s*(.*)$", 1)
+        .as("key"),
+      trim(regexp_extract($"line", "^(user-agent|crawl-delay)\\s*:\\s*(.*)$", 2))
+        .as("value"))
+      .filter($"key" =!= "")
+    val w = Window.partitionBy($"host").orderBy($"line_no")
+    val grouped = tagged
+      .withColumn("is_ua", ($"key" === "user-agent").cast("int"))
+      .withColumn("prev_ua", coalesce(lag($"is_ua", 1).over(w), lit(0)))
+      .withColumn("starts_group",
+        ($"is_ua" === 1 && $"prev_ua" === 0).cast("int"))
+      .withColumn("grp", sum($"starts_group").over(w))
+    val starGroups = grouped.filter($"is_ua" === 1 && $"value" === "*")
+      .select($"host", $"grp").distinct()
+    val declared = grouped.filter($"key" === "crawl-delay")
+      .join(starGroups, Seq("host", "grp"), "left_semi")
+      .groupBy($"host")
+      .agg(max($"value".cast("double")).as("crawl_delay_s"))
+    robots.select($"host").distinct()
+      .join(declared, Seq("host"), "left")
+      .select($"host",
+        coalesce($"crawl_delay_s", lit(default)).as("crawl_delay_s"))
+  }
+
+  /** c23: POLITENESS schedule — c17's priority order turned into an
+    * executable per-host fetch timetable: each host's queue is paced
+    * by its own declared Crawl-delay (robots.txt, agent `*`;
+    * undeclared hosts get the crawler's 1 s default), so slot k
+    * fetches at (k−1)·delay seconds into the cycle. This is the last
+    * missing piece between "which URLs, in what order" (c17) and a
+    * crawler actually hitting the wire without tripping rate limits.
+    * Delay extraction shares parseRobots' group walk; the schedule
+    * adds one broadcast-size join (hosts) and arithmetic on c17's
+    * existing keyed window rank — no new shuffle shape. Delays are
+    * 2dp-exact decimals of small integers, so the timetable replays
+    * exactly in the oracle. */
+  def c23PolitenessSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    c17FrontierPriority(spark, dir)
+      .join(broadcast(crawlDelays(robotsCorpus(spark))), Seq("host"), "left")
+      .select($"host", $"url", $"host_rank",
+        coalesce($"crawl_delay_s", lit(1.0)).as("crawl_delay_s"),
+        round(($"host_rank" - 1).cast("double") *
+          coalesce($"crawl_delay_s", lit(1.0)), 2).as("fetch_at_s"))
+      .orderBy($"host", $"host_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c23_politeness_schedule" -> c23PolitenessSchedule _,
     "c16_robots" -> c16Robots _,
     "c17_frontier_priority" -> c17FrontierPriority _,
     "d10_url_dedup" -> d10UrlDedup _)
 
   val oracles: Map[String, String] = Map(
     // c15's rank CTEs + c16's permission CTEs + the per-host queue
+    // c17's ranked frontier paced by the declared per-host delays
+    // (host0 2s, host2 5s, default 1s): slot k fires at (k-1)*delay
+    "c23_politeness_schedule" ->
+      s"""WITH ${ChunkQueries.pageRankCtesSql},
+        |rules AS (
+        |  SELECT * FROM (VALUES
+        |    ('host0.example.com', 'disallow', '/page/1'),
+        |    ('host0.example.com', 'allow', '/page/12'),
+        |    ('host1.example.com', 'disallow', '/'))
+        |    AS t(host, rule, path)),
+        |delays AS (
+        |  SELECT * FROM (VALUES
+        |    ('host0.example.com', 2.0),
+        |    ('host2.example.com', 5.0))
+        |    AS t(host, crawl_delay_s)),
+        |frontier AS (
+        |  SELECT DISTINCT
+        |    'https://host' || (user_id % 3) || '.example.com/page/'
+        |      || (event_id % 50) AS url,
+        |    'host' || (user_id % 3) || '.example.com' AS host,
+        |    CAST(event_id % 50 AS BIGINT) AS page_id
+        |  FROM events),
+        |urls AS (
+        |  SELECT url,
+        |    regexp_extract(url, '^https?://([^/]+)', 1) AS uhost,
+        |    coalesce(nullif(regexp_extract(url, '^https?://[^/]+(/.*)$$', 1), ''),
+        |             '/') AS url_path
+        |  FROM frontier),
+        |matches AS (
+        |  SELECT u.url, r.rule, r.path
+        |  FROM urls u LEFT JOIN rules r
+        |    ON u.uhost = r.host AND starts_with(u.url_path, r.path)),
+        |perm AS (
+        |  SELECT url, coalesce(rule <> 'disallow', true) AS allowed
+        |  FROM (
+        |    SELECT url, rule,
+        |      row_number() OVER (PARTITION BY url
+        |        ORDER BY length(path) DESC, rule ASC) AS rn
+        |    FROM matches)
+        |  WHERE rn = 1),
+        |ranked AS (
+        |  SELECT f.host, f.url,
+        |    CAST(row_number() OVER (PARTITION BY f.host
+        |      ORDER BY r3.r DESC, f.url) AS INTEGER) AS host_rank
+        |  FROM frontier f
+        |  JOIN perm p ON p.url = f.url
+        |  JOIN r3 ON r3.url = f.page_id
+        |  WHERE p.allowed)
+        |SELECT ranked.host, url, host_rank,
+        |  coalesce(delays.crawl_delay_s, 1.0) AS crawl_delay_s,
+        |  round((host_rank - 1) * coalesce(delays.crawl_delay_s, 1.0), 2)
+        |    AS fetch_at_s
+        |FROM ranked LEFT JOIN delays ON delays.host = ranked.host
+        |ORDER BY ranked.host, host_rank""".stripMargin,
     "c17_frontier_priority" ->
       s"""WITH ${ChunkQueries.pageRankCtesSql},
         |rules AS (

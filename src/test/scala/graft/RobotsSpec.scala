@@ -71,4 +71,30 @@ class RobotsSpec extends SparkSpec {
       .map(row => row.getString(0) -> row.getBoolean(1)).toMap
     assert(got === Map("https://t.com/x" -> false, "https://t.com/y" -> true))
   }
+
+  test("crawlDelays binds to the * group; schedule paces each host by its delay") {
+    // delay under *, delay under another agent (ignored), no delay
+    val robots = Seq(
+      ("a.com", "User-agent: *\nCrawl-delay: 3\nDisallow: /x"),
+      ("b.com", "User-agent: bot\nCrawl-delay: 9\nDisallow: /"),
+      ("c.com", "User-agent: *\nDisallow: /z")).toDF("host", "robots_txt")
+    val d = Robots.crawlDelays(robots).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(d === Map("a.com" -> 3.0, "b.com" -> 1.0, "c.com" -> 1.0))
+    // the schedule over the real corpus: fetch_at is (rank-1)*delay,
+    // monotone within every host, starting at 0
+    val sched = Robots.c23PolitenessSchedule(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(2), r.getDouble(3), r.getDouble(4)))
+    assert(sched.nonEmpty)
+    sched.groupBy(_._1).foreach { case (host, rows) =>
+      val ordered = rows.sortBy(_._2)
+      assert(ordered.head._4 == 0.0, s"$host first slot must fire at 0")
+      ordered.foreach { case (_, rank, delay, at) =>
+        assert(at == (rank - 1) * delay, s"$host slot $rank pacing")
+      }
+    }
+    // the declared host0 delay (2 s) actually reaches the schedule
+    assert(sched.filter(_._1.startsWith("host0")).forall(_._3 == 2.0))
+    Caches.releaseAll(); Caches.releaseShared()
+  }
 }
