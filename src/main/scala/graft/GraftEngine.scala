@@ -578,6 +578,27 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
   def perceptualDedup(maxHamming: Int = 5, maxBucket: Int = 64): DataFrame =
     graft.operators.Multimodal.perceptualPairsOf(corpus, maxHamming, maxBucket)
 
+  /** Near-dup-cluster-atomic train/val/test split (p19): every
+    * verified near-dup cluster lands whole in one split — the
+    * leakage fix content-hash splitting can't express. */
+  def clusterSplit(threshold: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.functions.{array, call_function, element_at}
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val hashed = corpus.select(col("doc_id"),
+      element_at(call_function("poly_hash_all", array(col("text"))), 1).as("h"))
+    graft.operators.Pipeline.clusterSplitOf(hashed, dedupClusters(threshold))
+  }
+
+  /** Dedup-savings audit over the corpus (d15): the cluster-size
+    * histogram with exactly what keep-one-per-cluster would drop. */
+  def dedupSavings(threshold: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, length, size}
+    val stats = corpus.select(col("doc_id"),
+      size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_tok"),
+      length(col("text")).cast("long").as("len_chars"))
+    graft.operators.Pipeline.dedupSavingsOf(stats, dedupClusters(threshold))
+  }
+
   /** Packing-efficiency audit of [[packBins]]'s layout (p14). */
   def packReport(cap: Long = 1024L): DataFrame =
     graft.operators.Curation.packReportOf(packBins(cap), cap)

@@ -256,9 +256,16 @@ object Pipeline {
     * cluster-cardinality rows. */
   def d15DedupSavings(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val labels = componentLabels(spark, dir)
-    val docs = TextAnalysis.scoredDocs(spark, dir)
-      .select($"doc_id", $"n_tok", $"len_chars")
+    dedupSavingsOf(
+      TextAnalysis.scoredDocs(spark, dir)
+        .select($"doc_id", $"n_tok", $"len_chars"),
+      componentLabels(spark, dir))
+  }
+
+  /** The savings accounting over any (doc_id, n_tok, len_chars)
+    * frame + (id, lbl) label table — facade twin seam. */
+  def dedupSavingsOf(docs: DataFrame, labels: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val labeled = docs.join(labels, docs("doc_id") === labels("id"), "left")
       .select($"doc_id", coalesce($"lbl", $"doc_id").as("rep"),
         $"n_tok", $"len_chars")
@@ -294,7 +301,14 @@ object Pipeline {
     val hashed = Tables.documents(spark, dir)
       .select($"doc_id",
         element_at(call_function("poly_hash_all", array($"text")), 1).as("h"))
-    val labels = componentLabels(spark, dir)
+    clusterSplitOf(hashed, componentLabels(spark, dir))
+  }
+
+  /** The cluster-atomic split over any (doc_id, h) frame + (id, lbl)
+    * label table — the GraftEngine facade feeds it corpus-derived
+    * inputs; p19 feeds it the shared scans. */
+  def clusterSplitOf(hashed: DataFrame, labels: DataFrame): DataFrame = {
+    import hashed.sparkSession.implicits._
     val labeled = hashed.join(labels, hashed("doc_id") === labels("id"), "left")
       .select($"doc_id", coalesce($"lbl", $"doc_id").as("cluster_rep"), $"h")
     val clusterKey = labeled.groupBy($"cluster_rep")

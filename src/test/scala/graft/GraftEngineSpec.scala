@@ -399,6 +399,18 @@ class GraftEngineSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("clusterSplit / dedupSavings facades equal their driver queries") {
+    val e = new GraftEngine(spark, Tables.documents(spark, sfDir))
+    assert(e.clusterSplit().collect().map(_.toSeq).toSeq ==
+      graft.operators.Pipeline.p19ClusterSplit(spark, sfDir)
+        .collect().map(_.toSeq).toSeq)
+    assert(e.dedupSavings().collect().map(_.toSeq).toSeq ==
+      graft.operators.Pipeline.d15DedupSavings(spark, sfDir)
+        .collect().map(_.toSeq).toSeq)
+    Caches.releaseAll()
+    Caches.releaseShared()
+  }
+
   test("weightedSample / perceptualDedup facades equal their driver queries") {
     val e = new GraftEngine(spark, Tables.documents(spark, sfDir))
     // inline-scored facade == shared-scan query, row for row
