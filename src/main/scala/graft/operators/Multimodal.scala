@@ -682,66 +682,25 @@ object Multimodal {
   }
 
   /** ENTRY EXTRACTION from STORED archives — the step beyond m9's
-    * catalog walk: each central-directory entry's local-header
-    * offset is followed, the local name/extra lengths skip to the
-    * data bytes, and the declared (stored) size slices the content
-    * out of the payload column — one output row per entry, decoded
-    * UTF-8. Column expressions end to end (byte_at kernel + substr),
-    * no UDF; only STORED entries carry extractable bytes this way
-    * (deflated data would need a real inflater behind the
-    * FileConverter seam — the documented stub boundary). */
+    * catalog walk: the `zip_entries` kernel follows each
+    * central-directory entry to its local header, slices the
+    * declared (stored) size out of the payload, and decodes UTF-8 —
+    * one output row per entry. Only STORED entries carry
+    * extractable bytes this way (deflated data would need a real
+    * inflater behind the FileConverter seam — the documented stub
+    * boundary). */
   def extractZipEntries(blobs: DataFrame, maxEntries: Int = 3): DataFrame = {
     import blobs.sparkSession.implicits._
     graft.plans.GraftFunctions.ensureRegistered(blobs.sparkSession)
-    def byteAt(off: Column): Column =
-      when(off >= 1L && off <= $"_len", call_function("byte_at", $"payload", off))
-    def le16(off: Column): Column = byteAt(off) + byteAt(off + 1L) * 256L
-    def le32(off: Column): Column =
-      ((byteAt(off + 3L) * 256L + byteAt(off + 2L)) * 256L
-        + byteAt(off + 1L)) * 256L + byteAt(off)
-    var walked = blobs
-      .withColumn("_len", octet_length($"payload").cast("long"))
-      .withColumn("_eocd", $"_len" - 21L)
-      .withColumn("_iszip",
-        coalesce(byteAt(lit(1L)) === 80 && byteAt(lit(2L)) === 75 &&
-          byteAt($"_eocd") === 80 && byteAt($"_eocd" + 1L) === 75 &&
-          byteAt($"_eocd" + 2L) === 5 && byteAt($"_eocd" + 3L) === 6,
-          lit(false)))
-      .withColumn("_cdoff", when($"_iszip", le32($"_eocd" + 16L)))
-      .withColumn("_ce1", $"_cdoff" + 1L)
-    for (i <- 1 to maxEntries) {
-      val ce = col(s"_ce$i")
-      walked = walked
-        .withColumn(s"_ok$i", coalesce(
-          byteAt(ce) === 80 && byteAt(ce + 1L) === 75 &&
-            byteAt(ce + 2L) === 1 && byteAt(ce + 3L) === 2 &&
-            ce + 45L <= $"_len", lit(false)))
-        .withColumn(s"_sz$i", when(col(s"_ok$i"), le32(ce + 24L)))
-        .withColumn(s"_nlen$i", when(col(s"_ok$i"), le16(ce + 28L)))
-        .withColumn(s"_name$i", when(col(s"_ok$i"),
-          decode($"payload".substr((ce + 46L).cast("int"),
-            col(s"_nlen$i").cast("int")), "US-ASCII")))
-        // follow the local header: 1-based start s; name/extra
-        // lengths sit at s+26/s+28 (0-based 26/28); data follows the
-        // 30-byte header + both variable fields
-        .withColumn(s"_ls$i", when(col(s"_ok$i"), le32(ce + 42L) + 1L))
-        .withColumn(s"_data$i", when(col(s"_ok$i"),
-          col(s"_ls$i") + 30L + le16(col(s"_ls$i") + 26L) +
-            le16(col(s"_ls$i") + 28L)))
-        .withColumn(s"_content$i", when(col(s"_ok$i"),
-          decode($"payload".substr(col(s"_data$i").cast("int"),
-            col(s"_sz$i").cast("int")), "UTF-8")))
-      if (i < maxEntries)
-        walked = walked.withColumn(s"_ce${i + 1}",
-          ce + 46L + col(s"_nlen$i") + le16(ce + 30L) + le16(ce + 32L))
-    }
-    walked
-      .filter($"_iszip")
-      .select($"doc_id", explode(filter(array((1 to maxEntries).map(i =>
-        when(col(s"_ok$i"),
-          struct(col(s"_name$i").as("entry"),
-                 col(s"_content$i").as("content")))): _*),
-        e => e.isNotNull)).as("e"))
+    // one zip_entries kernel call per row: the column-expression
+    // walk this replaced (stacked byte_at/le16/le32 chains per
+    // entry) exceeded the codegen method-size limit and dropped the
+    // stage to interpreted eval (f4 8.5s at sf0.1; ~0.5s kernelized)
+    blobs
+      .select($"doc_id",
+        expr(s"zip_entries(payload, $maxEntries)").as("es"))
+      .filter($"es".isNotNull)
+      .select($"doc_id", explode($"es").as("e"))
       .select($"doc_id", $"e.entry".as("entry"), $"e.content".as("content"))
   }
 

@@ -746,6 +746,80 @@ case class Sq8Dequant(vec: Expression, los: Expression, his: Expression)
     copy(vec = f, los = s, his = t)
 }
 
+/** Full STORED-zip entry walk: payload -> array<struct<entry,
+  * content>> — EOCD tail → central directory → per entry: name
+  * (US-ASCII) and data bytes (local-header follow, declared size,
+  * UTF-8). The column-expression formulation of this walk (byte_at /
+  * le16 / le32 chains stacked per entry) exceeded the codegen
+  * method-size limit and dropped the f4 stage to interpreted eval;
+  * one kernel call per row keeps the stage compiled. Returns null
+  * for non-zip payloads; entries with broken headers or bounds are
+  * skipped. */
+case class ZipEntries(child: Expression, maxEntries: Int)
+    extends UnaryExpression {
+
+  private val entryType = StructType(Seq(
+    StructField("entry", StringType), StructField("content", StringType)))
+  override def dataType: DataType = ArrayType(entryType, containsNull = false)
+  override def prettyName: String = "zip_entries"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"zip_entries requires binary, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong |
+        (u8(i + 3).toLong << 24)
+    val eocd = b.length - 22
+    if (eocd < 0 || u8(0) != 0x50 || u8(1) != 0x4b ||
+        u8(eocd) != 0x50 || u8(eocd + 1) != 0x4b ||
+        u8(eocd + 2) != 0x05 || u8(eocd + 3) != 0x06) return null
+    var ce = le32(eocd + 16).toInt
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.catalyst.InternalRow]
+    var i = 0
+    while (i < maxEntries && ce >= 0 && ce + 46 <= b.length &&
+           u8(ce) == 0x50 && u8(ce + 1) == 0x4b &&
+           u8(ce + 2) == 0x01 && u8(ce + 3) == 0x02) {
+      val sz = le32(ce + 24).toInt
+      val nlen = le16(ce + 28)
+      val xlen = le16(ce + 30)
+      val clen = le16(ce + 32)
+      val loff = le32(ce + 42).toInt
+      if (ce + 46 + nlen <= b.length && loff >= 0 && loff + 30 <= b.length) {
+        val name = UTF8String.fromBytes(b, ce + 46, nlen)
+        val data = loff + 30 + le16(loff + 26) + le16(loff + 28)
+        if (sz >= 0 && data + sz <= b.length)
+          out += org.apache.spark.sql.catalyst.InternalRow(
+            name, UTF8String.fromBytes(b, data, sz))
+      }
+      ce += 46 + nlen + xlen + clen
+      i += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  // one virtual dispatch per row; the win is tree SIZE (stays in WSC)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val ref = ctx.addReferenceObj("zipEntriesExpr", this,
+        classOf[ZipEntries].getName)
+      s"""
+         |Object r = $ref.nullSafeEval($b);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ZipEntries =
+    copy(child = newChild)
+}
+
 /** Shared helpers for the PQ kernels: materialize a foldable
   * array<array<array<double>>> literal (per-subspace codebooks,
   * layout books(s)(j)(d)) into a JVM table once per expression

@@ -61,6 +61,9 @@ object GraftFunctions {
       (args: Seq[Expression]) => SignWords(args.head)),
     ("sq8_dequant", "sq8_dequant(vec, los, his) - SQ8 quantize+dequantize round trip",
       (args: Seq[Expression]) => Sq8Dequant(args.head, args(1), args(2))),
+    ("zip_entries", "zip_entries(payload, max) - STORED zip entry (name, content) array",
+      (args: Seq[Expression]) => ZipEntries(args.head,
+        args(1).eval().asInstanceOf[Number].intValue())),
     ("pq_encode", "pq_encode(vec, books) - per-subspace PQ codes (argmin, first-min ties)",
       (args: Seq[Expression]) => PqEncode(args.head, args(1))),
     ("pq_adc", "pq_adc(qv, code, books) - PQ asymmetric squared-L2 distance",
@@ -111,6 +114,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         args(1).eval().asInstanceOf[Number].intValue())),
       ("sign_words", args => SignWords(args.head)),
       ("sq8_dequant", args => Sq8Dequant(args.head, args(1), args(2))),
+      ("zip_entries", args => ZipEntries(args.head,
+        args(1).eval().asInstanceOf[Number].intValue())),
       ("pq_encode", args => PqEncode(args.head, args(1))),
       ("pq_adc", args => PqAdc(args.head, args(1), args(2))),
       ("nearest_centroid", args => NearestCentroid(args.head, args(1))),
