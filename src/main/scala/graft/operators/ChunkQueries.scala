@@ -319,9 +319,19 @@ object ChunkQueries {
     * lineage rule). The node count is the only driver scalar (one
     * count on the persisted node set, the same class of action as
     * c10's drain probe). */
-  def pageRankOf(edges0: DataFrame, iters: Int = 3): DataFrame = {
+  def pageRankOf(edges0: DataFrame, iters: Int = 3,
+                 driverLimit: Long = 100000L): DataFrame = {
     import edges0.sparkSession.implicits._
     val edges = graft.Caches.persist(edges0)
+    // size-adaptive (the componentLabels discipline): each
+    // distributed power iteration pays several jobs of fixed
+    // overhead regardless of graph size — below `driverLimit` edges
+    // the identical int64 fixed-point update runs driver-local over
+    // the collected edge list (the count gates the collect; integer
+    // arithmetic is exactly associative, so both paths emit
+    // bit-equal ranks — pinned by spec).
+    if (edges.count() <= driverLimit)
+      return pageRankLocal(edges, iters)
     val nodes = graft.Caches.persist(
       edges.select($"src".as("url"))
         .union(edges.select($"dst".as("url"))).distinct())
@@ -345,6 +355,36 @@ object ChunkQueries {
     }
     ranks.select($"url", $"r".as("rank_e12"),
         round($"r".cast("double") / 1e12, 8).as("rank"))
+      .orderBy($"rank_e12".desc, $"url")
+  }
+
+  /** Driver-local twin of the distributed loop above — the SAME
+    * int64 fixed-point update (floor divisions on positive longs,
+    * exactly associative integer sums), so ranks are bit-equal. */
+  private def pageRankLocal(edges: DataFrame, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select($"src", $"dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val n = nodes.length.toLong
+    val odeg = es.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var r = nodes.map(u => u -> PrScale / n).toMap
+    for (_ <- 1 to iters) {
+      val dm = nodes.filter(!odeg.contains(_)).map(r).sum
+      val cin = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      es.foreach { case (s, d) =>
+        cin(d) += (r(s) * 85L) / (odeg(s) * 100L)
+      }
+      val base = 15L * PrScale / (100L * n)
+      val dshare = (dm * 85L) / (100L * n)
+      r = nodes.map(u => u -> (base + cin(u) + dshare)).toMap
+    }
+    spark.createDataFrame(nodes.map(u => (u, r(u))).toSeq)
+      .toDF("url", "rank_e12")
+      .select($"url", $"rank_e12",
+        round($"rank_e12".cast("double") / 1e12, 8).as("rank"))
       .orderBy($"rank_e12".desc, $"url")
   }
 

@@ -33,6 +33,21 @@ class PageRankSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("adaptive pagerank: driver-local path == distributed loop, bit-exact") {
+    // chain + cycle + dangling + hub: every update case in one graph
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),       // cycle
+      (4L, 5L),                            // chain into dangling 5
+      (6L, 1L), (6L, 2L), (6L, 3L)         // hub fan-out
+    ).toDF("src", "dst")
+    def ranks(limit: Long) = ChunkQueries.pageRankOf(edges, 3, driverLimit = limit)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val local = ranks(Long.MaxValue)
+    val distributed = ranks(-1L)
+    assert(local == distributed, "adaptive paths diverged")
+    Caches.releaseAll()
+  }
+
   test("mass is conserved within the floor-division leak bound") {
     // star + chain + dangling tail: heterogeneous degrees
     val edges = Seq(
