@@ -48,6 +48,11 @@ object Bench {
     val tT = System.nanoTime()
     operators.TextAnalysis.scoredDocs(spark, sfDir).count()
     val textDt = (System.nanoTime() - tT) / 1e9
+    // And the per-(doc, term) count scan (the inverted-index core
+    // t13's keyword ranking reads): tokenized once per corpus.
+    val tTc = System.nanoTime()
+    operators.TextAnalysis.termCounts(spark, sfDir).count()
+    val tcDt = (System.nanoTime() - tTc) / 1e9
     // And the component labels over the verified LSH pairs (the
     // cluster assignment p5/p12 serve from): labeled once per corpus.
     val tC = System.nanoTime()
@@ -103,6 +108,7 @@ object Bench {
       name -> dts.min
     } + ("_shared_shingle_scan" -> sharedDt) +
       ("_shared_text_scan" -> textDt) +
+      ("_shared_term_counts" -> tcDt) +
       ("_shared_cc_labels" -> ccDt) +
       ("_shared_vector_reps" -> vecDt) +
       ("_shared_pagerank" -> prDt) +

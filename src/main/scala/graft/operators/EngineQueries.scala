@@ -343,10 +343,32 @@ object EngineQueries {
       .withColumn("bin", expr("date_add(cast(r_start as date), off)"))
     val ev = Tables.events(spark, dir)
       .select($"user_id", $"ts", to_date($"ts").as("bin"))
-    binned.join(ev, Seq("user_id", "bin"))
+    // PRE-AGGREGATE events per (user_id, bin) before the fanout join:
+    // the (key, bin) equi-join then carries ONE row per touched bin
+    // instead of one per event — the join input shrinks by the
+    // per-bin event multiplicity (the dominant factor at scale).
+    // Exactness is preserved by per-bin min/max stats: a bin whose
+    // events all fall inside [r_start, r_end) contributes its count
+    // outright; only bins the stats can't resolve (range boundary
+    // cuts through the bin's event span) re-join the raw events —
+    // empty for day-aligned ranges, and never more than the two
+    // boundary bins of a range otherwise.
+    val evAgg = ev.groupBy($"user_id", $"bin")
+      .agg(count(lit(1)).as("n_bin"),
+           min($"ts").as("ts_min"), max($"ts").as("ts_max"))
+    val joined = binned.join(evAgg, Seq("user_id", "bin"))
+    val fullIn = $"ts_min" >= $"r_start" && $"ts_max" < $"r_end"
+    val fullOut = $"ts_max" < $"r_start" || $"ts_min" >= $"r_end"
+    val resolved = joined.filter(fullIn)
+      .select($"o_orderkey", $"n_bin".as("n"))
+    val straddling = joined.filter(!fullIn && !fullOut)
+      .select($"o_orderkey", $"user_id", $"bin", $"r_start", $"r_end")
+    val residual = straddling.join(ev, Seq("user_id", "bin"))
       .filter($"ts" >= $"r_start" && $"ts" < $"r_end")
+      .select($"o_orderkey", lit(1L).as("n"))
+    resolved.unionByName(residual)
       .groupBy($"o_orderkey")
-      .agg(count(lit(1)).as("n_events"))
+      .agg(sum($"n").as("n_events"))
       .orderBy($"o_orderkey")
   }
 

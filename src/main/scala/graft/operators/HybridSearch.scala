@@ -271,10 +271,16 @@ object HybridSearch {
     // method's list AND define the ideal ranking
     val rel = graft.Caches.persist(emb.crossJoin(broadcast(qvec))
       .select($"doc_id", greatest(V.cosineD($"embedding", $"qv"), lit(0.0)).as("rel")))
-    def ranked(df: DataFrame, scoreCol: String): DataFrame =
-      df.select($"doc_id", row_number().over(
-          Window.orderBy(col(scoreCol).desc, $"doc_id")).cast("long").as("rnk"))
-        .filter($"rnk" <= k)
+    // Top-k via TakeOrderedAndProject (orderBy+limit), rank index
+    // assigned AFTER the bounded k-row collect — never a
+    // partition-less window over the full score set (the t5 rule).
+    def ranked(df: DataFrame, scoreCol: String): DataFrame = {
+      val top = df.orderBy(col(scoreCol).desc, $"doc_id")
+        .limit(k).select($"doc_id").collect().map(_.getLong(0))
+      top.zipWithIndex.toSeq
+        .map { case (id, i) => (id, (i + 1).toLong) }
+        .toDF("doc_id", "rnk")
+    }
     val ideal = ranked(rel, "rel")
     def dcgOf(name: String, r: DataFrame): DataFrame =
       r.join(rel, Seq("doc_id"), "left")

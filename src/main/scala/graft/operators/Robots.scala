@@ -219,10 +219,16 @@ object Robots {
       .select($"host", posexplode(split($"robots_txt", "\n")))
       .select($"host", $"pos".as("line_no"), trim(lower($"col")).as("line"))
       .filter($"line" =!= "" && !$"line".startsWith("#"))
+    // Tag ALL directive lines for the grouping window (a UA group
+    // ends at any rule line, not just at a crawl-delay line — same
+    // walk as parseRobots); crawl-delay rows are selected AFTER the
+    // group ids are assigned.
     val tagged = lines.select($"host", $"line_no",
-      regexp_extract($"line", "^(user-agent|crawl-delay)\\s*:\\s*(.*)$", 1)
+      regexp_extract($"line",
+        "^(user-agent|allow|disallow|crawl-delay)\\s*:\\s*(.*)$", 1)
         .as("key"),
-      trim(regexp_extract($"line", "^(user-agent|crawl-delay)\\s*:\\s*(.*)$", 2))
+      trim(regexp_extract($"line",
+        "^(user-agent|allow|disallow|crawl-delay)\\s*:\\s*(.*)$", 2))
         .as("value"))
       .filter($"key" =!= "")
     val w = Window.partitionBy($"host").orderBy($"line_no")

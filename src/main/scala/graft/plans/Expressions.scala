@@ -809,10 +809,11 @@ case class ZipEntries(child: Expression, maxEntries: Int)
     nullSafeCodeGen(ctx, ev, b => {
       val ref = ctx.addReferenceObj("zipEntriesExpr", this,
         classOf[ZipEntries].getName)
+      val r = ctx.freshName("zipEntriesRes")
       s"""
-         |Object r = $ref.nullSafeEval($b);
-         |if (r == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+         |Object $r = $ref.nullSafeEval($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
          |""".stripMargin
     })
 

@@ -269,9 +269,20 @@ object ChunkStore {
       val manifestFiles = mf.select("file").collect().map(_.getString(0)).toSet
       val dir = new org.apache.hadoop.fs.Path(path)
       val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-      val live = fs.listStatus(dir).toSeq
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath.toUri.getPath).toSet
+      // Walk RECURSIVELY (skipping underscore-prefixed metadata dirs
+      // like _manifest) so partitioned/nested layouts — e.g. the
+      // key=... dirs dropSourcePartition leaves — are covered; the
+      // manifest keys on _metadata.file_path of EVERY data file, so a
+      // top-level-only listing would always flag nested stores stale.
+      def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
+        fs.listStatus(p).toSeq.flatMap { s =>
+          if (s.isDirectory) {
+            if (s.getPath.getName.startsWith("_")) Seq.empty else walk(s.getPath)
+          } else if (s.getPath.getName.endsWith(".parquet"))
+            Seq(s.getPath.toUri.getPath)
+          else Seq.empty
+        }
+      val live = walk(dir).toSet
       require(live == manifestFiles,
         s"stale manifest for $path: ${(live -- manifestFiles).size} unindexed / " +
           s"${(manifestFiles -- live).size} ghost files — rerun writeManifest")
@@ -306,39 +317,107 @@ object ChunkStore {
     * write v=N+1 fully before the pointer moves), failed commits
     * leave garbage directories but never a torn table, and any
     * retained version stays time-travel readable. The pointer write
-    * goes through create-temp + atomic rename — the same
-    * staged-artifact discipline ModelStore uses. At 100 TB the
+    * goes through create-temp + overwrite rename
+    * (FileContext.rename(OVERWRITE)) so there is no delete→rename
+    * window where the pointer is missing; on FileSystems without
+    * overwrite-rename semantics, [[currentVersion]] additionally
+    * retries a pointer miss before concluding the store is empty.
+    * At 100 TB the
     * pointer swap is O(1) metadata; versions share nothing here
     * (full snapshots) — the manifest/compaction machinery above is
     * where incremental data layout lives. */
-  def commitVersion(df: DataFrame, path: String): Long = {
+  def commitVersion(df: DataFrame, path: String,
+                    manifestCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
-    val dir = new org.apache.hadoop.fs.Path(path)
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val next = currentVersion(spark, path).getOrElse(0L) + 1L
     df.write.mode("errorifexists").parquet(s"$path/v=$next")
+    // The manifest lives INSIDE the version directory, so "data +
+    // skipping index" become visible in the same pointer swap — a
+    // reader can never resolve new data with a stale (or missing)
+    // manifest, the Iceberg manifest-is-the-commit-log property.
+    if (manifestCols.nonEmpty)
+      writeManifest(spark, s"$path/v=$next", manifestCols): Unit
+    swapPointer(spark, path, next)
+    next
+  }
+
+  /** OPTIMIZE as one atomic commit: rewrite the current snapshot
+    * compacted to `targetFiles` files, refresh its data-skipping
+    * manifest, and bump the version — all behind a single pointer
+    * swap. Closes the rewrite-invalidates-manifest gap: a reader
+    * either resolves version N (old files + old manifest, intact for
+    * time travel) or N+1 (compacted files + freshly-built manifest);
+    * [[prunedRead]] against the new snapshot can never fail-fast on
+    * staleness because the manifest is written before the commit is
+    * visible. The rewrite is a shuffle-free coalesce of the snapshot
+    * scan — the standard small-file OPTIMIZE shape; at 100 TB the
+    * same call runs per partition off [[Compaction.planFiles]]
+    * groups. */
+  def compactCommitted(spark: SparkSession, path: String,
+                       manifestCols: Seq[String],
+                       targetFiles: Int = 1): Long = {
+    val cur = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $path"))
+    commitVersion(readVersion(spark, path, cur).coalesce(targetFiles),
+      path, manifestCols)
+  }
+
+  /** Atomic `_latest` pointer swap shared by the commit paths. */
+  private def swapPointer(spark: SparkSession, path: String,
+                          next: Long): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = dir.getFileSystem(conf)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/_latest.tmp")
     val ptr = new org.apache.hadoop.fs.Path(s"$path/_latest")
     val out = fs.create(tmp, true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(ptr)) fs.delete(ptr, false): Unit
-    require(fs.rename(tmp, ptr), s"commit pointer swap failed for $path v=$next")
-    next
+    // Overwrite-rename: the pointer is REPLACED in one metadata op —
+    // no delete-then-rename window where a concurrent reader sees no
+    // pointer at all.
+    val swapped =
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
+        fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        true
+      } catch {
+        case _: UnsupportedOperationException | _: java.io.IOException => false
+      }
+    if (!swapped) {
+      // FS without overwrite-rename: delete+rename leaves a brief
+      // pointer gap that currentVersion's retry covers.
+      if (fs.exists(ptr)) fs.delete(ptr, false): Unit
+      require(fs.rename(tmp, ptr),
+        s"commit pointer swap failed for $path v=$next")
+    }
+    require(fs.exists(ptr), s"commit pointer swap failed for $path v=$next")
   }
 
-  /** The committed version, or None for an empty store. */
+  /** The committed version, or None for an empty store. A pointer
+    * miss is retried briefly: on FileSystems without overwrite-rename
+    * a concurrent commit has a short delete→rename window. */
   def currentVersion(spark: SparkSession, path: String): Option[Long] = {
     val ptr = new org.apache.hadoop.fs.Path(s"$path/_latest")
     val fs = ptr.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(ptr)) None
-    else {
-      val in = fs.open(ptr)
-      try {
-        val buf = new Array[Byte](32)
-        val n = in.read(buf)
-        Some(new String(buf, 0, n, "UTF-8").trim.toLong)
-      } finally in.close()
+    val store = new org.apache.hadoop.fs.Path(path)
+    var attempt = 0
+    var res: Option[Long] = None
+    while (res.isEmpty && attempt < 3) {
+      if (fs.exists(ptr)) {
+        val in = fs.open(ptr)
+        try {
+          val buf = new Array[Byte](32)
+          val n = in.read(buf)
+          res = Some(new String(buf, 0, n, "UTF-8").trim.toLong)
+        } finally in.close()
+      } else if (!fs.exists(store)) {
+        attempt = 3 // store dir absent: genuinely empty, don't wait
+      } else {
+        attempt += 1
+        if (attempt < 3) Thread.sleep(20L * attempt)
+      }
     }
+    res
   }
 
   /** Time-travel read: the exact bytes committed as version `n`. */

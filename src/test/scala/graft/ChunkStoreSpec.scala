@@ -299,4 +299,63 @@ class ChunkStoreSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("stale manifest"))
   }
+
+  test("manifest pruning covers PARTITIONED (nested-dir) layouts") {
+    val pPath = Files.createTempDirectory("graft-mfp").toString + "/li"
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_partkey", $"l_returnflag")
+    // key=value partition dirs: data files live one level down — the
+    // staleness check must walk them, not just the root
+    li.write.partitionBy("l_returnflag").parquet(pPath)
+    ChunkStore.writeManifest(spark, pPath, Seq("l_partkey"))
+    val (kept, total) = ChunkStore.pruneFiles(spark, pPath, "l_partkey", 1L, 20L)
+    assert(total > 0 && kept.nonEmpty) // no spurious stale-manifest throw
+    val pruned = ChunkStore.prunedRead(spark, pPath, "l_partkey", 1L, 20L)
+      .select($"l_orderkey", $"l_partkey")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val full = li.filter($"l_partkey".between(1L, 20L))
+      .select($"l_orderkey", $"l_partkey")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(pruned.nonEmpty && pruned == full)
+    // a file appended into a NESTED partition dir is still caught
+    li.filter($"l_returnflag" === "N").limit(3).coalesce(1)
+      .drop("l_returnflag")
+      .write.mode("append").parquet(s"$pPath/l_returnflag=N")
+    val err = intercept[IllegalArgumentException] {
+      ChunkStore.pruneFiles(spark, pPath, "l_partkey", 1L, 20L)
+    }
+    assert(err.getMessage.contains("stale manifest"))
+  }
+
+  test("compactCommitted: rewrite + manifest + version bump in ONE commit") {
+    val path = Files.createTempDirectory("graft-opt").toString + "/store"
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey")
+      .repartition(8) // the small-file mess OPTIMIZE exists for
+    assert(ChunkStore.commitVersion(li, path, Seq("l_partkey")) == 1L)
+    val before = ChunkStore.prunedRead(
+        spark, s"$path/v=1", "l_partkey", 1L, 20L)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(before.nonEmpty)
+    // OPTIMIZE: one call, one pointer swap
+    assert(ChunkStore.compactCommitted(spark, path, Seq("l_partkey")) == 2L)
+    assert(ChunkStore.currentVersion(spark, path).contains(2L))
+    // the new snapshot's manifest is fresh: prunedRead serves
+    // bit-equal rows from the compacted files, no stale fail-fast
+    val after = ChunkStore.prunedRead(
+        spark, s"$path/v=2", "l_partkey", 1L, 20L)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(after == before)
+    // compaction actually compacted: one data file now
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles(v: Long) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/v=$v")).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(dataFiles(2L).size == 1 && dataFiles(1L).size == 8)
+    // the old version still time-travels, data and manifest intact
+    assert(ChunkStore.readVersion(spark, path, 1L).count() == li.count())
+    assert(ChunkStore.prunedRead(spark, s"$path/v=1", "l_partkey", 1L, 20L)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq == before)
+  }
 }

@@ -207,6 +207,35 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("two zip_entries calls compile into one codegen stage (fresh temp names)") {
+    import spark.implicits._
+    // Regression: ZipEntries.doGenCode used a FIXED local name, so a
+    // projection with two zip_entries calls produced a Janino
+    // duplicate-variable error and dropped to interpreted fallback.
+    // fallback=false makes any codegen failure throw instead.
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    val data = "stored".getBytes("UTF-8")
+    val e = new java.util.zip.ZipEntry("a.txt")
+    e.setMethod(java.util.zip.ZipEntry.STORED)
+    e.setSize(data.length); e.setCompressedSize(data.length)
+    val crc = new java.util.zip.CRC32(); crc.update(data); e.setCrc(crc.getValue)
+    zos.putNextEntry(e); zos.write(data); zos.closeEntry(); zos.close()
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = Seq((1L, bos.toByteArray)).toDF("doc_id", "payload")
+        .select(
+          expr("zip_entries(payload, 10)").as("e10"),
+          expr("zip_entries(payload, 1)").as("e1"))
+        .collect().head
+      assert(r.getSeq[Any](0).size == 1 && r.getSeq[Any](1).size == 1)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("pq_encode breaks distance ties toward the lowest code") {
     import spark.implicits._
     // two identical codewords: argmin must pick the FIRST (code 0)

@@ -97,4 +97,21 @@ class RobotsSpec extends SparkSpec {
     assert(sched.filter(_._1.startsWith("host0")).forall(_._3 == 2.0))
     Caches.releaseAll(); Caches.releaseShared()
   }
+
+  test("crawlDelays: UA groups separated only by rule lines stay separate") {
+    // The * group and badbot's group are separated by a Disallow line
+    // only; badbot's Crawl-delay must NOT bind to agent `*`. Also:
+    // consecutive UA lines (one group) DO share a following delay.
+    val robots = Seq(
+      ("sep.com", "User-agent: *\nDisallow: /x\nUser-agent: badbot\nCrawl-delay: 99"),
+      ("dup.com", "User-agent: other\nUser-agent: *\nCrawl-delay: 4\nDisallow: /"),
+      ("rep.com", "User-agent: *\nCrawl-delay: 2\nAllow: /a\nUser-agent: *\nCrawl-delay: 7"))
+      .toDF("host", "robots_txt")
+    val d = Robots.crawlDelays(robots).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(d === Map(
+      "sep.com" -> 1.0, // badbot's 99 must not leak onto *
+      "dup.com" -> 4.0, // shared group: delay binds to both agents
+      "rep.com" -> 7.0)) // host repeats the directive: max wins
+  }
 }
