@@ -324,13 +324,166 @@ object FileIngest {
       .orderBy($"doc_id", $"entry")
   }
 
+  /** Real mixed STORED+DEFLATED archives, built per row by the JDK
+    * zip writer — DEFLATE bitstreams need a real compressor, so this
+    * corpus can't be hex-synthesized like m9's. One archive per
+    * document: a STORED text entry (f4's slice convention) plus a
+    * DEFLATED entry carrying a longer slice — the layout real crawl
+    * dumps overwhelmingly use (file.py's converter pool handles
+    * them; our m9/f4 walk covered STORED only until now). */
+  def deflatedZipCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .select($"doc_id", substring($"text", 1, 64).as("s_stored"),
+        substring($"text", 1, 160).as("s_deflated"))
+      .as[(Long, String, String)]
+      .map { case (id, sStored, sDeflated) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val zos = new java.util.zip.ZipOutputStream(bos)
+        val b1 = sStored.getBytes(UTF_8)
+        val e1 = new java.util.zip.ZipEntry(s"doc_$id.txt")
+        e1.setMethod(java.util.zip.ZipEntry.STORED)
+        e1.setSize(b1.length.toLong); e1.setCompressedSize(b1.length.toLong)
+        val crc = new java.util.zip.CRC32(); crc.update(b1)
+        e1.setCrc(crc.getValue)
+        zos.putNextEntry(e1); zos.write(b1); zos.closeEntry()
+        val e2 = new java.util.zip.ZipEntry(s"doc_$id.deflated.txt")
+        e2.setMethod(java.util.zip.ZipEntry.DEFLATED)
+        zos.putNextEntry(e2); zos.write(sDeflated.getBytes(UTF_8))
+        zos.closeEntry(); zos.close()
+        (id, bos.toByteArray)
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Archive expansion with REAL member extraction — m9's
+    * central-directory walk re-run on the JVM so DEFLATED members
+    * (method 8, the overwhelming majority in real dumps) inflate
+    * through java.util.zip.Inflater. The Inflater follows the
+    * [[FileConverter]] per-task lifecycle: allocated once per task
+    * (open), reset per member, native zlib state released after the
+    * last archive (close) — the same amortized-init discipline as
+    * [[extractText]]. STORED members slice exactly like the f4
+    * kernel path. Malformed members are skipped, never thrown —
+    * poison archives can't kill a 100 TB ingest. */
+  def expandArchives(blobs: DataFrame, maxEntries: Int = 4): DataFrame = {
+    import blobs.sparkSession.implicits._
+    blobs.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val inflater = new java.util.zip.Inflater(true) // open(): per task
+        val out = it.flatMap { case (id, b) =>
+          walkZipMembers(b, maxEntries, inflater).map {
+            case (entry, method, content) => (id, entry, method, content)
+          }
+        }
+        new Iterator[(Long, String, String, String)] {
+          def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h) inflater.end() // close(): after the last archive
+            h
+          }
+          def next(): (Long, String, String, String) = out.next()
+        }
+      }.toDF("doc_id", "entry", "method", "content")
+  }
+
+  /** EOCD → central directory → local-header data offsets, one
+    * archive; reference behavior:
+    * apps/ingestion-worker/handlers/file.py (converter pool expands
+    * real archives). `nowrap` Inflater = raw deflate, the zip
+    * framing. Returns (entry, method, content); undecodable members
+    * are dropped. */
+  private[operators] def walkZipMembers(
+      b: Array[Byte], maxEntries: Int,
+      inflater: java.util.zip.Inflater): Seq[(String, String, String)] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      le16(i).toLong | (le16(i + 2).toLong << 16)
+    if (b.length < 22) return Nil
+    val eocd = b.length - 22
+    if (u8(eocd) != 0x50 || u8(eocd + 1) != 0x4b ||
+        u8(eocd + 2) != 0x05 || u8(eocd + 3) != 0x06) return Nil
+    var ce = le32(eocd + 16).toInt
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    var i = 0
+    while (i < maxEntries && ce >= 0 && ce + 46 <= b.length &&
+           u8(ce) == 0x50 && u8(ce + 1) == 0x4b &&
+           u8(ce + 2) == 0x01 && u8(ce + 3) == 0x02) {
+      val method = le16(ce + 10)
+      val csz = le32(ce + 20).toInt
+      val usz = le32(ce + 24).toInt
+      val nlen = le16(ce + 28); val xlen = le16(ce + 30)
+      val clen = le16(ce + 32)
+      val loff = le32(ce + 42).toInt
+      if (ce + 46 + nlen <= b.length && loff >= 0 && loff + 30 <= b.length) {
+        val name = new String(b, ce + 46, nlen, UTF_8)
+        val data = loff + 30 + le16(loff + 26) + le16(loff + 28)
+        if (csz >= 0 && usz >= 0 && data + csz <= b.length) {
+          if (method == 0)
+            out += ((name, "stored", new String(b, data, usz.min(csz), UTF_8)))
+          else if (method == 8) {
+            try {
+              inflater.reset()
+              inflater.setInput(b, data, csz)
+              val dst = new Array[Byte](usz)
+              var got = 0
+              var stalled = false
+              while (got < usz && !inflater.finished() && !stalled) {
+                val n = inflater.inflate(dst, got, usz - got)
+                if (n == 0)
+                  stalled = inflater.needsInput() || inflater.needsDictionary()
+                else got += n
+              }
+              if (got == usz)
+                out += ((name, "deflated", new String(dst, UTF_8)))
+            } catch { case _: java.util.zip.DataFormatException => () }
+          }
+        }
+      }
+      ce += 46 + nlen + xlen + clen
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** f5: DEFLATE archive ingestion — f4's expansion over archives
+    * with REAL compressed members: each document's mixed
+    * STORED+DEFLATED archive is walked and every member inflated to
+    * its exact text; the oracle recomputes names and contents
+    * first-principles from the synthesis rules, so the whole
+    * compress→walk→inflate round trip is hash-checked. */
+  def f5DeflateIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    expandArchives(deflatedZipCorpus(spark, dir))
+      .select($"doc_id", $"entry", $"method", $"content",
+        size(expr("regexp_extract_all(content, '\\\\S+', 0)")).cast("long")
+          .as("ws_tokens"))
+      .orderBy($"doc_id", $"entry")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f3_encoding_sniff" -> f3EncodingSniff _,
     "f1_file_ingest" -> f1FileIngest _,
     "f2_type_sniff" -> f2TypeSniff _,
-    "f4_archive_ingest" -> f4ArchiveIngest _)
+    "f4_archive_ingest" -> f4ArchiveIngest _,
+    "f5_deflate_ingest" -> f5DeflateIngest _)
 
   val oracles: Map[String, String] = Map(
+    // first-principles recompute of the deflated-corpus rules: entry
+    // names, methods, and contents all derive from the doc text —
+    // a mis-inflated member can't hash-match
+    "f5_deflate_ingest" ->
+      """SELECT doc_id, entry, method, content,
+        |  CAST(len(regexp_extract_all(content, '\S+')) AS BIGINT) AS ws_tokens
+        |FROM (
+        |  SELECT doc_id, 'doc_' || doc_id || '.txt' AS entry,
+        |    'stored' AS method, substring(text, 1, 64) AS content
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'doc_' || doc_id || '.deflated.txt',
+        |    'deflated', substring(text, 1, 160)
+        |  FROM documents)
+        |ORDER BY doc_id, entry""".stripMargin,
     // first-principles recompute of the zip synthesis rules: entry
     // names/contents straight from the doc, tokens over the content
     "f4_archive_ingest" ->

@@ -79,4 +79,53 @@ class FileIngestSpec extends SparkSpec {
       assert(out(id) == ((wantBom, wantGuess)), s"case $id: ${out(id)}")
     }
   }
+
+  test("expandArchives inflates REAL java.util.zip DEFLATED members") {
+    import spark.implicits._
+    // an archive the JDK writer compresses for real: a deflated
+    // member whose content is long and repetitive (so DEFLATE
+    // actually shrinks it), a stored member, and a deflated
+    // unicode-content member
+    val longText = ("the quick brown fox jumps over the lazy dog. " * 40).trim
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    def putDeflated(name: String, data: Array[Byte]): Unit = {
+      val e = new java.util.zip.ZipEntry(name)
+      e.setMethod(java.util.zip.ZipEntry.DEFLATED)
+      zos.putNextEntry(e); zos.write(data); zos.closeEntry()
+    }
+    def putStored(name: String, data: Array[Byte]): Unit = {
+      val e = new java.util.zip.ZipEntry(name)
+      e.setMethod(java.util.zip.ZipEntry.STORED)
+      e.setSize(data.length.toLong); e.setCompressedSize(data.length.toLong)
+      val crc = new java.util.zip.CRC32(); crc.update(data)
+      e.setCrc(crc.getValue)
+      zos.putNextEntry(e); zos.write(data); zos.closeEntry()
+    }
+    putDeflated("big.txt", longText.getBytes("UTF-8"))
+    putStored("small.txt", "tiny stored".getBytes("UTF-8"))
+    putDeflated("uni.txt", "déjà vu — naïve café".getBytes("UTF-8"))
+    zos.close()
+    val zipBytes = bos.toByteArray
+    // the deflated member really was compressed in the archive
+    assert(zipBytes.length < longText.length)
+    val rows = graft.operators.FileIngest.expandArchives(
+        Seq((1L, zipBytes)).toDF("doc_id", "payload"))
+      .collect()
+      .map(r => r.getString(1) -> ((r.getString(2), r.getString(3)))).toMap
+    assert(rows("big.txt") == (("deflated", longText)))
+    assert(rows("small.txt") == (("stored", "tiny stored")))
+    assert(rows("uni.txt") == (("deflated", "déjà vu — naïve café")))
+    // junk and truncated payloads yield zero rows, never throw
+    val junk = Seq(
+      (2L, "not a zip at all".getBytes("UTF-8")),
+      (3L, zipBytes.take(zipBytes.length / 2))).toDF("doc_id", "payload")
+    assert(graft.operators.FileIngest.expandArchives(junk).count() == 0)
+    // f5 over the corpus: every doc yields its stored+deflated pair
+    val f5 = graft.operators.FileIngest.f5DeflateIngest(spark, sfDir)
+    val byMethod = f5.groupBy($"method").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(byMethod == Map("stored" -> nDocs, "deflated" -> nDocs))
+  }
 }
