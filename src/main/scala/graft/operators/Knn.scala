@@ -956,6 +956,115 @@ object Knn {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** Candidate cascade geometries the tuner measures: s1 (binary
+    * shortlist size) × s2 (SQ8 survivors reaching exact rerank). */
+  val CascadeGrid: Seq[(Int, Int)] =
+    for { s1 <- Seq(16, 32, 64); s2 <- Seq(4, 8, 16) } yield (s1, s2)
+
+  /** Per-config top-k pairs for EVERY candidate geometry in ONE plan:
+    * the hamming ranking is computed once to the largest shortlist,
+    * configs ride a broadcast theta-join (9 tiny rows), and the
+    * stage-2/3 windows partition by (s1, s2, q_id) — nine cascades
+    * for roughly the price of one. Output (s1, s2, q_id, vec_id). */
+  private def cascadeGridPairs(spark: SparkSession, dir: String,
+                               k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val quant = vectorReps(spark, dir)
+    val queries = quant.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qfull"), $"dq".as("dqq"),
+        $"w0".as("qw0"), $"w1".as("qw1"))
+    val s1Max = CascadeGrid.map(_._1).max
+    val wH = Window.partitionBy($"q_id").orderBy($"hamming", $"vec_id")
+    val hall = quant.join(broadcast(queries), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", $"qfull", $"dqq", $"v", $"dq",
+        (bit_count($"qw0".bitwiseXOR($"w0")) +
+         bit_count($"qw1".bitwiseXOR($"w1"))).cast("long").as("hamming"))
+      .withColumn("hrnk", row_number().over(wH))
+      .filter($"hrnk" <= s1Max)
+      .select($"q_id", $"vec_id", $"qfull", $"v", $"hrnk",
+        V.cosineD($"dqq", $"dq").as("qcos"))
+    val cfg = CascadeGrid.toDF("s1", "s2")
+    val wQ = Window.partitionBy($"s1", $"s2", $"q_id")
+      .orderBy($"qcos".desc, $"vec_id")
+    val wC = Window.partitionBy($"s1", $"s2", $"q_id")
+      .orderBy($"cr".desc, $"vec_id")
+    hall.join(broadcast(cfg), $"hrnk" <= $"s1")
+      .withColumn("qrnk", row_number().over(wQ))
+      .filter($"qrnk" <= $"s2")
+      .select($"s1", $"s2", $"q_id", $"vec_id",
+        V.cosineD($"qfull", $"v").as("cr"))
+      .withColumn("rnk", row_number().over(wC))
+      .filter($"rnk" <= k)
+      .select($"s1", $"s2", $"q_id", $"vec_id")
+  }
+
+  /** The tuner's pick rule: cheapest config meeting `target`
+    * (exact-rerank rows s2 dominate serving cost, then the shortlist
+    * s1); if none meets, the highest-hits config (ties resolve
+    * cheapest-first). Deterministic on integers end to end. */
+  private def pickCascade(rows: Seq[(Int, Int, Long)], possible: Long,
+                          target: Double): (Int, Int) =
+    rows.map { case (s1, s2, h) =>
+      val meets = h.toDouble / possible >= target
+      ((if (meets) 0 else 1, if (meets) 0L else -h, s2, s1), (s1, s2))
+    }.minBy(_._1)._2
+
+  /** Tuned cascade geometry from the measured grid — the a12
+    * discipline driving the knobs instead of reporting them: measure
+    * every candidate's recall@5 against the exact pairs, then serve
+    * with the cheapest geometry that clears the target. The grid
+    * result is a 9-row bounded collect (a report action). */
+  def tunedCascadeConfig(spark: SparkSession, dir: String,
+                         exact: DataFrame, possible: Long,
+                         target: Double = CascadeTarget): (Int, Int) = {
+    import spark.implicits._
+    val hits = cascadeGridPairs(spark, dir)
+      .join(exact, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy($"s1", $"s2").agg(count(lit(1)).as("hits"))
+    val rows = CascadeGrid.toDF("s1", "s2")
+      .join(hits, Seq("s1", "s2"), "left")
+      .select($"s1", $"s2", coalesce($"hits", lit(0L)).as("hits"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    pickCascade(rows, possible, target)
+  }
+
+  /** Default recall@5 target for the cascade tuner: what the full
+    * (64, 16) geometry roughly achieves on this corpus family — the
+    * tuner's job is to find the cheapest geometry that keeps it. */
+  val CascadeTarget = 0.7
+
+  /** a17: CASCADE AUTO-TUNING — the a12 "measure, don't guess"
+    * panel turned into a decision: every candidate (s1, s2) geometry
+    * of a15's funnel is scored for recall@5 against a1's exact
+    * pairs IN ONE PLAN (shared hamming ranking, config-partitioned
+    * windows), and the chosen row is the cheapest geometry meeting
+    * the target (fallback: highest recall). a12 serves its
+    * `cascade_tuned` row with this choice; the whole grid — hits,
+    * recall, and the pick itself — replays in the oracle, so a
+    * mis-tuned cutoff hash-mismatches. */
+  def a17CascadeTuning(spark: SparkSession, dir: String,
+                       target: Double = CascadeTarget): DataFrame = {
+    import spark.implicits._
+    val exact = graft.Caches.persist(
+      a1BruteForce(spark, dir).select($"q_id", $"vec_id"))
+    val possible = exact.count()
+    val hits = cascadeGridPairs(spark, dir)
+      .join(exact, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy($"s1", $"s2").agg(count(lit(1)).as("hits"))
+    val full = graft.Caches.persist(
+      CascadeGrid.toDF("s1", "s2")
+        .join(hits, Seq("s1", "s2"), "left")
+        .select($"s1", $"s2", coalesce($"hits", lit(0L)).as("hits")))
+    val rows = full.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val (p1, p2) = pickCascade(rows.toSeq, possible, target)
+    full.select($"s1".cast("long").as("s1"), $"s2".cast("long").as("s2"),
+        $"hits", lit(possible).as("possible"),
+        round($"hits".cast("double") / lit(possible.toDouble), 4)
+          .as("recall_at_5"),
+        ($"s1" === p1 && $"s2" === p2).as("chosen"))
+      .orderBy($"s1", $"s2")
+  }
+
   /** a16: FILTERED vector search — the metadata-constrained top-k
     * every vector store ships (Weaviate `where` + nearVector; s5 is
     * the keyword twin): each query returns its nearest neighbors
@@ -1013,7 +1122,11 @@ object Knn {
       // the staged funnel: what the binary shortlist + SQ8 refine
       // recover together
       ("cascade", a15KnnCascade(spark, dir)))
-    methods.map { case (name, df) =>
+    // the funnel at the TUNED geometry (a17's pick): the report shows
+    // what the auto-chosen cutoffs actually recover
+    val (ts1, ts2) = tunedCascadeConfig(spark, dir, exact, possible)
+    val all = methods :+ ("cascade_tuned", a15KnnCascade(spark, dir, ts1, ts2))
+    all.map { case (name, df) =>
       val hits = df.select($"q_id", $"vec_id")
         .join(exact, Seq("q_id", "vec_id"), "left_semi").count()
       (name, hits, possible)
@@ -1040,6 +1153,7 @@ object Knn {
     "a14_knn_binary" -> ((s, d) => a14KnnBinary(s, d)),
     "a15_knn_cascade" -> ((s, d) => a15KnnCascade(s, d)),
     "a16_knn_filtered" -> ((s, d) => a16KnnFiltered(s, d)),
+    "a17_cascade_tuning" -> ((s, d) => a17CascadeTuning(s, d)),
     "s2_vector_topk" -> s2VectorTopk _)
 
   private val cosineSql =
@@ -1415,6 +1529,112 @@ object Knn {
        |FROM ranked WHERE rnk <= 5
        |ORDER BY q_id, rnk""".stripMargin
 
+  /** Shared quantized-representation CTEs (the vectorReps build) for
+    * the cascade-family oracles: per-dim extrema, SQ8 dequantized
+    * values, two 32-bit sign words per vector. */
+  private lazy val repCtesSql: String = {
+    def wordSql(off: Int) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(generate_series(1, 32),
+         |        d -> CASE WHEN v[d + $off] > 0 THEN CAST(1 AS BIGINT) << (d - 1)
+         |             ELSE CAST(0 AS BIGINT) END)),
+         |      (s, x) -> s + x)""".stripMargin
+    s"""e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |dims AS (
+       |  SELECT g.i AS pos, min(v[g.i]) AS lo, max(v[g.i]) AS hi
+       |  FROM e, LATERAL unnest(generate_series(1, 64)) AS g(i)
+       |  GROUP BY g.i),
+       |sc AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his
+       |       FROM dims),
+       |q8 AS (
+       |  SELECT vec_id, v, list_transform(generate_series(1, 64), i ->
+       |    CASE WHEN sc.his[i] = sc.los[i] THEN 0
+       |      ELSE CAST(floor((v[i] - sc.los[i]) / (sc.his[i] - sc.los[i]) * 255.0 + 0.5) AS INTEGER)
+       |    END) AS qv
+       |  FROM e, sc),
+       |rep AS (
+       |  SELECT vec_id, v,
+       |    list_transform(generate_series(1, 64), i ->
+       |      sc.los[i] + CAST(qv[i] AS DOUBLE) / 255.0 * (sc.his[i] - sc.los[i])) AS dq,
+       |    ${wordSql(0)} AS w0,
+       |    ${wordSql(32)} AS w1
+       |  FROM q8, sc)""".stripMargin
+  }
+
+  /** The full tuning-grid CTE chain (through `pick`), shared by the
+    * a17 report oracle and a12's cascade_tuned pipeline replay:
+    * nine cascade geometries cut from ONE hamming ranking, hit
+    * counts vs the exact pairs, and the pick rule verbatim. */
+  private lazy val cascadeGridCtesSql: String = {
+    val cfgValues = CascadeGrid
+      .map { case (s1, s2) => s"($s1, $s2)" }.mkString(", ")
+    s"""$repCtesSql,
+       |qs AS (
+       |  SELECT vec_id AS q_id, v AS qfull, dq AS dqq, w0 AS qw0, w1 AS qw1
+       |  FROM rep WHERE vec_id < 10),
+       |hall AS (
+       |  SELECT q_id, vec_id, qfull, v, hrnk, ${cos("dqq", "dq")} AS qcos
+       |  FROM (
+       |    SELECT qs.q_id, b.vec_id, qs.qfull, qs.dqq, b.v, b.dq,
+       |      row_number() OVER (PARTITION BY qs.q_id ORDER BY
+       |        bit_count(xor(qs.qw0, b.w0)) + bit_count(xor(qs.qw1, b.w1)),
+       |        b.vec_id) AS hrnk
+       |    FROM qs JOIN rep b ON b.vec_id <> qs.q_id)
+       |  WHERE hrnk <= ${CascadeGrid.map(_._1).max}),
+       |cfg(s1, s2) AS (VALUES $cfgValues),
+       |gc2 AS (
+       |  SELECT s1, s2, q_id, vec_id, qfull, v FROM (
+       |    SELECT cfg.s1, cfg.s2, h.q_id, h.vec_id, h.qfull, h.v,
+       |      row_number() OVER (PARTITION BY cfg.s1, cfg.s2, h.q_id
+       |        ORDER BY h.qcos DESC, h.vec_id) AS qrnk
+       |    FROM hall h JOIN cfg ON h.hrnk <= cfg.s1)
+       |  WHERE qrnk <= s2),
+       |gr AS (
+       |  SELECT s1, s2, q_id, vec_id FROM (
+       |    SELECT s1, s2, q_id, vec_id,
+       |      row_number() OVER (PARTITION BY s1, s2, q_id
+       |        ORDER BY cr DESC, vec_id) AS rnk
+       |    FROM (SELECT s1, s2, q_id, vec_id, ${cos("qfull", "v")} AS cr
+       |          FROM gc2))
+       |  WHERE rnk <= 5),
+       |exact AS (
+       |  SELECT q_id, vec_id FROM (${baseOracles("a1_knn_bruteforce")})),
+       |nq AS (SELECT CAST(count(*) AS BIGINT) AS possible FROM exact),
+       |gh AS (
+       |  SELECT s1, s2, CAST(count(*) AS BIGINT) AS hits
+       |  FROM gr JOIN exact USING (q_id, vec_id) GROUP BY s1, s2),
+       |gfull AS (
+       |  SELECT cfg.s1, cfg.s2,
+       |    COALESCE(gh.hits, CAST(0 AS BIGINT)) AS hits, nq.possible,
+       |    CASE WHEN CAST(COALESCE(gh.hits, 0) AS DOUBLE) / nq.possible
+       |           >= $CascadeTarget THEN 1 ELSE 0 END AS meets
+       |  FROM cfg LEFT JOIN gh ON gh.s1 = cfg.s1 AND gh.s2 = cfg.s2, nq),
+       |pick AS (
+       |  SELECT s1 AS p1, s2 AS p2 FROM gfull
+       |  ORDER BY meets DESC,
+       |    CASE WHEN meets = 1 THEN CAST(0 AS BIGINT) ELSE -hits END,
+       |    s2, s1 LIMIT 1)""".stripMargin
+  }
+
+  /** a17's oracle: the grid report with the pick flag. */
+  private lazy val a17Sql: String =
+    s"""WITH $cascadeGridCtesSql
+       |SELECT CAST(f.s1 AS BIGINT) AS s1, CAST(f.s2 AS BIGINT) AS s2,
+       |  f.hits, f.possible,
+       |  round(CAST(f.hits AS DOUBLE) / f.possible, 4) AS recall_at_5,
+       |  (f.s1 = p.p1 AND f.s2 = p.p2) AS chosen
+       |FROM gfull f, pick p
+       |ORDER BY f.s1, f.s2""".stripMargin
+
+  /** The tuned cascade's (q_id, vec_id) pairs — a12's cascade_tuned
+    * pipeline replay. */
+  private lazy val cascadeTunedPairsSql: String =
+    s"""WITH $cascadeGridCtesSql
+       |SELECT r.q_id, r.vec_id FROM gr r
+       |JOIN pick p ON r.s1 = p.p1 AND r.s2 = p.p2""".stripMargin
+
   /** a12's oracle: the exact + the approximate pipelines replayed
     * VERBATIM as subqueries (same strings the driver verifies for
     * a1/a2/a3/a8/a7/a13), intersected and counted. */
@@ -1424,15 +1644,19 @@ object Knn {
       "lsh" -> "a2_knn_lsh", "pq" -> "a7_knn_pq_kmeans",
       "opq" -> "a13_knn_opq", "binary" -> "a14_knn_binary",
       "cascade" -> "a15_knn_cascade")
-    val hitCtes = methods.map { case (m, q) =>
+    val hitCtes = (methods.map { case (m, q) =>
       s"""h_$m AS (
          |  SELECT CAST(count(*) AS BIGINT) AS hits FROM ${pipe(q)} x
          |  JOIN exact USING (q_id, vec_id))""".stripMargin
-    }.mkString(",\n")
-    val unions = methods.map { case (m, _) =>
+    } :+
+      s"""h_cascade_tuned AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS hits
+         |  FROM ($cascadeTunedPairsSql) x
+         |  JOIN exact USING (q_id, vec_id))""".stripMargin).mkString(",\n")
+    val unions = (methods.map(_._1) :+ "cascade_tuned").map { m =>
       s"SELECT '$m' AS method, hits, possible FROM h_$m, nq"
     }.mkString("\nUNION ALL\n")
-    baseOracles + ("a12_ann_recall" ->
+    baseOracles + ("a17_cascade_tuning" -> a17Sql) + ("a12_ann_recall" ->
       s"""WITH exact AS (
          |  SELECT q_id, vec_id FROM (${baseOracles("a1_knn_bruteforce")})),
          |nq AS (

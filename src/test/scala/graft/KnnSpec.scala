@@ -274,7 +274,8 @@ class KnnSpec extends SparkSpec {
   test("a12 recall report: bounded, consistent, and repeat-stable") {
     val rows = Knn.a12AnnRecall(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq ==
-      Seq("binary", "cascade", "ivf", "ivf64", "lsh", "opq", "pq"))
+      Seq("binary", "cascade", "cascade_tuned", "ivf", "ivf64", "lsh",
+        "opq", "pq"))
     rows.foreach { r =>
       val (hits, possible, recall) = (r.getLong(1), r.getLong(2), r.getDouble(3))
       assert(hits >= 0 && hits <= possible)
@@ -285,6 +286,32 @@ class KnnSpec extends SparkSpec {
     }
     val again = Knn.a12AnnRecall(spark, sfDir).collect()
     assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+    Caches.releaseAll()
+  }
+
+  test("a17 tuner picks the cheapest cascade geometry meeting the recall target") {
+    val rep = Knn.a17CascadeTuning(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getBoolean(5)))
+    assert(rep.length == Knn.CascadeGrid.size && rep.count(_._5) == 1)
+    val chosen = rep.find(_._5).get
+    val meets = rep.filter(r => r._3.toDouble / r._4 >= Knn.CascadeTarget)
+    if (meets.nonEmpty) {
+      // the chosen geometry clears the target with MINIMAL
+      // exact-rerank rows (s2), then minimal shortlist (s1)
+      assert(meets.contains(chosen))
+      val best = meets.minBy(r => (r._2, r._1))
+      assert((chosen._1, chosen._2) == ((best._1, best._2)),
+        s"chosen (${chosen._1},${chosen._2}) vs cheapest (${best._1},${best._2})")
+    } else {
+      // fallback: nothing clears the target — highest recall wins
+      assert(chosen._3 == rep.map(_._3).max)
+    }
+    // the a12 report serves its cascade_tuned row at exactly the
+    // chosen geometry's recall
+    val a12 = Knn.a12AnnRecall(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a12("cascade_tuned") == chosen._3)
     Caches.releaseAll()
   }
 }
