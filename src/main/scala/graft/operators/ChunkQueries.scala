@@ -253,15 +253,31 @@ object ChunkQueries {
     * shape. */
   def c10CrawlBfs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val maxDepth = 4
     // two deterministic out-links per page id: (7p+3) mod 50, (3p+1) mod 50
-    val edges = graft.Caches.persist(Tables.events(spark, dir)
+    val edges = Tables.events(spark, dir)
       .select(pmod($"event_id", lit(50)).cast("long").as("src"))
       .distinct()
       .select($"src", explode(array(
         pmod($"src" * 7 + 3, lit(50)),
-        pmod($"src" * 3 + 1, lit(50)))).as("dst")))
-    var visited = Seq((0L, 0L)).toDF("url", "depth")
+        pmod($"src" * 3 + 1, lit(50)))).as("dst"))
+    crawlBfsOf(edges, seed = 0L, maxDepth = 4)
+  }
+
+  /** BFS core over any (src, dst) edge frame: min-depth reachability
+    * from `seed`, depth-capped. Size-adaptive like [[pageRankOf]]:
+    * each distributed level pays a join + anti-join + persist +
+    * scheduling round-trip of FIXED overhead — below `driverLimit`
+    * edges the identical level-synchronous BFS runs driver-local
+    * over the collected edge list (first-discovery depth and cycle
+    * termination are set semantics, so both paths emit bit-equal
+    * rows — pinned by spec). */
+  def crawlBfsOf(edges0: DataFrame, seed: Long, maxDepth: Int,
+                 driverLimit: Long = 100000L): DataFrame = {
+    import edges0.sparkSession.implicits._
+    val edges = graft.Caches.persist(edges0)
+    if (edges.count() <= driverLimit)
+      return crawlBfsLocal(edges, seed, maxDepth)
+    var visited = Seq((seed, 0L)).toDF("url", "depth")
     var frontier = visited.select($"url")
     var d = 1
     var drained = false
@@ -290,6 +306,28 @@ object ChunkQueries {
       d += 1
     }
     visited.orderBy($"url")
+  }
+
+  /** Driver-local twin of the distributed BFS above — identical
+    * level-synchronous expansion, so depths are bit-equal. */
+  private def crawlBfsLocal(edges: DataFrame, seed: Long,
+                            maxDepth: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val adj = edges.select($"src", $"dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val depth = scala.collection.mutable.Map(seed -> 0L)
+    var frontier = Seq(seed)
+    var d = 1
+    while (d <= maxDepth && frontier.nonEmpty) {
+      frontier = frontier
+        .flatMap(u => adj.getOrElse(u, Array.empty[Long])).distinct
+        .filterNot(depth.contains)
+      frontier.foreach(u => depth(u) = d.toLong)
+      d += 1
+    }
+    depth.toSeq.sortBy(_._1).toDF("url", "depth").orderBy($"url")
   }
 
   /** Fixed-point scale for [[pageRankOf]]: ranks live as int64 in
@@ -507,8 +545,8 @@ object ChunkQueries {
       (s"$host/orphan.xml",
        s"<urlset><url><loc>$host/page/orphan</loc></url></urlset>"))
       .toDF("url", "xml")
-    val docs = graft.Caches.persist(
-      subs.union(idxDocs).union(rootDoc).union(extraDocs))
+    // resolve() persists the doc table itself (its size gate reads it)
+    val docs = subs.union(idxDocs).union(rootDoc).union(extraDocs)
     Sitemap.resolve(docs, s"$host/sitemap.xml", "host0.example.com", maxDepth)
       .orderBy($"url")
   }
@@ -545,8 +583,17 @@ object ChunkQueries {
     * REDIRECT LOOPS, flagged unresolved rather than walked forever.
     * Per-round localCheckpoint truncates the doubling lineage (p5's
     * rule). */
-  def resolveRedirects(edges: DataFrame, rounds: Int = 3): DataFrame = {
-    import edges.sparkSession.implicits._
+  def resolveRedirects(edges0: DataFrame, rounds: Int = 3,
+                       driverLimit: Long = 100000L): DataFrame = {
+    import edges0.sparkSession.implicits._
+    // size-adaptive (the pageRankOf/crawlBfsOf discipline): each
+    // doubling round is a keyed self-join + checkpoint of fixed
+    // overhead — below the edge gate the identical pointer jumping
+    // runs driver-local (pure integer pointer/hop updates, so both
+    // paths emit bit-equal rows — pinned by spec)
+    val edges = graft.Caches.persist(edges0)
+    if (edges.count() <= driverLimit)
+      return resolveRedirectsLocal(edges, rounds)
     val nodes = edges.select($"src".as("url"))
       .union(edges.select($"dst".as("url"))).distinct()
     var cur = nodes
@@ -568,6 +615,32 @@ object ChunkQueries {
         when($"t".isNotNull, $"p").as("terminal_url"),
         when($"t".isNotNull, $"h").as("hops"),
         $"t".isNotNull.as("resolved"))
+      .orderBy($"url")
+  }
+
+  /** Driver-local twin of the distributed pointer jumping above —
+    * the SAME doubling rounds over (pointer, hops), so chains beyond
+    * the 2^rounds budget stay unresolved identically. */
+  private def resolveRedirectsLocal(edges: DataFrame,
+                                    rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select($"src", $"dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val next = es.toMap // functional graph: one out-edge per src
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    var p = nodes.map(u => u -> next.getOrElse(u, u)).toMap
+    var h = nodes.map(u => u -> (if (next.contains(u)) 1L else 0L)).toMap
+    for (_ <- 1 to rounds) {
+      val p2 = nodes.map(u => u -> p(p(u))).toMap
+      val h2 = nodes.map(u => u -> (h(u) + h(p(u)))).toMap
+      p = p2; h = h2
+    }
+    val terminal = nodes.filterNot(next.contains).toSet
+    nodes.toSeq.map { u =>
+      val ok = terminal.contains(p(u))
+      (u, if (ok) Some(p(u)) else None, if (ok) Some(h(u)) else None, ok)
+    }.toDF("url", "terminal_url", "hops", "resolved")
       .orderBy($"url")
   }
 

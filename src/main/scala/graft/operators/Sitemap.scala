@@ -57,10 +57,20 @@ object Sitemap {
     * depth, not maxDepth; the emptiness probe reads the already-
     * persisted level, so it costs one cheap action, while a dead
     * level would cost a join + persist + scheduling round-trip). */
-  def resolve(docs: DataFrame, rootUrl: String, baseDomain: String,
-              maxDepth: Int = 3): DataFrame = {
-    val spark = docs.sparkSession
+  def resolve(docs0: DataFrame, rootUrl: String, baseDomain: String,
+              maxDepth: Int = 3, driverLimit: Long = 100000L): DataFrame = {
+    val spark = docs0.sparkSession
     import spark.implicits._
+    // size-adaptive (the pageRankOf/crawlBfsOf discipline): each
+    // recursion level pays a join + persist + drain probe of fixed
+    // overhead — below the doc-count gate the identical frontier walk
+    // runs driver-local over the collected (url, xml) table with the
+    // same regexes and the same per-level set semantics (bit-equal —
+    // pinned by spec). A fetched-sitemap table is metadata-sized even
+    // for large crawls; the distributed path remains for the rest.
+    val docs = graft.Caches.persist(docs0)
+    if (docs.count() <= driverLimit)
+      return resolveLocal(docs, rootUrl, baseDomain, maxDepth)
     var frontier = Seq(rootUrl).toDF("url")
     var pages = Seq.empty[String].toDF("url")
     var depth = 0
@@ -86,5 +96,54 @@ object Sitemap {
     pages
       .filter(regexp_extract($"url", "^https?://([^/]+)", 1) === baseDomain)
       .distinct()
+  }
+
+  /** Driver-local twin of the distributed frontier walk above — the
+    * same root-kind anchor, loc regex, entity decode order, per-level
+    * idx dedup, and depth cut, so the resolved URL set is bit-equal. */
+  private def resolveLocal(docs: DataFrame, rootUrl: String,
+                           baseDomain: String, maxDepth: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val byUrl = docs.select($"url", $"xml").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val kindRe = java.util.regex.Pattern.compile(
+      "^\\s*(?:<\\?[^>]*\\?>)?\\s*<(urlset|sitemapindex)[\\s>]")
+    val locRe = java.util.regex.Pattern.compile("<loc>\\s*(.*?)\\s*</loc>")
+    val hostRe = java.util.regex.Pattern.compile("^https?://([^/]+)")
+    def decode(s: String): String = s
+      .replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&apos;", "'")
+      .replace("&amp;", "&")
+    def locsOf(xml: String): Seq[String] = {
+      val m = locRe.matcher(xml)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (m.find()) out += decode(m.group(1))
+      out.toSeq
+    }
+    val pages = scala.collection.mutable.ArrayBuffer.empty[String]
+    var frontier = Seq(rootUrl)
+    var depth = 0
+    var drained = false
+    while (depth <= maxDepth && !drained) {
+      val resolved = frontier.flatMap(u => byUrl.get(u).toSeq).map { xml =>
+        val km = kindRe.matcher(xml)
+        val kind =
+          if (km.find()) (if (km.group(1) == "sitemapindex") "idx" else "urlset")
+          else "other"
+        (kind, locsOf(xml))
+      }
+      pages ++= resolved.filter(_._1 == "urlset").flatMap(_._2)
+      frontier = resolved.filter(_._1 == "idx").flatMap(_._2).distinct
+      drained = frontier.isEmpty
+      depth += 1
+    }
+    pages.toSeq
+      .filter { u =>
+        val m = hostRe.matcher(u)
+        m.find() && m.group(1) == baseDomain && m.start() == 0
+      }
+      .distinct
+      .toDF("url")
   }
 }

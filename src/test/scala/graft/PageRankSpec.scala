@@ -82,4 +82,60 @@ class PageRankSpec extends SparkSpec {
     // loop members: unresolved, no terminal, no hop count
     Seq(100L, 101L).foreach { u => assert(out(u) == (None, false)) }
   }
+
+  test("adaptive redirects: driver-local path == distributed jumping, bit-exact") {
+    // chains of several lengths (incl. one past the 2^3 budget),
+    // a cycle, and a chain feeding INTO the cycle
+    val edges = ((0L until 12L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 100L), (200L, 100L))).toDF("src", "dst")
+    def run(limit: Long) = ChunkQueries.resolveRedirects(edges, 3, limit)
+      .collect().map(_.toSeq).toSeq
+    assert(run(Long.MaxValue) == run(-1L), "adaptive paths diverged")
+    Caches.releaseAll()
+  }
+
+  test("adaptive BFS: driver-local path == distributed loop, bit-exact") {
+    // diamond (two paths, min depth wins), cycle back to seed,
+    // deep chain past maxDepth, unreachable island
+    val edges = Seq(
+      (0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L),  // diamond
+      (3L, 0L),                                 // cycle
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L),   // chain past cap
+      (50L, 51L)                                // unreachable
+    ).toDF("src", "dst")
+    def run(limit: Long) = ChunkQueries.crawlBfsOf(edges, 0L, 4, limit)
+      .collect().map(_.toSeq).toSeq
+    val local = run(Long.MaxValue)
+    assert(local == run(-1L), "adaptive paths diverged")
+    // spot semantics: min depth through the diamond, cap respected
+    val m = local.map(s => s.head.asInstanceOf[Long] -> s(1).asInstanceOf[Long]).toMap
+    assert(m == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    Caches.releaseAll()
+  }
+
+  test("adaptive sitemap resolve: driver-local path == distributed walk, bit-exact") {
+    val host = "https://s.example.com"
+    val docs = Seq(
+      (s"$host/sitemap.xml",
+        s"<sitemapindex><sitemap><loc>$host/a.xml</loc></sitemap>" +
+        s"<sitemap><loc>$host/b.xml</loc></sitemap></sitemapindex>"),
+      (s"$host/a.xml",
+        s"<urlset><url><loc> $host/p1 </loc></url>" +
+        s"<url><loc>$host/p2&amp;x=1</loc></url></urlset>"),
+      (s"$host/b.xml",
+        s"<sitemapindex><sitemap><loc>$host/c.xml</loc></sitemap></sitemapindex>"),
+      (s"$host/c.xml",
+        s"<urlset><url><loc>$host/p3</loc></url>" +
+        "<url><loc>https://other.com/px</loc></url></urlset>"),
+      (s"$host/orphan.xml", s"<urlset><url><loc>$host/never</loc></url></urlset>"),
+      (s"$host/broken.xml", "not xml at all"))
+      .toDF("url", "xml")
+    def run(limit: Long) = graft.operators.Sitemap
+      .resolve(docs, s"$host/sitemap.xml", "s.example.com", 3, limit)
+      .orderBy($"url").collect().map(_.getString(0)).toSeq
+    val local = run(Long.MaxValue)
+    assert(local == run(-1L), "adaptive paths diverged")
+    assert(local == Seq(s"$host/p1", s"$host/p2&x=1", s"$host/p3"))
+    Caches.releaseAll()
+  }
 }
