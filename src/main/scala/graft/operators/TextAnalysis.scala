@@ -414,22 +414,34 @@ object TextAnalysis {
   def t19VocabGrowth(spark: SparkSession, dir: String,
                      buckets: Int = 100): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val docs = graft.Caches.persist(Tables.documents(spark, dir)
       .select($"doc_id",
         expr("regexp_extract_all(lower(text), '\\\\S+', 0)").as("tk")))
     val maxId = docs.agg(max($"doc_id")).head.getLong(0)
-    def bucketOf(name: String) =
-      expr(s"$name * $buckets div ${maxId + 1}")
-    val newWords = docs
+    val wordFirst = docs
       .select($"doc_id", explode($"tk").as("word"))
       .groupBy($"word").agg(min($"doc_id").as("first_doc"))
-      .groupBy(bucketOf("first_doc").as("bucket"))
-      .agg(count(lit(1)).as("new_words"))
     val toks = docs
-      .select(bucketOf("doc_id").as("bucket"),
+      .select(bucketOf("doc_id", buckets, maxId).as("bucket"),
         size($"tk").cast("long").as("n"))
-      .groupBy($"bucket").agg(sum($"n").as("n_tokens"), count(lit(1)).as("n_docs"))
+      .groupBy($"bucket").agg(sum($"n").as("n_tokens"),
+        count(lit(1)).as("n_docs"))
+    vocabCurve(wordFirst, toks, buckets, maxId)
+  }
+
+  private def bucketOf(name: String, buckets: Int, maxId: Long) =
+    expr(s"$name * $buckets div ${maxId + 1}")
+
+  /** Shared curve tail (t19 from-scratch == t23 maintained): bucket
+    * each word's first document, join the per-bucket token rollups,
+    * run the 100-row cumulative window. */
+  private def vocabCurve(wordFirst: DataFrame, toks: DataFrame,
+                         buckets: Int, maxId: Long): DataFrame = {
+    import wordFirst.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val newWords = wordFirst
+      .groupBy(bucketOf("first_doc", buckets, maxId).as("bucket"))
+      .agg(count(lit(1)).as("new_words"))
     val w = Window.orderBy($"bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     toks.join(newWords, Seq("bucket"), "left")
@@ -439,6 +451,46 @@ object TextAnalysis {
       .select($"bucket", $"n_docs", $"n_tokens", $"new_words",
         $"cum_tokens", $"cum_vocab")
       .orderBy($"bucket")
+  }
+
+  /** t23: INCREMENTALLY MAINTAINED vocab-growth curve — t19's curve
+    * kept current by MERGING ALGEBRAIC STATE (q54's discipline
+    * applied to the vocabulary dictionary): the standing state is a
+    * per-word (word → first_doc) table plus per-bucket (n_tokens,
+    * n_docs) rollups; a new document batch reduces to the SAME state
+    * shape over only its own bytes, and the maintained view is the
+    * monoid merge — first_doc under min (a word re-seen in the delta
+    * keeps its earlier first sighting), token/doc counts under sum.
+    * At 100 TB the nightly delta touches delta bytes plus a
+    * vocabulary-sized dictionary, never the full corpus rescan t19
+    * pays. The batches here split the corpus at half the id space;
+    * the oracle is the FROM-SCRATCH single-pass curve — equality IS
+    * the maintenance-correctness proof (q54's rule). */
+  def t23VocabMaintained(spark: SparkSession, dir: String,
+                         buckets: Int = 100): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Caches.persist(Tables.documents(spark, dir)
+      .select($"doc_id",
+        expr("regexp_extract_all(lower(text), '\\\\S+', 0)").as("tk")))
+    val maxId = docs.agg(max($"doc_id")).head.getLong(0)
+    val cutoff = (maxId + 1) / 2
+    def wordState(batch: DataFrame): DataFrame = batch
+      .select($"doc_id", explode($"tk").as("word"))
+      .groupBy($"word").agg(min($"doc_id").as("first_doc"))
+    def bucketState(batch: DataFrame): DataFrame = batch
+      .select(bucketOf("doc_id", buckets, maxId).as("bucket"),
+        size($"tk").cast("long").as("n"))
+      .groupBy($"bucket").agg(sum($"n").as("n_tokens"),
+        count(lit(1)).as("n_docs"))
+    val base = docs.filter($"doc_id" < cutoff)
+    val delta = docs.filter($"doc_id" >= cutoff)
+    // monoid merges: min for first sightings, sum for counts
+    val wordFirst = wordState(base).unionByName(wordState(delta))
+      .groupBy($"word").agg(min($"first_doc").as("first_doc"))
+    val toks = bucketState(base).unionByName(bucketState(delta))
+      .groupBy($"bucket").agg(sum($"n_tokens").as("n_tokens"),
+        sum($"n_docs").as("n_docs"))
+    vocabCurve(wordFirst, toks, buckets, maxId)
   }
 
   /** t20: LEXICAL DIVERSITY — type-token ratio and hapax share per
@@ -544,6 +596,7 @@ object TextAnalysis {
     "t21_corpus_drift" -> ((s, d) => t21CorpusDrift(s, d)),
     "t20_lexical_diversity" -> t20LexicalDiversity _,
     "t19_vocab_growth" -> ((s, d) => t19VocabGrowth(s, d)),
+    "t23_vocab_maintained" -> ((s, d) => t23VocabMaintained(s, d)),
     "t15_dataset_card" -> t15DatasetCard _,
     "t14_char_entropy" -> t14CharEntropy _,
     "t13_keyword_tfidf" -> t13KeywordTfidf _,
@@ -648,7 +701,7 @@ object TextAnalysis {
       .map(l => s"WHEN predicted = '$l' THEN greatest(${langs.filter(_ != l).map("s_" + _).mkString(", ")})")
       .mkString("\n      ")
     val allGreatest = s"greatest(${langs.map("s_" + _).mkString(", ")})"
-    Map(
+    val m = Map(
       // same (doc, word) counts, same integer ratios
       // same lang argmax, same regex token counts, same ratio
       "t22_token_fertility" ->
@@ -931,5 +984,9 @@ object TextAnalysis {
           | END AS fp_poly
           |FROM documents
           |ORDER BY doc_id""".stripMargin)
+    // t23's oracle IS t19's from-scratch single-pass curve: the
+    // maintained state merge must land on the identical result
+    // (q54's maintenance-correctness rule).
+    m + ("t23_vocab_maintained" -> m("t19_vocab_growth"))
   }
 }

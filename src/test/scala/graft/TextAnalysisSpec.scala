@@ -107,6 +107,26 @@ class TextAnalysisSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("t23 maintained vocab curve == t19 from-scratch curve, row for row") {
+    val scratch = TextAnalysis.t19VocabGrowth(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val maintained = TextAnalysis.t23VocabMaintained(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(maintained == scratch,
+      "algebraic state merge drifted from the single-pass curve")
+    // the merge genuinely crosses batches: words first seen in the
+    // base half must NOT be re-counted when the delta half re-uses
+    // them — cum_vocab at the end equals the corpus's true distinct
+    // word count
+    import org.apache.spark.sql.functions.{explode, expr}
+    val trueVocab = Tables.documents(spark, sfDir)
+      .select(explode(expr(
+        "regexp_extract_all(lower(text), '\\\\S+', 0)")).as("w"))
+      .distinct().count()
+    assert(maintained.map(_(5).asInstanceOf[Long]).max == trueVocab)
+    Caches.releaseAll()
+  }
+
   test("t22 fertility separates punctuation-heavy text from plain words") {
     import spark.implicits._
     // en doc: plain words, fertility 1; second doc: hyphens and
