@@ -493,6 +493,102 @@ object Knn {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** FILTERED-ANN serving layout — a16's metadata predicate pushed
+    * into the PERSISTED index: assignments written
+    * `partitionBy(label, cid)`, label OUTERMOST, so a
+    * tenant-filtered probe prunes whole label directories before cid
+    * pruning even starts — the scan cost is the probed cells of ONE
+    * tenant, not of the corpus. Build once, serve many (the
+    * [[writeIvfIndex]] discipline); KnnIndexSpec asserts the label
+    * predicate reaches PartitionFilters and that served results are
+    * bit-equal to the in-memory paths. */
+  def writeFilteredIvfIndex(spark: SparkSession, dir: String,
+                            path: String): Seq[Seq[Double]] = {
+    import spark.implicits._
+    val all = base(spark, dir)
+    val cents = ivfCentroids(spark, dir, all)
+    assign(all, cents).select($"vec_id", $"v", $"label", $"cid")
+      .write.mode("overwrite").partitionBy("label", "cid").parquet(path)
+    cents
+  }
+
+  /** In-memory (vec_id, v, label, cid) cells under the same
+    * quantizer — the spec's drift check against the persisted
+    * layout. */
+  def assignedCells(spark: SparkSession, dir: String,
+                    cents: Seq[Seq[Double]]): DataFrame = {
+    import spark.implicits._
+    assign(base(spark, dir), cents).select($"vec_id", $"v", $"label", $"cid")
+  }
+
+  /** Filtered-IVF serving core over any (vec_id, v, label, cid)
+    * cell frame: each query probes its nprobe nearest cells AMONG
+    * ITS OWN LABEL's vectors (filter-before-search, a16's rule);
+    * `nprobe >= cents.length` degenerates to exact filtered search.
+    * Shared by the in-memory path and the persisted-index path so
+    * the two can't drift. */
+  def filteredIvfServe(cells: DataFrame, cents: Seq[Seq[Double]],
+                       queries: DataFrame, nprobe: Int,
+                       k: Int = 5): DataFrame = {
+    import cells.sparkSession.implicits._
+    val probes = filteredProbes(queries, cents, nprobe)
+    val w = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")
+    cells.join(broadcast(probes), Seq("cid"))
+      .filter($"label" === $"q_label" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"q_label", $"vec_id",
+        V.cosineD($"qv", $"v").as("cosine_raw"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"q_id", $"q_label", $"vec_id",
+        round($"cosine_raw", 6).as("cosine"), $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
+  /** nprobe nearest cells per (q_id, qv, q_label) query row. */
+  private def filteredProbes(queries: DataFrame, cents: Seq[Seq[Double]],
+                             nprobe: Int): DataFrame = {
+    import queries.sparkSession.implicits._
+    queries
+      .withColumn("__scores",
+        centroidScoresCol(queries.sparkSession, $"qv", cents))
+      .withColumn("probe", slice(reverse(array_sort(zip_with($"__scores",
+        sequence(lit(0), lit(cents.length - 1)),
+        (s, i) => struct(s.as("s"), i.as("i"))))), 1,
+        math.min(nprobe, cents.length)))
+      .select($"q_id", $"qv", $"q_label", explode($"probe.i").as("cid"))
+  }
+
+  /** Serve filtered top-k from a [[writeFilteredIvfIndex]] layout:
+    * the (label, cid) pairs each query needs become conjunctive
+    * partition filters, so ONLY the probed cells of the queried
+    * labels are read off storage. */
+  def serveFilteredFromIvfIndex(spark: SparkSession, path: String,
+                                cents: Seq[Seq[Double]],
+                                queries: DataFrame, nprobe: Int = 2,
+                                k: Int = 5): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val probes = filteredProbes(queries, cents, nprobe)
+    // bounded collects (|Q| labels, |Q|·nprobe cids) — the probe
+    // lists become PartitionFilters on BOTH partition columns
+    val labels = probes.select($"q_label").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cids = probes.select($"cid").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cells = spark.read.parquet(path)
+      .filter($"label".isin(labels: _*) && $"cid".isin(cids: _*))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")
+    cells.join(broadcast(probes), Seq("cid"))
+      .filter($"label" === $"q_label" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"q_label", $"vec_id",
+        V.cosineD($"qv", $"v").as("cosine_raw"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"q_id", $"q_label", $"vec_id",
+        round($"cosine_raw", 6).as("cosine"), $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
   /** a8: IVF serving over the SHARED k=64 quantizer — the IVF/
     * SemDeDup hybrid: the dedup pass (d7) and this ANN path run
     * against ONE trained quantizer ([[graft.TrainedModels]] keyed

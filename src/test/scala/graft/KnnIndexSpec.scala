@@ -43,4 +43,45 @@ class KnnIndexSpec extends SparkSpec {
     assert(fromIndex === inMemory)
     Caches.releaseAll()
   }
+
+  test("filtered index pushes the label predicate into PartitionFilters") {
+    val path = s"$tmp/fivf"
+    val cents = Knn.writeFilteredIvfIndex(spark, sfDir, path)
+    // layout: label dirs OUTERMOST, cid dirs nested inside
+    val labelDirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("label=")).map(_.getName).sorted
+    assert(labelDirs.nonEmpty && labelDirs.forall(_.matches("label=\\d+")))
+    assert(new java.io.File(s"$path/${labelDirs.head}").listFiles()
+      .exists(_.getName.startsWith("cid=")))
+
+    val queries = Tables.embeddings(spark, sfDir)
+      .filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"),
+        graft.functions.VectorFunctions.asDouble($"embedding").as("qv"),
+        $"label".as("q_label"))
+    val served = Knn.serveFilteredFromIvfIndex(spark, path, cents, queries)
+
+    // the LABEL predicate (and the cid probe) reach the scan as
+    // PartitionFilters — the tenant filter prunes directories, it is
+    // not a post-scan filter
+    val plan = served.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(l => l.contains("label") && l.contains("cid")),
+      s"label predicate not in PartitionFilters:\n${plan.take(1500)}")
+
+    // pruned serve == the SAME pipeline over in-memory assignments
+    val inMemCells = Knn.assignedCells(spark, sfDir, cents)
+    val inMemory = Knn.filteredIvfServe(inMemCells, cents, queries, nprobe = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(served.collect().map(_.toSeq).toSeq === inMemory)
+
+    // full probe degenerates to EXACT filtered search: bit-equal to
+    // the in-memory a16 operator
+    val full = Knn.serveFilteredFromIvfIndex(spark, path, cents, queries,
+        nprobe = cents.length)
+      .collect().map(_.toSeq).toSeq
+    val a16 = Knn.a16KnnFiltered(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(full === a16)
+    Caches.releaseAll()
+  }
 }
