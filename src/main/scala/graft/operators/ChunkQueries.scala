@@ -620,15 +620,19 @@ object ChunkQueries {
 
   /** Driver-local twin of the distributed pointer jumping above —
     * the SAME doubling rounds over (pointer, hops), so chains beyond
-    * the 2^rounds budget stay unresolved identically. */
+    * the 2^rounds budget stay unresolved identically. Key-type
+    * generic like the distributed path (redirect graphs key on URL
+    * strings; the synthetic c20 corpus keys on longs). */
   private def resolveRedirectsLocal(edges: DataFrame,
                                     rounds: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
     val spark = edges.sparkSession
-    import spark.implicits._
-    val es = edges.select($"src", $"dst").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    val next = es.toMap // functional graph: one out-edge per src
-    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val keyType = edges.schema("src").dataType
+    val es = edges.select("src", "dst").collect()
+      .map(r => (r.get(0), r.get(1)))
+    val next: Map[Any, Any] = es.toMap // functional graph: one out-edge per src
+    val nodes: Seq[Any] = (es.map(_._1) ++ es.map(_._2)).distinct.toSeq
     var p = nodes.map(u => u -> next.getOrElse(u, u)).toMap
     var h = nodes.map(u => u -> (if (next.contains(u)) 1L else 0L)).toMap
     for (_ <- 1 to rounds) {
@@ -637,11 +641,19 @@ object ChunkQueries {
       p = p2; h = h2
     }
     val terminal = nodes.filterNot(next.contains).toSet
-    nodes.toSeq.map { u =>
+    val rows = nodes.map { u =>
       val ok = terminal.contains(p(u))
-      (u, if (ok) Some(p(u)) else None, if (ok) Some(h(u)) else None, ok)
-    }.toDF("url", "terminal_url", "hops", "resolved")
-      .orderBy($"url")
+      Row(u, if (ok) p(u) else null,
+        if (ok) java.lang.Long.valueOf(h(u)) else null, ok)
+    }
+    val schema = StructType(Seq(
+      StructField("url", keyType, nullable = true),
+      StructField("terminal_url", keyType, nullable = true),
+      StructField("hops", LongType, nullable = true),
+      StructField("resolved", BooleanType, nullable = false)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+      .orderBy(org.apache.spark.sql.functions.col("url"))
   }
 
   /** Crawler-TRAP detection over any (url) frame: infinite URL

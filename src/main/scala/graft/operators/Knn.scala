@@ -1161,6 +1161,33 @@ object Knn {
       .orderBy($"s1", $"s2")
   }
 
+  /** a18: IVF INDEX-BALANCE audit — the cell-population report every
+    * IVF deployment reads before trusting its layout: a skewed
+    * quantizer (one mega-cell, many empties) silently turns "probe
+    * nprobe cells" into "scan half the corpus" for popular queries
+    * and starves recall elsewhere, and at 100 TB a hot cell is also
+    * a hot PARTITION (the writeIvfIndex layout maps cells to
+    * directories 1:1). Per cell: vector count, corpus share, and
+    * balance factor (count·k/n — 1.0 is perfectly even); one
+    * assignment pass + one keyed aggregate over the trained k=8
+    * quantizer, with the full Lloyd training replayed in the oracle
+    * so a drifted centroid shows up as a hash mismatch. */
+  def a18IndexBalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = base(spark, dir)
+    val cents = ivfCentroids(spark, dir, all)
+    val counts = assign(all, cents)
+      .groupBy($"cid".cast("long").as("cid"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val tot = counts.agg(sum($"n_vectors").as("n"),
+      count(lit(1)).cast("double").as("k"))
+    counts.crossJoin(broadcast(tot))
+      .select($"cid", $"n_vectors",
+        round($"n_vectors".cast("double") / $"n", 6).as("share"),
+        round($"n_vectors".cast("double") * $"k" / $"n", 4).as("balance"))
+      .orderBy($"cid")
+  }
+
   /** a16: FILTERED vector search — the metadata-constrained top-k
     * every vector store ships (Weaviate `where` + nearVector; s5 is
     * the keyword twin): each query returns its nearest neighbors
@@ -1250,6 +1277,7 @@ object Knn {
     "a15_knn_cascade" -> ((s, d) => a15KnnCascade(s, d)),
     "a16_knn_filtered" -> ((s, d) => a16KnnFiltered(s, d)),
     "a17_cascade_tuning" -> ((s, d) => a17CascadeTuning(s, d)),
+    "a18_index_balance" -> a18IndexBalance _,
     "s2_vector_topk" -> s2VectorTopk _)
 
   private val cosineSql =
@@ -1752,7 +1780,24 @@ object Knn {
     val unions = (methods.map(_._1) :+ "cascade_tuned").map { m =>
       s"SELECT '$m' AS method, hits, possible FROM h_$m, nq"
     }.mkString("\nUNION ALL\n")
-    baseOracles + ("a17_cascade_tuning" -> a17Sql) + ("a12_ann_recall" ->
+    baseOracles +
+      ("a17_cascade_tuning" -> a17Sql) +
+      ("a18_index_balance" ->
+        s"""WITH ${kmeansCellsSqlFor(8)},
+           |counts AS (
+           |  SELECT CAST(cid AS BIGINT) AS cid,
+           |    CAST(count(*) AS BIGINT) AS n_vectors
+           |  FROM cells GROUP BY cid),
+           |tot AS (
+           |  SELECT CAST(sum(n_vectors) AS BIGINT) AS n,
+           |    CAST(count(*) AS DOUBLE) AS k
+           |  FROM counts)
+           |SELECT cid, n_vectors,
+           |  round(CAST(n_vectors AS DOUBLE) / tot.n, 6) AS share,
+           |  round(CAST(n_vectors AS DOUBLE) * tot.k / tot.n, 4) AS balance
+           |FROM counts, tot
+           |ORDER BY cid""".stripMargin) +
+      ("a12_ann_recall" ->
       s"""WITH exact AS (
          |  SELECT q_id, vec_id FROM (${baseOracles("a1_knn_bruteforce")})),
          |nq AS (

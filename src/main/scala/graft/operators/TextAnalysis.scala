@@ -493,6 +493,56 @@ object TextAnalysis {
     vocabCurve(wordFirst, toks, buckets, maxId)
   }
 
+  /** t24: BIGRAM log-perplexity — the CCNet/KenLM-shaped quality
+    * filter the big web corpora actually ship (perplexity against a
+    * corpus-trained LM separates fluent prose from gibberish better
+    * than t10's unigram proxy, which is blind to word ORDER): an
+    * add-one-smoothed bigram model is trained on the corpus itself
+    * and every document scored by its mean per-bigram negative
+    * log-likelihood. Bigrams are built IN ROW (zipped slices of the
+    * token array — no positional self-join, no extra shuffle);
+    * counts are two keyed aggregates; scoring is two joins against
+    * the count tables; per-doc summation follows t10's determinism
+    * rule — each NLL pre-rounded 6dp, then an ORDERED per-doc fold,
+    * so both engines add identical doubles in identical order. */
+  def t24BigramPpl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // persisted (tracked): the tokenized view feeds the unigram
+    // counts, the bigram counts, and the scoring pass
+    val docs = graft.Caches.persist(Tables.documents(spark, dir)
+      .select($"doc_id",
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("tk"))
+      .filter(size($"tk") >= 2))
+    val big = graft.Caches.persist(docs
+      .select($"doc_id", posexplode(zip_with(
+        slice($"tk", lit(1), size($"tk") - 1),
+        slice($"tk", lit(2), size($"tk") - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))))
+      .select($"doc_id", $"pos", $"col.w1".as("w1"), $"col.w2".as("w2")))
+    val uni = docs.select(explode($"tk").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c1"))
+    val vTot = uni.agg(count(lit(1)).cast("double").as("v"))
+    val bg = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val scored = big
+      .join(bg, Seq("w1", "w2"))
+      .join(uni.select($"w".as("w1"), $"c1"), Seq("w1"))
+      .crossJoin(broadcast(vTot))
+      .select($"doc_id", $"pos",
+        round(-log(($"c12" + 1).cast("double") / ($"c1" + $"v")), 6).as("nll"))
+    val wSum = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wFirst = Window.partitionBy($"doc_id").orderBy($"pos")
+    scored
+      .withColumn("s", sum($"nll").over(wSum))
+      .withColumn("n", count(lit(1)).over(wSum))
+      .withColumn("rn", row_number().over(wFirst))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"n".as("n_bigrams"),
+        round($"s" / $"n", 4).as("mean_nll"))
+      .orderBy($"doc_id")
+  }
+
   /** t20: LEXICAL DIVERSITY — type-token ratio and hapax share per
     * document, the corpus-linguistics pair that separates varied
     * prose (high TTR) from templated/repetitive text (low TTR, the
@@ -597,6 +647,7 @@ object TextAnalysis {
     "t20_lexical_diversity" -> t20LexicalDiversity _,
     "t19_vocab_growth" -> ((s, d) => t19VocabGrowth(s, d)),
     "t23_vocab_maintained" -> ((s, d) => t23VocabMaintained(s, d)),
+    "t24_bigram_ppl" -> t24BigramPpl _,
     "t15_dataset_card" -> t15DatasetCard _,
     "t14_char_entropy" -> t14CharEntropy _,
     "t13_keyword_tfidf" -> t13KeywordTfidf _,
@@ -953,6 +1004,36 @@ object TextAnalysis {
            |    / (SELECT CAST(sum(tokens) AS DOUBLE) FROM cells), 6) AS mix_weight
            |FROM cells
            |ORDER BY source, lang_id""".stripMargin,
+      // same add-one bigram model, same 6dp pre-rounded NLLs, same
+      // ordered per-doc fold (t10's determinism rule)
+      "t24_bigram_ppl" ->
+        """WITH tk AS (
+          |  SELECT doc_id, tks FROM (
+          |    SELECT doc_id,
+          |      regexp_extract_all(lower(text), '[a-z0-9]+') AS tks
+          |    FROM documents)
+          |  WHERE len(tks) >= 2),
+          |big AS (
+          |  SELECT doc_id, g.i - 1 AS pos, tks[g.i] AS w1, tks[g.i + 1] AS w2
+          |  FROM tk, LATERAL unnest(generate_series(1, len(tks) - 1)) AS g(i)),
+          |uni AS (
+          |  SELECT w, count(*) AS c1 FROM (
+          |    SELECT unnest(tks) AS w FROM tk) GROUP BY w),
+          |vt AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+          |bg AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+          |scored AS (
+          |  SELECT big.doc_id, big.pos,
+          |    round(-ln(CAST(bg.c12 + 1 AS DOUBLE) / (uni.c1 + vt.v)), 6) AS nll
+          |  FROM big
+          |  JOIN bg ON bg.w1 = big.w1 AND bg.w2 = big.w2
+          |  JOIN uni ON uni.w = big.w1, vt)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |      list(nll ORDER BY pos)), (a, x) -> a + x) / count(*), 4)
+          |    AS mean_nll
+          |FROM scored
+          |GROUP BY doc_id
+          |ORDER BY doc_id""".stripMargin,
       "t10_unigram_logppl" ->
         """WITH tk AS (
           |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tks

@@ -289,6 +289,19 @@ class KnnSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("a18 balance audit: shares sum to 1, counts tile the corpus, balance centers on 1") {
+    val rows = Knn.a18IndexBalance(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.length <= 8)
+    val nVecs = Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_._2).sum == nVecs, "cell counts must tile the corpus")
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3)
+    // balance = share * k: mean balance over populated cells is k/|cells| = 1
+    val meanBal = rows.map(_._4).sum / rows.length
+    assert(math.abs(meanBal - 1.0) < 1e-2, s"mean balance $meanBal")
+    Caches.releaseAll()
+  }
+
   test("a17 tuner picks the cheapest cascade geometry meeting the recall target") {
     val rep = Knn.a17CascadeTuning(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -127,6 +127,29 @@ class TextAnalysisSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("t24 bigram perplexity separates fluent repetition from shuffled words") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // corpus: many docs repeating the SAME word order (their bigrams
+    // dominate the model) + one doc using the same WORDS in an order
+    // never seen — unigram models can't tell them apart, the bigram
+    // model must
+    val fluent = "the cat sat on the mat"
+    val docs = ((1L to 20L).map(i => (i, fluent)) :+
+      (99L, "mat the on sat cat the")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("t24").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.t24BigramPpl(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.size == 21)
+    // every fluent doc scores identically, and far below the shuffle
+    val fluentNll = out(1L)
+    assert((2L to 20L).forall(out(_) == fluentNll))
+    assert(out(99L) > fluentNll,
+      s"shuffled doc must be more surprising: ${out(99L)} vs $fluentNll")
+    Caches.releaseAll()
+  }
+
   test("t22 fertility separates punctuation-heavy text from plain words") {
     import spark.implicits._
     // en doc: plain words, fertility 1; second doc: hyphens and
