@@ -536,7 +536,46 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** p20: TEMPERATURE-SCALED mixture weights — the multinomial
+    * sampling recipe the big multilingual/multi-source pretraining
+    * runs actually use (GPT-3 / PaLM / XLM-R style): raw per-source
+    * token shares are flattened by exponent α before renormalizing,
+    * upweighting the tail sources a proportional mix would starve.
+    * α is fixed at 0.5 so the power IS sqrt — IEEE-exact and
+    * correctly rounded in every engine, where a general pow() can
+    * drift an ulp between libm implementations (the determinism
+    * trade t10 makes with pre-rounding, made structurally here).
+    * Output per source: tokens, raw share, temperature weight, the
+    * implied upsample factor (weight/share — >1 means the source is
+    * boosted), and its token quota from a budget. Two keyed
+    * aggregates + two broadcast scalars; rounding happens BEFORE the
+    * derived ratios so both engines divide identical doubles. */
+  def p20TemperatureMix(spark: SparkSession, dir: String,
+                        budget: Long = 1000000L): DataFrame = {
+    import spark.implicits._
+    val bySource = Tables.documents(spark, dir)
+      .select($"source",
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
+          .as("n_tok"))
+      .groupBy($"source").agg(sum($"n_tok").as("tokens"))
+    val tot = bySource.agg(sum($"tokens").cast("double").as("total"))
+    val shares = bySource.crossJoin(broadcast(tot))
+      .select($"source", $"tokens",
+        ($"tokens" / $"total").as("share_raw"),
+        sqrt($"tokens" / $"total").as("sq"))
+    val z = shares.agg(sum($"sq").as("z"))
+    shares.crossJoin(broadcast(z))
+      .select($"source", $"tokens",
+        round($"share_raw", 6).as("share"),
+        round($"sq" / $"z", 6).as("weight"))
+      .withColumn("upsample", round($"weight" / $"share", 4))
+      .withColumn("token_quota",
+        round($"weight" * budget, 0).cast("long"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p20_temperature_mix" -> ((s, d) => p20TemperatureMix(s, d)),
     "p18_token_budget" -> ((s, d) => p18TokenBudget(s, d)),
     "p17_weighted_sample" -> ((s, d) => p17WeightedSample(s, d)),
     "p16_mixture_interleave" -> ((s, d) => p16MixtureInterleave(s, d)),
@@ -590,6 +629,27 @@ object Curation {
        |  FROM packed p JOIN o ON o.source = p.source AND o.rn = p.rn + 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same sqrt-temperature weights, same round-before-derive order
+    "p20_temperature_mix" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+        |      AS tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(tokens) AS DOUBLE) AS total FROM s),
+        |sh AS (
+        |  SELECT source, tokens, tokens / total AS share_raw,
+        |    sqrt(tokens / total) AS sq
+        |  FROM s, t),
+        |z AS (SELECT sum(sq) AS z FROM sh)
+        |SELECT source, tokens,
+        |  round(share_raw, 6) AS share,
+        |  round(sq / z, 6) AS weight,
+        |  round(round(sq / z, 6) / round(share_raw, 6), 4) AS upsample,
+        |  CAST(round(round(sq / z, 6) * 1000000, 0) AS BIGINT)
+        |    AS token_quota
+        |FROM sh, z
+        |ORDER BY source""".stripMargin,
     // same hash order, same keyed cumsum, same integer quota split
     "p18_token_budget" ->
       s"""WITH raw AS (SELECT doc_id, source, text AS t FROM documents),

@@ -215,4 +215,29 @@ class CurationSpec extends SparkSpec {
       s"expected TakeOrderedAndProject in:\n$physical")
     Caches.releaseShared()
   }
+
+  test("p20 temperature mix flattens shares toward the tail, quotas tile the budget") {
+    val rows = Curation.p20TemperatureMix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+                 r.getDouble(3), r.getDouble(4), r.getLong(5)))
+    assert(rows.length > 1)
+    // weights renormalize to 1; quotas tile the budget up to rounding
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-3)
+    assert(math.abs(rows.map(_._6).sum - 1000000L) < rows.length * 2L)
+    // temperature flattens: the upsample factor is strictly
+    // DECREASING in share (sqrt is concave), the smallest source is
+    // boosted at least as much as the largest, and the share-weighted
+    // mean of upsample is 1 (sum s_i * up_i = sum w_i) — so the mix
+    // straddles 1: tails above, heads below
+    val byShare = rows.sortBy(_._3)
+    val ups = byShare.map(_._5)
+    assert(ups.zip(ups.tail).forall { case (a, b) => a >= b },
+      "upsample must decrease with share")
+    assert(ups.head >= ups.last)
+    assert(ups.head >= 1.0 - 1e-6 && ups.last <= 1.0 + 1e-6)
+    // weight order follows share order (monotone transform)
+    val ws = byShare.map(_._4)
+    assert(ws.sameElements(ws.sorted), "weight order must follow share order")
+    Caches.releaseAll()
+  }
 }
