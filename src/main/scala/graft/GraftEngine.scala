@@ -538,6 +538,17 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
   def keywords(k: Int = 5): DataFrame =
     graft.operators.TextAnalysis.keywordsOf(corpus, k)
 
+  /** Bigram log-perplexity quality scores over the corpus (t24):
+    * order-aware fluency filter against a corpus-trained LM. */
+  def bigramPerplexity(): DataFrame =
+    graft.operators.TextAnalysis.bigramPplOf(corpus)
+
+  /** Temperature-scaled (α=0.5) mixture weights and token quotas per
+    * source (p20) — the multinomial sampling recipe for multi-source
+    * training mixes. */
+  def temperatureMix(budget: Long = 1000000L): DataFrame =
+    graft.operators.Curation.temperatureMixOf(corpus, budget)
+
   /** Deterministic epoch shuffle of the corpus (p11): content-hash
     * shards + within-shard hash order — one fixed pseudo-random
     * permutation with no global row_number. */

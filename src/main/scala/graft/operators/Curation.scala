@@ -551,9 +551,13 @@ object Curation {
     * aggregates + two broadcast scalars; rounding happens BEFORE the
     * derived ratios so both engines divide identical doubles. */
   def p20TemperatureMix(spark: SparkSession, dir: String,
-                        budget: Long = 1000000L): DataFrame = {
-    import spark.implicits._
-    val bySource = Tables.documents(spark, dir)
+                        budget: Long = 1000000L): DataFrame =
+    temperatureMixOf(Tables.documents(spark, dir), budget)
+
+  /** The p20 core over any (source, text) corpus. */
+  def temperatureMixOf(corpus: DataFrame, budget: Long): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val bySource = corpus
       .select($"source",
         size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
           .as("n_tok"))

@@ -505,12 +505,16 @@ object TextAnalysis {
     * the count tables; per-doc summation follows t10's determinism
     * rule — each NLL pre-rounded 6dp, then an ORDERED per-doc fold,
     * so both engines add identical doubles in identical order. */
-  def t24BigramPpl(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  def t24BigramPpl(spark: SparkSession, dir: String): DataFrame =
+    bigramPplOf(Tables.documents(spark, dir))
+
+  /** The t24 core over any (doc_id, text) corpus. */
+  def bigramPplOf(corpus: DataFrame): DataFrame = {
+    import corpus.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     // persisted (tracked): the tokenized view feeds the unigram
     // counts, the bigram counts, and the scoring pass
-    val docs = graft.Caches.persist(Tables.documents(spark, dir)
+    val docs = graft.Caches.persist(corpus
       .select($"doc_id",
         expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("tk"))
       .filter(size($"tk") >= 2))

@@ -423,4 +423,15 @@ class GraftEngineSpec extends SparkSpec {
     Caches.releaseAll()
     Caches.releaseShared()
   }
+
+  test("bigramPerplexity / temperatureMix facades equal their driver queries") {
+    val e = new GraftEngine(spark, Tables.documents(spark, sfDir))
+    assert(e.bigramPerplexity().collect().map(_.toSeq).toSeq ==
+      graft.operators.TextAnalysis.t24BigramPpl(spark, sfDir)
+        .collect().map(_.toSeq).toSeq)
+    assert(e.temperatureMix().collect().map(_.toSeq).toSeq ==
+      graft.operators.Curation.p20TemperatureMix(spark, sfDir)
+        .collect().map(_.toSeq).toSeq)
+    Caches.releaseAll()
+  }
 }
