@@ -871,7 +871,93 @@ object Multimodal {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** m12: PNG tEXt METADATA walk — the ancillary-chunk chain parse
+    * every asset-metadata extractor needs (Title/Author/Comment
+    * live in tEXt chunks, not the IHDR m3 reads): chunks are
+    * [len BE32 | type(4) | data(len) | crc(4)] back to back after
+    * the 8-byte signature, so the walk materializes bounded hop
+    * offsets (each next offset = prev + 12 + len — the m6/m9
+    * marker-chain pattern), decodes tEXt data at the NUL split into
+    * (keyword, text), and coalesces the wanted keys across slots
+    * (m10's slot pattern). Synthesis: IHDR + Title (all docs) +
+    * Author (even ids) + Comment (ids%3==0) + IEND; oracle
+    * recomputes every field first-principles from the rules, so a
+    * mis-stepped hop or a bad NUL split hash-mismatches. zTXt/iTXt
+    * (compressed text) would ride f5's Inflater seam — the walk
+    * here is the uncompressed baseline. */
+  def m12PngText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def chunkHex(keyAscii: String, value: Column): Column = {
+      val keyHex = keyAscii.getBytes("US-ASCII")
+        .map(b => f"$b%02X").mkString
+      concat(
+        lpad(hex(lit(keyAscii.length + 1).cast("long") +
+          octet_length(value.cast("binary")).cast("long")), 8, "0"),
+        lit("74455874"), // "tEXt"
+        lit(keyHex), lit("00"), hex(value.cast("binary")),
+        lit("DEADBEEF"))
+    }
+    val title = concat(lit("doc "), $"doc_id".cast("string"))
+    val author = concat(lit("host"), pmod($"doc_id", lit(3)).cast("string"))
+    val comment = repeat(lit("c"), (pmod($"doc_id", lit(7)) + 1).cast("int"))
+    val hexPayload = concat(
+      lit("89504E470D0A1A0A"),                       // signature
+      lit("0000000D4948445200000010000000100806000000DEADBEEF"), // IHDR 16x16 rgba
+      chunkHex("Title", title),
+      when(pmod($"doc_id", lit(2)) === 0, chunkHex("Author", author))
+        .otherwise(lit("")),
+      when(pmod($"doc_id", lit(3)) === 0, chunkHex("Comment", comment))
+        .otherwise(lit("")),
+      lit("0000000049454E44AE426082"))               // IEND
+    val blobs = Tables.documents(spark, dir)
+      .select($"doc_id", unhex(hexPayload).as("payload"))
+    parsePngText(blobs).orderBy($"doc_id")
+  }
+
+  /** The tEXt chunk walker over any (doc_id, payload binary) frame:
+    * bounded `maxChunks` hops, non-PNG payloads yield typed nulls,
+    * truncated chains stop at the payload edge. */
+  def parsePngText(blobs: DataFrame, maxChunks: Int = 6): DataFrame = {
+    import blobs.sparkSession.implicits._
+    val isPng = hex(substring($"payload", 1, 8)) === "89504E470D0A1A0A"
+    var df = blobs
+      .withColumn("_len", octet_length($"payload").cast("long"))
+      .withColumn("_is", isPng)
+    var off: Column = lit(9L)
+    (1 to maxChunks).foreach { k =>
+      df = df.withColumn(s"_o$k", when($"_is", off))
+      df = df.withColumn(s"_l$k",
+        when(col(s"_o$k") + 7L <= $"_len",
+          conv(hex(expr(s"substring(payload, _o$k, 4)")), 16, 10)
+            .cast("long")))
+      df = df.withColumn(s"_t$k",
+        when(col(s"_l$k").isNotNull &&
+             col(s"_o$k") + 11L + col(s"_l$k") <= $"_len",
+          expr(s"cast(substring(payload, _o$k + 4, 4) as string)")))
+      df = df.withColumn(s"_d$k",
+        when(col(s"_t$k") === "tEXt",
+          expr(s"cast(substring(payload, _o$k + 8, _l$k) as string)")))
+      df = df.withColumn(s"_k$k",
+        substring_index(col(s"_d$k"), "\u0000", 1))
+      df = df.withColumn(s"_v$k",
+        expr(s"substring(_d$k, length(_k$k) + 2)"))
+      off = col(s"_o$k") + 12L + coalesce(col(s"_l$k"), lit(0L))
+    }
+    def keyed(key: String) = coalesce((1 to maxChunks).map(k =>
+      when(col(s"_t$k") === "tEXt" && col(s"_k$k") === key,
+        col(s"_v$k"))): _*)
+    val nText = (1 to maxChunks)
+      .map(k => when(col(s"_t$k") === "tEXt", 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.select($"doc_id", $"_is".as("is_png"),
+      keyed("Title").as("title"),
+      keyed("Author").as("author"),
+      keyed("Comment").as("comment"),
+      when($"_is", nText).as("n_text_chunks"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m12_png_text" -> m12PngText _,
     "m11_perceptual_dedup" -> ((s, d) => m11PerceptualDedup(s, d)),
     "m10_tiff_meta" -> m10TiffMeta _,
     "m9_zip_meta" -> m9ZipMeta _,
@@ -885,6 +971,21 @@ object Multimodal {
     "m8_tar_meta" -> m8TarMeta _)
 
   val oracles: Map[String, String] = Map(
+    // first-principles recompute of the tEXt synthesis rules — no
+    // SQL byte parsing, so a mis-stepped chunk hop can't be copied
+    "m12_png_text" ->
+      """SELECT doc_id, TRUE AS is_png,
+        |  'doc ' || doc_id AS title,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'host' || (doc_id % 3) END
+        |    AS author,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN repeat('c', CAST(doc_id % 7 + 1 AS INTEGER)) END
+        |    AS comment,
+        |  CAST(1 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+        |         + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_text_chunks
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     // same 66-cell byte-sum grid, same 60-bit dHash, same chunk
     // banding, bucket cap, and popcount verify as the Spark side
     "m11_perceptual_dedup" ->

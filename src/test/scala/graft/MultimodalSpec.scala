@@ -311,6 +311,47 @@ class MultimodalSpec extends SparkSpec {
       Seq((2L, "not a zip".getBytes)).toDF("doc_id", "payload")).count() == 0)
   }
 
+  test("m12 tEXt walk reads a REAL javax.imageio-written PNG") {
+    import spark.implicits._
+    import javax.imageio.metadata.IIOMetadataNode
+    // the JDK's own PNG writer with tEXt metadata — fully independent
+    // of the driver query's hex synthesis (real IDAT, real CRCs)
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("png").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    val wp = writer.getDefaultWriteParam
+    val meta = writer.getDefaultImageMetadata(
+      new javax.imageio.ImageTypeSpecifier(img), wp)
+    val root = new IIOMetadataNode("javax_imageio_png_1.0")
+    val t = new IIOMetadataNode("tEXt")
+    def entry(k: String, v: String): IIOMetadataNode = {
+      val e = new IIOMetadataNode("tEXtEntry")
+      e.setAttribute("keyword", k); e.setAttribute("value", v); e
+    }
+    t.appendChild(entry("Title", "real png title"))
+    t.appendChild(entry("Author", "io writer"))
+    root.appendChild(t)
+    meta.mergeTree("javax_imageio_png_1.0", root)
+    writer.write(null, new javax.imageio.IIOImage(img, null, meta), wp)
+    ios.close(); writer.dispose()
+    val df = Seq((1L, bos.toByteArray)).toDF("doc_id", "payload")
+    val r = graft.operators.Multimodal.parsePngText(df, maxChunks = 8)
+      .collect().head
+    assert(r.getBoolean(1))
+    assert(r.getString(2) == "real png title", s"title: ${r.getString(2)}")
+    assert(r.getString(3) == "io writer")
+    assert(r.getLong(5) >= 2L)
+    // junk payloads yield typed nulls, never garbage
+    val junk = graft.operators.Multimodal.parsePngText(
+      Seq((2L, "not a png".getBytes)).toDF("doc_id", "payload"))
+      .collect().head
+    assert(!junk.getBoolean(1) && junk.isNullAt(2) && junk.isNullAt(5))
+  }
+
   test("m11 dHash pairs exact copies at hamming 0, small edits nearby, noise apart") {
     import spark.implicits._
     val base = (0 until 400).map(i => ('a' + i % 23).toChar).mkString
