@@ -63,6 +63,11 @@ object Bench {
     val tV = System.nanoTime()
     operators.Knn.vectorReps(spark, sfDir).count()
     val vecDt = (System.nanoTime() - tV) / 1e9
+    // And the cascade tuning grid (the per-config top-k pairs a17's
+    // report and a12's tuned row both read): measured once per corpus.
+    val tG = System.nanoTime()
+    operators.Knn.cascadeGridPairs(spark, sfDir).count()
+    val gridDt = (System.nanoTime() - tG) / 1e9
     // And the crawl-graph rank table (c15's fixed point, c17's
     // scheduling input): ranked once per crawl cycle.
     val tP = System.nanoTime()
@@ -109,6 +114,7 @@ object Bench {
     } + ("_shared_shingle_scan" -> sharedDt) +
       ("_shared_text_scan" -> textDt) +
       ("_shared_term_counts" -> tcDt) +
+      ("_shared_cascade_grid" -> gridDt) +
       ("_shared_cc_labels" -> ccDt) +
       ("_shared_vector_reps" -> vecDt) +
       ("_shared_pagerank" -> prDt) +

@@ -1062,8 +1062,14 @@ object Knn {
     * configs ride a broadcast theta-join (9 tiny rows), and the
     * stage-2/3 windows partition by (s1, s2, q_id) — nine cascades
     * for roughly the price of one. Output (s1, s2, q_id, vec_id). */
-  private def cascadeGridPairs(spark: SparkSession, dir: String,
-                               k: Int = 5): DataFrame = {
+  private[graft] def cascadeGridPairs(spark: SparkSession, dir: String,
+                                      k: Int = 5): DataFrame =
+    graft.Caches.shared(spark, s"cascade_grid:$dir:k=$k") {
+      cascadeGridPairsBuild(spark, dir, k)
+    }
+
+  private def cascadeGridPairsBuild(spark: SparkSession, dir: String,
+                                    k: Int): DataFrame = {
     import spark.implicits._
     val quant = vectorReps(spark, dir)
     val queries = quant.filter($"vec_id" < 10)
