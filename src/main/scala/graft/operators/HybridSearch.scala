@@ -344,7 +344,54 @@ object HybridSearch {
       .collect().map(_.getString(0)).toSeq
   }
 
+  /** s10: SNIPPET extraction — the serving step between "these are
+    * the top-k doc ids" and what a search UI actually renders (the
+    * reference returns chunk content with every hit;
+    * retrieval/service.go's results carry text): for each of s1's
+    * top-10 docs, find the `window`-token span covering the MOST
+    * DISTINCT query terms (ties: most term hits, then earliest
+    * start) and emit it as the snippet. Candidate starts are term
+    * hit positions only — the classic highlighting trick that makes
+    * the scan O(hits·window-hits) per doc instead of O(|doc|·window)
+    * — and the hit×hit range join is keyed on doc_id with hits-per-
+    * doc tiny (query-term occurrences), never a token×token blowup.
+    * Integer scoring end to end; the snippet itself is a
+    * deterministic slice+join of the token array. */
+  def s10Snippets(spark: SparkSession, dir: String,
+                  window: Int = 10): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val top = s1KeywordBm25(spark, dir)
+    val docs = graft.Caches.persist(
+      Tables.documents(spark, dir)
+        .join(broadcast(top), "doc_id")
+        .select($"doc_id", $"score",
+          regexp_extract_all(lower($"text"), lit(WordTokenPattern), lit(0))
+            .as("tok")))
+    val hits = docs
+      .select($"doc_id", posexplode($"tok"))
+      .filter($"col".isin(QueryTerms: _*))
+      .select($"doc_id", ($"pos" + 1).cast("long").as("p"),
+        $"col".as("term"))
+    val winScores = hits.select($"doc_id", $"p").distinct()
+      .join(hits.select($"doc_id", $"p".as("q"), $"term"), Seq("doc_id"))
+      .filter($"q" >= $"p" && $"q" < $"p" + window)
+      .groupBy($"doc_id", $"p")
+      .agg(countDistinct($"term").as("n_terms"), count(lit(1)).as("n_hits"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"n_terms".desc, $"n_hits".desc, $"p")
+    val best = winScores
+      .withColumn("rnk", row_number().over(w)).filter($"rnk" === 1)
+      .select($"doc_id", $"p".as("start_pos"), $"n_terms")
+    docs.join(best, "doc_id")
+      .select($"doc_id", $"score", $"start_pos", $"n_terms",
+        concat_ws(" ",
+          slice($"tok", $"start_pos".cast("int"), lit(window))).as("snippet"))
+      .orderBy($"score".desc, $"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s10_snippets" -> ((s, d) => s10Snippets(s, d)),
     "s9_prf_expansion" -> ((s, d) => s9PrfExpansion(s, d)),
     "s8_search_eval" -> ((s, d) => s8SearchEval(s, d)),
     "s1_keyword_bm25" -> s1KeywordBm25 _,
@@ -446,6 +493,40 @@ object HybridSearch {
        |  FROM ($sql)) WHERE rnk <= 10)""".stripMargin
 
   val oracles: Map[String, String] = oraclesBase +
+    // same candidate starts (hit positions), same (n_terms, n_hits,
+    // start) tie-break, same 1-based window slice
+    ("s10_snippets" ->
+      s"""WITH top AS (
+         |${oraclesBase("s1_keyword_bm25")}
+         |),
+         |d AS (
+         |  SELECT documents.doc_id, top.score,
+         |    regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+') AS tok
+         |  FROM documents JOIN top ON documents.doc_id = top.doc_id),
+         |hits AS (
+         |  SELECT doc_id, g.i AS p, tok[g.i] AS term
+         |  FROM d, LATERAL unnest(generate_series(1, len(tok))) AS g(i)
+         |  WHERE tok[g.i] IN ('spark', 'join', 'filter')),
+         |wins AS (
+         |  SELECT a.doc_id, a.p,
+         |    count(DISTINCT b.term) AS n_terms, count(*) AS n_hits
+         |  FROM (SELECT DISTINCT doc_id, p FROM hits) a
+         |  JOIN hits b ON b.doc_id = a.doc_id
+         |    AND b.p >= a.p AND b.p < a.p + 10
+         |  GROUP BY a.doc_id, a.p),
+         |best AS (
+         |  SELECT doc_id, p AS start_pos, n_terms FROM (
+         |    SELECT doc_id, p, n_terms,
+         |      row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY n_terms DESC, n_hits DESC, p) AS rnk
+         |    FROM wins) WHERE rnk = 1)
+         |SELECT d.doc_id, d.score,
+         |  CAST(best.start_pos AS BIGINT) AS start_pos,
+         |  CAST(best.n_terms AS BIGINT) AS n_terms,
+         |  array_to_string(tok[best.start_pos:best.start_pos + 9], ' ')
+         |    AS snippet
+         |FROM d JOIN best ON d.doc_id = best.doc_id
+         |ORDER BY d.score DESC, d.doc_id""".stripMargin) +
     ("s9_prf_expansion" ->
       """WITH docs AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS tok,

@@ -98,4 +98,38 @@ class HybridSearchSpec extends SparkSpec {
       rows.map(_.toSeq).toSeq)
     Caches.releaseAll()
   }
+
+  test("s10 snippets: best window maximizes distinct query terms, slice is exact") {
+    import spark.implicits._
+    val rows = HybridSearch.s10Snippets(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+                 r.getLong(3), r.getString(4)))
+    // one snippet per s1 hit, same ids, same order
+    val s1 = HybridSearch.s1KeywordBm25(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.map(r => (r._1, r._2)).toSeq == s1.toSeq)
+    rows.foreach { case (id, _, start, nTerms, snip) =>
+      assert(start >= 1 && nTerms >= 1 && nTerms <= 3, s"doc $id")
+      val toks = snip.split(" ")
+      assert(toks.length <= 10, s"doc $id window too wide")
+      // the span really contains nTerms distinct query terms and
+      // STARTS on one (candidate starts are hit positions)
+      val qt = Set("spark", "join", "filter")
+      assert(toks.toSet.intersect(qt).size == nTerms, s"doc $id coverage")
+      assert(qt.contains(toks.head), s"doc $id must start on a hit")
+    }
+    // planted: the window with all three terms beats earlier sparse hits
+    val planted = Seq(
+      (1L, "en", "s", "spark appears early then pad pad pad pad pad pad " +
+        "pad pad pad pad finally spark join filter together here"))
+      .toDF("doc_id", "lang", "source", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("s10").toString
+    planted.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val p = HybridSearch.s10Snippets(spark, tmp).collect().head
+    assert(p.getLong(3) == 3L)
+    assert(p.getString(4).startsWith("spark join filter"))
+    // 1-based: spark(1) ... pad×11 ... finally(15) spark(16)
+    assert(p.getLong(2) == 16L)
+    Caches.releaseAll()
+  }
 }
