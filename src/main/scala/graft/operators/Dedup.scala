@@ -272,6 +272,46 @@ object Dedup {
   def d4NgramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardFrom(hashedShingleSets(spark, dir), MaxBlock)
 
+  /** Candidate thresholds the d16 sweep measures. */
+  val SweepTaus: Seq[Double] = Seq(0.1, 0.2, 0.3, 0.5, 0.7)
+
+  /** d16: dedup THRESHOLD SWEEP — a17's "measure before choosing the
+    * knob" discipline applied to the near-dup cut: every candidate τ
+    * scored in ONE pass over the exact-Jaccard candidate pairs (d4's
+    * threshold-independent first/last-shingle blocking — the
+    * candidate set does not depend on τ, so the sweep is a 5-row
+    * broadcast theta-join + two keyed aggregates, NOT five dedup
+    * runs). Per τ: surviving pair count, distinct documents touched,
+    * and the corpus share they represent — the curve an operator
+    * reads before committing a threshold that silently deletes ten
+    * percent of the corpus (or nothing at all). */
+  def d16ThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sets = graft.Caches.persist(hashedShingleSets(spark, dir))
+    val scored = graft.Caches.persist(
+      JoinUtils.saltedJoin(
+        JoinUtils.saltedJoin(ngramCandidates(sets, MaxBlock),
+          sets.select($"doc_id".as("a_id"), $"hs".as("sha")), "a_id", salt = 8),
+        sets.select($"doc_id".as("b_id"), $"hs".as("shb")), "b_id", salt = 8)
+        .select($"a_id", $"b_id", round(jaccard($"sha", $"shb"), 6).as("jaccard")))
+    val taus = SweepTaus.toDF("tau")
+    val hit = scored.join(broadcast(taus), $"jaccard" >= $"tau")
+    val nPairs = hit.groupBy($"tau").agg(count(lit(1)).as("n_pairs"))
+    val nDocs = hit
+      .select($"tau", explode(array($"a_id", $"b_id")).as("d"))
+      .groupBy($"tau").agg(countDistinct($"d").as("n_docs_affected"))
+    val total = sets.agg(count(lit(1)).cast("double").as("n_total"))
+    taus.join(nPairs, Seq("tau"), "left")
+      .join(nDocs, Seq("tau"), "left")
+      .crossJoin(broadcast(total))
+      .select($"tau",
+        coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+        coalesce($"n_docs_affected", lit(0L)).as("n_docs_affected"),
+        round(coalesce($"n_docs_affected", lit(0L)).cast("double")
+          / $"n_total", 6).as("doc_share"))
+      .orderBy($"tau")
+  }
+
   /** Label-cell cap for d5's within-cell self-join: a cell larger
     * than this means the coarse quantizer is too coarse for the data
     * (the IVF answer is to grow k / re-quantize, not to run the
@@ -609,6 +649,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_threshold_sweep" -> d16ThresholdSweep _,
     "d13_window_dedup" -> ((s, d) => d13WindowDedup(s, d)),
     "d12_bbit_minhash" -> d12BbitMinhash _,
     "d9_jaccard_estimate" -> d9JaccardEstimate _,
@@ -859,6 +900,46 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    // d4's threshold-independent candidates, the τ grid applied as a
+    // theta join — same caps, same rounding, same zero-fill
+    "d16_threshold_sweep" ->
+      s"""WITH $hashedSetSql,
+         |blocks AS (
+         |  SELECT doc_id, 0 AS bidx, hs[1] AS bkey FROM d
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS bidx, hs[len(hs)] AS bkey FROM d),
+         |kept AS (
+         |  SELECT doc_id, bidx, bkey FROM (
+         |    SELECT doc_id, bidx, bkey,
+         |      count(*) OVER (PARTITION BY bidx, bkey) AS bcnt
+         |    FROM blocks) WHERE bcnt <= $MaxBlock),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM kept a JOIN kept b
+         |    ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT a_id, b_id,
+         |   round(CAST(len(list_intersect(da.hs, db.hs)) AS DOUBLE)
+         |       / len(list_distinct(list_concat(da.hs, db.hs))), 6) AS jaccard
+         |  FROM cand JOIN d da ON da.doc_id = a_id JOIN d db ON db.doc_id = b_id),
+         |taus(tau) AS (VALUES ${SweepTaus.map(t => s"($t)").mkString(", ")}),
+         |hit AS (
+         |  SELECT t.tau, s.a_id, s.b_id FROM scored s
+         |  JOIN taus t ON s.jaccard >= t.tau),
+         |np AS (SELECT tau, CAST(count(*) AS BIGINT) AS n_pairs
+         |       FROM hit GROUP BY tau),
+         |nd AS (SELECT tau, CAST(count(DISTINCT dd) AS BIGINT) AS n_docs_affected
+         |       FROM (SELECT tau, unnest([a_id, b_id]) AS dd FROM hit)
+         |       GROUP BY tau),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM d)
+         |SELECT t.tau,
+         |  COALESCE(np.n_pairs, 0) AS n_pairs,
+         |  COALESCE(nd.n_docs_affected, 0) AS n_docs_affected,
+         |  round(COALESCE(nd.n_docs_affected, 0) / tot.n_total, 6) AS doc_share
+         |FROM taus t
+         |LEFT JOIN np ON np.tau = t.tau
+         |LEFT JOIN nd ON nd.tau = t.tau, tot
+         |ORDER BY t.tau""".stripMargin,
     "d2_dedup_minhash_lsh" -> d2Sql,
     "d14_tuned_lsh" -> d14Sql(0.5),
     "d8_incremental_dedup" -> d8Sql,

@@ -392,4 +392,22 @@ class DedupSpec extends SparkSpec {
       s"missing strong pairs: ${strong -- found}")
     Caches.releaseAll(); Caches.releaseShared()
   }
+
+  test("d16 sweep: counts decrease monotonically in tau, tau=0.3 row matches d4") {
+    val rows = Dedup.d16ThresholdSweep(spark, sfDir).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Dedup.SweepTaus)
+    // raising the threshold can only shrink the surviving set
+    rows.zip(rows.tail).foreach { case (lo, hi) =>
+      assert(lo._2 >= hi._2 && lo._3 >= hi._3,
+        s"not monotone: tau=${lo._1} vs ${hi._1}")
+    }
+    // the tau=0.3 cell is exactly d4's pair count (same candidates,
+    // same cut)
+    val d4Pairs = Dedup.d4NgramJaccard(spark, sfDir).count()
+    assert(rows.find(_._1 == 0.3).get._2 == d4Pairs)
+    // doc_share is a true share of the shingled corpus
+    rows.foreach(r => assert(r._4 >= 0.0 && r._4 <= 1.0))
+    Caches.releaseAll()
+  }
 }
