@@ -549,6 +549,11 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
   def temperatureMix(budget: Long = 1000000L): DataFrame =
     graft.operators.Curation.temperatureMixOf(corpus, budget)
 
+  /** Near-dup threshold sweep over the corpus (d16): what each
+    * candidate τ would actually touch, measured in one pass. */
+  def thresholdSweep(): DataFrame =
+    graft.operators.Dedup.thresholdSweepOf(corpus)
+
   /** Deterministic epoch shuffle of the corpus (p11): content-hash
     * shards + within-shard hash order — one fixed pseudo-random
     * permutation with no global row_number. */

@@ -285,9 +285,17 @@ object Dedup {
     * and the corpus share they represent — the curve an operator
     * reads before committing a threshold that silently deletes ten
     * percent of the corpus (or nothing at all). */
-  def d16ThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+  def d16ThresholdSweep(spark: SparkSession, dir: String): DataFrame =
+    thresholdSweepFrom(
+      graft.Caches.persist(hashedShingleSets(spark, dir)))
+
+  /** The d16 sweep over any (doc_id, text) corpus. */
+  def thresholdSweepOf(corpus: DataFrame): DataFrame =
+    thresholdSweepFrom(graft.Caches.persist(hashedShingleSetsOf(corpus)))
+
+  private def thresholdSweepFrom(sets: DataFrame): DataFrame = {
+    val spark = sets.sparkSession
     import spark.implicits._
-    val sets = graft.Caches.persist(hashedShingleSets(spark, dir))
     val scored = graft.Caches.persist(
       JoinUtils.saltedJoin(
         JoinUtils.saltedJoin(ngramCandidates(sets, MaxBlock),

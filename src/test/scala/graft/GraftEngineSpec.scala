@@ -432,6 +432,9 @@ class GraftEngineSpec extends SparkSpec {
     assert(e.temperatureMix().collect().map(_.toSeq).toSeq ==
       graft.operators.Curation.p20TemperatureMix(spark, sfDir)
         .collect().map(_.toSeq).toSeq)
+    assert(e.thresholdSweep().collect().map(_.toSeq).toSeq ==
+      graft.operators.Dedup.d16ThresholdSweep(spark, sfDir)
+        .collect().map(_.toSeq).toSeq)
     Caches.releaseAll()
   }
 }
