@@ -631,7 +631,12 @@ object ChunkQueries {
     val keyType = edges.schema("src").dataType
     val es = edges.select("src", "dst").collect()
       .map(r => (r.get(0), r.get(1)))
-    val next: Map[Any, Any] = es.toMap // functional graph: one out-edge per src
+    // The distributed path fans duplicate-src rows out, while toMap
+    // would pick a collect-order winner — fail loudly instead of
+    // diverging between the two size-gated paths.
+    require(es.map(_._1).distinct.length == es.length,
+      "redirect edges must be a functional graph (one out-edge per src)")
+    val next: Map[Any, Any] = es.toMap
     val nodes: Seq[Any] = (es.map(_._1) ++ es.map(_._2)).distinct.toSeq
     var p = nodes.map(u => u -> next.getOrElse(u, u)).toMap
     var h = nodes.map(u => u -> (if (next.contains(u)) 1L else 0L)).toMap

@@ -370,18 +370,14 @@ object FileIngest {
     blobs.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val inflater = new java.util.zip.Inflater(true) // open(): per task
-        val out = it.flatMap { case (id, b) =>
+        // close(): on task completion, so a downstream limit/take that
+        // abandons the iterator still releases the native zlib state
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => inflater.end()))
+        it.flatMap { case (id, b) =>
           walkZipMembers(b, maxEntries, inflater).map {
             case (entry, method, content) => (id, entry, method, content)
           }
-        }
-        new Iterator[(Long, String, String, String)] {
-          def hasNext: Boolean = {
-            val h = out.hasNext
-            if (!h) inflater.end() // close(): after the last archive
-            h
-          }
-          def next(): (Long, String, String, String) = out.next()
         }
       }.toDF("doc_id", "entry", "method", "content")
   }
@@ -400,9 +396,19 @@ object FileIngest {
     def le32(i: Int): Long =
       le16(i).toLong | (le16(i + 2).toLong << 16)
     if (b.length < 22) return Nil
-    val eocd = b.length - 22
-    if (u8(eocd) != 0x50 || u8(eocd + 1) != 0x4b ||
-        u8(eocd + 2) != 0x05 || u8(eocd + 3) != 0x06) return Nil
+    // EOCD is the last PK\x05\x06 in the final 64KB+22 bytes — real
+    // archives carry zip comments / trailing bytes, so the record is
+    // rarely at the fixed b.length-22 offset. Backward scan, bounded.
+    var eocd = -1
+    var scan = b.length - 22
+    val scanFloor = math.max(0, b.length - 22 - 0xffff)
+    while (eocd < 0 && scan >= scanFloor) {
+      if (u8(scan) == 0x50 && u8(scan + 1) == 0x4b &&
+          u8(scan + 2) == 0x05 && u8(scan + 3) == 0x06 &&
+          scan + 22 + le16(scan + 20) <= b.length) eocd = scan
+      else scan -= 1
+    }
+    if (eocd < 0) return Nil
     var ce = le32(eocd + 16).toInt
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
     var i = 0

@@ -571,10 +571,12 @@ object Knn {
     val probes = filteredProbes(queries, cents, nprobe)
     // bounded collects (|Q| labels, |Q|·nprobe cids) — the probe
     // lists become PartitionFilters on BOTH partition columns
+    // untyped collects: tenant labels may be strings (the docstring's
+    // use case) or ints — mirror the key-type-generic twin
     val labels = probes.select($"q_label").distinct()
-      .collect().map(_.getInt(0)).toSeq
+      .collect().map(_.get(0)).toSeq
     val cids = probes.select($"cid").distinct()
-      .collect().map(_.getInt(0)).toSeq
+      .collect().map(_.get(0)).toSeq
     val cells = spark.read.parquet(path)
       .filter($"label".isin(labels: _*) && $"cid".isin(cids: _*))
     val w = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")

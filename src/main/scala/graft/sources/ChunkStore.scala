@@ -413,8 +413,19 @@ object ChunkStore {
       } else if (!fs.exists(store)) {
         attempt = 3 // store dir absent: genuinely empty, don't wait
       } else {
-        attempt += 1
-        if (attempt < 3) Thread.sleep(20L * attempt)
+        // Only retry when a v=* sibling exists — evidence a commit
+        // happened, so the missing pointer may be a concurrent
+        // delete→rename window. A pointer-less store with no version
+        // dirs (e.g. a crashed first commit) will never grow one by
+        // waiting; don't tax every read with the retry latency.
+        val hasVersionDir =
+          try fs.listStatus(store).exists(_.getPath.getName.startsWith("v="))
+          catch { case _: java.io.FileNotFoundException => false }
+        if (!hasVersionDir) attempt = 3
+        else {
+          attempt += 1
+          if (attempt < 3) Thread.sleep(20L * attempt)
+        }
       }
     }
     res

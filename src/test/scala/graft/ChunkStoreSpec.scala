@@ -265,6 +265,24 @@ class ChunkStoreSpec extends SparkSpec {
     }
   }
 
+  test("currentVersion: pointer-less store without v=* dirs answers without retrying") {
+    // a crashed first commit can leave the store dir with no pointer
+    // and no version dir — that state never changes, so reads must
+    // not pay the delete→rename retry window for it
+    val path = s"$tmp/crashed"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_tmp_attempt"))
+    val t0 = System.nanoTime()
+    assert(ChunkStore.currentVersion(spark, path).isEmpty)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 50, s"pointer-less no-version probe took ${ms}ms — retried?")
+    // with a v=* sibling (evidence of a commit) the retry window IS
+    // taken, and still resolves to None when no pointer ever appears
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/v=1"))
+    assert(ChunkStore.currentVersion(spark, path).isEmpty)
+  }
+
   test("manifest skipping: pruned read is exact, opens a fraction of files, rejects stale") {
     val zPath = Files.createTempDirectory("graft-mf").toString + "/li"
     val li = Tables.lineitem(spark, sfDir)

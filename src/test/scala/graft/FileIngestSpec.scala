@@ -128,4 +128,34 @@ class FileIngestSpec extends SparkSpec {
     val nDocs = Tables.documents(spark, sfDir).count()
     assert(byMethod == Map("stored" -> nDocs, "deflated" -> nDocs))
   }
+
+  test("expandArchives finds EOCD behind a zip comment and trailing bytes") {
+    import spark.implicits._
+    // real crawl dumps carry archive comments — the EOCD is then NOT
+    // at the fixed b.length-22 offset, so the walker must scan back
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    val e = new java.util.zip.ZipEntry("note.txt")
+    e.setMethod(java.util.zip.ZipEntry.DEFLATED)
+    zos.putNextEntry(e)
+    zos.write(("commented archive body. " * 10).getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.setComment("mirror=archive.example.org build=2026-08") // EOCD comment
+    zos.close()
+    val commented = bos.toByteArray
+    // sanity: the fixed-offset assumption really is violated here
+    assert(!(commented(commented.length - 22) == 0x50.toByte &&
+      commented(commented.length - 21) == 0x4b.toByte))
+    val rows = graft.operators.FileIngest.expandArchives(
+        Seq((1L, commented)).toDF("doc_id", "payload")).collect()
+    assert(rows.length == 1 && rows.head.getString(1) == "note.txt" &&
+      rows.head.getString(3) == ("commented archive body. " * 10))
+    // a downstream limit abandons the iterator mid-partition — the
+    // task-completion listener (not iterator exhaustion) releases the
+    // Inflater, so this must complete cleanly
+    val many = Seq.tabulate(8)(i => (i.toLong, commented))
+      .toDF("doc_id", "payload").repartition(1)
+    assert(graft.operators.FileIngest.expandArchives(many)
+      .limit(1).count() == 1)
+  }
 }

@@ -84,4 +84,26 @@ class KnnIndexSpec extends SparkSpec {
     assert(full === a16)
     Caches.releaseAll()
   }
+
+  test("filtered index serves STRING tenant labels (the docstring's use case)") {
+    // the tenant key is usually a string, not an int — the persisted
+    // serve must collect labels untyped, like the in-memory twin
+    val cents = Knn.writeFilteredIvfIndex(spark, sfDir, s"$tmp/fivf_tmp")
+    val cells = Knn.assignedCells(spark, sfDir, cents)
+      .withColumn("label", concat(lit("tenant-"), $"label"))
+    val path = s"$tmp/fivf_str"
+    cells.write.mode("overwrite").partitionBy("label", "cid").parquet(path)
+    val queries = Tables.embeddings(spark, sfDir)
+      .filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"),
+        graft.functions.VectorFunctions.asDouble($"embedding").as("qv"),
+        concat(lit("tenant-"), $"label").as("q_label"))
+    val served = Knn.serveFilteredFromIvfIndex(spark, path, cents, queries)
+      .collect().map(_.toSeq).toSeq
+    assert(served.nonEmpty)
+    val inMemory = Knn.filteredIvfServe(cells, cents, queries, nprobe = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(served === inMemory)
+    Caches.releaseAll()
+  }
 }

@@ -94,6 +94,18 @@ class PageRankSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("redirects: duplicate-src edges fail loudly on the driver-local path") {
+    // a non-functional graph would resolve nondeterministically under
+    // toMap while the distributed path fans rows out — the local twin
+    // must reject it instead of silently picking a winner
+    val dup = Seq((1L, 2L), (1L, 3L), (2L, 4L)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      ChunkQueries.resolveRedirects(dup, 3, Long.MaxValue).collect()
+    }
+    assert(ex.getMessage.contains("functional graph"))
+    Caches.releaseAll()
+  }
+
   test("adaptive BFS: driver-local path == distributed loop, bit-exact") {
     // diamond (two paths, min depth wins), cycle back to seed,
     // deep chain past maxDepth, unreachable island
