@@ -139,13 +139,27 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
     * (query, num_results, duration, correlation_id) like the
     * reference's deferred QueryLogger call, return the rows. A
     * failed search logs nothing — same as the reference's err==nil
-    * gate. */
+    * gate.
+    *
+    * Every hit carries renderable text — the reference's
+    * SearchResult.Content contract (retrieval/service.go:11,114-120:
+    * hits return chunk Content to the client and the reranker) — as
+    * two columns past (doc_id, hybrid_score): `content` (the full
+    * document text) and `snippet` (the best `window`-token span of
+    * query-term coverage, s10's operator made corpus-generic; a
+    * vector-only hit with no term occurrence falls back to the
+    * document head). Snippet cost is O(k): only the top-k docs are
+    * re-tokenized, via a broadcast semi-join. */
   def runSearch(query: String, alpha: Double = settings.searchAlpha,
                 limit: Int = settings.searchTopK,
                 filters: Map[String, String] = Map.empty,
                 correlationId: String = ""): Seq[org.apache.spark.sql.Row] = {
     val t0 = System.nanoTime()
-    val rows = search(query, alpha, limit, filters).collect().toSeq
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val ranked = search(query, alpha, limit, filters)
+    val rows = HybridSearch.snippetsOf(corpus, ranked, terms)
+      .orderBy(col("hybrid_score").desc, col("doc_id"))
+      .collect().toSeq
     queryLog.log(QueryLog.entry(query, rows.length,
       System.nanoTime() - t0, correlationId))
     rows

@@ -360,17 +360,38 @@ object HybridSearch {
   def s10Snippets(spark: SparkSession, dir: String,
                   window: Int = 10): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val top = s1KeywordBm25(spark, dir)
+    snippetsOf(Tables.documents(spark, dir), top, QueryTerms, window)
+      .select($"doc_id", $"score", $"start_pos", $"n_terms", $"snippet")
+      .orderBy($"score".desc, $"doc_id")
+  }
+
+  /** Corpus-generic snippet serving — s10's windowing over ANY
+    * (doc_id, text) corpus and ANY ranked hit list, so the facade's
+    * runSearch can return renderable text with every hit like the
+    * reference's SearchResult.Content (retrieval/service.go:11,
+    * 114-120: every hit carries chunk Content to the client and the
+    * reranker). Returns `ranked.*` + (content, start_pos, n_terms,
+    * snippet). A hit with NO query-term occurrence (vector-leg-only
+    * match) still renders: its snippet falls back to the document's
+    * first `window` tokens with n_terms = 0 — the "return the chunk
+    * text" behavior, never a dropped row. Only the ranked top-k docs
+    * are tokenized (broadcast semi-join into the corpus scan), so
+    * serving cost is O(k), independent of corpus size. */
+  def snippetsOf(corpus: DataFrame, ranked: DataFrame,
+                 terms: Seq[String], window: Int = 10): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val docs = graft.Caches.persist(
-      Tables.documents(spark, dir)
-        .join(broadcast(top), "doc_id")
-        .select($"doc_id", $"score",
+      corpus
+        .join(broadcast(ranked.select($"doc_id")), "doc_id")
+        .select($"doc_id", $"text",
           regexp_extract_all(lower($"text"), lit(WordTokenPattern), lit(0))
             .as("tok")))
     val hits = docs
       .select($"doc_id", posexplode($"tok"))
-      .filter($"col".isin(QueryTerms: _*))
+      .filter($"col".isin(terms: _*))
       .select($"doc_id", ($"pos" + 1).cast("long").as("p"),
         $"col".as("term"))
     val winScores = hits.select($"doc_id", $"p").distinct()
@@ -383,11 +404,14 @@ object HybridSearch {
     val best = winScores
       .withColumn("rnk", row_number().over(w)).filter($"rnk" === 1)
       .select($"doc_id", $"p".as("start_pos"), $"n_terms")
-    docs.join(best, "doc_id")
-      .select($"doc_id", $"score", $"start_pos", $"n_terms",
-        concat_ws(" ",
-          slice($"tok", $"start_pos".cast("int"), lit(window))).as("snippet"))
-      .orderBy($"score".desc, $"doc_id")
+    val rendered = docs.join(best, Seq("doc_id"), "left")
+      .select($"doc_id", $"text".as("content"),
+        coalesce($"start_pos", lit(1L)).as("start_pos"),
+        coalesce($"n_terms", lit(0L)).as("n_terms"),
+        concat_ws(" ", slice($"tok",
+          coalesce($"start_pos", lit(1L)).cast("int"),
+          lit(window))).as("snippet"))
+    ranked.join(rendered, "doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -132,4 +132,37 @@ class HybridSearchSpec extends SparkSpec {
     assert(p.getLong(2) == 16L)
     Caches.releaseAll()
   }
+
+  test("snippetsOf facade ≡ s10 query; no-hit docs fall back to the doc head") {
+    import spark.implicits._
+    // facade over the SAME corpus + ranking == the oracle-gated query
+    val top = HybridSearch.s1KeywordBm25(spark, sfDir)
+    val viaFacade = HybridSearch
+      .snippetsOf(Tables.documents(spark, sfDir), top, HybridSearch.QueryTerms)
+      .select($"doc_id", $"score", $"start_pos", $"n_terms", $"snippet")
+      .orderBy($"score".desc, $"doc_id")
+      .collect().map(_.toSeq).toSeq
+    val viaQuery = HybridSearch.s10Snippets(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(viaFacade === viaQuery)
+    // content rides along, and a hit containing NO query term still
+    // renders (head fallback, n_terms = 0) instead of dropping out
+    val corpus = Seq(
+      (1L, "spark join filter makes this a term hit"),
+      (2L, "vector only match with no keyword overlap at all"))
+      .toDF("doc_id", "text")
+    val ranked = Seq((1L, 0.9), (2L, 0.5)).toDF("doc_id", "hybrid_score")
+    val out = HybridSearch
+      .snippetsOf(corpus, ranked, HybridSearch.QueryTerms, window = 4)
+      .orderBy($"doc_id")
+      .collect()
+    assert(out.length == 2)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[String]("content").startsWith("spark join"))
+    assert(byId(1L).getAs[Long]("n_terms") == 3L)
+    assert(byId(2L).getAs[Long]("n_terms") == 0L)
+    assert(byId(2L).getAs[Long]("start_pos") == 1L)
+    assert(byId(2L).getAs[String]("snippet") == "vector only match with")
+    Caches.releaseAll()
+  }
 }

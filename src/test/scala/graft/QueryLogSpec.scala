@@ -22,6 +22,13 @@ class QueryLogSpec extends SparkSpec {
     val r2 = eng.runSearch("markdown chunk", limit = 3, correlationId = "b")
     val entries = eng.queryLog.snapshot()
     assert(entries.length === 2)
+    // every served hit carries renderable text (the reference's
+    // SearchResult.Content): full content plus a query-term snippet
+    assert(r1.nonEmpty)
+    r1.foreach { row =>
+      assert(row.getAs[String]("content").nonEmpty)
+      assert(row.getAs[String]("snippet").nonEmpty)
+    }
     assert(entries(0).query === "spark shuffle")
     assert(entries(0).num_results === r1.length && r1.length <= 5)
     assert(entries(1).query === "markdown chunk")
