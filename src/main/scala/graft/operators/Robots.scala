@@ -273,13 +273,120 @@ object Robots {
       .orderBy($"host", $"host_rank")
   }
 
+  /** Adaptive REVISIT intervals from change signals — the scheduling
+    * policy UpdateBodyHash exists to enable (the reference stores a
+    * per-page body hash, result_consumer.go:196-198, precisely so
+    * the next cycle can tell changed from unchanged): a page that
+    * changed is revisited SOONER (halve the interval, floored at
+    * `minS`), a stable page backs off exponentially (double, capped
+    * at `maxS`), a newly discovered page starts at `defaultS`, and a
+    * deleted page leaves the schedule. Generic over any
+    * (page_key, change, prev_interval_s) frame — [[graft.operators
+    * .WebMeta.changeDetect]]'s classes feed it directly. Pure
+    * per-row arithmetic: no shuffle at all until a consumer sorts. */
+  def revisitIntervals(changes: DataFrame, minS: Double = 60.0,
+                       maxS: Double = 3600.0,
+                       defaultS: Double = 300.0): DataFrame = {
+    import changes.sparkSession.implicits._
+    changes.filter($"change" =!= "deleted")
+      .withColumn("next_interval_s",
+        when($"change" === "changed",
+          greatest(lit(minS), $"prev_interval_s" / 2))
+          .when($"change" === "unchanged",
+            least(lit(maxS), $"prev_interval_s" * 2))
+          .otherwise(lit(defaultS)))
+  }
+
+  /** Per-host politeness pacing of DUE fetches: hosts fetch
+    * serially, so within a host (slots ordered by due time) slot k
+    * fires at t_k = max(due_k, t_{k-1} + delay). That prefix
+    * recurrence would be a driver loop written naively — instead it
+    * linearizes: t_k = delay·(k−1) + running_max(due_j − delay·(j−1)),
+    * ONE cumulative-max window per host partition, fully
+    * distributed and identical in DuckDB for the oracle. Input needs
+    * (host, due_in_s, crawl_delay_s) plus `orderCol` as the
+    * deterministic tie-break; emits host_rank and fetch_at_s. */
+  def paceByHost(due: DataFrame, orderCol: String): DataFrame = {
+    import due.sparkSession.implicits._
+    val w = Window.partitionBy($"host").orderBy($"due_in_s", col(orderCol))
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    due.withColumn("host_rank", row_number().over(w))
+      .withColumn("fetch_at_s",
+        round(($"host_rank" - 1) * $"crawl_delay_s" +
+          max($"due_in_s" - ($"host_rank" - 1) * $"crawl_delay_s").over(wc),
+          2))
+  }
+
+  /** c24: RECRAWL schedule — the query a standing crawl runs every
+    * cycle, composing c18's change classes (doc_id%4: unchanged /
+    * changed / new / deleted over the synthesized crawl state) with
+    * a deterministic prior-interval ladder (60·2^(doc_id%5) s),
+    * [[revisitIntervals]]' adapt step, and c23's per-host
+    * Crawl-delay pacing. Output: when each surviving page is due and
+    * when its host's serial queue actually fetches it. */
+  def c24RecrawlSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val changes = WebMeta.c18ChangeDetect(spark, dir)
+      .withColumn("doc_id",
+        regexp_extract($"page_key", "^page-(\\d+)$", 1).cast("long"))
+      .withColumn("prev_interval_s",
+        lit(60.0) * pow(lit(2.0), pmod($"doc_id", lit(5)).cast("double")))
+    val due = revisitIntervals(changes)
+      .withColumn("host",
+        concat(lit("host"), pmod($"doc_id", lit(3)), lit(".example.com")))
+      .withColumn("due_in_s", $"next_interval_s")
+      .join(broadcast(crawlDelays(robotsCorpus(spark))), Seq("host"), "left")
+      .withColumn("crawl_delay_s", coalesce($"crawl_delay_s", lit(1.0)))
+    paceByHost(due, "doc_id")
+      .select($"host", $"page_key", $"change", $"prev_interval_s",
+        $"next_interval_s", $"crawl_delay_s", $"host_rank", $"fetch_at_s")
+      .orderBy($"host", $"host_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c24_recrawl_schedule" -> c24RecrawlSchedule _,
     "c23_politeness_schedule" -> c23PolitenessSchedule _,
     "c16_robots" -> c16Robots _,
     "c17_frontier_priority" -> c17FrontierPriority _,
     "d10_url_dedup" -> d10UrlDedup _)
 
   val oracles: Map[String, String] = Map(
+    // c18's mod-4 change classes (hash equality in Spark ≡ the mod
+    // synthesis), the 60·2^(doc_id%5) interval ladder, the adapt
+    // rules, then the per-host serial queue as the SAME linearized
+    // cumulative-max recurrence
+    "c24_recrawl_schedule" ->
+      """WITH state AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4 WHEN 0 THEN 'unchanged' WHEN 1 THEN 'changed'
+        |                    WHEN 2 THEN 'new' ELSE 'deleted' END AS change,
+        |    60.0 * pow(2, doc_id % 5) AS prev_interval_s
+        |  FROM documents),
+        |due AS (
+        |  SELECT doc_id, change, prev_interval_s,
+        |    CASE change WHEN 'changed' THEN greatest(60.0, prev_interval_s / 2)
+        |                WHEN 'unchanged' THEN least(3600.0, prev_interval_s * 2)
+        |                ELSE 300.0 END AS next_interval_s,
+        |    'host' || (doc_id % 3) || '.example.com' AS host
+        |  FROM state WHERE change <> 'deleted'),
+        |delays AS (
+        |  SELECT * FROM (VALUES ('host0.example.com', 2.0),
+        |                        ('host2.example.com', 5.0))
+        |    AS t(host, crawl_delay_s)),
+        |ranked AS (
+        |  SELECT d.doc_id, d.change, d.prev_interval_s, d.next_interval_s,
+        |    d.host, coalesce(del.crawl_delay_s, 1.0) AS crawl_delay_s,
+        |    row_number() OVER (PARTITION BY d.host
+        |      ORDER BY d.next_interval_s, d.doc_id) AS host_rank
+        |  FROM due d LEFT JOIN delays del ON d.host = del.host)
+        |SELECT host, 'page-' || doc_id AS page_key, change, prev_interval_s,
+        |  next_interval_s, crawl_delay_s, host_rank,
+        |  round((host_rank - 1) * crawl_delay_s +
+        |    max(next_interval_s - (host_rank - 1) * crawl_delay_s)
+        |      OVER (PARTITION BY host ORDER BY host_rank
+        |            ROWS UNBOUNDED PRECEDING), 2) AS fetch_at_s
+        |FROM ranked
+        |ORDER BY host, host_rank""".stripMargin,
     // c15's rank CTEs + c16's permission CTEs + the per-host queue
     // c17's ranked frontier paced by the declared per-host delays
     // (host0 2s, host2 5s, default 1s): slot k fires at (k-1)*delay

@@ -114,4 +114,66 @@ class RobotsSpec extends SparkSpec {
       "dup.com" -> 4.0, // shared group: delay binds to both agents
       "rep.com" -> 7.0)) // host repeats the directive: max wins
   }
+
+  test("revisitIntervals adapts across two crawl waves; deleted pages retire") {
+    import spark.implicits._
+    // wave 1: every change class once, at a 240 s prior interval
+    val wave1 = Seq(
+      ("p-changed", "changed", 240.0),
+      ("p-stable", "unchanged", 240.0),
+      ("p-new", "new", 240.0),
+      ("p-gone", "deleted", 240.0))
+      .toDF("page_key", "change", "prev_interval_s")
+    val out1 = Robots.revisitIntervals(wave1)
+      .select($"page_key", $"next_interval_s").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out1 === Map(
+      "p-changed" -> 120.0, // halved
+      "p-stable" -> 480.0, // doubled
+      "p-new" -> 300.0)) // default; p-gone left the schedule
+    // wave 2 feeds wave 1's intervals back as priors: repeated change
+    // keeps halving to the floor, repeated stability keeps doubling
+    // to the cap
+    val wave2 = Seq(
+      ("p-changed", "changed", out1("p-changed")),
+      ("p-stable", "unchanged", out1("p-stable")),
+      ("p-floor", "changed", 60.0),
+      ("p-cap", "unchanged", 3000.0))
+      .toDF("page_key", "change", "prev_interval_s")
+    val out2 = Robots.revisitIntervals(wave2)
+      .select($"page_key", $"next_interval_s").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out2 === Map(
+      "p-changed" -> 60.0, // 120/2
+      "p-stable" -> 960.0, // 480*2
+      "p-floor" -> 60.0, // floored at minS
+      "p-cap" -> 3600.0)) // capped at maxS
+  }
+
+  test("paceByHost window ≡ the serial-queue recurrence t_k = max(due_k, t_(k-1)+delay)") {
+    import spark.implicits._
+    // one host, delay 10: due times force both recurrence branches
+    // (slot waiting on its due time, and slot pushed by the queue)
+    val due = Seq(
+      ("h.com", 1L, 5.0, 10.0), ("h.com", 2L, 8.0, 10.0),
+      ("h.com", 3L, 40.0, 10.0), ("h.com", 4L, 41.0, 10.0),
+      ("quiet.com", 9L, 7.0, 2.0))
+      .toDF("host", "doc_id", "due_in_s", "crawl_delay_s")
+    val out = Robots.paceByHost(due, "doc_id")
+      .orderBy($"host", $"host_rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(5)))
+    // replay the recurrence directly
+    assert(out.toSeq === Seq(
+      ("h.com", 1L, 5.0), // t1 = due
+      ("h.com", 2L, 15.0), // max(8, 5+10)
+      ("h.com", 3L, 40.0), // max(40, 25) — due wins again
+      ("h.com", 4L, 50.0), // max(41, 50) — queue wins
+      ("quiet.com", 9L, 7.0)))
+    // the oracle-gated composition returns rows for every surviving
+    // page and never schedules a deleted one
+    val c24 = Robots.c24RecrawlSchedule(spark, sfDir)
+    assert(c24.filter($"change" === "deleted").count() == 0)
+    assert(c24.count() > 0)
+    Caches.releaseAll()
+  }
 }
