@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets.UTF_8
 import graft.Tables
 
 /** Multimodal column plumbing (SURVEY.md §2.G).
@@ -871,20 +872,25 @@ object Multimodal {
       .orderBy($"a_id", $"b_id")
   }
 
-  /** m12: PNG tEXt METADATA walk — the ancillary-chunk chain parse
-    * every asset-metadata extractor needs (Title/Author/Comment
-    * live in tEXt chunks, not the IHDR m3 reads): chunks are
-    * [len BE32 | type(4) | data(len) | crc(4)] back to back after
-    * the 8-byte signature, so the walk materializes bounded hop
-    * offsets (each next offset = prev + 12 + len — the m6/m9
-    * marker-chain pattern), decodes tEXt data at the NUL split into
-    * (keyword, text), and coalesces the wanted keys across slots
-    * (m10's slot pattern). Synthesis: IHDR + Title (all docs) +
-    * Author (even ids) + Comment (ids%3==0) + IEND; oracle
-    * recomputes every field first-principles from the rules, so a
-    * mis-stepped hop or a bad NUL split hash-mismatches. zTXt/iTXt
-    * (compressed text) would ride f5's Inflater seam — the walk
-    * here is the uncompressed baseline. */
+  /** m12: PNG tEXt/zTXt/iTXt METADATA walk — the ancillary-chunk
+    * chain parse every asset-metadata extractor needs
+    * (Title/Author/Comment live in tEXt chunks, not the IHDR m3
+    * reads): chunks are [len BE32 | type(4) | data(len) | crc(4)]
+    * back to back after the 8-byte signature, so the walk
+    * materializes bounded hop offsets (each next offset = prev + 12
+    * + len — the m6/m9 marker-chain pattern), decodes tEXt data at
+    * the NUL split into (keyword, text), and coalesces the wanted
+    * keys across slots (m10's slot pattern). Compressed text
+    * (zTXt always, iTXt when its compression flag is set) rides the
+    * f5 per-task Inflater seam via [[pngCompressedText]] — real
+    * zlib inflate of the data slice, not a stub. Synthesis: IHDR +
+    * Title (all docs) + Author (even ids) + Comment (ids%3==0) +
+    * zTXt Software (even ids, REALLY deflated at build) + iTXt
+    * Description (ids%5==0; zlib-compressed when ids%10==0, plain
+    * otherwise) + IEND; the oracle recomputes every field
+    * first-principles from the rules — including the zTXt/iTXt
+    * plaintexts, which makes the deflate→walk→inflate round trip
+    * hash-gated even though DuckDB itself cannot inflate. */
   def m12PngText(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     def chunkHex(keyAscii: String, value: Column): Column = {
@@ -900,18 +906,91 @@ object Multimodal {
     val title = concat(lit("doc "), $"doc_id".cast("string"))
     val author = concat(lit("host"), pmod($"doc_id", lit(3)).cast("string"))
     val comment = repeat(lit("c"), (pmod($"doc_id", lit(7)) + 1).cast("int"))
-    val hexPayload = concat(
+    val hexPrefix = concat(
       lit("89504E470D0A1A0A"),                       // signature
       lit("0000000D4948445200000010000000100806000000DEADBEEF"), // IHDR 16x16 rgba
       chunkHex("Title", title),
       when(pmod($"doc_id", lit(2)) === 0, chunkHex("Author", author))
         .otherwise(lit("")),
       when(pmod($"doc_id", lit(3)) === 0, chunkHex("Comment", comment))
-        .otherwise(lit("")),
-      lit("0000000049454E44AE426082"))               // IEND
+        .otherwise(lit("")))
+    // the compressed chunks can't be synthesized columnar (no SQL
+    // deflate) — a per-task Deflater splices them in, mirroring the
+    // per-task Inflater that will read them back
     val blobs = Tables.documents(spark, dir)
-      .select($"doc_id", unhex(hexPayload).as("payload"))
-    parsePngText(blobs).orderBy($"doc_id")
+      .select($"doc_id", hexPrefix.as("hx"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val defl = new java.util.zip.Deflater()
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => defl.end()))
+        it.map { case (id, hx) =>
+          val out = new java.io.ByteArrayOutputStream()
+          out.write(hexDecode(hx))
+          if (id % 2 == 0)
+            out.write(pngChunk("zTXt",
+              "Software\u0000\u0000".getBytes("ISO-8859-1") ++
+                deflate(defl, s"graft-${id % 4}".getBytes("UTF-8"))))
+          if (id % 5 == 0) {
+            val head = "Description\u0000".getBytes("ISO-8859-1")
+            val body =
+              if (id % 10 == 0)
+                Array[Byte](1, 0) ++ "en\u0000\u0000".getBytes("ISO-8859-1") ++
+                  deflate(defl, s"desc $id".getBytes("UTF-8"))
+              else
+                Array[Byte](0, 0) ++ "en\u0000\u0000".getBytes("ISO-8859-1") ++
+                  s"desc $id".getBytes("UTF-8")
+            out.write(pngChunk("iTXt", head ++ body))
+          }
+          out.write(hexDecode("0000000049454E44AE426082")) // IEND
+          (id, out.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+    val comp = pngCompressedText(blobs)
+    val software = comp
+      .filter($"chunk_type" === "zTXt" && $"keyword" === "Software")
+      .select($"doc_id", $"text".as("software"))
+    val description = comp
+      .filter($"chunk_type" === "iTXt" && $"keyword" === "Description")
+      .select($"doc_id", $"text".as("description"))
+    parsePngText(blobs, maxChunks = 8)
+      .join(software, Seq("doc_id"), "left")
+      .join(description, Seq("doc_id"), "left")
+      .orderBy($"doc_id")
+  }
+
+  private def hexDecode(hx: String): Array[Byte] = {
+    val out = new Array[Byte](hx.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = Integer.parseInt(hx.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** One PNG chunk: len BE32 | type | data | fake CRC (the walkers
+    * never check CRCs — real extractors skip them too). */
+  private def pngChunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+    val len = data.length
+    Array[Byte]((len >>> 24).toByte, (len >>> 16).toByte,
+      (len >>> 8).toByte, len.toByte) ++
+      ctype.getBytes("US-ASCII") ++ data ++
+      Array[Byte](0xDE.toByte, 0xAD.toByte, 0xBE.toByte, 0xEF.toByte)
+  }
+
+  private def deflate(defl: java.util.zip.Deflater,
+                      data: Array[Byte]): Array[Byte] = {
+    defl.reset()
+    defl.setInput(data)
+    defl.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    while (!defl.finished()) {
+      val n = defl.deflate(buf)
+      out.write(buf, 0, n)
+    }
+    out.toByteArray
   }
 
   /** The tEXt chunk walker over any (doc_id, payload binary) frame:
@@ -956,6 +1035,122 @@ object Multimodal {
       when($"_is", nText).as("n_text_chunks"))
   }
 
+  /** Columnar chunk SLICER over any (doc_id, payload binary) frame:
+    * the same materialized-hop walk as [[parsePngText]], but instead
+    * of decoding in place it emits one row per chunk whose type is
+    * in `types` — (doc_id, chunk_type, data binary). The slice stays
+    * columnar (substring on binary, zero row-level code); whatever
+    * per-task imperative step follows (the Inflater seam) receives
+    * only the few-hundred-byte data slices, never whole payloads. */
+  def pngChunkSlices(blobs: DataFrame, types: Seq[String],
+                     maxChunks: Int = 8): DataFrame = {
+    import blobs.sparkSession.implicits._
+    val isPng = hex(substring($"payload", 1, 8)) === "89504E470D0A1A0A"
+    var df = blobs
+      .withColumn("_len", octet_length($"payload").cast("long"))
+      .withColumn("_is", isPng)
+    var off: Column = lit(9L)
+    (1 to maxChunks).foreach { k =>
+      df = df.withColumn(s"_o$k", when($"_is", off))
+      df = df.withColumn(s"_l$k",
+        when(col(s"_o$k") + 7L <= $"_len",
+          conv(hex(expr(s"substring(payload, _o$k, 4)")), 16, 10)
+            .cast("long")))
+      df = df.withColumn(s"_t$k",
+        when(col(s"_l$k").isNotNull &&
+             col(s"_o$k") + 11L + col(s"_l$k") <= $"_len",
+          expr(s"cast(substring(payload, _o$k + 4, 4) as string)")))
+      df = df.withColumn(s"_d$k",
+        when(col(s"_t$k").isin(types: _*),
+          expr(s"substring(payload, _o$k + 8, _l$k)")))
+      off = col(s"_o$k") + 12L + coalesce(col(s"_l$k"), lit(0L))
+    }
+    df.select($"doc_id", explode(array((1 to maxChunks).map(k =>
+        struct(col(s"_t$k").as("chunk_type"), col(s"_d$k").as("data"))): _*))
+        .as("c"))
+      .filter($"c.data".isNotNull)
+      .select($"doc_id", $"c.chunk_type".as("chunk_type"), $"c.data".as("data"))
+  }
+
+  /** COMPRESSED PNG text (zTXt, iTXt) through the f5 per-task
+    * Inflater seam: the columnar walk slices the chunk data, then a
+    * per-partition pass parses the tiny header bytes and inflates
+    * the zlib stream — Inflater allocated once per task, reset per
+    * chunk, released by a task-completion listener (the
+    * [[FileIngest.expandArchives]] lifecycle; PNG compresses with
+    * the zlib wrapper, so `nowrap = false` here vs the zip walker's
+    * raw-deflate `true`). Emits (doc_id, chunk_type, keyword, lang,
+    * text); malformed or undecodable chunks are skipped, never
+    * thrown — poison blobs can't kill a 100 TB scan. Uncompressed
+    * iTXt (compression flag 0) decodes in the same pass. */
+  def pngCompressedText(blobs: DataFrame, maxChunks: Int = 8): DataFrame = {
+    import blobs.sparkSession.implicits._
+    pngChunkSlices(blobs, Seq("zTXt", "iTXt"), maxChunks)
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        val inf = new java.util.zip.Inflater()
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => inf.end()))
+        it.flatMap { case (id, ctype, d) =>
+          decodePngTextChunk(id, ctype, d, inf)
+        }
+      }.toDF("doc_id", "chunk_type", "keyword", "lang", "text")
+  }
+
+  /** One zTXt/iTXt data slice → (doc_id, type, keyword, lang, text),
+    * or None when malformed. zTXt: keyword NUL method(0) zlib-data.
+    * iTXt: keyword NUL compFlag compMethod lang NUL trKeyword NUL
+    * text (zlib-data when compFlag=1). */
+  private def decodePngTextChunk(
+      id: Long, ctype: String, d: Array[Byte],
+      inf: java.util.zip.Inflater): Option[(Long, String, String, String, String)] = {
+    def nulAt(from: Int): Int = {
+      var i = from
+      while (i < d.length && d(i) != 0) i += 1
+      i
+    }
+    def inflate(from: Int): Option[String] =
+      if (from >= d.length) None
+      else try {
+        inf.reset()
+        inf.setInput(d, from, d.length - from)
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256)
+        var stalled = false
+        while (!inf.finished() && !stalled) {
+          val n = inf.inflate(buf)
+          if (n == 0) stalled = inf.needsInput() || inf.needsDictionary()
+          else out.write(buf, 0, n)
+        }
+        if (inf.finished()) Some(new String(out.toByteArray, UTF_8)) else None
+      } catch { case _: java.util.zip.DataFormatException => None }
+    val kEnd = nulAt(0)
+    if (kEnd == 0 || kEnd >= d.length) return None
+    val keyword = new String(d, 0, kEnd, "ISO-8859-1")
+    ctype match {
+      case "zTXt" =>
+        // keyword NUL method; method 0 = deflate is the only defined one
+        if (kEnd + 2 > d.length || d(kEnd + 1) != 0) None
+        else inflate(kEnd + 2).map(t => (id, ctype, keyword, "", t))
+      case "iTXt" =>
+        if (kEnd + 3 > d.length) return None
+        val compFlag = d(kEnd + 1)
+        val langEnd = nulAt(kEnd + 3)
+        if (langEnd >= d.length) return None
+        val lang = new String(d, kEnd + 3, langEnd - (kEnd + 3), "US-ASCII")
+        val trEnd = nulAt(langEnd + 1)
+        if (trEnd >= d.length) return None
+        val textFrom = trEnd + 1
+        if (compFlag == 0)
+          Some((id, ctype, keyword, lang,
+            new String(d, textFrom, d.length - textFrom, UTF_8)))
+        else if (compFlag == 1 && d(kEnd + 2) == 0)
+          inflate(textFrom).map(t => (id, ctype, keyword, lang, t))
+        else None
+      case _ => None
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m12_png_text" -> m12PngText _,
     "m11_perceptual_dedup" -> ((s, d) => m11PerceptualDedup(s, d)),
@@ -973,6 +1168,9 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     // first-principles recompute of the tEXt synthesis rules — no
     // SQL byte parsing, so a mis-stepped chunk hop can't be copied
+    // the zTXt/iTXt plaintexts are recomputed from the synthesis
+    // rules — DuckDB can't inflate, but it doesn't need to: a wrong
+    // hop, bad header parse, or broken inflate hash-mismatches
     "m12_png_text" ->
       """SELECT doc_id, TRUE AS is_png,
         |  'doc ' || doc_id AS title,
@@ -983,7 +1181,11 @@ object Multimodal {
         |    AS comment,
         |  CAST(1 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
         |         + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
-        |    AS n_text_chunks
+        |    AS n_text_chunks,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'graft-' || (doc_id % 4) END
+        |    AS software,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'desc ' || doc_id END
+        |    AS description
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     // same 66-cell byte-sum grid, same 60-bit dHash, same chunk

@@ -352,6 +352,64 @@ class MultimodalSpec extends SparkSpec {
     assert(!junk.getBoolean(1) && junk.isNullAt(2) && junk.isNullAt(5))
   }
 
+  test("zTXt/iTXt inflate reads a REAL javax.imageio-written PNG") {
+    import spark.implicits._
+    import javax.imageio.metadata.IIOMetadataNode
+    // the JDK's PNG writer compresses zTXt (and compressed iTXt) with
+    // its own zlib encoder — fully independent of the synthesis-side
+    // Deflater, so this pins the walk + header parse + inflate chain
+    // against a foreign producer
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("png").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    val wp = writer.getDefaultWriteParam
+    val meta = writer.getDefaultImageMetadata(
+      new javax.imageio.ImageTypeSpecifier(img), wp)
+    val root = new IIOMetadataNode("javax_imageio_png_1.0")
+    val z = new IIOMetadataNode("zTXt")
+    val ze = new IIOMetadataNode("zTXtEntry")
+    ze.setAttribute("keyword", "Software")
+    ze.setAttribute("compressionMethod", "deflate")
+    ze.setAttribute("text", "compressed by the JDK writer " * 4)
+    z.appendChild(ze)
+    root.appendChild(z)
+    val i = new IIOMetadataNode("iTXt")
+    def itxt(kw: String, flag: String, text: String): IIOMetadataNode = {
+      val e = new IIOMetadataNode("iTXtEntry")
+      e.setAttribute("keyword", kw)
+      e.setAttribute("compressionFlag", flag)
+      e.setAttribute("compressionMethod", "0")
+      e.setAttribute("languageTag", "en")
+      e.setAttribute("translatedKeyword", "")
+      e.setAttribute("text", text)
+      e
+    }
+    i.appendChild(itxt("Description", "TRUE", "itxt squeezed " * 8))
+    i.appendChild(itxt("Source", "FALSE", "plain itxt"))
+    root.appendChild(i)
+    meta.mergeTree("javax_imageio_png_1.0", root)
+    writer.write(null, new javax.imageio.IIOImage(img, null, meta), wp)
+    ios.close(); writer.dispose()
+    val df = Seq((1L, bos.toByteArray)).toDF("doc_id", "payload")
+    val rows = graft.operators.Multimodal.pngCompressedText(df, maxChunks = 10)
+      .collect()
+      .map(r => r.getString(2) -> ((r.getString(1), r.getString(3), r.getString(4))))
+      .toMap
+    assert(rows("Software") ==
+      (("zTXt", "", "compressed by the JDK writer " * 4)))
+    assert(rows("Description") == (("iTXt", "en", "itxt squeezed " * 8)))
+    assert(rows("Source") == (("iTXt", "en", "plain itxt")))
+    // junk and truncated chunks are skipped, never thrown
+    val junk = Seq(
+      (2L, "not a png".getBytes),
+      (3L, bos.toByteArray.take(60))).toDF("doc_id", "payload")
+    assert(graft.operators.Multimodal.pngCompressedText(junk).count() == 0)
+  }
+
   test("m11 dHash pairs exact copies at hamming 0, small edits nearby, noise apart") {
     import spark.implicits._
     val base = (0 until 400).map(i => ('a' + i % 23).toChar).mkString
