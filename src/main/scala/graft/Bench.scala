@@ -68,6 +68,11 @@ object Bench {
     val tG = System.nanoTime()
     operators.Knn.cascadeGridPairs(spark, sfDir).count()
     val gridDt = (System.nanoTime() - tG) / 1e9
+    // And the band-geometry sweep grid (d17's report and d14's
+    // measured serving geometry both read it): calibrated once.
+    val tB = System.nanoTime()
+    operators.Dedup.bandSweepStats(spark, sfDir).count()
+    val bsDt = (System.nanoTime() - tB) / 1e9
     // And the crawl-graph rank table (c15's fixed point, c17's
     // scheduling input): ranked once per crawl cycle.
     val tP = System.nanoTime()
@@ -115,6 +120,7 @@ object Bench {
       ("_shared_text_scan" -> textDt) +
       ("_shared_term_counts" -> tcDt) +
       ("_shared_cascade_grid" -> gridDt) +
+      ("_shared_band_sweep" -> bsDt) +
       ("_shared_cc_labels" -> ccDt) +
       ("_shared_vector_reps" -> vecDt) +
       ("_shared_pagerank" -> prDt) +

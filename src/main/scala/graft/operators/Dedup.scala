@@ -146,21 +146,23 @@ object Dedup {
     minhashLshPairsOf(minhashSigs(spark, dir)).orderBy($"a_id", $"b_id")
   }
 
-  /** d14: TUNED MinHash-LSH — the [[optimalBands]] knob actually
-    * driving a dedup run: for a caller-chosen target Jaccard the
-    * tuner picks the S-curve-optimal (bands, rowsPerBand) split of
-    * the same 128-perm signatures (no re-sketch — the shared scan
-    * serves every layout), and the band join + verify run at that
-    * geometry. d2's fixed 64x2 is the recall-heavy default for
-    * j>=0.3; a run hunting only strong dups (j>=0.5 here) wants
-    * fewer/wider bands — fewer candidate pairs for the same recall
-    * at the target, which at 100 TB is the difference between a
-    * band join that fits and one that doesn't. The tuner is a pure
-    * function, so the oracle replays the exact tuned geometry. */
+  /** d14: TUNED MinHash-LSH — the banding knob actually driving a
+    * dedup run, now at the MEASURED geometry: d17's sweep grades
+    * every divisor split of the same 128-perm signatures against
+    * exact ground truth, and serving runs at the pick (fewest
+    * candidate pairs among geometries clearing the recall floor) —
+    * at 100 TB that is the difference between a band join that fits
+    * and one that doesn't. No re-sketch: the shared signature scan
+    * serves every layout, and the sweep itself is the shared
+    * [[bandSweepStats]] build billed once per corpus.
+    * [[optimalBands]]' closed-form pick remains the a-priori
+    * default where no truth sample exists; the oracle replays the
+    * full sweep, the pick rule, and the serve at the chosen
+    * geometry. */
   def d14TunedLsh(spark: SparkSession, dir: String,
                   target: Double = 0.5): DataFrame = {
     import spark.implicits._
-    val (b, r) = optimalBands(target, perms = 128)
+    val (b, r) = pickBandGeometry(bandSweepStats(spark, dir, target))
     minhashLshPairsOf(minhashSigs(spark, dir), MaxBandBucket, target, b, r)
       .orderBy($"a_id", $"b_id")
   }
@@ -252,6 +254,16 @@ object Dedup {
     * including the cap; d2 is the higher-recall multi-band variant. */
   private def ngramJaccardFrom(sets: DataFrame, maxBlock: Int): DataFrame = {
     import sets.sparkSession.implicits._
+    exactScoredPairs(sets, maxBlock)
+      .filter($"jaccard" >= 0.3)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** Exact-Jaccard-scored candidate pairs under the capped 1-perm
+    * blocking — the unthresholded core d4, d16's τ sweep, and d17's
+    * band-sweep ground truth all read. */
+  private def exactScoredPairs(sets: DataFrame, maxBlock: Int): DataFrame = {
+    import sets.sparkSession.implicits._
     val candidates = ngramCandidates(sets, maxBlock)
     val withA = JoinUtils.saltedJoin(candidates,
       sets.select($"doc_id".as("a_id"), $"hs".as("sha")), "a_id", salt = 8)
@@ -259,8 +271,6 @@ object Dedup {
       sets.select($"doc_id".as("b_id"), $"hs".as("shb")), "b_id", salt = 8)
     withB
       .select($"a_id", $"b_id", round(jaccard($"sha", $"shb"), 6).as("jaccard"))
-      .filter($"jaccard" >= 0.3)
-      .orderBy($"a_id", $"b_id")
   }
 
   /** Same pipeline over an arbitrary (doc_id, text) corpus — the
@@ -268,6 +278,92 @@ object Dedup {
     * post-action) since there is no shared table to pin it to. */
   def ngramJaccardPairs(docs: DataFrame, maxBlock: Int = MaxBlock): DataFrame =
     ngramJaccardFrom(graft.Caches.persist(hashedShingleSetsOf(docs)), maxBlock)
+
+  /** Candidate band geometries the d17 sweep measures: the divisor
+    * splits of the shared 128-perm signatures bracketing realistic
+    * serving thresholds (S-curve midpoints (1/b)^(1/r) from ~0.90
+    * down to ~0.125). */
+  val SweepGeometries: Seq[(Int, Int)] =
+    Seq(4 -> 32, 8 -> 16, 16 -> 8, 32 -> 4, 64 -> 2)
+
+  /** Recall floor for the measured band pick. */
+  val BandRecallFloor = 0.9
+
+  /** SHARED band-geometry sweep grid — a17's measure-first pattern
+    * applied to d2's LSH: every [[SweepGeometries]] split of the
+    * SAME cached 128-perm signatures generates its capped band-bucket
+    * candidates in one unioned plan (no re-sketch — five band folds
+    * over one persisted signature scan), and each candidate set is
+    * graded against the exact ground truth (d4's threshold-
+    * independent blocking, verified Jaccard >= `target`) with ONE
+    * left join + keyed aggregate. Per geometry: candidate count
+    * (the cost a 100 TB band join actually pays), truth hits,
+    * recall. Persisted once per (dir, target) via Caches.shared —
+    * the calibration is billed once, then both the d17 report and
+    * d14's measured serving geometry read it. */
+  def bandSweepStats(spark: SparkSession, dir: String,
+                     target: Double = 0.5): DataFrame =
+    graft.Caches.shared(spark, s"bandsweep:$dir:$target") {
+      import spark.implicits._
+      val sig = minhashSigs(spark, dir)
+      val truth = graft.Caches.persist(
+        exactScoredPairs(hashedShingleSets(spark, dir), MaxBlock)
+          .filter($"jaccard" >= target).select($"a_id", $"b_id"))
+      val total = truth.agg(count(lit(1)).as("possible"))
+      val perGeom = SweepGeometries.map { case (b, r) =>
+        lshCandidates(sig, MaxBandBucket, b, r)
+          .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+            $"a_id", $"b_id")
+      }.reduce(_ unionByName _)
+      val counted = perGeom
+        .join(truth.withColumn("t", lit(1)), Seq("a_id", "b_id"), "left")
+        .groupBy($"bands", $"rows_per_band")
+        .agg(count(lit(1)).as("n_candidates"), count($"t").as("hits"))
+      SweepGeometries.toDF("bands", "rows_per_band")
+        .join(counted, Seq("bands", "rows_per_band"), "left")
+        .crossJoin(broadcast(total))
+        .select($"bands", $"rows_per_band",
+          round(pow(lit(1.0) / $"bands", lit(1.0) / $"rows_per_band"), 4)
+            .as("s_curve_t"),
+          coalesce($"n_candidates", lit(0L)).as("n_candidates"),
+          coalesce($"hits", lit(0L)).as("hits"),
+          $"possible",
+          round(coalesce($"hits", lit(0L)).cast("double")
+            / greatest($"possible", lit(1L)), 4).as("recall"))
+    }
+
+  /** The measured pick over the sweep grid: fewest candidates among
+    * geometries reaching the recall floor; if none qualifies,
+    * highest recall; ties prefer more bands. 5-row k-bounded collect
+    * (the a17 pick pattern); the key arithmetic replays verbatim in
+    * the oracle's ORDER BY. */
+  def pickBandGeometry(stats: DataFrame,
+                       floor: Double = BandRecallFloor): (Int, Int) = {
+    val rows = stats
+      .select("bands", "rows_per_band", "n_candidates", "recall")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val (b, r, _, _) = rows.minBy { case (b, _, nc, rec) =>
+      (if (rec >= floor) nc.toDouble else 1e18 * (1.0 - rec), -b)
+    }
+    (b, r)
+  }
+
+  /** d17: LSH band-geometry SWEEP report — the knob-measurement a
+    * deployment runs before committing a banding layout fleet-wide
+    * (the serving-time twin of [[optimalBands]]' closed-form pick:
+    * theory centres the S-curve, the sweep shows what the cap and
+    * the corpus's actual similarity mass do to recall and join
+    * size). One row per geometry + the measured choice. */
+  def d17BandSweep(spark: SparkSession, dir: String,
+                   target: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val stats = bandSweepStats(spark, dir, target)
+    val (pb, pr) = pickBandGeometry(stats)
+    stats
+      .withColumn("chosen", $"bands" === pb && $"rows_per_band" === pr)
+      .orderBy($"bands")
+  }
 
   def d4NgramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardFrom(hashedShingleSets(spark, dir), MaxBlock)
@@ -296,12 +392,7 @@ object Dedup {
   private def thresholdSweepFrom(sets: DataFrame): DataFrame = {
     val spark = sets.sparkSession
     import spark.implicits._
-    val scored = graft.Caches.persist(
-      JoinUtils.saltedJoin(
-        JoinUtils.saltedJoin(ngramCandidates(sets, MaxBlock),
-          sets.select($"doc_id".as("a_id"), $"hs".as("sha")), "a_id", salt = 8),
-        sets.select($"doc_id".as("b_id"), $"hs".as("shb")), "b_id", salt = 8)
-        .select($"a_id", $"b_id", round(jaccard($"sha", $"shb"), 6).as("jaccard")))
+    val scored = graft.Caches.persist(exactScoredPairs(sets, MaxBlock))
     val taus = SweepTaus.toDF("tau")
     val hit = scored.join(broadcast(taus), $"jaccard" >= $"tau")
     val nPairs = hit.groupBy($"tau").agg(count(lit(1)).as("n_pairs"))
@@ -657,6 +748,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d17_band_sweep" -> ((sp, d) => d17BandSweep(sp, d)),
     "d16_threshold_sweep" -> d16ThresholdSweep _,
     "d13_window_dedup" -> ((s, d) => d13WindowDedup(s, d)),
     "d12_bbit_minhash" -> d12BbitMinhash _,
@@ -799,46 +891,121 @@ object Dedup {
 
   private[operators] lazy val d2Sql: String = d2SqlOver("documents")
 
-  /** The tuned-geometry LSH replay: same shingle/minhash CTEs, band
-    * fold generalized to (bands, rows) via list_reduce over the
-    * signature slice — the same fold H.bandHashes runs. */
-  private def d14Sql(target: Double): String = {
-    val (b, r) = optimalBands(target, perms = 128)
-    s"""WITH ${hashedSetSqlOver("documents")},
+  /** Shared CTE block for the d17/d14 replays: shingles, the 128-perm
+    * signatures, one generalized band fold per [[SweepGeometries]]
+    * entry (the same list_reduce H.bandHashes runs) with the bucket
+    * cap, the tagged candidate union, d4-style exact ground truth at
+    * `target`, the stats grid, and the measured pick — the whole
+    * sweep replayed so a drifted band fold, cap, grade, or pick rule
+    * hash-mismatches. */
+  private def bandSweepSqlCtes(target: Double): String = {
+    val (pa, pb) = H.permConstants(128)
+    val aList = pa.mkString("[", ", ", "]")
+    val bList = pb.mkString("[", ", ", "]")
+    val perGeom = SweepGeometries.map { case (b, r) =>
+      s"""bands_$b AS (
+         |  SELECT doc_id, g.i - 1 AS band_idx,
+         |    list_reduce(
+         |      list_prepend(CAST(g.i - 1 AS BIGINT),
+         |        mh[((g.i - 1) * $r + 1):(g.i * $r)]),
+         |      (h, v) -> (h * 31 + v % 1000000007) % 1000000007) AS band_hash
+         |  FROM sig, LATERAL unnest(generate_series(1, $b)) AS g(i)),
+         |kept_$b AS (
+         |  SELECT doc_id, band_idx, band_hash FROM (
+         |    SELECT doc_id, band_idx, band_hash,
+         |      count(*) OVER (PARTITION BY band_idx, band_hash) AS bcnt
+         |    FROM bands_$b) WHERE bcnt <= $MaxBandBucket),
+         |cand_$b AS (
+         |  SELECT DISTINCT $b AS bands, $r AS rows_per_band,
+         |    x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM kept_$b x JOIN kept_$b y
+         |    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+         |   AND x.doc_id < y.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val union = SweepGeometries
+      .map { case (b, _) => s"  SELECT * FROM cand_$b" }
+      .mkString("\n  UNION ALL\n")
+    val gridVals = SweepGeometries
+      .map { case (b, r) => s"($b, $r)" }.mkString(", ")
+    s"""$hashedSetSql,
        |sigm AS (
        |  SELECT e.doc_id, p.p AS p,
-       |    min(((${H.permConstants(128)._1.mkString("[", ", ", "]")})[p.p] * (e.h % 2147483647)
-       |      + (${H.permConstants(128)._2.mkString("[", ", ", "]")})[p.p]) % 2147483647) AS m
+       |    min((($aList)[p.p] * (e.h % 2147483647) + ($bList)[p.p]) % 2147483647) AS m
        |  FROM (SELECT doc_id, unnest(hs) AS h FROM d) e,
        |       LATERAL unnest(generate_series(1, 128)) AS p(p)
        |  GROUP BY e.doc_id, p.p),
        |sig AS (
        |  SELECT doc_id, list(m ORDER BY p) AS mh FROM sigm GROUP BY doc_id),
-       |bands AS (
-       |  SELECT doc_id, b.i - 1 AS band_idx,
-       |    list_reduce(
-       |      list_prepend(CAST(b.i - 1 AS BIGINT),
-       |        mh[((b.i - 1) * $r + 1):(b.i * $r)]),
-       |      (h, v) -> (h * 31 + v % 1000000007) % 1000000007) AS band_hash
-       |  FROM sig, LATERAL unnest(generate_series(1, $b)) AS b(i)),
-       |keptb AS (
-       |  SELECT doc_id, band_idx, band_hash FROM (
-       |    SELECT doc_id, band_idx, band_hash,
-       |      count(*) OVER (PARTITION BY band_idx, band_hash) AS bcnt
-       |    FROM bands) WHERE bcnt <= $MaxBandBucket),
-       |cand AS (
-       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-       |  FROM keptb x JOIN keptb y
-       |    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
-       |   AND x.doc_id < y.doc_id)
+       |$perGeom,
+       |allcand AS (
+       |$union),
+       |blocks_t AS (
+       |  SELECT doc_id, 0 AS bidx, hs[1] AS bkey FROM d
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS bidx, hs[len(hs)] AS bkey FROM d),
+       |kept_t AS (
+       |  SELECT doc_id, bidx, bkey FROM (
+       |    SELECT doc_id, bidx, bkey,
+       |      count(*) OVER (PARTITION BY bidx, bkey) AS bcnt
+       |    FROM blocks_t) WHERE bcnt <= $MaxBlock),
+       |cand_t AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM kept_t a JOIN kept_t b
+       |    ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |truth AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT a_id, b_id,
+       |      round(CAST(len(list_intersect(da.hs, db.hs)) AS DOUBLE)
+       |          / len(list_distinct(list_concat(da.hs, db.hs))), 6) AS jaccard
+       |    FROM cand_t JOIN d da ON da.doc_id = a_id JOIN d db ON db.doc_id = b_id)
+       |  WHERE jaccard >= $target),
+       |grid AS (SELECT * FROM (VALUES $gridVals) AS g(bands, rows_per_band)),
+       |tot AS (SELECT count(*) AS possible FROM truth),
+       |stats0 AS (
+       |  SELECT c.bands, c.rows_per_band,
+       |    count(*) AS n_candidates, count(t.a_id) AS hits
+       |  FROM allcand c LEFT JOIN truth t
+       |    ON c.a_id = t.a_id AND c.b_id = t.b_id
+       |  GROUP BY c.bands, c.rows_per_band),
+       |stats AS (
+       |  SELECT g.bands, g.rows_per_band,
+       |    round(pow(1.0 / g.bands, 1.0 / g.rows_per_band), 4) AS s_curve_t,
+       |    coalesce(s.n_candidates, 0) AS n_candidates,
+       |    coalesce(s.hits, 0) AS hits, tot.possible,
+       |    round(coalesce(s.hits, 0) / greatest(tot.possible, 1), 4) AS recall
+       |  FROM grid g LEFT JOIN stats0 s
+       |    ON g.bands = s.bands AND g.rows_per_band = s.rows_per_band, tot),
+       |pick AS (
+       |  SELECT bands, rows_per_band FROM stats
+       |  ORDER BY CASE WHEN recall >= $BandRecallFloor
+       |                THEN CAST(n_candidates AS DOUBLE)
+       |                ELSE 1e18 * (1.0 - recall) END, bands DESC
+       |  LIMIT 1)""".stripMargin
+  }
+
+  /** d17's replay: the sweep grid + the chosen flag. */
+  private def d17Sql(target: Double): String =
+    s"""WITH ${bandSweepSqlCtes(target)}
+       |SELECT s.bands, s.rows_per_band, s.s_curve_t, s.n_candidates,
+       |  s.hits, s.possible, s.recall,
+       |  (s.bands = p.bands AND s.rows_per_band = p.rows_per_band) AS chosen
+       |FROM stats s, pick p
+       |ORDER BY s.bands""".stripMargin
+
+  /** d14's replay: the sweep, the pick, and the serve — verified
+    * pairs of the MEASURED geometry only. */
+  private def d14Sql(target: Double): String =
+    s"""WITH ${bandSweepSqlCtes(target)}
        |SELECT a_id, b_id, jaccard FROM (
-       |  SELECT a_id, b_id,
+       |  SELECT c.a_id AS a_id, c.b_id AS b_id,
        |    round(CAST(len(list_intersect(da.hs, db.hs)) AS DOUBLE)
        |        / len(list_distinct(list_concat(da.hs, db.hs))), 6) AS jaccard
-       |  FROM cand JOIN d da ON da.doc_id = a_id JOIN d db ON db.doc_id = b_id)
+       |  FROM allcand c
+       |  JOIN pick p ON c.bands = p.bands AND c.rows_per_band = p.rows_per_band
+       |  JOIN d da ON da.doc_id = c.a_id
+       |  JOIN d db ON db.doc_id = c.b_id)
        |WHERE jaccard >= $target
        |ORDER BY a_id, b_id""".stripMargin
-  }
 
   /** d8's replay: d2's capped-band prefix, the id-midpoint cut, the
     * probe-side asymmetry (y.doc_id >= cut), and the best-prior-match
@@ -950,6 +1117,7 @@ object Dedup {
          |ORDER BY t.tau""".stripMargin,
     "d2_dedup_minhash_lsh" -> d2Sql,
     "d14_tuned_lsh" -> d14Sql(0.5),
+    "d17_band_sweep" -> d17Sql(0.5),
     "d8_incremental_dedup" -> d8Sql,
     // d2's capped-band candidates, scored by signature agreement AND
     // the exact set Jaccard; est = k/128 is an exact binary rational

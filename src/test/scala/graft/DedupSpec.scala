@@ -410,4 +410,38 @@ class DedupSpec extends SparkSpec {
     rows.foreach(r => assert(r._4 >= 0.0 && r._4 <= 1.0))
     Caches.releaseAll()
   }
+
+  test("d17 band sweep: grid sane, pick rule replays, d14 serves the measured geometry") {
+    import spark.implicits._
+    val grid = Dedup.d17BandSweep(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getDouble(6), r.getBoolean(7)))
+    assert(grid.length == Dedup.SweepGeometries.length)
+    assert(grid.count(_._7) == 1, "exactly one geometry chosen")
+    grid.foreach { case (b, r, nc, hits, poss, rec, _) =>
+      assert(b * r == 128, s"($b,$r) is not a 128-perm split")
+      assert(hits <= nc && hits <= poss)
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // narrow bands are the recall-heavy end of the S-curve
+    val byBands = grid.map(t => t._1 -> t._6).toMap
+    assert(byBands(64) >= byBands(4))
+    // replay the pick rule independently of the operator
+    val expect = grid.minBy { case (b, _, nc, _, _, rec, _) =>
+      (if (rec >= Dedup.BandRecallFloor) nc.toDouble
+       else 1e18 * (1.0 - rec), -b)
+    }
+    val chosen = grid.find(_._7).get
+    assert((chosen._1, chosen._2) === ((expect._1, expect._2)))
+    // d14 == the shared LSH core run directly at the measured
+    // geometry — the serve really uses the pick
+    val d14 = Dedup.d14TunedLsh(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val direct = Dedup.minhashLshPairsOf(
+        Dedup.minhashSigs(spark, sfDir), Dedup.MaxBandBucket, 0.5,
+        chosen._1, chosen._2)
+      .orderBy($"a_id", $"b_id").collect().map(_.toSeq).toSeq
+    assert(d14 === direct)
+    Caches.releaseAll()
+  }
 }
