@@ -279,6 +279,50 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, maxBlock: Int = MaxBlock): DataFrame =
     ngramJaccardFrom(graft.Caches.persist(hashedShingleSetsOf(docs)), maxBlock)
 
+  /** d16b: PER-SOURCE τ sweep — the same measured curve, one per
+    * corpus source: a boilerplate-heavy source (template pages,
+    * license headers) wants a different cut than prose, and a single
+    * corpus-global τ silently over-deletes one source while leaving
+    * another untouched. Pairs are graded WITHIN-source (both ends in
+    * the source — the dup structure a per-source knob governs;
+    * cross-source pairs stay the global d16's business), and
+    * doc_share is relative to the source's own shingled population.
+    * Same one-pass shape as d16: the candidate set is threshold-
+    * independent, so the whole per-source family is one broadcast
+    * theta-join + two keyed aggregates — never |sources|·|τ| dedup
+    * runs. */
+  def d16bSourceSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"source")
+    val sets = hashedShingleSets(spark, dir)
+    val scored = graft.Caches.persist(
+      exactScoredPairs(sets, MaxBlock)
+        .join(docs.select($"doc_id".as("a_id"), $"source".as("sa")), "a_id")
+        .join(docs.select($"doc_id".as("b_id"), $"source".as("sb")), "b_id")
+        .filter($"sa" === $"sb")
+        .select($"sa".as("source"), $"a_id", $"b_id", $"jaccard"))
+    val taus = SweepTaus.toDF("tau")
+    val hit = scored.join(broadcast(taus), $"jaccard" >= $"tau")
+    val nPairs = hit.groupBy($"source", $"tau")
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = hit
+      .select($"source", $"tau", explode(array($"a_id", $"b_id")).as("dd"))
+      .groupBy($"source", $"tau")
+      .agg(countDistinct($"dd").as("n_docs_affected"))
+    val totals = sets.join(docs, "doc_id")
+      .groupBy($"source").agg(count(lit(1)).as("n_total"))
+    totals.select($"source").crossJoin(broadcast(taus))
+      .join(nPairs, Seq("source", "tau"), "left")
+      .join(nDocs, Seq("source", "tau"), "left")
+      .join(broadcast(totals), "source")
+      .select($"source", $"tau",
+        coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+        coalesce($"n_docs_affected", lit(0L)).as("n_docs_affected"),
+        round(coalesce($"n_docs_affected", lit(0L)).cast("double")
+          / $"n_total", 6).as("doc_share"))
+      .orderBy($"source", $"tau")
+  }
+
   /** Candidate band geometries the d17 sweep measures: the divisor
     * splits of the shared 128-perm signatures bracketing realistic
     * serving thresholds (S-curve midpoints (1/b)^(1/r) from ~0.90
@@ -749,6 +793,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d17_band_sweep" -> ((sp, d) => d17BandSweep(sp, d)),
+    "d16b_source_sweep" -> d16bSourceSweep _,
     "d16_threshold_sweep" -> d16ThresholdSweep _,
     "d13_window_dedup" -> ((s, d) => d13WindowDedup(s, d)),
     "d12_bbit_minhash" -> d12BbitMinhash _,
@@ -1077,6 +1122,57 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     // d4's threshold-independent candidates, the τ grid applied as a
     // theta join — same caps, same rounding, same zero-fill
+    // the per-source twin: same candidates/scoring CTEs, pairs kept
+    // within-source, shares against per-source shingled totals
+    "d16b_source_sweep" ->
+      s"""WITH $hashedSetSql,
+         |blocks AS (
+         |  SELECT doc_id, 0 AS bidx, hs[1] AS bkey FROM d
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS bidx, hs[len(hs)] AS bkey FROM d),
+         |kept AS (
+         |  SELECT doc_id, bidx, bkey FROM (
+         |    SELECT doc_id, bidx, bkey,
+         |      count(*) OVER (PARTITION BY bidx, bkey) AS bcnt
+         |    FROM blocks) WHERE bcnt <= $MaxBlock),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM kept a JOIN kept b
+         |    ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT a_id, b_id,
+         |   round(CAST(len(list_intersect(da.hs, db.hs)) AS DOUBLE)
+         |       / len(list_distinct(list_concat(da.hs, db.hs))), 6) AS jaccard
+         |  FROM cand JOIN d da ON da.doc_id = a_id JOIN d db ON db.doc_id = b_id),
+         |src AS (SELECT doc_id, source FROM documents),
+         |sscored AS (
+         |  SELECT sa.source AS source, s.a_id, s.b_id, s.jaccard
+         |  FROM scored s
+         |  JOIN src sa ON sa.doc_id = s.a_id
+         |  JOIN src sb ON sb.doc_id = s.b_id
+         |  WHERE sa.source = sb.source),
+         |taus(tau) AS (VALUES ${SweepTaus.map(t => s"($t)").mkString(", ")}),
+         |hit AS (
+         |  SELECT s.source, t.tau, s.a_id, s.b_id FROM sscored s
+         |  JOIN taus t ON s.jaccard >= t.tau),
+         |np AS (SELECT source, tau, CAST(count(*) AS BIGINT) AS n_pairs
+         |       FROM hit GROUP BY source, tau),
+         |nd AS (SELECT source, tau,
+         |         CAST(count(DISTINCT dd) AS BIGINT) AS n_docs_affected
+         |       FROM (SELECT source, tau, unnest([a_id, b_id]) AS dd FROM hit)
+         |       GROUP BY source, tau),
+         |tot AS (SELECT src.source, CAST(count(*) AS DOUBLE) AS n_total
+         |        FROM d JOIN src ON src.doc_id = d.doc_id
+         |        GROUP BY src.source)
+         |SELECT g.source, g.tau,
+         |  coalesce(np.n_pairs, 0) AS n_pairs,
+         |  coalesce(nd.n_docs_affected, 0) AS n_docs_affected,
+         |  round(coalesce(nd.n_docs_affected, 0) / tot.n_total, 6) AS doc_share
+         |FROM (SELECT tot.source, t.tau FROM tot, taus t) g
+         |LEFT JOIN np ON np.source = g.source AND np.tau = g.tau
+         |LEFT JOIN nd ON nd.source = g.source AND nd.tau = g.tau
+         |JOIN tot ON tot.source = g.source
+         |ORDER BY g.source, g.tau""".stripMargin,
     "d16_threshold_sweep" ->
       s"""WITH $hashedSetSql,
          |blocks AS (

@@ -411,6 +411,32 @@ class DedupSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("d16b per-source sweep: curves monotone per source, within-source ⊆ global") {
+    val rows = Dedup.d16bSourceSweep(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val bySource = rows.groupBy(_._1)
+    assert(bySource.size > 1, "sweep should cover several sources")
+    bySource.foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == Dedup.SweepTaus, s"$src grid")
+      // raising tau can only shrink a source's surviving set
+      sorted.zip(sorted.tail).foreach { case (lo, hi) =>
+        assert(lo._3 >= hi._3 && lo._4 >= hi._4,
+          s"$src not monotone at tau=${hi._2}")
+      }
+      sorted.foreach(r => assert(r._5 >= 0.0 && r._5 <= 1.0))
+    }
+    // within-source pairs are a subset of the global d16 curve
+    val d16 = Dedup.d16ThresholdSweep(spark, sfDir).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    Dedup.SweepTaus.foreach { t =>
+      assert(rows.filter(_._2 == t).map(_._3).sum <= d16(t),
+        s"per-source pairs exceed global at tau=$t")
+    }
+    Caches.releaseAll()
+  }
+
   test("d17 band sweep: grid sane, pick rule replays, d14 serves the measured geometry") {
     import spark.implicits._
     val grid = Dedup.d17BandSweep(spark, sfDir).collect()
