@@ -283,4 +283,74 @@ class PlanAuditSpec extends SparkSpec {
       "scalar quota must broadcast")
     Caches.releaseAll(); Caches.releaseShared()
   }
+
+  test("a17: one measured grid — config side broadcasts, no per-config re-rank") {
+    // fresh caches so the shared grid's BUILD plan (not an opaque
+    // cached handle) is what gets audited
+    Caches.releaseAll(); Caches.releaseShared()
+    val p = plan(Knn.a17CascadeTuning(spark, sfDir))
+    assert(!p.contains("CartesianProduct"))
+    // the 9-row config grid rides ONE broadcast theta join; the
+    // hamming shortlist is ranked ONCE and shared across configs —
+    // nine per-config pipelines would show ~9 ranking windows
+    assert(p.contains("BroadcastNestedLoopJoin"), "config grid must broadcast")
+    val windows = p.split("\\bWindow\\b").length - 1
+    assert(windows <= 6, s"expected one shared ranking chain, got $windows windows")
+    Caches.releaseAll(); Caches.releaseShared()
+  }
+
+  test("s10: only the top-k docs are re-tokenized (broadcast semi-join before explode)") {
+    Caches.releaseAll(); Caches.releaseShared()
+    val p = plan(HybridSearch.s10Snippets(spark, sfDir))
+    // the corpus scan is filtered through the broadcast top-k BEFORE
+    // the posexplode blows token positions out
+    assert(p.contains("BroadcastHashJoin"), "top-k join must broadcast")
+    assert(p.contains("Generate"), "expected the posexplode stage")
+    assert(!p.contains("CartesianProduct"))
+    Caches.releaseAll(); Caches.releaseShared()
+  }
+
+  test("d16/d16b/d17: sweeps reuse cached candidates; tau/geometry sides broadcast") {
+    Caches.releaseAll(); Caches.releaseShared()
+    val p16 = plan(Dedup.d16ThresholdSweep(spark, sfDir))
+    // the theta join against the 5-row tau grid must be a broadcast
+    // nested loop (tiny side), never a partitioned cartesian
+    assert(p16.contains("BroadcastNestedLoopJoin"), "tau grid must broadcast")
+    assert(!p16.contains("CartesianProduct"))
+    val p16b = plan(Dedup.d16bSourceSweep(spark, sfDir))
+    assert(p16b.contains("BroadcastNestedLoopJoin") && !p16b.contains("CartesianProduct"))
+    Caches.releaseAll(); Caches.releaseShared()
+    val p17b = plan(Dedup.d17BandSweep(spark, sfDir))
+    assert(!p17b.contains("CartesianProduct"))
+    // five geometries fold ONE cached signature scan (every band
+    // explode reads InMemoryTableScan, not a fresh corpus sketch;
+    // the cached subtree's text repeats per reference site, so
+    // expression-occurrence counts are not meaningful here)
+    assert(p17b.contains("InMemoryTableScan"),
+      "sweep must serve off the shared cached signatures")
+    Caches.releaseAll(); Caches.releaseShared()
+  }
+
+  test("f5: archive expansion is a single-scan mapPartitions pipeline") {
+    val p = plan(graft.operators.FileIngest.f5DeflateIngest(spark, sfDir))
+    assert(p.contains("MapPartitions"), "expected the per-task Inflater stage")
+    assert(p.split("documents.parquet").length - 1 == 1,
+      "corpus must be scanned exactly once")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    Caches.releaseAll()
+  }
+
+  test("c24: recrawl schedule is keyed windows + broadcast delays") {
+    Caches.releaseAll()
+    val p = plan(graft.operators.Robots.c24RecrawlSchedule(spark, sfDir))
+    // pacing runs in per-host window partitions; delays broadcast
+    // (c18's fresh-vs-stored full outer join is the one legitimate
+    // wide join in this plan)
+    assert(p.contains("hashpartitioning(host"),
+      s"pacing must exchange on host:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "crawl-delay side must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    Caches.releaseAll()
+  }
 }
