@@ -1196,6 +1196,75 @@ object Knn {
       .orderBy($"cid")
   }
 
+  /** nprobe depths the a19 sweep measures (8 probes = every cell =
+    * exact search, so the curve always ends at recall 1.0). */
+  val NprobeGrid: Seq[Int] = Seq(1, 2, 3, 4, 6, 8)
+
+  /** Recall target for the measured nprobe pick. */
+  val NprobeRecallTarget = 0.95
+
+  /** a19: IVF nprobe-RECALL sweep — the measure-first discipline
+    * (a17's cascade grid, d17's band grid) applied to the oldest ANN
+    * knob there is: how many cells to probe. The full centroid
+    * ranking is computed ONCE per query (crank 1..k, the same
+    * zip_with ordering a4's probe uses), every candidate carries the
+    * probing depth at which it becomes visible, and the whole
+    * [[NprobeGrid]] is a broadcast theta-join + one rank window —
+    * never one serving run per depth. Per depth: rows scanned (the
+    * cost an IVF probe actually pays), exact-top-5 hits, recall; the
+    * pick is the smallest depth clearing the target (nprobe = k
+    * degenerates to exact search, so the pick always exists).
+    * Calibration runs on the 10-query sample — the a17 scope; at
+    * 100× the same plan runs on a sampled query log. */
+  def a19NprobeSweep(spark: SparkSession, dir: String,
+                     target: Double = NprobeRecallTarget): DataFrame = {
+    import spark.implicits._
+    val all = graft.Caches.persist(base(spark, dir))
+    val cents = ivfCentroids(spark, dir, all)
+    val cells = assign(all, cents)
+    val queries = cells.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val probed = queries
+      .withColumn("__scores", centroidScoresCol(spark, $"qv", cents))
+      .withColumn("pr", reverse(array_sort(zip_with($"__scores",
+        sequence(lit(0), lit(cents.length - 1)),
+        (s, i) => struct(s.as("s"), i.as("i"))))))
+      .select($"q_id", $"qv", posexplode($"pr.i"))
+      .select($"q_id", $"qv", ($"pos" + 1).as("crank"), $"col".as("cid"))
+    val cand = graft.Caches.persist(
+      cells.join(broadcast(probed), Seq("cid"))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id", $"crank",
+          V.cosineD($"qv", $"v").as("cosine_raw")))
+    val exact = graft.Caches.persist(
+      a1BruteForce(spark, dir).select($"q_id", $"vec_id"))
+    val grid = NprobeGrid.toDF("nprobe")
+    val w = Window.partitionBy($"nprobe", $"q_id")
+      .orderBy($"cosine_raw".desc, $"vec_id")
+    val ranked = graft.Caches.persist(
+      cand.join(broadcast(grid), $"crank" <= $"nprobe")
+        .withColumn("rnk", row_number().over(w)))
+    val scanned = ranked.groupBy($"nprobe")
+      .agg(count(lit(1)).as("n_scanned"))
+    val hits = ranked.filter($"rnk" <= 5)
+      .join(exact, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy($"nprobe").agg(count(lit(1)).as("hits"))
+    val tot = exact.agg(count(lit(1)).as("possible"))
+    val stats = grid
+      .join(scanned, Seq("nprobe"), "left")
+      .join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"nprobe",
+        coalesce($"n_scanned", lit(0L)).as("n_scanned"),
+        coalesce($"hits", lit(0L)).as("hits"),
+        $"possible",
+        round(coalesce($"hits", lit(0L)).cast("double")
+          / greatest($"possible", lit(1L)), 4).as("recall"))
+    val pick = stats.select($"nprobe", $"recall").collect()
+      .filter(_.getDouble(1) >= target).map(_.getInt(0)).min
+    stats.withColumn("chosen", $"nprobe" === pick).orderBy($"nprobe")
+  }
+
   /** a16: FILTERED vector search — the metadata-constrained top-k
     * every vector store ships (Weaviate `where` + nearVector; s5 is
     * the keyword twin): each query returns its nearest neighbors
@@ -1286,6 +1355,7 @@ object Knn {
     "a16_knn_filtered" -> ((s, d) => a16KnnFiltered(s, d)),
     "a17_cascade_tuning" -> ((s, d) => a17CascadeTuning(s, d)),
     "a18_index_balance" -> a18IndexBalance _,
+    "a19_nprobe_sweep" -> ((s, d) => a19NprobeSweep(s, d)),
     "s2_vector_topk" -> s2VectorTopk _)
 
   private val cosineSql =
@@ -1919,6 +1989,59 @@ object Knn {
          |SELECT q_id, vec_id, round(cosine_raw, 6) AS cosine, rnk
          |FROM ranked WHERE rnk <= 5
          |ORDER BY q_id, rnk""".stripMargin,
+    // the full k=8 Lloyd replay, then ONE centroid ranking per query
+    // (a4's cs DESC, cid DESC ties), every candidate tagged with the
+    // depth it becomes visible at, the whole grid one theta join
+    "a19_nprobe_sweep" ->
+      s"""WITH $kmeansCellsSql,
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |pscore AS (
+         |  SELECT q.q_id, q.qv, c.cid, ${cos("q.qv", "c.cv")} AS cs
+         |  FROM q CROSS JOIN c3 c),
+         |prank AS (
+         |  SELECT q_id, qv, cid,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, cid DESC) AS crank
+         |  FROM pscore),
+         |cand AS (
+         |  SELECT p.q_id, ce.vec_id, p.crank, ${cos("p.qv", "b.v")} AS cosine_raw
+         |  FROM prank p
+         |  JOIN cells ce ON ce.cid = p.cid AND ce.vec_id <> p.q_id
+         |  JOIN e b ON b.vec_id = ce.vec_id),
+         |exact AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.q_id, b.vec_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${cos("q.qv", "b.v")} DESC, b.vec_id) AS rnk
+         |    FROM q JOIN e b ON b.vec_id <> q.q_id) WHERE rnk <= 5),
+         |grid(nprobe) AS (VALUES ${NprobeGrid.map(n => s"($n)").mkString(", ")}),
+         |joined AS (
+         |  SELECT g.nprobe, c.q_id, c.vec_id, c.cosine_raw
+         |  FROM cand c JOIN grid g ON c.crank <= g.nprobe),
+         |ranked AS (
+         |  SELECT nprobe, q_id, vec_id,
+         |    row_number() OVER (PARTITION BY nprobe, q_id
+         |      ORDER BY cosine_raw DESC, vec_id) AS rnk
+         |  FROM joined),
+         |scanned AS (SELECT nprobe, count(*) AS n_scanned
+         |            FROM joined GROUP BY nprobe),
+         |hits AS (
+         |  SELECT r.nprobe, count(*) AS hits
+         |  FROM ranked r JOIN exact x ON r.q_id = x.q_id AND r.vec_id = x.vec_id
+         |  WHERE r.rnk <= 5 GROUP BY r.nprobe),
+         |tot AS (SELECT count(*) AS possible FROM exact),
+         |stats AS (
+         |  SELECT g.nprobe,
+         |    coalesce(s.n_scanned, 0) AS n_scanned,
+         |    coalesce(h.hits, 0) AS hits, tot.possible,
+         |    round(coalesce(h.hits, 0) / greatest(tot.possible, 1), 4) AS recall
+         |  FROM grid g LEFT JOIN scanned s ON s.nprobe = g.nprobe
+         |  LEFT JOIN hits h ON h.nprobe = g.nprobe, tot),
+         |pick AS (SELECT min(nprobe) AS n FROM stats
+         |         WHERE recall >= $NprobeRecallTarget)
+         |SELECT s.nprobe, s.n_scanned, s.hits, s.possible, s.recall,
+         |  (s.nprobe = p.n) AS chosen
+         |FROM stats s, pick p
+         |ORDER BY s.nprobe""".stripMargin,
     "a4_knn_ivf_kmeans" ->
       s"""WITH $kmeansCellsSql,
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),

@@ -692,7 +692,96 @@ object EventStream {
       .orderBy($"event_type", $"hour")
   }
 
+  final case class FetchEvent(page_key: String, ts: java.sql.Timestamp,
+                              event_id: Long, body_hash: String)
+  final case class RevisitState(last_hash: String, interval_s: Double,
+                                n_fetches: Long, n_changes: Long)
+
+  /** st15: streaming RECRAWL-STATE maintenance — c24's adaptive
+    * revisit policy as continuously maintained per-page state (the
+    * standing form of UpdateBodyHash, result_consumer.go:196-198):
+    * each fetch compares its body hash against the stored one and
+    * adapts the revisit interval in place — changed halves (floored
+    * 60 s), unchanged doubles (capped 3600 s), first fetch seeds the
+    * 300 s default. O(1) state per page (hash + interval + two
+    * counters); within a micro-batch events apply in (ts, event_id)
+    * order so replays and shard merges can't reorder the fold. */
+  def revisitStream(fetches: org.apache.spark.sql.Dataset[FetchEvent])
+      : org.apache.spark.sql.Dataset[(String, Long, Long, Double)] = {
+    import fetches.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    fetches.groupByKey(_.page_key)
+      .mapGroupsWithState[RevisitState, (String, Long, Long, Double)](
+          GroupStateTimeout.NoTimeout) {
+        (key, evs, state) =>
+          val ordered = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.orNull
+          ordered.foreach { e =>
+            if (st == null) st = RevisitState(e.body_hash, 300.0, 1L, 0L)
+            else {
+              val changed = st.last_hash != e.body_hash
+              val ni =
+                if (changed) math.max(60.0, st.interval_s / 2)
+                else math.min(3600.0, st.interval_s * 2)
+              st = RevisitState(e.body_hash, ni, st.n_fetches + 1,
+                st.n_changes + (if (changed) 1L else 0L))
+            }
+          }
+          state.update(st)
+          (key, st.n_fetches, st.n_changes, st.interval_s)
+      }
+  }
+
+  /** The synthesized fetch log st15 folds: 200 pages, hash versions
+    * that flip with (user_id + event_id) mod 4 — a page changes
+    * whenever two consecutive fetches carry different versions. */
+  private[graft] def fetchLog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.events(spark, dir).select(
+      concat(lit("page-"), pmod($"event_id", lit(200))).as("page_key"),
+      $"ts", $"event_id",
+      md5(concat(pmod($"event_id", lit(200)), lit(":"),
+        pmod($"user_id" + $"event_id", lit(4)))).as("body_hash"))
+  }
+
+  /** Batch mirror of [[revisitStream]] over any (page_key, ts,
+    * event_id, body_hash) fetch log: the change flags come from one
+    * lag window, and the clamped interval fold — a true sequential
+    * recurrence, not a sum — runs as a codegen `aggregate` HOF over
+    * each page's ordered flags (bounded by fetches-per-page). Rows
+    * are identical to the stream's final state by construction;
+    * StreamingSpec pins it across micro-batch splits. */
+  def revisitStateOf(fetches: DataFrame): DataFrame = {
+    import fetches.sparkSession.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"page_key").orderBy($"ts", $"event_id")
+    fetches
+      .withColumn("prev", lag($"body_hash", 1).over(w))
+      .withColumn("changed", $"prev".isNotNull && $"body_hash" =!= $"prev")
+      .groupBy($"page_key")
+      .agg(count(lit(1)).as("n_fetches"),
+        sum($"changed".cast("long")).as("n_changes"),
+        array_sort(collect_list(struct($"ts", $"event_id", $"changed")))
+          .as("evs"))
+      .withColumn("interval_s", expr(
+        """aggregate(
+          |  slice(evs, 2, greatest(cast(size(evs) as int) - 1, 0)),
+          |  cast(300.0 as double),
+          |  (s, e) -> if(e.changed,
+          |    greatest(cast(60.0 as double), s / 2.0D),
+          |    least(cast(3600.0 as double), s * 2.0D)))""".stripMargin))
+      .select($"page_key", $"n_fetches", $"n_changes",
+        round($"interval_s", 2).as("interval_s"))
+  }
+
+  /** st15 driver query: the batch mirror over the synthesized log. */
+  def st15RecrawlState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    revisitStateOf(fetchLog(spark, dir)).orderBy($"page_key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st15_recrawl_state" -> st15RecrawlState _,
     "st9_dedup_agg" -> st9DedupAgg _,
     "st12_distinct_users" -> st12DistinctUsers _,
     "st10_sketch_trending" -> st10SketchTrending _,
@@ -713,6 +802,36 @@ object EventStream {
       |ORDER BY window_start, event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the same lag-window change flags, the same clamped fold — as a
+    // per-page list_reduce over the ordered flags
+    "st15_recrawl_state" ->
+      """WITH f AS (
+        |  SELECT 'page-' || (event_id % 200) AS page_key,
+        |    CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    md5((event_id % 200) || ':' || ((user_id + event_id) % 4))
+        |      AS body_hash
+        |  FROM events),
+        |flagged AS (
+        |  SELECT page_key, ts, event_id,
+        |    (lag(body_hash) OVER (PARTITION BY page_key
+        |       ORDER BY ts, event_id) IS NOT NULL
+        |     AND body_hash <> lag(body_hash) OVER (PARTITION BY page_key
+        |       ORDER BY ts, event_id)) AS changed
+        |  FROM f),
+        |folded AS (
+        |  SELECT page_key, count(*) AS n_fetches,
+        |    CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_changes,
+        |    -- flags as doubles so the fold's accumulator and element
+        |    -- types unify (list_reduce folds one homogeneous list)
+        |    list(CASE WHEN changed THEN 1.0 ELSE 0.0 END
+        |         ORDER BY ts, event_id) AS ch
+        |  FROM flagged GROUP BY page_key)
+        |SELECT page_key, n_fetches, n_changes,
+        |  round(list_reduce(list_prepend(CAST(300.0 AS DOUBLE), ch[2:]),
+        |    (s, c) -> CASE WHEN c = 1.0 THEN greatest(60.0, s / 2)
+        |                   ELSE least(3600.0, s * 2) END), 2) AS interval_s
+        |FROM folded ORDER BY page_key""".stripMargin,
     // LEFT OUTER attribution: count(click_ts) skips the null pads,
     // count of null click_ts rows = unconverted views
     "st7_outer_attribution" ->

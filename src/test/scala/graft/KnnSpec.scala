@@ -327,4 +327,23 @@ class KnnSpec extends SparkSpec {
     assert(a12("cascade_tuned") == chosen._3)
     Caches.releaseAll()
   }
+
+  test("a19 nprobe sweep: curve monotone, full probe is exact, pick is the cheapest clearing depth") {
+    val rows = Knn.a19NprobeSweep(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(rows.map(_._1).toSeq == Knn.NprobeGrid)
+    // probing deeper can only scan more rows and recall more truth
+    rows.zip(rows.tail).foreach { case (lo, hi) =>
+      assert(lo._2 <= hi._2 && lo._3 <= hi._3,
+        s"not monotone between nprobe=${lo._1} and ${hi._1}")
+    }
+    // nprobe = k probes every cell: exact search, recall 1.0
+    assert(rows.last._5 == 1.0, s"full probe recall: ${rows.last._5}")
+    // the pick is the smallest depth clearing the target
+    val expect = rows.filter(_._5 >= Knn.NprobeRecallTarget).map(_._1).min
+    val chosen = rows.filter(_._6)
+    assert(chosen.length == 1 && chosen.head._1 == expect)
+    Caches.releaseAll()
+  }
 }

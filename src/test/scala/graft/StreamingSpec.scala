@@ -860,6 +860,46 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("st15 recrawl state: stream across two waves == batch fold, hand-checked chains") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def f(k: String, tt: String, id: Long, h: String) =
+      EventStream.FetchEvent(k, Timestamp.valueOf(s"2026-01-01 $tt:00"), id, h)
+    val evs = Seq(
+      f("p1", "00:00", 1, "a"), f("p1", "01:00", 2, "a"), // unchanged → 600
+      f("p1", "02:00", 3, "b"), // changed → 300
+      f("p2", "00:30", 4, "x"),
+      f("p1", "03:00", 5, "b"), // unchanged → 600
+      f("p1", "04:00", 6, "c"), // changed → 300
+      f("p2", "05:00", 7, "y"), // changed → 150
+      f("p3", "06:00", 8, "z"))
+    val stream = MemoryStream[EventStream.FetchEvent]
+    stream.addData(evs.take(4): _*)
+    val query = EventStream.revisitStream(stream.toDS())
+      .toDF("page_key", "n_fetches", "n_changes", "interval_s")
+      .writeStream.format("memory").queryName("st15_mem")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      query.processAllAvailable()
+      stream.addData(evs.drop(4): _*)
+      query.processAllAvailable()
+      // latest state per key: the emission with the highest fetch count
+      val streamed = spark.table("st15_mem").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }.toSet
+      val batch = EventStream.revisitStateOf(evs.toDS().toDF())
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      // hand-computed chains: the fold really is the adapt policy
+      assert(batch.contains(("p1", 5L, 2L, 300.0)))
+      assert(batch.contains(("p2", 2L, 1L, 150.0)))
+      assert(batch.contains(("p3", 1L, 0L, 300.0)))
+    } finally query.stop()
+  }
+
 }
 
 /** Top-level (not nested in the spec) so the batch toDF() encoder
