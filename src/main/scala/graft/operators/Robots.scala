@@ -343,12 +343,98 @@ object Robots {
       .orderBy($"host", $"host_rank")
   }
 
+  /** c25: per-host crawl-BUDGET apportionment — the allocation step
+    * between "how important is each host's frontier" (c17) and "how
+    * many fetches does each host get this cycle": the per-cycle
+    * budget splits across hosts proportional to their pending rank
+    * mass by integer Hamilton apportionment (base = ⌊B·mass/total⌋,
+    * the shortfall goes to the largest integer remainders — base ≤
+    * quota ≤ base+1 for every host, Σquota = B, and the arithmetic
+    * is exact BIGINT div/mod so the oracle replays it digit for
+    * digit). Grants cap at the host's pending count; the spilled
+    * remainder is reported, not silently lost. The remainder ranking
+    * is a window over ONE ROW PER HOST — host-aggregate cardinality,
+    * not frontier cardinality; a deployment with tens of millions of
+    * hosts apportions hierarchically (TLD → host) with the same
+    * operator. */
+  def c25CrawlBudget(spark: SparkSession, dir: String,
+                     budget: Long = 100L): DataFrame = {
+    import spark.implicits._
+    val fr = c17FrontierPriority(spark, dir)
+    val hosts = fr.groupBy($"host")
+      .agg(count(lit(1)).as("n_pending"), sum($"rank_e12").as("mass"))
+    val tot = hosts.agg(sum($"mass").as("tmass"))
+    val wAll = Window.partitionBy()
+    val wRem = Window.orderBy($"rem".desc, $"host")
+    hosts.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($budget * mass) div tmass"))
+      .withColumn("rem", ($"mass" * budget) % $"tmass")
+      .withColumn("short", lit(budget) - sum($"base").over(wAll))
+      .withColumn("rrank", row_number().over(wRem).cast("long"))
+      .withColumn("quota",
+        $"base" + when($"rrank" <= $"short", 1L).otherwise(0L))
+      .withColumn("granted", least($"n_pending", $"quota"))
+      .select($"host", $"n_pending", $"mass", $"quota", $"granted",
+        ($"quota" - $"granted").as("spilled"))
+      .orderBy($"host")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c25_crawl_budget" -> ((s, d) => c25CrawlBudget(s, d)),
     "c24_recrawl_schedule" -> c24RecrawlSchedule _,
     "c23_politeness_schedule" -> c23PolitenessSchedule _,
     "c16_robots" -> c16Robots _,
     "c17_frontier_priority" -> c17FrontierPriority _,
     "d10_url_dedup" -> d10UrlDedup _)
+
+  /** Shared oracle CTE block: c15's rank fixed point, the rules
+    * table, the synthesized frontier, the RFC longest-match
+    * permission pick, and the ranked per-host frontier `fr` — the
+    * common prefix of the c17, c23, and c25 replays. */
+  private lazy val frontierCtesSql: String =
+    s"""${ChunkQueries.pageRankCtesSql},
+      |rules AS (
+      |  SELECT * FROM (VALUES
+      |    ('host0.example.com', 'disallow', '/page/1'),
+      |    ('host0.example.com', 'allow', '/page/12'),
+      |    ('host1.example.com', 'disallow', '/'))
+      |    AS t(host, rule, path)),
+      |frontier AS (
+      |  SELECT DISTINCT
+      |    -- the concat operator stays at end of line: this block is
+      |    -- re-interpolated into stripMargin oracles, and a stripped
+      |    -- line beginning with || would lose a pipe
+      |    'https://host' || (user_id % 3) || '.example.com/page/' ||
+      |      (event_id % 50) AS url,
+      |    'host' || (user_id % 3) || '.example.com' AS host,
+      |    CAST(event_id % 50 AS BIGINT) AS page_id
+      |  FROM events),
+      |urls AS (
+      |  SELECT url,
+      |    regexp_extract(url, '^https?://([^/]+)', 1) AS uhost,
+      |    coalesce(nullif(regexp_extract(url, '^https?://[^/]+(/.*)$$', 1), ''),
+      |             '/') AS url_path
+      |  FROM frontier),
+      |matches AS (
+      |  SELECT u.url, r.rule, r.path
+      |  FROM urls u LEFT JOIN rules r
+      |    ON u.uhost = r.host AND starts_with(u.url_path, r.path)),
+      |perm AS (
+      |  SELECT url, coalesce(rule <> 'disallow', true) AS allowed
+      |  FROM (
+      |    SELECT url, rule,
+      |      row_number() OVER (PARTITION BY url
+      |        ORDER BY length(path) DESC, rule ASC) AS rn
+      |    FROM matches)
+      |  WHERE rn = 1),
+      |fr AS (
+      |  SELECT f.host, f.url, CAST(r3.r AS BIGINT) AS rank_e12,
+      |    CAST(row_number() OVER (PARTITION BY f.host
+      |      ORDER BY r3.r DESC, f.url) AS INTEGER) AS host_rank
+      |  FROM frontier f
+      |  JOIN perm p ON p.url = f.url
+      |  JOIN r3 ON r3.url = f.page_id
+      |  WHERE p.allowed)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // c18's mod-4 change classes (hash equality in Spark ≡ the mod
@@ -443,46 +529,37 @@ object Robots {
         |FROM ranked LEFT JOIN delays ON delays.host = ranked.host
         |ORDER BY ranked.host, host_rank""".stripMargin,
     "c17_frontier_priority" ->
-      s"""WITH ${ChunkQueries.pageRankCtesSql},
-        |rules AS (
-        |  SELECT * FROM (VALUES
-        |    ('host0.example.com', 'disallow', '/page/1'),
-        |    ('host0.example.com', 'allow', '/page/12'),
-        |    ('host1.example.com', 'disallow', '/'))
-        |    AS t(host, rule, path)),
-        |frontier AS (
-        |  SELECT DISTINCT
-        |    'https://host' || (user_id % 3) || '.example.com/page/'
-        |      || (event_id % 50) AS url,
-        |    'host' || (user_id % 3) || '.example.com' AS host,
-        |    CAST(event_id % 50 AS BIGINT) AS page_id
-        |  FROM events),
-        |urls AS (
-        |  SELECT url,
-        |    regexp_extract(url, '^https?://([^/]+)', 1) AS uhost,
-        |    coalesce(nullif(regexp_extract(url, '^https?://[^/]+(/.*)$$', 1), ''),
-        |             '/') AS url_path
-        |  FROM frontier),
-        |matches AS (
-        |  SELECT u.url, r.rule, r.path
-        |  FROM urls u LEFT JOIN rules r
-        |    ON u.uhost = r.host AND starts_with(u.url_path, r.path)),
-        |perm AS (
-        |  SELECT url, coalesce(rule <> 'disallow', true) AS allowed
-        |  FROM (
-        |    SELECT url, rule,
-        |      row_number() OVER (PARTITION BY url
-        |        ORDER BY length(path) DESC, rule ASC) AS rn
-        |    FROM matches)
-        |  WHERE rn = 1)
-        |SELECT f.host, f.url, CAST(r3.r AS BIGINT) AS rank_e12,
-        |  CAST(row_number() OVER (PARTITION BY f.host
-        |    ORDER BY r3.r DESC, f.url) AS INTEGER) AS host_rank
-        |FROM frontier f
-        |JOIN perm p ON p.url = f.url
-        |JOIN r3 ON r3.url = f.page_id
-        |WHERE p.allowed
+      s"""WITH $frontierCtesSql
+        |SELECT host, url, rank_e12, host_rank FROM fr
         |ORDER BY host, host_rank""".stripMargin,
+    // integer Hamilton apportionment over the ranked frontier: base =
+    // (B·mass) div tmass, +1 for the largest integer remainders —
+    // exact BIGINT arithmetic end to end, no FP quota drift
+    "c25_crawl_budget" ->
+      s"""WITH $frontierCtesSql,
+        |hosts AS (
+        |  SELECT host, CAST(count(*) AS BIGINT) AS n_pending,
+        |    CAST(sum(rank_e12) AS BIGINT) AS mass
+        |  FROM fr GROUP BY host),
+        |tot AS (SELECT CAST(sum(mass) AS BIGINT) AS tmass FROM hosts),
+        |q AS (
+        |  SELECT host, n_pending, mass,
+        |    (100 * mass) // tmass AS base, (100 * mass) % tmass AS rem
+        |  FROM hosts, tot),
+        |s AS (
+        |  SELECT host, n_pending, mass, base,
+        |    CAST(100 - sum(base) OVER () AS BIGINT) AS short,
+        |    CAST(row_number() OVER (ORDER BY rem DESC, host) AS BIGINT)
+        |      AS rrank
+        |  FROM q),
+        |g AS (
+        |  SELECT host, n_pending, mass,
+        |    base + CASE WHEN rrank <= short THEN 1 ELSE 0 END AS quota
+        |  FROM s)
+        |SELECT host, n_pending, mass, quota,
+        |  least(n_pending, quota) AS granted,
+        |  quota - least(n_pending, quota) AS spilled
+        |FROM g ORDER BY host""".stripMargin,
     // same normalization arms: lowercase scheme/host, default-port
     // drop, fragment drop, trailing-slash strip, sorted params
     "d10_url_dedup" ->

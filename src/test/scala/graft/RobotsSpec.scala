@@ -150,6 +150,23 @@ class RobotsSpec extends SparkSpec {
       "p-cap" -> 3600.0)) // capped at maxS
   }
 
+  test("c25 budget apportionment: exact Hamilton split, grants capped by pending") {
+    // an odd budget forces nontrivial remainders across the 3 hosts
+    val rows = Robots.c25CrawlBudget(spark, sfDir, budget = 7L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._4).sum == 7L, "quotas must tile the budget exactly")
+    val tmass = rows.map(_._3).sum
+    rows.foreach { case (h, np, m, q, g, sp) =>
+      // the Hamilton guarantee: base <= quota <= base + 1
+      val base = 7L * m / tmass
+      assert(q == base || q == base + 1, s"$h quota $q vs base $base")
+      assert(g == math.min(np, q) && sp == q - g, s"$h grant/spill wrong")
+    }
+    Caches.releaseAll()
+  }
+
   test("paceByHost window ≡ the serial-queue recurrence t_k = max(due_k, t_(k-1)+delay)") {
     import spark.implicits._
     // one host, delay 10: due times force both recurrence branches
