@@ -517,6 +517,32 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
     graft.operators.Robots.evaluate(frontier,
       graft.operators.Robots.parseRobots(robots), agent)
 
+  /** Adaptive recrawl scheduling (c24's composition) over caller
+    * state: change classes with priors (page_key, change,
+    * prev_interval_s, host — [[detectChanges]]' shape plus the
+    * stored interval) and per-host (host, crawl_delay_s) declared
+    * delays → each surviving page's adapted interval and its slot in
+    * the host's politeness-paced serial queue. Changed pages revisit
+    * sooner (halve, floored), stable pages back off (double,
+    * capped), deleted pages retire. */
+  def scheduleRecrawl(changes: DataFrame, delays: DataFrame,
+                      orderCol: String = "page_key",
+                      minS: Double = 60.0, maxS: Double = 3600.0,
+                      defaultS: Double = 300.0): DataFrame = {
+    val due = graft.operators.Robots
+      .revisitIntervals(changes, minS, maxS, defaultS)
+      .withColumn("due_in_s", col("next_interval_s"))
+      .join(broadcast(delays), Seq("host"), "left")
+      .withColumn("crawl_delay_s", coalesce(col("crawl_delay_s"), lit(1.0)))
+    graft.operators.Robots.paceByHost(due, orderCol)
+  }
+
+  /** Per-host fetch-budget apportionment (c25) over any ranked
+    * (host, rank_e12) frontier: exact integer Hamilton split of the
+    * cycle budget by rank mass, grants capped at pending counts. */
+  def crawlBudget(frontier: DataFrame, budget: Long = 100L): DataFrame =
+    graft.operators.Robots.apportionBudget(frontier, budget)
+
   /** Event-rate anomaly detection over any (event_type, ts) frame
     * (q43): hourly counts vs their trailing-24h baseline, spikes
     * flagged — the pipeline's own operational monitoring. */

@@ -358,10 +358,15 @@ object Robots {
     * hosts apportions hierarchically (TLD → host) with the same
     * operator. */
   def c25CrawlBudget(spark: SparkSession, dir: String,
-                     budget: Long = 100L): DataFrame = {
-    import spark.implicits._
-    val fr = c17FrontierPriority(spark, dir)
-    val hosts = fr.groupBy($"host")
+                     budget: Long = 100L): DataFrame =
+    apportionBudget(c17FrontierPriority(spark, dir), budget)
+
+  /** The apportionment core over any ranked (host, rank_e12)
+    * frontier — the GraftEngine facade's entry point; c25 feeds it
+    * the c17 frontier. */
+  def apportionBudget(frontier: DataFrame, budget: Long): DataFrame = {
+    import frontier.sparkSession.implicits._
+    val hosts = frontier.groupBy($"host")
       .agg(count(lit(1)).as("n_pending"), sum($"rank_e12").as("mass"))
     val tot = hosts.agg(sum($"mass").as("tmass"))
     val wAll = Window.partitionBy()

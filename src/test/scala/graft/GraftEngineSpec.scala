@@ -437,4 +437,36 @@ class GraftEngineSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq)
     Caches.releaseAll()
   }
+
+  test("scheduleRecrawl / crawlBudget facades equal their driver queries") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = new GraftEngine(spark, Tables.documents(spark, sfDir))
+    // the same change classes + interval ladder + host mapping c24
+    // synthesizes, fed through the caller-facing composition
+    val changes = graft.operators.WebMeta.c18ChangeDetect(spark, sfDir)
+      .withColumn("doc_id",
+        regexp_extract($"page_key", "^page-(\\d+)$", 1).cast("long"))
+      .withColumn("prev_interval_s",
+        lit(60.0) * pow(lit(2.0), pmod($"doc_id", lit(5)).cast("double")))
+      .withColumn("host",
+        concat(lit("host"), pmod($"doc_id", lit(3)), lit(".example.com")))
+    val delays = Seq(("host0.example.com", 2.0), ("host2.example.com", 5.0))
+      .toDF("host", "crawl_delay_s")
+    val viaFacade = e.scheduleRecrawl(changes, delays, orderCol = "doc_id")
+      .select($"host", $"page_key", $"change", $"prev_interval_s",
+        $"next_interval_s", $"crawl_delay_s", $"host_rank", $"fetch_at_s")
+      .orderBy($"host", $"host_rank")
+      .collect().map(_.toSeq).toSeq
+    val viaQuery = graft.operators.Robots.c24RecrawlSchedule(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(viaFacade === viaQuery)
+    val budgetFacade = e.crawlBudget(
+        graft.operators.Robots.c17FrontierPriority(spark, sfDir))
+      .collect().map(_.toSeq).toSeq
+    val budgetQuery = graft.operators.Robots.c25CrawlBudget(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(budgetFacade === budgetQuery)
+    Caches.releaseAll()
+  }
 }
