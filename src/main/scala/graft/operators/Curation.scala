@@ -54,6 +54,39 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** p21: CONTAMINATION report by source — p2's per-document hits
+    * rolled up into the audit a pipeline actually publishes: per
+    * source, how many training documents (and what token mass) share
+    * eval n-grams, plus the total shared-gram evidence. The number
+    * that decides whether a source ships, gets scrubbed, or gets
+    * dropped — a 0.2% global rate can hide a 40% rate in one scraped
+    * source. One left join of the (small) hit table back onto the
+    * train scan + one keyed aggregate; n-gram matching cost is p2's,
+    * paid once. */
+  def p21ContaminationReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val isEval = pmod($"doc_id", lit(97)) === 5
+    val hits = decontaminate(docs.filter(!isEval), docs.filter(isEval))
+    docs.filter(!isEval)
+      .select($"doc_id", $"source",
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
+          .as("n_tok"))
+      .join(hits, Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        count($"shared_ngrams").as("n_contaminated"),
+        sum($"n_tok").as("n_tokens"),
+        sum(when($"shared_ngrams".isNotNull, $"n_tok").otherwise(0L))
+          .as("tokens_contaminated"),
+        sum(coalesce($"shared_ngrams", lit(0L))).as("shared_ngrams_total"))
+      .withColumn("doc_rate",
+        round($"n_contaminated".cast("double") / $"n_docs", 6))
+      .withColumn("token_rate",
+        round($"tokens_contaminated".cast("double") / $"n_tokens", 6))
+      .orderBy($"source")
+  }
+
   /** p3: leakage-safe deterministic train/val/test SPLIT — the split
     * key is a polynomial hash of the CONTENT (not the id), so exact
     * duplicates always land in the same split (no train/test
@@ -588,6 +621,7 @@ object Curation {
     "p13_dsir" -> p13Dsir _,
     "p11_global_shuffle" -> ((s, d) => p11GlobalShuffle(s, d)),
     "p10_epoch_upsample" -> p10EpochUpsample _,
+    "p21_contamination_report" -> p21ContaminationReport _,
     "p2_decontaminate" -> p2Decontaminate _,
     "p3_train_split" -> p3TrainSplit _,
     "p4_sample_per_source" -> ((s, d) => p4SamplePerSource(s, d)),
@@ -894,6 +928,42 @@ object Curation {
          |    AS stage
          |FROM q, b
          |ORDER BY doc_id""".stripMargin,
+    // p2's hit CTEs rolled up per source against the train scan
+    "p21_contamination_report" ->
+      s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    list_transform(generate_series(1, len(w) - ${ContamNgram - 1}),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |        || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]),
+        |    t -> $polyFoldSql))) AS g
+        |  FROM w WHERE len(w) >= $ContamNgram),
+        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 5),
+        |hits AS (
+        |  SELECT doc_id, count(DISTINCT g.g) AS shared_ngrams
+        |  FROM g JOIN ev USING (g)
+        |  WHERE doc_id % 97 <> 5
+        |  GROUP BY doc_id),
+        |tr AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
+        |  FROM documents WHERE doc_id % 97 <> 5)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(h.shared_ngrams) AS BIGINT) AS n_contaminated,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN h.shared_ngrams IS NOT NULL THEN n_tok
+        |                ELSE 0 END) AS BIGINT) AS tokens_contaminated,
+        |  CAST(sum(coalesce(h.shared_ngrams, 0)) AS BIGINT)
+        |    AS shared_ngrams_total,
+        |  round(count(h.shared_ngrams) / CAST(count(*) AS DOUBLE), 6)
+        |    AS doc_rate,
+        |  round(sum(CASE WHEN h.shared_ngrams IS NOT NULL THEN n_tok
+        |            ELSE 0 END) / CAST(sum(n_tok) AS DOUBLE), 6)
+        |    AS token_rate
+        |FROM tr LEFT JOIN hits h USING (doc_id)
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
     "p2_decontaminate" ->
       s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
         |g AS (

@@ -464,6 +464,26 @@ object Knn {
     cents
   }
 
+  /** INCREMENTAL index maintenance — the d8 discipline applied to
+    * ANN: assign a new vector batch against the EXISTING quantizer
+    * and append into the persisted cell layout, so the index grows
+    * by one narrow write of the batch (each row lands in its cid
+    * directory) instead of a full rebuild. The quantizer stays
+    * frozen — that is the contract every production IVF add() has —
+    * and the price is cell drift: additions can only land in
+    * existing cells, so a shifting distribution slowly skews the
+    * layout. a18's balance audit is the signal that the skew
+    * warrants retrain + rewrite; until then, serving reads appended
+    * rows through the same partition-pruned scan with zero serving-
+    * path changes. */
+  def appendToIvfIndex(path: String, cents: Seq[Seq[Double]],
+                       vectors: DataFrame): Unit = {
+    import vectors.sparkSession.implicits._
+    assign(vectors.select($"vec_id", $"v"), cents)
+      .select($"vec_id", $"v", $"cid")
+      .write.mode("append").partitionBy("cid").parquet(path)
+  }
+
   /** Serve top-k from a written index: score centroids, read ONLY
     * the probed cell partitions, exact rerank inside them. */
   def serveFromIvfIndex(spark: SparkSession, path: String,

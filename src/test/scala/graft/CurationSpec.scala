@@ -240,4 +240,21 @@ class CurationSpec extends SparkSpec {
     assert(ws.sameElements(ws.sorted), "weight order must follow share order")
     Caches.releaseAll()
   }
+
+  test("p21 contamination report tiles p2's hits exactly, rates bounded") {
+    val rep = Curation.p21ContaminationReport(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+    assert(rep.nonEmpty)
+    val p2 = Curation.p2Decontaminate(spark, sfDir).collect()
+      .map(r => r.getLong(1))
+    // the rollup is a partition of p2's per-document evidence
+    assert(rep.map(_._3).sum == p2.length, "contaminated docs must tile p2")
+    assert(rep.map(_._6).sum == p2.sum, "shared-gram totals must tile p2")
+    rep.foreach { case (src, nd, nc, nt, tc, _, dr, tr) =>
+      assert(nc <= nd && tc <= nt, s"$src counts exceed totals")
+      assert(dr >= 0.0 && dr <= 1.0 && tr >= 0.0 && tr <= 1.0)
+    }
+    Caches.releaseAll()
+  }
 }

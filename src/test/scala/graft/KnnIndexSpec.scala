@@ -85,6 +85,27 @@ class KnnIndexSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("appendToIvfIndex: incremental adds serve identically to a full build") {
+    val fullPath = s"$tmp/ivf_full"
+    val incPath = s"$tmp/ivf_inc"
+    val cents = Knn.writeIvfIndex(spark, sfDir, fullPath)
+    // grow the incremental index in two appended batches under the
+    // SAME frozen quantizer — no rebuild
+    val all = Tables.embeddings(spark, sfDir)
+      .select($"vec_id",
+        graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+    Knn.appendToIvfIndex(incPath, cents, all.filter($"vec_id" % 7 =!= 0))
+    Knn.appendToIvfIndex(incPath, cents, all.filter($"vec_id" % 7 === 0))
+    val queries = all.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val full = Knn.serveFromIvfIndex(spark, fullPath, cents, queries)
+      .collect().map(_.toSeq).toSeq
+    val inc = Knn.serveFromIvfIndex(spark, incPath, cents, queries)
+      .collect().map(_.toSeq).toSeq
+    assert(full === inc, "appended index must serve the full build's results")
+    Caches.releaseAll()
+  }
+
   test("filtered index serves STRING tenant labels (the docstring's use case)") {
     // the tenant key is usually a string, not an int — the persisted
     // serve must collect labels untyped, like the in-memory twin
