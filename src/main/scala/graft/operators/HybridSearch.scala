@@ -414,7 +414,61 @@ object HybridSearch {
     ranked.join(rendered, "doc_id")
   }
 
+  /** Misspelled probe terms the s11 driver query corrects (one
+    * deletion, one transposition-ish, one truncation of the s1
+    * QueryTerms). */
+  val FuzzyProbes: Seq[String] = Seq("spak", "jion", "filtr")
+
+  /** s11: FUZZY term correction — the "did you mean" step every
+    * search box ships, as a SymSpell-style deletion-neighborhood
+    * join: a query term and a vocabulary term are candidates iff
+    * their delete-1 variant sets intersect (that neighborhood covers
+    * every edit-distance-1 pair: deletion, insertion, substitution),
+    * then the exact Levenshtein verify keeps dist ≤ 1 and ranks
+    * corrections by (distance, corpus df desc, term). The join is
+    * keyed on variant STRINGS — vocabulary-sized × term-length fan-
+    * out, never query×vocabulary — and both the variant enumeration
+    * and the verify are engine built-ins (transform/substring,
+    * levenshtein), so the whole correction replays in DuckDB. */
+  def s11FuzzyCorrect(spark: SparkSession, dir: String,
+                      probes: Seq[String] = FuzzyProbes,
+                      k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(array_distinct(
+        regexp_extract_all(lower($"text"), lit(WordTokenPattern), lit(0))))
+        .as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    fuzzyCorrections(vocab, probes, k)
+  }
+
+  /** The correction core over any (term, df) vocabulary. */
+  def fuzzyCorrections(vocab: DataFrame, probes: Seq[String],
+                       k: Int = 3): DataFrame = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def variants(c: Column): Column =
+      array_union(array(c), transform(sequence(lit(1), length(c)),
+        i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c)))))
+    val vv = vocab
+      .select($"term", $"df", explode(variants($"term")).as("v"))
+    val qv = probes.toDF("q_term")
+      .select($"q_term", explode(variants($"q_term")).as("v"))
+    val w = Window.partitionBy($"q_term")
+      .orderBy($"dist", $"df".desc, $"term")
+    qv.join(vv, "v")
+      .select($"q_term", $"term", $"df").distinct()
+      .withColumn("dist", levenshtein($"q_term", $"term"))
+      .filter($"dist" <= 1)
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"q_term", $"term".as("correction"), $"dist", $"df", $"rnk")
+      .orderBy($"q_term", $"rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_fuzzy_correct" -> ((s, d) => s11FuzzyCorrect(s, d)),
     "s10_snippets" -> ((s, d) => s10Snippets(s, d)),
     "s9_prf_expansion" -> ((s, d) => s9PrfExpansion(s, d)),
     "s8_search_eval" -> ((s, d) => s8SearchEval(s, d)),
@@ -517,6 +571,41 @@ object HybridSearch {
        |  FROM ($sql)) WHERE rnk <= 10)""".stripMargin
 
   val oracles: Map[String, String] = oraclesBase +
+    // same delete-1 neighborhoods, same exact-Levenshtein verify,
+    // same (dist, df desc, term) ranking
+    ("s11_fuzzy_correct" ->
+      s"""WITH vocab AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM (
+         |    SELECT doc_id, unnest(list_distinct(
+         |      regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+'))) AS term
+         |    FROM documents)
+         |  GROUP BY term),
+         |vv AS (
+         |  SELECT term, df, unnest(list_distinct(list_prepend(term,
+         |    list_transform(generate_series(1, length(term)),
+         |      i -> substring(term, 1, i-1)
+         |        || substring(term, i+1, length(term)))))) AS v
+         |  FROM vocab),
+         |q AS (SELECT unnest([${FuzzyProbes.map(p => s"'$p'").mkString(", ")}]) AS q_term),
+         |qv AS (
+         |  SELECT q_term, unnest(list_distinct(list_prepend(q_term,
+         |    list_transform(generate_series(1, length(q_term)),
+         |      i -> substring(q_term, 1, i-1)
+         |        || substring(q_term, i+1, length(q_term)))))) AS v
+         |  FROM q),
+         |cand AS (SELECT DISTINCT q_term, term, df FROM qv JOIN vv USING (v)),
+         |ver AS (
+         |  SELECT q_term, term, df,
+         |    CAST(levenshtein(q_term, term) AS INTEGER) AS dist
+         |  FROM cand WHERE levenshtein(q_term, term) <= 1),
+         |ranked AS (
+         |  SELECT q_term, term AS correction, dist, df,
+         |    CAST(row_number() OVER (PARTITION BY q_term
+         |      ORDER BY dist, df DESC, term) AS INTEGER) AS rnk
+         |  FROM ver)
+         |SELECT q_term, correction, dist, df, rnk FROM ranked
+         |WHERE rnk <= 3
+         |ORDER BY q_term, rnk""".stripMargin) +
     // same candidate starts (hit positions), same (n_terms, n_hits,
     // start) tie-break, same 1-based window slice
     ("s10_snippets" ->

@@ -133,6 +133,30 @@ class HybridSearchSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("s11 fuzzy correction: delete-1 neighborhood covers every ED-1 edit class") {
+    import spark.implicits._
+    val vocab = Seq(("spark", 50L), ("stark", 10L), ("spar", 5L),
+      ("sparks", 3L), ("join", 20L), ("filter", 9L)).toDF("term", "df")
+    val out = HybridSearch
+      .fuzzyCorrections(vocab, Seq("spak", "spark", "xyzzy"), k = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getInt(4)))
+    // insertion fix ranks first by df; substitution also surfaces
+    val spak = out.filter(_._1 == "spak")
+    assert(spak.head == (("spak", "spark", 1, 50L, 1)))
+    assert(spak.map(_._2).contains("spar"))
+    // the exact term itself wins at distance 0; deletion (spar),
+    // substitution (stark), and insertion (sparks) all surface
+    val exact = out.filter(_._1 == "spark")
+    assert(exact.head == (("spark", "spark", 0, 50L, 1)))
+    assert(Seq("stark", "spar", "sparks").forall(exact.map(_._2).contains))
+    // nothing within distance 1 → no row, never a junk correction
+    assert(!out.exists(_._1 == "xyzzy"))
+    out.foreach(r => assert(r._3 <= 1))
+    Caches.releaseAll()
+  }
+
   test("snippetsOf facade ≡ s10 query; no-hit docs fall back to the doc head") {
     import spark.implicits._
     // facade over the SAME corpus + ranking == the oracle-gated query
