@@ -467,7 +467,32 @@ object HybridSearch {
       .orderBy($"q_term", $"rnk")
   }
 
+  /** s12: COLLAPSED search serving — at most one hit per NEAR-DUP
+    * cluster (what every production engine does so a mirrored page
+    * can't fill the whole first page of results): the full BM25
+    * ranking left-joins the shared component labels (p5's cluster
+    * assignment, computed once per corpus), each cluster keeps its
+    * best-scoring member, and top-k runs over the survivors.
+    * Collapse happens BEFORE the limit — post-limit dedup would
+    * under-fill exactly when it matters (a dup-heavy result page).
+    * Costs one label join + one cluster-keyed window on the scored
+    * set; unlabeled docs are their own singleton clusters. */
+  def s12CollapsedSearch(spark: SparkSession, dir: String,
+                         k: Int = 10): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val scored = bm25Scores(spark, docTokens(spark, dir), QueryTerms)
+    val labels = Pipeline.componentLabels(spark, dir)
+    val lab = scored.join(labels, scored("doc_id") === labels("id"), "left")
+      .select($"doc_id", $"score", coalesce($"lbl", $"doc_id").as("cluster_rep"))
+    val w = Window.partitionBy($"cluster_rep").orderBy($"score".desc, $"doc_id")
+    lab.withColumn("r", row_number().over(w)).filter($"r" === 1)
+      .select($"doc_id", $"cluster_rep", $"score")
+      .orderBy($"score".desc, $"doc_id").limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_collapsed_search" -> ((s, d) => s12CollapsedSearch(s, d)),
     "s11_fuzzy_correct" -> ((s, d) => s11FuzzyCorrect(s, d)),
     "s10_snippets" -> ((s, d) => s10Snippets(s, d)),
     "s9_prf_expansion" -> ((s, d) => s9PrfExpansion(s, d)),
@@ -571,6 +596,55 @@ object HybridSearch {
        |  FROM ($sql)) WHERE rnk <= 10)""".stripMargin
 
   val oracles: Map[String, String] = oraclesBase +
+    // s1's full BM25 scoring (no limit) + p5's recursive component
+    // labels over d2's verified pairs + best-per-cluster collapse
+    ("s12_collapsed_search" ->
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+') AS tok,
+         |         CAST(len(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS DOUBLE) AS dl
+         |  FROM documents),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM docs),
+         |terms AS (SELECT unnest(['spark','join','filter']) AS term),
+         |tf AS (
+         |  SELECT doc_id, dl, token AS term, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(tok) AS token FROM docs)
+         |  WHERE token IN (SELECT term FROM terms)
+         |  GROUP BY doc_id, dl, token),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    round(sum(
+         |      ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+         |      * (tf.tf * (1.2 + 1.0))
+         |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))), 6) AS score
+         |  FROM tf JOIN df USING (term), stats
+         |  GROUP BY tf.doc_id),
+         |pairs AS (
+         |  SELECT a_id, b_id FROM (
+         |${Dedup.d2Sql}
+         |  )),
+         |cedges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT b_id, a_id FROM pairs),
+         |cverts AS (SELECT DISTINCT src AS id FROM cedges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM cverts
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN cedges e ON e.src = reach.id),
+         |comp AS (SELECT id, min(r) AS lbl FROM reach GROUP BY id),
+         |lab AS (
+         |  SELECT s.doc_id, s.score, coalesce(c.lbl, s.doc_id) AS cluster_rep
+         |  FROM scored s LEFT JOIN comp c ON c.id = s.doc_id),
+         |best AS (
+         |  SELECT doc_id, cluster_rep, score FROM (
+         |    SELECT doc_id, cluster_rep, score,
+         |      row_number() OVER (PARTITION BY cluster_rep
+         |        ORDER BY score DESC, doc_id) AS r
+         |    FROM lab) WHERE r = 1)
+         |SELECT doc_id, cluster_rep, score FROM best
+         |ORDER BY score DESC, doc_id
+         |LIMIT 10""".stripMargin) +
     // same delete-1 neighborhoods, same exact-Levenshtein verify,
     // same (dist, df desc, term) ranking
     ("s11_fuzzy_correct" ->

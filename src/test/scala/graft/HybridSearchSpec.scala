@@ -157,6 +157,28 @@ class HybridSearchSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("s12 collapsed serving: one hit per cluster, global best always survives") {
+    import spark.implicits._
+    val res = HybridSearch.s12CollapsedSearch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(res.nonEmpty && res.length <= 10)
+    // the collapse really collapsed: cluster reps are unique
+    assert(res.map(_._2).distinct.length == res.length)
+    // ranking is intact: scores nonincreasing, and the global best
+    // doc (s1's #1) is always its own cluster's best → always kept
+    assert(res.map(_._3).toSeq == res.map(_._3).sortBy(-_).toSeq)
+    val s1Top = HybridSearch.s1KeywordBm25(spark, sfDir)
+      .collect().head.getLong(0)
+    assert(res.head._1 == s1Top)
+    // every surviving doc outranks every clustermate it collapsed
+    val labels = graft.operators.Pipeline.componentLabels(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    res.foreach { case (d, rep, _) =>
+      assert(labels.getOrElse(d, d) == rep, s"doc $d carries wrong rep")
+    }
+    Caches.releaseAll()
+  }
+
   test("snippetsOf facade ≡ s10 query; no-hit docs fall back to the doc head") {
     import spark.implicits._
     // facade over the SAME corpus + ranking == the oracle-gated query
