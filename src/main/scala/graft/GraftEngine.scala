@@ -126,6 +126,50 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
                    limit: Int = settings.searchTopK): DataFrame =
     graft.operators.HybridSearch.phraseSearchOf(tokenized, first, second, limit)
 
+  /** Fuzzy-corrected search (s11 → BM25): each query term is replaced
+    * by its best edit-distance-≤1 vocabulary correction (delete-1
+    * neighborhood join + exact Levenshtein; ranked by corpus df) and
+    * BM25 ranks with the corrected set. Terms with no near neighbor
+    * drop — they could not have matched anyway. The correction list
+    * is a ≤|terms| bounded collect (the s9 expansion-terms shape). */
+  def searchFuzzy(query: String, limit: Int = settings.searchTopK): DataFrame = {
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "searchFuzzy needs at least one query term")
+    val vocab = tokenized
+      .select(explode(array_distinct($"tok")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val corrected = HybridSearch.fuzzyCorrections(vocab, terms, k = 1)
+      .select($"correction").collect().map(_.getString(0)).toSeq.distinct
+    if (corrected.isEmpty)
+      spark.emptyDataFrame
+        .withColumn("doc_id", lit(0L)).withColumn("score", lit(0.0)).limit(0)
+    else
+      HybridSearch.bm25Scores(spark, tokenized, corrected)
+        .orderBy(col("score").desc, col("doc_id")).limit(limit)
+        .select(col("doc_id"), col("score"))
+  }
+
+  /** Collapsed search serving (s12 over this corpus): BM25 ranking
+    * with at most one hit per near-dup cluster — the LSH pair graph
+    * and component labels are computed on THIS corpus, each cluster
+    * keeps its best-scoring member, and top-k runs over survivors. */
+  def searchCollapsed(query: String,
+                      limit: Int = settings.searchTopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "searchCollapsed needs at least one query term")
+    val scored = HybridSearch.bm25Scores(spark, tokenized, terms)
+    val labels = operators.Pipeline.connectedComponentsAdaptive(
+      operators.Dedup.minhashLshPairsOf(
+        operators.Dedup.sigOf(corpus.select($"doc_id", $"text"))))
+    val lab = scored.join(labels, scored("doc_id") === labels("id"), "left")
+      .select($"doc_id", $"score", coalesce($"lbl", $"doc_id").as("cluster_rep"))
+    val w = Window.partitionBy($"cluster_rep").orderBy($"score".desc, $"doc_id")
+    lab.withColumn("r", row_number().over(w)).filter($"r" === 1)
+      .select($"doc_id", $"cluster_rep", $"score")
+      .orderBy($"score".desc, $"doc_id").limit(limit)
+  }
+
   /** Session query log — the reference wires a QueryLogger into
     * retrieval.Service and defers a Log after every successful
     * Search (service.go:62-70); [[runSearch]] is the materializing

@@ -438,6 +438,36 @@ class GraftEngineSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("searchFuzzy corrects misspellings; searchCollapsed keeps one hit per dup cluster") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark streaming joins a filter pipeline with spark shuffles"),
+      (2L, "spark streaming joins a filter pipeline with spark shuffles"),
+      (3L, "spark streaming joins a filter pipeline with spark shuffle"),
+      (4L, "gardening tips for tomato plants in dry climates"),
+      (5L, "spark filter basics and join strategies explained here"))
+      .toDF("doc_id", "text")
+    val e = new GraftEngine(spark, corpus)
+    // a one-deletion misspelling retrieves what the corrected term would
+    val fuzzy = e.searchFuzzy("spak").collect().map(_.getLong(0)).toSet
+    // plain-BM25 leg on the corrected term (searchExpanded at
+    // nExpand=0 is exactly BM25) — fuzzy must retrieve the same docs
+    val exact = e.searchExpanded("spark", nExpand = 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(fuzzy.nonEmpty && fuzzy == exact,
+      s"fuzzy $fuzzy should equal exact-term search $exact")
+    // garbage with no near neighbor returns empty, never junk hits
+    assert(e.searchFuzzy("zzqqzz").collect().isEmpty)
+    // docs 1-3 are near-dups: collapsed serving keeps exactly one
+    val collapsed = e.searchCollapsed("spark filter").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(collapsed.map(_._2).distinct.length == collapsed.length)
+    assert(collapsed.count(r => Set(1L, 2L, 3L).contains(r._1)) == 1,
+      s"dup cluster must collapse to one hit: ${collapsed.mkString(",")}")
+    assert(collapsed.exists(_._1 == 5L), "the distinct relevant doc survives")
+    Caches.releaseAll()
+  }
+
   test("scheduleRecrawl / crawlBudget facades equal their driver queries") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
