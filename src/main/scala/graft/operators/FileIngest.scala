@@ -467,7 +467,89 @@ object FileIngest {
       .orderBy($"doc_id", $"entry")
   }
 
+  /** f6: WARC record-stream ingestion — the CommonCrawl container
+    * shape: a blob is WARC records back to back, each
+    * `WARC/1.0\r\n<headers>\r\n\r\n<Content-Length bytes>\r\n\r\n`,
+    * so the walk materializes bounded hop offsets exactly like the
+    * m6/m9 marker chains (next = header_end + 4 + Content-Length +
+    * 4) and extracts WARC-Type / WARC-Target-URI / Content-Length by
+    * regex over the SLICED header block only — headers are
+    * order-independent and unknown headers are skipped, which is
+    * what real WARCs require. Payload slicing is length-driven
+    * (never delimiter-driven), so payloads containing blank lines
+    * can't derail the walk. Non-WARC blobs and truncated tails yield
+    * typed nothing. Synthesis: two records per document (response
+    * carrying a text slice, metadata carrying a fetch note); the
+    * oracle recomputes every field from the rules. */
+  def f6WarcIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val clean = regexp_replace($"text", "\\r", "")
+    val uri = concat(lit("https://host"), pmod($"doc_id", lit(3)),
+      lit(".example.com/page/"), $"doc_id")
+    def rec(typ: String, u: Column, payload: Column): Column =
+      concat(lit("WARC/1.0\r\nWARC-Type: "), lit(typ),
+        lit("\r\nWARC-Target-URI: "), u,
+        lit("\r\nContent-Length: "), length(payload).cast("string"),
+        lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+    val blobs = graft.Tables.documents(spark, dir)
+      .select($"doc_id",
+        concat(
+          rec("response", uri,
+            clean.substr(lit(1), lit(40) + pmod($"doc_id", lit(25)).cast("int"))),
+          rec("metadata", uri, concat(lit("fetched="), $"doc_id")))
+          .as("blob"))
+    parseWarcRecords(blobs).orderBy($"doc_id", $"record_idx")
+  }
+
+  /** The WARC walker over any (doc_id, blob string) frame: bounded
+    * `maxRecords` hops, one row per well-formed record. */
+  def parseWarcRecords(blobs: DataFrame, maxRecords: Int = 4): DataFrame = {
+    import blobs.sparkSession.implicits._
+    // \r\n\r\n as chr-concats so the same literal works in both the
+    // Spark plan and the DuckDB replay
+    val crlf2 = "concat(chr(13), chr(10), chr(13), chr(10))"
+    var df = blobs.withColumn("_len", length($"blob").cast("long"))
+    var off: Column = lit(1L)
+    (1 to maxRecords).foreach { k =>
+      df = df.withColumn(s"_o$k", off)
+      df = df.withColumn(s"_rel$k",
+        when(col(s"_o$k") <= $"_len",
+          expr(s"locate($crlf2, substring(blob, _o$k))").cast("long")))
+      df = df.withColumn(s"_he$k",
+        when(col(s"_rel$k") > 0L, col(s"_o$k") + col(s"_rel$k") - 1L))
+      df = df.withColumn(s"_hdr$k",
+        when(col(s"_he$k").isNotNull,
+          expr(s"substring(blob, _o$k, _he$k - _o$k)")))
+      df = df.withColumn(s"_hdr$k",
+        when(col(s"_hdr$k").startsWith("WARC/1.0\r\n"), col(s"_hdr$k")))
+      df = df.withColumn(s"_cl$k",
+        when(col(s"_hdr$k").isNotNull,
+          regexp_extract(col(s"_hdr$k"), "Content-Length: ([0-9]+)", 1)
+            .cast("long")))
+      df = df.withColumn(s"_ct$k",
+        when(col(s"_cl$k").isNotNull &&
+             col(s"_he$k") + 3L + col(s"_cl$k") <= $"_len",
+          expr(s"substring(blob, _he$k + 4, _cl$k)")))
+      df = df.withColumn(s"_ty$k",
+        when(col(s"_ct$k").isNotNull,
+          regexp_extract(col(s"_hdr$k"), "WARC-Type: ([a-z]+)", 1)))
+      df = df.withColumn(s"_ur$k",
+        when(col(s"_ct$k").isNotNull,
+          regexp_extract(col(s"_hdr$k"), "WARC-Target-URI: (\\S+)", 1)))
+      off = col(s"_he$k") + 4L + coalesce(col(s"_cl$k"), lit(0L)) + 4L
+    }
+    df.select($"doc_id", posexplode(array((1 to maxRecords).map(k =>
+        struct(col(s"_ty$k").as("warc_type"), col(s"_ur$k").as("target_uri"),
+          col(s"_cl$k").as("content_len"), col(s"_ct$k").as("content"))): _*))
+        .as(Seq("record_idx", "r")))
+      .filter($"r.content".isNotNull && $"r.warc_type" =!= "")
+      .select($"doc_id", ($"record_idx" + 1).as("record_idx"),
+        $"r.warc_type".as("warc_type"), $"r.target_uri".as("target_uri"),
+        $"r.content_len".as("content_len"), $"r.content".as("content"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f6_warc_ingest" -> f6WarcIngest _,
     "f3_encoding_sniff" -> f3EncodingSniff _,
     "f1_file_ingest" -> f1FileIngest _,
     "f2_type_sniff" -> f2TypeSniff _,
@@ -475,6 +557,26 @@ object FileIngest {
     "f5_deflate_ingest" -> f5DeflateIngest _)
 
   val oracles: Map[String, String] = Map(
+    // first-principles recompute of the WARC synthesis rules: a
+    // mis-stepped hop, bad Content-Length parse, or off-by-one slice
+    // hash-mismatches
+    "f6_warc_ingest" ->
+      """WITH base AS (
+        |  SELECT doc_id, replace(text, chr(13), '') AS clean,
+        |    'https://host' || (doc_id % 3) || '.example.com/page/' || doc_id
+        |      AS uri
+        |  FROM documents),
+        |recs AS (
+        |  SELECT doc_id, 1 AS record_idx, 'response' AS warc_type,
+        |    uri AS target_uri,
+        |    substring(clean, 1, 40 + CAST(doc_id % 25 AS INTEGER)) AS content
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'metadata', uri, 'fetched=' || doc_id FROM base)
+        |SELECT doc_id, CAST(record_idx AS INTEGER) AS record_idx, warc_type,
+        |  target_uri, CAST(length(content) AS BIGINT) AS content_len, content
+        |FROM recs
+        |ORDER BY doc_id, record_idx""".stripMargin,
     // first-principles recompute of the deflated-corpus rules: entry
     // names, methods, and contents all derive from the doc text —
     // a mis-inflated member can't hash-match

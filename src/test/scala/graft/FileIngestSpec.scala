@@ -129,6 +129,43 @@ class FileIngestSpec extends SparkSpec {
     assert(byMethod == Map("stored" -> nDocs, "deflated" -> nDocs))
   }
 
+  test("parseWarcRecords walks realistic records: extra headers, embedded blank lines, junk") {
+    import spark.implicits._
+    // realistic record: headers in a DIFFERENT order than the
+    // synthesis, extra headers the parser must skip, and a payload
+    // CONTAINING \r\n\r\n — only a length-driven walk survives that
+    val body1 = "line one\r\n\r\nline two after a blank line"
+    val rec1 =
+      "WARC/1.0\r\n" +
+        "WARC-Record-ID: <urn:uuid:1234>\r\n" +
+        "Content-Length: " + body1.length + "\r\n" +
+        "WARC-Date: 2026-08-14T00:00:00Z\r\n" +
+        "WARC-Type: response\r\n" +
+        "WARC-Target-URI: https://real.example.org/a\r\n" +
+        "\r\n" + body1 + "\r\n\r\n"
+    val body2 = "short"
+    val rec2 =
+      "WARC/1.0\r\n" +
+        "WARC-Type: metadata\r\n" +
+        "Content-Length: " + body2.length + "\r\n" +
+        "WARC-Target-URI: https://real.example.org/a\r\n" +
+        "\r\n" + body2 + "\r\n\r\n"
+    val truncated = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: x\r\nContent-Length: 999\r\n\r\nnot enough bytes"
+    val blobs = Seq(
+      (1L, rec1 + rec2),
+      (2L, "HTTP/1.1 200 OK\r\n\r\nnot a warc at all"),
+      (3L, rec1 + truncated)).toDF("doc_id", "blob")
+    val rows = graft.operators.FileIngest.parseWarcRecords(blobs)
+      .orderBy($"doc_id", $"record_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getString(5)))
+    assert(rows.toSeq == Seq(
+      (1L, 1, "response", "https://real.example.org/a", body1.length.toLong, body1),
+      (1L, 2, "metadata", "https://real.example.org/a", body2.length.toLong, body2),
+      (3L, 1, "response", "https://real.example.org/a", body1.length.toLong, body1)))
+  }
+
   test("expandArchives finds EOCD behind a zip comment and trailing bytes") {
     import spark.implicits._
     // real crawl dumps carry archive comments — the EOCD is then NOT
