@@ -51,6 +51,43 @@ object Pipeline {
       .orderBy($"doc_id")
   }
 
+  /** p22: preparation FUNNEL audit — the per-stage in/out/dropped
+    * counts of p1's chain (quality filter → exact dedup → near
+    * dedup), the run report every corpus-prep job prints so an
+    * operator can see WHERE the corpus went before signing off on
+    * the survivor set (a near-dup stage that silently eats 40% is a
+    * mis-set τ, not a clean corpus). Same shared scans and the same
+    * stage semantics as p1 — the funnel can't drift from the
+    * pipeline it audits; three single-row count aggregates unioned,
+    * no new corpus scans. */
+  def p22PrepareFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = TextAnalysis.scoredDocs(spark, dir)
+    val q = scored.filter($"quality" >= 0.2)
+    val exactKept = graft.Caches.persist(q
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy($"digest").orderBy($"doc_id")))
+      .filter($"__rn" === 1)
+      .select($"doc_id"))
+    val sig = Dedup.minhashSigs(spark, dir)
+      .join(exactKept, Seq("doc_id"), "left_semi")
+    val losers = Dedup.minhashLshPairsOf(sig)
+      .select($"b_id".as("doc_id")).distinct()
+    val fin = exactKept.join(losers, Seq("doc_id"), "left_anti")
+    def cnt(df: DataFrame) = df.agg(count(lit(1)).as("n"))
+    Seq((1, "quality_filter", cnt(scored), cnt(q)),
+        (2, "exact_dedup", cnt(q), cnt(exactKept)),
+        (3, "near_dedup", cnt(exactKept), cnt(fin)))
+      .map { case (i, s, in, out) =>
+        in.crossJoin(out.withColumnRenamed("n", "m"))
+          .select(lit(i).as("stage_idx"), lit(s).as("stage"),
+            $"n".as("docs_in"), $"m".as("docs_out"),
+            ($"n" - $"m").as("dropped"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy($"stage_idx")
+  }
+
   /** Connected components over an undirected (a_id, b_id) pair set
     * via the ALTERNATING STAR algorithm (Kiveris et al. 2014,
     * "Connected Components in MapReduce and Beyond" — the algorithm
@@ -324,11 +361,57 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p19_cluster_split" -> p19ClusterSplit _,
     "d15_dedup_savings" -> d15DedupSavings _,
+    "p22_prepare_funnel" -> p22PrepareFunnel _,
     "p1_prepare_corpus" -> p1PrepareCorpus _,
     "p12_cluster_keep_best" -> p12ClusterKeepBest _,
     "p5_dedup_clusters" -> p5DedupClusters _)
 
   val oracles: Map[String, String] = Map(
+    // p1's CTE chain, counted per stage
+    "p22_prepare_funnel" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |${TextAnalysis.profileColsSql}
+         |   ${TextAnalysis.zhColSql},
+         |${TextAnalysis.qualityColsSql}
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN s_zh > 0 THEN 'zh'
+         |      ${TextAnalysis.bestChainSql}
+         |      ELSE 'unknown' END AS lang_id,
+         |    ${TextAnalysis.qualityExprSql} AS quality
+         |  FROM base),
+         |flt AS (SELECT * FROM scored WHERE quality >= 0.2),
+         |exact AS (
+         |  SELECT doc_id, text, lang_id, quality FROM (
+         |    SELECT doc_id, text, lang_id, quality,
+         |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM flt)
+         |  WHERE rn = 1),
+         |losers AS (
+         |  SELECT DISTINCT b_id FROM (
+         |${Dedup.d2SqlOver("exact")}
+         |  )),
+         |fin AS (
+         |  SELECT doc_id FROM exact
+         |  WHERE doc_id NOT IN (SELECT b_id FROM losers)),
+         |counts AS (
+         |  SELECT 1 AS stage_idx, 'quality_filter' AS stage,
+         |    (SELECT count(*) FROM scored) AS docs_in,
+         |    (SELECT count(*) FROM flt) AS docs_out
+         |  UNION ALL
+         |  SELECT 2, 'exact_dedup',
+         |    (SELECT count(*) FROM flt), (SELECT count(*) FROM exact)
+         |  UNION ALL
+         |  SELECT 3, 'near_dedup',
+         |    (SELECT count(*) FROM exact), (SELECT count(*) FROM fin))
+         |SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage,
+         |  CAST(docs_in AS BIGINT) AS docs_in,
+         |  CAST(docs_out AS BIGINT) AS docs_out,
+         |  CAST(docs_in - docs_out AS BIGINT) AS dropped
+         |FROM counts
+         |ORDER BY stage_idx""".stripMargin,
     "p1_prepare_corpus" ->
       s"""WITH base AS (
          |  SELECT doc_id, text,

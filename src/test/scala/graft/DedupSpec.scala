@@ -411,6 +411,24 @@ class DedupSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("p22 funnel: stages chain exactly, final survivors equal p1") {
+    val rows = graft.operators.Pipeline.p22PrepareFunnel(spark, sfDir)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._2).toSeq ==
+      Seq("quality_filter", "exact_dedup", "near_dedup"))
+    // each stage's output is the next stage's input; dropped = in-out
+    rows.zip(rows.tail).foreach { case (a, b) => assert(a._4 == b._3) }
+    rows.foreach { case (_, s, in, out, dropped) =>
+      assert(dropped == in - out && out <= in, s"$s accounting broken")
+    }
+    // the funnel audits the REAL pipeline: final out == p1's survivors
+    val p1 = graft.operators.Pipeline.p1PrepareCorpus(spark, sfDir).count()
+    assert(rows.last._4 == p1)
+    Caches.releaseAll()
+  }
+
   test("d16b per-source sweep: curves monotone per source, within-source ⊆ global") {
     val rows = Dedup.d16bSourceSweep(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
