@@ -611,7 +611,67 @@ object Curation {
       .orderBy($"source")
   }
 
+  /** p23: WATER-FILLING token-budget allocation — the max-min-fair
+    * split of a training budget across sources (the allocation rule
+    * behind per-domain caps in curated pretraining mixes): every
+    * source keeps its tokens up to a common water level λ, and λ is
+    * chosen so the capped allocations exactly exhaust the budget.
+    * Unlike p18's equal quota (which strands budget on small sources)
+    * or p20's temperature weights (which can over-ask a tiny source),
+    * water-filling never allocates more than a source has and pours
+    * the surplus into the sources that can absorb it.
+    *
+    * The λ solve is LINEARIZED, not iterated: sort the per-source
+    * rollup ascending by tokens; source i is uncapped iff
+    * prefix_i + tokens_i·(n−i) ≤ B (that set is a down-set in sorted
+    * order — affordability of a level is monotone in the level), so
+    * one cumulative-sum window + one conditional aggregate yields
+    * m = |uncapped| and λ = (B − prefix_m)/(n − m). The windowed
+    * relation is the per-source ROLLUP — cardinality is the number of
+    * sources (dozens, thousands at worst), so the single-partition
+    * sort is deliberate, not a scale hazard; the corpus scan itself
+    * is one keyed aggregate. Capped allocations use floor(λ) so both
+    * engines emit identical integers. */
+  def p23BudgetWaterfill(spark: SparkSession, dir: String,
+                         budget: Long = 26000L): DataFrame =
+    waterfillOf(Tables.documents(spark, dir), budget)
+
+  /** The p23 core over any (source, text) corpus. */
+  def waterfillOf(corpus: DataFrame, budget: Long): DataFrame = {
+    import corpus.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bySource = corpus
+      .select($"source",
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
+          .as("n_tok"))
+      .groupBy($"source").agg(sum($"n_tok").as("tokens"))
+    val ord = Window.orderBy($"tokens", $"source")
+    val ranked = bySource
+      .withColumn("prefix", sum($"tokens")
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("i", row_number().over(ord).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("long"))
+      .withColumn("uncapped",
+        $"prefix" + $"tokens" * ($"n" - $"i") <= lit(budget))
+    val level = ranked.agg(
+        sum(when($"uncapped", 1L).otherwise(0L)).as("m"),
+        coalesce(sum(when($"uncapped", $"tokens")), lit(0L)).as("pm"),
+        max($"n").as("n"))
+      .select(when($"n" > $"m",
+        round((lit(budget) - $"pm") / ($"n" - $"m").cast("double"), 4))
+        .as("level"))
+    ranked.crossJoin(broadcast(level))
+      .select($"source", $"tokens", (!$"uncapped").as("capped"),
+        when($"uncapped", $"tokens")
+          .otherwise(floor($"level")).cast("long").as("alloc_tokens"),
+        $"level")
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p23_budget_waterfill" -> ((s, d) => p23BudgetWaterfill(s, d)),
     "p20_temperature_mix" -> ((s, d) => p20TemperatureMix(s, d)),
     "p18_token_budget" -> ((s, d) => p18TokenBudget(s, d)),
     "p17_weighted_sample" -> ((s, d) => p17WeightedSample(s, d)),
@@ -667,6 +727,41 @@ object Curation {
        |  FROM packed p JOIN o ON o.source = p.source AND o.rn = p.rn + 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same ascending sort, same down-set predicate, same λ division,
+    // same floor'd capped allocations
+    "p23_budget_waterfill" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+        |      AS tokens
+        |  FROM documents GROUP BY source),
+        |r AS (
+        |  SELECT source, tokens,
+        |    CAST(sum(tokens) OVER (ORDER BY tokens, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS prefix,
+        |    CAST(row_number() OVER (ORDER BY tokens, source) AS BIGINT) AS i,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM s),
+        |f AS (
+        |  SELECT *, (prefix + tokens * (n - i)) <= 26000 AS uncapped
+        |  FROM r),
+        |lv AS (
+        |  SELECT CAST(sum(CASE WHEN uncapped THEN 1 ELSE 0 END) AS BIGINT) AS m,
+        |    CAST(coalesce(sum(CASE WHEN uncapped THEN tokens END), 0)
+        |      AS BIGINT) AS pm,
+        |    max(n) AS n
+        |  FROM f),
+        |lev AS (
+        |  SELECT CASE WHEN n > m
+        |    THEN round((26000 - pm) / CAST(n - m AS DOUBLE), 4) END AS level
+        |  FROM lv)
+        |SELECT source, tokens, NOT uncapped AS capped,
+        |  CASE WHEN uncapped THEN tokens
+        |       ELSE CAST(floor(level) AS BIGINT) END AS alloc_tokens,
+        |  level
+        |FROM f, lev
+        |ORDER BY source""".stripMargin,
     // same sqrt-temperature weights, same round-before-derive order
     "p20_temperature_mix" ->
       """WITH s AS (

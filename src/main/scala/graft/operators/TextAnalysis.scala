@@ -547,6 +547,50 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t25: ZIPF rank-frequency slope per source — the corpus-health
+    * regression (natural prose tracks slope ≈ −1 on the log-log
+    * rank/frequency curve; machine-generated or templated text bends
+    * it) used as a cheap distribution-level quality gate next to the
+    * per-document tiers (t2/t9/t10). Reads the SHARED (doc, term)
+    * count build (t13's inverted-index core) joined to the doc→source
+    * map — the corpus text is scanned once per session, not re-
+    * tokenized here. Per-source top-100 ranks via a keyed window;
+    * the least-squares slope and r² are computed from FIXED-POINT
+    * integer sums (ln pre-rounded to 1e-6 and scaled to int64), so
+    * the aggregation is order-independent and exact — no
+    * double-summation nondeterminism — and the final divisions run
+    * on identical integers in both engines. */
+  def t25ZipfSlope(spark: SparkSession, dir: String,
+                   topRanks: Int = 100): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sourceOf = Tables.documents(spark, dir).select($"doc_id", $"source")
+    val counts = termCounts(spark, dir)
+      .join(sourceOf, "doc_id")
+      .groupBy($"source", $"term").agg(sum($"tf").as("c"))
+    val w = Window.partitionBy($"source").orderBy($"c".desc, $"term")
+    val pts = counts
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= topRanks)
+      .select($"source",
+        round(log($"rank".cast("double")) * 1e6, 0).cast("long").as("x"),
+        round(log($"c".cast("double")) * 1e6, 0).cast("long").as("y"))
+    val num = $"n" * $"sxy" - $"sx" * $"sy"
+    val denX = $"n" * $"sxx" - $"sx" * $"sx"
+    val denY = $"n" * $"syy" - $"sy" * $"sy"
+    pts.groupBy($"source").agg(
+        count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"),
+        sum($"y" * $"y").as("syy"))
+      .select($"source", $"n".as("n_ranks"),
+        round(num.cast("double") / denX.cast("double"), 6).as("slope"),
+        round(num.cast("double") * num.cast("double") /
+          (denX.cast("double") * denY.cast("double")), 6).as("r2"))
+      .orderBy($"source")
+  }
+
   /** t20: LEXICAL DIVERSITY — type-token ratio and hapax share per
     * document, the corpus-linguistics pair that separates varied
     * prose (high TTR) from templated/repetitive text (low TTR, the
@@ -652,6 +696,7 @@ object TextAnalysis {
     "t19_vocab_growth" -> ((s, d) => t19VocabGrowth(s, d)),
     "t23_vocab_maintained" -> ((s, d) => t23VocabMaintained(s, d)),
     "t24_bigram_ppl" -> t24BigramPpl _,
+    "t25_zipf_slope" -> ((s, d) => t25ZipfSlope(s, d)),
     "t15_dataset_card" -> t15DatasetCard _,
     "t14_char_entropy" -> t14CharEntropy _,
     "t13_keyword_tfidf" -> t13KeywordTfidf _,
@@ -1008,6 +1053,42 @@ object TextAnalysis {
            |    / (SELECT CAST(sum(tokens) AS DOUBLE) FROM cells), 6) AS mix_weight
            |FROM cells
            |ORDER BY source, lang_id""".stripMargin,
+      // same top-100 ranks, same 1e-6 fixed-point ln quantization,
+      // same exact integer sums feeding the closed-form regression
+      "t25_zipf_slope" ->
+        """WITH tok AS (
+          |  SELECT source,
+          |    unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS term
+          |  FROM documents),
+          |cnt AS (
+          |  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+          |  FROM tok GROUP BY 1, 2),
+          |rk AS (
+          |  SELECT source, c,
+          |    CAST(row_number() OVER (PARTITION BY source
+          |      ORDER BY c DESC, term) AS BIGINT) AS rank
+          |  FROM cnt),
+          |pts AS (
+          |  SELECT source,
+          |    CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000, 0) AS BIGINT) AS x,
+          |    CAST(round(ln(CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT) AS y
+          |  FROM rk WHERE rank <= 100),
+          |ag AS (
+          |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |    CAST(sum(x * y) AS BIGINT) AS sxy,
+          |    CAST(sum(x * x) AS BIGINT) AS sxx,
+          |    CAST(sum(y * y) AS BIGINT) AS syy
+          |  FROM pts GROUP BY source)
+          |SELECT source, n AS n_ranks,
+          |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+          |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+          |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+          |      * CAST(n * sxy - sx * sy AS DOUBLE)
+          |    / (CAST(n * sxx - sx * sx AS DOUBLE)
+          |      * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+          |FROM ag
+          |ORDER BY source""".stripMargin,
       // same add-one bigram model, same 6dp pre-rounded NLLs, same
       // ordered per-doc fold (t10's determinism rule)
       "t24_bigram_ppl" ->

@@ -257,4 +257,37 @@ class CurationSpec extends SparkSpec {
     }
     Caches.releaseAll()
   }
+
+  test("p23 water-filling exhausts the budget at a common level, max-min fair") {
+    import spark.implicits._
+    // sources with 10/20/30/100 tokens
+    val corpus = Seq(
+      (1L, Seq.fill(10)("w").mkString(" "), "sa"),
+      (2L, Seq.fill(20)("w").mkString(" "), "sb"),
+      (3L, Seq.fill(30)("w").mkString(" "), "sc"),
+      (4L, Seq.fill(100)("w").mkString(" "), "sd")
+    ).toDF("doc_id", "text", "source")
+    def run(b: Long) = Curation.waterfillOf(corpus, b).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getLong(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4))).sortBy(_._1)
+    // budget 100: only the largest source is capped, λ = 40
+    val r100 = run(100L)
+    assert(r100.map(_._4).toSeq == Seq(10L, 20L, 30L, 40L))
+    assert(r100.map(_._3).toSeq == Seq(false, false, false, true))
+    assert(r100.forall(_._5 == 40.0))
+    assert(r100.map(_._4).sum == 100L, "budget must be exhausted exactly")
+    // budget 70: level 20 caps sc and sd; sb sits exactly AT the level
+    val r70 = run(70L)
+    assert(r70.map(_._4).toSeq == Seq(10L, 20L, 20L, 20L))
+    assert(r70.map(_._4).sum == 70L)
+    // budget above the corpus: nobody is capped, level undefined
+    val rAll = run(1000L)
+    assert(rAll.map(_._4).toSeq == Seq(10L, 20L, 30L, 100L))
+    assert(rAll.forall(!_._3) && rAll.forall(_._5.isNaN))
+    // every allocation is bounded by what the source has
+    (r100 ++ r70 ++ rAll).foreach { case (_, tok, _, alloc, _) =>
+      assert(alloc <= tok)
+    }
+    Caches.releaseAll()
+  }
 }

@@ -212,4 +212,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(diff == 0L, s"$diff rows disagree between cache and direct scoring")
     Caches.releaseShared()
   }
+
+  test("t25 zipf slope recovers -1 on an exact power-law corpus") {
+    import spark.implicits._
+    // word wk appears floor(2000/k) times: frequencies follow 1/rank,
+    // so the log-log regression must sit near slope -1 with a tight fit
+    val text = (1 to 40).flatMap(k => Seq.fill(2000 / k)(s"w$k")).mkString(" ")
+    val docs = Seq((1L, text, "zipf")).toDF("doc_id", "text", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("t25").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = TextAnalysis.t25ZipfSlope(spark, tmp).collect()
+    assert(r.length == 1)
+    val (n, slope, r2) = (r(0).getLong(1), r(0).getDouble(2), r(0).getDouble(3))
+    assert(n == 40L)
+    assert(slope > -1.05 && slope < -0.95, s"slope $slope must be near -1")
+    assert(r2 > 0.99, s"power law must fit tightly, r2=$r2")
+    // and on the real corpus: negative slope, sane fit, per source
+    val real = TextAnalysis.t25ZipfSlope(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { row =>
+      assert(row.getDouble(2) < 0.0, s"${row.getString(0)} slope must be negative")
+      assert(row.getDouble(3) > 0.0 && row.getDouble(3) <= 1.0)
+    }
+    Caches.releaseShared()
+  }
 }
