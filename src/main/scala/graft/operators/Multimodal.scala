@@ -759,8 +759,11 @@ object Multimodal {
 
   /** The endian-aware IFD parser over any (doc_id, payload binary)
     * frame: bounded-slot walk (maxEntries), all codegen byte
-    * arithmetic. */
-  def parseTiff(blobs: DataFrame, maxEntries: Int = 6): DataFrame = {
+    * arithmetic. `passthrough` names extra input columns to carry
+    * into the output unchanged (m13 threads its APP1 locator columns
+    * through without a self-join). */
+  def parseTiff(blobs: DataFrame, maxEntries: Int = 6,
+                passthrough: Seq[String] = Nil): DataFrame = {
     import blobs.sparkSession.implicits._
     graft.plans.GraftFunctions.ensureRegistered(blobs.sparkSession)
     def byteAt(off: Column): Column =
@@ -801,14 +804,124 @@ object Multimodal {
     def tagValue(tag: Long): Column = coalesce(
       (0 until maxEntries).map(i =>
         when(col(s"_tag$i") === tag, col(s"_val$i"))): _*)
-    walked.select($"doc_id",
+    walked.select(($"doc_id" +: passthrough.map(col)) ++ Seq(
         $"_istiff".as("is_tiff"),
         when($"_istiff", when($"_le", "II").otherwise("MM")).as("byte_order"),
         when($"_istiff", $"_n").as("n_entries"),
         tagValue(256L).as("width"),
         tagValue(257L).as("height"),
         tagValue(259L).as("compression"),
-        tagValue(274L).as("orientation"))
+        tagValue(274L).as("orientation")): _*)
+  }
+
+  /** m13: JPEG EXIF — the APP1-embedded TIFF walk, composing the two
+    * hardest m-family shapes: m6's variable-offset marker hops (an
+    * optional COM segment shifts APP1 per row) locate the Exif APP1,
+    * and m10's endian-aware IFD parser (byte order DECLARED in the
+    * file — II on even ids, MM on odd) decodes the camera metadata at
+    * the located base. EXIF is exactly this on the wire: a TIFF file
+    * whose internal offsets are relative to its own base, carried
+    * inside a JPEG segment — so the parser SLICES the payload at
+    * base (one bounded substr per row) and delegates to the same
+    * parseTiff kernel walk m10 uses, locator columns threaded through
+    * (no self-join). Some rows carry a non-Exif APP1 in the wild
+    * (XMP); the hop predicate checks the "Exif\0\0" header bytes, not
+    * just the marker, so those are stepped over. One in five docs has
+    * no EXIF at all — the miss branch is part of the oracle. */
+  def m13JpegExif(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hasExif = pmod($"doc_id", lit(5)) =!= 0
+    val hasCom = pmod($"doc_id", lit(3)) === 0
+    val comLen = (lit(7) + pmod($"doc_id", lit(11))).cast("long")
+    val le = pmod($"doc_id", lit(2)) === 0
+    val width = lit(32L) + pmod($"doc_id", lit(500))
+    val height = lit(24L) + pmod($"doc_id", lit(400))
+    val orient = lit(1L) + pmod($"doc_id", lit(8))
+    val hasOrient = pmod($"doc_id", lit(3)) === 0
+    val nEntries = when(hasOrient, 3L).otherwise(2L)
+    def h8(v: Column): Column = lpad(hex(v.bitwiseAND(lit(255L))), 2, "0")
+    def build(little: Boolean): Column = {
+      def u16(v: Column): Column =
+        if (little) concat(h8(v), h8(shiftright(v, 8)))
+        else concat(h8(shiftright(v, 8)), h8(v))
+      def u32(v: Column): Column =
+        if (little) concat(u16(v.bitwiseAND(lit(65535L))), u16(shiftright(v, 16)))
+        else concat(u16(shiftright(v, 16)), u16(v.bitwiseAND(lit(65535L))))
+      def entry(tag: Long, typ: Long, valueHex: Column): Column =
+        concat(u16(lit(tag)), u16(lit(typ)), u32(lit(1L)), valueHex)
+      concat(
+        lit(if (little) "4949" else "4D4D"),
+        u16(lit(42L)), u32(lit(8L)), u16(nEntries),
+        entry(256L, 4L, u32(width)),
+        entry(257L, 4L, u32(height)),
+        when(hasOrient, entry(274L, 3L, concat(u16(orient), lit("0000"))))
+          .otherwise(lit("")),
+        u32(lit(0L)))
+    }
+    // TIFF bytes: 8 header + 2 count + 12/entry + 4 next-IFD pointer;
+    // the APP1 length field covers itself (2) + "Exif\0\0" (6) + TIFF
+    val tiffLen = lit(14L) + nEntries * lit(12L)
+    val app0 = concat(lit("FFE00010"), lit("4A46494600"), lit("0101"),
+      lit("00"), lit("0048"), lit("0048"), lit("00"), lit("00"))
+    val com = when(hasCom,
+      concat(lit("FFFE"), lpad(hex(comLen), 4, "0"),
+        repeat(lit("63"), (comLen - 2).cast("int"))))
+      .otherwise(lit(""))
+    val app1 = when(hasExif,
+      concat(lit("FFE1"), lpad(hex(tiffLen + 8L), 4, "0"),
+        lit("457869660000"),
+        when(le, build(little = true)).otherwise(build(little = false))))
+      .otherwise(lit(""))
+    val sof0 = concat(lit("FFC0"), lit("0011"), lit("08"),
+      lit("00F0"), lit("0140"), lit("03"), lit("012200021101031101"))
+    val blobs = Tables.documents(spark, dir)
+      .select($"doc_id",
+        unhex(concat(lit("FFD8"), app0, com, app1, sof0,
+          hex(substring($"text", 1, 32).cast("binary")))).as("payload"))
+    parseJpegExif(blobs).orderBy($"doc_id")
+  }
+
+  /** The EXIF locator+parser over any (doc_id, payload binary) frame:
+    * marker hops find the APP1 whose data leads with "Exif\0\0"
+    * (non-Exif APP1 segments are stepped over), the payload is sliced
+    * at the TIFF base, and the slice runs through parseTiff. */
+  def parseJpegExif(blobs: DataFrame, maxHops: Int = 4,
+                    maxEntries: Int = 6): DataFrame = {
+    import blobs.sparkSession.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(blobs.sparkSession)
+    def byteAt(off: Column): Column =
+      when(off >= 1L && off <= $"_len", call_function("byte_at", $"payload", off))
+    def be16(off: Column): Column = byteAt(off) * 256L + byteAt(off + 1L)
+    // m6's hop materialization: each offset is a real column so hop
+    // k+1 references an attribute, not a re-embedded copy of the
+    // whole prior chain
+    var walked = blobs
+      .withColumn("_len", octet_length($"payload").cast("long"))
+      .withColumn("_off1", lit(3L))
+    for (i <- 1 until maxHops)
+      walked = walked.withColumn(s"_off${i + 1}",
+        col(s"_off$i") + 2L + be16(col(s"_off$i") + 2L))
+    def isExifAt(off: Column): Column =
+      byteAt(off) === 255L && byteAt(off + 1L) === 225L &&
+        hex($"payload".substr((off + 4L).cast("int"), lit(6))) === "457869660000"
+    val offs = (1 to maxHops).map(i => col(s"_off$i")).toList
+    val exifOff = offs.foldRight(lit(null).cast("long")) {
+      case (off, rest) => when(isExifAt(off), off).otherwise(rest)
+    }
+    val isJpeg = hex(substring($"payload", 1, 2)) === "FFD8"
+    val located = walked
+      .withColumn("_exif", when(isJpeg, exifOff))
+      .withColumn("has_exif", isJpeg && $"_exif".isNotNull)
+      .withColumn("exif_off", when($"has_exif", $"_exif"))
+      // slice from the TIFF base (marker 2 + length 2 + header 6);
+      // 256 bytes bounds the IFD walk like maxEntries bounds the slots
+      .withColumn("payload",
+        when($"has_exif",
+          expr("substr(payload, cast(exif_off + 10 as int), 256)"))
+          .otherwise(lit(null).cast("binary")))
+      .select($"doc_id", $"has_exif", $"exif_off", $"payload")
+    parseTiff(located, maxEntries, passthrough = Seq("has_exif", "exif_off"))
+      .drop("is_tiff", "compression")
   }
 
   /** m11: PERCEPTUAL near-duplicate pairs over the image payloads —
@@ -1152,6 +1265,7 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m13_jpeg_exif" -> m13JpegExif _,
     "m12_png_text" -> m12PngText _,
     "m11_perceptual_dedup" -> ((s, d) => m11PerceptualDedup(s, d)),
     "m10_tiff_meta" -> m10TiffMeta _,
@@ -1166,6 +1280,33 @@ object Multimodal {
     "m8_tar_meta" -> m8TarMeta _)
 
   val oracles: Map[String, String] = Map(
+    // first-principles recompute of the APP1 locator + IFD fields
+    // from the synth rules: the variable COM shift, the per-row byte
+    // order, and the one-in-five miss branch all replayed from
+    // doc_id arithmetic — no SQL byte parsing
+    "m13_jpeg_exif" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    (doc_id % 5 <> 0) AS has_exif,
+        |    CASE WHEN doc_id % 3 = 0 THEN 7 + doc_id % 11 ELSE 0 END AS com_len,
+        |    (doc_id % 3 = 0) AS has_orient
+        |  FROM documents)
+        |SELECT doc_id, has_exif,
+        |  CAST(CASE WHEN has_exif THEN
+        |    21 + (CASE WHEN com_len > 0 THEN com_len + 2 ELSE 0 END)
+        |  END AS BIGINT) AS exif_off,
+        |  CASE WHEN has_exif THEN
+        |    CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END
+        |  END AS byte_order,
+        |  CAST(CASE WHEN has_exif THEN
+        |    CASE WHEN has_orient THEN 3 ELSE 2 END
+        |  END AS BIGINT) AS n_entries,
+        |  CAST(CASE WHEN has_exif THEN 32 + doc_id % 500 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN has_exif THEN 24 + doc_id % 400 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN has_exif AND has_orient THEN 1 + doc_id % 8 END
+        |    AS BIGINT) AS orientation
+        |FROM f
+        |ORDER BY doc_id""".stripMargin,
     // first-principles recompute of the tEXt synthesis rules — no
     // SQL byte parsing, so a mis-stepped chunk hop can't be copied
     // the zTXt/iTXt plaintexts are recomputed from the synthesis

@@ -432,4 +432,65 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
     Caches.releaseAll()
   }
+
+  test("parseJpegExif finds Exif behind an XMP APP1, independent byte build") {
+    import spark.implicits._
+    // hand-assembled JPEG (ByteBuffer, big-endian wire) — an
+    // INDEPENDENT construction from the m13 synth's hex concat
+    def jpeg(withXmp: Boolean, withExif: Boolean): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(512)
+      bb.putShort(0xFFD8.toShort)
+      // APP0/JFIF, 16-byte length
+      bb.putShort(0xFFE0.toShort).putShort(16)
+      bb.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+      bb.put(Array[Byte](1, 1, 0, 0, 72, 0, 72, 0, 0))
+      if (withXmp) {
+        val ns = "http://ns.adobe.com/xap/1.0/".getBytes("US-ASCII")
+        bb.putShort(0xFFE1.toShort).putShort((2 + ns.length + 1 + 4).toShort)
+        bb.put(ns).put(0.toByte).put("xmp!".getBytes("US-ASCII"))
+      }
+      if (withExif) {
+        // MM TIFF: 2 entries (width LONG 321, orientation SHORT 6)
+        val tiff = java.nio.ByteBuffer.allocate(64)
+        tiff.order(java.nio.ByteOrder.BIG_ENDIAN)
+        tiff.putShort(0x4D4D.toShort).putShort(42).putInt(8)
+        tiff.putShort(2)
+        tiff.putShort(256.toShort).putShort(4).putInt(1).putInt(321)
+        tiff.putShort(274.toShort).putShort(3).putInt(1)
+        tiff.putShort(6).putShort(0)
+        tiff.putInt(0)
+        val t = java.util.Arrays.copyOf(tiff.array(), tiff.position())
+        bb.putShort(0xFFE1.toShort).putShort((2 + 6 + t.length).toShort)
+        bb.put("Exif".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+        bb.put(t)
+      }
+      bb.putShort(0xFFC0.toShort).putShort(17)
+      bb.put(8.toByte).putShort(240).putShort(320).put(3.toByte)
+      bb.put(Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    val frames = Seq(
+      (1L, jpeg(withXmp = false, withExif = true)),
+      (2L, jpeg(withXmp = true, withExif = true)),   // Exif sits PAST the XMP
+      (3L, jpeg(withXmp = true, withExif = false)),  // XMP alone is not Exif
+      (4L, jpeg(withXmp = false, withExif = false))
+    ).toDF("doc_id", "payload")
+    val rows = Multimodal.parseJpegExif(frames).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    Seq(1L, 2L).foreach { id =>
+      val r = rows(id)
+      assert(r.getBoolean(1), s"doc $id must report EXIF")
+      assert(r.getString(3) == "MM")
+      assert(r.getLong(4) == 2L)
+      assert(r.getLong(5) == 321L, "ImageWidth tag")
+      assert(r.isNullAt(6), "no height entry written")
+      assert(r.getLong(7) == 6L, "Orientation tag")
+    }
+    // the XMP APP1 shifts doc 2's Exif offset by the XMP segment size
+    assert(rows(2L).getLong(2) - rows(1L).getLong(2) == 2 + 2 + 28 + 1 + 4)
+    Seq(3L, 4L).foreach { id =>
+      val r = rows(id)
+      assert(!r.getBoolean(1) && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(5))
+    }
+  }
 }
