@@ -1285,6 +1285,48 @@ object Knn {
     stats.withColumn("chosen", $"nprobe" === pick).orderBy($"nprobe")
   }
 
+  /** a20: MUTUAL-kNN graph clustering — the shared-nearest-neighbor
+    * grouping (Jarvis–Patrick family) that turns a9's directed kNN
+    * join into semantic clusters: an edge survives only if BOTH
+    * endpoints rank each other in their top-k (the mutuality filter
+    * is what kills hub vertices — a generic vector that half the
+    * corpus points at is not mutually close to any of them), then
+    * connected components label the clusters. Vectors with no mutual
+    * neighbor stay singletons (their own rep) — cluster membership is
+    * TOTAL over the corpus, unlike p5's edge-members-only view. At
+    * 100 TB: candidates are LSH-bounded (a9's bucket cap), the edge
+    * list is ≤ V·k rows of 8-byte ids, the mutuality check is one
+    * self-join on those ids, and labels come from the size-adaptive
+    * alternating-star loop — payload vectors never shuffle past the
+    * scoring stage. */
+  def a20MutualKnnClusters(spark: SparkSession, dir: String,
+                           tables: Int = 8, bits: Int = 6, k: Int = 3,
+                           bucketCap: Int = 256): DataFrame = {
+    import spark.implicits._
+    val nn = graft.Caches.persist(
+      knnJoinOf(base(spark, dir), tables, bits, k, bucketCap)
+        .select($"q_id", $"vec_id"))
+    val mutual = graft.Caches.persist(nn.as("x").join(nn.as("y"),
+        $"x.q_id" === $"y.vec_id" && $"x.vec_id" === $"y.q_id" &&
+          $"x.q_id" < $"x.vec_id")
+      .select($"x.q_id".as("a_id"), $"x.vec_id".as("b_id")))
+    val labels = Pipeline.connectedComponentsAdaptive(mutual)
+    val deg = mutual.select($"a_id".as("vec_id"))
+      .unionByName(mutual.select($"b_id".as("vec_id")))
+      .groupBy($"vec_id").agg(count(lit(1)).as("mutual_degree"))
+    val labeled = base(spark, dir).select($"vec_id")
+      .join(labels.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select($"vec_id", coalesce($"lbl", $"vec_id").as("cluster_rep"))
+    val sizes = labeled.groupBy($"cluster_rep")
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_rep")
+      .join(deg, Seq("vec_id"), "left")
+      .select($"vec_id", $"cluster_rep", $"cluster_size",
+        ($"vec_id" === $"cluster_rep").as("is_rep"),
+        coalesce($"mutual_degree", lit(0L)).as("mutual_degree"))
+      .orderBy($"vec_id")
+  }
+
   /** a16: FILTERED vector search — the metadata-constrained top-k
     * every vector store ships (Weaviate `where` + nearVector; s5 is
     * the keyword twin): each query returns its nearest neighbors
@@ -1376,6 +1418,7 @@ object Knn {
     "a17_cascade_tuning" -> ((s, d) => a17CascadeTuning(s, d)),
     "a18_index_balance" -> a18IndexBalance _,
     "a19_nprobe_sweep" -> ((s, d) => a19NprobeSweep(s, d)),
+    "a20_mutual_knn" -> ((s, d) => a20MutualKnnClusters(s, d)),
     "s2_vector_topk" -> s2VectorTopk _)
 
   private val cosineSql =
@@ -1879,6 +1922,40 @@ object Knn {
       s"SELECT '$m' AS method, hits, possible FROM h_$m, nq"
     }.mkString("\nUNION ALL\n")
     baseOracles +
+      // a9's pipeline replayed, mutuality filter, then min-label
+      // reachability (p5's recursive shape) seeded from ALL vectors
+      // so singletons label themselves
+      ("a20_mutual_knn" ->
+        s"""WITH RECURSIVE knn AS (
+           |  SELECT q_id, vec_id FROM (${baseOracles("a9_knn_join")})),
+           |mutual AS (
+           |  SELECT x.q_id AS a_id, x.vec_id AS b_id
+           |  FROM knn x JOIN knn y
+           |    ON y.q_id = x.vec_id AND y.vec_id = x.q_id
+           |  WHERE x.q_id < x.vec_id),
+           |edges AS (
+           |  SELECT a_id AS src, b_id AS dst FROM mutual
+           |  UNION ALL
+           |  SELECT b_id, a_id FROM mutual),
+           |verts AS (SELECT vec_id AS id FROM embeddings),
+           |reach(id, r) AS (
+           |  SELECT id, id FROM verts
+           |  UNION
+           |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+           |comp AS (SELECT id, min(r) AS cluster_rep FROM reach GROUP BY id),
+           |deg AS (
+           |  SELECT src AS id, CAST(count(*) AS BIGINT) AS mutual_degree
+           |  FROM edges GROUP BY src),
+           |sizes AS (
+           |  SELECT cluster_rep, CAST(count(*) AS BIGINT) AS cluster_size
+           |  FROM comp GROUP BY cluster_rep)
+           |SELECT comp.id AS vec_id, comp.cluster_rep, sizes.cluster_size,
+           |  (comp.id = comp.cluster_rep) AS is_rep,
+           |  coalesce(deg.mutual_degree, 0) AS mutual_degree
+           |FROM comp
+           |JOIN sizes USING (cluster_rep)
+           |LEFT JOIN deg ON deg.id = comp.id
+           |ORDER BY vec_id""".stripMargin) +
       ("a17_cascade_tuning" -> a17Sql) +
       ("a18_index_balance" ->
         s"""WITH ${kmeansCellsSqlFor(8)},

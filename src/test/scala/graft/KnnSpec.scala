@@ -346,4 +346,43 @@ class KnnSpec extends SparkSpec {
     assert(chosen.length == 1 && chosen.head._1 == expect)
     Caches.releaseAll()
   }
+
+  test("a20 mutual-kNN clusters = reciprocity filter + min-label components") {
+    // independent reference: take a9's directed kNN join, keep only
+    // reciprocated pairs, union-find them in the test, singletons
+    // label themselves
+    val nn = Knn.a9KnnJoin(spark, sfDir)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mutual = nn.filter { case (a, b) => a < b && nn((b, a)) }
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      parent.getOrElseUpdate(x, x)
+      if (parent(x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    }
+    mutual.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val degree = mutual.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (id, xs) => id -> xs.length.toLong }
+    val out = Knn.a20MutualKnnClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    val repOf = out.map(r => r._1 -> r._2).toMap
+    // total membership: every vector labeled exactly once
+    assert(out.map(_._1).distinct.length == out.length)
+    out.foreach { case (id, rep, size, isRep, deg) =>
+      val expRep = if (parent.contains(id)) find(id) else id
+      assert(rep == expRep, s"vec $id rep $rep != union-find $expRep")
+      assert(isRep == (id == rep))
+      assert(deg == degree.getOrElse(id, 0L), s"vec $id degree")
+      assert(size == out.count(_._2 == rep))
+      // a rep is its cluster's MIN id
+      assert(rep <= id && repOf(rep) == rep)
+    }
+    Caches.releaseAll()
+  }
 }
