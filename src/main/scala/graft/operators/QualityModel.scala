@@ -165,8 +165,40 @@ object QualityModel {
     score(feats, w)
   }
 
+  /** t26: CALIBRATION audit of the trained filter — the reliability
+    * diagram every deployed quality gate needs before its scores are
+    * used as sampling weights or thresholds (a miscalibrated model
+    * ranks fine but lies about probabilities, and p17-style
+    * score-weighted sampling inherits the lie): scores binned into 10
+    * equal-width cells, each cell reporting predicted-vs-observed
+    * positive rate and the gap. Means are computed from FIXED-POINT
+    * integer sums (the 6dp-rounded scores scale exactly to int64), so
+    * the per-bin aggregation is order-independent — no double-sum
+    * nondeterminism — and both engines divide identical integers.
+    * One keyed aggregate over the scored output; the model itself is
+    * the memoized t16 artifact, not retrained here. */
+  def t26QualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t16QualityLr(spark, dir)
+      .select(least(floor($"score" * 10).cast("long"), lit(9L)).as("bin"),
+        $"label", round($"score" * 1e6, 0).cast("long").as("s6"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"label").as("n_pos"),
+        sum($"s6").as("ssum"))
+      .select($"bin", ($"bin".cast("double") / 10).as("bin_lo"),
+        $"n_docs", $"n_pos",
+        round($"ssum".cast("double") /
+          ($"n_docs" * 1000000L).cast("double"), 6).as("mean_score"),
+        round($"n_pos".cast("double") / $"n_docs".cast("double"), 6)
+          .as("frac_pos"))
+      .withColumn("gap", round($"frac_pos" - $"mean_score", 6))
+      .orderBy($"bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "t16_quality_lr" -> t16QualityLr _)
+    "t16_quality_lr" -> t16QualityLr _,
+    "t26_calibration" -> t26QualityCalibration _)
 
   // the poly hash fold, parameterized on the lambda variable `t`
   // (same kernel as Curation's polyFoldSql)
@@ -202,9 +234,8 @@ object QualityModel {
        |    j -> w[j] - $LearningRate*g[j]) AS w
        |  FROM w${i - 1}, g$i)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "t16_quality_lr" ->
-      s"""WITH q AS (
+  private lazy val t16Sql: String =
+    s"""WITH q AS (
          |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS tk,
          |    ${TextAnalysis.qualityExprSql.replace("\n", " ")} AS quality
          |  FROM (SELECT doc_id, text, ${TextAnalysis.qualityColsSql.replace("\n", " ")}
@@ -231,5 +262,30 @@ object QualityModel {
          |      list_transform(generate_series(1, 33), j -> x[j]*w[j])),
          |      (a, b) -> a + b) AS z
          |  FROM f, w$Iterations)
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "t16_quality_lr" -> t16Sql,
+    // t16's full train+score replay, then the identical fixed-point
+    // binning — same floor cells, same integer sums, same divisions
+    "t26_calibration" ->
+      s"""WITH b AS (
+         |  SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+         |    label, CAST(round(score * 1000000, 0) AS BIGINT) AS s6
+         |  FROM ($t16Sql)),
+         |ag AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(label) AS BIGINT) AS n_pos,
+         |    CAST(sum(s6) AS BIGINT) AS ssum
+         |  FROM b GROUP BY bin)
+         |SELECT bin, CAST(bin AS DOUBLE) / 10 AS bin_lo, n_docs, n_pos,
+         |  round(CAST(ssum AS DOUBLE)
+         |    / CAST(n_docs * 1000000 AS DOUBLE), 6) AS mean_score,
+         |  round(CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         |    AS frac_pos,
+         |  round(round(CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         |    - round(CAST(ssum AS DOUBLE)
+         |        / CAST(n_docs * 1000000 AS DOUBLE), 6), 6) AS gap
+         |FROM ag
+         |ORDER BY bin""".stripMargin)
 }

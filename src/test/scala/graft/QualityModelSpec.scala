@@ -57,4 +57,30 @@ class QualityModelSpec extends SparkSpec {
     assert(out.select(countDistinct($"label")).head.getLong(0) == 2)
     assert(out.select(countDistinct($"pred")).head.getLong(0) == 2)
   }
+
+  test("t26 calibration bins tile the corpus with in-range bin means") {
+    import spark.implicits._
+    val scored = graft.operators.QualityModel.t16QualityLr(spark, sfDir)
+    val n = scored.count()
+    val bins = graft.operators.QualityModel.t26QualityCalibration(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(bins.nonEmpty)
+    assert(bins.map(_._3).sum == n, "bins must tile every scored doc")
+    bins.foreach { case (bin, lo, nDocs, nPos, mean, frac, gap) =>
+      assert(lo == bin / 10.0)
+      assert(nPos >= 0 && nPos <= nDocs)
+      // a bin's mean score must sit inside the bin (top bin includes 1.0)
+      assert(mean >= lo - 1e-6 && mean < lo + 0.1 + 1e-6,
+        s"bin $bin mean $mean outside [$lo, ${lo + 0.1})")
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(math.abs(gap - BigDecimal(frac - mean)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    // bin means are strictly increasing — the diagram's x axis is sane
+    val means = bins.sortBy(_._1).map(_._5)
+    assert(means.zip(means.tail).forall { case (a, b) => a < b })
+    Caches.releaseAll()
+  }
 }
