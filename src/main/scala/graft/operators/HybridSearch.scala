@@ -491,7 +491,88 @@ object HybridSearch {
       .orderBy($"score".desc, $"doc_id").limit(k)
   }
 
+  /** s13: FIELDED BM25 (BM25F, Robertson–Zaragoza simple variant) —
+    * the structured-document ranking real search engines serve: a
+    * match in the TITLE outweighs the same match buried in the body.
+    * Fields here are the document's first line (title — the heading
+    * role WebMeta's <title> plays for crawled pages) vs the rest
+    * (body). BM25F combines per-field length-normalized tfs into ONE
+    * pseudo-frequency per term (w_t·tf_t/B_t + w_b·tf_b/B_b, B_f the
+    * field's own length normalizer) and saturates ONCE — unlike
+    * naively summing two BM25 scores, a term can't double-dip the
+    * saturation curve. The field split here is positional — the
+    * first `TitleTokens` tokens play the title role (the corpus
+    * ships no heading column; a real deployment passes its own
+    * pre-split fields to fieldedBm25Of). Serving shape is s1's:
+    * columnwise tf per field (no token explode, no (doc, token)
+    * shuffle), corpus stats as one broadcast row, avgdl per field
+    * from EXACT integer length sums (no unordered double mean),
+    * score a fixed-order fold over the query terms. */
+  def s13FieldedBm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = regexp_extract_all(lower($"text"), lit(WordTokenPattern), lit(0))
+    val fields = Tables.documents(spark, dir)
+      .select($"doc_id", tok.as("tok"))
+      .select($"doc_id",
+        slice($"tok", 1, TitleTokens).as("ttok"),
+        slice($"tok", TitleTokens + 1,
+          greatest(size($"tok") - TitleTokens, lit(0))).as("btok"))
+    fieldedBm25Of(fields, QueryTerms, 10)
+  }
+
+  /** Tokens standing in for the title field in s13's positional
+    * split. */
+  val TitleTokens = 8
+
+  /** The s13 core over any (doc_id, ttok array<string>, btok
+    * array<string>) pre-split fielded corpus. */
+  def fieldedBm25Of(split: DataFrame, queryTerms: Seq[String], limit: Int,
+                    wTitle: Double = 2.0, wBody: Double = 1.0): DataFrame = {
+    import split.sparkSession.implicits._
+    val tfCols = queryTerms.zipWithIndex.flatMap { case (t, i) => Seq(
+      size(filter($"ttok", tok => tok === lit(t))).cast("double").as(s"tt_$i"),
+      size(filter($"btok", tok => tok === lit(t))).cast("double").as(s"bt_$i"))
+    }
+    val fields = split.select(($"doc_id" +:
+      size($"ttok").cast("long").as("nlt") +:
+      size($"btok").cast("long").as("nlb") +: tfCols): _*)
+    val base = graft.Caches.persist(fields
+      .filter(queryTerms.indices
+        .map(i => col(s"tt_$i") + col(s"bt_$i") > 0).reduce(_ || _)))
+    // n_docs and the per-field avgdl cover the WHOLE corpus; exact
+    // integer sums make the means engine-identical
+    val corpus = fields.agg(count(lit(1)).as("n"),
+        sum($"nlt").as("slt"), sum($"nlb").as("slb"))
+      .select($"n".cast("double").as("n_docs"),
+        ($"slt".cast("double") / $"n".cast("double")).as("avgdlt"),
+        ($"slb".cast("double") / $"n".cast("double")).as("avgdlb"))
+    val dfAggs = queryTerms.indices.map(i =>
+      sum(when(col(s"tt_$i") + col(s"bt_$i") > 0, 1.0).otherwise(0.0))
+        .as(s"df_$i"))
+    val stats = base.agg(dfAggs.head, dfAggs.tail: _*).crossJoin(corpus)
+    val score = queryTerms.indices.map { i =>
+      val idf = log(lit(1.0) +
+        ($"n_docs" - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5))
+      // avgdl floors at 1.0: a corpus-wide-empty field has tf 0
+      // everywhere, so its normalizer value is irrelevant — the floor
+      // only prevents the 0/0 ANSI error
+      val tfw =
+        lit(wTitle) * col(s"tt_$i") /
+          (lit(1.0 - B) + lit(B) * $"nlt".cast("double") /
+            greatest($"avgdlt", lit(1.0))) +
+        lit(wBody) * col(s"bt_$i") /
+          (lit(1.0 - B) + lit(B) * $"nlb".cast("double") /
+            greatest($"avgdlb", lit(1.0)))
+      idf * tfw / (lit(K1) + tfw)
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select($"doc_id", round(score, 6).as("score"))
+      .orderBy($"score".desc, $"doc_id")
+      .limit(limit)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_fielded_bm25" -> s13FieldedBm25 _,
     "s12_collapsed_search" -> ((s, d) => s12CollapsedSearch(s, d)),
     "s11_fuzzy_correct" -> ((s, d) => s11FuzzyCorrect(s, d)),
     "s10_snippets" -> ((s, d) => s10Snippets(s, d)),
@@ -596,6 +677,57 @@ object HybridSearch {
        |  FROM ($sql)) WHERE rnk <= 10)""".stripMargin
 
   val oracles: Map[String, String] = oraclesBase +
+    // same title/body split, same per-field exact-integer avgdl,
+    // same single-saturation BM25F combination in fixed term order
+    ("s13_fielded_bm25" -> {
+      val terms = QueryTerms.zipWithIndex
+      val tfCols = terms.map { case (t, i) =>
+        s"""    CAST(len(list_filter(ttok, x -> x = '$t')) AS DOUBLE) AS tt_$i,
+           |    CAST(len(list_filter(btok, x -> x = '$t')) AS DOUBLE) AS bt_$i""".stripMargin
+      }.mkString(",\n")
+      val dfCols = terms.map { case (_, i) =>
+        s"CAST(sum(CASE WHEN tt_$i + bt_$i > 0 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS df_$i"
+      }.mkString(",\n    ")
+      val scoreSum = terms.map { case (_, i) =>
+        s"""ln(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5))
+           |      * (2.0 * tt_$i / (0.25 + 0.75 * dlt / avgdlt)
+           |         + 1.0 * bt_$i / (0.25 + 0.75 * dlb / avgdlb))
+           |      / (1.2 + (2.0 * tt_$i / (0.25 + 0.75 * dlt / avgdlt)
+           |         + 1.0 * bt_$i / (0.25 + 0.75 * dlb / avgdlb)))""".stripMargin
+      }.mkString("\n      + ")
+      val anyMatch = terms.map { case (_, i) => s"tt_$i + bt_$i > 0" }
+        .mkString(" OR ")
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    regexp_extract_all(lower(split_part(text, chr(10), 1)),
+         |      '[\\p{L}\\p{N}]+') AS ttok,
+         |    regexp_extract_all(lower(CASE WHEN position(chr(10) IN text) > 0
+         |        THEN substring(text, position(chr(10) IN text) + 1)
+         |        ELSE '' END), '[\\p{L}\\p{N}]+') AS btok
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id,
+         |    CAST(len(ttok) AS BIGINT) AS nlt, CAST(len(btok) AS BIGINT) AS nlb,
+         |$tfCols
+         |  FROM f),
+         |corpus AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |    CAST(sum(nlt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdlt,
+         |    CAST(sum(nlb) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdlb
+         |  FROM d),
+         |m AS (SELECT * FROM d WHERE $anyMatch),
+         |dfs AS (
+         |  SELECT $dfCols
+         |  FROM m)
+         |SELECT doc_id, score FROM (
+         |  SELECT doc_id,
+         |    round(
+         |      $scoreSum, 6) AS score
+         |  FROM (SELECT m.*, CAST(nlt AS DOUBLE) AS dlt,
+         |          CAST(nlb AS DOUBLE) AS dlb FROM m), corpus, dfs)
+         |ORDER BY score DESC, doc_id
+         |LIMIT 10""".stripMargin
+    }) +
     // s1's full BM25 scoring (no limit) + p5's recursive component
     // labels over d2's verified pairs + best-per-cluster collapse
     ("s12_collapsed_search" ->
