@@ -132,16 +132,39 @@ object Bench {
     // reach them. Full-precision JSON is also written to
     // BENCH_LOCAL.json so the artifact survives any tail cut.
     def r3(v: Double): String = f"$v%.3f"
-    val qs = results.toSeq.sortBy(_._1)
+    // a subset run (explicit query names) MERGES into the existing
+    // BENCH_LOCAL.json instead of overwriting it — a controlled
+    // single-line re-measurement must not discard the other 200+
+    // lines (and the coverage spec holds the artifact to the full
+    // registry). A full run still rewrites the file from scratch.
+    val merged =
+      if (args.isEmpty) results
+      else {
+        val prior = try {
+          val txt = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get("BENCH_LOCAL.json")), "UTF-8")
+          import org.json4s._
+          import org.json4s.jackson.JsonMethods
+          (JsonMethods.parse(txt) \ "queries") match {
+            case JObject(fields) => fields.collect {
+              case (k, JDouble(v)) => k -> v
+              case (k, JInt(v)) => k -> v.toDouble
+            }.toMap
+            case _ => Map.empty[String, Double]
+          }
+        } catch { case _: Throwable => Map.empty[String, Double] }
+        prior ++ results
+      }
+    val qs = merged.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => s"\"$k\":\"$v\"" }
         .mkString(",\"errors\":{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (merged.nonEmpty) merged.values.sum else 0.0
     val line =
-      s"""{"queries":$qs$errJson,"n_queries":${results.size},"sf":"$sfDir","metric":"total","unit":"sec","value":${r3(total)}}"""
+      s"""{"queries":$qs$errJson,"n_queries":${merged.size},"sf":"$sfDir","metric":"total","unit":"sec","value":${r3(total)}}"""
     try {
       val w = new java.io.PrintWriter("BENCH_LOCAL.json")
       try w.println(line) finally w.close()

