@@ -1280,8 +1280,13 @@ object Knn {
         $"possible",
         round(coalesce($"hits", lit(0L)).cast("double")
           / greatest($"possible", lit(1L)), 4).as("recall"))
-    val pick = stats.select($"nprobe", $"recall").collect()
-      .filter(_.getDouble(1) >= target).map(_.getInt(0)).min
+    // pickBandGeometry's "if none qualifies" rule: when no depth in
+    // the grid clears the recall target (possible if the grid max
+    // drifts below the cell count), fall back to the deepest probe
+    // instead of throwing on an empty min
+    val clearing = stats.select($"nprobe", $"recall").collect()
+      .filter(_.getDouble(1) >= target).map(_.getInt(0))
+    val pick = if (clearing.nonEmpty) clearing.min else NprobeGrid.max
     stats.withColumn("chosen", $"nprobe" === pick).orderBy($"nprobe")
   }
 
@@ -2133,8 +2138,11 @@ object Knn {
          |    round(coalesce(h.hits, 0) / greatest(tot.possible, 1), 4) AS recall
          |  FROM grid g LEFT JOIN scanned s ON s.nprobe = g.nprobe
          |  LEFT JOIN hits h ON h.nprobe = g.nprobe, tot),
-         |pick AS (SELECT min(nprobe) AS n FROM stats
-         |         WHERE recall >= $NprobeRecallTarget)
+         |-- mirrored fallback: deepest probe when nothing clears
+         |pick AS (SELECT coalesce(
+         |           (SELECT min(nprobe) FROM stats
+         |            WHERE recall >= $NprobeRecallTarget),
+         |           (SELECT max(nprobe) FROM stats)) AS n)
          |SELECT s.nprobe, s.n_scanned, s.hits, s.possible, s.recall,
          |  (s.nprobe = p.n) AS chosen
          |FROM stats s, pick p

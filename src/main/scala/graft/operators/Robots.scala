@@ -371,9 +371,16 @@ object Robots {
     val tot = hosts.agg(sum($"mass").as("tmass"))
     val wAll = Window.partitionBy()
     val wRem = Window.orderBy($"rem".desc, $"host")
+    // budget·mass runs in decimal(38,0) (HUGEINT in the oracle):
+    // e12-scaled rank mass on a large frontier approaches Long range,
+    // and a 64-bit multiply would silently wrap and corrupt quotas
     hosts.crossJoin(broadcast(tot))
-      .withColumn("base", expr(s"($budget * mass) div tmass"))
-      .withColumn("rem", ($"mass" * budget) % $"tmass")
+      .withColumn("base", expr(
+        s"CAST((CAST(mass AS DECIMAL(38,0)) * $budget)" +
+          " div CAST(tmass AS DECIMAL(38,0)) AS BIGINT)"))
+      .withColumn("rem",
+        ($"mass".cast("decimal(38,0)") * budget) %
+          $"tmass".cast("decimal(38,0)"))
       .withColumn("short", lit(budget) - sum($"base").over(wAll))
       .withColumn("rrank", row_number().over(wRem).cast("long"))
       .withColumn("quota",
@@ -548,8 +555,12 @@ object Robots {
         |  FROM fr GROUP BY host),
         |tot AS (SELECT CAST(sum(mass) AS BIGINT) AS tmass FROM hosts),
         |q AS (
+        |  -- HUGEINT multiply mirrors Spark's decimal(38,0): no 64-bit
+        |  -- wrap when e12-scaled mass approaches Long range
         |  SELECT host, n_pending, mass,
-        |    (100 * mass) // tmass AS base, (100 * mass) % tmass AS rem
+        |    CAST((100 * CAST(mass AS HUGEINT)) // CAST(tmass AS HUGEINT)
+        |      AS BIGINT) AS base,
+        |    (100 * CAST(mass AS HUGEINT)) % CAST(tmass AS HUGEINT) AS rem
         |  FROM hosts, tot),
         |s AS (
         |  SELECT host, n_pending, mass, base,

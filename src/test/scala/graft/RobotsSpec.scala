@@ -167,6 +167,22 @@ class RobotsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("apportionBudget survives rank mass near Long range (no 64-bit wrap)") {
+    import spark.implicits._
+    // two hosts whose combined e12-scaled mass ≈ 9.2e18: budget·mass
+    // would wrap a 64-bit multiply (≈9.2e20), flipping quota signs
+    val big = Long.MaxValue / 2 - 7
+    val frontier = Seq(
+      ("a.com", big), ("b.com", big), ("b.com", big))
+      .toDF("host", "rank_e12")
+    val rows = Robots.apportionBudget(frontier, budget = 100L)
+      .orderBy($"host").collect()
+      .map(r => (r.getString(0), r.getLong(3)))
+    // exact Hamilton split of 100 over mass ratio 1:2
+    assert(rows.toSeq == Seq(("a.com", 33L), ("b.com", 67L)))
+    Caches.releaseAll()
+  }
+
   test("paceByHost window ≡ the serial-queue recurrence t_k = max(due_k, t_(k-1)+delay)") {
     import spark.implicits._
     // one host, delay 10: due times force both recurrence branches
