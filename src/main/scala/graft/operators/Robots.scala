@@ -366,28 +366,29 @@ object Robots {
     * the c17 frontier. */
   def apportionBudget(frontier: DataFrame, budget: Long): DataFrame = {
     import frontier.sparkSession.implicits._
+    // ALL mass arithmetic runs in decimal(38,0) (HUGEINT in the
+    // oracle): e12-scaled rank mass on a large frontier approaches
+    // Long range, so the per-host sum, the total-mass sum, AND the
+    // budget·mass multiply would each wrap (or throw under ANSI) in
+    // 64-bit. Only the per-host output column narrows back to BIGINT
+    // — the schema contract both engines share.
     val hosts = frontier.groupBy($"host")
-      .agg(count(lit(1)).as("n_pending"), sum($"rank_e12").as("mass"))
-    val tot = hosts.agg(sum($"mass").as("tmass"))
+      .agg(count(lit(1)).as("n_pending"),
+        sum($"rank_e12".cast("decimal(38,0)")).as("mass_w"))
+    val tot = hosts.agg(sum($"mass_w").as("tmass"))
     val wAll = Window.partitionBy()
     val wRem = Window.orderBy($"rem".desc, $"host")
-    // budget·mass runs in decimal(38,0) (HUGEINT in the oracle):
-    // e12-scaled rank mass on a large frontier approaches Long range,
-    // and a 64-bit multiply would silently wrap and corrupt quotas
     hosts.crossJoin(broadcast(tot))
       .withColumn("base", expr(
-        s"CAST((CAST(mass AS DECIMAL(38,0)) * $budget)" +
-          " div CAST(tmass AS DECIMAL(38,0)) AS BIGINT)"))
-      .withColumn("rem",
-        ($"mass".cast("decimal(38,0)") * budget) %
-          $"tmass".cast("decimal(38,0)"))
+        s"CAST((mass_w * $budget) div tmass AS BIGINT)"))
+      .withColumn("rem", ($"mass_w" * budget) % $"tmass")
       .withColumn("short", lit(budget) - sum($"base").over(wAll))
       .withColumn("rrank", row_number().over(wRem).cast("long"))
       .withColumn("quota",
         $"base" + when($"rrank" <= $"short", 1L).otherwise(0L))
       .withColumn("granted", least($"n_pending", $"quota"))
-      .select($"host", $"n_pending", $"mass", $"quota", $"granted",
-        ($"quota" - $"granted").as("spilled"))
+      .select($"host", $"n_pending", $"mass_w".cast("long").as("mass"),
+        $"quota", $"granted", ($"quota" - $"granted").as("spilled"))
       .orderBy($"host")
   }
 
@@ -553,7 +554,9 @@ object Robots {
         |  SELECT host, CAST(count(*) AS BIGINT) AS n_pending,
         |    CAST(sum(rank_e12) AS BIGINT) AS mass
         |  FROM fr GROUP BY host),
-        |tot AS (SELECT CAST(sum(mass) AS BIGINT) AS tmass FROM hosts),
+        |-- tmass stays HUGEINT through the divide: a frontier whose
+        |-- TOTAL mass exceeds Long range must not overflow-check here
+        |tot AS (SELECT sum(mass) AS tmass FROM hosts),
         |q AS (
         |  -- HUGEINT multiply mirrors Spark's decimal(38,0): no 64-bit
         |  -- wrap when e12-scaled mass approaches Long range
