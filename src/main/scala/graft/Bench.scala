@@ -153,7 +153,16 @@ object Bench {
             case _ => Map.empty[String, Double]
           }
         } catch { case _: Throwable => Map.empty[String, Double] }
-        prior ++ results
+        // drop stale keys on merge: a timing for a query later
+        // removed or renamed from the registry must not persist and
+        // silently inflate n_queries/total (the _-prefixed shared
+        // builds and model training are registry-external and kept)
+        val (live, stale) = prior.partition { case (k, _) =>
+          SparkEntry.queries.contains(k) || k.startsWith("_") }
+        if (stale.nonEmpty)
+          System.err.println(
+            s"[bench] dropping stale merged keys: ${stale.keys.toSeq.sorted.mkString(", ")}")
+        live ++ results
       }
     val qs = merged.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
