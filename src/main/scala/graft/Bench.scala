@@ -63,6 +63,13 @@ object Bench {
     val tV = System.nanoTime()
     operators.Knn.vectorReps(spark, sfDir).count()
     val vecDt = (System.nanoTime() - tV) / 1e9
+    // And the mutual-kNN graph (edge list + component-label fixpoint
+    // — the semantic cluster assignment a20's report and s14's
+    // collapsed serving both read): built once.
+    val tMe = System.nanoTime()
+    operators.Knn.mutualEdges(spark, sfDir).count()
+    operators.Knn.mutualKnnLabels(spark, sfDir).count()
+    val meDt = (System.nanoTime() - tMe) / 1e9
     // And the cascade tuning grid (the per-config top-k pairs a17's
     // report and a12's tuned row both read): measured once per corpus.
     val tG = System.nanoTime()
@@ -119,6 +126,7 @@ object Bench {
     } + ("_shared_shingle_scan" -> sharedDt) +
       ("_shared_text_scan" -> textDt) +
       ("_shared_term_counts" -> tcDt) +
+      ("_shared_mutual_graph" -> meDt) +
       ("_shared_cascade_grid" -> gridDt) +
       ("_shared_band_sweep" -> bsDt) +
       ("_shared_cc_labels" -> ccDt) +
@@ -153,12 +161,14 @@ object Bench {
             case _ => Map.empty[String, Double]
           }
         } catch { case _: Throwable => Map.empty[String, Double] }
-        // drop stale keys on merge: a timing for a query later
-        // removed or renamed from the registry must not persist and
-        // silently inflate n_queries/total (the _-prefixed shared
-        // builds and model training are registry-external and kept)
+        // drop stale keys on merge: a timing for a query or shared
+        // build later removed or renamed must not persist and
+        // silently inflate n_queries/total. Registry keys are live;
+        // _-prefixed shared/model lines are live only if THIS run
+        // emitted them (every run, subset or full, times all of
+        // them — so an un-emitted one was renamed or deleted).
         val (live, stale) = prior.partition { case (k, _) =>
-          SparkEntry.queries.contains(k) || k.startsWith("_") }
+          SparkEntry.queries.contains(k) || results.contains(k) }
         if (stale.nonEmpty)
           System.err.println(
             s"[bench] dropping stale merged keys: ${stale.keys.toSeq.sorted.mkString(", ")}")

@@ -170,6 +170,35 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
       .orderBy($"score".desc, $"doc_id").limit(limit)
   }
 
+  /** Semantic-collapsed search serving (s14 over this corpus): BM25
+    * ranking with at most one hit per SEMANTIC cluster — cluster
+    * labels are a20's mutual-kNN components over `embeddings`
+    * ((vec_id, embedding array) aligned with doc_id; defaults to
+    * this engine's hashed-BoW document embeddings), so paraphrases
+    * collapse, not just near-dup mirrors. Collapse runs before the
+    * limit, like [[searchCollapsed]]. */
+  def searchSemanticCollapsed(query: String,
+                              embeddings: DataFrame = null,
+                              limit: Int = settings.searchTopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty,
+      "searchSemanticCollapsed needs at least one query term")
+    val emb = Option(embeddings).getOrElse(
+      embedChunks().select($"doc_id".as("vec_id"), $"embedding"))
+    val vecs = emb.select($"vec_id",
+      graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+    val labels = Knn.mutualKnnLabelsOf(Knn.mutualEdgesOf(vecs), vecs)
+    val scored = HybridSearch.bm25Scores(spark, tokenized, terms)
+    val lab = scored.join(labels, scored("doc_id") === labels("vec_id"), "left")
+      .select($"doc_id", $"score",
+        coalesce($"cluster_rep", $"doc_id").as("cluster_rep"))
+    val w = Window.partitionBy($"cluster_rep").orderBy($"score".desc, $"doc_id")
+    lab.withColumn("r", row_number().over(w)).filter($"r" === 1)
+      .select($"doc_id", $"cluster_rep", $"score")
+      .orderBy($"score".desc, $"doc_id").limit(limit)
+  }
+
   /** Fielded search serving (s13 over this corpus): BM25F ranking
     * where the document's first line plays the title role — a title
     * match outweighs the same match buried in the body by

@@ -248,7 +248,8 @@ object HybridSearch {
 
   /** s8: SEARCH-QUALITY calibration — a12's "measure, don't guess"
     * discipline applied to the retrieval family: every serving
-    * ranking (BM25, relative-score hybrid, RRF) scored as NDCG@10
+    * ranking (BM25, fielded BM25F, relative-score hybrid, RRF)
+    * scored as NDCG@10
     * against the corpus's own semantic relevance (exact poly-BoW
     * cosine to the query, clamped at 0 so irrelevant docs add no
     * gain). The exact-vector ranking rides along at NDCG 1.0 by
@@ -288,6 +289,7 @@ object HybridSearch {
         .select(lit(name).as("method"), $"dcg")
     val idcg = dcgOf("vector_exact", ideal).select($"dcg".as("idcg"))
     dcgOf("bm25", ranked(bm25(spark, dir), "score"))
+      .union(dcgOf("fielded", ranked(s13FieldedBm25(spark, dir), "score")))
       .union(dcgOf("hybrid", ranked(s3HybridSearch(spark, dir), "hybrid_score")))
       .union(dcgOf("rrf", ranked(s6RrfFusion(spark, dir), "rrf_score")))
       .union(dcgOf("vector_exact", ideal))
@@ -574,7 +576,38 @@ object HybridSearch {
       .limit(limit)
   }
 
+  /** s14: SEMANTIC-collapsed search serving — s12's "collapse
+    * duplicate results" toggle over SEMANTIC similarity instead of
+    * near-dup text: the cluster labels come from a20's mutual-kNN
+    * components over the document embeddings (vec_id ≡ doc_id in
+    * this corpus), so paraphrases and rewrites that share no shingle
+    * collapse too, not just byte-level mirrors. Same discipline as
+    * s12: the FULL BM25 ranking joins the labels, each cluster keeps
+    * its best-scoring member, and top-k runs over the survivors —
+    * collapse BEFORE the limit, because post-limit dedup under-fills
+    * exactly on the dup-heavy page where it matters. Costs one label
+    * join + one cluster-keyed window on the scored set; docs without
+    * an embedding stay their own singleton clusters. At 100 TB the
+    * label side is a20's: LSH-bounded candidates, 8-byte-id edges,
+    * alternating-star components — embeddings never shuffle past the
+    * kNN scoring stage. */
+  def s14SemanticCollapsedSearch(spark: SparkSession, dir: String,
+                                 k: Int = 10): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val scored = bm25Scores(spark, docTokens(spark, dir), QueryTerms)
+    val labels = Knn.mutualKnnLabels(spark, dir)
+    val lab = scored.join(labels, scored("doc_id") === labels("vec_id"), "left")
+      .select($"doc_id", $"score",
+        coalesce($"cluster_rep", $"doc_id").as("cluster_rep"))
+    val w = Window.partitionBy($"cluster_rep").orderBy($"score".desc, $"doc_id")
+    lab.withColumn("r", row_number().over(w)).filter($"r" === 1)
+      .select($"doc_id", $"cluster_rep", $"score")
+      .orderBy($"score".desc, $"doc_id").limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_semantic_collapsed" -> ((s, d) => s14SemanticCollapsedSearch(s, d)),
     "s13_fielded_bm25" -> s13FieldedBm25 _,
     "s12_collapsed_search" -> ((s, d) => s12CollapsedSearch(s, d)),
     "s11_fuzzy_correct" -> ((s, d) => s11FuzzyCorrect(s, d)),
@@ -679,10 +712,11 @@ object HybridSearch {
        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY $score DESC, doc_id) AS BIGINT) AS rnk
        |  FROM ($sql)) WHERE rnk <= 10)""".stripMargin
 
-  val oracles: Map[String, String] = oraclesBase +
-    // same title/body split, same per-field exact-integer avgdl,
-    // same single-saturation BM25F combination in fixed term order
-    ("s13_fielded_bm25" -> {
+  /** s13's full replay — same title/body split, same per-field
+    * exact-integer avgdl, same single-saturation BM25F combination in
+    * fixed term order. A val so s8's eval panel can rank the same
+    * string it hash-checks. */
+  private lazy val s13Sql: String = {
       val terms = QueryTerms.zipWithIndex
       val tfCols = terms.map { case (t, i) =>
         s"""    CAST(len(list_filter(ttok, x -> x = '$t')) AS DOUBLE) AS tt_$i,
@@ -733,30 +767,14 @@ object HybridSearch {
          |          CAST(nlb AS DOUBLE) AS dlb FROM m), corpus, dfs)
          |ORDER BY score DESC, doc_id
          |LIMIT 10""".stripMargin
-    }) +
+    }
+
+  val oracles: Map[String, String] = oraclesBase +
+    ("s13_fielded_bm25" -> s13Sql) +
     // s1's full BM25 scoring (no limit) + p5's recursive component
     // labels over d2's verified pairs + best-per-cluster collapse
     ("s12_collapsed_search" ->
-      s"""WITH RECURSIVE docs AS (
-         |  SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+') AS tok,
-         |         CAST(len(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS DOUBLE) AS dl
-         |  FROM documents),
-         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM docs),
-         |terms AS (SELECT unnest(['spark','join','filter']) AS term),
-         |tf AS (
-         |  SELECT doc_id, dl, token AS term, CAST(count(*) AS DOUBLE) AS tf
-         |  FROM (SELECT doc_id, dl, unnest(tok) AS token FROM docs)
-         |  WHERE token IN (SELECT term FROM terms)
-         |  GROUP BY doc_id, dl, token),
-         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
-         |scored AS (
-         |  SELECT tf.doc_id,
-         |    round(sum(
-         |      ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
-         |      * (tf.tf * (1.2 + 1.0))
-         |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))), 6) AS score
-         |  FROM tf JOIN df USING (term), stats
-         |  GROUP BY tf.doc_id),
+      s"""WITH RECURSIVE $bm25ScoredCtesSql,
          |pairs AS (
          |  SELECT a_id, b_id FROM (
          |${Dedup.d2Sql}
@@ -773,6 +791,23 @@ object HybridSearch {
          |comp AS (SELECT id, min(r) AS lbl FROM reach GROUP BY id),
          |lab AS (
          |  SELECT s.doc_id, s.score, coalesce(c.lbl, s.doc_id) AS cluster_rep
+         |  FROM scored s LEFT JOIN comp c ON c.id = s.doc_id),
+         |best AS (
+         |  SELECT doc_id, cluster_rep, score FROM (
+         |    SELECT doc_id, cluster_rep, score,
+         |      row_number() OVER (PARTITION BY cluster_rep
+         |        ORDER BY score DESC, doc_id) AS r
+         |    FROM lab) WHERE r = 1)
+         |SELECT doc_id, cluster_rep, score FROM best
+         |ORDER BY score DESC, doc_id
+         |LIMIT 10""".stripMargin) +
+    // s1's full scoring + a20's mutual-kNN component labels replayed
+    // (vec_id ≡ doc_id) + the same best-per-cluster collapse
+    ("s14_semantic_collapsed" ->
+      s"""WITH RECURSIVE $bm25ScoredCtesSql,
+         |${Knn.mutualCompCtesSql},
+         |lab AS (
+         |  SELECT s.doc_id, s.score, coalesce(c.cluster_rep, s.doc_id) AS cluster_rep
          |  FROM scored s LEFT JOIN comp c ON c.id = s.doc_id),
          |best AS (
          |  SELECT doc_id, cluster_rep, score FROM (
@@ -913,11 +948,15 @@ object HybridSearch {
     ("s8_search_eval" ->
       s"""WITH $s8RelSql,
          |m_bm25 AS ${s8RankedSql(oraclesBase("s1_keyword_bm25"), "score")},
+         |m_fielded AS ${s8RankedSql(s13Sql, "score")},
          |m_hybrid AS ${s8RankedSql(oraclesBase("s3_hybrid_search"), "hybrid_score")},
          |m_rrf AS ${s8RankedSql(oraclesBase("s6_rrf_fusion"), "rrf_score")},
          |dcg AS (
          |  SELECT 'bm25' AS method, sum(coalesce(rel, 0.0) / log2(rnk + 1)) AS dcg
          |  FROM m_bm25 LEFT JOIN rel USING (doc_id)
+         |  UNION ALL
+         |  SELECT 'fielded', sum(coalesce(rel, 0.0) / log2(rnk + 1))
+         |  FROM m_fielded LEFT JOIN rel USING (doc_id)
          |  UNION ALL
          |  SELECT 'hybrid', sum(coalesce(rel, 0.0) / log2(rnk + 1))
          |  FROM m_hybrid LEFT JOIN rel USING (doc_id)
@@ -950,6 +989,32 @@ object HybridSearch {
          |  CAST(row_number() OVER (ORDER BY rerank_score DESC, hybrid_score DESC, doc_id) AS BIGINT) AS final_rank
          |FROM rr
          |ORDER BY final_rank""".stripMargin)
+
+  /** Shared oracle CTE chain (starts after WITH [RECURSIVE]): s1's
+    * full BM25 scoring with no limit, ending in scored(doc_id,
+    * score) — the common prefix of the s12 and s14 collapse replays.
+    * Concat-free lines; safe to re-interpolate into stripMargin. */
+  private lazy val bm25ScoredCtesSql: String =
+    s"""docs AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+') AS tok,
+       |         CAST(len(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS DOUBLE) AS dl
+       |  FROM documents),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM docs),
+       |terms AS (SELECT unnest(['spark','join','filter']) AS term),
+       |tf AS (
+       |  SELECT doc_id, dl, token AS term, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(tok) AS token FROM docs)
+       |  WHERE token IN (SELECT term FROM terms)
+       |  GROUP BY doc_id, dl, token),
+       |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    round(sum(
+       |      ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+       |      * (tf.tf * (1.2 + 1.0))
+       |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))), 6) AS score
+       |  FROM tf JOIN df USING (term), stats
+       |  GROUP BY tf.doc_id)""".stripMargin
 
   private lazy val oraclesBase: Map[String, String] = Map(
     // same adjacency HOF, same full-corpus BM25 restricted to the

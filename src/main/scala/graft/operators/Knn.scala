@@ -1308,20 +1308,18 @@ object Knn {
                            tables: Int = 8, bits: Int = 6, k: Int = 3,
                            bucketCap: Int = 256): DataFrame = {
     import spark.implicits._
-    val nn = graft.Caches.persist(
-      knnJoinOf(base(spark, dir), tables, bits, k, bucketCap)
-        .select($"q_id", $"vec_id"))
-    val mutual = graft.Caches.persist(nn.as("x").join(nn.as("y"),
-        $"x.q_id" === $"y.vec_id" && $"x.vec_id" === $"y.q_id" &&
-          $"x.q_id" < $"x.vec_id")
-      .select($"x.q_id".as("a_id"), $"x.vec_id".as("b_id")))
-    val labels = Pipeline.connectedComponentsAdaptive(mutual)
+    // defaults serve from the shared per-corpus builds; a
+    // non-default geometry builds its own (tuning experiments, specs)
+    val default = tables == 8 && bits == 6 && k == 3 && bucketCap == 256
+    val mutual =
+      if (default) mutualEdges(spark, dir)
+      else mutualEdgesOf(base(spark, dir), tables, bits, k, bucketCap)
     val deg = mutual.select($"a_id".as("vec_id"))
       .unionByName(mutual.select($"b_id".as("vec_id")))
       .groupBy($"vec_id").agg(count(lit(1)).as("mutual_degree"))
-    val labeled = base(spark, dir).select($"vec_id")
-      .join(labels.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
-      .select($"vec_id", coalesce($"lbl", $"vec_id").as("cluster_rep"))
+    val labeled =
+      if (default) mutualKnnLabels(spark, dir)
+      else mutualKnnLabelsOf(mutual, base(spark, dir))
     val sizes = labeled.groupBy($"cluster_rep")
       .agg(count(lit(1)).as("cluster_size"))
     labeled.join(sizes, "cluster_rep")
@@ -1331,6 +1329,65 @@ object Knn {
         coalesce($"mutual_degree", lit(0L)).as("mutual_degree"))
       .orderBy($"vec_id")
   }
+
+  /** The surviving mutual edge list (a_id < b_id) over any (vec_id,
+    * v array<double>) frame — a9's LSH-bounded directed kNN join
+    * filtered to edges BOTH endpoints agree on. Per-query persisted
+    * (degrees + labels both read it twice); corpus-table callers go
+    * through the shared [[mutualEdges]] instead. */
+  def mutualEdgesOf(vectors: DataFrame, tables: Int = 8, bits: Int = 6,
+                    k: Int = 3, bucketCap: Int = 256): DataFrame =
+    graft.Caches.persist(
+      mutualEdgesPlanOf(vectors, tables, bits, k, bucketCap))
+
+  /** The unpersisted mutual-edge plan (the directed kNN list IS
+    * tracked-persisted — it only backs the one-time build of the
+    * self-join, and releaseAll reclaims it after materialization). */
+  private def mutualEdgesPlanOf(vectors: DataFrame, tables: Int,
+                                bits: Int, k: Int,
+                                bucketCap: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val nn = graft.Caches.persist(
+      knnJoinOf(vectors, tables, bits, k, bucketCap)
+        .select($"q_id", $"vec_id"))
+    nn.as("x").join(nn.as("y"),
+        $"x.q_id" === $"y.vec_id" && $"x.vec_id" === $"y.q_id" &&
+          $"x.q_id" < $"x.vec_id")
+      .select($"x.q_id".as("a_id"), $"x.vec_id".as("b_id"))
+  }
+
+  /** Persist-once SHARED mutual-edge build over the corpus
+    * embeddings (the cc_labels accounting: the semantic cluster
+    * graph is computed once per corpus; a20's degree+label report
+    * and s14's collapsed serving both serve from it). Billed with
+    * the label fixpoint as one Bench line (_shared_mutual_graph). */
+  def mutualEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.shared(spark, s"mutual_edges:$dir") {
+      mutualEdgesPlanOf(base(spark, dir), 8, 6, 3, 256)
+    }
+
+  /** TOTAL (vec_id, cluster_rep) assignment from a mutual edge list:
+    * connected-component labels over the edges, singletons labeling
+    * themselves — the cluster_rep column a20 reports and the label
+    * side s14's semantic collapse joins. */
+  def mutualKnnLabelsOf(mutual: DataFrame, vectors: DataFrame): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val labels = Pipeline.connectedComponentsAdaptive(mutual)
+    vectors.select($"vec_id")
+      .join(labels.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select($"vec_id", coalesce($"lbl", $"vec_id").as("cluster_rep"))
+  }
+
+  /** a20's label side over the corpus embeddings table — the TOTAL
+    * (vec_id, cluster_rep) assignment as a persist-once shared build
+    * (the component loop's label fixpoint runs once per corpus; a20
+    * and s14 both serve joins against the result). */
+  def mutualKnnLabels(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.shared(spark, s"mutual_labels:$dir") {
+      mutualKnnLabelsOf(mutualEdges(spark, dir), base(spark, dir))
+    }
 
   /** a16: FILTERED vector search — the metadata-constrained top-k
     * every vector store ships (Weaviate `where` + nearVector; s5 is
@@ -1905,6 +1962,32 @@ object Knn {
        |SELECT r.q_id, r.vec_id FROM gr r
        |JOIN pick p ON r.s1 = p.p1 AND r.s2 = p.p2""".stripMargin
 
+  /** Shared oracle CTE chain (starts after WITH RECURSIVE): a9's
+    * kNN-join pipeline replayed, the mutuality filter, and min-label
+    * reachability seeded from ALL vectors so singletons label
+    * themselves — ends in comp(id, cluster_rep). The common core of
+    * the a20 replay and s14's semantic-collapse label side. Concat
+    * operators stay at end-of-line: this block is re-interpolated
+    * into stripMargin oracles. */
+  lazy val mutualCompCtesSql: String =
+    s"""knn AS (
+       |  SELECT q_id, vec_id FROM (${baseOracles("a9_knn_join")})),
+       |mutual AS (
+       |  SELECT x.q_id AS a_id, x.vec_id AS b_id
+       |  FROM knn x JOIN knn y
+       |    ON y.q_id = x.vec_id AND y.vec_id = x.q_id
+       |  WHERE x.q_id < x.vec_id),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM mutual
+       |  UNION ALL
+       |  SELECT b_id, a_id FROM mutual),
+       |verts AS (SELECT vec_id AS id FROM embeddings),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+       |comp AS (SELECT id, min(r) AS cluster_rep FROM reach GROUP BY id)""".stripMargin
+
   /** a12's oracle: the exact + the approximate pipelines replayed
     * VERBATIM as subqueries (same strings the driver verifies for
     * a1/a2/a3/a8/a7/a13), intersected and counted. */
@@ -1931,23 +2014,7 @@ object Knn {
       // reachability (p5's recursive shape) seeded from ALL vectors
       // so singletons label themselves
       ("a20_mutual_knn" ->
-        s"""WITH RECURSIVE knn AS (
-           |  SELECT q_id, vec_id FROM (${baseOracles("a9_knn_join")})),
-           |mutual AS (
-           |  SELECT x.q_id AS a_id, x.vec_id AS b_id
-           |  FROM knn x JOIN knn y
-           |    ON y.q_id = x.vec_id AND y.vec_id = x.q_id
-           |  WHERE x.q_id < x.vec_id),
-           |edges AS (
-           |  SELECT a_id AS src, b_id AS dst FROM mutual
-           |  UNION ALL
-           |  SELECT b_id, a_id FROM mutual),
-           |verts AS (SELECT vec_id AS id FROM embeddings),
-           |reach(id, r) AS (
-           |  SELECT id, id FROM verts
-           |  UNION
-           |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
-           |comp AS (SELECT id, min(r) AS cluster_rep FROM reach GROUP BY id),
+        s"""WITH RECURSIVE $mutualCompCtesSql,
            |deg AS (
            |  SELECT src AS id, CAST(count(*) AS BIGINT) AS mutual_degree
            |  FROM edges GROUP BY src),

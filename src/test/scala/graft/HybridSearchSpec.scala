@@ -81,7 +81,7 @@ class HybridSearchSpec extends SparkSpec {
   test("s8 eval: NDCG bounded, exact leg saturates, rankings carry signal") {
     val rows = HybridSearch.s8SearchEval(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq ==
-      Seq("bm25", "hybrid", "rrf", "vector_exact"))
+      Seq("bm25", "fielded", "hybrid", "rrf", "vector_exact"))
     val byM = rows.map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     byM.foreach { case (m, (dcg, ndcg)) =>
       assert(dcg > 0.0, s"$m retrieved zero relevance")
@@ -176,6 +176,53 @@ class HybridSearchSpec extends SparkSpec {
     res.foreach { case (d, rep, _) =>
       assert(labels.getOrElse(d, d) == rep, s"doc $d carries wrong rep")
     }
+    Caches.releaseAll()
+  }
+
+  test("s14 semantic collapse: one hit per mutual-kNN cluster, singletons pass through") {
+    import spark.implicits._
+    val res = HybridSearch.s14SemanticCollapsedSearch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(res.nonEmpty && res.length <= 10)
+    // the collapse really collapsed: cluster reps are unique
+    assert(res.map(_._2).distinct.length == res.length)
+    // ranking is intact and s1's global best survives (it is its own
+    // cluster's best by definition)
+    assert(res.map(_._3).toSeq == res.map(_._3).sortBy(-_).toSeq)
+    val s1Top = HybridSearch.s1KeywordBm25(spark, sfDir)
+      .collect().head.getLong(0)
+    assert(res.head._1 == s1Top)
+    // every survivor carries a20's label for it — the SEMANTIC
+    // cluster assignment, not p5's near-dup text labels
+    val labels = graft.operators.Knn.mutualKnnLabels(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    res.foreach { case (d, rep, _) =>
+      assert(labels.getOrElse(d, d) == rep, s"doc $d carries wrong rep")
+    }
+    Caches.releaseAll()
+  }
+
+  test("s14 collapse drops the lower-scoring member of a planted semantic pair") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // two docs share a cluster (one mutual edge), a third is a
+    // singleton: the pair must yield exactly ONE hit, the singleton
+    // passes through untouched — replay the collapse core directly
+    val scored = Seq((1L, 5.0), (2L, 3.0), (3L, 4.0))
+      .toDF("doc_id", "score")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L))
+      .toDF("vec_id", "cluster_rep")
+    val lab = scored.join(labels, scored("doc_id") === labels("vec_id"), "left")
+      .select($"doc_id", $"score",
+        coalesce($"cluster_rep", $"doc_id").as("cluster_rep"))
+    val w = Window.partitionBy($"cluster_rep").orderBy($"score".desc, $"doc_id")
+    val out = lab.withColumn("r", row_number().over(w)).filter($"r" === 1)
+      .select($"doc_id", $"cluster_rep", $"score")
+      .orderBy($"score".desc, $"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 1L), (3L, 3L)),
+      s"pair must collapse to its best member: ${out.mkString(",")}")
     Caches.releaseAll()
   }
 
