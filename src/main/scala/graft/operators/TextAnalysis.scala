@@ -689,7 +689,55 @@ object TextAnalysis {
       .orderBy($"lang_id")
   }
 
+  /** t27: UNICODE NORMALIZATION + MOJIBAKE REPAIR — the two text
+    * fixups every real pretraining pipeline runs before hashing or
+    * tokenizing (the ftfy + NFC pass): (1) Latin-1 double-encoding
+    * repair — text that was UTF-8 encoded, mis-decoded as Latin-1,
+    * and re-encoded shows 'é' as the pair U+00C3 U+00A9; the
+    * positional C2/C3-pair rule rewrites each pair to its decoded
+    * codepoint in ONE codegen pass per row (plans/Expressions.scala
+    * MojibakeRepair; the oracle replays the identical lag/lead rule
+    * vectorized) — (2) NFC canonical composition, so 'e'+COMBINING
+    * ACUTE and precomposed 'é' dedup and tokenize identically
+    * (NfcNormalize ↔ DuckDB nfc_normalize). Pairs with f3's encoding
+    * sniff: f3 classifies the byte stream, this repairs the damage a
+    * mis-classification already baked in. The sf corpus is
+    * ASCII-clean, so broken inputs are SYNTHESIZED deterministically
+    * from doc_id (the d10 URL-variant pattern) and both engines
+    * plant the same chars. Reported per doc: pairs repaired, chars
+    * composed away by NFC, the flags, and the CLEANED TEXT itself —
+    * the strongest cross-engine check (byte-identical strings). One
+    * narrow scan, two chained per-row kernels, no shuffle before the
+    * ordered dump. */
+  def t27UnicodeClean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    // escapes keep the planted chars exact: the mojibake prefix is
+    // 'Caf\u00e9 \u00b7 na\u00efve ' after repair; the second prefix is
+    // 'r\u00e9sum\u00e9 ' with DECOMPOSED accents (e + U+0301), two chars
+    // shorter after NFC composes them
+    val moji = "Caf\u00c3\u00a9 \u00c2\u00b7 na\u00c3\u00afve "
+    val nfd = "re\u0301sume\u0301 "
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        concat(
+          when(pmod($"doc_id", lit(4)) === 0, lit(moji)).otherwise(lit("")),
+          when(pmod($"doc_id", lit(5)) === 0, lit(nfd)).otherwise(lit("")),
+          $"text").as("t"))
+      .withColumn("repaired", expr("mojibake_repair(t)"))
+      .withColumn("clean_text", expr("nfc_normalize(repaired)"))
+      .select($"doc_id",
+        (length($"t") - length($"repaired")).cast("long").as("n_repaired"),
+        (length($"repaired") - length($"clean_text")).cast("long")
+          .as("n_composed"),
+        (length($"t") > length($"repaired")).as("had_mojibake"),
+        length($"clean_text").cast("long").as("clean_len"),
+        $"clean_text")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t27_unicode_clean" -> t27UnicodeClean _,
     "t22_token_fertility" -> t22TokenFertility _,
     "t21_corpus_drift" -> ((s, d) => t21CorpusDrift(s, d)),
     "t20_lexical_diversity" -> t20LexicalDiversity _,
@@ -802,6 +850,54 @@ object TextAnalysis {
       .mkString("\n      ")
     val allGreatest = s"greatest(${langs.map("s_" + _).mkString(", ")})"
     val m = Map(
+      // same planted bytes, same positional C2/C3 lag/lead repair
+      // rule (vectorized: per-char explode + one doc-keyed window),
+      // same NFC composition — the cleaned strings must match
+      // byte-for-byte
+      "t27_unicode_clean" ->
+        """WITH planted AS (
+          |  SELECT doc_id,
+          |    (CASE WHEN doc_id % 4 = 0
+          |       THEN 'Caf' || chr(195) || chr(169) || ' ' || chr(194) ||
+          |         chr(183) || ' na' || chr(195) || chr(175) || 've '
+          |       ELSE '' END) ||
+          |    (CASE WHEN doc_id % 5 = 0
+          |       THEN 're' || chr(769) || 'sume' || chr(769) || ' '
+          |       ELSE '' END) || text AS t
+          |  FROM documents),
+          |cps AS (
+          |  SELECT doc_id,
+          |    generate_subscripts(str_split(t, ''), 1) AS i,
+          |    unnest(str_split(t, '')) AS ch
+          |  FROM planted),
+          |marked AS (
+          |  SELECT doc_id, i, ch, unicode(ch) AS cp,
+          |    (unicode(ch) IN (194, 195)
+          |      AND lead(unicode(ch)) OVER w BETWEEN 128 AND 191) AS pfx,
+          |    (unicode(ch) BETWEEN 128 AND 191
+          |      AND lag(unicode(ch)) OVER w IN (194, 195)) AS cont,
+          |    lag(unicode(ch)) OVER w AS prev_cp
+          |  FROM cps
+          |  WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+          |rep AS (
+          |  SELECT doc_id,
+          |    string_agg(CASE WHEN pfx THEN ''
+          |      WHEN cont THEN
+          |        chr(cp + CASE WHEN prev_cp = 195 THEN 64 ELSE 0 END)
+          |      ELSE ch END, '' ORDER BY i) AS repaired
+          |  FROM marked GROUP BY doc_id),
+          |o AS (
+          |  SELECT p.doc_id, p.t, r.repaired,
+          |    nfc_normalize(r.repaired) AS clean_text
+          |  FROM planted p JOIN rep r USING (doc_id))
+          |SELECT doc_id,
+          |  CAST(length(t) - length(repaired) AS BIGINT) AS n_repaired,
+          |  CAST(length(repaired) - length(clean_text) AS BIGINT)
+          |    AS n_composed,
+          |  length(t) > length(repaired) AS had_mojibake,
+          |  CAST(length(clean_text) AS BIGINT) AS clean_len,
+          |  clean_text
+          |FROM o ORDER BY doc_id""".stripMargin,
       // same (doc, word) counts, same integer ratios
       // same lang argmax, same regex token counts, same ratio
       "t22_token_fertility" ->

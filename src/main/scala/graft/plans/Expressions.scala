@@ -585,6 +585,113 @@ case class ByteAt(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Latin-1 mojibake repair (the ftfy bread-and-butter class): text
+  * that was UTF-8 encoded, mis-decoded as Latin-1, and re-encoded
+  * shows each non-ASCII char as a 2-char pair — a prefix char
+  * U+00C2/U+00C3 (the Latin-1 reading of UTF-8 lead bytes 0xC2/0xC3)
+  * followed by a continuation char in [U+0080, U+00BF]. Repair is
+  * POSITIONAL, one pass, no cascade: char i is dropped iff it is
+  * such a prefix with an in-range successor; char i is rewritten to
+  * the decoded codepoint (cp, or cp+64 when the prefix was U+00C3 —
+  * exactly (lead&0x1F)<<6 | cont&0x3F) iff its predecessor is such a
+  * prefix; every other char passes through. The same lag/lead rule
+  * replays vectorized in the oracle (t27), so both engines agree on
+  * pathological inputs (chained prefixes, bare continuations). All
+  * involved chars are < U+0100, so UTF-16 charAt positions ARE
+  * codepoint positions. */
+case class MojibakeRepair(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "mojibake_repair"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mojibake_repair requires string, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      val pfx = (c == 0xC2 || c == 0xC3) && i + 1 < n &&
+        s.charAt(i + 1) >= 0x80 && s.charAt(i + 1) <= 0xBF
+      val cont = c >= 0x80 && c <= 0xBF && i > 0 &&
+        (s.charAt(i - 1) == 0xC2 || s.charAt(i - 1) == 0xC3)
+      if (pfx) {} // dropped: consumed as the pair's lead
+      else if (cont)
+        sb.append((c + (if (s.charAt(i - 1) == 0xC3) 64 else 0)).toChar)
+      else sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s"); val n = ctx.freshName("n")
+      val sb = ctx.freshName("sb"); val i = ctx.freshName("i")
+      val ch = ctx.freshName("ch"); val pfx = ctx.freshName("pfx")
+      val cont = ctx.freshName("cont")
+      s"""
+         |String $s = $c.toString();
+         |int $n = $s.length();
+         |StringBuilder $sb = new StringBuilder($n);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  char $ch = $s.charAt($i);
+         |  boolean $pfx = ($ch == 0xC2 || $ch == 0xC3) && $i + 1 < $n
+         |    && $s.charAt($i + 1) >= 0x80 && $s.charAt($i + 1) <= 0xBF;
+         |  boolean $cont = $ch >= 0x80 && $ch <= 0xBF && $i > 0
+         |    && ($s.charAt($i - 1) == 0xC2 || $s.charAt($i - 1) == 0xC3);
+         |  if ($pfx) { }
+         |  else if ($cont) {
+         |    $sb.append((char) ($ch + ($s.charAt($i - 1) == 0xC3 ? 64 : 0)));
+         |  } else { $sb.append($ch); }
+         |}
+         |${ev.value} =
+         |  org.apache.spark.unsafe.types.UTF8String.fromString($sb.toString());
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MojibakeRepair = copy(child = newChild)
+}
+
+/** Unicode canonical composition (NFC) via java.text.Normalizer —
+  * the normalization every pretraining pipeline runs before hashing
+  * or tokenizing, so 'e'+COMBINING ACUTE and the precomposed 'é'
+  * dedup/tokenize identically. DuckDB's nfc_normalize replays it in
+  * the oracle (both sides implement Unicode canonical composition,
+  * so results are byte-identical). NFKC is available through the
+  * same Normalizer in library code, but the oracle-gated query uses
+  * NFC — the only form DuckDB ships. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires string, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString,
+      java.text.Normalizer.Form.NFC))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($c.toString(),
+         |    java.text.Normalizer.Form.NFC));
+         |""".stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NfcNormalize = copy(child = newChild)
+}
+
 /** Bucketed character sums: string -> array<bigint> of `cells`
   * partial sums, cell i summing the char codes of the equal-width
   * slice [i*len/cells, (i+1)*len/cells) — the downsample grid of the

@@ -57,6 +57,10 @@ object GraftFunctions {
     ("char_cells", "char_cells(text, cells) - bucketed char-code sums over equal-width slices",
       (args: Seq[Expression]) => CharCells(args.head,
         args(1).eval().asInstanceOf[Number].intValue())),
+    ("mojibake_repair", "mojibake_repair(text) - positional Latin-1 double-encoding repair (C2/C3 pairs)",
+      (args: Seq[Expression]) => MojibakeRepair(args.head)),
+    ("nfc_normalize", "nfc_normalize(text) - Unicode canonical composition (NFC)",
+      (args: Seq[Expression]) => NfcNormalize(args.head)),
     ("sign_words", "sign_words(vec) - two 32-bit sign-pattern words of a 64-dim vector",
       (args: Seq[Expression]) => SignWords(args.head)),
     ("sq8_dequant", "sq8_dequant(vec, los, his) - SQ8 quantize+dequantize round trip",
@@ -112,6 +116,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       ("byte_at", args => ByteAt(args.head, args(1))),
       ("char_cells", args => CharCells(args.head,
         args(1).eval().asInstanceOf[Number].intValue())),
+      ("mojibake_repair", args => MojibakeRepair(args.head)),
+      ("nfc_normalize", args => NfcNormalize(args.head)),
       ("sign_words", args => SignWords(args.head)),
       ("sq8_dequant", args => Sq8Dequant(args.head, args(1), args(2))),
       ("zip_entries", args => ZipEntries(args.head,

@@ -245,4 +245,42 @@ class KernelSpec extends SparkSpec {
       .collect().head.getSeq[Int](0)
     assert(r == Seq(0))
   }
+
+  test("mojibake_repair kernel: positional C2/C3 pair rule, edge cases exact") {
+    import spark.implicits._
+    val cases = Seq(
+      "Caf\u00c3\u00a9",       // one pair -> Caf\u00e9
+      "\u00c2\u00b7 x",        // C2 pair -> bare middle dot
+      "\u00c3\u00c3\u00a9",   // chained prefixes: first kept, second repaired
+      "\u00a9 bare",            // bare continuation, no prefix -> untouched
+      "\u00c3 gap",             // prefix with out-of-range successor -> untouched
+      "plain ascii",
+      "")
+    val out = cases.toDF("t")
+      .select($"t", expr("mojibake_repair(t)").as("r")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("Caf\u00c3\u00a9") == "Caf\u00e9")
+    assert(out("\u00c2\u00b7 x") == "\u00b7 x")
+    assert(out("\u00c3\u00c3\u00a9") == "\u00c3\u00e9")
+    assert(out("\u00a9 bare") == "\u00a9 bare")
+    assert(out("\u00c3 gap") == "\u00c3 gap")
+    assert(out("plain ascii") == "plain ascii")
+    assert(out("") == "")
+  }
+
+  test("nfc_normalize kernel == java.text.Normalizer NFC; NFC text is a fixpoint") {
+    import spark.implicits._
+    val cases = Seq("re\u0301sume\u0301", "r\u00e9sum\u00e9", "ascii only",
+      "A\u030a ring", "")
+    val out = cases.toDF("t")
+      .select($"t", expr("nfc_normalize(t)").as("n")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { c =>
+      assert(out(c) == java.text.Normalizer.normalize(c,
+        java.text.Normalizer.Form.NFC), s"mismatch for '$c'")
+    }
+    assert(out("re\u0301sume\u0301") == "r\u00e9sum\u00e9")
+    assert(out("A\u030a ring") == "\u00c5 ring")
+    assert(out("r\u00e9sum\u00e9") == "r\u00e9sum\u00e9")
+  }
 }

@@ -236,4 +236,31 @@ class TextAnalysisSpec extends SparkSpec {
     }
     Caches.releaseShared()
   }
+
+  test("t27 planted mojibake repaired, decomposed accents composed, others untouched") {
+    import spark.implicits._
+    val rows = TextAnalysis.t27UnicodeClean(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getLong(4), r.getString(5)))
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.length == nDocs, "one row per document, none dropped")
+    rows.foreach { case (id, nRep, nComp, flag, cleanLen, clean) =>
+      if (id % 4 == 0) {
+        // three planted pairs: \u00e9, \u00b7, \u00ef
+        assert(nRep == 3L && flag, s"doc $id: expected 3 repairs, got $nRep")
+        assert(clean.startsWith("Caf\u00e9 \u00b7 na\u00efve "),
+          s"doc $id clean prefix wrong: ${clean.take(20)}")
+      } else {
+        assert(nRep == 0L && !flag, s"doc $id: spurious repair")
+      }
+      // two planted combining accents compose away
+      if (id % 5 == 0) assert(nComp == 2L, s"doc $id: nfc delta $nComp")
+      else assert(nComp == 0L, s"doc $id: spurious composition")
+      assert(cleanLen == clean.codePointCount(0, clean.length).toLong)
+    }
+    // a doc with BOTH prefixes keeps the fixed prepend order
+    rows.filter(_._1 % 20 == 0).foreach { case (_, _, _, _, _, clean) =>
+      assert(clean.startsWith("Caf\u00e9 \u00b7 na\u00efve r\u00e9sum\u00e9 "))
+    }
+  }
 }
