@@ -670,7 +670,54 @@ object Curation {
       .orderBy($"source")
   }
 
+  /** p24: OUTPUT-SHARD MANIFEST — the terminal step between p11's
+    * global shuffle and a training run: assign the shuffled corpus
+    * to size-targeted output shards and write the manifest a loader
+    * trusts (per-shard row/token/byte counts and a content checksum,
+    * the ChunkStore.writeManifest discipline applied to the final
+    * artifact). Shard assignment CONSUMES p11's permutation — the
+    * corpus splits into p11's hash streams (shard = hv mod
+    * nStreams), and each stream packs sequentially in permutation
+    * order (hv div nStreams, doc_id) by greedy next-fit against the
+    * byte target (packNextFit reuse: one keyed exchange + one
+    * in-partition pass, parallel across streams, NO global order —
+    * the output shard id is the (stream, shard_ix) pair, exactly how
+    * a 1000-executor writer lays files down). The manifest is one
+    * keyed aggregate over the packed layout: doc/token/byte sums,
+    * XOR content checksum (order-independent, overflow-free, flips
+    * if any doc moves between shards), doc-id range, oversize flag.
+    * Integer-only, so the oracle (p11's replay + the p8 recursive
+    * next-fit recurrence keyed on stream + the same aggregate)
+    * hash-matches exactly. */
+  def p24ShardManifest(spark: SparkSession, dir: String,
+                       nStreams: Int = 64,
+                       targetBytes: Long = 1024L): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id",
+        element_at(call_function("poly_hash_all", array($"text")), 1).as("hv"),
+        octet_length($"text").cast("long").as("n_bytes"),
+        expr("cast(regexp_count(text, '\\\\S+') as bigint)").as("n_tokens"))
+      .select($"doc_id", $"hv", ($"hv" % nStreams).as("stream"),
+        expr(s"hv div $nStreams").as("sub"), $"n_bytes", $"n_tokens")
+    Packing.packNextFit(docs, Seq("stream"), Seq("sub", "doc_id"),
+        "n_bytes", targetBytes)
+      .groupBy($"stream", $"bin_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"),
+        sum($"n_bytes").as("n_bytes"),
+        expr("bit_xor(hv)").as("checksum"),
+        min($"doc_id").as("min_doc"),
+        max($"doc_id").as("max_doc"),
+        max($"oversize").as("has_oversize"))
+      .select($"stream", $"bin_id".as("shard_ix"), $"n_docs", $"n_tokens",
+        $"n_bytes", $"checksum", $"min_doc", $"max_doc", $"has_oversize")
+      .orderBy($"stream", $"shard_ix")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p24_shard_manifest" -> ((s, d) => p24ShardManifest(s, d)),
     "p23_budget_waterfill" -> ((s, d) => p23BudgetWaterfill(s, d)),
     "p20_temperature_mix" -> ((s, d) => p20TemperatureMix(s, d)),
     "p18_token_budget" -> ((s, d) => p18TokenBudget(s, d)),
@@ -919,6 +966,43 @@ object Curation {
          |  GROUP BY doc_id)
          |SELECT doc_id, is_target, weight, (weight > 0.0) AS kept
          |FROM w ORDER BY doc_id""".stripMargin,
+    // p11's hash streams + the p8 next-fit recurrence keyed on
+    // stream (byte-capped) + one keyed aggregate with an XOR
+    // content checksum
+    "p24_shard_manifest" ->
+      s"""WITH RECURSIVE h AS (SELECT doc_id, text AS t FROM documents),
+         |d AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(t, '\\S+')) AS BIGINT) AS n_tokens,
+         |    CAST(strlen(t) AS BIGINT) AS n_bytes,
+         |    ($polyFoldSql) AS hv
+         |  FROM h),
+         |o AS (
+         |  SELECT doc_id, n_tokens, n_bytes, hv, hv % 64 AS stream,
+         |    CAST(row_number() OVER (PARTITION BY hv % 64
+         |      ORDER BY hv // 64, doc_id) AS BIGINT) AS rn
+         |  FROM d),
+         |packed AS (
+         |  SELECT stream, doc_id, n_tokens, n_bytes, hv, rn,
+         |    CAST(0 AS BIGINT) AS bin_id, n_bytes AS fill
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.stream, o.doc_id, o.n_tokens, o.n_bytes, o.hv, o.rn,
+         |    CASE WHEN p.fill > 0 AND p.fill + o.n_bytes > 1024
+         |         THEN p.bin_id + 1 ELSE p.bin_id END,
+         |    CASE WHEN p.fill > 0 AND p.fill + o.n_bytes > 1024
+         |         THEN o.n_bytes ELSE p.fill + o.n_bytes END
+         |  FROM packed p JOIN o ON o.stream = p.stream AND o.rn = p.rn + 1)
+         |SELECT stream, CAST(bin_id AS BIGINT) AS shard_ix,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+         |  bit_xor(hv) AS checksum,
+         |  CAST(min(doc_id) AS BIGINT) AS min_doc,
+         |  CAST(max(doc_id) AS BIGINT) AS max_doc,
+         |  max(n_bytes > 1024) AS has_oversize
+         |FROM packed GROUP BY stream, bin_id
+         |ORDER BY stream, shard_ix""".stripMargin,
     // same hash, same shard/sub split, same within-shard order
     "p11_global_shuffle" ->
       s"""WITH h AS (SELECT doc_id, text AS t FROM documents),

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Curation
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, expr, lit, max, min, sum}
 
 class CurationSpec extends SparkSpec {
 
@@ -288,6 +288,45 @@ class CurationSpec extends SparkSpec {
     (r100 ++ r70 ++ rAll).foreach { case (_, tok, _, alloc, _) =>
       assert(alloc <= tok)
     }
+    Caches.releaseAll()
+  }
+
+  test("p24 manifest tiles the corpus exactly: docs, tokens, bytes, xor checksum") {
+    import spark.implicits._
+    val m = Curation.p24ShardManifest(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getBoolean(8)))
+    assert(m.nonEmpty)
+    // conservation: the manifest must account for EVERY document
+    val corpus = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text",
+        expr("element_at(poly_hash_all(array(text)), 1)").as("hv"),
+        expr("cast(octet_length(text) as bigint)").as("b"),
+        expr("cast(regexp_count(text, '\\\\S+') as bigint)").as("tok"))
+      .agg(count(lit(1)), sum($"b"), sum($"tok"),
+        expr("bit_xor(hv)"), min($"doc_id"), max($"doc_id"))
+      .collect().head
+    assert(m.map(_._3).sum == corpus.getLong(0), "doc count must tile")
+    assert(m.map(_._5).sum == corpus.getLong(1), "byte count must tile")
+    assert(m.map(_._4).sum == corpus.getLong(2), "token count must tile")
+    assert(m.map(_._6).reduce(_ ^ _) == corpus.getLong(3),
+      "xor of shard checksums must equal the corpus checksum")
+    assert(m.map(_._7).min == corpus.getLong(4) &&
+      m.map(_._8).max == corpus.getLong(5))
+    // layout: shard_ix contiguous from 0 per stream; size target
+    // respected except single-oversize-doc shards
+    m.groupBy(_._1).foreach { case (s, shards) =>
+      val ixs = shards.map(_._2).sorted
+      assert(ixs.toSeq == (0L until ixs.length).toSeq, s"stream $s gaps")
+    }
+    m.filter(!_._9).foreach { case row =>
+      assert(row._5 <= 1024L, s"non-oversize shard over target: $row")
+    }
+    // deterministic rerun
+    val again = Curation.p24ShardManifest(spark, sfDir).collect()
+      .map(r => r.toSeq)
+    assert(again.toSeq == Curation.p24ShardManifest(spark, sfDir)
+      .collect().map(r => r.toSeq).toSeq)
     Caches.releaseAll()
   }
 }
