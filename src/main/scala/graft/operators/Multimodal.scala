@@ -1059,7 +1059,10 @@ object Multimodal {
           (id, out.toByteArray)
         }
       }.toDF("doc_id", "payload")
-    val comp = pngCompressedText(blobs)
+    // only the served keys pay the Inflater: the pre-filter reads
+    // each slice's NUL-terminated keyword prefix columnar
+    val comp = pngCompressedText(blobs,
+      keywords = Seq("Software", "Description"))
     val software = comp
       .filter($"chunk_type" === "zTXt" && $"keyword" === "Software")
       .select($"doc_id", $"text".as("software"))
@@ -1195,10 +1198,24 @@ object Multimodal {
     * raw-deflate `true`). Emits (doc_id, chunk_type, keyword, lang,
     * text); malformed or undecodable chunks are skipped, never
     * thrown — poison blobs can't kill a 100 TB scan. Uncompressed
-    * iTXt (compression flag 0) decodes in the same pass. */
-  def pngCompressedText(blobs: DataFrame, maxChunks: Int = 8): DataFrame = {
+    * iTXt (compression flag 0) decodes in the same pass.
+    *
+    * `keywords` pre-filters COLUMNAR, before the per-task pass: the
+    * keyword is readable as the NUL-terminated prefix of the slice
+    * (both zTXt and iTXt lead with `keyword NUL`), and UTF8String
+    * ops are byte-based, so `substring_index(slice, NUL, 1)` reads
+    * it without decoding — chunks for unwanted keys never allocate
+    * inflate work or cross the codegen boundary. Empty = keep all. */
+  def pngCompressedText(blobs: DataFrame, maxChunks: Int = 8,
+                        keywords: Seq[String] = Nil): DataFrame = {
     import blobs.sparkSession.implicits._
-    pngChunkSlices(blobs, Seq("zTXt", "iTXt"), maxChunks)
+    val slices = pngChunkSlices(blobs, Seq("zTXt", "iTXt"), maxChunks)
+    val wanted =
+      if (keywords.isEmpty) slices
+      else slices.filter(
+        substring_index($"data".cast("string"), "\u0000", 1)
+          .isin(keywords: _*))
+    wanted
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         val inf = new java.util.zip.Inflater()

@@ -493,4 +493,49 @@ class MultimodalSpec extends SparkSpec {
       assert(!r.getBoolean(1) && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(5))
     }
   }
+
+  test("m12 keyword pre-filter drops unwanted keys columnar, below the Inflater pass") {
+    import spark.implicits._
+    def deflate(s: String): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(s.getBytes("UTF-8")); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!d.finished()) { val n = d.deflate(buf); out.write(buf, 0, n) }
+      d.end(); out.toByteArray
+    }
+    def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+      val n = data.length
+      Array[Byte]((n >>> 24).toByte, (n >>> 16).toByte, (n >>> 8).toByte,
+        n.toByte) ++ ctype.getBytes("US-ASCII") ++ data ++ Array.fill(4)(0.toByte)
+    }
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte)
+    // one wanted key, one unwanted key with a perfectly VALID stream:
+    // only the pre-filter (not a decode failure) can explain its absence
+    val payload = sig ++
+      chunk("zTXt", "Software\u0000\u0000".getBytes("ISO-8859-1") ++ deflate("hello")) ++
+      chunk("zTXt", "Junk\u0000\u0000".getBytes("ISO-8859-1") ++ deflate("evil")) ++
+      chunk("IEND", Array.emptyByteArray)
+    val blobs = Seq((1L, payload)).toDF("doc_id", "payload")
+    val df = Multimodal.pngCompressedText(blobs, 8, Seq("Software"))
+    val rows = df.collect().map(r => (r.getString(2), r.getString(4)))
+    assert(rows.toSeq == Seq(("Software", "hello")))
+    // and the filter really sits BELOW the per-task pass in the plan:
+    // the keyword prefix is tested columnar on the slice bytes, so
+    // unwanted chunks never reach (or allocate) the Inflater
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, MapPartitions}
+    val mp = df.queryExecution.optimizedPlan
+      .collectFirst { case m: MapPartitions => m }
+    assert(mp.nonEmpty, "expected the per-task decode pass in the plan")
+    val prefilter = mp.get.child.collectFirst {
+      case f: Filter if f.condition.toString.contains("substring_index") => f
+    }
+    assert(prefilter.nonEmpty,
+      "keyword pre-filter must be a columnar Filter below the decode pass")
+    // no-filter call still surfaces every decodable chunk
+    val all = Multimodal.pngCompressedText(blobs).collect()
+      .map(r => r.getString(2)).sorted
+    assert(all.toSeq == Seq("Junk", "Software"))
+  }
 }
