@@ -226,7 +226,42 @@ object CorpusFilters {
       .orderBy($"doc_id")
   }
 
+  /** t28: INTRA-document repetition STRIP — the remedy for what t7
+    * only measures: repeated lines WITHIN one page (nav bars,
+    * cookie banners, templated calls-to-action stamped several
+    * times into a single crawled page) are dropped, keeping the
+    * FIRST occurrence in place; empty lines always survive, so
+    * paragraph spacing is untouched. Unlike d6 (which dedups lines
+    * ACROSS the corpus and needs a line-keyed exchange), the
+    * repetition test here is per row: first-occurrence-wins is
+    * `array_position(lines, l) = i+1` inside one columnar HOF over
+    * the split array — ZERO shuffle, no window, embarrassingly
+    * parallel at any scale; the ≤lines² comparisons per row are
+    * bounded by page height, not corpus size. The oracle runs the
+    * identical indexed list_filter (list_position is 1-based where
+    * Spark's lambda index is 0-based — the +1 keeps them aligned).
+    * Emits the rule inputs plus the CLEANED PAGE text itself, so the
+    * hash gate checks the actual edit. */
+  def t28RepetitionStrip(spark: SparkSession, dir: String): DataFrame =
+    repetitionStripOf(pages(spark, dir))
+
+  /** The t28 core over any (doc_id, page) frame. */
+  def repetitionStripOf(pagesDf: DataFrame): DataFrame = {
+    import pagesDf.sparkSession.implicits._
+    pagesDf
+      .select($"doc_id", split($"page", "\n").as("lns"))
+      .select($"doc_id",
+        size($"lns").cast("long").as("n_lines"),
+        expr("filter(lns, (l, i) -> l = '' OR array_position(lns, l) = i + 1)")
+          .as("kept"))
+      .select($"doc_id", $"n_lines",
+        ($"n_lines" - size($"kept")).cast("long").as("n_dropped"),
+        concat_ws("\n", $"kept").as("clean_page"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t28_repetition_strip" -> t28RepetitionStrip _,
     "t6_c4_filter" -> t6C4Filter _,
     "t7_gopher_repetition" -> t7GopherRepetition _,
     "t8_pii_redact" -> t8PiiRedact _,
@@ -236,6 +271,21 @@ object CorpusFilters {
   // interpolate it into another stripMargin literal (the second
   // stripMargin pass would eat one pipe of every leading '||').
   val oracles: Map[String, String] = Map(
+    // the identical indexed first-occurrence filter (list_position
+    // is 1-based where Spark's lambda index is 0-based)
+    "t28_repetition_strip" ->
+      (s"WITH $pagesSql,\n" +
+      s"""l AS (SELECT doc_id, string_split(page, chr(10)) AS lns FROM pages),
+         |k AS (
+         |  SELECT doc_id, lns,
+         |    list_filter(lns, (x, i) -> x = '' OR list_position(lns, x) = i)
+         |      AS kept
+         |  FROM l)
+         |SELECT doc_id,
+         |  CAST(len(lns) AS BIGINT) AS n_lines,
+         |  CAST(len(lns) - len(kept) AS BIGINT) AS n_dropped,
+         |  array_to_string(kept, chr(10)) AS clean_page
+         |FROM k ORDER BY doc_id""".stripMargin),
     "t6_c4_filter" ->
       (s"WITH $pagesSql,\n" +
       s"""kept AS (

@@ -106,4 +106,32 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(byId(0L) == 7L)
     assert(byId.filter(_._1 > 0).values.forall(_ <= 6L))
   }
+
+  test("t28 strips intra-page repeats in place, keeps empties and order") {
+    import spark.implicits._
+    val hand = Seq(
+      (1L, "nav bar\nbody one\nnav bar\nbody two\nnav bar"),
+      (2L, "a\n\nb\n\na"),   // empty lines always survive, even repeated
+      (3L, "x\ny\nz"),          // no repeats -> untouched
+      (4L, ""))                  // degenerate single empty line
+      .toDF("doc_id", "page")
+    val out = CorpusFilters.repetitionStripOf(hand).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((5L, 2L, "nav bar\nbody one\nbody two")))
+    assert(out(2L) == ((5L, 1L, "a\n\nb\n")))
+    assert(out(3L) == ((3L, 0L, "x\ny\nz")))
+    assert(out(4L) == ((1L, 0L, "")))
+    // on the synthesized corpus: exactly the planted duplicated
+    // newsletter line drops (doc_id % 3 == 0), first copy kept in place
+    val real = CorpusFilters.t28RepetitionStrip(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(real.nonEmpty)
+    real.foreach { case (id, dropped, clean) =>
+      if (id % 3 == 0) {
+        assert(dropped == 1L, s"doc $id should drop its duplicated line")
+        assert("Subscribe to our newsletter today!".r
+          .findAllIn(clean).size == 1)
+      } else assert(dropped == 0L, s"doc $id dropped $dropped unexpectedly")
+    }
+  }
 }
