@@ -353,4 +353,54 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     Caches.releaseAll()
   }
+
+  test("t27/t28: per-row text cleanups are shuffle-free scans (output sort only)") {
+    // both kernels run inside the row scan; the ONLY exchange either
+    // plan may carry is the rangepartitioning for the ordered dump
+    val p27 = plan(graft.operators.TextAnalysis.t27UnicodeClean(spark, sfDir))
+    assert(p27.contains("mojibake_repair") && p27.contains("nfc_normalize"),
+      "both kernels must appear in the scan projection")
+    assert(!p27.contains("Exchange hashpartitioning"),
+      s"t27 must not shuffle:\n${p27.take(800)}")
+    assert(!p27.contains("Join"), "t27 is a single-table scan")
+    val p28 = plan(graft.operators.CorpusFilters.t28RepetitionStrip(spark, sfDir))
+    assert(!p28.contains("Exchange hashpartitioning"),
+      s"t28 must not shuffle (first-occurrence test is per-row):\n${p28.take(800)}")
+    assert(!p28.contains("Window") && !p28.contains("Join"),
+      "t28 must not use a window or a join — the HOF does the dedup")
+  }
+
+  test("p24: manifest costs one stream exchange, agg rides the pack partitioning") {
+    val p = plan(graft.operators.Curation.p24ShardManifest(spark, sfDir))
+    // exchanges: hash(stream) for the pack, plus the post-aggregate
+    // (stream, bin) exchange — the mapPartitions pack hides its
+    // partitioning from Catalyst, but the PARTIAL aggregate runs
+    // map-side first, so that second exchange moves one row per
+    // group per partition, not corpus rows; then range for the
+    // ordered dump
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 2,
+      s"unexpected extra keyed exchanges:\n${p.take(1200)}")
+    assert(p.split("HashAggregate").length - 1 >= 2,
+      "partial + final aggregation expected (map-side combine)")
+    assert(p.contains("MapPartitions"), "expected the next-fit pack pass")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
+  test("s14: collapse serves from the shared label cache, top-k bounded") {
+    Caches.releaseAll(); Caches.releaseShared()
+    // build the shared graph first (the serving accounting), then
+    // audit the SERVING plan
+    graft.operators.Knn.mutualKnnLabels(spark, sfDir).count()
+    val p = plan(HybridSearch.s14SemanticCollapsedSearch(spark, sfDir))
+    assert(p.contains("InMemoryTableScan"),
+      "labels must serve from the shared mutual-graph cache")
+    assert(p.contains("TakeOrderedAndProject"),
+      "final top-k must be bounded, not a full sort")
+    assert(p.contains("PartialTopK") && p.contains("FinalTopK"),
+      "per-cluster best must compile to the TopKPerKey heaps, not sort+filter")
+    // the one BroadcastNestedLoopJoin is the intended ONE-ROW corpus
+    // stats broadcast in the bm25 leg (the p22 scalar-join shape)
+    assert(!p.contains("CartesianProduct"))
+    Caches.releaseAll(); Caches.releaseShared()
+  }
 }
