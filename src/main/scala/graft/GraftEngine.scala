@@ -326,6 +326,34 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
       .groupBy($"text_md5")
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("copies"))
 
+  /** Unicode hygiene over this corpus (t27's pass as a service call):
+    * Latin-1 double-encoding repair then NFC composition, both
+    * codegen kernels, zero shuffle. Returns every corpus column with
+    * `text` REPLACED by the cleaned string, plus the per-doc repair
+    * and composition counts — the form the downstream dedup/token
+    * passes should consume (mojibake and decomposed accents
+    * otherwise defeat exact hashing). */
+  def cleanUnicode(): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    corpus
+      .withColumn("_rep", expr("mojibake_repair(text)"))
+      .withColumn("_cln", expr("nfc_normalize(_rep)"))
+      .withColumn("n_repaired",
+        (length($"text") - length($"_rep")).cast("long"))
+      .withColumn("n_composed",
+        (length($"_rep") - length($"_cln")).cast("long"))
+      .drop("text", "_rep").withColumnRenamed("_cln", "text")
+  }
+
+  /** Intra-document repetition strip over this corpus (t28's pass as
+    * a service call): repeated non-empty lines within one document
+    * drop, first occurrence kept in place, empty lines preserved —
+    * per-row columnar HOF, zero shuffle. Returns (doc_id, n_lines,
+    * n_dropped, clean_page). */
+  def stripRepetition(): DataFrame =
+    graft.operators.CorpusFilters.repetitionStripOf(
+      corpus.select($"doc_id", $"text".as("page")))
+
   /** MinHash signatures (doc_id, hs, mh) of a (doc_id, tok) frame —
     * persisted (tracked): the band explode and both verify sides of
     * the LSH pair join all read it. */

@@ -515,4 +515,26 @@ class GraftEngineSpec extends SparkSpec {
     assert(budgetFacade === budgetQuery)
     Caches.releaseAll()
   }
+
+  test("cleanUnicode and stripRepetition facades clean the corpus in place") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "Caf\u00c3\u00a9 menu\nMenu Home\nMenu Home\nre\u0301al body"),
+      (2L, "plain doc with nothing to fix"))
+      .toDF("doc_id", "text")
+    val e = new GraftEngine(spark, corpus)
+    val rows = e.cleanUnicode().collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Long]("n_repaired"),
+          r.getAs[Long]("n_composed")))).toMap
+    assert(rows(1L)._1.startsWith("Caf\u00e9 menu"))
+    assert(rows(1L)._1.contains("r\u00e9al body"))
+    assert(rows(1L)._2 == 1L && rows(1L)._3 == 1L)
+    assert(rows(2L) == (("plain doc with nothing to fix", 0L, 0L)))
+    val stripped = e.stripRepetition().collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(stripped(1L)._1 == 1L)
+    assert(stripped(1L)._2.split("\n").count(_ == "Menu Home") == 1)
+    assert(stripped(2L) == ((0L, "plain doc with nothing to fix")))
+  }
 }
