@@ -54,6 +54,46 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** d18: corpus-wide DUPLICATED-SPAN profile — the boilerplate/
+    * plagiarism signal p2 only measures against an eval slice, taken
+    * across the WHOLE corpus: for each document, how many of its
+    * distinct hashed 8-gram spans appear in at least one OTHER
+    * document, the resulting span-dup fraction, and the widest
+    * breadth any of its spans reaches (a span in 10k docs is sitewide
+    * boilerplate; in 2 docs, a copied paragraph). Never pairwise:
+    * spans dedup WITHIN each doc first, one gram-keyed count gives
+    * each span's corpus breadth, and the join back is gram-keyed —
+    * cost tracks (doc, span) rows, not doc pairs, so a mega-span
+    * shared by millions of docs costs its row count, never a
+    * quadratic blowup (the d4/d11 posting-cap problem doesn't arise
+    * because nothing ever joins doc-to-doc). Docs under 8 words have
+    * no spans and no row — the same rule p2 applies. */
+  def d18DuplicatedSpans(spark: SparkSession, dir: String): DataFrame =
+    duplicatedSpansOf(Tables.documents(spark, dir))
+
+  /** The d18 core over any (doc_id, text) corpus. */
+  def duplicatedSpansOf(docs: DataFrame,
+                        ngram: Int = ContamNgram): DataFrame = {
+    import docs.sparkSession.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val grams = graft.Caches.persist(docs
+      .select($"doc_id", expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
+      .filter(size($"w") >= ngram)
+      .select($"doc_id",
+        explode(array_distinct(H.hashedShingles($"w", ngram))).as("g")))
+    val breadth = grams.groupBy($"g").agg(count(lit(1)).as("n_docs_with"))
+    grams.join(breadth, "g")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when($"n_docs_with" > 1, 1L).otherwise(0L)).as("n_shared"),
+        max($"n_docs_with").as("max_breadth"))
+      .select($"doc_id", $"n_spans", $"n_shared",
+        round($"n_shared".cast("double") / $"n_spans".cast("double"), 6)
+          .as("dup_frac"),
+        $"max_breadth")
+      .orderBy($"doc_id")
+  }
+
   /** p21: CONTAMINATION report by source — p2's per-document hits
     * rolled up into the audit a pipeline actually publishes: per
     * source, how many training documents (and what token mass) share
@@ -717,6 +757,7 @@ object Curation {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d18_duplicated_spans" -> d18DuplicatedSpans _,
     "p24_shard_manifest" -> ((s, d) => p24ShardManifest(s, d)),
     "p23_budget_waterfill" -> ((s, d) => p23BudgetWaterfill(s, d)),
     "p20_temperature_mix" -> ((s, d) => p20TemperatureMix(s, d)),
@@ -1107,6 +1148,28 @@ object Curation {
          |    AS stage
          |FROM q, b
          |ORDER BY doc_id""".stripMargin,
+    // same per-doc distinct 8-gram hashes, same gram-keyed breadth
+    // count, same join-back aggregate — never doc-to-doc
+    "d18_duplicated_spans" ->
+      (s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    list_transform(generate_series(1, len(w) - ${ContamNgram - 1}),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |        || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]),
+        |    t -> $polyFoldSql))) AS g
+        |  FROM w WHERE len(w) >= $ContamNgram),
+        |b AS (SELECT g, CAST(count(*) AS BIGINT) AS n_docs_with FROM g GROUP BY g),
+        |j AS (SELECT doc_id, n_docs_with FROM g JOIN b USING (g))
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shared,
+        |  round(CAST(sum(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS dup_frac,
+        |  CAST(max(n_docs_with) AS BIGINT) AS max_breadth
+        |FROM j GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin),
     // p2's hit CTEs rolled up per source against the train scan
     "p21_contamination_report" ->
       s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),

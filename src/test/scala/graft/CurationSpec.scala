@@ -329,4 +329,32 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.toSeq).toSeq)
     Caches.releaseAll()
   }
+
+  test("d18 span profile: a copied 8-gram flags both docs, short docs have no row") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta unique tail one"),
+      (2L, "prefix alpha beta gamma delta epsilon zeta eta theta different end"),
+      (3L, "totally different words that no other document shares at all here"),
+      (4L, "short doc"))
+      .toDF("doc_id", "text")
+    val out = Curation.duplicatedSpansOf(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    // 11 words -> 4 spans each; exactly the copied 8-gram is shared
+    assert(out(1L) == ((4L, 1L, 0.25, 2L)))
+    assert(out(2L) == ((4L, 1L, 0.25, 2L)))
+    assert(out(3L)._2 == 0L && out(3L)._4 == 1L)
+    assert(!out.contains(4L), "docs under the n-gram width have no spans")
+    Caches.releaseAll()
+    // real corpus: total, bounded, breadth >= 1 everywhere
+    val real = Curation.d18DuplicatedSpans(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(4) >= 1L)
+    }
+    Caches.releaseAll()
+  }
 }
