@@ -98,11 +98,25 @@ object IngestStream {
     scored.withColumn("quarantined", $"quality_score" < threshold)
   }
 
+  /** Unicode hygiene stage (t27's pass in the ingestion plane): the
+    * worker runs Latin-1 mojibake repair + NFC composition on
+    * crawled content BEFORE chunking and hashing — a mis-decoded
+    * page that reaches the store otherwise defeats exact dedup and
+    * pollutes the tokenizer. Both kernels are stateless per-row
+    * projections: no state, no watermark interaction, safe at any
+    * point in a streaming plan, and a no-op on already-clean text
+    * (NFC is idempotent, repair touches only C2/C3 pairs). */
+  def cleanText(docs: DataFrame, column: String = "text"): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs.withColumn(column,
+      expr(s"nfc_normalize(mojibake_repair($column))"))
+  }
+
   def chunkAndEmbed(docs: DataFrame, maxTokens: Int = 64, dims: Int = 64): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.plans.GraftFunctions.ensureRegistered(spark)
-    docs
+    cleanText(docs)
       .select($"doc_id", $"source", $"text")
       .as[(Long, String, String)]
       .flatMap { case (docId, source, text) =>

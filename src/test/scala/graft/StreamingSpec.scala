@@ -900,6 +900,30 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("ingest stream repairs mojibake and composes NFC before the store") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.IngestStream
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-clean").toString
+    val stream = MemoryStream[(Long, String, String)]
+    val query = IngestStream.ingest(
+      stream.toDF().toDF("doc_id", "source", "text"), dir)
+    try {
+      // 'Caf\u00c3\u00a9' is double-encoded 'Caf\u00e9'; 'e' + U+0301 is
+      // decomposed '\u00e9' — the stored chunk must carry neither
+      stream.addData((1L, "srcC",
+        "Caf\u00c3\u00a9 menu with re\u0301sume\u0301 attached and enough words to chunk."))
+      query.processAllAvailable()
+      val content = spark.read.parquet(s"$dir/chunks")
+        .select($"content").as[String].collect().mkString(" ")
+      assert(content.contains("Caf\u00e9"), s"mojibake not repaired: $content")
+      assert(content.contains("r\u00e9sum\u00e9"), s"NFC not applied: $content")
+      assert(!content.contains("\u00c3") && !content.contains("\u0301"))
+    } finally query.stop()
+  }
+
 }
 
 /** Top-level (not nested in the spec) so the batch toDF() encoder
