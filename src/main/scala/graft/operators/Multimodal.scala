@@ -1281,7 +1281,66 @@ object Multimodal {
     }
   }
 
+  /** m14: PDF METADATA walk — the one bulk-document format the f/m
+    * families didn't cover, and the single biggest non-HTML source
+    * in a real crawl: version from the `%PDF-` header, object count
+    * from the `N 0 obj` markers, `/Title` from the Info dictionary,
+    * the trailer's `/Info N 0 R` reference, the `startxref` tail
+    * pointer (how real readers boot: seek tail, read the offset,
+    * jump), and the `%%EOF` well-formedness flag. PDF's skeleton is
+    * TEXT even when streams are binary, so the walk is pure regexp
+    * over the decoded payload — columnar, no per-task pass needed
+    * (full content extraction would ride the FileConverter seam like
+    * every other rich format). Synthesis: version/object-count/title
+    * derive from doc_id arithmetic, the startxref value is the true
+    * byte offset of the trailer, and the oracle recomputes the same
+    * document first-principles then parses with the same regexps. */
+  def m14PdfMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = (pmod($"doc_id", lit(4)) + 4).cast("string")
+    val nObjs = (pmod($"doc_id", lit(5)) + 2).cast("int")
+    val header = concat(lit("%PDF-1."), v, lit("\n"))
+    val body = array_join(
+      transform(sequence(lit(1), nObjs), i =>
+        concat(i.cast("string"), lit(" 0 obj\n<< /Length "),
+          i.cast("string"), lit(" >>\nendobj\n"))), "")
+    val infoId = (nObjs + 1).cast("string")
+    val info = concat(infoId, lit(" 0 obj\n<< /Title (Doc "),
+      $"doc_id".cast("string"), lit(") >>\nendobj\n"))
+    val pre = concat(header, body, info)
+    val doc = concat(pre,
+      lit("trailer << /Root 1 0 R /Info "), infoId, lit(" 0 R >>\nstartxref\n"),
+      length(pre).cast("string"), lit("\n%%EOF"))
+    val blobs = Tables.documents(spark, dir)
+      .select($"doc_id", doc.cast("binary").as("payload"))
+    parsePdfMeta(blobs).orderBy($"doc_id")
+  }
+
+  /** The PDF skeleton parser over any (doc_id, payload binary)
+    * frame; non-PDF payloads yield typed nulls (the m3 rule), and a
+    * PDF missing a field yields null for that field, never an ANSI
+    * cast error (nullif-guarded). */
+  def parsePdfMeta(blobs: DataFrame): DataFrame = {
+    import blobs.sparkSession.implicits._
+    val s = $"payload".cast("string")
+    val isPdf = s.startsWith("%PDF-")
+    blobs.select($"doc_id",
+      when(isPdf, regexp_extract(s, "^%PDF-([0-9][.][0-9])", 1))
+        .as("pdf_version"),
+      when(isPdf, expr("regexp_count(cast(payload as string), '[0-9]+ 0 obj')")
+        .cast("long")).as("n_objects"),
+      when(isPdf, regexp_extract(s, "/Title \\(([^)]*)\\)", 1)).as("title"),
+      when(isPdf,
+        nullif(regexp_extract(s, "/Info ([0-9]+) 0 R", 1), lit(""))
+          .cast("long")).as("info_obj"),
+      when(isPdf,
+        nullif(regexp_extract(s, "startxref\\s+([0-9]+)", 1), lit(""))
+          .cast("long")).as("startxref"),
+      when(isPdf, s.endsWith("%%EOF")).as("well_formed"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m14_pdf_meta" -> m14PdfMeta _,
     "m13_jpeg_exif" -> m13JpegExif _,
     "m12_png_text" -> m12PngText _,
     "m11_perceptual_dedup" -> ((s, d) => m11PerceptualDedup(s, d)),
@@ -1297,6 +1356,39 @@ object Multimodal {
     "m8_tar_meta" -> m8TarMeta _)
 
   val oracles: Map[String, String] = Map(
+    // the same doc_id-derived synthesis (true trailer byte offset)
+    // parsed with the same regexps
+    "m14_pdf_meta" ->
+      """WITH f AS (
+        |  SELECT doc_id, 4 + doc_id % 4 AS v,
+        |    CAST(2 + doc_id % 5 AS BIGINT) AS n_objs
+        |  FROM documents),
+        |syn AS (
+        |  SELECT doc_id, n_objs,
+        |    '%PDF-1.' || v || chr(10) ||
+        |    array_to_string(list_transform(generate_series(1, n_objs),
+        |      i -> i || ' 0 obj' || chr(10) || '<< /Length ' || i || ' >>'
+        |        || chr(10) || 'endobj' || chr(10)), '') ||
+        |    (n_objs + 1) || ' 0 obj' || chr(10) || '<< /Title (Doc '
+        |      || doc_id || ') >>' || chr(10) || 'endobj' || chr(10) AS pre
+        |  FROM f),
+        |d AS (
+        |  SELECT doc_id,
+        |    pre || 'trailer << /Root 1 0 R /Info ' || (n_objs + 1)
+        |      || ' 0 R >>' || chr(10) || 'startxref' || chr(10)
+        |      || strlen(pre) || chr(10) || '%%EOF' AS s
+        |  FROM syn)
+        |SELECT doc_id,
+        |  regexp_extract(s, '^%PDF-([0-9][.][0-9])', 1) AS pdf_version,
+        |  CAST(len(regexp_extract_all(s, '[0-9]+ 0 obj')) AS BIGINT)
+        |    AS n_objects,
+        |  regexp_extract(s, '/Title \(([^)]*)\)', 1) AS title,
+        |  CAST(nullif(regexp_extract(s, '/Info ([0-9]+) 0 R', 1), '')
+        |    AS BIGINT) AS info_obj,
+        |  CAST(nullif(regexp_extract(s, 'startxref\s+([0-9]+)', 1), '')
+        |    AS BIGINT) AS startxref,
+        |  ends_with(s, '%%EOF') AS well_formed
+        |FROM d ORDER BY doc_id""".stripMargin,
     // first-principles recompute of the APP1 locator + IFD fields
     // from the synth rules: the variable COM shift, the per-row byte
     // order, and the one-in-five miss branch all replayed from

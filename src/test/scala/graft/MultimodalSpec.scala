@@ -538,4 +538,33 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getString(2)).sorted
     assert(all.toSeq == Seq("Junk", "Software"))
   }
+
+  test("m14 parses a real minimal PDF; junk payloads yield typed nulls") {
+    import spark.implicits._
+    // a complete, structurally valid single-page PDF written by hand
+    val body =
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >>\nendobj\n" +
+      "4 0 obj\n<< /Title (Hello PDF) /Author (graft) >>\nendobj\n"
+    val pre = "%PDF-1.6\n" + body
+    val pdf = pre +
+      s"trailer << /Size 5 /Root 1 0 R /Info 4 0 R >>\nstartxref\n${pre.length}\n%%EOF"
+    val blobs = Seq(
+      (1L, pdf.getBytes("US-ASCII")),
+      (2L, "not a pdf at all".getBytes("US-ASCII")))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.parsePdfMeta(blobs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val ok = out(1L)
+    assert(ok.getString(1) == "1.6")
+    assert(ok.getLong(2) == 4L)
+    assert(ok.getString(3) == "Hello PDF")
+    assert(ok.getLong(4) == 4L, "trailer /Info must resolve to object 4")
+    assert(ok.getLong(5) == pre.length.toLong,
+      "startxref must carry the true tail offset")
+    assert(ok.getBoolean(6))
+    val junk = out(2L)
+    (1 to 6).foreach(i => assert(junk.isNullAt(i), s"col $i must be null"))
+  }
 }
