@@ -548,7 +548,115 @@ object FileIngest {
         $"r.content_len".as("content_len"), $"r.content".as("content"))
   }
 
+  /** f7: PDF TEXT extraction — m14 reads the skeleton; this pulls
+    * the CONTENT: each document's page stream, FlateDecode-
+    * compressed (real zlib) for even ids and stored plain for odd.
+    * The walk is the binary discipline the m-family uses:
+    * bytes_index_of finds the `stream\n` delimiter (a binary-safe
+    * locate — a cast-to-string round trip would corrupt offsets at
+    * the first non-UTF-8 deflate byte), /Length and /Filter parse by
+    * regexp over the ALL-ASCII dict slice BEFORE the delimiter, and
+    * the payload slice is LENGTH-driven, never delimiter-driven —
+    * deflate bytes can legally contain 'endstream'. Only the sliced
+    * stream bytes reach the per-task Inflater (the f5 lifecycle;
+    * PDF FlateDecode uses the zlib wrapper, nowrap=false). The
+    * oracle recomputes the plaintext first-principles from the
+    * synthesis rules, hash-gating the compress→walk→inflate round
+    * trip even though DuckDB cannot inflate. */
+  def f7PdfText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val slice = regexp_replace(substring($"text", 1, 60), "[^A-Za-z0-9 ]", "")
+    val blobs = graft.Tables.documents(spark, dir)
+      .select($"doc_id", concat(lit("BT ("), slice, lit(") Tj ET")).as("c"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val defl = new java.util.zip.Deflater()
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => defl.end()))
+        it.map { case (id, c) =>
+          val head = "%PDF-1.5\n1 0 obj\n<< /Type /Catalog >>\nendobj\n"
+          val cBytes = c.getBytes("US-ASCII")
+          val (body, filt) =
+            if (id % 2 == 0)
+              (deflateBytes(defl, cBytes), " /Filter /FlateDecode")
+            else (cBytes, "")
+          val obj = s"4 0 obj\n<< /Length ${body.length}$filt >>\nstream\n"
+          (id, head.getBytes("US-ASCII") ++ obj.getBytes("US-ASCII") ++
+            body ++ "\nendstream\nendobj\n%%EOF".getBytes("US-ASCII"))
+        }
+      }.toDF("doc_id", "payload")
+    extractPdfText(blobs).orderBy($"doc_id")
+  }
+
+  private def deflateBytes(defl: java.util.zip.Deflater,
+                           data: Array[Byte]): Array[Byte] = {
+    defl.reset(); defl.setInput(data); defl.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    while (!defl.finished()) { val n = defl.deflate(buf); out.write(buf, 0, n) }
+    out.toByteArray
+  }
+
+  /** The content-stream extractor over any (doc_id, payload binary)
+    * frame: columnar slice, per-task inflate, BT (…) Tj unwrap.
+    * Payloads with no stream, a malformed /Length, or an
+    * undecodable body yield no row — poison blobs never throw. */
+  def extractPdfText(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val sliced = blobs
+      .withColumn("_so", expr(
+        "bytes_index_of(payload, cast(concat('stream', chr(10)) as binary), cast(1 as bigint))"))
+      .withColumn("_dict", when($"_so" > 0,
+        expr("cast(substring(payload, 1, cast(_so as int) - 1) as string)")))
+      .withColumn("_len", when($"_dict".isNotNull, expr(
+        "cast(nullif(regexp_extract(_dict, '/Length ([0-9]+)', 1), '') as bigint)")))
+      .withColumn("_flate",
+        coalesce($"_dict".contains("/FlateDecode"), lit(false)))
+      .withColumn("_data", when($"_len".isNotNull,
+        expr("substring(payload, cast(_so as int) + 7, cast(_len as int))")))
+      .filter($"_data".isNotNull)
+      .select($"doc_id", $"_flate", $"_data")
+    sliced.as[(Long, Boolean, Array[Byte])]
+      .mapPartitions { it =>
+        val inf = new java.util.zip.Inflater()
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => inf.end()))
+        it.flatMap { case (id, flate, d) =>
+          val txt =
+            if (!flate) Some(new String(d, "US-ASCII"))
+            else try {
+              inf.reset()
+              inf.setInput(d)
+              val out = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](256)
+              var stalled = false
+              while (!inf.finished() && !stalled) {
+                val n = inf.inflate(buf)
+                if (n == 0) stalled = inf.needsInput() || inf.needsDictionary()
+                else out.write(buf, 0, n)
+              }
+              if (inf.finished())
+                Some(new String(out.toByteArray, "US-ASCII"))
+              else None
+            } catch {
+              case _: java.util.zip.DataFormatException => None
+            }
+          txt.map(t => (id, if (flate) "flate" else "plain", t))
+        }
+      }.toDF("doc_id", "method", "stream_text")
+      .select($"doc_id", $"method",
+        regexp_extract($"stream_text", "^BT \\((.*)\\) Tj ET$", 1)
+          .as("content"))
+      .select($"doc_id", $"method", $"content",
+        size(expr("regexp_extract_all(content, '\\\\S+', 0)")).cast("long")
+          .as("ws_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f7_pdf_text" -> f7PdfText _,
     "f6_warc_ingest" -> f6WarcIngest _,
     "f3_encoding_sniff" -> f3EncodingSniff _,
     "f1_file_ingest" -> f1FileIngest _,
@@ -557,6 +665,18 @@ object FileIngest {
     "f5_deflate_ingest" -> f5DeflateIngest _)
 
   val oracles: Map[String, String] = Map(
+    // first-principles recompute of the stream plaintext from the
+    // synthesis rules — the compress->walk->inflate round trip is
+    // hash-gated without DuckDB ever inflating
+    "f7_pdf_text" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'flate' ELSE 'plain' END AS method,
+        |  regexp_replace(substring(text, 1, 60), '[^A-Za-z0-9 ]', '', 'g')
+        |    AS content,
+        |  CAST(len(regexp_extract_all(
+        |    regexp_replace(substring(text, 1, 60), '[^A-Za-z0-9 ]', '', 'g'),
+        |    '\S+')) AS BIGINT) AS ws_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // first-principles recompute of the WARC synthesis rules: a
     // mis-stepped hop, bad Content-Length parse, or off-by-one slice
     // hash-mismatches

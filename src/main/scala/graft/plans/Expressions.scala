@@ -585,6 +585,66 @@ case class ByteAt(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** First occurrence of a byte pattern in a binary payload:
+  * (haystack, needle, from 1-based) -> 1-based position, or -1 when
+  * absent — `locate` for BINARY, which Spark only ships for strings
+  * (and a binary-cast-to-string round trip would corrupt offsets the
+  * moment a payload byte isn't valid UTF-8). The marker hop every
+  * framed binary walk needs when the next offset isn't
+  * length-prefixed (PDF 'stream' delimiters, free-form tag scans);
+  * naive scan, needle lengths here are single digits. */
+case class BytesIndexOf(bytes: Expression, pat: Expression,
+                        from: Expression) extends TernaryExpression {
+
+  override def first: Expression = bytes
+  override def second: Expression = pat
+  override def third: Expression = from
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bytes_index_of"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (bytes.dataType, pat.dataType, from.dataType) match {
+      case (BinaryType, BinaryType, LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (b, p, f) => TypeCheckResult.TypeCheckFailure(
+        s"bytes_index_of requires (binary, binary, bigint), got " +
+          s"(${b.simpleString}, ${p.simpleString}, ${f.simpleString})")
+    }
+
+  override def nullSafeEval(b0: Any, p0: Any, f0: Any): Any = {
+    val b = b0.asInstanceOf[Array[Byte]]
+    val p = p0.asInstanceOf[Array[Byte]]
+    var i = math.max(f0.asInstanceOf[Long].toInt - 1, 0)
+    if (p.length == 0) return -1L
+    while (i + p.length <= b.length) {
+      var j = 0
+      while (j < p.length && b(i + j) == p(j)) j += 1
+      if (j == p.length) return (i + 1).toLong
+      i += 1
+    }
+    -1L
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, p, f) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      s"""
+         |${ev.value} = -1L;
+         |if ($p.length > 0) {
+         |  for (int $i = Math.max((int) $f - 1, 0);
+         |       $i + $p.length <= $b.length; $i++) {
+         |    int $j = 0;
+         |    while ($j < $p.length && $b[$i + $j] == $p[$j]) $j++;
+         |    if ($j == $p.length) { ${ev.value} = $i + 1; break; }
+         |  }
+         |}
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): BytesIndexOf =
+    copy(bytes = f, pat = s, from = t)
+}
+
 /** Latin-1 mojibake repair (the ftfy bread-and-butter class): text
   * that was UTF-8 encoded, mis-decoded as Latin-1, and re-encoded
   * shows each non-ASCII char as a 2-char pair — a prefix char

@@ -57,6 +57,8 @@ object GraftFunctions {
     ("char_cells", "char_cells(text, cells) - bucketed char-code sums over equal-width slices",
       (args: Seq[Expression]) => CharCells(args.head,
         args(1).eval().asInstanceOf[Number].intValue())),
+    ("bytes_index_of", "bytes_index_of(payload, pattern, from) - 1-based byte-pattern find in binary, -1 absent",
+      (args: Seq[Expression]) => BytesIndexOf(args.head, args(1), args(2))),
     ("mojibake_repair", "mojibake_repair(text) - positional Latin-1 double-encoding repair (C2/C3 pairs)",
       (args: Seq[Expression]) => MojibakeRepair(args.head)),
     ("nfc_normalize", "nfc_normalize(text) - Unicode canonical composition (NFC)",
@@ -116,6 +118,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       ("byte_at", args => ByteAt(args.head, args(1))),
       ("char_cells", args => CharCells(args.head,
         args(1).eval().asInstanceOf[Number].intValue())),
+      ("bytes_index_of", args => BytesIndexOf(args.head, args(1), args(2))),
       ("mojibake_repair", args => MojibakeRepair(args.head)),
       ("nfc_normalize", args => NfcNormalize(args.head)),
       ("sign_words", args => SignWords(args.head)),

@@ -195,4 +195,40 @@ class FileIngestSpec extends SparkSpec {
     assert(graft.operators.FileIngest.expandArchives(many)
       .limit(1).count() == 1)
   }
+
+  test("f7 extracts REAL flate-compressed and plain PDF streams; poison blobs skipped") {
+    import spark.implicits._
+    import graft.operators.FileIngest
+    def deflate(s: String): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(s.getBytes("US-ASCII")); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!d.finished()) { val n = d.deflate(buf); out.write(buf, 0, n) }
+      d.end(); out.toByteArray
+    }
+    def pdf(content: String, flate: Boolean): Array[Byte] = {
+      val body =
+        if (flate) deflate(content) else content.getBytes("US-ASCII")
+      val filt = if (flate) " /Filter /FlateDecode" else ""
+      ("%PDF-1.5\n4 0 obj\n<< /Length " + body.length + filt +
+        " >>\nstream\n").getBytes("US-ASCII") ++ body ++
+        "\nendstream\nendobj\n%%EOF".getBytes("US-ASCII")
+    }
+    val blobs = Seq(
+      (1L, pdf("BT (compressed words here) Tj ET", flate = true)),
+      (2L, pdf("BT (plain words) Tj ET", flate = false)),
+      (3L, "no stream marker at all".getBytes("US-ASCII")),
+      // valid framing, garbage deflate body: must be skipped, not thrown
+      (4L, ("%PDF-1.5\n<< /Length 4 /Filter /FlateDecode >>\nstream\n"
+        .getBytes("US-ASCII") ++ Array[Byte](1, 2, 3, 4) ++
+        "\nendstream".getBytes("US-ASCII"))))
+      .toDF("doc_id", "payload")
+    val out = FileIngest.extractPdfText(blobs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == (("flate", "compressed words here", 3L)))
+    assert(out(2L) == (("plain", "plain words", 2L)))
+    assert(!out.contains(3L) && !out.contains(4L))
+  }
 }

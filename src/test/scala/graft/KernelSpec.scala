@@ -283,4 +283,22 @@ class KernelSpec extends SparkSpec {
     assert(out("A\u030a ring") == "\u00c5 ring")
     assert(out("r\u00e9sum\u00e9") == "r\u00e9sum\u00e9")
   }
+
+  test("bytes_index_of: binary-safe locate, 1-based, from-offset, -1 absent") {
+    import spark.implicits._
+    // payload contains a 0xFF byte that would corrupt a UTF-8 cast
+    val payload = Array[Byte]('a', 'b', 0xFF.toByte, 'a', 'b', 'c')
+    val r = Seq(Tuple1(payload)).toDF("p").selectExpr(
+      "bytes_index_of(p, cast('ab' as binary), cast(1 as bigint)) as first",
+      "bytes_index_of(p, cast('ab' as binary), cast(2 as bigint)) as second",
+      "bytes_index_of(p, cast('abc' as binary), cast(1 as bigint)) as abc",
+      "bytes_index_of(p, cast('zz' as binary), cast(1 as bigint)) as missing",
+      "bytes_index_of(p, cast('' as binary), cast(1 as bigint)) as empty")
+      .collect().head
+    assert(r.getLong(0) == 1L)
+    assert(r.getLong(1) == 4L)
+    assert(r.getLong(2) == 4L, "match must be found past the invalid byte")
+    assert(r.getLong(3) == -1L)
+    assert(r.getLong(4) == -1L)
+  }
 }
