@@ -149,6 +149,21 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
         .select(col("doc_id"), col("score"))
   }
 
+  /** Prefix completion serving (s15 over this corpus): the top-k
+    * completions of `prefix` from the corpus vocabulary, ranked by
+    * document frequency. Empty prefix → the full completion index
+    * (the offline artifact a serving tier broadcasts). */
+  def autocomplete(prefix: String = "", k: Int = 3): DataFrame = {
+    val vocab = tokenized
+      .select(explode(array_distinct($"tok")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val idx = HybridSearch.autocompleteOf(vocab,
+      minPrefix = if (prefix.isEmpty) 2 else prefix.length,
+      maxPrefix = if (prefix.isEmpty) 4 else prefix.length, k = k)
+    if (prefix.isEmpty) idx
+    else idx.filter(col("prefix") === prefix.toLowerCase)
+  }
+
   /** Collapsed search serving (s12 over this corpus): BM25 ranking
     * with at most one hit per near-dup cluster — the LSH pair graph
     * and component labels are computed on THIS corpus, each cluster
@@ -680,6 +695,19 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
     * gets its top-k neighbors via the capped LSH bucket join. */
   def knnJoin(embeddings: DataFrame, k: Int = 3): DataFrame =
     Knn.knnJoinOf(embeddings, k = k)
+
+  /** NN-Descent refinement over a (vec_id, v) frame (a21): seed the
+    * kNN graph with the LSH-bounded join, then run `rounds`
+    * neighbor-of-neighbor refinement rounds — the graph a weak seed
+    * geometry alone can't recall. Returns the refined directed
+    * top-k edge list. */
+  def refineKnnGraph(embeddings: DataFrame, k: Int = 3,
+                     rounds: Int = 2): DataFrame = {
+    val seed = Knn.knnJoinOf(embeddings, k = k)
+      .select(col("q_id"), col("vec_id"))
+    val vecs = embeddings.select(col("vec_id"), col("v"))
+    (1 to rounds).foldLeft(seed)((g, _) => Knn.descentRound(g, vecs, k))
+  }
 
   /** Magic-byte MIME routing over a binary-file frame (f2) — adds a
     * `mime` column sniffed from payload signatures. */

@@ -733,16 +733,7 @@ object Curation {
                        nStreams: Int = 64,
                        targetBytes: Long = 1024L): DataFrame = {
     import spark.implicits._
-    graft.plans.GraftFunctions.ensureRegistered(spark)
-    val docs = Tables.documents(spark, dir)
-      .select($"doc_id",
-        element_at(call_function("poly_hash_all", array($"text")), 1).as("hv"),
-        octet_length($"text").cast("long").as("n_bytes"),
-        expr("cast(regexp_count(text, '\\\\S+') as bigint)").as("n_tokens"))
-      .select($"doc_id", $"hv", ($"hv" % nStreams).as("stream"),
-        expr(s"hv div $nStreams").as("sub"), $"n_bytes", $"n_tokens")
-    Packing.packNextFit(docs, Seq("stream"), Seq("sub", "doc_id"),
-        "n_bytes", targetBytes)
+    shardLayout(spark, dir, nStreams, targetBytes)
       .groupBy($"stream", $"bin_id")
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_tokens").as("n_tokens"),
@@ -756,9 +747,82 @@ object Curation {
       .orderBy($"stream", $"shard_ix")
   }
 
+  /** p24's per-doc shard layout — the packed (doc_id → stream,
+    * bin_id) assignment with the doc's content hash and sizes; p24
+    * aggregates it into the manifest, p25 re-reads it to pin each
+    * doc to its WRITTEN shard when verifying. */
+  private def shardLayout(spark: SparkSession, dir: String,
+                          nStreams: Int, targetBytes: Long): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id",
+        element_at(call_function("poly_hash_all", array($"text")), 1).as("hv"),
+        octet_length($"text").cast("long").as("n_bytes"),
+        expr("cast(regexp_count(text, '\\\\S+') as bigint)").as("n_tokens"))
+      .select($"doc_id", $"hv", ($"hv" % nStreams).as("stream"),
+        expr(s"hv div $nStreams").as("sub"), $"n_bytes", $"n_tokens")
+    Packing.packNextFit(docs, Seq("stream"), Seq("sub", "doc_id"),
+      "n_bytes", targetBytes)
+  }
+
+  /** p25: MANIFEST VERIFY — the integrity audit between p24's
+    * manifest and a training launch: re-read every shard's members,
+    * recompute the per-shard counts and XOR content checksum from
+    * CURRENT contents, and diff against the manifest's expectations.
+    * The shard a doc was written to is pinned by the manifest-time
+    * layout (assignment keys on doc_id, NOT re-derived from current
+    * content — a drifted doc must surface as a checksum mismatch in
+    * its ORIGINAL shard, not silently migrate to a new one). Drift
+    * is planted deterministically so both engines audit the same
+    * damage: docs with doc_id % 101 == 7 re-read with ' EDIT'
+    * appended (the changed-since-manifest class). Per shard:
+    * expected vs actual checksum/bytes/tokens, changed-doc count,
+    * and ok/drifted status. Cost shape at 100 TB: the layout is
+    * manifest metadata (doc_id-keyed, corpus-cardinality rows, no
+    * text), the re-read is the one corpus scan a verify must pay,
+    * the join is doc_id-keyed, and the verdict is one keyed
+    * aggregate — nothing all-pairs, nothing driver-bound. */
+  def p25ManifestVerify(spark: SparkSession, dir: String,
+                        nStreams: Int = 64,
+                        targetBytes: Long = 1024L): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val layout = shardLayout(spark, dir, nStreams, targetBytes)
+      .select($"doc_id", $"stream", $"bin_id",
+        $"hv".as("hv0"), $"n_bytes".as("b0"), $"n_tokens".as("t0"))
+    // the corpus as the verifier re-reads it: a deterministic slice
+    // has changed since the manifest was cut
+    val current = Tables.documents(spark, dir)
+      .select($"doc_id",
+        when(pmod($"doc_id", lit(101)) === 7, concat($"text", lit(" EDIT")))
+          .otherwise($"text").as("text"))
+      .select($"doc_id",
+        element_at(call_function("poly_hash_all", array($"text")), 1).as("hv1"),
+        octet_length($"text").cast("long").as("b1"),
+        expr("cast(regexp_count(text, '\\\\S+') as bigint)").as("t1"))
+    layout.join(current, "doc_id")
+      .groupBy($"stream", $"bin_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"hv1" =!= $"hv0", 1L).otherwise(0L)).as("n_changed"),
+        expr("bit_xor(hv0)").as("exp_checksum"),
+        expr("bit_xor(hv1)").as("act_checksum"),
+        sum($"b0").as("exp_bytes"),
+        sum($"b1").as("act_bytes"),
+        sum($"t0").as("exp_tokens"),
+        sum($"t1").as("act_tokens"))
+      .select($"stream", $"bin_id".as("shard_ix"), $"n_docs", $"n_changed",
+        $"exp_checksum", $"act_checksum", $"exp_bytes", $"act_bytes",
+        $"exp_tokens", $"act_tokens",
+        when($"act_checksum" === $"exp_checksum", "ok")
+          .otherwise("drifted").as("status"))
+      .orderBy($"stream", $"shard_ix")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d18_duplicated_spans" -> d18DuplicatedSpans _,
     "p24_shard_manifest" -> ((s, d) => p24ShardManifest(s, d)),
+    "p25_manifest_verify" -> ((s, d) => p25ManifestVerify(s, d)),
     "p23_budget_waterfill" -> ((s, d) => p23BudgetWaterfill(s, d)),
     "p20_temperature_mix" -> ((s, d) => p20TemperatureMix(s, d)),
     "p18_token_budget" -> ((s, d) => p18TokenBudget(s, d)),
@@ -1043,6 +1107,62 @@ object Curation {
          |  CAST(max(doc_id) AS BIGINT) AS max_doc,
          |  max(n_bytes > 1024) AS has_oversize
          |FROM packed GROUP BY stream, bin_id
+         |ORDER BY stream, shard_ix""".stripMargin,
+    // p24's packed layout replay + the same deterministic drift
+    // slice re-hashed, aggregated per written shard and diffed
+    "p25_manifest_verify" ->
+      s"""WITH RECURSIVE h AS (SELECT doc_id, text AS t FROM documents),
+         |d AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(t, '\\S+')) AS BIGINT) AS n_tokens,
+         |    CAST(strlen(t) AS BIGINT) AS n_bytes,
+         |    ($polyFoldSql) AS hv
+         |  FROM h),
+         |o AS (
+         |  SELECT doc_id, n_tokens, n_bytes, hv, hv % 64 AS stream,
+         |    CAST(row_number() OVER (PARTITION BY hv % 64
+         |      ORDER BY hv // 64, doc_id) AS BIGINT) AS rn
+         |  FROM d),
+         |packed AS (
+         |  SELECT stream, doc_id, n_tokens, n_bytes, hv, rn,
+         |    CAST(0 AS BIGINT) AS bin_id, n_bytes AS fill
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.stream, o.doc_id, o.n_tokens, o.n_bytes, o.hv, o.rn,
+         |    CASE WHEN p.fill > 0 AND p.fill + o.n_bytes > 1024
+         |         THEN p.bin_id + 1 ELSE p.bin_id END,
+         |    CASE WHEN p.fill > 0 AND p.fill + o.n_bytes > 1024
+         |         THEN o.n_bytes ELSE p.fill + o.n_bytes END
+         |  FROM packed p JOIN o ON o.stream = p.stream AND o.rn = p.rn + 1),
+         |cur0 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 101 = 7 THEN text || ' EDIT' ELSE text END AS t
+         |  FROM documents),
+         |cur AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(t, '\\S+')) AS BIGINT) AS t1,
+         |    CAST(strlen(t) AS BIGINT) AS b1,
+         |    ($polyFoldSql) AS hv1
+         |  FROM cur0),
+         |agg AS (
+         |  SELECT stream, CAST(bin_id AS BIGINT) AS shard_ix,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN hv1 <> hv THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_changed,
+         |    bit_xor(hv) AS exp_checksum,
+         |    bit_xor(hv1) AS act_checksum,
+         |    CAST(sum(n_bytes) AS BIGINT) AS exp_bytes,
+         |    CAST(sum(b1) AS BIGINT) AS act_bytes,
+         |    CAST(sum(n_tokens) AS BIGINT) AS exp_tokens,
+         |    CAST(sum(t1) AS BIGINT) AS act_tokens
+         |  FROM packed JOIN cur USING (doc_id)
+         |  GROUP BY stream, bin_id)
+         |SELECT stream, shard_ix, n_docs, n_changed,
+         |  exp_checksum, act_checksum, exp_bytes, act_bytes,
+         |  exp_tokens, act_tokens,
+         |  CASE WHEN act_checksum = exp_checksum THEN 'ok'
+         |       ELSE 'drifted' END AS status
+         |FROM agg
          |ORDER BY stream, shard_ix""".stripMargin,
     // same hash, same shard/sub split, same within-shard order
     "p11_global_shuffle" ->

@@ -444,6 +444,48 @@ object HybridSearch {
     fuzzyCorrections(vocab, probes, k)
   }
 
+  /** s15: PREFIX AUTOCOMPLETE — the search-as-you-type completion
+    * index (Elasticsearch edge-ngram / Weaviate's suggester class):
+    * every vocabulary term is indexed under its leading prefixes
+    * (lengths `minPrefix`..`maxPrefix`), and a prefix serves its
+    * top-k completions ranked by document frequency (how many docs
+    * a completion would actually reach), term tie-break. Built from
+    * the same distinct-term vocabulary s11's corrector uses — both
+    * are offline artifacts over the term DICTIONARY, which is
+    * vocab-cardinality (tiny vs the corpus — Heaps' law), so at
+    * 100 TB the index build costs one vocab scan + a bounded
+    * prefix explode (≤ maxPrefix−minPrefix+1 rows per term) and the
+    * per-prefix top-k rides the TopKPerKey heap rewrite; serving is
+    * a broadcast-able point lookup. */
+  def s15Autocomplete(spark: SparkSession, dir: String,
+                      minPrefix: Int = 2, maxPrefix: Int = 4,
+                      k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(array_distinct(
+        regexp_extract_all(lower($"text"), lit(WordTokenPattern), lit(0))))
+        .as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    autocompleteOf(vocab, minPrefix, maxPrefix, k)
+  }
+
+  /** The completion index over any (term, df) vocabulary. */
+  def autocompleteOf(vocab: DataFrame, minPrefix: Int = 2,
+                     maxPrefix: Int = 4, k: Int = 3): DataFrame = {
+    import vocab.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    require(minPrefix >= 1 && maxPrefix >= minPrefix && k >= 1)
+    val w = Window.partitionBy($"prefix").orderBy($"df".desc, $"term")
+    vocab.filter(length($"term") >= minPrefix)
+      .select($"term", $"df", explode(transform(
+        sequence(lit(minPrefix), least(lit(maxPrefix), length($"term"))),
+        l => $"term".substr(lit(1), l))).as("prefix"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"prefix", $"rank".cast("long").as("rank"), $"term", $"df")
+      .orderBy($"prefix", $"rank")
+  }
+
   /** The correction core over any (term, df) vocabulary. */
   def fuzzyCorrections(vocab: DataFrame, probes: Seq[String],
                        k: Int = 3): DataFrame = {
@@ -610,6 +652,7 @@ object HybridSearch {
     "s14_semantic_collapsed" -> ((s, d) => s14SemanticCollapsedSearch(s, d)),
     "s13_fielded_bm25" -> s13FieldedBm25 _,
     "s12_collapsed_search" -> ((s, d) => s12CollapsedSearch(s, d)),
+    "s15_autocomplete" -> ((s, d) => s15Autocomplete(s, d)),
     "s11_fuzzy_correct" -> ((s, d) => s11FuzzyCorrect(s, d)),
     "s10_snippets" -> ((s, d) => s10Snippets(s, d)),
     "s9_prf_expansion" -> ((s, d) => s9PrfExpansion(s, d)),
@@ -771,6 +814,29 @@ object HybridSearch {
 
   val oracles: Map[String, String] = oraclesBase +
     ("s13_fielded_bm25" -> s13Sql) +
+    // same distinct-term vocabulary as s11, same prefix lengths,
+    // same (df desc, term) ranking
+    ("s15_autocomplete" ->
+      s"""WITH vocab AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM (
+         |    SELECT doc_id, unnest(list_distinct(
+         |      regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+'))) AS term
+         |    FROM documents)
+         |  GROUP BY term),
+         |pfx AS (
+         |  SELECT substring(term, 1, CAST(g.l AS INTEGER)) AS prefix,
+         |    term, df
+         |  FROM vocab, LATERAL unnest(
+         |    generate_series(2, LEAST(4, length(term)))) AS g(l)
+         |  WHERE length(term) >= 2),
+         |ranked AS (
+         |  SELECT prefix, term, df,
+         |    row_number() OVER (PARTITION BY prefix
+         |      ORDER BY df DESC, term) AS rnk
+         |  FROM pfx)
+         |SELECT prefix, CAST(rnk AS BIGINT) AS rank, term, df
+         |FROM ranked WHERE rnk <= 3
+         |ORDER BY prefix, rank""".stripMargin) +
     // s1's full BM25 scoring (no limit) + p5's recursive component
     // labels over d2's verified pairs + best-per-cluster collapse
     ("s12_collapsed_search" ->

@@ -1418,6 +1418,89 @@ object Knn {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** a21: NN-DESCENT kNN-graph refinement — the scale path for
+    * building the FULL kNN graph (a9's product) when no LSH geometry
+    * alone recalls enough: start from a cheap seed graph and exploit
+    * "a neighbor of my neighbor is probably my neighbor" (Dong,
+    * Moses & Li, WWW'11 — the algorithm behind pynndescent/UMAP
+    * graph construction). One refinement round here: candidates =
+    * the seed's directed edges ∪ every neighbor-of-neighbor pair
+    * through the UNDIRECTED seed view (both edge directions — the
+    * "general neighbors" the paper shows the convergence depends
+    * on), exact-rerank to top-k per node. Cost shape at 100 TB: the
+    * expansion join carries 8-byte ids only and produces at most
+    * n·(2k)² candidate rows (degree-bounded by construction — never
+    * N², never a mega-bucket), the rerank fetches vectors by two
+    * hash joins and rides the TopKPerKey heap window, and rounds
+    * compose idempotently (a production build loops until the
+    * edge-set delta dries up; each round is THIS operator). The
+    * report is the a12 discipline applied to graph construction:
+    * seed vs refined graph recall@k against the exact graph on a
+    * probe sample, with the directed edge count each round pays —
+    * refined recall is monotone ≥ seed by construction (candidate
+    * superset + identical tie-break), which the spec pins. */
+  def a21NnDescent(spark: SparkSession, dir: String,
+                   tables: Int = 4, bits: Int = 6, k: Int = 3,
+                   bucketCap: Int = 256, probeN: Int = 25,
+                   rounds: Int = 2): DataFrame = {
+    import spark.implicits._
+    val all = graft.Caches.persist(base(spark, dir))
+    val vecs = all.select($"vec_id", $"v")
+    val seed = graft.Caches.persist(
+      knnJoinOf(all, tables, bits, k, bucketCap)
+        .select($"q_id", $"vec_id"))
+    val graphs = (1 to rounds).scanLeft(seed) { (g, _) =>
+      graft.Caches.persist(descentRound(g, vecs, k))
+    }
+    // exact probe graph: brute-force top-k for a small probe sample
+    val wK = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")
+    val probes = all.filter($"vec_id" < probeN)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val exact = graft.Caches.persist(all
+      .join(broadcast(probes), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", V.cosineD($"qv", $"v").as("cosine_raw"))
+      .withColumn("rnk", row_number().over(wK))
+      .filter($"rnk" <= k)
+      .select($"q_id", $"vec_id"))
+    val possible = exact.count()
+    graphs.zipWithIndex.map { case (g, i) =>
+      val hits = g.join(exact, Seq("q_id", "vec_id"), "left_semi").count()
+      (s"r$i" + (if (i == 0) "_seed" else ""), hits, possible, g.count())
+    }.toDF("round", "hits", "possible", "n_edges")
+      .withColumn("recall", round($"hits".cast("double") / $"possible", 4))
+      .select($"round", $"hits", $"possible", $"recall", $"n_edges")
+      .orderBy($"round")
+  }
+
+  /** ONE NN-Descent refinement round over a directed kNN graph
+    * (q_id, vec_id): undirected view → neighbor-of-neighbor
+    * candidates ∪ current edges → exact rerank to top-k per node.
+    * Idempotent composition — a21 chains it; a production build
+    * loops it until the edge delta dries up. */
+  private[graft] def descentRound(g: DataFrame, vecs: DataFrame,
+                                  k: Int): DataFrame = {
+    val spark = g.sparkSession
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    // undirected neighbor view: both directions of every edge
+    val und = g.select($"q_id".as("node"), $"vec_id".as("nbr"))
+      .unionByName(g.select($"vec_id".as("node"), $"q_id".as("nbr")))
+      .dropDuplicates("node", "nbr")
+    // neighbor-of-neighbor expansion (ids only in the join)
+    val cand2 = und.as("x")
+      .join(und.as("y"), $"x.nbr" === $"y.node" && $"y.nbr" =!= $"x.node")
+      .select($"x.node".as("q_id"), $"y.nbr".as("vec_id"))
+    val cand = g.unionByName(cand2).dropDuplicates("q_id", "vec_id")
+    val wK = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")
+    cand
+      .join(vecs.select($"vec_id".as("q_id"), $"v".as("qv")), "q_id")
+      .join(vecs, "vec_id")
+      .select($"q_id", $"vec_id", V.cosineD($"qv", $"v").as("cosine_raw"))
+      .withColumn("rnk", row_number().over(wK))
+      .filter($"rnk" <= k)
+      .select($"q_id", $"vec_id")
+  }
+
   /** a12: ANN RECALL evaluation — "measure, don't guess" for the
     * approximate family: every serving method's top-5 intersected
     * with a1's exact top-5, reported as recall@5. The calibration
@@ -1481,6 +1564,7 @@ object Knn {
     "a18_index_balance" -> a18IndexBalance _,
     "a19_nprobe_sweep" -> ((s, d) => a19NprobeSweep(s, d)),
     "a20_mutual_knn" -> ((s, d) => a20MutualKnnClusters(s, d)),
+    "a21_nn_descent" -> ((s, d) => a21NnDescent(s, d)),
     "s2_vector_topk" -> s2VectorTopk _)
 
   private val cosineSql =
@@ -1969,6 +2053,111 @@ object Knn {
     * the a20 replay and s14's semantic-collapse label side. Concat
     * operators stay at end-of-line: this block is re-interpolated
     * into stripMargin oracles. */
+  /** a9's seed pipeline parameterized over LSH geometry — the same
+    * hyperplane-weight formula `hyperplane_sig` codegens, the same
+    * mega-bucket cap, the same exact rerank; a21 replays it at its
+    * own (weaker) seed geometry. Emits `SELECT q_id, vec_id ...`. */
+  private def knnJoinSqlFor(tables: Int, bits: Int, k: Int,
+                            cap: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |sigs AS (
+       |  SELECT vec_id, list_transform(generate_series(0, ${tables - 1}), t ->
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(0, ${bits - 1}), p ->
+       |        CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |            list_transform(generate_series(1, len(v)), d ->
+       |              CASE WHEN ((((t*$bits+p)*64 + d) * 2654435761) // 65536) % 2 = 0
+       |                   THEN v[d] ELSE -v[d] END)),
+       |            (s, x) -> s + x) > 0
+       |        THEN CAST(1 << p AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+       |      (a, b) -> a + b)) AS sg
+       |  FROM e),
+       |buckets AS (
+       |  SELECT vec_id, CAST(g.i - 1 AS INTEGER) AS tbl, sg[g.i] AS sig
+       |  FROM sigs, LATERAL unnest(generate_series(1, $tables)) AS g(i)),
+       |bcnt AS (SELECT tbl, sig, count(*) AS c FROM buckets GROUP BY tbl, sig),
+       |capped AS (
+       |  SELECT b.vec_id, b.tbl, b.sig
+       |  FROM buckets b JOIN bcnt USING (tbl, sig) WHERE bcnt.c <= $cap),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS vec_id
+       |  FROM capped a JOIN capped b
+       |    ON a.tbl = b.tbl AND a.sig = b.sig AND b.vec_id <> a.vec_id),
+       |scored AS (
+       |  SELECT c.q_id, c.vec_id,
+       |    ${cosineSql.replace("QV", "eq.v").replace("BV", "eb.v")} AS cosine_raw
+       |  FROM cand c
+       |  JOIN e eq ON eq.vec_id = c.q_id
+       |  JOIN e eb ON eb.vec_id = c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cosine_raw,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT q_id, vec_id FROM ranked WHERE rnk <= $k""".stripMargin
+
+  /** a21's oracle: the seed replay at a21's geometry, the undirected
+    * neighbor-of-neighbor expansion, the exact rerank, and the
+    * probe-sample recall accounting — all as CTE stages. */
+  private lazy val a21Sql: String = {
+    val rounds = 2
+    // one refinement round as CTE stages, g{i-1} -> g{i}
+    def roundCtes(i: Int): String =
+      s"""und$i AS (
+         |  SELECT q_id AS node, vec_id AS nbr FROM g${i - 1}
+         |  UNION
+         |  SELECT vec_id, q_id FROM g${i - 1}),
+         |cand$i AS (
+         |  SELECT q_id, vec_id FROM g${i - 1}
+         |  UNION
+         |  SELECT x.node, y.nbr FROM und$i x JOIN und$i y ON y.node = x.nbr
+         |  WHERE y.nbr <> x.node),
+         |cscored$i AS (
+         |  SELECT c.q_id, c.vec_id,
+         |    ${cosineSql.replace("QV", "eq.v").replace("BV", "eb.v")} AS cosine_raw
+         |  FROM cand$i c
+         |  JOIN ev eq ON eq.vec_id = c.q_id
+         |  JOIN ev eb ON eb.vec_id = c.vec_id),
+         |g$i AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY cosine_raw DESC, vec_id) AS rnk
+         |    FROM cscored$i)
+         |  WHERE rnk <= 3)""".stripMargin
+    val roundRows = (0 to rounds).map { i =>
+      val label = if (i == 0) s"'r${i}_seed'" else s"'r$i'"
+      s"""  SELECT $label AS round,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM g$i JOIN exact USING (q_id, vec_id)) AS hits,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM g$i) AS n_edges""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH ev AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |g0 AS (SELECT q_id, vec_id FROM (${knnJoinSqlFor(4, 6, 3, 256)})),
+       |${(1 to rounds).map(roundCtes).mkString(",\n")},
+       |escored AS (
+       |  SELECT q.vec_id AS q_id, b.vec_id,
+       |    ${cosineSql.replace("QV", "q.v").replace("BV", "b.v")} AS cosine_raw
+       |  FROM ev q JOIN ev b ON b.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 25),
+       |exact AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cosine_raw DESC, vec_id) AS rnk
+       |    FROM escored)
+       |  WHERE rnk <= 3),
+       |np AS (SELECT CAST(count(*) AS BIGINT) AS possible FROM exact),
+       |rounds AS (
+       |$roundRows)
+       |SELECT round, hits, possible,
+       |  round(CAST(hits AS DOUBLE) / possible, 4) AS recall, n_edges
+       |FROM rounds, np
+       |ORDER BY round""".stripMargin
+  }
+
   lazy val mutualCompCtesSql: String =
     s"""knn AS (
        |  SELECT q_id, vec_id FROM (${baseOracles("a9_knn_join")})),
@@ -2028,6 +2217,7 @@ object Knn {
            |JOIN sizes USING (cluster_rep)
            |LEFT JOIN deg ON deg.id = comp.id
            |ORDER BY vec_id""".stripMargin) +
+      ("a21_nn_descent" -> a21Sql) +
       ("a17_cascade_tuning" -> a17Sql) +
       ("a18_index_balance" ->
         s"""WITH ${kmeansCellsSqlFor(8)},

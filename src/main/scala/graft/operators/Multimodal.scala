@@ -220,6 +220,81 @@ object Multimodal {
         floor($"data_bytes" * lit(1000000.0) / $"byte_rate").cast("long"))
   }
 
+  /** m15: PCM SAMPLE statistics — the first m-family pass that reads
+    * the DATA, not just the header: a canonical mono/16-bit/8 kHz
+    * WAV is synthesized with REAL little-endian PCM payload bytes
+    * (sample values from a deterministic doc_id-keyed ramp, clamped
+    * to the int16 rails so ~18% of samples clip — hot audio), and
+    * the profile decodes every sample back out of the byte stream to
+    * report the loudness/health numbers an audio-curation pass
+    * gates on: peak amplitude, RMS level, DC offset, clipped-sample
+    * count (reference: the ingestion worker's docling converter
+    * seam, apps/ingestion-worker/handlers/file.py:46 — binary media
+    * routes through a decode tier before chunking; this is that
+    * tier's audio health profile). The per-sample fold (LE pair →
+    * sign-extended int16 → running sums) is ONE codegen kernel call
+    * per row ([[graft.plans.Expressions Pcm16Stats]]) — no
+    * per-sample lambda allocation, no driver loop; at 100 TB this is
+    * a map-only scan whose cost is the byte read itself. The oracle
+    * replays the sample formula arithmetically (the synthesis IS the
+    * ground truth; the Spark side proves the byte round trip — same
+    * discipline as m4/m14). */
+  def m15PcmStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val n = (lit(48L) + pmod($"doc_id", lit(32L))).cast("long")
+    val dataSize = n * 2L
+    val hexHeader = concat(
+      lit("52494646"),              // "RIFF"
+      leHex(lit(36L) + dataSize, 4),
+      lit("57415645"),              // "WAVE"
+      lit("666D7420"),              // "fmt "
+      lit("10000000"),              // fmt chunk size = 16 (PCM)
+      lit("0100"),                  // audio format = 1 (PCM)
+      leHex(lit(1L), 2),            // mono
+      leHex(lit(8000L), 4),         // 8 kHz
+      leHex(lit(16000L), 4),        // byte rate
+      leHex(lit(2L), 2),            // block align
+      leHex(lit(16L), 2),           // 16 bits/sample
+      lit("64617461"),              // "data"
+      leHex(dataSize, 4))
+    // deterministic ramp clamped to the int16 rails, serialized LE
+    val samples = transform(sequence(lit(0L), n - 1L), i =>
+      greatest(lit(-32768L), least(lit(32767L),
+        pmod($"doc_id" * lit(7919L) + i * lit(104729L), lit(80000L))
+          - lit(40000L))))
+    val hexData = array_join(transform(samples, s => {
+      val u = s.bitwiseAND(lit(65535L))
+      concat(lpad(hex(pmod(u, lit(256L))), 2, "0"),
+        lpad(hex(shiftright(u, 8)), 2, "0"))
+    }), "")
+    val blobs = Tables.documents(spark, dir)
+      .select($"doc_id", unhex(concat(hexHeader, hexData)).as("payload"))
+    pcmStatsOf(blobs).orderBy($"doc_id")
+  }
+
+  /** The PCM profile over any (doc_id, payload binary) frame with a
+    * canonical 44-byte WAV header: signature-gated like m4 (non-WAV
+    * payloads drop out), one kernel fold from byte 45. */
+  def pcmStatsOf(blobs: DataFrame): DataFrame = {
+    import blobs.sparkSession.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(blobs.sparkSession)
+    val isWav = hex(substring($"payload", 1, 4)) === "52494646" &&
+      hex(substring($"payload", 9, 8)) === "57415645666D7420" &&
+      hex(substring($"payload", 37, 4)) === "64617461"
+    blobs.filter(isWav)
+      .select($"doc_id",
+        call_function("pcm16_stats", $"payload", lit(45L)).as("st"))
+      .select($"doc_id",
+        element_at($"st", 1).as("n_samples"),
+        element_at($"st", 4).as("peak"),
+        element_at($"st", 5).as("n_clipped"),
+        round(element_at($"st", 2).cast("double") / element_at($"st", 1), 6)
+          .as("dc_offset"),
+        round(sqrt(element_at($"st", 3).cast("double") / element_at($"st", 1)), 6)
+          .as("rms"))
+  }
+
   /** m5: GIF logical-screen-descriptor parsing — the third header
     * format of the catalog tier (PNG is big-endian, WAV is
     * little-endian, GIF mixes an ASCII version tag with LE16 fields
@@ -1350,12 +1425,32 @@ object Multimodal {
     "m2_frame_sample" -> m2FrameSample _,
     "m3_image_meta" -> m3ImageMeta _,
     "m4_audio_meta" -> m4AudioMeta _,
+    "m15_pcm_stats" -> m15PcmStats _,
     "m5_gif_meta" -> m5GifMeta _,
     "m6_jpeg_meta" -> m6JpegMeta _,
     "m7_mp4_meta" -> m7Mp4Meta _,
     "m8_tar_meta" -> m8TarMeta _)
 
   val oracles: Map[String, String] = Map(
+    // the sample formula replayed arithmetically — the synthesis is
+    // the ground truth, the Spark side proves the byte round trip
+    "m15_pcm_stats" ->
+      """WITH f AS (
+        |  SELECT doc_id, 48 + doc_id % 32 AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, n,
+        |    GREATEST(-32768, LEAST(32767,
+        |      (doc_id*7919 + g.i*104729) % 80000 - 40000)) AS v
+        |  FROM f, LATERAL unnest(generate_series(0, n - 1)) AS g(i))
+        |SELECT doc_id,
+        |  CAST(max(n) AS BIGINT) AS n_samples,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak,
+        |  CAST(sum(CASE WHEN v = 32767 OR v = -32768 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clipped,
+        |  round(CAST(sum(v) AS DOUBLE) / max(n), 6) AS dc_offset,
+        |  round(sqrt(CAST(sum(v*v) AS DOUBLE) / max(n)), 6) AS rms
+        |FROM s GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     // the same doc_id-derived synthesis (true trailer byte offset)
     // parsed with the same regexps
     "m14_pdf_meta" ->

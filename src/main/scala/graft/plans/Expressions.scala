@@ -645,6 +645,75 @@ case class BytesIndexOf(bytes: Expression, pat: Expression,
     copy(bytes = f, pat = s, from = t)
 }
 
+/** 16-bit little-endian PCM sample statistics over a binary payload:
+  * pcm16_stats(bytes, off 1-based) folds every complete 2-byte
+  * sample from `off` to the end into [n, sum, sum_sq, peak_abs,
+  * n_clip] (clip = the int16 rails ±32767/−32768). The m15 audio
+  * profile reads ~dozens of samples per row; the built-in route is a
+  * transform() lambda over a sequence() doing two byte_at calls and
+  * sign math per sample — interpreted, with a boxed array per row.
+  * Here the whole fold is one codegen loop over the raw byte array;
+  * sums stay in long (peak² ≤ 2³⁰, so even 2⁵³-sample clips can't
+  * overflow sum_sq at realistic clip lengths — a 100 TB corpus's
+  * per-file bound). A trailing odd byte is ignored, off out of
+  * range yields the empty fold (n=0). */
+case class Pcm16Stats(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pcm16_stats"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pcm16_stats requires (binary, bigint), got (${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val bytes = l.asInstanceOf[Array[Byte]]
+    val off = r.asInstanceOf[Long]
+    val start = off - 1L
+    var n = 0L; var sum = 0L; var sumSq = 0L; var peak = 0L; var clip = 0L
+    if (start >= 0L && start <= bytes.length.toLong) {
+      var i = start.toInt
+      while (i + 2 <= bytes.length) {
+        val s = ((bytes(i + 1).toInt << 8) | (bytes(i) & 0xff)).toLong
+        n += 1; sum += s; sumSq += s * s
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        if (s == 32767L || s == -32768L) clip += 1
+        i += 2
+      }
+    }
+    new GenericArrayData(Array(n, sum, sumSq, peak, clip))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, p) => {
+      val i = ctx.freshName("i"); val s = ctx.freshName("s")
+      val a = ctx.freshName("a"); val acc = ctx.freshName("acc")
+      val st = ctx.freshName("start")
+      s"""
+         |long[] $acc = new long[5];
+         |long $st = $p - 1L;
+         |if ($st >= 0L && $st <= (long) $b.length) {
+         |  for (int $i = (int) $st; $i + 2 <= $b.length; $i += 2) {
+         |    long $s = (long) (((int) $b[$i + 1] << 8) | ($b[$i] & 0xff));
+         |    $acc[0]++; $acc[1] += $s; $acc[2] += $s * $s;
+         |    long $a = Math.abs($s);
+         |    if ($a > $acc[3]) $acc[3] = $a;
+         |    if ($s == 32767L || $s == -32768L) $acc[4]++;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($acc);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Pcm16Stats =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Latin-1 mojibake repair (the ftfy bread-and-butter class): text
   * that was UTF-8 encoded, mis-decoded as Latin-1, and re-encoded
   * shows each non-ASCII char as a 2-char pair — a prefix char

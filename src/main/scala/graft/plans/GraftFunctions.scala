@@ -61,6 +61,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => BytesIndexOf(args.head, args(1), args(2))),
     ("mojibake_repair", "mojibake_repair(text) - positional Latin-1 double-encoding repair (C2/C3 pairs)",
       (args: Seq[Expression]) => MojibakeRepair(args.head)),
+    ("pcm16_stats", "pcm16_stats(payload, off) - [n, sum, sum_sq, peak_abs, n_clip] over 16-bit LE PCM from off",
+      (args: Seq[Expression]) => Pcm16Stats(args.head, args(1))),
     ("nfc_normalize", "nfc_normalize(text) - Unicode canonical composition (NFC)",
       (args: Seq[Expression]) => NfcNormalize(args.head)),
     ("sign_words", "sign_words(vec) - two 32-bit sign-pattern words of a 64-dim vector",
@@ -120,6 +122,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         args(1).eval().asInstanceOf[Number].intValue())),
       ("bytes_index_of", args => BytesIndexOf(args.head, args(1), args(2))),
       ("mojibake_repair", args => MojibakeRepair(args.head)),
+      ("pcm16_stats", args => Pcm16Stats(args.head, args(1))),
       ("nfc_normalize", args => NfcNormalize(args.head)),
       ("sign_words", args => SignWords(args.head)),
       ("sq8_dequant", args => Sq8Dequant(args.head, args(1), args(2))),

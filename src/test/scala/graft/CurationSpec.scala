@@ -330,6 +330,43 @@ class CurationSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("p25 verify: drift localized to edited docs' shards, clean shards byte-identical") {
+    val m = Curation.p24ShardManifest(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap // (stream, shard_ix) -> (n_docs, n_tokens, n_bytes, checksum)
+    val v = Curation.p25ManifestVerify(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9), r.getString(10)))
+    // the verify report covers exactly the manifest's shards, with
+    // the manifest's expectations echoed verbatim
+    assert(v.map(r => (r._1, r._2)).toSet == m.keySet)
+    v.foreach { case (s, ix, nDocs, nChanged, expCk, actCk,
+        expB, actB, expT, actT, status) =>
+      val (mDocs, mToks, mBytes, mCk) = m((s, ix))
+      assert(nDocs == mDocs && expT == mToks && expB == mBytes
+        && expCk == mCk, s"shard ($s,$ix) expectations diverge from manifest")
+      // a checksum mismatch is exactly the changed-doc condition:
+      // every edited doc appends ' EDIT' (hash + 5 bytes + 1 token)
+      if (nChanged == 0) {
+        assert(status == "ok" && actCk == expCk
+          && actB == expB && actT == expT, s"clean shard ($s,$ix) flagged")
+      } else {
+        assert(status == "drifted" && actCk != expCk, s"($s,$ix) not flagged")
+        assert(actB == expB + 5 * nChanged && actT == expT + nChanged)
+      }
+    }
+    // the planted drift class is doc_id % 101 == 7 — count must agree
+    val expectedChanged = Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(101)) === 7).count()
+    assert(v.map(_._4).sum == expectedChanged)
+    assert(v.exists(_._11 == "drifted"), "no drift surfaced at this sf")
+    Caches.releaseAll()
+  }
+
   test("d18 span profile: a copied 8-gram flags both docs, short docs have no row") {
     import spark.implicits._
     val docs = Seq(

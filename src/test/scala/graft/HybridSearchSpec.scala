@@ -133,6 +133,40 @@ class HybridSearchSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("s15 autocomplete: prefix fan-out, df ranking, short terms self-complete") {
+    import spark.implicits._
+    val vocab = Seq(("spark", 10L), ("spare", 5L), ("spa", 3L),
+      ("join", 7L), ("jo", 2L), ("x", 99L)).toDF("term", "df")
+    val out = HybridSearch.autocompleteOf(vocab, minPrefix = 2,
+      maxPrefix = 4, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byPfx = out.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+    // df-desc ranking at every indexed length
+    assert(byPfx("sp") == Seq(("spark", 10L), ("spare", 5L)))
+    assert(byPfx("spa") == Seq(("spark", 10L), ("spare", 5L)))
+    assert(byPfx("spar") == Seq(("spark", 10L), ("spare", 5L)))
+    // a term exactly at minPrefix is its own completion
+    assert(byPfx("jo") == Seq(("join", 7L), ("jo", 2L)))
+    // below-minPrefix terms are not indexed at all
+    assert(!out.exists(_._3 == "x"))
+    // prefixes longer than a term never index it ("spa" stops at 3)
+    assert(byPfx.keys.forall(p => p.length >= 2 && p.length <= 4))
+    out.foreach { case (p, _, term, _) => assert(term.startsWith(p)) }
+    // corpus-shaped: completion invariants hold end to end
+    val corpus = HybridSearch.s15Autocomplete(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(corpus.nonEmpty)
+    corpus.groupBy(_._1).foreach { case (p, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-_).toSeq,
+        s"df not descending under prefix $p")
+      rows.foreach(r => assert(r._3.startsWith(p)))
+    }
+    Caches.releaseAll()
+  }
+
   test("s11 fuzzy correction: delete-1 neighborhood covers every ED-1 edit class") {
     import spark.implicits._
     val vocab = Seq(("spark", 50L), ("stark", 10L), ("spar", 5L),

@@ -284,6 +284,53 @@ class KernelSpec extends SparkSpec {
     assert(out("r\u00e9sum\u00e9") == "r\u00e9sum\u00e9")
   }
 
+  test("pcm16_stats kernel == HOF byte_at formulation; edges exact") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    // HOF reference: per-sample byte_at pair, sign-extend, fold
+    val hof = expr(
+      """aggregate(
+        |  if(cast((length(p) - off + 1) div 2 as int) <= 0,
+        |     cast(array() as array<bigint>),
+        |     transform(sequence(0, cast((length(p) - off + 1) div 2 as int) - 1),
+        |    i -> cast(if(byte_at(p, off + cast(i as bigint)*2 + 1) >= 128,
+        |            byte_at(p, off + cast(i as bigint)*2 + 1) - 256,
+        |            byte_at(p, off + cast(i as bigint)*2 + 1)) * 256
+        |         + byte_at(p, off + cast(i as bigint)*2) as bigint))),
+        |  array(cast(0 as bigint), cast(0 as bigint), cast(0 as bigint),
+        |        cast(0 as bigint), cast(0 as bigint)),
+        |  (a, s) -> array(a[0] + 1, a[1] + s, a[2] + s*s,
+        |    greatest(a[3], abs(s)),
+        |    a[4] + if(s = 32767 or s = -32768, 1, 0)))""".stripMargin)
+    // payloads: planted samples incl. both rails, a negative, a
+    // trailing odd byte, and an empty tail
+    def le(ss: Seq[Int]): Array[Byte] =
+      ss.flatMap(s => Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)).toArray
+    val planted = Seq(
+      le(Seq(0, 1, -1, 32767, -32768, -2, 12345)),
+      le(Seq(100, -100)) :+ 0x7f.toByte, // odd trailing byte ignored
+      Array.empty[Byte])
+      .map(Tuple1(_)).toDF("p").withColumn("off", lit(1L))
+    planted.select(expr("pcm16_stats(p, off)").as("k"), hof.as("h"))
+      .collect().foreach(r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // corpus-shaped payloads (m15's synthesis) agree too
+    val rows = operators.Multimodal.m15PcmStats(spark, sfDir)
+    assert(rows.count() > 0)
+    val n = Tables.documents(spark, sfDir).limit(40)
+      .select($"doc_id",
+        expr("unhex(repeat('ab', 90))").as("p"), lit(45L).as("off"))
+      .select(expr("pcm16_stats(p, off)").as("k"), hof.as("h"))
+      .collect()
+    n.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // out-of-range offset: empty fold, never an exception
+    val oob = Seq(Tuple1(le(Seq(7)))).toDF("p")
+      .selectExpr("pcm16_stats(p, cast(99 as bigint)) as k",
+        "pcm16_stats(p, cast(-3 as bigint)) as neg").collect().head
+    assert(oob.getSeq[Long](0) == Seq(0L, 0L, 0L, 0L, 0L))
+    assert(oob.getSeq[Long](1) == Seq(0L, 0L, 0L, 0L, 0L))
+  }
+
   test("bytes_index_of: binary-safe locate, 1-based, from-offset, -1 absent") {
     import spark.implicits._
     // payload contains a 0xFF byte that would corrupt a UTF-8 cast

@@ -347,6 +347,52 @@ class KnnSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("a21 NN-Descent: recall monotone across rounds, top-k graph shape, refined beats seed") {
+    val rows = Knn.a21NnDescent(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq("r0_seed", "r1", "r2"))
+    val possible = rows.head._3
+    assert(rows.forall(_._3 == possible))
+    // candidate-superset + identical tie-break => hits can only grow
+    rows.zip(rows.tail).foreach { case (lo, hi) =>
+      assert(lo._2 <= hi._2, s"recall regressed ${lo._1} -> ${hi._1}")
+    }
+    // the descent must actually find something the seed missed here
+    assert(rows.last._2 > rows.head._2,
+      "two descent rounds recovered nothing over the seed")
+    rows.foreach { case (_, hits, poss, recall, _) =>
+      assert(recall == math.round(hits.toDouble / poss * 10000) / 10000.0)
+    }
+    Caches.releaseAll()
+  }
+
+  test("a21 descentRound is exact-rerank top-k over the expanded candidate set") {
+    // a planted 6-node path graph in 2-D: node i at angle ang(i) with
+    // strictly growing gaps (no cosine ties), k=1 seed edges i -> i+1;
+    // the round's candidate set for a node is its CURRENT edges plus
+    // the distance-2 hops through the undirected view (the canonical
+    // NN-Descent local join: current neighbors are kept, co-neighbor
+    // pairs are proposed)
+    import spark.implicits._
+    val ang = Seq(0.0, 10.0, 22.0, 36.0, 52.0, 70.0)
+    val vecs = (0 to 5).map { i =>
+      val a = math.toRadians(ang(i))
+      (i.toLong, Seq(math.cos(a), math.sin(a)))
+    }.toDF("vec_id", "v")
+    val seed = (0 to 4).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("q_id", "vec_id")
+    val out = Knn.descentRound(seed, vecs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byQ = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // node 2 (22deg): current {3}, hops through und add {0,4};
+    // top-2 of {0,3,4} by angular distance (14,22,30deg) = {3,0}
+    assert(byQ(2L) == Set(3L, 0L))
+    // node 0 (0deg): current {1}, hop through 1 adds {2}; top-2 = {1,2}
+    assert(byQ(0L) == Set(1L, 2L))
+    Caches.releaseAll()
+  }
+
   test("a20 mutual-kNN clusters = reciprocity filter + min-label components") {
     // independent reference: take a9's directed kNN join, keep only
     // reciprocated pairs, union-find them in the test, singletons

@@ -85,6 +85,46 @@ class MultimodalSpec extends SparkSpec {
     assert(!n.getBoolean(1) && n.isNullAt(3) && n.isNullAt(8))
   }
 
+  test("m15 PCM profile decodes ByteBuffer-built samples; non-WAV rows drop") {
+    import spark.implicits._
+    // samples chosen to pin sign extension, both clip rails, and the
+    // abs(-32768) = 32768 peak edge
+    val samples = Seq[Short](0, 1000, -1000, 32767, -32768, -1)
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(samples.length * 2)
+    samples.foreach(bb.putShort)
+    val df = Seq((9L, bb.array()),
+      (10L, "not audio at all".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val out = Multimodal.pcmStatsOf(df).collect()
+    assert(out.length == 1, "non-WAV payload must drop, not garble")
+    val r = out.head
+    assert(r.getLong(0) == 9L)
+    assert(r.getLong(1) == samples.length.toLong, "n_samples")
+    assert(r.getLong(2) == 32768L, "peak is abs(-32768)")
+    assert(r.getLong(3) == 2L, "both rails count as clipped")
+    val sum = samples.map(_.toLong).sum
+    val sumSq = samples.map(s => s.toLong * s.toLong).sum
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    assert(r.getDouble(4) == r6(sum.toDouble / samples.length), "dc_offset")
+    assert(r.getDouble(5) ==
+      r6(math.sqrt(sumSq.toDouble / samples.length)), "rms")
+    // the corpus-shaped operator: every doc profiled, clipping present
+    val corpus = Multimodal.m15PcmStats(spark, sfDir).collect()
+    assert(corpus.length ==
+      Tables.documents(spark, sfDir).count().toInt)
+    assert(corpus.exists(_.getLong(3) > 0), "planted ramp must clip somewhere")
+    corpus.foreach { c =>
+      assert(c.getLong(1) == 48 + c.getLong(0) % 32, "n_samples formula")
+      assert(c.getLong(2) <= 32768L)
+    }
+  }
+
   test("m4 parser yields typed nulls on non-WAV payloads") {
     import spark.implicits._
     val junk = Seq((1L, "RIFFnope definitely not audio"))
