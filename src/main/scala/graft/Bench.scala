@@ -85,6 +85,12 @@ object Bench {
     val tP = System.nanoTime()
     operators.ChunkQueries.pageRankShared(spark, sfDir).count()
     val prDt = (System.nanoTime() - tP) / 1e9
+    // And the refined NN-Descent graph (a21's geometry — the edge
+    // table a22's serving walk reads): built once per corpus, like
+    // any persisted index.
+    val tNg = System.nanoTime()
+    operators.Knn.refinedGraph(spark, sfDir).count()
+    val ngDt = (System.nanoTime() - tNg) / 1e9
     // Trained serving models (IVF centroids, PQ codebooks, SemDeDup
     // quantizer) are the session's index-build pass: trained ONCE
     // here and billed as their own line item — every a4/a7/d7 rep
@@ -132,6 +138,7 @@ object Bench {
       ("_shared_cc_labels" -> ccDt) +
       ("_shared_vector_reps" -> vecDt) +
       ("_shared_pagerank" -> prDt) +
+      ("_shared_nn_graph" -> ngDt) +
       ("_model_training" -> modelDt)
     // 3dp (ms precision) keeps the line compact: the round harness
     // retains only a ~2000-char stdout TAIL, truncating the FRONT of

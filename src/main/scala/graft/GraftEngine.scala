@@ -709,6 +709,17 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
     (1 to rounds).foldLeft(seed)((g, _) => Knn.descentRound(g, vecs, k))
   }
 
+  /** Graph-serving ANN (a22): answer a (q_id, qv) query frame by
+    * walking a directed kNN edge list (built by [[refineKnnGraph]]
+    * or read from a persisted edge table) — exact-score the entry
+    * ids, then `hops` beam-bounded undirected expansions scoring
+    * only never-visited candidates; top-k of everything visited. */
+  def graphSearch(embeddings: DataFrame, graph: DataFrame,
+                  queries: DataFrame, entryIds: DataFrame, k: Int = 5,
+                  beam: Int = 8, hops: Int = 2): DataFrame =
+    Knn.graphSearchOf(embeddings.select(col("vec_id"), col("v")),
+      graph, queries, entryIds, k, beam, hops)
+
   /** Magic-byte MIME routing over a binary-file frame (f2) — adds a
     * `mime` column sniffed from payload signatures. */
   def sniffTypes(files: DataFrame,

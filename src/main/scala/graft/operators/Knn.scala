@@ -1501,6 +1501,105 @@ object Knn {
       .select($"q_id", $"vec_id")
   }
 
+  /** The refined NN-Descent graph (a21's geometry, final round) as a
+    * SHARED materialization — built once per corpus, served by every
+    * graph consumer (a22's serving walk today; a production build
+    * persists it as a parquet edge table next to the vectors). */
+  private[graft] def refinedGraph(spark: SparkSession,
+                                  dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Caches.shared(spark, s"nn_graph:$dir") {
+      val all = base(spark, dir)
+      val seed = knnJoinOf(all, tables = 4, bits = 6, k = 3,
+        bucketCap = 256).select($"q_id", $"vec_id")
+      (1 to 2).foldLeft(seed)((g, _) =>
+        descentRound(g, all.select($"vec_id", $"v"), k = 3))
+        // The edge table is tiny (two longs per edge) but its LINEAGE
+        // is the whole NN-Descent build — LSH signature HOFs, two
+        // expansion rounds of window reranks. Without truncation every
+        // serving plan that references the cache re-analyzes that tree
+        // on the DRIVER (measured: ~5s of pure plan compile per a22
+        // action). localCheckpoint cuts the plan at the data — the
+        // same boundary a production run gets by writing the graph to
+        // a parquet edge table and reading it back.
+        .localCheckpoint()
+    }
+  }
+
+  /** a22: GRAPH-SERVING ANN — answer queries by WALKING the refined
+    * kNN graph (the DiskANN/HNSW serving idea, reference
+    * weaviate's HNSW serving path, run set-at-a-time): score a small
+    * fixed entry sample exactly, keep a beam of the best `beam`
+    * nodes per query, expand one undirected hop along a21's refined
+    * edges, score only NEVER-VISITED candidates, and repeat for
+    * `hops` rounds; final answer is the exact top-k of everything
+    * visited. Set-at-a-time = hop-synchronous BSP: at 100 TB the
+    * frontier join carries 8-byte ids only (n_queries × beam ×
+    * degree rows, degree ≤ 2k by the graph's construction — never a
+    * scan of the corpus), vectors are fetched by hash join ONLY for
+    * newly visited candidates, and the per-hop anti-join keeps the
+    * scored set monotone, so total exact scores per query are
+    * bounded by entries + hops·beam·2k regardless of corpus size.
+    * The graph itself is the shared build ([[refinedGraph]]) — the
+    * score-once/serve-many accounting every index family here uses. */
+  def a22GraphSearch(spark: SparkSession, dir: String, k: Int = 5,
+                     beam: Int = 8, hops: Int = 2,
+                     entries: Int = 16): DataFrame = {
+    import spark.implicits._
+    val all = graft.Caches.persist(base(spark, dir))
+    val queries = all.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    graphSearchOf(all.select($"vec_id", $"v"),
+      refinedGraph(spark, dir), queries,
+      all.select($"vec_id").filter($"vec_id" < entries),
+      k, beam, hops)
+  }
+
+  /** The serving walk over ANY (vec_id, v) corpus + directed
+    * (q_id, vec_id) graph + (q_id, qv) query set + entry-id frame —
+    * a22's core, reused by the engine facade against a caller-built
+    * graph ([[descentRound]] chains or a persisted edge table). */
+  private[graft] def graphSearchOf(vecs: DataFrame, graph: DataFrame,
+                                   queries: DataFrame, entryIds: DataFrame,
+                                   k: Int, beam: Int,
+                                   hops: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    // every hop joins the undirected view — materialize it once per
+    // serving batch instead of re-deriving it from the edge table
+    val und = graft.Caches.persist(
+      graph.select($"q_id".as("node"), $"vec_id".as("nbr"))
+        .unionByName(graph.select($"vec_id".as("node"), $"q_id".as("nbr")))
+        .dropDuplicates("node", "nbr"))
+    def scoreOf(pairs: DataFrame): DataFrame = pairs
+      .join(broadcast(queries), "q_id")
+      .join(vecs, "vec_id")
+      .select($"q_id", $"vec_id", V.cosineD($"qv", $"v").as("cosine_raw"))
+    val wB = Window.partitionBy($"q_id")
+      .orderBy($"cosine_raw".desc, $"vec_id")
+    val e0 = queries.select($"q_id")
+      .crossJoin(broadcast(entryIds.select($"vec_id")))
+      .filter($"vec_id" =!= $"q_id")
+    var visited = graft.Caches.persist(scoreOf(e0))
+    (1 to hops).foreach { _ =>
+      val frontier = visited
+        .withColumn("rnk", row_number().over(wB))
+        .filter($"rnk" <= beam).select($"q_id", $"vec_id")
+      val next = frontier.join(und, frontier("vec_id") === und("node"))
+        .select($"q_id", $"nbr".as("vec_id"))
+        .filter($"vec_id" =!= $"q_id")
+        .dropDuplicates("q_id", "vec_id")
+      val fresh = next.join(visited.select($"q_id", $"vec_id"),
+        Seq("q_id", "vec_id"), "left_anti")
+      visited = graft.Caches.persist(visited.unionByName(scoreOf(fresh)))
+    }
+    visited.withColumn("rnk", row_number().over(wB))
+      .filter($"rnk" <= k)
+      .select($"q_id", $"vec_id", round($"cosine_raw", 6).as("cosine"),
+        $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
   /** a12: ANN RECALL evaluation — "measure, don't guess" for the
     * approximate family: every serving method's top-5 intersected
     * with a1's exact top-5, reported as recall@5. The calibration
@@ -1565,6 +1664,7 @@ object Knn {
     "a19_nprobe_sweep" -> ((s, d) => a19NprobeSweep(s, d)),
     "a20_mutual_knn" -> ((s, d) => a20MutualKnnClusters(s, d)),
     "a21_nn_descent" -> ((s, d) => a21NnDescent(s, d)),
+    "a22_graph_search" -> ((s, d) => a22GraphSearch(s, d)),
     "s2_vector_topk" -> s2VectorTopk _)
 
   private val cosineSql =
@@ -2097,11 +2197,11 @@ object Knn {
        |  FROM scored)
        |SELECT q_id, vec_id FROM ranked WHERE rnk <= $k""".stripMargin
 
-  /** a21's oracle: the seed replay at a21's geometry, the undirected
-    * neighbor-of-neighbor expansion, the exact rerank, and the
-    * probe-sample recall accounting — all as CTE stages. */
-  private lazy val a21Sql: String = {
-    val rounds = 2
+  /** The refined-graph CTE chain a21's report and a22's serving
+    * replay both start from: `ev` (double-cast vectors), `g0` (the
+    * seed kNN-join replay at a21's geometry), and `rounds`
+    * NN-Descent refinement rounds ending in `g{rounds}`. */
+  private def nnGraphCtesSql(rounds: Int): String = {
     // one refinement round as CTE stages, g{i-1} -> g{i}
     def roundCtes(i: Int): String =
       s"""und$i AS (
@@ -2126,17 +2226,25 @@ object Knn {
          |        ORDER BY cosine_raw DESC, vec_id) AS rnk
          |    FROM cscored$i)
          |  WHERE rnk <= 3)""".stripMargin
+    s"""ev AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |g0 AS (SELECT q_id, vec_id FROM (${knnJoinSqlFor(4, 6, 3, 256)})),
+       |${(1 to rounds).map(roundCtes).mkString(",\n")}""".stripMargin
+  }
+
+  /** a21's oracle: the seed replay at a21's geometry, the undirected
+    * neighbor-of-neighbor expansion, the exact rerank, and the
+    * probe-sample recall accounting — all as CTE stages. */
+  private lazy val a21Sql: String = {
+    val rounds = 2
     val roundRows = (0 to rounds).map { i =>
       val label = if (i == 0) s"'r${i}_seed'" else s"'r$i'"
       s"""  SELECT $label AS round,
          |    (SELECT CAST(count(*) AS BIGINT) FROM g$i JOIN exact USING (q_id, vec_id)) AS hits,
          |    (SELECT CAST(count(*) AS BIGINT) FROM g$i) AS n_edges""".stripMargin
     }.mkString("\n  UNION ALL\n")
-    s"""WITH ev AS (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
-       |g0 AS (SELECT q_id, vec_id FROM (${knnJoinSqlFor(4, 6, 3, 256)})),
-       |${(1 to rounds).map(roundCtes).mkString(",\n")},
+    s"""WITH ${nnGraphCtesSql(rounds)},
        |escored AS (
        |  SELECT q.vec_id AS q_id, b.vec_id,
        |    ${cosineSql.replace("QV", "q.v").replace("BV", "b.v")} AS cosine_raw
@@ -2156,6 +2264,57 @@ object Knn {
        |  round(CAST(hits AS DOUBLE) / possible, 4) AS recall, n_edges
        |FROM rounds, np
        |ORDER BY round""".stripMargin
+  }
+
+  /** a22's oracle: the refined graph replayed ([[nnGraphCtesSql]]),
+    * then the hop-synchronous serving walk as CTE stages — entry
+    * scores v0, and per hop the beam top-`beam`, the one-hop
+    * undirected expansion, the never-visited anti-join, and the
+    * union into v{h}; final exact top-k over everything visited. */
+  private lazy val a22Sql: String = {
+    val (k, beam, hops, entries) = (5, 8, 2, 16)
+    def hopCtes(h: Int): String =
+      s"""f$h AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY cosine_raw DESC, vec_id) AS rnk
+         |    FROM v${h - 1})
+         |  WHERE rnk <= $beam),
+         |n$h AS (
+         |  SELECT DISTINCT f.q_id, u.nbr AS vec_id
+         |  FROM f$h f JOIN und u ON u.node = f.vec_id
+         |  WHERE u.nbr <> f.q_id),
+         |s$h AS (
+         |  SELECT n.q_id, n.vec_id,
+         |    ${cosineSql.replace("QV", "q.qv").replace("BV", "b.v")} AS cosine_raw
+         |  FROM n$h n
+         |  JOIN qs q ON q.q_id = n.q_id
+         |  JOIN ev b ON b.vec_id = n.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${h - 1} v
+         |                    WHERE v.q_id = n.q_id AND v.vec_id = n.vec_id)),
+         |v$h AS (
+         |  SELECT q_id, vec_id, cosine_raw FROM v${h - 1}
+         |  UNION ALL
+         |  SELECT q_id, vec_id, cosine_raw FROM s$h)""".stripMargin
+    s"""WITH ${nnGraphCtesSql(2)},
+       |und AS (
+       |  SELECT q_id AS node, vec_id AS nbr FROM g2
+       |  UNION
+       |  SELECT vec_id, q_id FROM g2),
+       |qs AS (SELECT vec_id AS q_id, v AS qv FROM ev WHERE vec_id < 10),
+       |v0 AS (
+       |  SELECT qs.q_id, b.vec_id,
+       |    ${cosineSql.replace("QV", "qs.qv").replace("BV", "b.v")} AS cosine_raw
+       |  FROM qs JOIN ev b ON b.vec_id < $entries AND b.vec_id <> qs.q_id),
+       |${(1 to hops).map(hopCtes).mkString(",\n")}
+       |SELECT q_id, vec_id, round(cosine_raw, 6) AS cosine, rnk FROM (
+       |  SELECT q_id, vec_id, cosine_raw,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine_raw DESC, vec_id) AS rnk
+       |  FROM v$hops)
+       |WHERE rnk <= $k
+       |ORDER BY q_id, rnk""".stripMargin
   }
 
   lazy val mutualCompCtesSql: String =
@@ -2218,6 +2377,7 @@ object Knn {
            |LEFT JOIN deg ON deg.id = comp.id
            |ORDER BY vec_id""".stripMargin) +
       ("a21_nn_descent" -> a21Sql) +
+      ("a22_graph_search" -> a22Sql) +
       ("a17_cascade_tuning" -> a17Sql) +
       ("a18_index_balance" ->
         s"""WITH ${kmeansCellsSqlFor(8)},

@@ -393,6 +393,52 @@ class KnnSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("a22 graph serving: k ranked rows per query, walk reaches beyond the entry sample") {
+    val out = Knn.a22GraphSearch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.size == 10)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_._4).sorted.toSeq == (1 to 5))
+      val cosines = rs.sortBy(_._4).map(_._3).toSeq
+      assert(cosines == cosines.sorted.reverse, "cosine must descend with rank")
+    }
+    out.foreach(r => assert(r._1 != r._2, "self-match"))
+    // the hop expansion must surface at least one neighbor OUTSIDE
+    // the 16-id entry sample — otherwise the walk did nothing here
+    assert(out.exists(_._2 >= 16), "no served neighbor beyond the entry set")
+    Caches.releaseAll()
+  }
+
+  test("a22 hop monotonicity: more hops only improves the served top-1; empty graph = entry scoring") {
+    import spark.implicits._
+    def top1(hops: Int): Map[Long, Double] =
+      Knn.a22GraphSearch(spark, sfDir, hops = hops).filter($"rnk" === 1)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val h0 = top1(0)
+    Caches.releaseAll()
+    val h2 = top1(2)
+    Caches.releaseAll()
+    h0.keySet.foreach { q =>
+      assert(h2(q) >= h0(q), s"hop walk regressed query $q: ${h0(q)} -> ${h2(q)}")
+    }
+    // an empty edge list degenerates the walk to plain entry scoring
+    // regardless of hops — the loop must be a no-op with no frontier
+    val all = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id",
+        graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+    val queries = all.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val entryIds = all.select($"vec_id").filter($"vec_id" < 16)
+    val noGraph = Seq.empty[(Long, Long)].toDF("q_id", "vec_id")
+    val deg = Knn.graphSearchOf(all.select($"vec_id", $"v"), noGraph,
+      queries, entryIds, k = 5, beam = 8, hops = 2)
+      .filter($"rnk" === 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(deg == h0, "empty-graph walk must equal entry-only scoring")
+    Caches.releaseAll()
+  }
+
   test("a20 mutual-kNN clusters = reciprocity filter + min-label components") {
     // independent reference: take a9's directed kNN join, keep only
     // reciprocated pairs, union-find them in the test, singletons

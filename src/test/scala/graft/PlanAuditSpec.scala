@@ -403,4 +403,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     Caches.releaseAll(); Caches.releaseShared()
   }
+
+  test("a22: serving walk joins ids, graph reads the truncated edge table, no cartesian") {
+    Caches.releaseAll(); Caches.releaseShared()
+    val p = plan(Knn.a22GraphSearch(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere in the walk")
+    // the only nested-loop joins are the intended tiny entry-sample
+    // broadcasts (queries × 16 entry ids)
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"),
+      "entry sample must broadcast, not shuffle")
+    // the graph must serve from the lineage-truncated edge table —
+    // NOT re-analyze the NN-Descent build per action
+    assert(p.contains("Scan ExistingRDD"),
+      "graph must read the checkpointed edge table")
+    assert(p.contains("BroadcastHashJoin"),
+      "query vectors must broadcast into scoring")
+    Caches.releaseAll(); Caches.releaseShared()
+  }
 }
