@@ -531,6 +531,149 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** m16: MP4 SAMPLE-TABLE statistics — the video analog of m15's
+    * PCM pass: past the top-level catalog (m7), the numbers a video
+    * curation pass gates on live in the `stbl` sample tables nested
+    * six boxes deep (moov→trak→mdia→minf→stbl→stts/stsz). The
+    * synthesized container is structurally real ISO-BMFF — full
+    * 108-byte `mvhd` v0, 32-byte `mdhd`, a single-run `stts`
+    * (constant frame duration, the overwhelmingly common case) and a
+    * per-sample `stsz` whose BE32 entry table carries doc_id-keyed
+    * frame sizes — with offsets perturbed by an optional `free` box
+    * before `moov` and an optional `udta` between `mvhd` and `trak`,
+    * so the walk must follow declared sizes, not fixed positions.
+    * Reported: movie/media timescales + durations, fps
+    * (timescale/delta), per-frame byte stats over the WHOLE stsz
+    * table (one [[graft.plans.Expressions Be32Stats]] codegen fold —
+    * no per-entry lambda), and the derived bitrate. Every hop is a
+    * materialized offset column (m6/m7's design); at 100 TB this is
+    * a map-only header scan, the table fold costs the byte read.
+    * Reference scope: the ingestion worker routes binary media
+    * through a converter tier before chunking
+    * (apps/ingestion-worker/handlers/file.py:46); this is that
+    * tier's video stream profile, computed without a decoder. */
+  def m16Mp4Samples(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = lit(8L) + pmod($"doc_id", lit(8L))
+    val delta = lit(3000L) + pmod($"doc_id", lit(4L)) * 750L
+    val mediaDur = n * delta
+    val movieDur = (mediaDur / lit(150L)).cast("long") // exact: delta % 150 == 0
+    def be(v: Column): Column = lpad(hex(v), 8, "0")
+    val ftyp = lit("00000010" + "66747970" + "69736F6D" + "00000000")
+    val freeSize = lit(8L) + pmod($"doc_id", lit(16L))
+    val free = when(pmod($"doc_id", lit(2)) === 0,
+      concat(be(freeSize), lit("66726565"),
+        repeat(lit("00"), (freeSize - 8L).cast("int"))))
+      .otherwise(lit(""))
+    val mvhd = concat(be(lit(108L)), lit("6D766864"), lit("00000000"),
+      lit("00000000"), lit("00000000"), be(lit(600L)), be(movieDur),
+      lit("00010000"), lit("0100"), lit("0000"), lit("00000000" * 2),
+      lit("00010000" + "00000000" * 3 + "00010000" + "00000000" * 3
+        + "40000000"),                       // identity matrix
+      lit("00000000" * 6), lit("00000002"))
+    val udtaSize = lit(8L) + pmod($"doc_id", lit(12L))
+    val udta = when(pmod($"doc_id", lit(3)) === 0,
+      concat(be(udtaSize), lit("75647461"),
+        repeat(lit("00"), (udtaSize - 8L).cast("int"))))
+      .otherwise(lit(""))
+    val stts = concat(be(lit(24L)), lit("73747473"), lit("00000000"),
+      be(lit(1L)), be(n), be(delta))
+    val sizesHex = array_join(transform(sequence(lit(0L), n - 1L), i =>
+      lpad(hex(lit(800L) + pmod($"doc_id" * 131L + i * 7919L,
+        lit(4200L))), 8, "0")), "")
+    val stszSize = lit(20L) + n * 4L
+    val stsz = concat(be(stszSize), lit("7374737A"), lit("00000000"),
+      be(lit(0L)), be(n), sizesHex)
+    val stblSize = stszSize + 32L                  // 8 hdr + 24 stts
+    val stbl = concat(be(stblSize), lit("7374626C"), stts, stsz)
+    val minf = concat(be(stblSize + 8L), lit("6D696E66"), stbl)
+    val mdhd = concat(be(lit(32L)), lit("6D646864"), lit("00000000"),
+      lit("00000000"), lit("00000000"), be(lit(90000L)), be(mediaDur),
+      lit("55C40000"))
+    val mdiaSize = stblSize + 48L                  // 8 + 32 mdhd + 8 minf + stbl
+    val mdia = concat(be(mdiaSize), lit("6D646961"), mdhd, minf)
+    val trak = concat(be(mdiaSize + 8L), lit("7472616B"), mdia)
+    val moovSize = lit(124L) + mdiaSize +          // 8 + 108 mvhd + 8 trak
+      when(pmod($"doc_id", lit(3)) === 0, udtaSize).otherwise(lit(0L))
+    val moov = concat(be(moovSize), lit("6D6F6F76"), mvhd, udta, trak)
+    val blobs = Tables.documents(spark, dir)
+      .select($"doc_id", unhex(concat(ftyp, free, moov)).as("payload"))
+    mp4SampleStatsOf(blobs).orderBy($"doc_id")
+  }
+
+  /** The sample-table profile over any (doc_id, payload binary)
+    * frame: a declared-size walk to `stbl` (skipping optional
+    * `free`/`udta` siblings), gated on the expected box type at
+    * EVERY level plus single-run stts and per-sample stsz — anything
+    * malformed drops out, like m15's WAV gate. */
+  def mp4SampleStatsOf(blobs: DataFrame): DataFrame = {
+    import blobs.sparkSession.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(blobs.sparkSession)
+    def byteAt(off: Column): Column =
+      when(off + 1 <= $"_len", call_function("byte_at", $"payload", off))
+    def be32(off: Column): Column =
+      ((byteAt(off) * 256L + byteAt(off + 1)) * 256L
+        + byteAt(off + 2)) * 256L + byteAt(off + 3)
+    def typeAt(off: Column): Column =
+      when(off + 8L <= $"_len" + 1L,
+        decode($"payload".substr((off + 4L).cast("int"), lit(4)), "US-ASCII"))
+    // one materialized hop per nesting level — the declared-size walk
+    val walked = blobs
+      .withColumn("_len", octet_length($"payload").cast("long"))
+      .withColumn("_o2", lit(1L) + be32(lit(1L)))
+      .withColumn("_moov", when(typeAt($"_o2") === "moov", $"_o2")
+        .when(typeAt($"_o2") === "free", $"_o2" + be32($"_o2")))
+      .withColumn("_mvhd", $"_moov" + 8L)
+      .withColumn("_amv", $"_mvhd" + be32($"_mvhd"))
+      .withColumn("_trak", when(typeAt($"_amv") === "trak", $"_amv")
+        .when(typeAt($"_amv") === "udta", $"_amv" + be32($"_amv")))
+      .withColumn("_mdia", $"_trak" + 8L)
+      .withColumn("_mdhd", $"_mdia" + 8L)
+      .withColumn("_minf", $"_mdhd" + be32($"_mdhd"))
+      .withColumn("_stbl", $"_minf" + 8L)
+      .withColumn("_stts", $"_stbl" + 8L)
+      .withColumn("_stsz", $"_stts" + be32($"_stts"))
+    // the ONLY filter is the flat leading-signature test (m15's WAV
+    // gate shape): a predicate over the deep hop aliases would be
+    // pushed below every Project layer, re-inlining each hop's
+    // definition per reference — the exponential-tree hazard again,
+    // this time in the OPTIMIZER (measured: driver OOM at sf0.01).
+    // The structural checks land in a materialized `_ok` column that
+    // gates every output via when(); malformed-but-ftyp rows emit
+    // is_video=false with null stats.
+    val ok = typeAt(lit(1L)) === "ftyp" &&
+      typeAt($"_moov") === "moov" && typeAt($"_mvhd") === "mvhd" &&
+      typeAt($"_trak") === "trak" && typeAt($"_mdia") === "mdia" &&
+      typeAt($"_mdhd") === "mdhd" && typeAt($"_minf") === "minf" &&
+      typeAt($"_stbl") === "stbl" && typeAt($"_stts") === "stts" &&
+      typeAt($"_stsz") === "stsz" &&
+      be32($"_stts" + 12L) === 1L &&      // single stts run
+      be32($"_stsz" + 12L) === 0L         // per-sample size table
+    walked.filter(hex(substring($"payload", 5, 4)) === "66747970")
+      .withColumn("_ok", coalesce(ok, lit(false)))
+      .withColumn("_n", when($"_ok", be32($"_stsz" + 16L)))
+      .withColumn("_delta", when($"_ok", be32($"_stts" + 20L)))
+      .withColumn("_mts", when($"_ok", be32($"_mdhd" + 20L)))
+      .withColumn("_mdur", when($"_ok", be32($"_mdhd" + 24L)))
+      .withColumn("_st", when($"_ok",
+        call_function("be32_stats", $"payload", $"_stsz" + 20L, $"_n")))
+      .select($"doc_id",
+        $"_ok".as("is_video"),
+        when($"_ok", be32($"_mvhd" + 20L)).as("movie_timescale"),
+        when($"_ok", be32($"_mvhd" + 24L)).as("movie_duration"),
+        $"_mts".as("media_timescale"),
+        $"_n".as("n_samples"),
+        round($"_mts".cast("double") / $"_delta", 4).as("fps"),
+        round($"_mdur".cast("double") / $"_mts", 4).as("duration_s"),
+        element_at($"_st", 2).as("total_sample_bytes"),
+        element_at($"_st", 3).as("max_sample_bytes"),
+        element_at($"_st", 4).as("min_sample_bytes"),
+        round(element_at($"_st", 2).cast("double") / $"_n", 2)
+          .as("avg_sample_bytes"),
+        round(element_at($"_st", 2).cast("double") * 8D * $"_mts" / $"_mdur", 2)
+          .as("bitrate_bps"))
+  }
+
   /** m8: TAR (POSIX ustar) ENTRY WALK — the ARCHIVE tier of the
     * container family: document dumps arrive as tarballs, and the
     * ingestion catalog pass lists entries (names, sizes, count)
@@ -1429,6 +1572,7 @@ object Multimodal {
     "m5_gif_meta" -> m5GifMeta _,
     "m6_jpeg_meta" -> m6JpegMeta _,
     "m7_mp4_meta" -> m7Mp4Meta _,
+    "m16_mp4_samples" -> m16Mp4Samples _,
     "m8_tar_meta" -> m8TarMeta _)
 
   val oracles: Map[String, String] = Map(
@@ -1450,6 +1594,35 @@ object Multimodal {
         |  round(CAST(sum(v) AS DOUBLE) / max(n), 6) AS dc_offset,
         |  round(sqrt(CAST(sum(v*v) AS DOUBLE) / max(n)), 6) AS rms
         |FROM s GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // the sample-table synthesis replayed arithmetically (m15's
+    // discipline): sizes/delta/count from the doc_id formulas, the
+    // Spark side proves the nested-box byte round trip
+    "m16_mp4_samples" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 8 AS BIGINT) AS n,
+        |    CAST(3000 + (doc_id % 4) * 750 AS BIGINT) AS delta
+        |  FROM documents),
+        |sz AS (
+        |  SELECT doc_id, n, delta,
+        |    CAST(800 + (doc_id*131 + g.i*7919) % 4200 AS BIGINT) AS s
+        |  FROM f, LATERAL unnest(generate_series(0, n - 1)) AS g(i))
+        |SELECT doc_id,
+        |  true AS is_video,
+        |  CAST(600 AS BIGINT) AS movie_timescale,
+        |  CAST(max(n) * max(delta) / 150 AS BIGINT) AS movie_duration,
+        |  CAST(90000 AS BIGINT) AS media_timescale,
+        |  CAST(max(n) AS BIGINT) AS n_samples,
+        |  round(90000.0 / max(delta), 4) AS fps,
+        |  round(CAST(max(n) * max(delta) AS DOUBLE) / 90000, 4) AS duration_s,
+        |  CAST(sum(s) AS BIGINT) AS total_sample_bytes,
+        |  CAST(max(s) AS BIGINT) AS max_sample_bytes,
+        |  CAST(min(s) AS BIGINT) AS min_sample_bytes,
+        |  round(CAST(sum(s) AS DOUBLE) / max(n), 2) AS avg_sample_bytes,
+        |  round(CAST(sum(s) AS DOUBLE) * 8 * 90000
+        |    / (max(n) * max(delta)), 2) AS bitrate_bps
+        |FROM sz GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
     // the same doc_id-derived synthesis (true trailer byte offset)
     // parsed with the same regexps

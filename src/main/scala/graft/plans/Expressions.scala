@@ -645,6 +645,83 @@ case class BytesIndexOf(bytes: Expression, pat: Expression,
     copy(bytes = f, pat = s, from = t)
 }
 
+/** Big-endian UINT32 table statistics over a binary payload:
+  * be32_stats(bytes, off 1-based, count) folds up to `count`
+  * complete 4-byte big-endian unsigned entries from `off` into
+  * [n_read, sum, max, min] — the ISO-BMFF sample-table aggregation
+  * (stsz sample sizes, stts deltas, and stco chunk offsets are all
+  * BE32 tables; m16 reads the first two). Values are unsigned
+  * (< 2³²) summed in long: 2²¹ entries fit before overflow even at
+  * max value, far past any real per-file sample table. The fold
+  * stops at the first entry that would run past the payload end;
+  * n_read reports how many were read, and an empty fold yields
+  * [0, 0, 0, 0]. Same one-codegen-loop design as [[Pcm16Stats]] —
+  * the built-in route is an interpreted transform() lambda with a
+  * boxed array per row. */
+case class Be32Stats(bytes: Expression, off: Expression,
+                     cnt: Expression) extends TernaryExpression {
+
+  override def first: Expression = bytes
+  override def second: Expression = off
+  override def third: Expression = cnt
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "be32_stats"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (bytes.dataType, off.dataType, cnt.dataType) match {
+      case (BinaryType, LongType, LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (b, o, c) => TypeCheckResult.TypeCheckFailure(
+        s"be32_stats requires (binary, bigint, bigint), got " +
+          s"(${b.simpleString}, ${o.simpleString}, ${c.simpleString})")
+    }
+
+  override def nullSafeEval(b0: Any, o0: Any, c0: Any): Any = {
+    val b = b0.asInstanceOf[Array[Byte]]
+    val start = o0.asInstanceOf[Long] - 1L
+    val cnt = c0.asInstanceOf[Long]
+    var n = 0L; var sum = 0L; var max = 0L; var min = 0L
+    if (start >= 0L && start <= b.length.toLong) {
+      var i = start.toInt
+      while (n < cnt && i + 4 <= b.length) {
+        val v = ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+          ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+        if (n == 0L) { max = v; min = v }
+        else { if (v > max) max = v; if (v < min) min = v }
+        n += 1; sum += v; i += 4
+      }
+    }
+    new GenericArrayData(Array(n, sum, max, min))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, o, c) => {
+      val i = ctx.freshName("i"); val v = ctx.freshName("v")
+      val acc = ctx.freshName("acc"); val st = ctx.freshName("start")
+      s"""
+         |long[] $acc = new long[4];
+         |long $st = $o - 1L;
+         |if ($st >= 0L && $st <= (long) $b.length) {
+         |  for (int $i = (int) $st;
+         |       $acc[0] < $c && $i + 4 <= $b.length; $i += 4) {
+         |    long $v = $b[$i] & 0xffL;
+         |    $v = ($v << 8) | ($b[$i + 1] & 0xffL);
+         |    $v = ($v << 8) | ($b[$i + 2] & 0xffL);
+         |    $v = ($v << 8) | ($b[$i + 3] & 0xffL);
+         |    if ($acc[0] == 0L) { $acc[2] = $v; $acc[3] = $v; }
+         |    else { if ($v > $acc[2]) $acc[2] = $v;
+         |           if ($v < $acc[3]) $acc[3] = $v; }
+         |    $acc[0]++; $acc[1] += $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($acc);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Be32Stats =
+    copy(bytes = f, off = s, cnt = t)
+}
+
 /** 16-bit little-endian PCM sample statistics over a binary payload:
   * pcm16_stats(bytes, off 1-based) folds every complete 2-byte
   * sample from `off` to the end into [n, sum, sum_sq, peak_abs,

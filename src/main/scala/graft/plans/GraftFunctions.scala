@@ -63,6 +63,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => MojibakeRepair(args.head)),
     ("pcm16_stats", "pcm16_stats(payload, off) - [n, sum, sum_sq, peak_abs, n_clip] over 16-bit LE PCM from off",
       (args: Seq[Expression]) => Pcm16Stats(args.head, args(1))),
+    ("be32_stats", "be32_stats(payload, off, count) - [n, sum, max, min] over a BE32 table from off",
+      (args: Seq[Expression]) => Be32Stats(args.head, args(1), args(2))),
     ("nfc_normalize", "nfc_normalize(text) - Unicode canonical composition (NFC)",
       (args: Seq[Expression]) => NfcNormalize(args.head)),
     ("sign_words", "sign_words(vec) - two 32-bit sign-pattern words of a 64-dim vector",
@@ -123,6 +125,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       ("bytes_index_of", args => BytesIndexOf(args.head, args(1), args(2))),
       ("mojibake_repair", args => MojibakeRepair(args.head)),
       ("pcm16_stats", args => Pcm16Stats(args.head, args(1))),
+      ("be32_stats", args => Be32Stats(args.head, args(1), args(2))),
       ("nfc_normalize", args => NfcNormalize(args.head)),
       ("sign_words", args => SignWords(args.head)),
       ("sq8_dequant", args => Sq8Dequant(args.head, args(1), args(2))),

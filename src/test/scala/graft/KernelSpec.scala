@@ -331,6 +331,49 @@ class KernelSpec extends SparkSpec {
     assert(oob.getSeq[Long](1) == Seq(0L, 0L, 0L, 0L, 0L))
   }
 
+  test("be32_stats kernel == HOF byte_at formulation; edges exact") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    // HOF reference: per-entry BE32 read via four byte_at calls,
+    // folded to [n, sum, max, min] (max/min seeded from the first)
+    val hof = expr(
+      """aggregate(
+        |  if(cast(least((length(p) - off + 1) div 4, cnt) as int) <= 0,
+        |     cast(array() as array<bigint>),
+        |     transform(sequence(0, cast(least((length(p) - off + 1) div 4,
+        |                                      cnt) as int) - 1),
+        |       i -> ((byte_at(p, off + cast(i as bigint)*4) * 256
+        |              + byte_at(p, off + cast(i as bigint)*4 + 1)) * 256
+        |              + byte_at(p, off + cast(i as bigint)*4 + 2)) * 256
+        |              + byte_at(p, off + cast(i as bigint)*4 + 3))),
+        |  array(cast(0 as bigint), cast(0 as bigint), cast(0 as bigint),
+        |        cast(0 as bigint)),
+        |  (a, v) -> array(a[0] + 1, a[1] + v,
+        |    if(a[0] = 0, v, greatest(a[2], v)),
+        |    if(a[0] = 0, v, least(a[3], v))))""".stripMargin)
+    def be(vs: Seq[Long]): Array[Byte] = vs.flatMap(v => Seq(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)).toArray
+    // planted: high-bit values (unsigned reads), a truncated tail
+    // entry, a count smaller than the table, an empty payload
+    val planted = Seq(
+      (be(Seq(1L, 0xFFFFFFFFL, 0x80000000L, 42L)), 1L, 10L),
+      (be(Seq(7L, 9L)) :+ 0x01.toByte, 1L, 10L), // trailing 1 byte ignored
+      (be(Seq(5L, 6L, 7L)), 1L, 2L),             // count-bounded
+      (Array.empty[Byte], 1L, 4L))
+      .toDF("p", "off", "cnt")
+    planted.select(expr("be32_stats(p, off, cnt)").as("k"), hof.as("h"))
+      .collect().foreach(r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // out-of-range offsets: empty fold, never an exception
+    val oob = Seq(Tuple1(be(Seq(3L)))).toDF("p")
+      .selectExpr("be32_stats(p, cast(99 as bigint), cast(4 as bigint)) as k",
+        "be32_stats(p, cast(-3 as bigint), cast(4 as bigint)) as neg")
+      .collect().head
+    assert(oob.getSeq[Long](0) == Seq(0L, 0L, 0L, 0L))
+    assert(oob.getSeq[Long](1) == Seq(0L, 0L, 0L, 0L))
+  }
+
   test("bytes_index_of: binary-safe locate, 1-based, from-offset, -1 absent") {
     import spark.implicits._
     // payload contains a 0xFF byte that would corrupt a UTF-8 cast

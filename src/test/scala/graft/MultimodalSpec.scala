@@ -125,6 +125,66 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("m16 sample-table walk on a ByteBuffer-built MP4; junk gates; corpus formulas hold") {
+    import spark.implicits._
+    // hand-built container WITH the optional free + udta siblings, so
+    // the declared-size skips are pinned, not just the happy path
+    def tag(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    val bb = java.nio.ByteBuffer.allocate(284) // BE by default
+    bb.putInt(16).put(tag("ftyp")).put(tag("isom")).putInt(0)
+    bb.putInt(12).put(tag("free")).putInt(0)
+    bb.putInt(256).put(tag("moov"))
+    bb.putInt(108).put(tag("mvhd")).putInt(0).putInt(0).putInt(0)
+      .putInt(600).putInt(80).putInt(0x00010000)
+      .putShort(0x0100.toShort).putShort(0).putInt(0).putInt(0)
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+      .foreach(bb.putInt)                       // identity matrix
+    (1 to 6).foreach(_ => bb.putInt(0))         // pre_defined
+    bb.putInt(2)                                // next_track_id
+    bb.putInt(16).put(tag("udta")).putInt(0).putInt(0)
+    bb.putInt(124).put(tag("trak"))
+    bb.putInt(116).put(tag("mdia"))
+    bb.putInt(32).put(tag("mdhd")).putInt(0).putInt(0).putInt(0)
+      .putInt(90000).putInt(12000).putInt(0x55C40000)
+    bb.putInt(76).put(tag("minf"))
+    bb.putInt(68).put(tag("stbl"))
+    bb.putInt(24).put(tag("stts")).putInt(0).putInt(1).putInt(4).putInt(3000)
+    bb.putInt(36).put(tag("stsz")).putInt(0).putInt(0).putInt(4)
+    Seq(1000, 2000, 1500, 500).foreach(bb.putInt)
+    val brokenFtyp = java.nio.ByteBuffer.allocate(32)
+    brokenFtyp.putInt(16).put(tag("ftyp")).put(tag("isom")).putInt(0)
+      .put("garbage after..".getBytes("US-ASCII"))
+    val df = Seq((9L, bb.array()),
+      (11L, "definitely not a video".getBytes("UTF-8")),
+      (12L, brokenFtyp.array())).toDF("doc_id", "payload")
+    val out = Multimodal.mp4SampleStatsOf(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(11L), "non-ftyp payload must drop at the flat gate")
+    assert(!out(12L).getBoolean(1) && out(12L).isNullAt(4),
+      "ftyp-but-malformed row must gate to is_video=false with null stats")
+    val r = out(9L)
+    assert(r.getBoolean(1), "is_video")
+    assert(r.getLong(2) == 600L && r.getLong(3) == 80L, "mvhd fields")
+    assert(r.getLong(4) == 90000L, "mdhd timescale")
+    assert(r.getLong(5) == 4L, "n_samples")
+    assert(r.getDouble(6) == 30.0, "fps = timescale/delta")
+    assert(r.getDouble(7) == 0.1333, "duration_s")
+    assert(r.getLong(8) == 5000L && r.getLong(9) == 2000L &&
+      r.getLong(10) == 500L, "stsz table stats")
+    assert(r.getDouble(11) == 1250.0, "avg frame bytes")
+    assert(r.getDouble(12) == 300000.0, "bitrate_bps")
+    // corpus-shaped operator: every doc profiled, formulas hold
+    val corpus = Multimodal.m16Mp4Samples(spark, sfDir).collect()
+    assert(corpus.length == Tables.documents(spark, sfDir).count().toInt)
+    corpus.foreach { c =>
+      assert(c.getBoolean(1), "every synthesized container is well-formed")
+      assert(c.getLong(5) == 8 + c.getLong(0) % 8, "n_samples formula")
+      assert(Set(30.0, 24.0, 20.0, 17.1429).contains(c.getDouble(6)),
+        s"fps ${c.getDouble(6)}")
+      assert(c.getLong(9) >= c.getLong(10), "max >= min")
+    }
+  }
+
   test("m4 parser yields typed nulls on non-WAV payloads") {
     import spark.implicits._
     val junk = Seq((1L, "RIFFnope definitely not audio"))
