@@ -120,6 +120,20 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
       .select(col("doc_id"), col("score"))
   }
 
+  /** More-like-this serving (s16 — Lucene MLT / the keyword leg of
+    * weaviate's nearObject): query by DOCUMENT ID instead of text —
+    * the seed's top-`nTerms` salient terms (tf × corpus idf) become
+    * the BM25 query; the seed itself is excluded from the results. */
+  def searchMoreLikeThis(docId: Long, nTerms: Int = 5,
+                         limit: Int = settings.searchTopK): DataFrame = {
+    val terms = HybridSearch.mltTerms(spark, tokenized, docId, nTerms)
+    require(terms.nonEmpty, s"document $docId has no minable terms")
+    HybridSearch.bm25Scores(spark, tokenized, terms)
+      .filter(col("doc_id") =!= docId)
+      .orderBy(col("score").desc, col("doc_id")).limit(limit)
+      .select(col("doc_id"), col("score"))
+  }
+
   /** Exact-phrase search (s7): the two terms must appear ADJACENT;
     * survivors ranked by corpus-wide BM25 over the phrase terms. */
   def searchPhrase(first: String, second: String,

@@ -346,6 +346,50 @@ object HybridSearch {
       .collect().map(_.getString(0)).toSeq
   }
 
+  /** s16: MORE-LIKE-THIS serving (Lucene's MoreLikeThis / the
+    * keyword leg of weaviate's nearObject: "find documents like this
+    * one", queried by ID rather than by text): mine the seed
+    * document's top-`nTerms` terms by tf × corpus idf — the same
+    * salience formula s9's feedback mining uses, with the feedback
+    * set being the seed doc itself — then rank the corpus by BM25
+    * over the mined terms, excluding the seed. The mined set is a
+    * bounded driver-side list (the s9/s11 discipline); scoring is
+    * s1's columnwise serving shape (no token explode, one broadcast
+    * stats row), so serving cost matches a hand-typed query of the
+    * same length at any corpus size. */
+  def s16MoreLikeThis(spark: SparkSession, dir: String,
+                      seedId: Long = 0L, nTerms: Int = 5,
+                      k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val docs = docTokens(spark, dir)
+    val terms = mltTerms(spark, docs, seedId, nTerms)
+    bm25Scores(spark, docs, terms)
+      .filter($"doc_id" =!= seedId)
+      .orderBy($"score".desc, $"doc_id").limit(k)
+      .select($"doc_id", $"score")
+  }
+
+  /** The seed document's top-`n` salient terms (tf_seed × ln(N/df),
+    * deterministic (escore, term) tie-break) — a bounded driver-side
+    * list; the seed's term set broadcasts into the corpus df join. */
+  def mltTerms(spark: SparkSession, docs: DataFrame, seedId: Long,
+               n: Int): Seq[String] = {
+    import spark.implicits._
+    if (n <= 0) return Nil
+    val seedTf = docs.filter($"doc_id" === seedId)
+      .select(explode($"tok").as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("tf_seed"))
+    val dfCorpus = docs
+      .select($"doc_id", explode(array_distinct($"tok")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    dfCorpus.join(broadcast(seedTf), "term")
+      .crossJoin(broadcast(total))
+      .select($"term", ($"tf_seed" * log($"n_docs" / $"df")).as("escore"))
+      .orderBy($"escore".desc, $"term").limit(n)
+      .collect().map(_.getString(0)).toSeq
+  }
+
   /** s10: SNIPPET extraction — the serving step between "these are
     * the top-k doc ids" and what a search UI actually renders (the
     * reference returns chunk content with every hit;
@@ -656,6 +700,7 @@ object HybridSearch {
     "s11_fuzzy_correct" -> ((s, d) => s11FuzzyCorrect(s, d)),
     "s10_snippets" -> ((s, d) => s10Snippets(s, d)),
     "s9_prf_expansion" -> ((s, d) => s9PrfExpansion(s, d)),
+    "s16_more_like_this" -> ((s, d) => s16MoreLikeThis(s, d)),
     "s8_search_eval" -> ((s, d) => s8SearchEval(s, d)),
     "s1_keyword_bm25" -> s1KeywordBm25 _,
     "s3_hybrid_search" -> s3HybridSearch _,
@@ -1009,6 +1054,45 @@ object HybridSearch {
         |      / (tf2.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf2.dl / stats.avgdl))), 6) AS score
         |  FROM tf2 JOIN df2 USING (term), stats
         |  GROUP BY tf2.doc_id)
+        |ORDER BY score DESC, doc_id
+        |LIMIT 10""".stripMargin) +
+    // seed-doc salience mining + BM25 replay, the s9 shape with the
+    // feedback set = the seed document itself
+    ("s16_more_like_this" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS tok,
+        |         CAST(len(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM docs),
+        |seedtf AS (
+        |  SELECT token AS term, CAST(count(*) AS BIGINT) AS tf_seed
+        |  FROM (SELECT unnest(tok) AS token FROM docs WHERE doc_id = 0)
+        |  GROUP BY token),
+        |dfall AS (
+        |  SELECT token AS term, CAST(count(*) AS BIGINT) AS df
+        |  FROM (SELECT doc_id, unnest(list_distinct(tok)) AS token FROM docs)
+        |  GROUP BY token),
+        |mlt AS (
+        |  SELECT term FROM (
+        |    SELECT seedtf.term, tf_seed * ln(n_docs / df) AS escore
+        |    FROM seedtf JOIN dfall USING (term), stats)
+        |  ORDER BY escore DESC, term
+        |  LIMIT 5),
+        |tf AS (
+        |  SELECT doc_id, dl, token AS term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(tok) AS token FROM docs)
+        |  WHERE token IN (SELECT term FROM mlt)
+        |  GROUP BY doc_id, dl, token),
+        |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term)
+        |SELECT doc_id, score FROM (
+        |  SELECT tf.doc_id,
+        |    round(sum(
+        |      ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+        |      * (tf.tf * (1.2 + 1.0))
+        |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))), 6) AS score
+        |  FROM tf JOIN dfq USING (term), stats
+        |  GROUP BY tf.doc_id)
+        |WHERE doc_id <> 0
         |ORDER BY score DESC, doc_id
         |LIMIT 10""".stripMargin) +
     ("s8_search_eval" ->

@@ -399,6 +399,16 @@ class GraftEngineSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("searchMoreLikeThis facade: query-by-id over the engine corpus, seed excluded") {
+    val seedId = Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.min("doc_id"))
+      .collect().head.getLong(0)
+    val out = engine.searchMoreLikeThis(seedId).collect()
+    assert(out.nonEmpty && out.length <= 25)
+    assert(!out.exists(_.getLong(0) == seedId), "seed must not match itself")
+    Caches.releaseAll()
+  }
+
   test("clusterSplit / dedupSavings facades equal their driver queries") {
     val e = new GraftEngine(spark, Tables.documents(spark, sfDir))
     assert(e.clusterSplit().collect().map(_.toSeq).toSeq ==

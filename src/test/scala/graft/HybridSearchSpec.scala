@@ -78,6 +78,39 @@ class HybridSearchSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("s16 more-like-this: salience mining on a planted corpus, seed excluded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, lower, regexp_extract_all, size}
+    // planted: seed doc 0 repeats two rare terms; "common" appears in
+    // every doc (ln(N/N) = 0 salience, must NOT be mined); doc 3
+    // shares both rare terms, doc 4 only one
+    val corpus = Seq(
+      (0L, "zebra zebra quark quark quark common text"),
+      (1L, "common filler words here"),
+      (2L, "more common filler text"),
+      (3L, "quark zebra common appears"),
+      (4L, "zebra common only"),
+      (5L, "nothing shared common")).toDF("doc_id", "text")
+    val toks = corpus.select($"doc_id",
+      regexp_extract_all(lower($"text"), lit("[\\p{L}\\p{N}]+"), lit(0)).as("tok"))
+      .withColumn("dl", size($"tok").cast("double"))
+    val mined = HybridSearch.mltTerms(spark, toks, seedId = 0L, n = 2)
+    assert(mined.toSet == Set("quark", "zebra"),
+      s"salience must rank rare repeated terms first, got $mined")
+    val ranked = HybridSearch.bm25Scores(spark, toks, mined)
+      .filter($"doc_id" =!= 0L)
+      .orderBy($"score".desc, $"doc_id").collect()
+    assert(ranked.head.getLong(0) == 3L,
+      "the doc sharing both salient terms must rank first")
+    assert(ranked.map(_.getLong(0)).toSet == Set(3L, 4L), "only term-sharers rank")
+    // corpus-shaped run: k rows, seed absent, repeat-stable
+    val out = HybridSearch.s16MoreLikeThis(spark, sfDir).collect()
+    assert(out.length == 10 && !out.exists(_.getLong(0) == 0L))
+    assert(HybridSearch.s16MoreLikeThis(spark, sfDir).collect()
+      .map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+    Caches.releaseAll()
+  }
+
   test("s8 eval: NDCG bounded, exact leg saturates, rankings carry signal") {
     val rows = HybridSearch.s8SearchEval(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq ==

@@ -404,6 +404,16 @@ class PlanAuditSpec extends SparkSpec {
     Caches.releaseAll(); Caches.releaseShared()
   }
 
+  test("m16: sample-table walk is a map-only scan — one file read, no joins") {
+    val p = plan(graft.operators.Multimodal.m16Mp4Samples(spark, sfDir))
+    assert(!p.contains("Join"), "header walk must not join")
+    assert(p.split("FileScan parquet").length == 2,
+      "exactly one documents scan feeds synthesis + walk")
+    // the only exchange is the deterministic output ordering
+    assert(p.split("Exchange").length <= 2, s"unexpected shuffle:\n$p")
+    Caches.releaseAll()
+  }
+
   test("a22: serving walk joins ids, graph reads the truncated edge table, no cartesian") {
     Caches.releaseAll(); Caches.releaseShared()
     val p = plan(Knn.a22GraphSearch(spark, sfDir))
