@@ -1631,7 +1631,11 @@ object Knn {
     // the funnel at the TUNED geometry (a17's pick): the report shows
     // what the auto-chosen cutoffs actually recover
     val (ts1, ts2) = tunedCascadeConfig(spark, dir, exact, possible)
-    val all = methods :+ ("cascade_tuned", a15KnnCascade(spark, dir, ts1, ts2))
+    val all = methods :+
+      ("cascade_tuned", a15KnnCascade(spark, dir, ts1, ts2)) :+
+      // the NN-Descent graph walk (a22): what the build-once edge
+      // table + beam serving recover, in the same panel
+      ("graph", a22GraphSearch(spark, dir))
     all.map { case (name, df) =>
       val hits = df.select($"q_id", $"vec_id")
         .join(exact, Seq("q_id", "vec_id"), "left_semi").count()
@@ -2353,8 +2357,12 @@ object Knn {
       s"""h_cascade_tuned AS (
          |  SELECT CAST(count(*) AS BIGINT) AS hits
          |  FROM ($cascadeTunedPairsSql) x
+         |  JOIN exact USING (q_id, vec_id))""".stripMargin :+
+      s"""h_graph AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS hits
+         |  FROM (SELECT q_id, vec_id FROM ($a22Sql)) x
          |  JOIN exact USING (q_id, vec_id))""".stripMargin).mkString(",\n")
-    val unions = (methods.map(_._1) :+ "cascade_tuned").map { m =>
+    val unions = (methods.map(_._1) :+ "cascade_tuned" :+ "graph").map { m =>
       s"SELECT '$m' AS method, hits, possible FROM h_$m, nq"
     }.mkString("\nUNION ALL\n")
     baseOracles +
