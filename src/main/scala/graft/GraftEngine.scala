@@ -383,6 +383,14 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
     graft.operators.CorpusFilters.repetitionStripOf(
       corpus.select($"doc_id", $"text".as("page")))
 
+  /** Corpus-wide boilerplate-span strip (d19): remove every token
+    * covered by an 8-gram span shared across ≥ `minBreadth`
+    * documents — the cross-doc complement of [[stripRepetition]]'s
+    * intra-doc pass. */
+  def stripBoilerplate(minBreadth: Long = 2L): DataFrame =
+    graft.operators.Curation.boilerplateStripOf(
+      corpus.select($"doc_id", $"text"), minBreadth = minBreadth)
+
   /** MinHash signatures (doc_id, hs, mh) of a (doc_id, tok) frame —
     * persisted (tracked): the band explode and both verify sides of
     * the LSH pair join all read it. */

@@ -94,6 +94,64 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** d19: corpus-wide BOILERPLATE-SPAN STRIP — the transform d18's
+    * profile motivates (the CCNet/RefinedWeb boilerplate-removal
+    * class): every token covered by an 8-gram span appearing in
+    * ≥ `minBreadth` DISTINCT documents (2 = exactly the spans d18
+    * counts as shared) is removed, and the report carries what a
+    * curation pass audits — token counts before/after, keep
+    * fraction, and the kept text's char count + leading tokens so
+    * the surgery itself is checkable, not just the arithmetic. Cost
+    * shape: positional grams explode to (doc, start) rows, breadth
+    * is ONE gram-keyed distinct-doc count, flagged starts fan out
+    * ×8 into covered positions (rows track flagged spans, never doc
+    * pairs), and the strip is a per-row positional filter against
+    * the doc's own covered-position array — map-side after one
+    * doc-keyed join, no token ever shuffles. Docs under 8 tokens
+    * have no spans and pass through whole. */
+  def d19BoilerplateStrip(spark: SparkSession, dir: String): DataFrame =
+    boilerplateStripOf(Tables.documents(spark, dir))
+
+  /** The d19 core over any (doc_id, text) corpus. */
+  def boilerplateStripOf(docs: DataFrame, ngram: Int = ContamNgram,
+                         minBreadth: Long = 2L): DataFrame = {
+    import docs.sparkSession.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val toks = graft.Caches.persist(docs
+      .select($"doc_id", expr("regexp_extract_all(text, '\\\\S+', 0)").as("w")))
+    // positional grams: span `start` (1-based) covers tokens
+    // start..start+n-1; hashes stay in order (no sort/distinct)
+    val gramsPos = graft.Caches.persist(toks
+      .filter(size($"w") >= ngram)
+      .select($"doc_id", posexplode(
+        call_function("poly_hash_all", H.shinglesAll($"w", ngram))))
+      .select($"doc_id", ($"pos" + 1).cast("long").as("start"),
+        $"col".as("g")))
+    val breadth = gramsPos.select($"doc_id", $"g").distinct()
+      .groupBy($"g").agg(count(lit(1)).as("n_docs_with"))
+    val flagged = gramsPos
+      .join(breadth.filter($"n_docs_with" >= minBreadth), "g")
+      .select($"doc_id", $"start")
+    val covered = flagged
+      .select($"doc_id",
+        explode(sequence($"start", $"start" + (ngram - 1))).as("p"))
+      .distinct()
+      .groupBy($"doc_id").agg(sort_array(collect_set($"p")).as("cov"))
+    toks.join(covered, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce($"cov", typedLit(Seq.empty[Long])))
+      .withColumn("kept", expr(
+        "filter(w, (t, i) -> NOT array_contains(cov, CAST(i + 1 AS BIGINT)))"))
+      .select($"doc_id",
+        size($"w").cast("long").as("n_tokens"),
+        size($"cov").cast("long").as("n_removed"),
+        when(size($"w") > 0,
+          round((size($"w") - size($"cov")).cast("double") / size($"w"), 6))
+          .otherwise(1.0).as("keep_frac"),
+        length(array_join($"kept", " ")).cast("long").as("kept_chars"),
+        array_join(slice($"kept", 1, 12), " ").as("kept_prefix"))
+      .orderBy($"doc_id")
+  }
+
   /** p21: CONTAMINATION report by source — p2's per-document hits
     * rolled up into the audit a pipeline actually publishes: per
     * source, how many training documents (and what token mass) share
@@ -821,6 +879,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d18_duplicated_spans" -> d18DuplicatedSpans _,
+    "d19_boilerplate_strip" -> d19BoilerplateStrip _,
     "p24_shard_manifest" -> ((s, d) => p24ShardManifest(s, d)),
     "p25_manifest_verify" -> ((s, d) => p25ManifestVerify(s, d)),
     "p23_budget_waterfill" -> ((s, d) => p23BudgetWaterfill(s, d)),
@@ -1290,6 +1349,43 @@ object Curation {
         |  CAST(max(n_docs_with) AS BIGINT) AS max_breadth
         |FROM j GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin),
+    // d18's gram machinery with POSITIONS kept, then the covered-set
+    // strip replayed: DuckDB's list_filter lambda index is 1-based
+    // (Spark's is 0-based — the Spark side adds 1)
+    "d19_boilerplate_strip" ->
+      (s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+        |gl AS (
+        |  SELECT doc_id, list_transform(list_transform(
+        |    generate_series(1, len(w) - ${ContamNgram - 1}),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |        || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]),
+        |    t -> $polyFoldSql) AS gs
+        |  FROM w WHERE len(w) >= $ContamNgram),
+        |g AS (
+        |  SELECT doc_id, u.i AS start, gs[u.i] AS g
+        |  FROM gl, LATERAL unnest(generate_series(1, len(gs))) AS u(i)),
+        |b AS (SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |flag AS (SELECT DISTINCT doc_id, start FROM g JOIN b USING (g)),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, start + u.o AS p
+        |  FROM flag, LATERAL unnest(generate_series(0, ${ContamNgram - 1})) AS u(o)),
+        |cl AS (SELECT doc_id, list(p ORDER BY p) AS cov FROM cov GROUP BY doc_id),
+        |k AS (
+        |  SELECT w.doc_id, len(w.w) AS n_tokens,
+        |    coalesce(len(cl.cov), 0) AS n_removed,
+        |    list_filter(w.w, (t, i) -> NOT list_contains(
+        |      coalesce(cl.cov, CAST([] AS BIGINT[])), CAST(i AS BIGINT))) AS kept
+        |  FROM w LEFT JOIN cl USING (doc_id))
+        |SELECT doc_id,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_removed AS BIGINT) AS n_removed,
+        |  CASE WHEN n_tokens > 0
+        |    THEN round(CAST(n_tokens - n_removed AS DOUBLE) / n_tokens, 6)
+        |    ELSE 1.0 END AS keep_frac,
+        |  CAST(length(coalesce(array_to_string(kept, ' '), ''))
+        |    AS BIGINT) AS kept_chars,
+        |  coalesce(array_to_string(kept[1:12], ' '), '') AS kept_prefix
+        |FROM k ORDER BY doc_id""".stripMargin),
     // p2's hit CTEs rolled up per source against the train scan
     "p21_contamination_report" ->
       s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),

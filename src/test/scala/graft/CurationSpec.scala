@@ -394,4 +394,44 @@ class CurationSpec extends SparkSpec {
     }
     Caches.releaseAll()
   }
+
+  test("d19 strip removes exactly the cross-doc span tokens, positionally") {
+    import spark.implicits._
+    val docs = Seq(
+      // docs 1/2 share the 8-gram "alpha..theta"; their unique words
+      // survive; doc 2's copy sits mid-text so the strip is positional
+      (1L, "alpha beta gamma delta epsilon zeta eta theta unique tail one"),
+      (2L, "prefix alpha beta gamma delta epsilon zeta eta theta different end"),
+      (3L, "totally different words that no other document shares at all here"),
+      (4L, "short doc"))
+      .toDF("doc_id", "text")
+    val out = Curation.boilerplateStripOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: tokens 1..8 covered -> kept = the 3-token tail
+    assert(out(1L).getLong(1) == 11L && out(1L).getLong(2) == 8L)
+    assert(out(1L).getString(5) == "unique tail one")
+    // doc 2: tokens 2..9 covered -> kept = first + last two
+    assert(out(2L).getLong(2) == 8L)
+    assert(out(2L).getString(5) == "prefix different end")
+    // untouched docs pass through whole, keep_frac 1.0
+    assert(out(3L).getLong(2) == 0L && out(3L).getDouble(3) == 1.0)
+    assert(out(4L).getLong(2) == 0L && out(4L).getLong(1) == 2L,
+      "short docs have no spans and pass through whole")
+    // kept_chars counts the kept text exactly
+    assert(out(1L).getLong(4) == "unique tail one".length.toLong)
+    Caches.releaseAll()
+    // real corpus: the strip and the d18 profile agree on WHO is
+    // touched (a doc loses tokens iff it has a shared span)
+    val stripped = Curation.d19BoilerplateStrip(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    Caches.releaseAll()
+    val profile = Curation.d18DuplicatedSpans(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    profile.foreach { case (id, nShared) =>
+      assert((stripped(id) > 0L) == (nShared > 0L),
+        s"doc $id: strip/profile disagree ($nShared shared, ${stripped(id)} removed)")
+    }
+    assert(stripped.values.exists(_ > 0L), "corpus must contain boilerplate")
+    Caches.releaseAll()
+  }
 }
