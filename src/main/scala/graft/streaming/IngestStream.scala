@@ -112,6 +112,71 @@ object IngestStream {
       expr(s"nfc_normalize(mojibake_repair($column))"))
   }
 
+  /** Boilerplate strip at ingest (d19's pass in the ingestion
+    * plane): tokens covered by an 8-gram span whose hash is in the
+    * FROZEN `banned` list are removed before chunking — the
+    * production shape, where the batch profile
+    * (Curation.d18/d19 over the existing corpus) freezes the top
+    * boilerplate spans and the worker applies the list to every
+    * arriving page; a stream can't know corpus-wide breadth, and
+    * doesn't need to (sitewide boilerplate is by definition already
+    * visible in the batch corpus). The list rides along as an array
+    * literal — bounded by construction (top spans by breadth, the
+    * stopword-list cardinality class; at fleet scale it broadcasts) —
+    * and the whole stage is a stateless per-row projection: no
+    * state, no watermark interaction, safe anywhere in the plan. */
+  def stripFrozenSpans(docs: DataFrame, banned: Seq[Long],
+                       column: String = "text",
+                       ngram: Int = graft.operators.Curation.ContamNgram)
+      : DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
+    if (banned.isEmpty) return docs
+    val bannedLit = lit(banned.toArray)
+    val w = expr(s"regexp_extract_all($column, '\\\\S+', 0)")
+    // positional gram hashes; short docs get an empty gram array
+    // (shinglesAll's sequence would DESCEND below the n-gram width)
+    val grams = when(size(col("_w")) >= ngram, call_function(
+      "poly_hash_all",
+      graft.functions.HashFunctions.shinglesAll(col("_w"), ngram)))
+      .otherwise(array().cast("array<bigint>"))
+    // a token survives unless some banned span start covers it
+    val kept = filter(col("_w"), (t, i) =>
+      !exists(col("_bs"), s =>
+        (i + 1).cast("long") >= s && (i + 1).cast("long") <= s + (ngram - 1)))
+    docs
+      .withColumn("_w", w)
+      .withColumn("_g", grams)
+      // guard: sequence(1, 0) DESCENDS, and ANSI element_at throws on
+      // a bad index — empty gram arrays get an empty start list
+      .withColumn("_bs", when(size(col("_g")) > 0, filter(
+        transform(sequence(lit(1), size(col("_g"))), i => i.cast("long")),
+        s => array_contains(bannedLit, element_at(col("_g"), s.cast("int")))))
+        .otherwise(array().cast("array<bigint>")))
+      .withColumn(column, array_join(kept, " "))
+      .drop("_w", "_g", "_bs")
+  }
+
+  /** Freeze the top-`n` boilerplate span hashes from a batch corpus
+    * (breadth-ranked) — the list [[stripFrozenSpans]] applies. */
+  def frozenSpanList(corpus: DataFrame, n: Int = 1000,
+                     minBreadth: Long = 2L): Seq[Long] = {
+    import corpus.sparkSession.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val ngram = graft.operators.Curation.ContamNgram
+    corpus
+      .select($"doc_id",
+        expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
+      .filter(size($"w") >= ngram)
+      .select($"doc_id", explode(array_distinct(
+        graft.functions.HashFunctions.hashedShingles($"w", ngram)))
+        .as("g"))
+      .groupBy($"g").agg(count(lit(1)).as("n_docs_with"))
+      .filter($"n_docs_with" >= minBreadth)
+      .orderBy($"n_docs_with".desc, $"g")
+      .limit(n)
+      .select($"g").collect().map(_.getLong(0)).toSeq
+  }
+
   def chunkAndEmbed(docs: DataFrame, maxTokens: Int = 64, dims: Int = 64): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

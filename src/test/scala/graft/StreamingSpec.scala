@@ -924,6 +924,53 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("frozen-span strip removes batch-profiled boilerplate from a live stream") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.IngestStream
+
+    // batch corpus: two docs share an 8-gram footer \u2014 the profile
+    // freezes it; "unique" content must survive the ingest strip
+    val footer = "copyright acme corp all rights reserved worldwide forever"
+    val batch = Seq(
+      (1L, s"first page body text here $footer"),
+      (2L, s"second page different body $footer"),
+      (3L, "unrelated page with no shared spans at all anywhere"))
+      .toDF("doc_id", "text")
+    val banned = IngestStream.frozenSpanList(batch)
+    assert(banned.nonEmpty, "the shared footer must be profiled")
+    // the stage is a stateless projection \u2014 drive it through a real
+    // streaming plan and assert the emitted text
+    val stream = MemoryStream[(Long, String)]
+    val out = IngestStream.stripFrozenSpans(
+      stream.toDF().toDF("doc_id", "text"), banned)
+    val query = out.writeStream.format("memory")
+      .queryName("strip_spans").outputMode("append").start()
+    try {
+      stream.addData(
+        (10L, s"arriving page fresh words $footer"),
+        (11L, "clean arriving page nothing banned here today at all"))
+      query.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, text FROM strip_spans")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got(10L) == "arriving page fresh words",
+        s"footer must be stripped: '${got(10L)}'")
+      assert(got(11L) == "clean arriving page nothing banned here today at all",
+        "clean pages pass through byte-identical")
+      // short docs (under the n-gram width) pass through whole
+      stream.addData((12L, "short doc"))
+      query.processAllAvailable()
+      val short = spark.sql(
+        "SELECT text FROM strip_spans WHERE doc_id = 12").collect()
+      assert(short.head.getString(0) == "short doc")
+    } finally query.stop()
+    // empty list = identity stage
+    val same = IngestStream.stripFrozenSpans(batch, Nil)
+    assert(same eq batch)
+    Caches.releaseAll()
+  }
+
 }
 
 /** Top-level (not nested in the spec) so the batch toDF() encoder
