@@ -414,6 +414,30 @@ class PlanAuditSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("d19: strip is gram/doc-keyed joins over one persisted scan — no cartesian, no NLJ") {
+    val p = plan(graft.operators.Curation.d19BoilerplateStrip(spark, sfDir))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "breadth and cover joins must stay keyed")
+    // (no FileScan occurrence count: the persisted token view's
+    // subtree TEXT repeats per reference site — plan-audit gotcha)
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      "the tokenized view must be the persisted scan both branches read")
+    Caches.releaseAll()
+  }
+
+  test("s16: mining collects a bounded term list; serving is s1's columnwise shape") {
+    val p = plan(graft.operators.HybridSearch.s16MoreLikeThis(spark, sfDir))
+    // the one nested-loop join is the intended ONE-ROW stats
+    // broadcast (bm25Scores' corpus-stats cross)
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "corpus stats must broadcast as the one-row cross")
+    assert(!p.contains("Generate explode"),
+      "serving must stay columnwise — no token explode in the plan")
+    Caches.releaseAll()
+  }
+
   test("a22: serving walk joins ids, graph reads the truncated edge table, no cartesian") {
     Caches.releaseAll(); Caches.releaseShared()
     val p = plan(Knn.a22GraphSearch(spark, sfDir))
