@@ -613,7 +613,11 @@ case class BytesIndexOf(bytes: Expression, pat: Expression,
   override def nullSafeEval(b0: Any, p0: Any, f0: Any): Any = {
     val b = b0.asInstanceOf[Array[Byte]]
     val p = p0.asInstanceOf[Array[Byte]]
-    var i = math.max(f0.asInstanceOf[Long].toInt - 1, 0)
+    // clamp in LONG space before narrowing: a from beyond Int range
+    // would wrap under .toInt and scan from the start, returning a
+    // match BEFORE the requested offset
+    var i = math.min(math.max(f0.asInstanceOf[Long] - 1L, 0L),
+      b.length.toLong).toInt
     if (p.length == 0) return -1L
     while (i + p.length <= b.length) {
       var j = 0
@@ -630,7 +634,7 @@ case class BytesIndexOf(bytes: Expression, pat: Expression,
       s"""
          |${ev.value} = -1L;
          |if ($p.length > 0) {
-         |  for (int $i = Math.max((int) $f - 1, 0);
+         |  for (int $i = (int) Math.min(Math.max($f - 1L, 0L), (long) $b.length);
          |       $i + $p.length <= $b.length; $i++) {
          |    int $j = 0;
          |    while ($j < $p.length && $b[$i + $j] == $p[$j]) $j++;
@@ -730,10 +734,11 @@ case class Be32Stats(bytes: Expression, off: Expression,
   * transform() lambda over a sequence() doing two byte_at calls and
   * sign math per sample — interpreted, with a boxed array per row.
   * Here the whole fold is one codegen loop over the raw byte array;
-  * sums stay in long (peak² ≤ 2³⁰, so even 2⁵³-sample clips can't
-  * overflow sum_sq at realistic clip lengths — a 100 TB corpus's
-  * per-file bound). A trailing odd byte is ignored, off out of
-  * range yields the empty fold (n=0). */
+  * sums stay in long: a JVM byte array is capped at 2³¹ bytes, so a
+  * payload holds ≤ 2³⁰ samples and sum_sq ≤ 2³⁰·2³⁰ = 2⁶⁰ < 2⁶³ —
+  * the array-length bound, not a sample-count assumption, is what
+  * makes overflow impossible. A trailing odd byte is ignored, off
+  * out of range yields the empty fold (n=0). */
 case class Pcm16Stats(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -152,7 +152,13 @@ object IngestStream {
         transform(sequence(lit(1), size(col("_g"))), i => i.cast("long")),
         s => array_contains(bannedLit, element_at(col("_g"), s.cast("int")))))
         .otherwise(array().cast("array<bigint>")))
-      .withColumn(column, array_join(kept, " "))
+      // rebuild ONLY when a banned span actually matched — the
+      // tokenize→join round trip collapses newlines/tabs/multi-spaces
+      // to single spaces, which would silently destroy line structure
+      // (chunkMarkdown's heading splits, t28's line passes) in every
+      // document, matched or not
+      .withColumn(column, when(size(col("_bs")) > 0, array_join(kept, " "))
+        .otherwise(col(column)))
       .drop("_w", "_g", "_bs")
   }
 
@@ -177,11 +183,16 @@ object IngestStream {
       .select($"g").collect().map(_.getLong(0)).toSeq
   }
 
-  def chunkAndEmbed(docs: DataFrame, maxTokens: Int = 64, dims: Int = 64): DataFrame = {
+  /** `clean = false` skips the [[cleanText]] hygiene pass — the
+    * mojibake C2/C3-pair heuristic is lossy on text that legitimately
+    * contains 'Â'/'Ã' + U+0080–U+00BF sequences, so trusted-clean
+    * corpora need the opt-out. */
+  def chunkAndEmbed(docs: DataFrame, maxTokens: Int = 64, dims: Int = 64,
+                    clean: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.plans.GraftFunctions.ensureRegistered(spark)
-    cleanText(docs)
+    (if (clean) cleanText(docs) else docs)
       .select($"doc_id", $"source", $"text")
       .as[(Long, String, String)]
       .flatMap { case (docId, source, text) =>
@@ -208,10 +219,11 @@ object IngestStream {
     * lineage so the store path can be overwritten while it is also
     * the read source (on Delta/Iceberg this whole method is a MERGE;
     * the partition math is identical). */
-  def reingest(docs: DataFrame, storePath: String, maxTokens: Int = 64): Unit = {
+  def reingest(docs: DataFrame, storePath: String, maxTokens: Int = 64,
+               clean: Boolean = true): Unit = {
     val spark = docs.sparkSession
     val chunksPath = s"$storePath/chunks"
-    val incoming = chunkAndEmbed(docs, maxTokens)
+    val incoming = chunkAndEmbed(docs, maxTokens, clean = clean)
     // Hadoop FileSystem existence probe (NOT java.io.File): the store
     // path may be HDFS/S3, where a local-FS check always says "absent"
     // and the first micro-batch would overwrite instead of merging —
@@ -242,20 +254,22 @@ object IngestStream {
     * where [[ingest]] is the append-only first-crawl path.
     * Exactly-once per epoch: offsets are checkpointed and the
     * dynamic-partition overwrite is idempotent on replay. */
-  def upsert(docs: DataFrame, storePath: String, maxTokens: Int = 64): StreamingQuery =
+  def upsert(docs: DataFrame, storePath: String, maxTokens: Int = 64,
+             clean: Boolean = true): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", s"$storePath/_checkpoints")
       .foreachBatch((batch: DataFrame, _: Long) =>
-        reingest(batch, storePath, maxTokens))
+        reingest(batch, storePath, maxTokens, clean))
       .start()
 
   /** Start the ingestion stream into `storePath` (chunks under
     * /chunks partitioned by source, offsets under /_checkpoints). */
-  def ingest(docs: DataFrame, storePath: String, maxTokens: Int = 64): StreamingQuery = {
+  def ingest(docs: DataFrame, storePath: String, maxTokens: Int = 64,
+             clean: Boolean = true): StreamingQuery = {
     val writeEpoch: (DataFrame, Long) => Unit = (batch, _) =>
       batch.write.mode("append").partitionBy("source")
         .parquet(s"$storePath/chunks")
-    chunkAndEmbed(docs, maxTokens)
+    chunkAndEmbed(docs, maxTokens, clean = clean)
       .writeStream
       .option("checkpointLocation", s"$storePath/_checkpoints")
       .foreachBatch(writeEpoch)

@@ -390,5 +390,13 @@ class KernelSpec extends SparkSpec {
     assert(r.getLong(2) == 4L, "match must be found past the invalid byte")
     assert(r.getLong(3) == -1L)
     assert(r.getLong(4) == -1L)
+    // a from beyond Int range must NOT wrap negative and scan from the
+    // start — it is past the payload, so no match exists
+    val big = Seq(Tuple1(payload)).toDF("p").selectExpr(
+      s"bytes_index_of(p, cast('ab' as binary), cast(${1L << 33} as bigint)) as huge",
+      s"bytes_index_of(p, cast('ab' as binary), cast(${Long.MaxValue} as bigint)) as max")
+      .collect().head
+    assert(big.getLong(0) == -1L, "past-Int-range from must find nothing")
+    assert(big.getLong(1) == -1L)
   }
 }

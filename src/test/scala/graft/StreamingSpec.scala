@@ -960,10 +960,19 @@ class StreamingSpec extends SparkSpec {
         "clean pages pass through byte-identical")
       // short docs (under the n-gram width) pass through whole
       stream.addData((12L, "short doc"))
+      // unmatched docs pass through BYTE-identical — newlines, tabs,
+      // and double spaces survive (the strip must not tokenize-rejoin
+      // documents it didn't touch; chunkMarkdown depends on lines)
+      val structured = "# heading\nline one\tstays\n\nline  two here friend"
+      stream.addData((13L, structured))
       query.processAllAvailable()
       val short = spark.sql(
         "SELECT text FROM strip_spans WHERE doc_id = 12").collect()
       assert(short.head.getString(0) == "short doc")
+      val struct13 = spark.sql(
+        "SELECT text FROM strip_spans WHERE doc_id = 13").collect()
+      assert(struct13.head.getString(0) == structured,
+        "unmatched doc must keep its exact whitespace structure")
     } finally query.stop()
     // empty list = identity stage
     val same = IngestStream.stripFrozenSpans(batch, Nil)
