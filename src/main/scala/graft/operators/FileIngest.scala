@@ -483,6 +483,18 @@ object FileIngest {
     * oracle recomputes every field from the rules. */
   def f6WarcIngest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val blobs = warcSynthRecords(spark, dir)
+      .select($"doc_id", concat($"rec1", $"rec2").as("blob"))
+    parseWarcRecords(blobs).orderBy($"doc_id", $"record_idx")
+  }
+
+  /** The shared WARC record synthesis (f6's rules): two records per
+    * document — a response carrying a doc-text slice and a metadata
+    * record carrying a fetch note. f6 concatenates them bare; f8
+    * wraps each in its own gzip member (the CommonCrawl wire
+    * layout). */
+  private def warcSynthRecords(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val clean = regexp_replace($"text", "\\r", "")
     val uri = concat(lit("https://host"), pmod($"doc_id", lit(3)),
       lit(".example.com/page/"), $"doc_id")
@@ -491,19 +503,20 @@ object FileIngest {
         lit("\r\nWARC-Target-URI: "), u,
         lit("\r\nContent-Length: "), length(payload).cast("string"),
         lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
-    val blobs = graft.Tables.documents(spark, dir)
+    graft.Tables.documents(spark, dir)
       .select($"doc_id",
-        concat(
-          rec("response", uri,
-            clean.substr(lit(1), lit(40) + pmod($"doc_id", lit(25)).cast("int"))),
-          rec("metadata", uri, concat(lit("fetched="), $"doc_id")))
-          .as("blob"))
-    parseWarcRecords(blobs).orderBy($"doc_id", $"record_idx")
+        rec("response", uri,
+          clean.substr(lit(1), lit(40) + pmod($"doc_id", lit(25)).cast("int")))
+          .as("rec1"),
+        rec("metadata", uri, concat(lit("fetched="), $"doc_id")).as("rec2"))
   }
 
   /** The WARC walker over any (doc_id, blob string) frame: bounded
-    * `maxRecords` hops, one row per well-formed record. */
-  def parseWarcRecords(blobs: DataFrame, maxRecords: Int = 4): DataFrame = {
+    * `maxRecords` hops, one row per well-formed record. `carry`
+    * names extra input columns to keep on every output row (f8
+    * rides its per-doc gzip member count through). */
+  def parseWarcRecords(blobs: DataFrame, maxRecords: Int = 4,
+                       carry: Seq[String] = Nil): DataFrame = {
     import blobs.sparkSession.implicits._
     // \r\n\r\n as chr-concats so the same literal works in both the
     // Spark plan and the DuckDB replay
@@ -538,14 +551,162 @@ object FileIngest {
           regexp_extract(col(s"_hdr$k"), "WARC-Target-URI: (\\S+)", 1)))
       off = col(s"_he$k") + 4L + coalesce(col(s"_cl$k"), lit(0L)) + 4L
     }
-    df.select($"doc_id", posexplode(array((1 to maxRecords).map(k =>
-        struct(col(s"_ty$k").as("warc_type"), col(s"_ur$k").as("target_uri"),
-          col(s"_cl$k").as("content_len"), col(s"_ct$k").as("content"))): _*))
-        .as(Seq("record_idx", "r")))
+    df.select(($"doc_id" +: carry.map(col)) :+
+        posexplode(array((1 to maxRecords).map(k =>
+          struct(col(s"_ty$k").as("warc_type"), col(s"_ur$k").as("target_uri"),
+            col(s"_cl$k").as("content_len"), col(s"_ct$k").as("content"))): _*))
+          .as(Seq("record_idx", "r")): _*)
       .filter($"r.content".isNotNull && $"r.warc_type" =!= "")
-      .select($"doc_id", ($"record_idx" + 1).as("record_idx"),
+      .select(($"doc_id" +: carry.map(col)) ++ Seq(
+        ($"record_idx" + 1).as("record_idx"),
         $"r.warc_type".as("warc_type"), $"r.target_uri".as("target_uri"),
-        $"r.content_len".as("content_len"), $"r.content".as("content"))
+        $"r.content_len".as("content_len"), $"r.content".as("content")): _*)
+  }
+
+  /** One gzip MEMBER around `data`: the RFC 1952 framing CommonCrawl
+    * uses per WARC record — 10-byte header (magic 1f 8b, CM deflate,
+    * no flags, mtime 0, OS unknown), raw-deflate body from the
+    * per-task `defl` (which must be nowrap=true — gzip carries its
+    * own framing, not the zlib wrapper f7 uses), CRC32 + ISIZE
+    * little-endian trailer. */
+  private def gzipMember(defl: java.util.zip.Deflater,
+                         data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0,
+      0xff.toByte))
+    defl.reset(); defl.setInput(data); defl.finish()
+    val buf = new Array[Byte](512)
+    while (!defl.finished()) { val n = defl.deflate(buf); out.write(buf, 0, n) }
+    val crc = new java.util.zip.CRC32(); crc.update(data)
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    le32(crc.getValue); le32(data.length.toLong & 0xffffffffL)
+    out.toByteArray
+  }
+
+  /** The f8 corpus: each document's two WARC records (f6's synthesis
+    * rules), each compressed as its OWN gzip member — CommonCrawl's
+    * actual wire layout (one member per record is what lets readers
+    * seek to a record by offset without inflating the whole file).
+    * Real per-task Deflater, raw-deflate mode (the m12/f7 build
+    * discipline), so the round trip exercises real RFC 1952 bytes. */
+  def warcGzCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    warcSynthRecords(spark, dir).as[(Long, String, String)]
+      .mapPartitions { it =>
+        val defl = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => defl.end()))
+        it.map { case (id, r1, r2) =>
+          (id, gzipMember(defl, r1.getBytes(UTF_8)) ++
+            gzipMember(defl, r2.getBytes(UTF_8)))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Gzip member walk over any (doc_id, payload binary) frame: each
+    * blob's concatenated RFC 1952 members inflate through ONE
+    * per-task Inflater (nowrap — gzip framing is parsed here, not by
+    * zlib) into (doc_id, gz_members, blob text). Header parsing
+    * honors the optional fields real .warc.gz writers emit (FEXTRA /
+    * FNAME / FCOMMENT / FHCRC skips); every member's CRC32 and ISIZE
+    * trailer is VERIFIED against the inflated bytes — a member that
+    * fails magic, inflation, or checksum stops the walk with the
+    * prior members intact (poison blobs degrade, never throw, the
+    * 100 TB ingest rule). Member boundaries come from
+    * Inflater.getBytesRead, so payload bytes that look like gzip
+    * magic can't derail the hop. */
+  def gunzipMembers(blobs: DataFrame, maxMembers: Int = 8): DataFrame = {
+    import blobs.sparkSession.implicits._
+    blobs.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val inf = new java.util.zip.Inflater(true)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => inf.end()))
+        it.map { case (id, b) =>
+          val (n, text) = walkGzipMembers(b, maxMembers, inf)
+          (id, n, text)
+        }
+      }.toDF("doc_id", "gz_members", "blob")
+  }
+
+  /** One blob's member walk: (members verified, concatenated
+    * inflated text). */
+  private[operators] def walkGzipMembers(
+      b: Array[Byte], maxMembers: Int,
+      inf: java.util.zip.Inflater): (Int, String) = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = le16(i).toLong | (le16(i + 2).toLong << 16)
+    val out = new java.io.ByteArrayOutputStream()
+    var members = 0
+    var o = 0
+    var ok = true
+    while (ok && members < maxMembers && o + 10 <= b.length &&
+           u8(o) == 0x1f && u8(o + 1) == 0x8b && u8(o + 2) == 8) {
+      val flg = u8(o + 3)
+      var ho = o + 10
+      if ((flg & 4) != 0) // FEXTRA: 2-byte little-endian length + bytes
+        ho = if (ho + 2 <= b.length) ho + 2 + le16(ho) else b.length + 1
+      if ((flg & 8) != 0) { // FNAME: NUL-terminated
+        while (ho < b.length && b(ho) != 0) ho += 1
+        ho += 1
+      }
+      if ((flg & 16) != 0) { // FCOMMENT: NUL-terminated
+        while (ho < b.length && b(ho) != 0) ho += 1
+        ho += 1
+      }
+      if ((flg & 2) != 0) ho += 2 // FHCRC
+      if (ho >= b.length) ok = false
+      else {
+        try {
+          inf.reset()
+          inf.setInput(b, ho, b.length - ho)
+          val mem = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](512)
+          var stalled = false
+          while (!inf.finished() && !stalled) {
+            val n = inf.inflate(buf)
+            if (n == 0) stalled = inf.needsInput() || inf.needsDictionary()
+            else mem.write(buf, 0, n)
+          }
+          val consumed = inf.getBytesRead.toInt
+          val body = mem.toByteArray
+          if (!inf.finished() || ho + consumed + 8 > b.length) ok = false
+          else {
+            val crc = new java.util.zip.CRC32(); crc.update(body)
+            if (le32(ho + consumed) == crc.getValue &&
+                le32(ho + consumed + 4) == (body.length.toLong & 0xffffffffL)) {
+              out.write(body); members += 1; o = ho + consumed + 8
+            } else ok = false
+          }
+        } catch { case _: java.util.zip.DataFormatException => ok = false }
+      }
+    }
+    (members, new String(out.toByteArray, UTF_8))
+  }
+
+  /** f8: GZIP-WRAPPED WARC ingestion — CommonCrawl's wire format
+    * (`.warc.gz`, one gzip member per record). The member walk
+    * ([[gunzipMembers]]: per-task nowrap Inflater behind the f5
+    * lifecycle, header-flag skips, CRC/ISIZE verification per
+    * member) reassembles the record stream, which then parses
+    * through the SAME bounded-hop walker as bare WARC (f6) — the
+    * composition the r10 verdict named: without it a 100 TB crawl
+    * dump needs out-of-band pre-decompression. gz_members rides on
+    * every row, gating the member-BOUNDARY logic: a walk that
+    * inflated across a boundary or missed a member can't report 2.
+    * Oracle recomputes every field first-principles from the
+    * synthesis rules, hash-gating the compress→walk→inflate→parse
+    * round trip even though DuckDB cannot gunzip. */
+  def f8WarcGz(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    parseWarcRecords(gunzipMembers(warcGzCorpus(spark, dir)),
+      carry = Seq("gz_members"))
+      .orderBy($"doc_id", $"record_idx")
   }
 
   /** f7: PDF TEXT extraction — m14 reads the skeleton; this pulls
@@ -656,6 +817,7 @@ object FileIngest {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f8_warc_gz" -> f8WarcGz _,
     "f7_pdf_text" -> f7PdfText _,
     "f6_warc_ingest" -> f6WarcIngest _,
     "f3_encoding_sniff" -> f3EncodingSniff _,
@@ -665,6 +827,28 @@ object FileIngest {
     "f5_deflate_ingest" -> f5DeflateIngest _)
 
   val oracles: Map[String, String] = Map(
+    // first-principles recompute of the .warc.gz synthesis: records
+    // and fields derive from the f6 rules, gz_members is the
+    // two-members-per-doc layout — a walk that missed a boundary,
+    // failed a CRC, or inflated across members can't hash-match
+    "f8_warc_gz" ->
+      """WITH base AS (
+        |  SELECT doc_id, replace(text, chr(13), '') AS clean,
+        |    'https://host' || (doc_id % 3) || '.example.com/page/' || doc_id
+        |      AS uri
+        |  FROM documents),
+        |recs AS (
+        |  SELECT doc_id, 1 AS record_idx, 'response' AS warc_type,
+        |    uri AS target_uri,
+        |    substring(clean, 1, 40 + CAST(doc_id % 25 AS INTEGER)) AS content
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'metadata', uri, 'fetched=' || doc_id FROM base)
+        |SELECT doc_id, CAST(2 AS INTEGER) AS gz_members,
+        |  CAST(record_idx AS INTEGER) AS record_idx, warc_type,
+        |  target_uri, CAST(length(content) AS BIGINT) AS content_len, content
+        |FROM recs
+        |ORDER BY doc_id, record_idx""".stripMargin,
     // first-principles recompute of the stream plaintext from the
     // synthesis rules — the compress->walk->inflate round trip is
     // hash-gated without DuckDB ever inflating

@@ -231,4 +231,69 @@ class FileIngestSpec extends SparkSpec {
     assert(out(2L) == (("plain", "plain words", 2L)))
     assert(!out.contains(3L) && !out.contains(4L))
   }
+
+  test("f8 gunzips REAL JDK GZIPOutputStream members; FNAME skip; poison members stop clean") {
+    import spark.implicits._
+    def rec(typ: String, payload: String): String =
+      s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Target-URI: https://x/1\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n$payload\r\n\r\n"
+    // the STANDARD library writer, not our framing code — interop
+    // proof that walkGzipMembers reads what real tools write
+    def jdkGzip(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close(); bos.toByteArray
+    }
+    // an FNAME-flagged member (flag bit 3 + NUL-terminated name),
+    // which GZIPOutputStream never emits but real .warc.gz writers do
+    def fnameGzip(s: String, name: String): Array[Byte] = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(s.getBytes("UTF-8")); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 8, 0, 0, 0, 0, 0, 0))
+      out.write(name.getBytes("US-ASCII")); out.write(0)
+      val buf = new Array[Byte](256)
+      while (!d.finished()) { val n = d.deflate(buf); out.write(buf, 0, n) }
+      d.end()
+      val crc = new java.util.zip.CRC32(); crc.update(s.getBytes("UTF-8"))
+      def le32(v: Long): Unit = (0 to 3).foreach(i =>
+        out.write(((v >> (8 * i)) & 0xff).toInt))
+      le32(crc.getValue); le32(s.getBytes("UTF-8").length.toLong)
+      out.toByteArray
+    }
+    val r1 = rec("response", "héllo wörld")  // non-ASCII round trip
+    val r2 = rec("metadata", "fetched=1")
+    val good = jdkGzip(r1) ++ jdkGzip(r2)
+    val corrupted = {
+      val c = jdkGzip(r1) ++ jdkGzip(r2)
+      c(c.length - 8) = (c(c.length - 8) ^ 0xff).toByte // flip 2nd CRC byte 0
+      c
+    }
+    val truncated = good.dropRight(4) // 2nd member loses half its trailer
+    val blobs = Seq(
+      (1L, good),
+      (2L, fnameGzip(r2, "record.warc")),
+      (3L, corrupted),
+      (4L, truncated),
+      (5L, "plain bytes, not gzip".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val walked = FileIngest.gunzipMembers(blobs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(walked(1L) == ((2, r1 + r2)), "JDK-written members must round-trip")
+    assert(walked(2L) == ((1, r2)), "FNAME header must be skipped, not inflated")
+    assert(walked(3L) == ((1, r1)),
+      "a CRC-failed member must drop, keeping prior members")
+    assert(walked(4L) == ((1, r1)),
+      "a truncated trailer must drop the member, keeping prior members")
+    assert(walked(5L) == ((0, "")), "non-gzip blobs yield the empty walk")
+    // the reassembled stream parses as WARC with the member count riding
+    val recs = FileIngest.parseWarcRecords(
+      FileIngest.gunzipMembers(blobs).filter($"doc_id" === 1L),
+      carry = Seq("gz_members")).collect()
+    assert(recs.length == 2)
+    assert(recs.forall(_.getAs[Int]("gz_members") == 2))
+    assert(recs.map(_.getAs[String]("content")).toSet ==
+      Set("héllo wörld", "fetched=1"))
+  }
 }
