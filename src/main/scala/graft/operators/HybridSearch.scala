@@ -29,7 +29,7 @@ object HybridSearch {
     * as their bare forms, matching the top-10 lists a migrating qurio
     * user compares against. \p{L}\p{N} (not [a-z0-9]) so non-ASCII
     * words survive like Weaviate's unicode-aware tokenizer. */
-  private[operators] val WordTokenPattern = "[\\p{L}\\p{N}]+"
+  private[graft] val WordTokenPattern = "[\\p{L}\\p{N}]+"
 
   private def docTokens(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -81,7 +81,19 @@ object HybridSearch {
     val dfAggs = queryTerms.indices.map(i =>
       sum(when(col(s"tf_$i") > 0, 1.0).otherwise(0.0)).as(s"df_$i"))
     val stats = base.agg(dfAggs.head, dfAggs.tail: _*).crossJoin(corpus)
-    val w = queryTerms.indices.map { i =>
+    scoreBm25(base, stats, queryTerms.size)
+  }
+
+  /** The BM25 scoring pass over a prepared (doc_id, dl, tf_0..tf_n)
+    * base and a one-row (df_0..df_n, n_docs, corpus_avgdl) stats
+    * frame — shared by the scan path ([[bm25Scores]]) and the
+    * persisted-index path (sources.TextIndex.bm25Serve) so the two
+    * CANNOT drift: identical expression tree, identical fold order,
+    * identical rounding. */
+  private[graft] def scoreBm25(base: DataFrame, stats: DataFrame,
+                               nTerms: Int): DataFrame = {
+    import base.sparkSession.implicits._
+    val w = (0 until nTerms).map { i =>
       val tf = col(s"tf_$i"); val df = col(s"df_$i")
       val idf = log(lit(1.0) + ($"n_docs" - df + 0.5) / (df + 0.5))
       idf * (tf * (K1 + 1.0)) /
@@ -641,7 +653,19 @@ object HybridSearch {
       sum(when(col(s"tt_$i") + col(s"bt_$i") > 0, 1.0).otherwise(0.0))
         .as(s"df_$i"))
     val stats = base.agg(dfAggs.head, dfAggs.tail: _*).crossJoin(corpus)
-    val score = queryTerms.indices.map { i =>
+    scoreFielded(base, stats, queryTerms.size, wTitle, wBody, limit)
+  }
+
+  /** The BM25F scoring pass over a prepared (doc_id, nlt, nlb,
+    * tt_0.., bt_0..) base and a one-row (df_0.., n_docs, avgdlt,
+    * avgdlb) stats frame — shared by the scan path and the
+    * persisted-index path (sources.TextIndex.fieldedServe), same
+    * no-drift contract as [[scoreBm25]]. */
+  private[graft] def scoreFielded(base: DataFrame, stats: DataFrame,
+                                  nTerms: Int, wTitle: Double,
+                                  wBody: Double, limit: Int): DataFrame = {
+    import base.sparkSession.implicits._
+    val score = (0 until nTerms).map { i =>
       val idf = log(lit(1.0) +
         ($"n_docs" - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5))
       // avgdl floors at 1.0: a corpus-wide-empty field has tf 0
@@ -692,7 +716,35 @@ object HybridSearch {
       .orderBy($"score".desc, $"doc_id").limit(k)
   }
 
+  /** The session's PERSISTED text index for `dir` — built once per
+    * (session, corpus) into a fresh directory (the TrainedModels
+    * memo, the same train-once/serve-many discipline as the ANN
+    * quantizers); a deployment swaps the temp path for a permanent
+    * store location. */
+  def textIndexPath(spark: SparkSession, dir: String): String =
+    graft.TrainedModels.memo(spark, s"text_index:$dir") {
+      val p = java.nio.file.Files.createTempDirectory("graft_text_index")
+        .toString
+      graft.sources.TextIndex.write(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")), p)
+      p
+    }
+
+  /** s17: BM25 served FROM the persisted index — s1's exact query
+    * answered by reading the written postings/vocab/stats artifacts
+    * (bucket-pruned scan, shared scorer) instead of re-tokenizing
+    * the corpus; the oracle is s1's, so the write→load→serve round
+    * trip is hash-gated to reproduce scan-path scores exactly. */
+  def s17ServedBm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.TextIndex
+      .bm25Serve(spark, textIndexPath(spark, dir), QueryTerms)
+      .orderBy($"score".desc, $"doc_id").limit(10)
+      .select($"doc_id", $"score")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s17_served_bm25" -> s17ServedBm25 _,
     "s14_semantic_collapsed" -> ((s, d) => s14SemanticCollapsedSearch(s, d)),
     "s13_fielded_bm25" -> s13FieldedBm25 _,
     "s12_collapsed_search" -> ((s, d) => s12CollapsedSearch(s, d)),
@@ -858,6 +910,11 @@ object HybridSearch {
     }
 
   val oracles: Map[String, String] = oraclesBase +
+    // s17 must reproduce the SCAN path's scores exactly from the
+    // persisted artifacts, so its oracle IS s1's query — any drift in
+    // the write→load→serve round trip (lost postings, wrong df,
+    // length-norm mismatch) hash-fails against the same ground truth
+    ("s17_served_bm25" -> oraclesBase("s1_keyword_bm25")) +
     ("s13_fielded_bm25" -> s13Sql) +
     // same distinct-term vocabulary as s11, same prefix lengths,
     // same (df desc, term) ranking

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.HybridSearch
+import graft.sources.TextIndex
+
+/** Persisted text-serving index: the build-once/serve-from-disk
+  * layout for the BM25 family. Every serving path must return
+  * EXACTLY what its scan-path twin computes (same scorer, same
+  * stats, same tie-breaks), and the postings read must be a
+  * partition-pruned scan of the query terms' hash buckets. */
+class TextIndexSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // built once for the suite via the same session memo s17 uses
+  private lazy val path = HybridSearch.textIndexPath(spark, sfDir)
+
+  test("served BM25 equals the scan path bit-for-bit; postings scan is bucket-pruned") {
+    val served = TextIndex.bm25Serve(spark, path, HybridSearch.QueryTerms)
+      .orderBy($"score".desc, $"doc_id").limit(10)
+    val scan = HybridSearch.s1KeywordBm25(spark, sfDir)
+    assert(served.select($"doc_id", $"score").collect().toSeq ==
+      scan.collect().toSeq)
+    // the postings read prunes to the query terms' bucket directories
+    val plan = served.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("pbucket"))
+    assert(pf.isDefined,
+      s"pbucket not in PartitionFilters:\n${plan.take(1500)}")
+    // and the term equality is pushed into the row groups
+    assert(plan.contains("PushedFilters") && plan.contains("term"),
+      "term predicate must reach the parquet scan")
+    // the memo builds once per session
+    assert(TrainedModels.buildCount(spark, s"text_index:$sfDir") == 1)
+  }
+
+  test("served BM25F equals s13 exactly") {
+    val served = TextIndex.fieldedServe(spark, path, HybridSearch.QueryTerms)
+    val scan = HybridSearch.s13FieldedBm25(spark, sfDir)
+    assert(served.collect().toSeq == scan.collect().toSeq)
+    Caches.releaseAll()
+  }
+
+  test("fuzzy corrections from the persisted vocab equal s11") {
+    val served = TextIndex.correctionsServe(spark, path,
+      HybridSearch.FuzzyProbes)
+    val scan = HybridSearch.s11FuzzyCorrect(spark, sfDir)
+    assert(served.collect().toSeq == scan.collect().toSeq)
+  }
+
+  test("completions from the persisted ranked prefix table equal s15") {
+    // the full table equals the scan-built index...
+    val all = spark.read.parquet(s"$path/prefixes")
+      .orderBy($"prefix", $"rank")
+      .select($"prefix", $"rank", $"term", $"df").collect()
+    val scan = HybridSearch.s15Autocomplete(spark, sfDir).collect()
+    assert(all.toSeq == scan.toSeq)
+    // ...and a point lookup serves just its prefixes
+    val some = TextIndex.completeServe(spark, path, Seq("th", "tha"))
+      .collect()
+    assert(some.nonEmpty &&
+      some.forall(r => Set("th", "tha")(r.getString(0))))
+    assert(some.toSeq ==
+      scan.filter(r => Set("th", "tha")(r.getString(0))).toSeq)
+  }
+
+  test("more-like-this from forward index + postings equals s16") {
+    val served = TextIndex.moreLikeThisServe(spark, path, seedId = 0L)
+    val scan = HybridSearch.s16MoreLikeThis(spark, sfDir)
+    assert(served.collect().toSeq == scan.collect().toSeq)
+    Caches.releaseAll()
+  }
+
+  test("forward-index seed lookup prunes to the seed's doc bucket") {
+    val seed = spark.read.parquet(s"$path/forward")
+      .filter($"dbucket" === 0L && $"doc_id" === 0L)
+    val plan = seed.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("dbucket"))
+    assert(pf.isDefined,
+      s"dbucket not in PartitionFilters:\n${plan.take(1500)}")
+  }
+}
