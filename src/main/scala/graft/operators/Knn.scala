@@ -1509,6 +1509,127 @@ object Knn {
       .select($"q_id", $"vec_id")
   }
 
+  /** Exact rerank of a candidate edge set to top-k per node — the
+    * shared tail of every graph-construction path here (seed join,
+    * descent rounds, incremental append): two id-keyed hash joins
+    * fetch the vectors, the heap window keeps k. */
+  private def rerankTopK(cand: DataFrame, vecs: DataFrame,
+                         k: Int): DataFrame = {
+    import cand.sparkSession.implicits._
+    val wK = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")
+    cand
+      .join(vecs.select($"vec_id".as("q_id"), $"v".as("qv")), "q_id")
+      .join(vecs, "vec_id")
+      .select($"q_id", $"vec_id", V.cosineD($"qv", $"v").as("cosine_raw"))
+      .withColumn("rnk", row_number().over(wK))
+      .filter($"rnk" <= k)
+      .select($"q_id", $"vec_id")
+  }
+
+  /** The NN-Descent build LOOP — the production shape whose
+    * fixed-round report a21 measures: refine until the per-round
+    * edge DELTA (directed edges present this round that the previous
+    * round lacked — the WWW'11 paper's update counter c, the
+    * termination signal it prescribes) dries to ≤ `minDelta`, capped
+    * at `maxRounds`. Each round localCheckpoints: the edge tables
+    * are two longs per row but their LINEAGE is the whole build, and
+    * the delta count + next round would otherwise re-analyze the
+    * full tree per action on the driver (the measured a21 lesson).
+    * The delta count is ONE driver-side long per round — loop
+    * control, the count-gated collect class. Returns the final
+    * graph and the per-round deltas (KnnSpec pins delta ↓ 0 and
+    * convergence to the exact graph on a planted corpus). */
+  def nnDescentBuild(vecs: DataFrame, seed: DataFrame, k: Int,
+                     maxRounds: Int = 8, minDelta: Long = 0L)
+      : (DataFrame, Seq[Long]) = {
+    var g = seed.localCheckpoint()
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var dry = false
+    var r = 0
+    while (!dry && r < maxRounds) {
+      val next = descentRound(g, vecs, k).localCheckpoint()
+      val delta = next.join(g, Seq("q_id", "vec_id"), "left_anti").count()
+      deltas += delta
+      g = next
+      r += 1
+      dry = delta <= minDelta
+    }
+    (g, deltas.toSeq)
+  }
+
+  /** INCREMENTAL kNN-graph maintenance — the appendToIvfIndex
+    * contract applied to a22's edge table: a new vector batch joins
+    * an EXISTING graph without a rebuild. (1) SEED: only the batch
+    * hashes through the same LSH geometry and bucket-joins against
+    * the corpus's capped buckets — candidates are batch × colliding
+    * vectors, never corpus × corpus. (2) REFINE: one
+    * neighbor-of-neighbor expansion through the EXISTING graph's
+    * undirected view (a new node's seed neighbors donate their
+    * neighbors), exact-reranked to top-k — the descent step with the
+    * rerank touching ONLY the batch. (3) BACK-PATCH: existing nodes
+    * that a new node reached rerank their top-k over current edges ∪
+    * the reversed new edges — the bidirectional-link step of every
+    * HNSW/NN-Descent insert, set-at-a-time; nodes the batch never
+    * touched pass through UNCHANGED (KnnSpec pins it). Cost tracks
+    * batch size × degree, not corpus size; at scale the bucket table
+    * is a stored artifact next to the edge table (the writeIvfIndex
+    * layout discipline), so step (1) reads, not recomputes, the
+    * corpus side. */
+  def appendToNnGraph(oldGraph: DataFrame, vecs: DataFrame,
+                      newIds: DataFrame, k: Int, tables: Int = 4,
+                      bits: Int = 6, bucketCap: Int = 256): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val vv = graft.Caches.persist(vecs.select($"vec_id", $"v"))
+    // corpus bucket table (stored next to the graph in a deployment)
+    val capped = {
+      val buckets = vv
+        .withColumn("sigs", expr(s"hyperplane_sig(v, $tables, $bits)"))
+        .select($"vec_id", posexplode($"sigs"))
+        .select($"vec_id", $"pos".as("tbl"), $"col".as("sig"))
+      val wB = Window.partitionBy($"tbl", $"sig")
+      buckets.withColumn("bcnt", count(lit(1)).over(wB))
+        .filter($"bcnt" <= bucketCap)
+        .select($"vec_id", $"tbl", $"sig")
+    }
+    val ids = newIds.select($"vec_id").distinct()
+    // (1) seed: batch-side buckets only join the corpus buckets
+    val newB = capped.join(broadcast(ids), "vec_id")
+    val seedCand = newB.as("a")
+      .join(capped.as("b"),
+        $"a.tbl" === $"b.tbl" && $"a.sig" === $"b.sig" &&
+          $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("q_id"), $"b.vec_id".as("vec_id"))
+      .dropDuplicates("q_id", "vec_id")
+    val seedNew = rerankTopK(seedCand, vv, k).localCheckpoint()
+    // (2) refine: seed neighbors donate their neighbors through the
+    // existing graph's undirected view; rerank only the batch
+    val undOld = oldGraph.select($"q_id".as("node"), $"vec_id".as("nbr"))
+      .unionByName(oldGraph.select($"vec_id".as("node"), $"q_id".as("nbr")))
+      .dropDuplicates("node", "nbr")
+    val cand2 = seedNew.as("s")
+      .join(undOld, $"s.vec_id" === $"node" && $"nbr" =!= $"s.q_id")
+      .select($"s.q_id".as("q_id"), $"nbr".as("vec_id"))
+    val newEdges = rerankTopK(
+      seedNew.unionByName(cand2).dropDuplicates("q_id", "vec_id"),
+      vv, k).localCheckpoint()
+    // (3) back-patch the reached existing nodes; everyone else's
+    // edges pass through untouched
+    val rev = newEdges
+      .join(ids.withColumnRenamed("vec_id", "q_id"), Seq("q_id"), "left_semi")
+      .select($"vec_id".as("q_id"), $"q_id".as("vec_id"))
+      .join(ids.select($"vec_id".as("q_id")), Seq("q_id"), "left_anti")
+    val dirty = rev.select($"q_id").distinct()
+    val patched = rerankTopK(
+      oldGraph.join(dirty, Seq("q_id"), "left_semi")
+        .unionByName(rev).dropDuplicates("q_id", "vec_id"),
+      vv, k)
+    oldGraph.join(dirty, Seq("q_id"), "left_anti")
+      .unionByName(patched)
+      .unionByName(newEdges)
+  }
+
   /** The NN-Descent build as SHARED per-round materializations —
     * built once per corpus, read by BOTH consumers: a21's per-round
     * recall report and a22's serving walk (the d17/a17 accounting —

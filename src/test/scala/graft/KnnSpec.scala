@@ -477,4 +477,86 @@ class KnnSpec extends SparkSpec {
     }
     Caches.releaseAll()
   }
+
+  test("nnDescentBuild loops until the edge delta dries and converges to the exact graph") {
+    import spark.implicits._
+    // planted corpus: 4 well-separated clusters of 10, each cluster a
+    // SMOOTH 1-D angular chain (hot axis + a secondary axis whose
+    // value grows with the in-cluster index) — cosine decreases
+    // monotonically with in-chain distance, so the exact top-3 graph
+    // is the chain's and neighbor-of-neighbor expansion can always
+    // reach it (an arbitrary jitter plant can trap descent in a
+    // sub-clique local optimum — a real NN-Descent property, not a
+    // bug)
+    val vecs = (0L until 40L).map { i =>
+      val c = (i / 10).toInt
+      val v = Array.fill(8)(0.0)
+      v(c) = 10.0
+      v(4 + c) = (i % 10) * 0.3
+      (i, v.toSeq)
+    }.toDF("vec_id", "v")
+    // deliberately bad seed: a directed ring, mostly wrong neighbors
+    val seed = (0L until 40L).map(i => (i, (i + 1) % 40)).toDF("q_id", "vec_id")
+    val (g, deltas) = Knn.nnDescentBuild(vecs, seed, k = 3, maxRounds = 10)
+    assert(deltas.nonEmpty && deltas.last == 0L,
+      s"loop must run until dry: $deltas")
+    assert(deltas.size < 10, "planted corpus must converge before the cap")
+    // delta decreases monotonically to zero on this corpus
+    assert(deltas.zip(deltas.tail).forall { case (a, b) => b <= a },
+      s"delta must be monotone on the planted corpus: $deltas")
+    // the fixpoint IS the exact graph
+    val exact = pairs(Knn.knnJoinOf(vecs, tables = 1, bits = 0, k = 3,
+      bucketCap = 1000).select($"q_id", $"vec_id"))
+    assert(pairs(g.select($"q_id", $"vec_id")) == exact,
+      "the dried graph must equal the exact top-3 graph")
+    Caches.releaseAll()
+  }
+
+  test("appendToNnGraph: batch joins the graph incrementally, untouched nodes unchanged, recall tracks rebuild") {
+    import spark.implicits._
+    val all = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", graft.functions.VectorFunctions
+        .asDouble($"embedding").as("v"))
+    val newIds = all.filter($"vec_id" < 50).select($"vec_id")
+    val oldVecs = all.filter($"vec_id" >= 50)
+    val k = 3
+    def lshSeed(vs: org.apache.spark.sql.DataFrame) =
+      Knn.knnJoinOf(vs, tables = 4, bits = 6, k = k, bucketCap = 256)
+        .select($"q_id", $"vec_id")
+    val (oldGraph, _) = Knn.nnDescentBuild(oldVecs, lshSeed(oldVecs), k,
+      maxRounds = 2)
+    val appended = Knn.appendToNnGraph(oldGraph, all, newIds, k)
+      .localCheckpoint()
+    // every new node has exactly k edges; no self-edges anywhere
+    val perNew = appended.join(newIds.withColumnRenamed("vec_id", "q_id"),
+        Seq("q_id"), "left_semi")
+      .groupBy($"q_id").count().select($"count").distinct().collect()
+    assert(perNew.map(_.getLong(0)).toSeq == Seq(k.toLong))
+    assert(appended.filter($"q_id" === $"vec_id").count() == 0)
+    // nodes the batch never reached keep their edge sets bit-identical
+    val reached = appended.join(newIds, Seq("vec_id"), "left_semi")
+      .select($"q_id").distinct()
+      .join(newIds.withColumnRenamed("vec_id", "q_id"), Seq("q_id"),
+        "left_anti")
+    val untouchedOld = oldGraph
+      .join(reached, Seq("q_id"), "left_anti")
+      .join(newIds.withColumnRenamed("vec_id", "q_id"), Seq("q_id"),
+        "left_anti")
+    val inAppended = pairs(appended.select($"q_id", $"vec_id"))
+    assert(pairs(untouchedOld.select($"q_id", $"vec_id"))
+      .subsetOf(inAppended), "untouched nodes' edges must pass through")
+    // recall on a probe sample tracks a from-scratch rebuild
+    val (rebuilt, _) = Knn.nnDescentBuild(all, lshSeed(all), k, maxRounds = 2)
+    val exactProbe = pairs(Knn.knnJoinOf(all, tables = 1, bits = 0, k = k,
+        bucketCap = 1000000)
+      .filter($"q_id" < 25).select($"q_id", $"vec_id"))
+    def recallOf(g: org.apache.spark.sql.DataFrame): Double = {
+      val got = pairs(g.filter($"q_id" < 25).select($"q_id", $"vec_id"))
+      got.intersect(exactProbe).size.toDouble / exactProbe.size
+    }
+    val ra = recallOf(appended); val rr = recallOf(rebuilt)
+    assert(ra >= 0.9 * rr,
+      s"appended recall $ra must track rebuild recall $rr")
+    Caches.releaseAll()
+  }
 }
