@@ -392,6 +392,57 @@ object Robots {
       .orderBy($"host")
   }
 
+  /** HIERARCHICAL (TLD → host) Hamilton apportionment — the
+    * web-scale form of [[apportionBudget]]: level 1 splits the
+    * budget across TLD mass aggregates (the only partition-LESS
+    * window left runs over TLD-cardinality rows — bounded by the
+    * registry, ~1.5k, at ANY frontier size), and level 2 splits each
+    * TLD's quota across its own hosts with the remainder window
+    * PARTITIONED BY TLD — so no global total-order ever touches a
+    * row count the crawl frontier controls. Same exact decimal(38,0)
+    * arithmetic per level; on a single-TLD frontier the two-level
+    * split degenerates to flat Hamilton exactly (RobotsSpec pins
+    * both that and that the per-TLD quotas tile the budget). */
+  def apportionBudgetHierarchical(frontier: DataFrame,
+                                  budget: Long): DataFrame = {
+    import frontier.sparkSession.implicits._
+    val hosts = frontier.groupBy($"host")
+      .agg(count(lit(1)).as("n_pending"),
+        sum($"rank_e12".cast("decimal(38,0)")).as("mass_w"))
+      .withColumn("tld", substring_index($"host", ".", -1))
+    // level 1: Hamilton over TLD aggregates
+    val tlds = hosts.groupBy($"tld").agg(sum($"mass_w").as("tmass_w"))
+    val tot = tlds.agg(sum($"tmass_w").as("gmass"))
+    val wAll = Window.partitionBy()
+    val wRemT = Window.orderBy($"trem".desc, $"tld")
+    val tldQuota = tlds.crossJoin(broadcast(tot))
+      .withColumn("tbase", expr(
+        s"CAST((tmass_w * $budget) div gmass AS BIGINT)"))
+      .withColumn("trem", ($"tmass_w" * budget) % $"gmass")
+      .withColumn("tshort", lit(budget) - sum($"tbase").over(wAll))
+      .withColumn("trrank", row_number().over(wRemT).cast("long"))
+      .withColumn("tquota",
+        $"tbase" + when($"trrank" <= $"tshort", 1L).otherwise(0L))
+      .select($"tld", $"tquota", $"tmass_w")
+    // level 2: Hamilton within each TLD, every window keyed by the
+    // parent — host cardinality never meets a single partition
+    val wTld = Window.partitionBy($"tld")
+    val wRemH = Window.partitionBy($"tld").orderBy($"rem".desc, $"host")
+    hosts.join(broadcast(tldQuota), "tld")
+      .withColumn("base", expr(
+        "CAST((mass_w * tquota) div tmass_w AS BIGINT)"))
+      .withColumn("rem", ($"mass_w" * $"tquota") % $"tmass_w")
+      .withColumn("short", $"tquota" - sum($"base").over(wTld))
+      .withColumn("rrank", row_number().over(wRemH).cast("long"))
+      .withColumn("quota",
+        $"base" + when($"rrank" <= $"short", 1L).otherwise(0L))
+      .withColumn("granted", least($"n_pending", $"quota"))
+      .select($"host", $"tld", $"n_pending",
+        $"mass_w".cast("long").as("mass"), $"quota", $"granted",
+        ($"quota" - $"granted").as("spilled"))
+      .orderBy($"host")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c25_crawl_budget" -> ((s, d) => c25CrawlBudget(s, d)),
     "c24_recrawl_schedule" -> c24RecrawlSchedule _,

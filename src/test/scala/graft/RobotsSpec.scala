@@ -183,6 +183,51 @@ class RobotsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("hierarchical apportionment: two-level quotas tile the budget; single TLD ≡ flat Hamilton") {
+    import spark.implicits._
+    // multi-TLD frontier with uneven mass and nontrivial remainders
+    val frontier = Seq(
+      ("a.com", 5L), ("a.com", 2L), ("b.com", 9L), ("c.com", 1L),
+      ("x.org", 4L), ("y.org", 4L), ("z.org", 3L),
+      ("q.net", 6L))
+      .toDF("host", "rank_e12")
+    val budget = 17L
+    val rows = Robots.apportionBudgetHierarchical(frontier, budget)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.map(_._5).sum == budget, "host quotas must tile the budget")
+    // per-TLD quotas tile the TLD's level-1 grant: recompute level 1
+    // by hand from the masses
+    val byTld = rows.groupBy(_._2)
+    val masses = byTld.view.mapValues(_.map(_._4).sum).toMap
+    val gmass = masses.values.sum
+    val bases = masses.view.mapValues(m => budget * m / gmass).toMap
+    val rems = masses.map { case (t, m) => t -> (budget * m) % gmass }
+    val short = budget - bases.values.sum
+    val topUp = rems.toSeq.sortBy { case (t, r) => (-r, t) }
+      .take(short.toInt).map(_._1).toSet
+    byTld.foreach { case (tld, hs) =>
+      val expected = bases(tld) + (if (topUp(tld)) 1L else 0L)
+      assert(hs.map(_._5).sum == expected,
+        s"$tld host quotas ${hs.map(_._5).sum} must tile its grant $expected")
+      // the Hamilton guarantee holds within the TLD
+      hs.foreach { case (h, _, np, m, q, g, sp) =>
+        val base = expected * m / masses(tld)
+        assert(q == base || q == base + 1, s"$h quota $q vs base $base")
+        assert(g == math.min(np, q) && sp == q - g)
+      }
+    }
+    // single-TLD corpus: the two-level split degenerates to flat
+    val single = frontier.filter($"host".endsWith(".org"))
+    val flat = Robots.apportionBudget(single, 11L).collect()
+      .map(r => (r.getString(0), r.getLong(3))).toSeq
+    val hier = Robots.apportionBudgetHierarchical(single, 11L).collect()
+      .map(r => (r.getString(0), r.getLong(4))).toSeq
+    assert(hier == flat, "single TLD must equal flat Hamilton exactly")
+    Caches.releaseAll()
+  }
+
   test("paceByHost window ≡ the serial-queue recurrence t_k = max(due_k, t_(k-1)+delay)") {
     import spark.implicits._
     // one host, delay 10: due times force both recurrence branches
