@@ -300,9 +300,14 @@ object HybridSearch {
         .agg(sum(coalesce($"rel", lit(0.0)) / log2($"rnk" + 1)).as("dcg"))
         .select(lit(name).as("method"), $"dcg")
     val idcg = dcgOf("vector_exact", ideal).select($"dcg".as("idcg"))
+    // s4's rerank carries its own composite order (rerank desc,
+    // hybrid desc, doc_id) — its final_rank IS the ranking
+    val reranked = s4Rerank(spark, dir).filter($"final_rank" <= k)
+      .select($"doc_id", $"final_rank".as("rnk"))
     dcgOf("bm25", ranked(bm25(spark, dir), "score"))
       .union(dcgOf("fielded", ranked(s13FieldedBm25(spark, dir), "score")))
       .union(dcgOf("hybrid", ranked(s3HybridSearch(spark, dir), "hybrid_score")))
+      .union(dcgOf("reranked", reranked))
       .union(dcgOf("rrf", ranked(s6RrfFusion(spark, dir), "rrf_score")))
       .union(dcgOf("vector_exact", ideal))
       .crossJoin(broadcast(idcg))
@@ -1158,6 +1163,10 @@ object HybridSearch {
          |m_fielded AS ${s8RankedSql(s13Sql, "score")},
          |m_hybrid AS ${s8RankedSql(oraclesBase("s3_hybrid_search"), "hybrid_score")},
          |m_rrf AS ${s8RankedSql(oraclesBase("s6_rrf_fusion"), "rrf_score")},
+         |m_reranked AS (
+         |  SELECT doc_id, final_rank AS rnk FROM (
+         |$s4Sql
+         |) WHERE final_rank <= 10),
          |dcg AS (
          |  SELECT 'bm25' AS method, sum(coalesce(rel, 0.0) / log2(rnk + 1)) AS dcg
          |  FROM m_bm25 LEFT JOIN rel USING (doc_id)
@@ -1167,6 +1176,9 @@ object HybridSearch {
          |  UNION ALL
          |  SELECT 'hybrid', sum(coalesce(rel, 0.0) / log2(rnk + 1))
          |  FROM m_hybrid LEFT JOIN rel USING (doc_id)
+         |  UNION ALL
+         |  SELECT 'reranked', sum(coalesce(rel, 0.0) / log2(rnk + 1))
+         |  FROM m_reranked LEFT JOIN rel USING (doc_id)
          |  UNION ALL
          |  SELECT 'rrf', sum(coalesce(rel, 0.0) / log2(rnk + 1))
          |  FROM m_rrf LEFT JOIN rel USING (doc_id)
@@ -1180,22 +1192,27 @@ object HybridSearch {
          |  round(dcg / idcg, 4) AS ndcg_at_10
          |FROM dcg, idcg
          |ORDER BY method""".stripMargin) +
-    ("s4_rerank" ->
-      s"""WITH s3res AS (
-         |$s3Sql
-         |),
-         |toks AS (
-         |  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS dtok
-         |  FROM documents),
-         |rr AS (
-         |  SELECT s3res.doc_id, s3res.hybrid_score,
-         |    round(CAST(len(list_intersect(dtok, ['spark','join','filter'])) AS DOUBLE)
-         |        / len(list_distinct(list_concat(dtok, ['spark','join','filter']))), 6) AS rerank_score
-         |  FROM s3res JOIN toks ON s3res.doc_id = toks.doc_id)
-         |SELECT doc_id, rerank_score, hybrid_score,
-         |  CAST(row_number() OVER (ORDER BY rerank_score DESC, hybrid_score DESC, doc_id) AS BIGINT) AS final_rank
-         |FROM rr
-         |ORDER BY final_rank""".stripMargin)
+    ("s4_rerank" -> s4Sql)
+
+  /** s4's full replay (s3 candidates + overlap rerank + composite
+    * final order). A val so s8's eval panel can rank the same string
+    * it hash-checks — the same sharing discipline as s13Sql. */
+  private lazy val s4Sql: String =
+    s"""WITH s3res AS (
+       |$s3Sql
+       |),
+       |toks AS (
+       |  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS dtok
+       |  FROM documents),
+       |rr AS (
+       |  SELECT s3res.doc_id, s3res.hybrid_score,
+       |    round(CAST(len(list_intersect(dtok, ['spark','join','filter'])) AS DOUBLE)
+       |        / len(list_distinct(list_concat(dtok, ['spark','join','filter']))), 6) AS rerank_score
+       |  FROM s3res JOIN toks ON s3res.doc_id = toks.doc_id)
+       |SELECT doc_id, rerank_score, hybrid_score,
+       |  CAST(row_number() OVER (ORDER BY rerank_score DESC, hybrid_score DESC, doc_id) AS BIGINT) AS final_rank
+       |FROM rr
+       |ORDER BY final_rank""".stripMargin
 
   /** Shared oracle CTE chain (starts after WITH [RECURSIVE]): s1's
     * full BM25 scoring with no limit, ending in scored(doc_id,

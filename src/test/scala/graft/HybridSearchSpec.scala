@@ -114,7 +114,7 @@ class HybridSearchSpec extends SparkSpec {
   test("s8 eval: NDCG bounded, exact leg saturates, rankings carry signal") {
     val rows = HybridSearch.s8SearchEval(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq ==
-      Seq("bm25", "fielded", "hybrid", "rrf", "vector_exact"))
+      Seq("bm25", "fielded", "hybrid", "reranked", "rrf", "vector_exact"))
     val byM = rows.map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     byM.foreach { case (m, (dcg, ndcg)) =>
       assert(dcg > 0.0, s"$m retrieved zero relevance")
