@@ -116,6 +116,30 @@ object ModelStore {
       .as[(String, String)].collect().toSeq)
   }
 
+  /** Persist an ordered id/hash list (pos, value BIGINT) — exact 64
+    * bits, which a double-backed vector would corrupt past 2⁵³ (the
+    * frozen-span hashes are full-range). */
+  def saveLongs(spark: SparkSession, root: String, name: String,
+                v: Seq[Long]): Unit = {
+    import spark.implicits._
+    writeStaged(spark, root, name) { p =>
+      v.zipWithIndex.map { case (x, i) => (i, x) }
+        .toDF("pos", "value")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    }
+  }
+
+  /** Load a list saved by [[saveLongs]]; None when absent. */
+  def loadLongs(spark: SparkSession, root: String,
+                name: String): Option[Seq[Long]] = {
+    import spark.implicits._
+    val d = new org.apache.hadoop.fs.Path(dir(root, name))
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(d)) None
+    else Some(spark.read.parquet(dir(root, name))
+      .orderBy($"pos").select($"value").as[Long].collect().toSeq)
+  }
+
   /** Load-or-train: the restart discipline in one call — disk hit
     * loads (no training scan), miss trains via `build` and persists
     * for the next session. */
@@ -123,5 +147,12 @@ object ModelStore {
                    (build: => Seq[Double]): Seq[Double] =
     loadVector(spark, root, name).getOrElse {
       val v = build; saveVector(spark, root, name, v); v
+    }
+
+  /** [[vectorOrTrain]] for exact long lists. */
+  def longsOrBuild(spark: SparkSession, root: String, name: String)
+                  (build: => Seq[Long]): Seq[Long] =
+    loadLongs(spark, root, name).getOrElse {
+      val v = build; saveLongs(spark, root, name, v); v
     }
 }

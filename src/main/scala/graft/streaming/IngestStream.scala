@@ -187,6 +187,20 @@ object IngestStream {
     * mojibake C2/C3-pair heuristic is lossy on text that legitimately
     * contains 'Â'/'Ã' + U+0080–U+00BF sequences, so trusted-clean
     * corpora need the opt-out. */
+  /** The production frozen-span lifecycle in one call: load the
+    * persisted list from the model store, or freeze it from the
+    * batch corpus and persist — the same train-offline/serve-online
+    * split the quality gate's weights use (ModelStore.vectorOrTrain).
+    * A batch profile job calls this against the full corpus; the
+    * streaming worker calls it at startup and gets the stored list
+    * with NO corpus scan. */
+  def frozenSpanListOrLoad(corpus: DataFrame, storeRoot: String,
+                           name: String = "frozen_spans", n: Int = 1000,
+                           minBreadth: Long = 2L): Seq[Long] =
+    graft.sources.ModelStore.longsOrBuild(
+      corpus.sparkSession, storeRoot, name)(
+      frozenSpanList(corpus, n, minBreadth))
+
   def chunkAndEmbed(docs: DataFrame, maxTokens: Int = 64, dims: Int = 64,
                     clean: Boolean = true): DataFrame = {
     val spark = docs.sparkSession

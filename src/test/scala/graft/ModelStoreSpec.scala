@@ -25,6 +25,17 @@ class ModelStoreSpec extends SparkSpec {
     // overwrite replaces, not appends
     ModelStore.saveVector(spark, root, "lr", Seq(9.0))
     assert(ModelStore.loadVector(spark, root, "lr").contains(Seq(9.0)))
+    // long lists keep ALL 64 bits — full-range hashes would corrupt
+    // through a double-backed vector
+    val hs = Seq(Long.MaxValue, Long.MinValue, (1L << 53) + 1, -7L, 0L)
+    ModelStore.saveLongs(spark, root, "spans", hs)
+    assert(ModelStore.loadLongs(spark, root, "spans").contains(hs))
+    assert(ModelStore.loadLongs(spark, root, "nope").isEmpty)
+    // load-or-build: miss builds + persists, hit skips the build
+    var built = 0
+    val b1 = ModelStore.longsOrBuild(spark, root, "lob") { built += 1; Seq(5L, 6L) }
+    val b2 = ModelStore.longsOrBuild(spark, root, "lob") { built += 1; Seq(9L) }
+    assert(b1 == Seq(5L, 6L) && b2 == Seq(5L, 6L) && built == 1)
   }
 
   test("staged saves leave no staging dirs and keep the artifact readable") {

@@ -938,13 +938,21 @@ class StreamingSpec extends SparkSpec {
       (2L, s"second page different body $footer"),
       (3L, "unrelated page with no shared spans at all anywhere"))
       .toDF("doc_id", "text")
-    val banned = IngestStream.frozenSpanList(batch)
+    // the production lifecycle: the batch profile FREEZES the list
+    // into the model store; the streaming worker LOADS it with no
+    // corpus scan (second call must not re-profile)
+    val storeRoot = java.nio.file.Files
+      .createTempDirectory("graft-span-store").toString
+    val banned = IngestStream.frozenSpanListOrLoad(batch, storeRoot)
     assert(banned.nonEmpty, "the shared footer must be profiled")
+    val loaded = IngestStream.frozenSpanListOrLoad(
+      batch.limit(0), storeRoot) // a worker with NO corpus at hand
+    assert(loaded == banned, "the worker must serve the stored list")
     // the stage is a stateless projection \u2014 drive it through a real
     // streaming plan and assert the emitted text
     val stream = MemoryStream[(Long, String)]
     val out = IngestStream.stripFrozenSpans(
-      stream.toDF().toDF("doc_id", "text"), banned)
+      stream.toDF().toDF("doc_id", "text"), loaded)
     val query = out.writeStream.format("memory")
       .queryName("strip_spans").outputMode("append").start()
     try {
