@@ -1557,7 +1557,144 @@ object Multimodal {
       when(isPdf, s.endsWith("%%EOF")).as("well_formed"))
   }
 
+  private val Mp3Kbps =
+    Seq(32L, 40L, 48L, 56L, 64L, 80L, 96L, 112L, 128L, 160L, 192L, 224L,
+      256L, 320L)
+
+  /** m17: MP3/ID3 frame-header walk — the audio catalog tier next to
+    * m4 (WAV) and m15 (PCM): the last common container the catalog
+    * lacked. The m6 marker-walk discipline over MPEG framing: the
+    * ID3v2 tag is skipped WHOLESALE by its 28-bit SYNCHSAFE size
+    * (four 7-bit bytes — the format's guard against false frame
+    * sync inside tag data; naive 32-bit parse lands mid-tag), then
+    * up to `maxFrames` MPEG1 Layer III headers hop by the computed
+    * frame length (144·bitrate/samplerate + padding, the spec
+    * formula) with bitrate/samplerate indexed from the header
+    * tables. Per-frame VBR is real (the synthesis varies the bitrate
+    * index per frame); a truncated final frame is NOT counted (the
+    * fits-fully guard), and non-MP3 blobs yield a typed false row.
+    * Oracle recomputes every statistic first-principles from the
+    * synthesis rules. */
+  def m17Mp3Meta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val maxF = 4
+    var df = Tables.documents(spark, dir).select($"doc_id")
+      .withColumn("_tag", lit(100L) + pmod($"doc_id", lit(200L)))
+      .withColumn("_nf", lit(2L) + pmod($"doc_id", lit(3L)))
+      .withColumn("_si", pmod($"doc_id", lit(3L)))
+      .withColumn("_sr", when($"_si" === 0L, 44100L)
+        .when($"_si" === 1L, 48000L).otherwise(32000L))
+    for (k <- 0 until maxF) {
+      df = df
+        .withColumn(s"_bi$k", lit(1L) + pmod($"doc_id" + k, lit(14L)))
+        .withColumn(s"_kbps$k", Mp3Kbps.zipWithIndex.foldLeft(
+          lit(null).cast("long")) { case (acc, (v, i)) =>
+          when(col(s"_bi$k") === (i + 1).toLong, v).otherwise(acc) })
+        .withColumn(s"_pad$k", pmod($"doc_id" + k, lit(2L)))
+        .withColumn(s"_fl$k",
+          expr(s"(144000 * _kbps$k) div _sr") + col(s"_pad$k"))
+        .withColumn(s"_b2$k",
+          col(s"_bi$k") * 16L + $"_si" * 4L + col(s"_pad$k") * 2L)
+        .withColumn(s"_fr$k",
+          when(lit(k.toLong) < $"_nf",
+            concat(lit("FFFB"), lpad(hex(col(s"_b2$k")), 2, "0"),
+              lit("00"),
+              repeat(lit("AA"), (col(s"_fl$k") - 4L).cast("int"))))
+            .otherwise(lit("")))
+    }
+    val ssHex = concat(
+      lpad(hex(expr("(_tag div 2097152) % 128")), 2, "0"),
+      lpad(hex(expr("(_tag div 16384) % 128")), 2, "0"),
+      lpad(hex(expr("(_tag div 128) % 128")), 2, "0"),
+      lpad(hex(expr("_tag % 128")), 2, "0"))
+    val blobs = df
+      .withColumn("_hex", concat(
+        lit("494433"), lit("0300"), lit("00"), ssHex,
+        repeat(lit("54"), $"_tag".cast("int")),
+        (0 until maxF).map(k => col(s"_fr$k")).reduce(concat(_, _))))
+      // doc_id%5==4: the final frame loses its last byte (must not
+      // count); doc_id%10==7: not MP3 at all (typed false row)
+      .withColumn("_hex", when(pmod($"doc_id", lit(5L)) === 4L,
+        expr("substring(_hex, 1, length(_hex) - 2)")).otherwise($"_hex"))
+      .select($"doc_id",
+        when(pmod($"doc_id", lit(10L)) === 7L, unhex(lit("0001020304")))
+          .otherwise(unhex($"_hex")).as("payload"))
+    parseMp3Meta(blobs).orderBy($"doc_id")
+  }
+
+  /** The MP3 walker over any (doc_id, payload binary) frame: ID3v2
+    * synchsafe skip, then bounded MPEG1-Layer-III frame hops. */
+  def parseMp3Meta(blobs: DataFrame, maxFrames: Int = 4): DataFrame = {
+    import blobs.sparkSession.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(blobs.sparkSession)
+    def byteAt(off: Column): Column =
+      when(off <= $"_len", call_function("byte_at", $"payload", off))
+    var w = blobs
+      .withColumn("_len", octet_length($"payload").cast("long"))
+      .withColumn("_id3", hex(substring($"payload", 1, 3)) === "494433")
+      // synchsafe 28-bit size: four 7-bit bytes, high bit clear
+      .withColumn("_tagsz", when($"_id3",
+        byteAt(lit(7L)) * 2097152L + byteAt(lit(8L)) * 16384L +
+          byteAt(lit(9L)) * 128L + byteAt(lit(10L))))
+      .withColumn("_o1", when($"_id3", $"_tagsz" + 11L).otherwise(lit(1L)))
+    for (k <- 1 to maxFrames) {
+      w = w
+        .withColumn(s"_h1$k", byteAt(col(s"_o$k")))
+        .withColumn(s"_h2$k", byteAt(col(s"_o$k") + 1L))
+        .withColumn(s"_h3$k", byteAt(col(s"_o$k") + 2L))
+        // sync = 11 set bits; version bits 3-4 (3 = MPEG1), layer
+        // bits 1-2 (1 = Layer III)
+        .withColumn(s"_sy$k", col(s"_h1$k") === 255L &&
+          expr(s"_h2$k div 32") === 7L &&
+          expr(s"(_h2$k div 8) % 4") === 3L &&
+          expr(s"(_h2$k div 2) % 4") === 1L)
+        .withColumn(s"_bix$k", expr(s"_h3$k div 16"))
+        .withColumn(s"_six$k", expr(s"(_h3$k div 4) % 4"))
+        .withColumn(s"_pdx$k", expr(s"(_h3$k div 2) % 2"))
+        .withColumn(s"_kb$k", Mp3Kbps.zipWithIndex.foldLeft(
+          lit(null).cast("long")) { case (acc, (v, i)) =>
+          when(col(s"_bix$k") === (i + 1).toLong, v).otherwise(acc) })
+        .withColumn(s"_srx$k", when(col(s"_six$k") === 0L, 44100L)
+          .when(col(s"_six$k") === 1L, 48000L)
+          .when(col(s"_six$k") === 2L, 32000L))
+        .withColumn(s"_flx$k",
+          expr(s"(144000 * _kb$k) div _srx$k") + col(s"_pdx$k"))
+        // a frame counts only if its header validates AND it fits
+        // fully inside the payload (a truncated tail must not count)
+        .withColumn(s"_v$k", coalesce(
+          col(s"_sy$k") && col(s"_kb$k").isNotNull &&
+            col(s"_srx$k").isNotNull &&
+            col(s"_o$k") + col(s"_flx$k") - 1L <= $"_len",
+          lit(false)))
+        .withColumn(s"_o${k + 1}",
+          when(col(s"_v$k"), col(s"_o$k") + col(s"_flx$k")))
+    }
+    val ks = 1 to maxFrames
+    w = w
+      .withColumn("_nfr",
+        ks.map(k => when(col(s"_v$k"), 1L).otherwise(0L)).reduce(_ + _))
+      .withColumn("_skb",
+        ks.map(k => when(col(s"_v$k"), col(s"_kb$k")).otherwise(0L))
+          .reduce(_ + _))
+      .withColumn("_ab",
+        ks.map(k => when(col(s"_v$k"), col(s"_flx$k")).otherwise(0L))
+          .reduce(_ + _))
+      .withColumn("_mp3", col("_v1"))
+    w.select($"doc_id",
+        $"_mp3".as("is_mp3"),
+        when($"_mp3" && $"_id3", $"_tagsz").as("id3_size"),
+        when($"_mp3", $"_o1").as("audio_off"),
+        when($"_mp3", $"_nfr").as("n_frames"),
+        when($"_mp3", $"_ab").as("audio_bytes"),
+        when($"_mp3", expr("_skb div _nfr")).as("avg_kbps"),
+        when($"_mp3", $"_srx1").as("sr_hz"),
+        // MPEG1 Layer III = 1152 samples per frame
+        when($"_mp3", expr("(_nfr * 1152 * 1000000) div _srx1"))
+          .as("dur_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m17_mp3_meta" -> m17Mp3Meta _,
     "m14_pdf_meta" -> m14PdfMeta _,
     "m13_jpeg_exif" -> m13JpegExif _,
     "m12_png_text" -> m12PngText _,
@@ -1576,6 +1713,52 @@ object Multimodal {
     "m8_tar_meta" -> m8TarMeta _)
 
   val oracles: Map[String, String] = Map(
+    // every statistic recomputed first-principles from the synthesis
+    // rules: synchsafe tag size, per-frame VBR bitrates, the spec
+    // frame-length formula, the truncated final frame dropped — a
+    // mis-stepped hop or a 32-bit (non-synchsafe) tag parse
+    // hash-mismatches
+    "m17_mp3_meta" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(100 + doc_id % 200 AS BIGINT) AS tag,
+        |    CAST(2 + doc_id % 3 AS BIGINT) AS nf_full,
+        |    CAST(CASE CAST(doc_id % 3 AS INTEGER)
+        |      WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS BIGINT)
+        |      AS sr,
+        |    doc_id % 10 = 7 AS poison,
+        |    CASE WHEN doc_id % 5 = 4 THEN CAST(2 + doc_id % 3 AS BIGINT) - 1
+        |         ELSE CAST(2 + doc_id % 3 AS BIGINT) END AS nf
+        |  FROM documents),
+        |fr AS (
+        |  SELECT f.doc_id, t.k,
+        |    CAST(CASE CAST(1 + (f.doc_id + t.k) % 14 AS INTEGER)
+        |      WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48 WHEN 4 THEN 56
+        |      WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112
+        |      WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192
+        |      WHEN 12 THEN 224 WHEN 13 THEN 256 ELSE 320 END AS BIGINT)
+        |      AS kbps,
+        |    CAST((f.doc_id + t.k) % 2 AS BIGINT) AS pad,
+        |    f.sr
+        |  FROM f, unnest(generate_series(0, 3)) AS t(k)
+        |  WHERE t.k < f.nf),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(sum(kbps) AS BIGINT) AS skb,
+        |    CAST(sum((144000 * kbps) // sr + pad) AS BIGINT) AS ab
+        |  FROM fr GROUP BY doc_id)
+        |SELECT f.doc_id,
+        |  NOT f.poison AS is_mp3,
+        |  CASE WHEN f.poison THEN NULL ELSE f.tag END AS id3_size,
+        |  CASE WHEN f.poison THEN NULL ELSE f.tag + 11 END AS audio_off,
+        |  CASE WHEN f.poison THEN NULL ELSE f.nf END AS n_frames,
+        |  CASE WHEN f.poison THEN NULL ELSE agg.ab END AS audio_bytes,
+        |  CASE WHEN f.poison THEN NULL ELSE agg.skb // f.nf END AS avg_kbps,
+        |  CASE WHEN f.poison THEN NULL ELSE f.sr END AS sr_hz,
+        |  CASE WHEN f.poison THEN NULL
+        |       ELSE (f.nf * 1152 * 1000000) // f.sr END AS dur_us
+        |FROM f JOIN agg USING (doc_id)
+        |ORDER BY f.doc_id""".stripMargin,
     // the sample formula replayed arithmetically — the synthesis is
     // the ground truth, the Spark side proves the byte round trip
     "m15_pcm_stats" ->

@@ -667,4 +667,60 @@ class MultimodalSpec extends SparkSpec {
     val junk = out(2L)
     (1 to 6).foreach(i => assert(junk.isNullAt(i), s"col $i must be null"))
   }
+
+  test("m17 parses JVM-built MP3s: synchsafe skip over a false sync, VBR walk, truncation") {
+    import spark.implicits._
+    // a REAL byte-level build, independent of the columnar synthesis
+    def mp3(tagBody: Array[Byte], frames: Seq[(Int, Int, Int)]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("ID3".getBytes("US-ASCII"))
+      out.write(3); out.write(0); out.write(0) // v2.3, no flags
+      val sz = tagBody.length
+      out.write((sz >> 21) & 0x7f); out.write((sz >> 14) & 0x7f)
+      out.write((sz >> 7) & 0x7f); out.write(sz & 0x7f)
+      out.write(tagBody)
+      val kbps = Seq(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+        256, 320)
+      frames.foreach { case (bi, si, pad) =>
+        val sr = Seq(44100, 48000, 32000)(si)
+        val flen = 144000 * kbps(bi - 1) / sr + pad
+        out.write(0xff); out.write(0xfb)
+        out.write((bi << 4) | (si << 2) | (pad << 1)); out.write(0)
+        (4 until flen).foreach(_ => out.write(0xaa))
+      }
+      out.toByteArray
+    }
+    // tag body 200 bytes (synchsafe spans two bytes: 200 = 0x01 0x48)
+    // CONTAINING a false frame sync — a parser that scans for sync
+    // instead of skipping by the synchsafe size would lock onto it
+    val trap = Array.fill[Byte](200)(0x54)
+    trap(50) = 0xff.toByte; trap(51) = 0xfb.toByte; trap(52) = 0x12
+    val good = mp3(trap, Seq((9, 0, 0), (14, 0, 1), (1, 0, 0)))
+    val truncated = good.dropRight(1)
+    val blobs = Seq(
+      (1L, good), (2L, truncated),
+      (3L, "not an mp3 at all".getBytes("US-ASCII")))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.parseMp3Meta(blobs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val g = out(1L)
+    assert(g.getBoolean(1), "real MP3 must parse")
+    assert(g.getLong(2) == 200L, "synchsafe tag size must decode as 7-bit bytes")
+    assert(g.getLong(3) == 211L, "audio starts after header+tag")
+    assert(g.getLong(4) == 3L, "all three VBR frames counted")
+    // frame lengths: 128k->417, 320k->1045(+1 pad=1045+? pad adds 1)
+    val fl = Seq(144000 * 128 / 44100, 144000 * 320 / 44100 + 1,
+      144000 * 32 / 44100)
+    assert(g.getLong(5) == fl.sum.toLong, "audio bytes = spec frame lengths")
+    assert(g.getLong(6) == (128L + 320L + 32L) / 3L)
+    assert(g.getLong(7) == 44100L)
+    assert(g.getLong(8) == 3L * 1152L * 1000000L / 44100L)
+    val t = out(2L)
+    assert(t.getBoolean(1) && t.getLong(4) == 2L,
+      "truncated final frame must not count")
+    assert(t.getLong(6) == (128L + 320L) / 2L)
+    val j = out(3L)
+    assert(!j.getBoolean(1))
+    (2 to 8).foreach(i => assert(j.isNullAt(i), s"col $i must be null"))
+  }
 }
