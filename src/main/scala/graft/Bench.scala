@@ -111,6 +111,10 @@ object Bench {
     val tTi = System.nanoTime()
     operators.HybridSearch.textIndexPath(spark, sfDir)
     val tiDt = (System.nanoTime() - tTi) / 1e9
+    // the incremental variant: half built, half appended (s18 reads)
+    val tTa = System.nanoTime()
+    operators.HybridSearch.appendedIndexPath(spark, sfDir)
+    val taDt = (System.nanoTime() - tTa) / 1e9
     // best-of-3 per query: this box shows intermittent multi-second
     // CPU-steal windows (observed: the same query 0.2s and 25s in
     // adjacent runs with zero local load) — the min of three runs is
@@ -146,7 +150,8 @@ object Bench {
       ("_shared_pagerank" -> prDt) +
       ("_shared_nn_graph" -> ngDt) +
       ("_model_training" -> modelDt) +
-      ("_text_index_build" -> tiDt)
+      ("_text_index_build" -> tiDt) +
+      ("_text_index_append" -> taDt)
     // 3dp (ms precision) keeps the line compact: the round harness
     // retains only a ~2000-char stdout TAIL, truncating the FRONT of
     // a long line — so "queries" comes first and the summary fields

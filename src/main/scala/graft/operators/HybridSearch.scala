@@ -748,7 +748,39 @@ object HybridSearch {
       .select($"doc_id", $"score")
   }
 
+  /** The session's APPENDED text index for `dir`: built on the even
+    * doc_id-div-50 blocks, then the odd blocks arrive as an
+    * incremental batch through TextIndex.append — the index s18
+    * serves from. */
+  def appendedIndexPath(spark: SparkSession, dir: String): String =
+    graft.TrainedModels.memo(spark, s"text_index_appended:$dir") {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_text_index_app").toString
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      graft.sources.TextIndex.write(
+        docs.filter(expr("(doc_id div 50) % 2 = 0")), p)
+      graft.sources.TextIndex.append(
+        docs.filter(expr("(doc_id div 50) % 2 = 1")), p)
+      p
+    }
+
+  /** s18: BM25 served from an INCREMENTALLY APPENDED index — half
+    * the corpus is built, the other half arrives as a batch through
+    * TextIndex.append, and serving must reproduce the full-corpus
+    * scan scores EXACTLY (the oracle is s1's): postings append into
+    * the bucket layout, vocab dfs re-aggregate, the exact integer
+    * stats sums add — the merge guarantee an approximate index
+    * can't give, hash-gated end to end. */
+  def s18AppendedBm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.TextIndex
+      .bm25Serve(spark, appendedIndexPath(spark, dir), QueryTerms)
+      .orderBy($"score".desc, $"doc_id").limit(10)
+      .select($"doc_id", $"score")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_appended_bm25" -> s18AppendedBm25 _,
     "s17_served_bm25" -> s17ServedBm25 _,
     "s14_semantic_collapsed" -> ((s, d) => s14SemanticCollapsedSearch(s, d)),
     "s13_fielded_bm25" -> s13FieldedBm25 _,
@@ -920,6 +952,9 @@ object HybridSearch {
     // the write→load→serve round trip (lost postings, wrong df,
     // length-norm mismatch) hash-fails against the same ground truth
     ("s17_served_bm25" -> oraclesBase("s1_keyword_bm25")) +
+    // s18's served scores must equal the full-corpus scan's even
+    // though half the index arrived via append — same ground truth
+    ("s18_appended_bm25" -> oraclesBase("s1_keyword_bm25")) +
     ("s13_fielded_bm25" -> s13Sql) +
     // same distinct-term vocabulary as s11, same prefix lengths,
     // same (df desc, term) ranking

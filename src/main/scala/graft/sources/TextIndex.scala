@@ -52,24 +52,30 @@ object TextIndex {
   private def pbucket(term: Column): Column =
     pmod(xxhash64(term), lit(TermBuckets.toLong))
 
-  /** Build the full index from a (doc_id, text) corpus — ONE
-    * tokenized scan fans out into the six artifacts. */
-  def write(corpus: DataFrame, path: String, minPrefix: Int = 2,
-            maxPrefix: Int = 4, kComplete: Int = 3): Unit = {
+  /** The shared tokenized view (full/title/body token arrays +
+    * lengths) both [[write]] and [[append]] fan out from. */
+  private def tokenize(corpus: DataFrame): DataFrame = {
     import corpus.sparkSession.implicits._
     val pat = lit(HybridSearch.WordTokenPattern)
     val nl = instr($"text", "\n")
     val title = substring_index($"text", "\n", 1)
     val body = when(nl > 0, $"text".substr(nl + lit(1), length($"text")))
       .otherwise(lit(""))
-    val toks = corpus.select($"doc_id",
+    corpus.select($"doc_id",
         regexp_extract_all(lower($"text"), pat, lit(0)).as("tok"),
         regexp_extract_all(lower(title), pat, lit(0)).as("ttok"),
         regexp_extract_all(lower(body), pat, lit(0)).as("btok"))
       .withColumn("dl", size($"tok").cast("double"))
       .withColumn("nlt", size($"ttok").cast("long"))
       .withColumn("nlb", size($"btok").cast("long"))
-      .persist()
+  }
+
+  /** Build the full index from a (doc_id, text) corpus — ONE
+    * tokenized scan fans out into the six artifacts. */
+  def write(corpus: DataFrame, path: String, minPrefix: Int = 2,
+            maxPrefix: Int = 4, kComplete: Int = 3): Unit = {
+    import corpus.sparkSession.implicits._
+    val toks = tokenize(corpus).persist()
     try {
       // postings: one (term, doc) row with tf + the doc's length norm
       val postings = toks
@@ -120,6 +126,77 @@ object TextIndex {
 
   private def spark_read_back(spark: SparkSession, p: String): DataFrame =
     spark.read.parquet(p)
+
+  /** INCREMENTAL index maintenance — the appendToIvfIndex contract
+    * for the text index, with a stronger guarantee the ANN side
+    * can't give: the merge is EXACT, so serve-after-append is
+    * BIT-EQUAL to a full rebuild (s18's oracle gates it end to end).
+    * New documents' postings/fielded/forward rows APPEND into the
+    * bucket layout (each row lands in its hash directory — a narrow
+    * write of the batch, the dynamic-partition discipline);
+    * `vocab` re-aggregates old ∪ batch dfs (term-dictionary
+    * cardinality — Heaps' law keeps the rewrite tiny at any corpus
+    * size); `stats` adds the batch's exact integer-valued sums; and
+    * `prefixes` re-ranks from the merged vocab (vocab-cardinality
+    * again). Contract: batch doc_ids are NEW — re-ingesting an
+    * existing id needs the reingest delete first, same as every
+    * append index here. */
+  def append(newDocs: DataFrame, path: String, minPrefix: Int = 2,
+             maxPrefix: Int = 4, kComplete: Int = 3): Unit = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val toks = tokenize(newDocs).persist()
+    try {
+      val postings = toks
+        .select($"doc_id", $"dl", explode($"tok").as("term"))
+        .groupBy($"term", $"doc_id", $"dl")
+        .agg(count(lit(1)).as("tf"))
+        .persist()
+      try {
+        postings.withColumn("pbucket", pbucket($"term"))
+          .write.mode("append").partitionBy("pbucket")
+          .parquet(s"$path/postings")
+        postings.select($"doc_id", $"term", $"tf")
+          .withColumn("dbucket", pmod($"doc_id", lit(DocBuckets.toLong)))
+          .write.mode("append").partitionBy("dbucket")
+          .parquet(s"$path/forward")
+        // vocab merge: old ∪ batch, df summed — localCheckpoint
+        // breaks the read→overwrite cycle (the reingest pattern)
+        val batchVocab = postings.groupBy($"term")
+          .agg(count(lit(1)).as("df"))
+        spark.read.parquet(s"$path/vocab")
+          .unionByName(batchVocab)
+          .groupBy($"term").agg(sum($"df").as("df"))
+          .localCheckpoint(true)
+          .write.mode("overwrite").parquet(s"$path/vocab")
+        HybridSearch.autocompleteOf(
+            spark_read_back(spark, s"$path/vocab"),
+            minPrefix, maxPrefix, kComplete)
+          .write.mode("overwrite").parquet(s"$path/prefixes")
+      } finally postings.unpersist()
+      toks.select($"doc_id", $"nlt", $"nlb", explode($"ttok").as("term"),
+          lit(1L).as("_t"), lit(0L).as("_b"))
+        .unionByName(
+          toks.select($"doc_id", $"nlt", $"nlb", explode($"btok").as("term"),
+            lit(0L).as("_t"), lit(1L).as("_b")))
+        .groupBy($"term", $"doc_id", $"nlt", $"nlb")
+        .agg(sum($"_t").as("tt"), sum($"_b").as("bt"))
+        .withColumn("pbucket", pbucket($"term"))
+        .write.mode("append").partitionBy("pbucket")
+        .parquet(s"$path/fielded")
+      // stats: exact integer-valued sums ADD — the merged averages
+      // are bit-identical to a full rebuild's
+      val batchStats = toks.agg(count(lit(1)).as("n_docs"),
+        sum($"dl").as("sum_dl"), sum($"nlt").as("slt"),
+        sum($"nlb").as("slb"))
+      spark.read.parquet(s"$path/stats")
+        .unionByName(batchStats)
+        .agg(sum($"n_docs").as("n_docs"), sum($"sum_dl").as("sum_dl"),
+          sum($"slt").as("slt"), sum($"slb").as("slb"))
+        .localCheckpoint(true)
+        .write.mode("overwrite").parquet(s"$path/stats")
+    } finally toks.unpersist()
+  }
 
   /** The term-hash buckets of a bounded query-term list, computed
     * through the SAME expression the writer partitioned with (a

@@ -276,6 +276,35 @@ object IngestStream {
         reingest(batch, storePath, maxTokens, clean))
       .start()
 
+  /** STREAMING maintenance of the persisted text-serving index —
+    * s18's batch append driven per micro-batch, so the BM25 index
+    * stays query-ready while the crawl ingests (the reference keeps
+    * Weaviate's hybrid index current on every upsert; this is the
+    * lakehouse twin). First epoch against an empty path BUILDS the
+    * index (Hadoop-FS existence probe, the reingest discipline —
+    * local java.io checks lie on HDFS/S3); later epochs APPEND, and
+    * because TextIndex.append merges exactly, the served scores
+    * after any epoch are bit-equal to a batch rebuild over
+    * everything ingested so far (StreamingSpec pins it). Contract:
+    * arriving doc_ids are new — a page-update stream routes through
+    * [[reingest]]'s delete first, like every append index here. */
+  def indexStream(docs: DataFrame, indexPath: String): StreamingQuery = {
+    val appendEpoch: (DataFrame, Long) => Unit = (batch, _) => {
+      val spark = batch.sparkSession
+      val probe = new org.apache.hadoop.fs.Path(s"$indexPath/stats")
+      val exists = probe
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(probe)
+      val b = batch.select("doc_id", "text")
+      if (exists) graft.sources.TextIndex.append(b, indexPath)
+      else graft.sources.TextIndex.write(b, indexPath)
+    }
+    docs.writeStream
+      .option("checkpointLocation", s"$indexPath/_checkpoints")
+      .foreachBatch(appendEpoch)
+      .start()
+  }
+
   /** Start the ingestion stream into `storePath` (chunks under
     * /chunks partitioned by source, offsets under /_checkpoints). */
   def ingest(docs: DataFrame, storePath: String, maxTokens: Int = 64,

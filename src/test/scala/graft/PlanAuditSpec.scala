@@ -454,4 +454,34 @@ class PlanAuditSpec extends SparkSpec {
       "query vectors must broadcast into scoring")
     Caches.releaseAll(); Caches.releaseShared()
   }
+
+  test("f8: gzip-WARC ingestion is a single-scan mapPartitions chain — no joins") {
+    val p = plan(graft.operators.FileIngest.f8WarcGz(spark, sfDir))
+    assert(p.contains("MapPartitions"),
+      "expected the per-task Deflater/Inflater stages")
+    assert(p.split("documents.parquet").length - 1 == 1,
+      "corpus must be scanned exactly once")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "compress→walk→parse must stay a per-row chain")
+    Caches.releaseAll()
+  }
+
+  test("m17: MP3 walk is a map-only scan over layered hop columns") {
+    val p = plan(graft.operators.Multimodal.m17Mp3Meta(spark, sfDir))
+    assert(!p.contains("Join"), "header walk must not join")
+    assert(p.contains("byte_at"), "byte reads must stay on the codegen kernel")
+    // the only exchange is the deterministic output ordering
+    assert(p.split("Exchange").length <= 2, s"unexpected shuffle:\n$p")
+    Caches.releaseAll()
+  }
+
+  test("s17: served BM25 keeps serving columnwise — no token explode, stats broadcast") {
+    val p = plan(graft.operators.HybridSearch.s17ServedBm25(spark, sfDir))
+    assert(!p.contains("Explode") && !p.contains("Generate"),
+      "index serving must never re-tokenize the corpus")
+    assert(p.contains("BroadcastExchange") || p.contains("Broadcast"),
+      "the one-row stats frame must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    Caches.releaseAll()
+  }
 }

@@ -988,6 +988,50 @@ class StreamingSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("streamed text-index maintenance serves bit-equal to a batch rebuild") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.TextIndex
+
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-ti-stream").toString + "/index"
+    val docs = Seq(
+      (1L, "spark joins filter big tables\nspark filter pushdown wins"),
+      (2L, "the quick brown fox joins the lazy dog"),
+      (3L, "filter spark filter join join join"),
+      (4L, "unrelated prose about nothing in particular"),
+      (5L, "spark spark spark join filter everything"))
+    val stream = MemoryStream[(Long, String)]
+    val query = IngestStream.indexStream(
+      stream.toDF().toDF("doc_id", "text"), idx)
+    try {
+      // epoch 1 BUILDS, epochs 2..3 APPEND
+      stream.addData(docs(0), docs(1))
+      query.processAllAvailable()
+      stream.addData(docs(2))
+      query.processAllAvailable()
+      stream.addData(docs(3), docs(4))
+      query.processAllAvailable()
+    } finally query.stop()
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft-ti-rebuild").toString
+    TextIndex.write(docs.toDF("doc_id", "text"), rebuilt)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val terms = Seq("spark", "join", "filter")
+    assert(rows(TextIndex.bm25Serve(spark, idx, terms)
+        .orderBy($"score".desc, $"doc_id")) ==
+      rows(TextIndex.bm25Serve(spark, rebuilt, terms)
+        .orderBy($"score".desc, $"doc_id")),
+      "streamed index must serve the batch-rebuilt scores exactly")
+    assert(rows(spark.read.parquet(s"$idx/prefixes")
+        .orderBy($"prefix", $"rank").select($"prefix", $"term", $"df")) ==
+      rows(spark.read.parquet(s"$rebuilt/prefixes")
+        .orderBy($"prefix", $"rank").select($"prefix", $"term", $"df")))
+    assert(rows(spark.read.parquet(s"$idx/stats")) ==
+      rows(spark.read.parquet(s"$rebuilt/stats")))
+  }
 }
 
 /** Top-level (not nested in the spec) so the batch toDF() encoder

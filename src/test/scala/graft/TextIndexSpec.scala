@@ -73,6 +73,39 @@ class TextIndexSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("append equals rebuild BIT-FOR-BIT across all five serving modes") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val appended = java.nio.file.Files
+      .createTempDirectory("graft-ti-app").toString
+    TextIndex.write(docs.filter(expr("(doc_id div 50) % 2 = 0")), appended)
+    TextIndex.append(docs.filter(expr("(doc_id div 50) % 2 = 1")), appended)
+    // `path` is the suite's full-corpus rebuild of the same docs
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(TextIndex.bm25Serve(spark, appended, HybridSearch.QueryTerms)
+        .orderBy($"score".desc, $"doc_id")) ==
+      rows(TextIndex.bm25Serve(spark, path, HybridSearch.QueryTerms)
+        .orderBy($"score".desc, $"doc_id")))
+    assert(rows(TextIndex.fieldedServe(spark, appended,
+        HybridSearch.QueryTerms)) ==
+      rows(TextIndex.fieldedServe(spark, path, HybridSearch.QueryTerms)))
+    assert(rows(TextIndex.correctionsServe(spark, appended,
+        HybridSearch.FuzzyProbes)) ==
+      rows(TextIndex.correctionsServe(spark, path, HybridSearch.FuzzyProbes)))
+    assert(rows(spark.read.parquet(s"$appended/prefixes")
+        .orderBy($"prefix", $"rank")
+        .select($"prefix", $"rank", $"term", $"df")) ==
+      rows(spark.read.parquet(s"$path/prefixes")
+        .orderBy($"prefix", $"rank")
+        .select($"prefix", $"rank", $"term", $"df")))
+    assert(rows(TextIndex.moreLikeThisServe(spark, appended, seedId = 0L)) ==
+      rows(TextIndex.moreLikeThisServe(spark, path, seedId = 0L)))
+    // the stats row merged exactly
+    assert(rows(spark.read.parquet(s"$appended/stats")) ==
+      rows(spark.read.parquet(s"$path/stats")))
+  }
+
   test("forward-index seed lookup prunes to the seed's doc bucket") {
     val seed = spark.read.parquet(s"$path/forward")
       .filter($"dbucket" === 0L && $"doc_id" === 0L)
