@@ -779,7 +779,17 @@ object HybridSearch {
       .select($"doc_id", $"score")
   }
 
+  /** s19: PHRASE search served FROM the positional index — s7's
+    * exact query answered by position-list intersection over the
+    * persisted postings (the Lucene mechanics) instead of a
+    * corpus-text regex scan; the oracle is s7's, so the positional
+    * round trip is hash-gated against the same ground truth. */
+  def s19PhraseFromIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TextIndex.phraseServe(
+      spark, textIndexPath(spark, dir), "hash", "join", 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_phrase_from_index" -> s19PhraseFromIndex _,
     "s18_appended_bm25" -> s18AppendedBm25 _,
     "s17_served_bm25" -> s17ServedBm25 _,
     "s14_semantic_collapsed" -> ((s, d) => s14SemanticCollapsedSearch(s, d)),
@@ -955,6 +965,10 @@ object HybridSearch {
     // s18's served scores must equal the full-corpus scan's even
     // though half the index arrived via append — same ground truth
     ("s18_appended_bm25" -> oraclesBase("s1_keyword_bm25")) +
+    // s19 must reproduce s7's phrase results from the POSITIONAL
+    // index — same ground truth, different mechanics (position-list
+    // intersection vs corpus regex), hash-gated
+    ("s19_phrase_from_index" -> oraclesBase("s7_phrase_search")) +
     ("s13_fielded_bm25" -> s13Sql) +
     // same distinct-term vocabulary as s11, same prefix lengths,
     // same (df desc, term) ranking

@@ -77,11 +77,15 @@ object TextIndex {
     import corpus.sparkSession.implicits._
     val toks = tokenize(corpus).persist()
     try {
-      // postings: one (term, doc) row with tf + the doc's length norm
+      // postings: one (term, doc) row with tf, the doc's length norm,
+      // and the sorted 1-based POSITION list (Lucene's positional
+      // postings — what phrase queries intersect); parquet columnar
+      // means non-positional serving never reads the pos column
       val postings = toks
-        .select($"doc_id", $"dl", explode($"tok").as("term"))
+        .select($"doc_id", $"dl", posexplode($"tok").as(Seq("p", "term")))
         .groupBy($"term", $"doc_id", $"dl")
-        .agg(count(lit(1)).as("tf"))
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list($"p" + 1)).as("pos"))
         .persist()
       try {
         postings.withColumn("pbucket", pbucket($"term"))
@@ -148,9 +152,10 @@ object TextIndex {
     val toks = tokenize(newDocs).persist()
     try {
       val postings = toks
-        .select($"doc_id", $"dl", explode($"tok").as("term"))
+        .select($"doc_id", $"dl", posexplode($"tok").as(Seq("p", "term")))
         .groupBy($"term", $"doc_id", $"dl")
-        .agg(count(lit(1)).as("tf"))
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list($"p" + 1)).as("pos"))
         .persist()
       try {
         postings.withColumn("pbucket", pbucket($"term"))
@@ -278,6 +283,31 @@ object TextIndex {
         ($"slb".cast("double") / $"n_docs".cast("double")).as("avgdlb")))
     HybridSearch.scoreFielded(base, stats, queryTerms.size,
       wTitle, wBody, limit)
+  }
+
+  /** s7 served FROM the positional index — the real Lucene phrase
+    * mechanics: the two terms' position lists (bucket-pruned
+    * postings reads) intersect per document with a +1 shift
+    * (`arrays_overlap` on the shifted list — a codegen set probe,
+    * no explode), survivors semi-join the SHARED BM25 scorer over
+    * the same two terms. Cost at any corpus size: two pruned
+    * posting reads + one doc-keyed join over the RARER term's
+    * postings — the corpus text is never touched, which is the
+    * whole point of a positional index. */
+  def phraseServe(spark: SparkSession, path: String, t1: String,
+                  t2: String, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val terms = Seq(t1, t2).distinct
+    val post = postingsFor(spark, path, terms)
+    val p1 = post.filter($"term" === t1).select($"doc_id", $"pos".as("pos1"))
+    val p2 = post.filter($"term" === t2).select($"doc_id", $"pos".as("pos2"))
+    val survivors = p1.join(p2, "doc_id")
+      .filter(arrays_overlap(transform($"pos1", x => x + 1), $"pos2"))
+      .select($"doc_id")
+    bm25Serve(spark, path, Seq(t1, t2))
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .orderBy($"score".desc, $"doc_id")
+      .limit(k)
   }
 
   /** s11's corrector over the PERSISTED vocabulary. */

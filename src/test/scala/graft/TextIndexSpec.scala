@@ -106,6 +106,27 @@ class TextIndexSpec extends SparkSpec {
       rows(spark.read.parquet(s"$path/stats")))
   }
 
+  test("positional phrase serve equals s7's regex scan bit-for-bit") {
+    val served = TextIndex.phraseServe(spark, path, "hash", "join")
+    val scan = HybridSearch.s7PhraseSearch(spark, sfDir)
+    val got = served.collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty, "the sf corpus contains 'hash join' phrases")
+    assert(got == scan.collect().map(_.toSeq).toSeq)
+    // adjacency is positional, not co-occurrence: a doc with both
+    // terms NON-adjacent must not survive
+    import spark.implicits._
+    val tiny = java.nio.file.Files
+      .createTempDirectory("graft-ti-pos").toString
+    TextIndex.write(Seq(
+      (1L, "the hash join wins"),
+      (2L, "hash of the join"),
+      (3L, "join hash reversed")).toDF("doc_id", "text"), tiny)
+    val ids = TextIndex.phraseServe(spark, tiny, "hash", "join")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L), s"only the adjacent doc survives: $ids")
+    Caches.releaseAll()
+  }
+
   test("forward-index seed lookup prunes to the seed's doc bucket") {
     val seed = spark.read.parquet(s"$path/forward")
       .filter($"dbucket" === 0L && $"doc_id" === 0L)
