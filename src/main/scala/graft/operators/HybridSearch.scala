@@ -788,7 +788,17 @@ object HybridSearch {
     graft.sources.TextIndex.phraseServe(
       spark, textIndexPath(spark, dir), "hash", "join", 20)
 
+  /** s20: ORDERED-PROXIMITY search (`"hash join"~3`) — s19's
+    * positional mechanics with a slop window: 'join' within 3
+    * tokens after 'hash'. Strictly widens s19's survivor set
+    * (adjacency = slop 1); the oracle replays the windowed
+    * position intersection from the token arrays. */
+  def s20ProximitySearch(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TextIndex.proximityServe(
+      spark, textIndexPath(spark, dir), "hash", "join", slop = 3, k = 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s20_proximity_search" -> s20ProximitySearch _,
     "s19_phrase_from_index" -> s19PhraseFromIndex _,
     "s18_appended_bm25" -> s18AppendedBm25 _,
     "s17_served_bm25" -> s17ServedBm25 _,
@@ -969,6 +979,39 @@ object HybridSearch {
     // index — same ground truth, different mechanics (position-list
     // intersection vs corpus regex), hash-gated
     ("s19_phrase_from_index" -> oraclesBase("s7_phrase_search")) +
+    // s20: s7's replay with the adjacency predicate widened to the
+    // ordered slop-3 window (gap 1..3), same BM25 restriction
+    ("s20_proximity_search" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS tok,
+        |         CAST(len(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |phrase AS (
+        |  SELECT doc_id FROM docs
+        |  WHERE len(tok) >= 2 AND len(list_filter(
+        |    generate_series(1, len(tok) - 1),
+        |    i -> tok[i] = 'hash' AND len(list_filter(
+        |      generate_series(i + 1, least(i + 3, len(tok))),
+        |      j -> tok[j] = 'join')) > 0)) > 0),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM docs),
+        |terms AS (SELECT unnest(['hash', 'join']) AS term),
+        |tf AS (
+        |  SELECT doc_id, dl, token AS term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(tok) AS token FROM docs)
+        |  WHERE token IN (SELECT term FROM terms)
+        |  GROUP BY doc_id, dl, token),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term)
+        |SELECT doc_id, score FROM (
+        |  SELECT tf.doc_id,
+        |    round(sum(
+        |      ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |      * (tf.tf * (1.2 + 1.0))
+        |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))), 6) AS score
+        |  FROM tf JOIN df USING (term), stats
+        |  WHERE tf.doc_id IN (SELECT doc_id FROM phrase)
+        |  GROUP BY tf.doc_id)
+        |ORDER BY score DESC, doc_id
+        |LIMIT 20""".stripMargin) +
     ("s13_fielded_bm25" -> s13Sql) +
     // same distinct-term vocabulary as s11, same prefix lengths,
     // same (df desc, term) ranking

@@ -310,6 +310,31 @@ object TextIndex {
       .limit(k)
   }
 
+  /** ORDERED-PROXIMITY search from the positional index — Lucene's
+    * `"t1 t2"~slop` query mode: t2 must follow t1 within `slop`
+    * token positions (slop = 1 degenerates to [[phraseServe]]'s
+    * adjacency). The gap test is a nested set probe over the two
+    * bounded position lists of docs carrying BOTH terms — never the
+    * corpus, never an explode; scoring and ranking are the shared
+    * BM25 path, so the only new mechanics the oracle must gate is
+    * the windowed intersection itself. */
+  def proximityServe(spark: SparkSession, path: String, t1: String,
+                     t2: String, slop: Int, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val terms = Seq(t1, t2).distinct
+    val post = postingsFor(spark, path, terms)
+    val p1 = post.filter($"term" === t1).select($"doc_id", $"pos".as("pos1"))
+    val p2 = post.filter($"term" === t2).select($"doc_id", $"pos".as("pos2"))
+    val survivors = p1.join(p2, "doc_id")
+      .filter(exists($"pos1", p =>
+        exists($"pos2", q => q - p >= 1 && q - p <= slop)))
+      .select($"doc_id")
+    bm25Serve(spark, path, Seq(t1, t2))
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .orderBy($"score".desc, $"doc_id")
+      .limit(k)
+  }
+
   /** s11's corrector over the PERSISTED vocabulary. */
   def correctionsServe(spark: SparkSession, path: String,
                        probes: Seq[String], k: Int = 3): DataFrame =

@@ -127,6 +127,32 @@ class TextIndexSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("proximity serve: ordered slop window, supersets adjacency, gap bound exact") {
+    import spark.implicits._
+    val tiny = java.nio.file.Files
+      .createTempDirectory("graft-ti-slop").toString
+    TextIndex.write(Seq(
+      (1L, "the hash join wins"),            // gap 1 (adjacent)
+      (2L, "hash of the join"),              // gap 3
+      (3L, "hash one two three join here"),  // gap 4 — outside slop 3
+      (4L, "join comes before hash"),        // wrong order
+      (5L, "hash alone no partner")).toDF("doc_id", "text"), tiny)
+    def ids(slop: Int) = TextIndex
+      .proximityServe(spark, tiny, "hash", "join", slop)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids(1) == Set(1L), "slop 1 = adjacency")
+    assert(ids(3) == Set(1L, 2L), "slop 3 admits the gap-3 doc only")
+    assert(ids(4) == Set(1L, 2L, 3L), "slop 4 admits the gap-4 doc")
+    // the corpus query widens s19's survivor set
+    val s19ids = HybridSearch.s19PhraseFromIndex(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val s20ids = HybridSearch.s20ProximitySearch(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(s19ids.subsetOf(s20ids) || s20ids.size == 20,
+      "slop must only widen survivors (unless the top-20 cut bites)")
+    Caches.releaseAll()
+  }
+
   test("forward-index seed lookup prunes to the seed's doc bucket") {
     val seed = spark.read.parquet(s"$path/forward")
       .filter($"dbucket" === 0L && $"doc_id" === 0L)
