@@ -140,6 +140,42 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
                    limit: Int = settings.searchTopK): DataFrame =
     graft.operators.HybridSearch.phraseSearchOf(tokenized, first, second, limit)
 
+  /** Build the PERSISTED text-serving index for this corpus at
+    * `path` (sources.TextIndex — the analog of the reference's
+    * persisted Weaviate index, store.go:105); the *FromIndex /
+    * proximity modes serve from it without touching the corpus
+    * again, and [[appendToSearchIndex]] keeps it current. */
+  def buildSearchIndex(path: String): Unit =
+    graft.sources.TextIndex.write(corpus.select($"doc_id", $"text"), path)
+
+  /** Incremental maintenance: append NEW documents into a built
+    * index (s18's exact merge — serve-after-append is bit-equal to
+    * a rebuild). Re-ingesting an existing doc_id needs the delete
+    * first, like every append index here. */
+  def appendToSearchIndex(path: String, newDocs: DataFrame): Unit =
+    graft.sources.TextIndex.append(newDocs.select("doc_id", "text"), path)
+
+  /** BM25 served FROM the persisted index (s17's serving path) —
+    * the query-latency mode: bucket-pruned posting reads, no corpus
+    * scan. */
+  def searchFromIndex(path: String, query: String,
+                      limit: Int = settings.searchTopK): DataFrame = {
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "searchFromIndex needs at least one query term")
+    graft.sources.TextIndex.bm25Serve(spark, path, terms)
+      .orderBy(col("score").desc, col("doc_id")).limit(limit)
+      .select(col("doc_id"), col("score"))
+  }
+
+  /** Ordered-proximity search from the persisted index: `second`
+    * within `slop` tokens AFTER `first` (slop 1 = exact phrase —
+    * s19's mechanics; wider slop = s20's). */
+  def searchProximity(path: String, first: String, second: String,
+                      slop: Int = 1,
+                      limit: Int = settings.searchTopK): DataFrame =
+    graft.sources.TextIndex.proximityServe(spark, path,
+      first.toLowerCase, second.toLowerCase, slop, limit)
+
   /** Fuzzy-corrected search (s11 → BM25): each query term is replaced
     * by its best edit-distance-≤1 vocabulary correction (delete-1
     * neighborhood join + exact Levenshtein; ranked by corpus df) and

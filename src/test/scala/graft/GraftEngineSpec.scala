@@ -547,4 +547,34 @@ class GraftEngineSpec extends SparkSpec {
     assert(stripped(1L)._2.split("\n").count(_ == "Menu Home") == 1)
     assert(stripped(2L) == ((0L, "plain doc with nothing to fix")))
   }
+
+  test("facade index lifecycle: build + append serves exactly like a one-shot build") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the hash join wins big"),
+      (2L, "hash of the join table"),
+      (3L, "spark filters push down"),
+      (4L, "join the spark hash club")).toDF("doc_id", "text")
+    val grown = java.nio.file.Files
+      .createTempDirectory("graft-eng-ti").toString
+    val oneShot = java.nio.file.Files
+      .createTempDirectory("graft-eng-ti2").toString
+    val half = new GraftEngine(spark, docs.filter($"doc_id" <= 2))
+    half.buildSearchIndex(grown)
+    half.appendToSearchIndex(grown, docs.filter($"doc_id" > 2))
+    new GraftEngine(spark, docs).buildSearchIndex(oneShot)
+    val full = new GraftEngine(spark, docs)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(full.searchFromIndex(grown, "hash join")) ==
+      rows(full.searchFromIndex(oneShot, "hash join")))
+    assert(rows(full.searchFromIndex(grown, "hash join")).nonEmpty)
+    // phrase vs proximity through the facade
+    assert(full.searchProximity(grown, "hash", "join")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "slop 1 = adjacency")
+    assert(full.searchProximity(grown, "hash", "join", slop = 3)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    Caches.releaseAll()
+  }
 }
