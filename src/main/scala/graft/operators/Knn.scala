@@ -1578,6 +1578,22 @@ object Knn {
   def appendToNnGraph(oldGraph: DataFrame, vecs: DataFrame,
                       newIds: DataFrame, k: Int, tables: Int = 4,
                       bits: Int = 6, bucketCap: Int = 256): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val delta = appendToNnGraphDelta(oldGraph, vecs, newIds, k,
+      tables, bits, bucketCap)
+    oldGraph
+      .join(delta.select($"q_id").distinct(), Seq("q_id"), "left_anti")
+      .unionByName(delta)
+  }
+
+  /** The CHANGED rows of [[appendToNnGraph]] only — the new nodes'
+    * edges plus the back-patched existing nodes' refreshed edge sets
+    * (every q_id present here is fully rewritten). This is what a
+    * persisted edge store upserts ([[upsertNnGraphStore]]); nodes
+    * absent from the delta keep their stored rows untouched. */
+  def appendToNnGraphDelta(oldGraph: DataFrame, vecs: DataFrame,
+                           newIds: DataFrame, k: Int, tables: Int = 4,
+                           bits: Int = 6, bucketCap: Int = 256): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     graft.plans.GraftFunctions.ensureRegistered(spark)
@@ -1625,9 +1641,47 @@ object Knn {
       oldGraph.join(dirty, Seq("q_id"), "left_semi")
         .unionByName(rev).dropDuplicates("q_id", "vec_id"),
       vv, k)
-    oldGraph.join(dirty, Seq("q_id"), "left_anti")
-      .unionByName(patched)
-      .unionByName(newEdges)
+    patched.unionByName(newEdges)
+  }
+
+  /** PERSISTED kNN-graph store — the writeIvfIndex discipline for
+    * a22's edge table: edges land in node-hash bucket directories,
+    * so an incremental upsert rewrites ONLY the buckets its changed
+    * nodes live in (dynamic partition overwrite — the reingest
+    * pattern), never the whole graph. */
+  val GraphBuckets = 32
+
+  def writeNnGraphStore(graph: DataFrame, path: String): Unit = {
+    import graph.sparkSession.implicits._
+    graph.select($"q_id", $"vec_id")
+      .withColumn("nbucket", pmod($"q_id", lit(GraphBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("nbucket").parquet(path)
+  }
+
+  /** Apply an [[appendToNnGraphDelta]] to the store: survivors of
+    * the AFFECTED buckets are read (every other bucket is untouched
+    * on disk), the rewritten nodes' old rows anti-join away, and
+    * only those buckets rewrite via dynamic partition overwrite.
+    * localCheckpoint breaks the read→overwrite cycle (the reingest
+    * discipline). */
+  def upsertNnGraphStore(spark: SparkSession, path: String,
+                         delta: DataFrame): Unit = {
+    import spark.implicits._
+    val d = delta.select($"q_id", $"vec_id")
+      .withColumn("nbucket", pmod($"q_id", lit(GraphBuckets.toLong)))
+    val survivors = spark.read.parquet(path)
+      .join(d.select($"nbucket").distinct(), Seq("nbucket"), "left_semi")
+      .join(d.select($"q_id").distinct(), Seq("q_id"), "left_anti")
+    d.unionByName(survivors.select(d.columns.map(col): _*))
+      .localCheckpoint(true)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("nbucket").parquet(path)
+  }
+
+  def readNnGraphStore(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(path).select($"q_id", $"vec_id")
   }
 
   /** The NN-Descent build as SHARED per-round materializations —

@@ -127,4 +127,43 @@ class KnnIndexSpec extends SparkSpec {
     assert(served === inMemory)
     Caches.releaseAll()
   }
+
+  test("kNN-graph store: bucket upsert of the append delta equals the in-memory graph") {
+    import graft.functions.VectorFunctions
+    val all = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", VectorFunctions.asDouble($"embedding").as("v"))
+    val newIds = all.filter($"vec_id" < 40).select($"vec_id")
+    val oldVecs = all.filter($"vec_id" >= 40)
+    val k = 3
+    val (oldGraph0, _) = Knn.nnDescentBuild(oldVecs,
+      Knn.knnJoinOf(oldVecs, tables = 4, bits = 6, k = k, bucketCap = 256)
+        .select($"q_id", $"vec_id"), k, maxRounds = 2)
+    val oldGraph = oldGraph0.localCheckpoint()
+    val path = s"$tmp/nngraph"
+    Knn.writeNnGraphStore(oldGraph, path)
+    // the on-disk layout is node-hash bucket directories
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("nbucket=")).map(_.getName)
+    assert(dirs.nonEmpty)
+    // one batch arrives: upsert ONLY the delta
+    val delta = Knn.appendToNnGraphDelta(oldGraph, all, newIds, k)
+      .localCheckpoint()
+    Knn.upsertNnGraphStore(spark, path, delta)
+    val stored = Knn.readNnGraphStore(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Knn.appendToNnGraph(oldGraph, all, newIds, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored == expected,
+      "the upserted store must equal the in-memory appended graph")
+    // and the stored graph serves the walk identically
+    val queries = all.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val entries = all.select($"vec_id").filter($"vec_id" < 16)
+    def serve(g: org.apache.spark.sql.DataFrame) =
+      Knn.graphSearchOf(all.select($"vec_id", $"v"), g, queries, entries,
+        k = 5, beam = 8, hops = 2).collect().map(_.toSeq).toSeq
+    assert(serve(Knn.readNnGraphStore(spark, path)) ==
+      serve(Knn.appendToNnGraph(oldGraph, all, newIds, k)))
+    Caches.releaseAll()
+  }
 }
