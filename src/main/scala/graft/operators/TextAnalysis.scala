@@ -736,7 +736,50 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t29: UNICODE-SCRIPT profile — the curation router t1's n-gram
+    * language ID can't replace: script counts are a DIRECT signal
+    * (a "lang=en" page full of Cyrillic is mojibake or spam; a
+    * mixed Latin+CJK page needs a different tokenizer), and the
+    * per-script histogram is what a 100 TB curation pass buckets
+    * on before any model-based language ID runs. Counts per
+    * script class (Latin/Cyrillic/Han/Arabic + other letters +
+    * digits) via one regex pass each; dominant script picks the
+    * max with a FIXED priority tie-break (the when-chain order,
+    * mirrored by the oracle's CASE order); `mixed` flags docs
+    * whose non-dominant letters reach 20% (integer-exact:
+    * (letters − max)·5 ≥ letters). All counts integer — the whole
+    * profile replays in DuckDB. */
+  def t29ScriptProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def cnt(re: String): Column =
+      size(regexp_extract_all($"text", lit(re), lit(0))).cast("long")
+    graft.Tables.documents(spark, dir)
+      .select($"doc_id",
+        cnt("\\p{L}").as("letters"),
+        cnt("\\p{IsLatin}").as("latin"),
+        cnt("\\p{IsCyrillic}").as("cyrillic"),
+        cnt("\\p{IsHan}").as("han"),
+        cnt("\\p{IsArabic}").as("arabic"),
+        cnt("\\p{Nd}").as("digits"))
+      .withColumn("other",
+        $"letters" - $"latin" - $"cyrillic" - $"han" - $"arabic")
+      .withColumn("_m",
+        greatest($"latin", $"cyrillic", $"han", $"arabic", $"other"))
+      .withColumn("dominant",
+        when($"letters" === 0L, "none")
+          .when($"latin" === $"_m", "latin")
+          .when($"cyrillic" === $"_m", "cyrillic")
+          .when($"han" === $"_m", "han")
+          .when($"arabic" === $"_m", "arabic")
+          .otherwise("other"))
+      .withColumn("mixed",
+        $"letters" > 0L && ($"letters" - $"_m") * 5L >= $"letters")
+      .drop("_m")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t29_script_profile" -> t29ScriptProfile _,
     "t27_unicode_clean" -> t27UnicodeClean _,
     "t22_token_fertility" -> t22TokenFertility _,
     "t21_corpus_drift" -> ((s, d) => t21CorpusDrift(s, d)),
@@ -850,6 +893,34 @@ object TextAnalysis {
       .mkString("\n      ")
     val allGreatest = s"greatest(${langs.map("s_" + _).mkString(", ")})"
     val m = Map(
+      // same regex script classes (RE2 spells them \p{Latin}, java
+      // \p{IsLatin}), same greatest + fixed CASE-order tie-break,
+      // same integer 20% mixed rule
+      "t29_script_profile" ->
+        """WITH c AS (
+          |  SELECT doc_id,
+          |    CAST(len(regexp_extract_all(text, '\p{L}')) AS BIGINT) AS letters,
+          |    CAST(len(regexp_extract_all(text, '\p{Latin}')) AS BIGINT) AS latin,
+          |    CAST(len(regexp_extract_all(text, '\p{Cyrillic}')) AS BIGINT) AS cyrillic,
+          |    CAST(len(regexp_extract_all(text, '\p{Han}')) AS BIGINT) AS han,
+          |    CAST(len(regexp_extract_all(text, '\p{Arabic}')) AS BIGINT) AS arabic,
+          |    CAST(len(regexp_extract_all(text, '\p{Nd}')) AS BIGINT) AS digits
+          |  FROM documents),
+          |o AS (
+          |  SELECT *, letters - latin - cyrillic - han - arabic AS other,
+          |    greatest(latin, cyrillic, han, arabic,
+          |      letters - latin - cyrillic - han - arabic) AS m
+          |  FROM c)
+          |SELECT doc_id, letters, latin, cyrillic, han, arabic, digits, other,
+          |  CASE WHEN letters = 0 THEN 'none'
+          |       WHEN latin = m THEN 'latin'
+          |       WHEN cyrillic = m THEN 'cyrillic'
+          |       WHEN han = m THEN 'han'
+          |       WHEN arabic = m THEN 'arabic'
+          |       ELSE 'other' END AS dominant,
+          |  letters > 0 AND (letters - m) * 5 >= letters AS mixed
+          |FROM o
+          |ORDER BY doc_id""".stripMargin,
       // same planted bytes, same positional C2/C3 lag/lead repair
       // rule (vectorized: per-char explode + one doc-keyed window),
       // same NFC composition — the cleaned strings must match

@@ -263,4 +263,49 @@ class TextAnalysisSpec extends SparkSpec {
       assert(clean.startsWith("Caf\u00e9 \u00b7 na\u00efve r\u00e9sum\u00e9 "))
     }
   }
+
+  test("t29 script profile: planted scripts classify; mixed flag is the 20% rule") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "hello world plain latin text"),
+      (2L, "\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440"), // \u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440
+      (3L, "\u4e2d\u6587\u6587\u672c\u5904\u7406"),                    // Chinese
+      (4L, "hello \u043c\u0438\u0440 mixed \u043f\u043e\u043b\u043e\u0432\u0438\u043d\u0430"),
+      (5L, "12345 67890"),
+      (6L, "latin with one \u0436 letter only")).toDF("doc_id", "text")
+    // reuse the operator body via a temp view? The query fn reads the
+    // corpus dir, so replicate its projection on the planted frame
+    def cnt(re: String) =
+      size(regexp_extract_all($"text", lit(re), lit(0))).cast("long")
+    val out = docs.select($"doc_id",
+        cnt("\\p{L}").as("letters"), cnt("\\p{IsLatin}").as("latin"),
+        cnt("\\p{IsCyrillic}").as("cyrillic"), cnt("\\p{IsHan}").as("han"),
+        cnt("\\p{IsArabic}").as("arabic"), cnt("\\p{Nd}").as("digits"))
+      .withColumn("other",
+        $"letters" - $"latin" - $"cyrillic" - $"han" - $"arabic")
+      .withColumn("_m",
+        greatest($"latin", $"cyrillic", $"han", $"arabic", $"other"))
+      .withColumn("dominant",
+        when($"letters" === 0L, "none")
+          .when($"latin" === $"_m", "latin")
+          .when($"cyrillic" === $"_m", "cyrillic")
+          .when($"han" === $"_m", "han")
+          .when($"arabic" === $"_m", "arabic").otherwise("other"))
+      .withColumn("mixed",
+        $"letters" > 0L && ($"letters" - $"_m") * 5L >= $"letters")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[String]("dominant"), r.getAs[Boolean]("mixed")))).toMap
+    assert(out(1L) == (("latin", false)))
+    assert(out(2L) == (("cyrillic", false)))
+    assert(out(3L) == (("han", false)))
+    // latin 10 (hello+mixed) vs cyrillic 11 (мир+половина)
+    assert(out(4L) == (("cyrillic", true)), "48% latin letters flag mixed")
+    assert(out(5L) == (("none", false)), "digits are not letters")
+    assert(out(6L) == (("latin", false)), "one stray letter is under 20%")
+    // and the corpus operator runs end to end with the same schema
+    val corpus = graft.operators.TextAnalysis
+      .t29ScriptProfile(spark, sfDir).limit(3).collect()
+    assert(corpus.nonEmpty && corpus.head.length == 10)
+  }
 }
