@@ -1791,6 +1791,95 @@ object Knn {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** a23: PQ-SCORED graph serving — the DiskANN mechanics proper:
+    * a22 walks the graph scoring every fresh candidate with the
+    * EXACT vector, which at 100 TB means a full-precision fetch per
+    * touched node; DiskANN instead walks on COMPRESSED codes held
+    * in memory (PQ asymmetric distance — pq_adc, the a6 kernel) and
+    * touches full vectors ONLY for the final rerank set. Here: the
+    * beam walk orders by adist (ascending — it is a distance), the
+    * per-hop anti-join keeps the scored set monotone exactly like
+    * a22, and after the hops the top-`rerank` visited candidates
+    * per query fetch exact vectors for the cosine top-k. Exact
+    * fetches per query drop from entries + hops·beam·2k to
+    * `rerank` — the bytes-touched profile that makes a graph index
+    * serve from disk. Codebook: a6's deterministic first-16 seeds
+    * (the trained swap-in is [[pqKmeansBooks]]); the oracle replays
+    * codebook, codes, every adist hop, and the exact rerank. */
+  def a23GraphSearchPq(spark: SparkSession, dir: String, k: Int = 5,
+                       beam: Int = 8, hops: Int = 2, entries: Int = 16,
+                       rerank: Int = 16): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val all = graft.Caches.persist(base(spark, dir))
+    val seeds: Seq[Seq[Double]] = all.orderBy($"vec_id").limit(16)
+      .select($"v").as[Seq[Double]].collect().toSeq
+    val books: Seq[Seq[Seq[Double]]] = (0 until 8).map { s =>
+      seeds.map(_.slice(s * 8, (s + 1) * 8))
+    }
+    val bookMat = typedLit(books)
+    val coded = graft.Caches.persist(all.select($"vec_id", $"v")
+      .withColumn("code", call_function("pq_encode", $"v", bookMat)))
+    val queries = all.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    graphSearchPqOf(coded, refinedGraph(spark, dir), queries,
+      all.select($"vec_id").filter($"vec_id" < entries), bookMat,
+      k, beam, hops, rerank)
+  }
+
+  /** The PQ-scored walk over any (vec_id, v, code) coded corpus +
+    * directed graph + (q_id, qv) queries + entry ids — a23's core;
+    * `bookMat` is the codebook literal the codes were encoded
+    * with. */
+  private[graft] def graphSearchPqOf(coded: DataFrame, graph: DataFrame,
+                                     queries: DataFrame,
+                                     entryIds: DataFrame,
+                                     bookMat: Column, k: Int, beam: Int,
+                                     hops: Int, rerank: Int): DataFrame = {
+    val spark = coded.sparkSession
+    import spark.implicits._
+    val und = graft.Caches.persist(
+      graph.select($"q_id".as("node"), $"vec_id".as("nbr"))
+        .unionByName(graph.select($"vec_id".as("node"), $"q_id".as("nbr")))
+        .dropDuplicates("node", "nbr"))
+    // the hop scorer touches only the 8-byte code column — never v
+    def adcOf(pairs: DataFrame): DataFrame = pairs
+      .join(broadcast(queries), "q_id")
+      .join(coded.select($"vec_id", $"code"), "vec_id")
+      .select($"q_id", $"vec_id",
+        call_function("pq_adc", $"qv", $"code", bookMat).as("adist"))
+    val wB = Window.partitionBy($"q_id").orderBy($"adist", $"vec_id")
+    val e0 = queries.select($"q_id")
+      .crossJoin(broadcast(entryIds.select($"vec_id")))
+      .filter($"vec_id" =!= $"q_id")
+    var visited = graft.Caches.persist(adcOf(e0))
+    (1 to hops).foreach { _ =>
+      val frontier = visited
+        .withColumn("rnk", row_number().over(wB))
+        .filter($"rnk" <= beam).select($"q_id", $"vec_id")
+      val next = frontier.join(und, frontier("vec_id") === und("node"))
+        .select($"q_id", $"nbr".as("vec_id"))
+        .filter($"vec_id" =!= $"q_id")
+        .dropDuplicates("q_id", "vec_id")
+      val fresh = next.join(visited.select($"q_id", $"vec_id"),
+        Seq("q_id", "vec_id"), "left_anti")
+      visited = graft.Caches.persist(visited.unionByName(adcOf(fresh)))
+    }
+    // full-precision vectors enter ONLY here, for `rerank` rows/query
+    val wK = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")
+    visited.withColumn("qrnk", row_number().over(wB))
+      .filter($"qrnk" <= rerank)
+      .select($"q_id", $"vec_id")
+      .join(broadcast(queries), "q_id")
+      .join(coded.select($"vec_id", $"v"), "vec_id")
+      .select($"q_id", $"vec_id", V.cosineD($"qv", $"v").as("cosine_raw"))
+      .withColumn("rnk", row_number().over(wK))
+      .filter($"rnk" <= k)
+      .select($"q_id", $"vec_id", round($"cosine_raw", 6).as("cosine"),
+        $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
   /** a12: ANN RECALL evaluation — "measure, don't guess" for the
     * approximate family: every serving method's top-5 intersected
     * with a1's exact top-5, reported as recall@5. The calibration
@@ -1860,6 +1949,7 @@ object Knn {
     "a20_mutual_knn" -> ((s, d) => a20MutualKnnClusters(s, d)),
     "a21_nn_descent" -> ((s, d) => a21NnDescent(s, d)),
     "a22_graph_search" -> ((s, d) => a22GraphSearch(s, d)),
+    "a23_graph_search_pq" -> ((s, d) => a23GraphSearchPq(s, d)),
     "s2_vector_topk" -> s2VectorTopk _)
 
   private val cosineSql =
@@ -2512,6 +2602,84 @@ object Knn {
        |ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** a23's replay: a22's hop skeleton with adist (ascending) in
+    * place of cosine at every walk stage, a6's codebook/code CTEs
+    * over the graph's `ev` vector table, and the exact cosine
+    * entering only in the final rerank CTE. */
+  private lazy val a23Sql: String = {
+    val (k, beam, hops, entries, rerank) = (5, 8, 2, 16, 16)
+    val encDist = pqSqDist("v", "sp", "sv.sv[j+1]")
+    def adcSql(qv: String, code: String): String =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(generate_series(0, 7), sp ->
+         |        ${pqSqDist(qv, "sp", s"sv.sv[$code[sp+1]+1]")})),
+         |      (a, x) -> a + x)""".stripMargin
+    def hopCtes(h: Int): String =
+      s"""f$h AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY adist, vec_id) AS rnk
+         |    FROM v${h - 1})
+         |  WHERE rnk <= $beam),
+         |n$h AS (
+         |  SELECT DISTINCT f.q_id, u.nbr AS vec_id
+         |  FROM f$h f JOIN und u ON u.node = f.vec_id
+         |  WHERE u.nbr <> f.q_id),
+         |s$h AS (
+         |  SELECT n.q_id, n.vec_id,
+         |    ${adcSql("q.qv", "b.code")} AS adist
+         |  FROM n$h n
+         |  JOIN qs q ON q.q_id = n.q_id
+         |  JOIN coded b ON b.vec_id = n.vec_id, sv
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${h - 1} v
+         |                    WHERE v.q_id = n.q_id AND v.vec_id = n.vec_id)),
+         |v$h AS (
+         |  SELECT q_id, vec_id, adist FROM v${h - 1}
+         |  UNION ALL
+         |  SELECT q_id, vec_id, adist FROM s$h)""".stripMargin
+    s"""WITH ${nnGraphCtesSql(2)},
+       |und AS (
+       |  SELECT q_id AS node, vec_id AS nbr FROM g2
+       |  UNION
+       |  SELECT vec_id, q_id FROM g2),
+       |sv AS (SELECT list(v ORDER BY vec_id) AS sv
+       |       FROM (SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT 16)),
+       |coded AS (
+       |  SELECT vec_id, v,
+       |    list_transform(generate_series(0, 7), sp ->
+       |      list_position(
+       |        list_transform(generate_series(0, 15), j -> $encDist),
+       |        list_min(list_transform(generate_series(0, 15), j -> $encDist)))
+       |      - 1) AS code
+       |  FROM ev, sv),
+       |qs AS (SELECT vec_id AS q_id, v AS qv FROM ev WHERE vec_id < 10),
+       |v0 AS (
+       |  SELECT qs.q_id, b.vec_id, ${adcSql("qs.qv", "b.code")} AS adist
+       |  FROM qs JOIN coded b ON b.vec_id < $entries AND b.vec_id <> qs.q_id, sv),
+       |${(1 to hops).map(hopCtes).mkString(",\n")},
+       |cand AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY adist, vec_id) AS qrnk
+       |    FROM v$hops)
+       |  WHERE qrnk <= $rerank),
+       |exact AS (
+       |  SELECT c.q_id, c.vec_id,
+       |    ${cosineSql.replace("QV", "q.qv").replace("BV", "b.v")} AS cosine_raw
+       |  FROM cand c
+       |  JOIN qs q ON q.q_id = c.q_id
+       |  JOIN ev b ON b.vec_id = c.vec_id)
+       |SELECT q_id, vec_id, round(cosine_raw, 6) AS cosine, rnk FROM (
+       |  SELECT q_id, vec_id, cosine_raw,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine_raw DESC, vec_id) AS rnk
+       |  FROM exact)
+       |WHERE rnk <= $k
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
   lazy val mutualCompCtesSql: String =
     s"""knn AS (
        |  SELECT q_id, vec_id FROM (${baseOracles("a9_knn_join")})),
@@ -2577,6 +2745,7 @@ object Knn {
            |ORDER BY vec_id""".stripMargin) +
       ("a21_nn_descent" -> a21Sql) +
       ("a22_graph_search" -> a22Sql) +
+      ("a23_graph_search_pq" -> a23Sql) +
       ("a17_cascade_tuning" -> a17Sql) +
       ("a18_index_balance" ->
         s"""WITH ${kmeansCellsSqlFor(8)},

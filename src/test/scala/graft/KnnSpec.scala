@@ -478,6 +478,29 @@ class KnnSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("a23 PQ walk: ranked shape; zero hops + full rerank degenerates to a22 exactly") {
+    import spark.implicits._
+    val rows = Knn.a23GraphSearchPq(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rs =>
+      assert(rs.length == 5)
+      val cosines = rs.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(cosines == cosines.sorted.reverse, "cosine must descend with rank")
+    }
+    rows.foreach(r => assert(r.getLong(0) != r.getLong(1), "self-match"))
+    // at zero hops both walks score exactly the entry sample, and
+    // with the rerank window covering it the exact final rerank makes
+    // the two identical — the degeneration that pins the PQ walk's
+    // plumbing to a22's
+    val pq = Knn.a23GraphSearchPq(spark, sfDir, hops = 0, rerank = 16)
+      .collect().map(_.toSeq).toSeq
+    val exact = Knn.a22GraphSearch(spark, sfDir, hops = 0)
+      .collect().map(_.toSeq).toSeq
+    assert(pq == exact, "zero-hop PQ walk must equal the exact walk")
+    Caches.releaseAll()
+  }
+
   test("nnDescentBuild loops until the edge delta dries and converges to the exact graph") {
     import spark.implicits._
     // planted corpus: 4 well-separated clusters of 10, each cluster a
