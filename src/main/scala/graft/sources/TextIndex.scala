@@ -94,13 +94,15 @@ object TextIndex {
         // vocab derives from postings: (term, doc) rows are unique,
         // so df is a plain count per term
         val vocab = postings.groupBy($"term").agg(count(lit(1)).as("df"))
-        vocab.write.mode("overwrite").parquet(s"$path/vocab")
-        // the completion index is persisted SERVED (ranked top-k per
-        // prefix) — what a production suggester stores
-        HybridSearch.autocompleteOf(
-            spark_read_back(corpus.sparkSession, s"$path/vocab"),
-            minPrefix, maxPrefix, kComplete)
-          .write.mode("overwrite").parquet(s"$path/prefixes")
+          .persist()
+        try {
+          vocab.write.mode("overwrite").parquet(s"$path/vocab")
+          // the completion index is persisted SERVED (ranked top-k
+          // per prefix) — what a production suggester stores
+          HybridSearch.autocompleteOf(vocab, minPrefix, maxPrefix,
+              kComplete)
+            .write.mode("overwrite").parquet(s"$path/prefixes")
+        } finally vocab.unpersist()
         // forward index: doc-keyed term vectors for MLT seed lookups
         postings.select($"doc_id", $"term", $"tf")
           .withColumn("dbucket", pmod($"doc_id", lit(DocBuckets.toLong)))
@@ -127,9 +129,6 @@ object TextIndex {
         .write.mode("overwrite").parquet(s"$path/stats")
     } finally toks.unpersist()
   }
-
-  private def spark_read_back(spark: SparkSession, p: String): DataFrame =
-    spark.read.parquet(p)
 
   /** INCREMENTAL index maintenance — the appendToIvfIndex contract
     * for the text index, with a stronger guarantee the ANN side
@@ -166,17 +165,17 @@ object TextIndex {
           .write.mode("append").partitionBy("dbucket")
           .parquet(s"$path/forward")
         // vocab merge: old ∪ batch, df summed — localCheckpoint
-        // breaks the read→overwrite cycle (the reingest pattern)
+        // breaks the read→overwrite cycle (the reingest pattern) AND
+        // is the frame the prefix re-rank reads, saving a round trip
         val batchVocab = postings.groupBy($"term")
           .agg(count(lit(1)).as("df"))
-        spark.read.parquet(s"$path/vocab")
+        val mergedVocab = spark.read.parquet(s"$path/vocab")
           .unionByName(batchVocab)
           .groupBy($"term").agg(sum($"df").as("df"))
           .localCheckpoint(true)
-          .write.mode("overwrite").parquet(s"$path/vocab")
-        HybridSearch.autocompleteOf(
-            spark_read_back(spark, s"$path/vocab"),
-            minPrefix, maxPrefix, kComplete)
+        mergedVocab.write.mode("overwrite").parquet(s"$path/vocab")
+        HybridSearch.autocompleteOf(mergedVocab, minPrefix, maxPrefix,
+            kComplete)
           .write.mode("overwrite").parquet(s"$path/prefixes")
       } finally postings.unpersist()
       toks.select($"doc_id", $"nlt", $"nlb", explode($"ttok").as("term"),
