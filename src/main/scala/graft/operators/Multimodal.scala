@@ -1693,7 +1693,112 @@ object Multimodal {
           .as("dur_us"))
   }
 
+  /** m18: FLAC STREAMINFO walk — the lossless half of the audio
+    * catalog (m4 WAV / m15 PCM / m17 MP3 cover the rest): `fLaC`
+    * magic, then metadata-block hops (1-bit last flag + 7-bit type +
+    * 24-bit big-endian length — the m6 marker-chain pattern), with
+    * STREAMINFO (type 0, mandated FIRST by the spec) bit-unpacked
+    * by byte arithmetic: 20-bit sample rate, 3-bit channels−1,
+    * 5-bit bits-per-sample−1, 36-bit total samples straddling the
+    * byte 13/14 boundary — the synthesis plants totals ABOVE 2³²
+    * for some docs so the high nibble is load-bearing. A PADDING
+    * block follows for every third doc (the walk must hop it and
+    * count it); poison blobs yield a typed false row. Oracle
+    * recomputes every field first-principles from the synthesis
+    * rules. */
+  def m18FlacMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val df = Tables.documents(spark, dir).select($"doc_id")
+      .withColumn("_sr", when(pmod($"doc_id", lit(4L)) === 0L, 44100L)
+        .when(pmod($"doc_id", lit(4L)) === 1L, 48000L)
+        .when(pmod($"doc_id", lit(4L)) === 2L, 32000L)
+        .otherwise(96000L))
+      .withColumn("_ch", lit(1L) + pmod($"doc_id", lit(8L)))
+      .withColumn("_bps", when(pmod($"doc_id", lit(2L)) === 0L, 16L)
+        .otherwise(24L))
+      .withColumn("_tot", when(pmod($"doc_id", lit(5L)) === 0L,
+        lit(4294967296L) + $"doc_id").otherwise(lit(1000L) + $"doc_id"))
+      .withColumn("_padlen", pmod($"doc_id", lit(9L)))
+      .withColumn("_haspad", pmod($"doc_id", lit(3L)) === 0L)
+    def h2(c: Column): Column = lpad(hex(c), 2, "0")
+    // the 8 bit-packed bytes: sr(20) ch-1(3) bps-1(5) total(36)
+    val b0 = h2(expr("_sr div 4096"))
+    val b1 = h2(expr("(_sr div 16) % 256"))
+    val b2 = h2(expr("(_sr % 16) * 16 + (_ch - 1) * 2 + (_bps - 1) div 16"))
+    val b3 = h2(expr("((_bps - 1) % 16) * 16 + _tot div 4294967296"))
+    val b47 = lpad(hex(expr("_tot % 4294967296")), 8, "0")
+    val streaminfo = concat(
+      // header: type 0, last iff no padding block follows; len 34
+      when($"_haspad", lit("00")).otherwise(lit("80")), lit("000022"),
+      lit("1000"), lit("1000"),          // min/max blocksize 4096
+      lit("000120"), lit("000E10"),      // min/max framesize
+      b0, b1, b2, b3, b47,
+      repeat(lit("AB"), 16))             // md5 filler
+    val padding = when($"_haspad", concat(lit("81"),
+      lpad(hex($"_padlen"), 6, "0"),
+      repeat(lit("00"), $"_padlen".cast("int")))).otherwise(lit(""))
+    val blobs = df
+      .withColumn("_hex", concat(lit("664C6143"), streaminfo, padding,
+        lit("FFF8")))                    // a frame-sync tail the walk ignores
+      .select($"doc_id",
+        when(pmod($"doc_id", lit(10L)) === 7L, unhex(lit("0001020304")))
+          .otherwise(unhex($"_hex")).as("payload"))
+    parseFlacMeta(blobs).orderBy($"doc_id")
+  }
+
+  /** The FLAC metadata walker over any (doc_id, payload binary)
+    * frame: bounded block hops, STREAMINFO bit-unpack. */
+  def parseFlacMeta(blobs: DataFrame, maxBlocks: Int = 3): DataFrame = {
+    import blobs.sparkSession.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(blobs.sparkSession)
+    def byteAt(off: Column): Column =
+      when(off <= $"_len", call_function("byte_at", $"payload", off))
+    var w = blobs
+      .withColumn("_len", octet_length($"payload").cast("long"))
+      .withColumn("_magic", hex(substring($"payload", 1, 4)) === "664C6143")
+      .withColumn("_o1", lit(5L))
+    for (i <- 1 to maxBlocks) {
+      w = w
+        .withColumn(s"_h$i", byteAt(col(s"_o$i")))
+        .withColumn(s"_last$i", expr(s"_h$i div 128") === 1L)
+        .withColumn(s"_ty$i", expr(s"_h$i % 128"))
+        .withColumn(s"_bl$i",
+          byteAt(col(s"_o$i") + 1L) * 65536L +
+            byteAt(col(s"_o$i") + 2L) * 256L + byteAt(col(s"_o$i") + 3L))
+        .withColumn(s"_ok$i", coalesce($"_magic" && col(s"_h$i").isNotNull &&
+          col(s"_o$i") + 3L + col(s"_bl$i") <= $"_len", lit(false)))
+      // the walk stops AT the last-flagged block (it still counts)
+      w = w.withColumn(s"_o${i + 1}",
+        when(col(s"_ok$i") && !col(s"_last$i"),
+          col(s"_o$i") + 4L + col(s"_bl$i")))
+    }
+    // STREAMINFO is block 1 by spec; its body starts at offset 9
+    def b(i: Int): Column = byteAt(lit((8 + i).toLong)) // 1-based body byte i
+    val isFlac = $"_magic" && $"_ok1" && $"_ty1" === 0L && $"_bl1" === 34L
+    val ks = 1 to maxBlocks
+    w.withColumn("_nb",
+        ks.map(k => when(col(s"_ok$k"), 1L).otherwise(0L)).reduce(_ + _))
+      .withColumn("_srx", b(11) * 4096L + b(12) * 16L + expr("byte_at(payload, cast(21 as bigint)) div 16"))
+      .withColumn("_flac", isFlac)
+      .select($"doc_id",
+        $"_flac".as("is_flac"),
+        when($"_flac", $"_nb").as("n_blocks"),
+        when($"_flac", b(1) * 256L + b(2)).as("min_blocksize"),
+        when($"_flac", $"_srx").as("sample_rate"),
+        when($"_flac", expr("(byte_at(payload, cast(21 as bigint)) div 2) % 8 + 1"))
+          .as("channels"),
+        when($"_flac", expr(
+          "(byte_at(payload, cast(21 as bigint)) % 2) * 16 + byte_at(payload, cast(22 as bigint)) div 16 + 1"))
+          .as("bits_per_sample"),
+        when($"_flac", expr("(byte_at(payload, cast(22 as bigint)) % 16) * 4294967296") +
+          b(15) * 16777216L + b(16) * 65536L + b(17) * 256L + b(18))
+          .as("total_samples"))
+      .withColumn("dur_us", when($"is_flac",
+        expr("(total_samples * 1000000) div sample_rate")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m18_flac_meta" -> m18FlacMeta _,
     "m17_mp3_meta" -> m17Mp3Meta _,
     "m14_pdf_meta" -> m14PdfMeta _,
     "m13_jpeg_exif" -> m13JpegExif _,
@@ -1713,6 +1818,36 @@ object Multimodal {
     "m8_tar_meta" -> m8TarMeta _)
 
   val oracles: Map[String, String] = Map(
+    // every field recomputed first-principles from the synthesis
+    // rules — a wrong bit boundary in the 20/3/5/36 unpack (esp. the
+    // 36-bit total straddling the high nibble) hash-mismatches
+    "m18_flac_meta" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(CASE CAST(doc_id % 4 AS INTEGER)
+        |      WHEN 0 THEN 44100 WHEN 1 THEN 48000 WHEN 2 THEN 32000
+        |      ELSE 96000 END AS BIGINT) AS sr,
+        |    CAST(1 + doc_id % 8 AS BIGINT) AS ch,
+        |    CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 24 END AS BIGINT)
+        |      AS bps,
+        |    CAST(CASE WHEN doc_id % 5 = 0 THEN 4294967296 + doc_id
+        |         ELSE 1000 + doc_id END AS BIGINT) AS tot,
+        |    doc_id % 10 = 7 AS poison,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS nb
+        |  FROM documents)
+        |SELECT doc_id,
+        |  NOT poison AS is_flac,
+        |  CASE WHEN poison THEN NULL ELSE nb END AS n_blocks,
+        |  CASE WHEN poison THEN NULL ELSE CAST(4096 AS BIGINT) END
+        |    AS min_blocksize,
+        |  CASE WHEN poison THEN NULL ELSE sr END AS sample_rate,
+        |  CASE WHEN poison THEN NULL ELSE ch END AS channels,
+        |  CASE WHEN poison THEN NULL ELSE bps END AS bits_per_sample,
+        |  CASE WHEN poison THEN NULL ELSE tot END AS total_samples,
+        |  CASE WHEN poison THEN NULL ELSE (tot * 1000000) // sr END
+        |    AS dur_us
+        |FROM f
+        |ORDER BY doc_id""".stripMargin,
     // every statistic recomputed first-principles from the synthesis
     // rules: synchsafe tag size, per-frame VBR bitrates, the spec
     // frame-length formula, the truncated final frame dropped — a

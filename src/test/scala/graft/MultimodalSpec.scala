@@ -723,4 +723,52 @@ class MultimodalSpec extends SparkSpec {
     assert(!j.getBoolean(1))
     (2 to 8).foreach(i => assert(j.isNullAt(i), s"col $i must be null"))
   }
+
+  test("m18 parses byte-built FLAC: synchsafe-free bit unpack, 36-bit total, block hops") {
+    import spark.implicits._
+    // independent byte-level build (not the columnar synthesis)
+    def flac(sr: Int, ch: Int, bps: Int, tot: Long,
+             pad: Option[Int]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("fLaC".getBytes("US-ASCII"))
+      out.write(if (pad.isDefined) 0x00 else 0x80) // STREAMINFO hdr
+      out.write(0); out.write(0); out.write(34)
+      out.write(0x10); out.write(0x00); out.write(0x10); out.write(0x00)
+      out.write(Array[Byte](0, 1, 0x20, 0, 0x0e, 0x10))
+      out.write(sr >> 12); out.write((sr >> 4) & 0xff)
+      out.write(((sr & 0xf) << 4) | ((ch - 1) << 1) | ((bps - 1) >> 4))
+      out.write((((bps - 1) & 0xf) << 4) | (tot >> 32).toInt)
+      (3 to 0 by -1).foreach(i => out.write(((tot >> (8 * i)) & 0xff).toInt))
+      (1 to 16).foreach(_ => out.write(0xab))
+      pad.foreach { n =>
+        out.write(0x81); out.write(0); out.write(0); out.write(n)
+        (1 to n).foreach(_ => out.write(0))
+      }
+      out.toByteArray
+    }
+    val blobs = Seq(
+      (1L, flac(44100, 2, 16, 1234567L, None)),
+      // total above 2^32: the high nibble of byte 14 is load-bearing
+      (2L, flac(96000, 8, 24, (1L << 32) + 99L, Some(5))),
+      (3L, "not flac".getBytes("US-ASCII")))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.parseFlacMeta(blobs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val a = out(1L)
+    assert(a.getBoolean(1) && a.getLong(2) == 1L)
+    assert(a.getLong(3) == 4096L && a.getLong(4) == 44100L)
+    assert(a.getLong(5) == 2L && a.getLong(6) == 16L)
+    assert(a.getLong(7) == 1234567L)
+    assert(a.getLong(8) == 1234567L * 1000000L / 44100L)
+    val b = out(2L)
+    assert(b.getBoolean(1) && b.getLong(2) == 2L,
+      "the padding block must be hopped and counted")
+    assert(b.getLong(4) == 96000L && b.getLong(5) == 8L &&
+      b.getLong(6) == 24L)
+    assert(b.getLong(7) == (1L << 32) + 99L,
+      "the 36-bit total must keep its high bits")
+    val junk = out(3L)
+    assert(!junk.getBoolean(1))
+    (2 to 8).foreach(i => assert(junk.isNullAt(i)))
+  }
 }
