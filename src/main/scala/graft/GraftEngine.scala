@@ -727,9 +727,12 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
 
   /** Per-host fetch-budget apportionment (c25) over any ranked
     * (host, rank_e12) frontier: exact integer Hamilton split of the
-    * cycle budget by rank mass, grants capped at pending counts. */
+    * cycle budget by rank mass, grants capped at pending counts.
+    * Count-gated: above Robots.AutoHierarchyHosts distinct hosts the
+    * split runs hierarchically (TLD → host), so no partition-less
+    * window ever sees a row count the frontier controls. */
   def crawlBudget(frontier: DataFrame, budget: Long = 100L): DataFrame =
-    graft.operators.Robots.apportionBudget(frontier, budget)
+    graft.operators.Robots.apportionBudgetAuto(frontier, budget)
 
   /** Event-rate anomaly detection over any (event_type, ts) frame
     * (q43): hourly counts vs their trailing-24h baseline, spikes

@@ -359,7 +359,7 @@ object Robots {
     * operator. */
   def c25CrawlBudget(spark: SparkSession, dir: String,
                      budget: Long = 100L): DataFrame =
-    apportionBudget(c17FrontierPriority(spark, dir), budget)
+    apportionBudgetAuto(c17FrontierPriority(spark, dir), budget)
 
   /** The apportionment core over any ranked (host, rank_e12)
     * frontier — the GraftEngine facade's entry point; c25 feeds it
@@ -429,9 +429,18 @@ object Robots {
     val wTld = Window.partitionBy($"tld")
     val wRemH = Window.partitionBy($"tld").orderBy($"rem".desc, $"host")
     hosts.join(broadcast(tldQuota), "tld")
-      .withColumn("base", expr(
-        "CAST((mass_w * tquota) div tmass_w AS BIGINT)"))
-      .withColumn("rem", ($"mass_w" * $"tquota") % $"tmass_w")
+      // a TLD whose hosts ALL have zero rank mass has tmass_w = 0 —
+      // the div/mod would be null and every host in it would carry
+      // null quotas. Short-circuit: base 0, rem 0, so the TLD's
+      // (possibly remainder-granted) tquota splits by the existing
+      // deterministic tie-break (rem desc = all-equal, then host) —
+      // integer quotas always, matching flat apportionBudget's
+      // zero-mass behavior.
+      .withColumn("base", when($"tmass_w" === 0, lit(0L)).otherwise(expr(
+        "CAST((mass_w * tquota) div tmass_w AS BIGINT)")))
+      .withColumn("rem", when($"tmass_w" === 0,
+          lit(0).cast("decimal(38,0)"))
+        .otherwise(($"mass_w" * $"tquota") % $"tmass_w"))
       .withColumn("short", $"tquota" - sum($"base").over(wTld))
       .withColumn("rrank", row_number().over(wRemH).cast("long"))
       .withColumn("quota",
@@ -441,6 +450,34 @@ object Robots {
         $"mass_w".cast("long").as("mass"), $"quota", $"granted",
         ($"quota" - $"granted").as("spilled"))
       .orderBy($"host")
+  }
+
+  /** Host-count threshold above which [[apportionBudgetAuto]] routes
+    * to the hierarchical form: below it the flat remainder window
+    * (one partition over host-cardinality rows) is cheap and exact;
+    * above it that window is the scaling hazard the TLD→host split
+    * exists to remove. */
+  val AutoHierarchyHosts = 4096L
+
+  /** Count-gated apportionment — the Pipeline.connectedComponents
+    * Adaptive pattern applied to c25: ONE cheap aggregate decides the
+    * shape (a distinct-host count — host-aggregate cardinality, the
+    * same reduction both forms start with), then small frontiers take
+    * flat Hamilton and large ones the hierarchical split whose every
+    * window is TLD-partitioned. Output schema is the flat form's;
+    * on a single-TLD frontier the two forms agree exactly, and above
+    * the switch the quotas are the hierarchical ones (two-level
+    * Hamilton — see apportionBudgetHierarchical's contract). */
+  def apportionBudgetAuto(frontier: DataFrame, budget: Long,
+                          hostSwitch: Long = AutoHierarchyHosts): DataFrame = {
+    import frontier.sparkSession.implicits._
+    val nHosts = frontier.select($"host").distinct().count()
+    if (nHosts > hostSwitch)
+      apportionBudgetHierarchical(frontier, budget)
+        .select($"host", $"n_pending", $"mass", $"quota", $"granted",
+          $"spilled")
+        .orderBy($"host")
+    else apportionBudget(frontier, budget)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -228,6 +228,54 @@ class RobotsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("hierarchical apportionment: a zero-mass TLD still gets integer quotas") {
+    import spark.implicits._
+    // .net's hosts all carry zero rank mass — tmass_w = 0 would null
+    // the in-TLD div/mod without the short-circuit
+    val frontier = Seq(
+      ("a.com", 5L), ("b.com", 9L),
+      ("x.net", 0L), ("y.net", 0L), ("z.net", 0L))
+      .toDF("host", "rank_e12")
+    val rows = Robots.apportionBudgetHierarchical(frontier, 10L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(4)))
+    assert(rows.map(_._3).sum == 10L, "quotas still tile the budget")
+    val net = rows.filter(_._2 == "net")
+    assert(net.length == 3 && net.forall(_._3 >= 0L),
+      s"zero-mass TLD hosts must carry integer (non-null) quotas: ${net.toSeq}")
+    // flat and hierarchical agree on the zero-mass hosts' treatment:
+    // no crash, no null, remainder split by the deterministic
+    // host tie-break
+    val netQuota = net.map(_._3).sum
+    assert(net.sortBy(_._1).map(_._3).toSeq ==
+      (0 until 3).map(i => if (i < netQuota) 1L else 0L),
+      "a zero-mass TLD's grant splits 1-per-host in host order")
+    Caches.releaseAll()
+  }
+
+  test("count-gated auto apportionment switches flat -> hierarchical at the host threshold") {
+    import spark.implicits._
+    val frontier = Seq(
+      ("a.com", 5L), ("a.com", 2L), ("b.com", 9L), ("c.com", 1L),
+      ("x.org", 4L), ("y.org", 4L), ("z.org", 3L), ("q.net", 6L))
+      .toDF("host", "rank_e12")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    // below the switch: exactly the flat form
+    assert(rows(Robots.apportionBudgetAuto(frontier, 17L, hostSwitch = 100L)) ==
+      rows(Robots.apportionBudget(frontier, 17L)))
+    // above the switch: exactly the hierarchical form (flat schema)
+    assert(rows(Robots.apportionBudgetAuto(frontier, 17L, hostSwitch = 3L)) ==
+      rows(Robots.apportionBudgetHierarchical(frontier, 17L)
+        .select($"host", $"n_pending", $"mass", $"quota", $"granted",
+          $"spilled").orderBy($"host")))
+    // single-TLD frontier: the two paths agree, so the switch is
+    // invisible in the quotas — the safe-degeneration contract
+    val single = frontier.filter($"host".endsWith(".org"))
+    assert(rows(Robots.apportionBudgetAuto(single, 11L, hostSwitch = 1L)) ==
+      rows(Robots.apportionBudget(single, 11L)))
+    Caches.releaseAll()
+  }
+
   test("paceByHost window ≡ the serial-queue recurrence t_k = max(due_k, t_(k-1)+delay)") {
     import spark.implicits._
     // one host, delay 10: due times force both recurrence branches
