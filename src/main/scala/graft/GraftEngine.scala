@@ -155,16 +155,56 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
   def appendToSearchIndex(path: String, newDocs: DataFrame): Unit =
     graft.sources.TextIndex.append(newDocs.select("doc_id", "text"), path)
 
-  /** BM25 served FROM the persisted index (s17's serving path) —
-    * the query-latency mode: bucket-pruned posting reads, no corpus
-    * scan. */
-  def searchFromIndex(path: String, query: String,
-                      limit: Int = settings.searchTopK): DataFrame = {
+  /** Search served FROM the persisted index — the query-latency
+    * mode, and with `alpha > 0` the reference's ACTUAL serving call
+    * (retrieval/service.go:23-47 hybrid-with-alpha against the
+    * persisted Weaviate index, store.go:105): alpha = 0 is the pure
+    * BM25 store path (s17), alpha > 0 fuses the persisted BM25 leg
+    * with the persisted vector leg under the scan path's own fusion
+    * expression (`fusion` = "relative" | "ranked", s21/s24). All
+    * reads are bucket/cell-pruned; no corpus scan. */
+  def searchFromIndex(path: String, query: String, alpha: Double = 0.0,
+                      limit: Int = settings.searchTopK,
+                      fusion: String = "relative"): DataFrame = {
     val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
     require(terms.nonEmpty, "searchFromIndex needs at least one query term")
-    graft.sources.TextIndex.bm25Serve(spark, path, terms)
-      .orderBy(col("score").desc, col("doc_id")).limit(limit)
-      .select(col("doc_id"), col("score"))
+    if (alpha > 0.0)
+      graft.sources.TextIndex.hybridServe(spark, path, terms, alpha,
+        limit, fusion)
+    else
+      graft.sources.TextIndex.bm25Serve(spark, path, terms)
+        .orderBy(col("score").desc, col("doc_id")).limit(limit)
+        .select(col("doc_id"), col("score"))
+  }
+
+  /** UPSERT documents into the persisted index — delete + append in
+    * ONE commit (s22's path): re-arriving doc_ids replace their old
+    * copies exactly; serve-after-upsert is bit-equal to a rebuild. */
+  def upsertIntoSearchIndex(path: String, docs: DataFrame): Unit =
+    graft.sources.TextIndex.upsert(docs.select("doc_id", "text"), path)
+
+  /** DELETE documents from the persisted index (the store's
+    * DeleteChunks* analog): tombstoned in one commit, statistics
+    * subtracted exactly. */
+  def deleteFromSearchIndex(path: String, ids: DataFrame): Unit =
+    graft.sources.TextIndex.delete(ids.select("doc_id"), path)
+
+  /** Run c18 change detection against the index's own idea of the
+    * corpus and apply the result: `changed` + `new` pages upsert,
+    * `deleted` pages tombstone — the result_consumer.go:196-198 CDC
+    * loop closed against the persisted index in two commits. */
+  def syncSearchIndex(path: String, fresh: DataFrame,
+                      stored: DataFrame): Unit = {
+    val classes = detectChanges(fresh, stored)
+    val toUpsert = corpus.join(
+      classes.filter($"needs_processing")
+        .select($"page_key".cast("long").as("doc_id")), "doc_id")
+    val toDelete = classes.filter($"change" === "deleted")
+      .select($"page_key".cast("long").as("doc_id"))
+    if (!toUpsert.isEmpty)
+      graft.sources.TextIndex.upsert(toUpsert.select("doc_id", "text"), path)
+    if (!toDelete.isEmpty)
+      graft.sources.TextIndex.delete(toDelete, path)
   }
 
   /** Ordered-proximity search from the persisted index: `second`

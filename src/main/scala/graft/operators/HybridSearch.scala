@@ -156,14 +156,25 @@ object HybridSearch {
       .select($"doc_id", V.cosineD($"embedding", $"qv").as("v_score"))
       .orderBy($"v_score".desc, $"doc_id").limit(candidates)
 
-    // relativeScoreFusion (Weaviate HybridSearcher): each leg is
-    // min-max normalized over ITS OWN candidate list; a doc absent
-    // from a leg contributes 0 for that leg. Bounds come from window
-    // min/max AFTER the full-outer join — window aggregates skip
-    // nulls, so min(kw_score) over all rows IS the kw leg's own min
-    // (vec-only rows have kw_score null). The window runs over the
-    // ≤2*candidates joined rows in one partition — bounded by
-    // construction, so no persist, no second pass, no skew risk.
+    fuseRelative(kw, vec, alpha, limit)
+  }
+
+  /** relativeScoreFusion (Weaviate HybridSearcher) over prepared
+    * (doc_id, kw_score) and (doc_id, v_score) candidate legs — SHARED
+    * by the scan path ([[hybrid]]) and the persisted-index path
+    * (sources.TextIndex.hybridServe) so the two cannot drift:
+    * identical join, identical normalization, identical rounding.
+    * Each leg is min-max normalized over ITS OWN candidate list; a
+    * doc absent from a leg contributes 0 for that leg. Bounds come
+    * from window min/max AFTER the full-outer join — window
+    * aggregates skip nulls, so min(kw_score) over all rows IS the kw
+    * leg's own min (vec-only rows have kw_score null). The window
+    * runs over the ≤2*candidates joined rows in one partition —
+    * bounded by construction, so no persist, no second pass, no skew
+    * risk. */
+  private[graft] def fuseRelative(kw: DataFrame, vec: DataFrame,
+                                  alpha: Double, limit: Int): DataFrame = {
+    import kw.sparkSession.implicits._
     val wAll = Window.partitionBy()
     def normalized(score: Column, lo: Column, hi: Column): Column =
       when(score.isNull, 0.0)
@@ -179,6 +190,34 @@ object HybridSearch {
           lit(alpha) * normalized($"v_score", $"vmin", $"vmax") +
           lit(1 - alpha) * normalized($"kw_score", $"kmin", $"kmax"), 6).as("hybrid_score"))
       .orderBy($"hybrid_score".desc, $"doc_id")
+      .limit(limit)
+  }
+
+  /** rankedFusion (reciprocal-rank fusion) over the same prepared
+    * candidate legs — [[fuseRelative]]'s integer-exact twin, shared
+    * with the persisted-index path for the same no-drift reason.
+    * Each leg ranks its own candidates by (score desc, doc_id); a
+    * doc's fused score is Σ weight/(60 + rank), absent legs
+    * contributing 0. */
+  private[graft] def fuseRanked(kw: DataFrame, vec: DataFrame,
+                                alpha: Double, limit: Int): DataFrame = {
+    import kw.sparkSession.implicits._
+    val kwR = kw.withColumn("kw_rank",
+        row_number().over(Window.orderBy($"kw_score".desc, $"doc_id"))
+          .cast("long"))
+      .select($"doc_id", $"kw_rank")
+    val vecR = vec.withColumn("v_rank",
+        row_number().over(Window.orderBy($"v_score".desc, $"doc_id"))
+          .cast("long"))
+      .select($"doc_id", $"v_rank")
+    kwR.join(vecR, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        round(
+          when($"v_rank".isNull, 0.0)
+            .otherwise(lit(alpha) / (lit(60.0) + $"v_rank")) +
+          when($"kw_rank".isNull, 0.0)
+            .otherwise(lit(1 - alpha) / (lit(60.0) + $"kw_rank")), 6).as("rrf_score"))
+      .orderBy($"rrf_score".desc, $"doc_id")
       .limit(limit)
   }
 
@@ -213,9 +252,7 @@ object HybridSearch {
     import spark.implicits._
     val kw = bm25Scores(spark, docs, queryTerms)
       .orderBy($"score".desc, $"doc_id").limit(candidates)
-      .withColumn("kw_rank",
-        row_number().over(Window.orderBy($"score".desc, $"doc_id")).cast("long"))
-      .select($"doc_id", $"kw_rank")
+      .select($"doc_id", $"score".as("kw_score"))
     val queryTok = array(queryTerms.map(lit): _*)
     val qvec = spark.range(1)
       .select(queryTok.as("tok"))
@@ -224,18 +261,7 @@ object HybridSearch {
       .crossJoin(broadcast(qvec))
       .select($"doc_id", V.cosineD($"embedding", $"qv").as("v_score"))
       .orderBy($"v_score".desc, $"doc_id").limit(candidates)
-      .withColumn("v_rank",
-        row_number().over(Window.orderBy($"v_score".desc, $"doc_id")).cast("long"))
-      .select($"doc_id", $"v_rank")
-    kw.join(vec, Seq("doc_id"), "full_outer")
-      .select($"doc_id",
-        round(
-          when($"v_rank".isNull, 0.0)
-            .otherwise(lit(alpha) / (lit(60.0) + $"v_rank")) +
-          when($"kw_rank".isNull, 0.0)
-            .otherwise(lit(1 - alpha) / (lit(60.0) + $"kw_rank")), 6).as("rrf_score"))
-      .orderBy($"rrf_score".desc, $"doc_id")
-      .limit(limit)
+    fuseRanked(kw, vec, alpha, limit)
   }
 
   /** s4: deterministic rerank stage over the hybrid candidates — a
@@ -730,8 +756,11 @@ object HybridSearch {
     graft.TrainedModels.memo(spark, s"text_index:$dir") {
       val p = java.nio.file.Files.createTempDirectory("graft_text_index")
         .toString
+      // lang/source ride along as document metadata — the side table
+      // s23's filtered store-serving equality-filters on
       graft.sources.TextIndex.write(
-        Tables.documents(spark, dir).select(col("doc_id"), col("text")), p)
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text"), col("lang"), col("source")), p)
       p
     }
 
@@ -752,15 +781,33 @@ object HybridSearch {
     * doc_id-div-50 blocks, then the odd blocks arrive as an
     * incremental batch through TextIndex.append — the index s18
     * serves from. */
+  /** (base-build seconds, append seconds) recorded by the
+    * [[appendedIndexPath]] memo — so Bench can bill the APPEND call
+    * on its own line, directly comparable to the full build's line,
+    * instead of bundling it with its half-corpus precursor. */
+  private val appendTimings =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (Double, Double)]()
+
+  def appendedIndexTimings(spark: SparkSession,
+                           dir: String): Option[(Double, Double)] =
+    Option(appendTimings.get((spark, dir)))
+
   def appendedIndexPath(spark: SparkSession, dir: String): String =
     graft.TrainedModels.memo(spark, s"text_index_appended:$dir") {
       val p = java.nio.file.Files
         .createTempDirectory("graft_text_index_app").toString
       val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      // keyword-only: s18 gates the TEXT merge; the vector artifacts
+      // have their own build line on the full index
+      val t0 = System.nanoTime()
       graft.sources.TextIndex.write(
-        docs.filter(expr("(doc_id div 50) % 2 = 0")), p)
+        docs.filter(expr("(doc_id div 50) % 2 = 0")), p, withVectors = false)
+      val t1 = System.nanoTime()
       graft.sources.TextIndex.append(
         docs.filter(expr("(doc_id div 50) % 2 = 1")), p)
+      val t2 = System.nanoTime()
+      appendTimings.put((spark, dir), ((t1 - t0) / 1e9, (t2 - t1) / 1e9))
       p
     }
 
@@ -797,7 +844,112 @@ object HybridSearch {
     graft.sources.TextIndex.proximityServe(
       spark, textIndexPath(spark, dir), "hash", "join", slop = 3, k = 20)
 
+  /** s21: HYBRID search served FROM the persisted index — the
+    * reference's actual serving call (retrieval/service.go:23-47
+    * against the persisted Weaviate index, store.go:105): the BM25
+    * leg reads the postings artifacts, the vector leg reads the
+    * stored poly-BoW document vectors, and relativeScoreFusion runs
+    * through the SAME shared expression as the scan path — so the
+    * oracle IS s3's SQL, hash-gating the whole store round trip
+    * (postings + vectors + fusion) against the scan pipeline's own
+    * ground truth. Exact-probe mode (nprobe = all cells) is the
+    * gated configuration; nprobe < cells is the IVF recall/latency
+    * dial with cid partition pruning. */
+  def s21ServedHybrid(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TextIndex.hybridServe(
+      spark, textIndexPath(spark, dir), QueryTerms, alpha = 0.5, limit = 10)
+
+  /** s24: the rankedFusion (RRF) twin of s21 — s6's query served
+    * from the same persisted artifacts through the shared fuseRanked
+    * expression; oracle = s6's SQL. */
+  def s24ServedRrf(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TextIndex.hybridServe(
+      spark, textIndexPath(spark, dir), QueryTerms, alpha = 0.5,
+      limit = 10, fusion = "ranked")
+
+  /** s23: metadata-FILTERED search served FROM the persisted index —
+    * s5's equality filters (store.go:133-150) in the store-served
+    * mode: the term's postings are a bucket-pruned read and the
+    * lang='en' filter evaluates on the persisted `docs/` metadata
+    * side table, semi-joining BEFORE ranking (filter-then-rank, the
+    * a16 rule on the text side). Oracle = s5's SQL. */
+  def s23FilteredFromIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.TextIndex.filteredServe(
+        spark, textIndexPath(spark, dir), "spark",
+        Map("lang" -> "en"), k = 20)
+      .select($"doc_id", $"source", $"tf".as("tf_spark"))
+  }
+
+  /** The session's UPSERTED text index for `dir`: built on a STALE
+    * corpus (the odd doc_id-div-50 blocks carry placeholder text),
+    * then c18's change detection (WebMeta.changeDetect — the CDC
+    * classify of result_consumer.go:196-198) compares fresh vs
+    * stored content hashes and exactly the CHANGED set re-ingests
+    * through TextIndex.upsert (tombstone + fresh batch in one
+    * commit). After the upsert the index's live corpus IS the true
+    * documents table — which is why s22 reuses s1's oracle. */
+  /** (stale-build seconds, detect+upsert seconds) recorded by the
+    * [[upsertedIndexPath]] memo — Bench bills the CDC pass (change
+    * detection + upsert) on its own line; the stale precursor build
+    * is the same shape as _text_index_build. */
+  private val upsertTimings =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (Double, Double)]()
+
+  def upsertedIndexTimings(spark: SparkSession,
+                           dir: String): Option[(Double, Double)] =
+    Option(upsertTimings.get((spark, dir)))
+
+  def upsertedIndexPath(spark: SparkSession, dir: String): String =
+    graft.TrainedModels.memo(spark, s"text_index_upserted:$dir") {
+      import spark.implicits._
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_text_index_ups").toString
+      val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+      // one div-50 block in five is stale (~20% — a heavy but
+      // realistic re-crawl change rate; the tiny-corpus specs own
+      // the 50/50 and edge cases)
+      val stale = docs.select($"doc_id",
+        when(expr("(doc_id div 50) % 5 = 1"),
+          concat(lit("stale placeholder content "), $"doc_id"))
+          .otherwise($"text").as("text"))
+      val t0 = System.nanoTime()
+      graft.sources.TextIndex.write(stale, p, withVectors = false)
+      val t1 = System.nanoTime()
+      val fresh = docs.select($"doc_id".cast("string").as("page_key"),
+        md5($"text").as("body_hash"))
+      val stored = stale.select($"doc_id".cast("string").as("page_key"),
+        md5($"text").as("body_hash"))
+      val changed = WebMeta.changeDetect(fresh, stored)
+        .filter($"change" === "changed")
+        .select($"page_key".cast("long").as("doc_id"))
+      graft.sources.TextIndex.upsert(docs.join(changed, "doc_id"), p)
+      val t2 = System.nanoTime()
+      upsertTimings.put((spark, dir), ((t1 - t0) / 1e9, (t2 - t1) / 1e9))
+      p
+    }
+
+  /** s22: BM25 served from an UPSERTED index — the CDC loop closed:
+    * half the index was built from stale text, change detection
+    * found exactly those pages, and upsert (delete + append in one
+    * commit) replaced them. Serving must reproduce the TRUE-corpus
+    * scan scores EXACTLY (the oracle is s1's): tombstones kill the
+    * stale rows, vocab/stats subtract their exact contributions and
+    * add the fresh ones — hash-gated end to end. */
+  def s22UpsertedBm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.TextIndex
+      .bm25Serve(spark, upsertedIndexPath(spark, dir), QueryTerms)
+      .orderBy($"score".desc, $"doc_id").limit(10)
+      .select($"doc_id", $"score")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s24_served_rrf" -> s24ServedRrf _,
+    "s23_filtered_from_index" -> s23FilteredFromIndex _,
+    "s22_upserted_bm25" -> s22UpsertedBm25 _,
+    "s21_served_hybrid" -> s21ServedHybrid _,
     "s20_proximity_search" -> s20ProximitySearch _,
     "s19_phrase_from_index" -> s19PhraseFromIndex _,
     "s18_appended_bm25" -> s18AppendedBm25 _,
@@ -855,7 +1007,9 @@ object HybridSearch {
     val phraseRe =
       s"(^|[^\\p{L}\\p{N}])$q1[^\\p{L}\\p{N}]+$q2($$|[^\\p{L}\\p{N}])"
     val phraseDocs = docs.filter(lower($"text").rlike(phraseRe))
-    bm25Scores(docs.sparkSession, docs, Seq(t1, t2))
+    // distinct: a repeated-word phrase (t1 == t2) must score the term
+    // once, matching the index path's deduped term set
+    bm25Scores(docs.sparkSession, docs, Seq(t1, t2).distinct)
       .join(phraseDocs.select($"doc_id"), Seq("doc_id"), "left_semi")
       .orderBy($"score".desc, $"doc_id")
       .limit(k)
@@ -975,6 +1129,17 @@ object HybridSearch {
     // s18's served scores must equal the full-corpus scan's even
     // though half the index arrived via append — same ground truth
     ("s18_appended_bm25" -> oraclesBase("s1_keyword_bm25")) +
+    // s22: after the change-detected upsert the index's live corpus
+    // is the true documents table — same ground truth as s1, so any
+    // tombstone/merge drift (stale rows surviving, wrong df/stats
+    // subtraction) hash-fails here
+    ("s22_upserted_bm25" -> oraclesBase("s1_keyword_bm25")) +
+    // s21/s24: store-served hybrid must reproduce the scan-path
+    // fusion pipelines exactly — the oracles ARE s3's and s6's SQL
+    ("s21_served_hybrid" -> oraclesBase("s3_hybrid_search")) +
+    ("s24_served_rrf" -> oraclesBase("s6_rrf_fusion")) +
+    // s23: the filtered store-serve must hash-match s5's scan query
+    ("s23_filtered_from_index" -> oraclesBase("s5_filtered_search")) +
     // s19 must reproduce s7's phrase results from the POSITIONAL
     // index — same ground truth, different mechanics (position-list
     // intersection vs corpus regex), hash-gated

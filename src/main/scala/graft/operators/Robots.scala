@@ -364,17 +364,26 @@ object Robots {
   /** The apportionment core over any ranked (host, rank_e12)
     * frontier — the GraftEngine facade's entry point; c25 feeds it
     * the c17 frontier. */
-  def apportionBudget(frontier: DataFrame, budget: Long): DataFrame = {
+  /** The per-host (n_pending, mass_w) reduction both apportionment
+    * forms start from. ALL mass arithmetic runs in decimal(38,0)
+    * (HUGEINT in the oracle): e12-scaled rank mass on a large
+    * frontier approaches Long range, so the per-host sum, the
+    * total-mass sum, AND the budget·mass multiply would each wrap
+    * (or throw under ANSI) in 64-bit. Only the per-host output
+    * column narrows back to BIGINT — the schema contract both
+    * engines share. */
+  private def hostMassOf(frontier: DataFrame): DataFrame = {
     import frontier.sparkSession.implicits._
-    // ALL mass arithmetic runs in decimal(38,0) (HUGEINT in the
-    // oracle): e12-scaled rank mass on a large frontier approaches
-    // Long range, so the per-host sum, the total-mass sum, AND the
-    // budget·mass multiply would each wrap (or throw under ANSI) in
-    // 64-bit. Only the per-host output column narrows back to BIGINT
-    // — the schema contract both engines share.
-    val hosts = frontier.groupBy($"host")
+    frontier.groupBy($"host")
       .agg(count(lit(1)).as("n_pending"),
         sum($"rank_e12".cast("decimal(38,0)")).as("mass_w"))
+  }
+
+  def apportionBudget(frontier: DataFrame, budget: Long): DataFrame =
+    flatOverHosts(hostMassOf(frontier), budget)
+
+  private def flatOverHosts(hosts: DataFrame, budget: Long): DataFrame = {
+    import hosts.sparkSession.implicits._
     val tot = hosts.agg(sum($"mass_w").as("tmass"))
     val wAll = Window.partitionBy()
     val wRem = Window.orderBy($"rem".desc, $"host")
@@ -404,11 +413,13 @@ object Robots {
     * split degenerates to flat Hamilton exactly (RobotsSpec pins
     * both that and that the per-TLD quotas tile the budget). */
   def apportionBudgetHierarchical(frontier: DataFrame,
-                                  budget: Long): DataFrame = {
-    import frontier.sparkSession.implicits._
-    val hosts = frontier.groupBy($"host")
-      .agg(count(lit(1)).as("n_pending"),
-        sum($"rank_e12".cast("decimal(38,0)")).as("mass_w"))
+                                  budget: Long): DataFrame =
+    hierarchicalOverHosts(hostMassOf(frontier), budget)
+
+  private def hierarchicalOverHosts(hostMass: DataFrame,
+                                    budget: Long): DataFrame = {
+    import hostMass.sparkSession.implicits._
+    val hosts = hostMass
       .withColumn("tld", substring_index($"host", ".", -1))
     // level 1: Hamilton over TLD aggregates
     val tlds = hosts.groupBy($"tld").agg(sum($"mass_w").as("tmass_w"))
@@ -471,13 +482,18 @@ object Robots {
   def apportionBudgetAuto(frontier: DataFrame, budget: Long,
                           hostSwitch: Long = AutoHierarchyHosts): DataFrame = {
     import frontier.sparkSession.implicits._
-    val nHosts = frontier.select($"host").distinct().count()
+    // ONE host aggregation feeds both the gate count and whichever
+    // apportionment runs — the frontier pipeline (c17's rank join)
+    // is not recomputed for the count (tracked persist, released by
+    // the caller's releaseAll like every diamond reuse here)
+    val hosts = graft.Caches.persist(hostMassOf(frontier))
+    val nHosts = hosts.count()
     if (nHosts > hostSwitch)
-      apportionBudgetHierarchical(frontier, budget)
+      hierarchicalOverHosts(hosts, budget)
         .select($"host", $"n_pending", $"mass", $"quota", $"granted",
           $"spilled")
         .orderBy($"host")
-    else apportionBudget(frontier, budget)
+    else flatOverHosts(hosts, budget)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

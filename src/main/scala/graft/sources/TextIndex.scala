@@ -1,206 +1,621 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.HybridSearch
+import graft.operators.{HybridSearch, Knn}
 
 /** PERSISTED text-serving index — the Spark analog of the
   * reference's persisted Weaviate hybrid index
-  * (adapter/weaviate/store.go:105): the BM25 corpus artifacts are
-  * written ONCE at index-build time and every serving query reads
-  * them back, instead of recomputing term statistics from the corpus
-  * scan per session. Mirrors the ANN side's writeIvfIndex /
-  * serveFromIvfIndex discipline (Knn.scala): build once, serve many,
-  * and the serving layout IS the pruning story.
+  * (adapter/weaviate/store.go:105): the BM25 corpus artifacts (and
+  * the hybrid leg's document vectors) are written ONCE at index-build
+  * time and every serving query reads them back, instead of
+  * recomputing term statistics from the corpus scan per session.
+  * Mirrors the ANN side's writeIvfIndex / serveFromIvfIndex
+  * discipline (Knn.scala): build once, serve many, and the serving
+  * layout IS the pruning story.
   *
-  * Layout under `path`:
-  *  - `postings/`  (term, doc_id, tf, dl), partitioned by
-  *    pbucket = xxhash64(term) mod [[TermBuckets]] — a query of T
-  *    terms is a PARTITION-PRUNED scan of ≤T bucket directories
-  *    (zero I/O on every other bucket), with the term equality
-  *    pushed into parquet row-group stats inside them. Doc length
-  *    rides ON the posting row (Lucene's norms pattern), so scoring
-  *    needs no doc-table join.
-  *  - `fielded/`   (term, doc_id, tt, bt, nlt, nlb), same bucketing —
+  * Layout under `path` (every mutation is ONE atomic commit):
+  *  - `_commit` — the pointer file readers resolve first: one line
+  *    `seq minBatch maxBatch lastEpoch`. Writers stage every artifact
+  *    of a change, then flip this marker with an overwrite-rename
+  *    (the ChunkStore `_latest` discipline) — a crash at ANY earlier
+  *    point leaves readers serving the previous committed state
+  *    (garbage files exist but are invisible: batch dirs outside
+  *    [minBatch, maxBatch] and artifact versions above `seq` are
+  *    never read).
+  *  - `postings/batch=B/pbucket=K/` (term, doc_id, tf, dl, pos) —
+  *    pbucket = xxhash64(term) mod [[TermBuckets]]: a query of T
+  *    terms is a PARTITION-PRUNED scan of ≤T bucket directories per
+  *    batch, with the term equality pushed into parquet row-group
+  *    stats. Doc length rides ON the posting row (Lucene's norms
+  *    pattern) and `pos` is the sorted 1-based position list (what
+  *    phrase/proximity queries intersect). The `batch` level is the
+  *    append unit: incremental batches land as new `batch=B` dirs (a
+  *    narrow write of the batch), and replaying a batch id is a
+  *    dynamic-partition overwrite — idempotent, which is what makes
+  *    the streaming at-least-once epoch replay safe.
+  *  - `fielded/batch=B/pbucket=K/` (term, doc_id, nlt, nlb, tt, bt) —
   *    s13's BM25F per-field term frequencies and lengths.
-  *  - `forward/`   (doc_id, term, tf), partitioned by
-  *    dbucket = doc_id mod [[DocBuckets]] — the doc-keyed FORWARD
-  *    index a more-like-this seed lookup reads (an inverted index
-  *    cannot answer "this document's terms" without a full scan).
-  *  - `vocab/`     (term, df) — the term dictionary (s11's fuzzy
-  *    corrector and idf lookups); vocab-cardinality (Heaps' law).
-  *  - `prefixes/`  (prefix, rank, term, df) — s15's completion index,
-  *    persisted ALREADY RANKED (what a suggester stores); serving is
-  *    a point lookup.
-  *  - `stats/`     one row (n_docs, sum_dl, slt, slb) — corpus
-  *    counts as EXACT integer-valued sums, so derived averages are
-  *    bit-identical to the scan path's regardless of partition
-  *    summation order.
+  *  - `forward/batch=B/dbucket=K/` (doc_id, term, tf), dbucket =
+  *    doc_id mod [[DocBuckets]] — the doc-keyed FORWARD index a
+  *    more-like-this seed lookup reads, and the table a DELETE uses
+  *    to find exactly which term statistics a document contributed.
+  *  - `docs/batch=B/dbucket=K/` (doc_id, dl, nlt, nlb, metadata…) —
+  *    one row per document: the per-doc length norms a delete must
+  *    subtract from `stats`, plus any metadata columns the corpus
+  *    carried (source/lang…) — the side table [[filteredServe]]
+  *    semi-joins for s5-style equality filters (store.go:133-150).
+  *  - `vectors/batch=B/cid=K/` (doc_id, v) — the hybrid leg's
+  *    hashed-BoW document embeddings under a coarse quantizer frozen
+  *    at build time (`vcents/v=N`), cid-partitioned like the IVF
+  *    store so a probed serve reads only its cells; nprobe ≥ cells
+  *    degenerates to the exact scan the s21 oracle gates.
+  *  - `vocab/v=N` (term, df), `prefixes/v=N` (ranked completions),
+  *    `stats/v=N` (exact integer-valued corpus sums),
+  *    `tombstones/v=N` (doc_id, upto_batch), `vcents/v=N` — the
+  *    SMALL artifacts, rewritten as a fresh version per commit
+  *    (vocab cardinality — Heaps' law — so the rewrite stays tiny at
+  *    any corpus size) and resolved through the marker's `seq`.
+  *
+  * DELETE is logical: a tombstone (doc_id, upto_batch=maxBatch at
+  * delete time) kills the document's rows in every batch ≤ upto while
+  * vocab/stats subtract its exact contributions (read from
+  * forward/docs) — so served BM25 after a delete is bit-equal to a
+  * rebuild without the document, and a later re-add (upsert) in a
+  * HIGHER batch is live again without touching the tombstone. The
+  * reference treats DeleteChunksByURL/BySourceID as first-class store
+  * ops (store.go); [[upsert]] = delete + append in ONE commit is the
+  * c18 change-detection consumer (result_consumer.go:196-198).
+  * [[compact]] rewrites the live view into one consolidated batch
+  * (physically dropping tombstoned rows and merging per-batch small
+  * files — the LSM compaction that bounds both tombstone-list size
+  * and file counts), again behind a single marker flip.
   *
   * Every serving method reshapes the loaded artifacts into the SAME
   * base/stats frames the scan path builds and calls the SAME scoring
-  * code (HybridSearch.scoreBm25 / scoreFielded), so served scores
-  * are bit-equal by construction — TextIndexSpec pins it, and
-  * s17_served_bm25 oracle-gates the round trip end to end.
+  * code (HybridSearch.scoreBm25 / scoreFielded / fuseRelative /
+  * fuseRanked), so served scores are bit-equal by construction —
+  * TextIndexSpec pins it, and s17/s18/s21/s22 oracle-gate the round
+  * trips end to end against the scan queries' own oracles.
   */
 object TextIndex {
 
   val TermBuckets = 64
   val DocBuckets = 16
 
+  /** Coarse-quantizer cells for the persisted vector leg (the
+    * FAISS/Weaviate IVF dial — small here because the hashed-BoW
+    * space is 64-dim; a deployment retunes per corpus). */
+  val VectorCells = 8
+
+  /** One committed index state: artifact version `seq`, live batch
+    * range [minBatch, maxBatch], and the highest streaming epoch
+    * folded in (−1 when the index was never stream-maintained). */
+  private[graft] final case class Commit(seq: Long, minBatch: Long,
+                                         maxBatch: Long, lastEpoch: Long)
+
+  // ------------------------------------------------------- marker --
+
+  private def hadoop(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private[graft] def readCommit(spark: SparkSession,
+                                path: String): Option[Commit] = {
+    val (fs, _) = hadoop(spark, path)
+    val ptr = new org.apache.hadoop.fs.Path(s"$path/_commit")
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      val line =
+        try {
+          val buf = new Array[Byte](128)
+          val n = in.read(buf)
+          new String(buf, 0, n, "UTF-8").trim
+        } finally in.close()
+      val p = line.split("\\s+").map(_.toLong)
+      Some(Commit(p(0), p(1), p(2), p(3)))
+    }
+  }
+
+  private def commitOf(spark: SparkSession, path: String): Commit =
+    readCommit(spark, path).getOrElse(throw new IllegalArgumentException(
+      s"no committed text index at $path"))
+
+  /** The marker flip that makes a staged change visible — an
+    * overwrite-rename (create temp, rename over the pointer), so
+    * readers either resolve the old commit or the new one, never a
+    * torn line; on FileSystems without overwrite-rename semantics
+    * the delete+rename fallback applies (single-writer contract,
+    * like every store here). */
+  private def writeMarker(spark: SparkSession, path: String,
+                          c: Commit): Unit = {
+    val (fs, dir) = hadoop(spark, path)
+    val conf = spark.sessionState.newHadoopConf()
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_commit.tmp")
+    val ptr = new org.apache.hadoop.fs.Path(s"$path/_commit")
+    val out = fs.create(tmp, true)
+    try out.write(s"${c.seq} ${c.minBatch} ${c.maxBatch} ${c.lastEpoch}"
+      .getBytes("UTF-8"))
+    finally out.close()
+    val swapped =
+      try {
+        val fc = org.apache.hadoop.fs.FileContext
+          .getFileContext(dir.toUri, conf)
+        fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        true
+      } catch {
+        case _: UnsupportedOperationException | _: java.io.IOException =>
+          false
+      }
+    if (!swapped) {
+      if (fs.exists(ptr)) fs.delete(ptr, false): Unit
+      require(fs.rename(tmp, ptr),
+        s"text-index commit flip failed for $path")
+    }
+  }
+
+  /** True once a first build committed — the existence probe
+    * streaming maintenance uses (a marker read, not a directory
+    * listing: a crashed half-build must read as absent). */
+  def exists(spark: SparkSession, path: String): Boolean =
+    readCommit(spark, path).isDefined
+
+  /** Highest streaming epoch folded into the COMMITTED index — the
+    * replay guard: an at-least-once foreachBatch redelivery of an
+    * already-committed epoch must be skipped, or tf/df/stats would
+    * double-count (append is exact, so applying a batch twice is
+    * exactly wrong). −1 for a fresh or batch-built index. */
+  def lastEpoch(spark: SparkSession, path: String): Long =
+    readCommit(spark, path).map(_.lastEpoch).getOrElse(-1L)
+
+  // ---------------------------------------------------- tokenizing --
+
   private def pbucket(term: Column): Column =
     pmod(xxhash64(term), lit(TermBuckets.toLong))
 
+  private def dbucket(id: Column): Column =
+    pmod(id, lit(DocBuckets.toLong))
+
   /** The shared tokenized view (full/title/body token arrays +
-    * lengths) both [[write]] and [[append]] fan out from. */
+    * lengths + pass-through metadata columns) every artifact fans
+    * out from. */
   private def tokenize(corpus: DataFrame): DataFrame = {
     import corpus.sparkSession.implicits._
+    val meta = corpus.columns.filterNot(Set("doc_id", "text")).toSeq
     val pat = lit(HybridSearch.WordTokenPattern)
     val nl = instr($"text", "\n")
     val title = substring_index($"text", "\n", 1)
     val body = when(nl > 0, $"text".substr(nl + lit(1), length($"text")))
       .otherwise(lit(""))
-    corpus.select($"doc_id",
-        regexp_extract_all(lower($"text"), pat, lit(0)).as("tok"),
-        regexp_extract_all(lower(title), pat, lit(0)).as("ttok"),
-        regexp_extract_all(lower(body), pat, lit(0)).as("btok"))
+    corpus.select($"doc_id" +: meta.map(col) :+
+        regexp_extract_all(lower($"text"), pat, lit(0)).as("tok") :+
+        regexp_extract_all(lower(title), pat, lit(0)).as("ttok") :+
+        regexp_extract_all(lower(body), pat, lit(0)).as("btok"): _*)
       .withColumn("dl", size($"tok").cast("double"))
       .withColumn("nlt", size($"ttok").cast("long"))
       .withColumn("nlb", size($"btok").cast("long"))
   }
 
-  /** Build the full index from a (doc_id, text) corpus — ONE
-    * tokenized scan fans out into the six artifacts. */
+  private def postingsOf(toks: DataFrame): DataFrame = {
+    import toks.sparkSession.implicits._
+    toks
+      .select($"doc_id", $"dl", posexplode($"tok").as(Seq("p", "term")))
+      .groupBy($"term", $"doc_id", $"dl")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list($"p" + 1)).as("pos"))
+  }
+
+  private def fieldedOf(toks: DataFrame): DataFrame = {
+    import toks.sparkSession.implicits._
+    toks.select($"doc_id", $"nlt", $"nlb", explode($"ttok").as("term"),
+        lit(1L).as("_t"), lit(0L).as("_b"))
+      .unionByName(
+        toks.select($"doc_id", $"nlt", $"nlb", explode($"btok").as("term"),
+          lit(0L).as("_t"), lit(1L).as("_b")))
+      .groupBy($"term", $"doc_id", $"nlt", $"nlb")
+      .agg(sum($"_t").as("tt"), sum($"_b").as("bt"))
+  }
+
+  /** (doc_id, dl, nlt, nlb, meta…) — one row per document, including
+    * zero-token documents (they count in n_docs). */
+  private def docsOf(toks: DataFrame): DataFrame = {
+    import toks.sparkSession.implicits._
+    val meta = toks.columns
+      .filterNot(Set("doc_id", "tok", "ttok", "btok", "dl", "nlt", "nlb"))
+    toks.select($"doc_id" +: $"dl" +: $"nlt" +: $"nlb" +: meta.map(col): _*)
+  }
+
+  /** The hybrid leg's document embeddings — the SAME raw poly-BoW the
+    * scan path hashes per query (HybridSearch.hybrid), persisted so
+    * serving never re-tokenizes the corpus. Every doc embeds (a
+    * zero-token doc gets the zero vector, cosine 0 — exactly the
+    * scan leg's row set, which is what s21's bit-equality needs). */
+  private def vectorsOf(toks: DataFrame): DataFrame = {
+    import toks.sparkSession.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(toks.sparkSession)
+    toks.select($"doc_id", expr("poly_bow(tok, 64)").as("v"))
+  }
+
+  private def batchStatsOf(toks: DataFrame): DataFrame = {
+    import toks.sparkSession.implicits._
+    toks.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"),
+      sum($"nlt").as("slt"), sum($"nlb").as("slb"))
+  }
+
+  // -------------------------------------------------- batch writes --
+
+  /** Write one batch's worth of the four batch-partitioned text
+    * artifacts. `dynamic` = replace only this batch's partitions
+    * (append/replay); false = wipe the whole artifact (fresh build).
+    * Each frame is repartitioned ON its bucket column first so every
+    * bucket directory gets exactly ONE file per batch (a bucket value
+    * hashes to one task) — without it every shuffle partition writes
+    * its own file into every bucket dir it touches, the small-file
+    * curve compaction exists to fight. */
+  private def writeBatch(spark: SparkSession, path: String, batch: Long,
+                         postings: DataFrame, fielded: DataFrame,
+                         docs: DataFrame, dynamic: Boolean): Unit = {
+    import spark.implicits._
+    def out(df: DataFrame, name: String, parts: Seq[String]): Unit = {
+      val w = df.withColumn("batch", lit(batch))
+        .repartition(parts.map(col): _*)
+        .write.mode("overwrite")
+      (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+        .partitionBy("batch" +: parts: _*)
+        .parquet(s"$path/$name")
+    }
+    out(postings.withColumn("pbucket", pbucket($"term")),
+      "postings", Seq("pbucket"))
+    out(fielded.withColumn("pbucket", pbucket($"term")),
+      "fielded", Seq("pbucket"))
+    out(postings.select($"doc_id", $"term", $"tf")
+        .withColumn("dbucket", dbucket($"doc_id")),
+      "forward", Seq("dbucket"))
+    out(docs.withColumn("dbucket", dbucket($"doc_id")),
+      "docs", Seq("dbucket"))
+  }
+
+  /** Assign + write one batch of document vectors against the frozen
+    * quantizer (the production IVF add() contract — append never
+    * retrains; [[compact]] or a rebuild is where a drifted layout
+    * retrains). Empty quantizer (keyword-only index) writes nothing. */
+  private def writeVectorBatch(spark: SparkSession, path: String,
+                               batch: Long, vectors: DataFrame,
+                               cents: Seq[Seq[Double]],
+                               dynamic: Boolean): Unit = {
+    import spark.implicits._
+    if (cents.nonEmpty) {
+      val assigned = vectors.withColumn("cid",
+        Knn.nearestCentroidCol(spark,
+          graft.functions.VectorFunctions.asDouble($"v"), cents))
+      val w = assigned.withColumn("batch", lit(batch))
+        .repartition($"cid")
+        .write.mode("overwrite")
+      (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+        .partitionBy("batch", "cid")
+        .parquet(s"$path/vectors")
+    }
+  }
+
+  private def writeVersioned(df: DataFrame, path: String, name: String,
+                             seq: Long): Unit =
+    df.write.mode("overwrite").parquet(s"$path/$name/v=$seq")
+
+  private def emptyTombstones(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long)].toDF("doc_id", "upto_batch")
+  }
+
+  private def writeCents(spark: SparkSession, path: String, seq: Long,
+                         cents: Seq[Seq[Double]]): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cid", "cv")
+      .write.mode("overwrite").parquet(s"$path/vcents/v=$seq")
+  }
+
+  private def readCents(spark: SparkSession, path: String,
+                        c: Commit): Seq[Seq[Double]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/vcents/v=${c.seq}")
+      .orderBy($"cid").select($"cv").as[Seq[Double]].collect().toSeq
+  }
+
+  // -------------------------------------------------------- build --
+
+  /** Build the full index from a (doc_id, text, metadata…) corpus —
+    * ONE tokenized scan fans out into the artifacts, then the commit
+    * marker flips. Any extra corpus columns persist as document
+    * metadata in `docs/` (what [[filteredServe]] filters on).
+    * `withVectors=false` skips the hybrid leg (keyword-only index —
+    * half the build cost when vector serving isn't needed). */
   def write(corpus: DataFrame, path: String, minPrefix: Int = 2,
-            maxPrefix: Int = 4, kComplete: Int = 3): Unit = {
-    import corpus.sparkSession.implicits._
+            maxPrefix: Int = 4, kComplete: Int = 3,
+            withVectors: Boolean = true, epochId: Long = -1L): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val toks = tokenize(corpus).persist()
     try {
-      // postings: one (term, doc) row with tf, the doc's length norm,
-      // and the sorted 1-based POSITION list (Lucene's positional
-      // postings — what phrase queries intersect); parquet columnar
-      // means non-positional serving never reads the pos column
-      val postings = toks
-        .select($"doc_id", $"dl", posexplode($"tok").as(Seq("p", "term")))
-        .groupBy($"term", $"doc_id", $"dl")
-        .agg(count(lit(1)).as("tf"),
-          sort_array(collect_list($"p" + 1)).as("pos"))
-        .persist()
+      val postings = postingsOf(toks).persist()
       try {
-        postings.withColumn("pbucket", pbucket($"term"))
-          .write.mode("overwrite").partitionBy("pbucket")
-          .parquet(s"$path/postings")
+        writeBatch(spark, path, 0L, postings, fieldedOf(toks),
+          docsOf(toks), dynamic = false)
+        // quantizer trained ONCE at build; appends assign against it
+        val cents =
+          if (withVectors) {
+            val vecs = vectorsOf(toks)
+              .select($"doc_id".as("vec_id"),
+                graft.functions.VectorFunctions.asDouble($"v").as("v"))
+            Knn.kmeansFit(vecs, k = VectorCells, iters = 3)
+          } else Seq.empty[Seq[Double]]
+        writeCents(spark, path, 1L, cents)
+        writeVectorBatch(spark, path, 0L, vectorsOf(toks), cents,
+          dynamic = false)
         // vocab derives from postings: (term, doc) rows are unique,
         // so df is a plain count per term
         val vocab = postings.groupBy($"term").agg(count(lit(1)).as("df"))
           .persist()
         try {
-          vocab.write.mode("overwrite").parquet(s"$path/vocab")
+          writeVersioned(vocab, path, "vocab", 1L)
           // the completion index is persisted SERVED (ranked top-k
           // per prefix) — what a production suggester stores
-          HybridSearch.autocompleteOf(vocab, minPrefix, maxPrefix,
-              kComplete)
-            .write.mode("overwrite").parquet(s"$path/prefixes")
+          writeVersioned(
+            HybridSearch.autocompleteOf(vocab, minPrefix, maxPrefix,
+              kComplete), path, "prefixes", 1L)
         } finally vocab.unpersist()
-        // forward index: doc-keyed term vectors for MLT seed lookups
-        postings.select($"doc_id", $"term", $"tf")
-          .withColumn("dbucket", pmod($"doc_id", lit(DocBuckets.toLong)))
-          .write.mode("overwrite").partitionBy("dbucket")
-          .parquet(s"$path/forward")
       } finally postings.unpersist()
-      // fielded postings: per-(doc, term) title/body tfs + per-field
-      // lengths — one union + one shuffle, no per-row HOF over explode
-      toks.select($"doc_id", $"nlt", $"nlb", explode($"ttok").as("term"),
-          lit(1L).as("_t"), lit(0L).as("_b"))
-        .unionByName(
-          toks.select($"doc_id", $"nlt", $"nlb", explode($"btok").as("term"),
-            lit(0L).as("_t"), lit(1L).as("_b")))
-        .groupBy($"term", $"doc_id", $"nlt", $"nlb")
-        .agg(sum($"_t").as("tt"), sum($"_b").as("bt"))
-        .withColumn("pbucket", pbucket($"term"))
-        .write.mode("overwrite").partitionBy("pbucket")
-        .parquet(s"$path/fielded")
       // corpus stats as exact integer-valued sums: derived averages
       // are order-invariant, so serve-side divisions reproduce the
       // scan path's doubles bit-for-bit
-      toks.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"),
-          sum($"nlt").as("slt"), sum($"nlb").as("slb"))
-        .write.mode("overwrite").parquet(s"$path/stats")
+      writeVersioned(batchStatsOf(toks), path, "stats", 1L)
+      writeVersioned(emptyTombstones(spark), path, "tombstones", 1L)
+      writeMarker(spark, path, Commit(1L, 0L, 0L, epochId))
     } finally toks.unpersist()
   }
 
-  /** INCREMENTAL index maintenance — the appendToIvfIndex contract
-    * for the text index, with a stronger guarantee the ANN side
-    * can't give: the merge is EXACT, so serve-after-append is
-    * BIT-EQUAL to a full rebuild (s18's oracle gates it end to end).
-    * New documents' postings/fielded/forward rows APPEND into the
-    * bucket layout (each row lands in its hash directory — a narrow
-    * write of the batch, the dynamic-partition discipline);
-    * `vocab` re-aggregates old ∪ batch dfs (term-dictionary
-    * cardinality — Heaps' law keeps the rewrite tiny at any corpus
-    * size); `stats` adds the batch's exact integer-valued sums; and
-    * `prefixes` re-ranks from the merged vocab (vocab-cardinality
-    * again). Contract: batch doc_ids are NEW — re-ingesting an
-    * existing id needs the reingest delete first, same as every
-    * append index here. */
-  def append(newDocs: DataFrame, path: String, minPrefix: Int = 2,
-             maxPrefix: Int = 4, kComplete: Int = 3): Unit = {
-    val spark = newDocs.sparkSession
+  // ------------------------------------------------------- change --
+
+  private def prefixListOf(term: Column, minPrefix: Int,
+                           maxPrefix: Int): Column =
+    transform(sequence(lit(minPrefix), least(lit(maxPrefix), length(term))),
+      l => term.substr(lit(1), l))
+
+  /** The ONE staged-commit mutation core every incremental op runs
+    * through — [[append]] (adds only), [[delete]] (tombstones only),
+    * [[upsert]] (both, the c18 CDC consumer): stage every artifact of
+    * the change, then flip the marker. `flip=false` is the
+    * crash-point test hook: everything staged, nothing visible.
+    *
+    * Exactness contract (what s18/s22 oracle-gate): the merged
+    * vocab/stats are integer-exact old ± delta, deleted documents'
+    * contributions are subtracted from exactly the rows they
+    * originally added (read back from forward/docs), and the prefix
+    * table re-ranks ONLY prefixes whose candidate set changed — so
+    * serve-after-change is bit-equal to a full rebuild of the same
+    * live corpus.
+    *
+    * Idempotence contract (the streaming at-least-once replay): batch
+    * data writes are dynamic-partition overwrites of batch
+    * `maxBatch+1` and versioned artifacts overwrite `seq+1` — both
+    * derived from the COMMITTED marker, so re-staging after a crash
+    * rewrites the same staging area and the flip commits it once. */
+  private[graft] def applyChange(path: String, delIds: Option[DataFrame],
+                                 newDocs: Option[DataFrame],
+                                 minPrefix: Int, maxPrefix: Int,
+                                 kComplete: Int, epochId: Long,
+                                 flip: Boolean): Unit = {
+    val spark = delIds.orElse(newDocs).map(_.sparkSession)
+      .getOrElse(throw new IllegalArgumentException(
+        "applyChange needs deletes and/or new documents"))
     import spark.implicits._
-    val toks = tokenize(newDocs).persist()
+    val c = commitOf(spark, path)
+    val seq2 = c.seq + 1
+    val newBatch = c.maxBatch + 1
+
+    // ---- delete side: the dying docs' exact contributions, read
+    // from the LIVE view (already-deleted ids contribute nothing, so
+    // a double-delete is a no-op)
+    val ids = delIds.map(_.select($"doc_id").distinct()
+      .localCheckpoint(true))
+    val deadFwd = ids.map { i =>
+      val dbs = i.select(dbucket($"doc_id")).distinct()
+        .collect().map(_.getLong(0)).toSeq // ≤ DocBuckets values
+      forwardLive(spark, path, c)
+        .filter($"dbucket".isin(dbs: _*))
+        .join(broadcast(i), "doc_id").persist()
+    }
+    val deadDocs = ids.map { i =>
+      val dbs = i.select(dbucket($"doc_id")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      docsLive(spark, path, c)
+        .filter($"dbucket".isin(dbs: _*))
+        .join(broadcast(i), "doc_id")
+        .select($"doc_id", $"dl", $"nlt", $"nlb")
+    }
+
+    // ---- add side
+    val toks = newDocs.map(tokenize(_).persist())
+    val addPost = toks.map(postingsOf(_).persist())
     try {
-      val postings = toks
-        .select($"doc_id", $"dl", posexplode($"tok").as(Seq("p", "term")))
-        .groupBy($"term", $"doc_id", $"dl")
-        .agg(count(lit(1)).as("tf"),
-          sort_array(collect_list($"p" + 1)).as("pos"))
-        .persist()
-      try {
-        postings.withColumn("pbucket", pbucket($"term"))
-          .write.mode("append").partitionBy("pbucket")
-          .parquet(s"$path/postings")
-        postings.select($"doc_id", $"term", $"tf")
-          .withColumn("dbucket", pmod($"doc_id", lit(DocBuckets.toLong)))
-          .write.mode("append").partitionBy("dbucket")
-          .parquet(s"$path/forward")
-        // vocab merge: old ∪ batch, df summed — localCheckpoint
-        // breaks the read→overwrite cycle (the reingest pattern) AND
-        // is the frame the prefix re-rank reads, saving a round trip
-        val batchVocab = postings.groupBy($"term")
-          .agg(count(lit(1)).as("df"))
-        val mergedVocab = spark.read.parquet(s"$path/vocab")
-          .unionByName(batchVocab)
-          .groupBy($"term").agg(sum($"df").as("df"))
-          .localCheckpoint(true)
-        mergedVocab.write.mode("overwrite").parquet(s"$path/vocab")
-        HybridSearch.autocompleteOf(mergedVocab, minPrefix, maxPrefix,
-            kComplete)
-          .write.mode("overwrite").parquet(s"$path/prefixes")
-      } finally postings.unpersist()
-      toks.select($"doc_id", $"nlt", $"nlb", explode($"ttok").as("term"),
-          lit(1L).as("_t"), lit(0L).as("_b"))
-        .unionByName(
-          toks.select($"doc_id", $"nlt", $"nlb", explode($"btok").as("term"),
-            lit(0L).as("_t"), lit(1L).as("_b")))
-        .groupBy($"term", $"doc_id", $"nlt", $"nlb")
-        .agg(sum($"_t").as("tt"), sum($"_b").as("bt"))
-        .withColumn("pbucket", pbucket($"term"))
-        .write.mode("append").partitionBy("pbucket")
-        .parquet(s"$path/fielded")
-      // stats: exact integer-valued sums ADD — the merged averages
-      // are bit-identical to a full rebuild's
-      val batchStats = toks.agg(count(lit(1)).as("n_docs"),
-        sum($"dl").as("sum_dl"), sum($"nlt").as("slt"),
-        sum($"nlb").as("slb"))
-      spark.read.parquet(s"$path/stats")
-        .unionByName(batchStats)
-        .agg(sum($"n_docs").as("n_docs"), sum($"sum_dl").as("sum_dl"),
-          sum($"slt").as("slt"), sum($"slb").as("slb"))
+      toks.zip(addPost).foreach { case (t, p) =>
+        val existing = spark.read.parquet(s"$path/docs").columns.toSet
+        val incoming = docsOf(t).columns.toSet + "batch" + "dbucket"
+        require(incoming == existing,
+          s"append batch docs columns ${incoming.toSeq.sorted} must match " +
+            s"the index's ${existing.toSeq.sorted}")
+        writeBatch(spark, path, newBatch, p, fieldedOf(t), docsOf(t),
+          dynamic = true)
+        writeVectorBatch(spark, path, newBatch, vectorsOf(t),
+          readCents(spark, path, c), dynamic = true)
+      }
+
+      // ---- vocab: old ∪ +batch dfs ∪ −dead dfs, integer-exact
+      val oldVocab = spark.read.parquet(s"$path/vocab/v=${c.seq}")
+      val inc = addPost.map(_.groupBy($"term").agg(count(lit(1)).as("df")))
+      val dec = deadFwd.map(_.groupBy($"term")
+        .agg((count(lit(1)) * -1L).as("df")))
+      val mergedVocab = (Seq(oldVocab) ++ inc ++ dec)
+        .reduce(_ unionByName _)
+        .groupBy($"term").agg(sum($"df").as("df"))
+        .filter($"df" > 0)
         .localCheckpoint(true)
-        .write.mode("overwrite").parquet(s"$path/stats")
-    } finally toks.unpersist()
+      writeVersioned(mergedVocab, path, "vocab", seq2)
+
+      // ---- prefixes: DELTA re-rank. Only prefixes of terms whose df
+      // changed (added, removed, or re-counted) can rank differently;
+      // everything else merges through untouched — the append cost is
+      // batch-vocabulary-sized, not corpus-vocabulary-sized.
+      val changedTerms = (inc.toSeq ++ dec.toSeq)
+        .map(_.select($"term"))
+        .reduce(_ unionByName _).distinct()
+      val affected = changedTerms.filter(length($"term") >= minPrefix)
+        .select(explode(prefixListOf($"term", minPrefix, maxPrefix))
+          .as("prefix"))
+        .distinct().localCheckpoint(true)
+      val cand = mergedVocab.filter(length($"term") >= minPrefix)
+        .select($"term", $"df",
+          explode(prefixListOf($"term", minPrefix, maxPrefix)).as("prefix"))
+        .join(broadcast(affected), "prefix")
+      val wP = Window.partitionBy($"prefix").orderBy($"df".desc, $"term")
+      val reRanked = cand.withColumn("rank", row_number().over(wP))
+        .filter($"rank" <= kComplete)
+        .select($"prefix", $"rank".cast("long").as("rank"), $"term", $"df")
+      val oldPrefixes = spark.read.parquet(s"$path/prefixes/v=${c.seq}")
+      writeVersioned(
+        oldPrefixes.join(broadcast(affected), Seq("prefix"), "left_anti")
+          .unionByName(reRanked),
+        path, "prefixes", seq2)
+
+      // ---- stats: exact integer-valued sums add and subtract
+      val oldStats = spark.read.parquet(s"$path/stats/v=${c.seq}")
+      val incStats = toks.map(batchStatsOf)
+      val decStats = deadDocs.map(_.agg(
+        (count(lit(1)) * -1L).as("n_docs"),
+        (coalesce(sum($"dl"), lit(0.0)) * -1.0).as("sum_dl"),
+        (coalesce(sum($"nlt"), lit(0L)) * -1L).as("slt"),
+        (coalesce(sum($"nlb"), lit(0L)) * -1L).as("slb")))
+      writeVersioned(
+        (Seq(oldStats) ++ incStats ++ decStats).reduce(_ unionByName _)
+          .agg(sum($"n_docs").as("n_docs"), sum($"sum_dl").as("sum_dl"),
+            sum($"slt").as("slt"), sum($"slb").as("slb")),
+        path, "stats", seq2)
+
+      // ---- tombstones: deleted ids die in every batch ≤ the commit
+      // they were deleted at; a re-add lands in a HIGHER batch and is
+      // live without touching the tombstone
+      val oldTomb = spark.read.parquet(s"$path/tombstones/v=${c.seq}")
+      val tomb2 = ids.fold(oldTomb) { i =>
+        oldTomb.unionByName(
+            i.withColumn("upto_batch", lit(c.maxBatch)))
+          .groupBy($"doc_id").agg(max($"upto_batch").as("upto_batch"))
+      }
+      writeVersioned(tomb2, path, "tombstones", seq2)
+
+      // quantizer carries forward frozen
+      writeCents(spark, path, seq2, readCents(spark, path, c))
+
+      if (flip)
+        writeMarker(spark, path, Commit(seq2, c.minBatch,
+          if (newDocs.isDefined) newBatch else c.maxBatch,
+          math.max(epochId, c.lastEpoch)))
+    } finally {
+      addPost.foreach(_.unpersist())
+      toks.foreach(_.unpersist())
+      deadFwd.foreach(_.unpersist())
+    }
   }
+
+  /** INCREMENTAL index maintenance — the appendToIvfIndex contract
+    * for the text index, with a stronger guarantee the ANN side can't
+    * give: the merge is EXACT, so serve-after-append is BIT-EQUAL to
+    * a full rebuild (s18's oracle gates it end to end). Contract:
+    * batch doc_ids are NEW — re-ingesting an existing id goes through
+    * [[upsert]], which tombstones the old copy first. */
+  def append(newDocs: DataFrame, path: String, minPrefix: Int = 2,
+             maxPrefix: Int = 4, kComplete: Int = 3,
+             epochId: Long = -1L): Unit =
+    applyChange(path, None, Some(newDocs), minPrefix, maxPrefix,
+      kComplete, epochId, flip = true)
+
+  /** DELETE documents from the index — the store's
+    * DeleteChunksByURL/BySourceID analog (store.go): tombstone the
+    * ids, subtract their exact term/length contributions from
+    * vocab/stats, delta-re-rank the touched prefixes. One commit;
+    * serving after it is bit-equal to a rebuild without the docs. */
+  def delete(ids: DataFrame, path: String, minPrefix: Int = 2,
+             maxPrefix: Int = 4, kComplete: Int = 3): Unit =
+    applyChange(path, Some(ids), None, minPrefix, maxPrefix,
+      kComplete, epochId = -1L, flip = true)
+
+  /** UPSERT — delete + append in ONE commit: the consumer of c18's
+    * change detection (result_consumer.go:196-198 re-processes
+    * `changed` pages), closing the CDC loop a pure append index
+    * can't. Existing copies of the batch's doc_ids are tombstoned
+    * (ids absent from the index tombstone vacuously) and the new
+    * text lands as a fresh batch; vocab/stats/prefixes carry the
+    * exact net change. s22 gates serve-after-upsert against the
+    * scan query's own oracle. */
+  def upsert(docs: DataFrame, path: String, minPrefix: Int = 2,
+             maxPrefix: Int = 4, kComplete: Int = 3,
+             epochId: Long = -1L): Unit = {
+    import docs.sparkSession.implicits._
+    applyChange(path, Some(docs.select($"doc_id")), Some(docs),
+      minPrefix, maxPrefix, kComplete, epochId, flip = true)
+  }
+
+  // --------------------------------------------------- live reads --
+
+  private def tombstonesOf(spark: SparkSession, path: String,
+                           c: Commit): DataFrame =
+    spark.read.parquet(s"$path/tombstones/v=${c.seq}")
+
+  /** Tombstone semantics: a row (from partition `batch`) is live iff
+    * no tombstone for its doc_id covers that batch. Broadcast left
+    * join — the tombstone list is bounded by deletes-since-compaction
+    * and [[compact]] resets it. */
+  private def liveRows(df: DataFrame, tomb: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.join(broadcast(tomb), Seq("doc_id"), "left")
+      .filter($"upto_batch".isNull || $"batch" > $"upto_batch")
+      .drop("upto_batch")
+  }
+
+  private def readBatched(spark: SparkSession, path: String, name: String,
+                          c: Commit): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/$name")
+      .filter($"batch".between(c.minBatch, c.maxBatch))
+  }
+
+  private[graft] def forwardLive(spark: SparkSession, path: String,
+                                 c: Commit): DataFrame =
+    liveRows(readBatched(spark, path, "forward", c),
+      tombstonesOf(spark, path, c))
+
+  private[graft] def docsLive(spark: SparkSession, path: String,
+                              c: Commit): DataFrame =
+    liveRows(readBatched(spark, path, "docs", c),
+      tombstonesOf(spark, path, c))
+
+  // accessor views for specs/tools — resolved at the current commit
+  def vocabTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/vocab/v=${commitOf(spark, path).seq}")
+
+  def statsTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/stats/v=${commitOf(spark, path).seq}")
+
+  def prefixesTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/prefixes/v=${commitOf(spark, path).seq}")
+
+  def forwardTable(spark: SparkSession, path: String): DataFrame =
+    forwardLive(spark, path, commitOf(spark, path))
+
+  def docsTable(spark: SparkSession, path: String): DataFrame =
+    docsLive(spark, path, commitOf(spark, path))
 
   /** The term-hash buckets of a bounded query-term list, computed
     * through the SAME expression the writer partitioned with (a
@@ -212,31 +627,37 @@ object TextIndex {
       .collect().map(_.getLong(0)).toSeq
   }
 
-  /** Load the query terms' postings — bucket directories pruned via
-    * the partition column, term equality pushed into row groups. */
+  /** Load the query terms' live postings — batch range + bucket
+    * directories pruned via the partition columns, term equality
+    * pushed into row groups, tombstones applied. */
   private def postingsFor(spark: SparkSession, path: String,
-                          terms: Seq[String]): DataFrame = {
+                          terms: Seq[String], c: Commit): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$path/postings")
-      .filter($"pbucket".isin(bucketsOf(spark, terms): _*) &&
-        $"term".isin(terms: _*))
+    liveRows(
+      readBatched(spark, path, "postings", c)
+        .filter($"pbucket".isin(bucketsOf(spark, terms): _*) &&
+          $"term".isin(terms: _*)),
+      tombstonesOf(spark, path, c))
   }
 
   /** One-row (df_0.., <stats cols>) frame for the query terms: df
     * from the vocab table, corpus counts from the stats row. */
   private def statsFor(spark: SparkSession, path: String,
-                       terms: Seq[String], extra: DataFrame => DataFrame)
-      : DataFrame = {
+                       terms: Seq[String], c: Commit,
+                       extra: DataFrame => DataFrame): DataFrame = {
     import spark.implicits._
     val dfCols = terms.zipWithIndex.map { case (t, i) =>
       coalesce(max(when($"term" === t, $"df")), lit(0L)).cast("double")
         .as(s"df_$i")
     }
-    val vocabDf = spark.read.parquet(s"$path/vocab")
+    val vocabDf = spark.read.parquet(s"$path/vocab/v=${c.seq}")
       .filter($"term".isin(terms: _*))
       .agg(dfCols.head, dfCols.tail: _*)
-    vocabDf.crossJoin(extra(spark.read.parquet(s"$path/stats")))
+    vocabDf.crossJoin(
+      extra(spark.read.parquet(s"$path/stats/v=${c.seq}")))
   }
+
+  // ------------------------------------------------------- serving --
 
   /** s1 served FROM the index: postings of the query terms (pruned
     * scan) reshape into the scan path's (doc_id, dl, tf_i) base, the
@@ -245,14 +666,16 @@ object TextIndex {
   def bm25Serve(spark: SparkSession, path: String,
                 queryTerms: Seq[String]): DataFrame = {
     import spark.implicits._
+    require(queryTerms.nonEmpty, "bm25Serve needs at least one query term")
+    val c = commitOf(spark, path)
     val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
       coalesce(sum(when($"term" === t, $"tf")), lit(0L)).cast("double")
         .as(s"tf_$i")
     }
-    val base = postingsFor(spark, path, queryTerms)
+    val base = postingsFor(spark, path, queryTerms, c)
       .groupBy($"doc_id", $"dl")
       .agg(tfCols.head, tfCols.tail: _*)
-    val stats = statsFor(spark, path, queryTerms, s =>
+    val stats = statsFor(spark, path, queryTerms, c, s =>
       s.select($"n_docs".cast("double").as("n_docs"),
         ($"sum_dl" / $"n_docs".cast("double")).as("corpus_avgdl")))
     HybridSearch.scoreBm25(base, stats, queryTerms.size)
@@ -265,18 +688,21 @@ object TextIndex {
                    queryTerms: Seq[String], limit: Int = 10,
                    wTitle: Double = 2.0, wBody: Double = 1.0): DataFrame = {
     import spark.implicits._
+    val c = commitOf(spark, path)
     val tfCols = queryTerms.zipWithIndex.flatMap { case (t, i) => Seq(
       coalesce(sum(when($"term" === t, $"tt")), lit(0L)).cast("double")
         .as(s"tt_$i"),
       coalesce(sum(when($"term" === t, $"bt")), lit(0L)).cast("double")
         .as(s"bt_$i"))
     }
-    val base = spark.read.parquet(s"$path/fielded")
-      .filter($"pbucket".isin(bucketsOf(spark, queryTerms): _*) &&
-        $"term".isin(queryTerms: _*))
+    val base = liveRows(
+        readBatched(spark, path, "fielded", c)
+          .filter($"pbucket".isin(bucketsOf(spark, queryTerms): _*) &&
+            $"term".isin(queryTerms: _*)),
+        tombstonesOf(spark, path, c))
       .groupBy($"doc_id", $"nlt", $"nlb")
       .agg(tfCols.head, tfCols.tail: _*)
-    val stats = statsFor(spark, path, queryTerms, s =>
+    val stats = statsFor(spark, path, queryTerms, c, s =>
       s.select($"n_docs".cast("double").as("n_docs"),
         ($"slt".cast("double") / $"n_docs".cast("double")).as("avgdlt"),
         ($"slb".cast("double") / $"n_docs".cast("double")).as("avgdlb")))
@@ -284,26 +710,118 @@ object TextIndex {
       wTitle, wBody, limit)
   }
 
+  /** s5's metadata-filtered term search served FROM the index
+    * (store.go:133-150's equality filters in the store-served mode):
+    * the term's postings are a bucket-pruned read; the ANDed equality
+    * filters evaluate on the `docs/` metadata side table (a
+    * doc-count-sized narrow scan with the equalities pushed into
+    * parquet) and semi-join the postings BEFORE ranking — so the
+    * result is filter-then-rank, the a16 filtered-ANN rule applied to
+    * the text side. Returns (doc_id, tf, metadata…) ranked by tf. */
+  def filteredServe(spark: SparkSession, path: String, term: String,
+                    filters: Map[String, String], k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val c = commitOf(spark, path)
+    val post = postingsFor(spark, path, Seq(term), c)
+      .select($"doc_id", $"tf")
+    val meta = filters.foldLeft(docsLive(spark, path, c)) {
+      case (df, (kc, v)) => df.filter(col(kc) === v)
+    }
+    val metaCols = meta.columns
+      .filterNot(Set("doc_id", "dl", "nlt", "nlb", "dbucket", "batch"))
+    post.join(meta.select($"doc_id" +: metaCols.map(col): _*), "doc_id")
+      .orderBy($"tf".desc, $"doc_id")
+      .limit(k)
+  }
+
+  /** The persisted hybrid VECTOR leg: cosine of the stored poly-BoW
+    * document vectors against the query-term vector, top-`candidates`
+    * — the serve-from-store twin of HybridSearch.hybrid's vector leg.
+    * `nprobe` < [[VectorCells]] reads only the query's nearest cells
+    * (partition-pruned, the IVF trade); `nprobe` ≥ cells is the exact
+    * scan the s21 oracle replays. */
+  def vectorServe(spark: SparkSession, path: String,
+                  queryTerms: Seq[String], candidates: Int = 50,
+                  nprobe: Int = Int.MaxValue): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val c = commitOf(spark, path)
+    val cents = readCents(spark, path, c)
+    val queryTok = array(queryTerms.map(lit): _*)
+    val qvec = spark.range(1)
+      .select(queryTok.as("tok"))
+      .select(expr("poly_bow(tok, 64)").as("qv"))
+    if (cents.isEmpty)
+      // keyword-only index: empty leg (fusion treats it as absent)
+      return spark.range(0).select($"id".as("doc_id"),
+        lit(0.0).as("v_score"))
+    val cells0 = readBatched(spark, path, "vectors", c)
+    val cells =
+      if (nprobe >= cents.length) cells0
+      else {
+        val probed = qvec
+          .select(explode(slice(reverse(array_sort(zip_with(
+            Knn.centroidScoresCol(spark,
+              graft.functions.VectorFunctions.asDouble($"qv"), cents),
+            sequence(lit(0), lit(cents.length - 1)),
+            (s, i) => struct(s.as("s"), i.as("i"))))), 1, nprobe)).as("pr"))
+          .select($"pr"("i"))
+          .collect().map(_.getInt(0)).toSeq
+        cells0.filter($"cid".isin(probed: _*))
+      }
+    liveRows(cells, tombstonesOf(spark, path, c))
+      .crossJoin(broadcast(qvec))
+      .select($"doc_id",
+        graft.functions.VectorFunctions.cosineD($"v", $"qv").as("v_score"))
+      .orderBy($"v_score".desc, $"doc_id").limit(candidates)
+  }
+
+  /** HYBRID search served FROM the persisted index — the reference's
+    * actual serving call (retrieval/service.go:23-47 over the
+    * persisted Weaviate index, store.go:105): the BM25 leg reads the
+    * postings artifacts, the vector leg reads the stored document
+    * vectors, and the two fuse with the SAME alpha-weighted fusion
+    * expression the scan path runs (HybridSearch.fuseRelative /
+    * fuseRanked — Weaviate's relativeScoreFusion and rankedFusion),
+    * so store-served hybrid is bit-equal to the scan-path hybrid and
+    * s21/s24 reuse s3/s6's oracles verbatim. */
+  def hybridServe(spark: SparkSession, path: String,
+                  queryTerms: Seq[String], alpha: Double = 0.5,
+                  limit: Int = 10, fusion: String = "relative",
+                  candidates: Int = 50,
+                  nprobe: Int = Int.MaxValue): DataFrame = {
+    import spark.implicits._
+    require(fusion == "relative" || fusion == "ranked",
+      s"fusion must be 'relative' or 'ranked', got '$fusion'")
+    val kw = bm25Serve(spark, path, queryTerms)
+      .orderBy($"score".desc, $"doc_id").limit(candidates)
+      .select($"doc_id", $"score".as("kw_score"))
+    val vec = vectorServe(spark, path, queryTerms, candidates, nprobe)
+    if (fusion == "ranked") HybridSearch.fuseRanked(kw, vec, alpha, limit)
+    else HybridSearch.fuseRelative(kw, vec, alpha, limit)
+  }
+
   /** s7 served FROM the positional index — the real Lucene phrase
     * mechanics: the two terms' position lists (bucket-pruned
     * postings reads) intersect per document with a +1 shift
     * (`arrays_overlap` on the shifted list — a codegen set probe,
     * no explode), survivors semi-join the SHARED BM25 scorer over
-    * the same two terms. Cost at any corpus size: two pruned
+    * the same term set. Cost at any corpus size: two pruned
     * posting reads + one doc-keyed join over the RARER term's
     * postings — the corpus text is never touched, which is the
     * whole point of a positional index. */
   def phraseServe(spark: SparkSession, path: String, t1: String,
                   t2: String, k: Int = 20): DataFrame = {
     import spark.implicits._
+    val c = commitOf(spark, path)
     val terms = Seq(t1, t2).distinct
-    val post = postingsFor(spark, path, terms)
+    val post = postingsFor(spark, path, terms, c)
     val p1 = post.filter($"term" === t1).select($"doc_id", $"pos".as("pos1"))
     val p2 = post.filter($"term" === t2).select($"doc_id", $"pos".as("pos2"))
     val survivors = p1.join(p2, "doc_id")
       .filter(arrays_overlap(transform($"pos1", x => x + 1), $"pos2"))
       .select($"doc_id")
-    bm25Serve(spark, path, Seq(t1, t2))
+    bm25Serve(spark, path, terms)
       .join(survivors, Seq("doc_id"), "left_semi")
       .orderBy($"score".desc, $"doc_id")
       .limit(k)
@@ -320,15 +838,19 @@ object TextIndex {
   def proximityServe(spark: SparkSession, path: String, t1: String,
                      t2: String, slop: Int, k: Int = 20): DataFrame = {
     import spark.implicits._
+    val c = commitOf(spark, path)
     val terms = Seq(t1, t2).distinct
-    val post = postingsFor(spark, path, terms)
+    val post = postingsFor(spark, path, terms, c)
     val p1 = post.filter($"term" === t1).select($"doc_id", $"pos".as("pos1"))
     val p2 = post.filter($"term" === t2).select($"doc_id", $"pos".as("pos2"))
+    // fully qualified: the local `exists(spark, path)` index probe
+    // shadows the sql.functions HOF
     val survivors = p1.join(p2, "doc_id")
-      .filter(exists($"pos1", p =>
-        exists($"pos2", q => q - p >= 1 && q - p <= slop)))
+      .filter(org.apache.spark.sql.functions.exists($"pos1", p =>
+        org.apache.spark.sql.functions.exists($"pos2",
+          q => q - p >= 1 && q - p <= slop)))
       .select($"doc_id")
-    bm25Serve(spark, path, Seq(t1, t2))
+    bm25Serve(spark, path, terms)
       .join(survivors, Seq("doc_id"), "left_semi")
       .orderBy($"score".desc, $"doc_id")
       .limit(k)
@@ -337,15 +859,14 @@ object TextIndex {
   /** s11's corrector over the PERSISTED vocabulary. */
   def correctionsServe(spark: SparkSession, path: String,
                        probes: Seq[String], k: Int = 3): DataFrame =
-    HybridSearch.fuzzyCorrections(
-      spark.read.parquet(s"$path/vocab"), probes, k)
+    HybridSearch.fuzzyCorrections(vocabTable(spark, path), probes, k)
 
   /** s15's completions from the PERSISTED ranked prefix table — a
     * point lookup, no recompute. */
   def completeServe(spark: SparkSession, path: String,
                     prefixes: Seq[String]): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$path/prefixes")
+    prefixesTable(spark, path)
       .filter($"prefix".isin(prefixes: _*))
       .select($"prefix", $"rank", $"term", $"df")
       .orderBy($"prefix", $"rank")
@@ -354,24 +875,133 @@ object TextIndex {
   /** s16 served FROM the index: the seed's term vector comes from
     * the doc-bucket-pruned FORWARD index (tf·ln(N/df) salience,
     * identical types and tie-break to the scan path's mltTerms),
-    * then the mined terms serve through [[bm25Serve]]. */
+    * then the mined terms serve through [[bm25Serve]]. A seed absent
+    * from the index (or fully deleted) yields the empty result, not
+    * an error. */
   def moreLikeThisServe(spark: SparkSession, path: String, seedId: Long,
                         nTerms: Int = 5, k: Int = 10): DataFrame = {
     import spark.implicits._
-    val seedTf = spark.read.parquet(s"$path/forward")
+    val c = commitOf(spark, path)
+    val seedTf = forwardLive(spark, path, c)
       .filter($"dbucket" === seedId % DocBuckets && $"doc_id" === seedId)
       .select($"term", $"tf".as("tf_seed"))
-    val nDocs = spark.read.parquet(s"$path/stats")
+    val nDocs = spark.read.parquet(s"$path/stats/v=${c.seq}")
       .select($"n_docs".cast("double").as("n_docs"))
-    val terms = spark.read.parquet(s"$path/vocab")
+    val terms = spark.read.parquet(s"$path/vocab/v=${c.seq}")
       .join(broadcast(seedTf), "term")
       .crossJoin(broadcast(nDocs))
       .select($"term", ($"tf_seed" * log($"n_docs" / $"df")).as("escore"))
       .orderBy($"escore".desc, $"term").limit(nTerms)
       .collect().map(_.getString(0)).toSeq
-    bm25Serve(spark, path, terms)
-      .filter($"doc_id" =!= seedId)
-      .orderBy($"score".desc, $"doc_id").limit(k)
-      .select($"doc_id", $"score")
+    if (terms.isEmpty)
+      spark.range(0).select($"id".as("doc_id"), lit(0.0).as("score"))
+    else
+      bm25Serve(spark, path, terms)
+        .filter($"doc_id" =!= seedId)
+        .orderBy($"score".desc, $"doc_id").limit(k)
+        .select($"doc_id", $"score")
+  }
+
+  // ---------------------------------------------------- compaction --
+
+  /** The small-file compaction PLAN over this index's batch-
+    * partitioned artifacts — [[Compaction.listFiles]]' metadata walk
+    * + packNextFit grouped per leaf directory: which files would
+    * merge into which output, decided from the LISTING alone (never
+    * from reading data). One row per planned output file. This is
+    * the budget an OPTIMIZE scheduler reads before [[compact]] pays
+    * for the rewrite. */
+  def compactionPlan(spark: SparkSession, path: String,
+                     targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    import spark.implicits._
+    val (fs, _) = hadoop(spark, path)
+    val arts = Seq("postings", "fielded", "forward", "docs", "vectors")
+      .filter(a => fs.exists(new org.apache.hadoop.fs.Path(s"$path/$a")))
+    val listed = arts.map { a =>
+        Compaction.listFiles(spark, s"$path/$a")
+          .withColumn("artifact", lit(a))
+      }.reduce(_ unionByName _)
+      .withColumn("dir",
+        coalesce(nullif(regexp_extract($"path", "^(.*)/[^/]+$", 1),
+          lit("")), lit("")))
+    graft.operators.Packing
+      .packNextFit(listed, Seq("artifact", "dir"), Seq("path"), "bytes",
+        targetBytes)
+      .groupBy($"artifact", $"dir", $"bin_id")
+      .agg(count(lit(1)).as("n_files"), sum($"bytes").as("total_bytes"))
+      .orderBy($"artifact", $"dir", $"bin_id")
+  }
+
+  /** COMPACT the index: rewrite the LIVE view of every batch-
+    * partitioned artifact into one consolidated batch (one file per
+    * bucket directory — the repartition-by-partition-column write),
+    * physically dropping tombstoned rows and per-batch file
+    * fragmentation in one pass, reset the tombstone list, and flip
+    * the marker. Readers either resolve the old commit (old batches,
+    * old tombstones — intact) or the new one; serving is bit-equal
+    * across the swap (the spec pins it). Old batch directories and
+    * artifact versions become garbage; [[vacuum]] reclaims them. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val c = commitOf(spark, path)
+    val seq2 = c.seq + 1
+    val nb = c.maxBatch + 1
+    val tomb = tombstonesOf(spark, path, c)
+    def rewrite(name: String, bucketCol: String): Unit = {
+      val (fs, _) = hadoop(spark, path)
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/$name"))) {
+        liveRows(readBatched(spark, path, name, c), tomb)
+          .withColumn("batch", lit(nb))
+          .repartition(col(bucketCol))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch", bucketCol)
+          .parquet(s"$path/$name")
+      }
+    }
+    rewrite("postings", "pbucket")
+    rewrite("fielded", "pbucket")
+    rewrite("forward", "dbucket")
+    rewrite("docs", "dbucket")
+    rewrite("vectors", "cid")
+    // small artifacts carry forward unchanged; tombstones reset —
+    // every logically-deleted row is now physically gone
+    writeVersioned(spark.read.parquet(s"$path/vocab/v=${c.seq}"),
+      path, "vocab", seq2)
+    writeVersioned(spark.read.parquet(s"$path/prefixes/v=${c.seq}"),
+      path, "prefixes", seq2)
+    writeVersioned(spark.read.parquet(s"$path/stats/v=${c.seq}"),
+      path, "stats", seq2)
+    writeVersioned(emptyTombstones(spark), path, "tombstones", seq2)
+    writeCents(spark, path, seq2, readCents(spark, path, c))
+    writeMarker(spark, path, Commit(seq2, nb, nb, c.lastEpoch))
+  }
+
+  /** Retention: physically remove batch directories outside the
+    * committed [minBatch, maxBatch] range and artifact versions
+    * below the committed seq — the garbage [[compact]] and staged-
+    * but-replaced commits leave behind. Never touches live state. */
+  def vacuum(spark: SparkSession, path: String): Seq[String] = {
+    val c = commitOf(spark, path)
+    val (fs, _) = hadoop(spark, path)
+    val dropped = scala.collection.mutable.ArrayBuffer.empty[String]
+    def clean(sub: String, prefix: String, keep: Long => Boolean): Unit = {
+      val d = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      if (fs.exists(d)) fs.listStatus(d).foreach { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory && n.startsWith(prefix)) {
+          val v = n.stripPrefix(prefix).toLong
+          if (!keep(v)) {
+            fs.delete(s.getPath, true): Unit
+            dropped += s"$sub/$n"
+          }
+        }
+      }
+    }
+    Seq("postings", "fielded", "forward", "docs", "vectors").foreach(a =>
+      clean(a, "batch=", b => b >= c.minBatch && b <= c.maxBatch))
+    Seq("vocab", "prefixes", "stats", "tombstones", "vcents").foreach(a =>
+      clean(a, "v=", v => v == c.seq))
+    dropped.toSeq
   }
 }

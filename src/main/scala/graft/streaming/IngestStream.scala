@@ -287,17 +287,29 @@ object IngestStream {
     * after any epoch are bit-equal to a batch rebuild over
     * everything ingested so far (StreamingSpec pins it). Contract:
     * arriving doc_ids are new — a page-update stream routes through
-    * [[reingest]]'s delete first, like every append index here. */
+    * TextIndex.upsert semantics instead.
+    *
+    * Exactly-once EFFECT under foreachBatch's at-least-once delivery:
+    * the epoch id rides into the index's commit marker
+    * (TextIndex.lastEpoch), so a redelivered epoch that already
+    * COMMITTED is skipped here (appending it twice would
+    * double-count tf/df/stats — append is exact, which cuts both
+    * ways); an epoch that STAGED but crashed before its marker flip
+    * re-stages idempotently (dynamic-partition batch overwrite +
+    * versioned artifact overwrite) and commits once. Existence is
+    * the marker read, not a directory probe — a crashed half-build
+    * must read as absent. */
   def indexStream(docs: DataFrame, indexPath: String): StreamingQuery = {
-    val appendEpoch: (DataFrame, Long) => Unit = (batch, _) => {
+    val appendEpoch: (DataFrame, Long) => Unit = (batch, epochId) => {
       val spark = batch.sparkSession
-      val probe = new org.apache.hadoop.fs.Path(s"$indexPath/stats")
-      val exists = probe
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(probe)
       val b = batch.select("doc_id", "text")
-      if (exists) graft.sources.TextIndex.append(b, indexPath)
-      else graft.sources.TextIndex.write(b, indexPath)
+      if (!graft.sources.TextIndex.exists(spark, indexPath))
+        graft.sources.TextIndex.write(b, indexPath, withVectors = false,
+          epochId = epochId)
+      else if (epochId > graft.sources.TextIndex.lastEpoch(spark, indexPath))
+        graft.sources.TextIndex.append(b, indexPath, epochId = epochId)
+      // else: an already-committed epoch redelivered — skip (replay
+      // guard; the offsets checkpoint advances normally)
     }
     docs.writeStream
       .option("checkpointLocation", s"$indexPath/_checkpoints")

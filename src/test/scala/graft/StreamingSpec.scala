@@ -1025,12 +1025,15 @@ class StreamingSpec extends SparkSpec {
       rows(TextIndex.bm25Serve(spark, rebuilt, terms)
         .orderBy($"score".desc, $"doc_id")),
       "streamed index must serve the batch-rebuilt scores exactly")
-    assert(rows(spark.read.parquet(s"$idx/prefixes")
+    assert(rows(TextIndex.prefixesTable(spark, idx)
         .orderBy($"prefix", $"rank").select($"prefix", $"term", $"df")) ==
-      rows(spark.read.parquet(s"$rebuilt/prefixes")
+      rows(TextIndex.prefixesTable(spark, rebuilt)
         .orderBy($"prefix", $"rank").select($"prefix", $"term", $"df")))
-    assert(rows(spark.read.parquet(s"$idx/stats")) ==
-      rows(spark.read.parquet(s"$rebuilt/stats")))
+    assert(rows(TextIndex.statsTable(spark, idx)) ==
+      rows(TextIndex.statsTable(spark, rebuilt)))
+    // the replay guard: every committed epoch id rode into the marker
+    assert(TextIndex.lastEpoch(spark, idx) == 2L,
+      "three epochs (0,1,2) committed; lastEpoch records the highest")
   }
 }
 

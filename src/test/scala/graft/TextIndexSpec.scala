@@ -52,7 +52,7 @@ class TextIndexSpec extends SparkSpec {
 
   test("completions from the persisted ranked prefix table equal s15") {
     // the full table equals the scan-built index...
-    val all = spark.read.parquet(s"$path/prefixes")
+    val all = TextIndex.prefixesTable(spark, path)
       .orderBy($"prefix", $"rank")
       .select($"prefix", $"rank", $"term", $"df").collect()
     val scan = HybridSearch.s15Autocomplete(spark, sfDir).collect()
@@ -93,17 +93,17 @@ class TextIndexSpec extends SparkSpec {
     assert(rows(TextIndex.correctionsServe(spark, appended,
         HybridSearch.FuzzyProbes)) ==
       rows(TextIndex.correctionsServe(spark, path, HybridSearch.FuzzyProbes)))
-    assert(rows(spark.read.parquet(s"$appended/prefixes")
+    assert(rows(TextIndex.prefixesTable(spark, appended)
         .orderBy($"prefix", $"rank")
         .select($"prefix", $"rank", $"term", $"df")) ==
-      rows(spark.read.parquet(s"$path/prefixes")
+      rows(TextIndex.prefixesTable(spark, path)
         .orderBy($"prefix", $"rank")
         .select($"prefix", $"rank", $"term", $"df")))
     assert(rows(TextIndex.moreLikeThisServe(spark, appended, seedId = 0L)) ==
       rows(TextIndex.moreLikeThisServe(spark, path, seedId = 0L)))
     // the stats row merged exactly
-    assert(rows(spark.read.parquet(s"$appended/stats")) ==
-      rows(spark.read.parquet(s"$path/stats")))
+    assert(rows(TextIndex.statsTable(spark, appended)) ==
+      rows(TextIndex.statsTable(spark, path)))
   }
 
   test("positional phrase serve equals s7's regex scan bit-for-bit") {
@@ -155,11 +155,197 @@ class TextIndexSpec extends SparkSpec {
 
   test("forward-index seed lookup prunes to the seed's doc bucket") {
     val seed = spark.read.parquet(s"$path/forward")
-      .filter($"dbucket" === 0L && $"doc_id" === 0L)
+      .filter($"batch" === 0L && $"dbucket" === 0L && $"doc_id" === 0L)
     val plan = seed.queryExecution.executedPlan.toString
     val pf = plan.linesIterator.find(l =>
       l.contains("PartitionFilters") && l.contains("dbucket"))
     assert(pf.isDefined,
       s"dbucket not in PartitionFilters:\n${plan.take(1500)}")
+  }
+
+  private def tinyDocs = Seq(
+    (1L, "spark joins filter big tables\nspark filter pushdown wins"),
+    (2L, "the quick brown fox joins the lazy dog"),
+    (3L, "filter spark filter join join join"),
+    (4L, "unrelated prose about nothing in particular"),
+    (5L, "spark spark spark join filter everything"),
+    (6L, "join the spark club and filter your feed"))
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSeq
+
+  private def serveAll(p: String): Seq[Seq[Seq[Any]]] = Seq(
+    rowsOf(TextIndex.bm25Serve(spark, p, Seq("spark", "join", "filter"))
+      .orderBy($"score".desc, $"doc_id")),
+    rowsOf(TextIndex.fieldedServe(spark, p, Seq("spark", "join"))),
+    rowsOf(TextIndex.correctionsServe(spark, p, Seq("sprak", "joim"))),
+    rowsOf(TextIndex.prefixesTable(spark, p)
+      .orderBy($"prefix", $"rank")
+      .select($"prefix", $"rank", $"term", $"df")),
+    rowsOf(TextIndex.phraseServe(spark, p, "spark", "filter")),
+    rowsOf(TextIndex.statsTable(spark, p)
+      .select($"n_docs", $"sum_dl", $"slt", $"slb")))
+
+  test("staged-but-uncommitted change is INVISIBLE; the later commit applies it once") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-ti-crash").toString
+    val first = tinyDocs.take(3).toDF("doc_id", "text")
+    val second = tinyDocs.drop(3).toDF("doc_id", "text")
+    TextIndex.write(first, p)
+    val before = serveAll(p)
+    // the crash point: every artifact of the append staged (batch
+    // dirs written, new artifact versions written) but the marker
+    // never flips — readers must keep serving the OLD commit
+    TextIndex.applyChange(p, None, Some(second), 2, 4, 3,
+      epochId = -1L, flip = false)
+    assert(serveAll(p) == before,
+      "a staged append without its marker flip must be invisible")
+    // the replayed append re-stages the same batch idempotently
+    // (dynamic-partition overwrite of the same staging area) and
+    // commits once — equal to a one-shot rebuild of everything
+    TextIndex.append(second, p)
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft-ti-crash-rb").toString
+    TextIndex.write(tinyDocs.toDF("doc_id", "text"), rebuilt)
+    assert(serveAll(p) == serveAll(rebuilt),
+      "replayed append after a crashed stage must apply exactly once")
+    Caches.releaseAll()
+  }
+
+  test("delete: serve-after-delete ≡ rebuild without the docs; double-delete is a no-op; re-add lives") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-ti-del").toString
+    TextIndex.write(tinyDocs.toDF("doc_id", "text"), p)
+    TextIndex.delete(Seq(3L, 5L).toDF("doc_id"), p)
+    val survivors = java.nio.file.Files
+      .createTempDirectory("graft-ti-del-rb").toString
+    TextIndex.write(tinyDocs.filterNot(d => Set(3L, 5L)(d._1))
+      .toDF("doc_id", "text"), survivors)
+    assert(serveAll(p) == serveAll(survivors),
+      "delete must subtract the docs' exact contributions everywhere")
+    // deleting an id again (or one never present) changes nothing
+    TextIndex.delete(Seq(3L, 99L).toDF("doc_id"), p)
+    assert(serveAll(p) == serveAll(survivors), "double-delete is a no-op")
+    // a re-added doc lands in a HIGHER batch than its tombstone and
+    // is live again — full circle back to the original corpus
+    TextIndex.append(tinyDocs.filter(d => Set(3L, 5L)(d._1))
+      .toDF("doc_id", "text"), p)
+    val full = java.nio.file.Files
+      .createTempDirectory("graft-ti-del-full").toString
+    TextIndex.write(tinyDocs.toDF("doc_id", "text"), full)
+    assert(serveAll(p) == serveAll(full),
+      "re-add after delete must serve as if never deleted")
+    Caches.releaseAll()
+  }
+
+  test("upsert ≡ rebuild bit-for-bit across the serving modes; MLT of a replaced doc uses the new text") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-ti-ups").toString
+    // build with two docs' text corrupted, then upsert the truth
+    val stale = tinyDocs.map { case (id, t) =>
+      (id, if (Set(2L, 5L)(id)) s"stale placeholder $id" else t) }
+    TextIndex.write(stale.toDF("doc_id", "text"), p)
+    TextIndex.upsert(tinyDocs.filter(d => Set(2L, 5L)(d._1))
+      .toDF("doc_id", "text"), p)
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft-ti-ups-rb").toString
+    TextIndex.write(tinyDocs.toDF("doc_id", "text"), rebuilt)
+    assert(serveAll(p) == serveAll(rebuilt),
+      "upsert must equal a rebuild of the true corpus")
+    assert(rowsOf(TextIndex.moreLikeThisServe(spark, p, seedId = 5L)) ==
+      rowsOf(TextIndex.moreLikeThisServe(spark, rebuilt, seedId = 5L)),
+      "the forward index must serve the REPLACED doc's new terms")
+    Caches.releaseAll()
+  }
+
+  test("compact: serving is bit-equal across the swap; files consolidate; vacuum reclaims") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-ti-cpt").toString
+    TextIndex.write(tinyDocs.take(2).toDF("doc_id", "text"), p)
+    TextIndex.append(tinyDocs.slice(2, 4).toDF("doc_id", "text"), p)
+    TextIndex.append(tinyDocs.drop(4).toDF("doc_id", "text"), p)
+    TextIndex.delete(Seq(4L).toDF("doc_id"), p)
+    val before = serveAll(p)
+    def postingsFiles: Seq[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      val d = java.nio.file.Paths.get(p, "postings")
+      val s = java.nio.file.Files.walk(d)
+      try s.iterator().asScala
+        .filter(f => f.toString.endsWith(".parquet")).toList
+      finally s.close()
+    }
+    val nBefore = postingsFiles.size
+    // the planning pass is metadata-only and sees every artifact
+    val plan = TextIndex.compactionPlan(spark, p)
+    assert(plan.count() > 0)
+    TextIndex.compact(spark, p)
+    assert(serveAll(p) == before,
+      "compaction must not change a single served byte")
+    // tombstoned rows are physically gone: doc 4 appears in no live row
+    assert(TextIndex.forwardTable(spark, p)
+      .filter($"doc_id" === 4L).count() == 0)
+    val dropped = TextIndex.vacuum(spark, p)
+    assert(dropped.nonEmpty, "vacuum reclaims the pre-compaction batches")
+    assert(serveAll(p) == before, "vacuum never touches live state")
+    assert(postingsFiles.size < nBefore,
+      s"compaction+vacuum must shrink the file count " +
+        s"($nBefore -> ${postingsFiles.size})")
+    Caches.releaseAll()
+  }
+
+  test("store-served hybrid ≡ scan hybrid for both fusions; pruned probe reads only its cells") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import org.apache.spark.sql.functions.expr
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"source",
+        expr(s"regexp_extract_all(lower(text), '[\\\\p{L}\\\\p{N}]+', 0)")
+          .as("tok"))
+      .withColumn("dl", size($"tok").cast("double"))
+    val emb = docs.select($"doc_id", expr("poly_bow(tok, 64)").as("embedding"))
+    val scanRel = HybridSearch.hybrid(spark, docs, emb,
+      HybridSearch.QueryTerms, alpha = 0.5, limit = 10)
+    val scanRrf = HybridSearch.rrf(spark, docs, emb,
+      HybridSearch.QueryTerms, alpha = 0.5, limit = 10)
+    assert(rowsOf(TextIndex.hybridServe(spark, path,
+        HybridSearch.QueryTerms)) == rowsOf(scanRel),
+      "relative fusion from the store must equal the scan path")
+    assert(rowsOf(TextIndex.hybridServe(spark, path,
+        HybridSearch.QueryTerms, fusion = "ranked")) == rowsOf(scanRrf),
+      "ranked fusion from the store must equal the scan path")
+    // nprobe < cells: the vector read must carry cid PartitionFilters
+    val pruned = TextIndex.vectorServe(spark, path,
+      HybridSearch.QueryTerms, nprobe = 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("cid")),
+      s"cid not in PartitionFilters:\n${plan.take(1500)}")
+    // and the pruned candidates are a subset drawn from the exact set
+    val exact = TextIndex.vectorServe(spark, path, HybridSearch.QueryTerms)
+      .collect().map(_.getLong(0)).toSet
+    val prunedIds = pruned.collect().map(_.getLong(0)).toSet
+    assert(prunedIds.subsetOf(exact) || prunedIds.size == 50)
+    Caches.releaseAll()
+  }
+
+  test("filtered store-serve pushes the metadata equality into the docs side table") {
+    val served = TextIndex.filteredServe(spark, path, "spark",
+      Map("lang" -> "en"), k = 20)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("lang"),
+      "the lang equality must reach the docs-table parquet scan")
+    val scan = HybridSearch.s5FilteredSearch(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(served.select($"doc_id", $"source", $"tf".as("tf_spark"))
+      .collect().map(_.toSeq).toSeq == scan)
+    Caches.releaseAll()
   }
 }
