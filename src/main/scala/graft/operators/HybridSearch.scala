@@ -881,6 +881,22 @@ object HybridSearch {
       .select($"doc_id", $"source", $"tf".as("tf_spark"))
   }
 
+  /** s25: the reference's FULL serving call from the store —
+    * Search(query, alpha, limit, FILTERS) in one shot
+    * (retrieval/service.go:23-47: the filter set rides into the
+    * hybrid Weaviate query, store.go:133-150): lang='en' restricts
+    * BOTH legs before ranking, BM25 stats are the FILTERED corpus's
+    * (computed from the store artifacts — filtered doc set + exact
+    * length sums from `docs/`, df from the semi-joined postings
+    * base; no corpus scan), and relativeScoreFusion runs through
+    * the shared expression. Oracle = s3's SQL over the lang='en'
+    * corpus — the filter-first semantics GraftEngine.search
+    * established, hash-gated end to end. */
+  def s25FilteredHybrid(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TextIndex.filteredHybridServe(
+      spark, textIndexPath(spark, dir), QueryTerms,
+      Map("lang" -> "en"), alpha = 0.5, limit = 10)
+
   /** The session's UPSERTED text index for `dir`: built on a STALE
     * corpus (the odd doc_id-div-50 blocks carry placeholder text),
     * then c18's change detection (WebMeta.changeDetect — the CDC
@@ -946,6 +962,7 @@ object HybridSearch {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s25_filtered_hybrid" -> s25FilteredHybrid _,
     "s24_served_rrf" -> s24ServedRrf _,
     "s23_filtered_from_index" -> s23FilteredFromIndex _,
     "s22_upserted_bm25" -> s22UpsertedBm25 _,
@@ -1138,6 +1155,12 @@ object HybridSearch {
     // fusion pipelines exactly — the oracles ARE s3's and s6's SQL
     ("s21_served_hybrid" -> oraclesBase("s3_hybrid_search")) +
     ("s24_served_rrf" -> oraclesBase("s6_rrf_fusion")) +
+    // s25: s3's exact pipeline with the corpus restricted to
+    // lang='en' FIRST (filter-first semantics — stats/df/candidates
+    // all over the filtered corpus); the one-line docs-CTE injection
+    // keeps the rest of the replay shared with s3's
+    ("s25_filtered_hybrid" -> oraclesBase("s3_hybrid_search")
+      .replace("FROM documents)", "FROM documents WHERE lang = 'en')")) +
     // s23: the filtered store-serve must hash-match s5's scan query
     ("s23_filtered_from_index" -> oraclesBase("s5_filtered_search")) +
     // s19 must reproduce s7's phrase results from the POSITIONAL

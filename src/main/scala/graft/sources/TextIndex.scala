@@ -801,6 +801,71 @@ object TextIndex {
     else HybridSearch.fuseRelative(kw, vec, alpha, limit)
   }
 
+  /** The reference's FULL serving signature from the store —
+    * Search(query, alpha, limit, FILTERS) (retrieval/service.go:23-47
+    * passes the filter set into the hybrid Weaviate query,
+    * store.go:133-150): ANDed metadata equalities restrict BOTH legs
+    * BEFORE ranking, and — matching GraftEngine.search's
+    * filter-first semantics — the BM25 statistics (n_docs, avgdl,
+    * df) are those of the FILTERED corpus, computed here entirely
+    * from the store artifacts: the filtered doc set and its exact
+    * length sums come from the `docs/` side table (one narrow scan,
+    * equalities pushed to parquet), per-term df from the semi-joined
+    * postings base — no corpus scan, no global-stats approximation.
+    * Both legs then fuse through the scan path's shared fusion
+    * expression, so the filtered store-serve is bit-equal to the
+    * scan pipeline over the filtered corpus (s25's oracle). */
+  def filteredHybridServe(spark: SparkSession, path: String,
+                          queryTerms: Seq[String],
+                          filters: Map[String, String],
+                          alpha: Double = 0.5, limit: Int = 10,
+                          fusion: String = "relative",
+                          candidates: Int = 50): DataFrame = {
+    import spark.implicits._
+    require(fusion == "relative" || fusion == "ranked",
+      s"fusion must be 'relative' or 'ranked', got '$fusion'")
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val c = commitOf(spark, path)
+    // the filtered doc set, persisted once per serve call: both legs
+    // and both stats aggregates read it
+    val fdocs = graft.Caches.persist(
+      filters.foldLeft(docsLive(spark, path, c)) {
+        case (df, (kc, v)) => df.filter(col(kc) === v)
+      }.select($"doc_id", $"dl"))
+    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      coalesce(sum(when($"term" === t, $"tf")), lit(0L)).cast("double")
+        .as(s"tf_$i")
+    }
+    val base = graft.Caches.persist(
+      postingsFor(spark, path, queryTerms, c)
+        .join(fdocs.select($"doc_id"), Seq("doc_id"), "left_semi")
+        .groupBy($"doc_id", $"dl")
+        .agg(tfCols.head, tfCols.tail: _*))
+    // filtered-corpus stats: exact integer-valued sums, so avg(dl)
+    // over the filtered scan reproduces bit-for-bit
+    val corpus = fdocs.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum($"dl") / count(lit(1)).cast("double")).as("corpus_avgdl"))
+    val dfAggs = queryTerms.indices.map(i =>
+      sum(when(col(s"tf_$i") > 0, 1.0).otherwise(0.0)).as(s"df_$i"))
+    val stats = base.agg(dfAggs.head, dfAggs.tail: _*).crossJoin(corpus)
+    val kw = HybridSearch.scoreBm25(base, stats, queryTerms.size)
+      .orderBy($"score".desc, $"doc_id").limit(candidates)
+      .select($"doc_id", $"score".as("kw_score"))
+    val queryTok = array(queryTerms.map(lit): _*)
+    val qvec = spark.range(1)
+      .select(queryTok.as("tok"))
+      .select(expr("poly_bow(tok, 64)").as("qv"))
+    val vec = liveRows(readBatched(spark, path, "vectors", c),
+        tombstonesOf(spark, path, c))
+      .join(fdocs.select($"doc_id"), Seq("doc_id"), "left_semi")
+      .crossJoin(broadcast(qvec))
+      .select($"doc_id",
+        graft.functions.VectorFunctions.cosineD($"v", $"qv").as("v_score"))
+      .orderBy($"v_score".desc, $"doc_id").limit(candidates)
+    if (fusion == "ranked") HybridSearch.fuseRanked(kw, vec, alpha, limit)
+    else HybridSearch.fuseRelative(kw, vec, alpha, limit)
+  }
+
   /** s7 served FROM the positional index — the real Lucene phrase
     * mechanics: the two terms' position lists (bucket-pruned
     * postings reads) intersect per document with a +1 shift

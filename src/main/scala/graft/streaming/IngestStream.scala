@@ -317,6 +317,31 @@ object IngestStream {
       .start()
   }
 
+  /** STREAMING index maintenance for page-UPDATE streams —
+    * [[indexStream]]'s twin where arriving doc_ids may REPLACE
+    * existing documents (the re-crawl path): every micro-batch runs
+    * TextIndex.upsert (tombstone + fresh batch in ONE commit), so
+    * the served index after any epoch is bit-equal to a batch
+    * rebuild over each doc's LATEST version. Same exactly-once
+    * discipline: committed epochs are skipped on redelivery via the
+    * marker's epoch id, staged-but-uncommitted epochs re-stage
+    * idempotently. */
+  def upsertIndexStream(docs: DataFrame, indexPath: String): StreamingQuery = {
+    val upsertEpoch: (DataFrame, Long) => Unit = (batch, epochId) => {
+      val spark = batch.sparkSession
+      val b = batch.select("doc_id", "text")
+      if (!graft.sources.TextIndex.exists(spark, indexPath))
+        graft.sources.TextIndex.write(b, indexPath, withVectors = false,
+          epochId = epochId)
+      else if (epochId > graft.sources.TextIndex.lastEpoch(spark, indexPath))
+        graft.sources.TextIndex.upsert(b, indexPath, epochId = epochId)
+    }
+    docs.writeStream
+      .option("checkpointLocation", s"$indexPath/_checkpoints")
+      .foreachBatch(upsertEpoch)
+      .start()
+  }
+
   /** Start the ingestion stream into `storePath` (chunks under
     * /chunks partitioned by source, offsets under /_checkpoints). */
   def ingest(docs: DataFrame, storePath: String, maxTokens: Int = 64,

@@ -1035,6 +1035,49 @@ class StreamingSpec extends SparkSpec {
     assert(TextIndex.lastEpoch(spark, idx) == 2L,
       "three epochs (0,1,2) committed; lastEpoch records the highest")
   }
+
+  test("streamed UPSERT maintenance: re-arriving docs replace; serve ≡ rebuild of latest versions") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.TextIndex
+
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-ti-ups-stream").toString + "/index"
+    val stream = MemoryStream[(Long, String)]
+    val query = IngestStream.upsertIndexStream(
+      stream.toDF().toDF("doc_id", "text"), idx)
+    try {
+      // epoch 0 builds; epoch 1 adds a doc AND re-crawls doc 1 with
+      // NEW text; epoch 2 re-crawls doc 2
+      stream.addData((1L, "old spark text to be replaced"),
+        (2L, "the quick brown fox joins the lazy dog"))
+      query.processAllAvailable()
+      stream.addData((1L, "spark joins filter big tables now"),
+        (3L, "filter spark filter join join join"))
+      query.processAllAvailable()
+      stream.addData((2L, "spark spark spark join filter everything"))
+      query.processAllAvailable()
+    } finally query.stop()
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft-ti-ups-rebuild").toString
+    TextIndex.write(Seq(
+      (1L, "spark joins filter big tables now"),
+      (2L, "spark spark spark join filter everything"),
+      (3L, "filter spark filter join join join"))
+      .toDF("doc_id", "text"), rebuilt)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val terms = Seq("spark", "join", "filter")
+    assert(rows(TextIndex.bm25Serve(spark, idx, terms)
+        .orderBy($"score".desc, $"doc_id")) ==
+      rows(TextIndex.bm25Serve(spark, rebuilt, terms)
+        .orderBy($"score".desc, $"doc_id")),
+      "upsert stream must serve each doc's LATEST version exactly")
+    assert(rows(TextIndex.statsTable(spark, idx)) ==
+      rows(TextIndex.statsTable(spark, rebuilt)),
+      "replaced docs' old lengths must be subtracted exactly")
+  }
 }
 
 /** Top-level (not nested in the spec) so the batch toDF() encoder

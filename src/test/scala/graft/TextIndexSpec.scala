@@ -336,6 +336,35 @@ class TextIndexSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("filtered HYBRID store-serve ≡ the scan pipeline over the filtered corpus") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import org.apache.spark.sql.functions.expr
+    // the scan twin: filter-first — corpus restricted BEFORE stats,
+    // candidates, and fusion (GraftEngine.search's semantics)
+    val filtered = Tables.documents(spark, sfDir)
+      .filter($"lang" === "en")
+      .select($"doc_id",
+        expr(s"regexp_extract_all(lower(text), '[\\\\p{L}\\\\p{N}]+', 0)")
+          .as("tok"))
+      .withColumn("dl", size($"tok").cast("double"))
+    val emb = filtered.select($"doc_id",
+      expr("poly_bow(tok, 64)").as("embedding"))
+    val scan = HybridSearch.hybrid(spark, filtered, emb,
+      HybridSearch.QueryTerms, alpha = 0.5, limit = 10)
+    val served = TextIndex.filteredHybridServe(spark, path,
+      HybridSearch.QueryTerms, Map("lang" -> "en"))
+    assert(rowsOf(served) == rowsOf(scan),
+      "filtered hybrid from the store must equal filter-first scan")
+    // both fusion algorithms share the store machinery
+    val scanRrf = HybridSearch.rrf(spark, filtered, emb,
+      HybridSearch.QueryTerms, alpha = 0.5, limit = 10)
+    val servedRrf = TextIndex.filteredHybridServe(spark, path,
+      HybridSearch.QueryTerms, Map("lang" -> "en"), fusion = "ranked")
+    assert(rowsOf(servedRrf) == rowsOf(scanRrf))
+    Caches.releaseAll()
+  }
+
   test("filtered store-serve pushes the metadata equality into the docs side table") {
     val served = TextIndex.filteredServe(spark, path, "spark",
       Map("lang" -> "en"), k = 20)

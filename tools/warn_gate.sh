@@ -1,0 +1,25 @@
+#!/usr/bin/env bash
+# warn_gate.sh — suite-log grep gate for WindowExec's
+# "No Partition Defined" warning (a partition-less window moves all
+# rows to one task — fine for the audited bounded aggregates, a
+# scaling hazard if a corpus-cardinality window sneaks in).
+#
+# Usage:
+#   sbt -batch test > /tmp/suite.log 2>&1
+#   tools/warn_gate.sh /tmp/suite.log
+#
+# Every audited source of this warning is a bounded-aggregate window
+# (scalar totals, host/TLD aggregates, <=k-row candidate panels, the
+# <=2*candidates fusion join). The COUNT may not grow past the pin:
+# raising the pin requires auditing the new window and saying so in
+# SURVEY.md's session log.
+set -u
+LOG=${1:?usage: warn_gate.sh <suite-log> [pin]}
+PIN=${2:-860}
+N=$(grep -c "No Partition Defined" "$LOG" || true)
+echo "No-Partition-Defined warnings: $N (pin $PIN)"
+if [ "$N" -gt "$PIN" ]; then
+  echo "FAIL: warning count grew past the pin — audit the new window"
+  exit 1
+fi
+echo "OK"
