@@ -177,6 +177,27 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
         .select(col("doc_id"), col("score"))
   }
 
+  /** Serve one search FROM the persisted index to completion — the
+    * store-served twin of [[runSearch]]: rank (BM25 or hybrid with
+    * alpha), render content + snippet per hit from the index's
+    * STORED FIELDS (zero corpus access at query time), log to the
+    * session query log, return the rows. */
+  def runSearchFromIndex(path: String, query: String, alpha: Double = 0.0,
+                         limit: Int = settings.searchTopK,
+                         correlationId: String = ""): Seq[org.apache.spark.sql.Row] = {
+    val t0 = System.nanoTime()
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val ranked = searchFromIndex(path, query, alpha, limit)
+    val rows = graft.sources.TextIndex
+      .renderHits(spark, path, ranked, terms)
+      .orderBy(col(if (alpha > 0.0) "hybrid_score" else "score").desc,
+        col("doc_id"))
+      .collect().toSeq
+    queryLog.log(QueryLog.entry(query, rows.length,
+      System.nanoTime() - t0, correlationId))
+    rows
+  }
+
   /** UPSERT documents into the persisted index — delete + append in
     * ONE commit (s22's path): re-arriving doc_ids replace their old
     * copies exactly; serve-after-upsert is bit-equal to a rebuild. */

@@ -166,25 +166,25 @@ object HybridSearch {
     * identical join, identical normalization, identical rounding.
     * Each leg is min-max normalized over ITS OWN candidate list; a
     * doc absent from a leg contributes 0 for that leg. Bounds come
-    * from window min/max AFTER the full-outer join — window
+    * from ONE aggregate over the joined candidates broadcast back as
+    * a single row (the s3 oracle's own `bounds` CTE shape) — min/max
     * aggregates skip nulls, so min(kw_score) over all rows IS the kw
-    * leg's own min (vec-only rows have kw_score null). The window
-    * runs over the ≤2*candidates joined rows in one partition —
-    * bounded by construction, so no persist, no second pass, no skew
-    * risk. */
+    * leg's own min (vec-only rows have kw_score null); the join is
+    * ≤2*candidates rows by construction, so the bounds pass is
+    * trivial and no partition-less WINDOW (single-partition sort)
+    * ever runs. */
   private[graft] def fuseRelative(kw: DataFrame, vec: DataFrame,
                                   alpha: Double, limit: Int): DataFrame = {
     import kw.sparkSession.implicits._
-    val wAll = Window.partitionBy()
     def normalized(score: Column, lo: Column, hi: Column): Column =
       when(score.isNull, 0.0)
         .when(hi === lo, 0.5)
         .otherwise((score - lo) / (hi - lo))
-    kw.join(vec, Seq("doc_id"), "full_outer")
-      .withColumn("kmin", min($"kw_score").over(wAll))
-      .withColumn("kmax", max($"kw_score").over(wAll))
-      .withColumn("vmin", min($"v_score").over(wAll))
-      .withColumn("vmax", max($"v_score").over(wAll))
+    val cand = kw.join(vec, Seq("doc_id"), "full_outer")
+    val bounds = cand.agg(
+      min($"kw_score").as("kmin"), max($"kw_score").as("kmax"),
+      min($"v_score").as("vmin"), max($"v_score").as("vmax"))
+    cand.crossJoin(broadcast(bounds))
       .select($"doc_id",
         round(
           lit(alpha) * normalized($"v_score", $"vmin", $"vmax") +
@@ -897,6 +897,18 @@ object HybridSearch {
       spark, textIndexPath(spark, dir), QueryTerms,
       Map("lang" -> "en"), alpha = 0.5, limit = 10)
 
+  /** s26: SNIPPETS served FROM the index — s10's query with the
+    * content coming from the index's STORED FIELDS (`content/`,
+    * Lucene's stored-fields file; the SearchResult.Content contract,
+    * retrieval/service.go:11,114-120) instead of the corpus: s1's
+    * ranking through bm25Serve, then the top-k ids prune the content
+    * read (dbucket partitions + doc_id row groups, ≤k rows) and the
+    * SHARED snippet windowing renders. Zero corpus access at query
+    * time; oracle IS s10's SQL. */
+  def s26ServedSnippets(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TextIndex.snippetServe(
+      spark, textIndexPath(spark, dir), QueryTerms)
+
   /** The session's UPSERTED text index for `dir`: built on a STALE
     * corpus (the odd doc_id-div-50 blocks carry placeholder text),
     * then c18's change detection (WebMeta.changeDetect — the CDC
@@ -962,6 +974,7 @@ object HybridSearch {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s26_served_snippets" -> s26ServedSnippets _,
     "s25_filtered_hybrid" -> s25FilteredHybrid _,
     "s24_served_rrf" -> s24ServedRrf _,
     "s23_filtered_from_index" -> s23FilteredFromIndex _,
@@ -1137,7 +1150,16 @@ object HybridSearch {
          |LIMIT 10""".stripMargin
     }
 
-  val oracles: Map[String, String] = oraclesBase +
+  // s26: snippets rendered from the stored fields must hash-match
+  // s10's corpus-scan rendering — same ranking, same windowing (the
+  // alias is added AFTER the map closes because s10's SQL lives in
+  // this chain, not in oraclesBase)
+  val oracles: Map[String, String] = {
+    val all = oraclesWithout26
+    all + ("s26_served_snippets" -> all("s10_snippets"))
+  }
+
+  private lazy val oraclesWithout26: Map[String, String] = oraclesBase +
     // s17 must reproduce the SCAN path's scores exactly from the
     // persisted artifacts, so its oracle IS s1's query — any drift in
     // the write→load→serve round trip (lost postings, wrong df,

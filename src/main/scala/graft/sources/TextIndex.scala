@@ -279,6 +279,26 @@ object TextIndex {
       "docs", Seq("dbucket"))
   }
 
+  /** Write one batch of STORED FIELDS — the raw (doc_id, text) rows,
+    * dbucket-partitioned (Lucene's stored-fields file): what lets the
+    * index render SearchResult.Content + snippets per hit
+    * (retrieval/service.go:11,114-120) without ever touching the
+    * corpus at query time. A top-k serve reads ≤k rows through
+    * dbucket partition pruning + doc_id row-group pushdown. */
+  private def writeContentBatch(spark: SparkSession, path: String,
+                                batch: Long, corpus: DataFrame,
+                                dynamic: Boolean): Unit = {
+    import spark.implicits._
+    val w = corpus.select($"doc_id", $"text")
+      .withColumn("dbucket", dbucket($"doc_id"))
+      .withColumn("batch", lit(batch))
+      .repartition($"dbucket")
+      .write.mode("overwrite")
+    (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+      .partitionBy("batch", "dbucket")
+      .parquet(s"$path/content")
+  }
+
   /** Assign + write one batch of document vectors against the frozen
     * quantizer (the production IVF add() contract — append never
     * retrains; [[compact]] or a rebuild is where a drifted layout
@@ -344,6 +364,7 @@ object TextIndex {
       try {
         writeBatch(spark, path, 0L, postings, fieldedOf(toks),
           docsOf(toks), dynamic = false)
+        writeContentBatch(spark, path, 0L, corpus, dynamic = false)
         // quantizer trained ONCE at build; appends assign against it
         val cents =
           if (withVectors) {
@@ -452,6 +473,8 @@ object TextIndex {
         writeVectorBatch(spark, path, newBatch, vectorsOf(t),
           readCents(spark, path, c), dynamic = true)
       }
+      newDocs.foreach(nd =>
+        writeContentBatch(spark, path, newBatch, nd, dynamic = true))
 
       // ---- vocab: old ∪ +batch dfs ∪ −dead dfs, integer-exact
       val oldVocab = spark.read.parquet(s"$path/vocab/v=${c.seq}")
@@ -967,6 +990,52 @@ object TextIndex {
         .select($"doc_id", $"score")
   }
 
+  /** Stored-fields view at the current commit (doc_id, text). */
+  def contentTable(spark: SparkSession, path: String): DataFrame =
+    liveRows(readBatched(spark, path, "content", commitOf(spark, path)),
+      tombstonesOf(spark, path, commitOf(spark, path)))
+
+  /** RENDER a ranked hit list from the STORED FIELDS — the
+    * SearchResult.Content contract (retrieval/service.go:11,114-120:
+    * every hit returns chunk content to the client and the reranker)
+    * served without the corpus: the top-k ids become dbucket
+    * partition filters + doc_id row-group pushdown on `content/`
+    * (≤k rows read), then the SHARED snippet windowing runs
+    * (HybridSearch.snippetsOf — best `window`-token span of query-
+    * term coverage, head fallback for vector-only hits). `ranked`
+    * must carry doc_id; all its columns ride through. The id
+    * collect is k-bounded — the request/response boundary, same as
+    * the query-term bucket hashes. */
+  def renderHits(spark: SparkSession, path: String, ranked: DataFrame,
+                 queryTerms: Seq[String], window: Int = 10): DataFrame = {
+    import spark.implicits._
+    val c = commitOf(spark, path)
+    val ids = ranked.select($"doc_id").collect().map(_.getLong(0)).toSeq
+    val dbs = ids.map(_ % DocBuckets).distinct
+    val content = liveRows(
+        readBatched(spark, path, "content", c)
+          .filter($"dbucket".isin(dbs: _*) && $"doc_id".isin(ids: _*)),
+        tombstonesOf(spark, path, c))
+      .select($"doc_id", $"text")
+    HybridSearch.snippetsOf(content, ranked, queryTerms, window)
+  }
+
+  /** s10 served FROM the index: s1's ranking through [[bm25Serve]]
+    * and the snippets rendered from the stored fields — the full
+    * "query in, renderable results out" serving call with zero
+    * corpus access. */
+  def snippetServe(spark: SparkSession, path: String,
+                   queryTerms: Seq[String], k: Int = 10,
+                   window: Int = 10): DataFrame = {
+    import spark.implicits._
+    val top = bm25Serve(spark, path, queryTerms)
+      .orderBy($"score".desc, $"doc_id").limit(k)
+      .select($"doc_id", $"score")
+    renderHits(spark, path, top, queryTerms, window)
+      .select($"doc_id", $"score", $"start_pos", $"n_terms", $"snippet")
+      .orderBy($"score".desc, $"doc_id")
+  }
+
   // ---------------------------------------------------- compaction --
 
   /** The small-file compaction PLAN over this index's batch-
@@ -980,7 +1049,8 @@ object TextIndex {
                      targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
     import spark.implicits._
     val (fs, _) = hadoop(spark, path)
-    val arts = Seq("postings", "fielded", "forward", "docs", "vectors")
+    val arts = Seq("postings", "fielded", "forward", "docs", "content",
+        "vectors")
       .filter(a => fs.exists(new org.apache.hadoop.fs.Path(s"$path/$a")))
     val listed = arts.map { a =>
         Compaction.listFiles(spark, s"$path/$a")
@@ -1028,6 +1098,7 @@ object TextIndex {
     rewrite("fielded", "pbucket")
     rewrite("forward", "dbucket")
     rewrite("docs", "dbucket")
+    rewrite("content", "dbucket")
     rewrite("vectors", "cid")
     // small artifacts carry forward unchanged; tombstones reset —
     // every logically-deleted row is now physically gone
@@ -1063,8 +1134,9 @@ object TextIndex {
         }
       }
     }
-    Seq("postings", "fielded", "forward", "docs", "vectors").foreach(a =>
-      clean(a, "batch=", b => b >= c.minBatch && b <= c.maxBatch))
+    Seq("postings", "fielded", "forward", "docs", "content", "vectors")
+      .foreach(a =>
+        clean(a, "batch=", b => b >= c.minBatch && b <= c.maxBatch))
     Seq("vocab", "prefixes", "stats", "tombstones", "vcents").foreach(a =>
       clean(a, "v=", v => v == c.seq))
     dropped.toSeq

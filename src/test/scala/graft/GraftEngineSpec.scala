@@ -575,6 +575,23 @@ class GraftEngineSpec extends SparkSpec {
       "slop 1 = adjacency")
     assert(full.searchProximity(grown, "hash", "join", slop = 3)
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // hybrid-with-alpha from the store (the reference's serving call)
+    assert(rows(full.searchFromIndex(grown, "hash join", alpha = 0.5)) ==
+      rows(full.searchFromIndex(oneShot, "hash join", alpha = 0.5)))
+    assert(rows(full.searchFromIndex(grown, "hash join", alpha = 0.5)).nonEmpty)
+    // upsert through the facade: replace doc 2's text, serve reflects it
+    full.upsertIntoSearchIndex(grown,
+      Seq((2L, "completely unrelated prose")).toDF("doc_id", "text"))
+    assert(full.searchProximity(grown, "hash", "join", slop = 3)
+      .collect().map(_.getLong(0)).toSet == Set(1L),
+      "the replaced doc must stop matching its old phrase")
+    // the store-served request path returns renderable rows and logs
+    val before = full.queryLog.size
+    val served = full.runSearchFromIndex(grown, "hash join", limit = 3)
+    assert(served.nonEmpty && served.head.schema.fieldNames
+      .count(Set("content", "snippet")) == 2,
+      "every store-served hit carries content and a snippet")
+    assert(full.queryLog.size == before + 1)
     Caches.releaseAll()
   }
 }

@@ -184,7 +184,11 @@ class TextIndexSpec extends SparkSpec {
       .select($"prefix", $"rank", $"term", $"df")),
     rowsOf(TextIndex.phraseServe(spark, p, "spark", "filter")),
     rowsOf(TextIndex.statsTable(spark, p)
-      .select($"n_docs", $"sum_dl", $"slt", $"slb")))
+      .select($"n_docs", $"sum_dl", $"slt", $"slb")),
+    // stored fields: rendered snippets must track the live corpus
+    rowsOf(TextIndex.snippetServe(spark, p, Seq("spark", "join", "filter"))),
+    rowsOf(TextIndex.contentTable(spark, p)
+      .select($"doc_id", $"text").orderBy($"doc_id")))
 
   test("staged-but-uncommitted change is INVISIBLE; the later commit applies it once") {
     val sparkSession = spark
