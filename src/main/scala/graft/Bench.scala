@@ -125,6 +125,11 @@ object Bench {
     operators.HybridSearch.upsertedIndexPath(spark, sfDir)
     val (tubDt, tuDt) = operators.HybridSearch
       .upsertedIndexTimings(spark, sfDir).getOrElse((0.0, 0.0))
+    // the upserted IVF store (a24 reads): stale build + physical
+    // replace of the changed slice under the frozen quantizer
+    val tIu = System.nanoTime()
+    operators.Knn.upsertedIvfPath(spark, sfDir)
+    val iuDt = (System.nanoTime() - tIu) / 1e9
     // compaction PLANNING over the built index — metadata-only
     // (listing + packNextFit), the pass an OPTIMIZE scheduler runs
     val tTc2 = System.nanoTime()
@@ -169,6 +174,7 @@ object Bench {
       ("_text_index_build" -> tiDt) +
       ("_text_index_append_base" -> tabDt) +
       ("_text_index_append" -> taDt) +
+      ("_ivf_upsert_build" -> iuDt) +
       ("_text_index_upsert_base" -> tubDt) +
       ("_text_index_upsert" -> tuDt) +
       ("_text_index_compact_plan" -> tcpDt)

@@ -484,8 +484,139 @@ object Knn {
       .write.mode("append").partitionBy("cid").parquet(path)
   }
 
+  /** The IVF store's logical-delete list (vec_id rows under
+    * `_tombstones/`) — FAISS's remove_ids for the disk layout:
+    * a delete is one tiny write, serving anti-joins the list, and
+    * [[compactIvfIndex]] (or [[upsertIvfIndex]]'s physical replace)
+    * is where rows actually disappear. Empty when absent. */
+  private def ivfTombstones(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val t = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    if (t.getFileSystem(spark.sessionState.newHadoopConf()).exists(t))
+      spark.read.parquet(s"$path/_tombstones")
+    else Seq.empty[Long].toDF("vec_id")
+  }
+
+  /** DELETE vectors from a written IVF store — the logical half of
+    * the text index's lifecycle applied to the ANN side: the ids
+    * join the tombstone list (one vocab-free tiny write; the
+    * localCheckpoint breaks the read→overwrite cycle) and every
+    * serve excludes them. A tombstoned id comes back only through
+    * [[upsertIvfIndex]], which physically replaces it. */
+  def deleteFromIvfIndex(spark: SparkSession, path: String,
+                         ids: DataFrame): Unit = {
+    import spark.implicits._
+    ivfTombstones(spark, path)
+      .unionByName(ids.select($"vec_id"))
+      .distinct()
+      .localCheckpoint(true)
+      .write.mode("overwrite").parquet(s"$path/_tombstones")
+  }
+
+  /** UPSERT vectors into a written IVF store — re-embedded documents
+    * replace their old copies (the c18 re-crawl consumer on the ANN
+    * side): the batch ids' OLD rows are physically removed by a
+    * cell-scoped dynamic-partition rewrite (their cells are found by
+    * an id join — the old and new copy of a changed vector can land
+    * in DIFFERENT cells, so the old cell must be cleaned, exactly
+    * FAISS remove-then-add), their tombstones (if any) clear, and
+    * the new vectors assign against the FROZEN quantizer and append.
+    * a24 oracle-gates serve-after-upsert against exact kNN over the
+    * final vectors. */
+  def upsertIvfIndex(spark: SparkSession, path: String,
+                     cents: Seq[Seq[Double]], vectors: DataFrame): Unit = {
+    import spark.implicits._
+    val ids = vectors.select($"vec_id").distinct().localCheckpoint(true)
+    // cells carrying old copies: an id join over the store — the
+    // FAISS remove_ids scan; bounded output (≤ |cells| values)
+    val touched = spark.read.parquet(path)
+      .join(broadcast(ids), Seq("vec_id"), "left_semi")
+      .select($"cid").distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.nonEmpty) {
+      spark.read.parquet(path)
+        .filter($"cid".isin(touched: _*))
+        .join(broadcast(ids), Seq("vec_id"), "left_anti")
+        .localCheckpoint(true)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cid").parquet(path)
+    }
+    val tomb = ivfTombstones(spark, path)
+      .join(broadcast(ids), Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    tomb.write.mode("overwrite").parquet(s"$path/_tombstones")
+    appendToIvfIndex(path, cents, vectors)
+  }
+
+  /** COMPACT a written IVF store: physically drop tombstoned rows
+    * (cell-scoped rewrite of only the cells that carry them) and
+    * clear the tombstone list — serve is identical before and after
+    * (the spec pins it), the anti-join just gets cheaper. */
+  def compactIvfIndex(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val tomb = ivfTombstones(spark, path).localCheckpoint(true)
+    val touched = spark.read.parquet(path)
+      .join(broadcast(tomb), Seq("vec_id"), "left_semi")
+      .select($"cid").distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.nonEmpty) {
+      spark.read.parquet(path)
+        .filter($"cid".isin(touched: _*))
+        .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+        .localCheckpoint(true)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cid").parquet(path)
+    }
+    Seq.empty[Long].toDF("vec_id")
+      .write.mode("overwrite").parquet(s"$path/_tombstones")
+  }
+
+  /** The session's UPSERTED IVF store for `dir`: built on a STALE
+    * vector set (vec_id % 7 == 3 rows shifted by +1.0 per dimension —
+    * re-crawled documents whose embeddings changed), then the true
+    * vectors of exactly those ids replace their old copies through
+    * [[upsertIvfIndex]] — old cells physically cleaned even when the
+    * changed vector moved to a DIFFERENT cell. After the upsert the
+    * store holds the true corpus, which is why a24 reuses a1's exact
+    * oracle. Returns (path, cents). */
+  def upsertedIvfPath(spark: SparkSession,
+                      dir: String): (String, Seq[Seq[Double]]) =
+    graft.TrainedModels.memo(spark, s"ivf_upserted:$dir") {
+      import spark.implicits._
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_ivf_ups").toString + "/index"
+      val all = base(spark, dir)
+      val cents = ivfCentroids(spark, dir, all)
+      val stale = all.select($"vec_id",
+        when($"vec_id" % 7 === 3, transform($"v", x => x + 1.0))
+          .otherwise($"v").as("v"))
+      assign(stale, cents).select($"vec_id", $"v", $"cid")
+        .write.mode("overwrite").partitionBy("cid").parquet(p)
+      upsertIvfIndex(spark, p, cents, all.filter($"vec_id" % 7 === 3)
+        .select($"vec_id", $"v"))
+      (p, cents)
+    }
+
+  /** a24: serve-after-UPSERT from the persisted IVF store — the ANN
+    * side's s22: the store was built with stale embeddings for the
+    * re-crawled slice, the upsert physically replaced them (delete
+    * from the old cells + assign-and-append under the frozen
+    * quantizer), and exhaustive-probe serving must now reproduce
+    * EXACT kNN over the true vectors — the oracle IS a1's SQL, so
+    * any surviving stale row, lost row, or double copy hash-fails
+    * against ground truth. */
+  def a24UpsertedIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (p, cents) = upsertedIvfPath(spark, dir)
+    val queries = base(spark, dir).filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    serveFromIvfIndex(spark, p, cents, queries,
+      nprobe = cents.length, k = 5)
+  }
+
   /** Serve top-k from a written index: score centroids, read ONLY
-    * the probed cell partitions, exact rerank inside them. */
+    * the probed cell partitions, exact rerank inside them (tombstoned
+    * ids excluded). */
   def serveFromIvfIndex(spark: SparkSession, path: String,
                         cents: Seq[Seq[Double]], queries: DataFrame,
                         nprobe: Int = 2, k: Int = 5): DataFrame = {
@@ -503,6 +634,8 @@ object Knn {
     // only the probed directories are read
     val cells = spark.read.parquet(path)
       .filter($"cid".isin(probedCids: _*))
+      .join(broadcast(ivfTombstones(spark, path)), Seq("vec_id"),
+        "left_anti")
     val w = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")
     cells.join(broadcast(probes), Seq("cid"))
       .filter($"vec_id" =!= $"q_id")
@@ -1950,6 +2083,7 @@ object Knn {
     "a21_nn_descent" -> ((s, d) => a21NnDescent(s, d)),
     "a22_graph_search" -> ((s, d) => a22GraphSearch(s, d)),
     "a23_graph_search_pq" -> ((s, d) => a23GraphSearchPq(s, d)),
+    "a24_upserted_ivf" -> a24UpsertedIvf _,
     "s2_vector_topk" -> s2VectorTopk _)
 
   private val cosineSql =
@@ -2746,6 +2880,9 @@ object Knn {
       ("a21_nn_descent" -> a21Sql) +
       ("a22_graph_search" -> a22Sql) +
       ("a23_graph_search_pq" -> a23Sql) +
+      // a24: after the upsert the store IS the true vector set, so
+      // exhaustive-probe serving must hash-match exact kNN — a1's SQL
+      ("a24_upserted_ivf" -> baseOracles("a1_knn_bruteforce")) +
       ("a17_cascade_tuning" -> a17Sql) +
       ("a18_index_balance" ->
         s"""WITH ${kmeansCellsSqlFor(8)},

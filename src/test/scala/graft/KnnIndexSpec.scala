@@ -106,6 +106,54 @@ class KnnIndexSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("IVF delete/upsert/compact: lifecycle symmetric with the text index") {
+    import spark.implicits._
+    val path = s"$tmp/ivf_life"
+    val cents = Knn.writeIvfIndex(spark, sfDir, path)
+    val all = Tables.embeddings(spark, sfDir)
+      .select($"vec_id",
+        graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+    val queries = all.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    def served(p: String) = Knn
+      .serveFromIvfIndex(spark, p, cents, queries, nprobe = cents.length)
+      .collect().map(_.toSeq).toSeq
+    val before = served(path)
+    // DELETE: tombstoned ids vanish from every serve
+    val dead = Seq(11L, 12L, 13L).toDF("vec_id")
+    Knn.deleteFromIvfIndex(spark, path, dead)
+    val afterDel = served(path)
+    assert(!afterDel.exists(r => Set(11L, 12L, 13L)(r(1).asInstanceOf[Long])),
+      "deleted ids must not serve")
+    // ...and exactly match a store rebuilt without them
+    val rebuilt = s"$tmp/ivf_life_rb"
+    Knn.appendToIvfIndex(rebuilt, cents,
+      all.filter(!$"vec_id".isin(11L, 12L, 13L)))
+    assert(afterDel === served(rebuilt),
+      "delete must equal a rebuild without the ids")
+    // COMPACT: physical drop, serve identical, tombstones cleared
+    Knn.compactIvfIndex(spark, path)
+    assert(served(path) === afterDel, "compaction must not change a serve")
+    assert(spark.read.parquet(path)
+      .filter($"vec_id".isin(11L, 12L, 13L)).count() == 0,
+      "compaction physically removes tombstoned rows")
+    // UPSERT: re-add 11 with a SHIFTED vector (lands in any cell);
+    // old copies of 20..22 replaced by new values too
+    val newVecs = all.filter($"vec_id".isin(11L, 20L, 21L, 22L))
+      .select($"vec_id", transform($"v", x => x + 1.0).as("v"))
+    Knn.upsertIvfIndex(spark, path, cents, newVecs)
+    val expect = s"$tmp/ivf_life_exp"
+    Knn.appendToIvfIndex(expect, cents,
+      all.filter(!$"vec_id".isin(11L, 12L, 13L, 20L, 21L, 22L))
+        .unionByName(newVecs))
+    assert(served(path) === served(expect),
+      "upsert must serve as if the store were rebuilt with the new vectors")
+    // no duplicate copies survive anywhere
+    assert(spark.read.parquet(path).groupBy($"vec_id").count()
+      .filter($"count" > 1).count() == 0)
+    Caches.releaseAll()
+  }
+
   test("filtered index serves STRING tenant labels (the docstring's use case)") {
     // the tenant key is usually a string, not an int — the persisted
     // serve must collect labels untyped, like the in-memory twin
