@@ -897,6 +897,17 @@ object HybridSearch {
       spark, textIndexPath(spark, dir), QueryTerms,
       Map("lang" -> "en"), alpha = 0.5, limit = 10)
 
+  /** s27: the STATS endpoint served FROM the index (the reference's
+    * stats handler, handlers/stats.go shape, answered from the store
+    * instead of the corpus): document count, exact token sums (full/
+    * title/body) and vocabulary size — persisted-sums + term-
+    * dictionary reads only, no corpus access. The oracle recomputes
+    * the same numbers from the raw documents table, so the index's
+    * bookkeeping (the very sums every BM25 serve divides by) is
+    * hash-gated directly. */
+  def s27IndexStats(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TextIndex.indexStats(spark, textIndexPath(spark, dir))
+
   /** s26: SNIPPETS served FROM the index — s10's query with the
     * content coming from the index's STORED FIELDS (`content/`,
     * Lucene's stored-fields file; the SearchResult.Content contract,
@@ -974,6 +985,7 @@ object HybridSearch {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s27_index_stats" -> s27IndexStats _,
     "s26_served_snippets" -> s26ServedSnippets _,
     "s25_filtered_hybrid" -> s25FilteredHybrid _,
     "s24_served_rrf" -> s24ServedRrf _,
@@ -1185,6 +1197,26 @@ object HybridSearch {
       .replace("FROM documents)", "FROM documents WHERE lang = 'en')")) +
     // s23: the filtered store-serve must hash-match s5's scan query
     ("s23_filtered_from_index" -> oraclesBase("s5_filtered_search")) +
+    // s27: the index's persisted bookkeeping recomputed from the raw
+    // corpus — count, exact token sums (full/title/body split like
+    // the index's tokenizer), distinct-term vocabulary size
+    ("s27_index_stats" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS tok,
+        |    regexp_extract_all(lower(split_part(text, chr(10), 1)),
+        |      '[\p{L}\p{N}]+') AS ttok,
+        |    regexp_extract_all(lower(CASE WHEN position(chr(10) IN text) > 0
+        |        THEN substring(text, position(chr(10) IN text) + 1)
+        |        ELSE '' END), '[\p{L}\p{N}]+') AS btok
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(tok)) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(len(ttok)) AS BIGINT) AS sum_title_tokens,
+        |  CAST(sum(len(btok)) AS BIGINT) AS sum_body_tokens,
+        |  (SELECT CAST(count(DISTINCT t) AS BIGINT)
+        |   FROM (SELECT unnest(tok) AS t FROM f)) AS vocab_size
+        |FROM f""".stripMargin) +
     // s19 must reproduce s7's phrase results from the POSITIONAL
     // index — same ground truth, different mechanics (position-list
     // intersection vs corpus regex), hash-gated

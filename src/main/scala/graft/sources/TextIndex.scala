@@ -1036,6 +1036,24 @@ object TextIndex {
       .orderBy($"score".desc, $"doc_id")
   }
 
+  /** The index's STATS endpoint (the reference's stats handler over
+    * the store instead of the corpus): corpus counts from the exact
+    * persisted sums, vocabulary size from the term dictionary —
+    * vocab-cardinality reads only, no data scan. The corpus-derived
+    * columns are SQL-replayable, which is what lets s27 oracle-gate
+    * the endpoint against the raw documents table. */
+  def indexStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val c = commitOf(spark, path)
+    spark.read.parquet(s"$path/stats/v=${c.seq}")
+      .crossJoin(broadcast(
+        spark.read.parquet(s"$path/vocab/v=${c.seq}")
+          .agg(count(lit(1)).as("vocab_size"))))
+      .select($"n_docs", $"sum_dl".cast("long").as("sum_tokens"),
+        $"slt".as("sum_title_tokens"), $"slb".as("sum_body_tokens"),
+        $"vocab_size")
+  }
+
   // ---------------------------------------------------- compaction --
 
   /** The small-file compaction PLAN over this index's batch-
