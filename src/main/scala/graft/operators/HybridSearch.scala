@@ -19,8 +19,8 @@ import graft.functions.{VectorFunctions => V}
 object HybridSearch {
 
   val QueryTerms: Seq[String] = Seq("spark", "join", "filter")
-  private val K1 = 1.2
-  private val B = 0.75
+  private[graft] val K1 = 1.2
+  private[graft] val B = 0.75
 
   /** Weaviate `word`-class tokenization (the class the reference's
     * chunk schema uses): lowercase, keep alphanumeric runs, split on
@@ -897,6 +897,25 @@ object HybridSearch {
       spark, textIndexPath(spark, dir), QueryTerms,
       Map("lang" -> "en"), alpha = 0.5, limit = 10)
 
+  /** The s28 query batch: three concurrent searches (s1's own terms
+    * ride along as qid 1, so the batch path's ranking for it must
+    * reproduce the per-query path's). */
+  private[graft] val BatchQueries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("spark", "join", "filter"),
+    2L -> Seq("hash", "join"),
+    3L -> Seq("data", "table"))
+
+  /** s28: BATCHED multi-query serving from the index — the
+    * throughput shape (one job, one pruned postings read, one
+    * shuffle for a whole query batch; per-query bm25Serve is the
+    * latency shape). The oracle replays the batch join + per-(qid,
+    * doc) BM25 aggregation + per-qid ranking digit for digit, and
+    * the spec pins the batch path's qid-1 ranking == the per-query
+    * path's s1 ranking. */
+  def s28BatchServe(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TextIndex.bm25ServeBatch(
+      spark, textIndexPath(spark, dir), BatchQueries, k = 5)
+
   /** s27: the STATS endpoint served FROM the index (the reference's
     * stats handler, handlers/stats.go shape, answered from the store
     * instead of the corpus): document count, exact token sums (full/
@@ -985,6 +1004,7 @@ object HybridSearch {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s28_batch_serve" -> s28BatchServe _,
     "s27_index_stats" -> s27IndexStats _,
     "s26_served_snippets" -> s26ServedSnippets _,
     "s25_filtered_hybrid" -> s25FilteredHybrid _,
@@ -1197,6 +1217,42 @@ object HybridSearch {
       .replace("FROM documents)", "FROM documents WHERE lang = 'en')")) +
     // s23: the filtered store-serve must hash-match s5's scan query
     ("s23_filtered_from_index" -> oraclesBase("s5_filtered_search")) +
+    // s28: the batched-serving replay — per-(qid, doc) BM25 with
+    // global df (= vocab df: docs containing the term corpus-wide,
+    // which the tf CTE restricted to batch terms reproduces exactly),
+    // one rank window per qid
+    ("s28_batch_serve" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS tok,
+        |         CAST(len(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM docs),
+        |qt AS (
+        |  SELECT CAST(qid AS BIGINT) AS qid, term FROM (VALUES
+        |    (1, 'spark'), (1, 'join'), (1, 'filter'),
+        |    (2, 'hash'), (2, 'join'),
+        |    (3, 'data'), (3, 'table')) AS t(qid, term)),
+        |tf AS (
+        |  SELECT doc_id, dl, token AS term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(tok) AS token FROM docs)
+        |  WHERE token IN (SELECT DISTINCT term FROM qt)
+        |  GROUP BY doc_id, dl, token),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |    round(sum(
+        |      ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |      * (tf.tf * (1.2 + 1.0))
+        |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))), 6) AS score
+        |  FROM tf JOIN qt USING (term) JOIN df USING (term), stats
+        |  GROUP BY qt.qid, tf.doc_id)
+        |SELECT qid, doc_id, score, rnk FROM (
+        |  SELECT qid, doc_id, score,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin) +
     // s27: the index's persisted bookkeeping recomputed from the raw
     // corpus — count, exact token sums (full/title/body split like
     // the index's tokenizer), distinct-term vocabulary size

@@ -1036,6 +1036,52 @@ object TextIndex {
       .orderBy($"score".desc, $"doc_id")
   }
 
+  /** BATCHED multi-query BM25 serving — the throughput shape a
+    * serving tier actually runs at 100 TB: a whole batch of queries
+    * answers in ONE job instead of a job per query. The union of the
+    * batch's terms prunes the postings read once (≤|distinct terms|
+    * bucket dirs); a broadcast (qid, term) join fans each posting
+    * row out to the queries that want it; per-(qid, doc) scores
+    * aggregate with the SAME BM25 formula (idf from the persisted
+    * vocab, norms from the persisted exact sums); one qid-keyed
+    * window ranks all queries' top-k together. Per-query serving
+    * ([[bm25Serve]]) is the latency shape; this is the batch shape —
+    * same artifacts, one shuffle for the whole batch. */
+  def bm25ServeBatch(spark: SparkSession, path: String,
+                     queries: Seq[(Long, Seq[String])],
+                     k: Int = 5): DataFrame = {
+    import spark.implicits._
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "bm25ServeBatch needs at least one query, each with terms")
+    val c = commitOf(spark, path)
+    val allTerms = queries.flatMap(_._2).distinct
+    val qterms = queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }
+      .toDF("qid", "term")
+    val post = postingsFor(spark, path, allTerms, c)
+      .select($"term", $"doc_id", $"tf".cast("double").as("tf"), $"dl")
+    val vocab = spark.read.parquet(s"$path/vocab/v=${c.seq}")
+      .filter($"term".isin(allTerms: _*))
+      .select($"term", $"df".cast("double").as("df"))
+    val stats = spark.read.parquet(s"$path/stats/v=${c.seq}")
+      .select($"n_docs".cast("double").as("n_docs"),
+        ($"sum_dl" / $"n_docs".cast("double")).as("corpus_avgdl"))
+    val contrib = post
+      .join(broadcast(qterms), "term")
+      .join(broadcast(vocab), "term")
+      .crossJoin(broadcast(stats))
+      .select($"qid", $"doc_id",
+        (log(lit(1.0) + ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)) *
+          ($"tf" * (HybridSearch.K1 + 1.0)) /
+          ($"tf" + lit(HybridSearch.K1) * (lit(1.0 - HybridSearch.B) +
+            lit(HybridSearch.B) * $"dl" / $"corpus_avgdl"))).as("w"))
+    val w = Window.partitionBy($"qid").orderBy($"score".desc, $"doc_id")
+    contrib.groupBy($"qid", $"doc_id")
+      .agg(round(sum($"w"), 6).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= k)
+      .orderBy($"qid", $"rnk")
+  }
+
   /** The index's STATS endpoint (the reference's stats handler over
     * the store instead of the corpus): corpus counts from the exact
     * persisted sums, vocabulary size from the term dictionary —

@@ -369,6 +369,28 @@ class TextIndexSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("batched serving: one job answers the batch; qid-1 ranking == the per-query path") {
+    val batch = TextIndex.bm25ServeBatch(spark, path,
+      HybridSearch.BatchQueries, k = 5)
+    val got = batch.collect()
+    assert(got.map(_.getLong(0)).distinct.sorted.toSeq == Seq(1L, 2L, 3L))
+    // the batch path's qid-1 block must reproduce the per-query
+    // path's ranking for the same terms (s1's top-5)
+    val q1 = got.filter(_.getLong(0) == 1L)
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val perQuery = TextIndex.bm25Serve(spark, path, HybridSearch.QueryTerms)
+      .orderBy($"score".desc, $"doc_id").limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(q1 == perQuery,
+      "batch and per-query serving must agree on the same query")
+    // the postings read prunes to the UNION of the batch's buckets
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("pbucket")),
+      s"pbucket not in PartitionFilters:\n${plan.take(1500)}")
+    Caches.releaseAll()
+  }
+
   test("filtered store-serve pushes the metadata equality into the docs side table") {
     val served = TextIndex.filteredServe(spark, path, "spark",
       Map("lang" -> "en"), k = 20)
