@@ -41,10 +41,16 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
 
   private val dims = 64
 
-  /** Tokenized view used by the keyword leg. */
+  /** Tokenized view used by the keyword leg — the Weaviate
+    * `word`-class tokenization (lowercase alphanumeric runs,
+    * HybridSearch.WordTokenPattern), the SAME tokenizer the
+    * documents-table queries and the persisted index use, so a
+    * query scores identically through the facade, the scan queries,
+    * and the store-served paths ("spark," matches "spark"). */
   private def tokenized: DataFrame =
     corpus.select(col("*"),
-        expr("regexp_extract_all(lower(text), '\\\\S+', 0)").as("tok"))
+        regexp_extract_all(lower($"text"),
+          lit(operators.HybridSearch.WordTokenPattern), lit(0)).as("tok"))
       .withColumn("dl", size($"tok").cast("double"))
 
   /** Structural chunking (markdown-aware; see operators.Chunker). */
