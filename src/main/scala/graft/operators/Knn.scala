@@ -597,6 +597,28 @@ object Knn {
       (p, cents)
     }
 
+  /** The a25 deletion set: two mid-range ids, so both consolidation
+    * cases exercise (nodes pointing at them must bridge; the dead
+    * nodes' own rows vanish). */
+  private[graft] val GraphDeadIds = Seq(3L, 11L)
+
+  /** a25: kNN-graph DELETE with FreshDiskANN consolidation over the
+    * SHARED refined graph (a21's build): dead nodes drop, every
+    * node that pointed at one re-ranks over its surviving neighbors
+    * ∪ the dead node's live out-neighbors (the bridge that keeps
+    * the walk navigable), untouched nodes pass through bit-identical.
+    * The oracle replays the WHOLE pipeline — the NN-Descent build
+    * CTEs (a21's own replay) and the consolidation formula — digit
+    * for digit, so both the graph and the delete mechanics are
+    * hash-gated in one query. */
+  def a25GraphDelete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = refinedGraph(spark, dir)
+    val vecs = base(spark, dir).select($"vec_id", $"v")
+    deleteFromNnGraph(g, GraphDeadIds.toDF("vec_id"), vecs, k = 3)
+      .orderBy($"q_id", $"vec_id")
+  }
+
   /** a24: serve-after-UPSERT from the persisted IVF store — the ANN
     * side's s22: the store was built with stale embeddings for the
     * re-crawled slice, the upsert physically replaced them (delete
@@ -1777,6 +1799,46 @@ object Knn {
     patched.unionByName(newEdges)
   }
 
+  /** DELETE nodes from a kNN graph with FreshDiskANN's
+    * delete-consolidation (Singh et al. 2021, §4.2): dead nodes'
+    * own rows drop; every surviving node that pointed AT a dead
+    * node re-ranks over its remaining live neighbors ∪ the dead
+    * neighbor's live out-neighbors (the "bridge through the hole"
+    * step that keeps the graph navigable — plain edge removal
+    * leaves the walk stranded around deletions); nodes that never
+    * pointed at a dead node pass through BIT-UNCHANGED (the
+    * appendToNnGraph discipline). Cost tracks |dirty| × degree²,
+    * never corpus size — the consolidation FreshDiskANN batches for
+    * exactly this reason. */
+  def deleteFromNnGraph(graph: DataFrame, deadIds: DataFrame,
+                        vecs: DataFrame, k: Int): DataFrame = {
+    import graph.sparkSession.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(graph.sparkSession)
+    val dead = deadIds.select($"vec_id").distinct().localCheckpoint(true)
+    // rows whose SOURCE survives
+    val srcLive = graph.join(dead.select($"vec_id".as("q_id")),
+      Seq("q_id"), "left_anti")
+    val kept = srcLive.join(dead, Seq("vec_id"), "left_anti")
+    val dirty = srcLive.join(dead, Seq("vec_id"), "left_semi")
+      .select($"q_id").distinct()
+    // bridges: the dead neighbor's live out-neighbors, donated to
+    // everyone who pointed at it (read from the ORIGINAL graph —
+    // the dead node's rows still exist there)
+    val bridges = srcLive.join(dead, Seq("vec_id"), "left_semi")
+      .select($"q_id", $"vec_id".as("d"))
+      .join(graph.select($"q_id".as("d"), $"vec_id".as("b")), "d")
+      .filter($"b" =!= $"q_id")
+      .join(dead.select($"vec_id".as("b")), Seq("b"), "left_anti")
+      .select($"q_id", $"b".as("vec_id"))
+    val cand = kept.join(dirty, Seq("q_id"), "left_semi")
+      .unionByName(bridges)
+      .dropDuplicates("q_id", "vec_id")
+    val patched = rerankTopK(cand, vecs.select($"vec_id", $"v"), k)
+    kept.select($"q_id", $"vec_id")
+      .join(dirty, Seq("q_id"), "left_anti")
+      .unionByName(patched)
+  }
+
   /** PERSISTED kNN-graph store — the writeIvfIndex discipline for
     * a22's edge table: edges land in node-hash bucket directories,
     * so an incremental upsert rewrites ONLY the buckets its changed
@@ -1815,6 +1877,53 @@ object Knn {
   def readNnGraphStore(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.parquet(path).select($"q_id", $"vec_id")
+  }
+
+  /** [[deleteFromNnGraph]] against the PERSISTED edge store: the
+    * consolidation computes on the loaded graph, then ONLY the
+    * buckets carrying dead sources or dirty (re-ranked) nodes
+    * rewrite via dynamic partition overwrite — every other bucket is
+    * untouched on disk, the upsertNnGraphStore discipline. The
+    * finding of "who pointed at a dead node" is one vec_id column
+    * scan of the store — FreshDiskANN's consolidation pass pays the
+    * same read, which is why it batches deletes. */
+  def deleteFromNnGraphStore(spark: SparkSession, path: String,
+                             deadIds: DataFrame, vecs: DataFrame,
+                             k: Int): Unit = {
+    import spark.implicits._
+    val dead = deadIds.select($"vec_id").distinct().localCheckpoint(true)
+    val graph = readNnGraphStore(spark, path)
+    val newGraph = deleteFromNnGraph(graph, dead, vecs, k)
+    // affected sources: dead nodes (rows must vanish) + nodes whose
+    // edge set changed (pointed at a dead node)
+    val affected = graph.join(dead, Seq("vec_id"), "left_semi")
+      .select($"q_id")
+      .unionByName(dead.select($"vec_id".as("q_id")))
+      .distinct()
+      .withColumn("nbucket", pmod($"q_id", lit(GraphBuckets.toLong)))
+      .localCheckpoint(true)
+    val rewrite = newGraph
+      .withColumn("nbucket", pmod($"q_id", lit(GraphBuckets.toLong)))
+      .join(affected.select($"nbucket").distinct(), Seq("nbucket"),
+        "left_semi")
+      .localCheckpoint(true)
+    rewrite.select($"q_id", $"vec_id", $"nbucket")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("nbucket").parquet(path)
+    // dynamic overwrite only replaces partitions PRESENT in the
+    // written data — an affected bucket whose every node died writes
+    // nothing and would keep its old files; drop those explicitly
+    // (bounded: ≤ GraphBuckets values)
+    val affB = affected.select($"nbucket").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val wrB = rewrite.select($"nbucket").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (affB -- wrB).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/nbucket=$b"), true): Unit
+    }
   }
 
   /** The NN-Descent build as SHARED per-round materializations —
@@ -2084,6 +2193,7 @@ object Knn {
     "a22_graph_search" -> ((s, d) => a22GraphSearch(s, d)),
     "a23_graph_search_pq" -> ((s, d) => a23GraphSearchPq(s, d)),
     "a24_upserted_ivf" -> a24UpsertedIvf _,
+    "a25_graph_delete" -> a25GraphDelete _,
     "s2_vector_topk" -> s2VectorTopk _)
 
   private val cosineSql =
@@ -2652,6 +2762,56 @@ object Knn {
        |${(1 to rounds).map(roundCtes).mkString(",\n")}""".stripMargin
   }
 
+  /** a25's oracle: the refined-graph replay ([[nnGraphCtesSql]] —
+    * a21's own CTEs) composed with the FreshDiskANN consolidation
+    * formula: dead sources drop, dirty nodes re-rank over surviving
+    * neighbors ∪ bridges through the dead nodes' live out-edges,
+    * untouched nodes pass through. */
+  private lazy val a25Sql: String = {
+    val deadList = GraphDeadIds.mkString("[", ", ", "]")
+    s"""WITH ${nnGraphCtesSql(2)},
+       |dead AS (SELECT unnest($deadList) AS id),
+       |src_live AS (
+       |  SELECT q_id, vec_id FROM g2
+       |  WHERE q_id NOT IN (SELECT id FROM dead)),
+       |kept AS (
+       |  SELECT q_id, vec_id FROM src_live
+       |  WHERE vec_id NOT IN (SELECT id FROM dead)),
+       |dirty AS (
+       |  SELECT DISTINCT q_id FROM src_live
+       |  WHERE vec_id IN (SELECT id FROM dead)),
+       |bridges AS (
+       |  SELECT s.q_id, b.vec_id FROM src_live s
+       |  JOIN g2 b ON b.q_id = s.vec_id
+       |  WHERE s.vec_id IN (SELECT id FROM dead)
+       |    AND b.vec_id <> s.q_id
+       |    AND b.vec_id NOT IN (SELECT id FROM dead)),
+       |cand AS (
+       |  SELECT DISTINCT q_id, vec_id FROM (
+       |    SELECT kx.q_id, kx.vec_id FROM kept kx JOIN dirty USING (q_id)
+       |    UNION ALL
+       |    SELECT q_id, vec_id FROM bridges)),
+       |pscored AS (
+       |  SELECT cand.q_id, cand.vec_id,
+       |    ${cosineSql.replace("QV", "eq.v").replace("BV", "eb.v")} AS cosine_raw
+       |  FROM cand
+       |  JOIN ev eq ON eq.vec_id = cand.q_id
+       |  JOIN ev eb ON eb.vec_id = cand.vec_id),
+       |patched AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cosine_raw DESC, vec_id) AS rnk
+       |    FROM pscored)
+       |  WHERE rnk <= 3)
+       |SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id FROM kept
+       |  WHERE q_id NOT IN (SELECT q_id FROM dirty)
+       |  UNION ALL
+       |  SELECT q_id, vec_id FROM patched)
+       |ORDER BY q_id, vec_id""".stripMargin
+  }
+
   /** a21's oracle: the seed replay at a21's geometry, the undirected
     * neighbor-of-neighbor expansion, the exact rerank, and the
     * probe-sample recall accounting — all as CTE stages. */
@@ -2883,6 +3043,7 @@ object Knn {
       // a24: after the upsert the store IS the true vector set, so
       // exhaustive-probe serving must hash-match exact kNN — a1's SQL
       ("a24_upserted_ivf" -> baseOracles("a1_knn_bruteforce")) +
+      ("a25_graph_delete" -> a25Sql) +
       ("a17_cascade_tuning" -> a17Sql) +
       ("a18_index_balance" ->
         s"""WITH ${kmeansCellsSqlFor(8)},

@@ -1177,6 +1177,27 @@ object TextIndex {
     writeMarker(spark, path, Commit(seq2, nb, nb, c.lastEpoch))
   }
 
+  /** COUNT-GATED auto-compaction — the OPTIMIZE trigger a deployment
+    * actually schedules (the Pipeline.connectedComponentsAdaptive
+    * pattern applied to storage): two cheap signals decide, never a
+    * data scan — the tombstone-list row count (a vocab-free tiny
+    * table) and the committed batch count (straight off the marker:
+    * every append adds one file per touched bucket, so batches-since-
+    * compaction IS the small-file curve). Compacts when either
+    * exceeds its bound; returns whether a rewrite ran. Serving is
+    * bit-equal either way ([[compact]]'s contract), so callers can
+    * drop this after any commit. */
+  def maybeCompact(spark: SparkSession, path: String,
+                   maxTombstones: Long = 10000L,
+                   maxBatches: Long = 16L): Boolean = {
+    val c = commitOf(spark, path)
+    val nBatches = c.maxBatch - c.minBatch + 1
+    val due = nBatches > maxBatches ||
+      tombstonesOf(spark, path, c).count() > maxTombstones
+    if (due) compact(spark, path)
+    due
+  }
+
   /** Retention: physically remove batch directories outside the
     * committed [minBatch, maxBatch] range and artifact versions
     * below the committed seq — the garbage [[compact]] and staged-

@@ -154,6 +154,46 @@ class KnnIndexSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("graph delete: FreshDiskANN consolidation bridges the hole; store twin matches") {
+    import spark.implicits._
+    // smooth 1-D angular chain (cosine monotone in chain distance):
+    // node i's true 2-NN graph is {i-1, i+1}
+    val vecs = (0 to 9).map(i =>
+      (i.toLong, Seq(math.cos(i * 0.1), math.sin(i * 0.1))))
+      .toDF("vec_id", "v")
+    val edges = (0 to 9).flatMap { i =>
+      val nb =
+        if (i == 0) Seq(1, 2)
+        else if (i == 9) Seq(8, 7)
+        else Seq(i - 1, i + 1)
+      nb.map(j => (i.toLong, j.toLong))
+    }.toDF("q_id", "vec_id")
+    val after = Knn.deleteFromNnGraph(edges, Seq(5L).toDF("vec_id"),
+      vecs, k = 2)
+    def neighborMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val m = neighborMap(after)
+    assert(!m.contains(5L), "dead node's own rows must vanish")
+    assert(m.values.forall(!_.contains(5L)),
+      "no surviving edge may point at the dead node")
+    // the consolidation BRIDGES across the hole: 4 and 6, which both
+    // pointed at 5, now see each other through 5's out-neighbors
+    assert(m(4L) == Set(3L, 6L), s"node 4 must bridge to 6: ${m(4L)}")
+    assert(m(6L) == Set(4L, 7L), s"node 6 must bridge to 4: ${m(6L)}")
+    // every node that never pointed at the dead one is bit-unchanged
+    val before = neighborMap(edges)
+    (0 to 9).map(_.toLong).filterNot(Set(4L, 5L, 6L)).foreach(i =>
+      assert(m(i) == before(i), s"node $i must pass through untouched"))
+    // the persisted-store twin produces the same graph
+    val p = s"$tmp/graph_del"
+    Knn.writeNnGraphStore(edges, p)
+    Knn.deleteFromNnGraphStore(spark, p, Seq(5L).toDF("vec_id"), vecs, k = 2)
+    assert(neighborMap(Knn.readNnGraphStore(spark, p)) == m,
+      "store delete must equal the in-memory consolidation")
+    Caches.releaseAll()
+  }
+
   test("filtered index serves STRING tenant labels (the docstring's use case)") {
     // the tenant key is usually a string, not an int — the persisted
     // serve must collect labels untyped, like the in-memory twin

@@ -305,6 +305,33 @@ class TextIndexSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("maybeCompact: count-gated — fires past the batch bound, not before; serve invariant") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-ti-auto").toString
+    TextIndex.write(tinyDocs.take(3).toDF("doc_id", "text"), p)
+    TextIndex.append(tinyDocs.slice(3, 5).toDF("doc_id", "text"), p)
+    val before = serveAll(p)
+    // 2 batches, 0 tombstones: under both bounds — no rewrite
+    assert(!TextIndex.maybeCompact(spark, p, maxTombstones = 10L,
+      maxBatches = 4L), "under both bounds: must not compact")
+    // tombstones past the bound: fires, resets, serve invariant
+    TextIndex.delete(Seq(3L).toDF("doc_id"), p)
+    val afterDel = serveAll(p)
+    assert(TextIndex.maybeCompact(spark, p, maxTombstones = 0L,
+      maxBatches = 4L), "tombstone bound exceeded: must compact")
+    assert(serveAll(p) == afterDel)
+    assert(!TextIndex.maybeCompact(spark, p, maxTombstones = 0L,
+      maxBatches = 4L), "fresh compaction cleared both signals")
+    // batch bound: appends past it fire the next check
+    TextIndex.append(tinyDocs.drop(5).toDF("doc_id", "text"), p)
+    assert(TextIndex.maybeCompact(spark, p, maxTombstones = 10L,
+      maxBatches = 1L), "batch bound exceeded: must compact")
+    assert(before.nonEmpty) // silence unused warning; lifecycle above
+    Caches.releaseAll()
+  }
+
   test("store-served hybrid ≡ scan hybrid for both fusions; pruned probe reads only its cells") {
     val sparkSession = spark
     import sparkSession.implicits._
