@@ -916,6 +916,19 @@ object HybridSearch {
     graft.sources.TextIndex.bm25ServeBatch(
       spark, textIndexPath(spark, dir), BatchQueries, k = 5)
 
+  /** s29: BATCHED HYBRID serving from the index — s28's throughput
+    * shape applied to the reference's PRIMARY call: every query in
+    * the batch gets the full relativeScoreFusion of its persisted
+    * BM25 leg and its persisted vector leg, in ONE job (one pruned
+    * postings read for all keyword legs, one vectors scan scoring
+    * all query cosines, qid-partitioned fusion windows). The oracle
+    * replays the whole batch pipeline; the spec pins each qid block
+    * == the per-query hybridServe. */
+  def s29BatchHybrid(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TextIndex.hybridServeBatch(
+      spark, textIndexPath(spark, dir), BatchQueries, alpha = 0.5,
+      limit = 10)
+
   /** s27: the STATS endpoint served FROM the index (the reference's
     * stats handler, handlers/stats.go shape, answered from the store
     * instead of the corpus): document count, exact token sums (full/
@@ -1004,6 +1017,7 @@ object HybridSearch {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s29_batch_hybrid" -> s29BatchHybrid _,
     "s28_batch_serve" -> s28BatchServe _,
     "s27_index_stats" -> s27IndexStats _,
     "s26_served_snippets" -> s26ServedSnippets _,
@@ -1080,6 +1094,111 @@ object HybridSearch {
   /** s3's full-pipeline SQL, shared with s4's oracle (which reranks
     * over exactly this result set). */
   private lazy val s3Sql: String = oraclesBase("s3_hybrid_search")
+
+  /** The 31-poly rolling-hash 64-bucket BoW of a token-list SQL
+    * expression — the replay of the poly_bow kernel (same hash as
+    * s3's pb/qv CTEs). */
+  private def polyBowSql(tok: String): String =
+    s"""list_transform(generate_series(0, 63), b -> CAST(len(list_filter(
+       |      list_transform($tok, t ->
+       |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(generate_series(1, length(t)),
+       |            i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+       |          (a, c) -> (a*31 + c) % 1000000007)),
+       |      x -> x % 64 = b)) AS DOUBLE))""".stripMargin
+
+  /** s29's full replay: the s28 keyword pipeline per qid + per-qid
+    * query vectors + per-qid candidate cuts + per-qid min-max
+    * fusion — the batched form of s3's pipeline. */
+  private lazy val s29Sql: String = {
+    val cos = cosineSql29
+    s"""WITH docs AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+') AS tok,
+       |         CAST(len(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS DOUBLE) AS dl
+       |  FROM documents),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM docs),
+       |qt AS (
+       |  SELECT CAST(qid AS BIGINT) AS qid, term FROM (VALUES
+       |    (1, 'spark'), (1, 'join'), (1, 'filter'),
+       |    (2, 'hash'), (2, 'join'),
+       |    (3, 'data'), (3, 'table')) AS t(qid, term)),
+       |tf AS (
+       |  SELECT doc_id, dl, token AS term, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(tok) AS token FROM docs)
+       |  WHERE token IN (SELECT DISTINCT term FROM qt)
+       |  GROUP BY doc_id, dl, token),
+       |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+       |kwscored AS (
+       |  SELECT qt.qid, tf.doc_id,
+       |    round(sum(
+       |      ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+       |      * (tf.tf * (1.2 + 1.0))
+       |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))), 6) AS kw_score
+       |  FROM tf JOIN qt USING (term) JOIN df USING (term), stats
+       |  GROUP BY qt.qid, tf.doc_id),
+       |kw AS (
+       |  SELECT qid, doc_id, kw_score FROM (
+       |    SELECT qid, doc_id, kw_score,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY kw_score DESC, doc_id) AS rnk
+       |    FROM kwscored)
+       |  WHERE rnk <= 50),
+       |pb AS (
+       |  SELECT doc_id,
+       |    ${polyBowSql("tok")} AS v
+       |  FROM docs WHERE len(tok) > 0),
+       |qv AS (
+       |  SELECT qid,
+       |    ${polyBowSql("terms")} AS v
+       |  FROM (SELECT qid, list(term ORDER BY term) AS terms
+       |        FROM qt GROUP BY qid)),
+       |vscored AS (
+       |  SELECT qv.qid, pb.doc_id,
+       |    $cos AS v_score
+       |  FROM pb, qv),
+       |vec AS (
+       |  SELECT qid, doc_id, v_score FROM (
+       |    SELECT qid, doc_id, v_score,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY v_score DESC, doc_id) AS rnk
+       |    FROM vscored)
+       |  WHERE rnk <= 50),
+       |cand AS (
+       |  SELECT coalesce(kw.qid, vec.qid) AS qid,
+       |         coalesce(kw.doc_id, vec.doc_id) AS doc_id,
+       |         kw_score, v_score
+       |  FROM kw FULL OUTER JOIN vec
+       |    ON kw.qid = vec.qid AND kw.doc_id = vec.doc_id),
+       |bounds AS (
+       |  SELECT qid, min(kw_score) AS kmin, max(kw_score) AS kmax,
+       |         min(v_score) AS vmin, max(v_score) AS vmax
+       |  FROM cand GROUP BY qid),
+       |blended AS (
+       |  SELECT cand.qid, cand.doc_id,
+       |    round(0.5 * CASE WHEN v_score IS NULL THEN 0.0
+       |                WHEN vmax = vmin THEN 0.5
+       |                ELSE (v_score - vmin) / (vmax - vmin) END
+       |        + 0.5 * CASE WHEN kw_score IS NULL THEN 0.0
+       |                WHEN kmax = kmin THEN 0.5
+       |                ELSE (kw_score - kmin) / (kmax - kmin) END, 6) AS hybrid_score
+       |  FROM cand JOIN bounds ON cand.qid = bounds.qid)
+       |SELECT qid, doc_id, hybrid_score, rnk FROM (
+       |  SELECT qid, doc_id, hybrid_score,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY hybrid_score DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM blended)
+       |WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** cosine of pb.v against qv.v (the vscored CTE's arguments). */
+  private lazy val cosineSql29: String =
+    """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(generate_series(1, len(pb.v)), i -> pb.v[i]*qv.v[i])), (s,x) -> s+x)
+      |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |         list_transform(pb.v, x -> x*x)), (s,x) -> s+x))
+      |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |         list_transform(qv.v, x -> x*x)), (s,x) -> s+x)))""".stripMargin
 
   /** poly-BoW relevance labels + ideal ranking, shared by the s8
     * oracle: same 64-bucket hashed BoW and cosine as the serving
@@ -1217,6 +1336,10 @@ object HybridSearch {
       .replace("FROM documents)", "FROM documents WHERE lang = 'en')")) +
     // s23: the filtered store-serve must hash-match s5's scan query
     ("s23_filtered_from_index" -> oraclesBase("s5_filtered_search")) +
+    // s29: the batched HYBRID replay — the s28 keyword pipeline per
+    // qid, a per-qid poly-BoW query vector against the per-doc
+    // vectors, per-qid candidate cuts, per-qid min-max fusion
+    ("s29_batch_hybrid" -> s29Sql) +
     // s28: the batched-serving replay — per-(qid, doc) BM25 with
     // global df (= vocab df: docs containing the term corpus-wide,
     // which the tf CTE restricted to batch terms reproduces exactly),

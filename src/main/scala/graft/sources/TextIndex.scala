@@ -1082,6 +1082,86 @@ object TextIndex {
       .orderBy($"qid", $"rnk")
   }
 
+  /** BATCHED multi-query HYBRID serving — [[bm25ServeBatch]]'s
+    * throughput shape for the reference's PRIMARY call: every query
+    * in the batch gets the full alpha-weighted fusion of its BM25
+    * leg and its vector leg, computed in ONE job — one pruned
+    * postings read feeds all keyword legs, ONE vectors scan scores
+    * every query's cosine (|batch| broadcast query vectors ride the
+    * scan), and the fusion normalizes/ranks per qid through
+    * qid-partitioned windows. Per-query [[hybridServe]] is the
+    * latency shape; TextIndexSpec pins that each qid block here is
+    * BIT-EQUAL to it. */
+  def hybridServeBatch(spark: SparkSession, path: String,
+                       queries: Seq[(Long, Seq[String])],
+                       alpha: Double = 0.5, limit: Int = 10,
+                       fusion: String = "relative",
+                       candidates: Int = 50): DataFrame = {
+    import spark.implicits._
+    require(fusion == "relative" || fusion == "ranked",
+      s"fusion must be 'relative' or 'ranked', got '$fusion'")
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val c = commitOf(spark, path)
+    val wKw = Window.partitionBy($"qid").orderBy($"score".desc, $"doc_id")
+    val kw = bm25ServeBatch(spark, path, queries, k = candidates)
+      .select($"qid", $"doc_id", $"score".as("kw_score"))
+    val qvecs = queries.map { case (q, ts) => (q, ts) }
+      .toDF("qid", "terms")
+      .select($"qid", expr("poly_bow(terms, 64)").as("qv"))
+    val wV = Window.partitionBy($"qid").orderBy($"v_score".desc, $"doc_id")
+    val vec = liveRows(readBatched(spark, path, "vectors", c),
+        tombstonesOf(spark, path, c))
+      .crossJoin(broadcast(qvecs))
+      .select($"qid", $"doc_id",
+        graft.functions.VectorFunctions.cosineD($"v", $"qv").as("v_score"))
+      .withColumn("rnk", row_number().over(wV))
+      .filter($"rnk" <= candidates)
+      .select($"qid", $"doc_id", $"v_score")
+    val cand = kw.join(vec, Seq("qid", "doc_id"), "full_outer")
+    if (fusion == "ranked") {
+      val wKr = Window.partitionBy($"qid")
+        .orderBy($"kw_score".desc, $"doc_id")
+      val wVr = Window.partitionBy($"qid")
+        .orderBy($"v_score".desc, $"doc_id")
+      val kwR = kw.withColumn("kw_rank",
+        row_number().over(wKr).cast("long")).select($"qid", $"doc_id", $"kw_rank")
+      val vecR = vec.withColumn("v_rank",
+        row_number().over(wVr).cast("long")).select($"qid", $"doc_id", $"v_rank")
+      val wF = Window.partitionBy($"qid")
+        .orderBy($"rrf_score".desc, $"doc_id")
+      kwR.join(vecR, Seq("qid", "doc_id"), "full_outer")
+        .select($"qid", $"doc_id",
+          round(
+            when($"v_rank".isNull, 0.0)
+              .otherwise(lit(alpha) / (lit(60.0) + $"v_rank")) +
+            when($"kw_rank".isNull, 0.0)
+              .otherwise(lit(1 - alpha) / (lit(60.0) + $"kw_rank")), 6)
+            .as("rrf_score"))
+        .withColumn("rnk", row_number().over(wF).cast("long"))
+        .filter($"rnk" <= limit)
+        .orderBy($"qid", $"rnk")
+    } else {
+      def normalized(score: Column, lo: Column, hi: Column): Column =
+        when(score.isNull, 0.0)
+          .when(hi === lo, 0.5)
+          .otherwise((score - lo) / (hi - lo))
+      val bounds = cand.groupBy($"qid").agg(
+        min($"kw_score").as("kmin"), max($"kw_score").as("kmax"),
+        min($"v_score").as("vmin"), max($"v_score").as("vmax"))
+      val wF = Window.partitionBy($"qid")
+        .orderBy($"hybrid_score".desc, $"doc_id")
+      cand.join(broadcast(bounds), "qid")
+        .select($"qid", $"doc_id",
+          round(
+            lit(alpha) * normalized($"v_score", $"vmin", $"vmax") +
+            lit(1 - alpha) * normalized($"kw_score", $"kmin", $"kmax"), 6)
+            .as("hybrid_score"))
+        .withColumn("rnk", row_number().over(wF).cast("long"))
+        .filter($"rnk" <= limit)
+        .orderBy($"qid", $"rnk")
+    }
+  }
+
   /** The index's STATS endpoint (the reference's stats handler over
     * the store instead of the corpus): corpus counts from the exact
     * persisted sums, vocabulary size from the term dictionary —

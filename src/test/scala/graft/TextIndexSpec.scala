@@ -418,6 +418,29 @@ class TextIndexSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("batched hybrid: each qid block ≡ the per-query hybridServe, both fusions") {
+    def block(df: org.apache.spark.sql.DataFrame, qid: Long) =
+      df.collect().filter(_.getLong(0) == qid)
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val rel = TextIndex.hybridServeBatch(spark, path,
+      HybridSearch.BatchQueries, alpha = 0.5, limit = 10)
+    val rrf = TextIndex.hybridServeBatch(spark, path,
+      HybridSearch.BatchQueries, alpha = 0.5, limit = 10,
+      fusion = "ranked")
+    HybridSearch.BatchQueries.foreach { case (qid, terms) =>
+      val perQ = TextIndex.hybridServe(spark, path, terms)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(block(rel, qid) == perQ,
+        s"batch qid=$qid must equal the per-query relative fusion")
+      val perQr = TextIndex.hybridServe(spark, path, terms,
+        fusion = "ranked")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(block(rrf, qid) == perQr,
+        s"batch qid=$qid must equal the per-query ranked fusion")
+    }
+    Caches.releaseAll()
+  }
+
   test("filtered store-serve pushes the metadata equality into the docs side table") {
     val served = TextIndex.filteredServe(spark, path, "spark",
       Map("lang" -> "en"), k = 20)
