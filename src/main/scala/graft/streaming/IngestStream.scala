@@ -298,16 +298,28 @@ object IngestStream {
     * re-stages idempotently (dynamic-partition batch overwrite +
     * versioned artifact overwrite) and commits once. Existence is
     * the marker read, not a directory probe — a crashed half-build
-    * must read as absent. */
-  def indexStream(docs: DataFrame, indexPath: String): StreamingQuery = {
+    * must read as absent.
+    *
+    * After every committed epoch the count-gated auto-compaction
+    * check runs (TextIndex.maybeCompact — marker-read signals only):
+    * streaming appends are exactly the one-file-per-batch-per-bucket
+    * small-file curve, so the stream is where the OPTIMIZE trigger
+    * belongs; `maxBatches` bounds batches-since-compaction (the
+    * StreamingSpec pins that a mid-stream compaction changes no
+    * served byte). */
+  def indexStream(docs: DataFrame, indexPath: String,
+                  maxBatches: Long = 16L): StreamingQuery = {
     val appendEpoch: (DataFrame, Long) => Unit = (batch, epochId) => {
       val spark = batch.sparkSession
       val b = batch.select("doc_id", "text")
       if (!graft.sources.TextIndex.exists(spark, indexPath))
         graft.sources.TextIndex.write(b, indexPath, withVectors = false,
           epochId = epochId)
-      else if (epochId > graft.sources.TextIndex.lastEpoch(spark, indexPath))
+      else if (epochId > graft.sources.TextIndex.lastEpoch(spark, indexPath)) {
         graft.sources.TextIndex.append(b, indexPath, epochId = epochId)
+        graft.sources.TextIndex.maybeCompact(spark, indexPath,
+          maxBatches = maxBatches): Unit
+      }
       // else: an already-committed epoch redelivered — skip (replay
       // guard; the offsets checkpoint advances normally)
     }
@@ -326,15 +338,21 @@ object IngestStream {
     * discipline: committed epochs are skipped on redelivery via the
     * marker's epoch id, staged-but-uncommitted epochs re-stage
     * idempotently. */
-  def upsertIndexStream(docs: DataFrame, indexPath: String): StreamingQuery = {
+  def upsertIndexStream(docs: DataFrame, indexPath: String,
+                        maxBatches: Long = 16L): StreamingQuery = {
     val upsertEpoch: (DataFrame, Long) => Unit = (batch, epochId) => {
       val spark = batch.sparkSession
       val b = batch.select("doc_id", "text")
       if (!graft.sources.TextIndex.exists(spark, indexPath))
         graft.sources.TextIndex.write(b, indexPath, withVectors = false,
           epochId = epochId)
-      else if (epochId > graft.sources.TextIndex.lastEpoch(spark, indexPath))
+      else if (epochId > graft.sources.TextIndex.lastEpoch(spark, indexPath)) {
         graft.sources.TextIndex.upsert(b, indexPath, epochId = epochId)
+        // upserts also grow the TOMBSTONE list — both auto-compaction
+        // signals apply on the update stream
+        graft.sources.TextIndex.maybeCompact(spark, indexPath,
+          maxBatches = maxBatches): Unit
+      }
     }
     docs.writeStream
       .option("checkpointLocation", s"$indexPath/_checkpoints")

@@ -1003,10 +1003,13 @@ class StreamingSpec extends SparkSpec {
       (4L, "unrelated prose about nothing in particular"),
       (5L, "spark spark spark join filter everything"))
     val stream = MemoryStream[(Long, String)]
+    // maxBatches = 1: every appended epoch trips the auto-compaction
+    // gate, so the stream exercises append -> OPTIMIZE -> append and
+    // the final serve must STILL be bit-equal to a one-shot rebuild
     val query = IngestStream.indexStream(
-      stream.toDF().toDF("doc_id", "text"), idx)
+      stream.toDF().toDF("doc_id", "text"), idx, maxBatches = 1L)
     try {
-      // epoch 1 BUILDS, epochs 2..3 APPEND
+      // epoch 1 BUILDS, epochs 2..3 APPEND (each followed by compact)
       stream.addData(docs(0), docs(1))
       query.processAllAvailable()
       stream.addData(docs(2))
