@@ -53,6 +53,14 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
           lit(operators.HybridSearch.WordTokenPattern), lit(0)).as("tok"))
       .withColumn("dl", size($"tok").cast("double"))
 
+  /** Query tokenization — the SAME word-class pattern as [[tokenized]]
+    * (maximal \p{L}\p{N} runs of the lowered query), never a
+    * whitespace split: a query term carrying punctuation ("spark,")
+    * must match the identically-tokenized document token. */
+  private def queryTermsOf(query: String): Seq[String] =
+    operators.HybridSearch.WordTokenPattern.r
+      .findAllIn(query.toLowerCase).toSeq
+
   /** Structural chunking (markdown-aware; see operators.Chunker). */
   def chunkDocuments(maxTokens: Int = 256, overlap: Int = 0): DataFrame = {
     import ChunkQueries.DocChunk
@@ -96,7 +104,7 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
              fusion: String = "relative"): DataFrame = {
     require(fusion == "relative" || fusion == "ranked",
       s"fusion must be 'relative' or 'ranked', got '$fusion'")
-    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val terms = queryTermsOf(query)
     val filtered = filters.foldLeft(tokenized) { case (df, (k, v)) =>
       df.filter(col(k) === v)
     }
@@ -118,7 +126,7 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
     * sparse. `nExpand = 0` degrades to plain BM25. */
   def searchExpanded(query: String, nExpand: Int = 3,
                      limit: Int = settings.searchTopK): DataFrame = {
-    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val terms = queryTermsOf(query)
     require(terms.nonEmpty, "searchExpanded needs at least one query term")
     val exp = HybridSearch.prfExpand(spark, tokenized, terms, nExpand, fb = 10)
     HybridSearch.bm25Scores(spark, tokenized, terms ++ exp)
@@ -172,7 +180,7 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
   def searchFromIndex(path: String, query: String, alpha: Double = 0.0,
                       limit: Int = settings.searchTopK,
                       fusion: String = "relative"): DataFrame = {
-    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val terms = queryTermsOf(query)
     require(terms.nonEmpty, "searchFromIndex needs at least one query term")
     if (alpha > 0.0)
       graft.sources.TextIndex.hybridServe(spark, path, terms, alpha,
@@ -192,7 +200,7 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
                          limit: Int = settings.searchTopK,
                          correlationId: String = ""): Seq[org.apache.spark.sql.Row] = {
     val t0 = System.nanoTime()
-    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val terms = queryTermsOf(query)
     val ranked = searchFromIndex(path, query, alpha, limit)
     val rows = graft.sources.TextIndex
       .renderHits(spark, path, ranked, terms)
@@ -250,7 +258,7 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
     * drop — they could not have matched anyway. The correction list
     * is a ≤|terms| bounded collect (the s9 expansion-terms shape). */
   def searchFuzzy(query: String, limit: Int = settings.searchTopK): DataFrame = {
-    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val terms = queryTermsOf(query)
     require(terms.nonEmpty, "searchFuzzy needs at least one query term")
     val vocab = tokenized
       .select(explode(array_distinct($"tok")).as("term"))
@@ -288,7 +296,7 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
   def searchCollapsed(query: String,
                       limit: Int = settings.searchTopK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val terms = queryTermsOf(query)
     require(terms.nonEmpty, "searchCollapsed needs at least one query term")
     val scored = HybridSearch.bm25Scores(spark, tokenized, terms)
     val labels = operators.Pipeline.connectedComponentsAdaptive(
@@ -313,7 +321,7 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
                               embeddings: DataFrame = null,
                               limit: Int = settings.searchTopK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val terms = queryTermsOf(query)
     require(terms.nonEmpty,
       "searchSemanticCollapsed needs at least one query term")
     val emb = Option(embeddings).getOrElse(
@@ -338,7 +346,7 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
     * once (no double-dipping). */
   def searchFielded(query: String, limit: Int = settings.searchTopK,
                     wTitle: Double = 2.0, wBody: Double = 1.0): DataFrame = {
-    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val terms = queryTermsOf(query)
     require(terms.nonEmpty, "searchFielded needs at least one query term")
     HybridSearch.fieldedBm25Of(
       HybridSearch.fieldedSplitOf(corpus.select($"doc_id", $"text")),
@@ -374,7 +382,7 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
                 filters: Map[String, String] = Map.empty,
                 correlationId: String = ""): Seq[org.apache.spark.sql.Row] = {
     val t0 = System.nanoTime()
-    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val terms = queryTermsOf(query)
     val ranked = search(query, alpha, limit, filters)
     val rows = HybridSearch.snippetsOf(corpus, ranked, terms)
       .orderBy(col("hybrid_score").desc, col("doc_id"))
@@ -387,7 +395,7 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
   /** Search + deterministic rerank (the reranker-configured path). */
   def searchReranked(query: String, alpha: Double = settings.searchAlpha,
                      limit: Int = settings.searchTopK): DataFrame = {
-    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val terms = queryTermsOf(query)
     val queryTok = array_distinct(array(terms.map(lit): _*))
     search(query, alpha, limit)
       .join(tokenized.select($"doc_id", $"tok"), "doc_id")

@@ -532,15 +532,10 @@ object Knn {
     val touched = spark.read.parquet(path)
       .join(broadcast(ids), Seq("vec_id"), "left_semi")
       .select($"cid").distinct().collect().map(_.getInt(0)).toSeq
-    if (touched.nonEmpty) {
+    rewriteTouchedCells(spark, path, touched,
       spark.read.parquet(path)
         .filter($"cid".isin(touched: _*))
-        .join(broadcast(ids), Seq("vec_id"), "left_anti")
-        .localCheckpoint(true)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cid").parquet(path)
-    }
+        .join(broadcast(ids), Seq("vec_id"), "left_anti"))
     val tomb = ivfTombstones(spark, path)
       .join(broadcast(ids), Seq("vec_id"), "left_anti")
       .localCheckpoint(true)
@@ -558,17 +553,39 @@ object Knn {
     val touched = spark.read.parquet(path)
       .join(broadcast(tomb), Seq("vec_id"), "left_semi")
       .select($"cid").distinct().collect().map(_.getInt(0)).toSeq
-    if (touched.nonEmpty) {
+    rewriteTouchedCells(spark, path, touched,
       spark.read.parquet(path)
         .filter($"cid".isin(touched: _*))
-        .join(broadcast(tomb), Seq("vec_id"), "left_anti")
-        .localCheckpoint(true)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cid").parquet(path)
-    }
+        .join(broadcast(tomb), Seq("vec_id"), "left_anti"))
     Seq.empty[Long].toDF("vec_id")
       .write.mode("overwrite").parquet(s"$path/_tombstones")
+  }
+
+  /** Cell-scoped rewrite of `touched` cids with the survivors in
+    * `kept` — and the cleanup dynamic partition overwrite alone
+    * cannot do: dynamic mode only replaces partitions PRESENT in the
+    * written data, so a touched cell whose rows were ALL removed
+    * writes no partition and its old files would silently survive
+    * (resurrecting deletes once the tombstone list clears). Those
+    * cells' directories drop explicitly, mirroring
+    * [[deleteFromNnGraphStore]]'s (affected − written) cleanup;
+    * bounded driver state: ≤ |touched| cell ids. */
+  private def rewriteTouchedCells(spark: SparkSession, path: String,
+                                  touched: Seq[Int],
+                                  kept: DataFrame): Unit = {
+    import spark.implicits._
+    if (touched.isEmpty) return
+    val k = kept.localCheckpoint(true)
+    k.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cid").parquet(path)
+    val written = k.select($"cid").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (touched.toSet -- written).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/cid=$c"), true): Unit
+    }
   }
 
   /** The session's UPSERTED IVF store for `dir`: built on a STALE

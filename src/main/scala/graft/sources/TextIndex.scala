@@ -112,12 +112,19 @@ object TextIndex {
       val in = fs.open(ptr)
       val line =
         try {
+          // read to EOF — a single read() may return short on some
+          // FileSystems (and -1 on an empty file), which would parse
+          // a torn marker line
+          val out = new java.io.ByteArrayOutputStream(128)
           val buf = new Array[Byte](128)
-          val n = in.read(buf)
-          new String(buf, 0, n, "UTF-8").trim
+          var n = in.read(buf)
+          while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+          new String(out.toByteArray, "UTF-8").trim
         } finally in.close()
-      val p = line.split("\\s+").map(_.toLong)
-      Some(Commit(p(0), p(1), p(2), p(3)))
+      val p = line.split("\\s+")
+      require(p.length == 4 && p.forall(_.matches("-?\\d+")),
+        s"torn or malformed commit marker at $path/_commit: '$line'")
+      Some(Commit(p(0).toLong, p(1).toLong, p(2).toLong, p(3).toLong))
     }
   }
 
@@ -179,6 +186,13 @@ object TextIndex {
 
   private def dbucket(id: Column): Column =
     pmod(id, lit(DocBuckets.toLong))
+
+  /** Driver-side twin of [[dbucket]] — Spark pmod, NOT Scala `%`:
+    * for a negative doc_id the two differ and a `%`-computed bucket
+    * filter would miss the real partition (silently dropping the
+    * row instead of reading it). */
+  private def dbucketOf(id: Long): Long =
+    ((id % DocBuckets) + DocBuckets) % DocBuckets
 
   /** The shared tokenized view (full/title/body token arrays +
     * lengths + pass-through metadata columns) every artifact fans
@@ -757,6 +771,37 @@ object TextIndex {
       .limit(k)
   }
 
+  /** The stored-vector rows a serve's vector leg reads: ALL cells
+    * when `nprobe` covers them (the exact mode every vector oracle
+    * replays), else only the union of the query vectors' nprobe
+    * nearest cell partitions — `cid IN (...)` reaches the scan as a
+    * PartitionFilter, so at 100 TB a pruned serve touches nprobe
+    * directories per query instead of the whole vectors artifact.
+    * `qvec` may carry MANY rows (the batch serve): the probe set is
+    * the distinct union, so each query's own cells are always
+    * included (per-query results are a superset of single-query
+    * pruning — recall only improves). Bounded collect: ≤ |cells|. */
+  private def probedVectorRows(spark: SparkSession, path: String,
+                               c: Commit, qvec: DataFrame,
+                               cents: Seq[Seq[Double]],
+                               nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val cells0 = readBatched(spark, path, "vectors", c)
+    if (nprobe >= cents.length) cells0
+    else {
+      val probed = qvec
+        .select(explode(slice(reverse(array_sort(zip_with(
+          Knn.centroidScoresCol(spark,
+            graft.functions.VectorFunctions.asDouble($"qv"), cents),
+          sequence(lit(0), lit(cents.length - 1)),
+          (s, i) => struct(s.as("s"), i.as("i"))))), 1, nprobe)).as("pr"))
+        .select($"pr"("i"))
+        .distinct()
+        .collect().map(_.getInt(0)).toSeq
+      cells0.filter($"cid".isin(probed: _*))
+    }
+  }
+
   /** The persisted hybrid VECTOR leg: cosine of the stored poly-BoW
     * document vectors against the query-term vector, top-`candidates`
     * — the serve-from-store twin of HybridSearch.hybrid's vector leg.
@@ -778,20 +823,7 @@ object TextIndex {
       // keyword-only index: empty leg (fusion treats it as absent)
       return spark.range(0).select($"id".as("doc_id"),
         lit(0.0).as("v_score"))
-    val cells0 = readBatched(spark, path, "vectors", c)
-    val cells =
-      if (nprobe >= cents.length) cells0
-      else {
-        val probed = qvec
-          .select(explode(slice(reverse(array_sort(zip_with(
-            Knn.centroidScoresCol(spark,
-              graft.functions.VectorFunctions.asDouble($"qv"), cents),
-            sequence(lit(0), lit(cents.length - 1)),
-            (s, i) => struct(s.as("s"), i.as("i"))))), 1, nprobe)).as("pr"))
-          .select($"pr"("i"))
-          .collect().map(_.getInt(0)).toSeq
-        cells0.filter($"cid".isin(probed: _*))
-      }
+    val cells = probedVectorRows(spark, path, c, qvec, cents, nprobe)
     liveRows(cells, tombstonesOf(spark, path, c))
       .crossJoin(broadcast(qvec))
       .select($"doc_id",
@@ -843,7 +875,8 @@ object TextIndex {
                           filters: Map[String, String],
                           alpha: Double = 0.5, limit: Int = 10,
                           fusion: String = "relative",
-                          candidates: Int = 50): DataFrame = {
+                          candidates: Int = 50,
+                          nprobe: Int = Int.MaxValue): DataFrame = {
     import spark.implicits._
     require(fusion == "relative" || fusion == "ranked",
       s"fusion must be 'relative' or 'ranked', got '$fusion'")
@@ -878,13 +911,22 @@ object TextIndex {
     val qvec = spark.range(1)
       .select(queryTok.as("tok"))
       .select(expr("poly_bow(tok, 64)").as("qv"))
-    val vec = liveRows(readBatched(spark, path, "vectors", c),
-        tombstonesOf(spark, path, c))
-      .join(fdocs.select($"doc_id"), Seq("doc_id"), "left_semi")
-      .crossJoin(broadcast(qvec))
-      .select($"doc_id",
-        graft.functions.VectorFunctions.cosineD($"v", $"qv").as("v_score"))
-      .orderBy($"v_score".desc, $"doc_id").limit(candidates)
+    val cents = readCents(spark, path, c)
+    val vec =
+      if (cents.isEmpty)
+        // keyword-only index: empty leg (fusion treats it as absent —
+        // the vectorServe degrade, so a filtered serve on an
+        // indexStream-built index answers its BM25 leg instead of
+        // throwing on the missing vectors artifact)
+        spark.range(0).select($"id".as("doc_id"), lit(0.0).as("v_score"))
+      else
+        liveRows(probedVectorRows(spark, path, c, qvec, cents, nprobe),
+            tombstonesOf(spark, path, c))
+          .join(fdocs.select($"doc_id"), Seq("doc_id"), "left_semi")
+          .crossJoin(broadcast(qvec))
+          .select($"doc_id",
+            graft.functions.VectorFunctions.cosineD($"v", $"qv").as("v_score"))
+          .orderBy($"v_score".desc, $"doc_id").limit(candidates)
     if (fusion == "ranked") HybridSearch.fuseRanked(kw, vec, alpha, limit)
     else HybridSearch.fuseRelative(kw, vec, alpha, limit)
   }
@@ -971,7 +1013,7 @@ object TextIndex {
     import spark.implicits._
     val c = commitOf(spark, path)
     val seedTf = forwardLive(spark, path, c)
-      .filter($"dbucket" === seedId % DocBuckets && $"doc_id" === seedId)
+      .filter($"dbucket" === dbucketOf(seedId) && $"doc_id" === seedId)
       .select($"term", $"tf".as("tf_seed"))
     val nDocs = spark.read.parquet(s"$path/stats/v=${c.seq}")
       .select($"n_docs".cast("double").as("n_docs"))
@@ -1011,7 +1053,7 @@ object TextIndex {
     import spark.implicits._
     val c = commitOf(spark, path)
     val ids = ranked.select($"doc_id").collect().map(_.getLong(0)).toSeq
-    val dbs = ids.map(_ % DocBuckets).distinct
+    val dbs = ids.map(dbucketOf).distinct
     val content = liveRows(
         readBatched(spark, path, "content", c)
           .filter($"dbucket".isin(dbs: _*) && $"doc_id".isin(ids: _*)),
@@ -1096,7 +1138,8 @@ object TextIndex {
                        queries: Seq[(Long, Seq[String])],
                        alpha: Double = 0.5, limit: Int = 10,
                        fusion: String = "relative",
-                       candidates: Int = 50): DataFrame = {
+                       candidates: Int = 50,
+                       nprobe: Int = Int.MaxValue): DataFrame = {
     import spark.implicits._
     require(fusion == "relative" || fusion == "ranked",
       s"fusion must be 'relative' or 'ranked', got '$fusion'")
@@ -1109,14 +1152,22 @@ object TextIndex {
       .toDF("qid", "terms")
       .select($"qid", expr("poly_bow(terms, 64)").as("qv"))
     val wV = Window.partitionBy($"qid").orderBy($"v_score".desc, $"doc_id")
-    val vec = liveRows(readBatched(spark, path, "vectors", c),
-        tombstonesOf(spark, path, c))
-      .crossJoin(broadcast(qvecs))
-      .select($"qid", $"doc_id",
-        graft.functions.VectorFunctions.cosineD($"v", $"qv").as("v_score"))
-      .withColumn("rnk", row_number().over(wV))
-      .filter($"rnk" <= candidates)
-      .select($"qid", $"doc_id", $"v_score")
+    val cents = readCents(spark, path, c)
+    val vec =
+      if (cents.isEmpty)
+        // keyword-only index: every query's vector leg is empty
+        // (fusion treats it as absent — the vectorServe degrade)
+        spark.range(0).select($"id".as("qid"), $"id".as("doc_id"),
+          lit(0.0).as("v_score"))
+      else
+        liveRows(probedVectorRows(spark, path, c, qvecs, cents, nprobe),
+            tombstonesOf(spark, path, c))
+          .crossJoin(broadcast(qvecs))
+          .select($"qid", $"doc_id",
+            graft.functions.VectorFunctions.cosineD($"v", $"qv").as("v_score"))
+          .withColumn("rnk", row_number().over(wV))
+          .filter($"rnk" <= candidates)
+          .select($"qid", $"doc_id", $"v_score")
     val cand = kw.join(vec, Seq("qid", "doc_id"), "full_outer")
     if (fusion == "ranked") {
       val wKr = Window.partitionBy($"qid")

@@ -38,6 +38,19 @@ class GraftEngineSpec extends SparkSpec {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("query terms tokenize with the word-class pattern, not a whitespace split") {
+    // documents tokenize as \p{L}\p{N} runs — a query carrying
+    // punctuation must tokenize identically or it matches nothing
+    def rows(q: String) = engine.search(q, alpha = 0.5, limit = 5)
+      .collect().map(_.toSeq).toSeq
+    val plain = rows("spark join filter")
+    assert(plain.nonEmpty)
+    assert(rows("spark, join; filter!") == plain,
+      "punctuation-carrying query must score like its clean twin")
+    assert(rows("Spark,join\nfilter") == plain,
+      "runs split on any non-alphanumeric, case-folded")
+  }
+
   test("chunksByUrl returns one page in order") {
     val page = engine.chunksByUrl("source", "src2").collect()
     assert(page.nonEmpty)

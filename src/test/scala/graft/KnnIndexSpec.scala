@@ -254,4 +254,47 @@ class KnnIndexSpec extends SparkSpec {
       serve(Knn.appendToNnGraph(oldGraph, all, newIds, k)))
     Caches.releaseAll()
   }
+
+  test("IVF compact/upsert clean a cell whose EVERY row was removed") {
+    // dynamic partition overwrite only replaces partitions present in
+    // the written data — a fully-emptied cell writes nothing and its
+    // old files would survive, resurrecting deletes once compaction
+    // clears the tombstone list (or serving a stale duplicate after
+    // an upsert that moved every vector out of the cell).
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    def freshStore(p: String): Unit =
+      Knn.appendToIvfIndex(p, cents, Seq(
+        (1L, Seq(0.9, 0.1)), (2L, Seq(0.95, 0.05)), // cell 0
+        (3L, Seq(0.1, 0.9)), (4L, Seq(0.05, 0.95))  // cell 1
+      ).toDF("vec_id", "v"))
+
+    // COMPACT: delete ALL of cell 0, then compact — the ids must be
+    // physically gone (not resurrected by the tombstone reset)
+    val pc = s"$tmp/ivf_emptycell_c"
+    freshStore(pc)
+    Knn.deleteFromIvfIndex(spark, pc, Seq(1L, 2L).toDF("vec_id"))
+    Knn.compactIvfIndex(spark, pc)
+    assert(spark.read.parquet(pc).filter($"vec_id".isin(1L, 2L)).count() == 0,
+      "compacting a fully-tombstoned cell must drop its files")
+    assert(!new java.io.File(s"$pc/cid=0").exists(),
+      "the emptied cell's directory must be deleted")
+    val q = Seq((100L, Seq(1.0, 0.0))).toDF("q_id", "qv")
+    val servedC = Knn.serveFromIvfIndex(spark, pc, cents, q, nprobe = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(servedC == Set(3L, 4L), s"served $servedC after empty-cell compact")
+
+    // UPSERT: move EVERY vector of cell 0 into cell 1 — no stale
+    // duplicate may survive in the old cell
+    val pu = s"$tmp/ivf_emptycell_u"
+    freshStore(pu)
+    Knn.upsertIvfIndex(spark, pu, cents, Seq(
+      (1L, Seq(0.1, 0.9)), (2L, Seq(0.05, 0.95))).toDF("vec_id", "v"))
+    val rows = spark.read.parquet(pu)
+    assert(rows.groupBy($"vec_id").count().filter($"count" > 1).count() == 0,
+      "no duplicate copies after a whole-cell upsert")
+    assert(rows.filter($"cid" === 0).count() == 0 &&
+      !new java.io.File(s"$pu/cid=0").exists(),
+      "the vacated cell must be physically cleaned")
+    Caches.releaseAll()
+  }
 }

@@ -453,4 +453,68 @@ class TextIndexSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq == scan)
     Caches.releaseAll()
   }
+
+  test("keyword-only index: filtered hybrid and batch hybrid degrade to the BM25 leg") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // indexStream builds keyword-only indexes (withVectors=false) —
+    // every hybrid entry point must degrade to an empty vector leg
+    // on them instead of throwing on the absent vectors artifact
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-ti-kw").toString
+    TextIndex.write(tinyDocs.toDF("doc_id", "text"), p,
+      withVectors = false)
+    val terms = Seq("spark", "join", "filter")
+    val perQuery = rowsOf(
+      TextIndex.hybridServe(spark, p, terms, alpha = 0.5, limit = 10))
+    assert(perQuery.nonEmpty)
+    val filtered = rowsOf(TextIndex.filteredHybridServe(spark, p, terms,
+      Map.empty, alpha = 0.5, limit = 10))
+    assert(filtered == perQuery,
+      "unfiltered filteredHybridServe must equal hybridServe on a keyword-only index")
+    val batch = TextIndex.hybridServeBatch(spark, p, Seq(7L -> terms),
+      alpha = 0.5, limit = 10)
+    assert(rowsOf(batch.select($"doc_id", $"hybrid_score")) ==
+      perQuery.map(_.take(2)),
+      "each batch qid block must equal the per-query serve on a keyword-only index")
+    Caches.releaseAll()
+  }
+
+  test("negative doc_ids render through the store (pmod bucket, not Scala %)") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-ti-neg").toString
+    // -5 is the clear top hit; a Scala-% bucket filter would compute
+    // dbucket -5 (no such partition) and silently drop it
+    TextIndex.write(Seq(
+      (-5L, "spark join filter spark join filter spark"),
+      (-3L, "spark join something else entirely"),
+      (2L, "the quick brown fox and nothing relevant")
+    ).toDF("doc_id", "text"), p)
+    val snips = TextIndex.snippetServe(spark, p,
+      Seq("spark", "join", "filter"), k = 3)
+    val ids = snips.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(-5L) && ids.contains(-3L),
+      s"negative-id hits must render from stored fields, got $ids")
+    val mlt = TextIndex.moreLikeThisServe(spark, p, -5L, nTerms = 3, k = 5)
+    assert(mlt.collect().map(_.getLong(0)).toSet.contains(-3L),
+      "MLT must read a negative seed's forward rows through the pmod bucket")
+    Caches.releaseAll()
+  }
+
+  test("empty or torn commit marker fails loudly, not with a torn parse") {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-ti-torn").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(p, "_commit"), Array.empty[Byte])
+    val e1 = intercept[IllegalArgumentException](
+      TextIndex.readCommit(spark, p))
+    assert(e1.getMessage.contains("commit marker"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(p, "_commit"),
+      "3 0".getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException](
+      TextIndex.readCommit(spark, p))
+    assert(e2.getMessage.contains("commit marker"))
+  }
 }
