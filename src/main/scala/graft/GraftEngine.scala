@@ -170,14 +170,19 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
     graft.sources.TextIndex.append(newDocs.select("doc_id", "text"), path)
 
   /** Search served FROM the persisted index — the query-latency
-    * mode, and with `alpha > 0` the reference's ACTUAL serving call
-    * (retrieval/service.go:23-47 hybrid-with-alpha against the
-    * persisted Weaviate index, store.go:105): alpha = 0 is the pure
-    * BM25 store path (s17), alpha > 0 fuses the persisted BM25 leg
-    * with the persisted vector leg under the scan path's own fusion
-    * expression (`fusion` = "relative" | "ranked", s21/s24). All
+    * mode. Defaults resolve from [[GraftEngine.Settings]] exactly
+    * like [[search]]'s (retrieval/service.go:72-90 resolves
+    * SearchAlpha 0.5 / SearchTopK from the settings service), so the
+    * default store-served call is the reference's ACTUAL serving
+    * call: hybrid-with-alpha against the persisted index
+    * (retrieval/service.go:23-47, store.go:105). alpha = 0 opts down
+    * to the pure BM25 store path (s17); alpha > 0 fuses the
+    * persisted BM25 leg with the persisted vector leg under the scan
+    * path's own fusion expression (`fusion` = "relative" | "ranked",
+    * s21/s24); a keyword-only index degrades to the BM25 leg. All
     * reads are bucket/cell-pruned; no corpus scan. */
-  def searchFromIndex(path: String, query: String, alpha: Double = 0.0,
+  def searchFromIndex(path: String, query: String,
+                      alpha: Double = settings.searchAlpha,
                       limit: Int = settings.searchTopK,
                       fusion: String = "relative"): DataFrame = {
     val terms = queryTermsOf(query)
@@ -192,11 +197,12 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
   }
 
   /** Serve one search FROM the persisted index to completion — the
-    * store-served twin of [[runSearch]]: rank (BM25 or hybrid with
-    * alpha), render content + snippet per hit from the index's
-    * STORED FIELDS (zero corpus access at query time), log to the
-    * session query log, return the rows. */
-  def runSearchFromIndex(path: String, query: String, alpha: Double = 0.0,
+    * store-served twin of [[runSearch]]: rank (hybrid with alpha by
+    * default, BM25 at alpha = 0), render content + snippet per hit
+    * from the index's STORED FIELDS (zero corpus access at query
+    * time), log to the session query log, return the rows. */
+  def runSearchFromIndex(path: String, query: String,
+                         alpha: Double = settings.searchAlpha,
                          limit: Int = settings.searchTopK,
                          correlationId: String = ""): Seq[org.apache.spark.sql.Row] = {
     val t0 = System.nanoTime()
@@ -209,6 +215,42 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
       .collect().toSeq
     queryLog.log(QueryLog.entry(query, rows.length,
       System.nanoTime() - t0, correlationId))
+    rows
+  }
+
+  /** Serve a whole QUERY BATCH from the persisted index — the
+    * throughput tier over TextIndex.bm25ServeBatch/hybridServeBatch
+    * (one job, one pruned postings read, one vectors pass for every
+    * query in the batch; [[runSearchFromIndex]] is the latency
+    * shape), with [[runSearch]]'s query-log integration: one entry
+    * per query with its own hit count, the shared wall time, and the
+    * batch correlation id. Returns the ranked rows ordered
+    * (qid, rnk); each qid block is bit-equal to the per-query call
+    * (TextIndexSpec pins the underlying equality). */
+  def runSearchBatchFromIndex(path: String, queries: Seq[(Long, String)],
+                              alpha: Double = settings.searchAlpha,
+                              limit: Int = settings.searchTopK,
+                              fusion: String = "relative",
+                              correlationId: String = ""): Seq[org.apache.spark.sql.Row] = {
+    require(queries.nonEmpty, "runSearchBatchFromIndex needs queries")
+    val t0 = System.nanoTime()
+    val terms = queries.map { case (qid, q) => (qid, queryTermsOf(q)) }
+    terms.foreach { case (qid, ts) =>
+      require(ts.nonEmpty, s"query $qid has no terms") }
+    val ranked =
+      if (alpha > 0.0)
+        graft.sources.TextIndex.hybridServeBatch(spark, path, terms,
+          alpha, limit, fusion)
+      else
+        graft.sources.TextIndex.bm25ServeBatch(spark, path, terms,
+          k = limit)
+    val rows = ranked.orderBy(col("qid"), col("rnk")).collect().toSeq
+    val dt = System.nanoTime() - t0
+    val counts = rows.groupBy(_.getLong(0)).view.mapValues(_.size).toMap
+    queries.foreach { case (qid, q) =>
+      queryLog.log(QueryLog.entry(q, counts.getOrElse(qid, 0), dt,
+        correlationId))
+    }
     rows
   }
 

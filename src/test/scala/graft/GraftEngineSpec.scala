@@ -607,4 +607,44 @@ class GraftEngineSpec extends SparkSpec {
     assert(full.queryLog.size == before + 1)
     Caches.releaseAll()
   }
+
+  test("store-serving defaults resolve to HYBRID; batch facade ≡ per-query loop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the hash join wins big"),
+      (2L, "hash of the join table"),
+      (3L, "spark filters push down"),
+      (4L, "join the spark hash club")).toDF("doc_id", "text")
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-eng-def").toString
+    val e = new GraftEngine(spark, docs)
+    e.buildSearchIndex(p)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    // the default-args store call is the reference's serving call:
+    // settings.searchAlpha (0.5) hybrid, NOT a silent pure-BM25 downgrade
+    val byDefault = e.searchFromIndex(p, "hash join")
+    assert(byDefault.columns.contains("hybrid_score"),
+      "default store serve must be hybrid (settings.searchAlpha)")
+    assert(rows(byDefault) ==
+      rows(e.searchFromIndex(p, "hash join", alpha = 0.5)))
+    assert(e.searchFromIndex(p, "hash join", alpha = 0.0)
+      .columns.toSeq == Seq("doc_id", "score"),
+      "alpha = 0 still opts down to the pure BM25 path")
+    // batch facade: each qid block ≡ the per-query loop; one query-log
+    // entry per query in the batch
+    val qs = Seq(1L -> "hash join", 2L -> "spark filters")
+    val before = e.queryLog.size
+    val batch = e.runSearchBatchFromIndex(p, qs, limit = 3)
+    assert(e.queryLog.size == before + 2)
+    val blocks = batch.groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => Seq(r.getLong(1), r.getDouble(2)))).toMap
+    qs.foreach { case (qid, q) =>
+      val per = e.searchFromIndex(p, q, limit = 3).collect()
+        .map(r => Seq(r.getLong(0), r.getDouble(1))).toSeq
+      assert(blocks(qid) == per,
+        s"batch qid $qid block must equal the per-query serve")
+    }
+    Caches.releaseAll()
+  }
 }
