@@ -196,22 +196,49 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
         .select(col("doc_id"), col("score"))
   }
 
+  /** Search + deterministic rerank served FROM the persisted index —
+    * [[searchReranked]]'s store twin (retrieval/service.go:112-130:
+    * the service reranks whatever the store returned): persisted
+    * hybrid candidates, hit content from the stored fields, the
+    * SHARED rerank expression — bit-equal to the scan path, zero
+    * corpus access. */
+  def searchRerankedFromIndex(path: String, query: String,
+                              alpha: Double = settings.searchAlpha,
+                              limit: Int = settings.searchTopK): DataFrame = {
+    val terms = queryTermsOf(query)
+    require(terms.nonEmpty,
+      "searchRerankedFromIndex needs at least one query term")
+    graft.sources.TextIndex.rerankServe(spark, path, terms, alpha, limit)
+  }
+
   /** Serve one search FROM the persisted index to completion — the
     * store-served twin of [[runSearch]]: rank (hybrid with alpha by
-    * default, BM25 at alpha = 0), render content + snippet per hit
-    * from the index's STORED FIELDS (zero corpus access at query
-    * time), log to the session query log, return the rows. */
+    * default, BM25 at alpha = 0; `rerank = true` adds the
+    * reference's rerank stage over the hits' stored-fields content,
+    * service.go:112-130), render content + snippet per hit from the
+    * index's STORED FIELDS (zero corpus access at query time), log
+    * to the session query log, return the rows. */
   def runSearchFromIndex(path: String, query: String,
                          alpha: Double = settings.searchAlpha,
                          limit: Int = settings.searchTopK,
+                         rerank: Boolean = false,
                          correlationId: String = ""): Seq[org.apache.spark.sql.Row] = {
     val t0 = System.nanoTime()
     val terms = queryTermsOf(query)
-    val ranked = searchFromIndex(path, query, alpha, limit)
+    val reranking = rerank && alpha > 0.0
+    val ranked =
+      if (reranking) searchRerankedFromIndex(path, query, alpha, limit)
+      else searchFromIndex(path, query, alpha, limit)
+    val order =
+      if (reranking)
+        Seq(col("rerank_score").desc, col("hybrid_score").desc,
+          col("doc_id"))
+      else
+        Seq(col(if (alpha > 0.0) "hybrid_score" else "score").desc,
+          col("doc_id"))
     val rows = graft.sources.TextIndex
       .renderHits(spark, path, ranked, terms)
-      .orderBy(col(if (alpha > 0.0) "hybrid_score" else "score").desc,
-        col("doc_id"))
+      .orderBy(order: _*)
       .collect().toSeq
     queryLog.log(QueryLog.entry(query, rows.length,
       System.nanoTime() - t0, correlationId))
@@ -438,12 +465,10 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
   def searchReranked(query: String, alpha: Double = settings.searchAlpha,
                      limit: Int = settings.searchTopK): DataFrame = {
     val terms = queryTermsOf(query)
-    val queryTok = array_distinct(array(terms.map(lit): _*))
     search(query, alpha, limit)
       .join(tokenized.select($"doc_id", $"tok"), "doc_id")
       .select($"doc_id", $"hybrid_score",
-        (size(array_intersect(array_distinct($"tok"), queryTok)).cast("double") /
-         size(array_union(array_distinct($"tok"), queryTok))).as("rerank_score"))
+        HybridSearch.rerankScore($"tok", terms).as("rerank_score"))
       .orderBy($"rerank_score".desc, $"hybrid_score".desc, $"doc_id")
   }
 

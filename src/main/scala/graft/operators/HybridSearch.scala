@@ -264,19 +264,28 @@ object HybridSearch {
     fuseRanked(kw, vec, alpha, limit)
   }
 
-  /** s4: deterministic rerank stage over the hybrid candidates — a
-    * token-overlap "cross-encoder" stand-in (the reference calls
-    * Jina/Cohere: adapter/reranker/client.go; any local scorer slots
-    * into the same shape). */
+  /** The deterministic rerank expression — token-overlap Jaccard of
+    * a document's token array against the query terms, the
+    * "cross-encoder" stand-in every rerank path shares (the
+    * reference calls Jina/Cohere: adapter/reranker/client.go; any
+    * local scorer slots into the same shape). ONE definition so the
+    * scan path (s4, GraftEngine.searchReranked) and the store-served
+    * path (TextIndex.rerankServe, s30) cannot drift. */
+  private[graft] def rerankScore(tok: Column,
+                                 queryTerms: Seq[String]): Column = {
+    val queryTok = array_distinct(array(queryTerms.map(lit): _*))
+    size(array_intersect(array_distinct(tok), queryTok)).cast("double") /
+      size(array_union(array_distinct(tok), queryTok))
+  }
+
+  /** s4: deterministic rerank stage over the hybrid candidates. */
   def s4Rerank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cands = s3HybridSearch(spark, dir)
-    val queryTok = array_distinct(array(QueryTerms.map(lit): _*))
     val rr = cands
       .join(docTokens(spark, dir), "doc_id")
       .select($"doc_id", $"hybrid_score",
-        round(size(array_intersect(array_distinct($"tok"), queryTok)).cast("double") /
-              size(array_union(array_distinct($"tok"), queryTok)), 6).as("rerank_score"))
+        round(rerankScore($"tok", QueryTerms), 6).as("rerank_score"))
     rr.select($"doc_id", $"rerank_score", $"hybrid_score",
               row_number().over(
                 Window.orderBy($"rerank_score".desc, $"hybrid_score".desc, $"doc_id"))
@@ -952,6 +961,31 @@ object HybridSearch {
     graft.sources.TextIndex.snippetServe(
       spark, textIndexPath(spark, dir), QueryTerms)
 
+  /** s30: RERANK served FROM the index — the reference service's
+    * last serving stage (retrieval/service.go:112-130 reranks
+    * whatever the store returned) closed on the store path: s21's
+    * persisted hybrid candidates, hit content from the STORED FIELDS
+    * (≤k pruned rows), the shared token-overlap rerank — zero corpus
+    * access end to end. Output is s4's exact shape (rounded score +
+    * composite final_rank), and the oracle IS s4's SQL, so the whole
+    * store round trip (postings + vectors + fusion + stored-fields
+    * content + rerank) hash-gates against the scan pipeline's own
+    * ground truth. */
+  def s30RerankedFromIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rr = graft.sources.TextIndex.rerankServe(
+        spark, textIndexPath(spark, dir), QueryTerms, alpha = 0.5,
+        limit = 10)
+      .select($"doc_id", $"hybrid_score",
+        round($"rerank_score", 6).as("rerank_score"))
+    rr.select($"doc_id", $"rerank_score", $"hybrid_score",
+        row_number().over(
+          Window.orderBy($"rerank_score".desc, $"hybrid_score".desc,
+            $"doc_id"))
+          .cast("long").as("final_rank"))
+      .orderBy($"final_rank")
+  }
+
   /** The session's UPSERTED text index for `dir`: built on a STALE
     * corpus (the odd doc_id-div-50 blocks carry placeholder text),
     * then c18's change detection (WebMeta.changeDetect — the CDC
@@ -1017,6 +1051,7 @@ object HybridSearch {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s30_reranked_from_index" -> s30RerankedFromIndex _,
     "s29_batch_hybrid" -> s29BatchHybrid _,
     "s28_batch_serve" -> s28BatchServe _,
     "s27_index_stats" -> s27IndexStats _,
@@ -1336,6 +1371,12 @@ object HybridSearch {
       .replace("FROM documents)", "FROM documents WHERE lang = 'en')")) +
     // s23: the filtered store-serve must hash-match s5's scan query
     ("s23_filtered_from_index" -> oraclesBase("s5_filtered_search")) +
+    // s30: store-served rerank must reproduce the scan rerank (s4)
+    // digit for digit — same candidates (s21 ≡ s3), same stored-
+    // fields tokens, same overlap expression, same composite order
+    // (s4Sql directly: s4's entry lives in THIS chain, not in
+    // oraclesBase — a self-lookup here is a class-init crash)
+    ("s30_reranked_from_index" -> s4Sql) +
     // s29: the batched HYBRID replay — the s28 keyword pipeline per
     // qid, a per-qid poly-BoW query vector against the per-doc
     // vectors, per-qid candidate cuts, per-qid min-max fusion

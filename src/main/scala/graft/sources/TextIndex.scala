@@ -1051,15 +1051,56 @@ object TextIndex {
   def renderHits(spark: SparkSession, path: String, ranked: DataFrame,
                  queryTerms: Seq[String], window: Int = 10): DataFrame = {
     import spark.implicits._
-    val c = commitOf(spark, path)
     val ids = ranked.select($"doc_id").collect().map(_.getLong(0)).toSeq
+    val content = contentForIds(spark, path, commitOf(spark, path), ids)
+    HybridSearch.snippetsOf(content, ranked, queryTerms, window)
+  }
+
+  /** The ≤|ids| live stored-fields rows for a ranked hit list —
+    * dbucket partition filters + doc_id row-group pushdown on
+    * `content/`, so a render/rerank pass reads k rows, never the
+    * artifact. */
+  private def contentForIds(spark: SparkSession, path: String,
+                            c: Commit, ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
     val dbs = ids.map(dbucketOf).distinct
-    val content = liveRows(
+    liveRows(
         readBatched(spark, path, "content", c)
           .filter($"dbucket".isin(dbs: _*) && $"doc_id".isin(ids: _*)),
         tombstonesOf(spark, path, c))
       .select($"doc_id", $"text")
-    HybridSearch.snippetsOf(content, ranked, queryTerms, window)
+  }
+
+  /** Store-served RERANK — the reference service's LAST serving
+    * stage (retrieval/service.go:112-130: extract Content from the
+    * hits, rerank, reorder) with zero corpus access: the hybrid
+    * candidates come from the persisted legs ([[hybridServe]]), each
+    * hit's content from the STORED FIELDS (≤`limit` pruned rows,
+    * [[contentForIds]]), and the SHARED token-overlap rerank
+    * expression scores the re-tokenized content — the same word-
+    * class tokenizer the index was built with, so the store-served
+    * rerank is bit-equal to the scan path's
+    * (GraftEngine.searchReranked; s30 hash-gates it against s4's
+    * oracle). Returns (doc_id, hybrid_score, rerank_score) ordered
+    * by (rerank_score desc, hybrid_score desc, doc_id). */
+  def rerankServe(spark: SparkSession, path: String,
+                  queryTerms: Seq[String], alpha: Double = 0.5,
+                  limit: Int = 10, fusion: String = "relative",
+                  candidates: Int = 50,
+                  nprobe: Int = Int.MaxValue): DataFrame = {
+    import spark.implicits._
+    val cands = hybridServe(spark, path, queryTerms, alpha, limit,
+      fusion, candidates, nprobe)
+      .localCheckpoint(true) // ranked once; read for ids AND the join
+    val ids = cands.select($"doc_id").collect().map(_.getLong(0)).toSeq
+    val toks = contentForIds(spark, path, commitOf(spark, path), ids)
+      .select($"doc_id",
+        regexp_extract_all(lower($"text"),
+          lit(HybridSearch.WordTokenPattern), lit(0)).as("tok"))
+    cands.join(toks, "doc_id")
+      .select($"doc_id", $"hybrid_score",
+        HybridSearch.rerankScore($"tok", queryTerms).as("rerank_score"))
+      .orderBy($"rerank_score".desc, $"hybrid_score".desc, $"doc_id")
   }
 
   /** s10 served FROM the index: s1's ranking through [[bm25Serve]]

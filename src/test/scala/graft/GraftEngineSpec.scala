@@ -645,6 +645,16 @@ class GraftEngineSpec extends SparkSpec {
       assert(blocks(qid) == per,
         s"batch qid $qid block must equal the per-query serve")
     }
+    // rerank=true runs the service's rerank stage over the stored-
+    // fields content and reorders the rendered hits by it
+    val rr = e.runSearchFromIndex(p, "hash join", limit = 3, rerank = true)
+    assert(rr.nonEmpty && rr.head.schema.fieldNames.contains("rerank_score"))
+    val rrScores = rr.map(_.getAs[Double]("rerank_score"))
+    assert(rrScores == rrScores.sorted.reverse)
+    assert(rr.map(_.getAs[Long]("doc_id")) ==
+      e.searchRerankedFromIndex(p, "hash join", limit = 3)
+        .collect().map(_.getLong(0)).toSeq,
+      "rendered order must follow the store-served rerank")
     Caches.releaseAll()
   }
 }

@@ -454,6 +454,26 @@ class TextIndexSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("store-served rerank ≡ the scan-path rerank bit-for-bit (s30 ≡ s4)") {
+    // the service's last serving stage: rerank over the hits'
+    // stored-fields content — same candidates (s21 ≡ s3), same
+    // tokens, same shared overlap expression as the scan path
+    val engine = new GraftEngine(spark, Tables.documents(spark, sfDir))
+    val scan = engine.searchReranked("spark join filter",
+        alpha = 0.5, limit = 10)
+      .collect().map(_.toSeq).toSeq
+    val served = TextIndex.rerankServe(spark, path,
+        HybridSearch.QueryTerms, alpha = 0.5, limit = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(served == scan,
+      "rerankServe must reproduce searchReranked from the store alone")
+    assert(HybridSearch.s30RerankedFromIndex(spark, sfDir)
+      .collect().map(_.toSeq).toSeq ==
+      HybridSearch.s4Rerank(spark, sfDir).collect().map(_.toSeq).toSeq,
+      "s30 must equal s4 digit for digit")
+    Caches.releaseAll()
+  }
+
   test("keyword-only index: filtered hybrid and batch hybrid degrade to the BM25 leg") {
     val sparkSession = spark
     import sparkSession.implicits._
