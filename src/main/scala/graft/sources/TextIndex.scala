@@ -789,12 +789,16 @@ object TextIndex {
     val cells0 = readBatched(spark, path, "vectors", c)
     if (nprobe >= cents.length) cells0
     else {
+      // (−score, index) ascending = score desc, index ASC on ties —
+      // the same first-max tie-break assign() writes cells with, so
+      // a probe of a duplicated/tied centroid reads the cell the
+      // rows actually landed in
       val probed = qvec
-        .select(explode(slice(reverse(array_sort(zip_with(
+        .select(explode(slice(array_sort(zip_with(
           Knn.centroidScoresCol(spark,
             graft.functions.VectorFunctions.asDouble($"qv"), cents),
           sequence(lit(0), lit(cents.length - 1)),
-          (s, i) => struct(s.as("s"), i.as("i"))))), 1, nprobe)).as("pr"))
+          (s, i) => struct((-s).as("s"), i.as("i")))), 1, nprobe)).as("pr"))
         .select($"pr"("i"))
         .distinct()
         .collect().map(_.getInt(0)).toSeq

@@ -454,6 +454,46 @@ class TextIndexSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("nprobe threads through filtered + batch hybrid: pruned ≡ exhaustive on a planted corpus") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-ti-nprobe").toString
+    // planted: the 4 query-matching docs share ONE exact token set
+    // (identical vectors → one cell, and the query's nearest cell
+    // holds the whole true top-4); the 8 decoys use disjoint vocab
+    // so kmeans spreads the other cells over them
+    val a = (1L to 4L).map(i => (i, "spark join filter", "en"))
+    val b = Seq("quantum banana orbit", "velvet walrus tundra",
+        "copper lantern mesa", "ivory comet dune", "maple sphinx delta",
+        "onyx harbor prism", "cedar falcon ridge", "amber glacier reef")
+      .zipWithIndex.map { case (t, i) => ((i + 5).toLong, t, "en") }
+    TextIndex.write((a ++ b).toDF("doc_id", "text", "lang"), p)
+    val terms = Seq("spark", "join", "filter")
+    val exhF = rowsOf(TextIndex.filteredHybridServe(spark, p, terms,
+      Map("lang" -> "en"), candidates = 4))
+    val prF = TextIndex.filteredHybridServe(spark, p, terms,
+      Map("lang" -> "en"), candidates = 4, nprobe = 1)
+    assert(rowsOf(prF) == exhF,
+      "filtered hybrid: nprobe=1 must equal the exhaustive scan here")
+    val planF = prF.queryExecution.executedPlan.toString
+    assert(planF.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("cid")),
+      s"cid not in PartitionFilters:\n${planF.take(1500)}")
+    val qs = Seq(1L -> terms, 2L -> Seq("spark", "filter"))
+    val exhB = rowsOf(TextIndex.hybridServeBatch(spark, p, qs,
+      candidates = 4))
+    val prB = TextIndex.hybridServeBatch(spark, p, qs,
+      candidates = 4, nprobe = 1)
+    assert(rowsOf(prB) == exhB,
+      "batch hybrid: union-of-probes pruning must equal exhaustive here")
+    val planB = prB.queryExecution.executedPlan.toString
+    assert(planB.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("cid")),
+      s"cid not in PartitionFilters:\n${planB.take(1500)}")
+    Caches.releaseAll()
+  }
+
   test("store-served rerank ≡ the scan-path rerank bit-for-bit (s30 ≡ s4)") {
     // the service's last serving stage: rerank over the hits'
     // stored-fields content — same candidates (s21 ≡ s3), same
