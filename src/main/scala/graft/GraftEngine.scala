@@ -496,6 +496,32 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
     page.orderBy(col(indexCol), col(idCol)).limit(limit)
   }
 
+  /** [[chunksByUrl]] served FROM the persisted index — the store
+    * read GetChunksByURL actually is (store.go:311-335): metadata
+    * equality on the `docs/` side table, text from the stored
+    * fields, zero corpus access. The index must have been built from
+    * a corpus carrying `urlCol` as metadata. */
+  def chunksByUrlFromIndex(path: String, urlCol: String, url: String,
+                           orderCol: String = "doc_id"): DataFrame =
+    graft.sources.TextIndex.chunksServe(spark, path, Map(urlCol -> url))
+      .orderBy(col(orderCol))
+
+  /** [[pageBySource]] served FROM the persisted index — keyset
+    * paging in doc_id order with the top-n cut on the narrow
+    * metadata scan (GetChunks, store.go:238-270). */
+  def pageBySourceFromIndex(path: String, sourceCol: String,
+                            source: String, after: Option[Long],
+                            limit: Int): DataFrame =
+    graft.sources.TextIndex.pageChunksServe(spark, path,
+      Map(sourceCol -> source), after, limit)
+
+  /** [[countBySource]] served FROM the persisted index — a narrow
+    * grouped count over `docs/` metadata, no content read
+    * (CountChunksBySource, store.go:440). */
+  def countBySourceFromIndex(path: String,
+                             sourceCol: String = "source"): DataFrame =
+    graft.sources.TextIndex.countChunksServe(spark, path, sourceCol)
+
   /** Approximate distinct count of any corpus column via the m=256
     * HyperLogLog sketch (q25's machinery) — ~6.5% standard error,
     * constant memory: the stats-endpoint answer that stays cheap when

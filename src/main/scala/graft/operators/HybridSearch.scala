@@ -765,11 +765,13 @@ object HybridSearch {
     graft.TrainedModels.memo(spark, s"text_index:$dir") {
       val p = java.nio.file.Files.createTempDirectory("graft_text_index")
         .toString
-      // lang/source ride along as document metadata — the side table
-      // s23's filtered store-serving equality-filters on
+      // lang/source/n_chars ride along as document metadata — the
+      // side table s23's filtered store-serving equality-filters on
+      // and s31's chunk retrieval returns as stored fields
       graft.sources.TextIndex.write(
         Tables.documents(spark, dir)
-          .select(col("doc_id"), col("text"), col("lang"), col("source")), p)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars")), p)
       p
     }
 
@@ -986,6 +988,24 @@ object HybridSearch {
       .orderBy($"final_rank")
   }
 
+  /** s31: CHUNK RETRIEVAL served FROM the index — the reference's
+    * GetChunksByURL read (store.go:311-335, one page's chunks in
+    * chunk order) answered from the persisted `docs/` + `content/`
+    * artifacts with zero corpus access: the source equality
+    * evaluates on the narrow metadata side table, the survivors join
+    * the stored fields for their text. The oracle IS c6's SQL (the
+    * corpus-scan twin), so the store round trip — metadata filter,
+    * stored-fields content, per-chunk hash — is gated against the
+    * same ground truth. */
+  def s31ChunksFromStore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.TextIndex.chunksServe(
+        spark, textIndexPath(spark, dir), Map("source" -> "src3"))
+      .select($"doc_id", $"source", md5($"text").as("content_md5"),
+        $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   /** The session's UPSERTED text index for `dir`: built on a STALE
     * corpus (the odd doc_id-div-50 blocks carry placeholder text),
     * then c18's change detection (WebMeta.changeDetect — the CDC
@@ -1051,6 +1071,7 @@ object HybridSearch {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s31_chunks_from_store" -> s31ChunksFromStore _,
     "s30_reranked_from_index" -> s30RerankedFromIndex _,
     "s29_batch_hybrid" -> s29BatchHybrid _,
     "s28_batch_serve" -> s28BatchServe _,
@@ -1377,6 +1398,10 @@ object HybridSearch {
     // (s4Sql directly: s4's entry lives in THIS chain, not in
     // oraclesBase — a self-lookup here is a class-init crash)
     ("s30_reranked_from_index" -> s4Sql) +
+    // s31: store-served chunk retrieval must hash-match c6's
+    // corpus-scan read — same page, same order, same content hashes
+    ("s31_chunks_from_store" ->
+      graft.operators.ChunkQueries.oracles("c6_chunks_by_url")) +
     // s29: the batched HYBRID replay — the s28 keyword pipeline per
     // qid, a per-qid poly-BoW query vector against the per-doc
     // vectors, per-qid candidate cuts, per-qid min-max fusion

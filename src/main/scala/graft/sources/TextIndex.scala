@@ -764,11 +764,70 @@ object TextIndex {
     val meta = filters.foldLeft(docsLive(spark, path, c)) {
       case (df, (kc, v)) => df.filter(col(kc) === v)
     }
-    val metaCols = meta.columns
-      .filterNot(Set("doc_id", "dl", "nlt", "nlb", "dbucket", "batch"))
+    val metaCols = meta.columns.filterNot(InternalDocCols)
     post.join(meta.select($"doc_id" +: metaCols.map(col): _*), "doc_id")
       .orderBy($"tf".desc, $"doc_id")
       .limit(k)
+  }
+
+  /** Bookkeeping columns of the `docs/` side table — everything else
+    * is user metadata that rides through the serving calls. */
+  private val InternalDocCols =
+    Set("doc_id", "dl", "nlt", "nlb", "dbucket", "batch")
+
+  /** Store-served CHUNK RETRIEVAL — GetChunksByURL's read shape
+    * (store.go:311-335) answered from the persisted artifacts with
+    * ZERO corpus access: the ANDed metadata equalities evaluate on
+    * the narrow `docs/` side table (equalities pushed to parquet),
+    * and only the surviving ids join the STORED FIELDS for their
+    * text. Returns (doc_id, metadata…, text); callers order by their
+    * chunk-index column (doc_id here — the c6 convention). */
+  def chunksServe(spark: SparkSession, path: String,
+                  filters: Map[String, String]): DataFrame = {
+    import spark.implicits._
+    val c = commitOf(spark, path)
+    val meta = filters.foldLeft(docsLive(spark, path, c)) {
+      case (df, (kc, v)) => df.filter(col(kc) === v)
+    }
+    val metaCols = meta.columns.filterNot(InternalDocCols)
+    meta.select($"doc_id" +: metaCols.map(col): _*)
+      .join(liveRows(readBatched(spark, path, "content", c),
+        tombstonesOf(spark, path, c)).select($"doc_id", $"text"), "doc_id")
+  }
+
+  /** One KEYSET PAGE of store-served chunks — GetChunks(sourceID,
+    * limit, offset)'s cursor form (store.go:238-270): rows strictly
+    * after `after` in doc_id order. The top-n cut runs on the NARROW
+    * `docs/` scan (no global sort, no content read), then only the
+    * ≤`limit` page rows join the stored fields — the page cost is
+    * independent of the source's size. */
+  def pageChunksServe(spark: SparkSession, path: String,
+                      filters: Map[String, String],
+                      after: Option[Long], limit: Int): DataFrame = {
+    import spark.implicits._
+    val c = commitOf(spark, path)
+    val meta = filters.foldLeft(docsLive(spark, path, c)) {
+      case (df, (kc, v)) => df.filter(col(kc) === v)
+    }
+    val metaCols = meta.columns.filterNot(InternalDocCols)
+    val page = after.fold(meta)(a => meta.filter($"doc_id" > a))
+      .select($"doc_id" +: metaCols.map(col): _*)
+      .orderBy($"doc_id").limit(limit)
+    page.join(liveRows(readBatched(spark, path, "content", c),
+        tombstonesOf(spark, path, c)).select($"doc_id", $"text"), "doc_id")
+      .orderBy($"doc_id")
+  }
+
+  /** Store-served per-group chunk counts — CountChunks(+BySource)
+    * (store.go:407/:440) from the `docs/` side table alone: a
+    * narrow grouped count over live metadata rows, no content read,
+    * no corpus access. */
+  def countChunksServe(spark: SparkSession, path: String,
+                       groupCol: String): DataFrame = {
+    import spark.implicits._
+    docsLive(spark, path, commitOf(spark, path))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_chunks"))
   }
 
   /** The stored-vector rows a serve's vector leg reads: ALL cells

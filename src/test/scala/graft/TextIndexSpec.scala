@@ -454,6 +454,36 @@ class TextIndexSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("store-served chunk retrieval ≡ the corpus path: by-url, keyset paging, counts") {
+    val docs = Tables.documents(spark, sfDir)
+    val served = TextIndex.chunksServe(spark, path, Map("source" -> "src3"))
+      .select($"doc_id", $"source", md5($"text").as("m"), $"n_chars")
+      .orderBy($"doc_id")
+    val scan = docs.filter($"source" === "src3")
+      .select($"doc_id", $"source", md5($"text").as("m"), $"n_chars")
+      .orderBy($"doc_id")
+    assert(rowsOf(served) == rowsOf(scan),
+      "chunksServe must equal the corpus read with zero corpus access")
+    // keyset paging: two pages stitch into the ordered prefix, and
+    // page 2 starts strictly after page 1's cursor
+    val p1 = TextIndex.pageChunksServe(spark, path,
+      Map("source" -> "src3"), None, 5).collect()
+    assert(p1.length == 5)
+    val cursor = p1.last.getAs[Long]("doc_id")
+    val p2 = TextIndex.pageChunksServe(spark, path,
+      Map("source" -> "src3"), Some(cursor), 5).collect()
+    assert(p2.forall(_.getAs[Long]("doc_id") > cursor))
+    val expect = docs.filter($"source" === "src3").orderBy($"doc_id")
+      .limit(10).collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert((p1 ++ p2).map(_.getAs[Long]("doc_id")).toSeq == expect)
+    // counts come from the docs/ side table alone
+    assert(rowsOf(TextIndex.countChunksServe(spark, path, "source")
+        .orderBy($"source")) ==
+      rowsOf(docs.groupBy($"source").agg(count(lit(1)).as("n_chunks"))
+        .orderBy($"source")))
+    Caches.releaseAll()
+  }
+
   test("nprobe threads through filtered + batch hybrid: pruned ≡ exhaustive on a planted corpus") {
     val sparkSession = spark
     import sparkSession.implicits._
