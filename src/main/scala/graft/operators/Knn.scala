@@ -561,6 +561,50 @@ object Knn {
       .write.mode("overwrite").parquet(s"$path/_tombstones")
   }
 
+  /** Full OPTIMIZE of the IVF store — the TextIndex.compact
+    * discipline on the ANN side: rewrite the LIVE rows one file per
+    * cell (repartition on the partition column before the static
+    * overwrite), physically dropping tombstoned rows AND the
+    * append-accumulated small files in one pass, then reset the
+    * tombstone list. Serve is bit-equal across the swap (the spec
+    * pins it); [[compactIvfIndex]] is the cheaper tombstone-only
+    * rewrite when fragmentation isn't the signal. */
+  def optimizeIvfIndex(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val tomb = ivfTombstones(spark, path).localCheckpoint(true)
+    val live = spark.read.parquet(path)
+      .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+      .repartition(col("cid"))
+      .localCheckpoint(true)
+    live.write.mode("overwrite").partitionBy("cid").parquet(path)
+    Seq.empty[Long].toDF("vec_id")
+      .write.mode("overwrite").parquet(s"$path/_tombstones")
+  }
+
+  /** COUNT-GATED auto-compaction for the IVF store — the
+    * TextIndex.maybeCompact pattern: two metadata-only signals (the
+    * tombstone list's row count — a tiny vocab-free table — and the
+    * file listing's files-per-cell curve, which every append/upsert
+    * grows by one file per touched cell) decide; no data scan.
+    * Fires [[optimizeIvfIndex]] when either bound is exceeded, which
+    * resets BOTH signals. Returns whether a rewrite ran; serving is
+    * bit-equal either way, so maintenance paths drop this after any
+    * mutation. */
+  def maybeCompactIvf(spark: SparkSession, path: String,
+                      maxTombstones: Long = 10000L,
+                      maxFilesPerCell: Double = 4.0): Boolean = {
+    import spark.implicits._
+    val files = graft.sources.Compaction.listFiles(spark, path)
+      .filter($"partition" =!= "") // data cells only, not _tombstones/
+      .groupBy($"partition").agg(count(lit(1)).as("n"))
+      .agg(coalesce(avg($"n"), lit(0.0)).as("avg_files"))
+      .head().getDouble(0)
+    val due = files > maxFilesPerCell ||
+      ivfTombstones(spark, path).count() > maxTombstones
+    if (due) optimizeIvfIndex(spark, path)
+    due
+  }
+
   /** Cell-scoped rewrite of `touched` cids with the survivors in
     * `kept` — and the cleanup dynamic partition overwrite alone
     * cannot do: dynamic mode only replaces partitions PRESENT in the
@@ -1941,6 +1985,38 @@ object Knn {
     (affB -- wrB).foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/nbucket=$b"), true): Unit
     }
+  }
+
+  /** COMPACT the kNN-graph edge store: rewrite every bucket one file
+    * each (repartition on the partition column before the static
+    * overwrite) — the graph store deletes physically, so the only
+    * compaction signal is the small-file curve each bucket upsert's
+    * multi-task write leaves behind. The edge SET is unchanged (the
+    * spec pins read-back equality). */
+  def compactNnGraphStore(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .select($"q_id", $"vec_id", $"nbucket")
+      .repartition(col("nbucket"))
+      .localCheckpoint(true)
+      .write.mode("overwrite").partitionBy("nbucket").parquet(path)
+  }
+
+  /** COUNT-GATED auto-compaction for the graph store — the
+    * TextIndex.maybeCompact pattern with the one signal this store
+    * has: files-per-bucket from the LISTING alone (no data scan).
+    * Fires [[compactNnGraphStore]] past the bound, which resets the
+    * curve to one file per bucket. Returns whether a rewrite ran. */
+  def maybeCompactNnGraph(spark: SparkSession, path: String,
+                          maxFilesPerBucket: Double = 4.0): Boolean = {
+    import spark.implicits._
+    val files = graft.sources.Compaction.listFiles(spark, path)
+      .groupBy($"partition").agg(count(lit(1)).as("n"))
+      .agg(coalesce(avg($"n"), lit(0.0)).as("avg_files"))
+      .head().getDouble(0)
+    val due = files > maxFilesPerBucket
+    if (due) compactNnGraphStore(spark, path)
+    due
   }
 
   /** The NN-Descent build as SHARED per-round materializations —

@@ -297,4 +297,59 @@ class KnnIndexSpec extends SparkSpec {
       "the vacated cell must be physically cleaned")
     Caches.releaseAll()
   }
+
+  test("ANN auto-compaction: count-gated triggers, serve bit-equal, files consolidate") {
+    import graft.sources.Compaction
+    def maxFilesPer(p: String): Long =
+      Compaction.listFiles(spark, p).filter($"partition" =!= "")
+        .groupBy($"partition").count()
+        .agg(max($"count")).head().getLong(0)
+
+    // ---- IVF: three appends fragment each cell to ~3 files
+    val p = s"$tmp/ivf_auto"
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    (0 until 3).foreach { b =>
+      Knn.appendToIvfIndex(p, cents, Seq(
+        (b * 4 + 1L, Seq(0.9, 0.1)), (b * 4 + 2L, Seq(0.95, 0.05)),
+        (b * 4 + 3L, Seq(0.1, 0.9)), (b * 4 + 4L, Seq(0.05, 0.95))
+      ).toDF("vec_id", "v"))
+    }
+    val q = Seq((100L, Seq(1.0, 0.0))).toDF("q_id", "qv")
+    def served = Knn.serveFromIvfIndex(spark, p, cents, q, nprobe = 2, k = 12)
+      .collect().map(_.toSeq).toSeq
+    assert(maxFilesPer(p) >= 3, "appends must have fragmented the cells")
+    assert(!Knn.maybeCompactIvf(spark, p, maxTombstones = 10L,
+      maxFilesPerCell = 10.0), "under both bounds: must not compact")
+    val before = served
+    assert(Knn.maybeCompactIvf(spark, p, maxTombstones = 10L,
+      maxFilesPerCell = 2.0), "file bound exceeded: must compact")
+    assert(served == before, "OPTIMIZE must not change a serve")
+    assert(maxFilesPer(p) == 1, "one file per cell after the rewrite")
+    // tombstone signal: a delete past the bound fires and drops rows
+    Knn.deleteFromIvfIndex(spark, p, Seq(1L).toDF("vec_id"))
+    val afterDel = served
+    assert(Knn.maybeCompactIvf(spark, p, maxTombstones = 0L,
+      maxFilesPerCell = 10.0), "tombstone bound exceeded: must compact")
+    assert(served == afterDel)
+    assert(spark.read.parquet(p).filter($"vec_id" === 1L).count() == 0,
+      "the optimize pass physically drops tombstoned rows")
+    assert(!Knn.maybeCompactIvf(spark, p, maxTombstones = 0L,
+      maxFilesPerCell = 2.0), "a fresh rewrite cleared both signals")
+
+    // ---- graph store: the small-file curve is the only signal
+    val gp = s"$tmp/graph_auto"
+    val edges = (0 until 64)
+      .map(i => (i.toLong, ((i + 1) % 64).toLong))
+      .toDF("q_id", "vec_id").repartition(4)
+    Knn.writeNnGraphStore(edges, gp)
+    val edgeSet = Knn.readNnGraphStore(spark, gp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!Knn.maybeCompactNnGraph(spark, gp, maxFilesPerBucket = 100.0))
+    assert(Knn.maybeCompactNnGraph(spark, gp, maxFilesPerBucket = 0.5))
+    assert(Knn.readNnGraphStore(spark, gp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == edgeSet,
+      "graph compaction must not change the edge set")
+    assert(maxFilesPer(gp) == 1, "one file per bucket after the rewrite")
+    Caches.releaseAll()
+  }
 }
