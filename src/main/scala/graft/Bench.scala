@@ -125,6 +125,12 @@ object Bench {
     operators.HybridSearch.upsertedIndexPath(spark, sfDir)
     val (tubDt, tuDt) = operators.HybridSearch
       .upsertedIndexTimings(spark, sfDir).getOrElse((0.0, 0.0))
+    // the streamed CDC variant (st16 reads): the stale precursor
+    // bills on its _base line, the streaming sync epoch (classify +
+    // one-commit upsert/delete + in-stream compaction) on its own
+    streaming.EventStream.syncedIndexPath(spark, sfDir)
+    val (tsbDt, tssDt) = streaming.EventStream
+      .syncedIndexTimings(spark, sfDir).getOrElse((0.0, 0.0))
     // the upserted IVF store (a24 reads): stale build + physical
     // replace of the changed slice under the frozen quantizer
     val tIu = System.nanoTime()
@@ -185,6 +191,8 @@ object Bench {
       ("_ivf_compact" -> icDt) +
       ("_text_index_upsert_base" -> tubDt) +
       ("_text_index_upsert" -> tuDt) +
+      ("_text_index_sync_base" -> tsbDt) +
+      ("_text_index_sync_stream" -> tssDt) +
       ("_text_index_compact_plan" -> tcpDt)
     // 3dp (ms precision) keeps the line compact: the round harness
     // retains only a ~2000-char stdout TAIL, truncating the FRONT of

@@ -296,7 +296,9 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
   /** Run c18 change detection against the index's own idea of the
     * corpus and apply the result: `changed` + `new` pages upsert,
     * `deleted` pages tombstone — the result_consumer.go:196-198 CDC
-    * loop closed against the persisted index in two commits. */
+    * loop closed against the persisted index in ONE commit
+    * (TextIndex.sync), so no crash window exists where the upserts
+    * are visible but the deletes are not. */
   def syncSearchIndex(path: String, fresh: DataFrame,
                       stored: DataFrame): Unit = {
     val classes = detectChanges(fresh, stored)
@@ -305,10 +307,9 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
         .select($"page_key".cast("long").as("doc_id")), "doc_id")
     val toDelete = classes.filter($"change" === "deleted")
       .select($"page_key".cast("long").as("doc_id"))
-    if (!toUpsert.isEmpty)
-      graft.sources.TextIndex.upsert(toUpsert.select("doc_id", "text"), path)
-    if (!toDelete.isEmpty)
-      graft.sources.TextIndex.delete(toDelete, path)
+    if (!(toUpsert.isEmpty && toDelete.isEmpty))
+      graft.sources.TextIndex.sync(toUpsert.select("doc_id", "text"),
+        toDelete, path)
   }
 
   /** Ordered-proximity search from the persisted index: `second`

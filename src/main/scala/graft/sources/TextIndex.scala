@@ -596,6 +596,23 @@ object TextIndex {
     * text lands as a fresh batch; vocab/stats/prefixes carry the
     * exact net change. s22 gates serve-after-upsert against the
     * scan query's own oracle. */
+  /** SYNC — a CDC consumer's WHOLE epoch in one commit
+    * (result_consumer.go:196-198: re-process changed/new pages, drop
+    * deleted ones): the upsert batch's ids AND the delete ids
+    * tombstone together, the fresh docs land as one new batch, one
+    * marker flips. Splitting this into upsert-then-delete would
+    * leave a crash window where half the epoch is visible and the
+    * replay guard (which records one epoch id per commit) cannot
+    * cover the other half. */
+  def sync(docs: DataFrame, delIds: DataFrame, path: String,
+           minPrefix: Int = 2, maxPrefix: Int = 4, kComplete: Int = 3,
+           epochId: Long = -1L): Unit = {
+    import docs.sparkSession.implicits._
+    applyChange(path,
+      Some(docs.select($"doc_id").unionByName(delIds.select($"doc_id"))),
+      Some(docs), minPrefix, maxPrefix, kComplete, epochId, flip = true)
+  }
+
   def upsert(docs: DataFrame, path: String, minPrefix: Int = 2,
              maxPrefix: Int = 4, kComplete: Int = 3,
              epochId: Long = -1L): Unit = {

@@ -780,7 +780,79 @@ object EventStream {
     revisitStateOf(fetchLog(spark, dir)).orderBy($"page_key")
   }
 
+  /** (stale-build seconds, stream-sync seconds) recorded by the
+    * [[syncedIndexPath]] memo — Bench bills the streamed CDC epoch
+    * on its own line; the stale precursor is the _base line. */
+  private val syncTimings =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (Double, Double)]()
+
+  def syncedIndexTimings(spark: SparkSession,
+                         dir: String): Option[(Double, Double)] =
+    Option(syncTimings.get((spark, dir)))
+
+  /** The session's STREAM-SYNCED text index for `dir` — st16's
+    * store, the CDC loop closed END TO END through a real Structured
+    * Streaming query: the index builds keyword-only on a STALE
+    * corpus (one div-50 block in five carries placeholder text — the
+    * s22 recipe) plus three planted garbage pages; then ONE crawl-
+    * result micro-batch arrives through
+    * [[IngestStream.syncIndexStream]] — the fresh text of the stale
+    * blocks, an UNCHANGED control slice (the classify gate must
+    * re-ingest nothing for it), and NULL-text delete notices for the
+    * garbage. After the epoch the index's live corpus IS the
+    * documents table — which is why st16 reuses s1's oracle — and
+    * `maxBatches = 1` also trips the in-stream auto-compaction. */
+  def syncedIndexPath(spark: SparkSession, dir: String): String =
+    graft.TrainedModels.memo(spark, s"text_index_synced:$dir") {
+      import spark.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ti_sync").toString
+      val p = root + "/index"
+      val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+      val garbage = spark.range(3).select(
+        ($"id" + 900000000L).as("doc_id"),
+        concat(lit("planted garbage page "), $"id").as("text"))
+      val t0 = System.nanoTime()
+      graft.sources.TextIndex.write(
+        docs.select($"doc_id",
+            when(expr("(doc_id div 50) % 5 = 1"),
+              concat(lit("stale placeholder content "), $"doc_id"))
+              .otherwise($"text").as("text"))
+          .unionByName(garbage),
+        p, withVectors = false)
+      val t1 = System.nanoTime()
+      val payload = docs.filter(expr("(doc_id div 50) % 5 = 1"))
+        .unionByName(docs.filter(expr("(doc_id div 50) % 5 = 2")))
+        .unionByName(garbage.select($"doc_id",
+          lit(null).cast("string").as("text")))
+      val stage = root + "/payload"
+      payload.write.parquet(stage)
+      val q = IngestStream.syncIndexStream(
+        spark.readStream.schema(payload.schema).parquet(stage), p,
+        maxBatches = 1L)
+      try q.processAllAvailable() finally q.stop()
+      syncTimings.put((spark, dir),
+        ((t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9))
+      p
+    }
+
+  /** st16: BM25 served from a STREAM-SYNCED index — the end-to-end
+    * CDC gate: stale pages replaced, unchanged pages skipped,
+    * deleted pages tombstoned, all through foreachBatch epochs with
+    * the replay guard and in-stream compaction; serving must
+    * reproduce the true-corpus scan scores EXACTLY (s1's oracle). */
+  def st16CdcSyncedBm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.TextIndex
+      .bm25Serve(spark, syncedIndexPath(spark, dir),
+        graft.operators.HybridSearch.QueryTerms)
+      .orderBy($"score".desc, $"doc_id").limit(10)
+      .select($"doc_id", $"score")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st16_cdc_synced_bm25" -> st16CdcSyncedBm25 _,
     "st15_recrawl_state" -> st15RecrawlState _,
     "st9_dedup_agg" -> st9DedupAgg _,
     "st12_distinct_users" -> st12DistinctUsers _,
@@ -802,6 +874,12 @@ object EventStream {
       |ORDER BY window_start, event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // st16: after the streamed CDC epoch the index's live corpus IS
+    // the documents table — same ground truth as s1, so any classify
+    // miss, lost delete, surviving stale row, or replay double-count
+    // hash-fails here (the s22 recipe, end-to-end through a stream)
+    "st16_cdc_synced_bm25" ->
+      graft.operators.HybridSearch.oracles("s17_served_bm25"),
     // the same lag-window change flags, the same clamped fold — as a
     // per-page list_reduce over the ordered flags
     "st15_recrawl_state" ->

@@ -360,6 +360,57 @@ object IngestStream {
       .start()
   }
 
+  /** STREAMING CDC maintenance — result_consumer.go:196-198's loop
+    * as a stream, closing the c18 change classes against the
+    * persisted index END TO END: each micro-batch carries crawl
+    * RESULTS — (doc_id, text) page fetches plus (doc_id, NULL)
+    * delete notices. The epoch classifies arriving pages against the
+    * index's OWN stored fields (WebMeta.changeDetect on content
+    * hashes, the needs_processing gate — an unchanged re-crawl
+    * re-ingests NOTHING), then applies the changed/new upserts AND
+    * the deletes in ONE commit (TextIndex.sync), so the
+    * at-least-once replay guard covers the whole epoch — no crash
+    * window where half the epoch is visible. The stored-hash lookup
+    * is an id-semi-joined content read (batch-bounded, dbucket-
+    * prunable), never a corpus scan. Count-gated auto-compaction
+    * runs after every committed epoch, like [[indexStream]]'s. */
+  def syncIndexStream(docs: DataFrame, indexPath: String,
+                      maxBatches: Long = 16L): StreamingQuery = {
+    val syncEpoch: (DataFrame, Long) => Unit = (batch, epochId) => {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val b = batch.select("doc_id", "text")
+      if (!graft.sources.TextIndex.exists(spark, indexPath))
+        graft.sources.TextIndex.write(b.filter($"text".isNotNull),
+          indexPath, withVectors = false, epochId = epochId)
+      else if (epochId > graft.sources.TextIndex.lastEpoch(spark, indexPath)) {
+        val pages = b.filter($"text".isNotNull).localCheckpoint(true)
+        val dels = b.filter($"text".isNull).select($"doc_id")
+          .localCheckpoint(true)
+        val stored = graft.sources.TextIndex.contentTable(spark, indexPath)
+          .join(pages.select($"doc_id"), Seq("doc_id"), "left_semi")
+          .select($"doc_id".cast("string").as("page_key"),
+            md5($"text").as("body_hash"))
+        val fresh = pages.select($"doc_id".cast("string").as("page_key"),
+          md5($"text").as("body_hash"))
+        val toUpsert = pages.join(
+          graft.operators.WebMeta.changeDetect(fresh, stored)
+            .filter($"needs_processing")
+            .select($"page_key".cast("long").as("doc_id")), "doc_id")
+          .localCheckpoint(true)
+        if (toUpsert.count() > 0 || dels.count() > 0)
+          graft.sources.TextIndex.sync(toUpsert, dels, indexPath,
+            epochId = epochId)
+        graft.sources.TextIndex.maybeCompact(spark, indexPath,
+          maxBatches = maxBatches): Unit
+      }
+    }
+    docs.writeStream
+      .option("checkpointLocation", s"$indexPath/_checkpoints")
+      .foreachBatch(syncEpoch)
+      .start()
+  }
+
   /** Start the ingestion stream into `storePath` (chunks under
     * /chunks partitioned by source, offsets under /_checkpoints). */
   def ingest(docs: DataFrame, storePath: String, maxTokens: Int = 64,

@@ -1081,6 +1081,64 @@ class StreamingSpec extends SparkSpec {
       rows(TextIndex.statsTable(spark, rebuilt)),
       "replaced docs' old lengths must be subtracted exactly")
   }
+
+  test("CDC sync stream: classify→upsert/delete per epoch in ONE commit; unchanged pages skip") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.TextIndex
+
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-ti-sync-stream").toString + "/index"
+    val stream = MemoryStream[(Long, String)]
+    val query = IngestStream.syncIndexStream(
+      stream.toDF().toDF("doc_id", "text"), idx)
+    val tA = "spark joins filter big tables"
+    try {
+      // epoch 0 BUILDS from the page fetches
+      stream.addData((1L, tA), (2L, "old text of page two"))
+      query.processAllAvailable()
+      // epoch 1: page 1 re-crawls UNCHANGED (classify must skip it),
+      // page 2 changed, page 3 is new
+      stream.addData((1L, tA),
+        (2L, "the quick brown fox joins the lazy dog"),
+        (3L, "filter spark filter join join join"))
+      query.processAllAvailable()
+      // epoch 2: page 2 is DELETED (null-text notice), page 4 is new
+      // — one epoch, one commit, both effects
+      stream.addData((2L, null.asInstanceOf[String]),
+        (4L, "join the spark club and filter your feed"))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft-ti-sync-rebuild").toString
+    TextIndex.write(Seq(
+      (1L, tA),
+      (3L, "filter spark filter join join join"),
+      (4L, "join the spark club and filter your feed"))
+      .toDF("doc_id", "text"), rebuilt)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val terms = Seq("spark", "join", "filter")
+    assert(rows(TextIndex.bm25Serve(spark, idx, terms)
+        .orderBy($"score".desc, $"doc_id")) ==
+      rows(TextIndex.bm25Serve(spark, rebuilt, terms)
+        .orderBy($"score".desc, $"doc_id")),
+      "synced stream must serve the final live corpus exactly")
+    assert(rows(TextIndex.statsTable(spark, idx)) ==
+      rows(TextIndex.statsTable(spark, rebuilt)),
+      "deleted + replaced docs' stats must be subtracted exactly")
+    // the unchanged re-crawl re-ingested NOTHING: page 1's stored
+    // fields still live in the build batch (0), not a later one
+    val b1 = spark.read.parquet(s"$idx/content")
+      .filter($"doc_id" === 1L).select($"batch".cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(b1 == Seq(0L),
+      s"unchanged page must keep its original batch, got $b1")
+    // one commit per epoch covered by the replay guard
+    assert(TextIndex.lastEpoch(spark, idx) == 2L)
+  }
 }
 
 /** Top-level (not nested in the spec) so the batch toDF() encoder
