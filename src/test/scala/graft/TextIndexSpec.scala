@@ -278,15 +278,20 @@ class TextIndexSpec extends SparkSpec {
     TextIndex.append(tinyDocs.drop(4).toDF("doc_id", "text"), p)
     TextIndex.delete(Seq(4L).toDF("doc_id"), p)
     val before = serveAll(p)
-    def postingsFiles: Seq[java.nio.file.Path] = {
+    def filesUnder(art: String): Seq[java.nio.file.Path] = {
       import scala.jdk.CollectionConverters._
-      val d = java.nio.file.Paths.get(p, "postings")
+      val d = java.nio.file.Paths.get(p, art)
       val s = java.nio.file.Files.walk(d)
       try s.iterator().asScala
         .filter(f => f.toString.endsWith(".parquet")).toList
       finally s.close()
     }
+    def postingsFiles = filesUnder("postings")
     val nBefore = postingsFiles.size
+    // the stored-fields artifact is in the rewrite set too — s26/s30
+    // serving reads it per query, so its small files matter as much
+    // as the postings'
+    val nContentBefore = filesUnder("content").size
     // the planning pass is metadata-only and sees every artifact
     val plan = TextIndex.compactionPlan(spark, p)
     assert(plan.count() > 0)
@@ -302,6 +307,9 @@ class TextIndexSpec extends SparkSpec {
     assert(postingsFiles.size < nBefore,
       s"compaction+vacuum must shrink the file count " +
         s"($nBefore -> ${postingsFiles.size})")
+    assert(filesUnder("content").size < nContentBefore,
+      s"content/ must consolidate too " +
+        s"($nContentBefore -> ${filesUnder("content").size})")
     Caches.releaseAll()
   }
 

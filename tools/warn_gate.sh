@@ -12,12 +12,14 @@
 # (scalar totals, host/TLD aggregates, <=k-row candidate panels, the
 # <=2*candidates fusion join, and fuseRanked's rank windows over the
 # <=candidates-row legs — audited r12 when the store-served hybrid
-# specs pushed the count from 772 to 860). The COUNT may not grow
-# past the pin: raising the pin requires auditing the new window and
-# saying so in SURVEY.md's session log.
+# specs pushed the count from 772 to 860; r13 ratcheted the pin
+# 940 -> 890 per the judge's measured 856 + the round's new bounded
+# serving windows). The COUNT may not grow past the pin: raising the
+# pin requires auditing the new window and saying so in SURVEY.md's
+# session log.
 set -u
 LOG=${1:?usage: warn_gate.sh <suite-log> [pin]}
-PIN=${2:-940}
+PIN=${2:-890}
 N=$(grep -c "No Partition Defined" "$LOG" || true)
 echo "No-Partition-Defined warnings: $N (pin $PIN)"
 if [ "$N" -gt "$PIN" ]; then
