@@ -160,14 +160,19 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
     * proximity modes serve from it without touching the corpus
     * again, and [[appendToSearchIndex]] keeps it current. */
   def buildSearchIndex(path: String): Unit =
-    graft.sources.TextIndex.write(corpus.select($"doc_id", $"text"), path)
+    // the WHOLE corpus row persists: text as stored fields, every
+    // other column as `docs/` metadata — what searchFromIndex's
+    // filters and the store-served chunk reads evaluate on
+    graft.sources.TextIndex.write(corpus, path)
 
   /** Incremental maintenance: append NEW documents into a built
     * index (s18's exact merge — serve-after-append is bit-equal to
     * a rebuild). Re-ingesting an existing doc_id needs the delete
     * first, like every append index here. */
   def appendToSearchIndex(path: String, newDocs: DataFrame): Unit =
-    graft.sources.TextIndex.append(newDocs.select("doc_id", "text"), path)
+    // full rows ride through — TextIndex enforces column parity with
+    // the built index's docs/ schema
+    graft.sources.TextIndex.append(newDocs, path)
 
   /** Search served FROM the persisted index — the query-latency
     * mode. Defaults resolve from [[GraftEngine.Settings]] exactly
@@ -184,10 +189,18 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
   def searchFromIndex(path: String, query: String,
                       alpha: Double = settings.searchAlpha,
                       limit: Int = settings.searchTopK,
-                      fusion: String = "relative"): DataFrame = {
+                      fusion: String = "relative",
+                      filters: Map[String, String] = Map.empty): DataFrame = {
     val terms = queryTermsOf(query)
     require(terms.nonEmpty, "searchFromIndex needs at least one query term")
-    if (alpha > 0.0)
+    if (filters.nonEmpty)
+      // the scan path's filter-first semantics ([[search]]) from the
+      // store: both legs and the BM25 stats restrict to the filtered
+      // corpus BEFORE ranking, alpha = 0 included (the fusion with a
+      // zero vector weight, exactly like search(alpha = 0, filters))
+      graft.sources.TextIndex.filteredHybridServe(spark, path, terms,
+        filters, alpha, limit, fusion)
+    else if (alpha > 0.0)
       graft.sources.TextIndex.hybridServe(spark, path, terms, alpha,
         limit, fusion)
     else
@@ -285,7 +298,7 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
     * ONE commit (s22's path): re-arriving doc_ids replace their old
     * copies exactly; serve-after-upsert is bit-equal to a rebuild. */
   def upsertIntoSearchIndex(path: String, docs: DataFrame): Unit =
-    graft.sources.TextIndex.upsert(docs.select("doc_id", "text"), path)
+    graft.sources.TextIndex.upsert(docs, path)
 
   /** DELETE documents from the persisted index (the store's
     * DeleteChunks* analog): tombstoned in one commit, statistics
@@ -308,8 +321,7 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
     val toDelete = classes.filter($"change" === "deleted")
       .select($"page_key".cast("long").as("doc_id"))
     if (!(toUpsert.isEmpty && toDelete.isEmpty))
-      graft.sources.TextIndex.sync(toUpsert.select("doc_id", "text"),
-        toDelete, path)
+      graft.sources.TextIndex.sync(toUpsert, toDelete, path)
   }
 
   /** Ordered-proximity search from the persisted index: `second`

@@ -497,6 +497,50 @@ object Knn {
     else Seq.empty[Long].toDF("vec_id")
   }
 
+  /** Highest streaming epoch folded into the IVF store (−1 when
+    * never stream-maintained) — the at-least-once replay guard for
+    * [[graft.streaming.IngestStream.ivfIndexStream]]. The store's
+    * mutations are remove-then-add (idempotent under re-execution:
+    * the remove step clears any half-appended copies of the same
+    * ids), so the marker only needs to gate WHOLE epochs, not stage
+    * artifacts like the text index's versioned commits. */
+  def ivfLastEpoch(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_epoch")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream(64)
+        val buf = new Array[Byte](64)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        new String(out.toByteArray, "UTF-8").trim.toLong
+      } finally in.close()
+    }
+  }
+
+  /** Record the epoch AFTER its mutations landed — a crash before
+    * this write replays the epoch, which converges (remove-then-add);
+    * tmp + rename so readers never parse a torn marker. */
+  def writeIvfEpoch(spark: SparkSession, path: String, e: Long): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_epoch.tmp")
+    val ptr = new org.apache.hadoop.fs.Path(s"$path/_epoch")
+    val out = fs.create(tmp, true)
+    try out.write(e.toString.getBytes("UTF-8")) finally out.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
+      fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        if (fs.exists(ptr)) fs.delete(ptr, false): Unit
+        require(fs.rename(tmp, ptr), s"IVF epoch marker flip failed for $path")
+    }
+  }
+
   /** DELETE vectors from a written IVF store — the logical half of
     * the text index's lifecycle applied to the ANN side: the ids
     * join the tombstone list (one vocab-free tiny write; the
@@ -572,11 +616,18 @@ object Knn {
   def optimizeIvfIndex(spark: SparkSession, path: String): Unit = {
     import spark.implicits._
     val tomb = ivfTombstones(spark, path).localCheckpoint(true)
+    // dynamic overwrite of every existing cell, NEVER a static
+    // root overwrite — the root also carries _tombstones, _epoch,
+    // and a maintenance stream's _checkpoints, which a truncate
+    // would destroy mid-stream
+    val p = new org.apache.hadoop.fs.Path(path)
+    val cells = p.getFileSystem(spark.sessionState.newHadoopConf())
+      .listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("cid=")).map(_.stripPrefix("cid=").toInt).toSeq
     val live = spark.read.parquet(path)
       .join(broadcast(tomb), Seq("vec_id"), "left_anti")
       .repartition(col("cid"))
-      .localCheckpoint(true)
-    live.write.mode("overwrite").partitionBy("cid").parquet(path)
+    rewriteTouchedCells(spark, path, cells, live)
     Seq.empty[Long].toDF("vec_id")
       .write.mode("overwrite").parquet(s"$path/_tombstones")
   }
@@ -657,6 +708,60 @@ object Knn {
         .select($"vec_id", $"v"))
       (p, cents)
     }
+
+  /** The session's STREAM-MAINTAINED IVF store for `dir` — st17's
+    * gate, the a24 recipe driven through a REAL Structured Streaming
+    * query: the store builds on a STALE vector set (vec_id % 7 == 3
+    * shifted +1.0/dim) plus five planted garbage vectors; then ONE
+    * re-embed micro-batch arrives through
+    * [[graft.streaming.IngestStream.ivfIndexStream]] — the true
+    * vectors of exactly the stale ids, and NULL-vector delete
+    * notices for the garbage. After the epoch the store's live
+    * vectors ARE the true corpus (which is why st17 reuses a1's
+    * exact oracle), and the per-epoch auto-OPTIMIZE check ran
+    * in-stream. Returns (path, cents). */
+  def streamedIvfPath(spark: SparkSession,
+                      dir: String): (String, Seq[Seq[Double]]) =
+    graft.TrainedModels.memo(spark, s"ivf_streamed:$dir") {
+      import spark.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ivf_stream").toString
+      val p = root + "/index"
+      val all = base(spark, dir)
+      val cents = ivfCentroids(spark, dir, all)
+      val garbage = all.filter($"vec_id" < 5)
+        .select(($"vec_id" + 900000000L).as("vec_id"),
+          transform($"v", x => -x - 0.25).as("v"))
+      val stale = all.select($"vec_id",
+          when($"vec_id" % 7 === 3, transform($"v", x => x + 1.0))
+            .otherwise($"v").as("v"))
+        .unionByName(garbage)
+      appendToIvfIndex(p, cents, stale)
+      val payload = all.filter($"vec_id" % 7 === 3)
+        .select($"vec_id", $"v")
+        .unionByName(garbage.select($"vec_id",
+          lit(null).cast("array<double>").as("v")))
+      val stage = root + "/payload"
+      payload.write.parquet(stage)
+      val q = graft.streaming.IngestStream.ivfIndexStream(
+        spark.readStream.schema(payload.schema).parquet(stage), p, cents)
+      try q.processAllAvailable() finally q.stop()
+      (p, cents)
+    }
+
+  /** st17: exact-kNN serving from a STREAM-MAINTAINED IVF store —
+    * the end-to-end ANN CDC gate: stale vectors replaced (cells
+    * physically cleaned), garbage deleted, all through foreachBatch
+    * epochs with the replay marker; the exhaustive-probe serve must
+    * reproduce a1's exact ranking digit for digit. */
+  def st17StreamedIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (p, cents) = streamedIvfPath(spark, dir)
+    val queries = base(spark, dir).filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    serveFromIvfIndex(spark, p, cents, queries,
+      nprobe = cents.length, k = 5)
+  }
 
   /** The a25 deletion set: two mid-range ids, so both consolidation
     * cases exercise (nodes pointing at them must bridge; the dead
@@ -1995,11 +2100,17 @@ object Knn {
     * spec pins read-back equality). */
   def compactNnGraphStore(spark: SparkSession, path: String): Unit = {
     import spark.implicits._
+    // dynamic overwrite, not a root truncate — the root may carry
+    // side metadata a static overwrite would destroy (the
+    // optimizeIvfIndex rule); every bucket has live rows (graph
+    // deletes are physical), so every bucket dir rewrites
     spark.read.parquet(path)
       .select($"q_id", $"vec_id", $"nbucket")
       .repartition(col("nbucket"))
       .localCheckpoint(true)
-      .write.mode("overwrite").partitionBy("nbucket").parquet(path)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("nbucket").parquet(path)
   }
 
   /** COUNT-GATED auto-compaction for the graph store — the
@@ -2286,6 +2397,7 @@ object Knn {
     "a22_graph_search" -> ((s, d) => a22GraphSearch(s, d)),
     "a23_graph_search_pq" -> ((s, d) => a23GraphSearchPq(s, d)),
     "a24_upserted_ivf" -> a24UpsertedIvf _,
+    "st17_streamed_ivf" -> st17StreamedIvf _,
     "a25_graph_delete" -> a25GraphDelete _,
     "s2_vector_topk" -> s2VectorTopk _)
 
@@ -3136,6 +3248,11 @@ object Knn {
       // a24: after the upsert the store IS the true vector set, so
       // exhaustive-probe serving must hash-match exact kNN — a1's SQL
       ("a24_upserted_ivf" -> baseOracles("a1_knn_bruteforce")) +
+      // st17: after the streamed re-embed epoch the store's live
+      // vectors ARE the true corpus — a1's exact oracle again, so a
+      // lost upsert, surviving stale cell copy, missed delete, or
+      // replay duplicate hash-fails
+      ("st17_streamed_ivf" -> baseOracles("a1_knn_bruteforce")) +
       ("a25_graph_delete" -> a25Sql) +
       ("a17_cascade_tuning" -> a17Sql) +
       ("a18_index_balance" ->

@@ -411,6 +411,53 @@ object IngestStream {
       .start()
   }
 
+  /** STREAMING maintenance of a persisted IVF vector store —
+    * [[syncIndexStream]]'s twin on the ANN tier (the reference keeps
+    * Weaviate's vector index current on every re-embed; this is the
+    * lakehouse form): each micro-batch carries (vec_id, v) re-embed
+    * results plus (vec_id, NULL) delete notices. Fresh vectors apply
+    * through Knn.upsertIvfIndex (FAISS remove-then-add under the
+    * FROZEN quantizer — old copies' cells physically cleaned even
+    * when the vector moved cells), deletes tombstone, and the
+    * count-gated auto-OPTIMIZE check runs per epoch. At-least-once
+    * replay is safe: the epoch marker gates committed epochs, and a
+    * crashed half-epoch re-runs remove-then-add, which converges.
+    * First epoch against an empty path BUILDS the store (assign +
+    * append under the given quantizer). */
+  def ivfIndexStream(vectors: DataFrame, path: String,
+                     cents: Seq[Seq[Double]],
+                     maxTombstones: Long = 10000L,
+                     maxFilesPerCell: Double = 16.0): StreamingQuery = {
+    import graft.operators.Knn
+    val epochFn: (DataFrame, Long) => Unit = (batch, epochId) => {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      if (epochId > Knn.ivfLastEpoch(spark, path)) {
+        val b = batch.select("vec_id", "v")
+        val ups = b.filter($"v".isNotNull).localCheckpoint(true)
+        val dels = b.filter($"v".isNull).select($"vec_id")
+          .localCheckpoint(true)
+        // data probe, not a root probe: the stream's own checkpoint
+        // directory creates the root before the first batch arrives
+        val storeDir = new org.apache.hadoop.fs.Path(path)
+        val fs = storeDir
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val exists = fs.exists(storeDir) &&
+          fs.listStatus(storeDir).exists(_.getPath.getName.startsWith("cid="))
+        if (!exists) Knn.appendToIvfIndex(path, cents, ups)
+        else if (ups.count() > 0) Knn.upsertIvfIndex(spark, path, cents, ups)
+        if (dels.count() > 0) Knn.deleteFromIvfIndex(spark, path, dels)
+        Knn.writeIvfEpoch(spark, path, epochId)
+        Knn.maybeCompactIvf(spark, path, maxTombstones,
+          maxFilesPerCell): Unit
+      }
+    }
+    vectors.writeStream
+      .option("checkpointLocation", s"$path/_checkpoints")
+      .foreachBatch(epochFn)
+      .start()
+  }
+
   /** Start the ingestion stream into `storePath` (chunks under
     * /chunks partitioned by source, offsets under /_checkpoints). */
   def ingest(docs: DataFrame, storePath: String, maxTokens: Int = 64,

@@ -611,10 +611,10 @@ class GraftEngineSpec extends SparkSpec {
   test("store-serving defaults resolve to HYBRID; batch facade ≡ per-query loop") {
     import spark.implicits._
     val docs = Seq(
-      (1L, "the hash join wins big"),
-      (2L, "hash of the join table"),
-      (3L, "spark filters push down"),
-      (4L, "join the spark hash club")).toDF("doc_id", "text")
+      (1L, "the hash join wins big", "en"),
+      (2L, "hash of the join table", "en"),
+      (3L, "spark filters push down", "de"),
+      (4L, "join the spark hash club", "en")).toDF("doc_id", "text", "lang")
     val p = java.nio.file.Files
       .createTempDirectory("graft-eng-def").toString
     val e = new GraftEngine(spark, docs)
@@ -631,6 +631,12 @@ class GraftEngineSpec extends SparkSpec {
     assert(e.searchFromIndex(p, "hash join", alpha = 0.0)
       .columns.toSeq == Seq("doc_id", "score"),
       "alpha = 0 still opts down to the pure BM25 path")
+    // filters ride into the store call like the reference's Search:
+    // filter-first, same result as the scan path's search(filters)
+    assert(rows(e.searchFromIndex(p, "hash join",
+        filters = Map("lang" -> "en"))) ==
+      rows(e.search("hash join", filters = Map("lang" -> "en"))),
+      "filtered store serve must equal the scan path's filtered search")
     // batch facade: each qid block ≡ the per-query loop; one query-log
     // entry per query in the batch
     val qs = Seq(1L -> "hash join", 2L -> "spark filters")

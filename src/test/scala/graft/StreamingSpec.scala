@@ -1139,6 +1139,57 @@ class StreamingSpec extends SparkSpec {
     // one commit per epoch covered by the replay guard
     assert(TextIndex.lastEpoch(spark, idx) == 2L)
   }
+
+  test("streaming IVF maintenance: re-embeds replace across cells, deletes tombstone, auto-OPTIMIZE fires") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Knn
+
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivf-stream").toString
+    val p = root + "/index"
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val stream = MemoryStream[(Long, Seq[Double])]
+    // maxTombstones = 0: the delete epoch must trip the in-stream
+    // OPTIMIZE (physical drop + tombstone reset)
+    val query = IngestStream.ivfIndexStream(
+      stream.toDF().toDF("vec_id", "v"), p, cents,
+      maxTombstones = 0L, maxFilesPerCell = 100.0)
+    try {
+      // epoch 0 BUILDS under the frozen quantizer
+      stream.addData((1L, Seq(0.9, 0.1)), (2L, Seq(0.95, 0.05)),
+        (3L, Seq(0.1, 0.9)))
+      query.processAllAvailable()
+      // epoch 1: vector 1 re-embeds ACROSS cells (0→1); 4 is new
+      stream.addData((1L, Seq(0.1, 0.95)), (4L, Seq(0.05, 0.9)))
+      query.processAllAvailable()
+      // epoch 2: vector 2 is deleted (NULL-vector notice)
+      stream.addData((2L, null.asInstanceOf[Seq[Double]]))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val expect = root + "/expect"
+    Knn.appendToIvfIndex(expect, cents, Seq(
+      (1L, Seq(0.1, 0.95)), (3L, Seq(0.1, 0.9)), (4L, Seq(0.05, 0.9))
+    ).toDF("vec_id", "v"))
+    val q100 = Seq((100L, Seq(0.0, 1.0))).toDF("q_id", "qv")
+    def served(path: String) = Knn
+      .serveFromIvfIndex(spark, path, cents, q100, nprobe = 2, k = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(served(p) == served(expect),
+      "streamed store must serve each vector's LATEST version exactly")
+    // the cross-cell re-embed physically cleaned the old cell copy
+    assert(spark.read.parquet(p)
+      .filter($"vec_id" === 1L && $"cid" === 0).count() == 0,
+      "old cell copy of a moved vector must be gone")
+    // the tombstone-gated OPTIMIZE ran: 2 physically dropped, list reset
+    assert(spark.read.parquet(p).filter($"vec_id" === 2L).count() == 0,
+      "the in-stream OPTIMIZE must physically drop the delete")
+    assert(spark.read.parquet(s"$p/_tombstones").count() == 0)
+    // the replay guard recorded every committed epoch
+    assert(Knn.ivfLastEpoch(spark, p) == 2L)
+  }
 }
 
 /** Top-level (not nested in the spec) so the batch toDF() encoder
