@@ -504,7 +504,7 @@ object Knn {
     * the remove step clears any half-appended copies of the same
     * ids), so the marker only needs to gate WHOLE epochs, not stage
     * artifacts like the text index's versioned commits. */
-  def ivfLastEpoch(spark: SparkSession, path: String): Long = {
+  def storeLastEpoch(spark: SparkSession, path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_epoch")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) -1L
@@ -523,7 +523,7 @@ object Knn {
   /** Record the epoch AFTER its mutations landed — a crash before
     * this write replays the epoch, which converges (remove-then-add);
     * tmp + rename so readers never parse a torn marker. */
-  def writeIvfEpoch(spark: SparkSession, path: String, e: Long): Unit = {
+  def writeStoreEpoch(spark: SparkSession, path: String, e: Long): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(conf)
@@ -767,6 +767,45 @@ object Knn {
     * cases exercise (nodes pointing at them must bridge; the dead
     * nodes' own rows vanish). */
   private[graft] val GraphDeadIds = Seq(3L, 11L)
+
+  /** The session's STREAM-MAINTAINED kNN-graph store for `dir` —
+    * st18's gate: the a21 refined graph and its vectors bootstrap
+    * the co-located store (the batch-build → streaming-maintenance
+    * handoff), then ONE micro-batch of NULL-vector delete notices
+    * for [[GraphDeadIds]] arrives through
+    * [[graft.streaming.IngestStream.nnGraphStream]] — the
+    * FreshDiskANN delete-consolidation driven by a real stream.
+    * After the epoch the stored edge set IS a25's consolidated
+    * graph (which is why st18 reuses a25's oracle), and the dead
+    * vectors are gone from the companion table. */
+  def streamedGraphPath(spark: SparkSession, dir: String): String =
+    graft.TrainedModels.memo(spark, s"nn_graph_streamed:$dir") {
+      import spark.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_graph_stream").toString
+      val g = refinedGraph(spark, dir)
+      val vecs = base(spark, dir).select($"vec_id", $"v")
+      writeNnGraphStore(g, s"$root/graph")
+      writeNnVecStore(vecs, s"$root/vectors")
+      val payload = GraphDeadIds.toDF("vec_id")
+        .select($"vec_id", lit(null).cast("array<double>").as("v"))
+      val stage = s"$root/payload"
+      payload.write.parquet(stage)
+      val q = graft.streaming.IngestStream.nnGraphStream(
+        spark.readStream.schema(payload.schema).parquet(stage), root, k = 3)
+      try q.processAllAvailable() finally q.stop()
+      root
+    }
+
+  /** st18: the STREAM-MAINTAINED graph store's edge set — must equal
+    * a25's batch consolidation digit for digit (same shared build,
+    * same delete formula, driven through foreachBatch epochs with
+    * the replay marker); oracle IS a25's full-pipeline replay. */
+  def st18StreamedGraphDelete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    readNnGraphStore(spark, s"${streamedGraphPath(spark, dir)}/graph")
+      .orderBy($"q_id", $"vec_id")
+  }
 
   /** a25: kNN-graph DELETE with FreshDiskANN consolidation over the
     * SHARED refined graph (a21's build): dead nodes drop, every
@@ -2019,6 +2058,75 @@ object Knn {
       .write.mode("overwrite").partitionBy("nbucket").parquet(path)
   }
 
+  /** The graph store's companion VECTOR table — FreshDiskANN keeps
+    * vectors and adjacency co-located, and every graph mutation
+    * (insert's delta rerank, delete's consolidation rerank) reads
+    * vectors by id: rows land in vbucket = pmod(vec_id) directories,
+    * the same bucket discipline as the edges, so id-scoped
+    * upserts/deletes rewrite only their buckets. */
+  def writeNnVecStore(vecs: DataFrame, path: String): Unit = {
+    import vecs.sparkSession.implicits._
+    vecs.select($"vec_id", $"v")
+      .withColumn("vbucket", pmod($"vec_id", lit(GraphBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("vbucket").parquet(path)
+  }
+
+  def readNnVecStore(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(path).select($"vec_id", $"v")
+  }
+
+  /** Id-scoped vector upsert: arriving ids replace their old copies;
+    * only the touched vbuckets rewrite (dynamic overwrite — every
+    * touched bucket gains the arriving rows, so no bucket empties). */
+  def upsertNnVecStore(spark: SparkSession, path: String,
+                       vecs: DataFrame): Unit = {
+    import spark.implicits._
+    val d = vecs.select($"vec_id", $"v")
+      .withColumn("vbucket", pmod($"vec_id", lit(GraphBuckets.toLong)))
+    val survivors = spark.read.parquet(path)
+      .join(d.select($"vbucket").distinct(), Seq("vbucket"), "left_semi")
+      .join(d.select($"vec_id").distinct(), Seq("vec_id"), "left_anti")
+    d.unionByName(survivors.select(d.columns.map(col): _*))
+      .localCheckpoint(true)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("vbucket").parquet(path)
+  }
+
+  /** Id-scoped vector delete: the ids' buckets rewrite without them;
+    * a bucket whose every row died is explicitly dropped (dynamic
+    * overwrite can't write an empty partition — the
+    * rewriteTouchedCells rule). */
+  def deleteFromNnVecStore(spark: SparkSession, path: String,
+                           ids: DataFrame): Unit = {
+    import spark.implicits._
+    val dead = ids.select($"vec_id").distinct()
+      .withColumn("vbucket", pmod($"vec_id", lit(GraphBuckets.toLong)))
+      .localCheckpoint(true)
+    // re-derive vbucket with the shared pmod expression: the
+    // partition-DISCOVERED column comes back as Integer and the
+    // bucket bookkeeping below collects longs
+    val kept = spark.read.parquet(path)
+      .join(dead.select($"vbucket").distinct(), Seq("vbucket"), "left_semi")
+      .join(dead.select($"vec_id"), Seq("vec_id"), "left_anti")
+      .select($"vec_id", $"v",
+        pmod($"vec_id", lit(GraphBuckets.toLong)).as("vbucket"))
+      .localCheckpoint(true)
+    kept.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("vbucket").parquet(path)
+    val affB = dead.select($"vbucket").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val wrB = kept.select($"vbucket").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (affB -- wrB).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/vbucket=$b"), true): Unit
+    }
+  }
+
   /** Apply an [[appendToNnGraphDelta]] to the store: survivors of
     * the AFFECTED buckets are read (every other bucket is untouched
     * on disk), the rewritten nodes' old rows anti-join away, and
@@ -2398,6 +2506,7 @@ object Knn {
     "a23_graph_search_pq" -> ((s, d) => a23GraphSearchPq(s, d)),
     "a24_upserted_ivf" -> a24UpsertedIvf _,
     "st17_streamed_ivf" -> st17StreamedIvf _,
+    "st18_streamed_graph" -> st18StreamedGraphDelete _,
     "a25_graph_delete" -> a25GraphDelete _,
     "s2_vector_topk" -> s2VectorTopk _)
 
@@ -3254,6 +3363,10 @@ object Knn {
       // replay duplicate hash-fails
       ("st17_streamed_ivf" -> baseOracles("a1_knn_bruteforce")) +
       ("a25_graph_delete" -> a25Sql) +
+      // st18: the stream-maintained store's edge set must equal
+      // a25's batch consolidation — same shared build, same delete
+      // formula, through a real foreachBatch epoch
+      ("st18_streamed_graph" -> a25Sql) +
       ("a17_cascade_tuning" -> a17Sql) +
       ("a18_index_balance" ->
         s"""WITH ${kmeansCellsSqlFor(8)},

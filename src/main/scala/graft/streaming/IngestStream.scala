@@ -432,7 +432,7 @@ object IngestStream {
     val epochFn: (DataFrame, Long) => Unit = (batch, epochId) => {
       val spark = batch.sparkSession
       import spark.implicits._
-      if (epochId > Knn.ivfLastEpoch(spark, path)) {
+      if (epochId > Knn.storeLastEpoch(spark, path)) {
         val b = batch.select("vec_id", "v")
         val ups = b.filter($"v".isNotNull).localCheckpoint(true)
         val dels = b.filter($"v".isNull).select($"vec_id")
@@ -447,12 +447,93 @@ object IngestStream {
         if (!exists) Knn.appendToIvfIndex(path, cents, ups)
         else if (ups.count() > 0) Knn.upsertIvfIndex(spark, path, cents, ups)
         if (dels.count() > 0) Knn.deleteFromIvfIndex(spark, path, dels)
-        Knn.writeIvfEpoch(spark, path, epochId)
+        Knn.writeStoreEpoch(spark, path, epochId)
         Knn.maybeCompactIvf(spark, path, maxTombstones,
           maxFilesPerCell): Unit
       }
     }
     vectors.writeStream
+      .option("checkpointLocation", s"$path/_checkpoints")
+      .foreachBatch(epochFn)
+      .start()
+  }
+
+  /** STREAMING maintenance of the persisted kNN-GRAPH store plus its
+    * companion vector table — FreshDiskANN's freshness loop
+    * (Singh et al. 2021: StreamingMerge inserts + delete
+    * consolidation over a co-located vector/adjacency store) as a
+    * Structured Streaming query, completing maintenance symmetry
+    * across all three serving tiers (text: indexStream/
+    * upsertIndexStream/syncIndexStream; IVF: ivfIndexStream; graph:
+    * this). Micro-batches carry (vec_id, v) INSERTS — new vectors
+    * wire in via the incremental delta (LSH-seeded candidates +
+    * neighbor-of-neighbor refinement + back-patch, only the touched
+    * buckets rewrite) — and (vec_id, NULL) delete notices, applied
+    * as the delete-consolidation (dirty nodes re-rank over survivors
+    * ∪ bridges; dead vectors drop from the vector table). The first
+    * epoch BUILDS the graph from its own batch (the NN-Descent
+    * recipe). Per-epoch count-gated compaction; replay safety is the
+    * idempotent bucket rewrites plus the `_epoch` marker. */
+  def nnGraphStream(updates: DataFrame, path: String, k: Int = 3)
+      : StreamingQuery = {
+    import graft.operators.Knn
+    val graphPath = s"$path/graph"
+    val vecPath = s"$path/vectors"
+    val epochFn: (DataFrame, Long) => Unit = (batch, epochId) => {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      if (epochId > Knn.storeLastEpoch(spark, path)) {
+        val b = batch.select("vec_id", "v")
+        // the insert batch STAGES to parquet and is read back: the
+        // graph kernels union branches derived from one source, and
+        // Spark's Union constraint rewrite mis-maps in-memory
+        // (LocalRelation/LogicalRDD) lineage there ("key not found:
+        // vec_id") while file relations are fine — and a staged
+        // epoch batch is what a deployment has anyway
+        val upsRaw = b.filter($"v".isNotNull)
+        upsRaw.write.mode("overwrite").parquet(s"$path/_stage/ups")
+        val ups = spark.read.parquet(s"$path/_stage/ups")
+        val dels = b.filter($"v".isNull).select($"vec_id")
+          .localCheckpoint(true)
+        val gDir = new org.apache.hadoop.fs.Path(graphPath)
+        val fs = gDir
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val exists = fs.exists(gDir) && fs.listStatus(gDir)
+          .exists(_.getPath.getName.startsWith("nbucket="))
+        if (!exists) {
+          val init = Knn.knnJoinOf(ups, tables = 4, bits = 6, k = k,
+            bucketCap = 256).select($"q_id", $"vec_id")
+          val (g, _) = Knn.nnDescentBuild(ups.select($"vec_id", $"v"),
+            init, k, maxRounds = 2)
+          Knn.writeNnGraphStore(g.localCheckpoint(true), graphPath)
+          Knn.writeNnVecStore(ups, vecPath)
+        } else {
+          if (ups.count() > 0) {
+            val stored = Knn.readNnVecStore(spark, vecPath)
+            // re-embeds replace: the arriving copy wins in the
+            // union the delta reranks against
+            val all = stored
+              .join(ups.select($"vec_id"), Seq("vec_id"), "left_anti")
+              .unionByName(ups)
+              .localCheckpoint(true)
+            val delta = Knn.appendToNnGraphDelta(
+              Knn.readNnGraphStore(spark, graphPath), all,
+              ups.select($"vec_id"), k)
+            Knn.upsertNnGraphStore(spark, graphPath,
+              delta.localCheckpoint(true))
+            Knn.upsertNnVecStore(spark, vecPath, ups)
+          }
+          if (dels.count() > 0) {
+            Knn.deleteFromNnGraphStore(spark, graphPath, dels,
+              Knn.readNnVecStore(spark, vecPath), k)
+            Knn.deleteFromNnVecStore(spark, vecPath, dels)
+          }
+        }
+        Knn.writeStoreEpoch(spark, path, epochId)
+        Knn.maybeCompactNnGraph(spark, graphPath): Unit
+      }
+    }
+    updates.writeStream
       .option("checkpointLocation", s"$path/_checkpoints")
       .foreachBatch(epochFn)
       .start()

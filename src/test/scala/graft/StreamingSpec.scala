@@ -1188,7 +1188,63 @@ class StreamingSpec extends SparkSpec {
       "the in-stream OPTIMIZE must physically drop the delete")
     assert(spark.read.parquet(s"$p/_tombstones").count() == 0)
     // the replay guard recorded every committed epoch
-    assert(Knn.ivfLastEpoch(spark, p) == 2L)
+    assert(Knn.storeLastEpoch(spark, p) == 2L)
+  }
+
+  test("streaming graph maintenance: first-epoch build, insert delta, delete consolidation; vectors co-maintained") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Knn
+
+    // smooth 1-D angular chain: cosine is monotone in chain distance,
+    // so every kNN stage is deterministic
+    def pt(i: Int): (Long, Seq[Double]) =
+      (i.toLong, Seq(math.cos(i * 0.1), math.sin(i * 0.1)))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-graph-stream").toString
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val query = IngestStream.nnGraphStream(
+      stream.toDF().toDF("vec_id", "v"), root, k = 2)
+    try {
+      // epoch 0 BUILDS the graph from its own batch
+      stream.addData((0 to 7).map(pt): _*)
+      query.processAllAvailable()
+      // epoch 1 INSERTS two chain extensions through the delta path
+      stream.addData(pt(8), pt(9))
+      query.processAllAvailable()
+      // epoch 2 DELETES node 5 (NULL-vector notice) — consolidation
+      stream.addData((5L, null.asInstanceOf[Seq[Double]]))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // the batch twin, stage for stage (parquet-backed like the
+    // stream's staged batches — the in-memory-lineage Union
+    // constraint quirk the stream itself works around)
+    def staged(df: org.apache.spark.sql.DataFrame, name: String) = {
+      df.write.mode("overwrite").parquet(s"$root/_twin/$name")
+      spark.read.parquet(s"$root/_twin/$name")
+    }
+    val v0 = staged((0 to 7).map(pt).toDF("vec_id", "v"), "v0")
+    val all = staged((0 to 9).map(pt).toDF("vec_id", "v"), "all")
+    val init = Knn.knnJoinOf(v0, tables = 4, bits = 6, k = 2,
+      bucketCap = 256).select($"q_id", $"vec_id")
+    val (g0, _) = Knn.nnDescentBuild(v0, init, 2, maxRounds = 2)
+    val g1 = Knn.appendToNnGraph(g0.localCheckpoint(), all,
+      Seq(8L, 9L).toDF("vec_id"), 2)
+    val g2 = Knn.deleteFromNnGraph(g1.localCheckpoint(),
+      Seq(5L).toDF("vec_id"), all, 2)
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.select($"q_id", $"vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges(Knn.readNnGraphStore(spark, s"$root/graph")) == edges(g2),
+      "streamed store must equal the batch build→append→delete twin")
+    // the companion vector table tracked every mutation
+    val vids = Knn.readNnVecStore(spark, s"$root/vectors")
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(vids == (0 to 9).map(_.toLong).toSet - 5L,
+      s"vector table must hold the live ids, got $vids")
+    assert(Knn.storeLastEpoch(spark, root) == 2L)
   }
 }
 
