@@ -170,8 +170,9 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
     * a rebuild). Re-ingesting an existing doc_id needs the delete
     * first, like every append index here. */
   def appendToSearchIndex(path: String, newDocs: DataFrame): Unit =
-    // full rows ride through — TextIndex enforces column parity with
-    // the built index's docs/ schema
+    // full rows ride through; a batch carrying NEW metadata columns
+    // WIDENS the index schema (EnsureSchema's AddProperty,
+    // vector/schema.go) — older rows read the new columns as NULL
     graft.sources.TextIndex.append(newDocs, path)
 
   /** Search served FROM the persisted index — the query-latency
@@ -238,12 +239,15 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
                          correlationId: String = ""): Seq[org.apache.spark.sql.Row] = {
     val t0 = System.nanoTime()
     val terms = queryTermsOf(query)
-    val reranking = rerank && alpha > 0.0
+    // rerank applies at EVERY alpha — the reference service reranks
+    // whatever the store returned (service.go:112-130), BM25-only
+    // results included; at alpha = 0 the hybrid candidates degrade
+    // to the keyword leg and the rerank stage still reorders them
     val ranked =
-      if (reranking) searchRerankedFromIndex(path, query, alpha, limit)
+      if (rerank) searchRerankedFromIndex(path, query, alpha, limit)
       else searchFromIndex(path, query, alpha, limit)
     val order =
-      if (reranking)
+      if (rerank)
         Seq(col("rerank_score").desc, col("hybrid_score").desc,
           col("doc_id"))
       else

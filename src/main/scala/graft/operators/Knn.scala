@@ -160,14 +160,16 @@ object Knn {
     val bookMat = typedLit(books)
     val coded = withRes.withColumn("code",
       call_function("pq_encode", $"r", bookMat))
-    // probe: nprobe best cells per query by centroid cosine (same
-    // reverse-sort tie-break as ivfServe / the a4 oracle)
+    // probe: nprobe best cells per query by centroid cosine —
+    // (−score, index) ascending = score desc, index ASC on ties,
+    // the same first-max argmax assign() writes cells with (same
+    // tie-break as ivfServe / the a4 oracle)
     val probed = all.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"v".as("qv"))
       .withColumn("__scores", centroidScoresCol(spark, $"qv", cents))
-      .withColumn("probe", slice(reverse(array_sort(zip_with($"__scores",
+      .withColumn("probe", slice(array_sort(zip_with($"__scores",
         sequence(lit(0), lit(cents.length - 1)),
-        (s, i) => struct(s.as("s"), i.as("i"))))), 1, nprobe))
+        (s, i) => struct((-s).as("s"), i.as("i")))), 1, nprobe))
       .select($"q_id", $"qv", explode($"probe.i").as("cid"))
       .withColumn("rq", zip_with($"qv", element_at(centMat, $"cid" + 1),
         (a, b) => a - b))
@@ -429,12 +431,15 @@ object Knn {
     import cells.sparkSession.implicits._
     val queries = cells.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"v".as("qv"))
+    // (−score, index) ascending = score desc, index ASC on ties —
+    // the first-max tie-break assign() lands rows with, so a probe
+    // of a duplicated/tied centroid reads the populated cell
     val probed = queries
       .withColumn("__scores",
         centroidScoresCol(cells.sparkSession, $"qv", cents))
-      .withColumn("probe", slice(reverse(array_sort(zip_with($"__scores",
+      .withColumn("probe", slice(array_sort(zip_with($"__scores",
         sequence(lit(0), lit(cents.length - 1)),
-        (s, i) => struct(s.as("s"), i.as("i"))))), 1, nprobe))
+        (s, i) => struct((-s).as("s"), i.as("i")))), 1, nprobe))
       .select($"q_id", $"qv", explode($"probe.i").as("cid"))
     val w = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")
     cells.join(broadcast(probed), Seq("cid"))
@@ -504,42 +509,17 @@ object Knn {
     * the remove step clears any half-appended copies of the same
     * ids), so the marker only needs to gate WHOLE epochs, not stage
     * artifacts like the text index's versioned commits. */
-  def storeLastEpoch(spark: SparkSession, path: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/_epoch")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) -1L
-    else {
-      val in = fs.open(p)
-      try {
-        val out = new java.io.ByteArrayOutputStream(64)
-        val buf = new Array[Byte](64)
-        var n = in.read(buf)
-        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-        new String(out.toByteArray, "UTF-8").trim.toLong
-      } finally in.close()
-    }
-  }
+  def storeLastEpoch(spark: SparkSession, path: String): Long =
+    graft.sources.Markers.read(spark, s"$path/_epoch")
+      .map(_.toLong).getOrElse(-1L)
 
   /** Record the epoch AFTER its mutations landed — a crash before
     * this write replays the epoch, which converges (remove-then-add);
-    * tmp + rename so readers never parse a torn marker. */
-  def writeStoreEpoch(spark: SparkSession, path: String, e: Long): Unit = {
-    val conf = spark.sessionState.newHadoopConf()
-    val dir = new org.apache.hadoop.fs.Path(path)
-    val fs = dir.getFileSystem(conf)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/_epoch.tmp")
-    val ptr = new org.apache.hadoop.fs.Path(s"$path/_epoch")
-    val out = fs.create(tmp, true)
-    try out.write(e.toString.getBytes("UTF-8")) finally out.close()
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
-      fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch {
-      case _: UnsupportedOperationException | _: java.io.IOException =>
-        if (fs.exists(ptr)) fs.delete(ptr, false): Unit
-        require(fs.rename(tmp, ptr), s"IVF epoch marker flip failed for $path")
-    }
-  }
+    * the shared marker discipline ([[graft.sources.Markers]]) keeps
+    * readers off torn lines. */
+  def writeStoreEpoch(spark: SparkSession, path: String, e: Long): Unit =
+    graft.sources.Markers.write(spark, s"$path/_epoch", e.toString,
+      "ANN-store epoch marker")
 
   /** DELETE vectors from a written IVF store — the logical half of
     * the text index's lifecycle applied to the ANN side: the ids
@@ -553,6 +533,24 @@ object Knn {
     ivfTombstones(spark, path)
       .unionByName(ids.select($"vec_id"))
       .distinct()
+      .localCheckpoint(true)
+      .write.mode("overwrite").parquet(s"$path/_tombstones")
+  }
+
+  /** Remove `ids` from the tombstone list if one exists — the revive
+    * half of [[upsertIvfIndex]] on its own. The streaming first-BUILD
+    * path needs it: a delete notice can arrive before the store has
+    * any cells (epoch 0 carries only deletes), leaving a tombstone
+    * with no data; the later build epoch appends the id and must
+    * clear that tombstone or the vector stays invisible forever. */
+  def clearIvfTombstones(spark: SparkSession, path: String,
+                         ids: DataFrame): Unit = {
+    import spark.implicits._
+    val t = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    if (!t.getFileSystem(spark.sessionState.newHadoopConf()).exists(t))
+      return
+    ivfTombstones(spark, path)
+      .join(broadcast(ids.select($"vec_id")), Seq("vec_id"), "left_anti")
       .localCheckpoint(true)
       .write.mode("overwrite").parquet(s"$path/_tombstones")
   }
@@ -849,11 +847,15 @@ object Knn {
                         nprobe: Int = 2, k: Int = 5): DataFrame = {
     import spark.implicits._
     graft.plans.GraftFunctions.ensureRegistered(spark)
+    // (−score, index) ascending = score desc, index ASC on ties —
+    // assign()'s first-max argmax, so a tied/duplicated centroid
+    // probes the cell rows actually landed in (TextIndex.
+    // probedVectorRows made the same alignment for the hybrid legs)
     val probes = queries
       .withColumn("__scores", centroidScoresCol(spark, $"qv", cents))
-      .withColumn("probe", slice(reverse(array_sort(zip_with($"__scores",
+      .withColumn("probe", slice(array_sort(zip_with($"__scores",
         sequence(lit(0), lit(cents.length - 1)),
-        (s, i) => struct(s.as("s"), i.as("i"))))), 1, nprobe))
+        (s, i) => struct((-s).as("s"), i.as("i")))), 1, nprobe))
       .select($"q_id", $"qv", explode($"probe.i").as("cid"))
     val probedCids = probes.select($"cid").distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -931,9 +933,10 @@ object Knn {
     queries
       .withColumn("__scores",
         centroidScoresCol(queries.sparkSession, $"qv", cents))
-      .withColumn("probe", slice(reverse(array_sort(zip_with($"__scores",
+      // (−score, index) ascending: assign()'s first-max tie-break
+      .withColumn("probe", slice(array_sort(zip_with($"__scores",
         sequence(lit(0), lit(cents.length - 1)),
-        (s, i) => struct(s.as("s"), i.as("i"))))), 1,
+        (s, i) => struct((-s).as("s"), i.as("i")))), 1,
         math.min(nprobe, cents.length)))
       .select($"q_id", $"qv", $"q_label", explode($"probe.i").as("cid"))
   }
@@ -1604,11 +1607,13 @@ object Knn {
     val cells = assign(all, cents)
     val queries = cells.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"v".as("qv"))
+    // (−score, index) ascending = the first-max centroid ranking
+    // assign() uses, so crank depths agree with where rows landed
     val probed = queries
       .withColumn("__scores", centroidScoresCol(spark, $"qv", cents))
-      .withColumn("pr", reverse(array_sort(zip_with($"__scores",
+      .withColumn("pr", array_sort(zip_with($"__scores",
         sequence(lit(0), lit(cents.length - 1)),
-        (s, i) => struct(s.as("s"), i.as("i"))))))
+        (s, i) => struct((-s).as("s"), i.as("i")))))
       .select($"q_id", $"qv", posexplode($"pr.i"))
       .select($"q_id", $"qv", ($"pos" + 1).as("crank"), $"col".as("cid"))
     val cand = graft.Caches.persist(
@@ -2703,7 +2708,7 @@ object Knn {
        |probe AS (
        |  SELECT q_id, qv, cid FROM (
        |    SELECT q_id, qv, cid,
-       |      row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, cid DESC) AS p_rnk
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, cid) AS p_rnk
        |    FROM pscore) WHERE p_rnk <= 2),
        |qres AS (
        |  SELECT q_id, qv, probe.cid,
@@ -3483,7 +3488,7 @@ object Knn {
          |probe AS (
          |  SELECT q_id, qv, cid FROM (
          |    SELECT q_id, qv, cid,
-         |      row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, cid DESC) AS p_rnk
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, cid) AS p_rnk
          |    FROM pscore) WHERE p_rnk <= 4),
          |scored AS (
          |  SELECT p.q_id, ce.vec_id, ${cos("p.qv", "b.v")} AS cosine_raw
@@ -3498,7 +3503,8 @@ object Knn {
          |FROM ranked WHERE rnk <= 5
          |ORDER BY q_id, rnk""".stripMargin,
     // the full k=8 Lloyd replay, then ONE centroid ranking per query
-    // (a4's cs DESC, cid DESC ties), every candidate tagged with the
+    // (a4's cs DESC, cid ASC ties — assign()'s first-max), every
+    // candidate tagged with the
     // depth it becomes visible at, the whole grid one theta join
     "a19_nprobe_sweep" ->
       s"""WITH $kmeansCellsSql,
@@ -3508,7 +3514,7 @@ object Knn {
          |  FROM q CROSS JOIN c3 c),
          |prank AS (
          |  SELECT q_id, qv, cid,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, cid DESC) AS crank
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, cid) AS crank
          |  FROM pscore),
          |cand AS (
          |  SELECT p.q_id, ce.vec_id, p.crank, ${cos("p.qv", "b.v")} AS cosine_raw
@@ -3562,7 +3568,7 @@ object Knn {
          |probe AS (
          |  SELECT q_id, qv, cid FROM (
          |    SELECT q_id, qv, cid,
-         |      row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, cid DESC) AS p_rnk
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, cid) AS p_rnk
          |    FROM pscore) WHERE p_rnk <= 2),
          |scored AS (
          |  SELECT p.q_id, ce.vec_id, ${cos("p.qv", "b.v")} AS cosine_raw

@@ -31,6 +31,11 @@ object Compaction {
     import spark.implicits._
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // a store that hasn't had its first build yet (e.g. a stream
+    // whose first epochs carried only delete notices) lists empty
+    if (!fs.exists(rootPath))
+      return Seq.empty[(String, String, Long)]
+        .toDF("partition", "path", "bytes")
     val it = fs.listFiles(rootPath, true)
     val rows = Iterator.continually(it)
       .takeWhile(_.hasNext).map(_.next())

@@ -104,29 +104,15 @@ object TextIndex {
   }
 
   private[graft] def readCommit(spark: SparkSession,
-                                path: String): Option[Commit] = {
-    val (fs, _) = hadoop(spark, path)
-    val ptr = new org.apache.hadoop.fs.Path(s"$path/_commit")
-    if (!fs.exists(ptr)) None
-    else {
-      val in = fs.open(ptr)
-      val line =
-        try {
-          // read to EOF — a single read() may return short on some
-          // FileSystems (and -1 on an empty file), which would parse
-          // a torn marker line
-          val out = new java.io.ByteArrayOutputStream(128)
-          val buf = new Array[Byte](128)
-          var n = in.read(buf)
-          while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-          new String(out.toByteArray, "UTF-8").trim
-        } finally in.close()
+                                path: String): Option[Commit] =
+    // Markers.read reads to EOF — a short read / empty file would
+    // otherwise parse a torn marker line
+    Markers.read(spark, s"$path/_commit").map { line =>
       val p = line.split("\\s+")
       require(p.length == 4 && p.forall(_.matches("-?\\d+")),
         s"torn or malformed commit marker at $path/_commit: '$line'")
-      Some(Commit(p(0).toLong, p(1).toLong, p(2).toLong, p(3).toLong))
+      Commit(p(0).toLong, p(1).toLong, p(2).toLong, p(3).toLong)
     }
-  }
 
   private def commitOf(spark: SparkSession, path: String): Commit =
     readCommit(spark, path).getOrElse(throw new IllegalArgumentException(
@@ -139,31 +125,10 @@ object TextIndex {
     * the delete+rename fallback applies (single-writer contract,
     * like every store here). */
   private def writeMarker(spark: SparkSession, path: String,
-                          c: Commit): Unit = {
-    val (fs, dir) = hadoop(spark, path)
-    val conf = spark.sessionState.newHadoopConf()
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/_commit.tmp")
-    val ptr = new org.apache.hadoop.fs.Path(s"$path/_commit")
-    val out = fs.create(tmp, true)
-    try out.write(s"${c.seq} ${c.minBatch} ${c.maxBatch} ${c.lastEpoch}"
-      .getBytes("UTF-8"))
-    finally out.close()
-    val swapped =
-      try {
-        val fc = org.apache.hadoop.fs.FileContext
-          .getFileContext(dir.toUri, conf)
-        fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-        true
-      } catch {
-        case _: UnsupportedOperationException | _: java.io.IOException =>
-          false
-      }
-    if (!swapped) {
-      if (fs.exists(ptr)) fs.delete(ptr, false): Unit
-      require(fs.rename(tmp, ptr),
-        s"text-index commit flip failed for $path")
-    }
-  }
+                          c: Commit): Unit =
+    Markers.write(spark, s"$path/_commit",
+      s"${c.seq} ${c.minBatch} ${c.maxBatch} ${c.lastEpoch}",
+      "text-index commit")
 
   /** True once a first build committed — the existence probe
     * streaming maintenance uses (a marker read, not a directory
@@ -359,7 +324,65 @@ object TextIndex {
       .orderBy($"cid").select($"cv").as[Seq[Double]].collect().toSeq
   }
 
+  /** The committed `docs/` schema, persisted as a versioned ZERO-ROW
+    * parquet (`dschema/v=seq` — the footer is the schema; nothing
+    * else is stored). This is what makes METADATA SCHEMA EVOLUTION
+    * (vector/schema.go EnsureSchema's AddProperty: new properties
+    * appear, old objects read nil) serveable without per-query
+    * footer merging: every docs read applies this schema explicitly,
+    * so batches written before a column existed fill it with NULL at
+    * scan time — no mergeSchema cost, no backfill rewrite. */
+  private def writeDocsSchema(spark: SparkSession, path: String,
+                              seq: Long,
+                              schema: org.apache.spark.sql.types.StructType)
+      : Unit =
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode("overwrite").parquet(s"$path/dschema/v=$seq")
+
+  /** [[docsOf]]'s schema plus the two partition columns the batch
+    * writer adds — the shape a docs read resolves. */
+  private def withPartCols(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    StructType(s.fields ++
+      Seq(StructField("dbucket", LongType), StructField("batch", LongType))
+        .filterNot(f => s.fieldNames.contains(f.name)))
+  }
+
+  /** The committed docs schema — falls back to the raw footer for an
+    * index written before the artifact existed. */
+  private def docsSchemaOf(spark: SparkSession, path: String,
+                           c: Commit): org.apache.spark.sql.types.StructType = {
+    val (fs, _) = hadoop(spark, path)
+    val d = new org.apache.hadoop.fs.Path(s"$path/dschema/v=${c.seq}")
+    if (fs.exists(d)) spark.read.parquet(s"$path/dschema/v=${c.seq}").schema
+    else spark.read.parquet(s"$path/docs").schema
+  }
+
   // -------------------------------------------------------- build --
+
+  /** Names the index claims on the corpus row: bookkeeping columns
+    * written next to the metadata (`batch`, `dbucket`) and the
+    * tokenized fan-out's derived columns. A user metadata column
+    * with one of these names would be silently REPLACED (`batch` —
+    * then store-served filters match internal batch numbers, not
+    * the user's values) or raise a duplicate-column error deep in
+    * the build — so the public build/mutate entry points reject the
+    * collision loudly instead. The reference's chunk rows
+    * (store.go:105 — url, title, content, chunk_index…) never
+    * collide. */
+  private val ReservedCorpusCols =
+    Set("batch", "dbucket", "dl", "nlt", "nlb", "tok", "ttok", "btok")
+
+  private def validateCorpus(corpus: DataFrame): Unit = {
+    val bad = corpus.columns.filter(c => ReservedCorpusCols(c.toLowerCase))
+    require(bad.isEmpty,
+      s"corpus metadata column(s) ${bad.mkString(", ")} collide with " +
+        s"reserved index bookkeeping names " +
+        s"${ReservedCorpusCols.toSeq.sorted.mkString(", ")} — rename " +
+        "them before indexing")
+  }
 
   /** Build the full index from a (doc_id, text, metadata…) corpus —
     * ONE tokenized scan fans out into the artifacts, then the commit
@@ -372,6 +395,7 @@ object TextIndex {
             withVectors: Boolean = true, epochId: Long = -1L): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    validateCorpus(corpus)
     val toks = tokenize(corpus).persist()
     try {
       val postings = postingsOf(toks).persist()
@@ -408,6 +432,7 @@ object TextIndex {
       // scan path's doubles bit-for-bit
       writeVersioned(batchStatsOf(toks), path, "stats", 1L)
       writeVersioned(emptyTombstones(spark), path, "tombstones", 1L)
+      writeDocsSchema(spark, path, 1L, withPartCols(docsOf(toks).schema))
       writeMarker(spark, path, Commit(1L, 0L, 0L, epochId))
     } finally toks.unpersist()
   }
@@ -443,6 +468,7 @@ object TextIndex {
                                  minPrefix: Int, maxPrefix: Int,
                                  kComplete: Int, epochId: Long,
                                  flip: Boolean): Unit = {
+    newDocs.foreach(validateCorpus)
     val spark = delIds.orElse(newDocs).map(_.sparkSession)
       .getOrElse(throw new IllegalArgumentException(
         "applyChange needs deletes and/or new documents"))
@@ -475,13 +501,28 @@ object TextIndex {
     // ---- add side
     val toks = newDocs.map(tokenize(_).persist())
     val addPost = toks.map(postingsOf(_).persist())
+    // METADATA SCHEMA EVOLUTION (vector/schema.go EnsureSchema's
+    // AddProperty): a batch may carry NEW metadata columns — the
+    // committed schema widens and older batches read them as NULL
+    // (the explicit-schema read in readBatched); a batch may OMIT
+    // known columns — its rows read them as NULL the same way. A
+    // column re-arriving under a DIFFERENT type is the one illegal
+    // shape (Weaviate rejects property type changes too).
+    var docsSchema2 = docsSchemaOf(spark, path, c)
     try {
       toks.zip(addPost).foreach { case (t, p) =>
-        val existing = spark.read.parquet(s"$path/docs").columns.toSet
-        val incoming = docsOf(t).columns.toSet + "batch" + "dbucket"
-        require(incoming == existing,
-          s"append batch docs columns ${incoming.toSeq.sorted} must match " +
-            s"the index's ${existing.toSeq.sorted}")
+        val incoming = withPartCols(docsOf(t).schema)
+        incoming.fields.foreach { f =>
+          docsSchema2.fields.find(_.name == f.name).foreach { ef =>
+            require(ef.dataType == f.dataType,
+              s"metadata column '${f.name}' arrives as ${f.dataType} " +
+                s"but the index holds ${ef.dataType} — property types " +
+                "cannot change")
+          }
+        }
+        docsSchema2 = org.apache.spark.sql.types.StructType(
+          docsSchema2.fields ++ incoming.fields.filterNot(f =>
+            docsSchema2.fieldNames.contains(f.name)))
         writeBatch(spark, path, newBatch, p, fieldedOf(t), docsOf(t),
           dynamic = true)
         writeVectorBatch(spark, path, newBatch, vectorsOf(t),
@@ -552,8 +593,10 @@ object TextIndex {
       }
       writeVersioned(tomb2, path, "tombstones", seq2)
 
-      // quantizer carries forward frozen
+      // quantizer carries forward frozen; the docs schema carries
+      // forward possibly WIDENED (the AddProperty merge above)
       writeCents(spark, path, seq2, readCents(spark, path, c))
+      writeDocsSchema(spark, path, seq2, docsSchema2)
 
       if (flip)
         writeMarker(spark, path, Commit(seq2, c.minBatch,
@@ -641,8 +684,16 @@ object TextIndex {
   private def readBatched(spark: SparkSession, path: String, name: String,
                           c: Commit): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$path/$name")
-      .filter($"batch".between(c.minBatch, c.maxBatch))
+    val r =
+      if (name == "docs")
+        // the COMMITTED schema applies explicitly: batches written
+        // before a metadata column evolved into the index read it as
+        // NULL (parquet's missing-column contract), and the plan
+        // never pays per-query mergeSchema footer reads
+        spark.read.schema(docsSchemaOf(spark, path, c))
+          .parquet(s"$path/docs")
+      else spark.read.parquet(s"$path/$name")
+    r.filter($"batch".between(c.minBatch, c.maxBatch))
   }
 
   private[graft] def forwardLive(spark: SparkSession, path: String,
@@ -1117,6 +1168,26 @@ object TextIndex {
     liveRows(readBatched(spark, path, "content", commitOf(spark, path)),
       tombstonesOf(spark, path, commitOf(spark, path)))
 
+  /** The stored-fields rows of an id SET (DataFrame form — the CDC
+    * stream's change-detect read, where the batch can be too large
+    * to collect): the ids' dbuckets collect (bounded ≤ [[DocBuckets]]
+    * values) into partition filters and the id match stays a
+    * DISTRIBUTED semi join inside the pruned buckets —
+    * contentForIds' pruning without its driver-side id collect. */
+  def contentForIdSet(spark: SparkSession, path: String,
+                      ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    val c = commitOf(spark, path)
+    val idCol = ids.select($"doc_id")
+    val dbs = idCol.select(dbucket($"doc_id").as("db")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    liveRows(readBatched(spark, path, "content", c)
+        .filter($"dbucket".isin(dbs: _*)),
+      tombstonesOf(spark, path, c))
+      .join(idCol, Seq("doc_id"), "left_semi")
+      .select($"doc_id", $"text")
+  }
+
   /** RENDER a ranked hit list from the STORED FIELDS — the
     * SearchResult.Content contract (retrieval/service.go:11,114-120:
     * every hit returns chunk content to the client and the reranker)
@@ -1426,6 +1497,7 @@ object TextIndex {
       path, "stats", seq2)
     writeVersioned(emptyTombstones(spark), path, "tombstones", seq2)
     writeCents(spark, path, seq2, readCents(spark, path, c))
+    writeDocsSchema(spark, path, seq2, docsSchemaOf(spark, path, c))
     writeMarker(spark, path, Commit(seq2, nb, nb, c.lastEpoch))
   }
 
@@ -1474,8 +1546,8 @@ object TextIndex {
     Seq("postings", "fielded", "forward", "docs", "content", "vectors")
       .foreach(a =>
         clean(a, "batch=", b => b >= c.minBatch && b <= c.maxBatch))
-    Seq("vocab", "prefixes", "stats", "tombstones", "vcents").foreach(a =>
-      clean(a, "v=", v => v == c.seq))
+    Seq("vocab", "prefixes", "stats", "tombstones", "vcents", "dschema")
+      .foreach(a => clean(a, "v=", v => v == c.seq))
     dropped.toSeq
   }
 }

@@ -380,15 +380,27 @@ object IngestStream {
       val spark = batch.sparkSession
       import spark.implicits._
       val b = batch.select("doc_id", "text")
-      if (!graft.sources.TextIndex.exists(spark, indexPath))
-        graft.sources.TextIndex.write(b.filter($"text".isNotNull),
+      if (!graft.sources.TextIndex.exists(spark, indexPath)) {
+        // delete wins inside the epoch: a page fetched AND deleted in
+        // the same first batch must not land in the fresh index (the
+        // else branch gets the same semantics from sync, whose delete
+        // ids tombstone the whole epoch)
+        val dels0 = b.filter($"text".isNull).select($"doc_id")
+        graft.sources.TextIndex.write(
+          b.filter($"text".isNotNull)
+            .join(dels0, Seq("doc_id"), "left_anti"),
           indexPath, withVectors = false, epochId = epochId)
+      }
       else if (epochId > graft.sources.TextIndex.lastEpoch(spark, indexPath)) {
         val pages = b.filter($"text".isNotNull).localCheckpoint(true)
         val dels = b.filter($"text".isNull).select($"doc_id")
           .localCheckpoint(true)
-        val stored = graft.sources.TextIndex.contentTable(spark, indexPath)
-          .join(pages.select($"doc_id"), Seq("doc_id"), "left_semi")
+        // batch-bounded stored-fields read: the pages' dbuckets prune
+        // the content/ partitions and the id match stays a
+        // distributed semi join (contentForIdSet) — never a full
+        // stored-fields scan per epoch
+        val stored = graft.sources.TextIndex
+          .contentForIdSet(spark, indexPath, pages.select($"doc_id"))
           .select($"doc_id".cast("string").as("page_key"),
             md5($"text").as("body_hash"))
         val fresh = pages.select($"doc_id".cast("string").as("page_key"),
@@ -444,7 +456,14 @@ object IngestStream {
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val exists = fs.exists(storeDir) &&
           fs.listStatus(storeDir).exists(_.getPath.getName.startsWith("cid="))
-        if (!exists) Knn.appendToIvfIndex(path, cents, ups)
+        if (!exists) {
+          Knn.appendToIvfIndex(path, cents, ups)
+          // a delete-only epoch can precede the first build, leaving
+          // tombstones with no cells; the arriving ids revive exactly
+          // like upsertIvfIndex's tombstone clear (same-batch deletes
+          // still win — they re-tombstone below, AFTER this)
+          Knn.clearIvfTombstones(spark, path, ups.select($"vec_id"))
+        }
         else if (ups.count() > 0) Knn.upsertIvfIndex(spark, path, cents, ups)
         if (dels.count() > 0) Knn.deleteFromIvfIndex(spark, path, dels)
         Knn.writeStoreEpoch(spark, path, epochId)
@@ -472,8 +491,24 @@ object IngestStream {
     * as the delete-consolidation (dirty nodes re-rank over survivors
     * ∪ bridges; dead vectors drop from the vector table). The first
     * epoch BUILDS the graph from its own batch (the NN-Descent
-    * recipe). Per-epoch count-gated compaction; replay safety is the
-    * idempotent bucket rewrites plus the `_epoch` marker. */
+    * recipe), with same-batch delete notices excluded (delete wins
+    * inside an epoch, like the other two tiers). Per-epoch
+    * count-gated compaction.
+    *
+    * Replay contract: the `_epoch` marker gates COMMITTED epochs
+    * (never applied twice), and a crashed half-epoch replays as
+    * REMOVE-THEN-ADD — arriving ids already present in the vector
+    * store (a replayed half-epoch, or a re-embed) are
+    * delete-consolidated out of both stores first, so the delta
+    * always computes against a graph without the batch. The
+    * replayed state is a valid consolidated graph (k best-available
+    * edges per node, no dangling edges, no duplicates); it is NOT
+    * promised digit-equal to the uncrashed application — the same
+    * contract FreshDiskANN's crash recovery gives (Singh et al.
+    * 2021 §3.4: rebuild the delta from the last durable snapshot).
+    * Remove-then-add is also what makes RE-EMBEDS correct here:
+    * stale inbound edges scored against the old vector are
+    * consolidated away rather than surviving untouched. */
   def nnGraphStream(updates: DataFrame, path: String, k: Int = 3)
       : StreamingQuery = {
     import graft.operators.Knn
@@ -490,38 +525,65 @@ object IngestStream {
         // (LocalRelation/LogicalRDD) lineage there ("key not found:
         // vec_id") while file relations are fine — and a staged
         // epoch batch is what a deployment has anyway
-        val upsRaw = b.filter($"v".isNotNull)
-        upsRaw.write.mode("overwrite").parquet(s"$path/_stage/ups")
+        val delsRaw = b.filter($"v".isNull).select($"vec_id")
+        // delete wins inside an epoch: a vector inserted AND deleted
+        // in the same batch never enters the stores (and an existing
+        // copy still deletes below) — applied at staging so BOTH
+        // branches read the file-backed, already-filtered batch
+        b.filter($"v".isNotNull)
+          .join(delsRaw, Seq("vec_id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$path/_stage/ups")
         val ups = spark.read.parquet(s"$path/_stage/ups")
-        val dels = b.filter($"v".isNull).select($"vec_id")
-          .localCheckpoint(true)
+        val dels = delsRaw.localCheckpoint(true)
         val gDir = new org.apache.hadoop.fs.Path(graphPath)
         val fs = gDir
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val exists = fs.exists(gDir) && fs.listStatus(gDir)
           .exists(_.getPath.getName.startsWith("nbucket="))
         if (!exists) {
-          val init = Knn.knnJoinOf(ups, tables = 4, bits = 6, k = k,
-            bucketCap = 256).select($"q_id", $"vec_id")
-          val (g, _) = Knn.nnDescentBuild(ups.select($"vec_id", $"v"),
-            init, k, maxRounds = 2)
-          Knn.writeNnGraphStore(g.localCheckpoint(true), graphPath)
-          Knn.writeNnVecStore(ups, vecPath)
+          // delete notices against a store that doesn't exist yet
+          // are no-ops (graph deletes are physical — there is
+          // nothing to hide behind); a delete-only first epoch just
+          // advances the marker
+          if (ups.count() > 0) {
+            val init = Knn.knnJoinOf(ups, tables = 4, bits = 6, k = k,
+              bucketCap = 256).select($"q_id", $"vec_id")
+            val (g, _) = Knn.nnDescentBuild(ups.select($"vec_id", $"v"),
+              init, k, maxRounds = 2)
+            Knn.writeNnGraphStore(g.localCheckpoint(true), graphPath)
+            Knn.writeNnVecStore(ups, vecPath)
+          }
         } else {
           if (ups.count() > 0) {
+            // REMOVE-THEN-ADD (the replay/re-embed contract above):
+            // arriving ids already present consolidate out first
             val stored = Knn.readNnVecStore(spark, vecPath)
-            // re-embeds replace: the arriving copy wins in the
-            // union the delta reranks against
-            val all = stored
-              .join(ups.select($"vec_id"), Seq("vec_id"), "left_anti")
-              .unionByName(ups)
+            val present = stored
+              .join(ups.select($"vec_id"), Seq("vec_id"), "left_semi")
+              .select($"vec_id").localCheckpoint(true)
+            if (present.count() > 0) {
+              Knn.deleteFromNnGraphStore(spark, graphPath, present,
+                stored, k)
+              Knn.deleteFromNnVecStore(spark, vecPath, present)
+            }
+            // vectors land BEFORE the edge delta: a crash between
+            // the two replays as remove-then-add (the present check
+            // sees the half-applied ids), never as a second delta
+            // over an already-patched graph
+            Knn.upsertNnVecStore(spark, vecPath, ups)
+            // the checkpoint is a CACHE-ISOLATION boundary, not a
+            // lineage fix: the delta kernels persist their vector
+            // side, and a persisted raw file-relation of this
+            // MUTABLE path would plan-match a later epoch's fresh
+            // read onto the stale file listing (reading bucket files
+            // a later delete removed)
+            val all = Knn.readNnVecStore(spark, vecPath)
               .localCheckpoint(true)
             val delta = Knn.appendToNnGraphDelta(
               Knn.readNnGraphStore(spark, graphPath), all,
               ups.select($"vec_id"), k)
             Knn.upsertNnGraphStore(spark, graphPath,
               delta.localCheckpoint(true))
-            Knn.upsertNnVecStore(spark, vecPath, ups)
           }
           if (dels.count() > 0) {
             Knn.deleteFromNnGraphStore(spark, graphPath, dels,

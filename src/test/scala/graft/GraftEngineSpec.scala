@@ -661,6 +661,15 @@ class GraftEngineSpec extends SparkSpec {
       e.searchRerankedFromIndex(p, "hash join", limit = 3)
         .collect().map(_.getLong(0)).toSeq,
       "rendered order must follow the store-served rerank")
+    // an explicit rerank applies at alpha = 0 too — the reference
+    // service reranks whatever the store returned, BM25-only
+    // included (service.go:112-130); it must not be silently dropped
+    val rr0 = e.runSearchFromIndex(p, "hash join", alpha = 0.0,
+      limit = 3, rerank = true)
+    assert(rr0.nonEmpty && rr0.head.schema.fieldNames.contains("rerank_score"),
+      "alpha = 0 with rerank = true must still rerank the BM25 hits")
+    val rr0Scores = rr0.map(_.getAs[Double]("rerank_score"))
+    assert(rr0Scores == rr0Scores.sorted.reverse)
     Caches.releaseAll()
   }
 }

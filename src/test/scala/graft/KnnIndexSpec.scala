@@ -352,4 +352,27 @@ class KnnIndexSpec extends SparkSpec {
     assert(maxFilesPer(gp) == 1, "one file per bucket after the rewrite")
     Caches.releaseAll()
   }
+
+  test("probe tie-break matches assign's first-max on duplicated centroids") {
+    // a degenerate quantizer (an emptied Lloyd cluster duplicates a
+    // centroid) ties every query's centroid scores; assign() lands
+    // all rows in the LOWER-index cell, so the probe must rank that
+    // cell first — the higher-index twin is empty and an index-DESC
+    // tie-break would serve nothing at nprobe=1
+    val p = s"$tmp/ivf_ties"
+    val cents = Seq(Seq(1.0, 0.0), Seq(1.0, 0.0))
+    val vecs = Seq((1L, Seq(0.9, 0.1)), (2L, Seq(0.8, 0.2)),
+      (3L, Seq(0.7, 0.3))).toDF("vec_id", "v")
+    Knn.appendToIvfIndex(p, cents, vecs)
+    val dirs = new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith("cid=")).map(_.getName).toSeq
+    assert(dirs == Seq("cid=0"), s"assign must land every row in cell 0: $dirs")
+    val q = Seq((100L, Seq(1.0, 0.0))).toDF("q_id", "qv")
+    val pruned = Knn.serveFromIvfIndex(spark, p, cents, q, nprobe = 1, k = 3)
+      .collect().map(_.toSeq).toSeq
+    val exhaustive = Knn.serveFromIvfIndex(spark, p, cents, q,
+      nprobe = 2, k = 3).collect().map(_.toSeq).toSeq
+    assert(pruned.length == 3 && pruned == exhaustive,
+      "nprobe=1 must probe the populated tied cell")
+  }
 }

@@ -1246,6 +1246,115 @@ class StreamingSpec extends SparkSpec {
       s"vector table must hold the live ids, got $vids")
     assert(Knn.storeLastEpoch(spark, root) == 2L)
   }
+
+  test("streaming IVF: a delete notice preceding the first build must not hide the later insert") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Knn
+
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-ivf-pre-del").toString + "/index"
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val query = IngestStream.ivfIndexStream(
+      stream.toDF().toDF("vec_id", "v"), p, cents,
+      maxTombstones = 100L, maxFilesPerCell = 100.0)
+    try {
+      // epoch 0: ONLY a delete notice — the store has no cells yet,
+      // so the id tombstones with no data behind it
+      stream.addData((7L, null.asInstanceOf[Seq[Double]]))
+      query.processAllAvailable()
+      assert(spark.read.parquet(s"$p/_tombstones").count() == 1)
+      // epoch 1: the first INSERTS arrive, including the id deleted
+      // above — the build path must revive it (the upsert rule:
+      // a delete followed by a later re-add serves the re-add)
+      stream.addData((7L, Seq(0.9, 0.1)), (8L, Seq(0.1, 0.9)))
+      query.processAllAvailable()
+    } finally query.stop()
+    val served = Knn.serveFromIvfIndex(spark, p, cents,
+        Seq((100L, Seq(1.0, 0.0))).toDF("q_id", "qv"), nprobe = 2, k = 5)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(served == Set(7L, 8L),
+      s"the re-added id must serve after the stale tombstone, got $served")
+    assert(Knn.storeLastEpoch(spark, p) == 1L)
+  }
+
+  test("streaming graph: delete wins inside the build epoch; re-delivered inserts remove-then-add") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Knn
+
+    def pt(i: Int): (Long, Seq[Double]) =
+      (i.toLong, Seq(math.cos(i * 0.1), math.sin(i * 0.1)))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-graph-rta").toString
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val query = IngestStream.nnGraphStream(
+      stream.toDF().toDF("vec_id", "v"), root, k = 2)
+    try {
+      // epoch 0: inserts 0..5 PLUS a delete notice for 3 in the same
+      // batch — delete wins, 3 never enters either store
+      stream.addData(((0 to 5).map(pt) :+
+        (3L, null.asInstanceOf[Seq[Double]])): _*)
+      query.processAllAvailable()
+      val v0 = Knn.readNnVecStore(spark, s"$root/vectors")
+        .select($"vec_id").collect().map(_.getLong(0)).toSet
+      assert(v0 == Set(0L, 1L, 2L, 4L, 5L),
+        s"same-batch delete must win at build, got $v0")
+      // epoch 1: id 4 re-delivers with a CHANGED vector (a re-embed —
+      // the same shape a replayed half-epoch has; still near the
+      // chain so the LSH seeding finds its buckets) plus a new id 6
+      stream.addData((4L, Seq(math.cos(0.45), math.sin(0.45))), pt(6))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val vecs = Knn.readNnVecStore(spark, s"$root/vectors")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    // exactly one copy of the re-embedded id, carrying the NEW vector
+    assert(vecs.count(_._1 == 4L) == 1, "remove-then-add: single copy")
+    assert(vecs.find(_._1 == 4L).get._2.head == math.cos(0.45))
+    val g = Knn.readNnGraphStore(spark, s"$root/graph")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val live = vecs.map(_._1).toSet
+    assert(live == Set(0L, 1L, 2L, 4L, 5L, 6L))
+    // graph validity: every endpoint live, ≤k edges per source, no
+    // duplicate edges, and both touched ids present as sources
+    assert(g.forall { case (q, v) => live(q) && live(v) && q != v },
+      "no edge may reference a dead or duplicate node")
+    assert(g.groupBy(_._1).forall(_._2.size <= 2), "degree bound k=2")
+    assert(g.distinct.size == g.size, "no duplicate edges")
+    assert(g.exists(_._1 == 4L) && g.exists(_._1 == 6L),
+      "re-embedded and new nodes must both be wired in")
+    assert(Knn.storeLastEpoch(spark, root) == 1L)
+  }
+
+  test("CDC sync stream: delete wins inside the first build epoch") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.TextIndex
+
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-ti-sync-bd").toString + "/index"
+    val stream = MemoryStream[(Long, String)]
+    val query = IngestStream.syncIndexStream(
+      stream.toDF().toDF("doc_id", "text"), idx)
+    try {
+      // first batch: two fetches plus a delete notice for one of
+      // them — the fresh index must only hold the surviving page
+      stream.addData((1L, "spark joins filter tables"),
+        (2L, "page two text"), (2L, null.asInstanceOf[String]))
+      query.processAllAvailable()
+    } finally query.stop()
+    val served = TextIndex.bm25Serve(spark, idx, Seq("spark"))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(served == Set(1L))
+    assert(TextIndex.contentTable(spark, idx)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet == Set(1L),
+      "the deleted page must not be in the stored fields")
+  }
 }
 
 /** Top-level (not nested in the spec) so the batch toDF() encoder

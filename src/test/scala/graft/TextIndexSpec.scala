@@ -615,4 +615,65 @@ class TextIndexSpec extends SparkSpec {
       TextIndex.readCommit(spark, p))
     assert(e2.getMessage.contains("commit marker"))
   }
+
+  test("corpus metadata colliding with bookkeeping names is rejected loudly") {
+    import spark.implicits._
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-ti-reserved").toString
+    // 'batch' would be silently REPLACED by the internal batch
+    // number (store-served filters would then match the wrong
+    // values); 'tok' would duplicate the tokenizer's column
+    for (bad <- Seq("batch", "tok")) {
+      val df = Seq((1L, "some text", "x")).toDF("doc_id", "text", bad)
+      val e = intercept[IllegalArgumentException](TextIndex.write(df, p))
+      assert(e.getMessage.contains(bad), s"error must name '$bad'")
+    }
+    // the append/upsert path rejects the same collision
+    TextIndex.write(Seq((1L, "some text", "ok"))
+      .toDF("doc_id", "text", "lang"), p)
+    val e3 = intercept[IllegalArgumentException](TextIndex.append(
+      Seq((2L, "more text", 7L)).toDF("doc_id", "text", "dbucket"), p))
+    assert(e3.getMessage.contains("dbucket"))
+  }
+
+  test("metadata schema EVOLVES on append: new columns widen, old rows read NULL") {
+    import spark.implicits._
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-ti-evolve").toString
+    TextIndex.write(Seq((1L, "alpha beta", "en"))
+      .toDF("doc_id", "text", "lang"), p)
+    // AddProperty: the appended batch carries a NEW metadata column
+    TextIndex.append(Seq((2L, "alpha gamma", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source"), p)
+    // filters on the evolved column hit only rows that carry it
+    val hit = TextIndex.filteredServe(spark, p, "alpha",
+      Map("source" -> "web")).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(hit == Set(2L), s"evolved-column filter must match, got $hit")
+    // rows written BEFORE the column existed read it as NULL
+    val rows = TextIndex.chunksServe(spark, p, Map("lang" -> "en"))
+      .orderBy($"doc_id").collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    assert(rows.head.isNullAt(rows.head.fieldIndex("source")),
+      "pre-evolution rows must read the new column as NULL")
+    assert(rows(1).getAs[String]("source") == "web")
+    // a batch OMITTING a known column pads it with NULL the same way
+    TextIndex.append(Seq((3L, "alpha delta")).toDF("doc_id", "text"), p)
+    val en = TextIndex.chunksServe(spark, p, Map("lang" -> "en"))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(en == Set(1L, 2L), "the omitting batch's row has NULL lang")
+    // a property TYPE change is the one illegal evolution
+    val e = intercept[IllegalArgumentException](TextIndex.append(
+      Seq((4L, "alpha epsilon", 7L)).toDF("doc_id", "text", "lang"), p))
+    assert(e.getMessage.contains("lang"))
+    // ranking artifacts are untouched by evolution: BM25 still serves
+    // every live doc
+    assert(TextIndex.bm25Serve(spark, p, Seq("alpha"))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 3L))
+    // compaction consolidates the widened schema and keeps serving
+    TextIndex.compact(spark, p)
+    assert(TextIndex.chunksServe(spark, p, Map("source" -> "web"))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
+  }
 }
