@@ -125,6 +125,12 @@ object Bench {
     operators.HybridSearch.upsertedIndexPath(spark, sfDir)
     val (tubDt, tuDt) = operators.HybridSearch
       .upsertedIndexTimings(spark, sfDir).getOrElse((0.0, 0.0))
+    // the schema-EVOLUTION variant (s32 reads): narrow-metadata
+    // precursor build on its _base line, the widening append (the
+    // EnsureSchema AddProperty commit) on its own
+    operators.HybridSearch.evolvedIndexPath(spark, sfDir)
+    val (tebDt, tevDt) = operators.HybridSearch
+      .evolvedIndexTimings(spark, sfDir).getOrElse((0.0, 0.0))
     // the streamed CDC variant (st16 reads): the stale precursor
     // bills on its _base line, the streaming sync epoch (classify +
     // one-commit upsert/delete + in-stream compaction) on its own
@@ -191,6 +197,8 @@ object Bench {
       ("_ivf_compact" -> icDt) +
       ("_text_index_upsert_base" -> tubDt) +
       ("_text_index_upsert" -> tuDt) +
+      ("_text_index_evolve_base" -> tebDt) +
+      ("_text_index_evolve" -> tevDt) +
       ("_text_index_sync_base" -> tsbDt) +
       ("_text_index_sync_stream" -> tssDt) +
       ("_text_index_compact_plan" -> tcpDt)

@@ -1055,6 +1055,63 @@ object HybridSearch {
       p
     }
 
+  /** (base-build seconds, evolve-append seconds) recorded by the
+    * [[evolvedIndexPath]] memo — Bench bills the schema-evolving
+    * append on its own line, the narrow precursor build on a `_base`
+    * line (the bb pattern). */
+  private val evolveTimings =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (Double, Double)]()
+
+  def evolvedIndexTimings(spark: SparkSession,
+                          dir: String): Option[(Double, Double)] =
+    Option(evolveTimings.get((spark, dir)))
+
+  /** The session's SCHEMA-EVOLVED text index — vector/schema.go
+    * EnsureSchema's AddProperty exercised on the serving index
+    * itself: the even doc_ids build the index when only `lang`
+    * metadata existed, then the odd doc_ids append carrying the
+    * LATER-ADDED `source` + `n_chars` properties. The committed docs
+    * schema widens in the append's commit; pre-evolution rows read
+    * the new columns as NULL through the explicit-schema docs read
+    * (no mergeSchema, no backfill rewrite — the parquet
+    * missing-column contract does the work). */
+  def evolvedIndexPath(spark: SparkSession, dir: String): String =
+    graft.TrainedModels.memo(spark, s"text_index_evolved:$dir") {
+      import spark.implicits._
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_text_index_evo").toString
+      val docs = Tables.documents(spark, dir)
+      val t0 = System.nanoTime()
+      graft.sources.TextIndex.write(
+        docs.filter($"doc_id" % 2 === 0)
+          .select($"doc_id", $"text", $"lang"),
+        p, withVectors = false)
+      val t1 = System.nanoTime()
+      graft.sources.TextIndex.append(
+        docs.filter($"doc_id" % 2 === 1)
+          .select($"doc_id", $"text", $"lang", $"source", $"n_chars"), p)
+      val t2 = System.nanoTime()
+      evolveTimings.put((spark, dir), ((t1 - t0) / 1e9, (t2 - t1) / 1e9))
+      p
+    }
+
+  /** s32: store-served chunk retrieval THROUGH a schema evolution —
+    * the filter column did not exist when half the index was built:
+    * rows from the pre-evolution batches read `source` as NULL and
+    * fall out of the equality; rows from the evolved batch carry
+    * their true metadata. The oracle replays the same split on the
+    * raw corpus, so the widened commit, the NULL semantics, and the
+    * stored-fields round trip all hash-gate together. */
+  def s32EvolvedSchema(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.TextIndex.chunksServe(
+        spark, evolvedIndexPath(spark, dir), Map("source" -> "src3"))
+      .select($"doc_id", $"lang", $"source", $"n_chars",
+        md5($"text").as("content_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** s22: BM25 served from an UPSERTED index — the CDC loop closed:
     * half the index was built from stale text, change detection
     * found exactly those pages, and upsert (delete + append in one
@@ -1071,6 +1128,7 @@ object HybridSearch {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s32_evolved_schema" -> s32EvolvedSchema _,
     "s31_chunks_from_store" -> s31ChunksFromStore _,
     "s30_reranked_from_index" -> s30RerankedFromIndex _,
     "s29_batch_hybrid" -> s29BatchHybrid _,
@@ -1402,6 +1460,15 @@ object HybridSearch {
     // corpus-scan read — same page, same order, same content hashes
     ("s31_chunks_from_store" ->
       graft.operators.ChunkQueries.oracles("c6_chunks_by_url")) +
+    // s32: the evolved-schema read — pre-evolution rows (even ids)
+    // read the later-added columns as NULL and fall out of the
+    // equality filter; the oracle replays the same split on the raw
+    // corpus, so rows/values/hash gate the evolution end to end
+    ("s32_evolved_schema" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS content_md5
+        |FROM documents
+        |WHERE doc_id % 2 = 1 AND source = 'src3'
+        |ORDER BY doc_id""".stripMargin) +
     // s29: the batched HYBRID replay — the s28 keyword pipeline per
     // qid, a per-qid poly-BoW query vector against the per-doc
     // vectors, per-qid candidate cuts, per-qid min-max fusion
