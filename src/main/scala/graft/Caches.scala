@@ -52,6 +52,23 @@ object Caches {
     tracked.clear()
   }
 
+  /** Run `body` and release the per-query handles it registered —
+    * the long-running-process form of [[releaseAll]] (a streaming
+    * epoch that calls kernels with internal diamonds must not let
+    * one persisted vector-table copy per epoch accumulate for the
+    * stream's lifetime). Handles registered CONCURRENTLY by another
+    * query land in the scope and release early — semantically safe
+    * (persist is a performance hint), and the single-writer
+    * maintenance streams this serves don't interleave. */
+  def scoped[T](body: => T): T = {
+    val mark = synchronized(tracked.length)
+    try body
+    finally synchronized {
+      tracked.drop(mark).foreach(_.unpersist(false))
+      tracked.remove(mark, math.max(0, tracked.length - mark))
+    }
+  }
+
   /** Unpersist the shared scans (process shutdown / corpus switch).
     * Scans owned by an already-stopped session are dropped silently. */
   def releaseShared(): Unit = synchronized {

@@ -169,7 +169,7 @@ object Knn {
       .withColumn("__scores", centroidScoresCol(spark, $"qv", cents))
       .withColumn("probe", slice(array_sort(zip_with($"__scores",
         sequence(lit(0), lit(cents.length - 1)),
-        (s, i) => struct((-s).as("s"), i.as("i")))), 1, nprobe))
+        (s, i) => probeKey(s, i))), 1, nprobe))
       .select($"q_id", $"qv", explode($"probe.i").as("cid"))
       .withColumn("rq", zip_with($"qv", element_at(centMat, $"cid" + 1),
         (a, b) => a - b))
@@ -365,6 +365,17 @@ object Knn {
       call_function("centroid_scores_bc", qv, lit(bcHandle(spark, cents)))
   }
 
+  /** The (−score, index) struct every probe site sorts ASCENDING —
+    * one definition so the ranking can't drift from [[assign]]'s
+    * first-max argmax (score desc, index ASC on ties), INCLUDING the
+    * NaN edge: NearestCentroid orders NaN greatest (a NaN-scoring
+    * centroid wins assignment), but −NaN is still NaN and would sort
+    * LAST ascending — so a NaN score maps to −∞ and ranks first,
+    * exactly where the rows landed. */
+  private[graft] def probeKey(s: Column, i: Column): Column =
+    struct(when(isnan(s), lit(Double.NegativeInfinity)).otherwise(-s)
+      .as("s"), i.as("i"))
+
   /** Nearest-centroid assignment: adds a `cid` column, no join, no
     * shuffle. Shared with d7's semantic dedup, whose blocking
     * structure is this same trained quantizer. */
@@ -439,7 +450,7 @@ object Knn {
         centroidScoresCol(cells.sparkSession, $"qv", cents))
       .withColumn("probe", slice(array_sort(zip_with($"__scores",
         sequence(lit(0), lit(cents.length - 1)),
-        (s, i) => struct((-s).as("s"), i.as("i")))), 1, nprobe))
+        (s, i) => probeKey(s, i))), 1, nprobe))
       .select($"q_id", $"qv", explode($"probe.i").as("cid"))
     val w = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")
     cells.join(broadcast(probed), Seq("cid"))
@@ -855,7 +866,7 @@ object Knn {
       .withColumn("__scores", centroidScoresCol(spark, $"qv", cents))
       .withColumn("probe", slice(array_sort(zip_with($"__scores",
         sequence(lit(0), lit(cents.length - 1)),
-        (s, i) => struct((-s).as("s"), i.as("i")))), 1, nprobe))
+        (s, i) => probeKey(s, i))), 1, nprobe))
       .select($"q_id", $"qv", explode($"probe.i").as("cid"))
     val probedCids = probes.select($"cid").distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -936,7 +947,7 @@ object Knn {
       // (−score, index) ascending: assign()'s first-max tie-break
       .withColumn("probe", slice(array_sort(zip_with($"__scores",
         sequence(lit(0), lit(cents.length - 1)),
-        (s, i) => struct((-s).as("s"), i.as("i")))), 1,
+        (s, i) => probeKey(s, i))), 1,
         math.min(nprobe, cents.length)))
       .select($"q_id", $"qv", $"q_label", explode($"probe.i").as("cid"))
   }
@@ -1613,7 +1624,7 @@ object Knn {
       .withColumn("__scores", centroidScoresCol(spark, $"qv", cents))
       .withColumn("pr", array_sort(zip_with($"__scores",
         sequence(lit(0), lit(cents.length - 1)),
-        (s, i) => struct((-s).as("s"), i.as("i")))))
+        (s, i) => probeKey(s, i))))
       .select($"q_id", $"qv", posexplode($"pr.i"))
       .select($"q_id", $"qv", ($"pos" + 1).as("crank"), $"col".as("cid"))
     val cand = graft.Caches.persist(

@@ -351,13 +351,20 @@ object TextIndex {
   }
 
   /** The committed docs schema — falls back to the raw footer for an
-    * index written before the artifact existed. */
+    * index written before the artifact existed, NORMALIZING the
+    * partition columns to the long types [[withPartCols]] declares
+    * (partition discovery infers them as int, which would trip the
+    * evolution type check on every append to a pre-artifact index). */
   private def docsSchemaOf(spark: SparkSession, path: String,
                            c: Commit): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{LongType, StructType}
     val (fs, _) = hadoop(spark, path)
     val d = new org.apache.hadoop.fs.Path(s"$path/dschema/v=${c.seq}")
     if (fs.exists(d)) spark.read.parquet(s"$path/dschema/v=${c.seq}").schema
-    else spark.read.parquet(s"$path/docs").schema
+    else StructType(spark.read.parquet(s"$path/docs").schema.fields.map(f =>
+      if (f.name == "batch" || f.name == "dbucket")
+        f.copy(dataType = LongType)
+      else f))
   }
 
   // -------------------------------------------------------- build --
@@ -512,17 +519,22 @@ object TextIndex {
     try {
       toks.zip(addPost).foreach { case (t, p) =>
         val incoming = withPartCols(docsOf(t).schema)
+        // name matching is CASE-INSENSITIVE, like Spark's own column
+        // resolution — a case-variant arrival must hit the type
+        // check, not silently commit a duplicate field that makes
+        // every later explicit-schema docs read throw
         incoming.fields.foreach { f =>
-          docsSchema2.fields.find(_.name == f.name).foreach { ef =>
-            require(ef.dataType == f.dataType,
-              s"metadata column '${f.name}' arrives as ${f.dataType} " +
-                s"but the index holds ${ef.dataType} — property types " +
-                "cannot change")
-          }
+          docsSchema2.fields.find(_.name.equalsIgnoreCase(f.name))
+            .foreach { ef =>
+              require(ef.dataType == f.dataType,
+                s"metadata column '${f.name}' arrives as ${f.dataType} " +
+                  s"but the index holds ${ef.dataType} — property types " +
+                  "cannot change")
+            }
         }
         docsSchema2 = org.apache.spark.sql.types.StructType(
           docsSchema2.fields ++ incoming.fields.filterNot(f =>
-            docsSchema2.fieldNames.contains(f.name)))
+            docsSchema2.fields.exists(_.name.equalsIgnoreCase(f.name))))
         writeBatch(spark, path, newBatch, p, fieldedOf(t), docsOf(t),
           dynamic = true)
         writeVectorBatch(spark, path, newBatch, vectorsOf(t),
@@ -925,7 +937,7 @@ object TextIndex {
           Knn.centroidScoresCol(spark,
             graft.functions.VectorFunctions.asDouble($"qv"), cents),
           sequence(lit(0), lit(cents.length - 1)),
-          (s, i) => struct((-s).as("s"), i.as("i")))), 1, nprobe)).as("pr"))
+          (s, i) => Knn.probeKey(s, i))), 1, nprobe)).as("pr"))
         .select($"pr"("i"))
         .distinct()
         .collect().map(_.getInt(0)).toSeq
@@ -1240,8 +1252,28 @@ object TextIndex {
                   candidates: Int = 50,
                   nprobe: Int = Int.MaxValue): DataFrame = {
     import spark.implicits._
-    val cands = hybridServe(spark, path, queryTerms, alpha, limit,
-      fusion, candidates, nprobe)
+    // the service reranks whatever the store SEARCH returned
+    // (service.go:112-130); at alpha = 0 that is the BM25 leg alone —
+    // routing through the hybrid fusion there would let vector-only
+    // candidates (hybrid_score 0 via the full outer join) fill the
+    // limit and be reranked above genuine keyword hits
+    val ranked0 =
+      if (alpha > 0.0)
+        hybridServe(spark, path, queryTerms, alpha, limit, fusion,
+          candidates, nprobe)
+      else {
+        val kw = bm25Serve(spark, path, queryTerms)
+          .orderBy($"score".desc, $"doc_id").limit(candidates)
+          .select($"doc_id", $"score".as("kw_score"))
+        val emptyVec = spark.range(0)
+          .select($"id".as("doc_id"), lit(0.0).as("v_score"))
+        // the SHARED fusion expression with an absent vector leg —
+        // same hybrid_score normalization, keyword docs only
+        if (fusion == "ranked")
+          HybridSearch.fuseRanked(kw, emptyVec, alpha, limit)
+        else HybridSearch.fuseRelative(kw, emptyVec, alpha, limit)
+      }
+    val cands = ranked0
       .localCheckpoint(true) // ranked once; read for ids AND the join
     val ids = cands.select($"doc_id").collect().map(_.getLong(0)).toSeq
     val toks = contentForIds(spark, path, commitOf(spark, path), ids)

@@ -514,7 +514,11 @@ object IngestStream {
     import graft.operators.Knn
     val graphPath = s"$path/graph"
     val vecPath = s"$path/vectors"
-    val epochFn: (DataFrame, Long) => Unit = (batch, epochId) => {
+    // Caches.scoped: the descent/delta kernels persist their vector
+    // side per call — without a per-epoch release, a long-running
+    // stream accumulates one pinned vector-table copy per epoch
+    val epochFn: (DataFrame, Long) => Unit = (batch, epochId) =>
+      graft.Caches.scoped {
       val spark = batch.sparkSession
       import spark.implicits._
       if (epochId > Knn.storeLastEpoch(spark, path)) {
@@ -550,8 +554,13 @@ object IngestStream {
               bucketCap = 256).select($"q_id", $"vec_id")
             val (g, _) = Knn.nnDescentBuild(ups.select($"vec_id", $"v"),
               init, k, maxRounds = 2)
-            Knn.writeNnGraphStore(g.localCheckpoint(true), graphPath)
+            // vectors FIRST: the exists probe is on the graph dir, so
+            // a crash between the writes replays into the build
+            // branch (graph absent) and rewrites both; graph-first
+            // would replay into the else branch and read a vector
+            // store that was never written
             Knn.writeNnVecStore(ups, vecPath)
+            Knn.writeNnGraphStore(g.localCheckpoint(true), graphPath)
           }
         } else {
           if (ups.count() > 0) {

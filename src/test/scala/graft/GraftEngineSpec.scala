@@ -670,6 +670,13 @@ class GraftEngineSpec extends SparkSpec {
       "alpha = 0 with rerank = true must still rerank the BM25 hits")
     val rr0Scores = rr0.map(_.getAs[Double]("rerank_score"))
     assert(rr0Scores == rr0Scores.sorted.reverse)
+    // the rerank stage REORDERS the BM25 result set, it must not
+    // CHANGE it: no vector-only candidate may enter through the
+    // hybrid fusion's full outer join at alpha = 0
+    val bm25Ids = e.searchFromIndex(p, "hash join", alpha = 0.0,
+      limit = 3).collect().map(_.getLong(0)).toSet
+    assert(rr0.map(_.getAs[Long]("doc_id")).toSet == bm25Ids,
+      "alpha = 0 rerank candidates must be exactly the BM25 hits")
     Caches.releaseAll()
   }
 }

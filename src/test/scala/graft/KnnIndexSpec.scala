@@ -375,4 +375,59 @@ class KnnIndexSpec extends SparkSpec {
     assert(pruned.length == 3 && pruned == exhaustive,
       "nprobe=1 must probe the populated tied cell")
   }
+
+  test("probe ranks a NaN-scoring centroid first, where assign landed the rows") {
+    // a centroid carrying a NaN COMPONENT (a corrupt retrain
+    // artifact — the zero-denominator case is guarded to 0.0 in the
+    // kernels, NaN components are not) scores NaN against every
+    // query; NearestCentroid orders NaN greatest, so assign() lands
+    // ALL rows in that cell — the probe must rank it first (−NaN
+    // would sort LAST in the ascending (−score, index) key; the
+    // probeKey −∞ mapping keeps them aligned)
+    val p = s"$tmp/ivf_nan"
+    val cents = Seq(Seq(Double.NaN, 0.0), Seq(1.0, 0.0))
+    val vecs = Seq((1L, Seq(0.9, 0.1)), (2L, Seq(0.8, 0.2)))
+      .toDF("vec_id", "v")
+    Knn.appendToIvfIndex(p, cents, vecs)
+    val dirs = new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith("cid=")).map(_.getName).toSeq
+    assert(dirs == Seq("cid=0"),
+      s"assign must land every row in the NaN cell: $dirs")
+    val got = Knn.serveFromIvfIndex(spark, p, cents,
+        Seq((100L, Seq(1.0, 0.0))).toDF("q_id", "qv"), nprobe = 1, k = 2)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L),
+      s"nprobe=1 must probe the NaN cell rows landed in, got $got")
+  }
+
+  test("IVF replay converges: re-applying an epoch's mutations is serve-identical") {
+    // the streaming replay contract in one spec: a crashed epoch
+    // re-runs its remove-then-add — applying the SAME upsert (and
+    // the same delete) twice must leave the store serve-identical
+    // with single physical copies, or the at-least-once guard is a
+    // lie
+    val p = s"$tmp/ivf_replay"
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    Knn.appendToIvfIndex(p, cents, Seq(
+      (1L, Seq(0.9, 0.1)), (2L, Seq(0.1, 0.9)), (3L, Seq(0.95, 0.05))
+    ).toDF("vec_id", "v"))
+    // the epoch: vector 1 re-embeds ACROSS cells, vector 2 deletes
+    val ups = Seq((1L, Seq(0.05, 0.9))).toDF("vec_id", "v")
+    def applyEpoch(): Unit = {
+      Knn.upsertIvfIndex(spark, p, cents, ups)
+      Knn.deleteFromIvfIndex(spark, p, Seq(2L).toDF("vec_id"))
+    }
+    applyEpoch()
+    val q = Seq((100L, Seq(0.0, 1.0)), (101L, Seq(1.0, 0.0)))
+      .toDF("q_id", "qv")
+    def served = Knn.serveFromIvfIndex(spark, p, cents, q, nprobe = 2,
+      k = 5).collect().map(_.toSeq).toSeq
+    val once = served
+    applyEpoch() // the replay
+    assert(served == once, "replayed epoch must be serve-identical")
+    assert(spark.read.parquet(p).filter($"vec_id" === 1L).count() == 1,
+      "remove-then-add must leave exactly one physical copy")
+    assert(spark.read.parquet(s"$p/_tombstones").count() == 1,
+      "the delete's tombstone is idempotent under replay")
+  }
 }

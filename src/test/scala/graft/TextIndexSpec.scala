@@ -676,4 +676,32 @@ class TextIndexSpec extends SparkSpec {
     assert(TextIndex.chunksServe(spark, p, Map("source" -> "web"))
       .select($"doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
   }
+
+  test("evolution edge cases: pre-artifact fallback append; case-variant column") {
+    import spark.implicits._
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-ti-evo-edge").toString
+    TextIndex.write(Seq((1L, "alpha beta", "en"))
+      .toDF("doc_id", "text", "lang"), p)
+    // simulate an index written BEFORE the dschema artifact existed:
+    // the fallback footer schema types batch/dbucket as int and must
+    // not trip the property-type check
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p/dschema"), true)
+    TextIndex.append(Seq((2L, "alpha gamma", "en"))
+      .toDF("doc_id", "text", "lang"), p)
+    assert(TextIndex.bm25Serve(spark, p, Seq("alpha"))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L),
+      "append to a pre-artifact index must work through the fallback")
+    // a CASE-VARIANT arrival of a known column resolves to it (Spark
+    // resolution is case-insensitive) instead of committing a
+    // duplicate field that would poison every later docs read
+    TextIndex.append(Seq((3L, "alpha delta", "de"))
+      .toDF("doc_id", "text", "Lang"), p)
+    val langs = TextIndex.chunksServe(spark, p, Map("lang" -> "de"))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(langs == Set(3L),
+      s"case-variant batch must serve through the original column, got $langs")
+  }
 }
