@@ -319,33 +319,41 @@ object HybridSearch {
     // method's list AND define the ideal ranking
     val rel = graft.Caches.persist(emb.crossJoin(broadcast(qvec))
       .select($"doc_id", greatest(V.cosineD($"embedding", $"qv"), lit(0.0)).as("rel")))
-    // Top-k via TakeOrderedAndProject (orderBy+limit), rank index
-    // assigned AFTER the bounded k-row collect — never a
-    // partition-less window over the full score set (the t5 rule).
-    def ranked(df: DataFrame, scoreCol: String): DataFrame = {
-      val top = df.orderBy(col(scoreCol).desc, $"doc_id")
-        .limit(k).select($"doc_id").collect().map(_.getLong(0))
-      top.zipWithIndex.toSeq
-        .map { case (id, i) => (id, (i + 1).toLong) }
-        .toDF("doc_id", "rnk")
-    }
-    val ideal = ranked(rel, "rel")
-    def dcgOf(name: String, r: DataFrame): DataFrame =
-      r.join(rel, Seq("doc_id"), "left")
-        .agg(sum(coalesce($"rel", lit(0.0)) / log2($"rnk" + 1)).as("dcg"))
-        .select(lit(name).as("method"), $"dcg")
-    val idcg = dcgOf("vector_exact", ideal).select($"dcg".as("idcg"))
-    // s4's rerank carries its own composite order (rerank desc,
-    // hybrid desc, doc_id) — its final_rank IS the ranking
-    val reranked = s4Rerank(spark, dir).filter($"final_rank" <= k)
-      .select($"doc_id", $"final_rank".as("rnk"))
-    dcgOf("bm25", ranked(bm25(spark, dir), "score"))
-      .union(dcgOf("fielded", ranked(s13FieldedBm25(spark, dir), "score")))
-      .union(dcgOf("hybrid", ranked(s3HybridSearch(spark, dir), "hybrid_score")))
-      .union(dcgOf("reranked", reranked))
-      .union(dcgOf("rrf", ranked(s6RrfFusion(spark, dir), "rrf_score")))
-      .union(dcgOf("vector_exact", ideal))
-      .crossJoin(broadcast(idcg))
+    // ONE job scores the whole panel: every method's ranking is a
+    // branch of a single union, ranked top-k by a method-PARTITIONED
+    // window (TopKPerKey's PartialTopK/FinalTopK heap rewrite — no
+    // sort, no partition-less window), so the five pipelines'
+    // stages overlap on the scheduler instead of running as
+    // sequential per-method collect jobs. s4's rerank carries its
+    // own composite order (rerank desc, hybrid desc, doc_id) — its
+    // final_rank IS the ranking and unions in below.
+    val legs = Seq(
+      ("bm25", bm25(spark, dir), "score"),
+      ("fielded", s13FieldedBm25(spark, dir), "score"),
+      ("hybrid", s3HybridSearch(spark, dir), "hybrid_score"),
+      ("rrf", s6RrfFusion(spark, dir), "rrf_score"),
+      ("vector_exact", rel, "rel"))
+    val tagged = legs.map { case (n, df, c) =>
+        df.select(lit(n).as("method"), $"doc_id",
+          col(c).cast("double").as("s"))
+      }.reduce(_ unionByName _)
+    val wM = Window.partitionBy($"method").orderBy($"s".desc, $"doc_id")
+    val rankedAll = tagged
+      .withColumn("rnk", row_number().over(wM))
+      .filter($"rnk" <= k)
+      .select($"method", $"doc_id", $"rnk".cast("long").as("rnk"))
+      .unionByName(s4Rerank(spark, dir).filter($"final_rank" <= k)
+        .select(lit("reranked").as("method"), $"doc_id",
+          $"final_rank".as("rnk")))
+      // ≤ methods×k rows, read by BOTH the per-method DCG agg and
+      // the idcg branch — checkpointing runs the panel job ONCE
+      .localCheckpoint(true)
+    val dcgs = rankedAll.join(rel, Seq("doc_id"), "left")
+      .groupBy($"method")
+      .agg(sum(coalesce($"rel", lit(0.0)) / log2($"rnk" + 1)).as("dcg"))
+    val idcg = dcgs.filter($"method" === "vector_exact")
+      .select($"dcg".as("idcg"))
+    dcgs.crossJoin(broadcast(idcg))
       .select($"method", round($"dcg", 4).as("dcg_at_10"),
         round($"dcg" / $"idcg", 4).as("ndcg_at_10"))
       .orderBy($"method")

@@ -2486,11 +2486,20 @@ object Knn {
       // the NN-Descent graph walk (a22): what the build-once edge
       // table + beam serving recover, in the same panel
       ("graph", a22GraphSearch(spark, dir))
-    all.map { case (name, df) =>
-      val hits = df.select($"q_id", $"vec_id")
-        .join(exact, Seq("q_id", "vec_id"), "left_semi").count()
-      (name, hits, possible)
-    }.toDF("method", "hits", "possible")
+    // ONE job scores the whole panel: the nine method pipelines are
+    // independent DAG branches of a single union, so their stages
+    // overlap on the scheduler instead of running as nine sequential
+    // count() jobs — same hits per method, roughly the slowest
+    // branch's wall time instead of the sum
+    val hitRows = all.map { case (name, df) =>
+        df.select(lit(name).as("method"), $"q_id", $"vec_id")
+      }.reduce(_ unionByName _)
+      .join(exact, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy($"method").agg(count(lit(1)).as("hits"))
+    all.map(_._1).toDF("method")
+      .join(hitRows, Seq("method"), "left")
+      .select($"method", coalesce($"hits", lit(0L)).as("hits"),
+        lit(possible).as("possible"))
       .withColumn("recall_at_5",
         round($"hits".cast("double") / $"possible", 4))
       .orderBy($"method")

@@ -16,13 +16,18 @@
 # round's new serving specs (s30 rerank final_rank windows over <=10
 # rows, the nprobe pruned-vs-exhaustive fusion runs, keyword-only
 # batch-hybrid fusion windows — all bounded rank/fusion windows of
-# the audited family) and pinned 905, cutting the old 80-line slack
-# to 13). The COUNT may not grow past the pin: raising the pin
+# the audited family) and pinned 905; the r13 continuation measured
+# 910 and pinned 920 (slack 10): s8's eval panel now runs all five
+# method pipelines as ONE union job (5.2s -> ~3.5s), and the
+# concurrent branches can race the shared cached kw/vec legs, each
+# re-executing that leg's bounded <=candidates-row fusion windows —
+# +9 audited bounded-window executions per s8 run, zero new window
+# SHAPES). The COUNT may not grow past the pin: raising the pin
 # requires auditing the new window and saying so in SURVEY.md's
 # session log.
 set -u
 LOG=${1:?usage: warn_gate.sh <suite-log> [pin]}
-PIN=${2:-905}
+PIN=${2:-920}
 N=$(grep -c "No Partition Defined" "$LOG" || true)
 echo "No-Partition-Defined warnings: $N (pin $PIN)"
 if [ "$N" -gt "$PIN" ]; then
