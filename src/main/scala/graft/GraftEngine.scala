@@ -148,11 +148,16 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
       .select(col("doc_id"), col("score"))
   }
 
-  /** Exact-phrase search (s7): the two terms must appear ADJACENT;
-    * survivors ranked by corpus-wide BM25 over the phrase terms. */
-  def searchPhrase(first: String, second: String,
-                   limit: Int = settings.searchTopK): DataFrame =
-    graft.operators.HybridSearch.phraseSearchOf(tokenized, first, second, limit)
+  /** Exact-phrase search (s7): the terms must appear ADJACENT in
+    * order — any phrase length, not just two words; survivors
+    * ranked by corpus-wide BM25 over the phrase's distinct terms. */
+  def searchPhrase(terms: Seq[String],
+                   limit: Int = settings.searchTopK): DataFrame = {
+    require(terms.nonEmpty, "searchPhrase needs at least one term")
+    graft.operators.HybridSearch.phraseSearchOf(
+      tokenized, terms.map(_.toLowerCase), limit)
+  }
+
 
   /** Build the PERSISTED text-serving index for this corpus at
     * `path` (sources.TextIndex — the analog of the reference's
@@ -328,14 +333,18 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
       graft.sources.TextIndex.sync(toUpsert, toDelete, path)
   }
 
-  /** Ordered-proximity search from the persisted index: `second`
-    * within `slop` tokens AFTER `first` (slop 1 = exact phrase —
-    * s19's mechanics; wider slop = s20's). */
-  def searchProximity(path: String, first: String, second: String,
+  /** Ordered-proximity search from the persisted index, chained
+    * over any number of terms: each term within `slop` tokens AFTER
+    * a surviving occurrence of the previous one (slop 1 = exact
+    * phrase — s19's mechanics; wider slop = s20's). */
+  def searchProximity(path: String, terms: Seq[String],
                       slop: Int = 1,
-                      limit: Int = settings.searchTopK): DataFrame =
+                      limit: Int = settings.searchTopK): DataFrame = {
+    require(terms.nonEmpty, "searchProximity needs at least one term")
     graft.sources.TextIndex.proximityServe(spark, path,
-      first.toLowerCase, second.toLowerCase, slop, limit)
+      terms.map(_.toLowerCase), slop, limit)
+  }
+
 
   /** Fuzzy-corrected search (s11 → BM25): each query term is replaced
     * by its best edit-distance-≤1 vocabulary correction (delete-1

@@ -19,6 +19,11 @@ import graft.functions.{VectorFunctions => V}
 object HybridSearch {
 
   val QueryTerms: Seq[String] = Seq("spark", "join", "filter")
+
+  /** The gated phrase/proximity query — THREE terms (the most
+    * common real phrase length), so the positional chain is
+    * exercised past its first hop at every gate. */
+  val PhraseTerms: Seq[String] = Seq("hash", "join", "key")
   private[graft] val K1 = 1.2
   private[graft] val B = 0.75
 
@@ -846,22 +851,26 @@ object HybridSearch {
   }
 
   /** s19: PHRASE search served FROM the positional index — s7's
-    * exact query answered by position-list intersection over the
-    * persisted postings (the Lucene mechanics) instead of a
-    * corpus-text regex scan; the oracle is s7's, so the positional
-    * round trip is hash-gated against the same ground truth. */
+    * exact query answered by the CHAINED position-list intersection
+    * over the persisted postings (Lucene PhraseQuery's n-term
+    * mechanics) instead of a corpus-text regex scan; the oracle is
+    * s7's, so the positional round trip is hash-gated against the
+    * same ground truth. Three terms, not two — the single most
+    * common real phrase length, exercising the +1-shift chain past
+    * its first hop. */
   def s19PhraseFromIndex(spark: SparkSession, dir: String): DataFrame =
     graft.sources.TextIndex.phraseServe(
-      spark, textIndexPath(spark, dir), "hash", "join", 20)
+      spark, textIndexPath(spark, dir), PhraseTerms, 20)
 
-  /** s20: ORDERED-PROXIMITY search (`"hash join"~3`) — s19's
-    * positional mechanics with a slop window: 'join' within 3
-    * tokens after 'hash'. Strictly widens s19's survivor set
-    * (adjacency = slop 1); the oracle replays the windowed
-    * position intersection from the token arrays. */
+  /** s20: ORDERED-PROXIMITY search (`"hash join key"~3`) — s19's
+    * positional mechanics with a slop window chained term by term:
+    * 'join' within 3 tokens after 'hash', then 'key' within 3
+    * tokens after that surviving 'join'. Strictly widens s19's
+    * survivor set (adjacency = slop 1); the oracle replays the
+    * chained windowed intersection from the token arrays. */
   def s20ProximitySearch(spark: SparkSession, dir: String): DataFrame =
     graft.sources.TextIndex.proximityServe(
-      spark, textIndexPath(spark, dir), "hash", "join", slop = 3, k = 20)
+      spark, textIndexPath(spark, dir), PhraseTerms, slop = 3, k = 20)
 
   /** s21: HYBRID search served FROM the persisted index — the
     * reference's actual serving call (retrieval/service.go:23-47
@@ -1185,33 +1194,34 @@ object HybridSearch {
       .select($"doc_id", $"text",
         regexp_extract_all(lower($"text"), lit(WordTokenPattern), lit(0)).as("tok"))
       .withColumn("dl", size($"tok").cast("double"))
-    phraseSearchOf(docs, "hash", "join", 20)
+    phraseSearchOf(docs, PhraseTerms, 20)
   }
 
   /** The s7 core over any (doc_id, text, tok array<string>, dl)
-    * frame. The adjacency test compiles to ONE codegen regex over
-    * the raw text — "t1 as a complete token, then only non-token
-    * chars, then t2" is exactly "adjacent in the token stream"
-    * (tokens are maximal \p{L}\p{N} runs), and the single regex
-    * pass replaces a per-element interpreted lambda over the token
-    * array (4.4s → ~1s at sf0.1). The oracle keeps the token-array
-    * formulation as the semantic spec; hash-equality of the two
-    * forms is the gate. */
-  def phraseSearchOf(docs: DataFrame, t1: String, t2: String,
+    * frame, for an n-term phrase. The adjacency test compiles to ONE
+    * codegen regex over the raw text — "t1 as a complete token, then
+    * only non-token chars, then t2, … then tn" is exactly "adjacent
+    * in the token stream" (tokens are maximal \p{L}\p{N} runs), and
+    * the single regex pass replaces a per-element interpreted lambda
+    * over the token array (4.4s → ~1s at sf0.1). The oracle keeps
+    * the token-array formulation as the semantic spec; hash-equality
+    * of the two forms is the gate. */
+  def phraseSearchOf(docs: DataFrame, terms: Seq[String],
                      k: Int): DataFrame = {
     import docs.sparkSession.implicits._
-    val q1 = java.util.regex.Pattern.quote(t1.toLowerCase)
-    val q2 = java.util.regex.Pattern.quote(t2.toLowerCase)
-    val phraseRe =
-      s"(^|[^\\p{L}\\p{N}])$q1[^\\p{L}\\p{N}]+$q2($$|[^\\p{L}\\p{N}])"
+    require(terms.nonEmpty, "phraseSearchOf needs at least one term")
+    val qs = terms.map(t => java.util.regex.Pattern.quote(t.toLowerCase))
+    val phraseRe = "(^|[^\\p{L}\\p{N}])" +
+      qs.mkString("[^\\p{L}\\p{N}]+") + "($|[^\\p{L}\\p{N}])"
     val phraseDocs = docs.filter(lower($"text").rlike(phraseRe))
-    // distinct: a repeated-word phrase (t1 == t2) must score the term
-    // once, matching the index path's deduped term set
-    bm25Scores(docs.sparkSession, docs, Seq(t1, t2).distinct)
+    // distinct: a repeated-word phrase must score the term once,
+    // matching the index path's deduped term set
+    bm25Scores(docs.sparkSession, docs, terms.distinct)
       .join(phraseDocs.select($"doc_id"), Seq("doc_id"), "left_semi")
       .orderBy($"score".desc, $"doc_id")
       .limit(k)
   }
+
 
   /** s3's full-pipeline SQL, shared with s4's oracle (which reranks
     * over exactly this result set). */
@@ -1541,8 +1551,9 @@ object HybridSearch {
     // index — same ground truth, different mechanics (position-list
     // intersection vs corpus regex), hash-gated
     ("s19_phrase_from_index" -> oraclesBase("s7_phrase_search")) +
-    // s20: s7's replay with the adjacency predicate widened to the
-    // ordered slop-3 window (gap 1..3), same BM25 restriction
+    // s20: s7's replay with the adjacency chain widened to ordered
+    // slop-3 windows per hop (gap 1..3 after the SURVIVING previous
+    // occurrence), same BM25 restriction
     ("s20_proximity_search" ->
       """WITH docs AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS tok,
@@ -1550,13 +1561,14 @@ object HybridSearch {
         |  FROM documents),
         |phrase AS (
         |  SELECT doc_id FROM docs
-        |  WHERE len(tok) >= 2 AND len(list_filter(
-        |    generate_series(1, len(tok) - 1),
+        |  WHERE len(list_filter(generate_series(1, len(tok)),
         |    i -> tok[i] = 'hash' AND len(list_filter(
         |      generate_series(i + 1, least(i + 3, len(tok))),
-        |      j -> tok[j] = 'join')) > 0)) > 0),
+        |      j -> tok[j] = 'join' AND len(list_filter(
+        |        generate_series(j + 1, least(j + 3, len(tok))),
+        |        l -> tok[l] = 'key')) > 0)) > 0)) > 0),
         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM docs),
-        |terms AS (SELECT unnest(['hash', 'join']) AS term),
+        |terms AS (SELECT unnest(['hash', 'join', 'key']) AS term),
         |tf AS (
         |  SELECT doc_id, dl, token AS term, CAST(count(*) AS DOUBLE) AS tf
         |  FROM (SELECT doc_id, dl, unnest(tok) AS token FROM docs)
@@ -1895,8 +1907,9 @@ object HybridSearch {
        |  GROUP BY tf.doc_id)""".stripMargin
 
   private lazy val oraclesBase: Map[String, String] = Map(
-    // same adjacency HOF, same full-corpus BM25 restricted to the
-    // phrase survivors
+    // same adjacency chain from the token arrays, same full-corpus
+    // BM25 restricted to the phrase survivors — three terms, so the
+    // oracle replays the n-term chain, not just one adjacency
     "s7_phrase_search" ->
       """WITH docs AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS tok,
@@ -1904,11 +1917,12 @@ object HybridSearch {
         |  FROM documents),
         |phrase AS (
         |  SELECT doc_id FROM docs
-        |  WHERE len(tok) >= 2 AND len(list_filter(
-        |    generate_series(1, len(tok) - 1),
-        |    i -> tok[i] = 'hash' AND tok[i + 1] = 'join')) > 0),
+        |  WHERE len(tok) >= 3 AND len(list_filter(
+        |    generate_series(1, len(tok) - 2),
+        |    i -> tok[i] = 'hash' AND tok[i + 1] = 'join'
+        |      AND tok[i + 2] = 'key')) > 0),
         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM docs),
-        |terms AS (SELECT unnest(['hash', 'join']) AS term),
+        |terms AS (SELECT unnest(['hash', 'join', 'key']) AS term),
         |tf AS (
         |  SELECT doc_id, dl, token AS term, CAST(count(*) AS DOUBLE) AS tf
         |  FROM (SELECT doc_id, dl, unnest(tok) AS token FROM docs)

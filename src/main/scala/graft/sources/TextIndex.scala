@@ -518,24 +518,44 @@ object TextIndex {
     var docsSchema2 = docsSchemaOf(spark, path, c)
     try {
       toks.zip(addPost).foreach { case (t, p) =>
-        val incoming = withPartCols(docsOf(t).schema)
+        val docsBatch0 = docsOf(t)
+        val incoming = withPartCols(docsBatch0.schema)
+        // a NEW column arriving as all-NULL literals has no
+        // resolvable property type (Spark NullType) and parquet
+        // cannot write it — reject it at the evolution check with
+        // the same loud property-types rule instead of failing
+        // mid-append with an unsupported-data-type error
+        incoming.fields.filterNot(f =>
+            docsSchema2.fields.exists(_.name.equalsIgnoreCase(f.name)))
+          .foreach { f =>
+            require(f.dataType != org.apache.spark.sql.types.NullType,
+              s"metadata column '${f.name}' arrives as untyped NULL " +
+                "(NullType) — property types must be concrete; cast " +
+                "the column before appending")
+          }
         // name matching is CASE-INSENSITIVE, like Spark's own column
         // resolution — a case-variant arrival must hit the type
         // check, not silently commit a duplicate field that makes
-        // every later explicit-schema docs read throw
-        incoming.fields.foreach { f =>
+        // every later explicit-schema docs read throw; and the batch
+        // persists under the COMMITTED name, so the on-disk layout
+        // stays canonical even if spark.sql.caseSensitive flips
+        val renames = incoming.fields.flatMap { f =>
           docsSchema2.fields.find(_.name.equalsIgnoreCase(f.name))
-            .foreach { ef =>
+            .map { ef =>
               require(ef.dataType == f.dataType,
                 s"metadata column '${f.name}' arrives as ${f.dataType} " +
                   s"but the index holds ${ef.dataType} — property types " +
                   "cannot change")
+              f.name -> ef.name
             }
+        }.filter { case (from, to) => from != to }
+        val docsBatch = renames.foldLeft(docsBatch0) {
+          case (df, (from, to)) => df.withColumnRenamed(from, to)
         }
         docsSchema2 = org.apache.spark.sql.types.StructType(
           docsSchema2.fields ++ incoming.fields.filterNot(f =>
             docsSchema2.fields.exists(_.name.equalsIgnoreCase(f.name))))
-        writeBatch(spark, path, newBatch, p, fieldedOf(t), docsOf(t),
+        writeBatch(spark, path, newBatch, p, fieldedOf(t), docsBatch,
           dynamic = true)
         writeVectorBatch(spark, path, newBatch, vectorsOf(t),
           readCents(spark, path, c), dynamic = true)
@@ -1074,60 +1094,96 @@ object TextIndex {
     else HybridSearch.fuseRelative(kw, vec, alpha, limit)
   }
 
-  /** s7 served FROM the positional index — the real Lucene phrase
-    * mechanics: the two terms' position lists (bucket-pruned
-    * postings reads) intersect per document with a +1 shift
-    * (`arrays_overlap` on the shifted list — a codegen set probe,
-    * no explode), survivors semi-join the SHARED BM25 scorer over
-    * the same term set. Cost at any corpus size: two pruned
-    * posting reads + one doc-keyed join over the RARER term's
-    * postings — the corpus text is never touched, which is the
-    * whole point of a positional index. */
-  def phraseServe(spark: SparkSession, path: String, t1: String,
-                  t2: String, k: Int = 20): DataFrame = {
+  /** Per-term live position lists of a phrase/proximity query,
+    * inner-joined doc-keyed RAREST TERM FIRST (df ascending from the
+    * persisted vocab — Lucene's conjunction-order heuristic: the
+    * first join's build side is the smallest posting list, so every
+    * later join only probes docs already carrying the rarest term).
+    * Each UNIQUE term contributes one pruned postings read; a
+    * repeated term reuses its column. Returns the joined frame plus
+    * the term → position-column map the chain predicate reads in
+    * TEXT order (join order and chain order are independent — the
+    * joins are all inner on doc_id, so reordering them is safe). */
+  private def positionsJoined(spark: SparkSession, path: String,
+                              terms: Seq[String], c: Commit)
+      : (DataFrame, Map[String, String]) = {
     import spark.implicits._
+    val uniq = terms.distinct
+    val post = postingsFor(spark, path, uniq, c)
+    val dfs = spark.read.parquet(s"$path/vocab/v=${c.seq}")
+      .filter($"term".isin(uniq: _*))
+      .select($"term", $"df".cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val colOf = uniq.zipWithIndex
+      .map { case (t, i) => t -> s"pos_$i" }.toMap
+    val frames = uniq.sortBy(t => (dfs.getOrElse(t, 0L), t)).map { t =>
+      post.filter($"term" === t).select($"doc_id", $"pos".as(colOf(t)))
+    }
+    (frames.reduce(_.join(_, "doc_id")), colOf)
+  }
+
+  /** s7/s19 served FROM the positional index — Lucene PhraseQuery's
+    * n-term mechanics (the reference's phrase mode generalised past
+    * two terms): the candidate set starts as term 1's position list
+    * and each hop keeps only positions one past a surviving prefix
+    * end (`array_intersect` of the +1-shifted candidates with the
+    * next term's list — a codegen set probe per hop, no explode),
+    * so after the last hop a non-empty set marks a doc carrying the
+    * FULL adjacent phrase. Survivors semi-join the SHARED BM25
+    * scorer over the phrase's distinct terms. Cost at any corpus
+    * size: one pruned posting read per unique term + (n-1) doc-keyed
+    * joins ordered rarest-first — the corpus text is never touched,
+    * which is the whole point of a positional index. */
+  def phraseServe(spark: SparkSession, path: String,
+                  terms: Seq[String], k: Int = 20): DataFrame = {
+    import spark.implicits._
+    require(terms.nonEmpty, "phraseServe needs at least one term")
     val c = commitOf(spark, path)
-    val terms = Seq(t1, t2).distinct
-    val post = postingsFor(spark, path, terms, c)
-    val p1 = post.filter($"term" === t1).select($"doc_id", $"pos".as("pos1"))
-    val p2 = post.filter($"term" === t2).select($"doc_id", $"pos".as("pos2"))
-    val survivors = p1.join(p2, "doc_id")
-      .filter(arrays_overlap(transform($"pos1", x => x + 1), $"pos2"))
-      .select($"doc_id")
-    bm25Serve(spark, path, terms)
+    val (joined, colOf) = positionsJoined(spark, path, terms, c)
+    val chain = terms.tail.foldLeft(col(colOf(terms.head))) { (prev, t) =>
+      array_intersect(transform(prev, p => p + 1), col(colOf(t)))
+    }
+    val survivors = joined.filter(size(chain) > 0).select($"doc_id")
+    bm25Serve(spark, path, terms.distinct)
       .join(survivors, Seq("doc_id"), "left_semi")
       .orderBy($"score".desc, $"doc_id")
       .limit(k)
   }
 
+
   /** ORDERED-PROXIMITY search from the positional index — Lucene's
-    * `"t1 t2"~slop` query mode: t2 must follow t1 within `slop`
-    * token positions (slop = 1 degenerates to [[phraseServe]]'s
-    * adjacency). The gap test is a nested set probe over the two
-    * bounded position lists of docs carrying BOTH terms — never the
-    * corpus, never an explode; scoring and ranking are the shared
-    * BM25 path, so the only new mechanics the oracle must gate is
-    * the windowed intersection itself. */
-  def proximityServe(spark: SparkSession, path: String, t1: String,
-                     t2: String, slop: Int, k: Int = 20): DataFrame = {
+    * `"t1 t2 … tn"~slop` query mode chained term by term: each term
+    * must follow a surviving occurrence of the PREVIOUS term within
+    * `slop` token positions (slop = 1 degenerates to
+    * [[phraseServe]]'s adjacency). Each hop is a positional filter
+    * keeping the next term's positions inside some candidate's slop
+    * window (a nested set probe over two bounded position lists —
+    * never the corpus, never an explode), so candidates stay REAL
+    * match endpoints and a later term cannot pair with a prefix that
+    * already failed. Scoring and ranking are the shared BM25 path;
+    * the oracle replays the windowed chain from token arrays. */
+  def proximityServe(spark: SparkSession, path: String,
+                     terms: Seq[String], slop: Int,
+                     k: Int = 20): DataFrame = {
     import spark.implicits._
+    require(terms.nonEmpty, "proximityServe needs at least one term")
+    require(slop >= 1, s"slop must be >= 1, got $slop")
     val c = commitOf(spark, path)
-    val terms = Seq(t1, t2).distinct
-    val post = postingsFor(spark, path, terms, c)
-    val p1 = post.filter($"term" === t1).select($"doc_id", $"pos".as("pos1"))
-    val p2 = post.filter($"term" === t2).select($"doc_id", $"pos".as("pos2"))
+    val (joined, colOf) = positionsJoined(spark, path, terms, c)
     // fully qualified: the local `exists(spark, path)` index probe
     // shadows the sql.functions HOF
-    val survivors = p1.join(p2, "doc_id")
-      .filter(org.apache.spark.sql.functions.exists($"pos1", p =>
-        org.apache.spark.sql.functions.exists($"pos2",
-          q => q - p >= 1 && q - p <= slop)))
-      .select($"doc_id")
-    bm25Serve(spark, path, terms)
+    val F = org.apache.spark.sql.functions
+    val chain = terms.tail.foldLeft(col(colOf(terms.head))) { (prev, t) =>
+      F.filter(col(colOf(t)), q =>
+        F.exists(prev, p => q - p >= 1 && q - p <= slop))
+    }
+    val survivors = joined.filter(size(chain) > 0).select($"doc_id")
+    bm25Serve(spark, path, terms.distinct)
       .join(survivors, Seq("doc_id"), "left_semi")
       .orderBy($"score".desc, $"doc_id")
       .limit(k)
   }
+
 
   /** s11's corrector over the PERSISTED vocabulary. */
   def correctionsServe(spark: SparkSession, path: String,
@@ -1268,12 +1324,18 @@ object TextIndex {
         val emptyVec = spark.range(0)
           .select($"id".as("doc_id"), lit(0.0).as("v_score"))
         // the SHARED fusion expression with an absent vector leg —
-        // same hybrid_score normalization, keyword docs only
+        // keyword docs only (the ranked form scores rank-reciprocal,
+        // the relative form min-max-normalized; both carry through
+        // as `hybrid_score` below)
         if (fusion == "ranked")
           HybridSearch.fuseRanked(kw, emptyVec, alpha, limit)
         else HybridSearch.fuseRelative(kw, emptyVec, alpha, limit)
       }
-    val cands = ranked0
+    // fuseRanked names its fused column rrf_score; the rerank stage
+    // (and the returned schema) reads one canonical hybrid_score
+    val cands = (if (fusion == "ranked")
+        ranked0.withColumnRenamed("rrf_score", "hybrid_score")
+      else ranked0)
       .localCheckpoint(true) // ranked once; read for ids AND the join
     val ids = cands.select($"doc_id").collect().map(_.getLong(0)).toSeq
     val toks = contentForIds(spark, path, commitOf(spark, path), ids)

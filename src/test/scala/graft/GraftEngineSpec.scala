@@ -335,7 +335,7 @@ class GraftEngineSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(rr == Map(1L -> true, 2L -> true, 3L -> true))
     // phrase search: every hit really contains the adjacent pair
-    val ph = e.searchPhrase("hash", "join", limit = 5).collect()
+    val ph = e.searchPhrase(Seq("hash", "join"), limit = 5).collect()
     assert(ph.length <= 5)
     // rate anomaly over a synthetic spike
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
@@ -583,10 +583,10 @@ class GraftEngineSpec extends SparkSpec {
       rows(full.searchFromIndex(oneShot, "hash join")))
     assert(rows(full.searchFromIndex(grown, "hash join")).nonEmpty)
     // phrase vs proximity through the facade
-    assert(full.searchProximity(grown, "hash", "join")
+    assert(full.searchProximity(grown, Seq("hash", "join"))
       .collect().map(_.getLong(0)).toSeq == Seq(1L),
       "slop 1 = adjacency")
-    assert(full.searchProximity(grown, "hash", "join", slop = 3)
+    assert(full.searchProximity(grown, Seq("hash", "join"), slop = 3)
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
     // hybrid-with-alpha from the store (the reference's serving call)
     assert(rows(full.searchFromIndex(grown, "hash join", alpha = 0.5)) ==
@@ -595,7 +595,7 @@ class GraftEngineSpec extends SparkSpec {
     // upsert through the facade: replace doc 2's text, serve reflects it
     full.upsertIntoSearchIndex(grown,
       Seq((2L, "completely unrelated prose")).toDF("doc_id", "text"))
-    assert(full.searchProximity(grown, "hash", "join", slop = 3)
+    assert(full.searchProximity(grown, Seq("hash", "join"), slop = 3)
       .collect().map(_.getLong(0)).toSet == Set(1L),
       "the replaced doc must stop matching its old phrase")
     // the store-served request path returns renderable rows and logs

@@ -106,43 +106,71 @@ class TextIndexSpec extends SparkSpec {
       rows(TextIndex.statsTable(spark, path)))
   }
 
-  test("positional phrase serve equals s7's regex scan bit-for-bit") {
-    val served = TextIndex.phraseServe(spark, path, "hash", "join")
+  test("positional n-term phrase serve equals s7's regex scan bit-for-bit") {
+    val served = TextIndex.phraseServe(spark, path, HybridSearch.PhraseTerms)
     val scan = HybridSearch.s7PhraseSearch(spark, sfDir)
     val got = served.collect().map(_.toSeq).toSeq
-    assert(got.nonEmpty, "the sf corpus contains 'hash join' phrases")
+    assert(got.nonEmpty, "the sf corpus contains 'hash join key' phrases")
     assert(got == scan.collect().map(_.toSeq).toSeq)
-    // adjacency is positional, not co-occurrence: a doc with both
-    // terms NON-adjacent must not survive
+    // adjacency is positional AND chained: a planted partial match
+    // (terms 1+2 adjacent, term 3 absent or apart) must not survive
     import spark.implicits._
     val tiny = java.nio.file.Files
       .createTempDirectory("graft-ti-pos").toString
     TextIndex.write(Seq(
-      (1L, "the hash join wins"),
-      (2L, "hash of the join"),
-      (3L, "join hash reversed")).toDF("doc_id", "text"), tiny)
-    val ids = TextIndex.phraseServe(spark, tiny, "hash", "join")
+      (1L, "the hash join key wins"),
+      (2L, "hash join without the third"),   // partial: 'key' absent
+      (3L, "hash join and then key apart"),  // all 3 present, chain broken
+      (4L, "key hash join reversed"),        // wrong order
+      (5L, "hash of the join key")).toDF("doc_id", "text"), tiny)
+    val terms = Seq("hash", "join", "key")
+    val ids = TextIndex.phraseServe(spark, tiny, terms)
       .collect().map(_.getLong(0)).toSeq
-    assert(ids == Seq(1L), s"only the adjacent doc survives: $ids")
+    assert(ids == Seq(1L), s"only the full adjacent chain survives: $ids")
+    // scan path agrees on the ladder corpus
+    val docs = Seq(
+      (1L, "the hash join key wins"), (2L, "hash join without the third"),
+      (3L, "hash join and then key apart"), (4L, "key hash join reversed"),
+      (5L, "hash of the join key")).toDF("doc_id", "text")
+      .select($"doc_id", $"text",
+        regexp_extract_all(lower($"text"),
+          lit(HybridSearch.WordTokenPattern), lit(0)).as("tok"))
+      .withColumn("dl", size($"tok").cast("double"))
+    assert(HybridSearch.phraseSearchOf(docs, terms, 20)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // a repeated-term phrase chains against its own position list
+    val rep = TextIndex.phraseServe(spark, tiny, Seq("the", "hash"))
+      .collect().map(_.getLong(0)).toSet
+    assert(rep == Set(1L), s"'the hash' is adjacent only in doc 1: $rep")
     Caches.releaseAll()
   }
 
-  test("proximity serve: ordered slop window, supersets adjacency, gap bound exact") {
+  test("proximity serve: chained ordered slop windows, supersets adjacency") {
     import spark.implicits._
     val tiny = java.nio.file.Files
       .createTempDirectory("graft-ti-slop").toString
     TextIndex.write(Seq(
-      (1L, "the hash join wins"),            // gap 1 (adjacent)
-      (2L, "hash of the join"),              // gap 3
-      (3L, "hash one two three join here"),  // gap 4 — outside slop 3
-      (4L, "join comes before hash"),        // wrong order
-      (5L, "hash alone no partner")).toDF("doc_id", "text"), tiny)
+      (1L, "hash join key"),                      // gaps 1,1
+      (2L, "hash a join b key"),                  // gaps 2,2
+      (3L, "hash a b join c d key"),              // gaps 3,3
+      (4L, "hash join a b c key"),                // gaps 1,4
+      (5L, "key join hash reversed order"),       // wrong order
+      // the chain-soundness doc: the second 'join' (within slop of
+      // 'key') is NOT within slop of 'hash', and the surviving first
+      // 'join' is too far from 'key' — pairwise-independent windows
+      // would wrongly admit this doc
+      (6L, "hash join x x x x join key")).toDF("doc_id", "text"), tiny)
+    val terms = Seq("hash", "join", "key")
     def ids(slop: Int) = TextIndex
-      .proximityServe(spark, tiny, "hash", "join", slop)
+      .proximityServe(spark, tiny, terms, slop)
       .collect().map(_.getLong(0)).toSet
     assert(ids(1) == Set(1L), "slop 1 = adjacency")
-    assert(ids(3) == Set(1L, 2L), "slop 3 admits the gap-3 doc only")
-    assert(ids(4) == Set(1L, 2L, 3L), "slop 4 admits the gap-4 doc")
+    assert(ids(2) == Set(1L, 2L), "slop 2 admits gaps <= 2 per hop")
+    assert(ids(3) == Set(1L, 2L, 3L), "slop 3 admits gaps <= 3 per hop")
+    assert(ids(4) == Set(1L, 2L, 3L, 4L), "slop 4 admits the gap-4 hop")
+    assert(!ids(2).contains(6L) && !ids(3).contains(6L),
+      "a term must follow a SURVIVING previous occurrence — " +
+        "pairwise windows over non-surviving prefixes don't count")
     // the corpus query widens s19's survivor set
     val s19ids = HybridSearch.s19PhraseFromIndex(spark, sfDir)
       .collect().map(_.getLong(0)).toSet
@@ -182,7 +210,7 @@ class TextIndexSpec extends SparkSpec {
     rowsOf(TextIndex.prefixesTable(spark, p)
       .orderBy($"prefix", $"rank")
       .select($"prefix", $"rank", $"term", $"df")),
-    rowsOf(TextIndex.phraseServe(spark, p, "spark", "filter")),
+    rowsOf(TextIndex.phraseServe(spark, p, Seq("spark", "filter"))),
     rowsOf(TextIndex.statsTable(spark, p)
       .select($"n_docs", $"sum_dl", $"slt", $"slb")),
     // stored fields: rendered snippets must track the live corpus
@@ -552,6 +580,32 @@ class TextIndexSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("rerank under RANKED fusion: both alpha branches rerank the rrf candidates") {
+    // fuseRanked names its column rrf_score; the rerank stage must
+    // still read one canonical hybrid_score in both alpha branches
+    for (alpha <- Seq(0.5, 0.0)) {
+      val got = TextIndex.rerankServe(spark, path,
+        HybridSearch.QueryTerms, alpha = alpha, limit = 10,
+        fusion = "ranked")
+      assert(got.columns.toSeq ==
+        Seq("doc_id", "hybrid_score", "rerank_score"))
+      val rows = got.collect()
+      assert(rows.nonEmpty, s"ranked rerank at alpha=$alpha serves")
+      val expected = (if (alpha > 0.0)
+          TextIndex.hybridServe(spark, path, HybridSearch.QueryTerms,
+            alpha = alpha, limit = 10, fusion = "ranked")
+            .select($"doc_id")
+        else
+          TextIndex.bm25Serve(spark, path, HybridSearch.QueryTerms)
+            .orderBy($"score".desc, $"doc_id").limit(10)
+            .select($"doc_id"))
+        .collect().map(_.getLong(0)).toSet
+      assert(rows.map(_.getLong(0)).toSet == expected,
+        s"ranked rerank at alpha=$alpha reorders exactly its candidates")
+    }
+    Caches.releaseAll()
+  }
+
   test("keyword-only index: filtered hybrid and batch hybrid degrade to the BM25 leg") {
     val sparkSession = spark
     import sparkSession.implicits._
@@ -703,5 +757,29 @@ class TextIndexSpec extends SparkSpec {
       .select($"doc_id").collect().map(_.getLong(0)).toSet
     assert(langs == Set(3L),
       s"case-variant batch must serve through the original column, got $langs")
+    // …and the batch persisted under the COMMITTED name: the on-disk
+    // layout must stay canonical (a 'Lang'-named file would only
+    // resolve while spark.sql.caseSensitive=false)
+    val batch2 = spark.read.parquet(s"$p/docs/batch=2")
+    assert(batch2.schema.fieldNames.contains("lang") &&
+      !batch2.schema.fieldNames.contains("Lang"),
+      s"case-variant arrival must write the committed column name, " +
+        s"got ${batch2.schema.fieldNames.mkString(", ")}")
+    // a NEW column arriving as untyped NULL literals must be
+    // rejected at the evolution check (parquet cannot write
+    // NullType), and the failed append must not poison the index
+    val nullBatch = Seq((4L, "alpha epsilon", "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("extra", lit(null))
+    val err = intercept[IllegalArgumentException] {
+      TextIndex.append(nullBatch, p)
+    }
+    assert(err.getMessage.contains("NullType") &&
+      err.getMessage.contains("property types"),
+      s"NullType rejection must name the evolution rule: ${err.getMessage}")
+    assert(TextIndex.bm25Serve(spark, p, Seq("alpha"))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L),
+      "the rejected append must leave the committed state serving")
   }
 }
