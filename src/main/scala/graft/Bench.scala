@@ -131,6 +131,18 @@ object Bench {
     operators.HybridSearch.evolvedIndexPath(spark, sfDir)
     val (tebDt, tevDt) = operators.HybridSearch
       .evolvedIndexTimings(spark, sfDir).getOrElse((0.0, 0.0))
+    // the DELETE-BY-SOURCE variant (s33 reads): full-corpus
+    // precursor on its _base line, the metadata-addressed tombstone
+    // commit (idsByMeta resolve + delete) on its own
+    operators.HybridSearch.sourceDeletedIndexPath(spark, sfDir)
+    val (tsdbDt, tsdDt) = operators.HybridSearch
+      .sourceDeletedIndexTimings(spark, sfDir).getOrElse((0.0, 0.0))
+    // the SOURCE-RESYNC variant (s34 reads): stale store+index
+    // precursor on its _base line, the full resync composition
+    // (purge both stores + reingest + one sync commit) on its own
+    operators.HybridSearch.resyncedIndexPath(spark, sfDir)
+    val (trsbDt, trsDt) = operators.HybridSearch
+      .resyncedIndexTimings(spark, sfDir).getOrElse((0.0, 0.0))
     // the streamed CDC variant (st16 reads): the stale precursor
     // bills on its _base line, the streaming sync epoch (classify +
     // one-commit upsert/delete + in-stream compaction) on its own
@@ -201,6 +213,10 @@ object Bench {
       ("_text_index_evolve" -> tevDt) +
       ("_text_index_sync_base" -> tsbDt) +
       ("_text_index_sync_stream" -> tssDt) +
+      ("_text_index_srcdel_base" -> tsdbDt) +
+      ("_text_index_srcdel" -> tsdDt) +
+      ("_text_index_resync_base" -> trsbDt) +
+      ("_text_index_resync" -> trsDt) +
       ("_text_index_compact_plan" -> tcpDt)
     // 3dp (ms precision) keeps the line compact: the round harness
     // retains only a ~2000-char stdout TAIL, truncating the FRONT of
@@ -251,8 +267,13 @@ object Bench {
       else errors.map { case (k, v) => s"\"$k\":\"$v\"" }
         .mkString(",\"errors\":{", ",", "}")
     val total = if (merged.nonEmpty) merged.values.sum else 0.0
+    // split totals: `_`-prefixed lines are one-time build/lifecycle
+    // passes (index builds, model training, shared scans); the rest
+    // are the serving queries — round-over-round comparisons read
+    // the serving subtotal without reconstructing common items
+    val (buildT, servingT) = merged.partition(_._1.startsWith("_"))
     val line =
-      s"""{"queries":$qs$errJson,"n_queries":${merged.size},"sf":"$sfDir","metric":"total","unit":"sec","value":${r3(total)}}"""
+      s"""{"queries":$qs$errJson,"n_queries":${merged.size},"sf":"$sfDir","serving_total":${r3(servingT.values.sum)},"build_total":${r3(buildT.values.sum)},"metric":"total","unit":"sec","value":${r3(total)}}"""
     try {
       val w = new java.io.PrintWriter("BENCH_LOCAL.json")
       try w.println(line) finally w.close()

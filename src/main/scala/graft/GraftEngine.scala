@@ -315,6 +315,40 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
   def deleteFromSearchIndex(path: String, ids: DataFrame): Unit =
     graft.sources.TextIndex.delete(ids.select("doc_id"), path)
 
+  /** Index-side DELETE BY SOURCE — DeleteChunksBySourceID
+    * (store.go:93) against the SERVING index: the source's doc_ids
+    * resolve from the index's own `docs/` metadata side table (a
+    * narrow pruned read, zero corpus access) and tombstone in one
+    * commit. Where the same ids also live in ANN serving tiers,
+    * pass them through [[idsBySourceFromIndex]] to the stores'
+    * delete calls. Returns the number of documents deleted. */
+  def deleteBySourceFromIndex(path: String, sourceId: String,
+                              sourceCol: String = "source"): Long =
+    graft.sources.TextIndex.deleteByMeta(spark, path,
+      Map(sourceCol -> sourceId))
+
+  /** Index-side DELETE BY URL — DeleteChunksByURL (store.go:73:
+    * source AND url equality) against the serving index; same
+    * metadata-addressed tombstone commit as
+    * [[deleteBySourceFromIndex]]. Returns the deleted count. */
+  def deleteByUrlFromIndex(path: String, sourceId: String, url: String,
+                           sourceCol: String = "source",
+                           urlCol: String = "url"): Long =
+    graft.sources.TextIndex.deleteByMeta(spark, path,
+      Map(sourceCol -> sourceId, urlCol -> url))
+
+  /** The ids a metadata-addressed mutation resolves to, as a
+    * (vec_id) frame — the bridge from the text index's metadata to
+    * the ANN serving tiers, whose stores are keyed by id alone:
+    * `deleteFromIvfIndex(spark, ivfPath, idsBySourceFromIndex(...))`
+    * removes the same source from the vector side in its own
+    * commit. */
+  def idsBySourceFromIndex(path: String, sourceId: String,
+                           sourceCol: String = "source"): DataFrame =
+    graft.sources.TextIndex.idsByMeta(spark, path,
+        Map(sourceCol -> sourceId))
+      .select(col("doc_id").as("vec_id"))
+
   /** Run c18 change detection against the index's own idea of the
     * corpus and apply the result: `changed` + `new` pages upsert,
     * `deleted` pages tombstone — the result_consumer.go:196-198 CDC
@@ -331,6 +365,38 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
       .select($"page_key".cast("long").as("doc_id"))
     if (!(toUpsert.isEmpty && toDelete.isEmpty))
       graft.sources.TextIndex.sync(toUpsert, toDelete, path)
+  }
+
+  /** SOURCE RESYNC — source/source.go:257 ReSync (surfaced at
+    * handler.go:204): "this source went stale, redo it" as ONE
+    * composed call. Steps: (1) the source's stale doc_ids resolve
+    * from the serving index's own `docs/` metadata BEFORE any
+    * mutation (zero corpus access); (2) the chunk store drops the
+    * source's partition (metadata-only) and re-ingests the fresh
+    * pages (chunk + embed, IngestStream.reingest); (3) the serving
+    * index applies the whole change as ONE sync commit — stale ids
+    * tombstone, fresh rows land — so a page that DISAPPEARED from
+    * the source deletes, a changed page replaces, and a new page
+    * appends, with no window where half the source is visible. The
+    * two stores commit independently (each atomically); a crash
+    * between them leaves both serving a committed state and a
+    * resync re-run converges — the CDC replay idempotence contract.
+    * Returns the number of stale documents purged from the index. */
+  def resyncSource(indexPath: String, storePath: String,
+                   sourceId: String, freshPages: DataFrame,
+                   sourceCol: String = "source",
+                   maxTokens: Int = 64): Long = {
+    val fresh = freshPages.filter(col(sourceCol) === sourceId)
+    val stale = graft.sources.TextIndex.idsByMeta(spark, indexPath,
+      Map(sourceCol -> sourceId))
+    val nStale = stale.count()
+    graft.sources.ChunkStore.deleteSourcePartition(spark,
+      s"$storePath/chunks", sourceCol, sourceId)
+    if (!fresh.isEmpty)
+      graft.streaming.IngestStream.reingest(fresh, storePath, maxTokens)
+    if (nStale > 0 || !fresh.isEmpty)
+      graft.sources.TextIndex.sync(fresh, stale, indexPath)
+    nStale
   }
 
   /** Ordered-proximity search from the persisted index, chained

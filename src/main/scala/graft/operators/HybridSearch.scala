@@ -324,14 +324,20 @@ object HybridSearch {
     // method's list AND define the ideal ranking
     val rel = graft.Caches.persist(emb.crossJoin(broadcast(qvec))
       .select($"doc_id", greatest(V.cosineD($"embedding", $"qv"), lit(0.0)).as("rel")))
-    // ONE job scores the whole panel: every method's ranking is a
-    // branch of a single union, ranked top-k by a method-PARTITIONED
-    // window (TopKPerKey's PartialTopK/FinalTopK heap rewrite — no
-    // sort, no partition-less window), so the five pipelines'
-    // stages overlap on the scheduler instead of running as
-    // sequential per-method collect jobs. s4's rerank carries its
-    // own composite order (rerank desc, hybrid desc, doc_id) — its
-    // final_rank IS the ranking and unions in below.
+    // Every method's ranking unions into one panel ranked top-k by a
+    // method-PARTITIONED window (TopKPerKey's PartialTopK/FinalTopK
+    // heap rewrite — no sort, no partition-less window). Each leg is
+    // EAGERLY materialized (localCheckpoint) BEFORE the union: the
+    // legs share the cached BM25 base and tokenizer scans, so the
+    // first leg pays the shared scan and the rest reuse it — but if
+    // the legs ran as concurrent branches of ONE union job they
+    // would RACE that shared cache and re-execute their bounded
+    // fusion windows a nondeterministic number of times (the r13
+    // warn-gate flake: 910 vs 934 under load). With no shared leg
+    // left to race, each bounded window executes exactly once per
+    // run and the warn-gate count is deterministic. s4's rerank
+    // carries its own composite order (rerank desc, hybrid desc,
+    // doc_id) — its final_rank IS the ranking and unions in below.
     val legs = Seq(
       ("bm25", bm25(spark, dir), "score"),
       ("fielded", s13FieldedBm25(spark, dir), "score"),
@@ -341,6 +347,7 @@ object HybridSearch {
     val tagged = legs.map { case (n, df, c) =>
         df.select(lit(n).as("method"), $"doc_id",
           col(c).cast("double").as("s"))
+          .localCheckpoint(true)
       }.reduce(_ unionByName _)
     val wM = Window.partitionBy($"method").orderBy($"s".desc, $"doc_id")
     val rankedAll = tagged
@@ -349,7 +356,8 @@ object HybridSearch {
       .select($"method", $"doc_id", $"rnk".cast("long").as("rnk"))
       .unionByName(s4Rerank(spark, dir).filter($"final_rank" <= k)
         .select(lit("reranked").as("method"), $"doc_id",
-          $"final_rank".as("rnk")))
+          $"final_rank".as("rnk"))
+        .localCheckpoint(true))
       // ≤ methods×k rows, read by BOTH the per-method DCG agg and
       // the idcg branch — checkpointing runs the panel job ONCE
       .localCheckpoint(true)
@@ -1072,6 +1080,124 @@ object HybridSearch {
       p
     }
 
+  /** The source every metadata-addressed mutation gate targets —
+    * ~5% of the gate corpus (20 uniform sources), so the delete and
+    * resync both move the BM25 statistics enough that an inexact
+    * subtraction cannot hash-match. */
+  private val DeletedSource = "src7"
+
+  /** (full-build seconds, delete-by-source seconds) recorded by the
+    * [[sourceDeletedIndexPath]] memo — the metadata-addressed
+    * tombstone commit bills on its own line next to the build. */
+  private val srcDelTimings =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (Double, Double)]()
+
+  def sourceDeletedIndexTimings(spark: SparkSession,
+                                dir: String): Option[(Double, Double)] =
+    Option(srcDelTimings.get((spark, dir)))
+
+  /** The session's DELETE-BY-SOURCE index — DeleteChunksBySourceID
+    * (store.go:93) run against the SERVING index: the full corpus
+    * builds with its source metadata, then ONE metadata-addressed
+    * delete purges [[DeletedSource]] — doc_ids resolved from the
+    * index's own `docs/` side table (idsByMeta: a narrow pruned
+    * read, zero corpus access), tombstoned with exact statistics
+    * subtraction in one commit. s33 serves s1's query from it; the
+    * oracle is s1's SQL over the corpus WITHOUT the source. */
+  def sourceDeletedIndexPath(spark: SparkSession, dir: String): String =
+    graft.TrainedModels.memo(spark, s"text_index_srcdel:$dir") {
+      import spark.implicits._
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_text_index_sdel").toString
+      val docs = Tables.documents(spark, dir)
+        .select($"doc_id", $"text", $"source")
+      val t0 = System.nanoTime()
+      graft.sources.TextIndex.write(docs, p, withVectors = false)
+      val t1 = System.nanoTime()
+      val n = graft.sources.TextIndex.deleteByMeta(spark, p,
+        Map("source" -> DeletedSource))
+      require(n > 0, s"gate corpus carries no $DeletedSource docs")
+      val t2 = System.nanoTime()
+      srcDelTimings.put((spark, dir), ((t1 - t0) / 1e9, (t2 - t1) / 1e9))
+      p
+    }
+
+  /** s33: BM25 served AFTER an index-side DELETE BY SOURCE — the
+    * reference's store mutation addressed by METADATA, not by ids
+    * the caller happens to hold. Hash-gated against s1's SQL over
+    * the rebuild-without corpus: n_docs, avgdl, and every df must
+    * subtract exactly or the scores drift. */
+  def s33DeletedBySource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.TextIndex
+      .bm25Serve(spark, sourceDeletedIndexPath(spark, dir), QueryTerms)
+      .orderBy($"score".desc, $"doc_id").limit(10)
+      .select($"doc_id", $"score")
+  }
+
+  /** (stale-build seconds, resync seconds) recorded by the
+    * [[resyncedIndexPath]] memo. */
+  private val resyncTimings =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (Double, Double)]()
+
+  def resyncedIndexTimings(spark: SparkSession,
+                           dir: String): Option[(Double, Double)] =
+    Option(resyncTimings.get((spark, dir)))
+
+  /** The session's RESYNCED index — source/source.go:257 ReSync end
+    * to end: the index (and a chunk store) build over a corpus
+    * where [[DeletedSource]]'s pages all went STALE (placeholder
+    * content) and one page exists that the fresh crawl no longer
+    * has; then ONE GraftEngine.resyncSource call purges the source
+    * across both stores and re-ingests the fresh pages. The
+    * resulting index must serve EXACTLY like a fresh-corpus build —
+    * stale pages replaced, the vanished page gone — so s34's oracle
+    * IS s1's SQL over the fresh corpus. */
+  def resyncedIndexPath(spark: SparkSession, dir: String): String =
+    graft.TrainedModels.memo(spark, s"text_index_resync:$dir") {
+      import spark.implicits._
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_text_index_rsyn").toString
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_chunk_store_rsyn").toString
+      val docs = Tables.documents(spark, dir)
+      val staleDocs = docs
+        .withColumn("text",
+          when($"source" === DeletedSource,
+            concat(lit("stale placeholder content "), $"doc_id"))
+            .otherwise($"text"))
+        .unionByName(spark.range(1).select(
+          lit(-424242L).as("doc_id"),
+          lit("vanished page content").as("text"),
+          lit("en").as("lang"),
+          lit(DeletedSource).as("source"),
+          lit(21L).as("n_chars")))
+      val t0 = System.nanoTime()
+      graft.streaming.IngestStream.reingest(staleDocs, store)
+      graft.sources.TextIndex.write(staleDocs, p, withVectors = false)
+      val t1 = System.nanoTime()
+      new graft.GraftEngine(spark, docs).resyncSource(p, store,
+        DeletedSource, docs.filter($"source" === DeletedSource))
+      val t2 = System.nanoTime()
+      resyncTimings.put((spark, dir), ((t1 - t0) / 1e9, (t2 - t1) / 1e9))
+      p
+    }
+
+  /** s34: BM25 served AFTER a full SOURCE RESYNC — the "this site
+    * went stale, redo it" composition (purge across chunk store +
+    * serving index, re-ingest, one sync commit). The oracle is
+    * s1's SQL over the FRESH corpus: resync must converge the
+    * stale index to exactly the fresh-build state. */
+  def s34ResyncedBm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.TextIndex
+      .bm25Serve(spark, resyncedIndexPath(spark, dir), QueryTerms)
+      .orderBy($"score".desc, $"doc_id").limit(10)
+      .select($"doc_id", $"score")
+  }
+
   /** (base-build seconds, evolve-append seconds) recorded by the
     * [[evolvedIndexPath]] memo — Bench bills the schema-evolving
     * append on its own line, the narrow precursor build on a `_base`
@@ -1155,6 +1281,8 @@ object HybridSearch {
     "s25_filtered_hybrid" -> s25FilteredHybrid _,
     "s24_served_rrf" -> s24ServedRrf _,
     "s23_filtered_from_index" -> s23FilteredFromIndex _,
+    "s33_deleted_by_source" -> s33DeletedBySource _,
+    "s34_resynced_bm25" -> s34ResyncedBm25 _,
     "s22_upserted_bm25" -> s22UpsertedBm25 _,
     "s21_served_hybrid" -> s21ServedHybrid _,
     "s20_proximity_search" -> s20ProximitySearch _,
@@ -1456,6 +1584,15 @@ object HybridSearch {
     // tombstone/merge drift (stale rows surviving, wrong df/stats
     // subtraction) hash-fails here
     ("s22_upserted_bm25" -> oraclesBase("s1_keyword_bm25")) +
+    // s33: after the metadata-addressed delete the live corpus is
+    // the documents table WITHOUT the purged source — the one-line
+    // docs-CTE injection keeps the BM25 replay shared with s1's, so
+    // an inexact n_docs/avgdl/df subtraction hash-fails
+    ("s33_deleted_by_source" -> oraclesBase("s1_keyword_bm25")
+      .replace("FROM documents)", "FROM documents WHERE source <> 'src7')")) +
+    // s34: a full source resync must converge the stale index to
+    // exactly the fresh-corpus build — same ground truth as s1
+    ("s34_resynced_bm25" -> oraclesBase("s1_keyword_bm25")) +
     // s21/s24: store-served hybrid must reproduce the scan-path
     // fusion pipelines exactly — the oracles ARE s3's and s6's SQL
     ("s21_served_hybrid" -> oraclesBase("s3_hybrid_search")) +

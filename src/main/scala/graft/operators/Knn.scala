@@ -462,6 +462,48 @@ object Knn {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** GENERATION marker of an ANN store — the TextIndex versioned-
+    * commit discipline applied to the full-layout rewrites: an
+    * OPTIMIZE/COMPACT stages the WHOLE rewritten layout under
+    * `_gen_N+1` (an underscore-prefixed dir, so partition discovery on
+    * the live root never sees it) and then flips the ONE `_gen`
+    * marker — a crash at any earlier point leaves readers serving
+    * the previous generation, with the torn staging dir invisible.
+    * Generation 0 (no marker) is the legacy root layout, so every
+    * existing store reads and mutates unchanged. Incremental
+    * mutations (append/upsert/delete, the streaming epochs) stay
+    * in-place WITHIN the current generation under the remove-then-
+    * add replay contract; the generation flip covers the one
+    * mutation class that rewrites the whole layout at once. */
+  private[graft] def storeGen(spark: SparkSession, path: String): Long =
+    graft.sources.Markers.read(spark, s"$path/_gen")
+      .map(_.trim.toLong).getOrElse(0L)
+
+  /** The data root of the store's CURRENT generation. */
+  private[graft] def storeDataDir(spark: SparkSession,
+                                  path: String): String = {
+    val g = storeGen(spark, path)
+    if (g == 0L) path else s"$path/_gen_$g"
+  }
+
+  /** Flip the generation marker (the commit point) and sweep every
+    * older generation's data — the sweep is idempotent, so a crash
+    * between flip and sweep self-heals on the next flip. */
+  private def commitStoreGen(spark: SparkSession, path: String,
+                             gen: Long, partPrefix: String): Unit = {
+    graft.sources.Markers.write(spark, s"$path/_gen", gen.toString,
+      "ANN-store generation marker")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).map(_.getPath).foreach { c =>
+      val n = c.getName
+      val staleGen = n.startsWith("_gen_") &&
+        n.stripPrefix("_gen_").toLong < gen
+      val staleRoot = gen > 0L && n.startsWith(s"$partPrefix=")
+      if (staleGen || staleRoot) fs.delete(c, true): Unit
+    }
+  }
+
   /** PERSISTED IVF index — the serving layout a 100 TB deployment
     * actually reads: assignments written `partitionBy(cid)`, so a
     * probe of nprobe cells is a PARTITION-PRUNED scan (the scan
@@ -473,6 +515,8 @@ object Knn {
   def writeIvfIndex(spark: SparkSession, dir: String,
                     path: String): Seq[Seq[Double]] = {
     import spark.implicits._
+    // a fresh build's static root overwrite truncates the path —
+    // markers included — so the new store starts at generation 0
     val all = base(spark, dir)
     val cents = ivfCentroids(spark, dir, all)
     assign(all, cents).select($"vec_id", $"v", $"cid")
@@ -497,7 +541,8 @@ object Knn {
     import vectors.sparkSession.implicits._
     assign(vectors.select($"vec_id", $"v"), cents)
       .select($"vec_id", $"v", $"cid")
-      .write.mode("append").partitionBy("cid").parquet(path)
+      .write.mode("append").partitionBy("cid")
+      .parquet(storeDataDir(vectors.sparkSession, path))
   }
 
   /** The IVF store's logical-delete list (vec_id rows under
@@ -580,13 +625,14 @@ object Knn {
                      cents: Seq[Seq[Double]], vectors: DataFrame): Unit = {
     import spark.implicits._
     val ids = vectors.select($"vec_id").distinct().localCheckpoint(true)
+    val data = storeDataDir(spark, path)
     // cells carrying old copies: an id join over the store — the
     // FAISS remove_ids scan; bounded output (≤ |cells| values)
-    val touched = spark.read.parquet(path)
+    val touched = spark.read.parquet(data)
       .join(broadcast(ids), Seq("vec_id"), "left_semi")
       .select($"cid").distinct().collect().map(_.getInt(0)).toSeq
-    rewriteTouchedCells(spark, path, touched,
-      spark.read.parquet(path)
+    rewriteTouchedCells(spark, data, touched,
+      spark.read.parquet(data)
         .filter($"cid".isin(touched: _*))
         .join(broadcast(ids), Seq("vec_id"), "left_anti"))
     val tomb = ivfTombstones(spark, path)
@@ -603,11 +649,12 @@ object Knn {
   def compactIvfIndex(spark: SparkSession, path: String): Unit = {
     import spark.implicits._
     val tomb = ivfTombstones(spark, path).localCheckpoint(true)
-    val touched = spark.read.parquet(path)
+    val data = storeDataDir(spark, path)
+    val touched = spark.read.parquet(data)
       .join(broadcast(tomb), Seq("vec_id"), "left_semi")
       .select($"cid").distinct().collect().map(_.getInt(0)).toSeq
-    rewriteTouchedCells(spark, path, touched,
-      spark.read.parquet(path)
+    rewriteTouchedCells(spark, data, touched,
+      spark.read.parquet(data)
         .filter($"cid".isin(touched: _*))
         .join(broadcast(tomb), Seq("vec_id"), "left_anti"))
     Seq.empty[Long].toDF("vec_id")
@@ -615,28 +662,30 @@ object Knn {
   }
 
   /** Full OPTIMIZE of the IVF store — the TextIndex.compact
-    * discipline on the ANN side: rewrite the LIVE rows one file per
-    * cell (repartition on the partition column before the static
-    * overwrite), physically dropping tombstoned rows AND the
-    * append-accumulated small files in one pass, then reset the
-    * tombstone list. Serve is bit-equal across the swap (the spec
-    * pins it); [[compactIvfIndex]] is the cheaper tombstone-only
-    * rewrite when fragmentation isn't the signal. */
+    * discipline on the ANN side, now with the SAME staged-commit
+    * guarantee: the live rows (tombstones dropped, one file per
+    * cell) stage as a complete NEW GENERATION under `_gen_N+1` —
+    * invisible to readers and partition discovery alike — and the
+    * ONE `_gen` marker flip is the commit. A crash at any earlier
+    * point leaves the store serving generation N bit-exactly; the
+    * tombstone reset AFTER the flip is harmless either way (the new
+    * generation already dropped those rows physically, so the stale
+    * anti-join is a no-op) and the old generation's sweep is
+    * idempotent. [[compactIvfIndex]] remains the cheaper
+    * tombstone-only cell rewrite when fragmentation isn't the
+    * signal. */
   def optimizeIvfIndex(spark: SparkSession, path: String): Unit = {
     import spark.implicits._
     val tomb = ivfTombstones(spark, path).localCheckpoint(true)
-    // dynamic overwrite of every existing cell, NEVER a static
-    // root overwrite — the root also carries _tombstones, _epoch,
-    // and a maintenance stream's _checkpoints, which a truncate
-    // would destroy mid-stream
-    val p = new org.apache.hadoop.fs.Path(path)
-    val cells = p.getFileSystem(spark.sessionState.newHadoopConf())
-      .listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith("cid=")).map(_.stripPrefix("cid=").toInt).toSeq
-    val live = spark.read.parquet(path)
+    val gen = storeGen(spark, path)
+    val live = spark.read.parquet(storeDataDir(spark, path))
       .join(broadcast(tomb), Seq("vec_id"), "left_anti")
       .repartition(col("cid"))
-    rewriteTouchedCells(spark, path, cells, live)
+    // static overwrite of the FRESH staging dir (also truncates any
+    // torn staging left by a crashed earlier attempt), then flip
+    live.write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$path/_gen_${gen + 1}")
+    commitStoreGen(spark, path, gen + 1, "cid")
     Seq.empty[Long].toDF("vec_id")
       .write.mode("overwrite").parquet(s"$path/_tombstones")
   }
@@ -654,7 +703,8 @@ object Knn {
                       maxTombstones: Long = 10000L,
                       maxFilesPerCell: Double = 4.0): Boolean = {
     import spark.implicits._
-    val files = graft.sources.Compaction.listFiles(spark, path)
+    val files = graft.sources.Compaction
+      .listFiles(spark, storeDataDir(spark, path))
       .filter($"partition" =!= "") // data cells only, not _tombstones/
       .groupBy($"partition").agg(count(lit(1)).as("n"))
       .agg(coalesce(avg($"n"), lit(0.0)).as("avg_files"))
@@ -871,8 +921,9 @@ object Knn {
     val probedCids = probes.select($"cid").distinct()
       .collect().map(_.getInt(0)).toSeq
     // cid IN (<literals>) reaches the scan as a PartitionFilter —
-    // only the probed directories are read
-    val cells = spark.read.parquet(path)
+    // only the probed directories are read (of the current
+    // committed generation)
+    val cells = spark.read.parquet(storeDataDir(spark, path))
       .filter($"cid".isin(probedCids: _*))
       .join(broadcast(ivfTombstones(spark, path)), Seq("vec_id"),
         "left_anti")
@@ -2152,21 +2203,23 @@ object Knn {
   def upsertNnGraphStore(spark: SparkSession, path: String,
                          delta: DataFrame): Unit = {
     import spark.implicits._
+    val data = storeDataDir(spark, path)
     val d = delta.select($"q_id", $"vec_id")
       .withColumn("nbucket", pmod($"q_id", lit(GraphBuckets.toLong)))
-    val survivors = spark.read.parquet(path)
+    val survivors = spark.read.parquet(data)
       .join(d.select($"nbucket").distinct(), Seq("nbucket"), "left_semi")
       .join(d.select($"q_id").distinct(), Seq("q_id"), "left_anti")
     d.unionByName(survivors.select(d.columns.map(col): _*))
       .localCheckpoint(true)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("nbucket").parquet(path)
+      .partitionBy("nbucket").parquet(data)
   }
 
   def readNnGraphStore(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(path).select($"q_id", $"vec_id")
+    spark.read.parquet(storeDataDir(spark, path))
+      .select($"q_id", $"vec_id")
   }
 
   /** [[deleteFromNnGraph]] against the PERSISTED edge store: the
@@ -2197,10 +2250,11 @@ object Knn {
       .join(affected.select($"nbucket").distinct(), Seq("nbucket"),
         "left_semi")
       .localCheckpoint(true)
+    val data = storeDataDir(spark, path)
     rewrite.select($"q_id", $"vec_id", $"nbucket")
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("nbucket").parquet(path)
+      .partitionBy("nbucket").parquet(data)
     // dynamic overwrite only replaces partitions PRESENT in the
     // written data — an affected bucket whose every node died writes
     // nothing and would keep its old files; drop those explicitly
@@ -2209,32 +2263,34 @@ object Knn {
       .collect().map(_.getLong(0)).toSet
     val wrB = rewrite.select($"nbucket").distinct()
       .collect().map(_.getLong(0)).toSet
-    val fs = new org.apache.hadoop.fs.Path(path)
+    val fs = new org.apache.hadoop.fs.Path(data)
       .getFileSystem(spark.sessionState.newHadoopConf())
     (affB -- wrB).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/nbucket=$b"), true): Unit
+      fs.delete(new org.apache.hadoop.fs.Path(s"$data/nbucket=$b"), true): Unit
     }
   }
 
-  /** COMPACT the kNN-graph edge store: rewrite every bucket one file
-    * each (repartition on the partition column before the static
-    * overwrite) — the graph store deletes physically, so the only
-    * compaction signal is the small-file curve each bucket upsert's
-    * multi-task write leaves behind. The edge SET is unchanged (the
-    * spec pins read-back equality). */
+  /** COMPACT the kNN-graph edge store: rewrite every bucket one
+    * file each — the graph store deletes physically, so the only
+    * compaction signal is the small-file curve each bucket
+    * upsert's multi-task write leaves behind. The edge SET is
+    * unchanged (the spec pins read-back equality). Staged-commit
+    * like [[optimizeIvfIndex]]: the full rewritten layout lands
+    * under `_gen_N+1` and ONE `_gen` marker flip commits it — a
+    * crash mid-rewrite leaves readers on generation N, with the
+    * root's side metadata (_epoch, a maintenance stream's
+    * _checkpoints) untouched throughout. */
   def compactNnGraphStore(spark: SparkSession, path: String): Unit = {
     import spark.implicits._
-    // dynamic overwrite, not a root truncate — the root may carry
-    // side metadata a static overwrite would destroy (the
-    // optimizeIvfIndex rule); every bucket has live rows (graph
-    // deletes are physical), so every bucket dir rewrites
-    spark.read.parquet(path)
+    val gen = storeGen(spark, path)
+    // reads gen N, writes gen N+1 — disjoint dirs, so the rewrite
+    // streams with no read->overwrite cycle to break
+    spark.read.parquet(storeDataDir(spark, path))
       .select($"q_id", $"vec_id", $"nbucket")
       .repartition(col("nbucket"))
-      .localCheckpoint(true)
       .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("nbucket").parquet(path)
+      .partitionBy("nbucket").parquet(s"$path/_gen_${gen + 1}")
+    commitStoreGen(spark, path, gen + 1, "nbucket")
   }
 
   /** COUNT-GATED auto-compaction for the graph store — the
@@ -2245,7 +2301,8 @@ object Knn {
   def maybeCompactNnGraph(spark: SparkSession, path: String,
                           maxFilesPerBucket: Double = 4.0): Boolean = {
     import spark.implicits._
-    val files = graft.sources.Compaction.listFiles(spark, path)
+    val files = graft.sources.Compaction
+      .listFiles(spark, storeDataDir(spark, path))
       .groupBy($"partition").agg(count(lit(1)).as("n"))
       .agg(coalesce(avg($"n"), lit(0.0)).as("avg_files"))
       .head().getDouble(0)

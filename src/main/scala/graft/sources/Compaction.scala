@@ -37,12 +37,21 @@ object Compaction {
       return Seq.empty[(String, String, Long)]
         .toDF("partition", "path", "bytes")
     val it = fs.listFiles(rootPath, true)
+    // relativize against the QUALIFIED root (same scheme as the
+    // listed paths): URI.relativize silently returns the absolute
+    // form on a scheme mismatch, and the partition extraction below
+    // would then pick up "="-named ancestors ABOVE the root (the
+    // generational `_g=N` data dirs)
+    val rootQ = fs.makeQualified(rootPath).toString
     val rows = Iterator.continually(it)
       .takeWhile(_.hasNext).map(_.next())
       .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
         && !f.getPath.getName.startsWith("."))
       .map { f =>
-        val rel = rootPath.toUri.relativize(f.getPath.toUri).getPath
+        val abs = f.getPath.toString
+        val rel =
+          if (abs.startsWith(rootQ + "/")) abs.stripPrefix(rootQ + "/")
+          else abs
         val part = rel.split('/').dropRight(1).find(_.contains("="))
           .getOrElse("")
         (part, rel, f.getLen)

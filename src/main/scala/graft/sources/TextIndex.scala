@@ -663,6 +663,40 @@ object TextIndex {
     applyChange(path, Some(ids), None, minPrefix, maxPrefix,
       kComplete, epochId = -1L, flip = true)
 
+  /** Resolve live doc_ids by ANDed metadata equalities on the
+    * index's OWN `docs/` side table — how the reference addresses
+    * its store mutations (DeleteChunksByURL store.go:73,
+    * DeleteChunksBySourceID store.go:93, both keyed on metadata):
+    * one narrow pruned read with the equalities pushed to parquet,
+    * zero corpus access. Materialized (localCheckpoint) because the
+    * caller is about to MUTATE the same store the ids came from. */
+  def idsByMeta(spark: SparkSession, path: String,
+                filters: Map[String, String]): DataFrame = {
+    import spark.implicits._
+    require(filters.nonEmpty, "idsByMeta needs at least one equality")
+    val c = commitOf(spark, path)
+    filters.foldLeft(docsLive(spark, path, c)) {
+      case (df, (kc, v)) => df.filter(col(kc) === v)
+    }.select($"doc_id").localCheckpoint(true)
+  }
+
+  /** DELETE BY METADATA — the reference's actual mutation addressing
+    * (store.go:73 DeleteChunksByURL = source+url equality, :93
+    * DeleteChunksBySourceID = source equality) composed end to end:
+    * [[idsByMeta]] resolves the doc_ids from the index's own
+    * metadata, then the standard tombstone [[delete]] applies them
+    * in ONE commit. Returns the number of documents deleted (the
+    * affected-count the reference's handlers report); zero matches
+    * is a no-op, not an error. */
+  def deleteByMeta(spark: SparkSession, path: String,
+                   filters: Map[String, String], minPrefix: Int = 2,
+                   maxPrefix: Int = 4, kComplete: Int = 3): Long = {
+    val ids = idsByMeta(spark, path, filters)
+    val n = ids.count()
+    if (n > 0) delete(ids, path, minPrefix, maxPrefix, kComplete)
+    n
+  }
+
   /** UPSERT — delete + append in ONE commit: the consumer of c18's
     * change detection (result_consumer.go:196-198 re-processes
     * `changed` pages), closing the CDC loop a pure append index

@@ -608,6 +608,119 @@ class GraftEngineSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("index-side delete-by-source/url facades; ids bridge the ANN tier") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the hash join wins big", "sA", "http://a/0"),
+      (1L, "hash of the join table", "sB", "http://b/1"),
+      (2L, "spark filters push down", "sA", "http://a/2"),
+      (3L, "join the spark hash club", "sB", "http://b/3"),
+      (4L, "hash join hash join echo", "sB", "http://b/4"))
+      .toDF("doc_id", "text", "source", "url")
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-eng-sdel").toString
+    val e = new GraftEngine(spark, docs)
+    e.buildSearchIndex(p)
+    // by URL first: exactly one page of one source
+    assert(e.deleteByUrlFromIndex(p, "sB", "http://b/4") == 1L)
+    // then the whole source: only its remaining pages count
+    assert(e.deleteBySourceFromIndex(p, "sB") == 2L)
+    val left = graft.sources.TextIndex.docsTable(spark, p)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(left == Set(0L, 2L), s"only sA pages survive: $left")
+    // an absent source is a zero-count no-op
+    assert(e.deleteBySourceFromIndex(p, "nope") == 0L)
+    // the ids bridge: the SAME metadata resolution addresses the ANN
+    // tier — resolve before deleting from the text index, then the
+    // vector store tombstones the same ids in its own commit
+    val p2 = java.nio.file.Files
+      .createTempDirectory("graft-eng-sdel2").toString
+    val e2 = new GraftEngine(spark, Tables.documents(spark, sfDir))
+    e2.buildSearchIndex(p2)
+    val bridged = e2.idsBySourceFromIndex(p2, "src3")
+    assert(bridged.columns.toSeq == Seq("vec_id"))
+    val delIds = bridged.collect().map(_.getLong(0)).toSet
+    assert(delIds.nonEmpty)
+    val ivf = java.nio.file.Files
+      .createTempDirectory("graft-eng-sdel-ivf").toString + "/ivf"
+    val cents = graft.operators.Knn.writeIvfIndex(spark, sfDir, ivf)
+    graft.operators.Knn.deleteFromIvfIndex(spark, ivf, bridged)
+    val queries = Tables.embeddings(spark, sfDir)
+      .select($"vec_id",
+        graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+      .filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val servedIds = graft.operators.Knn
+      .serveFromIvfIndex(spark, ivf, cents, queries)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(servedIds.intersect(delIds).isEmpty,
+      "the purged source's ids must vanish from the ANN serve too")
+    Caches.releaseAll()
+  }
+
+  test("resyncSource: stale source converges to the fresh build across both stores") {
+    import spark.implicits._
+    def page(id: Long, text: String, src: String) =
+      (id, text, src, s"http://$src/$id")
+    val fresh = Seq(
+      page(0L, "the hash join wins big", "sA"),
+      page(1L, "fresh crawl content one", "sB"),
+      page(2L, "spark filters push down", "sA"),
+      page(3L, "fresh crawl content three", "sB"))
+      .toDF("doc_id", "text", "source", "url")
+    // sB went stale: both pages carry old text, and page 9 existed
+    // then but is GONE from the fresh crawl
+    val stale = Seq(
+      page(0L, "the hash join wins big", "sA"),
+      page(1L, "stale old content one", "sB"),
+      page(2L, "spark filters push down", "sA"),
+      page(3L, "stale old content three", "sB"),
+      page(9L, "vanished page content", "sB"))
+      .toDF("doc_id", "text", "source", "url")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-eng-rsyn-idx").toString
+    val idxFresh = java.nio.file.Files
+      .createTempDirectory("graft-eng-rsyn-want").toString
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-eng-rsyn-st").toString
+    val storeFresh = java.nio.file.Files
+      .createTempDirectory("graft-eng-rsyn-stw").toString
+    graft.streaming.IngestStream.reingest(stale, store)
+    graft.sources.TextIndex.write(stale, idx)
+    graft.sources.TextIndex.write(fresh, idxFresh)
+    graft.streaming.IngestStream.reingest(fresh, storeFresh)
+    val e = new GraftEngine(spark, fresh)
+    val purged = e.resyncSource(idx, store, "sB",
+      fresh.filter($"source" === "sB"))
+    assert(purged == 3L, s"stale sB pages 1,3,9 purge; got $purged")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    // serving tier: resynced index ≡ fresh-corpus rebuild (the
+    // bookkeeping batch number legitimately differs — resync lands
+    // fresh rows as a later batch — so compare the SERVED values)
+    assert(rows(graft.sources.TextIndex.bm25Serve(spark, idx,
+        Seq("fresh", "content")).orderBy($"score".desc, $"doc_id")) ==
+      rows(graft.sources.TextIndex.bm25Serve(spark, idxFresh,
+        Seq("fresh", "content")).orderBy($"score".desc, $"doc_id")))
+    def content(p: String) =
+      rows(graft.sources.TextIndex.contentTable(spark, p)
+        .select($"doc_id", $"text").orderBy($"doc_id"))
+    assert(content(idx) == content(idxFresh))
+    // chunk store: the source partition carries exactly the fresh
+    // chunks; untouched sources survive
+    def chunks(s: String) = spark.read.parquet(s"$s/chunks")
+      .select($"doc_id", $"source", $"chunk_index", $"content")
+      .collect().map(_.toSeq).toSet
+    assert(chunks(store) == chunks(storeFresh),
+      "the chunk store must converge to the fresh-ingest state")
+    // idempotence: a resync re-run converges (the crash-replay
+    // contract) — now the "stale" ids ARE the fresh ids
+    assert(e.resyncSource(idx, store, "sB",
+      fresh.filter($"source" === "sB")) == 2L)
+    assert(content(idx) == content(idxFresh))
+    Caches.releaseAll()
+  }
+
   test("store-serving defaults resolve to HYBRID; batch facade ≡ per-query loop") {
     import spark.implicits._
     val docs = Seq(

@@ -300,8 +300,12 @@ class KnnIndexSpec extends SparkSpec {
 
   test("ANN auto-compaction: count-gated triggers, serve bit-equal, files consolidate") {
     import graft.sources.Compaction
+    // an OPTIMIZE/COMPACT commits a NEW GENERATION — file-layout
+    // assertions read the current generation's data dir, like the
+    // store's own maintenance signals do
     def maxFilesPer(p: String): Long =
-      Compaction.listFiles(spark, p).filter($"partition" =!= "")
+      Compaction.listFiles(spark, Knn.storeDataDir(spark, p))
+        .filter($"partition" =!= "")
         .groupBy($"partition").count()
         .agg(max($"count")).head().getLong(0)
 
@@ -331,7 +335,8 @@ class KnnIndexSpec extends SparkSpec {
     assert(Knn.maybeCompactIvf(spark, p, maxTombstones = 0L,
       maxFilesPerCell = 10.0), "tombstone bound exceeded: must compact")
     assert(served == afterDel)
-    assert(spark.read.parquet(p).filter($"vec_id" === 1L).count() == 0,
+    assert(spark.read.parquet(Knn.storeDataDir(spark, p))
+      .filter($"vec_id" === 1L).count() == 0,
       "the optimize pass physically drops tombstoned rows")
     assert(!Knn.maybeCompactIvf(spark, p, maxTombstones = 0L,
       maxFilesPerCell = 2.0), "a fresh rewrite cleared both signals")
@@ -350,6 +355,69 @@ class KnnIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == edgeSet,
       "graph compaction must not change the edge set")
     assert(maxFilesPer(gp) == 1, "one file per bucket after the rewrite")
+    Caches.releaseAll()
+  }
+
+  test("ANN store OPTIMIZE is a staged generation commit: torn staging invisible, swap bit-equal, old gens swept") {
+    // ---- IVF tier
+    val p = s"$tmp/ivf_genz"
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    Knn.appendToIvfIndex(p, cents, Seq(
+      (1L, Seq(0.9, 0.1)), (2L, Seq(0.95, 0.05)),
+      (3L, Seq(0.1, 0.9)), (4L, Seq(0.05, 0.95))).toDF("vec_id", "v"))
+    val q = Seq((100L, Seq(1.0, 0.0))).toDF("q_id", "qv")
+    def served = Knn.serveFromIvfIndex(spark, p, cents, q, nprobe = 2, k = 4)
+      .collect().map(_.toSeq).toSeq
+    val s0 = served
+    // a crashed OPTIMIZE: the staging dir exists — even with
+    // garbage content — but the marker never flipped; readers must
+    // stay on generation 0, bit-exactly
+    Seq((999L, Seq(1.0, 1.0), 0)).toDF("vec_id", "v", "cid")
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$p/_gen_1")
+    assert(Knn.storeGen(spark, p) == 0L)
+    assert(served == s0, "staged-but-uncommitted must be invisible")
+    // the retried OPTIMIZE overwrites the torn staging and commits
+    Knn.deleteFromIvfIndex(spark, p, Seq(2L).toDF("vec_id"))
+    val s1 = served
+    Knn.optimizeIvfIndex(spark, p)
+    assert(Knn.storeGen(spark, p) == 1L)
+    assert(served == s1, "serve must be bit-equal across the swap")
+    assert(!new java.io.File(s"$p/cid=0").exists() &&
+      !new java.io.File(s"$p/cid=1").exists(),
+      "the old generation's root cells are swept after the flip")
+    assert(spark.read.parquet(Knn.storeDataDir(spark, p))
+      .filter($"vec_id".isin(2L, 999L)).count() == 0,
+      "the committed generation drops tombstones and torn garbage")
+    // a second OPTIMIZE advances the generation and sweeps _gen_1
+    Knn.optimizeIvfIndex(spark, p)
+    assert(Knn.storeGen(spark, p) == 2L)
+    assert(!new java.io.File(s"$p/_gen_1").exists(), "older gens swept")
+    assert(served == s1)
+    // incremental mutation lands in the CURRENT generation
+    Knn.appendToIvfIndex(p, cents, Seq((5L, Seq(0.9, 0.2)))
+      .toDF("vec_id", "v"))
+    assert(served.map(_(1)).toSet == Set(1L, 3L, 4L, 5L))
+
+    // ---- graph tier
+    val gp = s"$tmp/graph_genz"
+    val edges = (0 until 16).map(i => (i.toLong, ((i + 1) % 16).toLong))
+      .toDF("q_id", "vec_id").repartition(4)
+    Knn.writeNnGraphStore(edges, gp)
+    def edgeSet = Knn.readNnGraphStore(spark, gp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e0 = edgeSet
+    Seq((777L, 778L, 0L)).toDF("q_id", "vec_id", "nbucket")
+      .write.mode("overwrite").partitionBy("nbucket").parquet(s"$gp/_gen_1")
+    assert(Knn.storeGen(spark, gp) == 0L && edgeSet == e0,
+      "torn graph staging must be invisible")
+    Knn.compactNnGraphStore(spark, gp)
+    assert(Knn.storeGen(spark, gp) == 1L)
+    assert(edgeSet == e0, "graph edge set bit-equal across the swap")
+    assert(!new java.io.File(s"$gp/nbucket=0").exists(),
+      "old root buckets swept after the flip")
+    Knn.compactNnGraphStore(spark, gp)
+    assert(Knn.storeGen(spark, gp) == 2L &&
+      !new java.io.File(s"$gp/_gen_1").exists() && edgeSet == e0)
     Caches.releaseAll()
   }
 

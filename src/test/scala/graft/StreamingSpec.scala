@@ -1180,11 +1180,14 @@ class StreamingSpec extends SparkSpec {
     assert(served(p) == served(expect),
       "streamed store must serve each vector's LATEST version exactly")
     // the cross-cell re-embed physically cleaned the old cell copy
-    assert(spark.read.parquet(p)
+    // (the in-stream OPTIMIZE committed a new generation — layout
+    // assertions read the current generation's data dir)
+    assert(spark.read.parquet(Knn.storeDataDir(spark, p))
       .filter($"vec_id" === 1L && $"cid" === 0).count() == 0,
       "old cell copy of a moved vector must be gone")
     // the tombstone-gated OPTIMIZE ran: 2 physically dropped, list reset
-    assert(spark.read.parquet(p).filter($"vec_id" === 2L).count() == 0,
+    assert(spark.read.parquet(Knn.storeDataDir(spark, p))
+      .filter($"vec_id" === 2L).count() == 0,
       "the in-stream OPTIMIZE must physically drop the delete")
     assert(spark.read.parquet(s"$p/_tombstones").count() == 0)
     // the replay guard recorded every committed epoch

@@ -731,6 +731,39 @@ class TextIndexSpec extends SparkSpec {
       .select($"doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
   }
 
+  test("delete-by-metadata ≡ rebuild without the source, across serving modes") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val p1 = java.nio.file.Files
+      .createTempDirectory("graft-ti-metadel-a").toString
+    val p2 = java.nio.file.Files
+      .createTempDirectory("graft-ti-metadel-b").toString
+    val docs = tinyDocs.toDF("doc_id", "text")
+      .withColumn("source", concat(lit("s"), pmod($"doc_id", lit(2L))))
+      .withColumn("url", concat(lit("http://x/"), $"doc_id"))
+    TextIndex.write(docs, p1)
+    TextIndex.write(docs.filter($"source" =!= "s1"), p2)
+    // DeleteChunksBySourceID: ids resolve from the index's own docs/
+    // metadata — the caller never supplies ids and never touches the
+    // corpus
+    val n = TextIndex.deleteByMeta(spark, p1, Map("source" -> "s1"))
+    assert(n == 3L, s"sources s1 = docs 1,3,5; deleted $n")
+    assert(serveAll(p1) == serveAll(p2),
+      "serve after delete-by-source must equal the rebuild-without " +
+        "across every serving mode")
+    // double delete is a no-op, not an error
+    assert(TextIndex.deleteByMeta(spark, p1, Map("source" -> "s1")) == 0L)
+    // DeleteChunksByURL: source AND url equality hits exactly one page
+    val p3 = java.nio.file.Files
+      .createTempDirectory("graft-ti-metadel-c").toString
+    TextIndex.write(docs.filter($"source" =!= "s1" && $"doc_id" =!= 2L), p3)
+    assert(TextIndex.deleteByMeta(spark, p1,
+      Map("source" -> "s0", "url" -> "http://x/2")) == 1L)
+    assert(serveAll(p1) == serveAll(p3),
+      "delete-by-url must equal the rebuild without that page")
+    Caches.releaseAll()
+  }
+
   test("evolution edge cases: pre-artifact fallback append; case-variant column") {
     import spark.implicits._
     val p = java.nio.file.Files
