@@ -2361,16 +2361,120 @@ object Knn {
     * The graph itself is the shared build ([[refinedGraph]]) — the
     * score-once/serve-many accounting every index family here uses. */
   def a22GraphSearch(spark: SparkSession, dir: String, k: Int = 5,
-                     beam: Int = 8, hops: Int = 2,
-                     entries: Int = 16): DataFrame = {
+                     beam: Int = 6, hops: Int = 2,
+                     eCells: Int = 8): DataFrame = {
     import spark.implicits._
     val all = graft.Caches.persist(base(spark, dir))
     val queries = all.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"v".as("qv"))
-    graphSearchOf(all.select($"vec_id", $"v"),
+    val cents = ivfCentroids(spark, dir, all)
+    val medoids = graphMedoids(all, cents)
+    graphSearchFrom(all.select($"vec_id", $"v"),
       refinedGraph(spark, dir), queries,
-      all.select($"vec_id").filter($"vec_id" < entries),
+      medoidEntries(queries, medoids, cents, eCells),
       k, beam, hops)
+  }
+
+  /** a26: FILTERED graph-tier ANN — the FilteredDiskANN serving
+    * case (metadata predicate + beam walk) the brute/IVF tiers
+    * already have via a16's filter-before-search rule: the walk
+    * EXPANDS along the FULL graph (a filtered-out node still
+    * routes — dropping it from the frontier would disconnect the
+    * filtered subset), while the RESULT keeps only
+    * predicate-passing candidates, and the beam is WIDENED (2× a22)
+    * so top-k fills from the filtered pool instead of starving
+    * behind non-passing hits. Entries are a22's medoid seeds. The
+    * oracle replays the widened walk AND the label keep end to end;
+    * the spec additionally pins k-fill on a selective filter, the
+    * chain-soundness against a16's exact answer on a saturating
+    * walk, and degeneration to a22 on a pass-all filter. */
+  def a26GraphFiltered(spark: SparkSession, dir: String, k: Int = 5,
+                       beam: Int = 12, hops: Int = 2,
+                       eCells: Int = 8): DataFrame = {
+    import spark.implicits._
+    val all = graft.Caches.persist(base(spark, dir))
+    val queries = all.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"label".as("q_label"))
+    val cents = ivfCentroids(spark, dir, all)
+    val medoids = graphMedoids(all, cents)
+    graphSearchFilteredOf(all.select($"vec_id", $"v", $"label"),
+      refinedGraph(spark, dir), queries,
+      medoidEntries(queries, medoids, cents, eCells),
+      k, beam, hops)
+  }
+
+  /** The filtered walk core: [[graphVisited]] routing on every
+    * scored candidate, ranking only the rows whose `label` matches
+    * the query's `q_label`. Output shape matches a16's
+    * (q_id, q_label, vec_id, cosine, rnk). */
+  private[graft] def graphSearchFilteredOf(vecs: DataFrame,
+                                           graph: DataFrame,
+                                           queries: DataFrame,
+                                           e0: DataFrame, k: Int,
+                                           beam: Int,
+                                           hops: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val wB = Window.partitionBy($"q_id")
+      .orderBy($"cosine_raw".desc, $"vec_id")
+    graphVisited(vecs.select($"vec_id", $"v"), graph, queries, e0,
+        beam, hops)
+      .join(vecs.select($"vec_id", $"label"), "vec_id")
+      .join(broadcast(queries.select($"q_id", $"q_label")), "q_id")
+      .filter($"label" === $"q_label")
+      .withColumn("rnk", row_number().over(wB))
+      .filter($"rnk" <= k)
+      .select($"q_id", $"q_label", $"vec_id",
+        round($"cosine_raw", 6).as("cosine"), $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
+  /** Per-cell MEDOIDS of the trained coarse quantizer — DiskANN
+    * enters its beam walk at a medoid and HNSW at a hierarchy, both
+    * to cut hops to the query's neighborhood; the IVF serving
+    * quantizer is already trained once per corpus
+    * ([[ivfCentroids]], persisted by the serving stores as
+    * vcents/centroids), so the graph tier seeds from the corpus
+    * vectors NEAREST each centroid (`mPerCell` per cell — the
+    * medoid and its runners-up, same score and first-max tie-break
+    * as [[assign]]; the default 3 measured strictly dominant:
+    * recall 6->9 of 50 at sf0.01 and 1->8 at sf0.1 over the old
+    * fixed id sample, at FEWER scored candidates with the beam at
+    * 6). ≤ k·mPerCell rows — a broadcast. */
+  private[graft] def graphMedoids(all: DataFrame,
+                                  cents: Seq[Seq[Double]],
+                                  mPerCell: Int = 3): DataFrame = {
+    val spark = all.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"cid").orderBy($"cscore".desc, $"vec_id")
+    assign(all.select($"vec_id", $"v"), cents)
+      .withColumn("cscore", element_at(
+        centroidScoresCol(spark, $"v", cents), ($"cid" + 1).cast("int")))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= mPerCell)
+      .select($"cid", $"vec_id")
+  }
+
+  /** Per-query medoid ENTRY set: rank the quantizer's cells against
+    * the query through the shared probe key ((−score, index)
+    * ascending — [[probeKey]], NaN-aligned with assign), take the
+    * top `eCells` cells' medoids. The walk then starts from
+    * well-spread seeds NEAR the query instead of an arbitrary fixed
+    * id sample — fewer scored candidates AND higher recall (the
+    * DiskANN medoid-entry rationale). */
+  private[graft] def medoidEntries(queries: DataFrame, medoids: DataFrame,
+                                   cents: Seq[Seq[Double]],
+                                   eCells: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    queries
+      .withColumn("__scores", centroidScoresCol(spark, $"qv", cents))
+      .withColumn("probe", slice(array_sort(zip_with($"__scores",
+        sequence(lit(0), lit(cents.length - 1)),
+        (s, i) => probeKey(s, i))), 1, eCells))
+      .select($"q_id", explode($"probe.i").as("cid"))
+      .join(broadcast(medoids), "cid")
+      .select($"q_id", $"vec_id")
   }
 
   /** The serving walk over ANY (vec_id, v) corpus + directed
@@ -2381,6 +2485,39 @@ object Knn {
                                    queries: DataFrame, entryIds: DataFrame,
                                    k: Int, beam: Int,
                                    hops: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
+    graphSearchFrom(vecs, graph, queries,
+      queries.select($"q_id")
+        .crossJoin(broadcast(entryIds.select($"vec_id"))),
+      k, beam, hops)
+  }
+
+  /** [[graphSearchOf]] with a PER-QUERY entry frame (q_id, vec_id) —
+    * the medoid-entry form. */
+  private[graft] def graphSearchFrom(vecs: DataFrame, graph: DataFrame,
+                                     queries: DataFrame, e0raw: DataFrame,
+                                     k: Int, beam: Int,
+                                     hops: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val wB = Window.partitionBy($"q_id")
+      .orderBy($"cosine_raw".desc, $"vec_id")
+    graphVisited(vecs, graph, queries, e0raw, beam, hops)
+      .withColumn("rnk", row_number().over(wB))
+      .filter($"rnk" <= k)
+      .select($"q_id", $"vec_id", round($"cosine_raw", 6).as("cosine"),
+        $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
+  /** The walk's full VISITED set (q_id, vec_id, cosine_raw) — the
+    * shared core: entries score first, then each hop expands the
+    * per-query beam through the undirected view and scores only the
+    * fresh candidates. A filtered serve ranks a predicate-passing
+    * subset of this; the plain serve ranks it whole. */
+  private def graphVisited(vecs: DataFrame, graph: DataFrame,
+                           queries: DataFrame, e0raw: DataFrame,
+                           beam: Int, hops: Int): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     // every hop joins the undirected view — materialize it once per
@@ -2390,14 +2527,14 @@ object Knn {
         .unionByName(graph.select($"vec_id".as("node"), $"q_id".as("nbr")))
         .dropDuplicates("node", "nbr"))
     def scoreOf(pairs: DataFrame): DataFrame = pairs
-      .join(broadcast(queries), "q_id")
+      .join(broadcast(queries.select($"q_id", $"qv")), "q_id")
       .join(vecs, "vec_id")
       .select($"q_id", $"vec_id", V.cosineD($"qv", $"v").as("cosine_raw"))
     val wB = Window.partitionBy($"q_id")
       .orderBy($"cosine_raw".desc, $"vec_id")
-    val e0 = queries.select($"q_id")
-      .crossJoin(broadcast(entryIds.select($"vec_id")))
+    val e0 = e0raw.select($"q_id", $"vec_id")
       .filter($"vec_id" =!= $"q_id")
+      .dropDuplicates("q_id", "vec_id")
     var visited = graft.Caches.persist(scoreOf(e0))
     (1 to hops).foreach { _ =>
       val frontier = visited
@@ -2411,11 +2548,7 @@ object Knn {
         Seq("q_id", "vec_id"), "left_anti")
       visited = graft.Caches.persist(visited.unionByName(scoreOf(fresh)))
     }
-    visited.withColumn("rnk", row_number().over(wB))
-      .filter($"rnk" <= k)
-      .select($"q_id", $"vec_id", round($"cosine_raw", 6).as("cosine"),
-        $"rnk")
-      .orderBy($"q_id", $"rnk")
+    visited
   }
 
   /** a23: PQ-SCORED graph serving — the DiskANN mechanics proper:
@@ -2434,8 +2567,8 @@ object Knn {
     * (the trained swap-in is [[pqKmeansBooks]]); the oracle replays
     * codebook, codes, every adist hop, and the exact rerank. */
   def a23GraphSearchPq(spark: SparkSession, dir: String, k: Int = 5,
-                       beam: Int = 8, hops: Int = 2, entries: Int = 16,
-                       rerank: Int = 16): DataFrame = {
+                       beam: Int = 8, hops: Int = 2,
+                       eCells: Int = 8, rerank: Int = 16): DataFrame = {
     import spark.implicits._
     graft.plans.GraftFunctions.ensureRegistered(spark)
     val all = graft.Caches.persist(base(spark, dir))
@@ -2449,8 +2582,12 @@ object Knn {
       .withColumn("code", call_function("pq_encode", $"v", bookMat)))
     val queries = all.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"v".as("qv"))
+    // the same medoid entry seeds as a22 — DiskANN enters the PQ
+    // walk at the medoid too
+    val cents = ivfCentroids(spark, dir, all)
+    val medoids = graphMedoids(all, cents)
     graphSearchPqOf(coded, refinedGraph(spark, dir), queries,
-      all.select($"vec_id").filter($"vec_id" < entries), bookMat,
+      medoidEntries(queries, medoids, cents, eCells), bookMat,
       k, beam, hops, rerank)
   }
 
@@ -2460,7 +2597,7 @@ object Knn {
     * with. */
   private[graft] def graphSearchPqOf(coded: DataFrame, graph: DataFrame,
                                      queries: DataFrame,
-                                     entryIds: DataFrame,
+                                     e0raw: DataFrame,
                                      bookMat: Column, k: Int, beam: Int,
                                      hops: Int, rerank: Int): DataFrame = {
     val spark = coded.sparkSession
@@ -2476,9 +2613,9 @@ object Knn {
       .select($"q_id", $"vec_id",
         call_function("pq_adc", $"qv", $"code", bookMat).as("adist"))
     val wB = Window.partitionBy($"q_id").orderBy($"adist", $"vec_id")
-    val e0 = queries.select($"q_id")
-      .crossJoin(broadcast(entryIds.select($"vec_id")))
+    val e0 = e0raw.select($"q_id", $"vec_id")
       .filter($"vec_id" =!= $"q_id")
+      .dropDuplicates("q_id", "vec_id")
     var visited = graft.Caches.persist(adcOf(e0))
     (1 to hops).foreach { _ =>
       val frontier = visited
@@ -2590,6 +2727,7 @@ object Knn {
     "st17_streamed_ivf" -> st17StreamedIvf _,
     "st18_streamed_graph" -> st18StreamedGraphDelete _,
     "a25_graph_delete" -> a25GraphDelete _,
+    "a26_graph_filtered" -> ((s, d) => a26GraphFiltered(s, d)),
     "s2_vector_topk" -> s2VectorTopk _)
 
   private val cosineSql =
@@ -3246,58 +3384,115 @@ object Knn {
     * scores v0, and per hop the beam top-`beam`, the one-hop
     * undirected expansion, the never-visited anti-join, and the
     * union into v{h}; final exact top-k over everything visited. */
-  private lazy val a22Sql: String = {
-    val (k, beam, hops, entries) = (5, 8, 2, 16)
+  /** The shared SQL replay of the medoid-entry beam walk: refined
+    * graph ([[nnGraphCtesSql]]) + the trained quantizer
+    * ([[kmeansCellsSqlFor]]) -> per-cell medoids -> per-query
+    * entries (top-eCells cells by centroid score, ties -> lowest
+    * cid, matching probeKey) -> `hops` beam expansions. `filtered`
+    * adds the label keep AFTER the walk (routing stays
+    * unrestricted), ranking only predicate-passing rows — a26's
+    * mechanics. */
+  private def graphWalkSql(k: Int, beam: Int, hops: Int, eCells: Int,
+                           filtered: Boolean): String = {
     def hopCtes(h: Int): String =
-      s"""f$h AS (
+      s"""wf$h AS (
          |  SELECT q_id, vec_id FROM (
          |    SELECT q_id, vec_id,
          |      row_number() OVER (PARTITION BY q_id
          |        ORDER BY cosine_raw DESC, vec_id) AS rnk
-         |    FROM v${h - 1})
+         |    FROM wv${h - 1})
          |  WHERE rnk <= $beam),
-         |n$h AS (
+         |wn$h AS (
          |  SELECT DISTINCT f.q_id, u.nbr AS vec_id
-         |  FROM f$h f JOIN und u ON u.node = f.vec_id
+         |  FROM wf$h f JOIN und u ON u.node = f.vec_id
          |  WHERE u.nbr <> f.q_id),
-         |s$h AS (
+         |ws$h AS (
          |  SELECT n.q_id, n.vec_id,
          |    ${cosineSql.replace("QV", "q.qv").replace("BV", "b.v")} AS cosine_raw
-         |  FROM n$h n
+         |  FROM wn$h n
          |  JOIN qs q ON q.q_id = n.q_id
          |  JOIN ev b ON b.vec_id = n.vec_id
-         |  WHERE NOT EXISTS (SELECT 1 FROM v${h - 1} v
+         |  WHERE NOT EXISTS (SELECT 1 FROM wv${h - 1} v
          |                    WHERE v.q_id = n.q_id AND v.vec_id = n.vec_id)),
-         |v$h AS (
-         |  SELECT q_id, vec_id, cosine_raw FROM v${h - 1}
+         |wv$h AS (
+         |  SELECT q_id, vec_id, cosine_raw FROM wv${h - 1}
          |  UNION ALL
-         |  SELECT q_id, vec_id, cosine_raw FROM s$h)""".stripMargin
+         |  SELECT q_id, vec_id, cosine_raw FROM ws$h)""".stripMargin
+    val qsCte =
+      if (filtered)
+        s"""qs AS (
+           |  SELECT e2.vec_id AS q_id, e2.v AS qv, l.label AS q_label
+           |  FROM ev e2 JOIN lab l ON l.vec_id = e2.vec_id
+           |  WHERE e2.vec_id < 10)""".stripMargin
+      else "qs AS (SELECT vec_id AS q_id, v AS qv FROM ev WHERE vec_id < 10)"
+    val finalSel =
+      if (filtered)
+        s"""SELECT q_id, q_label, vec_id, round(cosine_raw, 6) AS cosine, rnk FROM (
+           |  SELECT w.q_id, qs.q_label, w.vec_id, w.cosine_raw,
+           |    row_number() OVER (PARTITION BY w.q_id
+           |      ORDER BY w.cosine_raw DESC, w.vec_id) AS rnk
+           |  FROM wv$hops w
+           |  JOIN lab l ON l.vec_id = w.vec_id
+           |  JOIN qs ON qs.q_id = w.q_id
+           |  WHERE l.label = qs.q_label)
+           |WHERE rnk <= $k
+           |ORDER BY q_id, rnk""".stripMargin
+      else
+        s"""SELECT q_id, vec_id, round(cosine_raw, 6) AS cosine, rnk FROM (
+           |  SELECT q_id, vec_id, cosine_raw,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY cosine_raw DESC, vec_id) AS rnk
+           |  FROM wv$hops)
+           |WHERE rnk <= $k
+           |ORDER BY q_id, rnk""".stripMargin
     s"""WITH ${nnGraphCtesSql(2)},
+       |${kmeansCellsSqlFor(8)},
+       |${if (filtered) "lab AS (SELECT vec_id, label FROM embeddings)," else ""}
        |und AS (
        |  SELECT q_id AS node, vec_id AS nbr FROM g2
        |  UNION
        |  SELECT vec_id, q_id FROM g2),
-       |qs AS (SELECT vec_id AS q_id, v AS qv FROM ev WHERE vec_id < 10),
-       |v0 AS (
+       |$qsCte,
+       |med AS (
+       |  SELECT cid, vec_id FROM (
+       |    SELECT cl.cid, cl.vec_id,
+       |      row_number() OVER (PARTITION BY cl.cid
+       |        ORDER BY ${cos("e.v", "c.cv")} DESC, cl.vec_id) AS rn
+       |    FROM cells cl
+       |    JOIN e ON e.vec_id = cl.vec_id
+       |    JOIN c3 c ON c.cid = cl.cid)
+       |  WHERE rn <= 3),
+       |qcell AS (
+       |  SELECT q_id, cid FROM (
+       |    SELECT qs.q_id, c.cid,
+       |      row_number() OVER (PARTITION BY qs.q_id
+       |        ORDER BY ${cos("qs.qv", "c.cv")} DESC, c.cid) AS rn
+       |    FROM qs CROSS JOIN c3 c)
+       |  WHERE rn <= $eCells),
+       |wv0 AS (
        |  SELECT qs.q_id, b.vec_id,
        |    ${cosineSql.replace("QV", "qs.qv").replace("BV", "b.v")} AS cosine_raw
-       |  FROM qs JOIN ev b ON b.vec_id < $entries AND b.vec_id <> qs.q_id),
+       |  FROM qcell qc
+       |  JOIN med m ON m.cid = qc.cid
+       |  JOIN qs ON qs.q_id = qc.q_id
+       |  JOIN ev b ON b.vec_id = m.vec_id
+       |  WHERE b.vec_id <> qs.q_id),
        |${(1 to hops).map(hopCtes).mkString(",\n")}
-       |SELECT q_id, vec_id, round(cosine_raw, 6) AS cosine, rnk FROM (
-       |  SELECT q_id, vec_id, cosine_raw,
-       |    row_number() OVER (PARTITION BY q_id
-       |      ORDER BY cosine_raw DESC, vec_id) AS rnk
-       |  FROM v$hops)
-       |WHERE rnk <= $k
-       |ORDER BY q_id, rnk""".stripMargin
+       |$finalSel""".stripMargin
   }
+
+  private lazy val a22Sql: String =
+    graphWalkSql(k = 5, beam = 6, hops = 2, eCells = 8, filtered = false)
+
+  private lazy val a26Sql: String =
+    graphWalkSql(k = 5, beam = 12, hops = 2, eCells = 8, filtered = true)
 
   /** a23's replay: a22's hop skeleton with adist (ascending) in
     * place of cosine at every walk stage, a6's codebook/code CTEs
     * over the graph's `ev` vector table, and the exact cosine
     * entering only in the final rerank CTE. */
   private lazy val a23Sql: String = {
-    val (k, beam, hops, entries, rerank) = (5, 8, 2, 16, 16)
+    val (k, beam, hops, eCells, rerank) = (5, 8, 2, 8, 16)
     val encDist = pqSqDist("v", "sp", "sv.sv[j+1]")
     def adcSql(qv: String, code: String): String =
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -3305,30 +3500,31 @@ object Knn {
          |        ${pqSqDist(qv, "sp", s"sv.sv[$code[sp+1]+1]")})),
          |      (a, x) -> a + x)""".stripMargin
     def hopCtes(h: Int): String =
-      s"""f$h AS (
+      s"""wf$h AS (
          |  SELECT q_id, vec_id FROM (
          |    SELECT q_id, vec_id,
          |      row_number() OVER (PARTITION BY q_id
          |        ORDER BY adist, vec_id) AS rnk
-         |    FROM v${h - 1})
+         |    FROM wv${h - 1})
          |  WHERE rnk <= $beam),
-         |n$h AS (
+         |wn$h AS (
          |  SELECT DISTINCT f.q_id, u.nbr AS vec_id
-         |  FROM f$h f JOIN und u ON u.node = f.vec_id
+         |  FROM wf$h f JOIN und u ON u.node = f.vec_id
          |  WHERE u.nbr <> f.q_id),
-         |s$h AS (
+         |ws$h AS (
          |  SELECT n.q_id, n.vec_id,
          |    ${adcSql("q.qv", "b.code")} AS adist
-         |  FROM n$h n
+         |  FROM wn$h n
          |  JOIN qs q ON q.q_id = n.q_id
          |  JOIN coded b ON b.vec_id = n.vec_id, sv
-         |  WHERE NOT EXISTS (SELECT 1 FROM v${h - 1} v
+         |  WHERE NOT EXISTS (SELECT 1 FROM wv${h - 1} v
          |                    WHERE v.q_id = n.q_id AND v.vec_id = n.vec_id)),
-         |v$h AS (
-         |  SELECT q_id, vec_id, adist FROM v${h - 1}
+         |wv$h AS (
+         |  SELECT q_id, vec_id, adist FROM wv${h - 1}
          |  UNION ALL
-         |  SELECT q_id, vec_id, adist FROM s$h)""".stripMargin
+         |  SELECT q_id, vec_id, adist FROM ws$h)""".stripMargin
     s"""WITH ${nnGraphCtesSql(2)},
+       |${kmeansCellsSqlFor(8)},
        |und AS (
        |  SELECT q_id AS node, vec_id AS nbr FROM g2
        |  UNION
@@ -3344,16 +3540,36 @@ object Knn {
        |      - 1) AS code
        |  FROM ev, sv),
        |qs AS (SELECT vec_id AS q_id, v AS qv FROM ev WHERE vec_id < 10),
-       |v0 AS (
+       |med AS (
+       |  SELECT cid, vec_id FROM (
+       |    SELECT cl.cid, cl.vec_id,
+       |      row_number() OVER (PARTITION BY cl.cid
+       |        ORDER BY ${cos("e.v", "c.cv")} DESC, cl.vec_id) AS rn
+       |    FROM cells cl
+       |    JOIN e ON e.vec_id = cl.vec_id
+       |    JOIN c3 c ON c.cid = cl.cid)
+       |  WHERE rn <= 3),
+       |qcell AS (
+       |  SELECT q_id, cid FROM (
+       |    SELECT qs.q_id, c.cid,
+       |      row_number() OVER (PARTITION BY qs.q_id
+       |        ORDER BY ${cos("qs.qv", "c.cv")} DESC, c.cid) AS rn
+       |    FROM qs CROSS JOIN c3 c)
+       |  WHERE rn <= $eCells),
+       |wv0 AS (
        |  SELECT qs.q_id, b.vec_id, ${adcSql("qs.qv", "b.code")} AS adist
-       |  FROM qs JOIN coded b ON b.vec_id < $entries AND b.vec_id <> qs.q_id, sv),
+       |  FROM qcell qc
+       |  JOIN med m ON m.cid = qc.cid
+       |  JOIN qs ON qs.q_id = qc.q_id
+       |  JOIN coded b ON b.vec_id = m.vec_id, sv
+       |  WHERE b.vec_id <> qs.q_id),
        |${(1 to hops).map(hopCtes).mkString(",\n")},
        |cand AS (
        |  SELECT q_id, vec_id FROM (
        |    SELECT q_id, vec_id,
        |      row_number() OVER (PARTITION BY q_id
        |        ORDER BY adist, vec_id) AS qrnk
-       |    FROM v$hops)
+       |    FROM wv$hops)
        |  WHERE qrnk <= $rerank),
        |exact AS (
        |  SELECT c.q_id, c.vec_id,
@@ -3445,6 +3661,7 @@ object Knn {
       // replay duplicate hash-fails
       ("st17_streamed_ivf" -> baseOracles("a1_knn_bruteforce")) +
       ("a25_graph_delete" -> a25Sql) +
+      ("a26_graph_filtered" -> a26Sql) +
       // st18: the stream-maintained store's edge set must equal
       // a25's batch consolidation — same shared build, same delete
       // formula, through a real foreachBatch epoch

@@ -405,8 +405,119 @@ class KnnSpec extends SparkSpec {
     }
     out.foreach(r => assert(r._1 != r._2, "self-match"))
     // the hop expansion must surface at least one neighbor OUTSIDE
-    // the 16-id entry sample — otherwise the walk did nothing here
-    assert(out.exists(_._2 >= 16), "no served neighbor beyond the entry set")
+    // the medoid entry set — otherwise the walk did nothing here
+    import spark.implicits._
+    val all = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id",
+        graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+    val cents = Knn.ivfCentroids(spark, sfDir, all)
+    val entryIds = Knn.graphMedoids(all, cents)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(out.exists(r => !entryIds(r._2)),
+      "no served neighbor beyond the entry set")
+    Caches.releaseAll()
+  }
+
+  test("a22 medoid entry set is pinned to the quantizer: per-cell nearest vectors, probed cells' medoids per query") {
+    import spark.implicits._
+    val all = graft.Caches.persist(graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id",
+        graft.functions.VectorFunctions.asDouble($"embedding").as("v")))
+    val cents = Knn.ivfCentroids(spark, sfDir, all)
+    def cosine(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (na * nb)
+    }
+    // independent recompute: assignment + per-cell top-3 by cosine
+    // to the OWN centroid, ties -> lowest vec_id
+    val rows = all.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+    val assigned = rows.map { case (id, v) =>
+      val scores = cents.map(c => cosine(v, c))
+      (id, scores.indexOf(scores.max), scores)
+    }
+    val want = assigned.groupBy(_._2).toSeq.flatMap { case (cid, members) =>
+      members.sortBy { case (id, c, scores) => (-scores(c), id) }
+        .take(3).map { case (id, _, _) => (cid, id) }
+    }.toSet
+    val got = Knn.graphMedoids(all, cents).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got == want, s"medoid set drifted: got $got want $want")
+    // per-query entries = the probed (top-eCells) cells' medoids
+    val queries = all.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val medoids = Knn.graphMedoids(all, cents)
+    val e = Knn.medoidEntries(queries, medoids, cents, eCells = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    queries.collect().foreach { q =>
+      val qv = q.getSeq[Double](1).toSeq
+      val topCells = cents.indices
+        .sortBy(c => (-cosine(qv, cents(c)), c)).take(2).toSet
+      val wantE = want.filter(m => topCells(m._1)).map(_._2)
+      assert(e(q.getLong(0)) == wantE,
+        s"entry set for query ${q.getLong(0)} drifted")
+    }
+    Caches.releaseAll()
+  }
+
+  test("a26 filtered graph walk: label keep, k-fill through non-passing routers, pass-all degenerates") {
+    import spark.implicits._
+    // real corpus: every served row carries the query's own label,
+    // ranks contiguous, cosine descending
+    val out = Knn.a26GraphFiltered(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val labels = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      assert(r.getInt(1) == labels(r.getLong(2)),
+        "a served hit must pass the query's label filter")
+      assert(r.getLong(0) != r.getLong(2), "self-match")
+    }
+    out.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getInt(4)).sorted.toSeq == (1 to rs.length))
+      val cos = rs.sortBy(_.getInt(4)).map(_.getDouble(3)).toSeq
+      assert(cos == cos.sorted.reverse)
+    }
+    // k-FILL chain soundness on a planted corpus: nodes on a smooth
+    // angular chain, labels ALTERNATING — every passing node is
+    // reachable only THROUGH non-passing routers, so a walk that
+    // drops non-passing nodes from the frontier (instead of from
+    // the RESULT) cannot fill k
+    val n = 20
+    val vecs = (0 until n).map(i =>
+      (i.toLong, Seq(math.cos(i * 0.05), math.sin(i * 0.05)), i % 2))
+      .toDF("vec_id", "v", "label")
+    val chain = (0 until n - 1).map(i => (i.toLong, i + 1L))
+      .toDF("q_id", "vec_id")
+    val queries = Seq((0L, Seq(1.0, 0.0), 1)).toDF("q_id", "qv", "q_label")
+    val e0 = Seq((0L, 1L)).toDF("q_id", "vec_id")
+    // hops bounded at 4: each hop's plan references the visited set
+    // three ways, so deep chains grow the logical plan geometrically
+    // — the production walk runs 2 hops
+    val got = Knn.graphSearchFilteredOf(vecs, chain, queries, e0,
+        k = 3, beam = 32, hops = 4)
+      .collect().map(r => (r.getLong(2), r.getInt(4)))
+    assert(got.map(_._1).toSeq == Seq(1L, 3L, 5L),
+      s"k must fill with the three nearest PASSING nodes in order: " +
+        s"${got.toSeq}")
+    // pass-all filter degenerates to the plain walk (same beam)
+    val passAll = Knn.graphSearchFilteredOf(
+        vecs.withColumn("label", org.apache.spark.sql.functions.lit(7)), chain,
+        queries.withColumn("q_label", org.apache.spark.sql.functions.lit(7)), e0,
+        k = 3, beam = 32, hops = 4)
+      .select($"q_id", $"vec_id", $"cosine", $"rnk")
+      .collect().map(_.toSeq).toSeq
+    val plain = Knn.graphSearchFrom(
+        vecs.select($"vec_id", $"v"), chain,
+        queries.select($"q_id", $"qv"), e0,
+        k = 3, beam = 32, hops = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(passAll == plain,
+      "a pass-all filter must degenerate to the unfiltered walk")
     Caches.releaseAll()
   }
 
@@ -429,10 +540,12 @@ class KnnSpec extends SparkSpec {
         graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
     val queries = all.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"v".as("qv"))
-    val entryIds = all.select($"vec_id").filter($"vec_id" < 16)
+    val cents = Knn.ivfCentroids(spark, sfDir, all)
+    val e0 = Knn.medoidEntries(queries, Knn.graphMedoids(all, cents),
+      cents, eCells = 8)
     val noGraph = Seq.empty[(Long, Long)].toDF("q_id", "vec_id")
-    val deg = Knn.graphSearchOf(all.select($"vec_id", $"v"), noGraph,
-      queries, entryIds, k = 5, beam = 8, hops = 2)
+    val deg = Knn.graphSearchFrom(all.select($"vec_id", $"v"), noGraph,
+      queries, e0, k = 5, beam = 6, hops = 2)
       .filter($"rnk" === 1)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(deg == h0, "empty-graph walk must equal entry-only scoring")
