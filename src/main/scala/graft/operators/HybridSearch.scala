@@ -1570,6 +1570,20 @@ object HybridSearch {
     all + ("s26_served_snippets" -> all("s10_snippets"))
   }
 
+  /** s1's replay over the corpus MINUS the purged source. The
+    * docs-CTE injection must actually land — a later reshape of
+    * s1's SQL would otherwise silently gate s33 against the
+    * UN-deleted corpus (which can only hash-FAIL, but the require
+    * turns that into a named error at registration time). */
+  private lazy val s33Sql: String = {
+    val base = oraclesBase("s1_keyword_bm25")
+    val out = base.replace("FROM documents)",
+      s"FROM documents WHERE source <> '$DeletedSource')")
+    require(out != base,
+      "s1 SQL reshape broke s33's docs-CTE injection point")
+    out
+  }
+
   private lazy val oraclesWithout26: Map[String, String] = oraclesBase +
     // s17 must reproduce the SCAN path's scores exactly from the
     // persisted artifacts, so its oracle IS s1's query — any drift in
@@ -1588,8 +1602,7 @@ object HybridSearch {
     // the documents table WITHOUT the purged source — the one-line
     // docs-CTE injection keeps the BM25 replay shared with s1's, so
     // an inexact n_docs/avgdl/df subtraction hash-fails
-    ("s33_deleted_by_source" -> oraclesBase("s1_keyword_bm25")
-      .replace("FROM documents)", "FROM documents WHERE source <> 'src7')")) +
+    ("s33_deleted_by_source" -> s33Sql) +
     // s34: a full source resync must converge the stale index to
     // exactly the fresh-corpus build — same ground truth as s1
     ("s34_resynced_bm25" -> oraclesBase("s1_keyword_bm25")) +

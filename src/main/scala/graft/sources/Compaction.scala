@@ -40,8 +40,9 @@ object Compaction {
     // relativize against the QUALIFIED root (same scheme as the
     // listed paths): URI.relativize silently returns the absolute
     // form on a scheme mismatch, and the partition extraction below
-    // would then pick up "="-named ancestors ABOVE the root (the
-    // generational `_g=N` data dirs)
+    // would then pick up "="-named ancestors ABOVE the root (e.g.
+    // partition dirs of an enclosing store when the root is a
+    // `_gen_N` generation dir)
     val rootQ = fs.makeQualified(rootPath).toString
     val rows = Iterator.continually(it)
       .takeWhile(_.hasNext).map(_.next())

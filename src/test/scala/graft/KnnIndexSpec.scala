@@ -41,6 +41,17 @@ class KnnIndexSpec extends SparkSpec {
     val fromIndex = served.collect().map(_.toSeq).toSeq
     val inMemory = Knn.a4IvfKmeans(spark, sfDir).collect().map(_.toSeq).toSeq
     assert(fromIndex === inMemory)
+
+    // the RANGE serve from the same store: partition-pruned probe,
+    // bit-equal to the in-memory a27 path at the same geometry
+    val rServed = Knn.rangeFromIvfIndex(spark, path, cents, queries,
+      minCosine = 0.30, nprobe = 3)
+    val rPlan = rServed.queryExecution.executedPlan.toString
+    assert(rPlan.contains("PartitionFilters") && rPlan.contains("cid"),
+      s"range probe scan is not partition-pruned:\n${rPlan.take(1200)}")
+    val rMem = Knn.a27RangeSearch(spark, sfDir, minCosine = 0.30,
+      nprobe = 3).collect().map(_.toSeq).toSeq
+    assert(rServed.collect().map(_.toSeq).toSeq === rMem)
     Caches.releaseAll()
   }
 

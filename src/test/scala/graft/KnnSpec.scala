@@ -521,6 +521,57 @@ class KnnSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("a27 range search: probed-subset law, threshold boundary, nprobe monotone, nprobe=k exact") {
+    import spark.implicits._
+    val tau = 0.30
+    val all = graft.Caches.persist(graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id",
+        graft.functions.VectorFunctions.asDouble($"embedding").as("v")))
+    val cents = Knn.ivfCentroids(spark, sfDir, all)
+    def cosine(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (na * nb)
+    }
+    // independent exact range set + each vector's cell + each
+    // query's probe order, all recomputed from scratch
+    val rows = all.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+    val cellOf = rows.map { case (id, v) =>
+      val scores = cents.map(c => cosine(v, c))
+      id -> scores.indexOf(scores.max)
+    }.toMap
+    val queries = rows.filter(_._1 < 10)
+    def probed(qv: Seq[Double], nprobe: Int): Set[Int] =
+      cents.indices.sortBy(c => (-cosine(qv, cents(c)), c))
+        .take(nprobe).toSet
+    def exactRange(nprobe: Int): Set[(Long, Long)] = queries.flatMap {
+      case (q, qv) =>
+        val cells = probed(qv, nprobe)
+        rows.filter { case (id, v) =>
+          id != q && cells(cellOf(id)) && cosine(qv, v) >= tau
+        }.map(x => (q, x._1))
+    }.toSet
+    val got3 = Knn.a27RangeSearch(spark, sfDir, tau, nprobe = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(got3.nonEmpty, "the gate threshold must keep a non-empty set")
+    got3.foreach { case (p, c) =>
+      assert(c >= tau - 5e-7, s"served pair $p below the radius: $c")
+    }
+    assert(got3.map(_._1).toSet == exactRange(3),
+      "probed-subset law: the serve must return EXACTLY the " +
+        "threshold survivors of the probed cells")
+    // widening the probe only adds pairs; nprobe=k is the exact
+    // brute-force range over the whole corpus
+    val gotAll = Knn.a27RangeSearch(spark, sfDir, tau, nprobe = cents.length)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got3.map(_._1).toSet.subsetOf(gotAll))
+    assert(gotAll == exactRange(cents.length),
+      "nprobe=k must equal the exact range search")
+    Caches.releaseAll()
+  }
+
   test("a22 hop monotonicity: more hops only improves the served top-1; empty graph = entry scoring") {
     import spark.implicits._
     def top1(hops: Int): Map[Long, Double] =

@@ -442,16 +442,18 @@ class PlanAuditSpec extends SparkSpec {
     Caches.releaseAll(); Caches.releaseShared()
     val p = plan(Knn.a22GraphSearch(spark, sfDir))
     assert(!p.contains("CartesianProduct"), "no cartesian anywhere in the walk")
-    // the only nested-loop joins are the intended tiny entry-sample
-    // broadcasts (queries × 16 entry ids)
-    assert(p.contains("BroadcastNestedLoopJoin BuildRight"),
-      "entry sample must broadcast, not shuffle")
+    // medoid entries replaced the old queries × entry-ids crossJoin:
+    // the per-query entry set is a HASH join of the probed cells
+    // against the broadcast ≤24-row medoid table, so no nested-loop
+    // join survives anywhere in the walk
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the medoid entry join must be a hash join, not a cross")
     // the graph must serve from the lineage-truncated edge table —
     // NOT re-analyze the NN-Descent build per action
     assert(p.contains("Scan ExistingRDD"),
       "graph must read the checkpointed edge table")
     assert(p.contains("BroadcastHashJoin"),
-      "query vectors must broadcast into scoring")
+      "query vectors and medoids must broadcast into the walk")
     Caches.releaseAll(); Caches.releaseShared()
   }
 
