@@ -13,21 +13,25 @@
 # <=2*candidates fusion join, and fuseRanked's rank windows over the
 # <=candidates-row legs — audited r12 when the store-served hybrid
 # specs pushed the count from 772 to 860; r13 measured 892 after the
-# round's new serving specs (s30 rerank final_rank windows over <=10
-# rows, the nprobe pruned-vs-exhaustive fusion runs, keyword-only
-# batch-hybrid fusion windows — all bounded rank/fusion windows of
-# the audited family) and pinned 905; the r13 continuation measured
-# 910 and pinned 920 (slack 10): s8's eval panel now runs all five
-# method pipelines as ONE union job (5.2s -> ~3.5s), and the
-# concurrent branches can race the shared cached kw/vec legs, each
-# re-executing that leg's bounded <=candidates-row fusion windows —
-# +9 audited bounded-window executions per s8 run, zero new window
-# SHAPES). The COUNT may not grow past the pin: raising the pin
+# round's new serving specs and pinned 905, then 910/920 after the
+# s8 panel fold). r13's fold made the gate FLAKY: the folded panel's
+# concurrent union branches RACED the shared cached kw/vec legs,
+# re-executing their bounded fusion windows a nondeterministic
+# number of times (builder 910, judge 934 on the same tree). r14
+# DE-RACED it — every eval leg localCheckpoints BEFORE the union,
+# so no shared lazy leg is left to race — and re-measured over
+# three consecutive full-suite runs on the final tree: 935, 937,
+# 937. The residual +-2 is NOT the race (that swung +-24): under
+# full-suite memory pressure a handful of cached bounded legs evict
+# and lazily recompute, re-running their <=k-row windows — an
+# environmental wobble with no plan-shape consequence. Pin =
+# max-observed 937 + 5 slack; a return of the old race class still
+# fails the gate. The COUNT may not grow past the pin: raising it
 # requires auditing the new window and saying so in SURVEY.md's
 # session log.
 set -u
 LOG=${1:?usage: warn_gate.sh <suite-log> [pin]}
-PIN=${2:-920}
+PIN=${2:-942}
 N=$(grep -c "No Partition Defined" "$LOG" || true)
 echo "No-Partition-Defined warnings: $N (pin $PIN)"
 if [ "$N" -gt "$PIN" ]; then
