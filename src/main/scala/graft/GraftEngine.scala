@@ -386,15 +386,21 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
                    sourceId: String, freshPages: DataFrame,
                    sourceCol: String = "source",
                    maxTokens: Int = 64): Long = {
+    // materialized ONCE: the fresh pages are read by an emptiness
+    // probe, the chunk+embed re-ingest, and the index sync — for a
+    // crawl-backed frame that would be three full source scans (the
+    // embed pass the expensive one) plus this probe
     val fresh = freshPages.filter(col(sourceCol) === sourceId)
+      .localCheckpoint(true)
+    val hasFresh = !fresh.isEmpty
     val stale = graft.sources.TextIndex.idsByMeta(spark, indexPath,
       Map(sourceCol -> sourceId))
     val nStale = stale.count()
     graft.sources.ChunkStore.deleteSourcePartition(spark,
       s"$storePath/chunks", sourceCol, sourceId)
-    if (!fresh.isEmpty)
+    if (hasFresh)
       graft.streaming.IngestStream.reingest(fresh, storePath, maxTokens)
-    if (nStale > 0 || !fresh.isEmpty)
+    if (nStale > 0 || hasFresh)
       graft.sources.TextIndex.sync(fresh, stale, indexPath)
     nStale
   }

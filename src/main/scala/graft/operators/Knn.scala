@@ -160,17 +160,10 @@ object Knn {
     val bookMat = typedLit(books)
     val coded = withRes.withColumn("code",
       call_function("pq_encode", $"r", bookMat))
-    // probe: nprobe best cells per query by centroid cosine —
-    // (−score, index) ascending = score desc, index ASC on ties,
-    // the same first-max argmax assign() writes cells with (same
-    // tie-break as ivfServe / the a4 oracle)
-    val probed = all.filter($"vec_id" < 10)
-      .select($"vec_id".as("q_id"), $"v".as("qv"))
-      .withColumn("__scores", centroidScoresCol(spark, $"qv", cents))
-      .withColumn("probe", slice(array_sort(zip_with($"__scores",
-        sequence(lit(0), lit(cents.length - 1)),
-        (s, i) => probeKey(s, i))), 1, nprobe))
-      .select($"q_id", $"qv", explode($"probe.i").as("cid"))
+    // probe: nprobe best cells per query through the shared
+    // probedCells block (same tie-break as ivfServe / the a4 oracle)
+    val probed = probedCells(all.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"v".as("qv")), cents, nprobe)
       .withColumn("rq", zip_with($"qv", element_at(centMat, $"cid" + 1),
         (a, b) => a - b))
     val wA = Window.partitionBy($"q_id").orderBy($"adist", $"vec_id")
@@ -433,6 +426,30 @@ object Knn {
     ivfServe(assign(all, cents), cents, nprobe = 2)
   }
 
+  /** The ONE probe block every IVF-tier serve uses: nprobe nearest
+    * cells per query row through the shared probe key — (−score,
+    * index) ascending = score desc, index ASC on ties, the first-max
+    * tie-break assign() lands rows with (NaN-aligned via probeKey),
+    * so a probe of a tied/duplicated centroid reads the populated
+    * cell. Keeps every query column and adds `cid`, one row per
+    * probed cell. Centralized so the tie-break/NaN discipline can
+    * never drift between the serving paths the specs pin bit-equal
+    * (the r13 alignment fix touched five copies of this block). */
+  private[graft] def probedCells(queries: DataFrame,
+                                 cents: Seq[Seq[Double]],
+                                 nprobe: Int): DataFrame = {
+    import queries.sparkSession.implicits._
+    queries
+      .withColumn("__scores",
+        centroidScoresCol(queries.sparkSession, $"qv", cents))
+      .withColumn("probe", slice(array_sort(zip_with($"__scores",
+        sequence(lit(0), lit(cents.length - 1)),
+        (s, i) => probeKey(s, i))), 1,
+        math.min(nprobe, cents.length)))
+      .withColumn("cid", explode($"probe.i"))
+      .drop("__scores", "probe")
+  }
+
   /** The IVF serving phase over any assigned cell index: probe the
     * top-`nprobe` centroids per query against the centroid literals,
     * exact-rerank inside the probed cells. Shared by a4 (k=8) and
@@ -442,16 +459,7 @@ object Knn {
     import cells.sparkSession.implicits._
     val queries = cells.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"v".as("qv"))
-    // (−score, index) ascending = score desc, index ASC on ties —
-    // the first-max tie-break assign() lands rows with, so a probe
-    // of a duplicated/tied centroid reads the populated cell
-    val probed = queries
-      .withColumn("__scores",
-        centroidScoresCol(cells.sparkSession, $"qv", cents))
-      .withColumn("probe", slice(array_sort(zip_with($"__scores",
-        sequence(lit(0), lit(cents.length - 1)),
-        (s, i) => probeKey(s, i))), 1, nprobe))
-      .select($"q_id", $"qv", explode($"probe.i").as("cid"))
+    val probed = probedCells(queries, cents, nprobe)
     val w = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")
     cells.join(broadcast(probed), Seq("cid"))
       .filter($"vec_id" =!= $"q_id")
@@ -908,25 +916,8 @@ object Knn {
                         nprobe: Int = 2, k: Int = 5): DataFrame = {
     import spark.implicits._
     graft.plans.GraftFunctions.ensureRegistered(spark)
-    // (−score, index) ascending = score desc, index ASC on ties —
-    // assign()'s first-max argmax, so a tied/duplicated centroid
-    // probes the cell rows actually landed in (TextIndex.
-    // probedVectorRows made the same alignment for the hybrid legs)
-    val probes = queries
-      .withColumn("__scores", centroidScoresCol(spark, $"qv", cents))
-      .withColumn("probe", slice(array_sort(zip_with($"__scores",
-        sequence(lit(0), lit(cents.length - 1)),
-        (s, i) => probeKey(s, i))), 1, nprobe))
-      .select($"q_id", $"qv", explode($"probe.i").as("cid"))
-    val probedCids = probes.select($"cid").distinct()
-      .collect().map(_.getInt(0)).toSeq
-    // cid IN (<literals>) reaches the scan as a PartitionFilter —
-    // only the probed directories are read (of the current
-    // committed generation)
-    val cells = spark.read.parquet(storeDataDir(spark, path))
-      .filter($"cid".isin(probedCids: _*))
-      .join(broadcast(ivfTombstones(spark, path)), Seq("vec_id"),
-        "left_anti")
+    val probes = probedCells(queries.select($"q_id", $"qv"), cents, nprobe)
+    val cells = prunedLiveCells(spark, path, probes)
     val w = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")
     cells.join(broadcast(probes), Seq("cid"))
       .filter($"vec_id" =!= $"q_id")
@@ -937,37 +928,38 @@ object Knn {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** The store-side scan every persisted-IVF serve reads: the probed
+    * cid set as `cid IN (<literals>)` — a PartitionFilter, so only
+    * the probed directories of the current committed generation are
+    * touched — with the logical-delete list anti-joined. */
+  private def prunedLiveCells(spark: SparkSession, path: String,
+                              probes: DataFrame): DataFrame = {
+    import spark.implicits._
+    val probedCids = probes.select($"cid").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(storeDataDir(spark, path))
+      .filter($"cid".isin(probedCids: _*))
+      .join(broadcast(ivfTombstones(spark, path)), Seq("vec_id"),
+        "left_anti")
+  }
+
   /** [[a27RangeSearch]] against the PERSISTED IVF store — FAISS
     * IndexIVF::range_search proper: the probe's `cid IN (...)`
     * reaches the scan as a PartitionFilter (only the nprobe
     * directories of the committed generation are read, tombstones
     * anti-joined), and every surviving vector above the radius
-    * returns — no top-k. KnnIndexSpec pins store-vs-in-memory
-    * serve equality. */
+    * returns — no top-k. Probe, scoring, threshold, and ordering are
+    * the SAME code as the in-memory path ([[probedCells]] +
+    * [[rangeServe]]), so the two cannot drift; KnnIndexSpec pins the
+    * store-vs-in-memory equality anyway. */
   def rangeFromIvfIndex(spark: SparkSession, path: String,
                         cents: Seq[Seq[Double]], queries: DataFrame,
                         minCosine: Double,
                         nprobe: Int = 3): DataFrame = {
     import spark.implicits._
     graft.plans.GraftFunctions.ensureRegistered(spark)
-    val probes = queries
-      .withColumn("__scores", centroidScoresCol(spark, $"qv", cents))
-      .withColumn("probe", slice(array_sort(zip_with($"__scores",
-        sequence(lit(0), lit(cents.length - 1)),
-        (s, i) => probeKey(s, i))), 1, nprobe))
-      .select($"q_id", $"qv", explode($"probe.i").as("cid"))
-    val probedCids = probes.select($"cid").distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val cells = spark.read.parquet(storeDataDir(spark, path))
-      .filter($"cid".isin(probedCids: _*))
-      .join(broadcast(ivfTombstones(spark, path)), Seq("vec_id"),
-        "left_anti")
-    cells.join(broadcast(probes), Seq("cid"))
-      .filter($"vec_id" =!= $"q_id")
-      .select($"q_id", $"vec_id", V.cosineD($"qv", $"v").as("cosine_raw"))
-      .filter($"cosine_raw" >= minCosine)
-      .select($"q_id", $"vec_id", round($"cosine_raw", 6).as("cosine"))
-      .orderBy($"q_id", $"cosine".desc, $"vec_id")
+    val probes = probedCells(queries.select($"q_id", $"qv"), cents, nprobe)
+    rangeServe(prunedLiveCells(spark, path, probes), probes, minCosine)
   }
 
   /** FILTERED-ANN serving layout — a16's metadata predicate pushed
@@ -1025,15 +1017,8 @@ object Knn {
   private def filteredProbes(queries: DataFrame, cents: Seq[Seq[Double]],
                              nprobe: Int): DataFrame = {
     import queries.sparkSession.implicits._
-    queries
-      .withColumn("__scores",
-        centroidScoresCol(queries.sparkSession, $"qv", cents))
-      // (−score, index) ascending: assign()'s first-max tie-break
-      .withColumn("probe", slice(array_sort(zip_with($"__scores",
-        sequence(lit(0), lit(cents.length - 1)),
-        (s, i) => probeKey(s, i))), 1,
-        math.min(nprobe, cents.length)))
-      .select($"q_id", $"qv", $"q_label", explode($"probe.i").as("cid"))
+    probedCells(queries, cents, nprobe)
+      .select($"q_id", $"qv", $"q_label", $"cid")
   }
 
   /** Serve filtered top-k from a [[writeFilteredIvfIndex]] layout:
@@ -2459,23 +2444,26 @@ object Knn {
   }
 
   /** The range-serving core over any assigned cell index — shared
-    * probe mechanics with [[ivfServe]] ((−score, index) probe key,
-    * NaN-aligned with assign), threshold filter instead of top-k. */
+    * probe mechanics with [[ivfServe]] ([[probedCells]]: (−score,
+    * index) probe key, NaN-aligned with assign), threshold filter
+    * instead of top-k. */
   private[graft] def rangeSearchOf(cells: DataFrame,
                                    cents: Seq[Seq[Double]],
                                    minCosine: Double,
                                    nprobe: Int): DataFrame = {
-    val spark = cells.sparkSession
-    import spark.implicits._
+    import cells.sparkSession.implicits._
     val queries = cells.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"v".as("qv"))
-    val probed = queries
-      .withColumn("__scores", centroidScoresCol(spark, $"qv", cents))
-      .withColumn("probe", slice(array_sort(zip_with($"__scores",
-        sequence(lit(0), lit(cents.length - 1)),
-        (s, i) => probeKey(s, i))), 1, nprobe))
-      .select($"q_id", $"qv", explode($"probe.i").as("cid"))
-    cells.join(broadcast(probed), Seq("cid"))
+    rangeServe(cells, probedCells(queries, cents, nprobe), minCosine)
+  }
+
+  /** Score the probed cells, keep everything at or above the radius,
+    * no top-k — the tail shared verbatim by the in-memory and
+    * persisted range serves. */
+  private def rangeServe(cells: DataFrame, probes: DataFrame,
+                         minCosine: Double): DataFrame = {
+    import cells.sparkSession.implicits._
+    cells.join(broadcast(probes), Seq("cid"))
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id", V.cosineD($"qv", $"v").as("cosine_raw"))
       .filter($"cosine_raw" >= minCosine)
@@ -2562,14 +2550,9 @@ object Knn {
   private[graft] def medoidEntries(queries: DataFrame, medoids: DataFrame,
                                    cents: Seq[Seq[Double]],
                                    eCells: Int): DataFrame = {
-    val spark = queries.sparkSession
-    import spark.implicits._
-    queries
-      .withColumn("__scores", centroidScoresCol(spark, $"qv", cents))
-      .withColumn("probe", slice(array_sort(zip_with($"__scores",
-        sequence(lit(0), lit(cents.length - 1)),
-        (s, i) => probeKey(s, i))), 1, eCells))
-      .select($"q_id", explode($"probe.i").as("cid"))
+    import queries.sparkSession.implicits._
+    probedCells(queries.select($"q_id", $"qv"), cents, eCells)
+      .select($"q_id", $"cid")
       .join(broadcast(medoids), "cid")
       .select($"q_id", $"vec_id")
   }
@@ -3551,7 +3534,30 @@ object Knn {
        |  UNION
        |  SELECT vec_id, q_id FROM g2),
        |$qsCte,
-       |med AS (
+       |${medoidCtesSql(eCells)},
+       |wv0 AS (
+       |  SELECT qs.q_id, b.vec_id,
+       |    ${cosineSql.replace("QV", "qs.qv").replace("BV", "b.v")} AS cosine_raw
+       |  FROM qcell qc
+       |  JOIN med m ON m.cid = qc.cid
+       |  JOIN qs ON qs.q_id = qc.q_id
+       |  JOIN ev b ON b.vec_id = m.vec_id
+       |  WHERE b.vec_id <> qs.q_id),
+       |${(1 to hops).map(hopCtes).mkString(",\n")}
+       |$finalSel""".stripMargin
+  }
+
+  /** The med/qcell CTE pair of every medoid-entry walk oracle —
+    * per-cell top-3 medoids by cosine to the OWN centroid (ties →
+    * lowest vec_id, graphMedoids' window) and per-query top-eCells
+    * probed cells (score desc, cid asc = probeKey). ONE definition
+    * shared by the a22/a26 walk and a23's PQ walk, mirroring the
+    * Scala side's centralized graphMedoids/medoidEntries — two
+    * copies here could silently drift and leave one hash gate
+    * testing stale mechanics. Expects `cells`, `c3`, `e`
+    * (kmeansCellsSqlFor) and `qs` (q_id, qv) in scope. */
+  private def medoidCtesSql(eCells: Int): String =
+    s"""med AS (
        |  SELECT cid, vec_id FROM (
        |    SELECT cl.cid, cl.vec_id,
        |      row_number() OVER (PARTITION BY cl.cid
@@ -3566,18 +3572,7 @@ object Knn {
        |      row_number() OVER (PARTITION BY qs.q_id
        |        ORDER BY ${cos("qs.qv", "c.cv")} DESC, c.cid) AS rn
        |    FROM qs CROSS JOIN c3 c)
-       |  WHERE rn <= $eCells),
-       |wv0 AS (
-       |  SELECT qs.q_id, b.vec_id,
-       |    ${cosineSql.replace("QV", "qs.qv").replace("BV", "b.v")} AS cosine_raw
-       |  FROM qcell qc
-       |  JOIN med m ON m.cid = qc.cid
-       |  JOIN qs ON qs.q_id = qc.q_id
-       |  JOIN ev b ON b.vec_id = m.vec_id
-       |  WHERE b.vec_id <> qs.q_id),
-       |${(1 to hops).map(hopCtes).mkString(",\n")}
-       |$finalSel""".stripMargin
-  }
+       |  WHERE rn <= $eCells)""".stripMargin
 
   private lazy val a22Sql: String =
     graphWalkSql(k = 5, beam = 6, hops = 2, eCells = 8, filtered = false)
@@ -3662,22 +3657,7 @@ object Knn {
        |      - 1) AS code
        |  FROM ev, sv),
        |qs AS (SELECT vec_id AS q_id, v AS qv FROM ev WHERE vec_id < 10),
-       |med AS (
-       |  SELECT cid, vec_id FROM (
-       |    SELECT cl.cid, cl.vec_id,
-       |      row_number() OVER (PARTITION BY cl.cid
-       |        ORDER BY ${cos("e.v", "c.cv")} DESC, cl.vec_id) AS rn
-       |    FROM cells cl
-       |    JOIN e ON e.vec_id = cl.vec_id
-       |    JOIN c3 c ON c.cid = cl.cid)
-       |  WHERE rn <= 3),
-       |qcell AS (
-       |  SELECT q_id, cid FROM (
-       |    SELECT qs.q_id, c.cid,
-       |      row_number() OVER (PARTITION BY qs.q_id
-       |        ORDER BY ${cos("qs.qv", "c.cv")} DESC, c.cid) AS rn
-       |    FROM qs CROSS JOIN c3 c)
-       |  WHERE rn <= $eCells),
+       |${medoidCtesSql(eCells)},
        |wv0 AS (
        |  SELECT qs.q_id, b.vec_id, ${adcSql("qs.qv", "b.code")} AS adist
        |  FROM qcell qc

@@ -458,18 +458,37 @@ object ChunkStore {
     drop
   }
 
+  /** Does the store directory hold any DATA at all — i.e. any
+    * non-hidden entry (underscore/dot names are Spark bookkeeping:
+    * _SUCCESS, _checkpoints)? A store whose every partition was
+    * dropped keeps its _SUCCESS marker, so a bare `fs.exists` says
+    * "present" while `spark.read.parquet` throws schema-inference
+    * errors — the probe every reader of a mutable store needs. */
+  def hasDataFiles(spark: SparkSession, path: String): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(dir) && fs.listStatus(dir).exists { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
   /** Drop one source partition — DeleteChunksBySourceID as a metadata
     * operation (no rewrite of surviving data). Goes through the
     * Hadoop FileSystem API, so the same call works on local disk,
     * HDFS, or an object store via its Hadoop connector; on
     * Delta/Iceberg this becomes a partition-predicate DELETE with
     * snapshot isolation. Returns the surviving view for
-    * verification. */
+    * verification — empty (no rows, no columns) when the dropped
+    * partition was the store's LAST: the read would otherwise throw
+    * on schema inference over bookkeeping-only leftovers, wedging a
+    * single-source resync after its purge step. */
   def deleteSourcePartition(spark: SparkSession, path: String,
                             partitionCol: String, value: String): DataFrame = {
     val dir = new org.apache.hadoop.fs.Path(s"$path/$partitionCol=$value")
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(dir)) fs.delete(dir, true): Unit
-    spark.read.parquet(path)
+    if (hasDataFiles(spark, path)) spark.read.parquet(path)
+    else spark.emptyDataFrame
   }
 }

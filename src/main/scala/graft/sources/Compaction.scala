@@ -46,16 +46,26 @@ object Compaction {
     val rootQ = fs.makeQualified(rootPath).toString
     val rows = Iterator.continually(it)
       .takeWhile(_.hasNext).map(_.next())
-      .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
-        && !f.getPath.getName.startsWith("."))
+      .filter(f => f.isFile)
       .map { f =>
         val abs = f.getPath.toString
         val rel =
           if (abs.startsWith(rootQ + "/")) abs.stripPrefix(rootQ + "/")
           else abs
+        (rel, f.getLen)
+      }
+      // hidden names filtered on EVERY rel component, not just the
+      // file basename: the recursive walk descends into
+      // underscore-prefixed dirs Spark readers ignore — a torn
+      // `_gen_N` staging layout (crash mid-OPTIMIZE) would otherwise
+      // feed its invisible files into the files-per-cell compaction
+      // signal and trigger a spurious full rewrite
+      .filter { case (rel, _) => rel.split('/')
+        .forall(c => !c.startsWith("_") && !c.startsWith(".")) }
+      .map { case (rel, len) =>
         val part = rel.split('/').dropRight(1).find(_.contains("="))
           .getOrElse("")
-        (part, rel, f.getLen)
+        (part, rel, len)
       }
       .toSeq
     rows.toDF("partition", "path", "bytes")

@@ -238,14 +238,14 @@ object IngestStream {
     val spark = docs.sparkSession
     val chunksPath = s"$storePath/chunks"
     val incoming = chunkAndEmbed(docs, maxTokens, clean = clean)
-    // Hadoop FileSystem existence probe (NOT java.io.File): the store
-    // path may be HDFS/S3, where a local-FS check always says "absent"
-    // and the first micro-batch would overwrite instead of merging —
-    // same API ChunkStore.deleteSourcePartition uses
-    val storeFsPath = new org.apache.hadoop.fs.Path(chunksPath)
-    val storeExists = storeFsPath
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(storeFsPath)
+    // data probe, not a bare existence probe (and Hadoop FileSystem,
+    // NOT java.io.File — the store path may be HDFS/S3): a store
+    // whose every partition was dropped (a single-source purge) still
+    // has its directory and _SUCCESS marker, but reading it for the
+    // merge would throw on schema inference — treat it as absent so
+    // the re-ingest lands as the first write
+    val storeExists = graft.sources.ChunkStore
+      .hasDataFiles(spark, chunksPath)
     val merged =
       if (storeExists) {
         val survivors = spark.read.parquet(chunksPath)

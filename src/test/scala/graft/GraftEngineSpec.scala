@@ -658,6 +658,36 @@ class GraftEngineSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("resyncSource of the store's ONLY source converges (the purge empties the chunk store)") {
+    import spark.implicits._
+    // single-source store: the partition drop leaves nothing but the
+    // _SUCCESS marker, so a bare existence probe says "present" while
+    // a parquet read throws on schema inference — the re-ingest must
+    // land as a first write and a re-run must converge, not wedge
+    val stale = Seq((1L, "stale old content one", "sB", "http://sB/1"))
+      .toDF("doc_id", "text", "source", "url")
+    val fresh = Seq((1L, "fresh crawl content one", "sB", "http://sB/1"))
+      .toDF("doc_id", "text", "source", "url")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-eng-rsyn1-idx").toString
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-eng-rsyn1-st").toString
+    graft.streaming.IngestStream.reingest(stale, store)
+    graft.sources.TextIndex.write(stale, idx)
+    val e = new GraftEngine(spark, fresh)
+    assert(e.resyncSource(idx, store, "sB", fresh) == 1L)
+    // the re-run hits the purge-then-reingest path again — converges
+    assert(e.resyncSource(idx, store, "sB", fresh) == 1L)
+    val texts = spark.read.parquet(s"$store/chunks")
+      .select($"content").collect().map(_.getString(0)).toSet
+    assert(texts.exists(_.contains("fresh crawl")) &&
+      !texts.exists(_.contains("stale old")),
+      s"chunk store must hold only the fresh content: $texts")
+    assert(graft.sources.TextIndex.docsTable(spark, idx)
+      .select($"doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    Caches.releaseAll()
+  }
+
   test("resyncSource: stale source converges to the fresh build across both stores") {
     import spark.implicits._
     def page(id: Long, text: String, src: String) =

@@ -387,6 +387,14 @@ class KnnIndexSpec extends SparkSpec {
       .write.mode("overwrite").partitionBy("cid").parquet(s"$p/_gen_1")
     assert(Knn.storeGen(spark, p) == 0L)
     assert(served == s0, "staged-but-uncommitted must be invisible")
+    // the torn staging is invisible to the MAINTENANCE SIGNAL too:
+    // the recursive file walk must not count _gen_1's files into the
+    // files-per-cell average (a crash mid-OPTIMIZE would otherwise
+    // trigger a spurious full rewrite on the next auto-compaction)
+    assert(graft.sources.Compaction
+      .listFiles(spark, Knn.storeDataDir(spark, p))
+      .filter($"path".contains("_gen_")).count() == 0,
+      "torn staging files must not feed the compaction signal")
     // the retried OPTIMIZE overwrites the torn staging and commits
     Knn.deleteFromIvfIndex(spark, p, Seq(2L).toDF("vec_id"))
     val s1 = served
