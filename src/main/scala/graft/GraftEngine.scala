@@ -908,6 +908,23 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
       .limit(k)
   }
 
+  /** Every neighbor of `queryVec` at or above `minCosine` — the
+    * RANGE form of [[knn]] (FAISS range_search semantics, a27's
+    * exact baseline): no k anywhere, the result is exactly the
+    * threshold set — what threshold-based near-dup mining wants,
+    * where top-k truncates dense queries and over-fetches sparse
+    * ones. The IVF-pruned scale path over a persisted cell store is
+    * operators.Knn.rangeFromIvfIndex. */
+  def rangeSearch(embeddings: DataFrame, queryVec: Seq[Double],
+                  minCosine: Double): DataFrame = {
+    val qv: Column = array(queryVec.map(lit(_)): _*)
+    embeddings
+      .select($"doc_id", call_function("cosine_sim",
+        transform(col("embedding"), _.cast("double")), qv).as("cosine"))
+      .filter($"cosine" >= minCosine)
+      .orderBy($"cosine".desc, $"doc_id")
+  }
+
   /** Fixed-point PageRank over a (src, dst) link-graph frame — the
     * crawl-scheduler authority score (c15; bit-exact integer ranks,
     * see operators.ChunkQueries.pageRankOf). */

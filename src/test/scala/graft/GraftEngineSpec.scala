@@ -112,6 +112,16 @@ class GraftEngineSpec extends SparkSpec {
     val cos = hits.map(_.getDouble(1)).toSeq
     assert(cos == cos.sorted.reverse)
     assert(cos.head <= 1.000001)
+    // the range form: exactly the >= tau subset of the same scores,
+    // no k — pick tau between the 3rd and 4th knn hit so the exact
+    // expected set is known
+    val others = emb.filter($"doc_id" =!= 0)
+    val tau = (cos(2) + cos(3)) / 2.0
+    val ranged = engine.rangeSearch(others, qv, tau).collect()
+    assert(ranged.map(_.getLong(0)).toSeq ==
+      hits.take(3).map(_.getLong(0)).toSeq,
+      "range at a tau between hit 3 and 4 returns exactly the top 3")
+    assert(ranged.forall(_.getDouble(1) >= tau))
   }
 
   test("settings defaults resolve like the reference's settings service") {
