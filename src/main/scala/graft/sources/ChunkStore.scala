@@ -479,16 +479,26 @@ object ChunkStore {
     * HDFS, or an object store via its Hadoop connector; on
     * Delta/Iceberg this becomes a partition-predicate DELETE with
     * snapshot isolation. Returns the surviving view for
-    * verification — empty (no rows, no columns) when the dropped
-    * partition was the store's LAST: the read would otherwise throw
-    * on schema inference over bookkeeping-only leftovers, wedging a
-    * single-source resync after its purge step. */
+    * verification — when the dropped partition was the store's LAST
+    * (the read would otherwise throw on schema inference over
+    * bookkeeping-only leftovers, wedging a single-source resync
+    * after its purge step), the return is an empty frame carrying
+    * the PRE-DELETE schema, so callers can still select/filter the
+    * documented columns on it. */
   def deleteSourcePartition(spark: SparkSession, path: String,
                             partitionCol: String, value: String): DataFrame = {
+    // capture the schema before deleting: if this drop empties the
+    // store, the surviving view must keep its columns
+    val preSchema =
+      if (hasDataFiles(spark, path))
+        scala.util.Try(spark.read.parquet(path).schema).toOption
+      else None
     val dir = new org.apache.hadoop.fs.Path(s"$path/$partitionCol=$value")
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(dir)) fs.delete(dir, true): Unit
     if (hasDataFiles(spark, path)) spark.read.parquet(path)
-    else spark.emptyDataFrame
+    else preSchema.map(s => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
+      .getOrElse(spark.emptyDataFrame)
   }
 }

@@ -49,19 +49,30 @@ object Compaction {
       .filter(f => f.isFile)
       .map { f =>
         val abs = f.getPath.toString
-        val rel =
-          if (abs.startsWith(rootQ + "/")) abs.stripPrefix(rootQ + "/")
-          else abs
-        (rel, f.getLen)
+        val relativized = abs.startsWith(rootQ + "/")
+        val rel = if (relativized) abs.stripPrefix(rootQ + "/") else abs
+        (rel, relativized, f.getLen)
       }
       // hidden names filtered on EVERY rel component, not just the
       // file basename: the recursive walk descends into
       // underscore-prefixed dirs Spark readers ignore — a torn
       // `_gen_N` staging layout (crash mid-OPTIMIZE) would otherwise
       // feed its invisible files into the files-per-cell compaction
-      // signal and trigger a spurious full rewrite
-      .filter { case (rel, _) => rel.split('/')
-        .forall(c => !c.startsWith("_") && !c.startsWith(".")) }
+      // signal and trigger a spurious full rewrite. The all-component
+      // sweep only applies when the path actually relativized: in the
+      // absolute-path fallback (scheme mismatch) the components
+      // include ancestors ABOVE the root, and a store rooted under an
+      // underscore/dot-prefixed ancestor dir would otherwise list
+      // empty — there, only the leaf filename can be judged hidden
+      .filter { case (rel, relativized, _) =>
+        if (relativized) rel.split('/')
+          .forall(c => !c.startsWith("_") && !c.startsWith("."))
+        else {
+          val base = rel.split('/').last
+          !base.startsWith("_") && !base.startsWith(".")
+        }
+      }
+      .map { case (rel, _, len) => (rel, len) }
       .map { case (rel, len) =>
         val part = rel.split('/').dropRight(1).find(_.contains("="))
           .getOrElse("")

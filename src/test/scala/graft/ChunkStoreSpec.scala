@@ -38,6 +38,18 @@ class ChunkStoreSpec extends SparkSpec {
     assert(survivors.count() === docs.filter($"source" =!= "src1").count())
   }
 
+  test("dropping the LAST partition returns an empty frame that keeps the schema") {
+    val path = s"$tmp/del_last"
+    val docs = Tables.documents(spark, sfDir).filter($"source" === "src1")
+    ChunkStore.writePartitioned(docs, path)
+    val survivors = ChunkStore.deleteSourcePartition(spark, path, "source", "src1")
+    // the documented 'surviving view' must stay addressable by column
+    // even when the store just went empty — callers select/filter it
+    assert(survivors.count() === 0)
+    assert(survivors.columns.contains("doc_id"))
+    assert(survivors.filter($"source" === "src1").count() === 0)
+  }
+
   test("keyset pages tile the full per-source listing, no global sort") {
     val path = s"$tmp/pages"
     // per-source unique (chunkIndex, doc_id): several docs share an
