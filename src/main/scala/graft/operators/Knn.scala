@@ -496,9 +496,13 @@ object Knn {
 
   /** Flip the generation marker (the commit point) and sweep every
     * older generation's data — the sweep is idempotent, so a crash
-    * between flip and sweep self-heals on the next flip. */
+    * between flip and sweep self-heals on the next flip. `staleRoot`
+    * names the legacy generation-0 data entries at the store root
+    * (partition dirs for the single-table stores, the codes/vectors
+    * pair for the PQ store) that the first flip retires. */
   private def commitStoreGen(spark: SparkSession, path: String,
-                             gen: Long, partPrefix: String): Unit = {
+                             gen: Long,
+                             staleRoot: String => Boolean): Unit = {
     graft.sources.Markers.write(spark, s"$path/_gen", gen.toString,
       "ANN-store generation marker")
     val p = new org.apache.hadoop.fs.Path(path)
@@ -507,8 +511,7 @@ object Knn {
       val n = c.getName
       val staleGen = n.startsWith("_gen_") &&
         n.stripPrefix("_gen_").toLong < gen
-      val staleRoot = gen > 0L && n.startsWith(s"$partPrefix=")
-      if (staleGen || staleRoot) fs.delete(c, true): Unit
+      if (staleGen || (gen > 0L && staleRoot(n))) fs.delete(c, true): Unit
     }
   }
 
@@ -693,7 +696,7 @@ object Knn {
     // torn staging left by a crashed earlier attempt), then flip
     live.write.mode("overwrite").partitionBy("cid")
       .parquet(s"$path/_gen_${gen + 1}")
-    commitStoreGen(spark, path, gen + 1, "cid")
+    commitStoreGen(spark, path, gen + 1, _.startsWith("cid="))
     Seq.empty[Long].toDF("vec_id")
       .write.mode("overwrite").parquet(s"$path/_tombstones")
   }
@@ -960,6 +963,221 @@ object Knn {
     graft.plans.GraftFunctions.ensureRegistered(spark)
     val probes = probedCells(queries.select($"q_id", $"qv"), cents, nprobe)
     rangeServe(prunedLiveCells(spark, path, probes), probes, minCosine)
+  }
+
+  /** PERSISTED IVF+PQ store — a11's FAISS IndexIVFPQ composition as
+    * the layout a 100 TB deployment actually READS: the serving scan
+    * is the 4-bit-per-subspace PQ codes (~32× smaller than the raw
+    * doubles), and the raw vectors are a separate rerank tier touched
+    * only for the ≤ candidates·|queries| ADC survivors — the
+    * DiskANN/FAISS disk discipline (codes resident, vectors
+    * point-read). Layout, all inside the committed generation
+    * ([[storeGen]]'s staged `_gen` + one-marker-flip crash safety):
+    *
+    *   codes/cid=N/    (vec_id, code)     — ADC scan, partition-pruned
+    *   vectors/cid=N/  (vec_id, v)        — rerank tier, same pruning
+    *
+    * plus store-level artifacts: `_centroids` + `_codebooks` (the
+    * FROZEN quantizer pair every append encodes against — the FAISS
+    * add() contract), `_tombstones` (the shared logical-delete list:
+    * [[deleteFromIvfIndex]]/[[clearIvfTombstones]] work unchanged on
+    * this store), `_gen`. Reference: the store tier the engine
+    * delegates to Weaviate (internal/adapter/weaviate/store.go:105);
+    * encode/ADC semantics follow FAISS IndexIVFPQ (residual
+    * encoding), cited at [[a11IvfPq]]. Build trains on the full
+    * corpus; `initial` (when given) seeds the data tier so the rest
+    * can arrive through [[appendToPqIndex]]. */
+  def writePqIndex(spark: SparkSession, dir: String, path: String,
+                   initial: Option[DataFrame] = None): Unit = {
+    import spark.implicits._
+    val m = 8; val sub = 8; val kb = 16
+    val all = base(spark, dir)
+    val cents = ivfCentroids(spark, dir, all)
+    val centMat = typedLit(cents)
+    // a11's codebooks exactly: seed words = the first kb residuals by
+    // vec_id — a trained pqFit drop-in upgrades this without touching
+    // the layout (the artifact schema is the contract, not the fit)
+    val withRes = assign(all, cents).withColumn("r",
+      zip_with($"v", element_at(centMat, $"cid" + 1), (a, b) => a - b))
+    val seeds: Seq[Seq[Double]] = withRes.orderBy($"vec_id").limit(kb)
+      .select($"r").as[Seq[Double]].collect().toSeq
+    val books: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      seeds.map(_.slice(s * sub, (s + 1) * sub))
+    }
+    // fresh build truncates the root (markers included): gen 0
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true): Unit
+    cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "vals")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+    books.zipWithIndex.flatMap { case (bk, s) =>
+      bk.zipWithIndex.map { case (w, j) => (s, j, w) }
+    }.toDF("s", "j", "vals")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
+    appendToPqIndex(spark, path,
+      initial.getOrElse(all).select($"vec_id", $"v"))
+  }
+
+  /** The PQ store's frozen quantizer pair, read back from its
+    * artifacts (tiny: k cells + m·kb codewords). */
+  def pqStoreModel(spark: SparkSession, path: String)
+      : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/_centroids")
+      .orderBy($"cid").select($"vals").as[Seq[Double]].collect().toSeq
+    val books = spark.read.parquet(s"$path/_codebooks")
+      .orderBy($"s", $"j").select($"s", $"vals").as[(Int, Seq[Double])]
+      .collect().toSeq.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.map(_._2).toSeq }
+    (cents, books)
+  }
+
+  /** Incremental add into the PQ store — the frozen-quantizer FAISS
+    * add(): the batch assigns against the stored centroids, encodes
+    * its residuals against the stored codebooks, and appends one
+    * narrow write per touched cell into BOTH tiers (codes for the
+    * scan, vectors for the rerank). No serving-path change; cell
+    * drift is a18's audit signal, same as the raw IVF store. */
+  def appendToPqIndex(spark: SparkSession, path: String,
+                      vectors: DataFrame): Unit = {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val (cents, books) = pqStoreModel(spark, path)
+    val centMat = typedLit(cents)
+    val bookMat = typedLit(books)
+    val data = storeDataDir(spark, path)
+    val coded = assign(vectors.select($"vec_id", $"v"), cents)
+      .withColumn("r", zip_with($"v", element_at(centMat, $"cid" + 1),
+        (a, b) => a - b))
+      .withColumn("code", call_function("pq_encode", $"r", bookMat))
+    coded.select($"vec_id", $"code", $"cid")
+      .write.mode("append").partitionBy("cid").parquet(s"$data/codes")
+    coded.select($"vec_id", $"v", $"cid")
+      .write.mode("append").partitionBy("cid").parquet(s"$data/vectors")
+  }
+
+  /** Serve top-k from the PERSISTED PQ store — bit-equal to the
+    * in-memory [[a11IvfPq]] chain at the same geometry (KnnPqStoreSpec
+    * pins it): probe nprobe cells, ADC-scan ONLY the probed cells'
+    * CODES (a `cid IN (...)` PartitionFilter — the raw vectors are
+    * not read here), take the `candidates` best per query by
+    * asymmetric distance, then exact-rerank just those survivors
+    * against the vectors tier (same pruned cells, id-equi-join on a
+    * broadcast candidate set ≤ candidates·|queries| rows). At 100 TB
+    * the scan I/O is the code bytes of nprobe cells; the raw-vector
+    * read is bounded by the candidate count, not the corpus. */
+  def serveFromPqIndex(spark: SparkSession, path: String,
+                       queries: DataFrame, nprobe: Int = 2, k: Int = 5,
+                       candidates: Int = 20): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val (cents, books) = pqStoreModel(spark, path)
+    val centMat = typedLit(cents)
+    val bookMat = typedLit(books)
+    val data = storeDataDir(spark, path)
+    val probes = probedCells(queries.select($"q_id", $"qv"), cents, nprobe)
+      .withColumn("rq", zip_with($"qv", element_at(centMat, $"cid" + 1),
+        (a, b) => a - b))
+    val probedCids = probes.select($"cid").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val tomb = ivfTombstones(spark, path)
+    val codes = spark.read.parquet(s"$data/codes")
+      .filter($"cid".isin(probedCids: _*))
+      .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+    val wA = Window.partitionBy($"q_id").orderBy($"adist", $"vec_id")
+    val survivors = codes.join(broadcast(probes), Seq("cid"))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("adist", call_function("pq_adc", $"rq", $"code", bookMat))
+      .withColumn("qrnk", row_number().over(wA))
+      .filter($"qrnk" <= candidates)
+      .select($"q_id", $"qv", $"vec_id")
+    val w = Window.partitionBy($"q_id").orderBy($"cosine_raw".desc, $"vec_id")
+    spark.read.parquet(s"$data/vectors")
+      .filter($"cid".isin(probedCids: _*))
+      .join(broadcast(survivors), Seq("vec_id"))
+      .select($"q_id", $"vec_id", V.cosineD($"qv", $"v").as("cosine_raw"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"q_id", $"vec_id", round($"cosine_raw", 6).as("cosine"), $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
+  /** COMPACT the PQ store: cell-scoped physical drop of tombstoned
+    * rows from BOTH tiers (only the cells that carry them rewrite),
+    * then clear the list — serve bit-equal before/after, the
+    * [[compactIvfIndex]] contract. */
+  def compactPqIndex(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val tomb = ivfTombstones(spark, path).localCheckpoint(true)
+    val data = storeDataDir(spark, path)
+    Seq(s"$data/codes", s"$data/vectors").foreach { tier =>
+      val touched = spark.read.parquet(tier)
+        .join(broadcast(tomb), Seq("vec_id"), "left_semi")
+        .select($"cid").distinct().collect().map(_.getInt(0)).toSeq
+      rewriteTouchedCells(spark, tier, touched,
+        spark.read.parquet(tier)
+          .filter($"cid".isin(touched: _*))
+          .join(broadcast(tomb), Seq("vec_id"), "left_anti"))
+    }
+    Seq.empty[Long].toDF("vec_id")
+      .write.mode("overwrite").parquet(s"$path/_tombstones")
+  }
+
+  /** Full OPTIMIZE of the PQ store — the staged-generation commit
+    * ([[optimizeIvfIndex]]'s contract) over the two-tier layout: live
+    * rows of both tiers stage complete under `_gen_N+1/codes` +
+    * `_gen_N+1/vectors`, the ONE `_gen` flip commits, older
+    * generations (and the gen-0 root pair on the first flip) sweep
+    * idempotently. A crash at any earlier point leaves readers on
+    * generation N bit-exactly. */
+  def optimizePqIndex(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val tomb = ivfTombstones(spark, path).localCheckpoint(true)
+    val gen = storeGen(spark, path)
+    val data = storeDataDir(spark, path)
+    Seq("codes", "vectors").foreach { tier =>
+      spark.read.parquet(s"$data/$tier")
+        .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$path/_gen_${gen + 1}/$tier")
+    }
+    commitStoreGen(spark, path, gen + 1,
+      n => n == "codes" || n == "vectors")
+    Seq.empty[Long].toDF("vec_id")
+      .write.mode("overwrite").parquet(s"$path/_tombstones")
+  }
+
+  /** The session's PERSISTED PQ store for `dir`: trained on the full
+    * corpus, data tier built on the EVEN vec_ids, the odd half
+    * arriving through [[appendToPqIndex]] against the frozen
+    * quantizer pair — so a28's serve exercises the incremental
+    * layout, and because the final contents are the whole corpus
+    * under a11's exact encode, a28 reuses a11's oracle. */
+  def pqStorePath(spark: SparkSession, dir: String): String =
+    graft.TrainedModels.memo(spark, s"pq_store:$dir") {
+      import spark.implicits._
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_pq_store").toString + "/index"
+      val all = base(spark, dir)
+      writePqIndex(spark, dir, p,
+        initial = Some(all.filter($"vec_id" % 2 === 0)))
+      appendToPqIndex(spark, p,
+        all.filter($"vec_id" % 2 === 1).select($"vec_id", $"v"))
+      p
+    }
+
+  /** a28: IVF+PQ serving FROM the persisted code store — a11's exact
+    * chain (probe → residual ADC → top-20 → exact rerank top-5), but
+    * the ADC scan reads persisted CODES (partition-pruned, raw
+    * vectors untouched) and the rerank reads the vectors tier for
+    * survivors only. Oracle: a11's SQL — the store round trip must
+    * reproduce the in-memory scores bit-exactly. */
+  def a28PqStore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val queries = base(spark, dir).filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    serveFromPqIndex(spark, pqStorePath(spark, dir), queries)
   }
 
   /** FILTERED-ANN serving layout — a16's metadata predicate pushed
@@ -2308,7 +2526,7 @@ object Knn {
       .repartition(col("nbucket"))
       .write.mode("overwrite")
       .partitionBy("nbucket").parquet(s"$path/_gen_${gen + 1}")
-    commitStoreGen(spark, path, gen + 1, "nbucket")
+    commitStoreGen(spark, path, gen + 1, _.startsWith("nbucket="))
   }
 
   /** COUNT-GATED auto-compaction for the graph store — the
@@ -2809,6 +3027,7 @@ object Knn {
     "a25_graph_delete" -> a25GraphDelete _,
     "a26_graph_filtered" -> ((s, d) => a26GraphFiltered(s, d)),
     "a27_range_search" -> ((s, d) => a27RangeSearch(s, d)),
+    "a28_pq_store" -> a28PqStore _,
     "s2_vector_topk" -> s2VectorTopk _)
 
   private val cosineSql =
@@ -3800,6 +4019,9 @@ object Knn {
   private lazy val baseOracles: Map[String, String] = Map(
     "a6_knn_pq" -> a6Sql,
     "a11_ivf_pq" -> a11Sql,
+    // the persisted-PQ serve must reproduce the in-memory IVF+PQ
+    // chain bit-exactly — same quantizer pair, same ADC, same rerank
+    "a28_pq_store" -> a11Sql,
     "a7_knn_pq_kmeans" -> a7Sql,
     "a13_knn_opq" -> a13Sql,
     "a5_knn_sq8" ->
