@@ -104,6 +104,11 @@ object Bench {
     val tNg = System.nanoTime()
     operators.Knn.refinedGraph(spark, sfDir).count()
     val ngDt = (System.nanoTime() - tNg) / 1e9
+    // and the Vamana α-RNG prune over it (a29's edge table + a12's
+    // vamana row read it): one more build-once pass on the graph tier
+    val tVg = System.nanoTime()
+    operators.Knn.vamanaGraph(spark, sfDir).count()
+    val vgDt = (System.nanoTime() - tVg) / 1e9
     // Trained serving models (IVF centroids, PQ codebooks, SemDeDup
     // quantizer) are the session's index-build pass: trained ONCE
     // here and billed as their own line item — every a4/a7/d7 rep
@@ -197,6 +202,7 @@ object Bench {
       "_shared_vector_reps" -> vecDt,
       "_shared_pagerank" -> prDt,
       "_shared_nn_graph" -> ngDt,
+      "_shared_vamana_graph" -> vgDt,
       "_model_training" -> modelDt,
       "_text_index_build" -> tiDt,
       "_text_index_append_base" -> tabDt,

@@ -2580,6 +2580,134 @@ object Knn {
                                   dir: String): DataFrame =
     nnGraphRounds(spark, dir).last
 
+  /** VAMANA ROBUST PRUNE — DiskANN's α-RNG rule (Jayaram Subramanya
+    * et al., NeurIPS'19, RobustPrune): re-select each node's
+    * out-neighborhood for NAVIGABILITY instead of raw closeness. The
+    * NN-descent graph keeps the k closest neighbors, which cluster
+    * in one direction and leave the beam walk re-treading the same
+    * dense pocket; the α rule visits candidates closest-first and
+    * DROPS any candidate v already covered by a kept neighbor s
+    * (α·d(s,v) ≤ d(p,v), d = 1 − cosine, α > 1 keeps some slack) —
+    * so each kept edge opens a genuinely new direction, up to
+    * `degreeCap` edges per node.
+    *
+    * Candidate pool per node: the undirected view of `g` plus ONE
+    * neighbor-of-neighbor expansion, bounded to the `poolCap` best
+    * by similarity (DiskANN's L-bounded candidate list) — so the
+    * pool a node selects from is WIDER than its final degree, which
+    * is where the diversity win comes from. Cost shape at 100 TB:
+    * the expansion join carries ids only (≤ n·(2k)² rows), the
+    * bounded pool is one heap window, pair scoring is two id-keyed
+    * vector fetches over ≤ n·poolCap² rows, and the greedy runs as
+    * a KEYED PER-NODE AGGREGATE over a bounded group (≤ poolCap
+    * candidates + poolCap² pair rows per node) — one keyed shuffle,
+    * never corpus². The greedy itself is the one genuinely
+    * sequential piece (each keep decision depends on prior keeps),
+    * so it runs in the typed flatMapGroups seam over that bounded
+    * group — the same justified-imperative class as the chunker. */
+  def robustPrune(g: DataFrame, vecs: DataFrame, alpha: Double = 1.2,
+                  degreeCap: Int = 6, poolCap: Int = 12): DataFrame = {
+    val spark = g.sparkSession
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val ids = vecs.select($"vec_id".as("vid"), $"v".as("vv"))
+    val und = g.select($"q_id".as("node"), $"vec_id".as("nbr"))
+      .unionByName(g.select($"vec_id".as("node"), $"q_id".as("nbr")))
+    val non = und.as("x")
+      .join(und.as("y"), $"x.nbr" === $"y.node" && $"y.nbr" =!= $"x.node")
+      .select($"x.node".as("node"), $"y.nbr".as("nbr"))
+    val pool0 = und.unionByName(non).filter($"node" =!= $"nbr")
+      .dropDuplicates("node", "nbr")
+    val wP = Window.partitionBy($"node").orderBy($"sim_pn".desc, $"nbr")
+    // bounded pool: n·poolCap rows of (ids, sim) — checkpointed so
+    // the pair self-join below reads data, not double lineage
+    val pool = pool0
+      .join(ids.withColumnRenamed("vid", "node"), "node")
+      .withColumnRenamed("vv", "pv")
+      .join(ids.withColumnRenamed("vid", "nbr"), "nbr")
+      .select($"node", $"nbr", V.cosineD($"pv", $"vv").as("sim_pn"))
+      .withColumn("prnk", row_number().over(wP))
+      .filter($"prnk" <= poolCap)
+      .select($"node", $"nbr", $"sim_pn")
+      .localCheckpoint(true)
+    // pairwise candidate sims, both directions: ids through the
+    // join, vectors fetched per side — ≤ n·poolCap² rows
+    val pairs = pool.as("a")
+      .join(pool.as("b"),
+        $"a.node" === $"b.node" && $"a.nbr" =!= $"b.nbr")
+      .select($"a.node".as("node"), $"a.nbr".as("s"), $"b.nbr".as("cv"),
+        $"a.sim_pn".as("sim_ps"), $"b.sim_pn".as("sim_pv"))
+      .join(ids.withColumnRenamed("vid", "s"), "s")
+      .withColumnRenamed("vv", "sv")
+      .join(ids.withColumnRenamed("vid", "cv"), "cv")
+      .select($"node", $"s", $"cv", $"sim_ps", $"sim_pv",
+        V.cosineD($"sv", $"vv").as("sim_sv"))
+    // lone-candidate nodes (pool size 1) ride along as self-pairs
+    val withLone = pairs.unionByName(pool
+      .select($"node", $"nbr".as("s"), $"nbr".as("cv"),
+        $"sim_pn".as("sim_ps"), $"sim_pn".as("sim_pv"),
+        lit(1.0).as("sim_sv")))
+    withLone.as[(Long, Long, Long, Double, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (node, it) =>
+        val rows = it.toArray
+        val simP = scala.collection.mutable.Map.empty[Long, Double]
+        val pairSim = scala.collection.mutable.Map.empty[(Long, Long), Double]
+        rows.foreach { case (_, s, v, sPs, sPv, sSv) =>
+          simP(s) = sPs; simP(v) = sPv
+          if (s != v) pairSim((s, v)) = sSv
+        }
+        // closest-first with the shared (sim desc, id asc) tie-break
+        val order = simP.toSeq.sortBy { case (id, sim) => (-sim, id) }
+        val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+        order.foreach { case (cand, sPv) =>
+          if (kept.size < degreeCap) {
+            val dominated = kept.exists { s =>
+              alpha * (1.0 - pairSim.getOrElse((s, cand), 1.0)) <=
+                (1.0 - sPv)
+            }
+            if (!dominated) kept += cand
+          }
+        }
+        kept.map(node -> _)
+      }.toDF("q_id", "vec_id")
+  }
+
+  /** The session's VAMANA graph for `dir`: [[robustPrune]] over the
+    * refined NN-descent edge table — the build-once artifact a29's
+    * walk serves from, next to [[refinedGraph]] in the shared-build
+    * accounting. */
+  private[graft] def vamanaGraph(spark: SparkSession,
+                                 dir: String): DataFrame =
+    graft.Caches.shared(spark, s"vamana_graph:$dir") {
+      import spark.implicits._
+      robustPrune(refinedGraph(spark, dir),
+        base(spark, dir).select($"vec_id", $"v")).localCheckpoint()
+    }
+
+  /** a29: graph-serving ANN over the VAMANA-PRUNED graph — a22's
+    * exact walk (medoid entries, beam, hop-synchronous BSP) with the
+    * α-RNG out-neighborhoods instead of the raw NN-descent top-k:
+    * the published DiskANN operating point, where each hop's
+    * frontier fans into DIVERSE directions, so the same beam and hop
+    * budget visits more of the query's true neighborhood. a12 gains
+    * a `vamana` panel row measuring exactly that against the `graph`
+    * row at equal geometry. */
+  def a29VamanaSearch(spark: SparkSession, dir: String, k: Int = 5,
+                      beam: Int = 6, hops: Int = 2,
+                      eCells: Int = 8): DataFrame = {
+    import spark.implicits._
+    val all = graft.Caches.persist(base(spark, dir))
+    val queries = all.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val cents = ivfCentroids(spark, dir, all)
+    val medoids = graphMedoidsMemo(spark, dir, all, cents)
+    graphSearchFrom(all.select($"vec_id", $"v"),
+      vamanaGraph(spark, dir), queries,
+      medoidEntries(queries, medoids, cents, eCells),
+      k, beam, hops)
+  }
+
   /** a22: GRAPH-SERVING ANN — answer queries by WALKING the refined
     * kNN graph (the DiskANN/HNSW serving idea, reference
     * weaviate's HNSW serving path, run set-at-a-time): score a small
@@ -2977,7 +3105,11 @@ object Knn {
       ("cascade_tuned", a15KnnCascade(spark, dir, ts1, ts2)) :+
       // the NN-Descent graph walk (a22): what the build-once edge
       // table + beam serving recover, in the same panel
-      ("graph", a22GraphSearch(spark, dir))
+      ("graph", a22GraphSearch(spark, dir)) :+
+      // the Vamana-pruned walk (a29) at the SAME geometry: what the
+      // α-RNG out-neighborhoods buy over raw top-k edges — the row
+      // that justifies shipping the prune (VamanaSpec pins ≥ graph)
+      ("vamana", a29VamanaSearch(spark, dir))
     // ONE job scores the whole panel: the nine method pipelines are
     // independent DAG branches of a single union, so their stages
     // overlap on the scheduler instead of running as nine sequential
@@ -3028,6 +3160,7 @@ object Knn {
     "a26_graph_filtered" -> ((s, d) => a26GraphFiltered(s, d)),
     "a27_range_search" -> ((s, d) => a27RangeSearch(s, d)),
     "a28_pq_store" -> a28PqStore _,
+    "a29_vamana_search" -> ((s, d) => a29VamanaSearch(s, d)),
     "s2_vector_topk" -> s2VectorTopk _)
 
   private val cosineSql =
@@ -3567,7 +3700,7 @@ object Knn {
   private def nnGraphCtesSql(rounds: Int): String = {
     // one refinement round as CTE stages, g{i-1} -> g{i}
     def roundCtes(i: Int): String =
-      s"""und$i AS (
+      s"""und$i AS MATERIALIZED (
          |  SELECT q_id AS node, vec_id AS nbr FROM g${i - 1}
          |  UNION
          |  SELECT vec_id, q_id FROM g${i - 1}),
@@ -3582,7 +3715,7 @@ object Knn {
          |  FROM cand$i c
          |  JOIN ev eq ON eq.vec_id = c.q_id
          |  JOIN ev eb ON eb.vec_id = c.vec_id),
-         |g$i AS (
+         |g$i AS MATERIALIZED (
          |  SELECT q_id, vec_id FROM (
          |    SELECT q_id, vec_id,
          |      row_number() OVER (PARTITION BY q_id
@@ -3592,7 +3725,7 @@ object Knn {
     s"""ev AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
-       |g0 AS (SELECT q_id, vec_id FROM (${knnJoinSqlFor(4, 6, 3, 256)})),
+       |g0 AS MATERIALIZED (SELECT q_id, vec_id FROM (${knnJoinSqlFor(4, 6, 3, 256)})),
        |${(1 to rounds).map(roundCtes).mkString(",\n")}""".stripMargin
   }
 
@@ -3692,8 +3825,70 @@ object Knn {
     * adds the label keep AFTER the walk (routing stays
     * unrestricted), ranking only predicate-passing rows — a26's
     * mechanics. */
+  /** The VAMANA prune replay as CTE stages — [[robustPrune]]'s exact
+    * mechanics unrolled (the Lloyd-iteration discipline: poolCap
+    * greedy steps as explicit stages, no recursive CTE — a bare
+    * UNION under WITH RECURSIVE silently loses its dedup): candidate
+    * pool = undirected g2 ∪ one neighbor-of-neighbor hop, top
+    * `poolCap` by (sim desc, nbr), pairwise candidate sims, then
+    * stage k$i decides the rank-i candidate against the kept list —
+    * dominated when any kept s has α·(1−sim(s,v)) ≤ (1−sim(p,v)).
+    * Emits `pruned (q_id, vec_id)`. Expects g2 + ev in scope. */
+  private def vamanaCtesSql(alpha: Double = 1.2, degreeCap: Int = 6,
+                            poolCap: Int = 12): String = {
+    def stage(i: Int): String =
+      s"""k$i AS (
+         |  SELECT k.node,
+         |    CASE WHEN c.nbr IS NULL OR len(k.kept) >= $degreeCap
+         |           THEN k.kept
+         |         WHEN EXISTS (SELECT 1 FROM psim p
+         |             WHERE p.node = k.node
+         |               AND list_contains(k.kept, p.s)
+         |               AND p.cv = c.nbr
+         |               AND $alpha * (1 - p.sim_sv) <= (1 - c.sim_pn))
+         |           THEN k.kept
+         |         ELSE list_append(k.kept, c.nbr) END AS kept
+         |  FROM k${i - 1} k
+         |  LEFT JOIN pool c ON c.node = k.node AND c.prnk = $i)""".stripMargin
+    s"""vund AS MATERIALIZED (
+       |  SELECT q_id AS node, vec_id AS nbr FROM g2
+       |  UNION
+       |  SELECT vec_id, q_id FROM g2),
+       |vpool0 AS (
+       |  SELECT DISTINCT node, nbr FROM (
+       |    SELECT node, nbr FROM vund
+       |    UNION ALL
+       |    SELECT x.node, y.nbr FROM vund x JOIN vund y ON y.node = x.nbr
+       |    WHERE y.nbr <> x.node)
+       |  WHERE node <> nbr),
+       |pool AS MATERIALIZED (
+       |  SELECT node, nbr, sim_pn, prnk FROM (
+       |    SELECT node, nbr, sim_pn,
+       |      row_number() OVER (PARTITION BY node
+       |        ORDER BY sim_pn DESC, nbr) AS prnk
+       |    FROM (
+       |      SELECT p.node, p.nbr, ${cos("pe.v", "ne.v")} AS sim_pn
+       |      FROM vpool0 p
+       |      JOIN ev pe ON pe.vec_id = p.node
+       |      JOIN ev ne ON ne.vec_id = p.nbr))
+       |  WHERE prnk <= $poolCap),
+       |psim AS MATERIALIZED (
+       |  SELECT a.node, a.nbr AS s, b.nbr AS cv,
+       |    ${cos("se.v", "ve.v")} AS sim_sv
+       |  FROM pool a JOIN pool b ON b.node = a.node AND b.nbr <> a.nbr
+       |  JOIN ev se ON se.vec_id = a.nbr
+       |  JOIN ev ve ON ve.vec_id = b.nbr),
+       |k0 AS (SELECT DISTINCT node, CAST([] AS BIGINT[]) AS kept
+       |       FROM pool),
+       |${(1 to poolCap).map(stage).mkString(",\n")},
+       |pruned AS MATERIALIZED (
+       |  SELECT node AS q_id, unnest(kept) AS vec_id FROM k$poolCap)""".stripMargin
+  }
+
   private def graphWalkSql(k: Int, beam: Int, hops: Int, eCells: Int,
-                           filtered: Boolean): String = {
+                           filtered: Boolean,
+                           graphEdges: String = "g2",
+                           extraCtes: String = ""): String = {
     def hopCtes(h: Int): String =
       s"""wf$h AS (
          |  SELECT q_id, vec_id FROM (
@@ -3746,12 +3941,12 @@ object Knn {
            |WHERE rnk <= $k
            |ORDER BY q_id, rnk""".stripMargin
     s"""WITH ${nnGraphCtesSql(2)},
-       |${kmeansCellsSqlFor(8)},
+       |$extraCtes${kmeansCellsSqlFor(8)},
        |${if (filtered) "lab AS (SELECT vec_id, label FROM embeddings)," else ""}
-       |und AS (
-       |  SELECT q_id AS node, vec_id AS nbr FROM g2
+       |und AS MATERIALIZED (
+       |  SELECT q_id AS node, vec_id AS nbr FROM $graphEdges
        |  UNION
-       |  SELECT vec_id, q_id FROM g2),
+       |  SELECT vec_id, q_id FROM $graphEdges),
        |$qsCte,
        |${medoidCtesSql(eCells)},
        |wv0 AS (
@@ -3798,6 +3993,13 @@ object Knn {
 
   private lazy val a26Sql: String =
     graphWalkSql(k = 5, beam = 12, hops = 2, eCells = 8, filtered = true)
+
+  /** a29's replay: the NN-descent graph CTEs, the Vamana prune
+    * unrolled, then a22's exact walk over the pruned edge table. */
+  private lazy val a29Sql: String =
+    graphWalkSql(k = 5, beam = 6, hops = 2, eCells = 8,
+      filtered = false, graphEdges = "pruned",
+      extraCtes = vamanaCtesSql() + ",\n")
 
   /** a27's replay: trained quantizer → probe-3 (score desc, cid asc
     * — probeKey's order) → EVERY probed-cell vector above the
@@ -3947,8 +4149,13 @@ object Knn {
       s"""h_graph AS (
          |  SELECT CAST(count(*) AS BIGINT) AS hits
          |  FROM (SELECT q_id, vec_id FROM ($a22Sql)) x
+         |  JOIN exact USING (q_id, vec_id))""".stripMargin :+
+      s"""h_vamana AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS hits
+         |  FROM (SELECT q_id, vec_id FROM ($a29Sql)) x
          |  JOIN exact USING (q_id, vec_id))""".stripMargin).mkString(",\n")
-    val unions = (methods.map(_._1) :+ "cascade_tuned" :+ "graph").map { m =>
+    val unions = (methods.map(_._1) :+ "cascade_tuned" :+ "graph"
+        :+ "vamana").map { m =>
       s"SELECT '$m' AS method, hits, possible FROM h_$m, nq"
     }.mkString("\nUNION ALL\n")
     baseOracles +
@@ -3984,6 +4191,7 @@ object Knn {
       ("a25_graph_delete" -> a25Sql) +
       ("a26_graph_filtered" -> a26Sql) +
       ("a27_range_search" -> a27Sql) +
+      ("a29_vamana_search" -> a29Sql) +
       // st18: the stream-maintained store's edge set must equal
       // a25's batch consolidation — same shared build, same delete
       // formula, through a real foreachBatch epoch

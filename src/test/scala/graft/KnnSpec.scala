@@ -275,7 +275,7 @@ class KnnSpec extends SparkSpec {
     val rows = Knn.a12AnnRecall(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq ==
       Seq("binary", "cascade", "cascade_tuned", "graph", "ivf", "ivf64",
-        "lsh", "opq", "pq"))
+        "lsh", "opq", "pq", "vamana"))
     rows.foreach { r =>
       val (hits, possible, recall) = (r.getLong(1), r.getLong(2), r.getDouble(3))
       assert(hits >= 0 && hits <= possible)
