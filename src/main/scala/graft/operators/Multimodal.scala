@@ -1176,14 +1176,23 @@ object Multimodal {
     // m11 at 4.4s in the sf0.1 bench; the kernel runs the scan at
     // poly-hash speed)
     val cellsExpr = expr("char_cells(text, 66)")
-    val phashExpr = expr(
-      """aggregate(sequence(0, 59), cast(0 as bigint), (s, b) ->
-        |  s + if(element_at(cells, cast((b div 10) * 11 + (b % 10) + 1 as int)) >
-        |         element_at(cells, cast((b div 10) * 11 + (b % 10) + 2 as int)),
-        |       shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin)
+    val phashExpr = expr(phashOverCellsSql)
     val ph = docs
       .select($"doc_id", cellsExpr.as("cells"))
       .select($"doc_id", phashExpr.as("phash"))
+    phashPairs(ph, maxHamming, maxBucket)
+  }
+
+  /** d3's pigeonhole serving over ANY (doc_id, phash) frame — the
+    * banding tail shared by m11 (text-as-payload cells) and the
+    * real-pixel dHash path (m19's decoded grids): 6 chunks of 10
+    * bits, oversized buckets dropped before the quadratic stage,
+    * exact popcount verify. */
+  def phashPairs(ph: DataFrame, maxHamming: Int = 5,
+                 maxBucket: Int = 64): DataFrame = {
+    val spark = ph.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     // persist (tracked): the hash scan sits on both sides of the
     // chunk self-join
     val chunks = graft.Caches.persist(ph
@@ -1400,10 +1409,12 @@ object Multimodal {
       off = col(s"_o$k") + 12L + coalesce(col(s"_l$k"), lit(0L))
     }
     df.select($"doc_id", explode(array((1 to maxChunks).map(k =>
-        struct(col(s"_t$k").as("chunk_type"), col(s"_d$k").as("data"))): _*))
+        struct(lit(k).as("pos"), col(s"_t$k").as("chunk_type"),
+          col(s"_d$k").as("data"))): _*))
         .as("c"))
       .filter($"c.data".isNotNull)
-      .select($"doc_id", $"c.chunk_type".as("chunk_type"), $"c.data".as("data"))
+      .select($"doc_id", $"c.pos".as("pos"),
+        $"c.chunk_type".as("chunk_type"), $"c.data".as("data"))
   }
 
   /** COMPRESSED PNG text (zTXt, iTXt) through the f5 per-task
@@ -1434,6 +1445,7 @@ object Multimodal {
         substring_index($"data".cast("string"), "\u0000", 1)
           .isin(keywords: _*))
     wanted
+      .select($"doc_id", $"chunk_type", $"data")
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         val inf = new java.util.zip.Inflater()
@@ -1443,6 +1455,228 @@ object Multimodal {
           decodePngTextChunk(id, ctype, d, inf)
         }
       }.toDF("doc_id", "chunk_type", "keyword", "lang", "text")
+  }
+
+  // ---- m19: REAL PNG pixel decode (IDAT inflate → de-filter) ----
+
+  private val PngW = 22
+  private val PngH = 12
+
+  /** The PNG Paeth predictor (spec §9, filter type 4) — shared by
+    * the synthesis encoder and [[pngGrayPixels]]' decoder. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Synthesize REAL 8-bit grayscale PNGs from document text — the
+    * f8/m12 recipe extended to the pixel tier: pixel(r,c) = the
+    * text's code point at position (r·22+c) mod len, taken mod 256
+    * (so near-duplicate documents yield near-duplicate images and
+    * the dHash tier below has real prey); every scanline carries
+    * filter type r mod 5, so ALL five PNG filters (None/Sub/Up/
+    * Average/Paeth) are exercised and REALLY applied before the
+    * whole filtered stream deflates through the per-task Deflater
+    * and splits across TWO IDAT chunks (the spec allows any split —
+    * the decoder must concatenate before inflating). Poison blobs
+    * (doc_id % 10 == 7) carry garbage where the zlib stream should
+    * be: the decoder must skip them, never throw. */
+  def synthGrayPngs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val defl = new java.util.zip.Deflater()
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => defl.end()))
+        it.map { case (id, text) =>
+          val cps = text.codePoints().toArray
+          val n = math.max(cps.length, 1)
+          def pix(r: Int, c: Int): Int =
+            if (cps.isEmpty) 0
+            else math.floorMod(cps((r * PngW + c) % n), 256)
+          val filtered = new java.io.ByteArrayOutputStream()
+          val prev = new Array[Int](PngW)
+          (0 until PngH).foreach { r =>
+            val t = r % 5
+            filtered.write(t)
+            val cur = Array.tabulate(PngW)(c => pix(r, c))
+            var a = 0; var ul = 0
+            (0 until PngW).foreach { x =>
+              val p = cur(x); val b = prev(x)
+              val f = t match {
+                case 0 => p
+                case 1 => p - a
+                case 2 => p - b
+                case 3 => p - (a + b) / 2
+                case _ => p - paeth(a, b, ul)
+              }
+              filtered.write(math.floorMod(f, 256))
+              a = p; ul = b
+            }
+            Array.copy(cur, 0, prev, 0, PngW)
+          }
+          val z =
+            if (id % 10 == 7) "NOT A ZLIB STREAM".getBytes("US-ASCII")
+            else deflate(defl, filtered.toByteArray)
+          val out = new java.io.ByteArrayOutputStream()
+          out.write(hexDecode("89504E470D0A1A0A"))
+          out.write(pngChunk("IHDR", Array[Byte](
+            0, 0, 0, PngW.toByte, 0, 0, 0, PngH.toByte,
+            8, 0, 0, 0, 0))) // depth 8, grayscale, no interlace
+          val cut = z.length / 2
+          out.write(pngChunk("IDAT", z.slice(0, cut)))
+          out.write(pngChunk("IDAT", z.slice(cut, z.length)))
+          out.write(hexDecode("0000000049454E44AE426082"))
+          (id, out.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** REAL grayscale pixel decode over any (doc_id, payload) frame —
+    * the one formerly-stubbed multimodal step, now implementable
+    * without image libraries because PNG's pixel tier is exactly
+    * zlib + per-scanline filters: the columnar walk gates on the
+    * signature + IHDR (8-bit grayscale only — other color types
+    * would need palette/channel handling and simply don't decode
+    * here), slices the IDAT chunks in order, and a per-task Inflater
+    * pass inflates the CONCATENATED stream and reverses the
+    * per-scanline filters (types 0-4, the spec's full set). Output:
+    * (doc_id, width, height, pixels) with pixels row-major 0-255.
+    * Malformed, truncated, or poison payloads yield NO row — never
+    * an exception (the 100 TB degradation law). The payload bytes
+    * cross the codegen boundary only for rows that passed the
+    * columnar gate; at scale this step is I/O-shaped like the zip
+    * walker (the f5 seam). */
+  def pngGrayPixels(blobs: DataFrame, maxChunks: Int = 8): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val isPng = hex(substring($"payload", 1, 8)) === "89504E470D0A1A0A"
+    val hdr = blobs
+      .withColumn("_w", conv(hex(substring($"payload", 17, 4)), 16, 10)
+        .cast("int"))
+      .withColumn("_h", conv(hex(substring($"payload", 21, 4)), 16, 10)
+        .cast("int"))
+      .withColumn("_d", conv(hex(substring($"payload", 25, 1)), 16, 10)
+        .cast("int"))
+      .withColumn("_ct", conv(hex(substring($"payload", 26, 1)), 16, 10)
+        .cast("int"))
+      .filter(isPng && $"_d" === 8 && $"_ct" === 0 &&
+        $"_w" > 0 && $"_h" > 0 && $"_w" <= 4096 && $"_h" <= 4096)
+      .select($"doc_id", $"_w".as("width"), $"_h".as("height"))
+    // IDAT slices in chunk order: sort_array on (pos, data) structs
+    // keeps the stream's split order without a window
+    val idat = pngChunkSlices(blobs, Seq("IDAT"), maxChunks)
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"pos", $"data"))).as("c"))
+      .select($"doc_id", $"c.data".as("idat"))
+    hdr.join(idat, "doc_id")
+      .select($"doc_id", $"width", $"height", $"idat")
+      .as[(Long, Int, Int, Seq[Array[Byte]])]
+      .mapPartitions { it =>
+        val inf = new java.util.zip.Inflater()
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => inf.end()))
+        it.flatMap { case (id, w, h, z) =>
+          decodeGrayPng(id, w, h, z.toArray.flatten, inf)
+        }
+      }.toDF("doc_id", "width", "height", "pixels")
+  }
+
+  /** Inflate + de-filter one grayscale PNG's pixel stream; None on
+    * any malformation (bad zlib, short stream, unknown filter). */
+  private def decodeGrayPng(id: Long, w: Int, h: Int, z: Array[Byte],
+      inf: java.util.zip.Inflater): Option[(Long, Int, Int, Array[Int])] =
+    try {
+      inf.reset()
+      inf.setInput(z)
+      val need = h * (w + 1)
+      val raw = new Array[Byte](need)
+      var got = 0; var stalled = false
+      while (got < need && !inf.finished() && !stalled) {
+        val n = inf.inflate(raw, got, need - got)
+        if (n == 0) stalled = inf.needsInput() || inf.needsDictionary()
+        else got += n
+      }
+      if (got < need) None
+      else {
+        val px = new Array[Int](w * h)
+        var ok = true
+        var r = 0
+        while (ok && r < h) {
+          val t = raw(r * (w + 1)) & 0xFF
+          if (t > 4) ok = false
+          else {
+            var x = 0
+            while (x < w) {
+              val f = raw(r * (w + 1) + 1 + x) & 0xFF
+              val a = if (x > 0) px(r * w + x - 1) else 0
+              val b = if (r > 0) px((r - 1) * w + x) else 0
+              val c = if (r > 0 && x > 0) px((r - 1) * w + x - 1) else 0
+              val p = t match {
+                case 0 => f
+                case 1 => f + a
+                case 2 => f + b
+                case 3 => f + (a + b) / 2
+                case _ => f + paeth(a, b, c)
+              }
+              px(r * w + x) = p & 0xFF
+              x += 1
+            }
+            r += 1
+          }
+        }
+        if (ok) Some((id, w, h, px)) else None
+      }
+    } catch { case _: java.util.zip.DataFormatException => None }
+
+  /** m11's 60-bit dHash fold over a `cells` column — ONE definition
+    * for the text-payload path and the real-pixel path, so the two
+    * hash tiers cannot drift. */
+  private val phashOverCellsSql =
+    """aggregate(sequence(0, 59), cast(0 as bigint), (s, b) ->
+      |  s + if(element_at(cells, cast((b div 10) * 11 + (b % 10) + 1 as int)) >
+      |         element_at(cells, cast((b div 10) * 11 + (b % 10) + 2 as int)),
+      |       shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin
+
+  /** dHash over DECODED pixels: 2×2 block sums downsample the 22×12
+    * grid to the same 11×6 cell shape m11 hashes, then the shared
+    * 60-bit fold. Expects [[pngGrayPixels]]' output at the synth
+    * geometry. */
+  def decodedPhash(px: DataFrame): DataFrame = {
+    import px.sparkSession.implicits._
+    px.filter($"width" === PngW && $"height" === PngH)
+      .withColumn("cells", expr(
+        s"""transform(sequence(0, 65), i ->
+           |  cast(element_at(pixels, cast(((i div 11) * 2) * $PngW + (i % 11) * 2 + 1 as int)) as bigint) +
+           |  element_at(pixels, cast(((i div 11) * 2) * $PngW + (i % 11) * 2 + 2 as int)) +
+           |  element_at(pixels, cast(((i div 11) * 2 + 1) * $PngW + (i % 11) * 2 + 1 as int)) +
+           |  element_at(pixels, cast(((i div 11) * 2 + 1) * $PngW + (i % 11) * 2 + 2 as int)))""".stripMargin))
+      .withColumn("phash", expr(phashOverCellsSql))
+  }
+
+  /** m19: REAL pixel decode gate — synthesize real grayscale PNGs
+    * from the documents (all five scanline filters, split IDATs,
+    * poison zlib on doc_id % 10 == 7), decode them back through
+    * [[pngGrayPixels]] (inflate + de-filter — no image libs), and
+    * emit per-doc decode evidence: dimensions, the pixel-sum
+    * checksum, and the dHash over the DECODED grid. The oracle
+    * recomputes the pixels FIRST-PRINCIPLES from the synthesis rule
+    * (text code points — it never touches zlib), so one wrong
+    * de-filter step, a missed IDAT concatenation, or a poison row
+    * leaking through hash-mismatches. */
+  def m19PngPixels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobs = synthGrayPngs(
+      Tables.documents(spark, dir).select($"doc_id", $"text"))
+    decodedPhash(pngGrayPixels(blobs))
+      .select($"doc_id", $"width".cast("long").as("width"),
+        $"height".cast("long").as("height"),
+        expr("aggregate(pixels, cast(0 as bigint), (s, x) -> s + x)")
+          .as("pix_sum"),
+        $"phash")
+      .orderBy($"doc_id")
   }
 
   /** One zTXt/iTXt data slice → (doc_id, type, keyword, lang, text),
@@ -1803,6 +2037,7 @@ object Multimodal {
     "m14_pdf_meta" -> m14PdfMeta _,
     "m13_jpeg_exif" -> m13JpegExif _,
     "m12_png_text" -> m12PngText _,
+    "m19_png_pixels" -> m19PngPixels _,
     "m11_perceptual_dedup" -> ((s, d) => m11PerceptualDedup(s, d)),
     "m10_tiff_meta" -> m10TiffMeta _,
     "m9_zip_meta" -> m9ZipMeta _,
@@ -2026,6 +2261,45 @@ object Multimodal {
         |ORDER BY doc_id""".stripMargin,
     // same 66-cell byte-sum grid, same 60-bit dHash, same chunk
     // banding, bucket cap, and popcount verify as the Spark side
+    // the pixels recomputed FIRST-PRINCIPLES from the synthesis rule
+    // (code points mod 256 — no zlib anywhere): the Spark side must
+    // reproduce them through the REAL inflate + de-filter chain, and
+    // the poison ids (doc_id % 10 = 7, garbage zlib) must be absent
+    "m19_png_pixels" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, greatest(length(text), 1) AS L
+        |  FROM documents WHERE doc_id % 10 <> 7),
+        |px AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 263), i ->
+        |      CAST(ascii(substring(text, CAST(i % L AS INT) + 1, 1)) % 256
+        |        AS BIGINT)) AS pix
+        |  FROM d),
+        |cl AS (
+        |  SELECT doc_id, pix,
+        |    list_transform(generate_series(0, 65), i ->
+        |      pix[((i // 11) * 2) * 22 + (i % 11) * 2 + 1] +
+        |      pix[((i // 11) * 2) * 22 + (i % 11) * 2 + 2] +
+        |      pix[((i // 11) * 2 + 1) * 22 + (i % 11) * 2 + 1] +
+        |      pix[((i // 11) * 2 + 1) * 22 + (i % 11) * 2 + 2]) AS cells
+        |  FROM px),
+        |ph AS (
+        |  SELECT doc_id, pix,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(0, 59), b ->
+        |        CASE WHEN cells[(b // 10) * 11 + (b % 10) + 1] >
+        |                  cells[(b // 10) * 11 + (b % 10) + 2]
+        |             THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT)
+        |        END)),
+        |      (s, x) -> s + x) AS phash
+        |  FROM cl)
+        |SELECT doc_id, CAST(22 AS BIGINT) AS width,
+        |  CAST(12 AS BIGINT) AS height,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), pix),
+        |    (s, x) -> s + x) AS pix_sum,
+        |  phash
+        |FROM ph
+        |ORDER BY doc_id""".stripMargin,
     "m11_perceptual_dedup" ->
       """WITH cl AS (
         |  SELECT doc_id,
