@@ -915,6 +915,28 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
     * where top-k truncates dense queries and over-fetches sparse
     * ones. The IVF-pruned scale path over a persisted cell store is
     * operators.Knn.rangeFromIvfIndex. */
+  /** The failed-jobs table (features/job handler's List; the store
+    * is migration 000009's failed_jobs under the versioned-commit
+    * discipline). */
+  def failedJobs(path: String): DataFrame =
+    graft.sources.JobStore.read(spark, path)
+
+  /** Batch Retry (service.go:31, set-at-a-time): requeue every
+    * transient-error failed job below the attempt cap and commit the
+    * store without them — publish-then-delete as one snapshot. The
+    * returned frame (job_id, source_id, handler, topic, payload) is
+    * what a queue adapter publishes. */
+  def retryFailedJobs(path: String, maxAttempts: Int = 3): DataFrame =
+    graft.sources.JobStore.retryJobs(spark, path, maxAttempts)._1
+
+  /** ResetStuckJobs (service.go:86 / source.go:326's sweep applied):
+    * stale `processing` rows reset to pending with attempts+1 or
+    * exhaust to failed, as one commit; returns the new version. */
+  def resetStuckJobs(path: String, timeoutHours: Int = 1,
+                     maxAttempts: Int = 3): Long =
+    graft.sources.JobStore.resetStuck(spark, path, timeoutHours,
+      maxAttempts)
+
   def rangeSearch(embeddings: DataFrame, queryVec: Seq[Double],
                   minCosine: Double): DataFrame = {
     val qv: Column = array(queryVec.map(lit(_)): _*)

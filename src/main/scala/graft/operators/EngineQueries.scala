@@ -1511,6 +1511,69 @@ object EngineQueries {
       .orderBy($"job_id")
   }
 
+  /** The session's FAILED-JOBS store for `dir` — q53's synthesized
+    * jobs table (status/attempts off event_id, updated_at off ts)
+    * widened with the reference failed_jobs columns (handler routed
+    * web/file off event_id parity, error from c14's REAL failure
+    * templates, a JSON-ish payload), committed as version 1, then
+    * mutated through the two lifecycle ops: [[graft.sources.JobStore
+    * .resetStuck]] (version 2 — the stuck sweep APPLIED, not just
+    * audited) and [[graft.sources.JobStore.retryJobs]] (version 3 —
+    * the transient-error failed set requeued and deleted). Returns
+    * (path, requeue batch). Built once per (session, corpus). */
+  private[graft] def failedJobsStore(spark: SparkSession, dir: String)
+      : (String, DataFrame) =
+    graft.TrainedModels.memo(spark, s"failed_jobs:$dir") {
+      import spark.implicits._
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_jobs").toString + "/jobs"
+      val statusNames = array(lit("pending"), lit("processing"),
+        lit("processing"), lit("completed"), lit("failed"))
+      val msgArr = array(graft.operators.WebMeta.ErrorTemplates.map(lit): _*)
+      val jobs = Tables.events(spark, dir).select(
+        $"event_id".as("job_id"),
+        $"user_id".as("source_id"),
+        element_at(array(lit("web"), lit("file")),
+          ($"event_id" % 2).cast("int") + 1).as("handler"),
+        concat(lit("{\"type\":\""),
+          element_at(array(lit("web"), lit("file")),
+            ($"event_id" % 2).cast("int") + 1),
+          lit("\",\"job\":"), $"event_id".cast("string"), lit("}"))
+          .as("payload"),
+        element_at(statusNames, ($"event_id" % 5).cast("int") + 1)
+          .as("status"),
+        ($"event_id" % 4).cast("int").as("attempts"),
+        element_at(msgArr, (pmod($"event_id", lit(8)) + 1).cast("int"))
+          .as("error"),
+        $"ts".as("updated_at"))
+      graft.sources.JobStore.write(jobs.localCheckpoint(true), p)
+      graft.sources.JobStore.resetStuck(spark, p)
+      val (requeued, _) = graft.sources.JobStore.retryJobs(spark, p)
+      (p, requeued)
+    }
+
+  /** q55: FAILED-JOBS lifecycle report — the per-(handler, status)
+    * job counts AFTER the planted reset-stuck + retry-requeue
+    * commits, with the requeued batch counted under its own
+    * `requeued` status line (those rows left the store — the
+    * reference's publish-then-delete). One wrong transition (a
+    * blocked error requeued, a stale processing row left untouched,
+    * a reset row double-counted) shifts a count and hash-fails.
+    * Scale: the report is a groupBy over the committed snapshot —
+    * metadata-sized output; the store mutations behind it are each
+    * one keyed commit. */
+  def q55FailedJobs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (path, requeued) = failedJobsStore(spark, dir)
+    graft.sources.JobStore.read(spark, path)
+      .groupBy($"handler", $"status")
+      .agg(count(lit(1)).as("n_jobs"))
+      .unionByName(requeued.groupBy($"handler")
+        .agg(count(lit(1)).as("n_jobs"))
+        .select($"handler", lit("requeued").as("status"), $"n_jobs"))
+      .orderBy($"handler", $"status")
+  }
+
   /** q54: INCREMENTAL AGGREGATE MAINTENANCE — a materialized
     * per-(priority, year) rollup kept current by MERGING ALGEBRAIC
     * STATE, never rescanning the base: the pre-cutoff "snapshot" and
@@ -1557,6 +1620,7 @@ object EngineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_incremental_agg" -> ((s, d) => q54IncrementalAgg(s, d)),
     "q53_stuck_jobs" -> q53StuckJobs _,
+    "q55_failed_jobs" -> q55FailedJobs _,
     "q52_retention_cohorts" -> q52RetentionCohorts _,
     "q51_session_paths" -> q51SessionPaths _,
     "q50_unpivot" -> q50Unpivot _,
@@ -1631,6 +1695,69 @@ object EngineQueries {
         |FROM orders
         |GROUP BY o_orderpriority, o_year
         |ORDER BY o_orderpriority, o_year""".stripMargin,
+    // the full lifecycle replayed: synth -> stuck sweep APPLIED ->
+    // transient-failed retry requeued-and-deleted -> counts; the
+    // taxonomy CASE is c14's, applied to the post-sweep error text
+    "q55_failed_jobs" ->
+      """WITH jobs AS (
+        |  SELECT event_id AS job_id, user_id AS source_id,
+        |    (['web','file'])[CAST(event_id % 2 AS INT) + 1] AS handler,
+        |    (['pending','processing','processing','completed','failed'])
+        |      [CAST(event_id % 5 AS INT) + 1] AS status,
+        |    CAST(event_id % 4 AS INT) AS attempts,
+        |    (['Failed on navigating ACS-GOTO: Page.goto: net::ERR_TIMED_OUT at https://example.com',
+        |      'Page.goto: net::ERR_NAME_NOT_RESOLVED at https://example.com',
+        |      'Page.goto: net::ERR_CONNECTION_REFUSED at https://example.com',
+        |      'Page.goto: net::ERR_CONNECTION_RESET at https://example.com',
+        |      'Page.goto: net::ERR_CONNECTION_CLOSED at https://example.com',
+        |      'blocked by robots.txt',
+        |      '403 Forbidden',
+        |      'some unknown error'])[CAST(event_id % 8 AS INT) + 1] AS error,
+        |    ts AS updated_at
+        |  FROM events),
+        |c AS (SELECT max(ts) - INTERVAL 1 HOUR AS cutoff FROM events),
+        |swept AS (
+        |  SELECT job_id, handler,
+        |    CASE WHEN stuck AND attempts < 3 THEN 'pending'
+        |         WHEN stuck THEN 'failed' ELSE status END AS status,
+        |    CASE WHEN stuck AND attempts < 3 THEN attempts + 1
+        |         ELSE attempts END AS attempts,
+        |    CASE WHEN stuck AND attempts < 3 THEN 'timeout_reset'
+        |         WHEN stuck THEN 'retries_exhausted'
+        |         ELSE error END AS error
+        |  FROM (SELECT j.*,
+        |          (status = 'processing' AND updated_at < c.cutoff) AS stuck
+        |        FROM jobs j, c)),
+        |cls AS (
+        |  SELECT *,
+        |    CASE
+        |      WHEN contains(upper(error), 'TIMED_OUT')
+        |        OR contains(upper(error), 'TIMEOUT') THEN 'ERR_CRAWL_TIMEOUT'
+        |      WHEN contains(upper(error), 'ERR_NAME_NOT_RESOLVED')
+        |        OR contains(upper(error), 'DNS') THEN 'ERR_CRAWL_DNS'
+        |      WHEN contains(upper(error), 'ERR_CONNECTION_REFUSED')
+        |        OR contains(upper(error), 'ERR_CONNECTION_RESET')
+        |        OR contains(upper(error), 'ERR_CONNECTION_CLOSED')
+        |        OR contains(upper(error), 'ECONNREFUSED')
+        |        OR contains(upper(error), 'ECONNRESET') THEN 'ERR_CRAWL_REFUSED'
+        |      WHEN contains(upper(error), 'ROBOTS')
+        |        OR contains(upper(error), 'BLOCKED')
+        |        OR contains(upper(error), 'FORBIDDEN') THEN 'ERR_CRAWL_BLOCKED'
+        |      ELSE 'ERR_CRAWL_TIMEOUT' END AS err_code
+        |  FROM swept),
+        |flagged AS (
+        |  SELECT *,
+        |    (status = 'failed'
+        |     AND err_code IN ('ERR_CRAWL_TIMEOUT', 'ERR_CRAWL_DNS',
+        |                      'ERR_CRAWL_REFUSED')
+        |     AND attempts < 3) AS requeue
+        |  FROM cls)
+        |SELECT handler, status, CAST(count(*) AS BIGINT) AS n_jobs
+        |FROM flagged WHERE NOT requeue GROUP BY handler, status
+        |UNION ALL
+        |SELECT handler, 'requeued' AS status, CAST(count(*) AS BIGINT)
+        |FROM flagged WHERE requeue GROUP BY handler
+        |ORDER BY handler, status""".stripMargin,
     "q53_stuck_jobs" ->
       """WITH jobs AS (
         |  SELECT event_id AS job_id, user_id AS source_id,

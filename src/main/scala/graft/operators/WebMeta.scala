@@ -133,7 +133,7 @@ object WebMeta {
 
   /** The real Playwright/Chromium failure strings the upstream test
     * suite classifies (test_web_handlers.py:170-563), cycled per doc. */
-  private val ErrorTemplates: Seq[String] = Seq(
+  private[graft] val ErrorTemplates: Seq[String] = Seq(
     "Failed on navigating ACS-GOTO: Page.goto: net::ERR_TIMED_OUT at https://example.com",
     "Page.goto: net::ERR_NAME_NOT_RESOLVED at https://example.com",
     "Page.goto: net::ERR_CONNECTION_REFUSED at https://example.com",
