@@ -877,7 +877,96 @@ object Curation {
       .orderBy($"stream", $"shard_ix")
   }
 
+  /** d20: EXACT SUBSTRING spans — the published heavyweight behind
+    * d13's window approximation (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": ExactSubstr finds
+    * exact ≥50-token repeats corpus-wide with a suffix array; the
+    * distributed re-expression is anchor seeding + diagonal
+    * extend-and-merge, the BLAST/MUMmer chaining shape, all keyed
+    * aggregates):
+    *
+    *  1. ANCHORS — positional 8-token window hashes (d19's exact
+    *     positional-gram scan), hot anchors capped at `maxPosting`
+    *     positions (the MaxPosting boilerplate discipline — an
+    *     anchor shared by more positions fans the pair join
+    *     quadratically and is d19's prey anyway).
+    *  2. SEEDS — cross-doc anchor matches via ONE equi-join on the
+    *     hash: (a_id, b_id, ap, bp) rows, ids and positions only.
+    *  3. EXTEND — matches on the same (a_id, b_id, ap−bp) DIAGONAL
+    *     with consecutive positions are one exact repeat
+    *     (gaps-and-islands per diagonal: island = ap − row_number);
+    *     a run of m aligned anchors is an exact match of m+7
+    *     tokens. Runs below `minLen` tokens drop.
+    *  4. MERGE — both sides' spans project to (doc_id, start, len)
+    *     and overlapping/abutting spans per doc UNION into disjoint
+    *     intervals (running-max islands) — exactly the covered-
+    *     position shape d19's strip consumes.
+    *
+    * Exactness: within an un-capped anchor set, every maximal exact
+    * cross-doc repeat of ≥ minLen tokens is found with its true
+    * start and length (the planted spec pins starts/lengths, and
+    * the d13 cross-check pins consistency with the window profile).
+    * Scale shape: the shuffles carry (hash, id, pos) rows, the pair
+    * join is posting-capped, the windows are keyed by
+    * (a,b,diagonal) and by doc — never a token moves, never doc ×
+    * doc. */
+  def d20ExactSpans(spark: SparkSession, dir: String): DataFrame =
+    exactSpansOf(Tables.documents(spark, dir))
+
+  /** The d20 core over any (doc_id, text) corpus. */
+  def exactSpansOf(docs: DataFrame, anchorK: Int = ContamNgram,
+                   minLen: Int = 16, maxPosting: Long = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val anchors = graft.Caches.persist(docs
+      .select($"doc_id", expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
+      .filter(size($"w") >= anchorK)
+      .select($"doc_id", posexplode(
+        call_function("poly_hash_all", H.shinglesAll($"w", anchorK))))
+      .select($"doc_id", ($"pos" + 1).cast("long").as("p"), $"col".as("g")))
+    val kept = anchors
+      .withColumn("pcnt", count(lit(1)).over(Window.partitionBy($"g")))
+      .filter($"pcnt" <= maxPosting)
+      .drop("pcnt")
+    val pairs = kept.as("a")
+      .join(kept.as("b"), $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
+        $"a.p".as("ap"), $"b.p".as("bp"))
+    val wD = Window.partitionBy($"a_id", $"b_id", $"diag").orderBy($"ap")
+    val runs = pairs
+      .withColumn("diag", $"ap" - $"bp")
+      .withColumn("isl", $"ap" - row_number().over(wD))
+      .groupBy($"a_id", $"b_id", $"diag", $"isl")
+      .agg(min($"ap").as("a_start"),
+        (max($"ap") - min($"ap") + anchorK).as("len"))
+      .filter($"len" >= minLen)
+    val spans = runs
+      .select($"a_id".as("doc_id"), $"a_start".as("start"), $"len")
+      .unionByName(runs.select($"b_id".as("doc_id"),
+        ($"a_start" - $"diag").as("start"), $"len"))
+    // per-doc interval UNION: disjoint covered ranges, merged across
+    // partners (running-max gaps-and-islands)
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"start", $"e")
+    spans
+      .select($"doc_id", $"start", ($"start" + $"len" - 1).as("e"))
+      .distinct()
+      .withColumn("pmax", max($"e").over(
+        wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when($"pmax".isNull || $"start" > $"pmax" + 1, 1L).otherwise(0L))
+      .withColumn("isl", sum($"brk").over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"isl")
+      .agg(min($"start").as("start"),
+        (max($"e") - min($"start") + 1L).as("len"))
+      .select($"doc_id", $"start", $"len")
+      .orderBy($"doc_id", $"start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d20_exact_spans" -> d20ExactSpans _,
     "d18_duplicated_spans" -> d18DuplicatedSpans _,
     "d19_boilerplate_strip" -> d19BoilerplateStrip _,
     "p24_shard_manifest" -> ((s, d) => p24ShardManifest(s, d)),
@@ -1329,6 +1418,55 @@ object Curation {
          |ORDER BY doc_id""".stripMargin,
     // same per-doc distinct 8-gram hashes, same gram-keyed breadth
     // count, same join-back aggregate — never doc-to-doc
+    // the anchor hashes, posting cap, diagonal islands, and interval
+    // union replayed exactly — a mis-stepped diagonal, an off-by-one
+    // in the +k-1 extension, or a missed abutting-span merge shifts a
+    // start/len and hash-fails
+    "d20_exact_spans" ->
+      (s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+        |gs AS (
+        |  SELECT doc_id, CAST(g.i AS BIGINT) AS p,
+        |    array_to_string(w[g.i:g.i+${ContamNgram - 1}], ' ') AS t
+        |  FROM w, LATERAL unnest(generate_series(1, len(w) - ${ContamNgram - 1}))
+        |    AS g(i)
+        |  WHERE len(w) >= $ContamNgram),
+        |anch AS (SELECT doc_id, p, ($polyFoldSql) AS g FROM gs),
+        |kept AS (
+        |  SELECT doc_id, p, g FROM (
+        |    SELECT doc_id, p, g, count(*) OVER (PARTITION BY g) AS pcnt
+        |    FROM anch) WHERE pcnt <= 64),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.p AS ap, b.p AS bp
+        |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |runs AS (
+        |  SELECT a_id, b_id, diag, isl, min(ap) AS a_start,
+        |    max(ap) - min(ap) + $ContamNgram AS len
+        |  FROM (
+        |    SELECT a_id, b_id, ap, bp, ap - bp AS diag,
+        |      ap - row_number() OVER (PARTITION BY a_id, b_id, ap - bp
+        |                              ORDER BY ap) AS isl
+        |    FROM pairs)
+        |  GROUP BY a_id, b_id, diag, isl
+        |  HAVING max(ap) - min(ap) + $ContamNgram >= 16),
+        |spans AS (
+        |  SELECT DISTINCT doc_id, start, start + len - 1 AS e FROM (
+        |    SELECT a_id AS doc_id, a_start AS start, len FROM runs
+        |    UNION ALL
+        |    SELECT b_id, a_start - diag, len FROM runs)),
+        |m AS (
+        |  SELECT doc_id, start, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY start, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM spans),
+        |i AS (
+        |  SELECT doc_id, start, e,
+        |    sum(CASE WHEN pmax IS NULL OR start > pmax + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY start, e) AS isl
+        |  FROM m)
+        |SELECT doc_id, CAST(min(start) AS BIGINT) AS start,
+        |  CAST(max(e) - min(start) + 1 AS BIGINT) AS len
+        |FROM i GROUP BY doc_id, isl
+        |ORDER BY doc_id, start""".stripMargin),
     "d18_duplicated_spans" ->
       (s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
         |g AS (
