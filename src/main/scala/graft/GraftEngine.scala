@@ -25,8 +25,17 @@ import graft.operators.{ChunkQueries, Chunker, Dedup, HybridSearch, Knn}
 object GraftEngine {
   /** The settings-service defaults (settings/service.go: search_alpha
     * 0.5, search_top_k 10) — per-call opts override, like
-    * retrieval.Service.Search's resolve step. */
-  final case class Settings(searchAlpha: Double = 0.5, searchTopK: Int = 10)
+    * retrieval.Service.Search's resolve step. The provider names
+    * complete the reference settings row (migration 000002
+    * rerank_provider, 000004 gemini/embedder choice): the store
+    * persists WHICH provider serves each adapter seam
+    * ("overlap"/"hash" are the in-plan defaults, a real client name
+    * swaps in via ModelAdapters) — API keys stay in the secret
+    * manager, never in an analytics store. */
+  final case class Settings(searchAlpha: Double = 0.5,
+                            searchTopK: Int = 10,
+                            rerankProvider: String = "overlap",
+                            embedProvider: String = "hash")
 }
 
 final class GraftEngine(spark: SparkSession, corpus: DataFrame,

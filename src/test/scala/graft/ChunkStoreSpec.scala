@@ -207,13 +207,47 @@ class ChunkStoreSpec extends SparkSpec {
     // absent -> compiled defaults (the service.go fallback)
     assert(SettingsStore.load(spark, path) === GraftEngine.Settings())
     SettingsStore.save(spark, path,
-      GraftEngine.Settings(searchAlpha = 0.7, searchTopK = 25), "cohere")
+      GraftEngine.Settings(searchAlpha = 0.7, searchTopK = 25,
+        rerankProvider = "cohere", embedProvider = "gemini"))
     val loaded = SettingsStore.load(spark, path)
-    assert(loaded === GraftEngine.Settings(0.7, 25))
+    assert(loaded === GraftEngine.Settings(0.7, 25, "cohere", "gemini"))
     assert(SettingsStore.rerankProvider(spark, path) === "cohere")
     // an engine constructed from loaded settings serves those defaults
     val eng = new GraftEngine(spark, Tables.documents(spark, sfDir), loaded)
     assert(eng.runSearch("data").length <= 25)
+  }
+
+  test("settings store: a pre-widening row reads with migration defaults for new columns") {
+    import graft.sources.SettingsStore
+    val path = s"$tmp/settings_old"
+    // a store written before embed_provider existed (migration 000004
+    // not yet applied): ADD COLUMN ... DEFAULT semantics on read
+    Seq((0.9, 15, "voyage")).toDF(
+        "search_alpha", "search_top_k", "rerank_provider")
+      .coalesce(1).write.parquet(path)
+    assert(SettingsStore.load(spark, path) ===
+      GraftEngine.Settings(0.9, 15, "voyage", "hash"))
+  }
+
+  test("source-config store: round trip with typed defaults for unknown sources") {
+    import graft.sources.{SettingsStore, SourceConfigRow}
+    val path = s"$tmp/source_cfg"
+    // absent table: empty typed frame, defaults per source
+    assert(SettingsStore.sourceConfigs(spark, path).count() === 0)
+    assert(SettingsStore.sourceConfig(spark, path, "srcX") ===
+      SourceConfigRow("srcX", "", "web", 0, Nil))
+    SettingsStore.saveSourceConfigs(spark, path, Seq(
+      SourceConfigRow("src1", "Docs site", "web", 3,
+        Seq("/private/*", "*.pdf")),
+      SourceConfigRow("src2", source_type = "file")))
+    val c1 = SettingsStore.sourceConfig(spark, path, "src1")
+    assert(c1.max_depth === 3 &&
+      c1.exclusions === Seq("/private/*", "*.pdf"))
+    assert(SettingsStore.sourceConfig(spark, path, "src2").source_type
+      === "file")
+    // unknown source still resolves the migrations' DEFAULT row
+    assert(SettingsStore.sourceConfig(spark, path, "srcZ") ===
+      SourceConfigRow("srcZ"))
   }
 
   test("z-ordered write keeps per-file ranges tight on BOTH dimensions") {
