@@ -185,6 +185,11 @@ object Bench {
     val tPq = System.nanoTime()
     operators.Knn.pqStorePath(spark, sfDir)
     val pqDt = (System.nanoTime() - tPq) / 1e9
+    // the persisted graph+PQ tier (a30 reads): edge buckets + flat
+    // codes + codebooks written once
+    val tGpq = System.nanoTime()
+    operators.Knn.graphPqStorePath(spark, sfDir)
+    val gpqDt = (System.nanoTime() - tGpq) / 1e9
     // compaction PLANNING over the built index — metadata-only
     // (listing + packNextFit), the pass an OPTIMIZE scheduler runs
     val tTc2 = System.nanoTime()
@@ -210,6 +215,7 @@ object Bench {
       "_ivf_upsert_build" -> iuDt,
       "_ivf_compact" -> icDt,
       "_pq_store_build" -> pqDt,
+      "_graph_pq_build" -> gpqDt,
       "_text_index_upsert_base" -> tubDt,
       "_text_index_upsert" -> tuDt,
       "_text_index_evolve_base" -> tebDt,

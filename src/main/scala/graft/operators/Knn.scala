@@ -3026,7 +3026,103 @@ object Knn {
                                      e0raw: DataFrame,
                                      bookMat: Column, k: Int, beam: Int,
                                      hops: Int, rerank: Int): DataFrame = {
-    val spark = coded.sparkSession
+    import coded.sparkSession.implicits._
+    graphSearchPqTiered(coded.select($"vec_id", $"code"),
+      coded.select($"vec_id", $"v"), graph, queries, e0raw, bookMat,
+      k, beam, hops, rerank)
+  }
+
+  /** Persisted GRAPH+PQ serving tier — the DiskANN disk layout
+    * proper (edges + PQ codes resident on disk, raw vectors read
+    * only for the final rerank): the refined edge table under
+    * [[writeNnGraphStore]]'s bucketed layout at `path`/graph, a23's
+    * exact codes at `path`/codes (vec_id, code — never v), the
+    * codebooks at `path`/_codebooks. At 100 TB the walk's
+    * corpus-wide reads are edge buckets + 8-byte codes; the
+    * embeddings table is touched by the id-keyed rerank join for
+    * ≤ rerank rows per query. */
+  def writeGraphPqStore(spark: SparkSession, dir: String,
+                        path: String): Unit = {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val all = base(spark, dir)
+    writeNnGraphStore(refinedGraph(spark, dir), s"$path/graph")
+    // a23's codebooks exactly: seed words from the first 16 raw
+    // vectors (flat PQ — the graph tier scores raw-vector ADC)
+    val seeds: Seq[Seq[Double]] = all.orderBy($"vec_id").limit(16)
+      .select($"v").as[Seq[Double]].collect().toSeq
+    val books: Seq[Seq[Seq[Double]]] = (0 until 8).map { s =>
+      seeds.map(_.slice(s * 8, (s + 1) * 8))
+    }
+    val bookMat = typedLit(books)
+    all.select($"vec_id",
+        call_function("pq_encode", $"v", bookMat).as("code"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    books.zipWithIndex.flatMap { case (bk, s) =>
+      bk.zipWithIndex.map { case (w, j) => (s, j, w) }
+    }.toDF("s", "j", "vals")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
+  }
+
+  /** The stored codebooks of a [[writeGraphPqStore]] layout. */
+  private[graft] def readCodebooks(spark: SparkSession,
+                                   path: String): Seq[Seq[Seq[Double]]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/_codebooks")
+      .orderBy($"s", $"j").select($"s", $"vals").as[(Int, Seq[Double])]
+      .collect().toSeq.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.map(_._2).toSeq }
+  }
+
+  /** The session's persisted graph+PQ store for `dir`. */
+  def graphPqStorePath(spark: SparkSession, dir: String): String =
+    graft.TrainedModels.memo(spark, s"graph_pq_store:$dir") {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_graph_pq").toString + "/index"
+      writeGraphPqStore(spark, dir, p)
+      p
+    }
+
+  /** a30: a23's PQ-scored beam walk with EVERY index artifact read
+    * from DISK — edges from the bucketed graph store, codes and
+    * codebooks from the PQ tier; the raw corpus vectors enter only
+    * through the final id-keyed rerank join. Oracle = a23's SQL:
+    * the persisted round trip must reproduce the in-memory walk
+    * bit-exactly. */
+  def a30GraphPqStoreServe(spark: SparkSession, dir: String, k: Int = 5,
+                           beam: Int = 8, hops: Int = 2,
+                           eCells: Int = 8, rerank: Int = 16): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val path = graphPqStorePath(spark, dir)
+    val bookMat = typedLit(readCodebooks(spark, path))
+    val all = graft.Caches.persist(base(spark, dir))
+    val queries = all.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val cents = ivfCentroids(spark, dir, all)
+    val medoids = graphMedoidsMemo(spark, dir, all, cents)
+    graphSearchPqTiered(
+      spark.read.parquet(s"$path/codes"),
+      all.select($"vec_id", $"v"),
+      readNnGraphStore(spark, s"$path/graph"),
+      queries, medoidEntries(queries, medoids, cents, eCells),
+      bookMat, k, beam, hops, rerank)
+  }
+
+  /** [[graphSearchPqOf]] with the two tiers SPLIT — `codes` feeds
+    * the hop scorer (the only corpus-wide reads), `vectors` is the
+    * rerank tier touched for ≤ rerank rows/query. The persisted
+    * serve (a30) passes disk codes + the corpus table here; the
+    * in-memory a23 passes two projections of its coded frame. */
+  private[graft] def graphSearchPqTiered(codes: DataFrame,
+                                         vectors: DataFrame,
+                                         graph: DataFrame,
+                                         queries: DataFrame,
+                                         e0raw: DataFrame,
+                                         bookMat: Column, k: Int,
+                                         beam: Int, hops: Int,
+                                         rerank: Int): DataFrame = {
+    val spark = codes.sparkSession
     import spark.implicits._
     val und = graft.Caches.persist(
       graph.select($"q_id".as("node"), $"vec_id".as("nbr"))
@@ -3035,7 +3131,7 @@ object Knn {
     // the hop scorer touches only the 8-byte code column — never v
     def adcOf(pairs: DataFrame): DataFrame = pairs
       .join(broadcast(queries), "q_id")
-      .join(coded.select($"vec_id", $"code"), "vec_id")
+      .join(codes.select($"vec_id", $"code"), "vec_id")
       .select($"q_id", $"vec_id",
         call_function("pq_adc", $"qv", $"code", bookMat).as("adist"))
     val wB = Window.partitionBy($"q_id").orderBy($"adist", $"vec_id")
@@ -3061,7 +3157,7 @@ object Knn {
       .filter($"qrnk" <= rerank)
       .select($"q_id", $"vec_id")
       .join(broadcast(queries), "q_id")
-      .join(coded.select($"vec_id", $"v"), "vec_id")
+      .join(vectors.select($"vec_id", $"v"), "vec_id")
       .select($"q_id", $"vec_id", V.cosineD($"qv", $"v").as("cosine_raw"))
       .withColumn("rnk", row_number().over(wK))
       .filter($"rnk" <= k)
@@ -3161,6 +3257,7 @@ object Knn {
     "a27_range_search" -> ((s, d) => a27RangeSearch(s, d)),
     "a28_pq_store" -> a28PqStore _,
     "a29_vamana_search" -> ((s, d) => a29VamanaSearch(s, d)),
+    "a30_graph_pq_store" -> ((s, d) => a30GraphPqStoreServe(s, d)),
     "s2_vector_topk" -> s2VectorTopk _)
 
   private val cosineSql =
@@ -4192,6 +4289,9 @@ object Knn {
       ("a26_graph_filtered" -> a26Sql) +
       ("a27_range_search" -> a27Sql) +
       ("a29_vamana_search" -> a29Sql) +
+      // the persisted graph+PQ round trip must reproduce the
+      // in-memory PQ walk bit-exactly — same codes, same walk
+      ("a30_graph_pq_store" -> a23Sql) +
       // st18: the stream-maintained store's edge set must equal
       // a25's batch consolidation — same shared build, same delete
       // formula, through a real foreachBatch epoch

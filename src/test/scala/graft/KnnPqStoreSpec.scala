@@ -49,6 +49,19 @@ class KnnPqStoreSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("graph+PQ store: the disk-served walk is bit-equal to in-memory a23; codes tier carries no vectors") {
+    val fromStore = Knn.a30GraphPqStoreServe(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val inMemory = Knn.a23GraphSearchPq(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(fromStore === inMemory)
+    val path = Knn.graphPqStorePath(spark, sfDir)
+    assert(spark.read.parquet(s"$path/codes").columns.toSet ===
+      Set("vec_id", "code"),
+      "the walk's corpus-wide tier must hold codes only")
+    Caches.releaseAll()
+  }
+
   test("PQ store delete/compact: tombstoned rows invisible, compact bit-equal and physical") {
     val p = s"$tmp/pq_life"
     Knn.writePqIndex(spark, sfDir, p)
