@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev/evidence utility: measure the time-vs-scale SLOPE of the
+  * headline queries — the one-off spot check behind SCALE.md's
+  * scaling table. Builds a `copies`× replica of an SF dir (ids
+  * offset per copy so keys stay consistent within a copy; document
+  * text salted on every 8th token so near-dup families stay
+  * within-copy and the dedup candidate structure scales linearly
+  * like a real corpus, instead of quadratically like a verbatim
+  * copy; embeddings perturbed per copy so the vector space grows
+  * instead of stacking duplicates), then times each headline query
+  * warm (shared builds paid once, min of 2 timed runs) at both
+  * scales and prints one JSON line per query with the slope.
+  * Usage: runMain graft.ScaleCheck [baseDir] [copies]
+  */
+object ScaleCheck {
+
+  private val Headline = Seq(
+    "q1_agg", "q3_join_agg", "q5_star_join",
+    "d2_dedup_minhash_lsh",
+    "a1_knn_bruteforce", "a22_graph_search",
+    "s1_keyword_bm25", "s3_hybrid_search",
+    "s21_served_hybrid", "s25_filtered_hybrid")
+
+  /** Salt every 8th token with the copy tag — 12.5% of tokens
+    * differ across copies, so cross-copy docs fall below the
+    * near-dup thresholds while most query terms keep matching. */
+  private def saltText(copy: Int) =
+    s"""array_join(transform(split(text, '\\\\s+'), (t, i) ->
+       |  if((i + $copy) % 8 = 0, concat(t, 'x$copy'), t)), ' ')""".stripMargin
+
+  private def replicate(spark: SparkSession, base: String, out: String,
+                        copies: Int): Unit = {
+    def copiesOf(t: String, f: (DataFrame, Int) => DataFrame): Unit = {
+      val src = spark.read.parquet(s"$base/$t.parquet")
+      (0 until copies).map(i => f(src, i)).reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    val K = 10000000L
+    copiesOf("lineitem", (d, i) => d
+      .withColumn("l_orderkey", col("l_orderkey") + lit(i * K)))
+    copiesOf("orders", (d, i) => d
+      .withColumn("o_orderkey", col("o_orderkey") + lit(i * K))
+      .withColumn("o_custkey", col("o_custkey") + lit(i * K)))
+    copiesOf("customer", (d, i) => d
+      .withColumn("c_custkey", col("c_custkey") + lit(i * K)))
+    copiesOf("documents", (d, i) => d
+      .withColumn("doc_id", col("doc_id") + lit(i * K))
+      .withColumn("text", if (i == 0) col("text") else expr(saltText(i))))
+    copiesOf("embeddings", (d, i) => d
+      .withColumn("vec_id", col("vec_id") + lit(i * K))
+      .withColumn("embedding", if (i == 0) col("embedding")
+        else expr(s"transform(embedding, x -> x + cast(($i * " +
+          s"(vec_id % 11 - 5)) as float) * 0.0007f)")))
+    copiesOf("events", (d, i) => d
+      .withColumn("event_id", col("event_id") + lit(i * K)))
+    Seq("part", "supplier", "nation", "region").foreach { t =>
+      spark.read.parquet(s"$base/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+  }
+
+  private def timeWarm(spark: SparkSession, dir: String,
+                       name: String): Double = {
+    val fn = SparkEntry.queries(name)
+    fn(spark, dir).count() // warm: shared builds + codegen paid here
+    Caches.releaseAll()
+    (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      Caches.releaseAll()
+      dt
+    }.min
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val copies = if (args.length > 1) args(1).toInt else 10
+    val out = s"/tmp/graft_scale_${copies}x"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!new java.io.File(s"$out/lineitem.parquet").isDirectory) {
+      System.err.println(s"[scale] replicating $base x$copies -> $out")
+      replicate(spark, base, out, copies)
+    }
+    Headline.foreach { name =>
+      val tB = timeWarm(spark, base, name)
+      val tS = timeWarm(spark, out, name)
+      println(f"""{"query":"$name","t_base":$tB%.3f,"t_${copies}x":$tS%.3f,"slope":${tS / tB}%.2f}""")
+    }
+    spark.stop()
+  }
+}

@@ -1102,6 +1102,34 @@ object Knn {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** UPSERT into the PQ store — [[upsertIvfIndex]]'s remove-then-add
+    * on BOTH tiers: the batch ids' old rows physically leave the
+    * cells that carry them (the changed vector may re-assign to a
+    * DIFFERENT cell, so the old cell rewrites), their tombstones
+    * clear, and the new vectors encode against the FROZEN quantizer
+    * pair and append. Serve afterwards is bit-equal to a fresh
+    * build over the final vectors (KnnPqStoreSpec pins it). */
+  def upsertPqIndex(spark: SparkSession, path: String,
+                    vectors: DataFrame): Unit = {
+    import spark.implicits._
+    val ids = vectors.select($"vec_id").distinct().localCheckpoint(true)
+    val data = storeDataDir(spark, path)
+    Seq(s"$data/codes", s"$data/vectors").foreach { tier =>
+      val touched = spark.read.parquet(tier)
+        .join(broadcast(ids), Seq("vec_id"), "left_semi")
+        .select($"cid").distinct().collect().map(_.getInt(0)).toSeq
+      rewriteTouchedCells(spark, tier, touched,
+        spark.read.parquet(tier)
+          .filter($"cid".isin(touched: _*))
+          .join(broadcast(ids), Seq("vec_id"), "left_anti"))
+    }
+    ivfTombstones(spark, path)
+      .join(broadcast(ids), Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+      .write.mode("overwrite").parquet(s"$path/_tombstones")
+    appendToPqIndex(spark, path, vectors.select($"vec_id", $"v"))
+  }
+
   /** COMPACT the PQ store: cell-scoped physical drop of tombstoned
     * rows from BOTH tiers (only the cells that carry them rewrite),
     * then clear the list — serve bit-equal before/after, the

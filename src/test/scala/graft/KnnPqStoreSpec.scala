@@ -85,6 +85,38 @@ class KnnPqStoreSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("PQ store upsert: stale copies replaced across cells, serve equals a fresh build") {
+    import org.apache.spark.sql.functions.{transform => sqlTransform}
+    val p = s"$tmp/pq_ups"
+    val all = Tables.embeddings(spark, sfDir)
+      .select($"vec_id",
+        graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+    // stale store: vec_id % 7 == 3 rows shifted +1.0/dim (the a24
+    // recipe — the changed vector can land in a DIFFERENT cell)
+    val stale = all.select($"vec_id",
+      when($"vec_id" % 7 === 3, sqlTransform($"v", x => x + 1.0))
+        .otherwise($"v").as("v"))
+    Knn.writePqIndex(spark, sfDir, p, initial = Some(stale))
+    Knn.upsertPqIndex(spark, p,
+      all.filter($"vec_id" % 7 === 3).select($"vec_id", $"v"))
+    val upserted = Knn.serveFromPqIndex(spark, p, queries)
+      .collect().map(_.toSeq).toSeq
+    val fresh = s"$tmp/pq_fresh"
+    Knn.writePqIndex(spark, sfDir, fresh)
+    val freshServed = Knn.serveFromPqIndex(spark, fresh, queries)
+      .collect().map(_.toSeq).toSeq
+    assert(upserted === freshServed,
+      "upsert must converge the store to the true corpus")
+    // no stale duplicate survives in either tier
+    val data = Knn.storeDataDir(spark, p)
+    Seq("codes", "vectors").foreach { tier =>
+      val dup = spark.read.parquet(s"$data/$tier")
+        .groupBy($"vec_id").count().filter($"count" > 1).count()
+      assert(dup === 0, s"$tier carries duplicate ids after upsert")
+    }
+    Caches.releaseAll()
+  }
+
   test("PQ store OPTIMIZE is a staged generation commit: torn staging invisible, swap bit-equal, old gens swept") {
     val p = s"$tmp/pq_genz"
     Knn.writePqIndex(spark, sfDir, p)
