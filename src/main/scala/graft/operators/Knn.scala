@@ -819,6 +819,57 @@ object Knn {
       (p, cents)
     }
 
+  /** The session's STREAM-MAINTAINED PQ store for `dir` — st19's
+    * gate, [[streamedIvfPath]]'s recipe on the codes tier: the
+    * quantizer pair trains and persists UP FRONT
+    * ([[writePqQuantizer]]), the store builds on a STALE vector set
+    * (vec_id % 7 == 3 shifted +1.0/dim) plus five planted garbage
+    * vectors, then ONE re-embed micro-batch arrives through
+    * [[graft.streaming.IngestStream.pqIndexStream]] — true vectors
+    * for the stale ids, NULL delete notices for the garbage. After
+    * the epoch the store's live content IS the true corpus under
+    * a11's exact encode, which is why st19 reuses a11's oracle. */
+  def streamedPqPath(spark: SparkSession, dir: String): String =
+    graft.TrainedModels.memo(spark, s"pq_streamed:$dir") {
+      import spark.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_pq_stream").toString
+      val p = root + "/index"
+      val all = base(spark, dir)
+      writePqQuantizer(spark, dir, p)
+      val garbage = all.filter($"vec_id" < 5)
+        .select(($"vec_id" + 900000000L).as("vec_id"),
+          transform($"v", x => -x - 0.25).as("v"))
+      val stale = all.select($"vec_id",
+          when($"vec_id" % 7 === 3, transform($"v", x => x + 1.0))
+            .otherwise($"v").as("v"))
+        .unionByName(garbage)
+      appendToPqIndex(spark, p, stale)
+      val payload = all.filter($"vec_id" % 7 === 3)
+        .select($"vec_id", $"v")
+        .unionByName(garbage.select($"vec_id",
+          lit(null).cast("array<double>").as("v")))
+      val stage = root + "/payload"
+      payload.write.parquet(stage)
+      val q = graft.streaming.IngestStream.pqIndexStream(
+        spark.readStream.schema(payload.schema).parquet(stage), p)
+      try q.processAllAvailable() finally q.stop()
+      p
+    }
+
+  /** st19: IVF+PQ serving from the STREAM-MAINTAINED PQ store —
+    * after the re-embed epoch the live codes encode exactly the
+    * true corpus, so the persisted-PQ serve must hash-match the
+    * in-memory a11 chain (a lost upsert, a stale cell copy in
+    * either tier, a missed delete, or a replay duplicate
+    * hash-fails). */
+  def st19StreamedPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val queries = base(spark, dir).filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    serveFromPqIndex(spark, streamedPqPath(spark, dir), queries)
+  }
+
   /** st17: exact-kNN serving from a STREAM-MAINTAINED IVF store —
     * the end-to-end ANN CDC gate: stale vectors replaced (cells
     * physically cleaned), garbage deleted, all through foreachBatch
@@ -990,6 +1041,24 @@ object Knn {
   def writePqIndex(spark: SparkSession, dir: String, path: String,
                    initial: Option[DataFrame] = None): Unit = {
     import spark.implicits._
+    // fresh build truncates the root (markers included): gen 0
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true): Unit
+    writePqQuantizer(spark, dir, path)
+    appendToPqIndex(spark, path,
+      initial.getOrElse(base(spark, dir)).select($"vec_id", $"v"))
+  }
+
+  /** Train (or reuse) the quantizer pair for `dir`'s corpus and
+    * persist ONLY the `_centroids` + `_codebooks` artifacts — the
+    * index-BUILD half of [[writePqIndex]] on its own, so a
+    * streaming-maintained store ([[graft.streaming.IngestStream
+    * .pqIndexStream]]) can be trained up front and then filled
+    * entirely by epochs (the train-once/add-forever FAISS shape). */
+  def writePqQuantizer(spark: SparkSession, dir: String,
+                       path: String): Unit = {
+    import spark.implicits._
     val m = 8; val sub = 8; val kb = 16
     val all = base(spark, dir)
     val cents = ivfCentroids(spark, dir, all)
@@ -1004,18 +1073,34 @@ object Knn {
     val books: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
       seeds.map(_.slice(s * sub, (s + 1) * sub))
     }
-    // fresh build truncates the root (markers included): gen 0
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) fs.delete(p, true): Unit
     cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "vals")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
     books.zipWithIndex.flatMap { case (bk, s) =>
       bk.zipWithIndex.map { case (w, j) => (s, j, w) }
     }.toDF("s", "j", "vals")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
-    appendToPqIndex(spark, path,
-      initial.getOrElse(all).select($"vec_id", $"v"))
+  }
+
+  /** COUNT-GATED auto-compaction for the PQ store — [[maybeCompactIvf]]
+    * with the files-per-cell curve read across BOTH tiers' listings;
+    * fires [[optimizePqIndex]], which resets both signals. */
+  def maybeCompactPq(spark: SparkSession, path: String,
+                     maxTombstones: Long = 10000L,
+                     maxFilesPerCell: Double = 4.0): Boolean = {
+    import spark.implicits._
+    val data = storeDataDir(spark, path)
+    val files = Seq("codes", "vectors")
+      .map(t => graft.sources.Compaction.listFiles(spark, s"$data/$t")
+        .withColumn("partition", concat(lit(t + "/"), $"partition")))
+      .reduce(_ unionByName _)
+      .filter(!$"partition".endsWith("/"))
+      .groupBy($"partition").agg(count(lit(1)).as("n"))
+      .agg(coalesce(avg($"n"), lit(0.0)).as("avg_files"))
+      .head().getDouble(0)
+    val due = files > maxFilesPerCell ||
+      ivfTombstones(spark, path).count() > maxTombstones
+    if (due) optimizePqIndex(spark, path)
+    due
   }
 
   /** The PQ store's frozen quantizer pair, read back from its
@@ -3279,6 +3364,7 @@ object Knn {
     "a23_graph_search_pq" -> ((s, d) => a23GraphSearchPq(s, d)),
     "a24_upserted_ivf" -> a24UpsertedIvf _,
     "st17_streamed_ivf" -> st17StreamedIvf _,
+    "st19_streamed_pq" -> st19StreamedPq _,
     "st18_streamed_graph" -> st18StreamedGraphDelete _,
     "a25_graph_delete" -> a25GraphDelete _,
     "a26_graph_filtered" -> ((s, d) => a26GraphFiltered(s, d)),
@@ -4313,6 +4399,9 @@ object Knn {
       // lost upsert, surviving stale cell copy, missed delete, or
       // replay duplicate hash-fails
       ("st17_streamed_ivf" -> baseOracles("a1_knn_bruteforce")) +
+      // st19: after the streamed re-embed epoch the PQ store's live
+      // codes encode exactly the true corpus — a11's chain replays
+      ("st19_streamed_pq" -> a11Sql) +
       ("a25_graph_delete" -> a25Sql) +
       ("a26_graph_filtered" -> a26Sql) +
       ("a27_range_search" -> a27Sql) +

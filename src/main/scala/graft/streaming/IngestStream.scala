@@ -477,6 +477,50 @@ object IngestStream {
       .start()
   }
 
+  /** STREAMING maintenance of the persisted PQ store —
+    * [[ivfIndexStream]]'s twin on the codes tier: the quantizer pair
+    * is trained and persisted UP FRONT (Knn.writePqQuantizer — the
+    * FAISS train-once/add-forever contract), and every micro-batch's
+    * (vec_id, v) re-embeds apply through Knn.upsertPqIndex
+    * (remove-then-add across BOTH tiers, old cells cleaned even when
+    * the vector moved), (vec_id, NULL) notices tombstone, and the
+    * count-gated auto-OPTIMIZE check runs per epoch. Same replay
+    * contract: the `_epoch` marker gates committed epochs; a crashed
+    * half-epoch re-runs remove-then-add, which converges. */
+  def pqIndexStream(vectors: DataFrame, path: String,
+                    maxTombstones: Long = 10000L,
+                    maxFilesPerCell: Double = 16.0): StreamingQuery = {
+    import graft.operators.Knn
+    val epochFn: (DataFrame, Long) => Unit = (batch, epochId) => {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      if (epochId > Knn.storeLastEpoch(spark, path)) {
+        val b = batch.select("vec_id", "v")
+        val ups = b.filter($"v".isNotNull).localCheckpoint(true)
+        val dels = b.filter($"v".isNull).select($"vec_id")
+          .localCheckpoint(true)
+        val codesDir = new org.apache.hadoop.fs.Path(
+          Knn.storeDataDir(spark, path) + "/codes")
+        val fs = codesDir
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val exists = fs.exists(codesDir)
+        if (!exists) {
+          Knn.appendToPqIndex(spark, path, ups)
+          Knn.clearIvfTombstones(spark, path, ups.select($"vec_id"))
+        }
+        else if (ups.count() > 0) Knn.upsertPqIndex(spark, path, ups)
+        if (dels.count() > 0) Knn.deleteFromIvfIndex(spark, path, dels)
+        Knn.writeStoreEpoch(spark, path, epochId)
+        Knn.maybeCompactPq(spark, path, maxTombstones,
+          maxFilesPerCell): Unit
+      }
+    }
+    vectors.writeStream
+      .option("checkpointLocation", s"$path/_checkpoints")
+      .foreachBatch(epochFn)
+      .start()
+  }
+
   /** STREAMING maintenance of the persisted kNN-GRAPH store plus its
     * companion vector table — FreshDiskANN's freshness loop
     * (Singh et al. 2021: StreamingMerge inserts + delete

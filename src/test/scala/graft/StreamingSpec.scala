@@ -1194,6 +1194,63 @@ class StreamingSpec extends SparkSpec {
     assert(Knn.storeLastEpoch(spark, p) == 2L)
   }
 
+  test("streaming PQ maintenance: first-epoch build, cross-cell re-embed, delete with in-stream OPTIMIZE") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Knn
+
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-pq-stream").toString
+    val p = root + "/index"
+    // the quantizer pair is the UP-FRONT build artifact; the stream
+    // only maintains data (the FAISS train-once/add-forever shape)
+    Knn.writePqQuantizer(spark, sfDir, p)
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select($"vec_id",
+        graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val query = IngestStream.pqIndexStream(
+      stream.toDF().toDF("vec_id", "v"), p,
+      maxTombstones = 0L, maxFilesPerCell = 100.0)
+    try {
+      // epoch 0 BUILDS from its own batch (ids 0..49, two shifted)
+      stream.addData((0L until 50L).map(i =>
+        i -> (if (i % 7 == 3) vecs(i).map(_ + 1.0) else vecs(i))): _*)
+      query.processAllAvailable()
+      // epoch 1: the shifted ids re-embed to their TRUE vectors
+      // (cross-cell moves), id 50 arrives new
+      stream.addData(((0L until 50L).filter(_ % 7 == 3).map(i =>
+        i -> vecs(i)) :+ (50L -> vecs(50L))): _*)
+      query.processAllAvailable()
+      // epoch 2: id 50 deleted — the tombstone-gated OPTIMIZE fires
+      stream.addData((50L, null.asInstanceOf[Seq[Double]]))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // batch twin over the FINAL live content
+    val expect = root + "/expect"
+    Knn.writePqIndex(spark, sfDir, expect, initial = Some(
+      (0L until 50L).map(i => i -> vecs(i)).toDF("vec_id", "v")))
+    val queries = (0L until 3L).map(i => i -> vecs(i)).toDF("q_id", "qv")
+    def served(path: String) = Knn.serveFromPqIndex(spark, path, queries)
+      .collect().map(_.toSeq).toSeq
+    assert(served(p) === served(expect),
+      "streamed PQ store must serve each vector's LATEST version exactly")
+    // the delete was PHYSICALLY dropped by the in-stream OPTIMIZE
+    val data = Knn.storeDataDir(spark, p)
+    Seq("codes", "vectors").foreach { tier =>
+      assert(spark.read.parquet(s"$data/$tier")
+        .filter($"vec_id" === 50L).count() === 0,
+        s"in-stream OPTIMIZE must drop the delete from $tier")
+    }
+    assert(spark.read.parquet(s"$p/_tombstones").count() === 0)
+    assert(Knn.storeGen(spark, p) >= 1L, "the OPTIMIZE committed a generation")
+    assert(Knn.storeLastEpoch(spark, p) === 2L)
+    Caches.releaseAll()
+  }
+
   test("streaming graph maintenance: first-epoch build, insert delta, delete consolidation; vectors co-maintained") {
     val sparkSession = spark
     import sparkSession.implicits._
