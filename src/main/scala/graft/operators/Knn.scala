@@ -928,6 +928,68 @@ object Knn {
       .orderBy($"q_id", $"vec_id")
   }
 
+  /** The session's STREAM-MAINTAINED graph+PQ store for `dir` —
+    * st20's gate on a30's full disk layout (edges + vectors + codes
+    * co-located): the quantizer trains and persists UP FRONT
+    * ([[writeGraphPqQuantizer]]), the batch build hands every tier
+    * over (refined graph, corpus vectors, exact codes — the
+    * batch-build → streaming-maintenance handoff), then ONE
+    * micro-batch of NULL delete notices for [[GraphDeadIds]] arrives
+    * through [[graft.streaming.IngestStream.graphPqStream]] — the
+    * FreshDiskANN delete-consolidation driven across ALL THREE
+    * tiers by a real stream: edges consolidate (a25's formula),
+    * dead vectors drop from the vector tier, dead codes drop from
+    * the codes tier. */
+  def streamedGraphPqPath(spark: SparkSession, dir: String): String =
+    graft.TrainedModels.memo(spark, s"graph_pq_streamed:$dir") {
+      import spark.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_graph_pq_stream").toString + "/store"
+      val vecs = base(spark, dir).select($"vec_id", $"v")
+      writeGraphPqQuantizer(spark, dir, root)
+      writeNnGraphStore(refinedGraph(spark, dir), s"$root/graph")
+      writeNnVecStore(vecs, s"$root/vectors")
+      writeGraphPqCodes(spark, root, vecs)
+      val payload = GraphDeadIds.toDF("vec_id")
+        .select($"vec_id", lit(null).cast("array<double>").as("v"))
+      val stage = s"$root/payload"
+      payload.write.parquet(stage)
+      val q = graft.streaming.IngestStream.graphPqStream(
+        spark.readStream.schema(payload.schema).parquet(stage), root, k = 3)
+      try q.processAllAvailable() finally q.stop()
+      root
+    }
+
+  /** st20: the PQ-scored beam walk SERVED from the stream-maintained
+    * graph+PQ store — every artifact the walk touches (edges, codes,
+    * rerank vectors) comes from the post-delete disk tiers, so a
+    * missed delete in the graph (dead node still routable), the
+    * codes tier (dead candidate still scorable), or the vector tier
+    * (dead id still rerankable), OR a botched consolidation edge,
+    * shifts the walk and hash-fails. Oracle: a23's walk replay over
+    * a25's consolidated graph with the coded corpus restricted to
+    * survivors — the quantizer and the medoid entries stay trained
+    * on the FULL pre-delete corpus, exactly like the serve. */
+  def st20StreamedGraphPq(spark: SparkSession, dir: String, k: Int = 5,
+                          beam: Int = 8, hops: Int = 2, eCells: Int = 8,
+                          rerank: Int = 16): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val path = streamedGraphPqPath(spark, dir)
+    val bookMat = typedLit(readCodebooks(spark, path))
+    val all = graft.Caches.persist(base(spark, dir))
+    val queries = all.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val cents = ivfCentroids(spark, dir, all)
+    val medoids = graphMedoidsMemo(spark, dir, all, cents)
+    graphSearchPqTiered(
+      spark.read.parquet(s"$path/codes"),
+      readNnVecStore(spark, s"$path/vectors"),
+      readNnGraphStore(spark, s"$path/graph"),
+      queries, medoidEntries(queries, medoids, cents, eCells),
+      bookMat, k, beam, hops, rerank)
+  }
+
   /** a25: kNN-graph DELETE with FreshDiskANN consolidation over the
     * SHARED refined graph (a21's build): dead nodes drop, every
     * node that pointed at one re-ranks over its surviving neighbors
@@ -2479,26 +2541,31 @@ object Knn {
     * (insert's delta rerank, delete's consolidation rerank) reads
     * vectors by id: rows land in vbucket = pmod(vec_id) directories,
     * the same bucket discipline as the edges, so id-scoped
-    * upserts/deletes rewrite only their buckets. */
-  def writeNnVecStore(vecs: DataFrame, path: String): Unit = {
+    * upserts/deletes rewrite only their buckets. `valCol` lets the
+    * graph+PQ store reuse the exact layout for its CODES tier
+    * (vec_id, code) — same bucket math, same touched-bucket-only
+    * rewrites. */
+  def writeNnVecStore(vecs: DataFrame, path: String,
+                      valCol: String = "v"): Unit = {
     import vecs.sparkSession.implicits._
-    vecs.select($"vec_id", $"v")
+    vecs.select($"vec_id", col(valCol))
       .withColumn("vbucket", pmod($"vec_id", lit(GraphBuckets.toLong)))
       .write.mode("overwrite").partitionBy("vbucket").parquet(path)
   }
 
-  def readNnVecStore(spark: SparkSession, path: String): DataFrame = {
+  def readNnVecStore(spark: SparkSession, path: String,
+                     valCol: String = "v"): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(path).select($"vec_id", $"v")
+    spark.read.parquet(path).select($"vec_id", col(valCol))
   }
 
   /** Id-scoped vector upsert: arriving ids replace their old copies;
     * only the touched vbuckets rewrite (dynamic overwrite — every
     * touched bucket gains the arriving rows, so no bucket empties). */
   def upsertNnVecStore(spark: SparkSession, path: String,
-                       vecs: DataFrame): Unit = {
+                       vecs: DataFrame, valCol: String = "v"): Unit = {
     import spark.implicits._
-    val d = vecs.select($"vec_id", $"v")
+    val d = vecs.select($"vec_id", col(valCol))
       .withColumn("vbucket", pmod($"vec_id", lit(GraphBuckets.toLong)))
     val survivors = spark.read.parquet(path)
       .join(d.select($"vbucket").distinct(), Seq("vbucket"), "left_semi")
@@ -2515,7 +2582,7 @@ object Knn {
     * overwrite can't write an empty partition — the
     * rewriteTouchedCells rule). */
   def deleteFromNnVecStore(spark: SparkSession, path: String,
-                           ids: DataFrame): Unit = {
+                           ids: DataFrame, valCol: String = "v"): Unit = {
     import spark.implicits._
     val dead = ids.select($"vec_id").distinct()
       .withColumn("vbucket", pmod($"vec_id", lit(GraphBuckets.toLong)))
@@ -2526,7 +2593,7 @@ object Knn {
     val kept = spark.read.parquet(path)
       .join(dead.select($"vbucket").distinct(), Seq("vbucket"), "left_semi")
       .join(dead.select($"vec_id"), Seq("vec_id"), "left_anti")
-      .select($"vec_id", $"v",
+      .select($"vec_id", col(valCol),
         pmod($"vec_id", lit(GraphBuckets.toLong)).as("vbucket"))
       .localCheckpoint(true)
     kept.write.mode("overwrite")
@@ -3156,25 +3223,78 @@ object Knn {
     * ≤ rerank rows per query. */
   def writeGraphPqStore(spark: SparkSession, dir: String,
                         path: String): Unit = {
-    import spark.implicits._
-    graft.plans.GraftFunctions.ensureRegistered(spark)
-    val all = base(spark, dir)
     writeNnGraphStore(refinedGraph(spark, dir), s"$path/graph")
-    // a23's codebooks exactly: seed words from the first 16 raw
-    // vectors (flat PQ — the graph tier scores raw-vector ADC)
-    val seeds: Seq[Seq[Double]] = all.orderBy($"vec_id").limit(16)
-      .select($"v").as[Seq[Double]].collect().toSeq
+    writeGraphPqQuantizer(spark, dir, path)
+    writeGraphPqCodes(spark, path, base(spark, dir))
+  }
+
+  /** Train the graph tier's PQ quantizer for `dir`'s corpus and
+    * persist ONLY the `_codebooks` artifact — a23's codebooks
+    * exactly: seed words from the first 16 raw vectors (flat PQ —
+    * the graph tier scores raw-vector ADC). Split out of
+    * [[writeGraphPqStore]] so a streaming-maintained store
+    * ([[graft.streaming.IngestStream.graphPqStream]]) trains once
+    * up front and fills entirely by epochs. */
+  def writeGraphPqQuantizer(spark: SparkSession, dir: String,
+                            path: String): Unit = {
+    import spark.implicits._
+    val seeds: Seq[Seq[Double]] = base(spark, dir).orderBy($"vec_id")
+      .limit(16).select($"v").as[Seq[Double]].collect().toSeq
     val books: Seq[Seq[Seq[Double]]] = (0 until 8).map { s =>
       seeds.map(_.slice(s * 8, (s + 1) * 8))
     }
-    val bookMat = typedLit(books)
-    all.select($"vec_id",
-        call_function("pq_encode", $"v", bookMat).as("code"))
-      .write.mode("overwrite").parquet(s"$path/codes")
     books.zipWithIndex.flatMap { case (bk, s) =>
       bk.zipWithIndex.map { case (w, j) => (s, j, w) }
     }.toDF("s", "j", "vals")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
+  }
+
+  /** Encode `vecs` under the store's FROZEN codebooks — the add-side
+    * of every codes-tier mutation (FAISS's frozen-quantizer add()
+    * contract on the graph tier). */
+  private def encodeGraphPqCodes(spark: SparkSession, path: String,
+                                 vecs: DataFrame): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val bookMat = typedLit(readCodebooks(spark, path))
+    vecs.select($"vec_id",
+      call_function("pq_encode", $"v", bookMat).as("code"))
+  }
+
+  /** (Re)write the codes tier from scratch: codes land in the vec
+    * store's vbucket layout ([[writeNnVecStore]] with valCol=code),
+    * so id-scoped upserts/deletes rewrite only their buckets —
+    * the maintenance discipline the flat single-directory layout
+    * couldn't give. */
+  def writeGraphPqCodes(spark: SparkSession, path: String,
+                        vecs: DataFrame): Unit =
+    writeNnVecStore(encodeGraphPqCodes(spark, path, vecs),
+      s"$path/codes", valCol = "code")
+
+  /** Id-scoped codes upsert: arriving vectors re-encode under the
+    * frozen codebooks and replace their old code rows (a re-embed's
+    * code is stale the moment its vector changes — this is the
+    * codes-tier half of the remove-then-add contract). A store
+    * whose codes tier doesn't exist yet builds it from the batch. */
+  def upsertGraphPqCodes(spark: SparkSession, path: String,
+                         vecs: DataFrame): Unit = {
+    val coded = encodeGraphPqCodes(spark, path, vecs)
+    val c = new org.apache.hadoop.fs.Path(s"$path/codes")
+    if (c.getFileSystem(spark.sessionState.newHadoopConf()).exists(c))
+      upsertNnVecStore(spark, s"$path/codes", coded, valCol = "code")
+    else writeNnVecStore(coded, s"$path/codes", valCol = "code")
+  }
+
+  /** Id-scoped codes delete — physical, like the graph/vector tiers
+    * (the walk joins codes by vec_id, so a surviving dead code is
+    * unreachable but still scan weight; dropping the bucket rows is
+    * one touched-bucket rewrite). No-op before the tier exists
+    * (a delete-only first epoch). */
+  def deleteGraphPqCodes(spark: SparkSession, path: String,
+                         ids: DataFrame): Unit = {
+    val c = new org.apache.hadoop.fs.Path(s"$path/codes")
+    if (c.getFileSystem(spark.sessionState.newHadoopConf()).exists(c))
+      deleteFromNnVecStore(spark, s"$path/codes", ids, valCol = "code")
   }
 
   /** The stored codebooks of a [[writeGraphPqStore]] layout. */
@@ -3366,6 +3486,7 @@ object Knn {
     "st17_streamed_ivf" -> st17StreamedIvf _,
     "st19_streamed_pq" -> st19StreamedPq _,
     "st18_streamed_graph" -> st18StreamedGraphDelete _,
+    "st20_streamed_graph_pq" -> ((s, d) => st20StreamedGraphPq(s, d)),
     "a25_graph_delete" -> a25GraphDelete _,
     "a26_graph_filtered" -> ((s, d) => a26GraphFiltered(s, d)),
     "a27_range_search" -> ((s, d) => a27RangeSearch(s, d)),
@@ -3945,10 +4066,16 @@ object Knn {
     * formula: dead sources drop, dirty nodes re-rank over surviving
     * neighbors ∪ bridges through the dead nodes' live out-edges,
     * untouched nodes pass through. */
-  private lazy val a25Sql: String = {
+  /** The FreshDiskANN delete-consolidation replay as CTE stages —
+    * [[deleteFromNnGraph]]'s exact formula over `g2` + `ev` (both
+    * expected in scope): dead sources drop, dirty nodes re-rank over
+    * surviving neighbors ∪ bridges through the dead nodes' live
+    * out-edges, untouched nodes pass through. Emits
+    * `dead (id)` and `consol (q_id, vec_id)`. Shared by a25's
+    * oracle and st20's walk-over-consolidated-graph oracle. */
+  private def consolCtesSql(kDeg: Int = 3): String = {
     val deadList = GraphDeadIds.mkString("[", ", ", "]")
-    s"""WITH ${nnGraphCtesSql(2)},
-       |dead AS (SELECT unnest($deadList) AS id),
+    s"""dead AS (SELECT unnest($deadList) AS id),
        |src_live AS (
        |  SELECT q_id, vec_id FROM g2
        |  WHERE q_id NOT IN (SELECT id FROM dead)),
@@ -3964,31 +4091,36 @@ object Knn {
        |  WHERE s.vec_id IN (SELECT id FROM dead)
        |    AND b.vec_id <> s.q_id
        |    AND b.vec_id NOT IN (SELECT id FROM dead)),
-       |cand AS (
+       |del_cand AS (
        |  SELECT DISTINCT q_id, vec_id FROM (
        |    SELECT kx.q_id, kx.vec_id FROM kept kx JOIN dirty USING (q_id)
        |    UNION ALL
        |    SELECT q_id, vec_id FROM bridges)),
        |pscored AS (
-       |  SELECT cand.q_id, cand.vec_id,
+       |  SELECT del_cand.q_id, del_cand.vec_id,
        |    ${cosineSql.replace("QV", "eq.v").replace("BV", "eb.v")} AS cosine_raw
-       |  FROM cand
-       |  JOIN ev eq ON eq.vec_id = cand.q_id
-       |  JOIN ev eb ON eb.vec_id = cand.vec_id),
+       |  FROM del_cand
+       |  JOIN ev eq ON eq.vec_id = del_cand.q_id
+       |  JOIN ev eb ON eb.vec_id = del_cand.vec_id),
        |patched AS (
        |  SELECT q_id, vec_id FROM (
        |    SELECT q_id, vec_id,
        |      row_number() OVER (PARTITION BY q_id
        |        ORDER BY cosine_raw DESC, vec_id) AS rnk
        |    FROM pscored)
-       |  WHERE rnk <= 3)
-       |SELECT q_id, vec_id FROM (
+       |  WHERE rnk <= $kDeg),
+       |consol AS MATERIALIZED (
        |  SELECT q_id, vec_id FROM kept
        |  WHERE q_id NOT IN (SELECT q_id FROM dirty)
        |  UNION ALL
-       |  SELECT q_id, vec_id FROM patched)
-       |ORDER BY q_id, vec_id""".stripMargin
+       |  SELECT q_id, vec_id FROM patched)""".stripMargin
   }
+
+  private lazy val a25Sql: String =
+    s"""WITH ${nnGraphCtesSql(2)},
+       |${consolCtesSql(3)}
+       |SELECT q_id, vec_id FROM consol
+       |ORDER BY q_id, vec_id""".stripMargin
 
   /** a21's oracle: the seed replay at a21's geometry, the undirected
     * neighbor-of-neighbor expansion, the exact rerank, and the
@@ -4240,8 +4372,38 @@ object Knn {
     * place of cosine at every walk stage, a6's codebook/code CTEs
     * over the graph's `ev` vector table, and the exact cosine
     * entering only in the final rerank CTE. */
-  private lazy val a23Sql: String = {
+  private lazy val a23Sql: String = graphPqWalkSql()
+
+  /** st20's replay: the SAME PQ-scored walk, but routed over a25's
+    * consolidated graph ([[consolCtesSql]]) with the coded corpus
+    * and the rerank tier restricted to delete survivors — the SQL
+    * twin of serving from the stream-maintained store's post-delete
+    * tiers. The quantizer seeds (`sv`) and the medoid entries stay
+    * on the FULL pre-delete `ev`, exactly like the serve (trained
+    * up front, never retrained by a delete); dead medoid entries
+    * drop where the walk scores them against the live coded tier,
+    * on both sides. */
+  private lazy val st20Sql: String = graphPqWalkSql(
+    graphEdges = "consol",
+    extraCtes = consolCtesSql(3) + ",\n",
+    liveOnly = true)
+
+  /** a23's walk replay, parameterized: a22's hop skeleton with adist
+    * (ascending) in place of cosine at every walk stage, a6's
+    * codebook/code CTEs over the graph's `ev` vector table, the
+    * exact cosine entering only in the final rerank CTE.
+    * `graphEdges` names the edge CTE the walk routes on; `liveOnly`
+    * restricts the coded corpus + rerank tier to non-`dead` ids
+    * (expects `extraCtes` to bind `dead`). */
+  private def graphPqWalkSql(graphEdges: String = "g2",
+                             extraCtes: String = "",
+                             liveOnly: Boolean = false): String = {
     val (k, beam, hops, eCells, rerank) = (5, 8, 2, 8, 16)
+    // the walk's candidates are always ⊆ coded, so restricting the
+    // coded corpus restricts the rerank tier for free
+    val codedFilter =
+      if (liveOnly) "\n  WHERE ev.vec_id NOT IN (SELECT id FROM dead)"
+      else ""
     val encDist = pqSqDist("v", "sp", "sv.sv[j+1]")
     def adcSql(qv: String, code: String): String =
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -4274,10 +4436,10 @@ object Knn {
          |  SELECT q_id, vec_id, adist FROM ws$h)""".stripMargin
     s"""WITH ${nnGraphCtesSql(2)},
        |${kmeansCellsSqlFor(8)},
-       |und AS (
-       |  SELECT q_id AS node, vec_id AS nbr FROM g2
+       |${extraCtes}und AS (
+       |  SELECT q_id AS node, vec_id AS nbr FROM $graphEdges
        |  UNION
-       |  SELECT vec_id, q_id FROM g2),
+       |  SELECT vec_id, q_id FROM $graphEdges),
        |sv AS (SELECT list(v ORDER BY vec_id) AS sv
        |       FROM (SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT 16)),
        |coded AS (
@@ -4287,7 +4449,7 @@ object Knn {
        |        list_transform(generate_series(0, 15), j -> $encDist),
        |        list_min(list_transform(generate_series(0, 15), j -> $encDist)))
        |      - 1) AS code
-       |  FROM ev, sv),
+       |  FROM ev, sv$codedFilter),
        |qs AS (SELECT vec_id AS q_id, v AS qv FROM ev WHERE vec_id < 10),
        |${medoidCtesSql(eCells)},
        |wv0 AS (
@@ -4402,6 +4564,9 @@ object Knn {
       // st19: after the streamed re-embed epoch the PQ store's live
       // codes encode exactly the true corpus — a11's chain replays
       ("st19_streamed_pq" -> a11Sql) +
+      // st20: the walk replay over the consolidated graph with the
+      // coded corpus restricted to delete survivors
+      ("st20_streamed_graph_pq" -> st20Sql) +
       ("a25_graph_delete" -> a25Sql) +
       ("a26_graph_filtered" -> a26Sql) +
       ("a27_range_search" -> a27Sql) +

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -556,17 +556,39 @@ object IngestStream {
   def nnGraphStream(updates: DataFrame, path: String, k: Int = 3)
       : StreamingQuery = {
     import graft.operators.Knn
-    val graphPath = s"$path/graph"
-    val vecPath = s"$path/vectors"
     // Caches.scoped: the descent/delta kernels persist their vector
     // side per call — without a per-epoch release, a long-running
     // stream accumulates one pinned vector-table copy per epoch
     val epochFn: (DataFrame, Long) => Unit = (batch, epochId) =>
       graft.Caches.scoped {
       val spark = batch.sparkSession
-      import spark.implicits._
       if (epochId > Knn.storeLastEpoch(spark, path)) {
-        val b = batch.select("vec_id", "v")
+        applyGraphEpoch(spark, batch, path, k): Unit
+        Knn.writeStoreEpoch(spark, path, epochId)
+        Knn.maybeCompactNnGraph(spark, s"$path/graph"): Unit
+      }
+    }
+    updates.writeStream
+      .option("checkpointLocation", s"$path/_checkpoints")
+      .foreachBatch(epochFn)
+      .start()
+  }
+
+  /** One graph-store epoch's mutations — [[nnGraphStream]]'s body,
+    * shared with [[graphPqStream]]: stage the batch, build-or-patch
+    * the co-located graph + vector tiers, physical deletes with
+    * consolidation. Returns the staged (ups, dels) so a caller can
+    * co-maintain further tiers (the codes tier) from the SAME
+    * file-backed batch; does NOT advance the epoch marker — the
+    * caller commits after every tier it owns has landed. */
+  private def applyGraphEpoch(spark: SparkSession, batch: DataFrame,
+                              path: String, k: Int)
+      : (DataFrame, DataFrame) = {
+    import graft.operators.Knn
+    import spark.implicits._
+    val graphPath = s"$path/graph"
+    val vecPath = s"$path/vectors"
+    val b = batch.select("vec_id", "v")
         // the insert batch STAGES to parquet and is read back: the
         // graph kernels union branches derived from one source, and
         // Spark's Union constraint rewrite mis-maps in-memory
@@ -644,8 +666,38 @@ object IngestStream {
             Knn.deleteFromNnVecStore(spark, vecPath, dels)
           }
         }
+    val staged = (ups, dels)
+    staged
+  }
+
+  /** STREAMING maintenance of the persisted GRAPH+PQ serving tier —
+    * [[nnGraphStream]] extended to the DiskANN disk layout proper
+    * (a30's store: edges + vectors + PQ codes co-located): every
+    * epoch's graph/vector mutations apply through the shared
+    * [[applyGraphEpoch]], then the SAME staged batch maintains the
+    * codes tier — arriving vectors re-encode under the store's
+    * frozen codebooks and replace their old code rows
+    * (Knn.upsertGraphPqCodes), delete notices drop code rows
+    * physically (Knn.deleteGraphPqCodes). The quantizer trains and
+    * persists UP FRONT (Knn.writeGraphPqQuantizer — FAISS's
+    * train-once/add-forever); the codes tier lands AFTER graph and
+    * vectors and BEFORE the epoch marker, so a crashed half-epoch
+    * replays remove-then-add across all three tiers and converges.
+    * Reference anchor: the reference delegates index freshness to
+    * Weaviate's vector store (store.go:105); this is that loop on
+    * the DiskANN layout (Singh et al. 2021, FreshDiskANN). */
+  def graphPqStream(updates: DataFrame, path: String, k: Int = 3)
+      : StreamingQuery = {
+    import graft.operators.Knn
+    val epochFn: (DataFrame, Long) => Unit = (batch, epochId) =>
+      graft.Caches.scoped {
+      val spark = batch.sparkSession
+      if (epochId > Knn.storeLastEpoch(spark, path)) {
+        val (ups, dels) = applyGraphEpoch(spark, batch, path, k)
+        if (ups.count() > 0) Knn.upsertGraphPqCodes(spark, path, ups)
+        if (dels.count() > 0) Knn.deleteGraphPqCodes(spark, path, dels)
         Knn.writeStoreEpoch(spark, path, epochId)
-        Knn.maybeCompactNnGraph(spark, graphPath): Unit
+        Knn.maybeCompactNnGraph(spark, s"$path/graph"): Unit
       }
     }
     updates.writeStream

@@ -57,8 +57,8 @@ class KnnPqStoreSpec extends SparkSpec {
     assert(fromStore === inMemory)
     val path = Knn.graphPqStorePath(spark, sfDir)
     assert(spark.read.parquet(s"$path/codes").columns.toSet ===
-      Set("vec_id", "code"),
-      "the walk's corpus-wide tier must hold codes only")
+      Set("vec_id", "code", "vbucket"),
+      "the walk's corpus-wide tier must hold codes only (bucketed)")
     Caches.releaseAll()
   }
 

@@ -1251,6 +1251,66 @@ class StreamingSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("streaming graph+PQ maintenance: build from batch, re-embed re-encodes, delete drops all three tiers") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Knn
+
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-graph-pq-stream").toString
+    val root = base + "/store"
+    // the quantizer is the UP-FRONT artifact; the stream only
+    // maintains data (train-once/add-forever)
+    Knn.writeGraphPqQuantizer(spark, sfDir, root)
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select($"vec_id",
+        graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+      .filter($"vec_id" <= 40L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val query = IngestStream.graphPqStream(
+      stream.toDF().toDF("vec_id", "v"), root, k = 3)
+    try {
+      // epoch 0 BUILDS all three tiers from its own batch — id 5
+      // arrives STALE (shifted +1.0/dim), so its code is stale too
+      stream.addData((0L until 40L).map(i =>
+        i -> (if (i == 5L) vecs(i).map(_ + 1.0) else vecs(i))): _*)
+      query.processAllAvailable()
+      // epoch 1: id 5 re-embeds to its TRUE vector (the code row
+      // must re-encode), id 40 inserts through the delta path
+      stream.addData(5L -> vecs(5L), 40L -> vecs(40L))
+      query.processAllAvailable()
+      // epoch 2: id 40 deleted — graph consolidates, vector and
+      // code rows drop PHYSICALLY
+      stream.addData((40L, null.asInstanceOf[Seq[Double]]))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // codes tier == a fresh encode of the final LIVE vector set
+    // under the same frozen quantizer (any stale code — the shifted
+    // id 5, a surviving id 40 — breaks set equality)
+    val twin = base + "/twin"
+    Knn.writeGraphPqQuantizer(spark, sfDir, twin)
+    Knn.writeGraphPqCodes(spark, twin,
+      (0L until 40L).map(i => i -> vecs(i)).toDF("vec_id", "v"))
+    def codeSet(p: String) = spark.read.parquet(s"$p/codes")
+      .select($"vec_id", $"code").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toSeq)).toSet
+    assert(codeSet(root) === codeSet(twin),
+      "streamed codes tier must encode exactly the live vectors")
+    val vids = Knn.readNnVecStore(spark, s"$root/vectors")
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(vids === (0L until 40L).toSet)
+    val ends = Knn.readNnGraphStore(spark, s"$root/graph")
+      .select($"q_id", $"vec_id").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(ends.subsetOf((0L until 40L).toSet),
+      "no edge may reference the deleted id")
+    assert(Knn.storeLastEpoch(spark, root) === 2L)
+    Caches.releaseAll()
+  }
+
   test("streaming graph maintenance: first-epoch build, insert delta, delete consolidation; vectors co-maintained") {
     val sparkSession = spark
     import sparkSession.implicits._
