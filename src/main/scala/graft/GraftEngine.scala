@@ -917,13 +917,6 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
       .limit(k)
   }
 
-  /** Every neighbor of `queryVec` at or above `minCosine` — the
-    * RANGE form of [[knn]] (FAISS range_search semantics, a27's
-    * exact baseline): no k anywhere, the result is exactly the
-    * threshold set — what threshold-based near-dup mining wants,
-    * where top-k truncates dense queries and over-fetches sparse
-    * ones. The IVF-pruned scale path over a persisted cell store is
-    * operators.Knn.rangeFromIvfIndex. */
   /** The failed-jobs table (features/job handler's List; the store
     * is migration 000009's failed_jobs under the versioned-commit
     * discipline). */
@@ -946,6 +939,13 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
     graft.sources.JobStore.resetStuck(spark, path, timeoutHours,
       maxAttempts)
 
+  /** Every neighbor of `queryVec` at or above `minCosine` — the
+    * RANGE form of [[knn]] (FAISS range_search semantics, a27's
+    * exact baseline): no k anywhere, the result is exactly the
+    * threshold set — what threshold-based near-dup mining wants,
+    * where top-k truncates dense queries and over-fetches sparse
+    * ones. The IVF-pruned scale path over a persisted cell store is
+    * operators.Knn.rangeFromIvfIndex. */
   def rangeSearch(embeddings: DataFrame, queryVec: Seq[Double],
                   minCosine: Double): DataFrame = {
     val qv: Column = array(queryVec.map(lit(_)): _*)

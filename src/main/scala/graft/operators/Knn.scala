@@ -1151,6 +1151,12 @@ object Knn {
                      maxFilesPerCell: Double = 4.0): Boolean = {
     import spark.implicits._
     val data = storeDataDir(spark, path)
+    // no data, no OPTIMIZE: a stream-maintained store can tombstone
+    // deletes before its first build epoch — firing the rewrite
+    // there would read nonexistent tiers and crash the epoch
+    val c = new org.apache.hadoop.fs.Path(s"$data/codes")
+    if (!c.getFileSystem(spark.sessionState.newHadoopConf()).exists(c))
+      return false
     val files = Seq("codes", "vectors")
       .map(t => graft.sources.Compaction.listFiles(spark, s"$data/$t")
         .withColumn("partition", concat(lit(t + "/"), $"partition")))
@@ -1172,11 +1178,7 @@ object Knn {
     import spark.implicits._
     val cents = spark.read.parquet(s"$path/_centroids")
       .orderBy($"cid").select($"vals").as[Seq[Double]].collect().toSeq
-    val books = spark.read.parquet(s"$path/_codebooks")
-      .orderBy($"s", $"j").select($"s", $"vals").as[(Int, Seq[Double])]
-      .collect().toSeq.groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (_, rows) => rows.map(_._2).toSeq }
-    (cents, books)
+    (cents, readCodebooks(spark, path))
   }
 
   /** Incremental add into the PQ store — the frozen-quantizer FAISS

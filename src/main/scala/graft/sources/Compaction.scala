@@ -44,39 +44,51 @@ object Compaction {
     // partition dirs of an enclosing store when the root is a
     // `_gen_N` generation dir)
     val rootQ = fs.makeQualified(rootPath).toString
+    // the scheme-free PATH part as a second relativization key: on a
+    // scheme/authority mismatch between the qualified root and the
+    // listed paths (federated/view filesystems), the string-prefix
+    // strip fails even though the file IS below the root — the URI
+    // path parts still nest, so stripping there keeps the listing
+    // root-relative instead of falling back to the absolute form
+    val rootP = fs.makeQualified(rootPath).toUri.getPath
     val rows = Iterator.continually(it)
       .takeWhile(_.hasNext).map(_.next())
       .filter(f => f.isFile)
       .map { f =>
         val abs = f.getPath.toString
-        val relativized = abs.startsWith(rootQ + "/")
-        val rel = if (relativized) abs.stripPrefix(rootQ + "/") else abs
-        (rel, relativized, f.getLen)
+        val absP = f.getPath.toUri.getPath
+        val rel =
+          if (abs.startsWith(rootQ + "/")) Some(abs.stripPrefix(rootQ + "/"))
+          else if (absP.startsWith(rootP + "/"))
+            Some(absP.stripPrefix(rootP + "/"))
+          else None
+        (rel, abs, f.getLen)
       }
-      // hidden names filtered on EVERY rel component, not just the
-      // file basename: the recursive walk descends into
+      // hidden names filtered on EVERY root-relative component, not
+      // just the file basename: the recursive walk descends into
       // underscore-prefixed dirs Spark readers ignore — a torn
       // `_gen_N` staging layout (crash mid-OPTIMIZE) would otherwise
       // feed its invisible files into the files-per-cell compaction
-      // signal and trigger a spurious full rewrite. The all-component
-      // sweep only applies when the path actually relativized: in the
-      // absolute-path fallback (scheme mismatch) the components
-      // include ancestors ABOVE the root, and a store rooted under an
-      // underscore/dot-prefixed ancestor dir would otherwise list
-      // empty — there, only the leaf filename can be judged hidden
-      .filter { case (rel, relativized, _) =>
-        if (relativized) rel.split('/')
-          .forall(c => !c.startsWith("_") && !c.startsWith("."))
-        else {
-          val base = rel.split('/').last
-          !base.startsWith("_") && !base.startsWith(".")
+      // signal and trigger a spurious full rewrite. Only the
+      // components BELOW the root are judged (an underscore-prefixed
+      // ANCESTOR of the root must not blank the listing). In the
+      // can't-relativize fallback (foreign path that nests under
+      // neither form of the root) only the leaf is judged and no
+      // partition is extracted — ancestor components above an
+      // unknown root are not partition evidence.
+      .filter { case (rel, abs, _) =>
+        rel match {
+          case Some(r) => r.split('/')
+            .forall(c => !c.startsWith("_") && !c.startsWith("."))
+          case None =>
+            val base = abs.split('/').last
+            !base.startsWith("_") && !base.startsWith(".")
         }
       }
-      .map { case (rel, _, len) => (rel, len) }
-      .map { case (rel, len) =>
-        val part = rel.split('/').dropRight(1).find(_.contains("="))
-          .getOrElse("")
-        (part, rel, len)
+      .map { case (rel, abs, len) =>
+        val part = rel.map(_.split('/').dropRight(1).find(_.contains("="))
+          .getOrElse("")).getOrElse("")
+        (part, rel.getOrElse(abs), len)
       }
       .toSeq
     rows.toDF("partition", "path", "bytes")

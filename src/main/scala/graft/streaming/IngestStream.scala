@@ -450,19 +450,30 @@ object IngestStream {
         val dels = b.filter($"v".isNull).select($"vec_id")
           .localCheckpoint(true)
         // data probe, not a root probe: the stream's own checkpoint
-        // directory creates the root before the first batch arrives
-        val storeDir = new org.apache.hadoop.fs.Path(path)
+        // directory creates the root before the first batch arrives.
+        // Probed on the CURRENT GENERATION's data dir — after an
+        // in-stream OPTIMIZE flips `_gen`, the root has no cid=
+        // children and a root probe would mistake the committed
+        // store for an empty one, appending re-embeds WITHOUT the
+        // upsert's remove step (stale+fresh copies both served)
+        val storeDir = new org.apache.hadoop.fs.Path(
+          Knn.storeDataDir(spark, path))
         val fs = storeDir
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val exists = fs.exists(storeDir) &&
           fs.listStatus(storeDir).exists(_.getPath.getName.startsWith("cid="))
         if (!exists) {
-          Knn.appendToIvfIndex(path, cents, ups)
-          // a delete-only epoch can precede the first build, leaving
-          // tombstones with no cells; the arriving ids revive exactly
-          // like upsertIvfIndex's tombstone clear (same-batch deletes
-          // still win — they re-tombstone below, AFTER this)
-          Knn.clearIvfTombstones(spark, path, ups.select($"vec_id"))
+          // guard the build on a non-empty batch: a delete-only
+          // first epoch must not write an empty cell-less frame
+          // (its _SUCCESS-only dir would wedge every later read)
+          if (ups.count() > 0) {
+            Knn.appendToIvfIndex(path, cents, ups)
+            // a delete-only epoch can precede the first build, leaving
+            // tombstones with no cells; the arriving ids revive exactly
+            // like upsertIvfIndex's tombstone clear (same-batch deletes
+            // still win — they re-tombstone below, AFTER this)
+            Knn.clearIvfTombstones(spark, path, ups.select($"vec_id"))
+          }
         }
         else if (ups.count() > 0) Knn.upsertIvfIndex(spark, path, cents, ups)
         if (dels.count() > 0) Knn.deleteFromIvfIndex(spark, path, dels)
@@ -499,14 +510,36 @@ object IngestStream {
         val ups = b.filter($"v".isNotNull).localCheckpoint(true)
         val dels = b.filter($"v".isNull).select($"vec_id")
           .localCheckpoint(true)
-        val codesDir = new org.apache.hadoop.fs.Path(
-          Knn.storeDataDir(spark, path) + "/codes")
-        val fs = codesDir
+        // the build/maintain probe checks the VECTORS tier for cid=
+        // data children — vectors are written LAST by the build, so
+        // their committed cells mean both tiers landed; a crash
+        // between the build's two tier writes replays into the
+        // build branch, which wipes the torn codes-only layout and
+        // re-runs (the epoch marker never advanced, so the torn
+        // state is entirely this epoch's). A bare existence probe
+        // (or probing codes, written first) would wedge the stream
+        // on exactly that torn state — and it is gen-aware via
+        // storeDataDir, so a post-OPTIMIZE flip keeps routing
+        // re-embeds through the upsert's remove step.
+        val data = Knn.storeDataDir(spark, path)
+        val vecsDir = new org.apache.hadoop.fs.Path(s"$data/vectors")
+        val fs = vecsDir
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val exists = fs.exists(codesDir)
+        val exists = fs.exists(vecsDir) &&
+          fs.listStatus(vecsDir).exists(_.getPath.getName.startsWith("cid="))
         if (!exists) {
-          Knn.appendToPqIndex(spark, path, ups)
-          Knn.clearIvfTombstones(spark, path, ups.select($"vec_id"))
+          // delete-only first epoch: build nothing (an empty append
+          // would leave a _SUCCESS-only dir that wedges later reads)
+          if (ups.count() > 0) {
+            // wipe a torn half-build before re-running it — blind
+            // re-append would duplicate the codes rows
+            Seq(s"$data/codes", s"$data/vectors").foreach { t =>
+              val p = new org.apache.hadoop.fs.Path(t)
+              if (fs.exists(p)) fs.delete(p, true): Unit
+            }
+            Knn.appendToPqIndex(spark, path, ups)
+            Knn.clearIvfTombstones(spark, path, ups.select($"vec_id"))
+          }
         }
         else if (ups.count() > 0) Knn.upsertPqIndex(spark, path, ups)
         if (dels.count() > 0) Knn.deleteFromIvfIndex(spark, path, dels)
@@ -605,7 +638,14 @@ object IngestStream {
           .write.mode("overwrite").parquet(s"$path/_stage/ups")
         val ups = spark.read.parquet(s"$path/_stage/ups")
         val dels = delsRaw.localCheckpoint(true)
-        val gDir = new org.apache.hadoop.fs.Path(graphPath)
+        // generation-aware build probe: after the stream's own
+        // auto-compaction commits a `_gen_N` layout, the graph ROOT
+        // has no nbucket= children — a root probe would mistake the
+        // committed store for empty and the build branch's static
+        // overwrite would replace the whole graph+vector store with
+        // just this micro-batch
+        val gDir = new org.apache.hadoop.fs.Path(
+          Knn.storeDataDir(spark, graphPath))
         val fs = gDir
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val exists = fs.exists(gDir) && fs.listStatus(gDir)

@@ -1227,6 +1227,11 @@ class StreamingSpec extends SparkSpec {
       // epoch 2: id 50 deleted — the tombstone-gated OPTIMIZE fires
       stream.addData((50L, null.asInstanceOf[Seq[Double]]))
       query.processAllAvailable()
+      // epoch 3: a re-embed AFTER the generation flip — the probe
+      // must still route it through the upsert's remove step (a
+      // root probe would append a duplicate copy into _gen_1)
+      stream.addData(1L -> vecs(1L))
+      query.processAllAvailable()
     } finally query.stop()
 
     // batch twin over the FINAL live content
@@ -1247,7 +1252,12 @@ class StreamingSpec extends SparkSpec {
     }
     assert(spark.read.parquet(s"$p/_tombstones").count() === 0)
     assert(Knn.storeGen(spark, p) >= 1L, "the OPTIMIZE committed a generation")
-    assert(Knn.storeLastEpoch(spark, p) === 2L)
+    Seq("codes", "vectors").foreach { tier =>
+      assert(spark.read.parquet(s"$data/$tier")
+        .filter($"vec_id" === 1L).count() === 1,
+        s"the post-flip re-embed must replace, not duplicate, in $tier")
+    }
+    assert(Knn.storeLastEpoch(spark, p) === 3L)
     Caches.releaseAll()
   }
 
@@ -1365,6 +1375,116 @@ class StreamingSpec extends SparkSpec {
     assert(vids == (0 to 9).map(_.toLong).toSet - 5L,
       s"vector table must hold the live ids, got $vids")
     assert(Knn.storeLastEpoch(spark, root) == 2L)
+  }
+
+  test("streaming graph: inserts after an in-stream compaction generation flip must not rebuild from the batch") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Knn
+
+    def pt(i: Int): (Long, Seq[Double]) =
+      (i.toLong, Seq(math.cos(i * 0.1), math.sin(i * 0.1)))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-graph-genflip").toString
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val query = IngestStream.nnGraphStream(
+      stream.toDF().toDF("vec_id", "v"), root, k = 2)
+    try {
+      stream.addData((0 to 7).map(pt): _*)
+      query.processAllAvailable()
+      // the generation flip the stream's own auto-compaction commits:
+      // the graph ROOT now has no nbucket= children, only _gen_1
+      Knn.compactNnGraphStore(spark, s"$root/graph")
+      assert(Knn.storeGen(spark, s"$root/graph") === 1L)
+      // the next insert epoch must take the DELTA path — a root
+      // probe would see "no store" and overwrite the whole graph +
+      // vector store with just this micro-batch
+      stream.addData(pt(8), pt(9))
+      query.processAllAvailable()
+    } finally query.stop()
+    val vids = Knn.readNnVecStore(spark, s"$root/vectors")
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(vids === (0 to 9).map(_.toLong).toSet,
+      s"post-flip insert must keep the ingested corpus, got $vids")
+    val nodes = Knn.readNnGraphStore(spark, s"$root/graph")
+      .select($"q_id").distinct().count()
+    assert(nodes === 10L, "every ingested node keeps its edge rows")
+  }
+
+  test("streaming PQ: a delete notice preceding the first build must not wedge later epochs") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Knn
+
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-pq-pre-del").toString + "/index"
+    Knn.writePqQuantizer(spark, sfDir, p)
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select($"vec_id",
+        graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+      .filter($"vec_id" < 10L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val query = IngestStream.pqIndexStream(
+      stream.toDF().toDF("vec_id", "v"), p,
+      maxTombstones = 100L, maxFilesPerCell = 100.0)
+    try {
+      // epoch 0: ONLY a delete notice — no build may run (an empty
+      // cell-less write would wedge every later epoch's read), but
+      // the tombstone lands
+      stream.addData((7L, null.asInstanceOf[Seq[Double]]))
+      query.processAllAvailable()
+      assert(spark.read.parquet(s"$p/_tombstones").count() === 1)
+      // epoch 1: first real inserts, including the pre-deleted id —
+      // the build must run and revive it
+      stream.addData(7L -> vecs(7L), 8L -> vecs(8L))
+      query.processAllAvailable()
+    } finally query.stop()
+    val data = Knn.storeDataDir(spark, p)
+    val ids = spark.read.parquet(s"$data/codes")
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(7L, 8L))
+    assert(spark.read.parquet(s"$p/_tombstones").count() === 0,
+      "the arriving id must revive its pre-build tombstone")
+    Caches.releaseAll()
+  }
+
+  test("streaming IVF: a re-embed after an in-stream OPTIMIZE generation flip must replace, not append") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Knn
+
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-ivf-genflip").toString + "/index"
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val stream = MemoryStream[(Long, Seq[Double])]
+    // maxTombstones=0: the first delete notice triggers the
+    // in-stream OPTIMIZE, committing a _gen_1 layout
+    val query = IngestStream.ivfIndexStream(
+      stream.toDF().toDF("vec_id", "v"), p, cents,
+      maxTombstones = 0L, maxFilesPerCell = 100.0)
+    try {
+      stream.addData((1L, Seq(0.9, 0.1)), (2L, Seq(0.1, 0.9)))
+      query.processAllAvailable()
+      stream.addData((2L, null.asInstanceOf[Seq[Double]]))
+      query.processAllAvailable()
+      assert(Knn.storeGen(spark, p) >= 1L, "the OPTIMIZE committed a gen")
+      // post-flip re-embed of id 1, moving cells — a root-probing
+      // build branch would append a second copy without the remove
+      stream.addData((1L, Seq(0.1, 0.9)))
+      query.processAllAvailable()
+    } finally query.stop()
+    val rows = spark.read.parquet(Knn.storeDataDir(spark, p))
+      .filter($"vec_id" === 1L)
+    assert(rows.count() === 1L,
+      "the re-embed must physically replace the old copy")
+    val served = Knn.serveFromIvfIndex(spark, p, cents,
+        Seq((100L, Seq(0.1, 0.9))).toDF("q_id", "qv"), nprobe = 2, k = 5)
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    assert(served === Seq(1L))
   }
 
   test("streaming IVF: a delete notice preceding the first build must not hide the later insert") {
