@@ -3363,10 +3363,15 @@ object Knn {
       graph.select($"q_id".as("node"), $"vec_id".as("nbr"))
         .unionByName(graph.select($"vec_id".as("node"), $"q_id".as("nbr")))
         .dropDuplicates("node", "nbr"))
+    // ONE materialization of the code column for the whole walk —
+    // the entry scoring and every hop join against it, and for a
+    // disk-served store (a30/st20) that would otherwise be one
+    // parquet scan per hop
+    val codesK = graft.Caches.persist(codes.select($"vec_id", $"code"))
     // the hop scorer touches only the 8-byte code column — never v
     def adcOf(pairs: DataFrame): DataFrame = pairs
       .join(broadcast(queries), "q_id")
-      .join(codes.select($"vec_id", $"code"), "vec_id")
+      .join(codesK, "vec_id")
       .select($"q_id", $"vec_id",
         call_function("pq_adc", $"qv", $"code", bookMat).as("adist"))
     val wB = Window.partitionBy($"q_id").orderBy($"adist", $"vec_id")
