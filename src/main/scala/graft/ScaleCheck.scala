@@ -22,6 +22,7 @@ object ScaleCheck {
     "q1_agg", "q3_join_agg", "q5_star_join",
     "d2_dedup_minhash_lsh",
     "a1_knn_bruteforce", "a22_graph_search",
+    "a30_graph_pq_store", "p2_decontaminate",
     "s1_keyword_bm25", "s3_hybrid_search",
     "s21_served_hybrid", "s25_filtered_hybrid")
 

@@ -2812,6 +2812,21 @@ object Knn {
       .filter($"prnk" <= poolCap)
       .select($"node", $"nbr", $"sim_pn")
       .localCheckpoint(true)
+    pruneFromPool(pool, ids, alpha, degreeCap)
+  }
+
+  /** The α-RNG greedy over an ALREADY-BUILT candidate pool
+    * (node, nbr, sim_pn — bounded per node) — [[robustPrune]]'s
+    * selection half on its own, reused by the insert path
+    * ([[insertIntoVamana]]) where the pool comes from a serving
+    * WALK's visited set (DiskANN §4 Insert: RobustPrune(p, V)), and
+    * by the reverse-edge patch (prune over neighbors ∪ backlinks).
+    * `ids` must cover every node and nbr in the pool. */
+  private[graft] def pruneFromPool(pool: DataFrame, ids: DataFrame,
+                                   alpha: Double = 1.2,
+                                   degreeCap: Int = 6): DataFrame = {
+    val spark = pool.sparkSession
+    import spark.implicits._
     // pairwise candidate sims, both directions: ids through the
     // join, vectors fetched per side — ≤ n·poolCap² rows
     val pairs = pool.as("a")
