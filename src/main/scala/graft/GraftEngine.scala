@@ -1095,6 +1095,33 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
     Knn.graphSearchOf(embeddings.select(col("vec_id"), col("v")),
       graph, queries, entryIds, k, beam, hops)
 
+  /** Vamana robust prune over a directed kNN edge list (a29's build
+    * half): re-select every node's out-neighborhood by the α-RNG
+    * rule from the undirected ∪ neighbor-of-neighbor pool. */
+  def vamanaPrune(embeddings: DataFrame, graph: DataFrame,
+                  alpha: Double = 1.2, degreeCap: Int = 6,
+                  poolCap: Int = 12): DataFrame =
+    Knn.robustPrune(graph, embeddings.select(col("vec_id"), col("v")),
+      alpha, degreeCap, poolCap)
+
+  /** DiskANN's insert algorithm over a caller-built vamana graph
+    * (a31, set-at-a-time): each new vector's candidate pool is the
+    * visited set of the serving walk from `entryIds`, its out-edges
+    * are the α-RNG prune of that pool, and pointed-at nodes
+    * re-prune over their neighbors ∪ the arriving backlinks.
+    * Returns the patched directed edge list. */
+  def vamanaInsert(embeddings: DataFrame, graph: DataFrame,
+                   inserts: DataFrame, entryIds: DataFrame,
+                   alpha: Double = 1.2, degreeCap: Int = 6,
+                   poolCap: Int = 12, beam: Int = 6,
+                   hops: Int = 2): DataFrame =
+    Knn.vamanaInsertOf(embeddings.select(col("vec_id"), col("v")),
+      graph, inserts.select(col("vec_id"), col("v")),
+      inserts.select(col("vec_id").as("q_id"))
+        .crossJoin(org.apache.spark.sql.functions.broadcast(
+          entryIds.select(col("vec_id")))),
+      alpha, degreeCap, poolCap, beam, hops)
+
   /** Magic-byte MIME routing over a binary-file frame (f2) — adds a
     * `mime` column sniffed from payload signatures. */
   def sniffTypes(files: DataFrame,

@@ -2905,6 +2905,106 @@ object Knn {
       k, beam, hops)
   }
 
+  /** a31: VAMANA INSERT — DiskANN's §4 insert algorithm (Jayaram
+    * Subramanya et al., NeurIPS'19; the FreshDiskANN StreamingMerge
+    * insert step) over the session's vamana graph, set-at-a-time
+    * for a BATCH of new vectors: (1) each new node's candidate pool
+    * is the VISITED set of the serving walk from its medoid entries
+    * (GreedySearch(s, p) returning V — [[graphVisited]], the exact
+    * serving kernel); (2) its out-edges are RobustPrune(p, V) —
+    * [[pruneFromPool]] over the walk pool; (3) every kept edge
+    * back-patches: the pointed-at node re-prunes over its existing
+    * out-neighbors ∪ the new backlinks (the paper prunes on degree
+    * overflow; re-pruning every dirty node unconditionally is the
+    * deterministic set-at-a-time form, and keeps the α-RNG
+    * invariant rather than just the cap). Untouched nodes pass
+    * through bit-identical.
+    *
+    * The inserts are a deterministic synthetic batch (the first 8
+    * corpus vectors, ids offset +900M, each component x·0.9+0.01) so
+    * the oracle can replay them; the batch shape is what the
+    * maintenance stream delivers. Cost at 100 TB: |batch| walks
+    * (frontier-bound, a30's measured 1.07 slope), one bounded prune
+    * per new node (pool ≤ poolCap), and a re-prune of ≤
+    * |batch|·degreeCap dirty nodes — every join id-keyed, nothing
+    * corpus². */
+  def insertIntoVamana(spark: SparkSession, dir: String,
+                       alpha: Double = 1.2, degreeCap: Int = 6,
+                       poolCap: Int = 12, beam: Int = 6, hops: Int = 2,
+                       eCells: Int = 8): DataFrame = {
+    import spark.implicits._
+    val all = graft.Caches.persist(base(spark, dir))
+    val g = vamanaGraph(spark, dir)
+    val ins = all.filter($"vec_id" < 8)
+      .select(($"vec_id" + 900000000L).as("vec_id"),
+        transform($"v", x => x * 0.9 + 0.01).as("v"))
+      .localCheckpoint(true)
+    val queries = ins.select($"vec_id".as("q_id"), $"v".as("qv"))
+    val cents = ivfCentroids(spark, dir, all)
+    val medoids = graphMedoidsMemo(spark, dir, all, cents)
+    vamanaInsertOf(all.select($"vec_id", $"v"), g, ins,
+      medoidEntries(queries, medoids, cents, eCells),
+      alpha, degreeCap, poolCap, beam, hops)
+  }
+
+  /** The insert pipeline over ANY (vec_id, v) corpus + directed
+    * vamana edge table + (vec_id, v) insert batch + per-insert
+    * (q_id, vec_id) entry frame — [[insertIntoVamana]]'s core,
+    * exposed for the engine facade against a caller-built graph. */
+  private[graft] def vamanaInsertOf(vecs: DataFrame, g: DataFrame,
+                                    ins: DataFrame, e0raw: DataFrame,
+                                    alpha: Double = 1.2,
+                                    degreeCap: Int = 6, poolCap: Int = 12,
+                                    beam: Int = 6, hops: Int = 2)
+      : DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val queries = ins.select($"vec_id".as("q_id"), $"v".as("qv"))
+    // (1) GreedySearch's visited set, per new node
+    val visited = graphVisited(vecs, g, queries, e0raw, beam, hops)
+    val wP = Window.partitionBy($"node").orderBy($"sim_pn".desc, $"nbr")
+    val ipool = visited
+      .select($"q_id".as("node"), $"vec_id".as("nbr"),
+        $"cosine_raw".as("sim_pn"))
+      .withColumn("prnk", row_number().over(wP))
+      .filter($"prnk" <= poolCap)
+      .select($"node", $"nbr", $"sim_pn")
+      .localCheckpoint(true)
+    val av = vecs.select($"vec_id".as("vid"), $"v".as("vv"))
+      .unionByName(ins.select($"vec_id".as("vid"), $"v".as("vv")))
+      .localCheckpoint(true)
+    // (2) RobustPrune(p, V) — the new nodes' out-neighborhoods
+    val newEdges = pruneFromPool(ipool, av, alpha, degreeCap)
+      .localCheckpoint(true)
+    // (3) reverse patch: pointed-at nodes re-prune over their
+    // existing out-edges ∪ the arriving backlinks
+    val backlinks = newEdges
+      .select($"vec_id".as("node"), $"q_id".as("nbr"))
+    val dirty = backlinks.select($"node").distinct().localCheckpoint(true)
+    val dpool0 = g
+      .join(dirty.withColumnRenamed("node", "q_id"), Seq("q_id"),
+        "left_semi")
+      .select($"q_id".as("node"), $"vec_id".as("nbr"))
+      .unionByName(backlinks)
+    val dpool = dpool0
+      .join(av.withColumnRenamed("vid", "node"), "node")
+      .withColumnRenamed("vv", "pv")
+      .join(av.withColumnRenamed("vid", "nbr"), "nbr")
+      .select($"node", $"nbr", V.cosineD($"pv", $"vv").as("sim_pn"))
+      .withColumn("prnk", row_number().over(wP))
+      .filter($"prnk" <= poolCap)
+      .select($"node", $"nbr", $"sim_pn")
+      .localCheckpoint(true)
+    val patched = pruneFromPool(dpool, av, alpha, degreeCap)
+    g.join(dirty.withColumnRenamed("node", "q_id"), Seq("q_id"),
+        "left_anti")
+      .select($"q_id", $"vec_id")
+      .unionByName(newEdges)
+      .unionByName(patched)
+      .orderBy($"q_id", $"vec_id")
+  }
+
   /** a22: GRAPH-SERVING ANN — answer queries by WALKING the refined
     * kNN graph (the DiskANN/HNSW serving idea, reference
     * weaviate's HNSW serving path, run set-at-a-time): score a small
@@ -3514,6 +3614,7 @@ object Knn {
     "a27_range_search" -> ((s, d) => a27RangeSearch(s, d)),
     "a28_pq_store" -> a28PqStore _,
     "a29_vamana_search" -> ((s, d) => a29VamanaSearch(s, d)),
+    "a31_vamana_insert" -> ((s, d) => insertIntoVamana(s, d)),
     "a30_graph_pq_store" -> ((s, d) => a30GraphPqStoreServe(s, d)),
     "s2_vector_topk" -> s2VectorTopk _)
 
@@ -4199,22 +4300,47 @@ object Knn {
     * stage k$i decides the rank-i candidate against the kept list —
     * dominated when any kept s has α·(1−sim(s,v)) ≤ (1−sim(p,v)).
     * Emits `pruned (q_id, vec_id)`. Expects g2 + ev in scope. */
-  private def vamanaCtesSql(alpha: Double = 1.2, degreeCap: Int = 6,
-                            poolCap: Int = 12): String = {
+  /** [[pruneFromPool]]'s SQL replay over any bounded (node, nbr,
+    * sim_pn, prnk) pool CTE — psim pair sims from `vecsCte`, then
+    * poolCap greedy stages (the Lloyd-iteration discipline: explicit
+    * stages, no recursive CTE — a bare UNION under WITH RECURSIVE
+    * silently loses its dedup), emitting `${prefix}pruned (q_id,
+    * vec_id)`. Prefix "" reproduces the original vamana CTE names;
+    * the insert oracle instantiates it twice more ("i" over the walk
+    * pool, "d" over the dirty-node pool). */
+  private def pruneStagesSql(prefix: String, poolCte: String,
+                             vecsCte: String, alpha: Double = 1.2,
+                             degreeCap: Int = 6,
+                             poolCap: Int = 12): String = {
     def stage(i: Int): String =
-      s"""k$i AS (
+      s"""${prefix}k$i AS (
          |  SELECT k.node,
          |    CASE WHEN c.nbr IS NULL OR len(k.kept) >= $degreeCap
          |           THEN k.kept
-         |         WHEN EXISTS (SELECT 1 FROM psim p
+         |         WHEN EXISTS (SELECT 1 FROM ${prefix}psim p
          |             WHERE p.node = k.node
          |               AND list_contains(k.kept, p.s)
          |               AND p.cv = c.nbr
          |               AND $alpha * (1 - p.sim_sv) <= (1 - c.sim_pn))
          |           THEN k.kept
          |         ELSE list_append(k.kept, c.nbr) END AS kept
-         |  FROM k${i - 1} k
-         |  LEFT JOIN pool c ON c.node = k.node AND c.prnk = $i)""".stripMargin
+         |  FROM ${prefix}k${i - 1} k
+         |  LEFT JOIN $poolCte c ON c.node = k.node AND c.prnk = $i)""".stripMargin
+    s"""${prefix}psim AS MATERIALIZED (
+       |  SELECT a.node, a.nbr AS s, b.nbr AS cv,
+       |    ${cos("se.v", "ve.v")} AS sim_sv
+       |  FROM $poolCte a JOIN $poolCte b ON b.node = a.node AND b.nbr <> a.nbr
+       |  JOIN $vecsCte se ON se.vec_id = a.nbr
+       |  JOIN $vecsCte ve ON ve.vec_id = b.nbr),
+       |${prefix}k0 AS (SELECT DISTINCT node, CAST([] AS BIGINT[]) AS kept
+       |       FROM $poolCte),
+       |${(1 to poolCap).map(stage).mkString(",\n")},
+       |${prefix}pruned AS MATERIALIZED (
+       |  SELECT node AS q_id, unnest(kept) AS vec_id FROM ${prefix}k$poolCap)""".stripMargin
+  }
+
+  private def vamanaCtesSql(alpha: Double = 1.2, degreeCap: Int = 6,
+                            poolCap: Int = 12): String =
     s"""vund AS MATERIALIZED (
        |  SELECT q_id AS node, vec_id AS nbr FROM g2
        |  UNION
@@ -4237,18 +4363,7 @@ object Knn {
        |      JOIN ev pe ON pe.vec_id = p.node
        |      JOIN ev ne ON ne.vec_id = p.nbr))
        |  WHERE prnk <= $poolCap),
-       |psim AS MATERIALIZED (
-       |  SELECT a.node, a.nbr AS s, b.nbr AS cv,
-       |    ${cos("se.v", "ve.v")} AS sim_sv
-       |  FROM pool a JOIN pool b ON b.node = a.node AND b.nbr <> a.nbr
-       |  JOIN ev se ON se.vec_id = a.nbr
-       |  JOIN ev ve ON ve.vec_id = b.nbr),
-       |k0 AS (SELECT DISTINCT node, CAST([] AS BIGINT[]) AS kept
-       |       FROM pool),
-       |${(1 to poolCap).map(stage).mkString(",\n")},
-       |pruned AS MATERIALIZED (
-       |  SELECT node AS q_id, unnest(kept) AS vec_id FROM k$poolCap)""".stripMargin
-  }
+       |${pruneStagesSql("", "pool", "ev", alpha, degreeCap, poolCap)}""".stripMargin
 
   private def graphWalkSql(k: Int, beam: Int, hops: Int, eCells: Int,
                            filtered: Boolean,
@@ -4365,6 +4480,102 @@ object Knn {
     graphWalkSql(k = 5, beam = 6, hops = 2, eCells = 8,
       filtered = false, graphEdges = "pruned",
       extraCtes = vamanaCtesSql() + ",\n")
+
+  /** a31's replay — the whole insert pipeline as CTE stages: the
+    * vamana base graph (a29's CTEs), the synthetic insert batch, the
+    * serving walk from medoid entries over `pruned` collecting each
+    * new node's VISITED set, RobustPrune over that pool
+    * ([[pruneStagesSql]] "i"), the backlink patch with a second
+    * prune over neighbors ∪ backlinks ("d", vectors from the
+    * old ∪ new union), then untouched ∪ inserted ∪ re-pruned. */
+  private lazy val a31Sql: String = {
+    val (beam, hops, eCells, poolCap) = (6, 2, 8, 12)
+    def hopCtes(h: Int): String =
+      s"""wf$h AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY cosine_raw DESC, vec_id) AS rnk
+         |    FROM wv${h - 1})
+         |  WHERE rnk <= $beam),
+         |wn$h AS (
+         |  SELECT DISTINCT f.q_id, u.nbr AS vec_id
+         |  FROM wf$h f JOIN und u ON u.node = f.vec_id
+         |  WHERE u.nbr <> f.q_id),
+         |ws$h AS (
+         |  SELECT n.q_id, n.vec_id,
+         |    ${cosineSql.replace("QV", "q.qv").replace("BV", "b.v")} AS cosine_raw
+         |  FROM wn$h n
+         |  JOIN qs q ON q.q_id = n.q_id
+         |  JOIN ev b ON b.vec_id = n.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM wv${h - 1} v
+         |                    WHERE v.q_id = n.q_id AND v.vec_id = n.vec_id)),
+         |wv$h AS (
+         |  SELECT q_id, vec_id, cosine_raw FROM wv${h - 1}
+         |  UNION ALL
+         |  SELECT q_id, vec_id, cosine_raw FROM ws$h)""".stripMargin
+    s"""WITH ${nnGraphCtesSql(2)},
+       |${vamanaCtesSql()},
+       |${kmeansCellsSqlFor(8)},
+       |ins AS (
+       |  SELECT vec_id + 900000000 AS vec_id,
+       |    list_transform(v, x -> x * 0.9 + 0.01) AS v
+       |  FROM ev WHERE vec_id < 8),
+       |av AS MATERIALIZED (
+       |  SELECT vec_id, v FROM ev
+       |  UNION ALL
+       |  SELECT vec_id, v FROM ins),
+       |qs AS (SELECT vec_id AS q_id, v AS qv FROM ins),
+       |${medoidCtesSql(eCells)},
+       |und AS MATERIALIZED (
+       |  SELECT q_id AS node, vec_id AS nbr FROM pruned
+       |  UNION
+       |  SELECT vec_id, q_id FROM pruned),
+       |wv0 AS (
+       |  SELECT qs.q_id, b.vec_id,
+       |    ${cosineSql.replace("QV", "qs.qv").replace("BV", "b.v")} AS cosine_raw
+       |  FROM qcell qc
+       |  JOIN med m ON m.cid = qc.cid
+       |  JOIN qs ON qs.q_id = qc.q_id
+       |  JOIN ev b ON b.vec_id = m.vec_id
+       |  WHERE b.vec_id <> qs.q_id),
+       |${(1 to hops).map(hopCtes).mkString(",\n")},
+       |ipool AS MATERIALIZED (
+       |  SELECT node, nbr, sim_pn, prnk FROM (
+       |    SELECT q_id AS node, vec_id AS nbr, cosine_raw AS sim_pn,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cosine_raw DESC, vec_id) AS prnk
+       |    FROM wv$hops)
+       |  WHERE prnk <= $poolCap),
+       |${pruneStagesSql("i", "ipool", "ev", poolCap = poolCap)},
+       |bl AS (SELECT vec_id AS node, q_id AS nbr FROM ipruned),
+       |dirty AS (SELECT DISTINCT node FROM bl),
+       |dpool0 AS (
+       |  SELECT p.q_id AS node, p.vec_id AS nbr
+       |  FROM pruned p JOIN dirty d ON d.node = p.q_id
+       |  UNION ALL
+       |  SELECT node, nbr FROM bl),
+       |dpool AS MATERIALIZED (
+       |  SELECT node, nbr, sim_pn, prnk FROM (
+       |    SELECT node, nbr, sim_pn,
+       |      row_number() OVER (PARTITION BY node
+       |        ORDER BY sim_pn DESC, nbr) AS prnk
+       |    FROM (
+       |      SELECT d0.node, d0.nbr, ${cos("pe.v", "ne.v")} AS sim_pn
+       |      FROM dpool0 d0
+       |      JOIN av pe ON pe.vec_id = d0.node
+       |      JOIN av ne ON ne.vec_id = d0.nbr))
+       |  WHERE prnk <= $poolCap),
+       |${pruneStagesSql("d", "dpool", "av", poolCap = poolCap)}
+       |SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id FROM pruned
+       |  WHERE q_id NOT IN (SELECT node FROM dirty)
+       |  UNION ALL
+       |  SELECT q_id, vec_id FROM ipruned
+       |  UNION ALL
+       |  SELECT q_id, vec_id FROM dpruned)
+       |ORDER BY q_id, vec_id""".stripMargin
+  }
 
   /** a27's replay: trained quantizer → probe-3 (score desc, cid asc
     * — probeKey's order) → EVERY probed-cell vector above the
@@ -4593,6 +4804,9 @@ object Knn {
       ("a26_graph_filtered" -> a26Sql) +
       ("a27_range_search" -> a27Sql) +
       ("a29_vamana_search" -> a29Sql) +
+      // a31: the full insert pipeline replay — walk pool, robust
+      // prune, backlink re-prune
+      ("a31_vamana_insert" -> a31Sql) +
       // the persisted graph+PQ round trip must reproduce the
       // in-memory PQ walk bit-exactly — same codes, same walk
       ("a30_graph_pq_store" -> a23Sql) +

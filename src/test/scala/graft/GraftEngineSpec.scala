@@ -305,6 +305,28 @@ class GraftEngineSpec extends SparkSpec {
   }
 
 
+  test("facade delegates: vamanaPrune + vamanaInsert wire a new vector under the cap") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id",
+        graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+      .filter($"vec_id" < 40L).localCheckpoint(true)
+    val g = engine.refineKnnGraph(emb, k = 3, rounds = 1)
+    val pruned = engine.vamanaPrune(emb, g).localCheckpoint(true)
+    assert(pruned.groupBy($"q_id").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0) <= 6)
+    val ins = emb.filter($"vec_id" === 0L)
+      .select(($"vec_id" + 500L).as("vec_id"), $"v")
+    val entries = emb.filter($"vec_id" < 3L).select($"vec_id")
+    val patched = engine.vamanaInsert(emb, pruned, ins, entries)
+    assert(patched.filter($"q_id" === 500L).count() > 0,
+      "the inserted vector must be wired")
+    assert(patched.groupBy($"q_id").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0) <= 6)
+    Caches.releaseAll()
+  }
+
   test("facade delegates: detectChanges, evaluateRobots") {
     val sparkSession = spark
     import sparkSession.implicits._

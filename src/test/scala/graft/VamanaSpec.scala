@@ -57,6 +57,41 @@ class VamanaSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("vamana insert: new nodes wired under the cap, untouched nodes bit-identical, dirty set = backlinked set") {
+    val g0 = Knn.vamanaGraph(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val g1rows = Knn.insertIntoVamana(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val g1 = g1rows.toSet
+    val newIds = (0L until 8L).map(_ + 900000000L).toSet
+    // every inserted node got out-edges, all pointing at OLD nodes
+    val newOut = g1.filter(e => newIds(e._1))
+    assert(newIds.forall(id => newOut.exists(_._1 == id)),
+      "every inserted node must be wired")
+    assert(newOut.forall(e => !newIds(e._2)),
+      "insert out-edges point into the existing corpus")
+    // degree cap holds everywhere after the patch
+    val deg = g1rows.groupBy(_._1).map(_._2.length)
+    assert(deg.max <= 6, s"degree cap violated: ${deg.max}")
+    // the patch touches exactly the backlinked nodes; everyone else
+    // passes through bit-identical
+    val dirty = newOut.map(_._2)
+    val untouched0 = g0.filter(e => !dirty(e._1))
+    val untouched1 = g1.filter(e => !dirty(e._1) && !newIds(e._1))
+    assert(untouched0 === untouched1,
+      "nodes receiving no backlink must keep their exact edges")
+    // every dirty node still has at least one edge and sees its
+    // backlink pool (kept edges ⊆ old out-neighbors ∪ new ids)
+    dirty.foreach { v =>
+      val kept = g1.filter(_._1 == v).map(_._2)
+      assert(kept.nonEmpty)
+      val allowed = g0.filter(_._1 == v).map(_._2) ++ newIds
+      assert(kept.subsetOf(allowed),
+        s"dirty node $v kept an edge outside pool: ${kept -- allowed}")
+    }
+    Caches.releaseAll()
+  }
+
   test("a29 walk at a22's geometry: vamana recall >= raw graph recall") {
     val exact = Caches.persist(
       Knn.a1BruteForce(spark, sfDir).select($"q_id", $"vec_id"))
