@@ -1104,6 +1104,17 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
     Knn.robustPrune(graph, embeddings.select(col("vec_id"), col("v")),
       alpha, degreeCap, poolCap)
 
+  /** FreshDiskANN's delete-consolidation with the α-RNG rule over a
+    * caller-built vamana graph (a32): dead nodes drop, nodes that
+    * pointed at them re-prune over survivors ∪ the dead nodes' live
+    * out-edges, untouched nodes pass through bit-identical. */
+  def vamanaDelete(embeddings: DataFrame, graph: DataFrame,
+                   deadIds: DataFrame, alpha: Double = 1.2,
+                   degreeCap: Int = 6, poolCap: Int = 12): DataFrame =
+    Knn.vamanaDeleteOf(graph, deadIds.select(col("vec_id")),
+      embeddings.select(col("vec_id"), col("v")),
+      alpha, degreeCap, poolCap)
+
   /** DiskANN's insert algorithm over a caller-built vamana graph
     * (a31, set-at-a-time): each new vector's candidate pool is the
     * visited set of the serving walk from `entryIds`, its out-edges

@@ -2947,6 +2947,74 @@ object Knn {
       alpha, degreeCap, poolCap, beam, hops)
   }
 
+  /** a32: VAMANA DELETE — FreshDiskANN's delete-consolidation with
+    * the α-RNG rule (Singh et al. 2021 §4.2: on consolidation, the
+    * dirty node runs RobustPrune over its surviving neighbors ∪ the
+    * dead nodes' live out-edges — NOT a plain top-k rerank, which
+    * is [[deleteFromNnGraph]]'s NN-descent-tier form): dead nodes'
+    * own rows drop, every node that pointed at one re-prunes over
+    * survivors ∪ bridges (the α rule keeps the patched
+    * out-neighborhood NAVIGABLE, not merely close), untouched nodes
+    * pass through bit-identical. Completes the vamana tier's
+    * lifecycle: build (a29), insert (a31), delete (this), serve
+    * (a29's walk). Shares [[GraphDeadIds]] with a25/st18 so the
+    * same deletion exercises both consolidation disciplines. */
+  def a32VamanaDelete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    vamanaDeleteOf(vamanaGraph(spark, dir),
+      GraphDeadIds.toDF("vec_id"),
+      base(spark, dir).select($"vec_id", $"v"))
+      .orderBy($"q_id", $"vec_id")
+  }
+
+  /** The α-RNG delete-consolidation over ANY directed vamana edge
+    * table — [[a32VamanaDelete]]'s core, facade-exposed. */
+  private[graft] def vamanaDeleteOf(g: DataFrame, dead: DataFrame,
+                                    vecs: DataFrame, alpha: Double = 1.2,
+                                    degreeCap: Int = 6,
+                                    poolCap: Int = 12): DataFrame = {
+    val spark = g.sparkSession
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val deadIds = dead.select($"vec_id").localCheckpoint(true)
+    val srcLive = g.join(deadIds.withColumnRenamed("vec_id", "q_id"),
+      Seq("q_id"), "left_anti")
+    val kept = srcLive.join(deadIds, Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    val dirty = srcLive.join(deadIds, Seq("vec_id"), "left_semi")
+      .select($"q_id").distinct().localCheckpoint(true)
+    // bridges: the dead node's live out-edges, donated to everyone
+    // who pointed at it
+    val bridges = srcLive.as("s")
+      .join(deadIds.withColumnRenamed("vec_id", "d"),
+        $"s.vec_id" === $"d")
+      .join(g.as("b"), $"b.q_id" === $"s.vec_id")
+      .join(deadIds.withColumnRenamed("vec_id", "bd"),
+        $"b.vec_id" === $"bd", "left_anti")
+      .filter($"b.vec_id" =!= $"s.q_id")
+      .select($"s.q_id".as("q_id"), $"b.vec_id".as("vec_id"))
+    val pool0 = kept.join(dirty, Seq("q_id"), "left_semi")
+      .select($"q_id", $"vec_id")
+      .unionByName(bridges)
+      .dropDuplicates("q_id", "vec_id")
+      .select($"q_id".as("node"), $"vec_id".as("nbr"))
+    val ids = vecs.select($"vec_id".as("vid"), $"v".as("vv"))
+    val wP = Window.partitionBy($"node").orderBy($"sim_pn".desc, $"nbr")
+    val pool = pool0
+      .join(ids.withColumnRenamed("vid", "node"), "node")
+      .withColumnRenamed("vv", "pv")
+      .join(ids.withColumnRenamed("vid", "nbr"), "nbr")
+      .select($"node", $"nbr", V.cosineD($"pv", $"vv").as("sim_pn"))
+      .withColumn("prnk", row_number().over(wP))
+      .filter($"prnk" <= poolCap)
+      .select($"node", $"nbr", $"sim_pn")
+      .localCheckpoint(true)
+    val patched = pruneFromPool(pool, ids, alpha, degreeCap)
+    kept.join(dirty, Seq("q_id"), "left_anti")
+      .select($"q_id", $"vec_id")
+      .unionByName(patched)
+  }
+
   /** The insert pipeline over ANY (vec_id, v) corpus + directed
     * vamana edge table + (vec_id, v) insert batch + per-insert
     * (q_id, vec_id) entry frame — [[insertIntoVamana]]'s core,
@@ -3615,6 +3683,7 @@ object Knn {
     "a28_pq_store" -> a28PqStore _,
     "a29_vamana_search" -> ((s, d) => a29VamanaSearch(s, d)),
     "a31_vamana_insert" -> ((s, d) => insertIntoVamana(s, d)),
+    "a32_vamana_delete" -> a32VamanaDelete _,
     "a30_graph_pq_store" -> ((s, d) => a30GraphPqStoreServe(s, d)),
     "s2_vector_topk" -> s2VectorTopk _)
 
@@ -4481,6 +4550,55 @@ object Knn {
       filtered = false, graphEdges = "pruned",
       extraCtes = vamanaCtesSql() + ",\n")
 
+  /** a32's replay — the α-RNG delete consolidation as CTE stages:
+    * the vamana base graph, a25's kept/dirty/bridges shape over it,
+    * then the unrolled greedy ([[pruneStagesSql]] "x") over the
+    * survivors ∪ bridges pool instead of a top-k rerank. */
+  private lazy val a32Sql: String = {
+    val deadList = GraphDeadIds.mkString("[", ", ", "]")
+    s"""WITH ${nnGraphCtesSql(2)},
+       |${vamanaCtesSql()},
+       |dead AS (SELECT unnest($deadList) AS id),
+       |xsrc AS (
+       |  SELECT q_id, vec_id FROM pruned
+       |  WHERE q_id NOT IN (SELECT id FROM dead)),
+       |xkept AS (
+       |  SELECT q_id, vec_id FROM xsrc
+       |  WHERE vec_id NOT IN (SELECT id FROM dead)),
+       |xdirty AS (
+       |  SELECT DISTINCT q_id FROM xsrc
+       |  WHERE vec_id IN (SELECT id FROM dead)),
+       |xbridges AS (
+       |  SELECT s.q_id, b.vec_id FROM xsrc s
+       |  JOIN pruned b ON b.q_id = s.vec_id
+       |  WHERE s.vec_id IN (SELECT id FROM dead)
+       |    AND b.vec_id <> s.q_id
+       |    AND b.vec_id NOT IN (SELECT id FROM dead)),
+       |xpool0 AS (
+       |  SELECT DISTINCT q_id AS node, vec_id AS nbr FROM (
+       |    SELECT kx.q_id, kx.vec_id FROM xkept kx JOIN xdirty USING (q_id)
+       |    UNION ALL
+       |    SELECT q_id, vec_id FROM xbridges)),
+       |xpool AS MATERIALIZED (
+       |  SELECT node, nbr, sim_pn, prnk FROM (
+       |    SELECT node, nbr, sim_pn,
+       |      row_number() OVER (PARTITION BY node
+       |        ORDER BY sim_pn DESC, nbr) AS prnk
+       |    FROM (
+       |      SELECT p.node, p.nbr, ${cos("pe.v", "ne.v")} AS sim_pn
+       |      FROM xpool0 p
+       |      JOIN ev pe ON pe.vec_id = p.node
+       |      JOIN ev ne ON ne.vec_id = p.nbr))
+       |  WHERE prnk <= 12),
+       |${pruneStagesSql("x", "xpool", "ev")}
+       |SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id FROM xkept
+       |  WHERE q_id NOT IN (SELECT q_id FROM xdirty)
+       |  UNION ALL
+       |  SELECT q_id, vec_id FROM xpruned)
+       |ORDER BY q_id, vec_id""".stripMargin
+  }
+
   /** a31's replay — the whole insert pipeline as CTE stages: the
     * vamana base graph (a29's CTEs), the synthetic insert batch, the
     * serving walk from medoid entries over `pruned` collecting each
@@ -4807,6 +4925,8 @@ object Knn {
       // a31: the full insert pipeline replay — walk pool, robust
       // prune, backlink re-prune
       ("a31_vamana_insert" -> a31Sql) +
+      // a32: the α-RNG delete consolidation over the vamana graph
+      ("a32_vamana_delete" -> a32Sql) +
       // the persisted graph+PQ round trip must reproduce the
       // in-memory PQ walk bit-exactly — same codes, same walk
       ("a30_graph_pq_store" -> a23Sql) +

@@ -92,6 +92,33 @@ class VamanaSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("vamana delete: dead nodes vanish, dirty nodes re-prune under the α rule, untouched pass through") {
+    val g0 = Knn.vamanaGraph(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val g1 = Knn.a32VamanaDelete(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dead = Knn.GraphDeadIds.toSet
+    assert(g1.forall(e => !dead(e._1) && !dead(e._2)),
+      "no edge may reference a deleted node")
+    // dirty = live nodes that pointed at a dead one
+    val dirty = g0.collect { case (q, v) if dead(v) && !dead(q) => q }
+    val untouched0 = g0.filter(e => !dirty(e._1) && !dead(e._1))
+    assert(g1.filter(e => !dirty(e._1)) === untouched0.filter(e => !dead(e._2)),
+      "nodes that never pointed at a dead node keep their exact edges")
+    // every dirty node's patched edges come from survivors ∪ bridges
+    dirty.foreach { q =>
+      val keptNbrs = g1.filter(_._1 == q).map(_._2)
+      assert(keptNbrs.nonEmpty, s"dirty node $q lost all edges")
+      assert(keptNbrs.size <= 6)
+      val bridges = g0.collect { case (`q`, v) if dead(v) => v }
+        .flatMap(d => g0.collect { case (`d`, b) if !dead(b) && b != q => b })
+      val allowed = g0.collect { case (`q`, v) if !dead(v) => v } ++ bridges
+      assert(keptNbrs.subsetOf(allowed),
+        s"dirty node $q kept an edge outside survivors ∪ bridges")
+    }
+    Caches.releaseAll()
+  }
+
   test("a29 walk at a22's geometry: vamana recall >= raw graph recall") {
     val exact = Caches.persist(
       Knn.a1BruteForce(spark, sfDir).select($"q_id", $"vec_id"))
