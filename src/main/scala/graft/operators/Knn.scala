@@ -2800,10 +2800,22 @@ object Knn {
       .select($"x.node".as("node"), $"y.nbr".as("nbr"))
     val pool0 = und.unionByName(non).filter($"node" =!= $"nbr")
       .dropDuplicates("node", "nbr")
+    pruneFromPool(scoredPool(pool0, ids, poolCap), ids, alpha, degreeCap)
+  }
+
+  /** Score and bound a raw (node, nbr) candidate pool: two id-keyed
+    * vector fetches, cosine, the shared (sim desc, nbr) heap window
+    * to `poolCap` — the pool every prune consumes, ONE definition
+    * (build, insert's dirty patch, delete consolidation all call
+    * this; the SQL twins replay the same shape). Checkpointed so
+    * the pair self-join inside the prune reads data, not double
+    * lineage. */
+  private def scoredPool(pool0: DataFrame, ids: DataFrame,
+                         poolCap: Int): DataFrame = {
+    val spark = pool0.sparkSession
+    import spark.implicits._
     val wP = Window.partitionBy($"node").orderBy($"sim_pn".desc, $"nbr")
-    // bounded pool: n·poolCap rows of (ids, sim) — checkpointed so
-    // the pair self-join below reads data, not double lineage
-    val pool = pool0
+    pool0.select($"node", $"nbr")
       .join(ids.withColumnRenamed("vid", "node"), "node")
       .withColumnRenamed("vv", "pv")
       .join(ids.withColumnRenamed("vid", "nbr"), "nbr")
@@ -2812,7 +2824,6 @@ object Knn {
       .filter($"prnk" <= poolCap)
       .select($"node", $"nbr", $"sim_pn")
       .localCheckpoint(true)
-    pruneFromPool(pool, ids, alpha, degreeCap)
   }
 
   /** The α-RNG greedy over an ALREADY-BUILT candidate pool
@@ -2860,7 +2871,12 @@ object Knn {
         order.foreach { case (cand, sPv) =>
           if (kept.size < degreeCap) {
             val dominated = kept.exists { s =>
-              alpha * (1.0 - pairSim.getOrElse((s, cand), 1.0)) <=
+              // a pair the `ids` table couldn't score (caller passed
+              // an embeddings subset) must NOT silently dominate —
+              // NaN compares false, so the candidate is KEPT, the
+              // conservative reading of the α rule (the SQL replay's
+              // NOT EXISTS over a missing psim row agrees)
+              alpha * (1.0 - pairSim.getOrElse((s, cand), Double.NaN)) <=
                 (1.0 - sPv)
             }
             if (!dominated) kept += cand
@@ -2999,17 +3015,14 @@ object Knn {
       .dropDuplicates("q_id", "vec_id")
       .select($"q_id".as("node"), $"vec_id".as("nbr"))
     val ids = vecs.select($"vec_id".as("vid"), $"v".as("vv"))
-    val wP = Window.partitionBy($"node").orderBy($"sim_pn".desc, $"nbr")
-    val pool = pool0
-      .join(ids.withColumnRenamed("vid", "node"), "node")
-      .withColumnRenamed("vv", "pv")
-      .join(ids.withColumnRenamed("vid", "nbr"), "nbr")
-      .select($"node", $"nbr", V.cosineD($"pv", $"vv").as("sim_pn"))
-      .withColumn("prnk", row_number().over(wP))
-      .filter($"prnk" <= poolCap)
-      .select($"node", $"nbr", $"sim_pn")
-      .localCheckpoint(true)
-    val patched = pruneFromPool(pool, ids, alpha, degreeCap)
+    val patched = pruneFromPool(scoredPool(pool0, ids, poolCap), ids,
+      alpha, degreeCap)
+    // NOTE: a dirty node whose EVERY candidate is dead or itself
+    // (no survivors, no live bridges) leaves the edge list with no
+    // out-edges — consolidation has nothing to offer it; re-wiring
+    // such an orphan is the INSERT path's job ([[vamanaInsertOf]]
+    // walks it back in from the medoid entries), the same division
+    // FreshDiskANN makes between consolidation and StreamingMerge.
     kept.join(dirty, Seq("q_id"), "left_anti")
       .select($"q_id", $"vec_id")
       .unionByName(patched)
@@ -3039,9 +3052,12 @@ object Knn {
       .filter($"prnk" <= poolCap)
       .select($"node", $"nbr", $"sim_pn")
       .localCheckpoint(true)
+    // NOT checkpointed: av is only ever probed by id-keyed joins for
+    // ≤ |batch|·poolCap + |dirty|·poolCap rows — materializing the
+    // whole corpus union per insert batch would be a full copy for
+    // nothing (robustPrune passes the same ids diamond lazily too)
     val av = vecs.select($"vec_id".as("vid"), $"v".as("vv"))
       .unionByName(ins.select($"vec_id".as("vid"), $"v".as("vv")))
-      .localCheckpoint(true)
     // (2) RobustPrune(p, V) — the new nodes' out-neighborhoods
     val newEdges = pruneFromPool(ipool, av, alpha, degreeCap)
       .localCheckpoint(true)
@@ -3055,16 +3071,8 @@ object Knn {
         "left_semi")
       .select($"q_id".as("node"), $"vec_id".as("nbr"))
       .unionByName(backlinks)
-    val dpool = dpool0
-      .join(av.withColumnRenamed("vid", "node"), "node")
-      .withColumnRenamed("vv", "pv")
-      .join(av.withColumnRenamed("vid", "nbr"), "nbr")
-      .select($"node", $"nbr", V.cosineD($"pv", $"vv").as("sim_pn"))
-      .withColumn("prnk", row_number().over(wP))
-      .filter($"prnk" <= poolCap)
-      .select($"node", $"nbr", $"sim_pn")
-      .localCheckpoint(true)
-    val patched = pruneFromPool(dpool, av, alpha, degreeCap)
+    val patched = pruneFromPool(scoredPool(dpool0, av, poolCap), av,
+      alpha, degreeCap)
     g.join(dirty.withColumnRenamed("node", "q_id"), Seq("q_id"),
         "left_anti")
       .select($"q_id", $"vec_id")
@@ -4360,15 +4368,6 @@ object Knn {
     * adds the label keep AFTER the walk (routing stays
     * unrestricted), ranking only predicate-passing rows — a26's
     * mechanics. */
-  /** The VAMANA prune replay as CTE stages — [[robustPrune]]'s exact
-    * mechanics unrolled (the Lloyd-iteration discipline: poolCap
-    * greedy steps as explicit stages, no recursive CTE — a bare
-    * UNION under WITH RECURSIVE silently loses its dedup): candidate
-    * pool = undirected g2 ∪ one neighbor-of-neighbor hop, top
-    * `poolCap` by (sim desc, nbr), pairwise candidate sims, then
-    * stage k$i decides the rank-i candidate against the kept list —
-    * dominated when any kept s has α·(1−sim(s,v)) ≤ (1−sim(p,v)).
-    * Emits `pruned (q_id, vec_id)`. Expects g2 + ev in scope. */
   /** [[pruneFromPool]]'s SQL replay over any bounded (node, nbr,
     * sim_pn, prnk) pool CTE — psim pair sims from `vecsCte`, then
     * poolCap greedy stages (the Lloyd-iteration discipline: explicit
@@ -4408,6 +4407,12 @@ object Knn {
        |  SELECT node AS q_id, unnest(kept) AS vec_id FROM ${prefix}k$poolCap)""".stripMargin
   }
 
+  /** The VAMANA build-prune replay — [[robustPrune]]'s exact
+    * mechanics: candidate pool = undirected g2 ∪ one
+    * neighbor-of-neighbor hop, scored and bounded
+    * ([[scoredPoolCteSql]]), then the unrolled greedy
+    * ([[pruneStagesSql]] with the original unprefixed names).
+    * Emits `pruned (q_id, vec_id)`. Expects g2 + ev in scope. */
   private def vamanaCtesSql(alpha: Double = 1.2, degreeCap: Int = 6,
                             poolCap: Int = 12): String =
     s"""vund AS MATERIALIZED (
@@ -4421,47 +4426,63 @@ object Knn {
        |    SELECT x.node, y.nbr FROM vund x JOIN vund y ON y.node = x.nbr
        |    WHERE y.nbr <> x.node)
        |  WHERE node <> nbr),
-       |pool AS MATERIALIZED (
+       |${scoredPoolCteSql("pool", "vpool0", "ev", poolCap)},
+       |${pruneStagesSql("", "pool", "ev", alpha, degreeCap, poolCap)}""".stripMargin
+
+  /** One cosine-scored walk hop as CTE stages (wf/wn/ws/wv — beam,
+    * undirected expansion, never-visited anti-join, union) — ONE
+    * definition shared by the a22/a26/a29 walk oracles and a31's
+    * insert-pool walk; expects `und`, `qs`, `ev` and `wv{h-1}` in
+    * scope. Two copies could silently drift and leave one hash gate
+    * testing stale walk mechanics (the medoidCtesSql lesson). */
+  private def cosineHopCteSql(h: Int, beam: Int): String =
+    s"""wf$h AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cosine_raw DESC, vec_id) AS rnk
+       |    FROM wv${h - 1})
+       |  WHERE rnk <= $beam),
+       |wn$h AS (
+       |  SELECT DISTINCT f.q_id, u.nbr AS vec_id
+       |  FROM wf$h f JOIN und u ON u.node = f.vec_id
+       |  WHERE u.nbr <> f.q_id),
+       |ws$h AS (
+       |  SELECT n.q_id, n.vec_id,
+       |    ${cosineSql.replace("QV", "q.qv").replace("BV", "b.v")} AS cosine_raw
+       |  FROM wn$h n
+       |  JOIN qs q ON q.q_id = n.q_id
+       |  JOIN ev b ON b.vec_id = n.vec_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM wv${h - 1} v
+       |                    WHERE v.q_id = n.q_id AND v.vec_id = n.vec_id)),
+       |wv$h AS (
+       |  SELECT q_id, vec_id, cosine_raw FROM wv${h - 1}
+       |  UNION ALL
+       |  SELECT q_id, vec_id, cosine_raw FROM ws$h)""".stripMargin
+
+  /** Score-and-bound a (node, nbr) pool CTE to poolCap by (sim desc,
+    * nbr) — [[scoredPool]]'s SQL twin, one definition for the vamana
+    * build pool, a31's dirty-patch pool and a32's consolidation
+    * pool. */
+  private def scoredPoolCteSql(name: String, srcCte: String,
+                               vecsCte: String, poolCap: Int): String =
+    s"""$name AS MATERIALIZED (
        |  SELECT node, nbr, sim_pn, prnk FROM (
        |    SELECT node, nbr, sim_pn,
        |      row_number() OVER (PARTITION BY node
        |        ORDER BY sim_pn DESC, nbr) AS prnk
        |    FROM (
        |      SELECT p.node, p.nbr, ${cos("pe.v", "ne.v")} AS sim_pn
-       |      FROM vpool0 p
-       |      JOIN ev pe ON pe.vec_id = p.node
-       |      JOIN ev ne ON ne.vec_id = p.nbr))
-       |  WHERE prnk <= $poolCap),
-       |${pruneStagesSql("", "pool", "ev", alpha, degreeCap, poolCap)}""".stripMargin
+       |      FROM $srcCte p
+       |      JOIN $vecsCte pe ON pe.vec_id = p.node
+       |      JOIN $vecsCte ne ON ne.vec_id = p.nbr))
+       |  WHERE prnk <= $poolCap)""".stripMargin
 
   private def graphWalkSql(k: Int, beam: Int, hops: Int, eCells: Int,
                            filtered: Boolean,
                            graphEdges: String = "g2",
                            extraCtes: String = ""): String = {
-    def hopCtes(h: Int): String =
-      s"""wf$h AS (
-         |  SELECT q_id, vec_id FROM (
-         |    SELECT q_id, vec_id,
-         |      row_number() OVER (PARTITION BY q_id
-         |        ORDER BY cosine_raw DESC, vec_id) AS rnk
-         |    FROM wv${h - 1})
-         |  WHERE rnk <= $beam),
-         |wn$h AS (
-         |  SELECT DISTINCT f.q_id, u.nbr AS vec_id
-         |  FROM wf$h f JOIN und u ON u.node = f.vec_id
-         |  WHERE u.nbr <> f.q_id),
-         |ws$h AS (
-         |  SELECT n.q_id, n.vec_id,
-         |    ${cosineSql.replace("QV", "q.qv").replace("BV", "b.v")} AS cosine_raw
-         |  FROM wn$h n
-         |  JOIN qs q ON q.q_id = n.q_id
-         |  JOIN ev b ON b.vec_id = n.vec_id
-         |  WHERE NOT EXISTS (SELECT 1 FROM wv${h - 1} v
-         |                    WHERE v.q_id = n.q_id AND v.vec_id = n.vec_id)),
-         |wv$h AS (
-         |  SELECT q_id, vec_id, cosine_raw FROM wv${h - 1}
-         |  UNION ALL
-         |  SELECT q_id, vec_id, cosine_raw FROM ws$h)""".stripMargin
+    def hopCtes(h: Int): String = cosineHopCteSql(h, beam)
     val qsCte =
       if (filtered)
         s"""qs AS (
@@ -4579,17 +4600,7 @@ object Knn {
        |    SELECT kx.q_id, kx.vec_id FROM xkept kx JOIN xdirty USING (q_id)
        |    UNION ALL
        |    SELECT q_id, vec_id FROM xbridges)),
-       |xpool AS MATERIALIZED (
-       |  SELECT node, nbr, sim_pn, prnk FROM (
-       |    SELECT node, nbr, sim_pn,
-       |      row_number() OVER (PARTITION BY node
-       |        ORDER BY sim_pn DESC, nbr) AS prnk
-       |    FROM (
-       |      SELECT p.node, p.nbr, ${cos("pe.v", "ne.v")} AS sim_pn
-       |      FROM xpool0 p
-       |      JOIN ev pe ON pe.vec_id = p.node
-       |      JOIN ev ne ON ne.vec_id = p.nbr))
-       |  WHERE prnk <= 12),
+       |${scoredPoolCteSql("xpool", "xpool0", "ev", 12)},
        |${pruneStagesSql("x", "xpool", "ev")}
        |SELECT q_id, vec_id FROM (
        |  SELECT q_id, vec_id FROM xkept
@@ -4608,30 +4619,7 @@ object Knn {
     * old ∪ new union), then untouched ∪ inserted ∪ re-pruned. */
   private lazy val a31Sql: String = {
     val (beam, hops, eCells, poolCap) = (6, 2, 8, 12)
-    def hopCtes(h: Int): String =
-      s"""wf$h AS (
-         |  SELECT q_id, vec_id FROM (
-         |    SELECT q_id, vec_id,
-         |      row_number() OVER (PARTITION BY q_id
-         |        ORDER BY cosine_raw DESC, vec_id) AS rnk
-         |    FROM wv${h - 1})
-         |  WHERE rnk <= $beam),
-         |wn$h AS (
-         |  SELECT DISTINCT f.q_id, u.nbr AS vec_id
-         |  FROM wf$h f JOIN und u ON u.node = f.vec_id
-         |  WHERE u.nbr <> f.q_id),
-         |ws$h AS (
-         |  SELECT n.q_id, n.vec_id,
-         |    ${cosineSql.replace("QV", "q.qv").replace("BV", "b.v")} AS cosine_raw
-         |  FROM wn$h n
-         |  JOIN qs q ON q.q_id = n.q_id
-         |  JOIN ev b ON b.vec_id = n.vec_id
-         |  WHERE NOT EXISTS (SELECT 1 FROM wv${h - 1} v
-         |                    WHERE v.q_id = n.q_id AND v.vec_id = n.vec_id)),
-         |wv$h AS (
-         |  SELECT q_id, vec_id, cosine_raw FROM wv${h - 1}
-         |  UNION ALL
-         |  SELECT q_id, vec_id, cosine_raw FROM ws$h)""".stripMargin
+    def hopCtes(h: Int): String = cosineHopCteSql(h, beam)
     s"""WITH ${nnGraphCtesSql(2)},
        |${vamanaCtesSql()},
        |${kmeansCellsSqlFor(8)},
@@ -4673,17 +4661,7 @@ object Knn {
        |  FROM pruned p JOIN dirty d ON d.node = p.q_id
        |  UNION ALL
        |  SELECT node, nbr FROM bl),
-       |dpool AS MATERIALIZED (
-       |  SELECT node, nbr, sim_pn, prnk FROM (
-       |    SELECT node, nbr, sim_pn,
-       |      row_number() OVER (PARTITION BY node
-       |        ORDER BY sim_pn DESC, nbr) AS prnk
-       |    FROM (
-       |      SELECT d0.node, d0.nbr, ${cos("pe.v", "ne.v")} AS sim_pn
-       |      FROM dpool0 d0
-       |      JOIN av pe ON pe.vec_id = d0.node
-       |      JOIN av ne ON ne.vec_id = d0.nbr))
-       |  WHERE prnk <= $poolCap),
+       |${scoredPoolCteSql("dpool", "dpool0", "av", poolCap)},
        |${pruneStagesSql("d", "dpool", "av", poolCap = poolCap)}
        |SELECT q_id, vec_id FROM (
        |  SELECT q_id, vec_id FROM pruned
