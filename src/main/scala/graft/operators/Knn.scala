@@ -2650,11 +2650,33 @@ object Knn {
     * same read, which is why it batches deletes. */
   def deleteFromNnGraphStore(spark: SparkSession, path: String,
                              deadIds: DataFrame, vecs: DataFrame,
-                             k: Int): Unit = {
+                             k: Int): Unit =
+    applyGraphStoreDelete(spark, path, deadIds,
+      (graph, dead) => deleteFromNnGraph(graph, dead, vecs, k))
+
+  /** [[deleteFromNnGraphStore]]'s α-RNG twin for a persisted VAMANA
+    * edge store: the consolidation is [[vamanaDeleteOf]] (dirty
+    * nodes RobustPrune over survivors ∪ bridges) instead of the
+    * top-k rerank — same targeted bucket rewrite. */
+  def deleteFromVamanaStore(spark: SparkSession, path: String,
+                            deadIds: DataFrame, vecs: DataFrame,
+                            alpha: Double = 1.2, degreeCap: Int = 6,
+                            poolCap: Int = 12): Unit =
+    applyGraphStoreDelete(spark, path, deadIds,
+      (graph, dead) =>
+        vamanaDeleteOf(graph, dead, vecs, alpha, degreeCap, poolCap))
+
+  /** Shared store-side delete applier: run `consolidate` on the
+    * loaded graph, then rewrite ONLY the buckets carrying dead
+    * sources or changed nodes via dynamic partition overwrite. */
+  private def applyGraphStoreDelete(spark: SparkSession, path: String,
+                                    deadIds: DataFrame,
+                                    consolidate: (DataFrame, DataFrame)
+                                      => DataFrame): Unit = {
     import spark.implicits._
     val dead = deadIds.select($"vec_id").distinct().localCheckpoint(true)
     val graph = readNnGraphStore(spark, path)
-    val newGraph = deleteFromNnGraph(graph, dead, vecs, k)
+    val newGraph = consolidate(graph, dead)
     // affected sources: dead nodes (rows must vanish) + nodes whose
     // edge set changed (pointed at a dead node)
     val affected = graph.join(dead, Seq("vec_id"), "left_semi")
@@ -2963,6 +2985,43 @@ object Knn {
       alpha, degreeCap, poolCap, beam, hops)
   }
 
+  /** The session's STREAM-MAINTAINED vamana store for `dir` —
+    * st21's gate, st18's recipe on the α-RNG tier: the batch-built
+    * vamana graph and the corpus vectors bootstrap the co-located
+    * store, then ONE micro-batch of NULL delete notices for
+    * [[GraphDeadIds]] arrives through
+    * [[graft.streaming.IngestStream.vamanaStream]] — the α-RNG
+    * delete-consolidation driven by a real stream. After the epoch
+    * the stored edge set IS a32's consolidated graph (which is why
+    * st21 reuses a32's oracle). */
+  def streamedVamanaPath(spark: SparkSession, dir: String): String =
+    graft.TrainedModels.memo(spark, s"vamana_streamed:$dir") {
+      import spark.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_vamana_stream").toString
+      writeNnGraphStore(vamanaGraph(spark, dir), s"$root/graph")
+      writeNnVecStore(base(spark, dir).select($"vec_id", $"v"),
+        s"$root/vectors")
+      val payload = GraphDeadIds.toDF("vec_id")
+        .select($"vec_id", lit(null).cast("array<double>").as("v"))
+      val stage = s"$root/payload"
+      payload.write.parquet(stage)
+      val q = graft.streaming.IngestStream.vamanaStream(
+        spark.readStream.schema(payload.schema).parquet(stage), root)
+      try q.processAllAvailable() finally q.stop()
+      root
+    }
+
+  /** st21: the STREAM-MAINTAINED vamana store's edge set — must
+    * equal a32's batch α-RNG consolidation digit for digit (same
+    * shared build, same prune kernel, driven through foreachBatch
+    * epochs with the replay marker); oracle IS a32's replay. */
+  def st21StreamedVamana(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    readNnGraphStore(spark, s"${streamedVamanaPath(spark, dir)}/graph")
+      .orderBy($"q_id", $"vec_id")
+  }
+
   /** a32: VAMANA DELETE — FreshDiskANN's delete-consolidation with
     * the α-RNG rule (Singh et al. 2021 §4.2: on consolidation, the
     * dirty node runs RobustPrune over its surviving neighbors ∪ the
@@ -3079,6 +3138,53 @@ object Knn {
       .unionByName(newEdges)
       .unionByName(patched)
       .orderBy($"q_id", $"vec_id")
+  }
+
+  /** [[vamanaInsertOf]] applied to a PERSISTED vamana edge store +
+    * companion vector table: the delta (new nodes' pruned edges +
+    * re-pruned backlinked nodes) lands through
+    * [[upsertNnGraphStore]]'s touched-bucket rewrite; every other
+    * bucket is untouched on disk. Entry seeds are the store's
+    * `eEntries` lowest ids — the deterministic medoid substitute a
+    * self-contained store can compute without a quantizer (a
+    * deployment wiring a quantizer passes its medoid entries
+    * through [[vamanaInsertOf]] directly). Vectors land FIRST so a
+    * crash replays as remove-then-add via the caller's present
+    * check. */
+  def insertIntoVamanaStore(spark: SparkSession, path: String,
+                            vecPath: String, ups: DataFrame,
+                            alpha: Double = 1.2, degreeCap: Int = 6,
+                            poolCap: Int = 12, beam: Int = 6,
+                            hops: Int = 2, eEntries: Int = 8): Unit = {
+    import spark.implicits._
+    val g = readNnGraphStore(spark, path).localCheckpoint(true)
+    // OLD-corpus snapshot (materialized BEFORE the vector upsert;
+    // the anti-join also keeps a replayed half-epoch's already-landed
+    // copies out, so the old ∪ new union inside the insert never
+    // carries an id twice)
+    val vecsOld = readNnVecStore(spark, vecPath)
+      .join(ups.select($"vec_id"), Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    upsertNnVecStore(spark, vecPath, ups)
+    val entries = vecsOld
+      .orderBy($"vec_id").limit(eEntries).select($"vec_id")
+    val e0raw = ups.select($"vec_id".as("q_id"))
+      .crossJoin(broadcast(entries))
+    val full = vamanaInsertOf(vecsOld, g, ups.select($"vec_id", $"v"),
+      e0raw, alpha, degreeCap, poolCap, beam, hops)
+    // the delta = rows of nodes whose edge set changed: the new ids
+    // plus the BACKLINKED dirty nodes (the new edges' targets —
+    // mirrors vamanaInsertOf's dirty set; derived from membership,
+    // not a row diff, so a re-prune that only REMOVED edges still
+    // rewrites its node)
+    val newIds = ups.select($"vec_id".as("q_id")).distinct()
+    val changed = full.join(newIds, Seq("q_id"), "left_semi")
+      .select($"vec_id".as("q_id")).distinct()
+      .unionByName(newIds)
+      .distinct().localCheckpoint(true)
+    val delta = full.join(changed, Seq("q_id"), "left_semi")
+      .localCheckpoint(true)
+    upsertNnGraphStore(spark, path, delta)
   }
 
   /** a22: GRAPH-SERVING ANN — answer queries by WALKING the refined
@@ -3692,6 +3798,7 @@ object Knn {
     "a29_vamana_search" -> ((s, d) => a29VamanaSearch(s, d)),
     "a31_vamana_insert" -> ((s, d) => insertIntoVamana(s, d)),
     "a32_vamana_delete" -> a32VamanaDelete _,
+    "st21_streamed_vamana" -> st21StreamedVamana _,
     "a30_graph_pq_store" -> ((s, d) => a30GraphPqStoreServe(s, d)),
     "s2_vector_topk" -> s2VectorTopk _)
 
@@ -4905,6 +5012,9 @@ object Knn {
       ("a31_vamana_insert" -> a31Sql) +
       // a32: the α-RNG delete consolidation over the vamana graph
       ("a32_vamana_delete" -> a32Sql) +
+      // st21: the streamed α-RNG consolidation must equal a32's
+      // batch replay digit for digit
+      ("st21_streamed_vamana" -> a32Sql) +
       // the persisted graph+PQ round trip must reproduce the
       // in-memory PQ walk bit-exactly — same codes, same walk
       ("a30_graph_pq_store" -> a23Sql) +

@@ -554,6 +554,88 @@ object IngestStream {
       .start()
   }
 
+  /** STREAMING maintenance of a persisted VAMANA store — the
+    * FreshDiskANN freshness loop with the α-RNG kernels end to end:
+    * inserts wire in through DiskANN's §4 insert
+    * (Knn.insertIntoVamanaStore — walk-visited pool → RobustPrune →
+    * backlink re-prune, touched buckets only), delete notices
+    * consolidate through the α-RNG rule
+    * (Knn.deleteFromVamanaStore), and the first epoch BUILDS from
+    * its own batch (NN-descent seed + robust prune — the batch
+    * vamana recipe). Same staging, replay-marker, remove-then-add
+    * and per-epoch compaction contract as [[nnGraphStream]]; the
+    * two streams differ ONLY in which consolidation/insert kernels
+    * they call, which is the point — the serving walk over this
+    * store stays at the published DiskANN operating point as the
+    * corpus churns, instead of degrading toward raw top-k edges. */
+  def vamanaStream(updates: DataFrame, path: String,
+                   alpha: Double = 1.2, degreeCap: Int = 6,
+                   poolCap: Int = 12, k: Int = 3): StreamingQuery = {
+    import graft.operators.Knn
+    val graphPath = s"$path/graph"
+    val vecPath = s"$path/vectors"
+    val epochFn: (DataFrame, Long) => Unit = (batch, epochId) =>
+      graft.Caches.scoped {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      if (epochId > Knn.storeLastEpoch(spark, path)) {
+        val b = batch.select("vec_id", "v")
+        val delsRaw = b.filter($"v".isNull).select($"vec_id")
+        // staged, delete-wins: the file-backed batch discipline of
+        // applyGraphEpoch (the in-memory Union lineage quirk)
+        b.filter($"v".isNotNull)
+          .join(delsRaw, Seq("vec_id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$path/_stage/ups")
+        val ups = spark.read.parquet(s"$path/_stage/ups")
+        val dels = delsRaw.localCheckpoint(true)
+        val gDir = new org.apache.hadoop.fs.Path(
+          Knn.storeDataDir(spark, graphPath))
+        val fs = gDir
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val exists = fs.exists(gDir) && fs.listStatus(gDir)
+          .exists(_.getPath.getName.startsWith("nbucket="))
+        if (!exists) {
+          if (ups.count() > 0) {
+            val init = Knn.knnJoinOf(ups, tables = 4, bits = 6, k = k,
+              bucketCap = 256).select($"q_id", $"vec_id")
+            val (g, _) = Knn.nnDescentBuild(ups.select($"vec_id", $"v"),
+              init, k, maxRounds = 2)
+            val pruned = Knn.robustPrune(g.localCheckpoint(true),
+              ups.select($"vec_id", $"v"), alpha, degreeCap, poolCap)
+            Knn.writeNnVecStore(ups, vecPath)
+            Knn.writeNnGraphStore(pruned.localCheckpoint(true), graphPath)
+          }
+        } else {
+          if (ups.count() > 0) {
+            val stored = Knn.readNnVecStore(spark, vecPath)
+            val present = stored
+              .join(ups.select($"vec_id"), Seq("vec_id"), "left_semi")
+              .select($"vec_id").localCheckpoint(true)
+            if (present.count() > 0) {
+              Knn.deleteFromVamanaStore(spark, graphPath, present,
+                stored, alpha, degreeCap, poolCap)
+              Knn.deleteFromNnVecStore(spark, vecPath, present)
+            }
+            Knn.insertIntoVamanaStore(spark, graphPath, vecPath, ups,
+              alpha, degreeCap, poolCap)
+          }
+          if (dels.count() > 0) {
+            Knn.deleteFromVamanaStore(spark, graphPath, dels,
+              Knn.readNnVecStore(spark, vecPath), alpha, degreeCap,
+              poolCap)
+            Knn.deleteFromNnVecStore(spark, vecPath, dels)
+          }
+        }
+        Knn.writeStoreEpoch(spark, path, epochId)
+        Knn.maybeCompactNnGraph(spark, graphPath): Unit
+      }
+    }
+    updates.writeStream
+      .option("checkpointLocation", s"$path/_checkpoints")
+      .foreachBatch(epochFn)
+      .start()
+  }
+
   /** STREAMING maintenance of the persisted kNN-GRAPH store plus its
     * companion vector table — FreshDiskANN's freshness loop
     * (Singh et al. 2021: StreamingMerge inserts + delete

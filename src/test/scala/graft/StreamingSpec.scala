@@ -1377,6 +1377,57 @@ class StreamingSpec extends SparkSpec {
     assert(Knn.storeLastEpoch(spark, root) == 2L)
   }
 
+  test("streaming vamana maintenance: batch build, walk+prune insert, α-RNG delete consolidation") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Knn
+
+    def pt(i: Int): (Long, Seq[Double]) =
+      (i.toLong, Seq(math.cos(i * 0.1), math.sin(i * 0.1)))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-vamana-stream").toString
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val query = IngestStream.vamanaStream(
+      stream.toDF().toDF("vec_id", "v"), root, degreeCap = 3)
+    def edges() = Knn.readNnGraphStore(spark, s"$root/graph")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      // epoch 0 BUILDS: NN-descent seed + robust prune on the batch
+      stream.addData((0 to 7).map(pt): _*)
+      query.processAllAvailable()
+      val g0 = edges()
+      assert(g0.groupBy(_._1).forall(_._2.size <= 3), "cap after build")
+      // epoch 1 INSERTS two chain extensions through walk+prune
+      stream.addData(pt(8), pt(9))
+      query.processAllAvailable()
+      val g1 = edges()
+      assert(Seq(8L, 9L).forall(id => g1.exists(_._1 == id)),
+        "inserted nodes wired")
+      assert(g1.groupBy(_._1).forall(_._2.size <= 3), "cap after insert")
+      // epoch 2 DELETES node 5 — the streamed consolidation must be
+      // digit-equal to the batch α-RNG twin over the SAME store state
+      val stage = s"$root/_twin"
+      g1.toSeq.toDF("q_id", "vec_id")
+        .write.mode("overwrite").parquet(s"$stage/g1")
+      (0 to 9).map(pt).toDF("vec_id", "v")
+        .write.mode("overwrite").parquet(s"$stage/vecs")
+      val expect = Knn.vamanaDeleteOf(
+        spark.read.parquet(s"$stage/g1"),
+        Seq(5L).toDF("vec_id"),
+        spark.read.parquet(s"$stage/vecs"), degreeCap = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      stream.addData((5L, null.asInstanceOf[Seq[Double]]))
+      query.processAllAvailable()
+      assert(edges() === expect,
+        "streamed α-RNG consolidation must equal the batch twin")
+    } finally query.stop()
+    val vids = Knn.readNnVecStore(spark, s"$root/vectors")
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(vids === (0 to 9).map(_.toLong).toSet - 5L)
+    assert(Knn.storeLastEpoch(spark, root) === 2L)
+  }
+
   test("streaming graph: inserts after an in-stream compaction generation flip must not rebuild from the batch") {
     val sparkSession = spark
     import sparkSession.implicits._
