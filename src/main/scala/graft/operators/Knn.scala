@@ -946,10 +946,15 @@ object Knn {
       val root = java.nio.file.Files
         .createTempDirectory("graft_graph_pq_stream").toString + "/store"
       val vecs = base(spark, dir).select($"vec_id", $"v")
-      writeGraphPqQuantizer(spark, dir, root)
-      writeNnGraphStore(refinedGraph(spark, dir), s"$root/graph")
-      writeNnVecStore(vecs, s"$root/vectors")
-      writeGraphPqCodes(spark, root, vecs)
+      // three independent store-tier chains (graph, vectors,
+      // quantizer→codes) — concurrent jobs into disjoint directories
+      graft.Par.run(Seq(
+        () => writeNnGraphStore(refinedGraph(spark, dir), s"$root/graph"),
+        () => writeNnVecStore(vecs, s"$root/vectors"),
+        () => {
+          writeGraphPqQuantizer(spark, dir, root)
+          writeGraphPqCodes(spark, root, vecs)
+        }))
       val payload = GraphDeadIds.toDF("vec_id")
         .select($"vec_id", lit(null).cast("array<double>").as("v"))
       val stage = s"$root/payload"
@@ -1195,14 +1200,21 @@ object Knn {
     val centMat = typedLit(cents)
     val bookMat = typedLit(books)
     val data = storeDataDir(spark, path)
+    // assign + encode run ONCE (eagerly materialized), then the two
+    // tier writes are cache reads into independent directories —
+    // submitted concurrently; the old shape paid the full
+    // assign+encode scan twice, once per tier.
     val coded = assign(vectors.select($"vec_id", $"v"), cents)
       .withColumn("r", zip_with($"v", element_at(centMat, $"cid" + 1),
         (a, b) => a - b))
-      .withColumn("code", call_function("pq_encode", $"r", bookMat))
-    coded.select($"vec_id", $"code", $"cid")
-      .write.mode("append").partitionBy("cid").parquet(s"$data/codes")
-    coded.select($"vec_id", $"v", $"cid")
-      .write.mode("append").partitionBy("cid").parquet(s"$data/vectors")
+      .select($"vec_id", $"v", $"cid",
+        call_function("pq_encode", $"r", bookMat).as("code"))
+      .localCheckpoint(true)
+    graft.Par.run(Seq(
+      () => coded.select($"vec_id", $"code", $"cid")
+        .write.mode("append").partitionBy("cid").parquet(s"$data/codes"),
+      () => coded.select($"vec_id", $"v", $"cid")
+        .write.mode("append").partitionBy("cid").parquet(s"$data/vectors")))
   }
 
   /** Serve top-k from the PERSISTED PQ store — bit-equal to the
@@ -1312,13 +1324,15 @@ object Knn {
     val tomb = ivfTombstones(spark, path).localCheckpoint(true)
     val gen = storeGen(spark, path)
     val data = storeDataDir(spark, path)
-    Seq("codes", "vectors").foreach { tier =>
+    // the two tier rewrites read and write disjoint directories —
+    // concurrent jobs, one straggler tail instead of two
+    graft.Par.run(Seq("codes", "vectors").map(tier => () => {
       spark.read.parquet(s"$data/$tier")
         .join(broadcast(tomb), Seq("vec_id"), "left_anti")
         .repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid")
         .parquet(s"$path/_gen_${gen + 1}/$tier")
-    }
+    }))
     commitStoreGen(spark, path, gen + 1,
       n => n == "codes" || n == "vectors")
     Seq.empty[Long].toDF("vec_id")
@@ -3521,11 +3535,15 @@ object Knn {
     * embeddings table is touched by the id-keyed rerank join for
     * ≤ rerank rows per query. */
   def writeGraphPqStore(spark: SparkSession, dir: String,
-                        path: String): Unit = {
-    writeNnGraphStore(refinedGraph(spark, dir), s"$path/graph")
-    writeGraphPqQuantizer(spark, dir, path)
-    writeGraphPqCodes(spark, path, base(spark, dir))
-  }
+                        path: String): Unit =
+    // the graph tier and the quantizer→codes chain touch disjoint
+    // directories and inputs — two concurrent job chains
+    graft.Par.run(Seq(
+      () => writeNnGraphStore(refinedGraph(spark, dir), s"$path/graph"),
+      () => {
+        writeGraphPqQuantizer(spark, dir, path)
+        writeGraphPqCodes(spark, path, base(spark, dir))
+      }))
 
   /** Train the graph tier's PQ quantizer for `dir`'s corpus and
     * persist ONLY the `_codebooks` artifact — a23's codebooks

@@ -159,44 +159,51 @@ object TextIndex {
   private def dbucketOf(id: Long): Long =
     ((id % DocBuckets) + DocBuckets) % DocBuckets
 
-  /** The shared tokenized view (full/title/body token arrays +
-    * lengths + pass-through metadata columns) every artifact fans
-    * out from. */
+  /** The shared tokenized view (full token array + field lengths +
+    * pass-through metadata columns) every artifact fans out from.
+    * The token pattern cannot match across the title/body `\n`
+    * boundary, so the full-text array IS title tokens followed by
+    * body tokens: one full-text regex pass plus one first-line-only
+    * pass replaces the former three full-width passes, and the
+    * per-field token arrays need never materialize — a token's field
+    * is `position < nlt`. */
   private def tokenize(corpus: DataFrame): DataFrame = {
     import corpus.sparkSession.implicits._
     val meta = corpus.columns.filterNot(Set("doc_id", "text")).toSeq
     val pat = lit(HybridSearch.WordTokenPattern)
-    val nl = instr($"text", "\n")
     val title = substring_index($"text", "\n", 1)
-    val body = when(nl > 0, $"text".substr(nl + lit(1), length($"text")))
-      .otherwise(lit(""))
     corpus.select($"doc_id" +: meta.map(col) :+
         regexp_extract_all(lower($"text"), pat, lit(0)).as("tok") :+
-        regexp_extract_all(lower(title), pat, lit(0)).as("ttok") :+
-        regexp_extract_all(lower(body), pat, lit(0)).as("btok"): _*)
+        size(regexp_extract_all(lower(title), pat, lit(0)))
+          .cast("long").as("nlt"): _*)
       .withColumn("dl", size($"tok").cast("double"))
-      .withColumn("nlt", size($"ttok").cast("long"))
-      .withColumn("nlb", size($"btok").cast("long"))
+      .withColumn("nlb", size($"tok").cast("long") - $"nlt")
   }
 
-  private def postingsOf(toks: DataFrame): DataFrame = {
+  /** ONE (term, doc) aggregation feeding BOTH postings and fielded —
+    * tf + sorted positions for the positional index, and the per-field
+    * counts (tt = occurrences at position < nlt, bt = the rest) that
+    * used to cost a second explode + union + shuffle of their own. */
+  private def termRowsOf(toks: DataFrame): DataFrame = {
     import toks.sparkSession.implicits._
     toks
-      .select($"doc_id", $"dl", posexplode($"tok").as(Seq("p", "term")))
-      .groupBy($"term", $"doc_id", $"dl")
+      .select($"doc_id", $"dl", $"nlt", $"nlb",
+        posexplode($"tok").as(Seq("p", "term")))
+      .groupBy($"term", $"doc_id", $"dl", $"nlt", $"nlb")
       .agg(count(lit(1)).as("tf"),
-        sort_array(collect_list($"p" + 1)).as("pos"))
+        sort_array(collect_list($"p" + 1)).as("pos"),
+        sum(when($"p" < $"nlt", 1L).otherwise(0L)).as("tt"),
+        sum(when($"p" >= $"nlt", 1L).otherwise(0L)).as("bt"))
   }
 
-  private def fieldedOf(toks: DataFrame): DataFrame = {
-    import toks.sparkSession.implicits._
-    toks.select($"doc_id", $"nlt", $"nlb", explode($"ttok").as("term"),
-        lit(1L).as("_t"), lit(0L).as("_b"))
-      .unionByName(
-        toks.select($"doc_id", $"nlt", $"nlb", explode($"btok").as("term"),
-          lit(0L).as("_t"), lit(1L).as("_b")))
-      .groupBy($"term", $"doc_id", $"nlt", $"nlb")
-      .agg(sum($"_t").as("tt"), sum($"_b").as("bt"))
+  private def postingsView(rows: DataFrame): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.select($"term", $"doc_id", $"dl", $"tf", $"pos")
+  }
+
+  private def fieldedView(rows: DataFrame): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.select($"term", $"doc_id", $"nlt", $"nlb", $"tt", $"bt")
   }
 
   /** (doc_id, dl, nlt, nlb, meta…) — one row per document, including
@@ -234,7 +241,14 @@ object TextIndex {
     * bucket directory gets exactly ONE file per batch (a bucket value
     * hashes to one task) — without it every shuffle partition writes
     * its own file into every bucket dir it touches, the small-file
-    * curve compaction exists to fight. */
+    * curve compaction exists to fight.
+    *
+    * The postings write runs FIRST and alone — it materializes the
+    * shared term-rows / tokenized caches exactly once — then the
+    * three remaining writes (all cache reads + one exchange each) are
+    * submitted concurrently: independent output directories, and each
+    * job's straggler tail back-fills with the next job's tasks
+    * instead of idling the executors. */
   private def writeBatch(spark: SparkSession, path: String, batch: Long,
                          postings: DataFrame, fielded: DataFrame,
                          docs: DataFrame, dynamic: Boolean): Unit = {
@@ -249,13 +263,14 @@ object TextIndex {
     }
     out(postings.withColumn("pbucket", pbucket($"term")),
       "postings", Seq("pbucket"))
-    out(fielded.withColumn("pbucket", pbucket($"term")),
-      "fielded", Seq("pbucket"))
-    out(postings.select($"doc_id", $"term", $"tf")
-        .withColumn("dbucket", dbucket($"doc_id")),
-      "forward", Seq("dbucket"))
-    out(docs.withColumn("dbucket", dbucket($"doc_id")),
-      "docs", Seq("dbucket"))
+    graft.Par.run(Seq(
+      () => out(fielded.withColumn("pbucket", pbucket($"term")),
+        "fielded", Seq("pbucket")),
+      () => out(postings.select($"doc_id", $"term", $"tf")
+          .withColumn("dbucket", dbucket($"doc_id")),
+        "forward", Seq("dbucket")),
+      () => out(docs.withColumn("dbucket", dbucket($"doc_id")),
+        "docs", Seq("dbucket"))))
   }
 
   /** Write one batch of STORED FIELDS — the raw (doc_id, text) rows,
@@ -405,41 +420,61 @@ object TextIndex {
     validateCorpus(corpus)
     val toks = tokenize(corpus).persist()
     try {
-      val postings = postingsOf(toks).persist()
+      val rows = termRowsOf(toks).persist()
       try {
-        writeBatch(spark, path, 0L, postings, fieldedOf(toks),
+        // the postings write inside writeBatch materializes toks+rows
+        // once; every task below is a cache read writing its own
+        // directory, so the remaining artifacts are submitted as
+        // CONCURRENT jobs (independent outputs, shared warm cache)
+        // and the marker flips only after every one returned.
+        writeBatch(spark, path, 0L, postingsView(rows), fieldedView(rows),
           docsOf(toks), dynamic = false)
-        writeContentBatch(spark, path, 0L, corpus, dynamic = false)
-        // quantizer trained ONCE at build; appends assign against it
-        val cents =
-          if (withVectors) {
-            val vecs = vectorsOf(toks)
-              .select($"doc_id".as("vec_id"),
-                graft.functions.VectorFunctions.asDouble($"v").as("v"))
-            Knn.kmeansFit(vecs, k = VectorCells, iters = 3)
-          } else Seq.empty[Seq[Double]]
-        writeCents(spark, path, 1L, cents)
-        writeVectorBatch(spark, path, 0L, vectorsOf(toks), cents,
-          dynamic = false)
-        // vocab derives from postings: (term, doc) rows are unique,
-        // so df is a plain count per term
-        val vocab = postings.groupBy($"term").agg(count(lit(1)).as("df"))
-          .persist()
-        try {
-          writeVersioned(vocab, path, "vocab", 1L)
-          // the completion index is persisted SERVED (ranked top-k
-          // per prefix) — what a production suggester stores
-          writeVersioned(
-            HybridSearch.autocompleteOf(vocab, minPrefix, maxPrefix,
-              kComplete), path, "prefixes", 1L)
-        } finally vocab.unpersist()
-      } finally postings.unpersist()
-      // corpus stats as exact integer-valued sums: derived averages
-      // are order-invariant, so serve-side divisions reproduce the
-      // scan path's doubles bit-for-bit
-      writeVersioned(batchStatsOf(toks), path, "stats", 1L)
-      writeVersioned(emptyTombstones(spark), path, "tombstones", 1L)
-      writeDocsSchema(spark, path, 1L, withPartCols(docsOf(toks).schema))
+        graft.Par.run(Seq(
+          () => writeContentBatch(spark, path, 0L, corpus, dynamic = false),
+          // quantizer trained ONCE at build; appends assign against
+          // it. The embeddings are materialized ONCE and shared
+          // between the k-means iterations and the batch write —
+          // poly_bow over the token arrays is the expensive part,
+          // not the tiny assign.
+          () =>
+            if (withVectors) {
+              val vectors = vectorsOf(toks).persist()
+              try {
+                val cents = Knn.kmeansFit(
+                  vectors.select($"doc_id".as("vec_id"),
+                    graft.functions.VectorFunctions.asDouble($"v").as("v")),
+                  k = VectorCells, iters = 3)
+                writeCents(spark, path, 1L, cents)
+                writeVectorBatch(spark, path, 0L, vectors, cents,
+                  dynamic = false)
+              } finally vectors.unpersist(): Unit
+            } else {
+              writeCents(spark, path, 1L, Seq.empty[Seq[Double]])
+            },
+          // vocab derives from postings: (term, doc) rows are unique,
+          // so df is a plain count per term
+          () => {
+            val vocab = rows.groupBy($"term").agg(count(lit(1)).as("df"))
+              .persist()
+            try {
+              writeVersioned(vocab, path, "vocab", 1L)
+              // the completion index is persisted SERVED (ranked
+              // top-k per prefix) — what a production suggester
+              // stores
+              writeVersioned(
+                HybridSearch.autocompleteOf(vocab, minPrefix, maxPrefix,
+                  kComplete), path, "prefixes", 1L)
+            } finally vocab.unpersist(): Unit
+          },
+          // corpus stats as exact integer-valued sums: derived
+          // averages are order-invariant, so serve-side divisions
+          // reproduce the scan path's doubles bit-for-bit
+          () => writeVersioned(batchStatsOf(toks), path, "stats", 1L),
+          () => writeVersioned(emptyTombstones(spark), path,
+            "tombstones", 1L),
+          () => writeDocsSchema(spark, path, 1L,
+            withPartCols(docsOf(toks).schema))))
+      } finally rows.unpersist()
       writeMarker(spark, path, Commit(1L, 0L, 0L, epochId))
     } finally toks.unpersist()
   }
@@ -507,7 +542,7 @@ object TextIndex {
 
     // ---- add side
     val toks = newDocs.map(tokenize(_).persist())
-    val addPost = toks.map(postingsOf(_).persist())
+    val addPost = toks.map(termRowsOf(_).persist())
     // METADATA SCHEMA EVOLUTION (vector/schema.go EnsureSchema's
     // AddProperty): a batch may carry NEW metadata columns — the
     // committed schema widens and older batches read them as NULL
@@ -555,80 +590,104 @@ object TextIndex {
         docsSchema2 = org.apache.spark.sql.types.StructType(
           docsSchema2.fields ++ incoming.fields.filterNot(f =>
             docsSchema2.fields.exists(_.name.equalsIgnoreCase(f.name))))
-        writeBatch(spark, path, newBatch, p, fieldedOf(t), docsBatch,
-          dynamic = true)
+        writeBatch(spark, path, newBatch, postingsView(p), fieldedView(p),
+          docsBatch, dynamic = true)
         writeVectorBatch(spark, path, newBatch, vectorsOf(t),
           readCents(spark, path, c), dynamic = true)
       }
-      newDocs.foreach(nd =>
-        writeContentBatch(spark, path, newBatch, nd, dynamic = true))
 
-      // ---- vocab: old ∪ +batch dfs ∪ −dead dfs, integer-exact
-      val oldVocab = spark.read.parquet(s"$path/vocab/v=${c.seq}")
-      val inc = addPost.map(_.groupBy($"term").agg(count(lit(1)).as("df")))
-      val dec = deadFwd.map(_.groupBy($"term")
-        .agg((count(lit(1)) * -1L).as("df")))
-      val mergedVocab = (Seq(oldVocab) ++ inc ++ dec)
-        .reduce(_ unionByName _)
-        .groupBy($"term").agg(sum($"df").as("df"))
-        .filter($"df" > 0)
-        .localCheckpoint(true)
-      writeVersioned(mergedVocab, path, "vocab", seq2)
+      // Everything below stages an independent artifact of the same
+      // commit: the content batch, the vocab→prefixes delta chain,
+      // the stats merge, the tombstone union and the two carry-
+      // forwards share no outputs (and their shared inputs — the
+      // batch caches — materialized in the loop above), so they
+      // submit as concurrent jobs and the marker flips only after
+      // all of them returned.
+      graft.Par.run(Seq(
+        () => newDocs.foreach(nd =>
+          writeContentBatch(spark, path, newBatch, nd, dynamic = true)),
 
-      // ---- prefixes: DELTA re-rank. Only prefixes of terms whose df
-      // changed (added, removed, or re-counted) can rank differently;
-      // everything else merges through untouched — the append cost is
-      // batch-vocabulary-sized, not corpus-vocabulary-sized.
-      val changedTerms = (inc.toSeq ++ dec.toSeq)
-        .map(_.select($"term"))
-        .reduce(_ unionByName _).distinct()
-      val affected = changedTerms.filter(length($"term") >= minPrefix)
-        .select(explode(prefixListOf($"term", minPrefix, maxPrefix))
-          .as("prefix"))
-        .distinct().localCheckpoint(true)
-      val cand = mergedVocab.filter(length($"term") >= minPrefix)
-        .select($"term", $"df",
-          explode(prefixListOf($"term", minPrefix, maxPrefix)).as("prefix"))
-        .join(broadcast(affected), "prefix")
-      val wP = Window.partitionBy($"prefix").orderBy($"df".desc, $"term")
-      val reRanked = cand.withColumn("rank", row_number().over(wP))
-        .filter($"rank" <= kComplete)
-        .select($"prefix", $"rank".cast("long").as("rank"), $"term", $"df")
-      val oldPrefixes = spark.read.parquet(s"$path/prefixes/v=${c.seq}")
-      writeVersioned(
-        oldPrefixes.join(broadcast(affected), Seq("prefix"), "left_anti")
-          .unionByName(reRanked),
-        path, "prefixes", seq2)
+        // ---- vocab: old ∪ +batch dfs ∪ −dead dfs, integer-exact;
+        // then prefixes: DELTA re-rank — only prefixes of terms
+        // whose df changed (added, removed, or re-counted) can rank
+        // differently; everything else merges through untouched, so
+        // the append cost is batch-vocabulary-sized, not
+        // corpus-vocabulary-sized.
+        () => {
+          val oldVocab = spark.read.parquet(s"$path/vocab/v=${c.seq}")
+          val inc = addPost.map(_.groupBy($"term")
+            .agg(count(lit(1)).as("df")))
+          val dec = deadFwd.map(_.groupBy($"term")
+            .agg((count(lit(1)) * -1L).as("df")))
+          val mergedVocab = (Seq(oldVocab) ++ inc ++ dec)
+            .reduce(_ unionByName _)
+            .groupBy($"term").agg(sum($"df").as("df"))
+            .filter($"df" > 0)
+            .localCheckpoint(true)
+          writeVersioned(mergedVocab, path, "vocab", seq2)
+          val changedTerms = (inc.toSeq ++ dec.toSeq)
+            .map(_.select($"term"))
+            .reduce(_ unionByName _).distinct()
+          val affected = changedTerms.filter(length($"term") >= minPrefix)
+            .select(explode(prefixListOf($"term", minPrefix, maxPrefix))
+              .as("prefix"))
+            .distinct().localCheckpoint(true)
+          val cand = mergedVocab.filter(length($"term") >= minPrefix)
+            .select($"term", $"df",
+              explode(prefixListOf($"term", minPrefix, maxPrefix))
+                .as("prefix"))
+            .join(broadcast(affected), "prefix")
+          val wP = Window.partitionBy($"prefix")
+            .orderBy($"df".desc, $"term")
+          val reRanked = cand.withColumn("rank", row_number().over(wP))
+            .filter($"rank" <= kComplete)
+            .select($"prefix", $"rank".cast("long").as("rank"), $"term",
+              $"df")
+          val oldPrefixes =
+            spark.read.parquet(s"$path/prefixes/v=${c.seq}")
+          writeVersioned(
+            oldPrefixes.join(broadcast(affected), Seq("prefix"),
+                "left_anti")
+              .unionByName(reRanked),
+            path, "prefixes", seq2)
+        },
 
-      // ---- stats: exact integer-valued sums add and subtract
-      val oldStats = spark.read.parquet(s"$path/stats/v=${c.seq}")
-      val incStats = toks.map(batchStatsOf)
-      val decStats = deadDocs.map(_.agg(
-        (count(lit(1)) * -1L).as("n_docs"),
-        (coalesce(sum($"dl"), lit(0.0)) * -1.0).as("sum_dl"),
-        (coalesce(sum($"nlt"), lit(0L)) * -1L).as("slt"),
-        (coalesce(sum($"nlb"), lit(0L)) * -1L).as("slb")))
-      writeVersioned(
-        (Seq(oldStats) ++ incStats ++ decStats).reduce(_ unionByName _)
-          .agg(sum($"n_docs").as("n_docs"), sum($"sum_dl").as("sum_dl"),
-            sum($"slt").as("slt"), sum($"slb").as("slb")),
-        path, "stats", seq2)
+        // ---- stats: exact integer-valued sums add and subtract
+        () => {
+          val oldStats = spark.read.parquet(s"$path/stats/v=${c.seq}")
+          val incStats = toks.map(batchStatsOf)
+          val decStats = deadDocs.map(_.agg(
+            (count(lit(1)) * -1L).as("n_docs"),
+            (coalesce(sum($"dl"), lit(0.0)) * -1.0).as("sum_dl"),
+            (coalesce(sum($"nlt"), lit(0L)) * -1L).as("slt"),
+            (coalesce(sum($"nlb"), lit(0L)) * -1L).as("slb")))
+          writeVersioned(
+            (Seq(oldStats) ++ incStats ++ decStats)
+              .reduce(_ unionByName _)
+              .agg(sum($"n_docs").as("n_docs"),
+                sum($"sum_dl").as("sum_dl"),
+                sum($"slt").as("slt"), sum($"slb").as("slb")),
+            path, "stats", seq2)
+        },
 
-      // ---- tombstones: deleted ids die in every batch ≤ the commit
-      // they were deleted at; a re-add lands in a HIGHER batch and is
-      // live without touching the tombstone
-      val oldTomb = spark.read.parquet(s"$path/tombstones/v=${c.seq}")
-      val tomb2 = ids.fold(oldTomb) { i =>
-        oldTomb.unionByName(
-            i.withColumn("upto_batch", lit(c.maxBatch)))
-          .groupBy($"doc_id").agg(max($"upto_batch").as("upto_batch"))
-      }
-      writeVersioned(tomb2, path, "tombstones", seq2)
+        // ---- tombstones: deleted ids die in every batch ≤ the
+        // commit they were deleted at; a re-add lands in a HIGHER
+        // batch and is live without touching the tombstone
+        () => {
+          val oldTomb =
+            spark.read.parquet(s"$path/tombstones/v=${c.seq}")
+          val tomb2 = ids.fold(oldTomb) { i =>
+            oldTomb.unionByName(
+                i.withColumn("upto_batch", lit(c.maxBatch)))
+              .groupBy($"doc_id").agg(max($"upto_batch").as("upto_batch"))
+          }
+          writeVersioned(tomb2, path, "tombstones", seq2)
+        },
 
-      // quantizer carries forward frozen; the docs schema carries
-      // forward possibly WIDENED (the AddProperty merge above)
-      writeCents(spark, path, seq2, readCents(spark, path, c))
-      writeDocsSchema(spark, path, seq2, docsSchema2)
+        // quantizer carries forward frozen; the docs schema carries
+        // forward possibly WIDENED (the AddProperty merge above)
+        () => writeCents(spark, path, seq2, readCents(spark, path, c)),
+        () => writeDocsSchema(spark, path, seq2, docsSchema2)))
 
       if (flip)
         writeMarker(spark, path, Commit(seq2, c.minBatch,
@@ -1609,23 +1668,28 @@ object TextIndex {
           .parquet(s"$path/$name")
       }
     }
-    rewrite("postings", "pbucket")
-    rewrite("fielded", "pbucket")
-    rewrite("forward", "dbucket")
-    rewrite("docs", "dbucket")
-    rewrite("content", "dbucket")
-    rewrite("vectors", "cid")
-    // small artifacts carry forward unchanged; tombstones reset —
-    // every logically-deleted row is now physically gone
-    writeVersioned(spark.read.parquet(s"$path/vocab/v=${c.seq}"),
-      path, "vocab", seq2)
-    writeVersioned(spark.read.parquet(s"$path/prefixes/v=${c.seq}"),
-      path, "prefixes", seq2)
-    writeVersioned(spark.read.parquet(s"$path/stats/v=${c.seq}"),
-      path, "stats", seq2)
-    writeVersioned(emptyTombstones(spark), path, "tombstones", seq2)
-    writeCents(spark, path, seq2, readCents(spark, path, c))
-    writeDocsSchema(spark, path, seq2, docsSchemaOf(spark, path, c))
+    // every rewrite reads its own artifact and writes its own
+    // directory; the small-artifact carry-forwards are tiny
+    // independent copies — all of it submits concurrently (the
+    // "overlap independent jobs" rule) and the marker flips only
+    // after every job returned. Tombstones reset — every
+    // logically-deleted row is now physically gone.
+    graft.Par.run(Seq(
+      () => rewrite("postings", "pbucket"),
+      () => rewrite("fielded", "pbucket"),
+      () => rewrite("forward", "dbucket"),
+      () => rewrite("docs", "dbucket"),
+      () => rewrite("content", "dbucket"),
+      () => rewrite("vectors", "cid"),
+      () => writeVersioned(spark.read.parquet(s"$path/vocab/v=${c.seq}"),
+        path, "vocab", seq2),
+      () => writeVersioned(spark.read.parquet(s"$path/prefixes/v=${c.seq}"),
+        path, "prefixes", seq2),
+      () => writeVersioned(spark.read.parquet(s"$path/stats/v=${c.seq}"),
+        path, "stats", seq2),
+      () => writeVersioned(emptyTombstones(spark), path, "tombstones", seq2),
+      () => writeCents(spark, path, seq2, readCents(spark, path, c)),
+      () => writeDocsSchema(spark, path, seq2, docsSchemaOf(spark, path, c))))
     writeMarker(spark, path, Commit(seq2, nb, nb, c.lastEpoch))
   }
 
