@@ -118,10 +118,15 @@ object Bench {
     // target-SF build.
     TrainedModels.clear()
     val tM = System.nanoTime()
-    operators.Knn.trainServingModels(spark, sfDir)
-    operators.Dedup.trainSemModels(spark, sfDir)
-    operators.BpeTrainer.trainTokenizer(spark, sfDir)
-    operators.QualityModel.trainFilter(spark, sfDir)
+    // the four trainer chains are independent (distinct model memo
+    // keys, distinct input scans, each releasing only its own
+    // caches) — they overlap as concurrent driver jobs, the same
+    // wall-time the deployment's one index-build pass pays
+    graft.Par.run(Seq(
+      () => operators.Knn.trainServingModels(spark, sfDir),
+      () => operators.Dedup.trainSemModels(spark, sfDir),
+      () => operators.BpeTrainer.trainTokenizer(spark, sfDir),
+      () => operators.QualityModel.trainFilter(spark, sfDir)))
     val modelDt = (System.nanoTime() - tM) / 1e9
     // the persisted text-serving index build (postings/fielded/
     // forward/vocab/prefixes/stats) — billed once like the ANN index

@@ -18,7 +18,10 @@ import scala.collection.mutable
   */
 object Caches {
   private val tracked = mutable.ListBuffer.empty[DataFrame]
-  private val sharedScans = mutable.LinkedHashMap.empty[String, DataFrame]
+  private val sharedScans =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val sharedLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Persist `df` (MEMORY_AND_DISK) and track the handle. */
   def persist(df: DataFrame): DataFrame = synchronized {
@@ -38,10 +41,25 @@ object Caches {
     * Survives [[releaseAll]] (which scopes per-query diamonds);
     * dropped by [[releaseShared]]. */
   def shared(spark: org.apache.spark.sql.SparkSession, key: String)
-            (build: => DataFrame): DataFrame = synchronized {
+            (build: => DataFrame): DataFrame = {
     // identity hash = one namespace per live SparkSession object
-    // (sessionUUID is private[sql] in Spark 4)
-    sharedScans.getOrElseUpdate(s"${System.identityHashCode(spark)}:$key", build.persist())
+    // (sessionUUID is private[sql] in Spark 4). Locking is PER KEY
+    // (double-checked): concurrent builds of DIFFERENT shared scans
+    // (overlapped store-build jobs) proceed in parallel, the same
+    // key still builds exactly once.
+    val full = s"${System.identityHashCode(spark)}:$key"
+    val got = sharedScans.get(full)
+    if (got != null) return got
+    val lock = sharedLocks.computeIfAbsent(full, _ => new Object)
+    lock.synchronized {
+      val again = sharedScans.get(full)
+      if (again != null) again
+      else {
+        val df = build.persist()
+        sharedScans.put(full, df)
+        df
+      }
+    }
   }
 
   /** Unpersist every tracked per-query handle. Call after the
@@ -72,8 +90,8 @@ object Caches {
   /** Unpersist the shared scans (process shutdown / corpus switch).
     * Scans owned by an already-stopped session are dropped silently. */
   def releaseShared(): Unit = synchronized {
-    sharedScans.values.foreach(df =>
-      scala.util.Try(df.unpersist(false)))
+    sharedScans.values.forEach(df =>
+      scala.util.Try(df.unpersist(false)): Unit)
     sharedScans.clear()
   }
 

@@ -405,12 +405,22 @@ final class GraftEngine(spark: SparkSession, corpus: DataFrame,
     val stale = graft.sources.TextIndex.idsByMeta(spark, indexPath,
       Map(sourceCol -> sourceId))
     val nStale = stale.count()
-    graft.sources.ChunkStore.deleteSourcePartition(spark,
-      s"$storePath/chunks", sourceCol, sourceId)
-    if (hasFresh)
-      graft.streaming.IngestStream.reingest(fresh, storePath, maxTokens)
-    if (nStale > 0 || hasFresh)
-      graft.sources.TextIndex.sync(fresh, stale, indexPath)
+    // the chunk-store chain (purge the source partition, then
+    // re-ingest the fresh pages) and the index's one sync commit
+    // touch different stores and read only the materialized
+    // fresh/stale frames — the two commit chains overlap; each store
+    // still commits atomically, so the crash contract is unchanged.
+    graft.Par.run(Seq(
+      () => {
+        graft.sources.ChunkStore.deleteSourcePartition(spark,
+          s"$storePath/chunks", sourceCol, sourceId): Unit
+        if (hasFresh)
+          graft.streaming.IngestStream.reingest(fresh, storePath,
+            maxTokens): Unit
+      },
+      () =>
+        if (nStale > 0 || hasFresh)
+          graft.sources.TextIndex.sync(fresh, stale, indexPath)))
     nStale
   }
 

@@ -1,7 +1,5 @@
 package graft
 
-import scala.collection.mutable
-
 /** Session-scoped cache for DRIVER-SIDE trained artifacts — k-means
   * centroids (a4's IVF quantizer, d7's SemDeDup cells) and PQ
   * codebooks (a7): the train-once / serve-many discipline of a
@@ -18,25 +16,43 @@ import scala.collection.mutable
   * collect shape), so the cache holds kilobytes, not data.
   */
 object TrainedModels {
-  private val cache = mutable.Map[String, AnyRef]()
-  private val builds = mutable.Map[String, Int]()
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private val builds =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val keyLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  /** Build-or-reuse: `build` runs at most once per (session, key). */
+  /** Build-or-reuse: `build` runs at most once per (session, key).
+    * Locking is PER KEY (double-checked), not global: concurrent
+    * trainings of DIFFERENT models (Bench overlaps the four trainer
+    * chains; store builds nest memo calls for their quantizers) run
+    * in parallel, while two requests for the SAME key still build
+    * once — the second blocks on the first and reads its result. */
   def memo[T <: AnyRef](spark: org.apache.spark.sql.SparkSession,
-                        key: String)(build: => T): T = synchronized {
+                        key: String)(build: => T): T = {
     val full = s"${System.identityHashCode(spark)}:$key"
-    cache.getOrElseUpdate(full, {
-      builds(full) = builds.getOrElse(full, 0) + 1
-      build
-    }).asInstanceOf[T]
+    val got = cache.get(full)
+    if (got != null) return got.asInstanceOf[T]
+    val lock = keyLocks.computeIfAbsent(full, _ => new Object)
+    lock.synchronized {
+      val again = cache.get(full)
+      if (again != null) again.asInstanceOf[T]
+      else {
+        val v = build
+        builds.merge(full, 1, (a, b) => a + b)
+        cache.put(full, v)
+        v
+      }
+    }
   }
 
   /** How many times `build` actually ran for this key (spec hook). */
   private[graft] def buildCount(spark: org.apache.spark.sql.SparkSession,
-                                key: String): Int = synchronized {
-    builds.getOrElse(s"${System.identityHashCode(spark)}:$key", 0)
-  }
+                                key: String): Int =
+    Option(builds.get(s"${System.identityHashCode(spark)}:$key"))
+      .fold(0)(_.intValue)
 
   /** Drop every cached model (corpus switch / process shutdown). */
-  def clear(): Unit = synchronized { cache.clear(); builds.clear() }
+  def clear(): Unit = { cache.clear(); builds.clear() }
 }

@@ -556,7 +556,9 @@ object Dedup {
       Tables.embeddings(spark, dir)
         .select($"vec_id", V.asDouble($"embedding").as("v")))
     semCentroids(spark, dir, all)
-    graft.Caches.releaseAll()
+    // release only this chain's scan (Bench overlaps the trainers —
+    // a global releaseAll would drop a concurrent chain's caches)
+    all.unpersist(false): Unit
   }
 
   def d7SemDedup(spark: SparkSession, dir: String): DataFrame = {

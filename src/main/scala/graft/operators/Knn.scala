@@ -409,7 +409,10 @@ object Knn {
     ivfCentroids(spark, dir, all)
     pqBooks(spark, dir, all)
     opqModel(spark, dir, all)
-    graft.Caches.releaseAll()
+    // release only this chain's scan — a global releaseAll here
+    // would unpersist caches a CONCURRENT trainer (Bench overlaps
+    // the four model-training chains) is still iterating over
+    all.unpersist(false): Unit
   }
 
   /** a4: IVF with a real k-means coarse quantizer (k=8 cells, 3 Lloyd

@@ -524,18 +524,18 @@ object TextIndex {
     // a double-delete is a no-op)
     val ids = delIds.map(_.select($"doc_id").distinct()
       .localCheckpoint(true))
+    // the dying ids' bucket set prunes BOTH dead-side reads — one
+    // tiny collect, shared (≤ DocBuckets values)
+    val deadDbs = ids.map(_.select(dbucket($"doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq)
     val deadFwd = ids.map { i =>
-      val dbs = i.select(dbucket($"doc_id")).distinct()
-        .collect().map(_.getLong(0)).toSeq // ≤ DocBuckets values
       forwardLive(spark, path, c)
-        .filter($"dbucket".isin(dbs: _*))
+        .filter($"dbucket".isin(deadDbs.get: _*))
         .join(broadcast(i), "doc_id").persist()
     }
     val deadDocs = ids.map { i =>
-      val dbs = i.select(dbucket($"doc_id")).distinct()
-        .collect().map(_.getLong(0)).toSeq
       docsLive(spark, path, c)
-        .filter($"dbucket".isin(dbs: _*))
+        .filter($"dbucket".isin(deadDbs.get: _*))
         .join(broadcast(i), "doc_id")
         .select($"doc_id", $"dl", $"nlt", $"nlb")
     }
