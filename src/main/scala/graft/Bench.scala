@@ -109,6 +109,16 @@ object Bench {
     val tVg = System.nanoTime()
     operators.Knn.vamanaGraph(spark, sfDir).count()
     val vgDt = (System.nanoTime() - tVg) / 1e9
+    // and the UNDIRECTED adjacency views of the two session graphs
+    // (what every walk hop joins — a22/a23/a26/a29/a31/a12 serve
+    // from them): derived+persisted once per corpus here instead of
+    // union+dedup-shuffled inside every serving query
+    val tUv = System.nanoTime()
+    operators.Knn.sharedUnd(spark, s"refined:$sfDir",
+      operators.Knn.refinedGraph(spark, sfDir)).count()
+    operators.Knn.sharedUnd(spark, s"vamana:$sfDir",
+      operators.Knn.vamanaGraph(spark, sfDir)).count()
+    val uvDt = (System.nanoTime() - tUv) / 1e9
     // Trained serving models (IVF centroids, PQ codebooks, SemDeDup
     // quantizer) are the session's index-build pass: trained ONCE
     // here and billed as their own line item — every a4/a7/d7 rep
@@ -220,6 +230,7 @@ object Bench {
       "_shared_pagerank" -> prDt,
       "_shared_nn_graph" -> ngDt,
       "_shared_vamana_graph" -> vgDt,
+      "_shared_und_views" -> uvDt,
       "_model_training" -> modelDt,
       "_text_index_build" -> tiDt,
       "_text_index_append_base" -> tabDt,

@@ -167,7 +167,7 @@ object TextIndex {
     * pass replaces the former three full-width passes, and the
     * per-field token arrays need never materialize — a token's field
     * is `position < nlt`. */
-  private def tokenize(corpus: DataFrame): DataFrame = {
+  private[graft] def tokenize(corpus: DataFrame): DataFrame = {
     import corpus.sparkSession.implicits._
     val meta = corpus.columns.filterNot(Set("doc_id", "text")).toSeq
     val pat = lit(HybridSearch.WordTokenPattern)
@@ -184,7 +184,7 @@ object TextIndex {
     * tf + sorted positions for the positional index, and the per-field
     * counts (tt = occurrences at position < nlt, bt = the rest) that
     * used to cost a second explode + union + shuffle of their own. */
-  private def termRowsOf(toks: DataFrame): DataFrame = {
+  private[graft] def termRowsOf(toks: DataFrame): DataFrame = {
     import toks.sparkSession.implicits._
     toks
       .select($"doc_id", $"dl", $"nlt", $"nlb",
