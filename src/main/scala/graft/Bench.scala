@@ -430,6 +430,15 @@ object Bench {
       try w.println(line) finally w.close()
     } catch { case _: Throwable => () }
     println(line)
+    // The full line above IS the declared contract, but at ~300 keys
+    // it outgrows the driver's ~2000-char stdout tail — the line
+    // arrives front-truncated and unparseable (PERF r14/r15 both
+    // recorded parsed:null). So the LAST stdout line is a <300-char
+    // summary with the same metric/value/unit fields: totals survive
+    // any tail cut; the per-query map stays on the full line and in
+    // BENCH_LOCAL.json.
+    println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","build_total":${r3(buildT.values.sum)},"serving_total":${r3(servingT.values.sum)},"n_queries":${merged.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

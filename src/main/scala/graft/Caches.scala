@@ -22,6 +22,10 @@ object Caches {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private val sharedLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // bumped by releaseShared: a shared build finishing AFTER a corpus
+  // switch must not re-register (and leak) a persisted frame for the
+  // retired corpus
+  private val sharedGen = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Persist `df` (MEMORY_AND_DISK) and track the handle. */
   def persist(df: DataFrame): DataFrame = synchronized {
@@ -55,8 +59,13 @@ object Caches {
       val again = sharedScans.get(full)
       if (again != null) again
       else {
+        val gen = sharedGen.get()
         val df = build.persist()
-        sharedScans.put(full, df)
+        // a releaseShared that ran mid-build cleared the registry:
+        // registering now would leak a persisted frame for a retired
+        // corpus — hand the frame back unregistered and unpersisted
+        if (sharedGen.get() == gen) sharedScans.put(full, df)
+        else df.unpersist(false)
         df
       }
     }
@@ -90,9 +99,11 @@ object Caches {
   /** Unpersist the shared scans (process shutdown / corpus switch).
     * Scans owned by an already-stopped session are dropped silently. */
   def releaseShared(): Unit = synchronized {
+    sharedGen.incrementAndGet()
     sharedScans.values.forEach(df =>
       scala.util.Try(df.unpersist(false)): Unit)
     sharedScans.clear()
+    sharedLocks.clear()
   }
 
   /** Number of currently tracked handles (for specs). */

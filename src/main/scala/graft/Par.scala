@@ -22,7 +22,11 @@ object Par {
 
   /** Run every task, wait for all, rethrow the first failure (after
     * every task has finished, so no write is abandoned mid-flight).
-    * Single task short-circuits to a plain call — no thread hop. */
+    * Single task short-circuits to a plain call — no thread hop.
+    * EVERY outcome of the wait is absorbed until all tasks returned —
+    * an interrupt of the waiting thread (flag re-set, surfaced after
+    * the drain) must not abandon in-flight write jobs any more than a
+    * task failure may; later failures ride along as suppressed. */
   def run(tasks: Seq[() => Unit]): Unit =
     if (tasks.sizeIs <= 1) tasks.foreach(_.apply())
     else {
@@ -32,13 +36,27 @@ object Par {
         })
       }
       var failure: Option[Throwable] = None
+      var interrupted = false
+      def record(e: Throwable): Unit =
+        if (failure.isEmpty) failure = Some(e)
+        else if (failure.get ne e) failure.get.addSuppressed(e)
       futs.foreach { f =>
-        try f.get()
-        catch {
-          case e: java.util.concurrent.ExecutionException =>
-            if (failure.isEmpty) failure = Option(e.getCause).orElse(Some(e))
+        var done = false
+        while (!done) {
+          try { f.get(); done = true }
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              record(Option(e.getCause).getOrElse(e)); done = true
+            case _: InterruptedException =>
+              interrupted = true // keep draining; flag restored below
+            case e: Throwable =>
+              record(e); done = true
+          }
         }
       }
+      if (interrupted) Thread.currentThread().interrupt()
       failure.foreach(throw _)
+      if (interrupted) throw new InterruptedException(
+        "interrupted while waiting for concurrent store jobs (all completed)")
     }
 }

@@ -28,7 +28,16 @@ object TrainedModels {
     * trainings of DIFFERENT models (Bench overlaps the four trainer
     * chains; store builds nest memo calls for their quantizers) run
     * in parallel, while two requests for the SAME key still build
-    * once — the second blocks on the first and reads its result. */
+    * once — the second blocks on the first and reads its result.
+    *
+    * INVARIANT (unenforced, required because `build` runs under the
+    * key's monitor): nested memo calls must form a DAG — a build for
+    * key A may memo-call key B only if no build for B (transitively)
+    * memo-calls A. Today's nesting is strictly hierarchical (store
+    * builds memo their quantizers; quantizers memo nothing), so no
+    * cycle exists; two overlapped chains that nest-memoized each
+    * other's keys in OPPOSITE orders would deadlock — keep new
+    * nesting one-directional. */
   def memo[T <: AnyRef](spark: org.apache.spark.sql.SparkSession,
                         key: String)(build: => T): T = {
     val full = s"${System.identityHashCode(spark)}:$key"
@@ -53,6 +62,8 @@ object TrainedModels {
     Option(builds.get(s"${System.identityHashCode(spark)}:$key"))
       .fold(0)(_.intValue)
 
-  /** Drop every cached model (corpus switch / process shutdown). */
-  def clear(): Unit = { cache.clear(); builds.clear() }
+  /** Drop every cached model (corpus switch / process shutdown). The
+    * lock map clears too — entries are per-corpus keys that would
+    * otherwise accumulate across corpus switches. */
+  def clear(): Unit = { cache.clear(); builds.clear(); keyLocks.clear() }
 }

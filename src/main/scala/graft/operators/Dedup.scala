@@ -354,11 +354,37 @@ object Dedup {
         exactScoredPairs(hashedShingleSets(spark, dir), MaxBlock)
           .filter($"jaccard" >= target).select($"a_id", $"b_id"))
       val total = truth.agg(count(lit(1)).as("possible"))
-      val perGeom = SweepGeometries.map { case (b, r) =>
-        lshCandidates(sig, MaxBandBucket, b, r)
-          .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
-            $"a_id", $"b_id")
+      // ONE geometry-tagged band pipeline for the whole grid instead
+      // of five separate explode→window→self-join chains: the
+      // geometry columns join the bucket key, so the per-geometry
+      // bucket cap and candidate sets are SET-IDENTICAL to running
+      // [[lshCandidates]] per split — but the sweep pays one keyed
+      // exchange (reused by both self-join sides) over the combined
+      // frame, not five.
+      val bandsAll = SweepGeometries.map { case (b, r) =>
+        sig.select($"doc_id", lit(b).as("bands"),
+            lit(r).as("rows_per_band"),
+            posexplode(H.bandHashes($"mh", bands = b, rowsPerBand = r)))
+          .select($"doc_id", $"bands", $"rows_per_band",
+            $"pos".as("band_idx"), $"col".as("band_hash"))
       }.reduce(_ unionByName _)
+      val wSw = Window.partitionBy($"bands", $"rows_per_band",
+        $"band_idx", $"band_hash")
+      val keptAll = bandsAll
+        .withColumn("bcnt", count(lit(1)).over(wSw))
+        .filter($"bcnt" <= MaxBandBucket)
+        .drop("bcnt")
+      val perGeom = keptAll.as("x")
+        .join(keptAll.as("y"),
+          $"x.bands" === $"y.bands" &&
+          $"x.rows_per_band" === $"y.rows_per_band" &&
+          $"x.band_idx" === $"y.band_idx" &&
+          $"x.band_hash" === $"y.band_hash" &&
+          $"x.doc_id" < $"y.doc_id")
+        .select($"x.bands".as("bands"),
+          $"x.rows_per_band".as("rows_per_band"),
+          $"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"))
+        .distinct()
       val counted = perGeom
         .join(truth.withColumn("t", lit(1)), Seq("a_id", "b_id"), "left")
         .groupBy($"bands", $"rows_per_band")

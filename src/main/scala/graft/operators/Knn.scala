@@ -1207,17 +1207,24 @@ object Knn {
     // tier writes are cache reads into independent directories —
     // submitted concurrently; the old shape paid the full
     // assign+encode scan twice, once per tier.
+    // persist (not localCheckpoint): blocks release deterministically
+    // after both tier writes — a maintenance stream's appends must not
+    // accumulate cached blocks per epoch — and a lost block recomputes
+    // from lineage instead of failing the write
     val coded = assign(vectors.select($"vec_id", $"v"), cents)
       .withColumn("r", zip_with($"v", element_at(centMat, $"cid" + 1),
         (a, b) => a - b))
       .select($"vec_id", $"v", $"cid",
         call_function("pq_encode", $"r", bookMat).as("code"))
-      .localCheckpoint(true)
-    graft.Par.run(Seq(
-      () => coded.select($"vec_id", $"code", $"cid")
-        .write.mode("append").partitionBy("cid").parquet(s"$data/codes"),
-      () => coded.select($"vec_id", $"v", $"cid")
-        .write.mode("append").partitionBy("cid").parquet(s"$data/vectors")))
+      .persist()
+    try {
+      coded.count() // eager: both writes read the cache, not the scan
+      graft.Par.run(Seq(
+        () => coded.select($"vec_id", $"code", $"cid")
+          .write.mode("append").partitionBy("cid").parquet(s"$data/codes"),
+        () => coded.select($"vec_id", $"v", $"cid")
+          .write.mode("append").partitionBy("cid").parquet(s"$data/vectors")))
+    } finally coded.unpersist(false): Unit
   }
 
   /** Serve top-k from the PERSISTED PQ store — bit-equal to the
@@ -3473,8 +3480,12 @@ object Knn {
     // mutable-store walk derives it per serve (its edges may have
     // changed since the last serve), materialized once per batch
     val und = undPre.getOrElse(graft.Caches.persist(undirectedOf(graph)))
-    def scoreOf(pairs: DataFrame): DataFrame = pairs
-      .join(broadcast(queries.select($"q_id", $"qv")), "q_id")
+    // the pair set is bounded by queries × beam × degree at ANY
+    // corpus size — broadcast it INTO the corpus-side vector join
+    // explicitly (the aggregate-shaped hop's size estimate would
+    // otherwise tip the planner into a corpus-wide sort-merge join)
+    def scoreOf(pairs: DataFrame): DataFrame = broadcast(pairs
+      .join(broadcast(queries.select($"q_id", $"qv")), "q_id"))
       .join(vecs, "vec_id")
       .select($"q_id", $"vec_id", V.cosineD($"qv", $"v").as("cosine_raw"))
     val wB = Window.partitionBy($"q_id")
@@ -3487,12 +3498,22 @@ object Knn {
       val frontier = visited
         .withColumn("rnk", row_number().over(wB))
         .filter($"rnk" <= beam).select($"q_id", $"vec_id")
-      val next = frontier.join(und, frontier("vec_id") === und("node"))
+      // expansion dedup + visited-exclusion FUSED into ONE keyed
+      // aggregation: candidates union the (flagged) visited set and
+      // a (q_id, vec_id) max-flag group keeps never-seen pairs —
+      // replacing the dropDuplicates exchange PLUS the anti-join
+      // (and its per-hop broadcast build) with a single exchange.
+      // Set-identical to dedup-then-anti by construction.
+      val cand = frontier.join(und, frontier("vec_id") === und("node"))
         .select($"q_id", $"nbr".as("vec_id"))
         .filter($"vec_id" =!= $"q_id")
-        .dropDuplicates("q_id", "vec_id")
-      val fresh = next.join(visited.select($"q_id", $"vec_id"),
-        Seq("q_id", "vec_id"), "left_anti")
+      val fresh = cand.withColumn("seen", lit(0))
+        .unionByName(visited.select($"q_id", $"vec_id")
+          .withColumn("seen", lit(1)))
+        .groupBy($"q_id", $"vec_id")
+        .agg(max($"seen").as("seen"))
+        .filter($"seen" === 0)
+        .select($"q_id", $"vec_id")
       visited = graft.Caches.persist(visited.unionByName(scoreOf(fresh)))
     }
     visited
@@ -3715,8 +3736,10 @@ object Knn {
     // parquet scan per hop
     val codesK = graft.Caches.persist(codes.select($"vec_id", $"code"))
     // the hop scorer touches only the 8-byte code column — never v
-    def adcOf(pairs: DataFrame): DataFrame = pairs
-      .join(broadcast(queries), "q_id")
+    // bounded pair set broadcast into the codes-tier join — same
+    // rationale as graphVisited's scoreOf
+    def adcOf(pairs: DataFrame): DataFrame = broadcast(pairs
+      .join(broadcast(queries), "q_id"))
       .join(codesK, "vec_id")
       .select($"q_id", $"vec_id",
         call_function("pq_adc", $"qv", $"code", bookMat).as("adist"))
@@ -3729,12 +3752,18 @@ object Knn {
       val frontier = visited
         .withColumn("rnk", row_number().over(wB))
         .filter($"rnk" <= beam).select($"q_id", $"vec_id")
-      val next = frontier.join(und, frontier("vec_id") === und("node"))
+      // same fused hop as graphVisited: one keyed aggregation
+      // replaces dropDuplicates + the anti-join (set-identical)
+      val cand = frontier.join(und, frontier("vec_id") === und("node"))
         .select($"q_id", $"nbr".as("vec_id"))
         .filter($"vec_id" =!= $"q_id")
-        .dropDuplicates("q_id", "vec_id")
-      val fresh = next.join(visited.select($"q_id", $"vec_id"),
-        Seq("q_id", "vec_id"), "left_anti")
+      val fresh = cand.withColumn("seen", lit(0))
+        .unionByName(visited.select($"q_id", $"vec_id")
+          .withColumn("seen", lit(1)))
+        .groupBy($"q_id", $"vec_id")
+        .agg(max($"seen").as("seen"))
+        .filter($"seen" === 0)
+        .select($"q_id", $"vec_id")
       visited = graft.Caches.persist(visited.unionByName(adcOf(fresh)))
     }
     // full-precision vectors enter ONLY here, for `rerank` rows/query

@@ -234,7 +234,7 @@ object TextIndex {
 
   // -------------------------------------------------- batch writes --
 
-  /** Write one batch's worth of the four batch-partitioned text
+  /** Stage one batch's worth of the four batch-partitioned text
     * artifacts. `dynamic` = replace only this batch's partitions
     * (append/replay); false = wipe the whole artifact (fresh build).
     * Each frame is repartitioned ON its bucket column first so every
@@ -244,14 +244,16 @@ object TextIndex {
     * curve compaction exists to fight.
     *
     * The postings write runs FIRST and alone — it materializes the
-    * shared term-rows / tokenized caches exactly once — then the
-    * three remaining writes (all cache reads + one exchange each) are
-    * submitted concurrently: independent output directories, and each
-    * job's straggler tail back-fills with the next job's tasks
-    * instead of idling the executors. */
-  private def writeBatch(spark: SparkSession, path: String, batch: Long,
+    * shared term-rows / tokenized caches exactly once. The three
+    * remaining writes (all cache reads + one exchange each, into
+    * independent directories) are RETURNED as tasks instead of
+    * submitted here, so the caller can merge them into its one
+    * commit-wide fan-out — a single concurrent wave after the
+    * postings job, not a barrier per artifact group. */
+  private def stageBatch(spark: SparkSession, path: String, batch: Long,
                          postings: DataFrame, fielded: DataFrame,
-                         docs: DataFrame, dynamic: Boolean): Unit = {
+                         docs: DataFrame, dynamic: Boolean)
+      : Seq[() => Unit] = {
     import spark.implicits._
     def out(df: DataFrame, name: String, parts: Seq[String]): Unit = {
       val w = df.withColumn("batch", lit(batch))
@@ -263,14 +265,14 @@ object TextIndex {
     }
     out(postings.withColumn("pbucket", pbucket($"term")),
       "postings", Seq("pbucket"))
-    graft.Par.run(Seq(
+    Seq(
       () => out(fielded.withColumn("pbucket", pbucket($"term")),
         "fielded", Seq("pbucket")),
       () => out(postings.select($"doc_id", $"term", $"tf")
           .withColumn("dbucket", dbucket($"doc_id")),
         "forward", Seq("dbucket")),
       () => out(docs.withColumn("dbucket", dbucket($"doc_id")),
-        "docs", Seq("dbucket"))))
+        "docs", Seq("dbucket")))
   }
 
   /** Write one batch of STORED FIELDS — the raw (doc_id, text) rows,
@@ -422,14 +424,15 @@ object TextIndex {
     try {
       val rows = termRowsOf(toks).persist()
       try {
-        // the postings write inside writeBatch materializes toks+rows
+        // the postings write inside stageBatch materializes toks+rows
         // once; every task below is a cache read writing its own
-        // directory, so the remaining artifacts are submitted as
-        // CONCURRENT jobs (independent outputs, shared warm cache)
-        // and the marker flips only after every one returned.
-        writeBatch(spark, path, 0L, postingsView(rows), fieldedView(rows),
-          docsOf(toks), dynamic = false)
-        graft.Par.run(Seq(
+        // directory, so ALL remaining artifacts — the batch trio and
+        // the versioned smalls — submit as ONE wave of concurrent
+        // jobs (independent outputs, shared warm cache) and the
+        // marker flips only after every one returned.
+        val batchTasks = stageBatch(spark, path, 0L, postingsView(rows),
+          fieldedView(rows), docsOf(toks), dynamic = false)
+        graft.Par.run(batchTasks ++ Seq(
           () => writeContentBatch(spark, path, 0L, corpus, dynamic = false),
           // quantizer trained ONCE at build; appends assign against
           // it. The embeddings are materialized ONCE and shared
@@ -551,8 +554,15 @@ object TextIndex {
     // column re-arriving under a DIFFERENT type is the one illegal
     // shape (Weaviate rejects property type changes too).
     var docsSchema2 = docsSchemaOf(spark, path, c)
+    // the frozen quantizer — read ONCE (a small parquet collect) and
+    // shared by the vector-batch assign and the carry-forward, which
+    // each paid their own read before
+    val cents = readCents(spark, path, c)
     try {
-      toks.zip(addPost).foreach { case (t, p) =>
+      // per-batch write tasks (≤ one batch): postings runs inside
+      // stageBatch to materialize the caches; the rest join the ONE
+      // commit-wide fan-out below
+      val batchTasks = toks.zip(addPost).toSeq.flatMap { case (t, p) =>
         val docsBatch0 = docsOf(t)
         val incoming = withPartCols(docsBatch0.schema)
         // a NEW column arriving as all-NULL literals has no
@@ -590,20 +600,21 @@ object TextIndex {
         docsSchema2 = org.apache.spark.sql.types.StructType(
           docsSchema2.fields ++ incoming.fields.filterNot(f =>
             docsSchema2.fields.exists(_.name.equalsIgnoreCase(f.name))))
-        writeBatch(spark, path, newBatch, postingsView(p), fieldedView(p),
-          docsBatch, dynamic = true)
-        writeVectorBatch(spark, path, newBatch, vectorsOf(t),
-          readCents(spark, path, c), dynamic = true)
+        stageBatch(spark, path, newBatch, postingsView(p), fieldedView(p),
+          docsBatch, dynamic = true) :+
+          (() => writeVectorBatch(spark, path, newBatch, vectorsOf(t),
+            cents, dynamic = true))
       }
 
       // Everything below stages an independent artifact of the same
-      // commit: the content batch, the vocab→prefixes delta chain,
-      // the stats merge, the tombstone union and the two carry-
-      // forwards share no outputs (and their shared inputs — the
-      // batch caches — materialized in the loop above), so they
-      // submit as concurrent jobs and the marker flips only after
-      // all of them returned.
-      graft.Par.run(Seq(
+      // commit: the remaining batch artifacts (fielded/forward/docs/
+      // vectors — cache reads after the postings write materialized
+      // the batch caches), the content batch, the vocab→prefixes
+      // delta chain, the stats merge, the tombstone union and the two
+      // carry-forwards share no outputs, so the WHOLE commit stages as
+      // one wave of concurrent jobs — not a barrier per artifact
+      // group — and the marker flips only after all of them returned.
+      graft.Par.run(batchTasks ++ Seq(
         () => newDocs.foreach(nd =>
           writeContentBatch(spark, path, newBatch, nd, dynamic = true)),
 
@@ -686,7 +697,7 @@ object TextIndex {
 
         // quantizer carries forward frozen; the docs schema carries
         // forward possibly WIDENED (the AddProperty merge above)
-        () => writeCents(spark, path, seq2, readCents(spark, path, c)),
+        () => writeCents(spark, path, seq2, cents),
         () => writeDocsSchema(spark, path, seq2, docsSchema2)))
 
       if (flip)

@@ -693,16 +693,36 @@ object IngestStream {
     * shared with [[graphPqStream]]: stage the batch, build-or-patch
     * the co-located graph + vector tiers, physical deletes with
     * consolidation. Returns the staged (ups, dels) so a caller can
-    * co-maintain further tiers (the codes tier) from the SAME
-    * file-backed batch; does NOT advance the epoch marker — the
-    * caller commits after every tier it owns has landed. */
+    * co-maintain further tiers from the SAME file-backed batch; does
+    * NOT advance the epoch marker — the caller commits after every
+    * tier it owns has landed.
+    *
+    * `codesUpsert`/`codesDelete`: a caller co-maintaining a CODES
+    * tier passes its mutations here so they run as a CONCURRENT job
+    * next to the graph/vector chain of the same phase (the codes
+    * tier reads only the staged batch + its own directory — disjoint
+    * from the consolidation's graph/vector reads). The epoch marker
+    * still flips only after every tier landed (Par waits for all),
+    * and a crashed half-epoch still replays remove-then-add across
+    * all three tiers: the codes upsert REPLACES rows and the codes
+    * delete is idempotent, so tier landing ORDER within the epoch is
+    * free. */
   private def applyGraphEpoch(spark: SparkSession, batch: DataFrame,
-                              path: String, k: Int)
+                              path: String, k: Int,
+                              codesUpsert: Option[DataFrame => Unit] = None,
+                              codesDelete: Option[DataFrame => Unit] = None)
       : (DataFrame, DataFrame) = {
     import graft.operators.Knn
     import spark.implicits._
     val graphPath = s"$path/graph"
     val vecPath = s"$path/vectors"
+    // run `chain` (the graph/vector mutations of one phase) with the
+    // caller's codes-tier task overlapped as a concurrent job
+    def withCodes(hook: Option[DataFrame => Unit], arg: DataFrame)
+                 (chain: => Unit): Unit = hook match {
+      case Some(h) => graft.Par.run(Seq(() => chain, () => h(arg)))
+      case None => chain
+    }
     val b = batch.select("vec_id", "v")
         // the insert batch STAGES to parquet and is read back: the
         // graph kernels union branches derived from one source, and
@@ -737,7 +757,7 @@ object IngestStream {
           // are no-ops (graph deletes are physical — there is
           // nothing to hide behind); a delete-only first epoch just
           // advances the marker
-          if (ups.count() > 0) {
+          if (ups.count() > 0) withCodes(codesUpsert, ups) {
             val init = Knn.knnJoinOf(ups, tables = 4, bits = 6, k = k,
               bucketCap = 256).select($"q_id", $"vec_id")
             val (g, _) = Knn.nnDescentBuild(ups.select($"vec_id", $"v"),
@@ -751,7 +771,7 @@ object IngestStream {
             Knn.writeNnGraphStore(g.localCheckpoint(true), graphPath)
           }
         } else {
-          if (ups.count() > 0) {
+          if (ups.count() > 0) withCodes(codesUpsert, ups) {
             // REMOVE-THEN-ADD (the replay/re-embed contract above):
             // arriving ids already present consolidate out first
             val stored = Knn.readNnVecStore(spark, vecPath)
@@ -782,7 +802,10 @@ object IngestStream {
             Knn.upsertNnGraphStore(spark, graphPath,
               delta.localCheckpoint(true))
           }
-          if (dels.count() > 0) {
+          if (dels.count() > 0) withCodes(codesDelete, dels) {
+            // ordered: the consolidation READS the vector store, so
+            // the vector delete must follow it — the codes-tier
+            // delete (disjoint directory) overlaps both
             Knn.deleteFromNnGraphStore(spark, graphPath, dels,
               Knn.readNnVecStore(spark, vecPath), k)
             Knn.deleteFromNnVecStore(spark, vecPath, dels)
@@ -802,12 +825,17 @@ object IngestStream {
     * (Knn.upsertGraphPqCodes), delete notices drop code rows
     * physically (Knn.deleteGraphPqCodes). The quantizer trains and
     * persists UP FRONT (Knn.writeGraphPqQuantizer — FAISS's
-    * train-once/add-forever); the codes tier lands AFTER graph and
-    * vectors and BEFORE the epoch marker, so a crashed half-epoch
-    * replays remove-then-add across all three tiers and converges.
-    * Reference anchor: the reference delegates index freshness to
-    * Weaviate's vector store (store.go:105); this is that loop on
-    * the DiskANN layout (Singh et al. 2021, FreshDiskANN). */
+    * train-once/add-forever); each codes-tier mutation runs as a
+    * CONCURRENT job next to the same phase's graph/vector chain
+    * (disjoint directories — the consolidation never reads codes),
+    * and the epoch marker flips only after every tier landed, so a
+    * crashed half-epoch still replays remove-then-add across all
+    * three tiers and converges (the codes upsert replaces rows, the
+    * codes delete is idempotent — landing order within the epoch is
+    * free). Reference anchor: the reference delegates index
+    * freshness to Weaviate's vector store (store.go:105); this is
+    * that loop on the DiskANN layout (Singh et al. 2021,
+    * FreshDiskANN). */
   def graphPqStream(updates: DataFrame, path: String, k: Int = 3)
       : StreamingQuery = {
     import graft.operators.Knn
@@ -815,9 +843,9 @@ object IngestStream {
       graft.Caches.scoped {
       val spark = batch.sparkSession
       if (epochId > Knn.storeLastEpoch(spark, path)) {
-        val (ups, dels) = applyGraphEpoch(spark, batch, path, k)
-        if (ups.count() > 0) Knn.upsertGraphPqCodes(spark, path, ups)
-        if (dels.count() > 0) Knn.deleteGraphPqCodes(spark, path, dels)
+        applyGraphEpoch(spark, batch, path, k,
+          codesUpsert = Some(u => Knn.upsertGraphPqCodes(spark, path, u)),
+          codesDelete = Some(d => Knn.deleteGraphPqCodes(spark, path, d)))
         Knn.writeStoreEpoch(spark, path, epochId)
         Knn.maybeCompactNnGraph(spark, s"$path/graph"): Unit
       }
