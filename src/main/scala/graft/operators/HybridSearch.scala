@@ -336,37 +336,43 @@ object HybridSearch {
     // Every method's ranking unions into one panel ranked top-k by a
     // method-PARTITIONED window (TopKPerKey's PartialTopK/FinalTopK
     // heap rewrite — no sort, no partition-less window). Each leg is
-    // EAGERLY materialized (localCheckpoint) BEFORE the union: the
-    // legs share the cached BM25 base and tokenizer scans, so the
-    // first leg pays the shared scan and the rest reuse it — but if
-    // the legs ran as concurrent branches of ONE union job they
-    // would RACE that shared cache and re-execute their bounded
-    // fusion windows a nondeterministic number of times (the r13
-    // warn-gate flake: 910 vs 934 under load). With no shared leg
-    // left to race, each bounded window executes exactly once per
-    // run and the warn-gate count is deterministic. s4's rerank
-    // carries its own composite order (rerank desc, hybrid desc,
-    // doc_id) — its final_rank IS the ranking and unions in below.
-    val legs = Seq(
-      ("bm25", bm25(spark, dir), "score"),
-      ("fielded", s13FieldedBm25(spark, dir), "score"),
-      ("hybrid", s3HybridSearch(spark, dir), "hybrid_score"),
-      ("rrf", s6RrfFusion(spark, dir), "rrf_score"),
-      ("vector_exact", rel, "rel"))
-    val tagged = legs.map { case (n, df, c) =>
-        df.select(lit(n).as("method"), $"doc_id",
-          col(c).cast("double").as("s"))
-          .localCheckpoint(true)
-      }.reduce(_ unionByName _)
+    // EAGERLY materialized (localCheckpoint) BEFORE the union, in
+    // two phases. Phase 1 (serial): the two legs that MATERIALIZE
+    // the shared caches — bm25 (the shared BM25 base over the cached
+    // tokenized corpus) and the relevance labels. Phase 2: the
+    // remaining legs read ONLY warm caches, so they submit as
+    // CONCURRENT jobs (guide §2.6) — no shared LAZY frame is left to
+    // race, which is what made r13's fold flake the warn gate
+    // (concurrent union branches re-executed shared bounded fusion
+    // windows nondeterministically, 910 vs 934); each leg here still
+    // executes its own bounded windows exactly once per run, so the
+    // warn-gate count stays deterministic. s4's rerank carries its
+    // own composite order (rerank desc, hybrid desc, doc_id) — its
+    // final_rank IS the ranking and unions in below.
+    def tagOf(n: String, df: DataFrame, c: String): DataFrame =
+      df.select(lit(n).as("method"), $"doc_id",
+        col(c).cast("double").as("s"))
+        .localCheckpoint(true)
+    val bm25T = tagOf("bm25", bm25(spark, dir), "score")
+    val relT = tagOf("vector_exact", rel, "rel")
+    val slots = new Array[DataFrame](4)
+    graft.Par.run(Seq(
+      () => slots(0) = tagOf("fielded", s13FieldedBm25(spark, dir), "score"),
+      () => slots(1) = tagOf("hybrid", s3HybridSearch(spark, dir),
+        "hybrid_score"),
+      () => slots(2) = tagOf("rrf", s6RrfFusion(spark, dir), "rrf_score"),
+      () => slots(3) = s4Rerank(spark, dir).filter($"final_rank" <= k)
+        .select(lit("reranked").as("method"), $"doc_id",
+          $"final_rank".as("rnk"))
+        .localCheckpoint(true)))
+    val tagged = Seq(bm25T, slots(0), slots(1), slots(2), relT)
+      .reduce(_ unionByName _)
     val wM = Window.partitionBy($"method").orderBy($"s".desc, $"doc_id")
     val rankedAll = tagged
       .withColumn("rnk", row_number().over(wM))
       .filter($"rnk" <= k)
       .select($"method", $"doc_id", $"rnk".cast("long").as("rnk"))
-      .unionByName(s4Rerank(spark, dir).filter($"final_rank" <= k)
-        .select(lit("reranked").as("method"), $"doc_id",
-          $"final_rank".as("rnk"))
-        .localCheckpoint(true))
+      .unionByName(slots(3))
       // ≤ methods×k rows, read by BOTH the per-method DCG agg and
       // the idcg branch — checkpointing runs the panel job ONCE
       .localCheckpoint(true)

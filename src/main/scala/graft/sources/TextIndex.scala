@@ -507,12 +507,27 @@ object TextIndex {
     * data writes are dynamic-partition overwrites of batch
     * `maxBatch+1` and versioned artifacts overwrite `seq+1` — both
     * derived from the COMMITTED marker, so re-staging after a crash
-    * rewrites the same staging area and the flip commits it once. */
+    * rewrites the same staging area and the flip commits it once.
+    *
+    * `compactNow` FUSES the change with a [[compact]] into ONE
+    * commit: instead of staging a delta batch that an immediately-due
+    * compaction would re-read and rewrite, every batch-partitioned
+    * artifact stages its CONSOLIDATED live view — live(old, with the
+    * change's deletes applied) ∪ the new batch — into batch
+    * `maxBatch+1`, the small artifacts stage their merged values
+    * once, tombstones reset, and the marker flips to
+    * [newBatch, newBatch]. Serving is bit-equal to apply-then-compact
+    * (same live rows, same merged vocab/stats/prefixes — compaction
+    * carries those through unchanged); the epoch pays ONE write wave
+    * and ONE marker flip, and the maintenance write amplification
+    * halves. Same replay idempotence: the decision and the staging
+    * targets derive only from the committed marker + the batch. */
   private[graft] def applyChange(path: String, delIds: Option[DataFrame],
                                  newDocs: Option[DataFrame],
                                  minPrefix: Int, maxPrefix: Int,
                                  kComplete: Int, epochId: Long,
-                                 flip: Boolean): Unit = {
+                                 flip: Boolean,
+                                 compactNow: Boolean = false): Unit = {
     newDocs.foreach(validateCorpus)
     val spark = delIds.orElse(newDocs).map(_.sparkSession)
       .getOrElse(throw new IllegalArgumentException(
@@ -558,11 +573,32 @@ object TextIndex {
     // shared by the vector-batch assign and the carry-forward, which
     // each paid their own read before
     val cents = readCents(spark, path, c)
+    // the post-change tombstone view (lazy, tiny): what the
+    // tombstones task writes on a plain change, and what the
+    // consolidated reads apply when compacting in-commit
+    val oldTomb = tombstonesOf(spark, path, c)
+    val tomb2 = ids.fold(oldTomb) { i =>
+      oldTomb.unionByName(i.withColumn("upto_batch", lit(c.maxBatch)))
+        .groupBy($"doc_id").agg(max($"upto_batch").as("upto_batch"))
+    }
+    // consolidated-mode helpers: the live rows of an old artifact
+    // with this change's deletes already applied, and the compact-
+    // style one-file-per-bucket write into the consolidated batch
+    def oldLive(name: String): DataFrame =
+      liveRows(readBatched(spark, path, name, c), tomb2).drop("batch")
+    def outConsolidated(df: DataFrame, name: String,
+                        bucketCol: String): Unit =
+      df.withColumn("batch", lit(newBatch))
+        .repartition(col(bucketCol))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch", bucketCol)
+        .parquet(s"$path/$name")
     try {
-      // per-batch write tasks (≤ one batch): postings runs inside
-      // stageBatch to materialize the caches; the rest join the ONE
-      // commit-wide fan-out below
-      val batchTasks = toks.zip(addPost).toSeq.flatMap { case (t, p) =>
+      // driver-side schema-evolution work for the (≤ one) new batch:
+      // the type checks, the case-canonical renames, the widened
+      // committed schema
+      val docsBatches = toks.map { t =>
         val docsBatch0 = docsOf(t)
         val incoming = withPartCols(docsBatch0.schema)
         // a NEW column arriving as all-NULL literals has no
@@ -600,11 +636,63 @@ object TextIndex {
         docsSchema2 = org.apache.spark.sql.types.StructType(
           docsSchema2.fields ++ incoming.fields.filterNot(f =>
             docsSchema2.fields.exists(_.name.equalsIgnoreCase(f.name))))
-        stageBatch(spark, path, newBatch, postingsView(p), fieldedView(p),
-          docsBatch, dynamic = true) :+
-          (() => writeVectorBatch(spark, path, newBatch, vectorsOf(t),
-            cents, dynamic = true))
+        docsBatch
       }
+
+      // per-batch write tasks: the postings write runs FIRST (it
+      // materializes the shared toks/termRows caches — in
+      // consolidated mode its old-live side rides the same job),
+      // OVERLAPPED only with the delete side's forward read (the
+      // vocab task's critical-path input, touching a different
+      // artifact); the remaining artifacts join the ONE commit-wide
+      // fan-out below
+      def stagePostings(): Seq[() => Unit] =
+        if (!compactNow)
+          toks.zip(addPost).zip(docsBatches).toSeq.flatMap {
+            case ((t, p), db) =>
+              stageBatch(spark, path, newBatch, postingsView(p),
+                fieldedView(p), db, dynamic = true) :+
+                (() => writeVectorBatch(spark, path, newBatch,
+                  vectorsOf(t), cents, dynamic = true))
+          }
+        else {
+          val newPost = addPost.map(postingsView)
+          outConsolidated(
+            newPost.fold(oldLive("postings"))(p =>
+              oldLive("postings").unionByName(
+                p.withColumn("pbucket", pbucket($"term")))),
+            "postings", "pbucket")
+          val (fs, _) = hadoop(spark, path)
+          Seq(
+            () => outConsolidated(
+              addPost.map(fieldedView).fold(oldLive("fielded"))(f =>
+                oldLive("fielded").unionByName(
+                  f.withColumn("pbucket", pbucket($"term")))),
+              "fielded", "pbucket"),
+            () => outConsolidated(
+              newPost.map(_.select($"doc_id", $"term", $"tf")
+                  .withColumn("dbucket", dbucket($"doc_id")))
+                .fold(oldLive("forward"))(oldLive("forward").unionByName(_)),
+              "forward", "dbucket"),
+            () => outConsolidated(
+              docsBatches.map(_.withColumn("dbucket", dbucket($"doc_id")))
+                .fold(oldLive("docs"))(db => oldLive("docs")
+                  .unionByName(db, allowMissingColumns = true)),
+              "docs", "dbucket"),
+            () => if (cents.nonEmpty && fs.exists(
+                new org.apache.hadoop.fs.Path(s"$path/vectors")))
+              outConsolidated(
+                toks.map(t => vectorsOf(t).withColumn("cid",
+                    Knn.nearestCentroidCol(spark,
+                      graft.functions.VectorFunctions.asDouble($"v"),
+                      cents)))
+                  .fold(oldLive("vectors"))(oldLive("vectors").unionByName(_)),
+                "vectors", "cid"))
+        }
+      var batchTasks: Seq[() => Unit] = Seq.empty
+      graft.Par.run(Seq(
+        () => batchTasks = stagePostings(),
+        () => deadFwd.foreach(_.count(): Unit)))
 
       // Everything below stages an independent artifact of the same
       // commit: the remaining batch artifacts (fielded/forward/docs/
@@ -615,8 +703,18 @@ object TextIndex {
       // one wave of concurrent jobs — not a barrier per artifact
       // group — and the marker flips only after all of them returned.
       graft.Par.run(batchTasks ++ Seq(
-        () => newDocs.foreach(nd =>
-          writeContentBatch(spark, path, newBatch, nd, dynamic = true)),
+        () =>
+          if (!compactNow)
+            newDocs.foreach(nd =>
+              writeContentBatch(spark, path, newBatch, nd, dynamic = true))
+          else outConsolidated(
+            newDocs.map(_.select($"doc_id", $"text")
+                .withColumn("dbucket", dbucket($"doc_id")))
+              .fold(oldLive("content").select($"doc_id", $"text",
+                $"dbucket"))(nd =>
+                oldLive("content").select($"doc_id", $"text", $"dbucket")
+                  .unionByName(nd)),
+            "content", "dbucket"),
 
         // ---- vocab: old ∪ +batch dfs ∪ −dead dfs, integer-exact;
         // then prefixes: DELTA re-rank — only prefixes of terms
@@ -635,32 +733,40 @@ object TextIndex {
             .groupBy($"term").agg(sum($"df").as("df"))
             .filter($"df" > 0)
             .localCheckpoint(true)
-          writeVersioned(mergedVocab, path, "vocab", seq2)
-          val changedTerms = (inc.toSeq ++ dec.toSeq)
-            .map(_.select($"term"))
-            .reduce(_ unionByName _).distinct()
-          val affected = changedTerms.filter(length($"term") >= minPrefix)
-            .select(explode(prefixListOf($"term", minPrefix, maxPrefix))
-              .as("prefix"))
-            .distinct().localCheckpoint(true)
-          val cand = mergedVocab.filter(length($"term") >= minPrefix)
-            .select($"term", $"df",
-              explode(prefixListOf($"term", minPrefix, maxPrefix))
-                .as("prefix"))
-            .join(broadcast(affected), "prefix")
-          val wP = Window.partitionBy($"prefix")
-            .orderBy($"df".desc, $"term")
-          val reRanked = cand.withColumn("rank", row_number().over(wP))
-            .filter($"rank" <= kComplete)
-            .select($"prefix", $"rank".cast("long").as("rank"), $"term",
-              $"df")
-          val oldPrefixes =
-            spark.read.parquet(s"$path/prefixes/v=${c.seq}")
-          writeVersioned(
-            oldPrefixes.join(broadcast(affected), Seq("prefix"),
-                "left_anti")
-              .unionByName(reRanked),
-            path, "prefixes", seq2)
+          // the vocab write and the prefix delta re-rank both read
+          // the checkpointed merge and write disjoint artifacts —
+          // two concurrent jobs instead of a serial chain
+          graft.Par.run(Seq(
+            () => writeVersioned(mergedVocab, path, "vocab", seq2),
+            () => {
+              val changedTerms = (inc.toSeq ++ dec.toSeq)
+                .map(_.select($"term"))
+                .reduce(_ unionByName _).distinct()
+              val affected = changedTerms
+                .filter(length($"term") >= minPrefix)
+                .select(explode(prefixListOf($"term", minPrefix,
+                  maxPrefix)).as("prefix"))
+                .distinct().localCheckpoint(true)
+              val cand = mergedVocab.filter(length($"term") >= minPrefix)
+                .select($"term", $"df",
+                  explode(prefixListOf($"term", minPrefix, maxPrefix))
+                    .as("prefix"))
+                .join(broadcast(affected), "prefix")
+              val wP = Window.partitionBy($"prefix")
+                .orderBy($"df".desc, $"term")
+              val reRanked = cand
+                .withColumn("rank", row_number().over(wP))
+                .filter($"rank" <= kComplete)
+                .select($"prefix", $"rank".cast("long").as("rank"),
+                  $"term", $"df")
+              val oldPrefixes =
+                spark.read.parquet(s"$path/prefixes/v=${c.seq}")
+              writeVersioned(
+                oldPrefixes.join(broadcast(affected), Seq("prefix"),
+                    "left_anti")
+                  .unionByName(reRanked),
+                path, "prefixes", seq2)
+            }))
         },
 
         // ---- stats: exact integer-valued sums add and subtract
@@ -683,17 +789,12 @@ object TextIndex {
 
         // ---- tombstones: deleted ids die in every batch ≤ the
         // commit they were deleted at; a re-add lands in a HIGHER
-        // batch and is live without touching the tombstone
-        () => {
-          val oldTomb =
-            spark.read.parquet(s"$path/tombstones/v=${c.seq}")
-          val tomb2 = ids.fold(oldTomb) { i =>
-            oldTomb.unionByName(
-                i.withColumn("upto_batch", lit(c.maxBatch)))
-              .groupBy($"doc_id").agg(max($"upto_batch").as("upto_batch"))
-          }
-          writeVersioned(tomb2, path, "tombstones", seq2)
-        },
+        // batch and is live without touching the tombstone. A
+        // consolidated commit physically dropped every dead row, so
+        // its tombstone list resets (compact's contract).
+        () => writeVersioned(
+          if (compactNow) emptyTombstones(spark) else tomb2,
+          path, "tombstones", seq2),
 
         // quantizer carries forward frozen; the docs schema carries
         // forward possibly WIDENED (the AddProperty merge above)
@@ -701,9 +802,12 @@ object TextIndex {
         () => writeDocsSchema(spark, path, seq2, docsSchema2)))
 
       if (flip)
-        writeMarker(spark, path, Commit(seq2, c.minBatch,
-          if (newDocs.isDefined) newBatch else c.maxBatch,
-          math.max(epochId, c.lastEpoch)))
+        writeMarker(spark, path,
+          if (compactNow)
+            Commit(seq2, newBatch, newBatch, math.max(epochId, c.lastEpoch))
+          else Commit(seq2, c.minBatch,
+            if (newDocs.isDefined) newBatch else c.maxBatch,
+            math.max(epochId, c.lastEpoch)))
     } finally {
       addPost.foreach(_.unpersist())
       toks.foreach(_.unpersist())
@@ -798,6 +902,71 @@ object TextIndex {
     import docs.sparkSession.implicits._
     applyChange(path, Some(docs.select($"doc_id")), Some(docs),
       minPrefix, maxPrefix, kComplete, epochId, flip = true)
+  }
+
+  /** The count-gated auto-compaction decision of [[maybeCompact]]
+    * evaluated on the WOULD-BE post-commit state of a change (exact:
+    * the batch count is arithmetic off the marker, the post-commit
+    * tombstone id set is old ∪ deletes distinct), fused into the
+    * change's OWN commit when due (`compactNow`) — the streaming
+    * epoch's entry: one write wave and one marker flip instead of
+    * apply + a full compact that re-reads every artifact the apply
+    * just wrote. Serving is bit-equal either way ([[compact]]'s
+    * contract); returns whether the commit consolidated. */
+  private[graft] def applyChangeAuto(path: String,
+                                     delIds: Option[DataFrame],
+                                     newDocs: Option[DataFrame],
+                                     epochId: Long,
+                                     maxTombstones: Long,
+                                     maxBatches: Long,
+                                     minPrefix: Int = 2, maxPrefix: Int = 4,
+                                     kComplete: Int = 3): Boolean = {
+    val spark = delIds.orElse(newDocs).map(_.sparkSession)
+      .getOrElse(throw new IllegalArgumentException(
+        "applyChangeAuto needs deletes and/or new documents"))
+    import spark.implicits._
+    val c = commitOf(spark, path)
+    val batchesAfter =
+      (if (newDocs.isDefined) c.maxBatch + 1 else c.maxBatch) -
+        c.minBatch + 1
+    val due = batchesAfter > maxBatches || {
+      val oldIds = tombstonesOf(spark, path, c).select($"doc_id")
+      delIds.fold(oldIds)(i =>
+          oldIds.unionByName(i.select($"doc_id")).distinct())
+        .count() > maxTombstones
+    }
+    applyChange(path, delIds, newDocs, minPrefix, maxPrefix, kComplete,
+      epochId, flip = true, compactNow = due)
+    due
+  }
+
+  /** [[append]] with the auto-compaction decision fused into the same
+    * commit — [[graft.streaming.IngestStream.indexStream]]'s epoch. */
+  def appendAuto(newDocs: DataFrame, path: String, epochId: Long,
+                 maxTombstones: Long = 10000L,
+                 maxBatches: Long = 16L): Boolean =
+    applyChangeAuto(path, None, Some(newDocs), epochId, maxTombstones,
+      maxBatches)
+
+  /** [[upsert]] with the auto-compaction decision fused into the same
+    * commit — the update stream's epoch. */
+  def upsertAuto(docs: DataFrame, path: String, epochId: Long,
+                 maxTombstones: Long = 10000L,
+                 maxBatches: Long = 16L): Boolean = {
+    import docs.sparkSession.implicits._
+    applyChangeAuto(path, Some(docs.select($"doc_id")), Some(docs),
+      epochId, maxTombstones, maxBatches)
+  }
+
+  /** [[sync]] with the auto-compaction decision fused into the same
+    * commit — the CDC stream's epoch. */
+  def syncAuto(docs: DataFrame, delIds: DataFrame, path: String,
+               epochId: Long, maxTombstones: Long = 10000L,
+               maxBatches: Long = 16L): Boolean = {
+    import docs.sparkSession.implicits._
+    applyChangeAuto(path,
+      Some(docs.select($"doc_id").unionByName(delIds.select($"doc_id"))),
+      Some(docs), epochId, maxTombstones, maxBatches)
   }
 
   // --------------------------------------------------- live reads --

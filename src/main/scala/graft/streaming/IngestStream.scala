@@ -316,9 +316,11 @@ object IngestStream {
         graft.sources.TextIndex.write(b, indexPath, withVectors = false,
           epochId = epochId)
       else if (epochId > graft.sources.TextIndex.lastEpoch(spark, indexPath)) {
-        graft.sources.TextIndex.append(b, indexPath, epochId = epochId)
-        graft.sources.TextIndex.maybeCompact(spark, indexPath,
-          maxBatches = maxBatches): Unit
+        // the count-gated compaction decision rides INSIDE the
+        // append's commit (one write wave, one marker flip) instead
+        // of a post-commit compact re-reading the batch just written
+        graft.sources.TextIndex.appendAuto(b, indexPath,
+          epochId = epochId, maxBatches = maxBatches): Unit
       }
       // else: an already-committed epoch redelivered — skip (replay
       // guard; the offsets checkpoint advances normally)
@@ -347,11 +349,10 @@ object IngestStream {
         graft.sources.TextIndex.write(b, indexPath, withVectors = false,
           epochId = epochId)
       else if (epochId > graft.sources.TextIndex.lastEpoch(spark, indexPath)) {
-        graft.sources.TextIndex.upsert(b, indexPath, epochId = epochId)
         // upserts also grow the TOMBSTONE list — both auto-compaction
-        // signals apply on the update stream
-        graft.sources.TextIndex.maybeCompact(spark, indexPath,
-          maxBatches = maxBatches): Unit
+        // signals apply, fused into the upsert's own commit
+        graft.sources.TextIndex.upsertAuto(b, indexPath,
+          epochId = epochId, maxBatches = maxBatches): Unit
       }
     }
     docs.writeStream
@@ -410,11 +411,15 @@ object IngestStream {
             .filter($"needs_processing")
             .select($"page_key".cast("long").as("doc_id")), "doc_id")
           .localCheckpoint(true)
+        // the whole epoch — upserts, deletes AND the due compaction —
+        // lands as ONE commit (syncAuto); an epoch that changed
+        // nothing still runs the standalone compaction check
         if (toUpsert.count() > 0 || dels.count() > 0)
-          graft.sources.TextIndex.sync(toUpsert, dels, indexPath,
-            epochId = epochId)
-        graft.sources.TextIndex.maybeCompact(spark, indexPath,
-          maxBatches = maxBatches): Unit
+          graft.sources.TextIndex.syncAuto(toUpsert, dels, indexPath,
+            epochId = epochId, maxBatches = maxBatches): Unit
+        else
+          graft.sources.TextIndex.maybeCompact(spark, indexPath,
+            maxBatches = maxBatches): Unit
       }
     }
     docs.writeStream
