@@ -95,6 +95,26 @@ object ScaleCheck {
       System.err.println(s"[scale] replicating $base x$copies -> $out")
       replicate(spark, base, out, copies)
     }
+    // LIFECYCLE build slopes (r15 verdict item 8): the Par-overlapped
+    // store builds, timed cold at both scales through their session
+    // memos — the 100 TB claims for concurrent artifact writes rest
+    // on a measured slope, not prose. Timed BEFORE the warm query
+    // loop so the builds are genuinely cold here.
+    val builds = Seq[(String, (SparkSession, String) => Unit)](
+      ("_text_index_build",
+        (s, d) => { operators.HybridSearch.textIndexPath(s, d): Unit }),
+      ("_pq_store_build",
+        (s, d) => { operators.Knn.pqStorePath(s, d): Unit }))
+    builds.foreach { case (name, fn) =>
+      def timeBuild(dir: String): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, dir)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val tB = timeBuild(base)
+      val tS = timeBuild(out)
+      println(f"""{"query":"$name","t_base":$tB%.3f,"t_${copies}x":$tS%.3f,"slope":${tS / tB}%.2f}""")
+    }
     Headline.foreach { name =>
       val tB = timeWarm(spark, base, name)
       val tS = timeWarm(spark, out, name)
